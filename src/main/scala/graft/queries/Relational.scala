@@ -1,0 +1,253 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The declared relational query set (SURVEY.md §2B, FIXTURES.md §C).
+  *
+  * Every query follows the determinism contract so results hash-match the
+  * DuckDB oracle:
+  *   - total ORDER BY over output columns;
+  *   - floating aggregates made order-independent by casting inputs to
+  *     DECIMAL(38,4) *before* SUM (decimal addition is exact/associative,
+  *     so parallel partial aggregation cannot perturb the result);
+  *   - AVG computed as exact-decimal SUM cast to double / COUNT, so both
+  *     engines divide bit-identical numerator/denominator;
+  *   - output types aligned with DuckDB naturals (COUNT→BIGINT etc).
+  *
+  * Plans are Spark-first: declarative DataFrame ops so Catalyst pushes
+  * filters/pruning into the parquet scan, broadcasts dimension tables,
+  * and keeps everything inside whole-stage codegen. No UDFs here.
+  */
+object Relational {
+  /** `$"name"` → Column without needing a SparkSession's implicits. */
+  implicit class ColInterp(private val sc: StringContext) extends AnyVal {
+    def $(args: Any*): Column = col(sc.s(args: _*))
+  }
+
+  private val Dec = DecimalType(38, 4)
+  private def dec(c: Column): Column = c.cast(Dec)
+  /** Order-independent SUM: exact decimal addition, rounded to 4dp. */
+  private def dsum(c: Column): Column = round(sum(dec(c)), 4)
+  /** Order-independent AVG: exact decimal SUM → double / count. */
+  private def davg(c: Column): Column =
+    round((sum(dec(c)).cast(DoubleType) / count(lit(1))).cast(Dec), 4)
+
+  // E1/E4 — scan + projection
+  def q01(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber")
+      .orderBy($"l_orderkey", $"l_linenumber")
+
+  // E5 — comparison + boolean filter
+  def q02(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter($"l_quantity" > 45 && $"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_quantity")
+      .orderBy($"l_orderkey", $"l_quantity")
+
+  // E5/E16 — LIKE + BETWEEN
+  def q03(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .filter($"o_orderpriority".like("1-%") &&
+        $"o_totalprice".between(1000, 5000))
+      .select($"o_orderkey")
+      .orderBy($"o_orderkey")
+
+  // E9 — hash aggregate (TPC-H Q1 skeleton)
+  def q04(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        count(lit(1)).as("cnt"),
+        dsum($"l_quantity").as("s_qty"),
+        davg($"l_extendedprice").as("a_price"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  // E9 — exact distinct aggregate
+  def q05(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .agg(count_distinct($"l_suppkey").as("d"))
+
+  // E6 — inner equi-join; nation is a dimension → broadcast
+  def q06(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .join(broadcast(Tables(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name").agg(count(lit(1)).as("c"))
+      .orderBy($"n_name")
+
+  // E6 — left outer join against pre-aggregated orders
+  def q07(s: SparkSession, dir: String): DataFrame = {
+    val cnt = Tables(s, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+    Tables(s, dir, "customer")
+      .join(cnt, $"c_custkey" === $"o_custkey", "left")
+      .select($"c_custkey", coalesce($"cnt", lit(0L)).as("cnt"))
+      .orderBy($"c_custkey")
+  }
+
+  // E6 — 5-way star join; dimensions broadcast, fact joins shuffle on keys
+  def q08(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "nation")),
+        $"c_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(s, dir, "region")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"r_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("rev"))
+      .orderBy($"r_name")
+
+  // E7 — left-semi (EXISTS)
+  def q09(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders").filter($"o_orderstatus" === "F"),
+        $"c_custkey" === $"o_custkey", "left_semi")
+      .select($"c_custkey").orderBy($"c_custkey")
+
+  // E7 — left-anti (NOT IN, null-free key)
+  def q10(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders"), $"c_custkey" === $"o_custkey", "left_anti")
+      .select($"c_custkey").orderBy($"c_custkey")
+
+  // E8 — theta join (broadcast nested loop over the 5-row region table)
+  def q11(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .join(broadcast(Tables(s, dir, "region")),
+        $"p_size" > $"r_regionkey" + 45)
+      .select($"p_partkey", $"p_size").distinct()
+      .orderBy($"p_partkey", $"p_size")
+
+  // E10 — ROLLUP grouping sets
+  def q12(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .rollup($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("c"))
+      .orderBy($"l_returnflag".asc_nulls_first,
+        $"l_linestatus".asc_nulls_first, $"c")
+
+  // E12/E14 — top-k per group via ranking window
+  def q13(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"c_mktsegment")
+      .orderBy($"c_acctbal".desc, $"c_custkey")
+    Tables(s, dir, "customer")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 3)
+      .select($"c_mktsegment", $"c_custkey", $"rn".cast(LongType).as("rn"))
+      .orderBy($"c_mktsegment", $"rn")
+  }
+
+  // E13 — LAG analytic window
+  def q14(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey", lag($"o_orderkey", 1).over(w).as("prev"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  // E13 — moving frame aggregate (decimal input → exact, order-free).
+  // (l_orderkey, l_linenumber) is NOT unique in this data, so l_quantity
+  // joins the window order: tied rows are then identical in every
+  // frame-relevant column, making the output multiset deterministic.
+  def q15(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"l_suppkey")
+      .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity").rowsBetween(-2, 0)
+    Tables(s, dir, "lineitem")
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
+        round(sum(dec($"l_quantity")).over(w), 4).as("roll"))
+      .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"roll")
+  }
+
+  // E14 — global sort + deterministic LIMIT (ties broken by key)
+  def q16(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select($"o_orderkey", $"o_totalprice")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(20)
+
+  // E15 — INTERSECT
+  def q17(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").select($"c_nationkey".as("x"))
+      .intersect(Tables(s, dir, "supplier").select($"s_nationkey".as("x")))
+      .orderBy($"x")
+
+  // E15 — EXCEPT
+  def q17b(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").select($"c_nationkey".as("x"))
+      .except(Tables(s, dir, "supplier").select($"s_nationkey".as("x")))
+      .orderBy($"x")
+
+  // E16 — string + date scalar functions
+  def q18(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select($"o_orderkey",
+        upper(expr("substring(o_orderpriority, 3)")).as("u"),
+        year($"o_orderdate").cast(LongType).as("y"),
+        date_trunc("month", $"o_orderdate").cast(DateType).as("m"))
+      .orderBy($"o_orderkey")
+
+  // E16 — CASE WHEN + arithmetic
+  def q19(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber",
+        when($"l_discount" > 0.05, "HI").otherwise("LO").as("b"),
+        round(dec($"l_extendedprice" * (lit(1.0) + $"l_tax")), 4).as("g"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+
+  // E17 — explode / array ops (token frequencies)
+  def q20(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .select($"lang", explode(split(lower($"text"), " ")).as("tok"))
+      .filter(length($"tok") >= 8)
+      .groupBy($"lang", $"tok").agg(count(lit(1)).as("c"))
+      .orderBy($"c".desc, $"lang", $"tok")
+      .limit(50)
+
+  // E18 — JSON extraction over events.props
+  def q21(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy($"event_type")
+      .agg(
+        round(avg(get_json_object($"props", "$.k").cast(LongType)).cast(Dec), 4)
+          .as("avg_k"),
+        count(lit(1)).as("c"))
+      .orderBy($"event_type")
+
+  // E19 — exact dedup (distinct pair count)
+  def q22(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey").distinct()
+      .agg(count(lit(1)).as("c"))
+
+  // E19 — keep-first key dedup (first order per customer)
+  def q22b(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    Tables(s, dir, "orders")
+      .withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+      .select($"o_custkey", $"o_orderkey".as("first_order"))
+      .orderBy($"o_custkey")
+  }
+
+  // E11 — HLL approx distinct, self-checked within 5% of exact
+  def q23(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .agg(approx_count_distinct($"l_partkey").as("a"),
+        count_distinct($"l_partkey").as("d"))
+      .select((abs($"a" - $"d") <= $"d" * 0.05).cast(IntegerType).as("ok"))
+
+  // E22 (batch face) — tumbling event-time window aggregation; the
+  // streaming equivalence test lives in streaming/EventStreamsSpec.
+  def q26(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("c"), dsum($"value").as("sv"))
+      .select(unix_timestamp($"window.start").as("ws"), $"event_type", $"c", $"sv")
+      .orderBy($"ws", $"event_type")
+
+}
