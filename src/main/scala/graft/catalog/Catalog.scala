@@ -1,0 +1,73 @@
+package graft.catalog
+
+/** A named store of namespaces + tables, where a table is its current
+  * metadata-file location (the crux of the reference's model,
+  * CatalogMigrator.java:212-213). Both sides of a migration implement
+  * this; it is the Scala re-expression of Iceberg's
+  * `Catalog with SupportsNamespaces` surface the reference consumes.
+  */
+trait Catalog extends AutoCloseable {
+  def name: String
+
+  /** Direct children of `parent` (empty namespace = roots). May throw
+    * [[NoSuchNamespaceException]] for a missing parent. */
+  def listNamespaces(parent: Namespace): Seq[Namespace]
+  def namespaceExists(ns: Namespace): Boolean
+  /** Throws [[AlreadyExistsException]] if present — callers create
+    * forcefully and swallow, halving RPCs (CatalogMigrator.java:186-192). */
+  def createNamespace(ns: Namespace): Unit
+
+  /** Tables directly in `ns`. Throws [[NoSuchNamespaceException]] if the
+    * namespace does not exist. */
+  def listTables(ns: Namespace): Seq[TableRef]
+  def tableExists(ref: TableRef): Boolean
+  /** Current metadata-file location. Throws [[NoSuchTableException]]. */
+  def loadTableMetadataLocation(ref: TableRef): String
+  /** Record `metadataLocation` as table `ref` — a pointer write, never a
+    * data copy. Throws [[AlreadyExistsException]] if `ref` exists. */
+  def registerTable(ref: TableRef, metadataLocation: String): Unit
+  /** Drop the catalog entry (purge = false semantics). Returns false if
+    * the table did not exist. May remove backing files for catalogs whose
+    * entries own their directory (Hadoop-style). */
+  def dropTable(ref: TableRef): Boolean
+
+  /** True when dropping an entry also destroys the files the migrated
+    * pointer still references — forbids delete-at-source (reference
+    * guard CatalogMigrator.java:75-78, MigrateCommand.java:56-64). */
+  def dropDestroysData: Boolean = false
+
+  override def close(): Unit = ()
+}
+
+/** Serializable catalog spec, buildable on executors — the factory shape
+  * of the reference's `CatalogMigrationUtil.buildCatalog` (:48-96). */
+final case class CatalogConfig(
+    catalogType: String,
+    name: String,
+    properties: Map[String, String] = Map.empty)
+
+object CatalogFactory {
+  /** Type → implementation dispatch; `custom` loads a user class
+    * implementing [[Catalog]] with a (CatalogConfig) constructor,
+    * mirroring the reference's CUSTOM + `--source-custom-catalog-impl`. */
+  def build(cfg: CatalogConfig): Catalog = cfg.catalogType.toLowerCase match {
+    case "hadoop" =>
+      val wh = cfg.properties.getOrElse("warehouse",
+        throw new IllegalArgumentException(
+          s"Catalog ${cfg.name}: hadoop catalog requires a 'warehouse' property"))
+      new HadoopFsCatalog(cfg.name, wh)
+    case "memory" =>
+      MemoryCatalog.forName(cfg.properties.getOrElse("name", cfg.name),
+        singleLevel = cfg.properties.get("single-level").contains("true"))
+    case "custom" =>
+      val impl = cfg.properties.getOrElse("impl",
+        throw new IllegalArgumentException(
+          s"Catalog ${cfg.name}: custom catalog requires an 'impl' property"))
+      Class.forName(impl)
+        .getConstructor(classOf[CatalogConfig])
+        .newInstance(cfg)
+        .asInstanceOf[Catalog]
+    case other =>
+      throw new IllegalArgumentException(s"Unsupported catalog type: $other")
+  }
+}

@@ -1,0 +1,120 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Warehouse-directory catalog over any Hadoop FileSystem (file://, hdfs://,
+  * s3a://…). Namespaces are directories; a table is a directory holding a
+  * `pointer.text` whose single line is the current metadata-file location.
+  *
+  * Semantics mirror the reference's Hadoop catalog quirks (SURVEY §1.1):
+  * implicit namespaces (a parent exists once a child dir exists), the empty
+  * namespace is loadable but not listable (HadoopCatalogMigratorTest
+  * .java:51-57), and dropping a table removes its directory — which is why
+  * a Hadoop source cannot be the delete side of a migration
+  * ([[dropDestroysData]]; reference guard CatalogMigrator.java:75-78).
+  *
+  * Pointer commits are write-temp + atomic rename, the same recipe as
+  * version-hint commits in Hadoop-style table formats.
+  */
+final class HadoopFsCatalog(val name: String, warehouse: String) extends Catalog {
+
+  @transient private lazy val conf = new Configuration()
+  private val root = new Path(warehouse)
+  @transient private lazy val fs: FileSystem = root.getFileSystem(conf)
+
+  private def nsPath(ns: Namespace): Path =
+    ns.levels.foldLeft(root)((p, l) => new Path(p, l))
+  private def tablePath(ref: TableRef): Path =
+    new Path(nsPath(ref.namespace), ref.name)
+  private def pointerPath(tableDir: Path): Path = new Path(tableDir, "pointer.text")
+  private def isTableDir(p: Path): Boolean = fs.exists(pointerPath(p))
+
+  override def listNamespaces(parent: Namespace): Seq[Namespace] = {
+    val p = nsPath(parent)
+    if (!fs.exists(p) || (!parent.isEmpty && isTableDir(p)))
+      throw new NoSuchNamespaceException(s"Namespace does not exist: $parent")
+    if (!fs.getFileStatus(p).isDirectory) return Seq.empty
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && !isTableDir(st.getPath))
+      .map(st => parent.child(st.getPath.getName))
+      .sortBy(_.toString)
+  }
+
+  override def namespaceExists(ns: Namespace): Boolean = {
+    val p = nsPath(ns)
+    !ns.isEmpty && fs.exists(p) && fs.getFileStatus(p).isDirectory && !isTableDir(p)
+  }
+
+  override def createNamespace(ns: Namespace): Unit = {
+    if (ns.isEmpty)
+      throw new IllegalArgumentException(s"Cannot create empty namespace in catalog $name")
+    val p = nsPath(ns)
+    if (fs.exists(p))
+      throw new AlreadyExistsException(s"Namespace already exists: $ns")
+    fs.mkdirs(p)
+  }
+
+  override def listTables(ns: Namespace): Seq[TableRef] = {
+    if (ns.isEmpty) return Seq.empty // root tables loadable, never listed
+    val p = nsPath(ns)
+    if (!fs.exists(p) || isTableDir(p))
+      throw new NoSuchNamespaceException(s"Namespace does not exist: $ns")
+    fs.listStatus(p).toSeq
+      .filter(st => st.isDirectory && isTableDir(st.getPath))
+      .map(st => TableRef(ns, st.getPath.getName))
+      .sortBy(_.toString)
+  }
+
+  override def tableExists(ref: TableRef): Boolean = isTableDir(tablePath(ref))
+
+  override def loadTableMetadataLocation(ref: TableRef): String = {
+    val ptr = pointerPath(tablePath(ref))
+    if (!fs.exists(ptr))
+      throw new NoSuchTableException(s"Table does not exist: $ref")
+    readText(ptr).trim
+  }
+
+  override def registerTable(ref: TableRef, metadataLocation: String): Unit = {
+    val dir = tablePath(ref)
+    if (isTableDir(dir))
+      throw new AlreadyExistsException(s"Table already exists: $ref")
+    fs.mkdirs(dir)
+    commitPointer(dir, metadataLocation)
+  }
+
+  override def dropTable(ref: TableRef): Boolean = {
+    val dir = tablePath(ref)
+    if (!isTableDir(dir)) false
+    else fs.delete(dir, true)
+  }
+
+  override def dropDestroysData: Boolean = true
+
+  /** Atomic pointer commit: temp file + rename (no partial pointers). */
+  private def commitPointer(tableDir: Path, metadataLocation: String): Unit = {
+    val tmp = new Path(tableDir, s".pointer-${java.util.UUID.randomUUID()}.tmp")
+    writeText(tmp, metadataLocation + "\n")
+    if (!fs.rename(tmp, pointerPath(tableDir))) {
+      fs.delete(tmp, false)
+      throw new AlreadyExistsException(
+        s"Concurrent pointer commit detected for ${pointerPath(tableDir)}")
+    }
+  }
+
+  private[catalog] def writeText(p: Path, text: String): Unit = {
+    val out = fs.create(p, false)
+    try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private[catalog] def readText(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+
+  private[catalog] def warehousePath: Path = root
+  private[catalog] def fileSystem: FileSystem = fs
+  private[catalog] def tableDir(ref: TableRef): Path = tablePath(ref)
+}

@@ -1,0 +1,59 @@
+package graft.catalog
+
+/** Core metadata model, re-expressed from the reference's abstractions
+  * (SURVEY.md §1.1; reference `CatalogMigrator.java`, `TableIdentifier`).
+  */
+
+/** Multi-level namespace, e.g. a.b.c (reference `Namespace.of(levels)`). */
+final case class Namespace(levels: Vector[String]) {
+  def isEmpty: Boolean = levels.isEmpty
+  /** a.b.c → [a, a.b, a.b.c] — the reference's level-by-level creation
+    * order (CatalogMigrator.java:181-183). */
+  def prefixes: Seq[Namespace] =
+    (1 to levels.size).map(i => Namespace(levels.take(i)))
+  def child(level: String): Namespace = Namespace(levels :+ level)
+  override def toString: String = levels.mkString(".")
+}
+
+object Namespace {
+  val empty: Namespace = Namespace(Vector.empty)
+  def of(levels: String*): Namespace = Namespace(levels.toVector)
+  def parse(s: String): Namespace =
+    if (s.isEmpty) empty else Namespace(s.split('.').toVector)
+}
+
+/** Table identifier = namespace + name (reference `TableIdentifier`);
+  * parsed from dotted strings at the last dot (IdentifierOptions.java:72). */
+final case class TableRef(namespace: Namespace, name: String) {
+  override def toString: String =
+    if (namespace.isEmpty) name else s"$namespace.$name"
+}
+
+object TableRef {
+  def parse(s: String): TableRef = {
+    val i = s.lastIndexOf('.')
+    if (i < 0) TableRef(Namespace.empty, s)
+    else TableRef(Namespace.parse(s.substring(0, i)), s.substring(i + 1))
+  }
+}
+
+/** Catalog error taxonomy (mirrors the Iceberg exceptions the reference
+  * relies on: AlreadyExists / NoSuchTable / NoSuchNamespace). */
+final class AlreadyExistsException(msg: String) extends RuntimeException(msg)
+final class NoSuchTableException(msg: String) extends RuntimeException(msg)
+final class NoSuchNamespaceException(msg: String) extends RuntimeException(msg)
+
+/** Per-table outcome row produced by the distributed registration stage —
+  * errors are data, never task failures (fail-soft semantics R10–R12). */
+final case class MigrationOutcome(
+    identifier: String,
+    seq: Long,
+    registered: Boolean,
+    deleteFailed: Boolean,
+    error: Option[String])
+
+/** Tri-list result (reference CatalogMigrationResult.java:23-30). */
+final case class MigrationResult(
+    registeredTableIdentifiers: Seq[TableRef],
+    failedToRegisterTableIdentifiers: Seq[TableRef],
+    failedToDeleteTableIdentifiers: Seq[TableRef])

@@ -1,0 +1,309 @@
+package graft.cli
+
+import java.nio.file.{Files, Path, Paths}
+
+import scala.collection.mutable
+import scala.util.matching.Regex
+
+import graft.catalog._
+import org.apache.spark.sql.SparkSession
+
+/** CLI front-end with the reference's surface and wording
+  * (cli/CatalogMigrationCLI.java, BaseRegisterCommand.java,
+  * MigrateCommand.java, RegisterCommand.java):
+  *
+  *   migrate|register
+  *     --source-catalog-type T --source-catalog-properties k=v[,k=v...]
+  *     --target-catalog-type T --target-catalog-properties k=v[,k=v...]
+  *     [--identifiers a.t1,b.t2 | --identifiers-from-file f | --identifiers-regex re]
+  *     [--output-dir dir] [--dry-run] [--disable-safety-prompts] [--stacktrace]
+  *
+  * Exit codes: 0 success, 1 runtime failure / nothing registered / user
+  * abort, 2 argument errors (picocli parity). Progress is logged every
+  * 100 tables (BaseRegisterCommand.java:85,161-168); registration runs
+  * distributed in 100-table chunks so the batching semantics survive the
+  * parallel execution.
+  *
+  * Dual-channel logging (R22): console lines also land in
+  * `catalog_migration.log` inside the output dir.
+  */
+object CatalogMigrationCLI {
+
+  private val BatchSize = 100
+
+  final case class Opts(
+      cmd: String,
+      sourceType: String = "",
+      sourceProps: Map[String, String] = Map.empty,
+      targetType: String = "",
+      targetProps: Map[String, String] = Map.empty,
+      identifiers: Seq[String] = Seq.empty,
+      identifiersFromFile: Option[String] = None,
+      identifiersRegex: Option[String] = None,
+      outputDir: String = ".",
+      dryRun: Boolean = false,
+      disablePrompts: Boolean = false,
+      stacktrace: Boolean = false)
+
+  def main(args: Array[String]): Unit = sys.exit(run(args.toSeq))
+
+  /** Testable entry: returns the exit code; `readLine` injects the
+    * safety-prompt input, `out` captures console lines. */
+  def run(args: Seq[String],
+      readLine: () => String = () => scala.io.StdIn.readLine(),
+      out: String => Unit = println): Int = {
+    if (args.isEmpty) { out(usage); return 2 }
+    if (args.contains("--version")) { out(s"catalog-migrator ${BuildInfo.version}"); return 0 }
+    if (args.contains("-h") || args.contains("--help")) { out(usage); return 0 }
+
+    parse(args) match {
+      case Left(err) =>
+        out(s"Error: $err")
+        out(usage)
+        2
+      case Right(opts) =>
+        val logFile = Paths.get(opts.outputDir).resolve("catalog_migration.log")
+        val log: String => Unit = line => {
+          out(line)
+          try {
+            Files.createDirectories(logFile.getParent)
+            Files.writeString(logFile, line + System.lineSeparator(),
+              java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+          } catch { case _: Exception => () }
+        }
+        try execute(opts, readLine, log)
+        catch {
+          case e: Exception =>
+            log(s"Error: ${e.getMessage}")
+            1
+        }
+    }
+  }
+
+  private def parse(args: Seq[String]): Either[String, Opts] = {
+    val cmd = args.head
+    if (cmd != "migrate" && cmd != "register")
+      return Left(s"Unknown command: $cmd")
+    var o = Opts(cmd)
+    var rest = args.tail.toList
+    def props(v: String): Map[String, String] =
+      v.split(',').filter(_.nonEmpty).map { kv =>
+        val Array(k, value) = kv.split("=", 2)
+        k.trim -> value.trim
+      }.toMap
+    while (rest.nonEmpty) {
+      rest match {
+        case "--source-catalog-type" :: v :: t => o = o.copy(sourceType = v); rest = t
+        case "--source-catalog-properties" :: v :: t => o = o.copy(sourceProps = props(v)); rest = t
+        case "--target-catalog-type" :: v :: t => o = o.copy(targetType = v); rest = t
+        case "--target-catalog-properties" :: v :: t => o = o.copy(targetProps = props(v)); rest = t
+        case "--identifiers" :: v :: t =>
+          o = o.copy(identifiers = o.identifiers ++ v.split(',').map(_.trim).filter(_.nonEmpty)); rest = t
+        case "--identifiers-from-file" :: v :: t => o = o.copy(identifiersFromFile = Some(v)); rest = t
+        case "--identifiers-regex" :: v :: t => o = o.copy(identifiersRegex = Some(v)); rest = t
+        case "--output-dir" :: v :: t => o = o.copy(outputDir = v); rest = t
+        case "--dry-run" :: t => o = o.copy(dryRun = true); rest = t
+        case "--disable-safety-prompts" :: t => o = o.copy(disablePrompts = true); rest = t
+        case "--stacktrace" :: t => o = o.copy(stacktrace = true); rest = t
+        case other :: _ => return Left(s"Unknown option: $other")
+        case Nil => ()
+      }
+    }
+    val idModes = Seq(o.identifiers.nonEmpty, o.identifiersFromFile.isDefined,
+      o.identifiersRegex.isDefined).count(identity)
+    if (idModes > 1)
+      return Left("Error: --identifiers, --identifiers-from-file, --identifiers-regex " +
+        "options are mutually exclusive.")
+    if (o.sourceType.isEmpty || o.targetType.isEmpty)
+      return Left("Missing required option: --source-catalog-type / --target-catalog-type")
+    Right(o)
+  }
+
+  private def execute(opts: Opts, readLine: () => String, log: String => Unit): Int = {
+    val verbs = if (opts.cmd == "migrate") MigrationReport.MigrateVerbs
+      else MigrationReport.RegisterVerbs
+
+    // R6–R8: explicit set / file / regex identifier input
+    var identifiers: Seq[TableRef] = processIdentifiersInput(opts, log)
+    checkAndWarnAboutIdentifiers(opts, identifiers, log)
+    val outputDir = validateOutputDir(opts.outputDir)
+
+    val srcCfg = CatalogConfig(opts.sourceType, s"source-${opts.sourceType}", opts.sourceProps)
+    val tgtCfg = CatalogConfig(opts.targetType, s"target-${opts.targetType}", opts.targetProps)
+    val sourceCatalog = CatalogFactory.build(srcCfg)
+    log(s"Configured source catalog: ${sourceCatalog.name}")
+    val targetCatalog = CatalogFactory.build(tgtCfg)
+    log(s"Configured target catalog: ${targetCatalog.name}")
+
+    if (opts.cmd == "migrate" && sourceCatalog.dropDestroysData) {
+      log("Source catalog is a Hadoop catalog and it doesn't support deleting the table " +
+        "entries just from the catalog. Please use 'register' command instead.")
+      return 1
+    }
+
+    if (!opts.dryRun && !opts.disablePrompts && !canProceed(opts.cmd, readLine, log)) return 1
+
+    val migrator = new CatalogMigrator(srcCfg, tgtCfg,
+      deleteEntriesFromSourceCatalog = opts.cmd == "migrate",
+      enableStacktrace = opts.stacktrace)
+
+    if (identifiers.isEmpty) {
+      log(s"Identifying tables for ${verbs.operation} ...")
+      identifiers = migrator.getMatchingTableIdentifiers(opts.identifiersRegex)
+      if (identifiers.isEmpty) {
+        log(s"No tables were identified for ${verbs.operation}. " +
+          "Please check `catalog_migration.log` file for more info.")
+        return 1
+      }
+    }
+
+    if (opts.dryRun) {
+      log("Dry run is completed.")
+      Files.writeString(outputDir.resolve(MigrationReport.DryRunFile),
+        MigrationReport.identifierFileContent(identifiers))
+      MigrationReport.dryRun(identifiers, verbs).foreach(log)
+      return 0
+    }
+
+    log(s"Identified ${identifiers.size} tables for ${verbs.operation}.")
+    log(s"Started ${verbs.operation} ...")
+
+    val spark = activeSpark()
+    var result: MigrationResult = null
+    try {
+      // distributed registration in BATCH_SIZE chunks keeps the
+      // reference's progress cadence (R13) on top of parallel execution
+      var processed = 0
+      identifiers.grouped(BatchSize).foreach { chunk =>
+        migrator.registerTables(spark, chunk)
+        processed += chunk.size
+        log(s"Attempted ${verbs.operation} for $processed tables out of " +
+          s"${identifiers.size} tables.")
+      }
+    } finally {
+      log(s"Finished ${verbs.operation} ...")
+      result = migrator.result()
+      Files.writeString(outputDir.resolve(MigrationReport.FailedIdentifiersFile),
+        MigrationReport.identifierFileContent(result.failedToRegisterTableIdentifiers))
+      Files.writeString(outputDir.resolve(MigrationReport.FailedToDeleteFile),
+        MigrationReport.identifierFileContent(result.failedToDeleteTableIdentifiers))
+      MigrationReport.summary(result, verbs, opts.sourceType.toUpperCase,
+        opts.targetType.toUpperCase).foreach(log)
+      MigrationReport.details(result, verbs).foreach(log)
+    }
+
+    if (result.failedToRegisterTableIdentifiers.nonEmpty ||
+      result.failedToDeleteTableIdentifiers.nonEmpty ||
+      result.registeredTableIdentifiers.isEmpty) 1 else 0
+  }
+
+  private def processIdentifiersInput(opts: Opts, log: String => Unit): Seq[TableRef] =
+    if (opts.identifiers.nonEmpty) {
+      val set = mutable.LinkedHashSet.empty[TableRef]
+      opts.identifiers.foreach(s => set += TableRef.parse(s))
+      set.toSeq
+    } else opts.identifiersFromFile match {
+      case Some(f) =>
+        require(Files.exists(Paths.get(f)),
+          "File specified in `--identifiers-from-file` option does not exist")
+        log(s"Collecting identifiers from the file $f ...")
+        val set = mutable.LinkedHashSet.empty[TableRef]
+        Files.readAllLines(Paths.get(f)).forEach { line =>
+          val t = line.trim
+          if (t.nonEmpty) set += TableRef.parse(t)
+        }
+        set.toSeq
+      case None =>
+        opts.identifiersRegex.foreach { re =>
+          require(re.trim.nonEmpty, "--identifiers-regex should not be empty")
+          try new Regex(re)
+          catch { case e: Exception =>
+            throw new IllegalArgumentException("--identifiers-regex pattern is not compilable", e)
+          }
+        }
+        Seq.empty
+    }
+
+  private def checkAndWarnAboutIdentifiers(opts: Opts, ids: Seq[TableRef],
+      log: String => Unit): Unit =
+    if (ids.isEmpty) opts.identifiersRegex match {
+      case Some(re) =>
+        log("User has not specified the table identifiers. Will be selecting all the " +
+          "tables from all the namespaces from the source catalog which matches the " +
+          s"regex pattern:$re")
+      case None =>
+        log("User has not specified the table identifiers. Will be selecting all the " +
+          "tables from all the namespaces from the source catalog.")
+    }
+
+  private def validateOutputDir(dir: String): Path = {
+    val p = Paths.get(dir)
+    if (!Files.exists(p)) Files.createDirectories(p)
+    require(Files.isWritable(p), "Path specified in `--output-dir` is not writable")
+    p
+  }
+
+  private def canProceed(cmd: String, readLine: () => String, log: String => Unit): Boolean = {
+    val nl = System.lineSeparator()
+    if (cmd == "migrate")
+      log(s"$nl\ta) Executing catalog migration when the source catalog has some " +
+        s"in-progress commits $nl\tcan lead to a data loss as the in-progress commits " +
+        s"will not be considered for migration. $nl\tSo, while using this tool please " +
+        s"make sure there are no in-progress commits for the source catalog.$nl$nl" +
+        "\tb) After the migration, successfully migrated tables will be deleted from " +
+        s"the source catalog $nl\tand can only be accessed from the target catalog.")
+    else
+      log(s"$nl\ta) Executing catalog migration when the source catalog has some " +
+        s"in-progress commits $nl\tcan lead to a data loss as the in-progress commits " +
+        s"will not be considered for migration. $nl\tSo, while using this tool please " +
+        s"make sure there are no in-progress commits for the source catalog.$nl$nl" +
+        "\tb) After the registration, successfully registered tables will be present " +
+        s"in both source and target catalog. $nl\tHaving the same metadata.json " +
+        "registered in more than one catalog can lead to missing updates, loss of " +
+        s"data, and table corruption. $nl\tUse `migrate` command to automatically " +
+        "delete the table from source catalog after migration.")
+    while (true) {
+      log("Are you certain that you wish to proceed, after reading the above warnings? (yes/no):")
+      readLine() match {
+        case s if s != null && s.equalsIgnoreCase("yes") => log("Continuing..."); return true
+        case s if s != null && s.equalsIgnoreCase("no") => log("Aborting..."); return false
+        case _ => log("Invalid input. Please enter 'yes' or 'no'.")
+      }
+    }
+    false
+  }
+
+  private def activeSpark(): SparkSession =
+    SparkSession.getActiveSession.getOrElse {
+      SparkSession.builder()
+        .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+        .appName("catalog-migration-cli")
+        .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    }
+
+  private val usage: String =
+    """Usage: catalog-migrator (migrate | register) [options]
+      |Bulk-migrate table entries from a source catalog to a target catalog
+      |without data copy. `migrate` deletes entries from the source after
+      |successful registration; `register` leaves them in place.
+      |
+      |  --source-catalog-type <hadoop|memory|custom>
+      |  --source-catalog-properties k=v[,k=v...]   (hadoop: warehouse=<dir>)
+      |  --target-catalog-type <hadoop|memory|custom>
+      |  --target-catalog-properties k=v[,k=v...]
+      |  --identifiers a.tbl1,b.tbl2      explicit identifier list
+      |  --identifiers-from-file <file>   newline-delimited identifiers
+      |  --identifiers-regex <pattern>    select tables matching a Java regex
+      |  --output-dir <dir>               where report files are written (default .)
+      |  --dry-run                        only resolve and write the work-list
+      |  --disable-safety-prompts         skip the interactive confirmation
+      |  --stacktrace                     log full stacktraces on failure
+      |  --version                        print version
+      |""".stripMargin
+}
+
+object BuildInfo {
+  val version = "0.1.0"
+}
