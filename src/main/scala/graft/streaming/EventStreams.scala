@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming operators over the `events` stream (SURVEY §2B
+  * E22): event-time windowed aggregation with watermarked late-data
+  * handling, session windows, and custom keyed state via
+  * mapGroupsWithState. Each transform takes a DataFrame so the same code
+  * runs on `readStream` sources and on batch frames — the equivalence the
+  * streaming spec asserts (file-replay determinism per FIXTURES.md).
+  */
+object EventStreams {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Tumbling 1-hour windows with a 2-hour watermark: counts + exact
+    * decimal sums per (window, event_type). */
+  def tumblingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("c"),
+        round(sum(col("value").cast(DecimalType(38, 4))), 4).as("sv"))
+      .select(unix_timestamp(col("window.start")).as("ws"), col("event_type"),
+        col("c"), col("sv"))
+
+  /** Session windows (30-minute gap) per user. */
+  def userSessions(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp(col("session_window.start")).as("ss"),
+        unix_timestamp(col("session_window.end")).as("se"),
+        col("user_id"), col("n_events"))
+
+  final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+  final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom keyed state (KeyValueGroupedDataset.mapGroupsWithState):
+    * running per-user event count + value total across micro-batches. */
+  def runningUserTotals(events: Dataset[EventRow])(
+      implicit spark: SparkSession): Dataset[UserRunning] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { r => n += 1; tot += r.value }
+          val next = UserRunning(uid, n, tot)
+          state.update(next)
+          next
+      }
+  }
+}

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-checks among the approximate and exact operators at sf0.001. */
+class OperatorsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).toSeq
+
+  test("minhash-LSH and simhash find exactly the exact-Jaccard pairs") {
+    val exact = rows(Dedup.ngramJaccard(spark, dir))
+    val lsh = rows(Dedup.minhashLsh(spark, dir))
+    val sim = rows(Dedup.simhash(spark, dir))
+    assert(exact.nonEmpty) // corpus has planted near-dups
+    assert(lsh == exact)
+    assert(sim == exact)
+  }
+
+  test("IVF ANN achieves >= 0.7 recall@3 vs brute force") {
+    import org.apache.spark.sql.functions._
+    val ann = Similarity.annIvf(spark, dir)
+      .select("q_id", "nbr").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force top-3 per query vector (vec_id < 10)
+    val e = graft.Tables(spark, dir, "embeddings")
+      .selectExpr("vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
+      .withColumn("nrm", expr("sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val truth = q.crossJoin(e).filter(col("vec_id") =!= col("q_id"))
+      .withColumn("c", expr(
+        "aggregate(zip_with(qv, v, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)")
+        / (col("qn") * col("nrm")))
+      .withColumn("rk", expr("row_number() OVER (PARTITION BY q_id ORDER BY c DESC, vec_id)"))
+      .filter(col("rk") <= 3)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ann intersect truth).size.toDouble / truth.size
+    assert(recall >= 0.7, s"recall@3 was $recall")
+  }
+
+  test("fingerprint is order-sensitive content identity") {
+    val fps = TextOps.fingerprint(spark, dir).collect().map(_.getLong(1))
+    // no exact duplicate docs in the corpus → all fingerprints distinct
+    assert(fps.toSet.size == fps.length)
+  }
+}

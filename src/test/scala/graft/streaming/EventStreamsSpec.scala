@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.TestSpark
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** E22 verification: streaming results equal batch results after full
+  * file replay (deterministic per FIXTURES.md — `processAllAvailable`).
+  */
+class EventStreamsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  /** events.parquet alone in a directory, as a file-stream source. */
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft-stream")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dir.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private def batchEvents: DataFrame = graft.Tables(spark, sfDir, "events")
+
+  /** events.parquet stores TIMESTAMP(NANOS): the file source must read it
+    * as long then normalize, same as the batch path in graft.Tables. */
+  private def streamEvents: DataFrame = {
+    import org.apache.spark.sql.types._
+    val raw = StructType(EventStreams.eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    spark.readStream.schema(raw).parquet(streamDir)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+  }
+
+  private def runToCompletion(df: DataFrame, mode: String): Seq[String] = {
+    val name = s"sink_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    try { q.processAllAvailable() } finally q.stop()
+    spark.table(name).collect().map(_.mkString("|")).sorted.toSeq
+  }
+
+  test("tumbling window counts: stream == batch after replay") {
+    // streaming reads ts as TimestampType directly (schema enforced);
+    // batch path goes through the nanosAsLong normalization — same values
+    val streamed = runToCompletion(
+      EventStreams.tumblingCounts(streamEvents), "complete")
+    val batch = EventStreams.tumblingCounts(batchEvents)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("session windows: stream == batch after replay") {
+    val streamed = runToCompletion(EventStreams.userSessions(streamEvents), "complete")
+    val batch = EventStreams.userSessions(batchEvents)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
+  test("watermarked append mode emits only finalized windows (late-data drop)") {
+    val appended = runToCompletion(
+      EventStreams.tumblingCounts(streamEvents), "append")
+    val complete = runToCompletion(
+      EventStreams.tumblingCounts(streamEvents), "complete")
+    // append can only finalize windows older than max(ts) - watermark
+    assert(appended.size < complete.size)
+    assert(appended.toSet.subsetOf(complete.toSet))
+  }
+
+  test("mapGroupsWithState running totals match batch aggregation") {
+    import spark.implicits._
+    implicit val s = spark
+    val streamedDs = streamEvents
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.EventRow]
+    val result = {
+      val name = s"sink_${java.util.UUID.randomUUID().toString.take(8)}"
+      val q = EventStreams.runningUserTotals(streamedDs)
+        .writeStream.format("memory").queryName(name).outputMode("update").start()
+      try q.processAllAvailable() finally q.stop()
+      // last update per user is the final running total
+      spark.table(name)
+        .groupBy("user_id").agg(org.apache.spark.sql.functions.max("n_events").as("n"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    }
+    val batch = batchEvents.groupBy("user_id").count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(result == batch)
+  }
+}
