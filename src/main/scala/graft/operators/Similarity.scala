@@ -21,13 +21,16 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     Tables(s, dir, "embeddings")
-      .selectExpr("vec_id", "label", "transform(embedding, x -> CAST(x AS DOUBLE)) AS v")
-      .withColumn("nrm", expr("sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
+      .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
+      .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
+  }
 
-  private def dot(a: String, b: String) =
-    expr(s"aggregate(zip_with($a, $b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+  /** Codegen'd dot product (graft.functions.DotProduct) — the interpreted
+    * zip_with/aggregate route dominates all-pairs similarity cost. */
+  private def dot(a: String, b: String) = expr(s"graft_dot($a, $b)")
 
   /** Exact top-5 cosine neighbors of vec_id = 0 (excluding self). */
   def cosineTopK(s: SparkSession, dir: String): DataFrame = {
