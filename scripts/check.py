@@ -17,20 +17,20 @@ def norm_cell(v):
         if math.isnan(v):
             return "NaN"
         return repr(v)
-    # Decimal, date, datetime, int, str → canonical string
-    import decimal
-    if isinstance(v, decimal.Decimal):
-        return repr(float(v)) if v == v.to_integral_value() or True else str(v)
+    # Exact representation: Decimal('0.2800') must NOT collapse to '0.28' —
+    # the driver's hasher is representation-sensitive, so neither can we be.
     return str(v)
 
 def frame(con, sql):
     cur = con.execute(sql)
     cols = [d[0] for d in cur.description]
+    types = [str(d[1]) for d in cur.description]
     rows = cur.fetchall()
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     cols_sorted = [cols[i] for i in order]
+    types_sorted = [types[i] for i in order]
     data = sorted(tuple(norm_cell(r[i]) for i in order) for r in rows)
-    return cols_sorted, data
+    return cols_sorted, types_sorted, data
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -49,14 +49,18 @@ def main():
             n_fail += 1
             continue
         try:
-            got_cols, got = frame(con, f"SELECT * FROM '{res_glob}'")
-            want_cols, want = frame(con, sql)
+            got_cols, got_types, got = frame(con, f"SELECT * FROM '{res_glob}'")
+            want_cols, want_types, want = frame(con, sql)
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1
             continue
         if got_cols != want_cols:
             print(f"FAIL {name}: columns {got_cols} != {want_cols}")
+            n_fail += 1
+        elif got_types != want_types:
+            print(f"FAIL {name}: column types {list(zip(got_cols, got_types))} "
+                  f"!= {list(zip(want_cols, want_types))}")
             n_fail += 1
         elif got != want:
             diffs = [(a, b) for a, b in zip(got, want) if a != b][:3]

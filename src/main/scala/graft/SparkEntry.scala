@@ -67,8 +67,8 @@ object SparkEntry {
       "SELECT o_orderkey FROM orders WHERE o_orderpriority LIKE '1-%' AND o_totalprice BETWEEN 1000 AND 5000 ORDER BY 1",
     "q04_agg_tpch1" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
-        | ROUND(SUM(CAST(l_quantity AS DECIMAL(38,4))), 4) AS s_qty,
-        | ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,4)), 4) AS a_price
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,4))), 4) AS DOUBLE) AS s_qty,
+        | CAST(ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,4)), 4) AS DOUBLE) AS a_price
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q05_count_distinct" ->
       "SELECT COUNT(DISTINCT l_suppkey) AS d FROM lineitem",
@@ -79,7 +79,7 @@ object SparkEntry {
         |LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1) o
         |ON c_custkey = o_custkey ORDER BY 1""".stripMargin,
     "q08_join_star" ->
-      """SELECT r_name, ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))), 4) AS rev
+      """SELECT r_name, CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))), 4) AS DOUBLE) AS rev
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
@@ -104,9 +104,9 @@ object SparkEntry {
         |FROM orders ORDER BY 1, 2""".stripMargin,
     "q15_window_frame" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        | ROUND(SUM(CAST(l_quantity AS DECIMAL(38,4))) OVER (
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,4))) OVER (
         |  PARTITION BY l_suppkey ORDER BY l_orderkey, l_linenumber, l_quantity
-        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS roll
+        |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS roll
         |FROM lineitem ORDER BY 1, 2, 3, 4""".stripMargin,
     "q16_sort_limit" ->
       "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20",
@@ -122,7 +122,7 @@ object SparkEntry {
     "q19_case_math" ->
       """SELECT l_orderkey, l_linenumber,
         | CASE WHEN l_discount > 0.05 THEN 'HI' ELSE 'LO' END AS b,
-        | ROUND(CAST(l_extendedprice * (1.0 + l_tax) AS DECIMAL(38,4)), 4) AS g
+        | CAST(ROUND(CAST(l_extendedprice * (1.0 + l_tax) AS DECIMAL(38,4)), 4) AS DOUBLE) AS g
         |FROM lineitem ORDER BY 1, 2""".stripMargin,
     "q20_explode_tokens" ->
       """SELECT lang, tok, COUNT(*) AS c FROM (
@@ -130,7 +130,7 @@ object SparkEntry {
         |WHERE LENGTH(tok) >= 8 GROUP BY 1, 2 ORDER BY 3 DESC, 1, 2 LIMIT 50""".stripMargin,
     "q21_json" ->
       """SELECT event_type,
-        | ROUND(CAST(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DECIMAL(38,4)), 4) AS avg_k,
+        | CAST(ROUND(CAST(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS DECIMAL(38,4)), 4) AS DOUBLE) AS avg_k,
         | COUNT(*) AS c
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q22_dedup_exact" ->
@@ -144,7 +144,7 @@ object SparkEntry {
       "SELECT CAST(1 AS INT) AS ok",
     "q26_window_tumbling" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws, event_type,
-        | COUNT(*) AS c, ROUND(SUM(CAST(value AS DECIMAL(38,4))), 4) AS sv
+        | COUNT(*) AS c, CAST(ROUND(SUM(CAST(value AS DECIMAL(38,4))), 4) AS DOUBLE) AS sv
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "d01_dedup_jaccard" -> JaccardOracle,
     "d02_dedup_minhash_lsh" -> JaccardOracle,
@@ -188,9 +188,9 @@ object SparkEntry {
         | CAST(len(list_filter(t, x -> x IN ('the','a','of','and','to'))) AS BIGINT) AS n_stop
         |FROM b)
         |SELECT doc_id, n_tokens, n_chars_ns, n_punct, n_stop,
-        | ROUND(n_chars_ns * 1.0 / n_tokens, 4) AS avg_tok_len,
-        | ROUND(n_stop * 1.0 / n_tokens, 4) AS stop_ratio,
-        | ROUND(LEAST(1.0, n_tokens / 100.0) * (1.0 - n_stop * 1.0 / n_tokens), 4) AS score
+        | CAST(ROUND(n_chars_ns * 1.0 / n_tokens, 4) AS DOUBLE) AS avg_tok_len,
+        | CAST(ROUND(n_stop * 1.0 / n_tokens, 4) AS DOUBLE) AS stop_ratio,
+        | CAST(ROUND(LEAST(1.0, n_tokens / 100.0) * (1.0 - n_stop * 1.0 / n_tokens), 4) AS DOUBLE) AS score
         |FROM m ORDER BY doc_id""".stripMargin,
     "t03_tokens" ->
       """SELECT doc_id,

@@ -49,10 +49,13 @@ object TextOps {
         "CAST(length(replace(text, ' ', '')) AS BIGINT) AS n_chars_ns",
         "CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '')) AS BIGINT) AS n_punct",
         s"CAST(size(filter(t, x -> x IN ($En))) AS BIGINT) AS n_stop")
+      // CAST(... AS DOUBLE) after round-to-4dp keeps the output
+      // representation-proof vs the DOUBLE-typed oracle (DECIMAL '0.2800'
+      // vs DOUBLE '0.28' hash-differ despite numeric equality).
       .selectExpr("doc_id", "n_tokens", "n_chars_ns", "n_punct", "n_stop",
-        "round(n_chars_ns * 1.0 / n_tokens, 4) AS avg_tok_len",
-        "round(n_stop * 1.0 / n_tokens, 4) AS stop_ratio",
-        "round(least(1.0, n_tokens / 100.0) * (1.0 - n_stop * 1.0 / n_tokens), 4) AS score")
+        "CAST(round(n_chars_ns * 1.0 / n_tokens, 4) AS DOUBLE) AS avg_tok_len",
+        "CAST(round(n_stop * 1.0 / n_tokens, 4) AS DOUBLE) AS stop_ratio",
+        "CAST(round(least(1.0, n_tokens / 100.0) * (1.0 - n_stop * 1.0 / n_tokens), 4) AS DOUBLE) AS score")
       .orderBy("doc_id")
 
   /** BPE-ish token counting: alnum runs + single non-alnum-non-space

@@ -30,11 +30,16 @@ object Relational {
 
   private val Dec = DecimalType(38, 4)
   private def dec(c: Column): Column = c.cast(Dec)
-  /** Order-independent SUM: exact decimal addition, rounded to 4dp. */
-  private def dsum(c: Column): Column = round(sum(dec(c)), 4)
+  /** Order-independent SUM: exact decimal addition, rounded to 4dp.
+    * The final cast to DOUBLE makes the output representation-proof
+    * against the oracle (DECIMAL '0.2800' vs DOUBLE '0.28' hash-differ
+    * even when numerically equal; round-then-cast is exact at 4dp). */
+  private def dsum(c: Column): Column =
+    round(sum(dec(c)), 4).cast(DoubleType)
   /** Order-independent AVG: exact decimal SUM → double / count. */
   private def davg(c: Column): Column =
     round((sum(dec(c)).cast(DoubleType) / count(lit(1))).cast(Dec), 4)
+      .cast(DoubleType)
 
   // E1/E4 — scan + projection
   def q01(s: SparkSession, dir: String): DataFrame =
@@ -160,7 +165,7 @@ object Relational {
       .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity").rowsBetween(-2, 0)
     Tables(s, dir, "lineitem")
       .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
-        round(sum(dec($"l_quantity")).over(w), 4).as("roll"))
+        round(sum(dec($"l_quantity")).over(w), 4).cast(DoubleType).as("roll"))
       .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"roll")
   }
 
@@ -197,7 +202,8 @@ object Relational {
     Tables(s, dir, "lineitem")
       .select($"l_orderkey", $"l_linenumber",
         when($"l_discount" > 0.05, "HI").otherwise("LO").as("b"),
-        round(dec($"l_extendedprice" * (lit(1.0) + $"l_tax")), 4).as("g"))
+        round(dec($"l_extendedprice" * (lit(1.0) + $"l_tax")), 4)
+          .cast(DoubleType).as("g"))
       .orderBy($"l_orderkey", $"l_linenumber")
 
   // E17 — explode / array ops (token frequencies)
@@ -215,7 +221,7 @@ object Relational {
       .groupBy($"event_type")
       .agg(
         round(avg(get_json_object($"props", "$.k").cast(LongType)).cast(Dec), 4)
-          .as("avg_k"),
+          .cast(DoubleType).as("avg_k"),
         count(lit(1)).as("c"))
       .orderBy($"event_type")
 
