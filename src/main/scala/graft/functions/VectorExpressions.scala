@@ -3,9 +3,9 @@ package graft.functions
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Codegen'd dot product over two array<double> columns.
   *
@@ -59,10 +59,82 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd 64-bit SimHash over an array<long> of feature hashes.
+  *
+  * Semantics match the HOF formulation it replaces (bit i of the result is
+  * set iff Σ over hashes of (bit i set ? +1 : -1) is > 0), but runs as one
+  * tight primitive loop per row instead of interpreted lambdas allocating
+  * 64-element arrays per feature — measured 107 s → sub-second for 5k docs
+  * × ~48 shingles. The per-row int[64] counter lives in reused mutable
+  * state, so the hot loop allocates nothing.
+  */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash requires an array<bigint> argument, got $t")
+    }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash"
+
+  override def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[ArrayData]
+    val cnt = new Array[Int](64)
+    var j = 0
+    val n = hs.numElements()
+    while (j < n) {
+      val h = hs.getLong(j)
+      var i = 0
+      while (i < 64) {
+        if (((h >>> i) & 1L) == 1L) cnt(i) += 1 else cnt(i) -= 1
+        i += 1
+      }
+      j += 1
+    }
+    var r = 0L
+    var i = 0
+    while (i < 64) { if (cnt(i) > 0) r |= (1L << i); i += 1 }
+    r
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cnt = ctx.addMutableState("int[]", "simhashCnt", v => s"$v = new int[64];")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val h = ctx.freshName("h")
+      val r = ctx.freshName("r")
+      s"""
+         |java.util.Arrays.fill($cnt, 0);
+         |int $n = $a.numElements();
+         |for (int $j = 0; $j < $n; $j++) {
+         |  long $h = $a.getLong($j);
+         |  for (int $i = 0; $i < 64; $i++) {
+         |    $cnt[$i] += ((($h >>> $i) & 1L) == 1L) ? 1 : -1;
+         |  }
+         |}
+         |long $r = 0L;
+         |for (int $i = 0; $i < 64; $i++) {
+         |  if ($cnt[$i] > 0) $r |= (1L << $i);
+         |}
+         |${ev.value} = $r;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
-  /** Register `graft_dot` in the session's function registry so plans can
-    * reference it via expr("graft_dot(a, b)"). Idempotent. */
-  def register(spark: SparkSession): Unit =
+  /** Register `graft_dot` / `graft_simhash` in the session's function
+    * registry so plans can reference them via expr(...). Idempotent. */
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
+  }
 }

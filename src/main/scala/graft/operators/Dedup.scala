@@ -100,22 +100,17 @@ object Dedup {
     verified(cand, sh)
   }
 
-  /** 64-bit SimHash with 4×16-bit pigeonhole blocking, hamming ≤ 3
-    * pre-filter, then exact Jaccard verification. */
+  /** 64-bit SimHash with 16×4-bit pigeonhole blocking, hamming ≤ 12
+    * pre-filter, then exact Jaccard verification. The simhash itself is
+    * the codegen'd [[graft.functions.SimHash64]] expression — the
+    * interpreted HOF formulation took ~21 ms/doc and dominated the whole
+    * pipeline. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
     val sh = shingled(s, dir)
     val sim = sh
       .withColumn("hs", expr("transform(sh, x -> xxhash64(x))"))
-      .withColumn("cnts", expr(
-        """aggregate(hs, array_repeat(0, 64), (acc, h) ->
-          | zip_with(acc, transform(sequence(0, 63), i ->
-          |   CASE WHEN (shiftright(h, i) & CAST(1 AS BIGINT)) = 1 THEN 1 ELSE -1 END),
-          |  (x, y) -> x + y))""".stripMargin))
-      .withColumn("sim", expr(
-        """aggregate(transform(sequence(0, 63), i ->
-          |  CASE WHEN element_at(cnts, i + 1) > 0 THEN shiftleft(CAST(1 AS BIGINT), i)
-          |   ELSE CAST(0 AS BIGINT) END),
-          | CAST(0 AS BIGINT), (a, x) -> a + x)""".stripMargin))
+      .withColumn("sim", expr("graft_simhash(hs)"))
       .select("doc_id", "sim")
     // Pigeonhole blocking: 16 blocks × 4 bits guarantees recall for
     // hamming ≤ 15; measured separation on this corpus is true pairs
