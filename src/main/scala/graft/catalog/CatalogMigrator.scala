@@ -34,13 +34,29 @@ final class CatalogMigrator(
 
   import CatalogMigrator._
 
-  private[catalog] lazy val sourceCatalog: Catalog = CatalogFactory.build(sourceConfig)
-  private[catalog] lazy val targetCatalog: Catalog = CatalogFactory.build(targetConfig)
+  private var sourceBuilt = false
+  private var targetBuilt = false
+  private[catalog] lazy val sourceCatalog: Catalog = {
+    val c = CatalogFactory.build(sourceConfig); sourceBuilt = true; c
+  }
+  private[catalog] lazy val targetCatalog: Catalog = {
+    val c = CatalogFactory.build(targetConfig); targetBuilt = true; c
+  }
 
-  if (deleteEntriesFromSourceCatalog && CatalogFactory.build(sourceConfig).dropDestroysData)
+  // Guard on the lazy sourceCatalog (built anyway for listing/registration)
+  // rather than a throwaway instance that would never be closed.
+  if (deleteEntriesFromSourceCatalog && sourceCatalog.dropDestroysData)
     throw new UnsupportedOperationException(
       "Source catalog is a Hadoop catalog and it doesn't support deleting the table entries " +
         "just from the catalog. Please configure `deleteEntriesFromSourceCatalog` as `false`")
+
+  /** Close whichever driver-side catalog clients were actually built.
+    * Executor-side clients (registerTables' mapPartitions) close
+    * themselves per partition. */
+  def close(): Unit = {
+    if (sourceBuilt) sourceCatalog.close()
+    if (targetBuilt) targetCatalog.close()
+  }
 
   private val registered = mutable.ListBuffer.empty[TableRef]
   private val failedToRegister = mutable.ListBuffer.empty[TableRef]

@@ -86,17 +86,34 @@ object CatalogMigrationCLI {
       return Left(s"Unknown command: $cmd")
     var o = Opts(cmd)
     var rest = args.tail.toList
-    def props(v: String): Map[String, String] =
-      v.split(',').filter(_.nonEmpty).map { kv =>
-        val Array(k, value) = kv.split("=", 2)
-        k.trim -> value.trim
-      }.toMap
+    // Malformed entries (no '=') must surface as the exit-2 argument-error
+    // path, not a MatchError crash.
+    def props(v: String): Either[String, Map[String, String]] = {
+      val parsed = v.split(',').filter(_.nonEmpty).toSeq.map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, value) => Right(k.trim -> value.trim)
+          case _ => Left(s"Malformed catalog property '$kv' (expected key=value)")
+        }
+      }
+      parsed.collectFirst { case Left(e) => e }
+        .toLeft(parsed.collect { case Right(p) => p }.toMap)
+    }
     while (rest.nonEmpty) {
       rest match {
         case "--source-catalog-type" :: v :: t => o = o.copy(sourceType = v); rest = t
-        case "--source-catalog-properties" :: v :: t => o = o.copy(sourceProps = props(v)); rest = t
+        case "--source-catalog-properties" :: v :: t =>
+          props(v) match {
+            case Left(e) => return Left(e)
+            case Right(m) => o = o.copy(sourceProps = m)
+          }
+          rest = t
         case "--target-catalog-type" :: v :: t => o = o.copy(targetType = v); rest = t
-        case "--target-catalog-properties" :: v :: t => o = o.copy(targetProps = props(v)); rest = t
+        case "--target-catalog-properties" :: v :: t =>
+          props(v) match {
+            case Left(e) => return Left(e)
+            case Right(m) => o = o.copy(targetProps = m)
+          }
+          rest = t
         case "--identifiers" :: v :: t =>
           o = o.copy(identifiers = o.identifiers ++ v.split(',').map(_.trim).filter(_.nonEmpty)); rest = t
         case "--identifiers-from-file" :: v :: t => o = o.copy(identifiersFromFile = Some(v)); rest = t
@@ -130,12 +147,21 @@ object CatalogMigrationCLI {
 
     val srcCfg = CatalogConfig(opts.sourceType, s"source-${opts.sourceType}", opts.sourceProps)
     val tgtCfg = CatalogConfig(opts.targetType, s"target-${opts.targetType}", opts.targetProps)
-    val sourceCatalog = CatalogFactory.build(srcCfg)
-    log(s"Configured source catalog: ${sourceCatalog.name}")
-    val targetCatalog = CatalogFactory.build(tgtCfg)
-    log(s"Configured target catalog: ${targetCatalog.name}")
+    // These probe instances serve only the name log lines and the
+    // migrate-from-Hadoop guard; close them before the migrator builds
+    // its own clients.
+    val sourceDropDestroysData = {
+      val sourceCatalog = CatalogFactory.build(srcCfg)
+      try {
+        log(s"Configured source catalog: ${sourceCatalog.name}")
+        val targetCatalog = CatalogFactory.build(tgtCfg)
+        try log(s"Configured target catalog: ${targetCatalog.name}")
+        finally targetCatalog.close()
+        sourceCatalog.dropDestroysData
+      } finally sourceCatalog.close()
+    }
 
-    if (opts.cmd == "migrate" && sourceCatalog.dropDestroysData) {
+    if (opts.cmd == "migrate" && sourceDropDestroysData) {
       log("Source catalog is a Hadoop catalog and it doesn't support deleting the table " +
         "entries just from the catalog. Please use 'register' command instead.")
       return 1
@@ -146,7 +172,14 @@ object CatalogMigrationCLI {
     val migrator = new CatalogMigrator(srcCfg, tgtCfg,
       deleteEntriesFromSourceCatalog = opts.cmd == "migrate",
       enableStacktrace = opts.stacktrace)
+    try executeWithMigrator(opts, log, verbs, identifiers, outputDir, migrator)
+    finally migrator.close()
+  }
 
+  private def executeWithMigrator(opts: Opts, log: String => Unit,
+      verbs: MigrationReport.Verbs, ids: Seq[TableRef],
+      outputDir: java.nio.file.Path, migrator: CatalogMigrator): Int = {
+    var identifiers = ids
     if (identifiers.isEmpty) {
       log(s"Identifying tables for ${verbs.operation} ...")
       identifiers = migrator.getMatchingTableIdentifiers(opts.identifiersRegex)

@@ -119,6 +119,14 @@ class CLISpec extends AnyFunSuite {
     assert(lines2.exists(_.contains("mutually exclusive")))
     val (code3, _) = runCli(Seq("frobnicate"))
     assert(code3 == 2)
+    // malformed --*-catalog-properties entry (no '=') is an argument
+    // error, not a MatchError crash
+    val (code4, lines4) = runCli(Seq("migrate",
+      "--source-catalog-type", "memory",
+      "--source-catalog-properties", "warehouse",
+      "--target-catalog-type", "memory"))
+    assert(code4 == 2)
+    assert(lines4.exists(_.contains("Malformed catalog property")))
   }
 
   test("runtime errors exit 1: bad regex, missing identifiers file, empty source") {
