@@ -44,7 +44,20 @@ object SparkEntry {
     "q22_dedup_exact" -> (Relational.q22 _),
     "q22b_dedup_keepfirst" -> (Relational.q22b _),
     "q23_approx_distinct" -> (Relational.q23 _),
+    "q24_union_all" -> (Relational.q24 _),
+    "q24b_union_distinct" -> (Relational.q24b _),
+    "q25_ranking" -> (Relational.q25 _),
     "q26_window_tumbling" -> (Relational.q26 _),
+    "q27_window_analytic" -> (Relational.q27 _),
+    "q27b_range_frame" -> (Relational.q27b _),
+    "q28_cube" -> (Relational.q28 _),
+    "q29_scalar_zoo" -> (Relational.q29 _),
+    "q30_collect" -> (Relational.q30 _),
+    "q31_window_sliding" -> (Relational.q31 _),
+    "q32_session_window" -> (Relational.q32 _),
+    "q33_asof_join" -> (graft.operators.AsOf.clickToLastView _),
+    "q34_pivot" -> (Relational.q34 _),
+    "q35_stats" -> (Relational.q35 _),
     "d01_dedup_jaccard" -> (Dedup.ngramJaccard _),
     "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_dedup_simhash" -> (Dedup.simhash _),
@@ -142,6 +155,105 @@ object SparkEntry {
         | FROM orders) t WHERE rn = 1 ORDER BY 1""".stripMargin,
     "q23_approx_distinct" ->
       "SELECT CAST(1 AS INT) AS ok",
+    "q24_union_all" ->
+      """SELECT x, COUNT(*) AS c FROM (
+        | SELECT c_nationkey AS x FROM customer UNION ALL SELECT s_nationkey FROM supplier) t
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q24b_union_distinct" ->
+      "SELECT x FROM (SELECT c_nationkey AS x FROM customer UNION SELECT s_nationkey FROM supplier) t ORDER BY 1",
+    "q25_ranking" ->
+      """SELECT o_orderpriority, o_orderkey,
+        | CAST(RANK() OVER w AS BIGINT) AS rk,
+        | CAST(DENSE_RANK() OVER w AS BIGINT) AS drk,
+        | CAST(NTILE(4) OVER w AS BIGINT) AS nt,
+        | ROUND(PERCENT_RANK() OVER w, 4) AS pr
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY 1, 2""".stripMargin,
+    "q27_window_analytic" ->
+      """SELECT o_custkey, o_orderkey,
+        | LEAD(o_totalprice, 1) OVER w AS nxt,
+        | FIRST_VALUE(o_totalprice) OVER w AS fst,
+        | LAST_VALUE(o_totalprice) OVER
+        |  (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS lst
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY 1, 2""".stripMargin,
+    "q27b_range_frame" ->
+      """SELECT o_custkey, o_orderkey, d,
+        | CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(38,4))) OVER (
+        |  PARTITION BY o_custkey ORDER BY d
+        |  RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 4) AS DOUBLE) AS rsum
+        |FROM (SELECT *, CAST(date_diff('day', DATE '2020-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS d
+        |      FROM orders) t
+        |ORDER BY 1, 2""".stripMargin,
+    "q28_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS c,
+        | CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST, 3""".stripMargin,
+    "q29_scalar_zoo" ->
+      """SELECT p_partkey,
+        | ROUND(SQRT(p_retailprice), 4) AS sq,
+        | p_partkey % 7 AS md,
+        | CAST(COALESCE(NULLIF(p_size, 25), -1) AS BIGINT) AS nz,
+        | CONCAT_WS('|', p_brand, UPPER(p_type)) AS cw,
+        | LPAD(p_brand, 12, '*') AS lp,
+        | REVERSE(p_brand) AS rv,
+        | REGEXP_REPLACE(p_type, '[AEIOU]', '', 'g') AS rr,
+        | SUBSTRING(p_name, 1, 5) AS sb,
+        | CAST(LENGTH(p_name) AS BIGINT) AS ln
+        |FROM part ORDER BY 1""".stripMargin,
+    "q30_collect" ->
+      """SELECT n_name, array_to_string(list_sort(list(s_name)), ',') AS names, COUNT(*) AS c
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q31_window_sliding" ->
+      """SELECT CAST(epoch(ws) AS BIGINT) AS ws, event_type, COUNT(*) AS c FROM (
+        | SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |                time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS ws,
+        |        event_type
+        | FROM events) t
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q32_session_window" ->
+      """WITH e AS (
+        | SELECT event_type, ts, value,
+        |  CASE WHEN LAG(ts) OVER w IS NULL
+        |        OR ts - LAG(ts) OVER w >= INTERVAL '15 minutes' THEN 1 ELSE 0 END AS brk
+        | FROM events
+        | WINDOW w AS (PARTITION BY event_type ORDER BY ts)),
+        |g AS (
+        | SELECT *, SUM(brk) OVER (PARTITION BY event_type ORDER BY ts
+        |   ROWS UNBOUNDED PRECEDING) AS sid
+        | FROM e)
+        |SELECT CAST(epoch_us(MIN(ts)) AS BIGINT) AS ss,
+        | CAST(epoch_us(MAX(ts) + INTERVAL '15 minutes') AS BIGINT) AS se,
+        | event_type, COUNT(*) AS c,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(38,4))), 4) AS DOUBLE) AS sv
+        |FROM g GROUP BY event_type, sid ORDER BY 1, 3""".stripMargin,
+    "q33_asof_join" ->
+      """SELECT c.event_id, c.user_id, epoch_us(c.ts) AS cts, epoch_us(v.ts) AS vts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+        | ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY 1""".stripMargin,
+    "q34_pivot" ->
+      """SELECT o_orderpriority,
+        | COUNT(*) FILTER (o_orderstatus = 'F') AS f,
+        | COUNT(*) FILTER (o_orderstatus = 'O') AS o,
+        | COUNT(*) FILTER (o_orderstatus = 'P') AS p
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q35_stats" ->
+      """WITH a AS (
+        | SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s1,
+        |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS s2
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        | ROUND((s2 - s1 * s1 / n) / (n - 1), 4) AS vr,
+        | ROUND(SQRT((s2 - s1 * s1 / n) / (n - 1)), 4) AS sd
+        |FROM a ORDER BY 1""".stripMargin,
     "q26_window_tumbling" ->
       """SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS ws, event_type,
         | COUNT(*) AS c, CAST(ROUND(SUM(CAST(value AS DECIMAL(38,4))), 4) AS DOUBLE) AS sv

@@ -256,4 +256,137 @@ object Relational {
       .select(unix_timestamp($"window.start").as("ws"), $"event_type", $"c", $"sv")
       .orderBy($"ws", $"event_type")
 
+  // E15 — UNION ALL (bag semantics preserved through the aggregate)
+  def q24(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").select($"c_nationkey".as("x"))
+      .unionAll(Tables(s, dir, "supplier").select($"s_nationkey".as("x")))
+      .groupBy($"x").agg(count(lit(1)).as("c"))
+      .orderBy($"x")
+
+  // E15 — UNION (distinct)
+  def q24b(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").select($"c_nationkey".as("x"))
+      .union(Tables(s, dir, "supplier").select($"s_nationkey".as("x")))
+      .distinct()
+      .orderBy($"x")
+
+  // E12 — full ranking set: rank / dense_rank / ntile / percent_rank.
+  // o_orderkey joins the window order so ntile (row-order-dependent) is
+  // deterministic under o_totalprice ties.
+  def q25(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_orderpriority")
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+    Tables(s, dir, "orders")
+      .select($"o_orderpriority", $"o_orderkey",
+        rank().over(w).cast(LongType).as("rk"),
+        dense_rank().over(w).cast(LongType).as("drk"),
+        ntile(4).over(w).cast(LongType).as("nt"),
+        round(percent_rank().over(w), 4).as("pr"))
+      .orderBy($"o_orderpriority", $"o_orderkey")
+  }
+
+  // E13 — lead / first_value / last_value with explicit frames
+  def q27(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    val wAll = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(s, dir, "orders")
+      .select($"o_custkey", $"o_orderkey",
+        lead($"o_totalprice", 1).over(w).as("nxt"),
+        first($"o_totalprice").over(w).as("fst"),
+        last($"o_totalprice").over(wAll).as("lst"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  // E13 — RANGE frame (30 preceding days by value). The frame is defined
+  // by the day *value*, so equal-day ties share identical frames and the
+  // output is deterministic without a tiebreaker in the window order.
+  def q27b(s: SparkSession, dir: String): DataFrame = {
+    val day = datediff($"o_orderdate".cast(DateType), lit("2020-01-01").cast(DateType))
+    val w = Window.partitionBy($"o_custkey").orderBy($"d").rangeBetween(-30, 0)
+    Tables(s, dir, "orders")
+      .withColumn("d", day.cast(LongType))
+      .select($"o_custkey", $"o_orderkey", $"d",
+        round(sum(dec($"o_totalprice")).over(w), 4).cast(DoubleType).as("rsum"))
+      .orderBy($"o_custkey", $"o_orderkey")
+  }
+
+  // E10 — CUBE grouping sets + grouping_id
+  def q28(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .cube($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("c"), grouping_id().cast(LongType).as("gid"))
+      .orderBy($"l_returnflag".asc_nulls_first,
+        $"l_linestatus".asc_nulls_first, $"c")
+
+  // E16 — scalar function zoo: math, string, regex, conditional
+  def q29(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .select($"p_partkey",
+        round(sqrt($"p_retailprice"), 4).as("sq"),
+        ($"p_partkey" % 7).as("md"),
+        coalesce(nullif($"p_size", lit(25)), lit(-1)).cast(LongType).as("nz"),
+        concat_ws("|", $"p_brand", upper($"p_type")).as("cw"),
+        lpad($"p_brand", 12, "*").as("lp"),
+        reverse($"p_brand").as("rv"),
+        regexp_replace($"p_type", "[AEIOU]", "").as("rr"),
+        substring($"p_name", 1, 5).as("sb"),
+        length($"p_name").cast(LongType).as("ln"))
+      .orderBy($"p_partkey")
+
+  // E17 — collect_list aggregation, made deterministic by sorting and
+  // serializing to a string
+  def q30(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "supplier")
+      .join(broadcast(Tables(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(array_join(array_sort(collect_list($"s_name")), ",").as("names"),
+        count(lit(1)).as("c"))
+      .orderBy($"n_name")
+
+  // E22 (batch face) — sliding event-time windows (1 hour every 30 min:
+  // each event lands in exactly 2 windows)
+  def q31(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("c"))
+      .select(unix_timestamp($"window.start").as("ws"), $"event_type", $"c")
+      .orderBy($"ws", $"event_type")
+
+  // E22 (batch face) — session windows (15-minute inactivity gap) per
+  // event type; session bounds in exact microseconds
+  def q32(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .groupBy(session_window($"ts", "15 minutes"), $"event_type")
+      .agg(count(lit(1)).as("c"), dsum($"value").as("sv"))
+      .select(unix_micros($"session_window.start").as("ss"),
+        unix_micros($"session_window.end").as("se"), $"event_type", $"c", $"sv")
+      .orderBy($"ss", $"event_type")
+
+  // E6 (pivot) — status×priority contingency table via pivot
+  def q34(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy($"o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select($"o_orderpriority",
+        coalesce($"F", lit(0L)).as("f"),
+        coalesce($"O", lit(0L)).as("o"),
+        coalesce($"P", lit(0L)).as("p"))
+      .orderBy($"o_orderpriority")
+
+  // E9 — numerically-stable distributed stats: exact decimal sums of x
+  // and x², then identical IEEE double arithmetic on both engines.
+  // Shuffle-safe: the decimal partial sums are associative, so partial
+  // aggregation order cannot perturb the result.
+  def q35(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"l_quantity")).cast(DoubleType).as("s1"),
+        sum(dec($"l_quantity" * $"l_quantity")).cast(DoubleType).as("s2"))
+      .select($"l_returnflag", $"n",
+        round(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1), 4).as("vr"),
+        round(sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)), 4).as("sd"))
+      .orderBy($"l_returnflag")
+
 }

@@ -12,6 +12,22 @@ class OperatorsSpec extends AnyFunSuite {
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.mkString("|")).toSeq
 
+  test("asofJoin: equal-ts right row matches; no prior right row -> null") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 50L), (2L, 10L)).toDF("k", "ts")
+    val right = Seq((1L, 100L), (1L, 60L), (1L, 120L)).toDF("k", "rts")
+    val got = AsOf.asofJoin(left, right, "k", "ts", "rts")
+      .orderBy("k", "ts")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toSeq
+    assert(got == Seq(
+      (1L, 50L, None),          // no view at or before 50
+      (1L, 100L, Some(100L)),   // equal timestamp matches
+      (2L, 10L, None)))         // key with no right rows at all
+  }
+
   test("minhash-LSH and simhash find exactly the exact-Jaccard pairs") {
     val exact = rows(Dedup.ngramJaccard(spark, dir))
     val lsh = rows(Dedup.minhashLsh(spark, dir))
