@@ -178,6 +178,66 @@ object Shingle3 {
   }
 }
 
+/** 32 MinHash signature values over an array<long> of feature hashes,
+  * in one pass: min over hashes of the affine permutation
+  * `pmod(pmod(h,P)·a_j + b_j, P)` for each of 32 fixed-seed (a_j, b_j).
+  * Replaces 32 interpreted `transform(hs, ...)` + `array_min` column
+  * expressions. Empty input → 32 nulls (preserving the HOF behavior
+  * `array_min(transform([], _)) = null` for degenerate <3-token docs).
+  */
+case class MinHash32(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash requires an array<bigint> argument, got $t")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = true)
+  override def prettyName: String = "graft_minhash"
+
+  override def nullSafeEval(a: Any): Any =
+    MinHash32.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.functions.MinHash32$$.MODULE$$.compute($a);")
+
+  override protected def withNewChildInternal(newChild: Expression): MinHash32 =
+    copy(child = newChild)
+}
+
+object MinHash32 {
+  val P = 1000000007L
+  // Fixed-seed affine permutation parameters, kept below P so
+  // pmod(h,P)*a+b never overflows a long.
+  val (permA, permB) = {
+    val rnd = new scala.util.Random(42)
+    val a = Array.fill(32)(rnd.nextInt(1000000006).toLong + 1L)
+    val b = Array.fill(32)(rnd.nextInt(1000000007).toLong)
+    (a, b)
+  }
+
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return new GenericArrayData(new Array[Any](32))
+    val mins = Array.fill(32)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      val h = arr.getLong(i)
+      val hm = ((h % P) + P) % P
+      var j = 0
+      while (j < 32) {
+        val v = (hm * permA(j) + permB(j)) % P
+        if (v < mins(j)) mins(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins.map(Long.box).asInstanceOf[Array[Any]])
+  }
+}
+
 object VectorFunctions {
   /** Register `graft_dot` / `graft_simhash` in the session's function
     * registry so plans can reference them via expr(...). Idempotent. */
@@ -188,5 +248,7 @@ object VectorFunctions {
       "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_shingles", exprs => Shingle3(exprs.head), "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_minhash", exprs => MinHash32(exprs.head), "built-in")
   }
 }

@@ -66,30 +66,20 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jr"), 4).as("j"))
       .orderBy("a", "b")
 
-  // Fixed-seed affine permutation parameters for the 32 minhash
-  // functions, kept below p = 1e9+7 so pmod(h,p)*a+b never overflows a
-  // long (Spark 4 runs ANSI arithmetic — overflow is an error).
-  private val MinhashP = 1000000007L
-  private val (permA, permB) = {
-    val rnd = new scala.util.Random(42)
-    val a = Array.fill(32)(rnd.nextInt(1000000006).toLong + 1L)
-    val b = Array.fill(32)(rnd.nextInt(1000000007).toLong)
-    (a, b)
-  }
-
   /** MinHash + LSH banding (32 hashes, 16 bands × 2 rows ⇒ catches
-    * J ≥ ~0.7 with near-certainty), then exact verification. */
+    * J ≥ ~0.7 with near-certainty), then exact verification. The 32
+    * signature mins come from the codegen'd
+    * [[graft.functions.MinHash32]] (one pass over the hash array)
+    * instead of 32 interpreted transform/array_min columns. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir)
-    val hashed = sh.withColumn("hs", expr("transform(sh, x -> xxhash64(x))"))
-    val sigCols = (0 until 32).map { j =>
-      array_min(expr(
-        s"transform(hs, h -> pmod(pmod(h, ${MinhashP}L) * ${permA(j)}L + ${permB(j)}L, ${MinhashP}L))"))
-        .as(s"m$j")
-    }
-    val sigs = hashed.select(col("doc_id") +: sigCols: _*)
+    val sigs = sh
+      .withColumn("hs", expr("transform(sh, x -> xxhash64(x))"))
+      .withColumn("mh", expr("graft_minhash(hs)"))
+      .select("doc_id", "mh")
     val bandCols = (0 until 16).map(k =>
-      xxhash64(col(s"m${2 * k}"), col(s"m${2 * k + 1}"), lit(k)))
+      xxhash64(element_at(col("mh"), 2 * k + 1),
+        element_at(col("mh"), 2 * k + 2), lit(k)))
     val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
     val cand = banded.as("x")
       .join(banded.as("y"),
