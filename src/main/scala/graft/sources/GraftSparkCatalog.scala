@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.{Catalog => GraftCatalog, CatalogConfig, CatalogFactory, CatalogIO, Namespace, TableRef}
+
+/** DataSource V2 adapter (SURVEY §2B E2): surfaces any [[graft.catalog
+  * .Catalog]] to Spark SQL as a `TableCatalog with SupportsNamespaces`, so
+  * migrated tables answer `spark.sql("SELECT * FROM <cat>.<ns>.<tbl>")` /
+  * `SHOW NAMESPACES` / `SHOW TABLES` directly.
+  *
+  * Configure per Spark convention:
+  * {{{
+  *   spark.sql.catalog.mycat       = graft.sources.GraftSparkCatalog
+  *   spark.sql.catalog.mycat.type  = hadoop
+  *   spark.sql.catalog.mycat.warehouse = /path/to/warehouse
+  * }}}
+  *
+  * `loadTable` resolves catalog pointer → metadata JSON → parquet data
+  * location, then delegates the scan to Spark's own DSv2 `ParquetTable`,
+  * so predicate pushdown, column pruning, and the vectorized reader all
+  * come for free — no custom Scan machinery to maintain.
+  *
+  * The SQL face is read-oriented (scan/list/drop); writes go through the
+  * engine's migration API ([[graft.catalog.CatalogMigrator]]) and
+  * [[graft.catalog.CatalogIO.createTable]], mirroring the reference tool,
+  * which never creates data tables through SQL either.
+  */
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var cat: GraftCatalog = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val props = options.asScala.toMap
+    cat = CatalogFactory.build(
+      CatalogConfig(props.getOrElse("type", "hadoop"), name, props))
+  }
+
+  override def name(): String = catalogName
+
+  private def toRef(ident: Identifier): TableRef =
+    TableRef(Namespace(ident.namespace.toVector), ident.name)
+
+  // ----- TableCatalog -----
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    try cat.listTables(Namespace(namespace.toVector))
+      .map(r => Identifier.of(r.namespace.levels.toArray, r.name)).toArray
+    catch {
+      case _: graft.catalog.NoSuchNamespaceException =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+          namespace)
+    }
+
+  override def loadTable(ident: Identifier): Table = {
+    val ref = toRef(ident)
+    val metaLoc =
+      try cat.loadTableMetadataLocation(ref)
+      catch {
+        case _: graft.catalog.NoSuchTableException =>
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+            ident.namespace.toSeq :+ ident.name)
+      }
+    val dataLoc = CatalogIO.readDataLocation(metaLoc)
+    ParquetTable(ref.toString, SparkSession.active,
+      CaseInsensitiveStringMap.empty(), Seq(dataLoc),
+      userSpecifiedSchema = None, fallbackFileFormat = classOf[ParquetFileFormat])
+  }
+
+  override def tableExists(ident: Identifier): Boolean = cat.tableExists(toRef(ident))
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      s"$catalogName: create tables via graft.catalog.CatalogIO.createTable / migration API")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(s"$catalogName: alterTable is not supported")
+
+  override def dropTable(ident: Identifier): Boolean = cat.dropTable(toRef(ident))
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(s"$catalogName: renameTable is not supported")
+
+  // ----- SupportsNamespaces -----
+
+  override def listNamespaces(): Array[Array[String]] =
+    cat.listNamespaces(Namespace.empty).map(_.levels.toArray).toArray
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    try cat.listNamespaces(Namespace(namespace.toVector)).map(_.levels.toArray).toArray
+    catch {
+      case _: graft.catalog.NoSuchNamespaceException =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+          namespace)
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    cat.namespaceExists(Namespace(namespace.toVector))
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] =
+    if (namespaceExists(namespace)) util.Collections.emptyMap()
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchNamespaceException(
+      namespace)
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit =
+    try cat.createNamespace(Namespace(namespace.toVector))
+    catch {
+      case _: graft.catalog.AlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis.NamespaceAlreadyExistsException(
+          namespace)
+    }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(s"$catalogName: alterNamespace is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(s"$catalogName: dropNamespace is not supported")
+}
