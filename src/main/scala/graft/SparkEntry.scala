@@ -58,6 +58,7 @@ object SparkEntry {
     "q33_asof_join" -> (graft.operators.AsOf.clickToLastView _),
     "q34_pivot" -> (Relational.q34 _),
     "q35_stats" -> (Relational.q35 _),
+    "q36_udaf_wavg" -> (Relational.q36 _),
     "d01_dedup_jaccard" -> (Dedup.ngramJaccard _),
     "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_dedup_simhash" -> (Dedup.simhash _),
@@ -244,6 +245,11 @@ object SparkEntry {
         | COUNT(*) FILTER (o_orderstatus = 'O') AS o,
         | COUNT(*) FILTER (o_orderstatus = 'P') AS p
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q36_udaf_wavg" ->
+      """SELECT l_returnflag,
+        | ROUND(CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(38,4))) AS DOUBLE)
+        |  / CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE), 4) AS wd
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q35_stats" ->
       """WITH a AS (
         | SELECT l_returnflag, COUNT(*) AS n,

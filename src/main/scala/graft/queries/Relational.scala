@@ -374,6 +374,17 @@ object Relational {
         coalesce($"P", lit(0L)).as("p"))
       .orderBy($"o_orderpriority")
 
+  // E23 — typed Aggregator through the UDAF API: quantity-weighted mean
+  // discount with exact decimal partial sums (shuffle-order-proof; see
+  // graft.functions.WeightedAvg)
+  def q36(s: SparkSession, dir: String): DataFrame = {
+    val wavg = udaf(new graft.functions.WeightedAvg())
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(wavg($"l_discount", $"l_quantity").as("wd"))
+      .orderBy($"l_returnflag")
+  }
+
   // E9 — numerically-stable distributed stats: exact decimal sums of x
   // and x², then identical IEEE double arithmetic on both engines.
   // Shuffle-safe: the decimal partial sums are associative, so partial
