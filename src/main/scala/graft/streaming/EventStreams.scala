@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming operators over the `events` stream (SURVEY §2B
@@ -43,9 +43,45 @@ object EventStreams {
         unix_timestamp(col("session_window.end")).as("se"),
         col("user_id"), col("n_events"))
 
+  /** Streaming exact dedup on event_id — the stream face of the
+    * pipeline's exact-dedup operators (E19). dropDuplicatesWithinWatermark
+    * bounds the dedup state by the watermark instead of keeping every key
+    * forever, which is what survives an unbounded 100 TB stream. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)
+
+  final case class Threshold(user_id: Long, crossed_at_total: Double)
+
+  /** Custom keyed state emitting 0..n rows per group per batch
+    * (flatMapGroupsWithState): one alert the first time a user's running
+    * value total crosses `threshold`. Rows are folded in event_id order
+    * so the IEEE accumulation order (and thus the emitted total) is
+    * deterministic and batch-reproducible. */
+  def thresholdAlerts(events: Dataset[EventRow], threshold: Double)(
+      implicit spark: SparkSession): Dataset[Threshold] = {
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Double, Threshold](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[EventRow], state: GroupState[Double]) =>
+          var tot = state.getOption.getOrElse(0.0)
+          val out = rows.toSeq.sortBy(_.event_id).flatMap { r =>
+            val prev = tot
+            tot += r.value
+            if (prev < threshold && tot >= threshold) Some(Threshold(uid, tot))
+            else None
+          }
+          state.update(tot)
+          out.iterator
+      }
+  }
 
   /** Custom keyed state (KeyValueGroupedDataset.mapGroupsWithState):
     * running per-user event count + value total across micro-batches. */

@@ -72,6 +72,55 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(appended.toSet.subsetOf(complete.toSet))
   }
 
+  test("streaming dedup drops a fully duplicated input file") {
+    // stream dir with the same events file twice: every event_id is a dup
+    val dir = Files.createTempDirectory("graft-stream-dup")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("a.parquet"))
+    Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("b.parquet"))
+    import org.apache.spark.sql.types._
+    val raw = StructType(EventStreams.eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    val src = spark.readStream.schema(raw).parquet(dir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val got = runToCompletion(
+      EventStreams.dedupEvents(src).selectExpr("event_id"), "append")
+    val want = batchEvents.select("event_id").distinct().count()
+    assert(got.size == want)
+    assert(got.distinct.size == got.size)
+  }
+
+  test("flatMapGroupsWithState threshold alerts match batch cumulative sums") {
+    import spark.implicits._
+    implicit val s = spark
+    val threshold = 50.0
+    val streamedDs = streamEvents
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStreams.EventRow]
+    val name = s"sink_${java.util.UUID.randomUUID().toString.take(8)}"
+    val q = EventStreams.thresholdAlerts(streamedDs, threshold)
+      .writeStream.format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = spark.table(name)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    // batch: first event_id-ordered cumulative total >= threshold per user
+    val batch = {
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.functions._
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      batchEvents
+        .withColumn("ct", sum("value").over(w))
+        .filter(col("ct") >= threshold)
+        .groupBy("user_id").agg(min(struct(col("event_id"), col("ct"))).as("f"))
+        .select(col("user_id"), col("f.ct"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    }
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("mapGroupsWithState running totals match batch aggregation") {
     import spark.implicits._
     implicit val s = spark
