@@ -59,6 +59,9 @@ object SparkEntry {
     "q34_pivot" -> (Relational.q34 _),
     "q35_stats" -> (Relational.q35 _),
     "q36_udaf_wavg" -> (Relational.q36 _),
+    "q37_percentile" -> (Relational.q37 _),
+    "q38_scalar_subquery" -> (Relational.q38 _),
+    "q39_nullsafe_join" -> (Relational.q39 _),
     "d01_dedup_jaccard" -> (Dedup.ngramJaccard _),
     "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_dedup_simhash" -> (Dedup.simhash _),
@@ -245,6 +248,25 @@ object SparkEntry {
         | COUNT(*) FILTER (o_orderstatus = 'O') AS o,
         | COUNT(*) FILTER (o_orderstatus = 'P') AS p
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q37_percentile" ->
+      """SELECT l_returnflag,
+        | ROUND(quantile_cont(l_quantity, 0.25), 4) AS p25,
+        | ROUND(quantile_cont(l_quantity, 0.5), 4) AS p50,
+        | ROUND(quantile_cont(l_quantity, 0.9), 4) AS p90
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q38_scalar_subquery" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_totalprice > (
+        | SELECT CAST(ROUND(CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE)
+        |  / COUNT(*) AS DECIMAL(38,4)), 4) AS DOUBLE)
+        | FROM orders)
+        |ORDER BY 1""".stripMargin,
+    "q39_nullsafe_join" ->
+      """SELECT CAST(k AS BIGINT) AS k, COUNT(*) AS c
+        |FROM (SELECT NULLIF(c_nationkey, 3) AS k FROM customer) c
+        |JOIN (SELECT NULLIF(s_nationkey, 3) AS k2 FROM supplier) s
+        | ON k IS NOT DISTINCT FROM k2
+        |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
     "q36_udaf_wavg" ->
       """SELECT l_returnflag,
         | ROUND(CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(38,4))) AS DOUBLE)

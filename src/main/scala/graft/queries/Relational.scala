@@ -385,6 +385,42 @@ object Relational {
       .orderBy($"l_returnflag")
   }
 
+  // E9 — exact interpolated percentiles (both engines sort-and-interpolate
+  // with index p·(n−1))
+  def q37(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90"))
+      .orderBy($"l_returnflag")
+
+  // E5/E9 — scalar subquery: rows above the global average, with the
+  // average made shuffle-order-proof (decimal sum → double division)
+  def q38(s: SparkSession, dir: String): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val th = o.agg(
+      round((sum(dec($"o_totalprice")).cast(DoubleType) / count(lit(1))).cast(Dec), 4)
+        .cast(DoubleType).as("th"))
+    o.crossJoin(broadcast(th))
+      .filter($"o_totalprice" > $"th")
+      .select($"o_orderkey")
+      .orderBy($"o_orderkey")
+  }
+
+  // E5 — null-safe equality join (<=>): keys nulled via NULLIF still match
+  def q39(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+      .select(nullif($"c_nationkey", lit(3)).as("k"))
+    val su = Tables(s, dir, "supplier")
+      .select(nullif($"s_nationkey", lit(3)).as("k2"))
+    c.join(su, $"k" <=> $"k2")
+      .groupBy($"k").agg(count(lit(1)).as("c"))
+      .select($"k".cast(LongType).as("k"), $"c")
+      .orderBy($"k".asc_nulls_first)
+  }
+
   // E9 — numerically-stable distributed stats: exact decimal sums of x
   // and x², then identical IEEE double arithmetic on both engines.
   // Shuffle-safe: the decimal partial sums are associative, so partial
