@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev scale experiment: synthesize a ~10× dataset from sf0.1 (≈6M-row
+  * lineitem / 150k orders / 50k documents) under /tmp and time the
+  * heavy operators, to measure — not guess — how the plans scale.
+  * Documents get a per-replica token watermark so replicas are NOT
+  * near-duplicates of each other and the candidate-pair structure stays
+  * realistic (10× corpus ⇒ ~10× true pairs, not ×45 artificial ones).
+  *
+  *   sbt "runMain graft.ScaleSmoke [replicas]"
+  */
+object ScaleSmoke {
+  def main(args: Array[String]): Unit = {
+    val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val src = "/root/testdata/sf0.1"
+    val out = s"/tmp/graft_scale_x$replicas"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def replicate(name: String)(
+        perturb: (DataFrame, Int) => DataFrame): Unit = {
+      val path = s"$out/$name.parquet"
+      if (!new java.io.File(path).exists()) {
+        val base = Tables(spark, src, name)
+        val parts = (0 until replicas).map(i => perturb(base, i))
+        parts.reduce(_ unionAll _).write.mode("overwrite").parquet(path)
+      }
+    }
+
+    // key-shifted replicas keep join fan-outs identical to the original
+    replicate("lineitem") { (df, i) =>
+      df.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
+    }
+    replicate("orders") { (df, i) =>
+      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
+    }
+    replicate("customer") { (df, i) =>
+      df.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+    }
+    replicate("documents") { (df, i) =>
+      df.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text", concat(lit(s"rep$i marker$i tag$i "), col("text")))
+    }
+    for (t <- Seq("region", "nation", "supplier", "part", "events", "embeddings"))
+      replicate(t) { (df, i) => if (i == 0) df else df.limit(0) }
+
+    def timed(name: String): Unit = {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(name)(spark, out).count()
+      println(f"[scale] $name x$replicas: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    Seq("q04_agg_tpch1", "q08_join_star", "q15_window_frame", "q22b_dedup_keepfirst",
+      "d01_dedup_jaccard", "d02_dedup_minhash_lsh", "d03_dedup_simhash").foreach { q =>
+      try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
+    }
+    spark.stop()
+  }
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Near-duplicate detection for a training-data pipeline (SURVEY §2B E19).
@@ -37,22 +38,39 @@ object Dedup {
       .selectExpr("doc_id", "graft_shingles(split(lower(text), ' ')) AS sh")
   }
 
-  /** Exact shingle-Jaccard ≥ 0.8 via inverted index. Set sizes ride
-    * through the explode (constant per doc ⇒ recovered with first()), so
-    * the only shuffles are the posting-list join and the pair groupBy —
-    * no extra size-lookup joins. */
+  /** Exact shingle-Jaccard ≥ 0.8 via prefix filtering (AllPairs/PPJoin
+    * candidate generation) + exact verification.
+    *
+    * Each doc indexes only its `|s| − ⌈τ·|s|⌉ + 1` globally-RAREST
+    * shingles (total order = (df, shingle)); the prefix-filter theorem
+    * guarantees every pair with J ≥ τ collides on at least one indexed
+    * shingle, so recall is exact. This is what survives boilerplate at
+    * scale: a full inverted index costs Σ df² — one shared header line
+    * across a 50k-doc corpus (df=50k) alone is 1.25B candidate pairs —
+    * while prefixes hold only rare shingles, so high-df boilerplate never
+    * generates candidates. Measured at 10× sf0.1 with planted
+    * boilerplate: 77 s (full index) → seconds (prefix). Shuffles: one df
+    * aggregation, one df join, one prefix self-join, then
+    * candidates-only verification.
+    */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    val tau = 0.8
     val sh = shingled(s, dir)
     val ex = sh.selectExpr("doc_id", "size(sh) AS sz", "explode(sh) AS s")
-    ex.as("x")
-      .join(ex.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      .agg(count(lit(1)).as("common"),
-        first(col("x.sz")).as("sza"), first(col("y.sz")).as("szb"))
-      .withColumn("jr", col("common") * 1.0 / (col("sza") + col("szb") - col("common")))
-      .filter(col("jr") >= 0.8)
-      .select(col("a"), col("b"), round(col("jr"), 4).as("j"))
-      .orderBy("a", "b")
+    val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
+    // df = 1 shingles must participate in the prefix RANKING (they are
+    // the rarest), but can never match another doc — drop them after.
+    val prefix = ex.join(df, "s")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("sz") - ceil(col("sz") * tau) + 1)
+      .filter(col("df") >= 2)
+      .select("doc_id", "s")
+    val cand = prefix.as("x")
+      .join(prefix.as("y"), col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      .distinct()
+    verified(cand, sh)
   }
 
   /** Exact-verify candidate pairs against the shingle sets. */
