@@ -62,6 +62,7 @@ object SparkEntry {
     "q37_percentile" -> (Relational.q37 _),
     "q38_scalar_subquery" -> (Relational.q38 _),
     "q39_nullsafe_join" -> (Relational.q39 _),
+    "q40_date_math" -> (Relational.q40 _),
     "d01_dedup_jaccard" -> (Dedup.ngramJaccard _),
     "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_dedup_simhash" -> (Dedup.simhash _),
@@ -267,6 +268,15 @@ object SparkEntry {
         |JOIN (SELECT NULLIF(s_nationkey, 3) AS k2 FROM supplier) s
         | ON k IS NOT DISTINCT FROM k2
         |GROUP BY 1 ORDER BY 1 NULLS FIRST""".stripMargin,
+    "q40_date_math" ->
+      """SELECT o_orderkey,
+        | CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS m3,
+        | CAST(CAST(o_orderdate AS DATE) + 45 AS DATE) AS d45,
+        | last_day(CAST(o_orderdate AS DATE)) AS eom,
+        | CAST(quarter(o_orderdate) AS BIGINT) AS q,
+        | CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+        | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS BIGINT) AS dd
+        |FROM orders ORDER BY 1""".stripMargin,
     "q36_udaf_wavg" ->
       """SELECT l_returnflag,
         | ROUND(CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(38,4))) AS DOUBLE)

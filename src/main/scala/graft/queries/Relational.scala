@@ -421,6 +421,19 @@ object Relational {
       .orderBy($"k".asc_nulls_first)
   }
 
+  // E16 — date/time arithmetic: add_months, date_add, last_day, parts
+  def q40(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .select($"o_orderkey",
+        add_months($"o_orderdate".cast(DateType), 3).as("m3"),
+        date_add($"o_orderdate".cast(DateType), 45).as("d45"),
+        last_day($"o_orderdate".cast(DateType)).as("eom"),
+        quarter($"o_orderdate").cast(LongType).as("q"),
+        dayofweek($"o_orderdate").cast(LongType).as("dow"),
+        datediff(lit("2025-01-01").cast(DateType), $"o_orderdate".cast(DateType))
+          .cast(LongType).as("dd"))
+      .orderBy($"o_orderkey")
+
   // E9 — numerically-stable distributed stats: exact decimal sums of x
   // and x², then identical IEEE double arithmetic on both engines.
   // Shuffle-safe: the decimal partial sums are associative, so partial
