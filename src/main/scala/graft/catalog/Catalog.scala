@@ -40,11 +40,13 @@ trait Catalog extends AutoCloseable {
 }
 
 /** Serializable catalog spec, buildable on executors — the factory shape
-  * of the reference's `CatalogMigrationUtil.buildCatalog` (:48-96). */
+  * of the reference's `CatalogMigrationUtil.buildCatalog` (:48-96),
+  * including its Hadoop `Configuration` overlay (:59-64). */
 final case class CatalogConfig(
     catalogType: String,
     name: String,
-    properties: Map[String, String] = Map.empty)
+    properties: Map[String, String] = Map.empty,
+    hadoopConf: Map[String, String] = Map.empty)
 
 object CatalogFactory {
   /** Type → implementation dispatch; `custom` loads a user class
@@ -55,7 +57,7 @@ object CatalogFactory {
       val wh = cfg.properties.getOrElse("warehouse",
         throw new IllegalArgumentException(
           s"Catalog ${cfg.name}: hadoop catalog requires a 'warehouse' property"))
-      new HadoopFsCatalog(cfg.name, wh)
+      new HadoopFsCatalog(cfg.name, wh, cfg.hadoopConf)
     case "memory" =>
       MemoryCatalog.forName(cfg.properties.getOrElse("name", cfg.name),
         singleLevel = cfg.properties.get("single-level").contains("true"))

@@ -19,9 +19,14 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * Pointer commits are write-temp + atomic rename, the same recipe as
   * version-hint commits in Hadoop-style table formats.
   */
-final class HadoopFsCatalog(val name: String, warehouse: String) extends Catalog {
+final class HadoopFsCatalog(val name: String, warehouse: String,
+    hadoopConf: Map[String, String] = Map.empty) extends Catalog {
 
-  @transient private lazy val conf = new Configuration()
+  @transient private lazy val conf = {
+    val c = new Configuration()
+    hadoopConf.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
   private val root = new Path(warehouse)
   @transient private lazy val fs: FileSystem = root.getFileSystem(conf)
 

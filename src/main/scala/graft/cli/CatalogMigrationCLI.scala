@@ -35,8 +35,12 @@ object CatalogMigrationCLI {
       cmd: String,
       sourceType: String = "",
       sourceProps: Map[String, String] = Map.empty,
+      sourceHadoopConf: Map[String, String] = Map.empty,
+      sourceCustomImpl: Option[String] = None,
       targetType: String = "",
       targetProps: Map[String, String] = Map.empty,
+      targetHadoopConf: Map[String, String] = Map.empty,
+      targetCustomImpl: Option[String] = None,
       identifiers: Seq[String] = Seq.empty,
       identifiersFromFile: Option[String] = None,
       identifiersRegex: Option[String] = None,
@@ -101,19 +105,36 @@ object CatalogMigrationCLI {
     while (rest.nonEmpty) {
       rest match {
         case "--source-catalog-type" :: v :: t => o = o.copy(sourceType = v); rest = t
+        // property/conf flags are repeatable and accumulate (picocli parity)
         case "--source-catalog-properties" :: v :: t =>
           props(v) match {
             case Left(e) => return Left(e)
-            case Right(m) => o = o.copy(sourceProps = m)
+            case Right(m) => o = o.copy(sourceProps = o.sourceProps ++ m)
           }
           rest = t
+        case "--source-catalog-hadoop-conf" :: v :: t =>
+          props(v) match {
+            case Left(e) => return Left(e)
+            case Right(m) => o = o.copy(sourceHadoopConf = o.sourceHadoopConf ++ m)
+          }
+          rest = t
+        case "--source-custom-catalog-impl" :: v :: t =>
+          o = o.copy(sourceCustomImpl = Some(v)); rest = t
         case "--target-catalog-type" :: v :: t => o = o.copy(targetType = v); rest = t
         case "--target-catalog-properties" :: v :: t =>
           props(v) match {
             case Left(e) => return Left(e)
-            case Right(m) => o = o.copy(targetProps = m)
+            case Right(m) => o = o.copy(targetProps = o.targetProps ++ m)
           }
           rest = t
+        case "--target-catalog-hadoop-conf" :: v :: t =>
+          props(v) match {
+            case Left(e) => return Left(e)
+            case Right(m) => o = o.copy(targetHadoopConf = o.targetHadoopConf ++ m)
+          }
+          rest = t
+        case "--target-custom-catalog-impl" :: v :: t =>
+          o = o.copy(targetCustomImpl = Some(v)); rest = t
         case "--identifiers" :: v :: t =>
           o = o.copy(identifiers = o.identifiers ++ v.split(',').map(_.trim).filter(_.nonEmpty)); rest = t
         case "--identifiers-from-file" :: v :: t => o = o.copy(identifiersFromFile = Some(v)); rest = t
@@ -145,8 +166,12 @@ object CatalogMigrationCLI {
     checkAndWarnAboutIdentifiers(opts, identifiers, log)
     val outputDir = validateOutputDir(opts.outputDir)
 
-    val srcCfg = CatalogConfig(opts.sourceType, s"source-${opts.sourceType}", opts.sourceProps)
-    val tgtCfg = CatalogConfig(opts.targetType, s"target-${opts.targetType}", opts.targetProps)
+    val srcCfg = CatalogConfig(opts.sourceType, s"source-${opts.sourceType}",
+      opts.sourceProps ++ opts.sourceCustomImpl.map("impl" -> _),
+      opts.sourceHadoopConf)
+    val tgtCfg = CatalogConfig(opts.targetType, s"target-${opts.targetType}",
+      opts.targetProps ++ opts.targetCustomImpl.map("impl" -> _),
+      opts.targetHadoopConf)
     // These probe instances serve only the name log lines and the
     // migrate-from-Hadoop guard; close them before the migrator builds
     // its own clients.
@@ -323,9 +348,13 @@ object CatalogMigrationCLI {
       |successful registration; `register` leaves them in place.
       |
       |  --source-catalog-type <hadoop|memory|custom>
-      |  --source-catalog-properties k=v[,k=v...]   (hadoop: warehouse=<dir>)
+      |  --source-catalog-properties k=v[,k=v...]   (hadoop: warehouse=<dir>; repeatable)
+      |  --source-catalog-hadoop-conf k=v[,k=v...]  Hadoop Configuration overlay (repeatable)
+      |  --source-custom-catalog-impl <class>       Catalog impl for type custom
       |  --target-catalog-type <hadoop|memory|custom>
-      |  --target-catalog-properties k=v[,k=v...]
+      |  --target-catalog-properties k=v[,k=v...]   (repeatable)
+      |  --target-catalog-hadoop-conf k=v[,k=v...]  (repeatable)
+      |  --target-custom-catalog-impl <class>
       |  --identifiers a.tbl1,b.tbl2      explicit identifier list
       |  --identifiers-from-file <file>   newline-delimited identifiers
       |  --identifiers-regex <pattern>    select tables matching a Java regex

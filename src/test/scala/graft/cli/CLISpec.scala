@@ -129,6 +129,37 @@ class CLISpec extends AnyFunSuite {
     assert(lines4.exists(_.contains("Malformed catalog property")))
   }
 
+  test("repeatable properties accumulate; hadoop-conf and custom impl flags parse") {
+    // repeated --source-catalog-properties merge; hadoop-conf overlays the
+    // FS config (benign key here); register run over hadoop catalogs
+    val wh1 = Files.createTempDirectory("cli-src").toString
+    val wh2 = Files.createTempDirectory("cli-tgt").toString
+    val out = Files.createTempDirectory("cli-out").toString
+    val spark = graft.TestSpark.spark
+    val src = new graft.catalog.HadoopFsCatalog("s", wh1)
+    import spark.implicits._
+    graft.catalog.CatalogIO.createTable(spark, src,
+      graft.catalog.TableRef.parse("foo.t1"), Seq((1L, "x")).toDF("id", "v"))
+    val (code, lines) = runCli(Seq("register",
+      "--source-catalog-type", "hadoop",
+      "--source-catalog-properties", s"warehouse=$wh1",
+      "--source-catalog-properties", "extra=1",
+      "--source-catalog-hadoop-conf", "io.file.buffer.size=8192",
+      "--target-catalog-type", "hadoop",
+      "--target-catalog-properties", s"warehouse=$wh2",
+      "--output-dir", out, "--disable-safety-prompts"))
+    assert(code == 0, lines.mkString("\n"))
+    assert(lines.exists(_.contains("Summary")))
+    // custom impl flag maps to the reflective factory path
+    val (code2, lines2) = runCli(Seq("register",
+      "--source-catalog-type", "custom",
+      "--source-custom-catalog-impl", "does.not.Exist",
+      "--target-catalog-type", "memory",
+      "--output-dir", out, "--disable-safety-prompts"))
+    assert(code2 == 1)
+    assert(lines2.exists(_.contains("Error")))
+  }
+
   test("runtime errors exit 1: bad regex, missing identifiers file, empty source") {
     val (srcCfg, tgtCfg) = seedMemory(0)
     val out = Files.createTempDirectory("cli-out").toString
