@@ -63,6 +63,10 @@ object SparkEntry {
     "q38_scalar_subquery" -> (Relational.q38 _),
     "q39_nullsafe_join" -> (Relational.q39 _),
     "q40_date_math" -> (Relational.q40 _),
+    "q41_string_extra" -> (Relational.q41 _),
+    "q42_bitwise" -> (Relational.q42 _),
+    "q43_array_ops" -> (Relational.q43 _),
+    "q44_map_json" -> (Relational.q44 _),
     "d01_dedup_jaccard" -> (Dedup.ngramJaccard _),
     "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_dedup_simhash" -> (Dedup.simhash _),
@@ -277,6 +281,36 @@ object SparkEntry {
         | CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
         | CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2025-01-01') AS BIGINT) AS dd
         |FROM orders ORDER BY 1""".stripMargin,
+    "q41_string_extra" ->
+      """SELECT p_partkey,
+        | split_part(p_name, ' ', 2) AS w2,
+        | CAST(strpos(p_name, 'e') AS BIGINT) AS ix,
+        | translate(p_brand, 'Brand#', 'brnd-') AS tr,
+        | repeat(p_brand, 2) AS rp,
+        | CAST(ascii(p_name) AS BIGINT) AS ac,
+        | chr(65 + p_size % 26) AS ch
+        |FROM part ORDER BY 1""".stripMargin,
+    "q42_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        | l_orderkey & 255 AS ba,
+        | l_orderkey | l_linenumber AS bo,
+        | xor(l_orderkey, l_suppkey) AS bx,
+        | CAST(l_linenumber << 3 AS BIGINT) AS sl,
+        | l_orderkey >> 2 AS sr
+        |FROM lineitem ORDER BY 1, 2, bx""".stripMargin,
+    "q43_array_ops" ->
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents)
+        |SELECT doc_id,
+        | CAST(len(t) AS BIGINT) AS n,
+        | CAST(list_contains(t, 'the') AS INT) AS has_the,
+        | t[1] AS first_tok,
+        | array_to_string(t[1:3], ' ') AS head3
+        |FROM t ORDER BY 1""".stripMargin,
+    "q44_map_json" ->
+      """SELECT event_id,
+        | CAST(len(json_keys(props)) AS BIGINT) AS nk,
+        | CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
+        |FROM events ORDER BY 1""".stripMargin,
     "q36_udaf_wavg" ->
       """SELECT l_returnflag,
         | ROUND(CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(38,4))) AS DOUBLE)

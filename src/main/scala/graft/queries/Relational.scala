@@ -434,6 +434,51 @@ object Relational {
           .cast(LongType).as("dd"))
       .orderBy($"o_orderkey")
 
+  // E16 — string function extras: split_part, instr, translate, repeat,
+  // ascii, chr
+  def q41(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .select($"p_partkey",
+        expr("split_part(p_name, ' ', 2)").as("w2"),
+        instr($"p_name", "e").cast(LongType).as("ix"),
+        translate($"p_brand", "Brand#", "brnd-").as("tr"),
+        expr("repeat(p_brand, 2)").as("rp"),
+        ascii($"p_name").cast(LongType).as("ac"),
+        chr(lit(65) + ($"p_size" % 26)).as("ch"))
+      .orderBy($"p_partkey")
+
+  // E16 — bitwise operators over integer keys
+  def q42(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .select($"l_orderkey", $"l_linenumber",
+        ($"l_orderkey".bitwiseAND(255)).as("ba"),
+        ($"l_orderkey".bitwiseOR($"l_linenumber")).as("bo"),
+        ($"l_orderkey".bitwiseXOR($"l_suppkey")).as("bx"),
+        shiftleft($"l_linenumber", 3).cast(LongType).as("sl"),
+        shiftright($"l_orderkey", 2).as("sr"))
+      .orderBy($"l_orderkey", $"l_linenumber", $"bx")
+
+  // E17 — array scalar ops over tokenized text: size, contains, element
+  // access, slice + join
+  def q43(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "documents")
+      .withColumn("t", split(lower($"text"), " "))
+      .select($"doc_id",
+        size($"t").cast(LongType).as("n"),
+        array_contains($"t", "the").cast(IntegerType).as("has_the"),
+        element_at($"t", 1).as("first_tok"),
+        array_join(slice($"t", 1, 3), " ").as("head3"))
+      .orderBy($"doc_id")
+
+  // E18 — JSON as a map: key count + typed value extraction
+  def q44(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .withColumn("m", from_json($"props", MapType(StringType, LongType)))
+      .select($"event_id",
+        size(map_keys($"m")).cast(LongType).as("nk"),
+        element_at($"m", "k").as("kv"))
+      .orderBy($"event_id")
+
   // E9 — numerically-stable distributed stats: exact decimal sums of x
   // and x², then identical IEEE double arithmetic on both engines.
   // Shuffle-safe: the decimal partial sums are associative, so partial
