@@ -67,6 +67,8 @@ object SparkEntry {
     "q42_bitwise" -> (Relational.q42 _),
     "q43_array_ops" -> (Relational.q43 _),
     "q44_map_json" -> (Relational.q44 _),
+    "q45_tpch3" -> (Relational.q45 _),
+    "q46_tpch10" -> (Relational.q46 _),
     "d01_dedup_jaccard" -> (Dedup.ngramJaccard _),
     "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_dedup_simhash" -> (Dedup.simhash _),
@@ -311,6 +313,25 @@ object SparkEntry {
         | CAST(len(json_keys(props)) AS BIGINT) AS nk,
         | CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv
         |FROM events ORDER BY 1""".stripMargin,
+    "q45_tpch3" ->
+      """SELECT l_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
+        | CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))), 4) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < DATE '1998-01-01'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q46_tpch10" ->
+      """SELECT c_custkey, n_name,
+        | CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))), 4) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
     "q36_udaf_wavg" ->
       """SELECT l_returnflag,
         | ROUND(CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(38,4))) AS DOUBLE)

@@ -479,6 +479,36 @@ object Relational {
         element_at($"m", "k").as("kv"))
       .orderBy($"event_id")
 
+  // TPC-H Q3 shape — shipping-priority top-10: selective filters on three
+  // tables, two shuffle joins, revenue aggregate, ordered limit. The
+  // filters reach the parquet scans; customer is small enough that AQE
+  // broadcasts it at bench scale.
+  def q45(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+      .join(Tables(s, dir, "orders")
+        .filter($"o_orderdate" < lit("1998-01-01").cast(DateType)),
+        $"c_custkey" === $"o_custkey")
+      .join(Tables(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"l_orderkey")
+      .limit(10)
+      .select($"l_orderkey", $"o_orderdate".cast(DateType).as("odate"),
+        $"o_orderpriority", $"revenue")
+
+  // TPC-H Q10 shape — returned-item customer ranking: fact filter, three
+  // joins (nation broadcast), revenue per customer, top 20.
+  def q46(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem").filter($"l_returnflag" === "R")
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "nation")), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"c_custkey", $"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"c_custkey")
+      .limit(20)
+      .select($"c_custkey", $"n_name", $"revenue")
+
   // E9 — numerically-stable distributed stats: exact decimal sums of x
   // and x², then identical IEEE double arithmetic on both engines.
   // Shuffle-safe: the decimal partial sums are associative, so partial
