@@ -69,6 +69,8 @@ object SparkEntry {
     "q44_map_json" -> (Relational.q44 _),
     "q45_tpch3" -> (Relational.q45 _),
     "q46_tpch10" -> (Relational.q46 _),
+    "q47_minmax_by" -> (Relational.q47 _),
+    "q48_corr" -> (Relational.q48 _),
     "d01_dedup_jaccard" -> (Dedup.ngramJaccard _),
     "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_dedup_simhash" -> (Dedup.simhash _),
@@ -332,6 +334,24 @@ object SparkEntry {
         |WHERE l_returnflag = 'R'
         |GROUP BY 1, 2
         |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    "q47_minmax_by" ->
+      """SELECT o_orderpriority,
+        | arg_max(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS top_order,
+        | arg_min(o_orderkey, o_totalprice * 1000000 + o_orderkey) AS bottom_order
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q48_corr" ->
+      """WITH a AS (
+        | SELECT l_returnflag, COUNT(*) AS n,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sx,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sy,
+        |  CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(38,4))) AS DOUBLE) AS sxx,
+        |  CAST(SUM(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS syy,
+        |  CAST(SUM(CAST(l_quantity * l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) AS sxy
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, n,
+        | ROUND((n * sxy - sx * sy) /
+        |  SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr
+        |FROM a ORDER BY 1""".stripMargin,
     "q36_udaf_wavg" ->
       """SELECT l_returnflag,
         | ROUND(CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(38,4))) AS DOUBLE)

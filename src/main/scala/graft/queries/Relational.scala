@@ -509,6 +509,34 @@ object Relational {
       .limit(20)
       .select($"c_custkey", $"n_name", $"revenue")
 
+  // E9 — argmin/argmax aggregates; the "by" value is made unique
+  // (price·1e6 + key, exact in doubles) so ties cannot make the result
+  // nondeterministic
+  def q47(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .withColumn("u", $"o_totalprice" * 1000000d + $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(max_by($"o_orderkey", $"u").as("top_order"),
+        min_by($"o_orderkey", $"u").as("bottom_order"))
+      .orderBy($"o_orderpriority")
+
+  // E9 — Pearson correlation from exact decimal partial sums, identical
+  // IEEE arithmetic on both engines (same recipe as q35)
+  def q48(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec($"l_quantity")).cast(DoubleType).as("sx"),
+        sum(dec($"l_extendedprice")).cast(DoubleType).as("sy"),
+        sum(dec($"l_quantity" * $"l_quantity")).cast(DoubleType).as("sxx"),
+        sum(dec($"l_extendedprice" * $"l_extendedprice")).cast(DoubleType).as("syy"),
+        sum(dec($"l_quantity" * $"l_extendedprice")).cast(DoubleType).as("sxy"))
+      .select($"l_returnflag", $"n",
+        round(($"n" * $"sxy" - $"sx" * $"sy") /
+          sqrt(($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")), 4)
+          .as("corr"))
+      .orderBy($"l_returnflag")
+
   // E9 — numerically-stable distributed stats: exact decimal sums of x
   // and x², then identical IEEE double arithmetic on both engines.
   // Shuffle-safe: the decimal partial sums are associative, so partial
