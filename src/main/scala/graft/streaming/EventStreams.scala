@@ -52,6 +52,27 @@ object EventStreams {
       .withWatermark("ts", "2 hours")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Stream-stream inner join with watermarks (attribution): each click
+    * joined to the same user's views within the preceding 10 minutes.
+    * The time-range condition plus both-side watermarks bound the join
+    * state, so this runs indefinitely on an unbounded stream; on batch
+    * frames the same code is a plain range join (the equivalence the
+    * spec asserts). */
+  def clickViewAttribution(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val views = events.filter(col("event_type") === "view")
+      .select(col("user_id").as("v_user"), col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    clicks.join(views,
+      col("user_id") === col("v_user") &&
+        col("vts") <= col("cts") &&
+        col("vts") >= col("cts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("click_id"), col("user_id"),
+        unix_micros(col("cts")).as("cus"), unix_micros(col("vts")).as("vus"))
+  }
+
   final case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
   final case class UserRunning(user_id: Long, n_events: Long, total_value: Double)

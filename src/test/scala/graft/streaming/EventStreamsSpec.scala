@@ -121,6 +121,15 @@ class EventStreamsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("stream-stream attribution join: stream == batch after replay") {
+    val streamed = runToCompletion(
+      EventStreams.clickViewAttribution(streamEvents), "append")
+    val batch = EventStreams.clickViewAttribution(batchEvents)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("mapGroupsWithState running totals match batch aggregation") {
     import spark.implicits._
     implicit val s = spark
