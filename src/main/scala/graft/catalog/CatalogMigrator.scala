@@ -44,11 +44,15 @@ final class CatalogMigrator(
   }
 
   // Guard on the lazy sourceCatalog (built anyway for listing/registration)
-  // rather than a throwaway instance that would never be closed.
-  if (deleteEntriesFromSourceCatalog && sourceCatalog.dropDestroysData)
+  // rather than a throwaway instance that would never be closed. When the
+  // guard rejects, the caller never receives an instance to close(), so
+  // close the just-built client before throwing.
+  if (deleteEntriesFromSourceCatalog && sourceCatalog.dropDestroysData) {
+    sourceCatalog.close()
     throw new UnsupportedOperationException(
       "Source catalog is a Hadoop catalog and it doesn't support deleting the table entries " +
         "just from the catalog. Please configure `deleteEntriesFromSourceCatalog` as `false`")
+  }
 
   /** Close whichever driver-side catalog clients were actually built.
     * Executor-side clients (registerTables' mapPartitions) close

@@ -239,16 +239,13 @@ object MinHash32 {
 }
 
 object VectorFunctions {
-  /** Register `graft_dot` / `graft_simhash` in the session's function
-    * registry so plans can reference them via expr(...). Idempotent. */
-  def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProduct(exprs.head, exprs(1)), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_simhash", exprs => SimHash64(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_shingles", exprs => Shingle3(exprs.head), "built-in")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_minhash", exprs => MinHash32(exprs.head), "built-in")
-  }
+  /** Register every graft function in the session's registry so plans
+    * can reference them via expr(...). Single source of truth is
+    * [[graft.GraftExtensions.functions]] — the same table the
+    * `spark.sql.extensions` path injects. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    graft.GraftExtensions.functions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
 }

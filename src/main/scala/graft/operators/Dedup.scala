@@ -110,13 +110,13 @@ object Dedup {
     verified(cand, sh)
   }
 
-  /** 64-bit SimHash with 16×4-bit pigeonhole blocking, hamming ≤ 12
-    * pre-filter, then exact Jaccard verification. The simhash itself is
-    * the codegen'd [[graft.functions.SimHash64]] expression — the
-    * interpreted HOF formulation took ~21 ms/doc and dominated the whole
-    * pipeline. */
+  /** 64-bit SimHash with 13-block pigeonhole blocking (12×5 bits +
+    * 1×4 bits — any pair within hamming ≤ 12 shares a block), hamming
+    * ≤ 12 pre-filter, then exact Jaccard verification. The simhash
+    * itself is the codegen'd [[graft.functions.SimHash64]] expression —
+    * the interpreted HOF formulation took ~21 ms/doc and dominated the
+    * whole pipeline. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
     val sh = shingled(s, dir)
     val sim = sh
       .withColumn("hs", expr("transform(sh, x -> xxhash64(x))"))

@@ -43,9 +43,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
-    val props = options.asScala.toMap
-    cat = CatalogFactory.build(
-      CatalogConfig(props.getOrElse("type", "hadoop"), name, props))
+    val all = options.asScala.toMap
+    // options prefixed `hadoop.` overlay the catalog's Hadoop
+    // Configuration (s3a endpoints, credentials providers, ...) — the SQL
+    // face of the CLI's --*-catalog-hadoop-conf flags:
+    //   spark.sql.catalog.mycat.hadoop.fs.s3a.endpoint = https://...
+    val (hadoop, props) = all.partition(_._1.startsWith("hadoop."))
+    cat = CatalogFactory.build(CatalogConfig(
+      props.getOrElse("type", "hadoop"), name, props,
+      hadoop.map { case (k, v) => k.stripPrefix("hadoop.") -> v }))
   }
 
   override def name(): String = catalogName

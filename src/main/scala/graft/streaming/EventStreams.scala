@@ -82,8 +82,11 @@ object EventStreams {
   /** Custom keyed state emitting 0..n rows per group per batch
     * (flatMapGroupsWithState): one alert the first time a user's running
     * value total crosses `threshold`. Rows are folded in event_id order
-    * so the IEEE accumulation order (and thus the emitted total) is
-    * deterministic and batch-reproducible. */
+    * WITHIN each micro-batch, so a given replay is deterministic; global
+    * event_id order (and thus exact batch equivalence) additionally
+    * requires event_id-ordered arrival across micro-batches — true for
+    * single-batch file replay (the spec's setup) and for sources that
+    * deliver in id order, but not for arbitrary multi-batch arrival. */
   def thresholdAlerts(events: Dataset[EventRow], threshold: Double)(
       implicit spark: SparkSession): Dataset[Threshold] = {
     import spark.implicits._
