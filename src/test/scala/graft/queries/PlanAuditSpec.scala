@@ -1,0 +1,60 @@
+package graft.queries
+
+import graft.{SparkEntry, TestSpark}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape assertions for the properties that matter at 100 TB —
+  * pushdown, column pruning, dimension broadcasts, join strategies, and
+  * shuffle counts. Guards against regressions that stay correct but stop
+  * scaling (a dropped broadcast hint, a filter that no longer reaches
+  * the scan). */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q02: comparison filters are pushed to the parquet scan") {
+    val p = plan("q02_filter")
+    assert(p.contains("PushedFilters:"), p)
+    assert(p.contains("GreaterThan(l_quantity,45"), p)
+    // PushedFilters renders truncated; the equality shows untruncated in
+    // DataFilters as (l_returnflag#N = R)
+    assert("""l_returnflag#\d+ = R\)""".r.findFirstIn(p).isDefined, p)
+  }
+
+  test("q01: scan reads only the two projected columns") {
+    val p = plan("q01_scan_project")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:"), p)
+  }
+
+  test("q08: star join broadcasts its dimension sides") {
+    val p = plan("q08_join_star")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q09/q10: semi and anti joins keep their join types") {
+    assert(plan("q09_join_semi").contains("LeftSemi"))
+    assert(plan("q10_join_anti").contains("LeftAnti"))
+  }
+
+  test("q33: as-of join shuffles the data exactly once on the key") {
+    // one hash-partition exchange for the window; the only other
+    // exchange is the final presentation orderBy (range partitioning)
+    val p = plan("q33_asof_join")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q45: selective filters reach the scans on all three tables") {
+    val p = plan("q45_tpch3")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), p)
+    assert(p.contains("LessThan(o_orderdate,"), p)
+  }
+
+  test("q04: aggregation is partial+final (map-side combine present)") {
+    val p = plan("q04_agg_tpch1")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+}
