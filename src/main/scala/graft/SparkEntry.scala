@@ -71,6 +71,8 @@ object SparkEntry {
     "q46_tpch10" -> (Relational.q46 _),
     "q47_minmax_by" -> (Relational.q47 _),
     "q48_corr" -> (Relational.q48 _),
+    "q49_grouping_sets" -> (Relational.q49 _),
+    "q50_window_extra" -> (Relational.q50 _),
     "d01_dedup_jaccard" -> (Dedup.ngramJaccard _),
     "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_dedup_simhash" -> (Dedup.simhash _),
@@ -352,6 +354,18 @@ object SparkEntry {
         | ROUND((n * sxy - sx * sy) /
         |  SQRT((n * sxx - sx * sx) * (n * syy - sy * sy)), 4) AS corr
         |FROM a ORDER BY 1""".stripMargin,
+    "q49_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS c
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, c""".stripMargin,
+    "q50_window_extra" ->
+      """SELECT p_partkey, p_brand,
+        | NTH_VALUE(p_partkey, 2) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS second_part,
+        | ROUND(CUME_DIST() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey), 4) AS cd,
+        | regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
+        |FROM part ORDER BY 1""".stripMargin,
     "q36_udaf_wavg" ->
       """SELECT l_returnflag,
         | ROUND(CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(38,4))) AS DOUBLE)

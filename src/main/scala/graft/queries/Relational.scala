@@ -537,6 +537,30 @@ object Relational {
           .as("corr"))
       .orderBy($"l_returnflag")
 
+  // E10 — explicit GROUPING SETS (SQL face; DataFrame API only exposes
+  // rollup/cube)
+  def q49(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+    s.sql(
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS c
+        |FROM graft_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, c
+        |""".stripMargin)
+  }
+
+  // E13/E16 — window extras (nth_value, cume_dist) + regexp capture group
+  def q50(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice", $"p_partkey")
+    Tables(s, dir, "part")
+      .select($"p_partkey", $"p_brand",
+        nth_value($"p_partkey", 2).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).as("second_part"),
+        round(cume_dist().over(w), 4).as("cd"),
+        regexp_extract($"p_name", "([a-z]+)$", 1).as("last_word"))
+      .orderBy($"p_partkey")
+  }
+
   // E9 — numerically-stable distributed stats: exact decimal sums of x
   // and x², then identical IEEE double arithmetic on both engines.
   // Shuffle-safe: the decimal partial sums are associative, so partial
