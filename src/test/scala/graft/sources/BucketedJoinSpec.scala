@@ -1,0 +1,51 @@
+package graft.sources
+
+import graft.TestSpark
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bucketing for co-located joins (scale posture): two tables bucketed
+  * on the join key with the same bucket count join WITHOUT a shuffle
+  * exchange — at 100 TB this converts every recurring fact-fact join on
+  * the bucket key from a full network shuffle into local merges. */
+class BucketedJoinSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("same-bucket-count tables join without a shuffle exchange") {
+    val dir = "/root/testdata/sf0.001"
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.Tables(spark, dir, "orders")
+        .write.mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("graft_orders_b")
+      graft.Tables(spark, dir, "lineitem")
+        .write.mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable("graft_lineitem_b")
+
+      val joined = spark.table("graft_orders_b")
+        .join(spark.table("graft_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("c"))
+
+      val plan = joined.queryExecution.executedPlan.toString
+      // the join itself must not introduce a hash-partition exchange;
+      // the only exchange allowed is the aggregation's
+      val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinSection.contains("Exchange hashpartitioning"), plan)
+
+      // and it still computes the right thing
+      val direct = graft.Tables(spark, dir, "orders")
+        .join(graft.Tables(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("c"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+      val got = joined.collect().map(_.mkString("|")).sorted.toSeq
+      assert(got == direct)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    }
+  }
+}
