@@ -25,7 +25,7 @@ object AsOf {
     * no prior right row exists. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
       leftTs: String, rightTs: String): DataFrame = {
-    val lCols = left.columns
+    val lCols = left.columns.toIndexedSeq
     val rTagged = right.select(col(key), col(rightTs).as("__ts"))
       .withColumn("__tag", lit(0))
       .withColumn("__rts", col("__ts"))
