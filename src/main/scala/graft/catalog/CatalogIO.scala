@@ -42,9 +42,10 @@ object CatalogIO {
     metaFile.toString
   }
 
-  def readDataLocation(metadataLocation: String): String = {
+  def readDataLocation(metadataLocation: String,
+      conf: Configuration = new Configuration()): String = {
     val p = new Path(metadataLocation)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val in = fs.open(p)
     val text = try new String(in.readAllBytes(),
       java.nio.charset.StandardCharsets.UTF_8) finally in.close()

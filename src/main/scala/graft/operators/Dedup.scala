@@ -22,8 +22,8 @@ import org.apache.spark.sql.functions._
   *    At 100 TB this is the shape that survives: the only shuffle is on
   *    (band, bandValue), candidates are a tiny fraction of pairs, and
   *    verification touches candidates only.
-  *  - [[simhash]]: 64-bit simhash; pigeonhole blocking on 4×16-bit
-  *    blocks (hamming ≤ 3 ⇒ some block equal), hamming + Jaccard verify.
+  *  - [[simhash]]: 64-bit simhash; 13-block pigeonhole blocking
+  *    (hamming ≤ 12 ⇒ some block equal), hamming + Jaccard verify.
   *
   * Exact duplicate-row / keep-first dedup live in the relational set
   * (q22/q22b); embedding near-dup in [[Similarity]].

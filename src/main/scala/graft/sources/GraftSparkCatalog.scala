@@ -40,18 +40,29 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
   private var cat: GraftCatalog = _
+  private var hadoopOpts: Map[String, String] = Map.empty
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     val all = options.asScala.toMap
-    // options prefixed `hadoop.` overlay the catalog's Hadoop
-    // Configuration (s3a endpoints, credentials providers, ...) — the SQL
-    // face of the CLI's --*-catalog-hadoop-conf flags:
+    // options prefixed `hadoop.` overlay the Hadoop Configuration on BOTH
+    // planes: catalog/pointer operations (via CatalogConfig.hadoopConf)
+    // and metadata/data reads (threaded into readDataLocation and the
+    // ParquetTable options below) — the SQL face of the CLI's
+    // --*-catalog-hadoop-conf flags:
     //   spark.sql.catalog.mycat.hadoop.fs.s3a.endpoint = https://...
+    // Caveat: Spark lowercases catalog option keys; the (rare) mixed-case
+    // Hadoop keys must be set via the CLI flag or cluster conf instead.
     val (hadoop, props) = all.partition(_._1.startsWith("hadoop."))
+    hadoopOpts = hadoop.map { case (k, v) => k.stripPrefix("hadoop.") -> v }
     cat = CatalogFactory.build(CatalogConfig(
-      props.getOrElse("type", "hadoop"), name, props,
-      hadoop.map { case (k, v) => k.stripPrefix("hadoop.") -> v }))
+      props.getOrElse("type", "hadoop"), name, props, hadoopOpts))
+  }
+
+  private def hadoopConfOverlay: org.apache.hadoop.conf.Configuration = {
+    val c = new org.apache.hadoop.conf.Configuration()
+    hadoopOpts.foreach { case (k, v) => c.set(k, v) }
+    c
   }
 
   override def name(): String = catalogName
@@ -79,9 +90,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
             ident.namespace.toSeq :+ ident.name)
       }
-    val dataLoc = CatalogIO.readDataLocation(metaLoc)
+    val dataLoc = CatalogIO.readDataLocation(metaLoc, hadoopConfOverlay)
+    // FileTable merges these options into its Hadoop conf
+    // (newHadoopConfWithOptions), so the overlay reaches the parquet scan
     ParquetTable(ref.toString, SparkSession.active,
-      CaseInsensitiveStringMap.empty(), Seq(dataLoc),
+      new CaseInsensitiveStringMap(hadoopOpts.asJava), Seq(dataLoc),
       userSpecifiedSchema = None, fallbackFileFormat = classOf[ParquetFileFormat])
   }
 

@@ -32,8 +32,9 @@ class BucketedJoinSpec extends AnyFunSuite {
       val plan = joined.queryExecution.executedPlan.toString
       // the join itself must not introduce a hash-partition exchange;
       // the only exchange allowed is the aggregation's
-      val joinSection = plan.substring(plan.indexOf("SortMergeJoin"))
-      assert(!joinSection.contains("Exchange hashpartitioning"), plan)
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a SortMergeJoin in:\n$plan")
+      assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"), plan)
 
       // and it still computes the right thing
       val direct = graft.Tables(spark, dir, "orders")
