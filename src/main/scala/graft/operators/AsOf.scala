@@ -22,9 +22,14 @@ object AsOf {
 
   /** For each left row, attach the greatest `rightTs` of the same `key`
     * with rightTs <= leftTs (ties at equal timestamps match). Null when
-    * no prior right row exists. */
+    * no prior right row exists, or — when `tolerance` is given (pandas
+    * merge_asof semantics) — when the match is staler than the
+    * tolerance: leftTs − rightTs > tolerance ⇒ null. For timestamp
+    * columns pass an INTERVAL expression (e.g. `expr("INTERVAL 10
+    * MINUTES")`); for numeric time columns a numeric one. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String,
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      tolerance: Option[Column] = None): DataFrame = {
     val lCols = left.columns.toIndexedSeq
     val rTagged = right.select(col(key), col(rightTs).as("__ts"))
       .withColumn("__tag", lit(0))
@@ -41,10 +46,15 @@ object AsOf {
     // equal-timestamp right row is visible to the left row.
     val w = Window.partitionBy(col("__key")).orderBy(col("__ts"), col("__tag"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = tolerance match {
+      case None => col("__matched")
+      case Some(tol) =>
+        when(col("__ts") - col("__matched") <= tol, col("__matched"))
+    }
     unioned
       .withColumn("__matched", last(col("__rts"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .select(lCols.map(col) :+ col("__matched").as("asof_" + rightTs): _*)
+      .select(lCols.map(col) :+ matched.as("asof_" + rightTs): _*)
   }
 
   /** Query face: each click event joined to the most recent view event

@@ -28,6 +28,20 @@ class OperatorsSpec extends AnyFunSuite {
       (2L, 10L, None)))         // key with no right rows at all
   }
 
+  test("asofJoin tolerance nulls matches staler than the window") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val left = Seq((1L, 100L), (1L, 200L)).toDF("k", "ts")
+    val right = Seq((1L, 95L)).toDF("k", "rts")
+    val got = AsOf.asofJoin(left, right, "k", "ts", "rts", Some(lit(10L)))
+      .orderBy("ts")
+      .collect()
+      .map(r => (r.getLong(1), Option(r.get(2)).map(_.asInstanceOf[Long])))
+      .toSeq
+    // 100-95=5 <= 10 matches; 200-95=105 > 10 is out of tolerance
+    assert(got == Seq((100L, Some(95L)), (200L, None)))
+  }
+
   test("minhash-LSH and simhash find exactly the exact-Jaccard pairs") {
     val exact = rows(Dedup.ngramJaccard(spark, dir))
     val lsh = rows(Dedup.minhashLsh(spark, dir))
