@@ -64,6 +64,41 @@ object Multimodal {
     }
   }
 
+  /** STUB resize — stands in for a real image scaler. Deterministic:
+    * output bytes derive from the input hash + target dims, output
+    * length scales with the target pixel count, so size accounting and
+    * downstream batching behave like a real resize. */
+  private[operators] def fakeResize(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val n = math.max(1, (w * h) / 64)
+    val out = new Array[Byte](n)
+    var x = 1125899906842597L
+    var i = 0
+    while (i < content.length) { x = 31 * x + (content(i) & 0xff); i += 1 }
+    var d = 0
+    while (d < n) {
+      x = x * 6364136223846793005L + 1442695040888963407L + w + h
+      out(d) = (x >>> 56).toByte
+      d += 1
+    }
+    out
+  }
+
+  /** Resize images to target dimensions, batched per partition like
+    * [[extractFeatures]]; non-image rows pass through untouched. */
+  def resize(items: Dataset[MediaItem], targetW: Int, targetH: Int)(
+      implicit spark: SparkSession): Dataset[MediaItem] = {
+    import spark.implicits._
+    items.mapPartitions { it =>
+      // per-partition init goes here in a real scaler
+      it.map {
+        case m if m.kind == "image" =>
+          m.copy(content = fakeResize(m.content, targetW, targetH),
+            width = targetW, height = targetH)
+        case m => m
+      }
+    }
+  }
+
   /** Frame sampling for video rows: one output row per sampled frame
     * index (every `everyMs` of duration) — pure plan-side explode, the
     * actual frame decode would happen in [[extractFeatures]] downstream. */

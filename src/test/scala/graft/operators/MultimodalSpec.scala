@@ -18,6 +18,21 @@ class MultimodalSpec extends AnyFunSuite {
     }.toDS()
   }
 
+  test("resize retargets image dims deterministically, passes others through") {
+    implicit val s = spark
+    val out = Multimodal.resize(items, 64, 64).collect()
+    val images = out.filter(_.kind == "image")
+    assert(images.nonEmpty)
+    assert(images.forall(m => m.width == 64 && m.height == 64))
+    assert(images.forall(_.content.length == 64 * 64 / 64))
+    val others = out.filter(_.kind != "image")
+    assert(others.forall(m => m.width == 640 && m.height == 480))
+    // deterministic: same input -> same bytes
+    val again = Multimodal.resize(items, 64, 64).collect()
+      .filter(_.kind == "image").map(_.content.toSeq)
+    assert(images.map(_.content.toSeq).toSeq == again.toSeq)
+  }
+
   test("feature extraction: schema, determinism, batch shape") {
     implicit val s = spark
     val feats = Multimodal.extractFeatures(items, dim = 16, partitions = Some(4))
