@@ -1,6 +1,34 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main. Per-round driver contract: ONE machine-parseable JSON
+  * line on stdout. Round-1/2 BENCH files both recorded `parsed: null`
+  * with a tail that started mid-JSON — the full 64-query map made the
+  * line ~3.8 kB and it appears the driver reads a bounded tail. So the
+  * LAST stdout line is now compact (total + headline queries + failures)
+  * and the full per-query map goes to `bench_queries.json` on disk.
+  *
+  * Methodology:
+  *  - queries run in sorted-name order, so round-over-round per-query
+  *    deltas compare like with like (Map iteration order reshuffled
+  *    between rounds and showed up as phantom regressions);
+  *  - each query is timed on a parquet write to a temp dir — the same
+  *    action the correctness gate (Verify) performs — not `.count()`,
+  *    under which Catalyst prunes presentation sorts and projections
+  *    and benches q01/q16-style queries as bare scans.
+  */
 object Bench {
+  /** Queries whose timings ride inline in the stdout JSON line (keeps the
+    * line short); every query's timing is in bench_queries.json. */
+  private val headline = Set(
+    "q04_agg_tpch1", "q08_join_star", "q15_window_frame", "q45_tpch3",
+    "q46_tpch10", "d01_dedup_jaccard", "d02_dedup_minhash_lsh",
+    "d03_dedup_simhash", "d05_dedup_embed_lsh", "s01_cosine_topk",
+    "s02_ann_ivf", "t04_fingerprint")
+
+  private def fmt(v: Double): String = f"$v%.3f"
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -12,15 +40,19 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // Warm up codegen/JIT and the parquet footer cache so the first timed
-    // query doesn't absorb session startup cost.
-    Tables(spark, sfDir, "nation").groupBy("n_regionkey").count().count()
+    val tmp = Files.createTempDirectory("graft_bench").toString
+    // Warm up codegen/JIT, the parquet footer cache, and the write path so
+    // the first timed query doesn't absorb session startup cost.
+    Tables(spark, sfDir, "nation").groupBy("n_regionkey").count()
+      .write.mode("overwrite").parquet(s"$tmp/_warmup")
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
+        try {
+          fn(spark, sfDir).write.mode("overwrite").parquet(s"$tmp/$name")
+          true
+        } catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: $e")
           false
@@ -29,12 +61,23 @@ object Bench {
       // fast crash into the totals would read as a speedup
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def jsonMap(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val fails = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.filter(_ >= 0).sum
-    // a run with failures must not read as a clean benchmark
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fails,"sf":"$sfDir"}""")
+    val detailPath = Paths.get(sys.props("user.dir"), "bench_queries.json")
+    Files.writeString(detailPath,
+      s"""{"total":${fmt(total)},"unit":"sec","sf":"$sfDir","failed":$fails,"queries":${jsonMap(results)}}""")
+    // best-effort temp cleanup; leftover /tmp data must not fail the bench
+    try {
+      import scala.jdk.CollectionConverters._
+      Files.walk(Paths.get(tmp)).iterator().asScala.toSeq.reverse
+        .foreach(p => Files.deleteIfExists(p))
+    } catch { case _: Throwable => }
     spark.stop()
+    val inline = jsonMap(results.filter(r => headline.contains(r._1)))
+    // a run with failures must not read as a clean benchmark; keep this
+    // the LAST stdout line and short enough to survive any tail window
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$inline,"failed":$fails,"sf":"$sfDir","detail":"bench_queries.json"}""")
   }
 }

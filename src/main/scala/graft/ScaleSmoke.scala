@@ -64,6 +64,42 @@ object ScaleSmoke {
       "d01_dedup_jaccard", "d02_dedup_minhash_lsh", "d03_dedup_simhash").foreach { q =>
       try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
     }
+    srpScale(spark, 2000 * replicas)
     spark.stop()
+  }
+
+  /** SRP-LSH candidate growth in the operator's design regime: n random
+    * unit 64-d vectors + n/40 planted near-dups (cosine ≈ 0.995), banded
+    * 16 rows × 8 bands. Reports candidate count, its ratio to n²/2, and
+    * planted recall — the subquadratic evidence for d05: candidate RATIO
+    * falls as n grows (background collisions are per-pair-probability
+    * constant ≈ 4e-4 only near the mean; the planted pairs dominate). */
+  private def srpScale(spark: SparkSession, n: Int): Unit = {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(11)
+    def unit(): Array[Double] = {
+      val a = Array.fill(64)(rnd.nextGaussian())
+      val nm = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / nm)
+    }
+    val nPlant = n / 40
+    val base = (0 until n).map(i => (i.toLong, unit().toSeq))
+    val planted = (0 until nPlant).map { i =>
+      val v = base(i)._2.toArray
+      val g = unit()
+      (n.toLong + i, v.zip(g).map { case (x, y) => x + 0.1 * y }.toSeq)
+    }
+    val df = (base ++ planted).toDF("id", "v")
+    val t0 = System.nanoTime()
+    val cand = graft.operators.Similarity
+      .srpCandidates(df, bands = 8, rowsPerBand = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val secs = (System.nanoTime() - t0) / 1e9
+    val total = (n + nPlant).toLong * (n + nPlant - 1) / 2
+    val recall = (0 until nPlant).count(i => cand((i.toLong, (n + i).toLong)))
+    println(f"[scale] srp n=${n + nPlant}: ${cand.size} candidates " +
+      f"(${cand.size.toDouble / total}%.2e of $total pairs), " +
+      f"planted recall $recall/$nPlant, $secs%.1f s")
   }
 }

@@ -77,6 +77,7 @@ object SparkEntry {
     "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_dedup_simhash" -> (Dedup.simhash _),
     "d04_dedup_embed" -> (Similarity.embedNearDup _),
+    "d05_dedup_embed_lsh" -> (Similarity.srpNearDup _),
     "s01_cosine_topk" -> (Similarity.cosineTopK _),
     "s02_ann_ivf" -> (Similarity.annIvf _),
     "t01_langid" -> (TextOps.langId _),
@@ -388,11 +389,11 @@ object SparkEntry {
     "d01_dedup_jaccard" -> JaccardOracle,
     "d02_dedup_minhash_lsh" -> JaccardOracle,
     "d03_dedup_simhash" -> JaccardOracle,
-    "d04_dedup_embed" ->
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-        |SELECT a.vec_id AS a, b.vec_id AS b, ROUND(list_cosine_similarity(a.v, b.v), 4) AS c
-        |FROM e a JOIN e b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.v, b.v) >= 0.46 ORDER BY 1, 2""".stripMargin,
+    "d04_dedup_embed" -> EmbedDedupOracle,
+    // d05 is the LSH-candidates + exact-verify path for the SAME pairs —
+    // recall-guaranteed banding (see Similarity.srpNearDup) makes it
+    // exactly reproduce the brute-force oracle.
+    "d05_dedup_embed_lsh" -> EmbedDedupOracle,
     "s01_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | q AS (SELECT v FROM e WHERE vec_id = 0)
@@ -442,6 +443,14 @@ object SparkEntry {
         |  (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  /** Shared oracle for the exact (d04) and SRP-LSH (d05) embedding
+    * near-dup paths: all pairs a < b with cosine ≥ 0.46. */
+  private val EmbedDedupOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.vec_id AS a, b.vec_id AS b, ROUND(list_cosine_similarity(a.v, b.v), 4) AS c
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.46 ORDER BY 1, 2""".stripMargin
 
   /** Shared oracle for the three text near-dup detectors: exact 3-word
     * shingle Jaccard ≥ 0.8 over pairs a < b. */

@@ -238,6 +238,95 @@ object MinHash32 {
   }
 }
 
+/** Signed-random-projection (SRP / hyperplane-LSH) signature over an
+  * array<double> vector: `nbits` sign bits packed into `nbits/64` longs,
+  * bit j = [dot(v, h_j) > 0] for a fixed Rademacher (±1-entry) hyperplane
+  * h_j derived deterministically from (j, dim) via a splitmix64 finalizer.
+  * P[bit collides] = 1 − θ/π (Charikar 2002), which [[graft.operators.Similarity]]
+  * bands into an LSH candidate generator. The ±1 hyperplane matrix is
+  * precomputed once per (nbits, dim) and cached process-wide, so the hot
+  * loop is a branch-free multiply-accumulate.
+  */
+case class SrpSig(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), _) if !right.foldable =>
+        TypeCheckResult.TypeCheckFailure("graft_srp nbits must be a literal")
+      case (ArrayType(DoubleType, _), org.apache.spark.sql.types.IntegerType) =>
+        val n = right.eval().asInstanceOf[Int]
+        if (n > 0 && n % 64 == 0) TypeCheckResult.TypeCheckSuccess
+        else TypeCheckResult.TypeCheckFailure(
+          s"graft_srp nbits must be a positive multiple of 64, got $n")
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_srp requires (array<double>, int) arguments, got $l / $r")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_srp"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    SrpSig.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SrpSig$$.MODULE$$.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SrpSig =
+    copy(left = newLeft, right = newRight)
+}
+
+object SrpSig {
+  private val planes =
+    new java.util.concurrent.ConcurrentHashMap[Long, Array[Double]]()
+
+  private def mix64(x: Long): Long = {
+    var z = x + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  /** Row-major ±1 hyperplane matrix [nbits × dim], deterministic in
+    * (bit index, dimension) so every executor materializes the same one. */
+  private def signs(nbits: Int, dim: Int): Array[Double] =
+    planes.computeIfAbsent((nbits.toLong << 32) | dim, _ => {
+      val m = new Array[Double](nbits * dim)
+      var j = 0
+      while (j < nbits) {
+        var d = 0
+        while (d < dim) {
+          m(j * dim + d) =
+            if (mix64(j.toLong * 1000003L + d) >= 0L) 1.0 else -1.0
+          d += 1
+        }
+        j += 1
+      }
+      m
+    })
+
+  def compute(arr: ArrayData, nbits: Int): ArrayData = {
+    val dim = arr.numElements()
+    val words = new Array[Long](nbits / 64)
+    if (dim == 0) return new GenericArrayData(words.map(Long.box).asInstanceOf[Array[Any]])
+    val m = signs(nbits, dim)
+    val v = new Array[Double](dim)
+    var d = 0
+    while (d < dim) { v(d) = arr.getDouble(d); d += 1 }
+    var j = 0
+    while (j < nbits) {
+      var s = 0.0
+      val off = j * dim
+      d = 0
+      while (d < dim) { s += v(d) * m(off + d); d += 1 }
+      if (s > 0) words(j >>> 6) |= (1L << (j & 63))
+      j += 1
+    }
+    new GenericArrayData(words.map(Long.box).asInstanceOf[Array[Any]])
+  }
+}
+
 object VectorFunctions {
   /** Register every graft function in the session's registry so plans
     * can reference them via expr(...). Single source of truth is

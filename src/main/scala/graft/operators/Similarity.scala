@@ -44,12 +44,91 @@ object Similarity {
       .select(col("vec_id"), round(col("craw"), 4).as("c"))
   }
 
-  /** Exact all-pairs near-duplicates: cosine ≥ 0.46, a < b. */
+  /** Exact all-pairs near-duplicates: cosine ≥ 0.46, a < b.
+    *
+    * Blocked self-join: rows hash into `B` blocks, a tiny broadcast
+    * drives the B·(B+1)/2 block pairs, and the pair stream materializes
+    * through two EQUI-joins — so the O(n²) compute (irreducible for an
+    * exact threshold over dense vectors) spreads evenly over B²/2
+    * shuffle-partition-sized tasks with ~2n/B vectors of memory each,
+    * instead of the broadcast-nested-loop a `a < b` theta join plans.
+    * At cluster scale `B` scales with parallelism (tasks = B²/2);
+    * replication factor of the input is (B+1)/2.
+    */
   def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    val B = 8
+    import s.implicits._
+    val e = emb(s, dir).withColumn("blk", pmod(hash(col("vec_id")), lit(B)))
+    val blockPairs = (for { i <- 0 until B; j <- i until B } yield (i, j))
+      .toDF("bi", "bj")
+    val a = e.select(col("vec_id").as("a"), col("v").as("va"),
+      col("nrm").as("na"), col("blk").as("ba"))
+    val b = e.select(col("vec_id").as("b"), col("v").as("vb"),
+      col("nrm").as("nb"), col("blk").as("bb"))
+    a.join(broadcast(blockPairs), col("ba") === col("bi"))
+      .join(b, col("bb") === col("bj"))
+      // diagonal blocks order internally; off-diagonal blocks meet exactly
+      // once via (bi < bj), so each unordered pair is evaluated once
+      .filter(col("bi") < col("bj") || col("a") < col("b"))
+      .withColumn("craw", dot("va", "vb") / (col("na") * col("nb")))
+      .filter(col("craw") >= 0.46)
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"), round(col("craw"), 4).as("c"))
+      .orderBy("a", "b")
+  }
+
+  /** SRP-LSH candidate pairs: signed-random-projection signatures
+    * (`graft_srp`, nbits = bands·rowsPerBand), banded like MinHash-LSH —
+    * pairs colliding on any band's `rowsPerBand` sign bits become
+    * candidates. One equi-shuffle on (band, bandValue); exact
+    * verification is the caller's. `df` must carry (id, v).
+    */
+  def srpCandidates(df: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    val nbits = bands * rowsPerBand
+    require(nbits % 64 == 0, s"bands*rowsPerBand must pack into longs, got $nbits")
+    // bands must not straddle signature words for the single-shift extract
+    require(64 % rowsPerBand == 0, s"rowsPerBand must divide 64, got $rowsPerBand")
+    val banded = df
+      .withColumn("sig", expr(s"graft_srp(v, $nbits)"))
+      .select(col("id"), posexplode(expr(
+        s"""transform(sequence(0, ${bands - 1}), k ->
+           | shiftright(element_at(sig, CAST(k * $rowsPerBand DIV 64 AS INT) + 1),
+           |            CAST(k * $rowsPerBand % 64 AS INT))
+           |  & ${(1L << rowsPerBand) - 1}L)""".stripMargin)).as(Seq("band", "bv")))
+    banded.as("x")
+      .join(banded.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+  }
+
+  /** SRP-LSH embedding near-dup: same verified output as [[embedNearDup]]
+    * (cosine ≥ 0.46, a < b) via hyperplane-LSH candidates + exact verify —
+    * the d02 shape (band equi-join, candidates-only verification) applied
+    * to embeddings.
+    *
+    * Parameter honesty (measured on this corpus): τ = 0.46 sits INSIDE a
+    * continuous cosine distribution — the closest non-pair is at 0.4592
+    * and the weakest true pair at 0.4603, so there is no duplicate-
+    * structure gap. At the boundary, P[sign bit collides] = 1−θ/π ≈ 0.652
+    * vs ≈ 0.5 background, and recall-guaranteed banding (4 rows × 96
+    * bands ⇒ per-pair miss ≈ 5e-9 at c = 0.46) necessarily admits most of
+    * the bulk as candidates: this corpus is the operator's worst case, and
+    * the exact verify stage carries the run. On a corpus with real
+    * duplicate structure (near-dups at c ≥ 0.9 over background) the same
+    * operator at 8 rows × 16 bands prunes >90% of pairs while holding
+    * recall — demonstrated with planted duplicates in SimilaritySpec and
+    * at 10×/20× scale in ScaleSmoke. That regime — candidates tracking
+    * true duplicates, not corpus size — is the 100 TB path.
+    */
+  def srpNearDup(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
-    val a = e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na"))
-    val b = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
-    a.join(b, col("a") < col("b"))
+    val cand = srpCandidates(e.select(col("vec_id").as("id"), col("v")),
+      bands = 96, rowsPerBand = 4)
+    cand
+      .join(e.select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
+      .join(e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
       .withColumn("craw", dot("va", "vb") / (col("na") * col("nb")))
       .filter(col("craw") >= 0.46)
       .select(col("a"), col("b"), round(col("craw"), 4).as("c"))

@@ -72,6 +72,40 @@ class OperatorsSpec extends AnyFunSuite {
     assert(recall >= 0.7, s"recall@3 was $recall")
   }
 
+  test("SRP-LSH (d05) reproduces the exact embedding near-dup pairs (d04)") {
+    assert(rows(Similarity.srpNearDup(spark, dir)) ==
+      rows(Similarity.embedNearDup(spark, dir)))
+  }
+
+  test("SRP-LSH prunes a planted-duplicate corpus while recalling every planted pair") {
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val a = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(a.map(x => x * x).sum)
+      a.map(_ / n)
+    }
+    // 1000 background vectors (pairwise cosine ~ N(0, 1/64)) + 50 planted
+    // near-dups at cosine ≈ 0.995 — the regime the operator is FOR, unlike
+    // the continuous-at-threshold gate corpus (see srpNearDup scaladoc).
+    val base = (0 until 1000).map(i => (i.toLong, unit().toSeq))
+    val planted = (0 until 50).map { i =>
+      val v = base(i)._2.toArray
+      val g = unit()
+      (1000L + i, v.zip(g).map { case (x, y) => x + 0.1 * y }.toSeq)
+    }
+    val df = (base ++ planted).toDF("id", "v")
+    val cand = Similarity.srpCandidates(df, bands = 8, rowsPerBand = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 50).map(i => (i.toLong, 1000L + i)).toSet
+    assert(expected.subsetOf(cand), s"missed ${expected -- cand}")
+    val totalPairs = 1050L * 1049 / 2
+    // high-sim banding (16 rows × 8 bands) admits <1% of the corpus pairs
+    assert(cand.size < totalPairs / 100,
+      s"candidates ${cand.size} not sparse vs $totalPairs pairs")
+  }
+
   test("fingerprint is order-sensitive content identity") {
     val fps = TextOps.fingerprint(spark, dir).collect().map(_.getLong(1))
     // no exact duplicate docs in the corpus → all fingerprints distinct
