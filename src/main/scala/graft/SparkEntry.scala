@@ -78,6 +78,7 @@ object SparkEntry {
     "d03_dedup_simhash" -> (Dedup.simhash _),
     "d04_dedup_embed" -> (Similarity.embedNearDup _),
     "d05_dedup_embed_lsh" -> (Similarity.srpNearDup _),
+    "m01_image_decode" -> (graft.operators.Multimodal.imageStats _),
     "s01_cosine_topk" -> (Similarity.cosineTopK _),
     "s02_ann_ivf" -> (Similarity.annIvf _),
     "t01_langid" -> (TextOps.langId _),
@@ -394,6 +395,20 @@ object SparkEntry {
     // recall-guaranteed banding (see Similarity.srpNearDup) makes it
     // exactly reproduce the brute-force oracle.
     "d05_dedup_embed_lsh" -> EmbedDedupOracle,
+    // m01's oracle recomputes the decoded-image statistics analytically
+    // from the seed pixel formula — hash match proves the real
+    // ImageIO decode + area-average resize path is exact (see
+    // operators/Multimodal.imageStats).
+    "m01_image_decode" ->
+      """WITH m AS (SELECT p_partkey AS media_id, 8 + 4*(p_partkey % 3) AS w, 8 + 4*(p_partkey % 2) AS h
+        |           FROM part WHERE p_partkey <= 2000),
+        |mx AS (SELECT *, unnest(generate_series(0, CAST(w AS BIGINT) - 1)) AS x FROM m),
+        |px AS (SELECT *, unnest(generate_series(0, CAST(h AS BIGINT) - 1)) AS y FROM mx)
+        |SELECT media_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+        | ROUND(AVG(CAST((media_id*31 + x*7 + y*13) % 256 AS DOUBLE)), 4) AS mean_px,
+        | ROUND(AVG(CASE WHEN x < w//4 AND y < h//4
+        |   THEN CAST((media_id*31 + x*7 + y*13) % 256 AS DOUBLE) END), 4) AS p00
+        |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
     "s01_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | q AS (SELECT v FROM e WHERE vec_id = 0)

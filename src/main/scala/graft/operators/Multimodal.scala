@@ -3,16 +3,23 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.imageio.ImageIO
+
 /** Multimodal-column plumbing for a training-data pipeline: image/audio/
   * video ride along as opaque `binary` columns with typed metadata, and
   * per-item compute (decode → feature-extract) runs as partition-wise
   * batch work so heavyweight decoder state is initialized once per
   * partition — the Scala analogue of `mapInPandas` batching.
   *
-  * The decode step is a clearly-marked DETERMINISTIC STUB (`fakeDecode`):
-  * no image/audio libraries exist in this container. Everything around it
-  * — schema, partitioning, batch shape, feature layout — is real and
-  * tested, so swapping in a JNI/ONNX decoder touches one function.
+  * Image decode/resize is REAL: `javax.imageio` (in the JDK, no external
+  * jars) decodes PNG/JPEG to a grayscale raster, and resizing is an
+  * area-average (box) filter. Audio/video decode remains a clearly-marked
+  * deterministic stub ([[fakeDecode]]) — no media codecs exist in this
+  * container — as does an image whose bytes don't decode (fail-soft: a
+  * corrupt row yields stub features, never a task failure, matching the
+  * engine's row-level error semantics).
   */
 object Multimodal {
 
@@ -30,9 +37,92 @@ object Multimodal {
       n_bytes: Long,
       features: Array[Float])
 
-  /** STUB — stands in for a real decoder (libjpeg / ffmpeg / ONNX
-    * encoder). Deterministic: features derive from a rolling hash of the
-    * content bytes, so tests are stable and the pipeline is replayable. */
+  // ---- real image codec (JDK ImageIO) ----------------------------------
+
+  /** Encode an 8-bit grayscale PNG from a pixel function (losslessly
+    * round-trippable through [[decodeGray]]); the seed-image generator
+    * for specs and the m01 correctness query. */
+  def encodeGrayPng(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { raster.setSample(x, y, 0, pixel(x, y) & 0xff); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Real decode: any ImageIO-supported format (PNG/JPEG/GIF/BMP) →
+    * (width, height, row-major 8-bit luminance samples). None if the
+    * bytes don't decode — callers treat that row fail-soft. */
+  def decodeGray(content: Array[Byte]): Option[(Int, Int, Array[Int])] =
+    try {
+      Option(ImageIO.read(new ByteArrayInputStream(content))).map { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        // luminance view: convert once; TYPE_BYTE_GRAY sources are a no-op copy
+        val gray =
+          if (img.getType == BufferedImage.TYPE_BYTE_GRAY) img
+          else {
+            val g = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_GRAY)
+            g.getGraphics.drawImage(img, 0, 0, null)
+            g
+          }
+        val px = new Array[Int](w * h)
+        gray.getRaster.getSamples(0, 0, w, h, 0, px)
+        (w, h, px)
+      }
+    } catch { case _: Exception => None }
+
+  /** Area-average (box-filter) resample of a grayscale raster to tw×th:
+    * each output pixel is the coverage-weighted mean of its source
+    * region — the correct minifier (no aliasing, preserves total mean).
+    * Exact when w/tw and h/th are integral (weights all 1). */
+  def areaAverageGray(px: Array[Int], w: Int, h: Int, tw: Int, th: Int): Array[Double] = {
+    val out = new Array[Double](tw * th)
+    val sx = w.toDouble / tw
+    val sy = h.toDouble / th
+    var ty = 0
+    while (ty < th) {
+      val y0 = ty * sy
+      val y1 = (ty + 1) * sy
+      var tx = 0
+      while (tx < tw) {
+        val x0 = tx * sx
+        val x1 = (tx + 1) * sx
+        var sum = 0.0
+        var area = 0.0
+        var y = math.floor(y0).toInt
+        while (y < math.ceil(y1).toInt && y < h) {
+          val wy = math.min(y + 1, y1) - math.max(y, y0)
+          var x = math.floor(x0).toInt
+          while (x < math.ceil(x1).toInt && x < w) {
+            val wx = math.min(x + 1, x1) - math.max(x, x0)
+            sum += px(y * w + x) * wx * wy
+            area += wx * wy
+            x += 1
+          }
+          y += 1
+        }
+        out(ty * tw + tx) = sum / area
+        tx += 1
+      }
+      ty += 1
+    }
+    out
+  }
+
+  // ---- non-image stub ---------------------------------------------------
+
+  /** STUB — stands in for a real audio/video decoder (ffmpeg / ONNX): no
+    * media codecs exist in this container. Deterministic: features derive
+    * from a rolling hash of the content bytes, so tests are stable and
+    * the pipeline is replayable. Also the fail-soft fallback for image
+    * bytes that don't decode. */
   private[operators] def fakeDecode(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L
@@ -47,53 +137,55 @@ object Multimodal {
     out
   }
 
-  /** Decode + feature-extract, batched per partition. Repartitions by
-    * media_id first so decoder work spreads evenly even when input files
-    * are skewed (one giant video parquet vs many small image files). */
+  // ---- partition-batched operators -------------------------------------
+
+  /** Decode + feature-extract, batched per partition. Image rows decode
+    * for real: features are the √dim × √dim area-averaged luminance grid
+    * scaled to [0, 1) (`dim` must be a perfect square). Audio/video (and
+    * undecodable image bytes, fail-soft) use the hash stub. Repartitions
+    * by media_id first so decoder work spreads evenly even when input
+    * files are skewed (one giant video parquet vs many small images). */
   def extractFeatures(items: Dataset[MediaItem], dim: Int = 16,
       partitions: Option[Int] = None)(
       implicit spark: SparkSession): Dataset[MediaFeatures] = {
     import spark.implicits._
+    val side = math.sqrt(dim).toInt
+    require(side * side == dim, s"dim must be a perfect square for the image grid, got $dim")
     val parted = partitions.map(items.repartition(_, col("media_id"))).getOrElse(items)
     parted.mapPartitions { it =>
-      // per-partition init goes here in a real decoder (load model once)
+      // per-partition init goes here for a heavyweight decoder (load once)
       it.map { m =>
-        MediaFeatures(m.media_id, m.kind, m.content.length.toLong,
-          fakeDecode(m.content, dim))
+        val feats =
+          if (m.kind == "image")
+            decodeGray(m.content) match {
+              case Some((w, h, px)) =>
+                areaAverageGray(px, w, h, side, side).map(v => (v / 256.0).toFloat)
+              case None => fakeDecode(m.content, dim) // fail-soft: corrupt image
+            }
+          else fakeDecode(m.content, dim)
+        MediaFeatures(m.media_id, m.kind, m.content.length.toLong, feats)
       }
     }
   }
 
-  /** STUB resize — stands in for a real image scaler. Deterministic:
-    * output bytes derive from the input hash + target dims, output
-    * length scales with the target pixel count, so size accounting and
-    * downstream batching behave like a real resize. */
-  private[operators] def fakeResize(content: Array[Byte], w: Int, h: Int): Array[Byte] = {
-    val n = math.max(1, (w * h) / 64)
-    val out = new Array[Byte](n)
-    var x = 1125899906842597L
-    var i = 0
-    while (i < content.length) { x = 31 * x + (content(i) & 0xff); i += 1 }
-    var d = 0
-    while (d < n) {
-      x = x * 6364136223846793005L + 1442695040888963407L + w + h
-      out(d) = (x >>> 56).toByte
-      d += 1
-    }
-    out
-  }
-
-  /** Resize images to target dimensions, batched per partition like
-    * [[extractFeatures]]; non-image rows pass through untouched. */
+  /** Resize image rows to target dimensions with the real decode →
+    * area-average → PNG re-encode path, batched per partition like
+    * [[extractFeatures]]; non-image rows and undecodable image bytes
+    * pass through untouched (fail-soft). */
   def resize(items: Dataset[MediaItem], targetW: Int, targetH: Int)(
       implicit spark: SparkSession): Dataset[MediaItem] = {
     import spark.implicits._
     items.mapPartitions { it =>
-      // per-partition init goes here in a real scaler
       it.map {
         case m if m.kind == "image" =>
-          m.copy(content = fakeResize(m.content, targetW, targetH),
-            width = targetW, height = targetH)
+          decodeGray(m.content) match {
+            case Some((w, h, px)) =>
+              val rs = areaAverageGray(px, w, h, targetW, targetH)
+              val bytes = encodeGrayPng(targetW, targetH,
+                (x, y) => math.round(rs(y * targetW + x)).toInt)
+              m.copy(content = bytes, width = targetW, height = targetH)
+            case None => m
+          }
         case m => m
       }
     }
@@ -117,4 +209,39 @@ object Multimodal {
       .withColumn("v", expr("transform(features, x -> CAST(x AS DOUBLE))"))
       .withColumn("nrm", expr("sqrt(aggregate(v, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
       .drop("features")
+
+  /** m01 correctness query: seed deterministic grayscale PNGs from the
+    * `part` key space (pixel(x,y) = (id·31 + x·7 + y·13) mod 256, size
+    * (8+4·(id mod 3)) × (8+4·(id mod 2))), push them through the REAL
+    * ImageIO decode + area-average resize, and report per-image decoded
+    * dimensions, full-frame mean luminance, and the top-left pixel of
+    * the 4×4 resize. The DuckDB oracle recomputes all of it analytically
+    * from the pixel formula — so a hash match proves the actual
+    * encode → decode → resample path is exact, not a stub. */
+  def imageStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = graft.Tables(s, dir, "part")
+      .select(col("p_partkey").as("media_id"))
+      .filter(col("media_id") <= 2000)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (8 + 4 * (id % 3)).toInt
+        val h = (8 + 4 * (id % 2)).toInt
+        MediaItem(id, "image",
+          encodeGrayPng(w, h, (x, y) => ((id * 31 + x * 7 + y * 13) % 256).toInt),
+          0, 0, 0L)
+      })
+    items.mapPartitions(_.flatMap { m =>
+      decodeGray(m.content).map { case (w, h, px) =>
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += px(i); i += 1 }
+        val p00 = areaAverageGray(px, w, h, 4, 4)(0)
+        (m.media_id, w, h, sum.toDouble / (w * h), p00)
+      }
+    }).toDF("media_id", "width", "height", "mean_raw", "p00_raw")
+      .select(col("media_id"), col("width"), col("height"),
+        round(col("mean_raw"), 4).as("mean_px"), round(col("p00_raw"), 4).as("p00"))
+      .orderBy("media_id")
+  }
 }

@@ -7,46 +7,98 @@ class MultimodalSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
+  // image rows carry REAL 16×12 grayscale PNGs; audio/video carry opaque
+  // bytes (their decode is the documented stub)
   private def items = {
     import spark.implicits._
     implicit val s = spark
     (0 until 50).map { i =>
       val kind = Seq("image", "audio", "video")(i % 3)
-      Multimodal.MediaItem(i.toLong, kind,
-        Array.fill[Byte](64 + i)((i * 7).toByte), 640, 480,
+      val content =
+        if (kind == "image")
+          Multimodal.encodeGrayPng(16, 12, (x, y) => (i * 17 + x * 5 + y * 11) % 256)
+        else Array.fill[Byte](64 + i)((i * 7).toByte)
+      Multimodal.MediaItem(i.toLong, kind, content,
+        if (kind == "image") 16 else 640, if (kind == "image") 12 else 480,
         if (kind == "video") 10000L else 0L)
     }.toDS()
   }
 
-  test("resize retargets image dims deterministically, passes others through") {
+  test("PNG encode/decode round-trips the raster exactly") {
+    val bytes = Multimodal.encodeGrayPng(9, 7, (x, y) => (x * 29 + y * 31) % 256)
+    val Some((w, h, px)) = Multimodal.decodeGray(bytes)
+    assert((w, h) == (9, 7))
+    for (y <- 0 until 7; x <- 0 until 9)
+      assert(px(y * 9 + x) == (x * 29 + y * 31) % 256)
+  }
+
+  test("area-average resize preserves the mean and block structure") {
+    val px = Array.tabulate(16 * 12)(i => (i * 13) % 256)
+    val rs = Multimodal.areaAverageGray(px, 16, 12, 4, 4)
+    // integral 4×3 blocks: output mean == input mean exactly
+    assert(math.abs(rs.sum / rs.length - px.map(_.toDouble).sum / px.length) < 1e-9)
+    // top-left output pixel == mean of the top-left 4×3 source block
+    val blk = for (y <- 0 until 3; x <- 0 until 4) yield px(y * 16 + x).toDouble
+    assert(math.abs(rs(0) - blk.sum / blk.size) < 1e-9)
+  }
+
+  test("resize really resamples images (decoded dims + values), passes others through") {
     implicit val s = spark
-    val out = Multimodal.resize(items, 64, 64).collect()
+    val out = Multimodal.resize(items, 8, 6).collect()
     val images = out.filter(_.kind == "image")
     assert(images.nonEmpty)
-    assert(images.forall(m => m.width == 64 && m.height == 64))
-    assert(images.forall(_.content.length == 64 * 64 / 64))
+    for (m <- images) {
+      assert(m.width == 8 && m.height == 6)
+      val Some((w, h, px)) = Multimodal.decodeGray(m.content)
+      assert((w, h) == (8, 6))
+      // resampled top-left pixel = rounded mean of the source 2×2 block
+      val i = m.media_id.toInt
+      val blk = for (y <- 0 until 2; x <- 0 until 2)
+        yield ((i * 17 + x * 5 + y * 11) % 256).toDouble
+      assert(px(0) == math.round(blk.sum / 4).toInt)
+    }
     val others = out.filter(_.kind != "image")
     assert(others.forall(m => m.width == 640 && m.height == 480))
     // deterministic: same input -> same bytes
-    val again = Multimodal.resize(items, 64, 64).collect()
+    val again = Multimodal.resize(items, 8, 6).collect()
       .filter(_.kind == "image").map(_.content.toSeq)
     assert(images.map(_.content.toSeq).toSeq == again.toSeq)
   }
 
-  test("feature extraction: schema, determinism, batch shape") {
+  test("feature extraction: real image grid, stub for audio/video, batch shape") {
     implicit val s = spark
     val feats = Multimodal.extractFeatures(items, dim = 16, partitions = Some(4))
     val rows = feats.collect()
     assert(rows.length == 50)
     assert(rows.forall(_.features.length == 16))
     assert(rows.forall(f => f.features.forall(x => x >= 0f && x < 1f)))
-    // deterministic across runs (stub decode is content-hash based)
+    // image features are the 4×4 area-averaged luminance grid / 256
+    for (f <- rows.filter(_.kind == "image")) {
+      val i = f.media_id.toInt
+      val px = Array.tabulate(12 * 16) { j =>
+        val (x, y) = (j % 16, j / 16); (i * 17 + x * 5 + y * 11) % 256
+      }
+      val want = Multimodal.areaAverageGray(px, 16, 12, 4, 4).map(v => (v / 256.0).toFloat)
+      assert(f.features.toSeq == want.toSeq)
+    }
+    // deterministic across runs
     val again = Multimodal.extractFeatures(items, dim = 16).collect()
     assert(rows.sortBy(_.media_id).map(_.features.toSeq).toSeq ==
       again.sortBy(_.media_id).map(_.features.toSeq).toSeq)
-    // identical bytes → identical features; different bytes → different
+    // different content → different features
     val byId = rows.map(r => r.media_id -> r.features.toSeq).toMap
     assert(byId(0L) != byId(1L))
+  }
+
+  test("undecodable image bytes fail soft (stub features, resize passthrough)") {
+    import spark.implicits._
+    implicit val s = spark
+    val corrupt = Seq(Multimodal.MediaItem(99L, "image",
+      Array.fill[Byte](32)(42), 0, 0, 0L)).toDS()
+    val f = Multimodal.extractFeatures(corrupt, dim = 16).collect().head
+    assert(f.features.toSeq == Multimodal.fakeDecode(Array.fill[Byte](32)(42), 16).toSeq)
+    val r = Multimodal.resize(corrupt, 8, 8).collect().head
+    assert(r.content.toSeq == Array.fill[Byte](32)(42).toSeq && r.width == 0)
   }
 
   test("frame sampling explodes every-N-ms frame indices for videos only") {
