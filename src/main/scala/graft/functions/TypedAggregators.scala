@@ -33,7 +33,10 @@ class WeightedAvg extends Aggregator[(Double, Double), WAvgBuf, Double] {
     WAvgBuf(a.num.add(b.num), a.den.add(b.den))
 
   override def finish(b: WAvgBuf): Double =
-    JBigDecimal.valueOf(b.num.doubleValue() / b.den.doubleValue())
+    // zero total weight has no defined mean — return NaN rather than let
+    // BigDecimal.valueOf(±Inf/NaN) throw and fail the whole query
+    if (b.den.signum == 0) Double.NaN
+    else JBigDecimal.valueOf(b.num.doubleValue() / b.den.doubleValue())
       .setScale(4, RoundingMode.HALF_UP).doubleValue()
 
   override def bufferEncoder: Encoder[WAvgBuf] = Encoders.product[WAvgBuf]

@@ -288,6 +288,11 @@ object SrpSig {
     z ^ (z >>> 31)
   }
 
+  /** The deterministic hyperplane entry sign for (bit j, dimension d) —
+    * exposed for the property spec pinning [[compute]] to it. */
+  private[functions] def planeSign(j: Int, d: Int): Boolean =
+    mix64(j.toLong * 1000003L + d) >= 0L
+
   /** Row-major ±1 hyperplane matrix [nbits × dim], deterministic in
     * (bit index, dimension) so every executor materializes the same one. */
   private def signs(nbits: Int, dim: Int): Array[Double] =
@@ -297,8 +302,7 @@ object SrpSig {
       while (j < nbits) {
         var d = 0
         while (d < dim) {
-          m(j * dim + d) =
-            if (mix64(j.toLong * 1000003L + d) >= 0L) 1.0 else -1.0
+          m(j * dim + d) = if (planeSign(j, d)) 1.0 else -1.0
           d += 1
         }
         j += 1

@@ -31,6 +31,14 @@ object AsOf {
       leftTs: String, rightTs: String,
       tolerance: Option[Column] = None): DataFrame = {
     val lCols = left.columns.toIndexedSeq
+    // the internal working columns and the output column must not collide
+    // with caller columns — silent wrong results otherwise
+    val reserved = Set("__ts", "__tag", "__rts", "__key", "__matched",
+      "asof_" + rightTs)
+    val clash = lCols.filter(reserved)
+    require(clash.isEmpty,
+      s"asofJoin: left columns ${clash.mkString(", ")} collide with " +
+        s"reserved internal/output names (${reserved.mkString(", ")})")
     val rTagged = right.select(col(key), col(rightTs).as("__ts"))
       .withColumn("__tag", lit(0))
       .withColumn("__rts", col("__ts"))

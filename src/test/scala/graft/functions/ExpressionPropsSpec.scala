@@ -81,6 +81,35 @@ class ExpressionPropsSpec extends AnyFunSuite {
     })
   }
 
+  test("WeightedAvg: zero total weight yields NaN instead of throwing") {
+    val agg = new WeightedAvg
+    // all-zero weights and an exactly-cancelling mix both leave den = 0
+    val b1 = agg.reduce(agg.reduce(agg.zero, (5.0, 0.0)), (7.0, 0.0))
+    assert(agg.finish(b1).isNaN)
+    val b2 = agg.reduce(agg.reduce(agg.zero, (5.0, 2.0)), (7.0, -2.0))
+    assert(agg.finish(b2).isNaN)
+    assert(agg.finish(agg.zero).isNaN)
+    // and a normal group is unaffected
+    assert(agg.finish(agg.reduce(agg.zero, (5.0, 2.0))) == 5.0)
+  }
+
+  test("SrpSig: bit j == sign of dot(v, Rademacher plane j); packed layout") {
+    val vGen = Gen.chooseNum(1, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10.0, 10.0)))
+    check(Prop.forAll(vGen) { v =>
+      val arr = new GenericArrayData(v.toArray)
+      val words = SrpSig.compute(arr, 128)
+      (0 until 128).forall { j =>
+        val bit = (words.getLong(j / 64) >>> (j % 64)) & 1L
+        // recompute the plane the same deterministic way
+        val dot = v.zipWithIndex.map { case (x, d) =>
+          x * (if (SrpSig.planeSign(j, d)) 1.0 else -1.0)
+        }.sum
+        bit == (if (dot > 0) 1L else 0L)
+      }
+    })
+  }
+
   test("TableRef.parse is the inverse of toString for dotless levels") {
     import graft.catalog.{Namespace, TableRef}
     val level = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
