@@ -75,12 +75,17 @@ object CatalogMigrationCLI {
               java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
           } catch { case _: Exception => () }
         }
+        // R22: engine (slf4j) lines — register/delete failure reasons —
+        // also land in catalog_migration.log, like the reference's
+        // root-logger file appender (logback.xml:20-45)
+        val detachEngineLog = EngineLogFile.attach(logFile)
         try execute(opts, readLine, log)
         catch {
           case e: Exception =>
             log(s"Error: ${e.getMessage}")
             1
         }
+        finally detachEngineLog()
     }
   }
 

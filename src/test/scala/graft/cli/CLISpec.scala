@@ -93,6 +93,10 @@ class CLISpec extends AnyFunSuite {
     assert(lines.exists(_.contains("Failed to register 1 tables")))
     val failed = Files.readAllLines(out.resolve("failed_identifiers.txt"))
     assert(failed.size() == 1 && failed.get(0) == "dummy.tblx")
+    // R22: the engine's failure REASON (slf4j line) must be in the file
+    // the summary tells users to check, not just the CLI console mirror
+    val logText = Files.readString(out.resolve("catalog_migration.log"))
+    assert(logText.contains("Unable to register the table dummy.tblx"), logText)
   }
 
   test("prompt: 'no' aborts with exit 1; invalid input reprompts; 'yes' proceeds") {
