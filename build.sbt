@@ -9,6 +9,14 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
+// Version flows from build metadata into the runtime (reference parity:
+// cli CLIVersionProvider reads version.properties) — BuildInfo loads this
+// resource instead of hardcoding a string.
+Compile / resourceGenerators += Def.task {
+  val f = (Compile / resourceManaged).value / "graft" / "cli" / "version.properties"
+  IO.write(f, s"version=${version.value}\n")
+  Seq(f)
+}.taskValue
 Test / fork := true
 run / fork := true
 // Pass the forked JVM's stdout through raw instead of sbt's "[info] "

@@ -371,6 +371,15 @@ object CatalogMigrationCLI {
       |""".stripMargin
 }
 
+/** Runtime build metadata, read from the sbt-generated
+  * `graft/cli/version.properties` resource — the reference reads its
+  * version the same way (cli/.../CLIVersionProvider.java:22-35) rather
+  * than compiling in a string. */
 object BuildInfo {
-  val version = "0.1.0"
+  val version: String = {
+    val p = new java.util.Properties()
+    val in = getClass.getResourceAsStream("/graft/cli/version.properties")
+    if (in != null) try p.load(in) finally in.close()
+    Option(p.getProperty("version")).getOrElse("unknown")
+  }
 }

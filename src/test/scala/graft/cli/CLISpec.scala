@@ -210,8 +210,13 @@ class CLISpec extends AnyFunSuite {
     assert(lines.exists(_.contains("Successfully migrated 244 tables")))
   }
 
-  test("--version and --help exit 0") {
-    assert(runCli(Seq("--version"))._1 == 0)
+  test("--version reflects build metadata (not a hardcoded string); --help exits 0") {
+    val (code, lines) = runCli(Seq("--version"))
+    assert(code == 0)
+    // the version resource is generated by sbt from build.sbt's version —
+    // a missing resource would surface here as "unknown"
+    assert(BuildInfo.version != "unknown")
+    assert(lines == Seq(s"catalog-migrator ${BuildInfo.version}"))
     assert(runCli(Seq("--help"))._1 == 0)
     assert(runCli(Seq.empty)._1 == 2)
   }
