@@ -7,55 +7,160 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** Data-plane glue between catalogs and Spark.
   *
   * A table's metadata file is a small JSON document recording where the
-  * parquet data lives; a catalog entry is a pointer to that file. Reading
-  * a table through any catalog resolves pointer → metadata → parquet scan,
-  * so after a migration the target catalog serves the same bytes without
-  * any data movement (the reference's core invariant,
+  * parquet data lives — and, when the table has a physical layout, its
+  * partition/bucket spec. A catalog entry is a pointer to that file.
+  * Reading a table through any catalog resolves pointer → metadata →
+  * parquet scan, so after a migration the target catalog serves the same
+  * bytes without any data movement (the reference's core invariant,
   * CatalogMigrator.java:212-213).
+  *
+  * Layout at scale: a `partitionColumns` layout gives directory-style
+  * partition pruning through every read path (including the DSv2
+  * [[graft.sources.GraftSparkCatalog]], whose ParquetTable infers the
+  * same directories). A bucket layout gives shuffle-free co-located
+  * joins; Spark's bucketed execution lives in the session-catalog (V1)
+  * read path — V2 scans would need a custom storage-partitioned-join
+  * Scan — so [[attachAsSessionTable]] projects a catalog table's recorded
+  * layout into the session catalog (external table, same files, CLUSTERED
+  * BY from the metadata), which is the supported vehicle for bucketed
+  * plans. The graft catalog's metadata JSON stays the single source of
+  * truth for the spec.
   */
 object CatalogIO {
 
-  private val DataLocRe = """"dataLocation"\s*:\s*"([^"]*)"""".r
+  /** Physical layout of a table, as recorded in its metadata JSON. */
+  final case class TableLayout(
+      dataLocation: String,
+      partitionColumns: Seq[String] = Nil,
+      numBuckets: Option[Int] = None,
+      bucketColumns: Seq[String] = Nil,
+      sortColumns: Seq[String] = Nil)
 
-  def metadataJson(tableLocation: String, dataLocation: String): String =
+  private val DataLocRe = """"dataLocation"\s*:\s*"([^"]*)"""".r
+  private def arrRe(field: String) =
+    new scala.util.matching.Regex("\"" + field + "\"\\s*:\\s*\\[([^\\]]*)\\]")
+  private val NumBucketsRe = """"numBuckets"\s*:\s*(\d+)""".r
+  private val QuotedRe = """"([^"]*)"""".r
+
+  def metadataJson(tableLocation: String, dataLocation: String,
+      layout: TableLayout = TableLayout("")): String = {
+    def arr(name: String, vs: Seq[String]): String =
+      if (vs.isEmpty) ""
+      else s"""  "$name": [${vs.map("\"" + _ + "\"").mkString(", ")}],\n"""
     s"""{
        |  "formatVersion": 1,
        |  "location": "$tableLocation",
-       |  "dataLocation": "$dataLocation"
+       |${arr("partitionColumns", layout.partitionColumns)}${
+        layout.numBuckets.map(n => s"""  "numBuckets": $n,\n""").getOrElse("")
+      }${arr("bucketColumns", layout.bucketColumns)}${
+        arr("sortColumns", layout.sortColumns)
+      }  "dataLocation": "$dataLocation"
        |}
        |""".stripMargin
+  }
 
   /** Create a physical table in a Hadoop warehouse: parquet data +
-    * v1 metadata + pointer commit. Returns the metadata-file location. */
+    * v1 metadata + pointer commit. Optional partition columns produce a
+    * directory-partitioned layout (pruned by every reader); an optional
+    * (numBuckets, bucketColumns) spec produces Spark-bucketed files
+    * (shuffle-free joins via [[attachAsSessionTable]]). Returns the
+    * metadata-file location. */
   def createTable(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
-      df: DataFrame): String = {
+      df: DataFrame, partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None,
+      sortBy: Seq[String] = Nil): String = {
     if (cat.tableExists(ref))
       throw new AlreadyExistsException(s"Table already exists: $ref")
     val dir = cat.tableDir(ref)
     val dataDir = new Path(dir, "data")
-    df.write.mode("errorifexists").parquet(dataDir.toString)
+    bucketBy match {
+      case Some((n, cols)) =>
+        // bucketBy can only target a table, not a bare path: write through
+        // a throwaway EXTERNAL session table at our data dir, then drop
+        // the entry (external ⇒ the bucketed files stay)
+        val tmp = s"graft_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+        var w = df.write.mode("errorifexists").option("path", dataDir.toString)
+        if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+        w = w.bucketBy(n, cols.head, cols.tail: _*)
+        if (sortBy.nonEmpty) w = w.sortBy(sortBy.head, sortBy.tail: _*)
+        w.saveAsTable(tmp)
+        spark.sql(s"DROP TABLE `$tmp`")
+      case None if partitionBy.nonEmpty =>
+        df.write.mode("errorifexists").partitionBy(partitionBy: _*)
+          .parquet(dataDir.toString)
+      case None =>
+        df.write.mode("errorifexists").parquet(dataDir.toString)
+    }
+    val layout = TableLayout(dataDir.toString, partitionBy,
+      bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy)
     val metaDir = new Path(dir, "metadata")
     cat.fileSystem.mkdirs(metaDir)
     val metaFile = new Path(metaDir, "v1.metadata.json")
-    cat.writeText(metaFile, metadataJson(dir.toString, dataDir.toString))
+    cat.writeText(metaFile, metadataJson(dir.toString, dataDir.toString, layout))
     cat.registerTable(ref, metaFile.toString)
     metaFile.toString
   }
 
-  def readDataLocation(metadataLocation: String,
-      conf: Configuration = new Configuration()): String = {
+  private def readMetadataText(metadataLocation: String, conf: Configuration): String = {
     val p = new Path(metadataLocation)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)
-    val text = try new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-    DataLocRe.findFirstMatchIn(text)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  def readDataLocation(metadataLocation: String,
+      conf: Configuration = new Configuration()): String =
+    readLayout(metadataLocation, conf).dataLocation
+
+  /** Parse the layout block of a metadata file (fields absent in
+    * pre-layout metadata default to an unpartitioned, unbucketed table —
+    * forward-compatible with every v1 pointer already committed). */
+  def readLayout(metadataLocation: String,
+      conf: Configuration = new Configuration()): TableLayout = {
+    val text = readMetadataText(metadataLocation, conf)
+    val dataLoc = DataLocRe.findFirstMatchIn(text)
       .map(_.group(1))
       .getOrElse(throw new IllegalStateException(
         s"No dataLocation in metadata file $metadataLocation"))
+    def arr(field: String): Seq[String] =
+      arrRe(field).findFirstMatchIn(text)
+        .map(m => QuotedRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+        .getOrElse(Nil)
+    TableLayout(dataLoc, arr("partitionColumns"),
+      NumBucketsRe.findFirstMatchIn(text).map(_.group(1).toInt),
+      arr("bucketColumns"), arr("sortColumns"))
   }
 
   /** Resolve a table through its catalog and scan it. */
   def readTable(spark: SparkSession, cat: Catalog, ref: TableRef): DataFrame =
     spark.read.parquet(readDataLocation(cat.loadTableMetadataLocation(ref)))
+
+  /** Project a catalog table's recorded layout into the session catalog
+    * as an EXTERNAL table over the same files, so Spark's bucketed
+    * execution applies: two tables bucketed on the join key with equal
+    * bucket counts then join with no shuffle exchange. The bucket/
+    * partition spec comes from the catalog's metadata JSON — the caller
+    * names nothing twice. Partitioned layouts are registered and their
+    * partitions recovered. Returns the attached name. */
+  def attachAsSessionTable(spark: SparkSession, cat: Catalog, ref: TableRef,
+      name: String, conf: Configuration = new Configuration()): String = {
+    val layout = readLayout(cat.loadTableMetadataLocation(ref), conf)
+    val schema = spark.read.parquet(layout.dataLocation).schema
+    val pb =
+      if (layout.partitionColumns.isEmpty) ""
+      else layout.partitionColumns.mkString(" PARTITIONED BY (`", "`, `", "`)")
+    val cb = layout.numBuckets.map { n =>
+      val sorted =
+        if (layout.sortColumns.isEmpty) ""
+        else layout.sortColumns.mkString(" SORTED BY (`", "`, `", "`)")
+      layout.bucketColumns.mkString(" CLUSTERED BY (`", "`, `", "`)") +
+        sorted + s" INTO $n BUCKETS"
+    }.getOrElse("")
+    spark.sql(s"CREATE TABLE `$name` (${schema.toDDL}) USING parquet" +
+      pb + cb + s" LOCATION '${layout.dataLocation}'")
+    if (layout.partitionColumns.nonEmpty)
+      spark.sql(s"MSCK REPAIR TABLE `$name`")
+    name
+  }
 }

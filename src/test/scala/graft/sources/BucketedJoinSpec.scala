@@ -1,6 +1,9 @@
 package graft.sources
 
+import java.nio.file.Files
+
 import graft.TestSpark
+import graft.catalog.{CatalogConfig, CatalogFactory, CatalogIO, HadoopFsCatalog, TableRef}
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -47,6 +50,54 @@ class BucketedJoinSpec extends AnyFunSuite {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.sql("DROP TABLE IF EXISTS graft_orders_b")
       spark.sql("DROP TABLE IF EXISTS graft_lineitem_b")
+    }
+  }
+
+  test("catalog-served bucketed tables join without a shuffle (spec from metadata JSON)") {
+    val dir = "/root/testdata/sf0.001"
+    val wh = Files.createTempDirectory("bucket-wh").toString
+    val cat = CatalogFactory.build(CatalogConfig("hadoop", "bwh",
+      Map("warehouse" -> wh))).asInstanceOf[HadoopFsCatalog]
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // layout recorded in the graft catalog's metadata JSON at create time
+      CatalogIO.createTable(spark, cat, TableRef.parse("db.orders_b"),
+        graft.Tables(spark, dir, "orders"),
+        bucketBy = Some((8, Seq("o_orderkey"))), sortBy = Seq("o_orderkey"))
+      CatalogIO.createTable(spark, cat, TableRef.parse("db.lineitem_b"),
+        graft.Tables(spark, dir, "lineitem"),
+        bucketBy = Some((8, Seq("l_orderkey"))), sortBy = Seq("l_orderkey"))
+      // the layout round-trips through the metadata file, not caller args
+      val layout = CatalogIO.readLayout(
+        cat.loadTableMetadataLocation(TableRef.parse("db.orders_b")))
+      assert(layout.numBuckets.contains(8) &&
+        layout.bucketColumns == Seq("o_orderkey") &&
+        layout.sortColumns == Seq("o_orderkey"))
+
+      // attach projects the recorded spec into the session catalog
+      CatalogIO.attachAsSessionTable(spark, cat, TableRef.parse("db.orders_b"),
+        "graft_cat_orders_b")
+      CatalogIO.attachAsSessionTable(spark, cat, TableRef.parse("db.lineitem_b"),
+        "graft_cat_lineitem_b")
+
+      val joined = spark.table("graft_cat_orders_b")
+        .join(spark.table("graft_cat_lineitem_b"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("c"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"expected a SortMergeJoin in:\n$plan")
+      assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"), plan)
+
+      val direct = graft.Tables(spark, dir, "orders")
+        .join(graft.Tables(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("c"))
+        .collect().map(_.mkString("|")).sorted.toSeq
+      assert(joined.collect().map(_.mkString("|")).sorted.toSeq == direct)
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.sql("DROP TABLE IF EXISTS graft_cat_orders_b")
+      spark.sql("DROP TABLE IF EXISTS graft_cat_lineitem_b")
+      cat.close()
     }
   }
 }

@@ -34,4 +34,32 @@ class PartitionedWriteSpec extends AnyFunSuite {
     val dayDirs = new java.io.File(dir).listFiles().count(_.getName.startsWith("day="))
     assert(dayDirs.toLong == days)
   }
+
+  test("partitioned catalog table is pruned through the DSv2 catalog read path") {
+    import graft.catalog.{CatalogConfig, CatalogFactory, CatalogIO, HadoopFsCatalog, TableRef}
+    val wh = Files.createTempDirectory("part-wh").toString
+    val cat = CatalogFactory.build(CatalogConfig("hadoop", "pwh",
+      Map("warehouse" -> wh))).asInstanceOf[HadoopFsCatalog]
+    try {
+      val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("day", to_date(col("ts")))
+      CatalogIO.createTable(spark, cat, TableRef.parse("db.events_p"), ev,
+        partitionBy = Seq("day"))
+      assert(CatalogIO.readLayout(
+        cat.loadTableMetadataLocation(TableRef.parse("db.events_p")))
+        .partitionColumns == Seq("day"))
+
+      spark.conf.set("spark.sql.catalog.gpart", classOf[GraftSparkCatalog].getName)
+      spark.conf.set("spark.sql.catalog.gpart.type", "hadoop")
+      spark.conf.set("spark.sql.catalog.gpart.warehouse", wh)
+      val oneDay = ev.groupBy("day").count().orderBy("day").collect().head
+      val q = spark.sql(
+        s"SELECT * FROM gpart.db.events_p WHERE day = DATE'${oneDay.getDate(0)}'")
+      assert(q.count() == oneDay.getLong(1))
+      // the day filter must prune partition directories at the scan, not
+      // surface as a post-scan data filter
+      val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("day"), scan)
+    } finally cat.close()
+  }
 }
