@@ -40,6 +40,9 @@ def main():
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # queries sharing one oracle text (d01-d03 Jaccard, d04/d05 embed)
+    # compute it once
+    oracle_cache = {}
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
             continue
@@ -50,7 +53,9 @@ def main():
             continue
         try:
             got_cols, got_types, got = frame(con, f"SELECT * FROM '{res_glob}'")
-            want_cols, want_types, want = frame(con, sql)
+            if sql not in oracle_cache:
+                oracle_cache[sql] = frame(con, sql)
+            want_cols, want_types, want = oracle_cache[sql]
         except Exception as e:
             print(f"FAIL {name}: {e}")
             n_fail += 1

@@ -468,18 +468,22 @@ object SparkEntry {
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.46 ORDER BY 1, 2""".stripMargin
 
   /** Shared oracle for the three text near-dup detectors: exact 3-word
-    * shingle Jaccard ≥ 0.8 over pairs a < b. */
+    * shingle Jaccard ≥ 0.8 over pairs a < b. Common-shingle counts come
+    * from an exploded self-join (inverted index) instead of per-pair
+    * `list_intersect` over the n²/2 cartesian — identical output (same
+    * integer counts → same doubles → same rounding), measured 590 s →
+    * 1 s in DuckDB at sf0.1, which makes the cross-SF sweep routine. */
   private val JaccardOracle: String =
     """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       |sh AS (SELECT doc_id,
       |  CASE WHEN len(t) >= 3
       |   THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
-      |   ELSE [] END AS s FROM tk)
-      |SELECT a.doc_id AS a, b.doc_id AS b,
-      | ROUND(len(list_intersect(a.s, b.s)) * 1.0 /
-      |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 4) AS j
-      |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-      |WHERE len(list_intersect(a.s, b.s)) * 1.0 /
-      |  (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.8
+      |   ELSE [] END AS s FROM tk),
+      |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS sg FROM sh),
+      |co AS (SELECT a.doc_id AS a, b.doc_id AS b, a.n AS na, b.n AS nb, COUNT(*) AS c
+      |       FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+      |       GROUP BY 1, 2, 3, 4)
+      |SELECT a, b, ROUND(c * 1.0 / (na + nb - c), 4) AS j
+      |FROM co WHERE c * 1.0 / (na + nb - c) >= 0.8
       |ORDER BY 1, 2""".stripMargin
 }
