@@ -336,8 +336,8 @@ object CatalogMigrationCLI {
     false
   }
 
-  private def activeSpark(): SparkSession =
-    SparkSession.getActiveSession.getOrElse {
+  private def activeSpark(): SparkSession = {
+    val s = SparkSession.getActiveSession.getOrElse {
       SparkSession.builder()
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
         .appName("catalog-migration-cli")
@@ -345,6 +345,11 @@ object CatalogMigrationCLI {
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     }
+    // a cluster user who forgot to attach a session should see that the
+    // run fell back to a local master rather than silently running local
+    System.err.println(s"[catalog-migrator] Spark master: ${s.sparkContext.master}")
+    s
+  }
 
   private val usage: String =
     """Usage: catalog-migrator (migrate | register) [options]

@@ -62,4 +62,35 @@ class PartitionedWriteSpec extends AnyFunSuite {
       assert(scan.contains("PartitionFilters") && scan.contains("day"), scan)
     } finally cat.close()
   }
+
+  test("IVF probe over a label-partitioned embedding layout scans only probed lists") {
+    // the s02 scale shape: embeddings written partitioned by the IVF list
+    // key (label), so probing nprobe lists is partition pruning, not a
+    // full scan — at 100 TB the probe cost tracks the probed lists only
+    import graft.catalog.{CatalogConfig, CatalogFactory, CatalogIO, HadoopFsCatalog, TableRef}
+    val wh = Files.createTempDirectory("ivf-wh").toString
+    val cat = CatalogFactory.build(CatalogConfig("hadoop", "ivfwh",
+      Map("warehouse" -> wh))).asInstanceOf[HadoopFsCatalog]
+    try {
+      val emb = graft.Tables(spark, "/root/testdata/sf0.001", "embeddings")
+      CatalogIO.createTable(spark, cat, TableRef.parse("db.emb_p"), emb,
+        partitionBy = Seq("label"))
+      val labels = emb.select("label").distinct().count()
+      assert(labels > 3, s"fixture needs several lists, got $labels")
+      val dataDir = CatalogIO.readDataLocation(
+        cat.loadTableMetadataLocation(TableRef.parse("db.emb_p")))
+      // probe 2 of the lists (in annIvf these come from the centroid
+      // ranking — metadata-sized, collected to drive static pruning)
+      val probed = spark.read.parquet(dataDir)
+        .filter(col("label").isin(0, 1))
+      val scan = probed.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("label"), scan)
+      // pruning is real: only the probed lists' files are read
+      val probedFiles = probed.select(input_file_name()).distinct().count()
+      val allFiles = spark.read.parquet(dataDir)
+        .select(input_file_name()).distinct().count()
+      assert(probedFiles < allFiles,
+        s"probe read $probedFiles of $allFiles files — no pruning")
+    } finally cat.close()
+  }
 }
