@@ -21,9 +21,14 @@ object Run {
     spark.sparkContext.setLogLevel("WARN")
     val df = SparkEntry.queries(name)(spark, sfDir)
     if (doExplain) df.explain("formatted")
+    // time a parquet write (same action as Verify/Bench) — under count()
+    // Catalyst prunes the columns being measured
+    val tmp = java.nio.file.Files.createTempDirectory("graft_run").toString
     val t0 = System.nanoTime()
-    val n = df.count()
-    println(f"[run] $name: $n rows in ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    df.write.mode("overwrite").parquet(s"$tmp/$name")
+    val secs = (System.nanoTime() - t0) / 1e9
+    val n = spark.read.parquet(s"$tmp/$name").count()
+    println(f"[run] $name: $n rows in $secs%.2f s (write-timed)")
     spark.stop()
   }
 }

@@ -23,6 +23,7 @@ object SparkEntry {
     "q02_filter" -> (Relational.q02 _),
     "q03_like_between" -> (Relational.q03 _),
     "q04_agg_tpch1" -> (Relational.q04 _),
+    "q04b_agg_fastexact" -> (Relational.q04b _),
     "q05_count_distinct" -> (Relational.q05 _),
     "q06_join_inner" -> (Relational.q06 _),
     "q07_join_left" -> (Relational.q07 _),
@@ -73,6 +74,9 @@ object SparkEntry {
     "q48_corr" -> (Relational.q48 _),
     "q49_grouping_sets" -> (Relational.q49 _),
     "q50_window_extra" -> (Relational.q50 _),
+    "q51_tpch5" -> (Relational.q51 _),
+    "q52_tpch12" -> (Relational.q52 _),
+    "q53_tpch14" -> (Relational.q53 _),
     "d01_dedup_jaccard" -> (Dedup.ngramJaccard _),
     "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_dedup_simhash" -> (Dedup.simhash _),
@@ -99,6 +103,14 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(38,4))), 4) AS DOUBLE) AS s_qty,
         | CAST(ROUND(CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / COUNT(*) AS DECIMAL(38,4)), 4) AS DOUBLE) AS a_price
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // scaled-fixed-point exact aggregation: sums are integers in both
+    // engines (DuckDB's HUGEINT sum cast back to BIGINT), so the only
+    // float arithmetic is the identical final division
+    "q04b_agg_fastexact" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt,
+        | CAST(SUM(CAST(ROUND(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS s_qty10k,
+        | ROUND(CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) / 100.0 / COUNT(*), 4) AS a_price_f
         |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q05_count_distinct" ->
       "SELECT COUNT(DISTINCT l_suppkey) AS d FROM lineitem",
@@ -368,6 +380,35 @@ object SparkEntry {
         | ROUND(CUME_DIST() OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey), 4) AS cd,
         | regexp_extract(p_name, '([a-z]+)$', 1) AS last_word
         |FROM part ORDER BY 1""".stripMargin,
+    "q51_tpch5" ->
+      """SELECT n_name,
+        | CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))), 4) AS DOUBLE) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        | AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1997-01-01'
+        |GROUP BY 1 ORDER BY revenue DESC, n_name""".stripMargin,
+    "q52_tpch12" ->
+      """SELECT l_returnflag,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q53_tpch14" ->
+      """WITH a AS (
+        | SELECT
+        |  CAST(ROUND(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+        |    THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END AS DECIMAL(38,4))), 4) AS DOUBLE) AS promo_rev,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))), 4) AS DOUBLE) AS total_rev
+        | FROM lineitem JOIN part ON l_partkey = p_partkey
+        | WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-06-01')
+        |SELECT promo_rev, total_rev, ROUND(100.0 * promo_rev / total_rev, 4) AS promo_pct
+        |FROM a""".stripMargin,
     "q36_udaf_wavg" ->
       """SELECT l_returnflag,
         | ROUND(CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(38,4))) AS DOUBLE)

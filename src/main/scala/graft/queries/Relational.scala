@@ -561,6 +561,74 @@ object Relational {
       .orderBy($"p_partkey")
   }
 
+  // E9 — the scaled-fixed-point fast path for exact aggregation: when a
+  // column's decimal scale is known (quantity 4dp, price 2dp), summing
+  // `round(x·10^s)` as LONG is exact, shuffle-order-proof, AND stays in
+  // whole-stage codegen's primitive path — the q04 DECIMAL(38,4) sums
+  // cost ~13 s at sf0.1 (boxed 128-bit decimal adds) where this shape is
+  // a vectorizable long sum. This is how production engines aggregate
+  // fixed-point at 100 TB; overflow headroom: 1.5e9 rows × 5e5 ≪ 2^63.
+  def q04b(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(count(lit(1)).as("cnt"),
+        sum(round($"l_quantity" * 10000).cast(LongType)).as("s_qty10k"),
+        sum(round($"l_extendedprice" * 100).cast(LongType)).as("s_price_c"))
+      .select($"l_returnflag", $"l_linestatus", $"cnt", $"s_qty10k",
+        round(($"s_price_c" / 100.0) / $"cnt", 4).as("a_price_f"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+
+  // TPC-H Q5 shape — local-supplier revenue by nation: six-way join where
+  // the supplier must be in the customer's nation (two join keys on the
+  // supplier side), region+date filters pushed to the scans, dims
+  // broadcast, one revenue aggregation.
+  def q51(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast(DateType) &&
+          $"o_orderdate" < lit("1997-01-01").cast(DateType)),
+        $"c_custkey" === $"o_custkey")
+      .join(Tables(s, dir, "lineitem"), $"o_orderkey" === $"l_orderkey")
+      .join(Tables(s, dir, "supplier"),
+        $"l_suppkey" === $"s_suppkey" && $"c_nationkey" === $"s_nationkey")
+      .join(broadcast(Tables(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(s, dir, "region")).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"n_name")
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"revenue".desc, $"n_name")
+
+  // TPC-H Q12 shape — conditional line counts over a date-windowed join
+  // (shipmode is not in this schema; returnflag takes its grouping role).
+  def q52(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast(DateType) &&
+        $"l_shipdate" < lit("1997-01-01").cast(DateType))
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .groupBy($"l_returnflag")
+      .agg(
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 1).otherwise(0))
+          .as("high_line_count"),
+        sum(when($"o_orderpriority".isin("1-URGENT", "2-HIGH"), 0).otherwise(1))
+          .as("low_line_count"))
+      .orderBy($"l_returnflag")
+
+  // TPC-H Q14 shape — promo revenue share: date-windowed fact ⋈ part,
+  // two exact-decimal sums, ratio computed from the rounded doubles with
+  // identical arithmetic on both engines.
+  def q53(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-03-01").cast(DateType) &&
+        $"l_shipdate" < lit("1996-06-01").cast(DateType))
+      .join(Tables(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .agg(
+        dsum(when($"p_type".startsWith("PROMO"),
+          $"l_extendedprice" * (lit(1.0) - $"l_discount")).otherwise(lit(0.0)))
+          .as("promo_rev"),
+        dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("total_rev"))
+      .select($"promo_rev", $"total_rev",
+        round(lit(100.0) * $"promo_rev" / $"total_rev", 4).as("promo_pct"))
+
   // E9 — numerically-stable distributed stats: exact decimal sums of x
   // and x², then identical IEEE double arithmetic on both engines.
   // Shuffle-safe: the decimal partial sums are associative, so partial
