@@ -22,9 +22,10 @@ object Bench {
   /** Queries whose timings ride inline in the stdout JSON line (keeps the
     * line short); every query's timing is in bench_queries.json. */
   private val headline = Set(
-    "q04_agg_tpch1", "q08_join_star", "q15_window_frame", "q45_tpch3",
-    "q46_tpch10", "d01_dedup_jaccard", "d02_dedup_minhash_lsh",
-    "d03_dedup_simhash", "d05_dedup_embed_lsh", "s01_cosine_topk",
+    "q04_agg_tpch1", "q04b_agg_fastexact", "q08_join_star",
+    "q15_window_frame", "q45_tpch3", "q46_tpch10", "q51_tpch5",
+    "d01_dedup_jaccard", "d02_dedup_minhash_lsh", "d03_dedup_simhash",
+    "d05_dedup_embed_lsh", "m01_image_decode", "s01_cosine_topk",
     "s02_ann_ivf", "t04_fingerprint")
 
   private def fmt(v: Double): String = f"$v%.3f"

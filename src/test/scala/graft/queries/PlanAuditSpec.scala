@@ -63,4 +63,11 @@ class PlanAuditSpec extends AnyFunSuite {
     val p = plan("q04_agg_tpch1")
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
+
+  test("q51: six-way join broadcasts dims and pushes the date window to the scan") {
+    val p = plan("q51_tpch5")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("GreaterThanOrEqual(o_orderdate,"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
