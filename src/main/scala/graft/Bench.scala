@@ -28,7 +28,10 @@ object Bench {
     "d05_dedup_embed_lsh", "m01_image_decode", "s01_cosine_topk",
     "s02_ann_ivf", "t04_fingerprint")
 
-  private def fmt(v: Double): String = f"$v%.3f"
+  // Locale.ROOT: a comma-decimal default locale would otherwise turn the
+  // JSON lines into {"total":71,422,...}
+  private def fmt(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -29,6 +29,11 @@ object Run {
     val secs = (System.nanoTime() - t0) / 1e9
     val n = spark.read.parquet(s"$tmp/$name").count()
     println(f"[run] $name: $n rows in $secs%.2f s (write-timed)")
+    try {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tmp)).iterator().asScala
+        .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+    } catch { case _: Throwable => }
     spark.stop()
   }
 }

@@ -71,6 +71,11 @@ object CatalogIO {
       sortBy: Seq[String] = Nil): String = {
     if (cat.tableExists(ref))
       throw new AlreadyExistsException(s"Table already exists: $ref")
+    // sortBy only materializes through the bucketed writer; recording it
+    // for an unbucketed layout would put a sort order in the metadata
+    // that the files don't have
+    require(sortBy.isEmpty || bucketBy.isDefined,
+      "sortBy requires bucketBy (Spark sorts within buckets)")
     val dir = cat.tableDir(ref)
     val dataDir = new Path(dir, "data")
     bucketBy match {

@@ -59,13 +59,15 @@ object EngineLogFile {
       val appender = new LineAppender(name, logFile)
       appender.start()
       config.addAppender(appender)
-      val loggerConfig = config.getLoggerConfig(LoggerName) match {
-        case lc if lc.getName == LoggerName => lc
+      val (loggerConfig, created) = config.getLoggerConfig(LoggerName) match {
+        case lc if lc.getName == LoggerName => (lc, false)
         case _ =>
           val lc = new LoggerConfig(LoggerName, Level.INFO, /* additive = */ false)
           config.addLogger(LoggerName, lc)
-          lc
+          (lc, true)
       }
+      val prevLevel = loggerConfig.getLevel
+      val prevAdditive = loggerConfig.isAdditive
       loggerConfig.setLevel(Level.INFO)
       loggerConfig.setAdditive(false)
       loggerConfig.addAppender(appender, Level.INFO, null)
@@ -77,6 +79,13 @@ object EngineLogFile {
           loggerConfig.removeAppender(name)
           config.getAppenders.remove(name)
           appender.stop()
+          // a non-additive LoggerConfig left behind with no appenders
+          // would blackhole all later graft.catalog logging in this JVM
+          if (created) config.removeLogger(LoggerName)
+          else {
+            loggerConfig.setLevel(prevLevel)
+            loggerConfig.setAdditive(prevAdditive)
+          }
           ctx.updateLoggers()
         }
     } catch { case _: Throwable => () => () }

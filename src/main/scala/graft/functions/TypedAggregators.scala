@@ -32,12 +32,15 @@ class WeightedAvg extends Aggregator[(Double, Double), WAvgBuf, Double] {
   override def merge(a: WAvgBuf, b: WAvgBuf): WAvgBuf =
     WAvgBuf(a.num.add(b.num), a.den.add(b.den))
 
-  override def finish(b: WAvgBuf): Double =
+  override def finish(b: WAvgBuf): Double = {
     // zero total weight has no defined mean — return NaN rather than let
-    // BigDecimal.valueOf(±Inf/NaN) throw and fail the whole query
-    if (b.den.signum == 0) Double.NaN
-    else JBigDecimal.valueOf(b.num.doubleValue() / b.den.doubleValue())
-      .setScale(4, RoundingMode.HALF_UP).doubleValue()
+    // BigDecimal.valueOf(±Inf/NaN) throw and fail the whole query; the
+    // same applies when a double-range-exceeding sum divides to ±Inf/NaN
+    if (b.den.signum == 0) return Double.NaN
+    val raw = b.num.doubleValue() / b.den.doubleValue()
+    if (raw.isNaN || raw.isInfinite) raw
+    else JBigDecimal.valueOf(raw).setScale(4, RoundingMode.HALF_UP).doubleValue()
+  }
 
   override def bufferEncoder: Encoder[WAvgBuf] = Encoders.product[WAvgBuf]
   override def outputEncoder: Encoder[Double] = Encoders.scalaDouble

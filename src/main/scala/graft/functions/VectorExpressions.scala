@@ -293,10 +293,15 @@ object SrpSig {
   private[functions] def planeSign(j: Int, d: Int): Boolean =
     mix64(j.toLong * 1000003L + d) >= 0L
 
+  /** Cache only a handful of shapes — a workload over ragged vector
+    * dimensions must not accumulate an unbounded set of matrices for
+    * the executor's lifetime (384 bits × 1536 dims ≈ 4.7 MB each). */
+  private val MaxCachedShapes = 8
+
   /** Row-major ±1 hyperplane matrix [nbits × dim], deterministic in
     * (bit index, dimension) so every executor materializes the same one. */
-  private def signs(nbits: Int, dim: Int): Array[Double] =
-    planes.computeIfAbsent((nbits.toLong << 32) | dim, _ => {
+  private def signs(nbits: Int, dim: Int): Array[Double] = {
+    def build: Array[Double] = {
       val m = new Array[Double](nbits * dim)
       var j = 0
       while (j < nbits) {
@@ -308,7 +313,13 @@ object SrpSig {
         j += 1
       }
       m
-    })
+    }
+    val key = (nbits.toLong << 32) | dim
+    val cached = planes.get(key)
+    if (cached != null) cached
+    else if (planes.size >= MaxCachedShapes) build // compute-per-call past the cap
+    else planes.computeIfAbsent(key, _ => build)
+  }
 
   def compute(arr: ArrayData, nbits: Int): ArrayData = {
     val dim = arr.numElements()

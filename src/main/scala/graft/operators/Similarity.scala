@@ -88,13 +88,16 @@ object Similarity {
     require(nbits % 64 == 0, s"bands*rowsPerBand must pack into longs, got $nbits")
     // bands must not straddle signature words for the single-shift extract
     require(64 % rowsPerBand == 0, s"rowsPerBand must divide 64, got $rowsPerBand")
+    // (1L << 64) wraps to 1L in JVM shift semantics — a full-word band
+    // needs the all-ones mask spelled out or every bv collapses to 0
+    val mask = if (rowsPerBand == 64) -1L else (1L << rowsPerBand) - 1
     val banded = df
       .withColumn("sig", expr(s"graft_srp(v, $nbits)"))
       .select(col("id"), posexplode(expr(
         s"""transform(sequence(0, ${bands - 1}), k ->
            | shiftright(element_at(sig, CAST(k * $rowsPerBand DIV 64 AS INT) + 1),
            |            CAST(k * $rowsPerBand % 64 AS INT))
-           |  & ${(1L << rowsPerBand) - 1}L)""".stripMargin)).as(Seq("band", "bv")))
+           |  & ${mask}L)""".stripMargin)).as(Seq("band", "bv")))
     banded.as("x")
       .join(banded.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&

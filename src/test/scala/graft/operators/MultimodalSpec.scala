@@ -117,4 +117,25 @@ class MultimodalSpec extends AnyFunSuite {
     assert(ft.columns.toSet == Set("media_id", "kind", "n_bytes", "v", "nrm"))
     assert(ft.filter(org.apache.spark.sql.functions.col("nrm") <= 0).count() == 0)
   }
+
+  test("cross-modal dedup: duplicate images surface through SRP-LSH over features") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val s = spark
+    graft.functions.VectorFunctions.register(spark)
+    // two byte-identical images planted under different ids in a corpus
+    // of distinct images → identical feature vectors → cosine 1
+    val dup = Multimodal.encodeGrayPng(16, 12, (x, y) => (x * 3 + y * 7) % 256)
+    val corpus = (0 until 40).map { i =>
+      val content =
+        if (i == 7 || i == 23) dup
+        else Multimodal.encodeGrayPng(16, 12, (x, y) => (i * 23 + x * 5 + y * 11) % 256)
+      Multimodal.MediaItem(i.toLong, "image", content, 16, 12, 0L)
+    }.toDS()
+    val ft = Multimodal.featureTable(Multimodal.extractFeatures(corpus))
+      .select(col("media_id").as("id"), col("v"))
+    val cand = graft.operators.Similarity.srpCandidates(ft, bands = 8, rowsPerBand = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((7L, 23L)), s"planted duplicate pair not found in $cand")
+  }
 }
