@@ -81,6 +81,7 @@ object SparkEntry {
     "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_dedup_simhash" -> (Dedup.simhash _),
     "d04_dedup_embed" -> (Similarity.embedNearDup _),
+    "d06_dedup_canonical" -> (Dedup.canonical _),
     "d05_dedup_embed_lsh" -> (Similarity.srpNearDup _),
     "m01_image_decode" -> (graft.operators.Multimodal.imageStats _),
     "s01_cosine_topk" -> (Similarity.cosineTopK _),
@@ -432,6 +433,34 @@ object SparkEntry {
     "d02_dedup_minhash_lsh" -> JaccardOracle,
     "d03_dedup_simhash" -> JaccardOracle,
     "d04_dedup_embed" -> EmbedDedupOracle,
+    // connected components via recursive-CTE closure over the Jaccard
+    // pairs; representative = argmax quality score (t02 formula),
+    // tie-broken by min doc_id — mirrors Dedup.canonical exactly
+    "d06_dedup_canonical" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 3
+        |   THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+        |   ELSE [] END AS s FROM tk),
+        |ex AS (SELECT doc_id, len(s) AS n, unnest(s) AS sg FROM sh),
+        |co AS (SELECT a.doc_id AS a, b.doc_id AS b, a.n AS na, b.n AS nb, COUNT(*) AS c
+        |       FROM ex a JOIN ex b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT a, b FROM co WHERE c * 1.0 / (na + nb - c) >= 0.8),
+        |e AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+        |reach(id, r) AS (
+        | SELECT a, a FROM e
+        | UNION
+        | SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+        |cmp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY 1),
+        |q AS (SELECT doc_id, ROUND(LEAST(1.0, len(t) / 100.0) *
+        |        (1.0 - len(list_filter(t, x -> x IN ('the','a','of','and','to'))) * 1.0 / len(t)), 4) AS score
+        |      FROM tk),
+        |ranked AS (SELECT cmp.comp, cmp.id,
+        |  ROW_NUMBER() OVER (PARTITION BY cmp.comp ORDER BY q.score DESC, cmp.id) AS rn
+        | FROM cmp JOIN q ON cmp.id = q.doc_id)
+        |SELECT comp, MAX(CASE WHEN rn = 1 THEN id END) AS keep_doc, COUNT(*) AS n_members
+        |FROM ranked GROUP BY 1 ORDER BY 1""".stripMargin,
     // d05 is the LSH-candidates + exact-verify path for the SAME pairs —
     // recall-guaranteed banding (see Similarity.srpNearDup) makes it
     // exactly reproduce the brute-force oracle.

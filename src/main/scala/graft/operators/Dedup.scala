@@ -110,6 +110,60 @@ object Dedup {
     verified(cand, sh)
   }
 
+  /** Canonical selection — the step after near-dup detection in a
+    * training-data pipeline: group duplicate pairs into clusters
+    * (connected components) and keep ONE representative per cluster, the
+    * highest-quality member.
+    *
+    * Components come from min-label propagation over the undirected pair
+    * graph: every vertex starts labeled with its own id, and each round
+    * takes the min of its own and its neighbors' labels until fixpoint —
+    * each round is one join + one aggregation, so the loop is a driver
+    * loop over declarative plans, converging in O(component diameter)
+    * rounds (near-dup clusters are shallow; typically ≤ 3). At 100 TB
+    * the same loop holds because labels/edges shuffle on id — for
+    * adversarially long chains the large-star/small-star variant
+    * (Kiveris et al., "Connected Components in MapReduce") halves the
+    * diameter per round with the same join+agg primitives.
+    *
+    * The representative is argmax by the t02 quality score (tie-broken
+    * by min doc_id); the component label converges to the min member id,
+    * which the oracle reproduces via a recursive-CTE closure.
+    */
+  def canonical(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select(col("a"), col("b"))
+    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .cache()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id"))
+      .cache()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 50) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("bcomp")).as("nbrComp"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
+        .cache()
+      changed = next.join(labels.select(col("id"), col("comp").as("old")), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      iter += 1
+    }
+    val quality = TextOps.quality(s, dir).select(col("doc_id"), col("score"))
+    val w = Window.partitionBy(col("comp")).orderBy(col("score").desc, col("id"))
+    labels
+      .join(quality, labels("id") === quality("doc_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy(col("comp"))
+      .agg(max(when(col("rn") === 1, col("id"))).as("keep_doc"),
+        count(lit(1)).as("n_members"))
+      .orderBy(col("comp"))
+  }
+
   /** 64-bit SimHash with 13-block pigeonhole blocking (12×5 bits +
     * 1×4 bits — any pair within hamming ≤ 12 shares a block), hamming
     * ≤ 12 pre-filter, then exact Jaccard verification. The simhash
