@@ -10,6 +10,13 @@ import org.apache.spark.sql.functions._
   * expressions (split / filter / aggregate HOFs) — no UDFs — so they scale
   * to a 100 TB `documents` table as embarrassingly-parallel map work with
   * filters/pruning pushed to the parquet scan.
+  *
+  * Each operator is a pure transformation over a frame with
+  * (doc_id, text) — the `*Of` forms — so the same plans run over a batch
+  * table or a Structured Streaming source unchanged (stateless
+  * projections need no watermark; verified in TextStreamSpec). The
+  * `(SparkSession, dir)` faces add the table load and the presentation
+  * order for the oracle gate.
   */
 object TextOps {
 
@@ -21,8 +28,8 @@ object TextOps {
 
   /** Language-ID: count stopword-marker hits per language; argmax with
     * fixed precedence en>de>es>fr>zh so ties are deterministic. */
-  def langId(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+  def langIdOf(docs: DataFrame): DataFrame =
+    docs
       .selectExpr("doc_id", "split(lower(text), ' ') AS t")
       .selectExpr("doc_id",
         s"CAST(size(filter(t, x -> x IN ($En))) AS BIGINT) AS en_hits",
@@ -37,12 +44,14 @@ object TextOps {
           | WHEN es_hits >= fr_hits AND es_hits >= zh_hits THEN 'es'
           | WHEN fr_hits >= zh_hits THEN 'fr'
           | ELSE 'zh' END AS pred""".stripMargin)
-      .orderBy("doc_id")
+
+  def langId(s: SparkSession, dir: String): DataFrame =
+    langIdOf(Tables(s, dir, "documents")).orderBy("doc_id")
 
   /** Quality scoring: token count, avg token length, punctuation count,
     * stopword ratio, and a composite score in [0,1]. */
-  def quality(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
+  def qualityOf(docs: DataFrame): DataFrame =
+    docs
       .selectExpr("doc_id", "text", "split(lower(text), ' ') AS t")
       .selectExpr("doc_id",
         "CAST(size(t) AS BIGINT) AS n_tokens",
@@ -56,24 +65,28 @@ object TextOps {
         "CAST(round(n_chars_ns * 1.0 / n_tokens, 4) AS DOUBLE) AS avg_tok_len",
         "CAST(round(n_stop * 1.0 / n_tokens, 4) AS DOUBLE) AS stop_ratio",
         "CAST(round(least(1.0, n_tokens / 100.0) * (1.0 - n_stop * 1.0 / n_tokens), 4) AS DOUBLE) AS score")
-      .orderBy("doc_id")
+
+  def quality(s: SparkSession, dir: String): DataFrame =
+    qualityOf(Tables(s, dir, "documents")).orderBy("doc_id")
 
   /** BPE-ish token counting: alnum runs + single non-alnum-non-space
     * symbols, the shape of a byte-pair pre-tokenizer's word split. */
+  def tokenCountOf(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id",
+      "CAST(size(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_bpe")
+
   def tokenCount(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .selectExpr("doc_id",
-        "CAST(size(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_bpe")
-      .orderBy("doc_id")
+    tokenCountOf(Tables(s, dir, "documents")).orderBy("doc_id")
 
   /** Document fingerprint: polynomial rolling hash (base 31, mod 1e9+7)
     * over the character stream — an order-sensitive content hash usable
     * for exact-dup detection via groupBy(fp). */
+  def fingerprintOf(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id",
+      """aggregate(filter(split(text, ''), c -> c <> ''),
+        | CAST(0 AS BIGINT),
+        | (acc, c) -> (acc * 31 + ascii(c)) % 1000000007) AS fp""".stripMargin)
+
   def fingerprint(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "documents")
-      .selectExpr("doc_id",
-        """aggregate(filter(split(text, ''), c -> c <> ''),
-          | CAST(0 AS BIGINT),
-          | (acc, c) -> (acc * 31 + ascii(c)) % 1000000007) AS fp""".stripMargin)
-      .orderBy("doc_id")
+    fingerprintOf(Tables(s, dir, "documents")).orderBy("doc_id")
 }

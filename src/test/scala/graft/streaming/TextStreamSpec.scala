@@ -1,0 +1,60 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import graft.TestSpark
+import graft.operators.TextOps
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The text-analysis operators (E21) are pure projections, so the same
+  * plans must run over a Structured Streaming source unchanged — the
+  * streaming face of a training-data pipeline ingesting documents
+  * continuously. Verified by batch-equivalence after full file replay.
+  */
+class TextStreamSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private lazy val streamDir: String = {
+    val dir = Files.createTempDirectory("graft-docstream")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      dir.resolve("documents.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    dir.toString
+  }
+
+  private def batchDocs: DataFrame = graft.Tables(spark, sfDir, "documents")
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  private def replay(xform: DataFrame => DataFrame, sink: String): DataFrame = {
+    val stream = spark.readStream
+      .schema(batchDocs.schema)
+      .parquet(streamDir)
+    val q = xform(stream).writeStream
+      .format("memory").queryName(sink).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink)
+  }
+
+  test("language-ID over a document stream equals the batch result") {
+    val got = rows(replay(TextOps.langIdOf, "t_langid_stream"))
+    assert(got == rows(TextOps.langIdOf(batchDocs)))
+    assert(got.nonEmpty)
+  }
+
+  test("quality scoring over a document stream equals the batch result") {
+    val got = rows(replay(TextOps.qualityOf, "t_quality_stream"))
+    assert(got == rows(TextOps.qualityOf(batchDocs)))
+  }
+
+  test("fingerprint + token count compose in one streaming pipeline") {
+    val got = rows(replay(
+      d => TextOps.fingerprintOf(d).join(TextOps.tokenCountOf(d), "doc_id"),
+      "t_fp_stream"))
+    assert(got == rows(
+      TextOps.fingerprintOf(batchDocs).join(TextOps.tokenCountOf(batchDocs), "doc_id")))
+  }
+}
