@@ -70,4 +70,16 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("GreaterThanOrEqual(o_orderdate,"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("dedup pair generation never plans a nested-loop/cartesian join") {
+    // the round-2 scale-killer was an all-pairs BNLJ; every candidate
+    // generator must stay on equi-join shapes (blocked exact path
+    // included) so this locks the contract for all of them
+    for (q <- Seq("d01_dedup_jaccard", "d02_dedup_minhash_lsh",
+        "d03_dedup_simhash", "d04_dedup_embed", "d05_dedup_embed_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+    }
+  }
 }
