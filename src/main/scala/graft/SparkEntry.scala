@@ -90,6 +90,7 @@ object SparkEntry {
     "t02_quality" -> (TextOps.quality _),
     "t03_tokens" -> (TextOps.tokenCount _),
     "t04_fingerprint" -> (TextOps.fingerprint _),
+    "t05_stratified_sample" -> (TextOps.stratifiedSample _),
   )
 
   /** DuckDB-dialect oracle SQL; same column names/types as the Spark side. */
@@ -521,6 +522,7 @@ object SparkEntry {
       """SELECT doc_id,
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "t05_stratified_sample" -> T05Oracle,
     "t04_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(list_prepend(CAST(0 AS BIGINT),
@@ -528,6 +530,14 @@ object SparkEntry {
         |  (a, b) -> (a * 31 + b) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
   )
+
+  private val T05Oracle: String =
+    """SELECT doc_id, lang FROM (
+      | SELECT doc_id, lang,
+      |  ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+      |  CASE WHEN lang = 'en' THEN 25 WHEN lang = 'zh' THEN 75 ELSE 50 END AS pct
+      | FROM documents) t
+      |WHERE bucket < pct ORDER BY doc_id""".stripMargin
 
   /** Shared oracle for the exact (d04) and SRP-LSH (d05) embedding
     * near-dup paths: all pairs a < b with cosine ≥ 0.46. */

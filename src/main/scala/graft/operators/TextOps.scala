@@ -89,4 +89,30 @@ object TextOps {
 
   def fingerprint(s: SparkSession, dir: String): DataFrame =
     fingerprintOf(Tables(s, dir, "documents")).orderBy("doc_id")
+
+  /** Deterministic stratified sampling — the data-mixing step of a
+    * training corpus: each stratum (language) keeps a configured
+    * percentage of its documents, selected by a Knuth multiplicative
+    * hash of the key, NOT `rand()` — so the sample is reproducible
+    * run-to-run, independent of partitioning/task order, cheap (no
+    * shuffle, a scan-side filter), and exactly re-computable by any
+    * engine (the oracle evaluates the same integer arithmetic). At
+    * 100 TB this composes with partition pruning: the filter rides the
+    * scan of each stratum's partitions. */
+  def stratifiedSampleOf(docs: DataFrame, pctByLang: Map[String, Int],
+      defaultPct: Int): DataFrame = {
+    val cases = pctByLang
+      .map { case (l, p) => s"WHEN lang = '$l' THEN $p" }.mkString(" ")
+    docs.selectExpr("doc_id", "lang",
+      // Knuth multiplicative hash in exact BIGINT arithmetic: bucket in
+      // [0, 100) uniform-ish and stable across engines
+      "pmod(pmod(doc_id * 2654435761, 4294967296), 100) AS bucket",
+      s"CASE $cases ELSE $defaultPct END AS pct")
+      .filter(col("bucket") < col("pct"))
+      .select(col("doc_id"), col("lang"))
+  }
+
+  def stratifiedSample(s: SparkSession, dir: String): DataFrame =
+    stratifiedSampleOf(Tables(s, dir, "documents"),
+      Map("en" -> 25, "zh" -> 75), defaultPct = 50).orderBy("doc_id")
 }
