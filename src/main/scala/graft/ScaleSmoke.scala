@@ -61,7 +61,8 @@ object ScaleSmoke {
       println(f"[scale] $name x$replicas: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
     Seq("q04_agg_tpch1", "q08_join_star", "q15_window_frame", "q22b_dedup_keepfirst",
-      "d01_dedup_jaccard", "d02_dedup_minhash_lsh", "d03_dedup_simhash").foreach { q =>
+      "d01_dedup_jaccard", "d02_dedup_minhash_lsh", "d03_dedup_simhash",
+      "d06_dedup_canonical").foreach { q =>
       try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
     }
     srpScale(spark, 2000 * replicas)
