@@ -77,6 +77,7 @@ object SparkEntry {
     "q51_tpch5" -> (Relational.q51 _),
     "q52_tpch12" -> (Relational.q52 _),
     "q53_tpch14" -> (Relational.q53 _),
+    "q54_lateral" -> (Relational.q54 _),
     "d01_dedup_jaccard" -> (Dedup.ngramJaccard _),
     "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_dedup_simhash" -> (Dedup.simhash _),
@@ -411,6 +412,13 @@ object SparkEntry {
         | WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-06-01')
         |SELECT promo_rev, total_rev, ROUND(100.0 * promo_rev / total_rev, 4) AS promo_pct
         |FROM a""".stripMargin,
+    "q54_lateral" ->
+      """SELECT n_name, c.c_custkey, c.c_acctbal
+        |FROM nation,
+        | LATERAL (SELECT c_custkey, c_acctbal FROM customer
+        |          WHERE c_nationkey = n_nationkey
+        |          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
+        |ORDER BY n_name, c.c_custkey""".stripMargin,
     "q36_udaf_wavg" ->
       """SELECT l_returnflag,
         | ROUND(CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(38,4))) AS DOUBLE)

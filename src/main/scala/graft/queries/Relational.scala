@@ -629,6 +629,22 @@ object Relational {
       .select($"promo_rev", $"total_rev",
         round(lit(100.0) * $"promo_rev" / $"total_rev", 4).as("promo_pct"))
 
+  // Correlated LATERAL join — per-outer-row subquery with its own
+  // ORDER/LIMIT (top-2 customers per nation). Catalyst decorrelates the
+  // lateral subquery into a ranked window join, so no per-row re-execution
+  // happens at scale.
+  def q54(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "nation").createOrReplaceTempView("lat_nation")
+    Tables(s, dir, "customer").createOrReplaceTempView("lat_customer")
+    s.sql(
+      """SELECT n_name, c_custkey, c_acctbal
+        |FROM lat_nation,
+        | LATERAL (SELECT c_custkey, c_acctbal FROM lat_customer
+        |          WHERE c_nationkey = n_nationkey
+        |          ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+        |ORDER BY n_name, c_custkey""".stripMargin)
+  }
+
   // E9 — numerically-stable distributed stats: exact decimal sums of x
   // and x², then identical IEEE double arithmetic on both engines.
   // Shuffle-safe: the decimal partial sums are associative, so partial

@@ -93,4 +93,31 @@ class PartitionedWriteSpec extends AnyFunSuite {
         s"probe read $probedFiles of $allFiles files — no pruning")
     } finally cat.close()
   }
+
+  test("attachAsSessionTable registers a partitioned layout (partitions recovered)") {
+    import graft.catalog.{CatalogConfig, CatalogFactory, CatalogIO, HadoopFsCatalog, TableRef}
+    val wh = Files.createTempDirectory("attach-wh").toString
+    val cat = CatalogFactory.build(CatalogConfig("hadoop", "awh",
+      Map("warehouse" -> wh))).asInstanceOf[HadoopFsCatalog]
+    try {
+      val ev = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+        .withColumn("day", to_date(col("ts")))
+      CatalogIO.createTable(spark, cat, TableRef.parse("db.ev_att"), ev,
+        partitionBy = Seq("day"))
+      CatalogIO.attachAsSessionTable(spark, cat, TableRef.parse("db.ev_att"),
+        "graft_att_events")
+      // MSCK recovered every partition: full count matches the source
+      assert(spark.table("graft_att_events").count() == ev.count())
+      // and a day filter prunes through the session-table read path
+      val oneDay = ev.groupBy("day").count().orderBy("day").collect().head
+      val q = spark.table("graft_att_events")
+        .filter(col("day") === oneDay.getDate(0))
+      assert(q.count() == oneDay.getLong(1))
+      val scan = q.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scan.contains("PartitionFilters") && scan.contains("day"), scan)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS graft_att_events")
+      cat.close()
+    }
+  }
 }
