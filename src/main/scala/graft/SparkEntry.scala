@@ -27,6 +27,7 @@ object SparkEntry {
     "q05_count_distinct" -> (Relational.q05 _),
     "q06_join_inner" -> (Relational.q06 _),
     "q07_join_left" -> (Relational.q07 _),
+    "q07b_join_right" -> (Relational.q07b _),
     "q08_join_star" -> (Relational.q08 _),
     "q09_join_semi" -> (Relational.q09 _),
     "q10_join_anti" -> (Relational.q10 _),
@@ -78,6 +79,7 @@ object SparkEntry {
     "q52_tpch12" -> (Relational.q52 _),
     "q53_tpch14" -> (Relational.q53 _),
     "q54_lateral" -> (Relational.q54 _),
+    "q55_join_full" -> (Relational.q55 _),
     "d01_dedup_jaccard" -> (Dedup.ngramJaccard _),
     "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_dedup_simhash" -> (Dedup.simhash _),
@@ -123,6 +125,18 @@ object SparkEntry {
       """SELECT c_custkey, COALESCE(o.cnt, 0) AS cnt FROM customer
         |LEFT JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1) o
         |ON c_custkey = o_custkey ORDER BY 1""".stripMargin,
+    "q07b_join_right" ->
+      """SELECT c_custkey, COALESCE(o.cnt, 0) AS cnt
+        |FROM (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1) o
+        |RIGHT JOIN customer ON o_custkey = c_custkey ORDER BY 1""".stripMargin,
+    "q55_join_full" ->
+      """SELECT COALESCE(c.c_custkey, o.o_custkey) AS k,
+        | CAST(c.c_custkey IS NULL AS INT) AS no_cust,
+        | COALESCE(o.cnt, 0) AS cnt
+        |FROM (SELECT c_custkey FROM customer WHERE c_custkey <= 500) c
+        |FULL JOIN (SELECT o_custkey, COUNT(*) AS cnt FROM orders GROUP BY 1) o
+        | ON c.c_custkey = o.o_custkey
+        |ORDER BY 1""".stripMargin,
     "q08_join_star" ->
       """SELECT r_name, CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))), 4) AS DOUBLE) AS rev
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey

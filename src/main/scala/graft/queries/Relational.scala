@@ -629,6 +629,29 @@ object Relational {
       .select($"promo_rev", $"total_rev",
         round(lit(100.0) * $"promo_rev" / $"total_rev", 4).as("promo_pct"))
 
+  // E6 — right outer join (the mirrored formulation of q07, exercising
+  // the RightOuter plan path explicitly)
+  def q07b(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy($"o_custkey").agg(count(lit(1)).as("cnt"))
+      .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey", "right")
+      .select($"c_custkey", coalesce($"cnt", lit(0L)).as("cnt"))
+      .orderBy($"c_custkey")
+
+  // E6 — full outer join with null-producing rows on BOTH sides: the
+  // customer side is key-restricted, so high-key orders have no customer
+  // row and order-less low-key customers have no order row.
+  def q55(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer").filter($"c_custkey" <= 500)
+      .select($"c_custkey")
+      .join(Tables(s, dir, "orders").groupBy($"o_custkey")
+          .agg(count(lit(1)).as("cnt")),
+        $"c_custkey" === $"o_custkey", "full")
+      .select(coalesce($"c_custkey", $"o_custkey").as("k"),
+        $"c_custkey".isNull.cast("int").as("no_cust"),
+        coalesce($"cnt", lit(0L)).as("cnt"))
+      .orderBy($"k")
+
   // Correlated LATERAL join — per-outer-row subquery with its own
   // ORDER/LIMIT (top-2 customers per nation). Catalyst decorrelates the
   // lateral subquery into a ranked window join, so no per-row re-execution
