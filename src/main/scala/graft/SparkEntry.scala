@@ -80,6 +80,7 @@ object SparkEntry {
     "q53_tpch14" -> (Relational.q53 _),
     "q54_lateral" -> (Relational.q54 _),
     "q55_join_full" -> (Relational.q55 _),
+    "q56_unpivot" -> (Relational.q56 _),
     "d01_dedup_jaccard" -> (Dedup.ngramJaccard _),
     "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_dedup_simhash" -> (Dedup.simhash _),
@@ -426,6 +427,12 @@ object SparkEntry {
         | WHERE l_shipdate >= DATE '1996-03-01' AND l_shipdate < DATE '1996-06-01')
         |SELECT promo_rev, total_rev, ROUND(100.0 * promo_rev / total_rev, 4) AS promo_pct
         |FROM a""".stripMargin,
+    "q56_unpivot" ->
+      """SELECT p_partkey, metric, value FROM (
+        | SELECT p_partkey, 'retail' AS metric, p_retailprice AS value FROM part
+        | UNION ALL
+        | SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS value FROM part)
+        |ORDER BY 1, 2""".stripMargin,
     "q54_lateral" ->
       """SELECT n_name, c.c_custkey, c.c_acctbal
         |FROM nation,

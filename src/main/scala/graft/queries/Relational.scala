@@ -652,6 +652,16 @@ object Relational {
         coalesce($"cnt", lit(0L)).as("cnt"))
       .orderBy($"k")
 
+  // E17 — unpivot/melt via the stack generator: wide columns to
+  // (metric, value) rows, the long-format reshape analytics pipelines
+  // feed to per-metric aggregation
+  def q56(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "part")
+      .selectExpr("p_partkey",
+        """stack(2, 'retail', p_retailprice,
+          |         'size', CAST(p_size AS DOUBLE)) AS (metric, value)""".stripMargin)
+      .orderBy($"p_partkey", $"metric")
+
   // Correlated LATERAL join — per-outer-row subquery with its own
   // ORDER/LIMIT (top-2 customers per nation). Catalyst decorrelates the
   // lateral subquery into a ranked window join, so no per-row re-execution
