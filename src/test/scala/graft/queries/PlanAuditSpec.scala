@@ -71,6 +71,14 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q54: the lateral subquery decorrelates to a rank-limited window join") {
+    // per-outer-row re-execution would be a scale disaster; Catalyst must
+    // plan the correlated ORDER/LIMIT as WindowGroupLimit + equi-join
+    val p = plan("q54_lateral")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dedup pair generation never plans a nested-loop/cartesian join") {
     // the round-2 scale-killer was an all-pairs BNLJ; every candidate
     // generator must stay on equi-join shapes (blocked exact path
