@@ -21,9 +21,14 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  private def emb(s: SparkSession, dir: String): DataFrame = {
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    embOf(s, Tables(s, dir, "embeddings"))
+
+  /** Normalize a raw embeddings frame (vec_id, label, embedding) into the
+    * operator-internal shape (vec_id, label, v: array<double>, nrm). */
+  private def embOf(s: SparkSession, raw: DataFrame): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    Tables(s, dir, "embeddings")
+    raw
       .selectExpr("vec_id", "label", "CAST(embedding AS ARRAY<DOUBLE>) AS v")
       .withColumn("nrm", expr("sqrt(graft_dot(v, v))"))
   }
@@ -138,41 +143,79 @@ object Similarity {
       .orderBy("a", "b")
   }
 
-  /** IVF approximate top-3 neighbors for query vectors vec_id < 10.
-    *
-    * Inverted file = the stored `label` clusters; centroids are the
-    * per-cluster mean vectors (computed once, broadcast — at scale this
-    * is the trained coarse quantizer). Each query ranks centroids by
-    * cosine, probes the best `nprobe`=3 lists, exact-reranks members.
-    * Approximate by construction ⇒ verified by recall test, not oracle.
-    */
-  def annIvf(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).cache()
-    val cents = e
+  /** IVF coarse quantizer: per-`label` mean vectors, trained on a
+    * bounded deterministic sample (Murmur3 hash of vec_id — stable
+    * run-to-run, a scan-side filter, no shuffle beyond the tiny agg).
+    * At 100 TB this runs ONCE offline and persists as a catalog table
+    * (nlists × dim doubles — always broadcast-sized); `samplePct` bounds
+    * the training pass so even the one-time fit never needs the corpus.
+    * Output: (c_label, cv: array<double>, cn: norm). */
+  def trainCentroids(embNorm: DataFrame, samplePct: Int): DataFrame =
+    embNorm
+      .filter(pmod(hash(col("vec_id")), lit(100)) < samplePct)
       .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("label", "i").agg(avg("x").as("cx"))
       .groupBy("label").agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
       .selectExpr("label AS c_label", "transform(pairs, p -> p.cx) AS cv")
       .withColumn("cn", expr("sqrt(aggregate(cv, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
-    val queries = e.filter(col("vec_id") < 10)
+
+  /** IVF ANN over any embeddings source: coordinator-planned probes +
+    * one label-pruned scan.
+    *
+    * The inverted file is the stored `label` clustering. Probe planning
+    * is METADATA work: queries × centroids is (|Q| · nlists) rows, so the
+    * ranked probe table is collected to the driver — the same move as a
+    * table format pruning manifests at plan time — and re-enters the plan
+    * as a broadcast local relation. The one data-sized scan is the probe
+    * join, filtered to `label IN (probed lists)`: that predicate reaches
+    * the scan (PushedFilters on a flat layout; PartitionFilters — i.e.
+    * directory pruning — on a label-partitioned layout, the 100 TB shape
+    * proven in PartitionedWriteSpec). Nothing is cached; probe cost
+    * tracks the probed lists, not the corpus.
+    *
+    * `loadRaw` must yield (vec_id, label, embedding) — called once for
+    * the query lookup, once for training (when `centroids` is None,
+    * sampled), once for the probe scan; each gets its own pushed filters.
+    */
+  def annIvfOver(s: SparkSession, loadRaw: () => DataFrame,
+      queryFilter: org.apache.spark.sql.Column, k: Int, nprobe: Int,
+      samplePct: Int = 50, centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(trainCentroids(embOf(s, loadRaw()), samplePct))
+    val queries = embOf(s, loadRaw()).filter(queryFilter)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    // nprobe = 7: this synthetic corpus's labels are isotropic w.r.t.
-    // cosine geometry (measured recall ≈ nprobe/nlists), so a high probe
-    // count is needed for recall; on genuinely clustered data the same
-    // structure gives sublinear cost at high recall.
+    // nprobe on this synthetic corpus must be high: labels are isotropic
+    // w.r.t. cosine geometry (measured recall ≈ nprobe/nlists). On
+    // genuinely clustered data the same structure is sublinear at high
+    // recall.
     val probes = queries.crossJoin(broadcast(cents))
       .withColumn("cs", dot("qv", "cv") / (col("qn") * col("cn")))
       .withColumn("rk", expr(
-        "row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, c_label)"))
-      .filter(col("rk") <= 7)
+        s"row_number() OVER (PARTITION BY q_id ORDER BY cs DESC, c_label)"))
+      .filter(col("rk") <= nprobe)
       .select(col("q_id"), col("qv"), col("qn"), col("c_label"))
-    probes
-      .join(e, col("c_label") === col("label") && col("vec_id") =!= col("q_id"))
+    // |Q|·nprobe rows with the query vectors — metadata-sized by
+    // construction (a query batch, not the corpus); collected once so the
+    // final plan holds ONE scan of the store, not a re-derivation
+    val planned = probes.collect()
+    val local = s.createDataFrame(
+      java.util.Arrays.asList(planned: _*), probes.schema)
+    val probedLabels = planned.map(_.getAs[Any]("c_label")).distinct.toSeq
+    val scan = embOf(s, loadRaw())
+      .filter(col("label").isin(probedLabels: _*))
+    broadcast(local)
+      .join(scan, col("c_label") === col("label") && col("vec_id") =!= col("q_id"))
       .withColumn("craw", dot("qv", "v") / (col("qn") * col("nrm")))
       .withColumn("rk", expr(
-        "row_number() OVER (PARTITION BY q_id ORDER BY craw DESC, vec_id)"))
-      .filter(col("rk") <= 3)
+        s"row_number() OVER (PARTITION BY q_id ORDER BY craw DESC, vec_id)"))
+      .filter(col("rk") <= k)
       .select(col("q_id"), col("vec_id").as("nbr"), round(col("craw"), 4).as("c"))
       .orderBy("q_id", "nbr")
   }
+
+  /** s02 query face: IVF approximate top-3 neighbors for queries
+    * vec_id < 10 over the testdata embeddings table. Approximate by
+    * construction ⇒ verified by recall test, not oracle. */
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    annIvfOver(s, () => Tables(s, dir, "embeddings"),
+      queryFilter = col("vec_id") < 10, k = 3, nprobe = 7)
 }

@@ -79,6 +79,19 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("s02: IVF probe is a single label-pruned scan, nothing cached") {
+    // the round-3 scale-killers: annIvf cached the full embedding table
+    // and trained centroids on the whole corpus. The probe predicate must
+    // reach the scan (label IN (probed lists) ⇒ directory pruning on a
+    // label-partitioned layout) and no full-table cache may reappear
+    val p = plan("s02_ann_ivf")
+    assert("""PushedFilters: \[[^\]]*In\(label""".r.findFirstIn(p).isDefined, p)
+    assert(!p.contains("InMemoryTableScan"), p)
+    // exactly one parquet scan of the store feeds the probe join (probe
+    // planning is collected driver-side, not re-derived in-plan)
+    assert("""Scan parquet""".r.findAllIn(p).size == 1, p)
+  }
+
   test("dedup pair generation never plans a nested-loop/cartesian join") {
     // the round-2 scale-killer was an all-pairs BNLJ; every candidate
     // generator must stay on equi-join shapes (blocked exact path

@@ -91,6 +91,22 @@ class PartitionedWriteSpec extends AnyFunSuite {
         .select(input_file_name()).distinct().count()
       assert(probedFiles < allFiles,
         s"probe read $probedFiles of $allFiles files — no pruning")
+
+      // and the OPERATOR itself embodies that shape: annIvf over the
+      // label-partitioned layout plans its probe scan with partition
+      // filters on the probed lists — the 100 TB probe cost is the
+      // nprobe directories, not the corpus
+      import graft.operators.Similarity
+      val ann = Similarity.annIvfOver(spark,
+        () => spark.read.parquet(dataDir),
+        queryFilter = col("vec_id") < 2, k = 3, nprobe = 2)
+      val annScan = ann.queryExecution.executedPlan.collectLeaves()
+        .map(_.toString).filter(_.contains("Scan parquet"))
+      assert(annScan.nonEmpty, ann.queryExecution.executedPlan.toString)
+      assert(annScan.exists(s =>
+        s.contains("PartitionFilters") && s.contains("label")),
+        annScan.mkString("\n"))
+      assert(ann.count() > 0)
     } finally cat.close()
   }
 
