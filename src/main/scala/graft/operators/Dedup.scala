@@ -110,50 +110,96 @@ object Dedup {
     verified(cand, sh)
   }
 
+  /** One large-star round (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond"): every node's strictly-larger neighbors are
+    * rewired to the minimum of its closed neighborhood. Expressed as one
+    * groupBy-min + one equi-join — no neighborhood materialization, so a
+    * high-degree hub never concentrates in one task's memory. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val bidir = e.union(e.select(col("v").as("u"), col("u").as("v")))
+    val mins = bidir.groupBy("u").agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("mn"), col("u")).as("m"))
+    bidir.join(mins, "u")
+      .filter(col("v") > col("u"))
+      .select(col("v").as("u"), col("m").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** One small-star round: orient each edge large→small, then every
+    * node's smaller neighbors — and the node itself — rewire to its
+    * minimum neighbor. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val dir = e.select(greatest(col("u"), col("v")).as("u"),
+      least(col("u"), col("v")).as("v")).filter(col("u") =!= col("v"))
+    val mins = dir.groupBy("u").agg(min(col("v")).as("m"))
+    dir.join(mins, "u")
+      .select(col("v").as("u"), col("m").as("v"))
+      .union(mins.select(col("u"), col("m").as("v")))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+  }
+
+  /** Connected components over an undirected pair table (a, b) →
+    * (id, comp) where comp is the component's minimum member id.
+    *
+    * Alternating large-star/small-star rounds converge in O(log n) —
+    * each round at least halves star heights, so a 4096-node chain
+    * closes in ~12 rounds where plain min-label propagation needs 4096
+    * (locked by the planted-chain spec). Every round's edge set is
+    * `localCheckpoint`ed: the logical plan stays one round deep instead
+    * of growing per iteration (the planner-time hazard at a high round
+    * cap), and the checkpoint doubles as the materialization the
+    * convergence signature reads. Convergence = fixpoint of the edge
+    * set, detected by an exact (count, endpoint-xor, xxhash-xor)
+    * signature (xor, not sum: overflow-free under ANSI arithmetic) —
+    * one driver-side agg per round, the unavoidable convergence
+    * round-trip. A graph still moving at `maxRounds` THROWS rather than
+    * returning silently split components.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    var e = pairs.select(col("a").as("u"), col("b").as("v"))
+      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    def sig(df: DataFrame): Seq[Any] =
+      df.agg(count(lit(1)), bit_xor(col("u")), bit_xor(col("v")),
+        bit_xor(xxhash64(col("u"), col("v")))).collect()(0).toSeq
+    var cur = sig(e)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint()
+      val ns = sig(next)
+      converged = ns == cur
+      e = next
+      cur = ns
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxRounds rounds — " +
+          "component structure deeper than the round budget; raise maxRounds")
+    // fixpoint is a star forest: every edge is (member, component min);
+    // minima label themselves
+    e.select(col("u").as("id"), col("v").as("comp"))
+      .union(e.select(col("v").as("id"), col("v").as("comp")))
+      .distinct()
+  }
+
   /** Canonical selection — the step after near-dup detection in a
     * training-data pipeline: group duplicate pairs into clusters
     * (connected components) and keep ONE representative per cluster, the
     * highest-quality member.
     *
-    * Components come from min-label propagation over the undirected pair
-    * graph: every vertex starts labeled with its own id, and each round
-    * takes the min of its own and its neighbors' labels until fixpoint —
-    * each round is one join + one aggregation, so the loop is a driver
-    * loop over declarative plans, converging in O(component diameter)
-    * rounds (near-dup clusters are shallow; typically ≤ 3). At 100 TB
-    * the same loop holds because labels/edges shuffle on id — for
-    * adversarially long chains the large-star/small-star variant
-    * (Kiveris et al., "Connected Components in MapReduce") halves the
-    * diameter per round with the same join+agg primitives.
-    *
-    * The representative is argmax by the t02 quality score (tie-broken
-    * by min doc_id); the component label converges to the min member id,
-    * which the oracle reproduces via a recursive-CTE closure.
+    * Pipeline composition: `pairs` is whatever a detector (d01–d05)
+    * produced — at scale a PERSISTED pair table consumed as-is, never
+    * re-derived inside the component loop. The representative is argmax
+    * by the `quality` score (tie-broken by min doc_id); the component
+    * label converges to the min member id, which the oracle reproduces
+    * via a recursive-CTE closure.
     */
-  def canonical(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(s, dir).select(col("a"), col("b"))
-    val edges = pairs.union(pairs.select(col("b").as("a"), col("a").as("b")))
-      .cache()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("comp", col("id"))
-      .cache()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < 50) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
-        .groupBy(col("a").as("id")).agg(min(col("bcomp")).as("nbrComp"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("nbrComp"), col("comp"))).as("comp"))
-        .cache()
-      changed = next.join(labels.select(col("id"), col("comp").as("old")), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
-    val quality = TextOps.quality(s, dir).select(col("doc_id"), col("score"))
+  def canonicalOf(pairs: DataFrame, quality: DataFrame,
+      maxRounds: Int = 50): DataFrame = {
+    val labels = connectedComponents(pairs, maxRounds)
     val w = Window.partitionBy(col("comp")).orderBy(col("score").desc, col("id"))
     labels
       .join(quality, labels("id") === quality("doc_id"))
@@ -162,6 +208,15 @@ object Dedup {
       .agg(max(when(col("rn") === 1, col("id"))).as("keep_doc"),
         count(lit(1)).as("n_members"))
       .orderBy(col("comp"))
+  }
+
+  /** d06 query face: exact-Jaccard pairs (d01) materialized ONCE via
+    * localCheckpoint — the detector runs exactly one time, the component
+    * loop iterates over the stored pairs — composed with the t02 quality
+    * score for representative selection. */
+  def canonical(s: SparkSession, dir: String): DataFrame = {
+    val pairs = ngramJaccard(s, dir).select(col("a"), col("b")).localCheckpoint()
+    canonicalOf(pairs, TextOps.quality(s, dir).select(col("doc_id"), col("score")))
   }
 
   /** 64-bit SimHash with 13-block pigeonhole blocking (12×5 bits +

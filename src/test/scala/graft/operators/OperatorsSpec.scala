@@ -106,6 +106,35 @@ class OperatorsSpec extends AnyFunSuite {
       s"candidates ${cand.size} not sparse vs $totalPairs pairs")
   }
 
+  test("connectedComponents closes a 4096-node chain in O(log n) rounds") {
+    import spark.implicits._
+    // Diameter 4095: min-label propagation needs ~4096 rounds; the
+    // large-star/small-star alternation must close it within 16.
+    val chain = (0L until 4095L).map(i => (i, i + 1)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(chain, maxRounds = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(comp.length == 4096)
+    assert(comp.forall(_._2 == 0L), "every chain member labels to the min id 0")
+  }
+
+  test("connectedComponents labels by min member across components") {
+    import spark.implicits._
+    val edges = Seq((3L, 1L), (2L, 3L), (11L, 10L), (5L, 5L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // self-loop (5,5) contributes no edge and no vertex
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("connectedComponents throws instead of returning split components") {
+    import spark.implicits._
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxRounds = 1)
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("fingerprint is order-sensitive content identity") {
     val fps = TextOps.fingerprint(spark, dir).collect().map(_.getLong(1))
     // no exact duplicate docs in the corpus → all fingerprints distinct
