@@ -563,7 +563,7 @@ object SparkEntry {
   private val T05Oracle: String =
     """SELECT doc_id, lang FROM (
       | SELECT doc_id, lang,
-      |  ((doc_id * 2654435761) % 4294967296) % 100 AS bucket,
+      |  (((doc_id % 2147483648) * 2654435761) % 4294967296) % 100 AS bucket,
       |  CASE WHEN lang = 'en' THEN 25 WHEN lang = 'zh' THEN 75 ELSE 50 END AS pct
       | FROM documents) t
       |WHERE bucket < pct ORDER BY doc_id""".stripMargin

@@ -36,25 +36,60 @@ object CatalogIO {
       bucketColumns: Seq[String] = Nil,
       sortColumns: Seq[String] = Nil)
 
-  private val DataLocRe = """"dataLocation"\s*:\s*"([^"]*)"""".r
+  // A JSON string token: quotes and backslashes inside values are
+  // escape sequences, so a path/column containing `"` `\` or `]` round-
+  // trips instead of silently corrupting the regex parse.
+  private val StrTok = """"((?:[^"\\]|\\.)*)""""
+  private val DataLocRe = ("\"dataLocation\"\\s*:\\s*" + StrTok).r
   private def arrRe(field: String) =
-    new scala.util.matching.Regex("\"" + field + "\"\\s*:\\s*\\[([^\\]]*)\\]")
+    new scala.util.matching.Regex(
+      "\"" + field + "\"\\s*:\\s*\\[((?:\\s*" + StrTok + "\\s*,?)*)\\]")
   private val NumBucketsRe = """"numBuckets"\s*:\s*(\d+)""".r
-  private val QuotedRe = """"([^"]*)"""".r
+  private val QuotedRe = StrTok.r
+
+  private def jsonEscape(s: String): String = s.flatMap {
+    case '"'  => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  }
+
+  private def jsonUnescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 'n' => sb += '\n'; i += 2
+          case 'r' => sb += '\r'; i += 2
+          case 't' => sb += '\t'; i += 2
+          case 'u' if i + 6 <= s.length =>
+            sb += Integer.parseInt(s.substring(i + 2, i + 6), 16).toChar
+            i += 6
+          case other => sb += other; i += 2
+        }
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
 
   def metadataJson(tableLocation: String, dataLocation: String,
       layout: TableLayout = TableLayout("")): String = {
     def arr(name: String, vs: Seq[String]): String =
       if (vs.isEmpty) ""
-      else s"""  "$name": [${vs.map("\"" + _ + "\"").mkString(", ")}],\n"""
+      else s"""  "$name": [${vs.map("\"" + jsonEscape(_) + "\"").mkString(", ")}],\n"""
     s"""{
        |  "formatVersion": 1,
-       |  "location": "$tableLocation",
+       |  "location": "${jsonEscape(tableLocation)}",
        |${arr("partitionColumns", layout.partitionColumns)}${
         layout.numBuckets.map(n => s"""  "numBuckets": $n,\n""").getOrElse("")
       }${arr("bucketColumns", layout.bucketColumns)}${
         arr("sortColumns", layout.sortColumns)
-      }  "dataLocation": "$dataLocation"
+      }  "dataLocation": "${jsonEscape(dataLocation)}"
        |}
        |""".stripMargin
   }
@@ -125,12 +160,13 @@ object CatalogIO {
       conf: Configuration = new Configuration()): TableLayout = {
     val text = readMetadataText(metadataLocation, conf)
     val dataLoc = DataLocRe.findFirstMatchIn(text)
-      .map(_.group(1))
+      .map(m => jsonUnescape(m.group(1)))
       .getOrElse(throw new IllegalStateException(
         s"No dataLocation in metadata file $metadataLocation"))
     def arr(field: String): Seq[String] =
       arrRe(field).findFirstMatchIn(text)
-        .map(m => QuotedRe.findAllMatchIn(m.group(1)).map(_.group(1)).toSeq)
+        .map(m => QuotedRe.findAllMatchIn(m.group(1))
+          .map(g => jsonUnescape(g.group(1))).toSeq)
         .getOrElse(Nil)
     TableLayout(dataLoc, arr("partitionColumns"),
       NumBucketsRe.findFirstMatchIn(text).map(_.group(1).toInt),
@@ -152,20 +188,24 @@ object CatalogIO {
       name: String, conf: Configuration = new Configuration()): String = {
     val layout = readLayout(cat.loadTableMetadataLocation(ref), conf)
     val schema = spark.read.parquet(layout.dataLocation).schema
+    // SQL-identifier quoting: a backtick inside a backtick-quoted name is
+    // doubled; a single quote inside the LOCATION literal is escaped
+    def id(s: String): String = "`" + s.replace("`", "``") + "`"
+    def ids(vs: Seq[String]): String = vs.map(id).mkString(", ")
     val pb =
       if (layout.partitionColumns.isEmpty) ""
-      else layout.partitionColumns.mkString(" PARTITIONED BY (`", "`, `", "`)")
+      else s" PARTITIONED BY (${ids(layout.partitionColumns)})"
     val cb = layout.numBuckets.map { n =>
       val sorted =
         if (layout.sortColumns.isEmpty) ""
-        else layout.sortColumns.mkString(" SORTED BY (`", "`, `", "`)")
-      layout.bucketColumns.mkString(" CLUSTERED BY (`", "`, `", "`)") +
+        else s" SORTED BY (${ids(layout.sortColumns)})"
+      s" CLUSTERED BY (${ids(layout.bucketColumns)})" +
         sorted + s" INTO $n BUCKETS"
     }.getOrElse("")
-    spark.sql(s"CREATE TABLE `$name` (${schema.toDDL}) USING parquet" +
-      pb + cb + s" LOCATION '${layout.dataLocation}'")
+    spark.sql(s"CREATE TABLE ${id(name)} (${schema.toDDL}) USING parquet" +
+      pb + cb + s" LOCATION '${layout.dataLocation.replace("'", "\\'")}'")
     if (layout.partitionColumns.nonEmpty)
-      spark.sql(s"MSCK REPAIR TABLE `$name`")
+      spark.sql(s"MSCK REPAIR TABLE ${id(name)}")
     name
   }
 }

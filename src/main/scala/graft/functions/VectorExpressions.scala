@@ -298,6 +298,12 @@ object SrpSig {
     * the executor's lifetime (384 bits × 1536 dims ≈ 4.7 MB each). */
   private val MaxCachedShapes = 8
 
+  /** Past-cap fallback memo: a ragged-dimension workload that blows the
+    * shared cache still reuses the matrix while consecutive rows share a
+    * shape — worst case is one rebuild per shape CHANGE per thread, never
+    * one per row. */
+  private val lastShape = new ThreadLocal[(Long, Array[Double])]
+
   /** Row-major ±1 hyperplane matrix [nbits × dim], deterministic in
     * (bit index, dimension) so every executor materializes the same one. */
   private def signs(nbits: Int, dim: Int): Array[Double] = {
@@ -316,9 +322,14 @@ object SrpSig {
     }
     val key = (nbits.toLong << 32) | dim
     val cached = planes.get(key)
-    if (cached != null) cached
-    else if (planes.size >= MaxCachedShapes) build // compute-per-call past the cap
-    else planes.computeIfAbsent(key, _ => build)
+    if (cached != null) return cached
+    val local = lastShape.get()
+    if (local != null && local._1 == key) return local._2
+    val m =
+      if (planes.size >= MaxCachedShapes) build
+      else planes.computeIfAbsent(key, _ => build)
+    lastShape.set((key, m))
+    m
   }
 
   def compute(arr: ArrayData, nbits: Int): ArrayData = {

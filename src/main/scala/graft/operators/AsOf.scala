@@ -39,6 +39,12 @@ object AsOf {
     require(clash.isEmpty,
       s"asofJoin: left columns ${clash.mkString(", ")} collide with " +
         s"reserved internal/output names (${reserved.mkString(", ")})")
+    // the right side contributes (key, rightTs); either being a reserved
+    // name would silently shadow a working column
+    val rClash = Seq(key, rightTs).filter(reserved)
+    require(rClash.isEmpty,
+      s"asofJoin: key/rightTs ${rClash.mkString(", ")} collide with " +
+        s"reserved internal/output names (${reserved.mkString(", ")})")
     val rTagged = right.select(col(key), col(rightTs).as("__ts"))
       .withColumn("__tag", lit(0))
       .withColumn("__rts", col("__ts"))

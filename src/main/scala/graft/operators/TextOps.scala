@@ -101,13 +101,21 @@ object TextOps {
     * scan of each stratum's partitions. */
   def stratifiedSampleOf(docs: DataFrame, pctByLang: Map[String, Int],
       defaultPct: Int): DataFrame = {
-    val cases = pctByLang
-      .map { case (l, p) => s"WHEN lang = '$l' THEN $p" }.mkString(" ")
-    docs.selectExpr("doc_id", "lang",
-      // Knuth multiplicative hash in exact BIGINT arithmetic: bucket in
-      // [0, 100) uniform-ish and stable across engines
-      "pmod(pmod(doc_id * 2654435761, 4294967296), 100) AS bucket",
-      s"CASE $cases ELSE $defaultPct END AS pct")
+    // typed when()/lit() chain — lang keys are VALUES, never SQL text, so
+    // a stratum key containing a quote cannot break the expression
+    val pct = pctByLang.foldLeft(lit(defaultPct)) { case (acc, (l, p)) =>
+      when(col("lang") === lit(l), lit(p)).otherwise(acc)
+    }
+    // Knuth multiplicative hash in exact BIGINT arithmetic, masked to
+    // 31 bits BEFORE the multiply: max intermediate (2^31−1)·2654435761
+    // ≈ 5.7e18 stays inside a signed 64-bit long, so the same integer
+    // expression evaluates overflow-free in Spark (ANSI), DuckDB, or any
+    // other engine at any id range — bucket in [0, 100), stable
+    val bucket = pmod(
+      pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+        lit(4294967296L)), lit(100))
+    docs.select(col("doc_id"), col("lang"),
+      bucket.as("bucket"), pct.as("pct"))
       .filter(col("bucket") < col("pct"))
       .select(col("doc_id"), col("lang"))
   }

@@ -53,6 +53,23 @@ class BucketedJoinSpec extends AnyFunSuite {
     }
   }
 
+  test("layout metadata round-trips hostile names (quotes, backslashes, brackets)") {
+    val hostile = Seq("col\"quote", "col\\back", "col]bracket", "col\ttab")
+    val dataLoc = "/tmp/weird \"dir\"\\with]stuff"
+    val json = CatalogIO.metadataJson("/tmp/t", dataLoc,
+      CatalogIO.TableLayout(dataLoc, partitionColumns = hostile,
+        numBuckets = Some(4), bucketColumns = Seq("b`tick"),
+        sortColumns = Seq("s]x")))
+    val loc = Files.createTempDirectory("esc-meta").resolve("v1.metadata.json")
+    Files.writeString(loc, json)
+    val rt = CatalogIO.readLayout(loc.toString)
+    assert(rt.dataLocation == dataLoc)
+    assert(rt.partitionColumns == hostile)
+    assert(rt.numBuckets.contains(4))
+    assert(rt.bucketColumns == Seq("b`tick"))
+    assert(rt.sortColumns == Seq("s]x"))
+  }
+
   test("catalog-served bucketed tables join without a shuffle (spec from metadata JSON)") {
     val dir = "/root/testdata/sf0.001"
     val wh = Files.createTempDirectory("bucket-wh").toString
