@@ -88,6 +88,7 @@ object SparkEntry {
     "d06_dedup_canonical" -> (Dedup.canonical _),
     "d05_dedup_embed_lsh" -> (Similarity.srpNearDup _),
     "m01_image_decode" -> (graft.operators.Multimodal.imageStats _),
+    "m02_audio_decode" -> (graft.operators.Multimodal.audioStats _),
     "s01_cosine_topk" -> (Similarity.cosineTopK _),
     "s02_ann_ivf" -> (Similarity.annIvf _),
     "t01_langid" -> (TextOps.langId _),
@@ -509,6 +510,21 @@ object SparkEntry {
         | ROUND(AVG(CASE WHEN x < w//4 AND y < h//4
         |   THEN CAST((media_id*31 + x*7 + y*13) % 256 AS DOUBLE) END), 4) AS p00
         |FROM px GROUP BY 1, 2, 3 ORDER BY 1""".stripMargin,
+    // Analytic recompute of the WAV seed formula — a hash match proves the
+    // javax.sound.sampled PCM16 encode → decode path is exact (see
+    // operators/Multimodal.audioStats).
+    "m02_audio_decode" ->
+      """WITH m AS (SELECT p_partkey AS media_id, 2000 + 500*(p_partkey % 4) AS n
+        |           FROM part WHERE p_partkey <= 500),
+        |sx AS (SELECT media_id, n, unnest(generate_series(0, CAST(n AS BIGINT) - 1)) AS i FROM m),
+        |s AS (SELECT media_id, n, i, (media_id*31 + i*7) % 2001 - 1000 AS v FROM sx)
+        |SELECT media_id, CAST(n AS BIGINT) AS n_samples,
+        | CAST(n AS DOUBLE) * 1000.0 / 8000.0 AS duration_ms,
+        | ROUND(sqrt(CAST(SUM(v*v) AS DOUBLE) / n), 4) AS rms,
+        | CAST(SUM(CASE WHEN i > 0 AND v * ((media_id*31 + (i-1)*7) % 2001 - 1000) < 0
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        | CAST(MAX(abs(v)) AS INT) AS peak
+        |FROM s GROUP BY media_id, n ORDER BY media_id""".stripMargin,
     "s01_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | q AS (SELECT v FROM e WHERE vec_id = 0)

@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 import java.awt.image.BufferedImage
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
 import javax.imageio.ImageIO
+import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 /** Multimodal-column plumbing for a training-data pipeline: image/audio/
   * video ride along as opaque `binary` columns with typed metadata, and
@@ -15,11 +16,13 @@ import javax.imageio.ImageIO
   *
   * Image decode/resize is REAL: `javax.imageio` (in the JDK, no external
   * jars) decodes PNG/JPEG to a grayscale raster, and resizing is an
-  * area-average (box) filter. Audio/video decode remains a clearly-marked
-  * deterministic stub ([[fakeDecode]]) — no media codecs exist in this
-  * container — as does an image whose bytes don't decode (fail-soft: a
-  * corrupt row yields stub features, never a task failure, matching the
-  * engine's row-level error semantics).
+  * area-average (box) filter. Audio decode is REAL too:
+  * `javax.sound.sampled` (also JDK-only) reads WAV/PCM — features are an
+  * RMS energy envelope over the decoded samples. Video decode remains a
+  * clearly-marked deterministic stub ([[fakeDecode]]) — no video codecs
+  * exist in this container — as does any row whose bytes don't decode
+  * (fail-soft: a corrupt row yields stub features, never a task failure,
+  * matching the engine's row-level error semantics).
   */
 object Multimodal {
 
@@ -116,10 +119,80 @@ object Multimodal {
     out
   }
 
+  // ---- real audio codec (JDK javax.sound.sampled, WAV/PCM) -------------
+
+  /** Encode 16-bit signed mono PCM samples as a WAV container through the
+    * JDK's sampled-audio writer — losslessly round-trippable through
+    * [[decodePcm16]]; the seed-audio generator for specs and the m02
+    * correctness query. Samples are clamped to the PCM16 range. */
+  def encodeWavPcm16(sampleRate: Float, samples: Array[Int]): Array[Byte] = {
+    val data = new Array[Byte](samples.length * 2)
+    var i = 0
+    while (i < samples.length) {
+      val s = math.max(-32768, math.min(32767, samples(i)))
+      data(2 * i) = (s & 0xff).toByte
+      data(2 * i + 1) = ((s >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(data), fmt, samples.length.toLong)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Real audio decode: any JDK-readable WAV (16-bit signed mono PCM,
+    * either endianness) → (sampleRate, samples). None for formats the JDK
+    * can't read (MP3/AAC need external codecs) or non-PCM16 payloads —
+    * callers treat that row fail-soft, same contract as [[decodeGray]]. */
+  def decodePcm16(content: Array[Byte]): Option[(Float, Array[Int])] =
+    try {
+      val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getChannels != 1 || fmt.getSampleSizeInBits != 16) None
+        else {
+          val bytes = in.readAllBytes()
+          val n = bytes.length / 2
+          val out = new Array[Int](n)
+          var i = 0
+          if (fmt.isBigEndian)
+            while (i < n) { out(i) = (bytes(2 * i) << 8) | (bytes(2 * i + 1) & 0xff); i += 1 }
+          else
+            while (i < n) { out(i) = (bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff); i += 1 }
+          Some((fmt.getSampleRate, out))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Energy envelope: RMS of `dim` equal sample segments, normalized to
+    * [0, 1] by the PCM16 full scale — the audio analogue of the image
+    * path's area-averaged luminance grid. */
+  def rmsEnvelope(samples: Array[Int], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = samples.length
+    if (n == 0) return out
+    var k = 0
+    while (k < dim) {
+      val lo = (k.toLong * n / dim).toInt
+      val hi = ((k + 1).toLong * n / dim).toInt
+      if (hi > lo) {
+        var sumsq = 0.0
+        var i = lo
+        while (i < hi) { val v = samples(i).toDouble; sumsq += v * v; i += 1 }
+        out(k) = (math.sqrt(sumsq / (hi - lo)) / 32768.0).toFloat
+      }
+      k += 1
+    }
+    out
+  }
+
   // ---- non-image stub ---------------------------------------------------
 
-  /** STUB — stands in for a real audio/video decoder (ffmpeg / ONNX): no
-    * media codecs exist in this container. Deterministic: features derive
+  /** STUB — stands in for a real video decoder (ffmpeg / ONNX): no video
+    * codecs exist in this container. Deterministic: features derive
     * from a rolling hash of the content bytes, so tests are stable and
     * the pipeline is replayable. Also the fail-soft fallback for image
     * bytes that don't decode. */
@@ -141,8 +214,9 @@ object Multimodal {
 
   /** Decode + feature-extract, batched per partition. Image rows decode
     * for real: features are the √dim × √dim area-averaged luminance grid
-    * scaled to [0, 1) (`dim` must be a perfect square). Audio/video (and
-    * undecodable image bytes, fail-soft) use the hash stub. Repartitions
+    * scaled to [0, 1) (`dim` must be a perfect square). Audio rows decode
+    * for real: features are the `dim`-segment RMS energy envelope. Video
+    * (and undecodable bytes, fail-soft) use the hash stub. Repartitions
     * by media_id first so decoder work spreads evenly even when input
     * files are skewed (one giant video parquet vs many small images). */
   def extractFeatures(items: Dataset[MediaItem], dim: Int = 16,
@@ -155,14 +229,20 @@ object Multimodal {
     parted.mapPartitions { it =>
       // per-partition init goes here for a heavyweight decoder (load once)
       it.map { m =>
-        val feats =
-          if (m.kind == "image")
+        val feats = m.kind match {
+          case "image" =>
             decodeGray(m.content) match {
               case Some((w, h, px)) =>
                 areaAverageGray(px, w, h, side, side).map(v => (v / 256.0).toFloat)
               case None => fakeDecode(m.content, dim) // fail-soft: corrupt image
             }
-          else fakeDecode(m.content, dim)
+          case "audio" =>
+            decodePcm16(m.content) match {
+              case Some((_, samples)) if samples.nonEmpty => rmsEnvelope(samples, dim)
+              case _ => fakeDecode(m.content, dim) // fail-soft: unreadable audio
+            }
+          case _ => fakeDecode(m.content, dim) // video: no codecs in container
+        }
         MediaFeatures(m.media_id, m.kind, m.content.length.toLong, feats)
       }
     }
@@ -242,6 +322,51 @@ object Multimodal {
     }).toDF("media_id", "width", "height", "mean_raw", "p00_raw")
       .select(col("media_id"), col("width"), col("height"),
         round(col("mean_raw"), 4).as("mean_px"), round(col("p00_raw"), 4).as("p00"))
+      .orderBy("media_id")
+  }
+
+  /** m02 correctness query: seed deterministic WAVs from the `part` key
+    * space (16-bit mono PCM at 8 kHz, sample(i) = (id·31 + i·7) mod 2001
+    * − 1000, length 2000 + 500·(id mod 4)), push them through the REAL
+    * javax.sound.sampled encode → decode path, and report per-clip sample
+    * count, duration, RMS, zero crossings, and peak amplitude — all
+    * computed from the DECODED samples. The DuckDB oracle recomputes
+    * everything analytically from the seed formula, so a hash match
+    * proves the PCM16/WAV round-trip is exact (m01's recipe applied to
+    * audio). Integer-deterministic waveform ⇒ the only float arithmetic
+    * is the identical final division/sqrt in both engines. */
+  def audioStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = graft.Tables(s, dir, "part")
+      .select(col("p_partkey").as("media_id"))
+      .filter(col("media_id") <= 500)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val n = 2000 + 500 * (id % 4).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 31 + i.toLong * 7) % 2001) - 1000).toInt)
+        MediaItem(id, "audio", encodeWavPcm16(8000f, samples), 0, 0, 0L)
+      })
+    items.mapPartitions(_.flatMap { m =>
+      decodePcm16(m.content).map { case (sr, sm) =>
+        var sumsq = 0L
+        var zc = 0L
+        var peak = 0
+        var i = 0
+        while (i < sm.length) {
+          val v = sm(i)
+          sumsq += v.toLong * v
+          if (i > 0 && sm(i - 1).toLong * v < 0) zc += 1
+          if (math.abs(v) > peak) peak = math.abs(v)
+          i += 1
+        }
+        (m.media_id, sm.length.toLong,
+          sm.length * 1000.0 / sr,
+          math.sqrt(sumsq.toDouble / sm.length), zc, peak)
+      }
+    }).toDF("media_id", "n_samples", "duration_ms", "rms_raw", "zero_crossings", "peak")
+      .select(col("media_id"), col("n_samples"), col("duration_ms"),
+        round(col("rms_raw"), 4).as("rms"), col("zero_crossings"), col("peak"))
       .orderBy("media_id")
   }
 }

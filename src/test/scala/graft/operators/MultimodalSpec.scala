@@ -8,7 +8,8 @@ class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
   // image rows carry REAL 16×12 grayscale PNGs; audio/video carry opaque
-  // bytes (their decode is the documented stub)
+  // NON-decodable bytes here (so they exercise the fail-soft stub path —
+  // real WAV decode has its own tests below)
   private def items = {
     import spark.implicits._
     implicit val s = spark
@@ -99,6 +100,32 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f.features.toSeq == Multimodal.fakeDecode(Array.fill[Byte](32)(42), 16).toSeq)
     val r = Multimodal.resize(corrupt, 8, 8).collect().head
     assert(r.content.toSeq == Array.fill[Byte](32)(42).toSeq && r.width == 0)
+  }
+
+  test("WAV encode/decode round-trips PCM16 samples exactly") {
+    val samples = Array.tabulate(1234)(i => ((i * 997) % 65536) - 32768)
+    val clamped = samples.map(s => math.max(-32768, math.min(32767, s)))
+    val bytes = Multimodal.encodeWavPcm16(8000f, samples)
+    val Some((sr, back)) = Multimodal.decodePcm16(bytes)
+    assert(sr == 8000f)
+    assert(back.toSeq == clamped.toSeq)
+  }
+
+  test("audio features are the real RMS envelope of decoded samples") {
+    import spark.implicits._
+    implicit val s = spark
+    val samples = Array.tabulate(4000)(i => (((i * 37) % 2001) - 1000))
+    val wav = Seq(Multimodal.MediaItem(7L, "audio",
+      Multimodal.encodeWavPcm16(8000f, samples), 0, 0, 0L)).toDS()
+    val f = Multimodal.extractFeatures(wav, dim = 16).collect().head
+    val want = Multimodal.rmsEnvelope(samples, 16)
+    assert(f.features.toSeq == want.toSeq)
+    // and it is NOT the stub: real decode happened
+    assert(f.features.toSeq !=
+      Multimodal.fakeDecode(Multimodal.encodeWavPcm16(8000f, samples), 16).toSeq)
+    // envelope of a known-amplitude waveform is in the expected range:
+    // uniform samples in [-1000, 1000] ⇒ segment RMS ≈ 577/32768
+    assert(f.features.forall(v => v > 0.01f && v < 0.02f))
   }
 
   test("frame sampling explodes every-N-ms frame indices for videos only") {
