@@ -89,6 +89,7 @@ object SparkEntry {
     "d05_dedup_embed_lsh" -> (Similarity.srpNearDup _),
     "m01_image_decode" -> (graft.operators.Multimodal.imageStats _),
     "m02_audio_decode" -> (graft.operators.Multimodal.audioStats _),
+    "m03_crossmodal_dedup" -> (graft.operators.Multimodal.crossModalDedup _),
     "s01_cosine_topk" -> (Similarity.cosineTopK _),
     "s02_ann_ivf" -> (Similarity.annIvf _),
     "t01_langid" -> (TextOps.langId _),
@@ -525,6 +526,22 @@ object SparkEntry {
         |   THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
         | CAST(MAX(abs(v)) AS INT) AS peak
         |FROM s GROUP BY media_id, n ORDER BY media_id""".stripMargin,
+    // Analytic recompute of the cross-modal pipeline: features are exact
+    // 4×3 block means of the quadratic pixel mixer, pairs are all-pairs
+    // cosine ≥ 0.998 — byte-identical planted duplicates land at exactly
+    // 1.0, max background ≈ 0.995 (see operators/Multimodal.crossModalDedup).
+    "m03_crossmodal_dedup" ->
+      """WITH ids AS (SELECT p_partkey AS id FROM part WHERE p_partkey <= 300),
+        |xs AS (SELECT id, unnest(generate_series(0, CAST(15 AS BIGINT))) AS x FROM ids),
+        |xy AS (SELECT id, x, unnest(generate_series(0, CAST(11 AS BIGINT))) AS y FROM xs),
+        |f AS (SELECT id, (y//3)*4 + (x//4) AS k,
+        |       AVG(CAST(((id%100 + 1)*(y*16 + x + 17) * ((id%100 + 1)*(y*16 + x + 17)) % 99991) % 256 AS DOUBLE)/256.0) AS fv
+        |      FROM xy GROUP BY id, (y//3)*4 + (x//4)),
+        |v AS (SELECT id, list(fv ORDER BY k) AS vec FROM f GROUP BY id)
+        |SELECT a.id AS a, b.id AS b
+        |FROM v a JOIN v b ON a.id < b.id
+        |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.998
+        |ORDER BY a, b""".stripMargin,
     "s01_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | q AS (SELECT v FROM e WHERE vec_id = 0)

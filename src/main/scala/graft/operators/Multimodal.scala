@@ -369,4 +369,49 @@ object Multimodal {
         round(col("rms_raw"), 4).as("rms"), col("zero_crossings"), col("peak"))
       .orderBy("media_id")
   }
+
+  /** m03 correctness query: the multimodal and similarity surfaces
+    * COMPOSED under the oracle gate — seeded images → real ImageIO decode
+    * ([[extractFeatures]]) → [[featureTable]] → SRP-LSH candidates
+    * ([[Similarity.srpCandidates]]) → exact cosine verify.
+    *
+    * The corpus plants byte-identical duplicates: pixel content depends
+    * on `id mod 100`, so ids sharing a residue are the same image ⇒ the
+    * same feature vector ⇒ cosine exactly 1 (and identical SRP
+    * signatures, so candidate recall for true pairs is structural, not
+    * probabilistic). The pixel mixer is quadratic in (id, x, y) — chosen
+    * so the max BACKGROUND pair cosine is ≈ 0.995, leaving the τ = 0.998
+    * verify threshold a two-sided margin that engine float noise (~1e-7)
+    * cannot cross. The DuckDB oracle recomputes features (exact 4×3
+    * block means of the pixel formula) and all-pairs cosine analytically.
+    */
+  def crossModalDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    implicit val sp: SparkSession = s
+    graft.functions.VectorFunctions.register(s)
+    val items = graft.Tables(s, dir, "part")
+      .select(col("p_partkey").as("media_id"))
+      .filter(col("media_id") <= 300)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val seed = id % 100 + 1
+        MediaItem(id, "image",
+          encodeGrayPng(16, 12, (x, y) => {
+            val t = seed * (y * 16 + x + 17)
+            ((t * t % 99991) % 256).toInt
+          }),
+          16, 12, 0L)
+      })
+    val ft = featureTable(extractFeatures(items, dim = 16))
+      .select(col("media_id").as("id"), col("v"), col("nrm"))
+    val cand = Similarity.srpCandidates(
+      ft.select(col("id"), col("v")), bands = 8, rowsPerBand = 16)
+    cand
+      .join(ft.select(col("id").as("a"), col("v").as("va"), col("nrm").as("na")), "a")
+      .join(ft.select(col("id").as("b"), col("v").as("vb"), col("nrm").as("nb")), "b")
+      .withColumn("craw", expr("graft_dot(va, vb)") / (col("na") * col("nb")))
+      .filter(col("craw") >= 0.998)
+      .select(col("a"), col("b"))
+      .orderBy("a", "b")
+  }
 }
