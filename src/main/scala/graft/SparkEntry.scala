@@ -81,6 +81,8 @@ object SparkEntry {
     "q54_lateral" -> (Relational.q54 _),
     "q55_join_full" -> (Relational.q55 _),
     "q56_unpivot" -> (Relational.q56 _),
+    "q57_exists_agg" -> (Relational.q57 _),
+    "q58_scalar_pred" -> (Relational.q58 _),
     "d01_dedup_jaccard" -> (Dedup.ngramJaccard _),
     "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_dedup_simhash" -> (Dedup.simhash _),
@@ -442,6 +444,35 @@ object SparkEntry {
         |          WHERE c_nationkey = n_nationkey
         |          ORDER BY c_acctbal DESC, c_custkey LIMIT 2) c
         |ORDER BY n_name, c.c_custkey""".stripMargin,
+    "q57_exists_agg" ->
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM supplier, lineitem l1, orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
+    "q58_scalar_pred" ->
+      """SELECT c_mktsegment, COUNT(*) AS numcust,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,4))), 4) AS DOUBLE) AS totacctbal
+        |FROM customer c
+        |WHERE c_acctbal > (
+        |    SELECT CAST(ROUND(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
+        |                            / COUNT(*) AS DECIMAL(38,4)), 4) AS DOUBLE)
+        |    FROM customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
     "q36_udaf_wavg" ->
       """SELECT l_returnflag,
         | ROUND(CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(38,4))) AS DOUBLE)

@@ -678,6 +678,61 @@ object Relational {
         |ORDER BY n_name, c_custkey""".stripMargin)
   }
 
+  // Correlated EXISTS + NOT EXISTS with multi-predicate correlation (the
+  // TPC-H Q21 "waiting suppliers" shape adapted to this schema: returnflag
+  // 'R' stands in for the late-delivery predicate). Catalyst rewrites both
+  // subqueries into LEFT SEMI / LEFT ANTI hash joins on the correlation
+  // key — per-outer-row re-execution of the inner scans would be a scale
+  // disaster — locked in PlanAuditSpec.
+  def q57(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "supplier").createOrReplaceTempView("q57_supplier")
+    Tables(s, dir, "orders").createOrReplaceTempView("q57_orders")
+    Tables(s, dir, "lineitem").createOrReplaceTempView("q57_lineitem")
+    s.sql(
+      """SELECT s_name, COUNT(*) AS numwait
+        |FROM q57_supplier, q57_lineitem l1, q57_orders
+        |WHERE s_suppkey = l1.l_suppkey
+        |  AND o_orderkey = l1.l_orderkey
+        |  AND o_orderstatus = 'F'
+        |  AND l1.l_returnflag = 'R'
+        |  AND EXISTS (SELECT 1 FROM q57_lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM q57_lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin)
+  }
+
+  // Uncorrelated scalar subquery in a predicate + correlated NOT EXISTS
+  // (the TPC-H Q22 "global sales opportunity" shape): customers above the
+  // positive-balance average with no FINALIZED order (every customer in
+  // this corpus has some order, so the status predicate keeps the anti
+  // side non-vacuous), aggregated per segment. The
+  // scalar subquery must execute ONCE (subquery plan, not a per-row
+  // rewrite) and the NOT EXISTS must decorrelate to a LEFT ANTI hash
+  // join — locked in PlanAuditSpec. Exact decimal sums keep the threshold
+  // shuffle-order-proof (the q04/q38 pattern).
+  def q58(s: SparkSession, dir: String): DataFrame = {
+    Tables(s, dir, "customer").createOrReplaceTempView("q58_customer")
+    Tables(s, dir, "orders").createOrReplaceTempView("q58_orders")
+    s.sql(
+      """SELECT c_mktsegment, COUNT(*) AS numcust,
+        | CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(38,4))), 4) AS DOUBLE) AS totacctbal
+        |FROM q58_customer c
+        |WHERE c_acctbal > (
+        |    SELECT CAST(ROUND(CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(38,4))) AS DOUBLE)
+        |                            / COUNT(*) AS DECIMAL(38,4)), 4) AS DOUBLE)
+        |    FROM q58_customer WHERE c_acctbal > 0.0)
+        |  AND NOT EXISTS (SELECT 1 FROM q58_orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_orderstatus = 'F')
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin)
+  }
+
   // E9 — numerically-stable distributed stats: exact decimal sums of x
   // and x², then identical IEEE double arithmetic on both engines.
   // Shuffle-safe: the decimal partial sums are associative, so partial

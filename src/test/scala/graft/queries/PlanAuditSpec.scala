@@ -79,6 +79,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q57: EXISTS/NOT EXISTS decorrelate to semi+anti hash joins") {
+    // the Q21 shape: both correlated subqueries must rewrite to joins on
+    // the correlation key — a per-outer-row inner scan or a nested-loop
+    // fallback would re-read lineitem |l1| times at scale
+    val p = plan("q57_exists_agg")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q58: scalar subquery runs once; NOT EXISTS is an anti hash join") {
+    val p = plan("q58_scalar_pred")
+    // the threshold is a Subquery node evaluated once (scalar-subquery
+    // execution), not a rewritten per-row join
+    assert(p.contains("Subquery subquery") || p.contains("ReusedSubquery"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("s02: IVF probe is a single label-pruned scan, nothing cached") {
     // the round-3 scale-killers: annIvf cached the full embedding table
     // and trained centroids on the whole corpus. The probe predicate must
