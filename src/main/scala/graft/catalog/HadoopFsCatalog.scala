@@ -98,6 +98,26 @@ final class HadoopFsCatalog(val name: String, warehouse: String,
 
   override def dropDestroysData: Boolean = true
 
+  /** Advance an EXISTING table's pointer to a new metadata location — the
+    * commit step of a new table version. Single-writer: Hadoop rename
+    * does not replace an existing destination, so the old pointer is
+    * dropped first and the new one renamed into place; a reader between
+    * the two sees a missing pointer, never a torn one. */
+  private[catalog] def replaceTablePointer(ref: TableRef,
+      metadataLocation: String): Unit = {
+    val dir = tablePath(ref)
+    if (!isTableDir(dir))
+      throw new NoSuchTableException(s"Table does not exist: $ref")
+    val tmp = new Path(dir, s".pointer-${java.util.UUID.randomUUID()}.tmp")
+    writeText(tmp, metadataLocation + "\n")
+    fs.delete(pointerPath(dir), false)
+    if (!fs.rename(tmp, pointerPath(dir))) {
+      fs.delete(tmp, false)
+      throw new AlreadyExistsException(
+        s"Concurrent pointer commit detected for ${pointerPath(dir)}")
+    }
+  }
+
   /** Atomic pointer commit: temp file + rename (no partial pointers). */
   private def commitPointer(tableDir: Path, metadataLocation: String): Unit = {
     val tmp = new Path(tableDir, s".pointer-${java.util.UUID.randomUUID()}.tmp")
