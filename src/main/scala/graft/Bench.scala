@@ -16,7 +16,17 @@ import java.nio.file.{Files, Paths}
   *  - each query is timed on a parquet write to a temp dir — the same
   *    action the correctness gate (Verify) performs — not `.count()`,
   *    under which Catalyst prunes presentation sorts and projections
-  *    and benches q01/q16-style queries as bare scans.
+  *    and benches q01/q16-style queries as bare scans;
+  *  - the timed region opens BEFORE the query function is invoked, so
+  *    operators with an eager construction contract (s02's IVF probe
+  *    planning / centroid training — see Similarity.annIvfOver) charge
+  *    their plan-time jobs to their own timing, not to nothing;
+  *  - each query runs TWICE and reports the min: round-over-round totals
+  *    on this box vary ±30% (80.5 s vs 103.9 s for identical round-3
+  *    code), enough to flip a per-query 2× verdict on noise alone. Min
+  *    of two measures the query, not the box's scheduling weather; the
+  *    first run still absorbs its own plan/codegen cost (the warm-up
+  *    below only covers session startup, not per-query compilation).
   */
 object Bench {
   /** Queries whose timings ride inline in the stdout JSON line (keeps the
@@ -51,19 +61,21 @@ object Bench {
       .write.mode("overwrite").parquet(s"$tmp/_warmup")
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try {
-          fn(spark, sfDir).write.mode("overwrite").parquet(s"$tmp/$name")
-          true
-        } catch { case e: Throwable =>
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.mode("overwrite").parquet(s"$tmp/$name")
+        (System.nanoTime() - t0) / 1e9
+      }
+      val best =
+        try math.min(once(), once())
+        catch { case e: Throwable =>
           failed += name
           System.err.println(s"[bench] $name FAILED: $e")
-          false
+          // a failed query reports -1, never its time-to-fail: folding a
+          // fast crash into the totals would read as a speedup
+          -1.0
         }
-      // a failed query reports -1, never its time-to-fail: folding a
-      // fast crash into the totals would read as a speedup
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      name -> best
     }
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")

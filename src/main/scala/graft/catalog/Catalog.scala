@@ -39,6 +39,23 @@ trait Catalog extends AutoCloseable {
   override def close(): Unit = ()
 }
 
+/** Optional capability: a catalog that keeps per-table metadata version
+  * history and can resolve any past version — the engine's time-travel
+  * surface over the `v<N>.metadata.json` trail that pointer commits
+  * leave behind (the Iceberg snapshot model the reference rides on,
+  * CatalogMigrator.java:212-213). Readers reach it via
+  * `CatalogIO.readTableVersion` or SQL `VERSION AS OF` through
+  * [[graft.sources.GraftSparkCatalog]]. */
+trait SupportsTableVersions { self: Catalog =>
+  /** Ascending committed version numbers of `ref`'s own metadata history
+    * (empty for tables registered at an external metadata location —
+    * their history lives with the source catalog). */
+  def listTableVersions(ref: TableRef): Seq[Int]
+  /** Metadata-file location of one historical version. Throws
+    * [[NoSuchTableException]] if the table or version is missing. */
+  def metadataLocationForVersion(ref: TableRef, version: Int): String
+}
+
 /** Serializable catalog spec, buildable on executors — the factory shape
   * of the reference's `CatalogMigrationUtil.buildCatalog` (:48-96),
   * including its Hadoop `Configuration` overlay (:59-64). */

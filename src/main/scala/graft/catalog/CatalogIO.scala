@@ -113,24 +113,7 @@ object CatalogIO {
       "sortBy requires bucketBy (Spark sorts within buckets)")
     val dir = cat.tableDir(ref)
     val dataDir = new Path(dir, "data")
-    bucketBy match {
-      case Some((n, cols)) =>
-        // bucketBy can only target a table, not a bare path: write through
-        // a throwaway EXTERNAL session table at our data dir, then drop
-        // the entry (external ⇒ the bucketed files stay)
-        val tmp = s"graft_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-        var w = df.write.mode("errorifexists").option("path", dataDir.toString)
-        if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
-        w = w.bucketBy(n, cols.head, cols.tail: _*)
-        if (sortBy.nonEmpty) w = w.sortBy(sortBy.head, sortBy.tail: _*)
-        w.saveAsTable(tmp)
-        spark.sql(s"DROP TABLE `$tmp`")
-      case None if partitionBy.nonEmpty =>
-        df.write.mode("errorifexists").partitionBy(partitionBy: _*)
-          .parquet(dataDir.toString)
-      case None =>
-        df.write.mode("errorifexists").parquet(dataDir.toString)
-    }
+    writeData(spark, dataDir, df, partitionBy, bucketBy, sortBy)
     val layout = TableLayout(dataDir.toString, partitionBy,
       bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy)
     val metaDir = new Path(dir, "metadata")
@@ -140,6 +123,70 @@ object CatalogIO {
     cat.registerTable(ref, metaFile.toString)
     metaFile.toString
   }
+
+  private def writeData(spark: SparkSession, dataDir: Path, df: DataFrame,
+      partitionBy: Seq[String], bucketBy: Option[(Int, Seq[String])],
+      sortBy: Seq[String]): Unit = bucketBy match {
+    case Some((n, cols)) =>
+      // bucketBy can only target a table, not a bare path: write through
+      // a throwaway EXTERNAL session table at our data dir, then drop
+      // the entry (external ⇒ the bucketed files stay)
+      val tmp = s"graft_tmp_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      var w = df.write.mode("errorifexists").option("path", dataDir.toString)
+      if (partitionBy.nonEmpty) w = w.partitionBy(partitionBy: _*)
+      w = w.bucketBy(n, cols.head, cols.tail: _*)
+      if (sortBy.nonEmpty) w = w.sortBy(sortBy.head, sortBy.tail: _*)
+      w.saveAsTable(tmp)
+      spark.sql(s"DROP TABLE `$tmp`")
+    case None if partitionBy.nonEmpty =>
+      df.write.mode("errorifexists").partitionBy(partitionBy: _*)
+        .parquet(dataDir.toString)
+    case None =>
+      df.write.mode("errorifexists").parquet(dataDir.toString)
+  }
+
+  /** Commit a NEW VERSION of an existing table: full-snapshot semantics
+    * (the new data replaces the old for current readers; old versions
+    * stay readable via [[readTableVersion]] / SQL `VERSION AS OF`).
+    *
+    * Commit order is data → metadata → pointer flip, each step
+    * crash-safe: the data dir is version-private (`data-v<N>`), the
+    * metadata write is create-exclusive — two racing committers pick the
+    * same N and the loser throws here, never corrupting history — and
+    * the pointer flip is [[HadoopFsCatalog.replaceTablePointer]], whose
+    * delete→rename window readers cover by rolling forward to the newest
+    * metadata version. Returns the new metadata location. */
+  def commitVersion(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
+      df: DataFrame, partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None,
+      sortBy: Seq[String] = Nil): String = {
+    if (!cat.tableExists(ref))
+      throw new NoSuchTableException(s"Table does not exist: $ref")
+    require(sortBy.isEmpty || bucketBy.isDefined,
+      "sortBy requires bucketBy (Spark sorts within buckets)")
+    val n = cat.latestTableVersion(ref).getOrElse(
+      throw new IllegalStateException(
+        s"Table $ref has no local metadata history to version " +
+          "(registered at an external metadata location?)")) + 1
+    val dir = cat.tableDir(ref)
+    val dataDir = new Path(dir, s"data-v$n")
+    writeData(spark, dataDir, df, partitionBy, bucketBy, sortBy)
+    val layout = TableLayout(dataDir.toString, partitionBy,
+      bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy)
+    val metaFile = new Path(new Path(dir, "metadata"), s"v$n.metadata.json")
+    // cat.writeText is fs.create(overwrite = false): the concurrency gate
+    cat.writeText(metaFile, metadataJson(dir.toString, dataDir.toString, layout))
+    cat.replaceTablePointer(ref, metaFile.toString)
+    metaFile.toString
+  }
+
+  /** Time-travel read: scan table `ref` as of committed `version`,
+    * regardless of the current pointer. */
+  def readTableVersion(spark: SparkSession,
+      cat: Catalog with SupportsTableVersions, ref: TableRef, version: Int,
+      conf: Configuration = new Configuration()): DataFrame =
+    spark.read.parquet(
+      readDataLocation(cat.metadataLocationForVersion(ref, version), conf))
 
   private def readMetadataText(metadataLocation: String, conf: Configuration): String = {
     val p = new Path(metadataLocation)
@@ -189,7 +236,9 @@ object CatalogIO {
     val layout = readLayout(cat.loadTableMetadataLocation(ref), conf)
     val schema = spark.read.parquet(layout.dataLocation).schema
     // SQL-identifier quoting: a backtick inside a backtick-quoted name is
-    // doubled; a single quote inside the LOCATION literal is escaped
+    // doubled. The LOCATION literal is parsed with Spark's default escaped
+    // string literals, so backslashes must be escaped BEFORE quotes — a
+    // Windows-style or hostile path survives the DDL round-trip.
     def id(s: String): String = "`" + s.replace("`", "``") + "`"
     def ids(vs: Seq[String]): String = vs.map(id).mkString(", ")
     val pb =
@@ -203,7 +252,8 @@ object CatalogIO {
         sorted + s" INTO $n BUCKETS"
     }.getOrElse("")
     spark.sql(s"CREATE TABLE ${id(name)} (${schema.toDDL}) USING parquet" +
-      pb + cb + s" LOCATION '${layout.dataLocation.replace("'", "\\'")}'")
+      pb + cb + s" LOCATION '${
+        layout.dataLocation.replace("\\", "\\\\").replace("'", "\\'")}'")
     if (layout.partitionColumns.nonEmpty)
       spark.sql(s"MSCK REPAIR TABLE ${id(name)}")
     name

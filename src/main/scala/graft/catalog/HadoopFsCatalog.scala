@@ -20,7 +20,8 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * version-hint commits in Hadoop-style table formats.
   */
 final class HadoopFsCatalog(val name: String, warehouse: String,
-    hadoopConf: Map[String, String] = Map.empty) extends Catalog {
+    hadoopConf: Map[String, String] = Map.empty)
+  extends Catalog with SupportsTableVersions {
 
   @transient private lazy val conf = {
     val c = new Configuration()
@@ -35,7 +36,31 @@ final class HadoopFsCatalog(val name: String, warehouse: String,
   private def tablePath(ref: TableRef): Path =
     new Path(nsPath(ref.namespace), ref.name)
   private def pointerPath(tableDir: Path): Path = new Path(tableDir, "pointer.text")
-  private def isTableDir(p: Path): Boolean = fs.exists(pointerPath(p))
+  // A directory is a table if it has a pointer — or, mid-crash of a
+  // pointer replacement (window between delete and rename), a local
+  // metadata history to fall back on. The || short-circuits, so the
+  // normal path pays no extra FS call.
+  private def isTableDir(p: Path): Boolean =
+    fs.exists(pointerPath(p)) || latestLocalMetadata(p).isDefined
+
+  private val VersionFileRe = """v(\d+)\.metadata\.json""".r
+
+  /** (version, path) entries of a table directory's own metadata history,
+    * ascending. Empty for tables registered with an external metadata
+    * location (migrations) — their history lives with the source. */
+  private def localMetadataVersions(tableDir: Path): Seq[(Int, Path)] = {
+    val md = new Path(tableDir, "metadata")
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case VersionFileRe(n) => Some((n.toInt, st.getPath))
+        case _ => None
+      }
+    }.sortBy(_._1)
+  }
+
+  private def latestLocalMetadata(tableDir: Path): Option[Path] =
+    localMetadataVersions(tableDir).lastOption.map(_._2)
 
   override def listNamespaces(parent: Namespace): Seq[Namespace] = {
     val p = nsPath(parent)
@@ -76,15 +101,32 @@ final class HadoopFsCatalog(val name: String, warehouse: String,
   override def tableExists(ref: TableRef): Boolean = isTableDir(tablePath(ref))
 
   override def loadTableMetadataLocation(ref: TableRef): String = {
-    val ptr = pointerPath(tablePath(ref))
-    if (!fs.exists(ptr))
-      throw new NoSuchTableException(s"Table does not exist: $ref")
-    readText(ptr).trim
+    val dir = tablePath(ref)
+    val ptr = pointerPath(dir)
+    if (fs.exists(ptr)) readText(ptr).trim
+    else latestLocalMetadata(dir) match {
+      // A writer crashed between pointer delete and rename: roll forward
+      // to the newest metadata version. CatalogIO.commitVersion orders
+      // data → metadata → pointer, so whatever version file is newest is
+      // complete (its data and metadata are fully written; only the
+      // pointer flip could be pending). Self-heal the pointer
+      // best-effort; a racing heal loses the create and that's fine —
+      // the next read sees the winner's pointer.
+      case Some(latest) =>
+        try commitPointer(dir, latest.toString) catch { case _: Exception => () }
+        latest.toString
+      case None =>
+        throw new NoSuchTableException(s"Table does not exist: $ref")
+    }
   }
 
   override def registerTable(ref: TableRef, metadataLocation: String): Unit = {
     val dir = tablePath(ref)
-    if (isTableDir(dir))
+    // guard on the POINTER, not isTableDir's metadata fallback:
+    // CatalogIO.createTable writes v1.metadata.json before this pointer
+    // commit, so the fallback would see its own half-created table.
+    // Racing registrations still lose at commitPointer's exclusive rename.
+    if (fs.exists(pointerPath(dir)))
       throw new AlreadyExistsException(s"Table already exists: $ref")
     fs.mkdirs(dir)
     commitPointer(dir, metadataLocation)
@@ -99,10 +141,14 @@ final class HadoopFsCatalog(val name: String, warehouse: String,
   override def dropDestroysData: Boolean = true
 
   /** Advance an EXISTING table's pointer to a new metadata location — the
-    * commit step of a new table version. Single-writer: Hadoop rename
-    * does not replace an existing destination, so the old pointer is
-    * dropped first and the new one renamed into place; a reader between
-    * the two sees a missing pointer, never a torn one. */
+    * commit step of a new table version (CatalogIO.commitVersion's final
+    * flip). Hadoop rename does not replace an existing destination, so
+    * the old pointer is dropped first and the new one renamed into
+    * place; a reader in the delete→rename window falls back to the
+    * newest local metadata version (see [[loadTableMetadataLocation]]),
+    * so a crash there loses nothing. A failed rename is diagnosed by
+    * destination state: pointer present ⇒ a concurrent committer won the
+    * flip; pointer absent ⇒ an I/O failure, distinct error. */
   private[catalog] def replaceTablePointer(ref: TableRef,
       metadataLocation: String): Unit = {
     val dir = tablePath(ref)
@@ -113,10 +159,32 @@ final class HadoopFsCatalog(val name: String, warehouse: String,
     fs.delete(pointerPath(dir), false)
     if (!fs.rename(tmp, pointerPath(dir))) {
       fs.delete(tmp, false)
-      throw new AlreadyExistsException(
-        s"Concurrent pointer commit detected for ${pointerPath(dir)}")
+      if (fs.exists(pointerPath(dir)))
+        throw new AlreadyExistsException(
+          s"Concurrent pointer commit detected for ${pointerPath(dir)}")
+      else
+        throw new java.io.IOException(
+          s"Pointer rename failed for ${pointerPath(dir)} (not a concurrent commit)")
     }
   }
+
+  // ----- SupportsTableVersions -----
+
+  override def listTableVersions(ref: TableRef): Seq[Int] = {
+    val dir = tablePath(ref)
+    if (!isTableDir(dir))
+      throw new NoSuchTableException(s"Table does not exist: $ref")
+    localMetadataVersions(dir).map(_._1)
+  }
+
+  override def metadataLocationForVersion(ref: TableRef, version: Int): String =
+    localMetadataVersions(tablePath(ref)).collectFirst {
+      case (v, p) if v == version => p.toString
+    }.getOrElse(throw new NoSuchTableException(
+      s"Table $ref has no version $version (history: ${listTableVersions(ref).mkString(", ")})"))
+
+  private[catalog] def latestTableVersion(ref: TableRef): Option[Int] =
+    localMetadataVersions(tablePath(ref)).lastOption.map(_._1)
 
   /** Atomic pointer commit: temp file + rename (no partial pointers). */
   private def commitPointer(tableDir: Path, metadataLocation: String): Unit = {

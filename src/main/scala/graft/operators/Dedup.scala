@@ -163,11 +163,24 @@ object Dedup {
     def sig(df: DataFrame): Seq[Any] =
       df.agg(count(lit(1)), bit_xor(col("u")), bit_xor(col("v")),
         bit_xor(xxhash64(col("u"), col("v")))).collect()(0).toSeq
+    // Dataset.unpersist only clears cacheManager entries, not the RDD a
+    // localCheckpoint persisted — free that RDD directly via the
+    // LogicalRDD leaf. Eviction is what bounds block-manager residency at
+    // two edge-set copies instead of one per round (up to maxRounds).
+    def freeCheckpoint(df: DataFrame): Unit =
+      df.queryExecution.analyzed.collectLeaves().foreach {
+        case lr: org.apache.spark.sql.execution.LogicalRDD =>
+          lr.rdd.unpersist(blocking = false)
+        case _ => ()
+      }
     var cur = sig(e)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
+      // eager localCheckpoint: `next` is materialized here, so the
+      // previous round's blocks are dead the moment it returns
       val next = smallStar(largeStar(e)).localCheckpoint()
+      freeCheckpoint(e)
       val ns = sig(next)
       converged = ns == cur
       e = next

@@ -150,9 +150,26 @@ object Similarity {
     * (nlists × dim doubles — always broadcast-sized); `samplePct` bounds
     * the training pass so even the one-time fit never needs the corpus.
     * Output: (c_label, cv: array<double>, cn: norm). */
-  def trainCentroids(embNorm: DataFrame, samplePct: Int): DataFrame =
-    embNorm
-      .filter(pmod(hash(col("vec_id")), lit(100)) < samplePct)
+  def trainCentroids(embNorm: DataFrame, samplePct: Int): DataFrame = {
+    val sampled = meanCentroids(
+      embNorm.filter(pmod(hash(col("vec_id")), lit(100)) < samplePct))
+    // A label whose every row missed the sample would get no centroid, so
+    // its list would never be probed and its members would silently fall
+    // out of ANN reach — a recall cliff for small/skewed clusters. Rescue
+    // pass: labels with no sampled centroid train on ALL their rows (a
+    // map-side-combinable distinct + one broadcast-filtered scan; empty
+    // for any label the sample covered). Training remains a bounded
+    // one-time fit — at scale it runs offline and persists (see
+    // [[annIvfOver]]'s `centroids`).
+    val missing = embNorm.select(col("label")).distinct()
+      .join(sampled, col("label") === col("c_label"), "left_anti")
+    val rescue = meanCentroids(embNorm.join(broadcast(missing), Seq("label")))
+    sampled.union(rescue)
+  }
+
+  /** Per-label mean + norm over (vec_id, label, v) rows → (c_label, cv, cn). */
+  private def meanCentroids(rows: DataFrame): DataFrame =
+    rows
       .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
       .groupBy("label", "i").agg(avg("x").as("cx"))
       .groupBy("label").agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
@@ -176,6 +193,13 @@ object Similarity {
     * `loadRaw` must yield (vec_id, label, embedding) — called once for
     * the query lookup, once for training (when `centroids` is None,
     * sampled), once for the probe scan; each gets its own pushed filters.
+    *
+    * EAGER CONTRACT: this method runs Spark jobs at CONSTRUCTION time
+    * (centroid training when `centroids` is None, plus the probe-planning
+    * collect) — like a table format reading manifests at plan time, not
+    * like a lazy DataFrame transform. Callers timing it must time the
+    * call, not just the returned frame's action (Bench does: its timed
+    * region opens before the query function is invoked).
     */
   def annIvfOver(s: SparkSession, loadRaw: () => DataFrame,
       queryFilter: org.apache.spark.sql.Column, k: Int, nprobe: Int,
@@ -214,7 +238,9 @@ object Similarity {
 
   /** s02 query face: IVF approximate top-3 neighbors for queries
     * vec_id < 10 over the testdata embeddings table. Approximate by
-    * construction ⇒ verified by recall test, not oracle. */
+    * construction ⇒ verified by recall test, not oracle. Inherits
+    * [[annIvfOver]]'s eager contract: calling this runs the training and
+    * probe-planning jobs before any action on the returned frame. */
   def annIvf(s: SparkSession, dir: String): DataFrame =
     annIvfOver(s, () => Tables(s, dir, "embeddings"),
       queryFilter = col("vec_id") < 10, k = 3, nprobe = 7)

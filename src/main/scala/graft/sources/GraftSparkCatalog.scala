@@ -98,6 +98,36 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
       userSpecifiedSchema = None, fallbackFileFormat = classOf[ParquetFileFormat])
   }
 
+  /** SQL time travel: `SELECT ... FROM <cat>.<ns>.<tbl> VERSION AS OF <n>`.
+    * Spark routes the literal here as a string; it resolves through the
+    * catalog's metadata version history ([[graft.catalog
+    * .SupportsTableVersions]]) to that version's data location. */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val ref = toRef(ident)
+    val versioned = cat match {
+      case v: graft.catalog.SupportsTableVersions => v
+      case _ => throw new UnsupportedOperationException(
+        s"$catalogName: catalog type does not keep version history")
+    }
+    val n =
+      try version.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"$catalogName: VERSION AS OF expects an integer version, got '$version'")
+      }
+    val metaLoc =
+      try versioned.metadataLocationForVersion(ref, n)
+      catch {
+        case _: graft.catalog.NoSuchTableException =>
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+            ident.namespace.toSeq :+ ident.name)
+      }
+    val dataLoc = CatalogIO.readDataLocation(metaLoc, hadoopConfOverlay)
+    ParquetTable(s"$ref@v$n", SparkSession.active,
+      new CaseInsensitiveStringMap(hadoopOpts.asJava), Seq(dataLoc),
+      userSpecifiedSchema = None, fallbackFileFormat = classOf[ParquetFileFormat])
+  }
+
   override def tableExists(ident: Identifier): Boolean = cat.tableExists(toRef(ident))
 
   override def createTable(ident: Identifier, schema: StructType,
