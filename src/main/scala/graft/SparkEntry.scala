@@ -83,6 +83,20 @@ object SparkEntry {
     "q56_unpivot" -> (Relational.q56 _),
     "q57_exists_agg" -> (Relational.q57 _),
     "q58_scalar_pred" -> (Relational.q58 _),
+    "q59_tpch2" -> (Relational.q59 _),
+    "q60_tpch4" -> (Relational.q60 _),
+    "q61_tpch6" -> (Relational.q61 _),
+    "q62_tpch7" -> (Relational.q62 _),
+    "q63_tpch8" -> (Relational.q63 _),
+    "q64_tpch9" -> (Relational.q64 _),
+    "q65_tpch11" -> (Relational.q65 _),
+    "q66_tpch13" -> (Relational.q66 _),
+    "q67_tpch15" -> (Relational.q67 _),
+    "q68_tpch16" -> (Relational.q68 _),
+    "q69_tpch17" -> (Relational.q69 _),
+    "q70_tpch18" -> (Relational.q70 _),
+    "q71_tpch19" -> (Relational.q71 _),
+    "q72_tpch20" -> (Relational.q72 _),
     "d01_dedup_jaccard" -> (Dedup.ngramJaccard _),
     "d02_dedup_minhash_lsh" -> (Dedup.minhashLsh _),
     "d03_dedup_simhash" -> (Dedup.simhash _),
@@ -473,6 +487,168 @@ object SparkEntry {
         |                    AND o.o_orderstatus = 'F')
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    "q59_tpch2" ->
+      """WITH supply AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    CAST(ROUND(MIN(CAST(l_extendedprice / l_quantity AS DECIMAL(38,4))), 4) AS DOUBLE)
+        |      AS ps_supplycost
+        |  FROM lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM part, supply, supplier, nation, region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_size = 15
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT MIN(ps2.ps_supplycost)
+        |    FROM supply ps2, supplier s2, nation n2, region r2
+        |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin,
+    "q60_tpch4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q61_tpch6" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,4))), 4) AS DOUBLE)
+        |  AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q62_tpch7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))), 4) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem, supplier, orders, customer, nation n1, nation n2
+        |WHERE l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+        |  AND o_custkey = c_custkey
+        |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+        |  AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
+    "q63_tpch8" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(ROUND(SUM(CASE WHEN n1.n_name = 'NATION_5'
+        |    THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))
+        |    ELSE CAST(0.0 AS DECIMAL(38,4)) END), 4) AS DOUBLE) AS nation_rev,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))), 4) AS DOUBLE)
+        |    AS total_rev,
+        |  ROUND(CAST(ROUND(SUM(CASE WHEN n1.n_name = 'NATION_5'
+        |      THEN CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))
+        |      ELSE CAST(0.0 AS DECIMAL(38,4)) END), 4) AS DOUBLE)
+        |    / CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))), 4) AS DOUBLE),
+        |    4) AS mkt_share
+        |FROM lineitem, part, supplier, orders, customer,
+        |  nation n1, nation n2, region
+        |WHERE l_partkey = p_partkey AND p_type = 'PROMO'
+        |  AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1998-01-01'
+        |  AND o_custkey = c_custkey
+        |  AND c_nationkey = n2.n_nationkey AND n2.n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND s_nationkey = n1.n_nationkey
+        |GROUP BY 1
+        |ORDER BY o_year""".stripMargin,
+    "q64_tpch9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+        |    - p_retailprice * l_quantity * 0.1 AS DECIMAL(38,4))), 4) AS DOUBLE) AS sum_profit
+        |FROM lineitem, part, supplier, orders, nation
+        |WHERE l_partkey = p_partkey AND p_name LIKE '%widget%'
+        |  AND l_suppkey = s_suppkey AND l_orderkey = o_orderkey
+        |  AND s_nationkey = n_nationkey
+        |GROUP BY 1, 2
+        |ORDER BY nation, o_year DESC""".stripMargin,
+    "q65_tpch11" ->
+      """WITH val AS (
+        |  SELECT l_partkey,
+        |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,4))), 4) AS DOUBLE) AS value
+        |  FROM lineitem, supplier, nation, region
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, value FROM val
+        |WHERE value > (
+        |  SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) * 0.001, 4)
+        |  FROM lineitem, supplier, nation, region
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |ORDER BY value DESC, l_partkey""".stripMargin,
+    "q66_tpch13" ->
+      """SELECT c_count, COUNT(*) AS custdist
+        |FROM (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        |      FROM customer LEFT OUTER JOIN orders
+        |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+        |      GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
+    "q67_tpch15" ->
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))), 4) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q68_tpch16" ->
+      """SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_type, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q69_tpch17" ->
+      """SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0, 4) AS DOUBLE)
+        |  AS avg_yearly
+        |FROM lineitem, part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#5'
+        |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+        |                    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin,
+    "q70_tpch18" ->
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS odate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM customer, orders, lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin,
+    "q71_tpch19" ->
+      """SELECT CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))), 4) AS DOUBLE)
+        |  AS revenue
+        |FROM lineitem, part
+        |WHERE l_partkey = p_partkey AND (
+        |     (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |      AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |      AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+        |      AND l_quantity BETWEEN 20 AND 30))""".stripMargin,
+    "q72_tpch20" ->
+      """SELECT s_name, s_acctbal
+        |FROM supplier, nation
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM part
+        |                        WHERE p_name LIKE 'small%')
+        |      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |    GROUP BY l_suppkey HAVING SUM(l_quantity) > 100)
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |ORDER BY s_name""".stripMargin,
     "q36_udaf_wavg" ->
       """SELECT l_returnflag,
         | ROUND(CAST(SUM(CAST(l_discount * l_quantity AS DECIMAL(38,4))) AS DOUBLE)

@@ -748,4 +748,280 @@ object Relational {
         round(sqrt(($"s2" - $"s1" * $"s1" / $"n") / ($"n" - 1)), 4).as("sd"))
       .orderBy($"l_returnflag")
 
+  // ---------------------------------------------------------------------
+  // TPC-H completion set (q59–q72): the remaining Q-shapes the suite did
+  // not yet exercise, adapted to this schema (no partsupp — per-part
+  // supply facts derive from lineitem (l_partkey, l_suppkey); no
+  // commitdate/receiptdate/shipmode/container — equivalent predicates
+  // substitute). Decorrelation-heavy shapes are written in SQL so
+  // Catalyst's subquery paths are what executes; join/agg shapes use the
+  // DataFrame API with explicit broadcasts. Same determinism contract as
+  // the rest of the file.
+  // ---------------------------------------------------------------------
+
+  private def views(s: SparkSession, dir: String, prefix: String,
+      tables: String*): Unit =
+    tables.foreach(t =>
+      Tables(s, dir, t).createOrReplaceTempView(s"${prefix}_$t"))
+
+  // TPC-H Q2 shape — min-cost supplier per part: a correlated scalar MIN
+  // over an aggregated supply view (unit price per (part, supplier) from
+  // lineitem). Catalyst decorrelates the scalar subquery into an
+  // aggregate + join — never a per-outer-row re-execution.
+  def q59(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "q59", "part", "supplier", "nation", "region", "lineitem")
+    s.sql(
+      """WITH supply AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |    CAST(ROUND(MIN(CAST(l_extendedprice / l_quantity AS DECIMAL(38,4))), 4) AS DOUBLE)
+        |      AS ps_supplycost
+        |  FROM q59_lineitem GROUP BY 1, 2)
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+        |FROM q59_part, supply, q59_supplier, q59_nation, q59_region
+        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        |  AND p_size = 15
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'EUROPE'
+        |  AND ps_supplycost = (
+        |    SELECT MIN(ps2.ps_supplycost)
+        |    FROM supply ps2, q59_supplier s2, q59_nation n2, q59_region r2
+        |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+        |      AND r2.r_name = 'EUROPE')
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin)
+  }
+
+  // TPC-H Q4 shape — order-priority checking: date-windowed orders with a
+  // correlated EXISTS (a line shipped after the order date), which plans
+  // as a semi join, never a per-row probe.
+  def q60(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "q60", "orders", "lineitem")
+    s.sql(
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM q60_orders
+        |WHERE o_orderdate >= DATE '1996-01-01' AND o_orderdate < DATE '1996-04-01'
+        |  AND EXISTS (SELECT 1 FROM q60_lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)
+  }
+
+  // TPC-H Q6 shape — forecasting revenue change: a pure scan-aggregate
+  // whose THREE range predicates all reach the parquet scan (plan-locked
+  // in PlanAuditSpec) — the canonical pushdown probe.
+  def q61(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast(DateType) &&
+        $"l_shipdate" < lit("1997-01-01").cast(DateType) &&
+        $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
+      .agg(dsum($"l_extendedprice" * $"l_discount").as("revenue"))
+
+  // TPC-H Q7 shape — volume shipping between two nations: the symmetric
+  // nation-pair filter over a four-table join, grouped by shipping year.
+  // Both nation sides broadcast.
+  def q62(s: SparkSession, dir: String): DataFrame = {
+    val n1 = broadcast(Tables(s, dir, "nation"))
+      .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation"))
+    val n2 = broadcast(Tables(s, dir, "nation"))
+      .select($"n_nationkey".as("c_nk"), $"n_name".as("cust_nation"))
+    Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= lit("1996-01-01").cast(DateType) &&
+        $"l_shipdate" < lit("1998-01-01").cast(DateType))
+      .join(Tables(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(n1, $"s_nationkey" === $"s_nk")
+      .join(n2, $"c_nationkey" === $"c_nk")
+      .filter(($"supp_nation" === "NATION_1" && $"cust_nation" === "NATION_2") ||
+        ($"supp_nation" === "NATION_2" && $"cust_nation" === "NATION_1"))
+      .groupBy($"supp_nation", $"cust_nation",
+        year($"l_shipdate").as("l_year"))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+      .orderBy($"supp_nation", $"cust_nation", $"l_year")
+  }
+
+  // TPC-H Q8 shape — national market share: one nation's slice of
+  // regional revenue per order year, computed as two exact-decimal sums
+  // and one double division performed identically on both engines.
+  def q63(s: SparkSession, dir: String): DataFrame = {
+    val vol = $"l_extendedprice" * (lit(1.0) - $"l_discount")
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part").filter($"p_type" === "PROMO"),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(Tables(s, dir, "orders")
+        .filter($"o_orderdate" >= lit("1996-01-01").cast(DateType) &&
+          $"o_orderdate" < lit("1998-01-01").cast(DateType)),
+        $"l_orderkey" === $"o_orderkey")
+      .join(Tables(s, dir, "customer"), $"o_custkey" === $"c_custkey")
+      .join(broadcast(Tables(s, dir, "nation"))
+        .select($"n_nationkey".as("c_nk"), $"n_regionkey"),
+        $"c_nationkey" === $"c_nk")
+      .join(broadcast(Tables(s, dir, "region")).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .join(broadcast(Tables(s, dir, "nation"))
+        .select($"n_nationkey".as("s_nk"), $"n_name".as("supp_nation")),
+        $"s_nationkey" === $"s_nk")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(
+        dsum(when($"supp_nation" === "NATION_5", vol).otherwise(lit(0.0)))
+          .as("nation_rev"),
+        dsum(vol).as("total_rev"))
+      .select($"o_year", $"nation_rev", $"total_rev",
+        round($"nation_rev" / $"total_rev", 4).as("mkt_share"))
+      .orderBy($"o_year")
+  }
+
+  // TPC-H Q9 shape — product-type profit by supplier nation and year;
+  // supply cost proxied deterministically from p_retailprice (the schema
+  // carries no partsupp.ps_supplycost).
+  def q64(s: SparkSession, dir: String): DataFrame = {
+    val profit = $"l_extendedprice" * (lit(1.0) - $"l_discount") -
+      $"p_retailprice" * $"l_quantity" * lit(0.1)
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part").filter($"p_name".contains("widget")),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(Tables(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(Tables(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .groupBy($"n_name".as("nation"), year($"o_orderdate").as("o_year"))
+      .agg(dsum(profit).as("sum_profit"))
+      .orderBy($"nation", $"o_year".desc)
+  }
+
+  // TPC-H Q11 shape — important-stock scan: per-part supply value for one
+  // region's suppliers, kept when above a scalar-subquery threshold
+  // (0.1% of the region total) — the HAVING-against-global-aggregate
+  // decorrelation path.
+  def q65(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "q65", "lineitem", "supplier", "nation", "region")
+    s.sql(
+      """WITH val AS (
+        |  SELECT l_partkey,
+        |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,4))), 4) AS DOUBLE) AS value
+        |  FROM q65_lineitem, q65_supplier, q65_nation, q65_region
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey, value FROM val
+        |WHERE value > (
+        |  SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) * 0.001, 4)
+        |  FROM q65_lineitem, q65_supplier, q65_nation, q65_region
+        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+        |ORDER BY value DESC, l_partkey""".stripMargin)
+  }
+
+  // TPC-H Q13 shape — customer order-count distribution: conditional
+  // LEFT OUTER join (the join predicate filters the right side, not the
+  // rows), then a two-level aggregation into a histogram.
+  def q66(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "customer")
+      .join(Tables(s, dir, "orders").filter($"o_orderpriority" =!= "1-URGENT"),
+        $"c_custkey" === $"o_custkey", "left")
+      .groupBy($"c_custkey")
+      .agg(count($"o_orderkey").as("c_count"))
+      .groupBy($"c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy($"custdist".desc, $"c_count".desc)
+
+  // TPC-H Q15 shape — top supplier: a revenue view consumed twice, once
+  // as the join input and once under a scalar MAX — Catalyst plans the
+  // equality against the subquery without re-running the view per row.
+  def q67(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "q67", "supplier", "lineitem")
+    s.sql(
+      """WITH revenue AS (
+        |  SELECT l_suppkey AS supplier_no,
+        |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))), 4) AS DOUBLE)
+        |      AS total_revenue
+        |  FROM q67_lineitem
+        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_revenue
+        |FROM q67_supplier, revenue
+        |WHERE s_suppkey = supplier_no
+        |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  // TPC-H Q16 shape — supplier diversity per (brand, type, size): an
+  // exclusion anti join standing in for NOT IN (equivalent here — the
+  // subquery's key set is non-null), then COUNT(DISTINCT supplier).
+  def q68(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part")
+        .filter($"p_brand" =!= "Brand#1" &&
+          $"p_size".isin(1, 5, 9, 14, 19, 23, 36, 45)),
+        $"l_partkey" === $"p_partkey")
+      .join(Tables(s, dir, "supplier").filter($"s_acctbal" < 0)
+        .select($"s_suppkey"),
+        $"l_suppkey" === $"s_suppkey", "left_anti")
+      .groupBy($"p_brand", $"p_type", $"p_size")
+      .agg(countDistinct($"l_suppkey").as("supplier_cnt"))
+      .orderBy($"supplier_cnt".desc, $"p_brand", $"p_type", $"p_size")
+
+  // TPC-H Q17 shape — small-quantity-order revenue: the correlated
+  // scalar AVG per part (decorrelated to an aggregate join; quantities
+  // are integral so the double mean is exact and order-independent).
+  def q69(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "q69", "lineitem", "part")
+    s.sql(
+      """SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0, 4) AS DOUBLE)
+        |  AS avg_yearly
+        |FROM q69_lineitem, q69_part
+        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#5'
+        |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
+        |                    FROM q69_lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+  }
+
+  // TPC-H Q18 shape — large-volume customers: IN over a grouped HAVING
+  // subquery (plans as a semi join on the aggregated key set).
+  def q70(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "q70", "customer", "orders", "lineitem")
+    s.sql(
+      """SELECT c_name, c_custkey, o_orderkey,
+        |  CAST(o_orderdate AS DATE) AS odate, o_totalprice,
+        |  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+        |FROM q70_customer, q70_orders, q70_lineitem
+        |WHERE o_orderkey IN (SELECT l_orderkey FROM q70_lineitem
+        |                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 250)
+        |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey""".stripMargin)
+  }
+
+  // TPC-H Q19 shape — disjunctive bracket predicate over a part join:
+  // three OR'd conjunct brackets that Catalyst must keep sargable enough
+  // to avoid a nested-loop plan (locked in PlanAuditSpec).
+  def q71(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part"), $"l_partkey" === $"p_partkey")
+      .filter(
+        ($"p_brand" === "Brand#12" && $"p_size".between(1, 5) &&
+          $"l_quantity".between(1, 11)) ||
+        ($"p_brand" === "Brand#23" && $"p_size".between(1, 10) &&
+          $"l_quantity".between(10, 20)) ||
+        ($"p_brand" === "Brand#24" && $"p_size".between(1, 15) &&
+          $"l_quantity".between(20, 30)))
+      .agg(dsum($"l_extendedprice" * (lit(1.0) - $"l_discount")).as("revenue"))
+
+  // TPC-H Q20 shape — nested IN subqueries: suppliers who moved real
+  // volume of a named part family in a year, resolved through two
+  // semi-join levels (part-key set inside supplier-key set).
+  def q72(s: SparkSession, dir: String): DataFrame = {
+    views(s, dir, "q72", "supplier", "nation", "lineitem", "part")
+    s.sql(
+      """SELECT s_name, s_acctbal
+        |FROM q72_supplier, q72_nation
+        |WHERE s_suppkey IN (
+        |    SELECT l_suppkey FROM q72_lineitem
+        |    WHERE l_partkey IN (SELECT p_partkey FROM q72_part
+        |                        WHERE p_name LIKE 'small%')
+        |      AND l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+        |    GROUP BY l_suppkey HAVING SUM(l_quantity) > 100)
+        |  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+        |ORDER BY s_name""".stripMargin)
+  }
+
 }

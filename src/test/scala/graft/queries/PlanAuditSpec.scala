@@ -113,6 +113,50 @@ class PlanAuditSpec extends AnyFunSuite {
     assert("""Scan parquet""".r.findAllIn(p).size == 1, p)
   }
 
+  // executedPlan.toString truncates long PushedFilters lists; the
+  // formatted explain prints them whole
+  private def formatted(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+
+  test("q61: all three range predicates reach the parquet scan") {
+    val p = formatted("q61_tpch6")
+    assert(p.contains("GreaterThanOrEqual(l_shipdate,"), p)
+    assert(p.contains("GreaterThanOrEqual(l_discount,0.05)"), p)
+    assert(p.contains("LessThan(l_quantity,24"), p)
+  }
+
+  test("q59/q69: correlated scalar aggregates decorrelate to aggregate joins") {
+    // the Q2/Q17 shapes: a per-outer-row re-execution of the MIN/AVG
+    // subquery would be the classic correlated-subquery scale disaster;
+    // Catalyst must plan one aggregate + equi-join per subquery
+    for (q <- Seq("q59_tpch2", "q69_tpch17")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q:\n$p")
+      assert(p.contains("HashAggregate"), s"$q:\n$p")
+    }
+  }
+
+  test("q70/q72: IN-subqueries plan as semi joins on aggregated key sets") {
+    for (q <- Seq("q70_tpch18", "q72_tpch20")) {
+      val p = plan(q)
+      assert(p.contains("LeftSemi"), s"$q:\n$p")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
+    }
+  }
+
+  test("q71: disjunctive bracket predicate stays sargable on both scans") {
+    val p = formatted("q71_tpch19")
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // Catalyst cross-distributes the DNF: the brand/size brackets land
+    // on the part scan and the quantity brackets on the lineitem scan
+    assert(p.contains("EqualTo(p_brand,Brand#12)"), p)
+    assert(p.contains("LessThanOrEqual(p_size,15)"), p)
+    assert(p.contains("LessThanOrEqual(l_quantity,30.0)"), p)
+  }
+
   test("dedup pair generation never plans a nested-loop/cartesian join") {
     // the round-2 scale-killer was an all-pairs BNLJ; every candidate
     // generator must stay on equi-join shapes (blocked exact path
