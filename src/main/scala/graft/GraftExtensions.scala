@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProduct, MinHash32, Shingle3, SimHash64, SrpSig}
+import graft.functions.{DotProduct, MinHash32, Shingle3, ShingleN, SimHash64, SrpSig}
 
 /** SparkSessionExtensions entry point: registers the engine's codegen'd
   * expressions as real session functions, so a cluster user gets them
@@ -34,6 +34,7 @@ object GraftExtensions {
     "graft_dot" -> (es => DotProduct(es.head, es(1))),
     "graft_simhash" -> (es => SimHash64(es.head)),
     "graft_shingles" -> (es => Shingle3(es.head)),
+    "graft_shingles_n" -> (es => ShingleN(es.head, es(1))),
     "graft_minhash" -> (es => MinHash32(es.head)),
     "graft_srp" -> (es => SrpSig(es.head, es(1))))
 }

@@ -102,10 +102,12 @@ object SparkEntry {
     "d03_dedup_simhash" -> (Dedup.simhash _),
     "d04_dedup_embed" -> (Similarity.embedNearDup _),
     "d06_dedup_canonical" -> (Dedup.canonical _),
+    "d07_decontaminate" -> (Dedup.decontaminate _),
     "d05_dedup_embed_lsh" -> (Similarity.srpNearDup _),
     "m01_image_decode" -> (graft.operators.Multimodal.imageStats _),
     "m02_audio_decode" -> (graft.operators.Multimodal.audioStats _),
     "m03_crossmodal_dedup" -> (graft.operators.Multimodal.crossModalDedup _),
+    "m04_video_decode" -> (graft.operators.Multimodal.videoStats _),
     "s01_cosine_topk" -> (Similarity.cosineTopK _),
     "s02_ann_ivf" -> (Similarity.annIvf _),
     "t01_langid" -> (TextOps.langId _),
@@ -113,6 +115,7 @@ object SparkEntry {
     "t03_tokens" -> (TextOps.tokenCount _),
     "t04_fingerprint" -> (TextOps.fingerprint _),
     "t05_stratified_sample" -> (TextOps.stratifiedSample _),
+    "t06_pack_sequences" -> (TextOps.packSequences _),
   )
 
   /** DuckDB-dialect oracle SQL; same column names/types as the Spark side. */
@@ -704,6 +707,21 @@ object SparkEntry {
     // recall-guaranteed banding (see Similarity.srpNearDup) makes it
     // exactly reproduce the brute-force oracle.
     "d05_dedup_embed_lsh" -> EmbedDedupOracle,
+    // d07: train/eval 5-gram overlap — benchmark split doc_id % 10 == 7,
+    // n_shared = count of distinct 5-word shingles a training doc shares
+    // with ANY benchmark doc (shingles are distinct per doc, so the
+    // post-join count is already distinct; see Dedup.decontaminate)
+    "d07_decontaminate" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 5
+        |    THEN list_distinct([list_aggregate(t[i:i+4], 'string_agg', ' ') for i in range(1, len(t) - 3)])
+        |    ELSE [] END AS s FROM tk),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |bench AS (SELECT DISTINCT g FROM ex WHERE doc_id % 10 = 7)
+        |SELECT ex.doc_id, COUNT(*) AS n_shared
+        |FROM ex JOIN bench USING (g)
+        |WHERE ex.doc_id % 10 <> 7
+        |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // m01's oracle recomputes the decoded-image statistics analytically
     // from the seed pixel formula — hash match proves the real
     // ImageIO decode + area-average resize path is exact (see
@@ -749,6 +767,27 @@ object SparkEntry {
         |FROM v a JOIN v b ON a.id < b.id
         |WHERE list_cosine_similarity(a.vec, b.vec) >= 0.998
         |ORDER BY a, b""".stripMargin,
+    // m04's oracle recomputes the decoded-video statistics analytically
+    // from the seed pixel formula: per-frame INTEGER pixel sums, so every
+    // stat is an exact integer over a constant divisor on both engines
+    // (operators/Multimodal.videoStats).
+    "m04_video_decode" ->
+      """WITH m AS (SELECT p_partkey AS media_id, 2 + p_partkey % 4 AS nf
+        |           FROM part WHERE p_partkey <= 300),
+        |fx AS (SELECT media_id, nf, unnest(generate_series(0, CAST(nf AS BIGINT) - 1)) AS f FROM m),
+        |px AS (SELECT media_id, nf, f, unnest(generate_series(0, CAST(15 AS BIGINT))) AS x FROM fx),
+        |pxy AS (SELECT media_id, nf, f, x, unnest(generate_series(0, CAST(11 AS BIGINT))) AS y FROM px),
+        |fs AS (SELECT media_id, nf, f,
+        |        CAST(SUM((media_id*31 + f*17 + x*7 + y*13) % 256) AS BIGINT) AS s
+        |       FROM pxy GROUP BY 1, 2, 3),
+        |fd AS (SELECT media_id, nf, f, s,
+        |        s - LAG(s) OVER (PARTITION BY media_id ORDER BY f) AS d
+        |       FROM fs)
+        |SELECT media_id, CAST(nf AS BIGINT) AS n_frames,
+        | ROUND(CAST(MAX(CASE WHEN f = 0 THEN s END) AS DOUBLE) / 192.0, 4) AS mean_f0,
+        | ROUND(CAST(SUM(s) AS DOUBLE) / (192.0 * nf), 4) AS mean_all,
+        | ROUND(CAST(COALESCE(MAX(ABS(d)), 0) AS DOUBLE) / 192.0, 4) AS drift
+        |FROM fd GROUP BY media_id, nf ORDER BY media_id""".stripMargin,
     "s01_cosine_topk" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         | q AS (SELECT v FROM e WHERE vec_id = 0)
@@ -792,6 +831,21 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t05_stratified_sample" -> T05Oracle,
+    // t06: concat-and-chunk packing — per-shard running token count in
+    // doc_id order, cut every 512 tokens; shard = t05's Knuth hash mod 8,
+    // tokens = t03's pre-tokenizer count (TextOps.packSequencesOf)
+    "t06_pack_sequences" ->
+      """WITH toks AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok,
+        |  ((doc_id % 2147483648) * 2654435761) % 4294967296 % 8 AS shard
+        | FROM documents),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        | FROM toks)
+        |SELECT doc_id, shard, n_tok, start_tok,
+        | start_tok // 512 AS bin, start_tok % 512 AS off
+        |FROM c ORDER BY doc_id""".stripMargin,
     "t04_fingerprint" ->
       """SELECT doc_id,
         | list_reduce(list_prepend(CAST(0 AS BIGINT),

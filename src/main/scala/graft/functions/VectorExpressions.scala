@@ -178,6 +178,61 @@ object Shingle3 {
   }
 }
 
+/** Distinct n-word shingles for caller-chosen n — [[Shingle3]]
+  * generalized for operators whose textual identity unit is longer than
+  * 3 words (decontamination uses 5-grams: long enough to be rare in
+  * clean text, short enough to survive benchmark-formatting drift).
+  * Same codegen rationale as Shingle3; `n` must be a foldable literal
+  * (it parameterizes the plan, not the data). First-seen order, distinct.
+  */
+case class ShingleN(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(StringType, _), _) if !right.foldable =>
+        TypeCheckResult.TypeCheckFailure(
+          "graft_shingles_n requires a literal shingle width")
+      case (ArrayType(StringType, _), org.apache.spark.sql.types.IntegerType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"graft_shingles_n requires (array<string>, int) arguments, got $l / $r")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_shingles_n"
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    ShingleN.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[Int])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.ShingleN$$.MODULE$$.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ShingleN =
+    copy(left = newLeft, right = newRight)
+}
+
+object ShingleN {
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData, width: Int): ArrayData = {
+    val n = arr.numElements()
+    if (width <= 0 || n < width) return new GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    val parts = new Array[UTF8String](width)
+    var i = 0
+    while (i + width <= n) {
+      var j = 0
+      while (j < width) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    new GenericArrayData(seen.toArray(new Array[AnyRef](seen.size))
+      .asInstanceOf[Array[Any]])
+  }
+}
+
 /** 32 MinHash signature values over an array<long> of feature hashes,
   * in one pass: min over hashes of the affine permutation
   * `pmod(pmod(h,P)·a_j + b_j, P)` for each of 32 fixed-seed (a_j, b_j).

@@ -267,4 +267,36 @@ object Dedup {
       .distinct()
     verified(cand, sh)
   }
+
+  /** Benchmark decontamination (d07): flag training documents that share
+    * any 5-word shingle with the evaluation/benchmark set — the standard
+    * train/eval overlap scrub in an LLM data pipeline. Here the
+    * benchmark split is `doc_id % 10 == 7` (an eval holdout riding in
+    * the same table); in production it would be a separate small table.
+    *
+    * Scale shape (the part that matters at 100 TB): the benchmark n-gram
+    * set is the DISTINCT shingles of the eval suite — megabytes, not
+    * corpus-sized — so it is `broadcast()` and the training corpus joins
+    * against it map-side. The corpus side is never shuffled on the gram:
+    * the only corpus-wide movement is the final per-doc count of hits,
+    * which aggregates the (tiny) matched subset. A shuffle join on grams
+    * here would move the whole exploded corpus; the broadcast shape is
+    * locked by PlanAuditSpec. 5-gram width: long enough to be rare in
+    * clean text (30-word synthetic vocab ⇒ 24M possible 5-grams), short
+    * enough to catch paraphrase-free contamination.
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val grams = Tables(s, dir, "documents")
+      .selectExpr("doc_id",
+        "graft_shingles_n(split(lower(text), ' '), 5) AS gs")
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    val bench = grams.filter(col("doc_id") % 10 === 7).select("g").distinct()
+    grams.filter(col("doc_id") % 10 =!= 7)
+      .join(broadcast(bench), "g")
+      // shingles are distinct within a doc, so plain count == distinct
+      // shared-gram count (no count-distinct shuffle needed)
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+      .orderBy("doc_id")
+  }
 }

@@ -3,9 +3,9 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
-import java.awt.image.BufferedImage
+import java.awt.image.{BufferedImage, DataBuffer, IndexColorModel}
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
-import javax.imageio.ImageIO
+import javax.imageio.{IIOImage, ImageIO}
 import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
 
 /** Multimodal-column plumbing for a training-data pipeline: image/audio/
@@ -18,11 +18,15 @@ import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, Audi
   * jars) decodes PNG/JPEG to a grayscale raster, and resizing is an
   * area-average (box) filter. Audio decode is REAL too:
   * `javax.sound.sampled` (also JDK-only) reads WAV/PCM — features are an
-  * RMS energy envelope over the decoded samples. Video decode remains a
-  * clearly-marked deterministic stub ([[fakeDecode]]) — no video codecs
-  * exist in this container — as does any row whose bytes don't decode
-  * (fail-soft: a corrupt row yields stub features, never a task failure,
-  * matching the engine's row-level error semantics).
+  * RMS energy envelope over the decoded samples. Video decode is REAL
+  * for the one multi-frame container the JDK ships a codec for —
+  * animated GIF, read/written frame-exact through `ImageIO`'s sequence
+  * API — with features a temporal luminance envelope over the decoded
+  * frames. Compressed formats that would need ffmpeg (H.264/MP3/AAC) fall
+  * back to a clearly-marked deterministic stub ([[fakeDecode]]), as does
+  * any row whose bytes don't decode (fail-soft: a corrupt row yields stub
+  * features, never a task failure, matching the engine's row-level error
+  * semantics).
   */
 object Multimodal {
 
@@ -189,13 +193,131 @@ object Multimodal {
     out
   }
 
+  // ---- real video codec (JDK ImageIO, multi-frame GIF) -----------------
+
+  /** Identity 256-level grayscale palette: GIF stores indexed color, and
+    * writing frames as TYPE_BYTE_INDEXED over this palette makes the
+    * encode → decode round-trip bit-exact (palette index == gray level ==
+    * decoded sRGB channel). Going through TYPE_BYTE_GRAY instead would
+    * route the read back through a linear-gray ↔ sRGB conversion and lose
+    * low-order bits. */
+  private lazy val grayPalette: IndexColorModel = {
+    val cmap = Array.tabulate(256)(i => (0xff << 24) | (i << 16) | (i << 8) | i)
+    new IndexColorModel(8, 256, cmap, 0, false, -1, DataBuffer.TYPE_BYTE)
+  }
+
+  /** Encode a multi-frame animated GIF from a per-frame pixel function
+    * through the JDK's sequence writer — a REAL video container the JDK
+    * can both write and read without external codecs; losslessly
+    * round-trippable through [[decodeGifFrames]]. The seed-video
+    * generator for specs and the m04 correctness query. */
+  def encodeGifVideo(w: Int, h: Int, frames: Int,
+      pixel: (Int, Int, Int) => Int): Array[Byte] = {
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < frames) {
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_BYTE_INDEXED, grayPalette)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { raster.setSample(x, y, 0, pixel(f, x, y) & 0xff); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Real video decode: a multi-frame GIF → (width, height, per-frame
+    * row-major 8-bit luminance). Luminance is read through the palette
+    * (`getRGB & 0xff`), never through a colorspace conversion, so decoded
+    * samples are the exact palette grays. None if the bytes don't decode
+    * or frames disagree on dimensions (sub-frame/composited GIFs are out
+    * of scope) — callers treat that row fail-soft, the same contract as
+    * [[decodeGray]] / [[decodePcm16]]. */
+  def decodeGifFrames(content: Array[Byte]): Option[(Int, Int, IndexedSeq[Array[Int]])] =
+    try {
+      val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(content))
+      try {
+        val readers = ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) None
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis)
+            val n = reader.getNumImages(true)
+            if (n <= 0) None
+            else {
+              val first = reader.read(0)
+              val w = first.getWidth
+              val h = first.getHeight
+              val frames = new Array[Array[Int]](n)
+              var ok = true
+              var i = 0
+              while (ok && i < n) {
+                val img = if (i == 0) first else reader.read(i)
+                if (img.getWidth != w || img.getHeight != h) ok = false
+                else {
+                  val px = new Array[Int](w * h)
+                  var y = 0
+                  while (y < h) {
+                    var x = 0
+                    while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xff; x += 1 }
+                    y += 1
+                  }
+                  frames(i) = px
+                }
+                i += 1
+              }
+              if (ok) Some((w, h, frames.toIndexedSeq)) else None
+            }
+          } finally reader.dispose()
+        }
+      } finally iis.close()
+    } catch { case _: Exception => None }
+
+  /** Temporal envelope: mean frame luminance over `dim` equal frame
+    * segments, normalized to [0, 1) — the video analogue of the audio
+    * path's RMS envelope (per-segment mean instead of RMS, since
+    * luminance is unsigned). */
+  def luminanceEnvelope(frameMeans: Array[Double], dim: Int): Array[Float] = {
+    val out = new Array[Float](dim)
+    val n = frameMeans.length
+    if (n == 0) return out
+    var k = 0
+    while (k < dim) {
+      val lo = (k.toLong * n / dim).toInt
+      val hi = ((k + 1).toLong * n / dim).toInt
+      if (hi > lo) {
+        var sum = 0.0
+        var i = lo
+        while (i < hi) { sum += frameMeans(i); i += 1 }
+        out(k) = (sum / (hi - lo) / 256.0).toFloat
+      }
+      k += 1
+    }
+    out
+  }
+
   // ---- non-image stub ---------------------------------------------------
 
-  /** STUB — stands in for a real video decoder (ffmpeg / ONNX): no video
-    * codecs exist in this container. Deterministic: features derive
+  /** STUB — the fail-soft fallback for bytes no JDK codec reads (corrupt
+    * rows; compressed video/audio formats like H.264/MP3 that would need
+    * ffmpeg, absent from this container). Deterministic: features derive
     * from a rolling hash of the content bytes, so tests are stable and
-    * the pipeline is replayable. Also the fail-soft fallback for image
-    * bytes that don't decode. */
+    * the pipeline is replayable. */
   private[operators] def fakeDecode(content: Array[Byte], dim: Int): Array[Float] = {
     val out = new Array[Float](dim)
     var h = 1125899906842597L
@@ -216,7 +338,10 @@ object Multimodal {
     * for real: features are the √dim × √dim area-averaged luminance grid
     * scaled to [0, 1) (`dim` must be a perfect square). Audio rows decode
     * for real: features are the `dim`-segment RMS energy envelope. Video
-    * (and undecodable bytes, fail-soft) use the hash stub. Repartitions
+    * rows decode for real (multi-frame GIF): features are the
+    * `dim`-segment temporal luminance envelope. Undecodable bytes
+    * (fail-soft) and codec-requiring formats use the hash stub.
+    * Repartitions
     * by media_id first so decoder work spreads evenly even when input
     * files are skewed (one giant video parquet vs many small images). */
   def extractFeatures(items: Dataset[MediaItem], dim: Int = 16,
@@ -241,7 +366,19 @@ object Multimodal {
               case Some((_, samples)) if samples.nonEmpty => rmsEnvelope(samples, dim)
               case _ => fakeDecode(m.content, dim) // fail-soft: unreadable audio
             }
-          case _ => fakeDecode(m.content, dim) // video: no codecs in container
+          case "video" =>
+            decodeGifFrames(m.content) match {
+              case Some((_, _, frames)) if frames.nonEmpty =>
+                val means = frames.map { px =>
+                  var sum = 0L
+                  var i = 0
+                  while (i < px.length) { sum += px(i); i += 1 }
+                  sum.toDouble / px.length
+                }.toArray
+                luminanceEnvelope(means, dim)
+              case _ => fakeDecode(m.content, dim) // fail-soft: non-GIF video
+            }
+          case _ => fakeDecode(m.content, dim) // unknown kind
         }
         MediaFeatures(m.media_id, m.kind, m.content.length.toLong, feats)
       }
@@ -367,6 +504,62 @@ object Multimodal {
     }).toDF("media_id", "n_samples", "duration_ms", "rms_raw", "zero_crossings", "peak")
       .select(col("media_id"), col("n_samples"), col("duration_ms"),
         round(col("rms_raw"), 4).as("rms"), col("zero_crossings"), col("peak"))
+      .orderBy("media_id")
+  }
+
+  /** m04 correctness query: seed deterministic multi-frame GIF "videos"
+    * from the `part` key space (16×12 frames, 2 + id mod 4 frames each,
+    * pixel(f,x,y) = (id·31 + f·17 + x·7 + y·13) mod 256), push them
+    * through the REAL ImageIO sequence encode → decode path, and report
+    * per-video frame count, frame-0 mean luminance, all-frame mean
+    * luminance, and the inter-frame luminance drift (max |mean(f) −
+    * mean(f−1)|) — all computed from the DECODED frames. The DuckDB
+    * oracle recomputes everything analytically from the pixel formula
+    * (m01's recipe applied to video), so a hash match proves the
+    * multi-frame container round-trip is frame-exact, not a stub.
+    * Integer pixel sums ⇒ the only float arithmetic is the identical
+    * final division in both engines. */
+  def videoStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val items = graft.Tables(s, dir, "part")
+      .select(col("p_partkey").as("media_id"))
+      .filter(col("media_id") <= 300)
+      .as[Long]
+      .mapPartitions(_.map { id =>
+        val frames = (2 + id % 4).toInt
+        MediaItem(id, "video",
+          encodeGifVideo(16, 12, frames,
+            (f, x, y) => ((id * 31 + f * 17 + x * 7 + y * 13) % 256).toInt),
+          16, 12, frames * 40L)
+      })
+    items.mapPartitions(_.flatMap { m =>
+      decodeGifFrames(m.content).map { case (w, h, frames) =>
+        // per-frame INTEGER pixel sums: every reported stat is an exact
+        // integer divided by a constant, so the oracle's float arithmetic
+        // is bit-identical (no summation-order sensitivity)
+        val sums = frames.map { px =>
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i); i += 1 }
+          sum
+        }
+        var driftI = 0L
+        var f = 1
+        while (f < sums.length) {
+          driftI = math.max(driftI, math.abs(sums(f) - sums(f - 1)))
+          f += 1
+        }
+        val area = (w * h).toDouble
+        (m.media_id, frames.length.toLong,
+          sums.head / area,
+          sums.sum.toDouble / (area * frames.length),
+          driftI / area)
+      }
+    }).toDF("media_id", "n_frames", "mf0_raw", "mall_raw", "drift_raw")
+      .select(col("media_id"), col("n_frames"),
+        round(col("mf0_raw"), 4).as("mean_f0"),
+        round(col("mall_raw"), 4).as("mean_all"),
+        round(col("drift_raw"), 4).as("drift"))
       .orderBy("media_id")
   }
 

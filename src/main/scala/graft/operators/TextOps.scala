@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a training-data pipeline (SURVEY §2B E21):
@@ -123,4 +124,40 @@ object TextOps {
   def stratifiedSample(s: SparkSession, dir: String): DataFrame =
     stratifiedSampleOf(Tables(s, dir, "documents"),
       Map("en" -> 25, "zh" -> 75), defaultPct = 50).orderBy("doc_id")
+
+  /** Deterministic sequence packing for training-data export (t06):
+    * concat-and-chunk — documents are deterministically sharded, laid
+    * end-to-end within their shard in doc_id order, and the token stream
+    * is cut every `budget` tokens. Each doc's placement is fully
+    * described by (shard, bin, off): it starts `off` tokens into context
+    * window `bin` of its shard — the standard pretraining packing, made
+    * reproducible (same placement on any engine, any run, any partition
+    * count).
+    *
+    * Scale shape: the shard is the parallelism unit — the ONLY window is
+    * per-shard, so the sort is shard-local and the stage scales with the
+    * shard count. Pick `shards` so a shard is executor-sized (thousands
+    * at 100 TB, 8 in the test query); no global sort, no driver state.
+    * Sharding reuses t05's overflow-free Knuth multiplicative hash, and
+    * token counts are t03's BPE-ish pre-tokenizer count, so both are
+    * engine-portable integer arithmetic. */
+  def packSequencesOf(docs: DataFrame, shards: Int, budget: Long): DataFrame = {
+    val shard = pmod(
+      pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+        lit(4294967296L)), lit(shards.toLong))
+    val before = Window.partitionBy("shard").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.selectExpr("doc_id",
+        "CAST(size(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_tok")
+      .withColumn("shard", shard)
+      .withColumn("start_tok",
+        coalesce(sum(col("n_tok")).over(before), lit(0L)))
+      .select(col("doc_id"), col("shard"), col("n_tok"), col("start_tok"),
+        expr(s"start_tok div $budget").as("bin"),
+        expr(s"start_tok % $budget").as("off"))
+  }
+
+  def packSequences(s: SparkSession, dir: String): DataFrame =
+    packSequencesOf(Tables(s, dir, "documents"), shards = 8, budget = 512L)
+      .orderBy("doc_id")
 }

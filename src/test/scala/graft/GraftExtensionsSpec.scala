@@ -7,7 +7,8 @@ class GraftExtensionsSpec extends AnyFunSuite {
 
   test("extension injects all graft functions into a session registry") {
     val names = GraftExtensionsBridge.injectedFunctionNames(new GraftExtensions)
-    assert(names == Seq("graft_dot", "graft_minhash", "graft_shingles", "graft_simhash", "graft_srp"))
+    assert(names == Seq("graft_dot", "graft_minhash", "graft_shingles",
+      "graft_shingles_n", "graft_simhash", "graft_srp"))
   }
 
   test("injected builders construct evaluable expressions") {

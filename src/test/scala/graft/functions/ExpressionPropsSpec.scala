@@ -39,6 +39,21 @@ class ExpressionPropsSpec extends AnyFunSuite {
     })
   }
 
+  test("ShingleN.compute == sliding(n).map(mkString).distinct for n in 1..8") {
+    check(Prop.forAll(tokensGen, Gen.chooseNum(1, 8)) { (toks, n) =>
+      val got = {
+        val arr = new GenericArrayData(
+          toks.map(t => UTF8String.fromString(t): Any).toArray)
+        val out = ShingleN.compute(arr, n)
+        (0 until out.numElements()).map(i => out.getUTF8String(i).toString)
+      }
+      val want =
+        if (toks.size < n) Seq.empty[String]
+        else toks.sliding(n).map(_.mkString(" ")).toSeq.distinct
+      got == want
+    })
+  }
+
   test("SimHash64 == per-bit +1/-1 majority vote") {
     val e = SimHash64(null)
     check(Prop.forAll(hashesGen) { hs =>

@@ -91,6 +91,42 @@ class MultimodalSpec extends AnyFunSuite {
     assert(byId(0L) != byId(1L))
   }
 
+  test("GIF video encode/decode round-trips every frame exactly") {
+    val bytes = Multimodal.encodeGifVideo(9, 7, 4,
+      (f, x, y) => (f * 41 + x * 29 + y * 31) % 256)
+    val Some((w, h, frames)) = Multimodal.decodeGifFrames(bytes)
+    assert((w, h, frames.length) == (9, 7, 4))
+    for (f <- 0 until 4)
+      assert(frames(f).toSeq == (for (y <- 0 until 7; x <- 0 until 9)
+        yield (f * 41 + x * 29 + y * 31) % 256).toSeq,
+        s"frame $f")
+    // corrupt bytes and mixed-dimension inputs fail soft
+    assert(Multimodal.decodeGifFrames(Array.fill[Byte](32)(7)).isEmpty)
+  }
+
+  test("video features are the real temporal luminance envelope of decoded frames") {
+    import spark.implicits._
+    implicit val s = spark
+    val vids = (0 until 6).map { i =>
+      Multimodal.MediaItem(i.toLong, "video",
+        Multimodal.encodeGifVideo(8, 8, 3 + i % 3,
+          (f, x, y) => (i * 23 + f * 19 + x * 3 + y * 5) % 256),
+        8, 8, 1000L)
+    }.toDS()
+    val feats = Multimodal.extractFeatures(vids, dim = 4).collect().sortBy(_.media_id)
+    for (fr <- feats) {
+      val i = fr.media_id.toInt
+      val n = 3 + i % 3
+      val means = Array.tabulate(n) { f =>
+        (for (y <- 0 until 8; x <- 0 until 8)
+          yield (i * 23 + f * 19 + x * 3 + y * 5) % 256).sum / 64.0
+      }
+      assert(fr.features.toSeq == Multimodal.luminanceEnvelope(means, 4).toSeq, s"id $i")
+      // distinct from the stub: real features reflect frame content
+      assert(fr.features.exists(_ > 0f))
+    }
+  }
+
   test("undecodable image bytes fail soft (stub features, resize passthrough)") {
     import spark.implicits._
     implicit val s = spark

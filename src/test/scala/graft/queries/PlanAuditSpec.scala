@@ -157,6 +157,27 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LessThanOrEqual(l_quantity,30.0)"), p)
   }
 
+  test("d07: corpus joins the benchmark gram set map-side (broadcast, no corpus shuffle on gram)") {
+    // the 100 TB contract: the benchmark n-gram set is eval-suite-sized,
+    // so it must broadcast — a shuffle join on the gram column would
+    // move the whole exploded corpus
+    val p = plan("d07_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("t06: packing's only wide operations are the per-shard window and output sort") {
+    // concat-and-chunk packing must stay shard-parallel: one exchange on
+    // the shard hash for the running-count window, one range exchange
+    // for the presentation sort — nothing corpus-wide beyond those
+    val p = plan("t06_pack_sequences")
+    assert("Exchange hashpartitioning\\(shard".r.findAllIn(p).size == 1, p)
+    assert("Exchange (hash|range)partitioning".r.findAllIn(p).size == 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("dedup pair generation never plans a nested-loop/cartesian join") {
     // the round-2 scale-killer was an all-pairs BNLJ; every candidate
     // generator must stay on equi-join shapes (blocked exact path
