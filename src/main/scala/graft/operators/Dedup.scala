@@ -285,18 +285,30 @@ object Dedup {
     * clean text (30-word synthetic vocab ⇒ 24M possible 5-grams), short
     * enough to catch paraphrase-free contamination.
     */
-  def decontaminate(s: SparkSession, dir: String): DataFrame = {
-    graft.functions.VectorFunctions.register(s)
-    val grams = Tables(s, dir, "documents")
-      .selectExpr("doc_id",
+  /** Per-doc distinct 5-word shingles, exploded to (doc_id, g) rows. */
+  def gramsOf(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id",
         "graft_shingles_n(split(lower(text), ' '), 5) AS gs")
       .select(col("doc_id"), explode(col("gs")).as("g"))
-    val bench = grams.filter(col("doc_id") % 10 === 7).select("g").distinct()
-    grams.filter(col("doc_id") % 10 =!= 7)
-      .join(broadcast(bench), "g")
+
+  /** Pure contamination check of `docs` against a benchmark gram set —
+    * stream-capable: the corpus side is a stateless explode + map-side
+    * broadcast join, so the same plan runs over `readStream` documents
+    * against a static benchmark table (the per-doc count then runs as a
+    * streaming aggregation; see TextStreamSpec). */
+  def contaminationOf(docs: DataFrame, benchGrams: DataFrame): DataFrame =
+    gramsOf(docs)
+      .join(broadcast(benchGrams), "g")
       // shingles are distinct within a doc, so plain count == distinct
       // shared-gram count (no count-distinct shuffle needed)
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val docs = Tables(s, dir, "documents")
+    val bench = gramsOf(docs.filter(col("doc_id") % 10 === 7))
+      .select("g").distinct()
+    contaminationOf(docs.filter(col("doc_id") % 10 =!= 7), bench)
       .orderBy("doc_id")
   }
 }

@@ -50,6 +50,28 @@ class TextStreamSpec extends AnyFunSuite {
     assert(got == rows(TextOps.qualityOf(batchDocs)))
   }
 
+  test("decontamination over a document stream equals the batch result") {
+    // the corpus side of d07 is a stateless explode + broadcast join, so
+    // it streams unchanged; the per-doc hit count becomes a streaming
+    // aggregation (complete mode — contaminated-doc counts are revised
+    // as grams arrive)
+    graft.functions.VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    val bench = graft.operators.Dedup
+      .gramsOf(batchDocs.filter(col("doc_id") % 10 === 7))
+      .select("g").distinct()
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(streamDir)
+    val q = graft.operators.Dedup
+      .contaminationOf(stream.filter(col("doc_id") % 10 =!= 7), bench)
+      .writeStream.format("memory").queryName("t_decon_stream")
+      .outputMode("complete").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = rows(spark.table("t_decon_stream"))
+    assert(got == rows(graft.operators.Dedup.contaminationOf(
+      batchDocs.filter(col("doc_id") % 10 =!= 7), bench)))
+    assert(got.nonEmpty)
+  }
+
   test("fingerprint + token count compose in one streaming pipeline") {
     val got = rows(replay(
       d => TextOps.fingerprintOf(d).join(TextOps.tokenCountOf(d), "doc_id"),
