@@ -66,11 +66,19 @@ object Bench {
         fn(spark, sfDir).write.mode("overwrite").parquet(s"$tmp/$name")
         (System.nanoTime() - t0) / 1e9
       }
-      val best =
-        try math.min(once(), once())
+      // each run is timed in its own try so a transient second-run
+      // failure cannot discard a valid first measurement; only a query
+      // with NO successful run is reported failed
+      val runs = (1 to 2).flatMap { _ =>
+        try Some(once())
         catch { case e: Throwable =>
+          System.err.println(s"[bench] $name run failed: $e"); None
+        }
+      }
+      val best =
+        if (runs.nonEmpty) runs.min
+        else {
           failed += name
-          System.err.println(s"[bench] $name FAILED: $e")
           // a failed query reports -1, never its time-to-fail: folding a
           // fast crash into the totals would read as a speedup
           -1.0

@@ -113,6 +113,17 @@ object CatalogIO {
       "sortBy requires bucketBy (Spark sorts within buckets)")
     val dir = cat.tableDir(ref)
     val dataDir = new Path(dir, "data")
+    // An earlier create that crashed before its pointer commit leaves
+    // invisible debris here (tableExists is false — a lone v1 without a
+    // pointer is an aborted create, see HadoopFsCatalog.metadataFallback).
+    // Deleting it automatically would race a concurrent creator, so
+    // surface a precise error instead of the write path's generic
+    // path-already-exists failure.
+    if (cat.fileSystem.exists(new Path(new Path(dir, "metadata"), "v1.metadata.json")) ||
+        cat.fileSystem.exists(dataDir))
+      throw new AlreadyExistsException(
+        s"Aborted-create debris at $dir (metadata/data without a committed " +
+          s"pointer); remove the directory to recreate $ref")
     writeData(spark, dataDir, df, partitionBy, bucketBy, sortBy)
     val layout = TableLayout(dataDir.toString, partitionBy,
       bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy)
@@ -150,12 +161,17 @@ object CatalogIO {
     * stay readable via [[readTableVersion]] / SQL `VERSION AS OF`).
     *
     * Commit order is data → metadata → pointer flip, each step
-    * crash-safe: the data dir is version-private (`data-v<N>`), the
-    * metadata write is create-exclusive — two racing committers pick the
-    * same N and the loser throws here, never corrupting history — and
-    * the pointer flip is [[HadoopFsCatalog.replaceTablePointer]], whose
-    * delete→rename window readers cover by rolling forward to the newest
-    * metadata version. Returns the new metadata location. */
+    * crash-safe: the data dir is COMMITTER-private (`data-v<N>-<uuid>` —
+    * unique per attempt, so racing committers can never interleave files
+    * into one snapshot, and a crash before the metadata write leaves
+    * only an unreferenced orphan dir, never a path collision that would
+    * block future commits); the metadata write is create-exclusive — two
+    * racing committers pick the same N and the loser throws here with
+    * its orphan data dir unreferenced, never corrupting the winner's
+    * history — and the pointer flip is
+    * [[HadoopFsCatalog.replaceTablePointer]], whose delete→rename window
+    * readers cover by rolling forward to the newest metadata version.
+    * Returns the new metadata location. */
   def commitVersion(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
       df: DataFrame, partitionBy: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
@@ -169,7 +185,8 @@ object CatalogIO {
         s"Table $ref has no local metadata history to version " +
           "(registered at an external metadata location?)")) + 1
     val dir = cat.tableDir(ref)
-    val dataDir = new Path(dir, s"data-v$n")
+    val attempt = java.util.UUID.randomUUID().toString.take(8)
+    val dataDir = new Path(dir, s"data-v$n-$attempt")
     writeData(spark, dataDir, df, partitionBy, bucketBy, sortBy)
     val layout = TableLayout(dataDir.toString, partitionBy,
       bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy)

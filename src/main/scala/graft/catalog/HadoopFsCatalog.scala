@@ -41,7 +41,7 @@ final class HadoopFsCatalog(val name: String, warehouse: String,
   // metadata history to fall back on. The || short-circuits, so the
   // normal path pays no extra FS call.
   private def isTableDir(p: Path): Boolean =
-    fs.exists(pointerPath(p)) || latestLocalMetadata(p).isDefined
+    fs.exists(pointerPath(p)) || metadataFallback(p).isDefined
 
   private val VersionFileRe = """v(\d+)\.metadata\.json""".r
 
@@ -61,6 +61,18 @@ final class HadoopFsCatalog(val name: String, warehouse: String,
 
   private def latestLocalMetadata(tableDir: Path): Option[Path] =
     localMetadataVersions(tableDir).lastOption.map(_._2)
+
+  /** The pointer-less fallback, applicable ONLY to the mid-flip window of
+    * a version commit on an already-committed table — which always has
+    * ≥ 2 metadata versions (the committed v1 plus the in-flight vN). A
+    * lone v1 with no pointer is an ABORTED createTable (crash between
+    * metadata write and pointer commit): treating that as a table would
+    * auto-publish a creation whose creator observed a failure, so it
+    * stays invisible and the creator's retry can proceed. */
+  private def metadataFallback(tableDir: Path): Option[Path] = {
+    val vs = localMetadataVersions(tableDir)
+    if (vs.size >= 2) Some(vs.last._2) else None
+  }
 
   override def listNamespaces(parent: Namespace): Seq[Namespace] = {
     val p = nsPath(parent)
@@ -104,7 +116,7 @@ final class HadoopFsCatalog(val name: String, warehouse: String,
     val dir = tablePath(ref)
     val ptr = pointerPath(dir)
     if (fs.exists(ptr)) readText(ptr).trim
-    else latestLocalMetadata(dir) match {
+    else metadataFallback(dir) match {
       // A writer crashed between pointer delete and rename: roll forward
       // to the newest metadata version. CatalogIO.commitVersion orders
       // data → metadata → pointer, so whatever version file is newest is
@@ -159,10 +171,19 @@ final class HadoopFsCatalog(val name: String, warehouse: String,
     fs.delete(pointerPath(dir), false)
     if (!fs.rename(tmp, pointerPath(dir))) {
       fs.delete(tmp, false)
-      if (fs.exists(pointerPath(dir)))
+      if (fs.exists(pointerPath(dir))) {
+        // A reader's self-heal can win the create inside our
+        // delete→rename window — pointing at OUR metadata (roll-forward
+        // reads the newest version, which is the one we just wrote).
+        // That pointer state is exactly the one we were committing, so
+        // the commit succeeded; only a pointer at someone else's
+        // metadata is a genuine concurrent commit.
+        val current = try Some(readText(pointerPath(dir)).trim)
+                      catch { case _: Exception => None }
+        if (current.contains(metadataLocation)) return
         throw new AlreadyExistsException(
           s"Concurrent pointer commit detected for ${pointerPath(dir)}")
-      else
+      } else
         throw new java.io.IOException(
           s"Pointer rename failed for ${pointerPath(dir)} (not a concurrent commit)")
     }

@@ -270,13 +270,13 @@ object Multimodal {
                 val img = if (i == 0) first else reader.read(i)
                 if (img.getWidth != w || img.getHeight != h) ok = false
                 else {
+                  // bulk fetch: one getRGB call per frame, not per pixel
+                  // (the per-pixel form pays a ColorModel lookup per call
+                  // and dominates decode cost on large frames)
+                  val rgb = img.getRGB(0, 0, w, h, null, 0, w)
                   val px = new Array[Int](w * h)
-                  var y = 0
-                  while (y < h) {
-                    var x = 0
-                    while (x < w) { px(y * w + x) = img.getRGB(x, y) & 0xff; x += 1 }
-                    y += 1
-                  }
+                  var j = 0
+                  while (j < px.length) { px(j) = rgb(j) & 0xff; j += 1 }
                   frames(i) = px
                 }
                 i += 1

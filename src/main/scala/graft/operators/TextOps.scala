@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -70,11 +70,16 @@ object TextOps {
   def quality(s: SparkSession, dir: String): DataFrame =
     qualityOf(Tables(s, dir, "documents")).orderBy("doc_id")
 
-  /** BPE-ish token counting: alnum runs + single non-alnum-non-space
-    * symbols, the shape of a byte-pair pre-tokenizer's word split. */
+  /** t03's BPE-ish pre-tokenizer count as a reusable column: alnum runs +
+    * single non-alnum-non-space symbols, the shape of a byte-pair
+    * pre-tokenizer's word split. Shared by t03 and t06 so the token
+    * definition cannot drift between them (both oracles assume it). */
+  private[operators] def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit("[A-Za-z0-9]+|[^A-Za-z0-9 ]"), lit(0))).cast("long")
+
   def tokenCountOf(docs: DataFrame): DataFrame =
-    docs.selectExpr("doc_id",
-      "CAST(size(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_bpe")
+    docs.select(col("doc_id"), bpeTokenCount(col("text")).as("n_bpe"))
 
   def tokenCount(s: SparkSession, dir: String): DataFrame =
     tokenCountOf(Tables(s, dir, "documents")).orderBy("doc_id")
@@ -100,6 +105,17 @@ object TextOps {
     * engine (the oracle evaluates the same integer arithmetic). At
     * 100 TB this composes with partition pruning: the filter rides the
     * scan of each stratum's partitions. */
+  /** Knuth multiplicative key hash in exact BIGINT arithmetic, masked to
+    * 31 bits BEFORE the multiply: max intermediate (2^31−1)·2654435761
+    * ≈ 5.7e18 stays inside a signed 64-bit long, so the same integer
+    * expression evaluates overflow-free in Spark (ANSI), DuckDB, or any
+    * other engine at any id range — bucket in [0, mod), stable. Shared
+    * by t05 (sampling) and t06 (shard assignment) so the portable-hash
+    * definition cannot drift between them (both oracles assume it). */
+  private[operators] def knuthBucket(key: Column, mod: Long): Column =
+    pmod(pmod(pmod(key, lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L)), lit(mod))
+
   def stratifiedSampleOf(docs: DataFrame, pctByLang: Map[String, Int],
       defaultPct: Int): DataFrame = {
     // typed when()/lit() chain — lang keys are VALUES, never SQL text, so
@@ -107,14 +123,7 @@ object TextOps {
     val pct = pctByLang.foldLeft(lit(defaultPct)) { case (acc, (l, p)) =>
       when(col("lang") === lit(l), lit(p)).otherwise(acc)
     }
-    // Knuth multiplicative hash in exact BIGINT arithmetic, masked to
-    // 31 bits BEFORE the multiply: max intermediate (2^31−1)·2654435761
-    // ≈ 5.7e18 stays inside a signed 64-bit long, so the same integer
-    // expression evaluates overflow-free in Spark (ANSI), DuckDB, or any
-    // other engine at any id range — bucket in [0, 100), stable
-    val bucket = pmod(
-      pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
-        lit(4294967296L)), lit(100))
+    val bucket = knuthBucket(col("doc_id"), 100L)
     docs.select(col("doc_id"), col("lang"),
       bucket.as("bucket"), pct.as("pct"))
       .filter(col("bucket") < col("pct"))
@@ -142,14 +151,10 @@ object TextOps {
     * token counts are t03's BPE-ish pre-tokenizer count, so both are
     * engine-portable integer arithmetic. */
   def packSequencesOf(docs: DataFrame, shards: Int, budget: Long): DataFrame = {
-    val shard = pmod(
-      pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
-        lit(4294967296L)), lit(shards.toLong))
     val before = Window.partitionBy("shard").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, -1)
-    docs.selectExpr("doc_id",
-        "CAST(size(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]', 0)) AS BIGINT) AS n_tok")
-      .withColumn("shard", shard)
+    docs.select(col("doc_id"), bpeTokenCount(col("text")).as("n_tok"))
+      .withColumn("shard", knuthBucket(col("doc_id"), shards.toLong))
       .withColumn("start_tok",
         coalesce(sum(col("n_tok")).over(before), lit(0L)))
       .select(col("doc_id"), col("shard"), col("n_tok"), col("start_tok"),

@@ -118,9 +118,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
     val metaLoc =
       try versioned.metadataLocationForVersion(ref, n)
       catch {
-        case _: graft.catalog.NoSuchTableException =>
-          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-            ident.namespace.toSeq :+ ident.name)
+        // only a truly absent table maps to Spark's table-not-found; a
+        // missing VERSION on an existing table keeps the history
+        // diagnostic ("no version N (history: ...)") instead of being
+        // misreported as "table or view not found"
+        case e: graft.catalog.NoSuchTableException =>
+          if (cat.tableExists(ref))
+            throw new IllegalArgumentException(
+              s"$catalogName: ${e.getMessage}", e)
+          else
+            throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+              ident.namespace.toSeq :+ ident.name)
       }
     val dataLoc = CatalogIO.readDataLocation(metaLoc, hadoopConfOverlay)
     ParquetTable(s"$ref@v$n", SparkSession.active,

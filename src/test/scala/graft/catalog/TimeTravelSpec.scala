@@ -73,6 +73,61 @@ class TimeTravelSpec extends AnyFunSuite {
       Seq((1L, "a")))
     assert(rows(spark.sql("SELECT id, v FROM gtt.db.t VERSION AS OF 2")) ==
       Seq((2L, "b"), (3L, "c")))
+
+    // a missing VERSION on an EXISTING table keeps the history
+    // diagnostic instead of claiming the table doesn't exist
+    val miss = intercept[Exception] {
+      spark.sql("SELECT id, v FROM gtt.db.t VERSION AS OF 99").collect()
+    }
+    assert(miss.getMessage.contains("no version 99"), miss.getMessage)
+    assert(miss.getMessage.contains("history: 1, 2"), miss.getMessage)
+    cat.close()
+  }
+
+  test("an aborted create (lone v1, no pointer) stays invisible; retry gets a debris error") {
+    import spark.implicits._
+    val cat = newCat("tt-abort-wh")
+    val ref = TableRef.parse("db.halfmade")
+    CatalogIO.createTable(spark, cat, ref, Seq((1L, "a")).toDF("id", "v"))
+    // simulate a crash between the v1 metadata write and the pointer
+    // commit: metadata + data exist, pointer never landed
+    val ptr = new Path(cat.tableDir(ref), "pointer.text")
+    assert(cat.fileSystem.delete(ptr, false))
+
+    // invisible: a lone v1 without a pointer must NOT be auto-published
+    // (the roll-forward fallback is only for the ≥2-version mid-flip
+    // window of an already-committed table)
+    assert(!cat.tableExists(ref))
+    intercept[NoSuchTableException] { cat.loadTableMetadataLocation(ref) }
+
+    // the creator's retry is told exactly what is in the way
+    val e = intercept[AlreadyExistsException] {
+      CatalogIO.createTable(spark, cat, ref, Seq((1L, "a")).toDF("id", "v"))
+    }
+    assert(e.getMessage.contains("Aborted-create debris"), e.getMessage)
+    // operator remediation: remove the dir, recreate cleanly
+    cat.fileSystem.delete(cat.tableDir(ref), true)
+    CatalogIO.createTable(spark, cat, ref, Seq((2L, "b")).toDF("id", "v"))
+    assert(rows(CatalogIO.readTable(spark, cat, ref)) == Seq((2L, "b")))
+    cat.close()
+  }
+
+  test("commit data dirs are attempt-unique: orphans from crashed attempts never block") {
+    import spark.implicits._
+    val cat = newCat("tt-orphan-wh")
+    val ref = TableRef.parse("db.orphaned")
+    CatalogIO.createTable(spark, cat, ref, Seq((1L, "a")).toDF("id", "v"))
+    // simulate a rival committer that wrote its data dir for v2 and
+    // crashed before the metadata gate — under a DETERMINISTIC data-v2
+    // path this would brick every future commit with path-already-exists
+    cat.fileSystem.mkdirs(new Path(cat.tableDir(ref), "data-v2-deadbeef"))
+
+    val metaLoc2 = CatalogIO.commitVersion(spark, cat, ref,
+      Seq((2L, "b")).toDF("id", "v"))
+    assert(metaLoc2.endsWith("v2.metadata.json"))
+    assert(rows(CatalogIO.readTable(spark, cat, ref)) == Seq((2L, "b")))
+    // the orphan is unreferenced, not served
+    assert(!CatalogIO.readDataLocation(metaLoc2).contains("deadbeef"))
     cat.close()
   }
 
