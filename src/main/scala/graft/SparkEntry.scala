@@ -116,6 +116,7 @@ object SparkEntry {
     "t04_fingerprint" -> (TextOps.fingerprint _),
     "t05_stratified_sample" -> (TextOps.stratifiedSample _),
     "t06_pack_sequences" -> (TextOps.packSequences _),
+    "t07_repetition" -> (TextOps.repetition _),
   )
 
   /** DuckDB-dialect oracle SQL; same column names/types as the Spark side. */
@@ -834,6 +835,22 @@ object SparkEntry {
     // t06: concat-and-chunk packing — per-shard running token count in
     // doc_id order, cut every 512 tokens; shard = t05's Knuth hash mod 8,
     // tokens = t03's pre-tokenizer count (TextOps.packSequencesOf)
+    // t07: Gopher-style duplicate-n-gram fractions; DuckDB recomputes the
+    // distinct/total n-gram ratio with list comprehensions — integer
+    // ratios, so the keep verdict compares identically in both engines
+    "t07_repetition" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |r AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 2 THEN
+        |    CAST(len(t) - 1 - len(list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS DOUBLE)
+        |      / CAST(len(t) - 1 AS DOUBLE) ELSE 0.0 END AS rep2_raw,
+        |  CASE WHEN len(t) >= 3 THEN
+        |    CAST(len(t) - 2 - len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS DOUBLE)
+        |      / CAST(len(t) - 2 AS DOUBLE) ELSE 0.0 END AS rep3_raw
+        | FROM tk)
+        |SELECT doc_id, ROUND(rep2_raw, 4) AS rep2, ROUND(rep3_raw, 4) AS rep3,
+        | rep2_raw <= 0.2 AND rep3_raw <= 0.1 AS keep
+        |FROM r ORDER BY doc_id""".stripMargin,
     "t06_pack_sequences" ->
       """WITH toks AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok,

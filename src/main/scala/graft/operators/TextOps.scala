@@ -165,4 +165,30 @@ object TextOps {
   def packSequences(s: SparkSession, dir: String): DataFrame =
     packSequencesOf(Tables(s, dir, "documents"), shards = 8, budget = 512L)
       .orderBy("doc_id")
+
+  /** Intra-document repetition stats (t07) — the duplicate-n-gram
+    * fraction family of quality filters from the Gopher data pipeline
+    * (Rae et al. 2021, §A1.1): rep_n = 1 − distinct_ngrams/total_ngrams
+    * for word n-grams, and a keep/drop verdict at the customary
+    * thresholds. Pure per-row projection (shuffle-free, stream-capable
+    * like every `*Of` here); the distinct count rides the codegen'd
+    * `graft_shingles_n`. Fractions are exact integer ratios, so the
+    * keep verdict is engine-portable with no float-boundary hazard. */
+  def repetitionOf(docs: DataFrame): DataFrame = {
+    def rep(n: Int): String =
+      s"""CASE WHEN size(t) >= $n
+         | THEN CAST(size(t) - $n + 1 - size(graft_shingles_n(t, $n)) AS DOUBLE)
+         |      / CAST(size(t) - $n + 1 AS DOUBLE)
+         | ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+    docs.selectExpr("doc_id", "split(lower(text), ' ') AS t")
+      .selectExpr("doc_id", s"${rep(2)} AS rep2_raw", s"${rep(3)} AS rep3_raw")
+      .selectExpr("doc_id",
+        "ROUND(rep2_raw, 4) AS rep2", "ROUND(rep3_raw, 4) AS rep3",
+        "rep2_raw <= 0.2 AND rep3_raw <= 0.1 AS keep")
+  }
+
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    repetitionOf(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
 }

@@ -140,4 +140,23 @@ class OperatorsSpec extends AnyFunSuite {
     // no exact duplicate docs in the corpus → all fingerprints distinct
     assert(fps.toSet.size == fps.length)
   }
+
+  test("repetition filter drops a pathological doc and keeps clean text") {
+    // the testdata corpus is clean (max rep3 ≈ 0.08 < the 0.1 Gopher
+    // threshold — t07's oracle verifies the fractions), so the DROP side
+    // of the verdict is exercised here with constructed docs
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val docs = Seq(
+      (1L, "spam " * 40 + "spam"),                       // one 1-gram looped
+      (2L, "buy now " * 25 + "buy"),                     // 2-gram looped
+      (3L, "each word here appears exactly once today")  // clean
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionOf(docs).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+      .toMap
+    assert(!out(1L)._3 && out(1L)._1 > 0.9, out(1L))   // rep2 ≈ 1
+    assert(!out(2L)._3 && out(2L)._2 > 0.9, out(2L))   // rep3 ≈ 1
+    assert(out(3L)._3 && out(3L)._1 == 0.0 && out(3L)._2 == 0.0, out(3L))
+  }
 }

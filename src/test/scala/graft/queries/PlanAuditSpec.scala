@@ -178,6 +178,21 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("no registered query plans a cartesian product; nested-loop joins only where declared") {
+    // blanket sweep: at 100 TB an accidental cartesian is fatal, and a
+    // BNLJ is acceptable only where the operator is BY DESIGN non-equi
+    // over a bounded side. Declared: q11 theta join (broadcast bounded
+    // side), q38 broadcast of a 1-row aggregate, s01 broadcast of the
+    // single query vector against the corpus (brute-force top-k).
+    val bnljAllowed = Set("q11_join_theta", "q38_scalar_subquery", "s01_cosine_topk")
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
+      if (!bnljAllowed(name))
+        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
+
   test("dedup pair generation never plans a nested-loop/cartesian join") {
     // the round-2 scale-killer was an all-pairs BNLJ; every candidate
     // generator must stay on equi-join shapes (blocked exact path
