@@ -117,6 +117,7 @@ object SparkEntry {
     "t05_stratified_sample" -> (TextOps.stratifiedSample _),
     "t06_pack_sequences" -> (TextOps.packSequences _),
     "t07_repetition" -> (TextOps.repetition _),
+    "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
   /** DuckDB-dialect oracle SQL; same column names/types as the Spark side. */
@@ -723,6 +724,68 @@ object SparkEntry {
         |FROM ex JOIN bench USING (g)
         |WHERE ex.doc_id % 10 <> 7
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // p01: the composed pipeline — each CTE block is the already-proven
+    // per-stage oracle (t07 repetition → d07 decontamination → d01
+    // pairs → d06 recursive-CTE canonical → t05 sample → t06 pack),
+    // chained on the shrinking survivor set; one hash checks the whole
+    // pipeline end-to-end (operators/Pipeline.trainingPipelineOf)
+    "p01_training_pipeline" ->
+      """WITH RECURSIVE tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |rep AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 2 THEN
+        |    CAST(len(t) - 1 - len(list_distinct([t[i] || ' ' || t[i+1] for i in range(1, len(t))])) AS DOUBLE)
+        |      / CAST(len(t) - 1 AS DOUBLE) ELSE 0.0 END AS rep2_raw,
+        |  CASE WHEN len(t) >= 3 THEN
+        |    CAST(len(t) - 2 - len(list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])) AS DOUBLE)
+        |      / CAST(len(t) - 2 AS DOUBLE) ELSE 0.0 END AS rep3_raw
+        | FROM tk WHERE doc_id % 10 <> 7),
+        |clean AS (SELECT doc_id FROM rep WHERE rep2_raw <= 0.2 AND rep3_raw <= 0.1),
+        |sh5 AS (SELECT doc_id, CASE WHEN len(t) >= 5
+        |    THEN list_distinct([list_aggregate(t[i:i+4], 'string_agg', ' ') for i in range(1, len(t) - 3)])
+        |    ELSE [] END AS s FROM tk),
+        |ex5 AS (SELECT doc_id, unnest(s) AS g FROM sh5),
+        |bench AS (SELECT DISTINCT g FROM ex5 WHERE doc_id % 10 = 7),
+        |contam AS (SELECT DISTINCT ex5.doc_id FROM ex5 JOIN bench USING (g)
+        |           WHERE ex5.doc_id IN (SELECT doc_id FROM clean)),
+        |decon AS (SELECT doc_id FROM clean
+        |          WHERE doc_id NOT IN (SELECT doc_id FROM contam)),
+        |sh3 AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |    THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+        |    ELSE [] END AS s FROM tk WHERE doc_id IN (SELECT doc_id FROM decon)),
+        |ex3 AS (SELECT doc_id, len(s) AS n, unnest(s) AS sg FROM sh3),
+        |co AS (SELECT a.doc_id AS a, b.doc_id AS b, a.n AS na, b.n AS nb, COUNT(*) AS c
+        |       FROM ex3 a JOIN ex3 b ON a.sg = b.sg AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2, 3, 4),
+        |pr AS (SELECT a, b FROM co WHERE c * 1.0 / (na + nb - c) >= 0.8),
+        |e AS (SELECT a, b FROM pr UNION ALL SELECT b, a FROM pr),
+        |reach(id, r) AS (
+        | SELECT a, a FROM e
+        | UNION
+        | SELECT e.a, reach.r FROM e JOIN reach ON e.b = reach.id),
+        |cmp AS (SELECT id, MIN(r) AS comp FROM reach GROUP BY 1),
+        |q AS (SELECT doc_id, ROUND(LEAST(1.0, len(t) / 100.0) *
+        |        (1.0 - len(list_filter(t, x -> x IN ('the','a','of','and','to'))) * 1.0 / len(t)), 4) AS score
+        |      FROM tk),
+        |ranked AS (SELECT cmp.comp, cmp.id,
+        |  ROW_NUMBER() OVER (PARTITION BY cmp.comp ORDER BY q.score DESC, cmp.id) AS rn
+        | FROM cmp JOIN q ON cmp.id = q.doc_id),
+        |losers AS (SELECT id AS doc_id FROM ranked WHERE rn > 1),
+        |deduped AS (SELECT doc_id FROM decon
+        |            WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |samp AS (SELECT d.doc_id FROM deduped d JOIN documents USING (doc_id)
+        |         WHERE ((doc_id % 2147483648) * 2654435761) % 4294967296 % 100 <
+        |               CASE lang WHEN 'en' THEN 25 WHEN 'zh' THEN 75 ELSE 50 END),
+        |toks AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok,
+        |  ((doc_id % 2147483648) * 2654435761) % 4294967296 % 8 AS shard
+        | FROM documents WHERE doc_id IN (SELECT doc_id FROM samp)),
+        |c AS (SELECT doc_id, shard, n_tok,
+        |  CAST(COALESCE(SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start_tok
+        | FROM toks)
+        |SELECT doc_id, shard, n_tok, start_tok,
+        | start_tok // 512 AS bin, start_tok % 512 AS off
+        |FROM c ORDER BY doc_id""".stripMargin,
     // m01's oracle recomputes the decoded-image statistics analytically
     // from the seed pixel formula — hash match proves the real
     // ImageIO decode + area-average resize path is exact (see

@@ -34,10 +34,12 @@ object Dedup {
     * Shingling is the codegen'd [[graft.functions.Shingle3]]; the HOF
     * formulation it replaced cost ~0.6 ms/doc interpreted and is
     * recomputed per reference in the self-join pipelines below. */
+  def shingledOf(docs: DataFrame): DataFrame =
+    docs.selectExpr("doc_id", "graft_shingles(split(lower(text), ' ')) AS sh")
+
   def shingled(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    Tables(s, dir, "documents")
-      .selectExpr("doc_id", "graft_shingles(split(lower(text), ' ')) AS sh")
+    shingledOf(Tables(s, dir, "documents"))
   }
 
   /** Exact shingle-Jaccard ≥ 0.8 via prefix filtering (AllPairs/PPJoin
@@ -56,8 +58,15 @@ object Dedup {
     * candidates-only verification.
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    ngramJaccardOf(Tables(s, dir, "documents"))
+  }
+
+  /** [[ngramJaccard]] over any (doc_id, text) frame — the composable
+    * face p01 uses on the post-filter survivor set. */
+  def ngramJaccardOf(docs: DataFrame): DataFrame = {
     val tau = 0.8
-    val sh = shingled(s, dir)
+    val sh = shingledOf(docs)
     val ex = sh.selectExpr("doc_id", "size(sh) AS sz", "explode(sh) AS s")
     val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))

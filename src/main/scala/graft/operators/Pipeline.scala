@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The end-to-end training-data pipeline, composed from the engine's
+  * operators as ONE declarative DataFrame program (p01) — the workload
+  * this engine exists for, run the way a user would actually run it:
+  *
+  *   documents
+  *     ─ drop the eval split (it is never training data)
+  *     ─ repetition filter        (t07, Gopher duplicate-n-gram gate)
+  *     ─ decontamination          (d07, 5-gram overlap vs the eval split)
+  *     ─ near-dup dedup           (d01 exact Jaccard pairs →
+  *                                 d06 canonical: keep the best member
+  *                                 per duplicate cluster, singletons pass)
+  *     ─ stratified sampling      (t05, per-language mixing rates)
+  *     ─ sequence packing         (t06, concat-and-chunk shard layout)
+  *
+  * Every stage is the SAME operator the standalone queries verify, so the
+  * composition is oracle-checkable end-to-end: the DuckDB oracle chains
+  * the per-stage oracles as CTEs and must reproduce the final packed
+  * layout row-for-row — one hash over the whole pipeline.
+  *
+  * Scale posture is inherited stage-by-stage (each is individually
+  * plan-locked and ScaleSmoke-measured): the only corpus-wide shuffles
+  * are the dedup candidate generation and the per-shard packing window;
+  * filters are scan-side, decontamination joins a broadcast gram set,
+  * and sampling is a shuffle-free filter. Intermediates stay in one
+  * lazy plan here; at 100 TB each stage boundary would be persisted as a
+  * catalog table (CatalogIO.createTable) and consumed by the next stage
+  * unchanged — the composition contract (pure `*Of` forms over
+  * (doc_id, text, lang) frames) is what makes both deployments the same
+  * code.
+  */
+object Pipeline {
+
+  def trainingPipelineOf(docs: DataFrame): DataFrame = {
+    // eval holdout: never trains, and defines the contamination grams
+    val training = docs.filter(col("doc_id") % 10 =!= 7)
+    val bench = Dedup.gramsOf(docs.filter(col("doc_id") % 10 === 7))
+      .select("g").distinct()
+
+    // Gopher repetition gate (pure projection — filter rides the scan)
+    val clean = training.join(
+      TextOps.repetitionOf(training).filter(col("keep")).select("doc_id"),
+      "doc_id")
+
+    // decontamination: drop docs sharing any 5-gram with the eval split
+    val decon = clean.join(
+      Dedup.contaminationOf(clean, bench).select("doc_id"),
+      Seq("doc_id"), "left_anti")
+
+    // near-dup dedup: detect pairs once (materialized), canonicalize,
+    // drop every cluster member except the highest-quality one
+    val pairs = Dedup.ngramJaccardOf(decon).select("a", "b").localCheckpoint()
+    val canon = Dedup.canonicalOf(pairs,
+      TextOps.qualityOf(decon).select(col("doc_id"), col("score")))
+    val members = pairs.select(col("a").as("doc_id"))
+      .union(pairs.select(col("b").as("doc_id"))).distinct()
+    val losers = members.join(canon.select(col("keep_doc").as("doc_id")),
+      Seq("doc_id"), "left_anti")
+    val deduped = decon.join(losers, Seq("doc_id"), "left_anti")
+
+    // language mixing, then deterministic packed layout for export
+    val sampled = deduped.join(
+      TextOps.stratifiedSampleOf(deduped, Map("en" -> 25, "zh" -> 75),
+        defaultPct = 50).select("doc_id"),
+      "doc_id")
+    TextOps.packSequencesOf(sampled, shards = 8, budget = 512L)
+  }
+
+  def trainingPipeline(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    trainingPipelineOf(Tables(s, dir, "documents")).orderBy("doc_id")
+  }
+}
