@@ -36,8 +36,8 @@ object Bench {
     "q15_window_frame", "q45_tpch3", "q46_tpch10", "q51_tpch5",
     "d01_dedup_jaccard", "d02_dedup_minhash_lsh", "d03_dedup_simhash",
     "d05_dedup_embed_lsh", "d07_decontaminate", "m01_image_decode",
-    "m04_video_decode", "s01_cosine_topk", "s02_ann_ivf",
-    "t04_fingerprint", "t06_pack_sequences")
+    "m04_video_decode", "p01_training_pipeline", "s01_cosine_topk",
+    "s02_ann_ivf", "t04_fingerprint", "t06_pack_sequences")
 
   // Locale.ROOT: a comma-decimal default locale would otherwise turn the
   // JSON lines into {"total":71,422,...}

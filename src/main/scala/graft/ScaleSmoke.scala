@@ -62,7 +62,8 @@ object ScaleSmoke {
     }
     Seq("q04_agg_tpch1", "q08_join_star", "q15_window_frame", "q22b_dedup_keepfirst",
       "d01_dedup_jaccard", "d02_dedup_minhash_lsh", "d03_dedup_simhash",
-      "d06_dedup_canonical", "d07_decontaminate", "t06_pack_sequences").foreach { q =>
+      "d06_dedup_canonical", "d07_decontaminate", "t06_pack_sequences",
+      "p01_training_pipeline").foreach { q =>
       try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
     }
     srpScale(spark, 2000 * replicas)

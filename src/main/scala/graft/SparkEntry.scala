@@ -14,8 +14,10 @@ object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Revenue per region — the 5-way star join (SURVEY §2B E6). */
+  /** Flagship: the composed end-to-end training-data pipeline (p01) —
+    * every major operator family in one program. */
   def entry(spark: SparkSession): DataFrame =
-    Relational.q08(spark, "/root/testdata/sf0.001")
+    graft.operators.Pipeline.trainingPipeline(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

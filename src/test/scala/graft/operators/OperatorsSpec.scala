@@ -141,6 +141,10 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps.toSet.size == fps.length)
   }
 
+  test("driver entry point (p01 flagship) returns rows") {
+    assert(graft.SparkEntry.entry(spark).limit(1).count() == 1)
+  }
+
   test("repetition filter drops a pathological doc and keeps clean text") {
     // the testdata corpus is clean (max rep3 ≈ 0.08 < the 0.1 Gopher
     // threshold — t07's oracle verifies the fractions), so the DROP side
