@@ -13,9 +13,8 @@ import graft.operators.{Dedup, Similarity, TextOps}
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Revenue per region — the 5-way star join (SURVEY §2B E6). */
-  /** Flagship: the composed end-to-end training-data pipeline (p01) —
-    * every major operator family in one program. */
+    * The composed end-to-end training-data pipeline (p01) — every major
+    * operator family in one program. */
   def entry(spark: SparkSession): DataFrame =
     graft.operators.Pipeline.trainingPipeline(spark, "/root/testdata/sf0.001")
 
@@ -897,9 +896,6 @@ object SparkEntry {
         | CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_bpe
         |FROM documents ORDER BY doc_id""".stripMargin,
     "t05_stratified_sample" -> T05Oracle,
-    // t06: concat-and-chunk packing — per-shard running token count in
-    // doc_id order, cut every 512 tokens; shard = t05's Knuth hash mod 8,
-    // tokens = t03's pre-tokenizer count (TextOps.packSequencesOf)
     // t07: Gopher-style duplicate-n-gram fractions; DuckDB recomputes the
     // distinct/total n-gram ratio with list comprehensions — integer
     // ratios, so the keep verdict compares identically in both engines
@@ -916,6 +912,9 @@ object SparkEntry {
         |SELECT doc_id, ROUND(rep2_raw, 4) AS rep2, ROUND(rep3_raw, 4) AS rep3,
         | rep2_raw <= 0.2 AND rep3_raw <= 0.1 AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    // t06: concat-and-chunk packing — per-shard running token count in
+    // doc_id order, cut every 512 tokens; shard = t05's Knuth hash mod 8,
+    // tokens = t03's pre-tokenizer count (TextOps.packSequencesOf)
     "t06_pack_sequences" ->
       """WITH toks AS (SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9 ]')) AS BIGINT) AS n_tok,

@@ -27,16 +27,23 @@ import org.apache.spark.sql.functions._
   * plan-locked and ScaleSmoke-measured): the only corpus-wide shuffles
   * are the dedup candidate generation and the per-shard packing window;
   * filters are scan-side, decontamination joins a broadcast gram set,
-  * and sampling is a shuffle-free filter. Intermediates stay in one
-  * lazy plan here; at 100 TB each stage boundary would be persisted as a
-  * catalog table (CatalogIO.createTable) and consumed by the next stage
-  * unchanged — the composition contract (pure `*Of` forms over
+  * and sampling is a shuffle-free filter. The two multiply-consumed
+  * stage boundaries (the survivor set and the pair table) are
+  * materialized via localCheckpoint here; at 100 TB they would be
+  * persisted catalog tables (CatalogIO.createTable) consumed by the next
+  * stage unchanged — the composition contract (pure `*Of` forms over
   * (doc_id, text, lang) frames) is what makes both deployments the same
   * code.
   */
 object Pipeline {
 
-  def trainingPipelineOf(docs: DataFrame): DataFrame = {
+  /** The filtered survivor set entering dedup — the repetition gate,
+    * eval-split drop, and decontamination, composed. Exposed separately
+    * so plan audits can inspect the pair generation OVER THIS COMPOSED
+    * INPUT pre-checkpoint (checkpoint boundaries truncate executedPlan,
+    * which would otherwise blind the no-cartesian sweep to the
+    * pipeline's quadratic-risk stage). */
+  private[graft] def survivorsOf(docs: DataFrame): DataFrame = {
     // eval holdout: never trains, and defines the contamination grams
     val training = docs.filter(col("doc_id") % 10 =!= 7)
     val bench = Dedup.gramsOf(docs.filter(col("doc_id") % 10 === 7))
@@ -48,9 +55,25 @@ object Pipeline {
       "doc_id")
 
     // decontamination: drop docs sharing any 5-gram with the eval split
-    val decon = clean.join(
+    clean.join(
       Dedup.contaminationOf(clean, bench).select("doc_id"),
       Seq("doc_id"), "left_anti")
+  }
+
+  /** EAGER construction (same contract as Similarity.annIvfOver): the
+    * checkpoints below and the component loop inside canonicalOf run
+    * Spark jobs when this is CALLED, not at the first action. Checkpoint
+    * blocks are reclaimed by the ContextCleaner once the returned frame
+    * becomes unreachable; within one invocation they are what bounds
+    * recomputation, not a leak. */
+  def trainingPipelineOf(docs: DataFrame): DataFrame = {
+    // stage boundary: the survivor set is consumed three ways below
+    // (pair generation, quality scores, the final anti-joins) — without
+    // this checkpoint the scan-side filter/explode work above replays
+    // once per reference. At 100 TB this boundary is a persisted catalog
+    // table (CatalogIO.createTable) instead; the composition contract is
+    // identical.
+    val decon = survivorsOf(docs).localCheckpoint()
 
     // near-dup dedup: detect pairs once (materialized), canonicalize,
     // drop every cluster member except the highest-quality one

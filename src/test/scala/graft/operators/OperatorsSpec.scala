@@ -141,8 +141,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fps.toSet.size == fps.length)
   }
 
-  test("driver entry point (p01 flagship) returns rows") {
-    assert(graft.SparkEntry.entry(spark).limit(1).count() == 1)
+  test("driver entry point (p01 flagship) holds the pipeline's composition invariants") {
+    val out = graft.SparkEntry.entry(spark).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0))
+    // eval split never leaks into training output
+    assert(ids.forall(_ % 10 != 7))
+    // output ⊆ the filtered survivor set (stage wiring, not just rows>0)
+    graft.functions.VectorFunctions.register(spark)
+    val survivors = graft.operators.Pipeline
+      .survivorsOf(graft.Tables(spark, dir, "documents"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids.forall(survivors))
+    // packing invariant: within a shard, start_tok is the running sum of
+    // n_tok in doc_id order, starting at 0
+    for ((_, rows) <- out.groupBy(_.getLong(1))) {
+      var cum = 0L
+      for (r <- rows.sortBy(_.getLong(0))) {
+        assert(r.getLong(3) == cum, r)        // start_tok
+        assert(r.getLong(4) == cum / 512, r)  // bin
+        assert(r.getLong(5) == cum % 512, r)  // off
+        cum += r.getLong(2)                   // n_tok
+      }
+    }
   }
 
   test("repetition filter drops a pathological doc and keeps clean text") {

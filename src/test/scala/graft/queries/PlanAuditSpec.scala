@@ -193,6 +193,20 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("p01's pair generation over the composed survivor input stays equi-join shaped") {
+    // the blanket sweep cannot see behind p01's localCheckpoint
+    // boundaries (executedPlan truncates there), so the pipeline's
+    // quadratic-risk stage — pair generation over the FILTERED/JOINED
+    // survivor set, not the bare table — is audited pre-checkpoint here
+    graft.functions.VectorFunctions.register(spark)
+    val docs = graft.Tables(spark, dir, "documents")
+    val p = graft.operators.Dedup
+      .ngramJaccardOf(graft.operators.Pipeline.survivorsOf(docs))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("dedup pair generation never plans a nested-loop/cartesian join") {
     // the round-2 scale-killer was an all-pairs BNLJ; every candidate
     // generator must stay on equi-join shapes (blocked exact path
