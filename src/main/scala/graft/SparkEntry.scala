@@ -111,6 +111,7 @@ object SparkEntry {
     "m04_video_decode" -> (graft.operators.Multimodal.videoStats _),
     "s01_cosine_topk" -> (Similarity.cosineTopK _),
     "s02_ann_ivf" -> (Similarity.annIvf _),
+    "s03_knn_join" -> (Similarity.knnJoin _),
     "t01_langid" -> (TextOps.langId _),
     "t02_quality" -> (TextOps.quality _),
     "t03_tokens" -> (TextOps.tokenCount _),
@@ -859,6 +860,18 @@ object SparkEntry {
         |SELECT b.vec_id, ROUND(list_cosine_similarity(q.v, b.v), 4) AS c
         |FROM e b, q WHERE b.vec_id <> 0
         |ORDER BY list_cosine_similarity(q.v, b.v) DESC, b.vec_id LIMIT 5""".stripMargin,
+    // s03: batch kNN — rank on the unrounded cosine (both engines compute
+    // the same left-to-right double dot), ties broken by vec_id
+    "s03_knn_join" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id % 50 = 0),
+        |sc AS (SELECT q.qid, e.vec_id,
+        |         list_cosine_similarity(e.v, q.qv) AS craw,
+        |         ROW_NUMBER() OVER (PARTITION BY q.qid
+        |           ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.vec_id) AS rn
+        |       FROM e JOIN q ON e.vec_id <> q.qid)
+        |SELECT qid, CAST(rn AS INT) AS rn, vec_id, ROUND(craw, 4) AS c
+        |FROM sc WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
     // s02_ann_ivf is approximate by construction → rows-only check (no oracle);
     // its recall is asserted against brute force in SimilaritySpec.
     "t01_langid" ->

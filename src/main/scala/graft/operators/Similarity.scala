@@ -49,6 +49,33 @@ object Similarity {
       .select(col("vec_id"), round(col("craw"), 4).as("c"))
   }
 
+  /** Batch kNN join (s03): exact top-3 cosine neighbors for EVERY vector
+    * in a query SET (here vec_id % 50 == 0 — the retrieval-workload face
+    * of [[cosineTopK]]'s single query). The query side is bounded and
+    * broadcast, so the corpus is scanned once with the per-(query,
+    * vector) score computed map-side; the per-query top-k then rides
+    * Spark's rank-pushdown — WindowGroupLimit prunes each partition to
+    * its local top-3 per query BEFORE the shuffle, so the exchange
+    * carries O(partitions × queries × k) rows, not the corpus×queries
+    * cross product (plan-locked). At 100 TB with a bounded query set
+    * this is the exact-batch-retrieval shape; unbounded query sets
+    * switch to [[annIvf]]'s pruned probes. */
+  def knnJoin(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val e = emb(s, dir)
+    val q = e.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("qid"), col("v").as("qv"), col("nrm").as("qn"))
+    val w = Window.partitionBy("qid").orderBy(col("craw").desc, col("vec_id"))
+    e.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .withColumn("craw", dot("v", "qv") / (col("nrm") * col("qn")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn").cast("int").as("rn"),
+        col("vec_id"), round(col("craw"), 4).as("c"))
+      .orderBy("qid", "rn")
+  }
+
   /** Exact all-pairs near-duplicates: cosine ≥ 0.46, a < b.
     *
     * Blocked self-join: rows hash into `B` blocks, a tiny broadcast

@@ -184,13 +184,24 @@ class PlanAuditSpec extends AnyFunSuite {
     // over a bounded side. Declared: q11 theta join (broadcast bounded
     // side), q38 broadcast of a 1-row aggregate, s01 broadcast of the
     // single query vector against the corpus (brute-force top-k).
-    val bnljAllowed = Set("q11_join_theta", "q38_scalar_subquery", "s01_cosine_topk")
+    // s03 adds the broadcast of the bounded query SET (batch kNN)
+    val bnljAllowed = Set("q11_join_theta", "q38_scalar_subquery",
+      "s01_cosine_topk", "s03_knn_join")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
       if (!bnljAllowed(name))
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
     }
+  }
+
+  test("s03: per-query top-k is pruned partition-locally before the shuffle") {
+    // the batch-kNN scale contract: WindowGroupLimit pushes the rank<=3
+    // filter below the exchange, so the shuffle carries per-partition
+    // top-3 candidates per query, never the corpus×queries cross product
+    val p = plan("s03_knn_join")
+    assert(p.contains("WindowGroupLimit"), p)
+    assert("""WindowGroupLimit.*Partial""".r.findFirstIn(p).isDefined, p)
   }
 
   test("p01's pair generation over the composed survivor input stays equi-join shaped") {
