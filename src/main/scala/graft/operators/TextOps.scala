@@ -191,4 +191,20 @@ object TextOps {
     graft.functions.VectorFunctions.register(s)
     repetitionOf(Tables(s, dir, "documents")).orderBy("doc_id")
   }
+
+  /** The keep/drop verdict of [[repetitionOf]] as a PASS-THROUGH column —
+    * the stream-filter face: a streaming ingest can gate rows on it
+    * without joining the stream to its own projection (stream–stream
+    * joins need watermarks; this is projections only). */
+  def repetitionKeepOf(docs: DataFrame): DataFrame = {
+    def rep(n: Int): String =
+      s"""(CASE WHEN size(t) >= $n
+         | THEN CAST(size(t) - $n + 1 - size(graft_shingles_n(t, $n)) AS DOUBLE)
+         |      / CAST(size(t) - $n + 1 AS DOUBLE)
+         | ELSE CAST(0.0 AS DOUBLE) END)""".stripMargin
+    docs
+      .withColumn("t", split(lower(col("text")), " "))
+      .withColumn("keep", expr(s"${rep(2)} <= 0.2 AND ${rep(3)} <= 0.1"))
+      .drop("t")
+  }
 }

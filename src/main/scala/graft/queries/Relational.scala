@@ -928,21 +928,29 @@ object Relational {
   // TPC-H Q15 shape — top supplier: a revenue view consumed twice, once
   // as the join input and once under a scalar MAX — Catalyst plans the
   // equality against the subquery without re-running the view per row.
+  /** TPC-H Q15 shape. The SQL formulation (`total_revenue = (SELECT MAX
+    * ... FROM revenue)`) references the revenue CTE twice, and Spark does
+    * NOT reuse the exchange across the scalar-subquery boundary (probed:
+    * no ReusedExchange in the finalized plan) — at scale that is two full
+    * lineitem scans+aggregations. This formulation computes the heavy
+    * aggregate ONCE and takes the max with a window over the already
+    * aggregated (supplier-sized) frame; the empty-partition window is a
+    * single-partition pass over small data, not over lineitem. Plan
+    * contract: exactly one lineitem scan (PlanAuditSpec). */
   def q67(s: SparkSession, dir: String): DataFrame = {
-    views(s, dir, "q67", "supplier", "lineitem")
-    s.sql(
-      """WITH revenue AS (
-        |  SELECT l_suppkey AS supplier_no,
-        |    CAST(ROUND(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,4))), 4) AS DOUBLE)
-        |      AS total_revenue
-        |  FROM q67_lineitem
-        |  WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1996-04-01'
-        |  GROUP BY l_suppkey)
-        |SELECT s_suppkey, s_name, total_revenue
-        |FROM q67_supplier, revenue
-        |WHERE s_suppkey = supplier_no
-        |  AND total_revenue = (SELECT MAX(total_revenue) FROM revenue)
-        |ORDER BY s_suppkey""".stripMargin)
+    val rev = Tables(s, dir, "lineitem")
+      .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
+      .groupBy($"l_suppkey".as("supplier_no"))
+      .agg(round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .cast("decimal(38,4)")), 4).cast("double").as("total_revenue"))
+    val top = rev
+      .withColumn("mx", max($"total_revenue").over(
+        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .filter($"total_revenue" === $"mx")
+    Tables(s, dir, "supplier")
+      .join(top, $"s_suppkey" === $"supplier_no")
+      .select($"s_suppkey", $"s_name", $"total_revenue")
+      .orderBy($"s_suppkey")
   }
 
   // TPC-H Q16 shape — supplier diversity per (brand, type, size): an

@@ -146,6 +146,15 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
+  test("q67: the revenue aggregate is computed once (single lineitem scan)") {
+    // the SQL CTE + scalar-subquery formulation scans lineitem twice
+    // (no exchange reuse across the subquery boundary); the window-max
+    // formulation must keep exactly one lineitem scan
+    val p = plan("q67_tpch15")
+    assert("""lineitem""".r.findAllIn(p).size >= 1, p)
+    assert("""Scan parquet """.r.findAllIn(p).size == 2, p) // lineitem + supplier
+  }
+
   test("q71: disjunctive bracket predicate stays sargable on both scans") {
     val p = formatted("q71_tpch19")
     assert(!p.contains("BroadcastNestedLoopJoin"), p)

@@ -72,6 +72,33 @@ class TextStreamSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("composed streaming ingest: eval-drop → repetition gate → exact dedup across redelivery") {
+    // at-least-once delivery: the same documents file lands TWICE in the
+    // stream dir. The composed ingest (eval-split drop → repetition
+    // verdict gate → content-fingerprint stateful dedup) must emit each
+    // surviving doc exactly once — equal to the batch chain over a
+    // single copy.
+    graft.functions.VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    val dir2 = Files.createTempDirectory("graft-docstream2")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      dir2.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      dir2.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    def ingest(d: DataFrame): DataFrame =
+      TextOps.fingerprintOf(
+        TextOps.repetitionKeepOf(d.filter(col("doc_id") % 10 =!= 7))
+          .filter(col("keep")))
+        .dropDuplicates("fp")
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(dir2.toString)
+    val q = ingest(stream).writeStream
+      .format("memory").queryName("t_ingest_stream").outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val got = rows(spark.table("t_ingest_stream"))
+    assert(got == rows(ingest(batchDocs)))
+    assert(got.nonEmpty)
+  }
+
   test("fingerprint + token count compose in one streaming pipeline") {
     val got = rows(replay(
       d => TextOps.fingerprintOf(d).join(TextOps.tokenCountOf(d), "doc_id"),
