@@ -768,27 +768,32 @@ object Relational {
   // over an aggregated supply view (unit price per (part, supplier) from
   // lineitem). Catalyst decorrelates the scalar subquery into an
   // aggregate + join — never a per-outer-row re-execution.
+  /** TPC-H Q2 shape. The SQL formulation's correlated MIN subquery
+    * re-derives the whole supply-side join (lineitem agg × supplier ×
+    * nation × region) a second time — Spark does not reuse exchanges
+    * across the subquery boundary (see q67). Here the EUROPE supply
+    * frame is derived ONCE and the per-part minimum is a window over it;
+    * at scale that halves the dominant lineitem aggregation. Dimension
+    * joins broadcast; the window partitions by part key (no global
+    * sort). */
   def q59(s: SparkSession, dir: String): DataFrame = {
-    views(s, dir, "q59", "part", "supplier", "nation", "region", "lineitem")
-    s.sql(
-      """WITH supply AS (
-        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-        |    CAST(ROUND(MIN(CAST(l_extendedprice / l_quantity AS DECIMAL(38,4))), 4) AS DOUBLE)
-        |      AS ps_supplycost
-        |  FROM q59_lineitem GROUP BY 1, 2)
-        |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
-        |FROM q59_part, supply, q59_supplier, q59_nation, q59_region
-        |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
-        |  AND p_size = 15
-        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |  AND r_name = 'EUROPE'
-        |  AND ps_supplycost = (
-        |    SELECT MIN(ps2.ps_supplycost)
-        |    FROM supply ps2, q59_supplier s2, q59_nation n2, q59_region r2
-        |    WHERE ps2.ps_partkey = p_partkey AND s2.s_suppkey = ps2.ps_suppkey
-        |      AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
-        |      AND r2.r_name = 'EUROPE')
-        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin)
+    val supply = Tables(s, dir, "lineitem")
+      .groupBy($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
+      .agg(round(min(($"l_extendedprice" / $"l_quantity").cast("decimal(38,4)")), 4)
+        .cast("double").as("ps_supplycost"))
+    val euro = supply
+      .join(Tables(s, dir, "supplier"), $"ps_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(s, dir, "region").filter($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+    val best = euro
+      .withColumn("mn", min($"ps_supplycost").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"ps_partkey")))
+      .filter($"ps_supplycost" === $"mn")
+    Tables(s, dir, "part").filter($"p_size" === 15)
+      .join(best, $"p_partkey" === $"ps_partkey")
+      .select($"s_acctbal", $"s_name", $"n_name", $"p_partkey", $"p_name")
+      .orderBy($"s_acctbal".desc, $"n_name", $"s_name", $"p_partkey")
   }
 
   // TPC-H Q4 shape — order-priority checking: date-windowed orders with a
@@ -893,23 +898,29 @@ object Relational {
   // region's suppliers, kept when above a scalar-subquery threshold
   // (0.1% of the region total) — the HAVING-against-global-aggregate
   // decorrelation path.
+  /** TPC-H Q11 shape. Single-derivation form (see q59/q67): the EUROPE
+    * join+aggregation runs ONCE, keeping the per-part sums as exact
+    * unrounded DECIMAL so the corpus total — a window sum over the
+    * already-aggregated part-sized frame — equals the oracle's
+    * whole-table sum exactly (decimal addition is associative; rounding
+    * happens only at the output and threshold, as in the SQL). */
   def q65(s: SparkSession, dir: String): DataFrame = {
-    views(s, dir, "q65", "lineitem", "supplier", "nation", "region")
-    s.sql(
-      """WITH val AS (
-        |  SELECT l_partkey,
-        |    CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(38,4))), 4) AS DOUBLE) AS value
-        |  FROM q65_lineitem, q65_supplier, q65_nation, q65_region
-        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'
-        |  GROUP BY l_partkey)
-        |SELECT l_partkey, value FROM val
-        |WHERE value > (
-        |  SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) * 0.001, 4)
-        |  FROM q65_lineitem, q65_supplier, q65_nation, q65_region
-        |  WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
-        |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
-        |ORDER BY value DESC, l_partkey""".stripMargin)
+    val byPart = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
+      .join(broadcast(Tables(s, dir, "nation")), $"s_nationkey" === $"n_nationkey")
+      .join(broadcast(Tables(s, dir, "region").filter($"r_name" === "EUROPE")),
+        $"n_regionkey" === $"r_regionkey")
+      .groupBy($"l_partkey")
+      .agg(sum($"l_extendedprice".cast("decimal(38,4)")).as("dsum"))
+    byPart
+      .withColumn("threshold",
+        round(sum($"dsum").over(
+          org.apache.spark.sql.expressions.Window.partitionBy())
+          .cast("double") * 0.001, 4))
+      .withColumn("value", round($"dsum", 4).cast("double"))
+      .filter($"value" > $"threshold")
+      .select($"l_partkey", $"value")
+      .orderBy($"value".desc, $"l_partkey")
   }
 
   // TPC-H Q13 shape — customer order-count distribution: conditional

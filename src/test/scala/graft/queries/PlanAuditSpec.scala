@@ -146,13 +146,14 @@ class PlanAuditSpec extends AnyFunSuite {
     }
   }
 
-  test("q67: the revenue aggregate is computed once (single lineitem scan)") {
-    // the SQL CTE + scalar-subquery formulation scans lineitem twice
-    // (no exchange reuse across the subquery boundary); the window-max
-    // formulation must keep exactly one lineitem scan
-    val p = plan("q67_tpch15")
-    assert("""lineitem""".r.findAllIn(p).size >= 1, p)
-    assert("""Scan parquet """.r.findAllIn(p).size == 2, p) // lineitem + supplier
+  test("q59/q65/q67: twice-referenced aggregates are derived once (single lineitem scan)") {
+    // the SQL CTE + scalar-subquery formulations scan lineitem twice
+    // (no exchange reuse across the subquery boundary); the window
+    // formulations must keep exactly one scan of the fact table
+    for (q <- Seq("q59_tpch2", "q65_tpch11", "q67_tpch15")) {
+      val p = plan(q)
+      assert("""lineitem\.parquet""".r.findAllIn(p).size == 1, s"$q:\n$p")
+    }
   }
 
   test("q71: disjunctive bracket predicate stays sargable on both scans") {
