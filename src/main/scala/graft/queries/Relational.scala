@@ -983,15 +983,24 @@ object Relational {
   // TPC-H Q17 shape — small-quantity-order revenue: the correlated
   // scalar AVG per part (decorrelated to an aggregate join; quantities
   // are integral so the double mean is exact and order-independent).
+  /** TPC-H Q17 shape, single-scan form (see q59/q65/q67). The correlated
+    * AVG decorrelates to a SECOND lineitem aggregation; but p_partkey is
+    * the part table's key, so every lineitem row of a partkey shares its
+    * brand — the per-part average over the brand-filtered join equals
+    * the subquery's average over all lineitem rows of those parts. One
+    * scan, and the window's partkey partitioning rides the join's
+    * existing shuffle. Quantities are integral doubles (exact sums well
+    * under 2^53), so the window average is order-independent and matches
+    * the oracle bit-for-bit. */
   def q69(s: SparkSession, dir: String): DataFrame = {
-    views(s, dir, "q69", "lineitem", "part")
-    s.sql(
-      """SELECT CAST(ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,4))) AS DOUBLE) / 7.0, 4) AS DOUBLE)
-        |  AS avg_yearly
-        |FROM q69_lineitem, q69_part
-        |WHERE p_partkey = l_partkey AND p_brand = 'Brand#5'
-        |  AND l_quantity < (SELECT 0.2 * AVG(l_quantity)
-        |                    FROM q69_lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin)
+    val j = Tables(s, dir, "lineitem")
+      .join(Tables(s, dir, "part").filter($"p_brand" === "Brand#5"),
+        $"l_partkey" === $"p_partkey")
+    j.withColumn("avg_qty", avg($"l_quantity").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"p_partkey")))
+      .filter($"l_quantity" < $"avg_qty" * 0.2)
+      .agg(round(sum($"l_extendedprice".cast("decimal(38,4)")).cast("double") / 7.0, 4)
+        .cast("double").as("avg_yearly"))
   }
 
   // TPC-H Q18 shape — large-volume customers: IN over a grouped HAVING

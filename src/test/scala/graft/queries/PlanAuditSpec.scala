@@ -126,10 +126,11 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("LessThan(l_quantity,24"), p)
   }
 
-  test("q59/q69: correlated scalar aggregates decorrelate to aggregate joins") {
+  test("q59/q69: per-group extremum/average shapes stay aggregate+window, never per-row probes") {
     // the Q2/Q17 shapes: a per-outer-row re-execution of the MIN/AVG
-    // subquery would be the classic correlated-subquery scale disaster;
-    // Catalyst must plan one aggregate + equi-join per subquery
+    // would be the classic correlated-subquery scale disaster; these are
+    // now written as single-derivation window forms (see Relational) and
+    // must keep aggregate/equi-join plans
     for (q <- Seq("q59_tpch2", "q69_tpch17")) {
       val p = plan(q)
       assert(!p.contains("BroadcastNestedLoopJoin"), s"$q:\n$p")
@@ -150,7 +151,7 @@ class PlanAuditSpec extends AnyFunSuite {
     // the SQL CTE + scalar-subquery formulations scan lineitem twice
     // (no exchange reuse across the subquery boundary); the window
     // formulations must keep exactly one scan of the fact table
-    for (q <- Seq("q59_tpch2", "q65_tpch11", "q67_tpch15")) {
+    for (q <- Seq("q59_tpch2", "q65_tpch11", "q67_tpch15", "q69_tpch17")) {
       val p = plan(q)
       assert("""lineitem\.parquet""".r.findAllIn(p).size == 1, s"$q:\n$p")
     }
