@@ -119,6 +119,7 @@ object SparkEntry {
     "t05_stratified_sample" -> (TextOps.stratifiedSample _),
     "t06_pack_sequences" -> (TextOps.packSequences _),
     "t07_repetition" -> (TextOps.repetition _),
+    "t08_vocab" -> (TextOps.vocab _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -925,6 +926,13 @@ object SparkEntry {
         |SELECT doc_id, ROUND(rep2_raw, 4) AS rep2, ROUND(rep3_raw, 4) AS rep3,
         | rep2_raw <= 0.2 AND rep3_raw <= 0.1 AS keep
         |FROM r ORDER BY doc_id""".stripMargin,
+    // t08: corpus vocabulary by document frequency, top-50 with a total
+    // order (df desc, token asc) so the LIMIT is deterministic
+    "t08_vocab" ->
+      """WITH tok AS (SELECT doc_id, unnest(list_distinct(string_split(lower(text), ' '))) AS token
+        |            FROM documents)
+        |SELECT token, COUNT(*) AS df FROM tok WHERE token <> ''
+        |GROUP BY token ORDER BY df DESC, token LIMIT 50""".stripMargin,
     // t06: concat-and-chunk packing — per-shard running token count in
     // doc_id order, cut every 512 tokens; shard = t05's Knuth hash mod 8,
     // tokens = t03's pre-tokenizer count (TextOps.packSequencesOf)

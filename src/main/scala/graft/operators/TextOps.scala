@@ -192,6 +192,24 @@ object TextOps {
     repetitionOf(Tables(s, dir, "documents")).orderBy("doc_id")
   }
 
+  /** Corpus vocabulary stats (t08): document frequency of every token —
+    * the vocab-building / stopword-discovery pass of a text pipeline.
+    * Distinct-per-doc explode → count, then top-k with a total order.
+    * Scale shape: map-side partial counts on the token hash, and the
+    * top-k is TakeOrdered (per-partition heads merged on the driver),
+    * never a global sort of the vocabulary. */
+  def vocabOf(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .select(col("doc_id"),
+        explode(array_distinct(split(lower(col("text")), " "))).as("token"))
+      .filter(col("token") =!= "")
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("token"))
+      .limit(k)
+
+  def vocab(s: SparkSession, dir: String): DataFrame =
+    vocabOf(Tables(s, dir, "documents"), k = 50)
+
   /** The keep/drop verdict of [[repetitionOf]] as a PASS-THROUGH column —
     * the stream-filter face: a streaming ingest can gate rows on it
     * without joining the stream to its own projection (stream–stream
