@@ -110,7 +110,7 @@ object SparkEntry {
     "m03_crossmodal_dedup" -> (graft.operators.Multimodal.crossModalDedup _),
     "m04_video_decode" -> (graft.operators.Multimodal.videoStats _),
     "s01_cosine_topk" -> (Similarity.cosineTopK _),
-    "s02_ann_ivf" -> (Similarity.annIvf _),
+    "s02_ann_ivf" -> (Similarity.annIvfGate _),
     "s03_knn_join" -> (Similarity.knnJoin _),
     "t01_langid" -> (TextOps.langId _),
     "t02_quality" -> (TextOps.quality _),
@@ -873,8 +873,15 @@ object SparkEntry {
         |       FROM e JOIN q ON e.vec_id <> q.qid)
         |SELECT qid, CAST(rn AS INT) AS rn, vec_id, ROUND(craw, 4) AS c
         |FROM sc WHERE rn <= 3 ORDER BY qid, rn""".stripMargin,
-    // s02_ann_ivf is approximate by construction → rows-only check (no oracle);
-    // its recall is asserted against brute force in SimilaritySpec.
+    // s02: the ANN results are approximate by construction, so the
+    // registered query is the deterministic recall GATE (see
+    // Similarity.annIvfGate): one row whose recall_ok boolean flips —
+    // and hash-mismatches — if the IVF path regresses. The oracle
+    // states the expected row from the data + literals.
+    "s02_ann_ivf" ->
+      """SELECT count(*) AS n_queries, CAST(3 AS INTEGER) AS k,
+        | TRUE AS recall_ok
+        |FROM embeddings WHERE vec_id < 10""".stripMargin,
     "t01_langid" ->
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         |h AS (SELECT doc_id,

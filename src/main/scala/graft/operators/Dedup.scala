@@ -30,6 +30,12 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Operational telemetry rides the engine's log channel (R22): the
+    * logger sits under `graft.catalog`, so [[graft.catalog.EngineLogFile]]
+    * routes it into the run's `catalog_migration.log` alongside the
+    * migration lines. */
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.catalog.dedup")
+
   /** doc_id + distinct 3-word shingles (the unit of textual identity).
     * Shingling is the codegen'd [[graft.functions.Shingle3]]; the HOF
     * formulation it replaced cost ~0.6 ms/doc interpreted and is
@@ -195,11 +201,20 @@ object Dedup {
       e = next
       cur = ns
       round += 1
+      // per-round edge count: the one operational signal of a dedup run
+      // at scale — a count that stops shrinking early means a star-forest
+      // fixpoint is near; a count still moving at maxRounds means the
+      // graph is deeper than budgeted
+      log.info(s"connectedComponents round $round: ${ns.head} edges" +
+        (if (converged) " (converged)" else ""))
     }
-    if (!converged)
+    if (!converged) {
+      log.error(s"connectedComponents did NOT converge in $maxRounds rounds")
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxRounds rounds — " +
           "component structure deeper than the round budget; raise maxRounds")
+    }
+    log.info(s"connectedComponents converged in $round rounds")
     // fixpoint is a star forest: every edge is (member, component min);
     // minima label themselves
     e.select(col("u").as("id"), col("v").as("comp"))

@@ -899,11 +899,16 @@ object Relational {
   // (0.1% of the region total) — the HAVING-against-global-aggregate
   // decorrelation path.
   /** TPC-H Q11 shape. Single-derivation form (see q59/q67): the EUROPE
-    * join+aggregation runs ONCE, keeping the per-part sums as exact
-    * unrounded DECIMAL so the corpus total — a window sum over the
-    * already-aggregated part-sized frame — equals the oracle's
-    * whole-table sum exactly (decimal addition is associative; rounding
-    * happens only at the output and threshold, as in the SQL). */
+    * join+aggregation runs ONCE — the per-part frame feeds both the
+    * output rows and a 1-row two-stage total (ReuseExchange shares the
+    * partkey shuffle, so lineitem is still scanned once; PlanAuditSpec
+    * locks it). The total is broadcast back with a 1-row cross join —
+    * NOT a `Window.partitionBy()` sum, which would funnel every per-part
+    * row (part-table cardinality: tens of millions at 100×) through a
+    * single task's window sort. Per-part sums stay exact unrounded
+    * DECIMAL so the total equals the oracle's whole-table sum exactly
+    * (decimal addition is associative; rounding happens only at the
+    * output and threshold, as in the SQL). */
   def q65(s: SparkSession, dir: String): DataFrame = {
     val byPart = Tables(s, dir, "lineitem")
       .join(Tables(s, dir, "supplier"), $"l_suppkey" === $"s_suppkey")
@@ -912,11 +917,10 @@ object Relational {
         $"n_regionkey" === $"r_regionkey")
       .groupBy($"l_partkey")
       .agg(sum($"l_extendedprice".cast("decimal(38,4)")).as("dsum"))
+    val total = byPart.agg(sum($"dsum").as("grand_total"))
     byPart
-      .withColumn("threshold",
-        round(sum($"dsum").over(
-          org.apache.spark.sql.expressions.Window.partitionBy())
-          .cast("double") * 0.001, 4))
+      .crossJoin(broadcast(total))
+      .withColumn("threshold", round($"grand_total".cast("double") * 0.001, 4))
       .withColumn("value", round($"dsum", 4).cast("double"))
       .filter($"value" > $"threshold")
       .select($"l_partkey", $"value")
@@ -944,20 +948,28 @@ object Relational {
     * NOT reuse the exchange across the scalar-subquery boundary (probed:
     * no ReusedExchange in the finalized plan) — at scale that is two full
     * lineitem scans+aggregations. This formulation computes the heavy
-    * aggregate ONCE and takes the max with a window over the already
-    * aggregated (supplier-sized) frame; the empty-partition window is a
-    * single-partition pass over small data, not over lineitem. Plan
-    * contract: exactly one lineitem scan (PlanAuditSpec). */
+    * aggregate ONCE: the per-supplier frame feeds both the output and a
+    * 1-row two-stage MAX, broadcast back via a 1-row cross join.
+    * ReuseExchange shares the supplier shuffle, so lineitem is still
+    * scanned once (PlanAuditSpec locks it). A `Window.partitionBy()` max
+    * would instead sort the whole per-supplier frame in ONE task — fine
+    * at sf0.1, a single-task bottleneck at 100×. */
   def q67(s: SparkSession, dir: String): DataFrame = {
+    // the explicit isNotNull matches the join's inferred null filter, so
+    // the two references to `rev` canonicalize identically and AQE's
+    // stage cache collapses the second into a ReusedExchange (without
+    // it, only the supplier-join branch gets the inferred filter and the
+    // shuffles differ)
     val rev = Tables(s, dir, "lineitem")
-      .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01")
+      .filter($"l_shipdate" >= "1996-01-01" && $"l_shipdate" < "1996-04-01" &&
+        $"l_suppkey".isNotNull)
       .groupBy($"l_suppkey".as("supplier_no"))
       .agg(round(sum(($"l_extendedprice" * (lit(1.0) - $"l_discount"))
         .cast("decimal(38,4)")), 4).cast("double").as("total_revenue"))
     val top = rev
-      .withColumn("mx", max($"total_revenue").over(
-        org.apache.spark.sql.expressions.Window.partitionBy()))
+      .crossJoin(broadcast(rev.agg(max($"total_revenue").as("mx"))))
       .filter($"total_revenue" === $"mx")
+      .drop("mx")
     Tables(s, dir, "supplier")
       .join(top, $"s_suppkey" === $"supplier_no")
       .select($"s_suppkey", $"s_name", $"total_revenue")

@@ -126,6 +126,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("connectedComponents surfaces rounds-to-converge on the engine log channel") {
+    import spark.implicits._
+    // the R22 dual-channel contract extends to the dedup operators: with
+    // EngineLogFile attached, a component run leaves its per-round edge
+    // counts and the convergence line in catalog_migration.log — the one
+    // operational signal a 100 TB dedup job must surface
+    val logFile = java.nio.file.Files.createTempFile("graft-cc-log", ".log")
+    val detach = graft.catalog.EngineLogFile.attach(logFile)
+    try {
+      val edges = Seq((3L, 1L), (2L, 3L), (11L, 10L)).toDF("a", "b")
+      Dedup.connectedComponents(edges).collect()
+    } finally detach()
+    val text = java.nio.file.Files.readString(logFile)
+    assert("""connectedComponents round 1: \d+ edges""".r
+      .findFirstIn(text).isDefined, text)
+    assert("""connectedComponents converged in \d+ rounds""".r
+      .findFirstIn(text).isDefined, text)
+    java.nio.file.Files.deleteIfExists(logFile)
+  }
+
   test("connectedComponents throws instead of returning split components") {
     import spark.implicits._
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")

@@ -104,8 +104,12 @@ class PlanAuditSpec extends AnyFunSuite {
     // the round-3 scale-killers: annIvf cached the full embedding table
     // and trained centroids on the whole corpus. The probe predicate must
     // reach the scan (label IN (probed lists) ⇒ directory pruning on a
-    // label-partitioned layout) and no full-table cache may reappear
-    val p = plan("s02_ann_ivf")
+    // label-partitioned layout) and no full-table cache may reappear.
+    // Audited on the ANN operator itself — the registered s02 query is
+    // the recall GATE around it, whose brute-force arm adds a second
+    // (deliberate, query-sized) scan
+    val p = graft.operators.Similarity.annIvf(spark, dir)
+      .queryExecution.executedPlan.toString
     assert("""PushedFilters: \[[^\]]*In\(label""".r.findFirstIn(p).isDefined, p)
     assert(!p.contains("InMemoryTableScan"), p)
     // exactly one parquet scan of the store feeds the probe join (probe
@@ -149,10 +153,17 @@ class PlanAuditSpec extends AnyFunSuite {
 
   test("q59/q65/q67: twice-referenced aggregates are derived once (single lineitem scan)") {
     // the SQL CTE + scalar-subquery formulations scan lineitem twice
-    // (no exchange reuse across the subquery boundary); the window
-    // formulations must keep exactly one scan of the fact table
+    // (no exchange reuse across the subquery boundary). q59/q69 keep one
+    // lexical scan (window forms); q65/q67 reference the grouped frame
+    // twice (detail rows + broadcast 1-row total), where the dedup is
+    // AQE's runtime stage reuse — so the assertion runs the query and
+    // reads the FINAL adaptive plan, in which the second reference must
+    // collapse to a ReusedExchange over the first one's shuffle
     for (q <- Seq("q59_tpch2", "q65_tpch11", "q67_tpch15", "q69_tpch17")) {
-      val p = plan(q)
+      val df = SparkEntry.queries(q)(spark, dir)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==")(0)
       assert("""lineitem\.parquet""".r.findAllIn(p).size == 1, s"$q:\n$p")
     }
   }
@@ -196,13 +207,33 @@ class PlanAuditSpec extends AnyFunSuite {
     // side), q38 broadcast of a 1-row aggregate, s01 broadcast of the
     // single query vector against the corpus (brute-force top-k).
     // s03 adds the broadcast of the bounded query SET (batch kNN)
+    // q65/q67 cross-join a broadcast 1-ROW aggregate (the global
+    // threshold/max) — the empty-partition-window replacement; s02's
+    // recall gate broadcasts the bounded query set (brute-force arm)
+    // and cross-joins two 1-row aggregates
     val bnljAllowed = Set("q11_join_theta", "q38_scalar_subquery",
-      "s01_cosine_topk", "s03_knn_join")
+      "s01_cosine_topk", "s03_knn_join", "q65_tpch11", "q67_tpch15",
+      "s02_ann_ivf")
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name:\n$p")
       if (!bnljAllowed(name))
         assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+    }
+  }
+
+  test("no registered query plans a window over an empty partition spec") {
+    // a Window with no PARTITION BY funnels its whole input through ONE
+    // task's sort — invisible at sf0.1, fatal when the frame is
+    // fact-table-derived at 100×. Global aggregates must instead be
+    // two-stage aggregates broadcast back (see q65/q67). Sweep the whole
+    // registered set so the pattern can't reappear.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+      val lp = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+      val empties = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+      assert(empties.isEmpty,
+        s"$name plans a global (empty-partition-spec) window:\n$lp")
     }
   }
 
