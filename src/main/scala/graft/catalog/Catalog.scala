@@ -78,6 +78,11 @@ object CatalogFactory {
     case "memory" =>
       MemoryCatalog.forName(cfg.properties.getOrElse("name", cfg.name),
         singleLevel = cfg.properties.get("single-level").contains("true"))
+    case "rest" =>
+      val uri = cfg.properties.getOrElse("uri",
+        throw new IllegalArgumentException(
+          s"Catalog ${cfg.name}: rest catalog requires a 'uri' property"))
+      new RestCatalog(cfg.name, uri)
     case "custom" =>
       val impl = cfg.properties.getOrElse("impl",
         throw new IllegalArgumentException(

@@ -357,11 +357,11 @@ object CatalogMigrationCLI {
       |without data copy. `migrate` deletes entries from the source after
       |successful registration; `register` leaves them in place.
       |
-      |  --source-catalog-type <hadoop|memory|custom>
-      |  --source-catalog-properties k=v[,k=v...]   (hadoop: warehouse=<dir>; repeatable)
+      |  --source-catalog-type <hadoop|memory|rest|custom>
+      |  --source-catalog-properties k=v[,k=v...]   (hadoop: warehouse=<dir>; rest: uri=<http://host:port>; repeatable)
       |  --source-catalog-hadoop-conf k=v[,k=v...]  Hadoop Configuration overlay (repeatable)
       |  --source-custom-catalog-impl <class>       Catalog impl for type custom
-      |  --target-catalog-type <hadoop|memory|custom>
+      |  --target-catalog-type <hadoop|memory|rest|custom>
       |  --target-catalog-properties k=v[,k=v...]   (repeatable)
       |  --target-catalog-hadoop-conf k=v[,k=v...]  (repeatable)
       |  --target-custom-catalog-impl <class>

@@ -1,0 +1,200 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The MigratorSpec scenario matrix run across a REAL network boundary:
+  * a [[RestCatalogServer]] on an ephemeral loopback port serves a backing
+  * catalog, and every catalog RPC in the scenario — including the ones
+  * issued from executor partitions inside `registerTables`' mapPartitions —
+  * travels HTTP through [[RestCatalog]]. Mirrors the reference's REST
+  * catalog type (CatalogMigrationUtil.java:36-46). */
+class RestCatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def uid(): String = java.util.UUID.randomUUID().toString.take(8)
+
+  private def memCfg(singleLevel: Boolean = false): CatalogConfig = {
+    val n = s"mem-${uid()}"
+    CatalogConfig("memory", n,
+      if (singleLevel) Map("single-level" -> "true") else Map.empty)
+  }
+
+  /** Start a server over `backing`'s catalog; hand the test a rest-typed
+    * CatalogConfig pointing at it. Always stops the server. */
+  private def withRest[A](backing: CatalogConfig)(f: CatalogConfig => A): A = {
+    val server = new RestCatalogServer(CatalogFactory.build(backing))
+    try f(CatalogConfig("rest", s"rest-${uid()}", Map("uri" -> server.uri)))
+    finally server.close()
+  }
+
+  /** Canonical 4 tables with real data, registered in `cfg`'s catalog. */
+  private def seedCanonical(cfg: CatalogConfig): Unit = {
+    val stage = new HadoopFsCatalog(s"stage-${uid()}",
+      Files.createTempDirectory("graft-stage").toString)
+    val cat = CatalogFactory.build(cfg)
+    Seq("foo", "bar", "db1").foreach(ns => cat.createNamespace(Namespace.of(ns)))
+    import spark.implicits._
+    Seq("foo.tbl1", "foo.tbl2", "bar.tbl3", "bar.tbl4").map(TableRef.parse)
+      .zipWithIndex.foreach { case (ref, i) =>
+        val df = (1L to 5L).map(x => x * (i + 1)).toDF("id")
+        cat.registerTable(ref, CatalogIO.createTable(spark, stage, ref, df))
+      }
+  }
+
+  test("full migrate mem→rest: registered via HTTP, source deleted, data readable") {
+    val (srcCfg, backing) = (memCfg(), memCfg())
+    seedCanonical(srcCfg)
+    withRest(backing) { tgtCfg =>
+      val m = new CatalogMigrator(srcCfg, tgtCfg, deleteEntriesFromSourceCatalog = true)
+      val ids = m.getMatchingTableIdentifiers(None)
+      assert(ids.map(_.toString).toSet ==
+        Set("foo.tbl1", "foo.tbl2", "bar.tbl3", "bar.tbl4"))
+      m.registerTables(spark, ids)
+      val r = m.result()
+      assert(r.registeredTableIdentifiers.size == 4)
+      assert(r.failedToRegisterTableIdentifiers.isEmpty)
+      assert(r.failedToDeleteTableIdentifiers.isEmpty)
+      val tgt = CatalogFactory.build(tgtCfg)
+      assert(tgt.tableExists(TableRef.parse("foo.tbl1")))
+      assert(!CatalogFactory.build(srcCfg).tableExists(TableRef.parse("foo.tbl1")))
+      assert(CatalogIO.readTable(spark, tgt, TableRef.parse("foo.tbl1"))
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    }
+  }
+
+  test("rest as SOURCE: selective regex scan over HTTP") {
+    val backing = memCfg()
+    seedCanonical(backing)
+    withRest(backing) { srcCfg =>
+      val m = new CatalogMigrator(srcCfg, memCfg(), deleteEntriesFromSourceCatalog = false)
+      val ids = m.getMatchingTableIdentifiers(Some("^foo\\..*"))
+      assert(ids.map(_.toString) == Seq("foo.tbl1", "foo.tbl2"))
+      m.registerTables(spark, ids)
+      assert(m.result().registeredTableIdentifiers.map(_.toString) ==
+        Seq("foo.tbl1", "foo.tbl2"))
+    }
+  }
+
+  test("double-register over rest lands in failedToRegister (409 → AlreadyExists)") {
+    val (srcCfg, backing) = (memCfg(), memCfg())
+    seedCanonical(srcCfg)
+    withRest(backing) { tgtCfg =>
+      new CatalogMigrator(srcCfg, tgtCfg, false).registerTable(TableRef.parse("foo.tbl1"))
+      val m2 = new CatalogMigrator(srcCfg, tgtCfg, false)
+      m2.registerTable(TableRef.parse("foo.tbl1"))
+      val r = m2.result()
+      assert(r.registeredTableIdentifiers.isEmpty)
+      assert(r.failedToRegisterTableIdentifiers == Seq(TableRef.parse("foo.tbl1")))
+    }
+  }
+
+  test("partial failure over rest: missing table fails, rest succeed") {
+    val (srcCfg, backing) = (memCfg(), memCfg())
+    seedCanonical(srcCfg)
+    withRest(backing) { tgtCfg =>
+      val m = new CatalogMigrator(srcCfg, tgtCfg, false)
+      m.registerTables(spark,
+        Seq("foo.tbl1", "dummy.tbl3", "bar.tbl3").map(TableRef.parse))
+      val r = m.result()
+      assert(r.registeredTableIdentifiers.map(_.toString) == Seq("foo.tbl1", "bar.tbl3"))
+      assert(r.failedToRegisterTableIdentifiers.map(_.toString) == Seq("dummy.tbl3"))
+    }
+  }
+
+  test("244-table volume: concurrent executor partitions through one server") {
+    val srcCfg = memCfg()
+    val src = CatalogFactory.build(srcCfg)
+    src.createNamespace(Namespace.of("foo"))
+    val refs = (0 until 244).map(i => TableRef.parse(s"foo.tblx$i"))
+    refs.foreach(r => src.registerTable(r, s"file:///fake/meta/$r/v1.metadata.json"))
+    withRest(memCfg()) { tgtCfg =>
+      val m = new CatalogMigrator(srcCfg, tgtCfg, deleteEntriesFromSourceCatalog = true)
+      m.registerTables(spark, refs)
+      val r = m.result()
+      assert(r.registeredTableIdentifiers.size == 244)
+      assert(r.registeredTableIdentifiers == refs) // first-seen order kept
+      assert(r.failedToDeleteTableIdentifiers.isEmpty)
+      val tgt = CatalogFactory.build(tgtCfg)
+      assert(tgt.loadTableMetadataLocation(TableRef.parse("foo.tblx243")) ==
+        "file:///fake/meta/foo.tblx243/v1.metadata.json")
+    }
+  }
+
+  test("delete-at-source guard fires through /v1/config (rest over hadoop)") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val hadoopCfg = CatalogConfig("hadoop", s"hadoop-${uid()}", Map("warehouse" -> wh))
+    withRest(hadoopCfg) { srcCfg =>
+      val e = intercept[UnsupportedOperationException] {
+        new CatalogMigrator(srcCfg, memCfg(), deleteEntriesFromSourceCatalog = true)
+      }
+      assert(e.getMessage.contains("deleteEntriesFromSourceCatalog"))
+    }
+  }
+
+  test("single-level (Hive-like) backing behind rest rejects multi-part namespace") {
+    val srcCfg = memCfg()
+    val src = CatalogFactory.build(srcCfg)
+    Seq("a", "a.b", "a.b.c").foreach(n => src.createNamespace(Namespace.parse(n)))
+    src.registerTable(TableRef.parse("a.b.c.tblz"), "file:///fake/v1.metadata.json")
+    src.createNamespace(Namespace.of("flat"))
+    src.registerTable(TableRef.parse("flat.ok"), "file:///fake/v2.metadata.json")
+    withRest(memCfg(singleLevel = true)) { tgtCfg =>
+      val m = new CatalogMigrator(srcCfg, tgtCfg, false)
+      m.registerTables(spark, m.getMatchingTableIdentifiers(None))
+      val r = m.result()
+      assert(r.registeredTableIdentifiers.map(_.toString) == Seq("flat.ok"))
+      assert(r.failedToRegisterTableIdentifiers.map(_.toString) == Seq("a.b.c.tblz"))
+    }
+  }
+
+  test("hostile metadata locations round-trip byte-exact over the wire") {
+    withRest(memCfg()) { cfg =>
+      val cat = CatalogFactory.build(cfg)
+      cat.createNamespace(Namespace.of("ns"))
+      val hostile = "file:///w h/\"q\"\\back\\\nnew\tlinectl-é中"
+      cat.registerTable(TableRef.parse("ns.t1"), hostile)
+      assert(cat.loadTableMetadataLocation(TableRef.parse("ns.t1")) == hostile)
+      // URL-special characters in identifiers survive query encoding
+      cat.createNamespace(Namespace.of("sp ace&x=y%z+q"))
+      cat.registerTable(TableRef(Namespace.of("sp ace&x=y%z+q"), "t 2"), "loc")
+      assert(cat.tableExists(TableRef(Namespace.of("sp ace&x=y%z+q"), "t 2")))
+      assert(cat.listTables(Namespace.of("sp ace&x=y%z+q")).map(_.name) == Seq("t 2"))
+    }
+  }
+
+  test("typed errors rehydrate across the boundary") {
+    withRest(memCfg()) { cfg =>
+      val cat = CatalogFactory.build(cfg)
+      intercept[NoSuchTableException] {
+        cat.loadTableMetadataLocation(TableRef.parse("nope.t"))
+      }
+      intercept[NoSuchNamespaceException] { cat.listTables(Namespace.of("nope")) }
+      cat.createNamespace(Namespace.of("dup"))
+      intercept[AlreadyExistsException] { cat.createNamespace(Namespace.of("dup")) }
+      assert(!cat.dropTable(TableRef.parse("dup.none")))
+    }
+  }
+
+  test("hadoop → rest with real data: pointer migrates, data reads via rest") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val srcCfg = CatalogConfig("hadoop", s"hadoop-${uid()}", Map("warehouse" -> wh))
+    val src = CatalogFactory.build(srcCfg).asInstanceOf[HadoopFsCatalog]
+    src.createNamespace(Namespace.of("foo"))
+    import spark.implicits._
+    val loc = CatalogIO.createTable(spark, src, TableRef.parse("foo.tbl1"),
+      Seq(1L, 2L, 3L).toDF("id"))
+    withRest(memCfg()) { tgtCfg =>
+      val m = new CatalogMigrator(srcCfg, tgtCfg, false)
+      val ids = m.getMatchingTableIdentifiers(None)
+      assert(ids.map(_.toString) == Seq("foo.tbl1"))
+      m.registerTables(spark, ids)
+      assert(m.result().registeredTableIdentifiers.size == 1)
+      val tgt = CatalogFactory.build(tgtCfg)
+      assert(tgt.loadTableMetadataLocation(TableRef.parse("foo.tbl1")) == loc)
+      assert(CatalogIO.readTable(spark, tgt, TableRef.parse("foo.tbl1")).count() == 3)
+    }
+  }
+}
