@@ -5,7 +5,8 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
@@ -36,7 +37,7 @@ import graft.catalog.{Catalog => GraftCatalog, CatalogConfig, CatalogFactory, Ca
   * [[graft.catalog.CatalogIO.createTable]], mirroring the reference tool,
   * which never creates data tables through SQL either.
   */
-class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
+class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
   private var catalogName: String = _
   private var cat: GraftCatalog = _
@@ -90,12 +91,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
             ident.namespace.toSeq :+ ident.name)
       }
-    val dataLoc = CatalogIO.readDataLocation(metaLoc, hadoopConfOverlay)
+    val layout = CatalogIO.readLayout(metaLoc, hadoopConfOverlay)
     // FileTable merges these options into its Hadoop conf
     // (newHadoopConfWithOptions), so the overlay reaches the parquet scan
-    ParquetTable(ref.toString, SparkSession.active,
-      new CaseInsensitiveStringMap(hadoopOpts.asJava), Seq(dataLoc),
+    val table = ParquetTable(ref.toString, SparkSession.active,
+      new CaseInsensitiveStringMap(hadoopOpts.asJava), Seq(layout.dataLocation),
       userSpecifiedSchema = None, fallbackFileFormat = classOf[ParquetFileFormat])
+    layout.numBuckets match {
+      // a recorded bucket layout becomes a DSv2 bucket transform +
+      // key-grouped scans → storage-partitioned joins with no shuffle
+      // (BucketedScan.scala). Directory-partitioned bucketed layouts keep
+      // the plain scan: their file groups mix partition dirs and bucket
+      // ids, and only flat bucketed tables report a sound single-key
+      // KeyGroupedPartitioning.
+      case Some(n) if layout.partitionColumns.isEmpty =>
+        new GraftBucketedTable(table, n, layout.bucketColumns)
+      case _ => table
+    }
   }
 
   /** SQL time travel: `SELECT ... FROM <cat>.<ns>.<tbl> VERSION AS OF <n>`.
@@ -187,4 +199,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
     throw new UnsupportedOperationException(s"$catalogName: dropNamespace is not supported")
+
+  // ----- FunctionCatalog -----
+  // Serves the `bucket` transform function that storage-partitioned joins
+  // resolve KeyGroupedPartitioning against (V2ExpressionUtils loads it
+  // from the table's own catalog, exactly as Iceberg's SparkCatalog does).
+
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    GraftBucketFunction.load(ident)
 }
