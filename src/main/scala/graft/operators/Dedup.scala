@@ -327,6 +327,26 @@ object Dedup {
       // shared-gram count (no count-distinct shuffle needed)
       .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
 
+  /** Projection-shaped keep/drop face of decontamination — the stream
+    * filter: each doc's distinct 5-gram set is computed row-locally, the
+    * benchmark gram set rides in as ONE broadcast row (equi-join on a
+    * constant key, so the plan stays a BroadcastHashJoin, never a
+    * nested-loop), and the verdict is a local `arrays_overlap`. No per-doc
+    * aggregation and no anti-join means the identical plan runs over
+    * `readStream` documents against a static benchmark table
+    * (stream-static broadcast join, append-safe; TextStreamSpec proves
+    * batch equivalence of the composed pipeline prefix). Scale shape is
+    * d07's: the benchmark gram set is eval-suite-sized by construction. */
+  def decontaminationKeepOf(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
+    val benchSet = benchGrams
+      .agg(collect_set(col("g")).as("bench_gs")).withColumn("j", lit(1))
+    docs.withColumn("j", lit(1))
+      .join(broadcast(benchSet), "j")
+      .withColumn("keep_decon", !arrays_overlap(
+        expr("graft_shingles_n(split(lower(text), ' '), 5)"), col("bench_gs")))
+      .drop("j", "bench_gs")
+  }
+
   def decontaminate(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
     val docs = Tables(s, dir, "documents")

@@ -48,17 +48,23 @@ object Pipeline {
     val training = docs.filter(col("doc_id") % 10 =!= 7)
     val bench = Dedup.gramsOf(docs.filter(col("doc_id") % 10 === 7))
       .select("g").distinct()
-
-    // Gopher repetition gate (pure projection — filter rides the scan)
-    val clean = training.join(
-      TextOps.repetitionOf(training).filter(col("keep")).select("doc_id"),
-      "doc_id")
-
-    // decontamination: drop docs sharing any 5-gram with the eval split
-    clean.join(
-      Dedup.contaminationOf(clean, bench).select("doc_id"),
-      Seq("doc_id"), "left_anti")
+    streamPrefixOf(training, bench)
   }
+
+  /** The pipeline's stream-capable prefix: Gopher repetition gate →
+    * decontamination, composed as pure projections plus one broadcast of
+    * the (static, eval-suite-sized) benchmark gram set. This is the SAME
+    * composition batch p01 consumes via [[survivorsOf]], and it contains
+    * no aggregation, no stream-stream join, and no state — so it runs
+    * unchanged over `readStream` documents in append mode, which is how
+    * a 100 TB ingest would gate documents continuously while the
+    * quadratic-risk dedup stages run batch-side on the gated output
+    * (TextStreamSpec asserts stream output == batch output). */
+  def streamPrefixOf(training: DataFrame, benchGrams: DataFrame): DataFrame =
+    Dedup.decontaminationKeepOf(
+        TextOps.repetitionKeepOf(training).filter(col("keep")).drop("keep"),
+        benchGrams)
+      .filter(col("keep_decon")).drop("keep_decon")
 
   /** EAGER construction (same contract as Similarity.annIvfOver): the
     * checkpoints below and the component loop inside canonicalOf run

@@ -99,6 +99,27 @@ class TextStreamSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("p01's composed prefix (repetition gate → decontamination) streams unchanged") {
+    // the pipeline's OWN prefix — the same streamPrefixOf composition
+    // batch p01 consumes via survivorsOf — over a document stream against
+    // the static benchmark gram set: projections + one stream-static
+    // broadcast join, append mode, no state. Output must equal the batch
+    // run row-for-row, proving the composed filters (not just each
+    // operator alone) are stream-safe.
+    graft.functions.VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    val bench = graft.operators.Dedup
+      .gramsOf(batchDocs.filter(col("doc_id") % 10 === 7))
+      .select("g").distinct()
+    def prefix(d: DataFrame): DataFrame =
+      graft.operators.Pipeline.streamPrefixOf(d.filter(col("doc_id") % 10 =!= 7), bench)
+    val got = rows(replay(prefix, "t_prefix_stream"))
+    assert(got == rows(prefix(batchDocs)))
+    // both gates actually fire: survivors are a strict subset of training
+    assert(got.nonEmpty &&
+      got.size < batchDocs.filter(col("doc_id") % 10 =!= 7).count())
+  }
+
   test("fingerprint + token count compose in one streaming pipeline") {
     val got = rows(replay(
       d => TextOps.fingerprintOf(d).join(TextOps.tokenCountOf(d), "doc_id"),
