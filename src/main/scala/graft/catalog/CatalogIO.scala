@@ -18,13 +18,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * partition pruning through every read path (including the DSv2
   * [[graft.sources.GraftSparkCatalog]], whose ParquetTable infers the
   * same directories). A bucket layout gives shuffle-free co-located
-  * joins; Spark's bucketed execution lives in the session-catalog (V1)
-  * read path — V2 scans would need a custom storage-partitioned-join
-  * Scan — so [[attachAsSessionTable]] projects a catalog table's recorded
-  * layout into the session catalog (external table, same files, CLUSTERED
-  * BY from the metadata), which is the supported vehicle for bucketed
-  * plans. The graft catalog's metadata JSON stays the single source of
-  * truth for the spec.
+  * joins through both read paths: [[attachAsSessionTable]] projects a
+  * catalog table's recorded layout into the session catalog (external
+  * table, same files, CLUSTERED BY from the metadata) for Spark's V1
+  * bucketed execution, and the DSv2 catalog serves the same layout as
+  * storage-partitioned joins (KeyGroupedPartitioning over the bucket
+  * file groups — [[graft.sources.BucketedScan]]). The graft catalog's
+  * metadata JSON stays the single source of truth for the spec.
   */
 object CatalogIO {
 

@@ -48,18 +48,32 @@ object Pipeline {
     val training = docs.filter(col("doc_id") % 10 =!= 7)
     val bench = Dedup.gramsOf(docs.filter(col("doc_id") % 10 === 7))
       .select("g").distinct()
-    streamPrefixOf(training, bench)
+
+    // Gopher repetition gate — a pass-through projection, no self-join
+    val clean = TextOps.repetitionKeepOf(training).filter(col("keep")).drop("keep")
+
+    // decontamination: drop docs sharing any 5-gram with the eval split.
+    // Batch keeps the broadcast-HASH-join anti shape (gram table built
+    // once, probed per exploded gram) — the plan-locked d07 scale shape.
+    clean.join(
+      Dedup.contaminationOf(clean, bench).select("doc_id"),
+      Seq("doc_id"), "left_anti")
   }
 
-  /** The pipeline's stream-capable prefix: Gopher repetition gate →
-    * decontamination, composed as pure projections plus one broadcast of
-    * the (static, eval-suite-sized) benchmark gram set. This is the SAME
-    * composition batch p01 consumes via [[survivorsOf]], and it contains
-    * no aggregation, no stream-stream join, and no state — so it runs
-    * unchanged over `readStream` documents in append mode, which is how
-    * a 100 TB ingest would gate documents continuously while the
-    * quadratic-risk dedup stages run batch-side on the gated output
-    * (TextStreamSpec asserts stream output == batch output). */
+  /** The pipeline's stream-capable prefix: the SAME two gates as
+    * [[survivorsOf]] — Gopher repetition, then decontamination — with the
+    * decontamination re-expressed as a projection probing a broadcast
+    * gram set ([[Dedup.decontaminationKeepOf]]), because a streaming doc
+    * source cannot anti-join against ids derived from itself
+    * (stream-stream anti joins are unsupported; per-row probe of a
+    * static set is). No aggregation, no join, no state — append-mode
+    * safe, which is how a 100 TB ingest gates documents continuously
+    * while the quadratic-risk dedup stages run batch-side on the gated
+    * output. TextStreamSpec proves BOTH equivalences on the same corpus:
+    * stream output == batch output of this prefix, and this prefix ==
+    * the batch anti-join formulation p01 consumes. Inherits
+    * decontaminationKeepOf's eager contract (benchmark grams collected
+    * at construction). */
   def streamPrefixOf(training: DataFrame, benchGrams: DataFrame): DataFrame =
     Dedup.decontaminationKeepOf(
         TextOps.repetitionKeepOf(training).filter(col("keep")).drop("keep"),

@@ -250,29 +250,14 @@ class PlanAuditSpec extends AnyFunSuite {
     // the blanket sweep cannot see behind p01's localCheckpoint
     // boundaries (executedPlan truncates there), so the pipeline's
     // quadratic-risk stage — pair generation over the FILTERED/JOINED
-    // survivor set, not the bare table — is audited pre-checkpoint here.
-    // The decontamination gate's broadcast of the ONE-ROW benchmark gram
-    // set is the declared q65/q67/q38 idiom (a nested-loop over a single
-    // broadcast row is a map-side filter, not a join blowup); any OTHER
-    // nested-loop — in particular one whose build side is data-sized —
-    // still fails the audit, as does any cartesian.
-    import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec}
-    import org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+    // survivor set, not the bare table — is audited pre-checkpoint here
     graft.functions.VectorFunctions.register(spark)
     val docs = graft.Tables(spark, dir, "documents")
-    val exec = graft.operators.Dedup
+    val p = graft.operators.Dedup
       .ngramJaccardOf(graft.operators.Pipeline.survivorsOf(docs))
-      .queryExecution.executedPlan
-    assert(!exec.toString.contains("CartesianProduct"), exec.toString)
-    val bnljs = exec.collect { case b: BroadcastNestedLoopJoinExec => b }
-    bnljs.foreach { b =>
-      val oneRowAgg = b.right.collectFirst {
-        case h: HashAggregateExec if h.groupingExpressions.isEmpty => h
-        case o: ObjectHashAggregateExec if o.groupingExpressions.isEmpty => o
-      }
-      assert(oneRowAgg.isDefined,
-        s"nested-loop join builds a non-1-row side:\n$b")
-    }
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("dedup pair generation never plans a nested-loop/cartesian join") {

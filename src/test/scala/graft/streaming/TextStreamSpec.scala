@@ -100,12 +100,13 @@ class TextStreamSpec extends AnyFunSuite {
   }
 
   test("p01's composed prefix (repetition gate → decontamination) streams unchanged") {
-    // the pipeline's OWN prefix — the same streamPrefixOf composition
-    // batch p01 consumes via survivorsOf — over a document stream against
-    // the static benchmark gram set: projections + one stream-static
-    // broadcast join, append mode, no state. Output must equal the batch
-    // run row-for-row, proving the composed filters (not just each
-    // operator alone) are stream-safe.
+    // the pipeline's prefix gates over a document stream against the
+    // static benchmark gram set: projections + a broadcast set probe,
+    // append mode, no state. Two equivalences close the loop: stream
+    // output == batch output of the same composition (stream-safety),
+    // and that composition == the broadcast-hash-join anti formulation
+    // batch p01 consumes via survivorsOf (exactness of the stream
+    // re-expression).
     graft.functions.VectorFunctions.register(spark)
     import org.apache.spark.sql.functions.col
     val bench = graft.operators.Dedup
@@ -113,8 +114,10 @@ class TextStreamSpec extends AnyFunSuite {
       .select("g").distinct()
     def prefix(d: DataFrame): DataFrame =
       graft.operators.Pipeline.streamPrefixOf(d.filter(col("doc_id") % 10 =!= 7), bench)
+    val batch = rows(prefix(batchDocs))
     val got = rows(replay(prefix, "t_prefix_stream"))
-    assert(got == rows(prefix(batchDocs)))
+    assert(got == batch)
+    assert(batch == rows(graft.operators.Pipeline.survivorsOf(batchDocs)))
     // both gates actually fire: survivors are a strict subset of training
     assert(got.nonEmpty &&
       got.size < batchDocs.filter(col("doc_id") % 10 =!= 7).count())
