@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * near-duplicates of each other and the candidate-pair structure stays
   * realistic (10× corpus ⇒ ~10× true pairs, not ×45 artificial ones).
   *
-  *   sbt "runMain graft.ScaleSmoke [replicas]"
+  *   sbt "runMain graft.ScaleSmoke [replicas] [query ...]"
+  *
+  * With query names given, only those run (re-running the heavy spillers
+  * after an environment hiccup without repeating the whole suite).
   */
 object ScaleSmoke {
   def main(args: Array[String]): Unit = {
     val replicas = if (args.nonEmpty) args(0).toInt else 10
+    val only = args.drop(1).toSet
     val src = "/root/testdata/sf0.1"
     val out = s"/tmp/graft_scale_x$replicas"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -63,10 +67,11 @@ object ScaleSmoke {
     Seq("q04_agg_tpch1", "q08_join_star", "q15_window_frame", "q22b_dedup_keepfirst",
       "d01_dedup_jaccard", "d02_dedup_minhash_lsh", "d03_dedup_simhash",
       "d06_dedup_canonical", "d07_decontaminate", "t06_pack_sequences",
-      "p01_training_pipeline").foreach { q =>
+      "p01_training_pipeline")
+      .filter(q => only.isEmpty || only(q)).foreach { q =>
       try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
     }
-    srpScale(spark, 2000 * replicas)
+    if (only.isEmpty || only("srp")) srpScale(spark, 2000 * replicas)
     spark.stop()
   }
 

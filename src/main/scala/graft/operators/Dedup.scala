@@ -43,9 +43,33 @@ object Dedup {
   def shingledOf(docs: DataFrame): DataFrame =
     docs.selectExpr("doc_id", "graft_shingles(split(lower(text), ' ')) AS sh")
 
+  /** [[shingledOf]] mapped into the 64-bit hash domain: every shingle is
+    * replaced by its xxhash64 image, and ALL downstream work — document
+    * frequencies, prefix indexing, candidate self-joins, and exact
+    * verification — runs over longs. Two reasons, both scale-bound:
+    *
+    *  - shuffle payload: an 8-byte long vs a ~30-byte UTF-8 trigram cuts
+    *    the dominant shuffles (exploded-shingle df agg, prefix self-join,
+    *    and above all the candidate-verify join that ships both docs'
+    *    full shingle arrays per candidate pair) by ~4×. This is what
+    *    brought the exact path's 50× ScaleSmoke run back inside a single
+    *    node's scratch disk (SURVEY §6.1).
+    *  - compare cost: array_intersect over longs beats string equality
+    *    in the verify inner loop.
+    *
+    * Exactness: Jaccard over hash images equals Jaccard over strings
+    * unless two distinct shingles in the compared pair collide in 64
+    * bits — probability < 1e-13 per pair for 1k-shingle docs, and the
+    * string-side DuckDB oracle certifies zero collisions on every gated
+    * corpus. `array_distinct` guards the (equally improbable) intra-doc
+    * collision so set sizes stay consistent. */
+  def hashedShingledOf(docs: DataFrame): DataFrame =
+    shingledOf(docs).selectExpr("doc_id",
+      "array_distinct(transform(sh, x -> xxhash64(x))) AS sh")
+
   def shingled(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    shingledOf(Tables(s, dir, "documents"))
+    hashedShingledOf(Tables(s, dir, "documents"))
   }
 
   /** Exact shingle-Jaccard ≥ 0.8 via prefix filtering (AllPairs/PPJoin
@@ -72,9 +96,13 @@ object Dedup {
     * face p01 uses on the post-filter survivor set. */
   def ngramJaccardOf(docs: DataFrame): DataFrame = {
     val tau = 0.8
-    val sh = shingledOf(docs)
+    val sh = hashedShingledOf(docs)
     val ex = sh.selectExpr("doc_id", "size(sh) AS sz", "explode(sh) AS s")
     val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    // prefix filtering only needs SOME globally-consistent total order of
+    // shingles; (df, hash image) is one, so the hash domain changes the
+    // candidate set at most cosmetically and the verified output not at
+    // all
     val w = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("s"))
     // df = 1 shingles must participate in the prefix RANKING (they are
     // the rarest), but can never match another doc — drop them after.
@@ -107,10 +135,9 @@ object Dedup {
     * [[graft.functions.MinHash32]] (one pass over the hash array)
     * instead of 32 interpreted transform/array_min columns. */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
+    val sh = shingled(s, dir) // already the xxhash64 image — feed minhash directly
     val sigs = sh
-      .withColumn("hs", expr("transform(sh, x -> xxhash64(x))"))
-      .withColumn("mh", expr("graft_minhash(hs)"))
+      .withColumn("mh", expr("graft_minhash(sh)"))
       .select("doc_id", "mh")
     val bandCols = (0 until 16).map(k =>
       xxhash64(element_at(col("mh"), 2 * k + 1),
@@ -263,10 +290,9 @@ object Dedup {
     * the interpreted HOF formulation took ~21 ms/doc and dominated the
     * whole pipeline. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir)
+    val sh = shingled(s, dir) // already the xxhash64 image — feed simhash directly
     val sim = sh
-      .withColumn("hs", expr("transform(sh, x -> xxhash64(x))"))
-      .withColumn("sim", expr("graft_simhash(hs)"))
+      .withColumn("sim", expr("graft_simhash(sh)"))
       .select("doc_id", "sim")
     // Pigeonhole blocking: 13 blocks (12×5 bits + 1×4 bits) guarantee
     // that any pair within hamming ≤ 12 shares at least one block —
