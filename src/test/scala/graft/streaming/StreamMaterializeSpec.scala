@@ -1,0 +1,105 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import graft.TestSpark
+import graft.catalog.{CatalogIO, HadoopFsCatalog, TableRef}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Streaming aggregates materialized as versioned catalog commits: the
+  * final table state equals the batch aggregate over the same corpus,
+  * every version is a complete committed snapshot reachable by time
+  * travel, and the version trail grows with the trigger count. */
+class StreamMaterializeSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def rows(df: DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("complete-mode stream aggregate commits versions; final == batch; history time-travels") {
+    // two source files → maxFilesPerTrigger=1 forces ≥2 micro-batches
+    val streamDir = Files.createTempDirectory("graft-matstream")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      streamDir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    // second file: a slice re-written as a single parquet FILE (the file
+    // stream source lists plain files, not nested dirs)
+    val batchDocs = graft.Tables(spark, sfDir, "documents")
+    val sliceDir = Files.createTempDirectory("graft-matslice")
+    batchDocs.filter(col("doc_id") % 2 === 0).coalesce(1)
+      .write.mode("overwrite").parquet(sliceDir.resolve("out").toString)
+    val part = Files.list(sliceDir.resolve("out")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, streamDir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val union = batchDocs.unionByName(batchDocs.filter(col("doc_id") % 2 === 0))
+    def aggOf(d: DataFrame): DataFrame =
+      d.groupBy("lang").agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).as("n_chars"))
+
+    val wh = Files.createTempDirectory("graft-matwh").toString
+    val cat = new HadoopFsCatalog("matwh", wh)
+    cat.createNamespace(graft.catalog.Namespace.of("live"))
+    val ref = TableRef.parse("live.lang_stats")
+    val ckpt = Files.createTempDirectory("graft-matckpt").toString
+
+    val stream = spark.readStream.schema(batchDocs.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val q = StreamMaterialize.materialize(spark, cat, ref, aggOf(stream), ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    // final committed state == batch aggregate over everything streamed
+    assert(rows(CatalogIO.readTable(spark, cat, ref)) == rows(aggOf(union)))
+
+    // one version per micro-batch, each a complete committed snapshot
+    val versions = cat.listTableVersions(ref)
+    assert(versions.size >= 2, s"expected >=2 versions, got $versions")
+    assert(versions == (1 to versions.size), s"non-contiguous: $versions")
+    for (v <- versions) {
+      val snap = CatalogIO.readTableVersion(spark, cat, ref, v)
+      // every snapshot is a full aggregate: langs distinct, counts positive
+      assert(snap.groupBy("lang").count().filter(col("count") > 1).count() == 0)
+      assert(snap.filter(col("n_docs") <= 0).count() == 0)
+    }
+    // history is monotone: doc totals never shrink across versions
+    val totals = versions.map(v =>
+      CatalogIO.readTableVersion(spark, cat, ref, v)
+        .agg(sum("n_docs")).collect()(0).getLong(0))
+    assert(totals == totals.sorted, s"non-monotone history: $totals")
+    assert(totals.last == union.count())
+    cat.close()
+  }
+
+  test("a materialized table serves the DSv2 SQL face mid-stream (committed snapshots only)") {
+    val streamDir = Files.createTempDirectory("graft-matstream2")
+    Files.copy(Paths.get(s"$sfDir/documents.parquet"),
+      streamDir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchDocs = graft.Tables(spark, sfDir, "documents")
+
+    val wh = Files.createTempDirectory("graft-matwh2").toString
+    val cat = new HadoopFsCatalog("matwh2", wh)
+    cat.createNamespace(graft.catalog.Namespace.of("live"))
+    val ckpt = Files.createTempDirectory("graft-matckpt2").toString
+
+    val stream = spark.readStream.schema(batchDocs.schema).parquet(streamDir.toString)
+    val q = StreamMaterialize.materialize(spark, cat,
+      TableRef.parse("live.by_lang"),
+      stream.groupBy("lang").agg(count(lit(1)).as("n")), ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    val catName = s"mat${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$catName", "graft.sources.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$catName.type", "hadoop")
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+    val viaSql = rows(spark.sql(s"SELECT lang, n FROM $catName.live.by_lang"))
+    assert(viaSql == rows(batchDocs.groupBy("lang").agg(count(lit(1)).as("n"))))
+    assert(rows(spark.sql(
+      s"SELECT lang, n FROM $catName.live.by_lang VERSION AS OF 1")) == viaSql)
+    cat.close()
+  }
+}
