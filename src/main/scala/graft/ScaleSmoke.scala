@@ -64,11 +64,16 @@ object ScaleSmoke {
       val n = SparkEntry.queries(name)(spark, out).count()
       println(f"[scale] $name x$replicas: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
     }
-    Seq("q04_agg_tpch1", "q08_join_star", "q15_window_frame", "q22b_dedup_keepfirst",
-      "d01_dedup_jaccard", "d02_dedup_minhash_lsh", "d03_dedup_simhash",
-      "d06_dedup_canonical", "d07_decontaminate", "t06_pack_sequences",
-      "p01_training_pipeline")
-      .filter(q => only.isEmpty || only(q)).foreach { q =>
+    val all = Seq("q04_agg_tpch1", "q08_join_star", "q15_window_frame",
+      "q22b_dedup_keepfirst", "d01_dedup_jaccard", "d02_dedup_minhash_lsh",
+      "d03_dedup_simhash", "d06_dedup_canonical", "d07_decontaminate",
+      "t06_pack_sequences", "p01_training_pipeline")
+    // a typo'd name silently measuring nothing would waste a multi-hour
+    // rerun — fail fast instead ("srp" selects the srpScale experiment)
+    val unknown = only -- all.toSet - "srp"
+    require(unknown.isEmpty,
+      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp")
+    all.filter(q => only.isEmpty || only(q)).foreach { q =>
       try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
     }
     if (only.isEmpty || only("srp")) srpScale(spark, 2000 * replicas)

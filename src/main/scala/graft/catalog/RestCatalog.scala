@@ -266,11 +266,18 @@ final class RestCatalog(val name: String, baseUri: String) extends Catalog {
     fields
   }
 
+  // per-request deadline: a half-dead server (TCP up, no response) must
+  // surface as an exception the migrator's fail-soft can record, not hang
+  // an executor partition forever
+  private val requestTimeout = Duration.ofSeconds(60)
+
   private def get(pathAndQuery: String): Map[String, Any] =
-    send(HttpRequest.newBuilder(java.net.URI.create(base + pathAndQuery)).GET().build())
+    send(HttpRequest.newBuilder(java.net.URI.create(base + pathAndQuery))
+      .timeout(requestTimeout).GET().build())
 
   private def post(path: String, json: String): Map[String, Any] =
     send(HttpRequest.newBuilder(java.net.URI.create(base + path))
+      .timeout(requestTimeout)
       .header("Content-Type", "application/json")
       .POST(HttpRequest.BodyPublishers.ofString(json, StandardCharsets.UTF_8)).build())
 

@@ -375,8 +375,11 @@ object Dedup {
   def decontaminationKeepOf(docs: DataFrame, benchGrams: DataFrame): DataFrame = {
     val bc = docs.sparkSession.sparkContext.broadcast(
       benchGrams.select("g").collect().map(_.getString(0)).toSet)
+    // null/empty gram sets KEEP the doc — zero grams means zero overlap,
+    // matching the batch anti-join (a gram-less doc never appears on the
+    // contaminated side), so stream ≡ batch holds on null-text corpora too
     val cleanUdf = udf((gs: Seq[String]) =>
-      gs != null && !gs.exists(bc.value.contains))
+      gs == null || !gs.exists(bc.value.contains))
     docs.withColumn("keep_decon",
       cleanUdf(expr("graft_shingles_n(split(lower(text), ' '), 5)")))
   }

@@ -164,12 +164,25 @@ private final class UnwrapReaderFactory(inner: PartitionReaderFactory)
 /** Re-groups the delegate parquet scan's planned file slices by the
   * bucket id in their file names (`BucketingUtils.getBucketId` — the
   * naming Spark's bucketed writer produced) and reports the result as a
-  * connector [[KeyGroupedPartitioning]] on `bucket(n, cols…)`. Only
-  * buckets that physically exist become partitions; Spark's
-  * push-part-values handling aligns the two sides of a join when their
-  * populated bucket sets differ. */
-final class BucketedScan(delegate: ParquetScan, numBuckets: Int,
-    bucketCols: Seq[String]) extends Scan with Batch with SupportsReportPartitioning {
+  * connector [[KeyGroupedPartitioning]] on `bucket(n, cols…)`.
+  *
+  * Parallelism is NOT capped at the bucket count: within each bucket the
+  * slices are re-bin-packed with Spark's own size-based packer, so a
+  * plain scan (or any read with `spark.sql.sources.v2.bucketing.enabled`
+  * off — the default — where Catalyst ignores the reported partitioning)
+  * runs at stock file-split granularity. Spark's SPJ machinery accepts
+  * multiple partitions per key and groups them per bucket at exec time
+  * when a join needs co-partitioning; push-part-values aligns the two
+  * sides when their populated bucket sets differ.
+  *
+  * FileScan's runtime (DPP-style) filtering is vacuous here by
+  * construction: the wrapper only applies to FLAT bucketed layouts
+  * (GraftSparkCatalog.loadTable), so there are no partition columns to
+  * runtime-filter. equals/hashCode delegate so exchange/scan reuse still
+  * deduplicates identical scans. */
+final class BucketedScan(private val delegate: ParquetScan,
+    private val numBuckets: Int, private val bucketCols: Seq[String])
+  extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = delegate.readSchema()
   override def description(): String =
@@ -178,7 +191,15 @@ final class BucketedScan(delegate: ParquetScan, numBuckets: Int,
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
     delegate.columnarSupportMode()
 
+  override def equals(other: Any): Boolean = other match {
+    case b: BucketedScan =>
+      delegate == b.delegate && numBuckets == b.numBuckets && bucketCols == b.bucketCols
+    case _ => false
+  }
+  override def hashCode(): Int = (delegate, numBuckets, bucketCols).hashCode()
+
   private lazy val grouped: Array[InputPartition] = {
+    val session = delegate.sparkSession
     val slices = delegate.toBatch.planInputPartitions()
       .flatMap(_.asInstanceOf[FilePartition].files)
     val byBucket = slices.groupBy { pf =>
@@ -188,8 +209,15 @@ final class BucketedScan(delegate: ParquetScan, numBuckets: Int,
           s"$fileName carries no bucket id — refusing to report a partitioning " +
           "the files don't have"))
     }
-    byBucket.toArray.sortBy(_._1).zipWithIndex.map { case ((b, fs), i) =>
-      BucketFilePartition(b, FilePartition(i, fs)): InputPartition
+    val openCost = session.sessionState.conf.filesOpenCostInBytes
+    val maxSplit = FilePartition.maxSplitBytes(session,
+      slices.map(_.length + openCost).sum)
+    var idx = -1
+    byBucket.toArray.sortBy(_._1).flatMap { case (b, fs) =>
+      FilePartition.getFilePartitions(session, fs.toIndexedSeq, maxSplit).map { fp =>
+        idx += 1
+        BucketFilePartition(b, FilePartition(idx, fp.files)): InputPartition
+      }
     }
   }
 

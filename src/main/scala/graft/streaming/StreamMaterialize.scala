@@ -40,9 +40,14 @@ object StreamMaterialize {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         // runs driver-side; commitVersion's single write action consumes
-        // the micro-batch exactly once
-        if (!cat.tableExists(ref)) CatalogIO.createTable(spark, cat, ref, batch)
-        else CatalogIO.commitVersion(spark, cat, ref, batch)
+        // the micro-batch exactly once. Empty batches commit nothing —
+        // the table appears at the first non-empty batch (as documented)
+        // and a no-input trigger never publishes an empty snapshot over
+        // a populated one.
+        if (!batch.isEmpty) {
+          if (!cat.tableExists(ref)) CatalogIO.createTable(spark, cat, ref, batch)
+          else CatalogIO.commitVersion(spark, cat, ref, batch)
+        }
         ()
       }
       .start()

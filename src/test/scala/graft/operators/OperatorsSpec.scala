@@ -42,6 +42,31 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == Seq((100L, Some(95L)), (200L, None)))
   }
 
+  test("stream prefix ≡ batch survivors on null/short-text docs (gram-less docs survive)") {
+    // a null or <5-word text yields no 5-grams: the batch anti-join keeps
+    // it (never on the contaminated side) and the stream probe must too
+    graft.functions.VectorFunctions.register(spark)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "common shared phrase one two three four five six seven", "en"),
+      (7L, "common shared phrase one two three four five six seven", "en"), // eval split
+      (2L, null.asInstanceOf[String], "en"),
+      (4L, "tiny", "en"),
+      (6L, "totally different words nothing overlapping here at all ok", "en"))
+      .toDF("doc_id", "text", "lang")
+    val bench = Dedup.gramsOf(docs.filter(col("doc_id") % 10 === 7))
+      .select("g").distinct()
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val batch = rowsOf(graft.operators.Pipeline.survivorsOf(docs))
+    val stream = rowsOf(graft.operators.Pipeline.streamPrefixOf(
+      docs.filter(col("doc_id") % 10 =!= 7), bench))
+    assert(stream == batch)
+    assert(batch.contains(2L) && batch.contains(4L)) // gram-less docs kept
+    assert(!batch.contains(1L)) // contaminated doc dropped by both
+  }
+
   test("minhash-LSH and simhash find exactly the exact-Jaccard pairs") {
     val exact = rows(Dedup.ngramJaccard(spark, dir))
     val lsh = rows(Dedup.minhashLsh(spark, dir))

@@ -100,6 +100,29 @@ class V2BucketedJoinSpec extends AnyFunSuite {
     assert(got == expected.toSeq)
   }
 
+  test("bucketed V2 scan is not capped at bucket count: slice-level parallelism survives") {
+    val (cat, hc) = freshCatalog()
+    CatalogIO.createTable(spark, hc, TableRef.parse("db.orders_b4"),
+      graft.Tables(spark, dir, "orders"),
+      bucketBy = Some((4, Seq("o_orderkey"))))
+    // force many slices per bucket file; the wrapper must keep them as
+    // separate partitions (each tagged with its bucket key), not one
+    // giant partition per bucket — at 100 TB one-partition-per-bucket is
+    // a multi-TB task
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+    try {
+      val df = spark.table(s"$cat.db.orders_b4")
+      val scan = df.queryExecution.executedPlan.collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.get.asInstanceOf[BucketedScan]
+      val parts = scan.planInputPartitions()
+      assert(parts.length > 4, s"parallelism capped at ${parts.length}")
+      assert(parts.forall(_.isInstanceOf[
+        org.apache.spark.sql.connector.read.HasPartitionKey]))
+      assert(df.count() == graft.Tables(spark, dir, "orders").count())
+    } finally spark.conf.unset("spark.sql.files.maxPartitionBytes")
+  }
+
   test("partitioned+bucketed layouts fall back to the plain scan (no false partitioning)") {
     val (cat, hc) = freshCatalog()
     CatalogIO.createTable(spark, hc, TableRef.parse("db.orders_pb"),
