@@ -178,6 +178,28 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("DSv2 SQL face over a REST catalog: spark.sql resolves tables through HTTP") {
+    // full stack: SQL → GraftSparkCatalog (type=rest) → HttpClient →
+    // RestCatalogServer → hadoop backing — the deployment where the
+    // catalog service is remote and Spark only sees its URI
+    val wh = Files.createTempDirectory("graft-sqlwh").toString
+    val backing = new HadoopFsCatalog("sqlwh", wh)
+    backing.createNamespace(Namespace.of("db"))
+    import spark.implicits._
+    CatalogIO.createTable(spark, backing, TableRef.parse("db.t1"),
+      Seq(10L, 20L, 30L).toDF("id"))
+    val server = new RestCatalogServer(backing)
+    try {
+      val name = s"rc${uid().replace("-", "")}"
+      spark.conf.set(s"spark.sql.catalog.$name", "graft.sources.GraftSparkCatalog")
+      spark.conf.set(s"spark.sql.catalog.$name.type", "rest")
+      spark.conf.set(s"spark.sql.catalog.$name.uri", server.uri)
+      assert(spark.sql(s"SHOW TABLES IN $name.db").collect().map(_.getString(1)).toSeq
+        == Seq("t1"))
+      assert(spark.sql(s"SELECT sum(id) FROM $name.db.t1").collect()(0).getLong(0) == 60L)
+    } finally server.close()
+  }
+
   test("hadoop → rest with real data: pointer migrates, data reads via rest") {
     val wh = Files.createTempDirectory("graft-wh").toString
     val srcCfg = CatalogConfig("hadoop", s"hadoop-${uid()}", Map("warehouse" -> wh))
