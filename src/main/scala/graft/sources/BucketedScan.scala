@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException
 import org.apache.spark.sql.catalyst.expressions.{Expression, Murmur3HashFunction}
 import org.apache.spark.sql.connector.catalog.{Identifier, SupportsRead, Table, TableCapability}
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
@@ -66,7 +66,7 @@ object GraftBucketFunction {
   }
 
   private final class Bucket(types: Array[DataType])
-    extends ScalarFunction[Integer] {
+    extends ScalarFunction[Integer] with ReducibleFunction[Integer, Integer] {
     override def inputTypes(): Array[DataType] = types
     override def resultType(): DataType = IntegerType
     override def name(): String = "bucket"
@@ -86,6 +86,28 @@ object GraftBucketFunction {
       }
       Integer.valueOf(((hash.toInt % n) + n) % n)
     }
+
+    /** Mismatched-but-divisible bucket counts stay shuffle-free
+      * (`spark.sql.sources.v2.bucketing.allowCompatibleTransforms`):
+      * pmod(h, kn) mod n == pmod(h, n), so an 8-bucket side reduces onto
+      * a 4-bucket side by id % 4 — Spark coalesces the finer side's
+      * partitions instead of exchanging either. Null = not reducible
+      * (different function, non-divisible counts), per the contract. */
+    override def reducer(thisNumBuckets: Int,
+        otherFunction: ReducibleFunction[_, _],
+        otherNumBuckets: Int): Reducer[Integer, Integer] =
+      otherFunction match {
+        case _: Bucket if thisNumBuckets > otherNumBuckets &&
+            thisNumBuckets % otherNumBuckets == 0 =>
+          new BucketReducer(otherNumBuckets)
+        case _ => null
+      }
+  }
+
+  // Serializable: reducers travel inside the join's KeyGroupedPartitioner
+  private final class BucketReducer(target: Int)
+    extends Reducer[Integer, Integer] with Serializable {
+    override def reduce(bucket: Integer): Integer = Integer.valueOf(bucket % target)
   }
 
   def load(ident: Identifier): UnboundFunction =

@@ -100,6 +100,39 @@ class V2BucketedJoinSpec extends AnyFunSuite {
     assert(got == expected.toSeq)
   }
 
+  test("mismatched-but-divisible bucket counts join without a shuffle (ReducibleFunction)") {
+    // 8-bucket orders vs 4-bucket lineitem: pmod(h,8) % 4 == pmod(h,4),
+    // so the 8-side reduces onto the 4-side and Spark coalesces instead
+    // of exchanging — heterogeneous layouts stay co-partitioned at scale
+    val (cat, hc) = freshCatalog()
+    CatalogIO.createTable(spark, hc, TableRef.parse("db.orders_b8"),
+      graft.Tables(spark, dir, "orders"),
+      bucketBy = Some((8, Seq("o_orderkey"))))
+    CatalogIO.createTable(spark, hc, TableRef.parse("db.lineitem_b4"),
+      graft.Tables(spark, dir, "lineitem"),
+      bucketBy = Some((4, Seq("l_orderkey"))))
+    withV2Bucketing {
+      spark.conf.set("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled", "true")
+      try {
+        val joined = spark.table(s"$cat.db.orders_b8")
+          .join(spark.table(s"$cat.db.lineitem_b4"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("c"))
+        val plan = joined.queryExecution.executedPlan.toString
+        val joinIdx = plan.indexOf("SortMergeJoin")
+        assert(joinIdx >= 0, s"expected a SortMergeJoin in:\n$plan")
+        assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"),
+          s"mismatched-bucket SPJ still shuffles:\n$plan")
+        val direct = graft.Tables(spark, dir, "orders")
+          .join(graft.Tables(spark, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_orderpriority")).agg(count(lit(1)).as("c"))
+          .collect().map(_.mkString("|")).sorted.toSeq
+        assert(joined.collect().map(_.mkString("|")).sorted.toSeq == direct)
+      } finally
+        spark.conf.unset("spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled")
+    }
+  }
+
   test("bucketed V2 scan is not capped at bucket count: slice-level parallelism survives") {
     val (cat, hc) = freshCatalog()
     CatalogIO.createTable(spark, hc, TableRef.parse("db.orders_b4"),
