@@ -135,6 +135,43 @@ object CatalogIO {
     metaFile.toString
   }
 
+  /** Create a table whose v1 is an EMPTY, schema-bearing snapshot while
+    * recording the full physical layout for future versions — the DDL
+    * face (`CREATE TABLE`, and the empty v1 a CTAS commits before its
+    * SELECT arrives as v2). The empty snapshot is written FLAT with the
+    * complete schema (partition columns as ordinary columns — there is
+    * no data for the directory layout to matter), so a scan between
+    * create and first insert sees the full schema and zero rows;
+    * versioned commits then apply the recorded layout. */
+  def createEmptyTable(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None,
+      sortBy: Seq[String] = Nil): String = {
+    if (cat.tableExists(ref))
+      throw new AlreadyExistsException(s"Table already exists: $ref")
+    require(sortBy.isEmpty || bucketBy.isDefined,
+      "sortBy requires bucketBy (Spark sorts within buckets)")
+    val dir = cat.tableDir(ref)
+    val dataDir = new Path(dir, "data")
+    if (cat.fileSystem.exists(new Path(new Path(dir, "metadata"), "v1.metadata.json")) ||
+        cat.fileSystem.exists(dataDir))
+      throw new AlreadyExistsException(
+        s"Aborted-create debris at $dir (metadata/data without a committed " +
+          s"pointer); remove the directory to recreate $ref")
+    // one empty task still writes a schema-bearing parquet file
+    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+      schema).repartition(1).write.mode("errorifexists").parquet(dataDir.toString)
+    val layout = TableLayout(dataDir.toString, partitionBy,
+      bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy)
+    val metaDir = new Path(dir, "metadata")
+    cat.fileSystem.mkdirs(metaDir)
+    val metaFile = new Path(metaDir, "v1.metadata.json")
+    cat.writeText(metaFile, metadataJson(dir.toString, dataDir.toString, layout))
+    cat.registerTable(ref, metaFile.toString)
+    metaFile.toString
+  }
+
   private def writeData(spark: SparkSession, dataDir: Path, df: DataFrame,
       partitionBy: Seq[String], bucketBy: Option[(Int, Seq[String])],
       sortBy: Seq[String]): Unit = bucketBy match {

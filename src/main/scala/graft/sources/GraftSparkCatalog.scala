@@ -97,7 +97,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     val table = ParquetTable(ref.toString, SparkSession.active,
       new CaseInsensitiveStringMap(hadoopOpts.asJava), Seq(layout.dataLocation),
       userSpecifiedSchema = None, fallbackFileFormat = classOf[ParquetFileFormat])
-    layout.numBuckets match {
+    val readTable = layout.numBuckets match {
       // a recorded bucket layout becomes a DSv2 bucket transform +
       // key-grouped scans → storage-partitioned joins with no shuffle
       // (BucketedScan.scala). Directory-partitioned bucketed layouts keep
@@ -107,6 +107,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       case Some(n) if layout.partitionColumns.isEmpty =>
         new GraftBucketedTable(table, n, layout.bucketColumns)
       case _ => table
+    }
+    cat match {
+      // versioning catalogs also accept SQL writes (INSERT OVERWRITE /
+      // INSERT INTO / CTAS) as snapshot commits — GraftWrites.scala
+      case h: graft.catalog.HadoopFsCatalog =>
+        new GraftWritableTable(readTable, h, ref, layout)
+      case _ => readTable
     }
   }
 
@@ -150,10 +157,55 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
 
   override def tableExists(ident: Identifier): Boolean = cat.tableExists(toRef(ident))
 
+  /** SQL DDL face (CREATE TABLE / the create half of CTAS): an empty,
+    * schema-bearing v1 with the physical layout recorded for every
+    * future versioned commit. Identity partitions map to directory
+    * partitioning, `bucket(n, col…)` transforms to the bucket layout
+    * (storage-partitioned-join-ready). Requires a versioning catalog. */
   override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      s"$catalogName: create tables via graft.catalog.CatalogIO.createTable / migration API")
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    val h = cat match {
+      case h: graft.catalog.HadoopFsCatalog => h
+      case _ => throw new UnsupportedOperationException(
+        s"$catalogName: catalog type does not version tables; create via the " +
+          "migration API (CatalogIO.createTable) against a hadoop catalog")
+    }
+    val provider = Option(properties.get("provider")).map(_.toLowerCase)
+    if (provider.exists(_ != "parquet"))
+      throw new UnsupportedOperationException(
+        s"$catalogName: only parquet tables are supported, got ${provider.get}")
+    var partitionBy = Vector.empty[String]
+    var bucketBy: Option[(Int, Seq[String])] = None
+    partitions.foreach { t =>
+      t.name match {
+        case "bucket" =>
+          val n = t.arguments.collectFirst {
+            case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+              l.value.asInstanceOf[Number].intValue
+          }.getOrElse(throw new IllegalArgumentException(
+            s"$catalogName: bucket transform without a bucket count: $t"))
+          val cols = t.arguments.collect {
+            case r: org.apache.spark.sql.connector.expressions.NamedReference =>
+              r.fieldNames.mkString(".")
+          }.toSeq
+          bucketBy = Some((n, cols))
+        case "identity" =>
+          partitionBy :+= t.references.head.fieldNames.mkString(".")
+        case other => throw new UnsupportedOperationException(
+          s"$catalogName: unsupported partition transform $other " +
+            "(identity and bucket are supported)")
+      }
+    }
+    val ref = toRef(ident)
+    try CatalogIO.createEmptyTable(SparkSession.active, h, ref, schema,
+      partitionBy, bucketBy)
+    catch {
+      case _: graft.catalog.AlreadyExistsException =>
+        throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
+          ident.namespace.toSeq :+ ident.name)
+    }
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(s"$catalogName: alterTable is not supported")

@@ -1,0 +1,133 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.catalog.{CatalogIO, HadoopFsCatalog, TableRef}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SQL writes through the DSv2 catalog: CTAS / INSERT OVERWRITE /
+  * INSERT INTO run as versioned snapshot commits — every write extends
+  * the time-travel trail, layouts survive writes, and non-versioning
+  * catalogs stay read-only. */
+class V2WriteSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def freshCatalog(): (String, HadoopFsCatalog) = {
+    val wh = Files.createTempDirectory("v2write-wh").toString
+    val name = s"vw${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.type", "hadoop")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    (name, new HadoopFsCatalog(name, wh))
+  }
+
+  test("CTAS commits a versioned snapshot; INSERT OVERWRITE advances it; time travel sees both") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.prios USING parquet AS
+         |SELECT o_orderpriority, count(*) AS n
+         |FROM parquet.`$dir/orders.parquet` GROUP BY 1""".stripMargin)
+    val v2 = spark.table(s"$cat.db.prios").collect().map(_.mkString("|")).sorted.toSeq
+    assert(v2.size == 5)
+
+    spark.sql(
+      s"""INSERT OVERWRITE $cat.db.prios
+         |SELECT o_orderpriority, count(*) AS n
+         |FROM parquet.`$dir/orders.parquet`
+         |WHERE o_orderkey % 2 = 0 GROUP BY 1""".stripMargin)
+    val v3 = spark.table(s"$cat.db.prios").collect().map(_.mkString("|")).sorted.toSeq
+    assert(v3 != v2 && v3.nonEmpty)
+
+    val ref = TableRef.parse("db.prios")
+    // v1 = CTAS's empty schema-bearing snapshot, v2 = the SELECT, v3 = overwrite
+    assert(hc.listTableVersions(ref) == Seq(1, 2, 3))
+    assert(CatalogIO.readTableVersion(spark, hc, ref, 1).count() == 0)
+    assert(spark.sql(s"SELECT * FROM $cat.db.prios VERSION AS OF 2")
+      .collect().map(_.mkString("|")).sorted.toSeq == v2)
+  }
+
+  test("INSERT INTO is a snapshot-append: union becomes the next version") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) USING parquet")
+    // scan of the pre-insert table: full schema, zero rows
+    assert(spark.table(s"$cat.db.t").columns.toSeq == Seq("k", "v"))
+    assert(spark.table(s"$cat.db.t").count() == 0)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 'c')")
+    assert(spark.table(s"$cat.db.t").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("1|a", "2|b", "3|c"))
+    assert(hc.listTableVersions(TableRef.parse("db.t")).size == 3)
+  }
+
+  test("CTAS with a bucket transform records the layout; written table joins shuffle-free") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.orders_w USING parquet
+         |PARTITIONED BY (bucket(4, o_orderkey)) AS
+         |SELECT o_orderkey, o_orderpriority
+         |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+    val layout = CatalogIO.readLayout(
+      hc.loadTableMetadataLocation(TableRef.parse("db.orders_w")))
+    assert(layout.numBuckets.contains(4) && layout.bucketColumns == Seq("o_orderkey"))
+
+    spark.sql(
+      s"""CREATE TABLE $cat.db.lineitem_w USING parquet
+         |PARTITIONED BY (bucket(4, l_orderkey)) AS
+         |SELECT l_orderkey, l_quantity
+         |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table(s"$cat.db.orders_w")
+        .join(spark.table(s"$cat.db.lineitem_w"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, plan)
+      assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"), plan)
+      assert(joined.collect().nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("identity-partitioned CREATE + INSERT keeps directory pruning") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.ev (id BIGINT, region STRING) USING parquet" +
+      " PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.db.ev SELECT id, region FROM VALUES" +
+      " (1L,'eu'),(2L,'us'),(3L,'eu') AS t(id, region)")
+    val layout = CatalogIO.readLayout(
+      hc.loadTableMetadataLocation(TableRef.parse("db.ev")))
+    assert(layout.partitionColumns == Seq("region"))
+    val q = spark.table(s"$cat.db.ev").filter(col("region") === "eu")
+    assert(q.count() == 2)
+    assert(q.queryExecution.executedPlan.toString.contains("region"), "partition filter lost")
+  }
+
+  test("writes to a non-versioning (rest/memory) catalog fail cleanly") {
+    val backing = graft.catalog.CatalogConfig("memory", s"m${java.util.UUID.randomUUID().toString.take(6)}")
+    val server = new graft.catalog.RestCatalogServer(
+      graft.catalog.CatalogFactory.build(backing))
+    try {
+      val name = s"ro${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+      spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftSparkCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$name.type", "rest")
+      spark.conf.set(s"spark.sql.catalog.$name.uri", server.uri)
+      spark.sql(s"CREATE NAMESPACE $name.db")
+      val e = intercept[Exception] {
+        spark.sql(s"CREATE TABLE $name.db.t (k BIGINT) USING parquet")
+      }
+      assert(e.getMessage.contains("does not version tables"), e.getMessage)
+    } finally server.close()
+  }
+}
