@@ -28,13 +28,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CatalogIO {
 
-  /** Physical layout of a table, as recorded in its metadata JSON. */
+  /** Physical layout of a table, as recorded in its metadata JSON.
+    * `schemaDdl` (recorded since round 6) lets readers plan without
+    * touching parquet footers — at 100 TB schema inference is a file
+    * listing + footer read on EVERY `spark.table()` resolution, pure
+    * waste when the catalog already knows the schema. Absent in
+    * pre-round-6 metadata → readers fall back to inference. */
   final case class TableLayout(
       dataLocation: String,
       partitionColumns: Seq[String] = Nil,
       numBuckets: Option[Int] = None,
       bucketColumns: Seq[String] = Nil,
-      sortColumns: Seq[String] = Nil)
+      sortColumns: Seq[String] = Nil,
+      schemaDdl: Option[String] = None)
 
   // A JSON string token: quotes and backslashes inside values are
   // escape sequences, so a path/column containing `"` `\` or `]` round-
@@ -45,6 +51,7 @@ object CatalogIO {
     new scala.util.matching.Regex(
       "\"" + field + "\"\\s*:\\s*\\[((?:\\s*" + StrTok + "\\s*,?)*)\\]")
   private val NumBucketsRe = """"numBuckets"\s*:\s*(\d+)""".r
+  private val SchemaDdlRe = ("\"schemaDdl\"\\s*:\\s*" + StrTok).r
   private val QuotedRe = StrTok.r
 
   private def jsonEscape(s: String): String = s.flatMap {
@@ -89,6 +96,8 @@ object CatalogIO {
         layout.numBuckets.map(n => s"""  "numBuckets": $n,\n""").getOrElse("")
       }${arr("bucketColumns", layout.bucketColumns)}${
         arr("sortColumns", layout.sortColumns)
+      }${
+        layout.schemaDdl.map(s => s"""  "schemaDdl": "${jsonEscape(s)}",\n""").getOrElse("")
       }  "dataLocation": "${jsonEscape(dataLocation)}"
        |}
        |""".stripMargin
@@ -126,7 +135,8 @@ object CatalogIO {
           s"pointer); remove the directory to recreate $ref")
     writeData(spark, dataDir, df, partitionBy, bucketBy, sortBy)
     val layout = TableLayout(dataDir.toString, partitionBy,
-      bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy)
+      bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
+      Some(df.schema.toDDL))
     val metaDir = new Path(dir, "metadata")
     cat.fileSystem.mkdirs(metaDir)
     val metaFile = new Path(metaDir, "v1.metadata.json")
@@ -163,7 +173,8 @@ object CatalogIO {
     spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
       schema).repartition(1).write.mode("errorifexists").parquet(dataDir.toString)
     val layout = TableLayout(dataDir.toString, partitionBy,
-      bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy)
+      bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
+      Some(schema.toDDL))
     val metaDir = new Path(dir, "metadata")
     cat.fileSystem.mkdirs(metaDir)
     val metaFile = new Path(metaDir, "v1.metadata.json")
@@ -226,7 +237,8 @@ object CatalogIO {
     val dataDir = new Path(dir, s"data-v$n-$attempt")
     writeData(spark, dataDir, df, partitionBy, bucketBy, sortBy)
     val layout = TableLayout(dataDir.toString, partitionBy,
-      bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy)
+      bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
+      Some(df.schema.toDDL))
     val metaFile = new Path(new Path(dir, "metadata"), s"v$n.metadata.json")
     // cat.writeText is fs.create(overwrite = false): the concurrency gate
     cat.writeText(metaFile, metadataJson(dir.toString, dataDir.toString, layout))
@@ -239,8 +251,13 @@ object CatalogIO {
   def readTableVersion(spark: SparkSession,
       cat: Catalog with SupportsTableVersions, ref: TableRef, version: Int,
       conf: Configuration = new Configuration()): DataFrame =
-    spark.read.parquet(
-      readDataLocation(cat.metadataLocationForVersion(ref, version), conf))
+    scanLayout(spark, readLayout(cat.metadataLocationForVersion(ref, version), conf))
+
+  /** Scan a layout, using its recorded schema when present (no parquet
+    * footer inference — and empty snapshots read with full schema). */
+  private def scanLayout(spark: SparkSession, layout: TableLayout): DataFrame =
+    layout.schemaDdl.fold(spark.read)(ddl => spark.read.schema(ddl))
+      .parquet(layout.dataLocation)
 
   private def readMetadataText(metadataLocation: String, conf: Configuration): String = {
     val p = new Path(metadataLocation)
@@ -271,12 +288,13 @@ object CatalogIO {
         .getOrElse(Nil)
     TableLayout(dataLoc, arr("partitionColumns"),
       NumBucketsRe.findFirstMatchIn(text).map(_.group(1).toInt),
-      arr("bucketColumns"), arr("sortColumns"))
+      arr("bucketColumns"), arr("sortColumns"),
+      SchemaDdlRe.findFirstMatchIn(text).map(m => jsonUnescape(m.group(1))))
   }
 
   /** Resolve a table through its catalog and scan it. */
   def readTable(spark: SparkSession, cat: Catalog, ref: TableRef): DataFrame =
-    spark.read.parquet(readDataLocation(cat.loadTableMetadataLocation(ref)))
+    scanLayout(spark, readLayout(cat.loadTableMetadataLocation(ref)))
 
   /** Project a catalog table's recorded layout into the session catalog
     * as an EXTERNAL table over the same files, so Spark's bucketed
@@ -288,7 +306,11 @@ object CatalogIO {
   def attachAsSessionTable(spark: SparkSession, cat: Catalog, ref: TableRef,
       name: String, conf: Configuration = new Configuration()): String = {
     val layout = readLayout(cat.loadTableMetadataLocation(ref), conf)
-    val schema = spark.read.parquet(layout.dataLocation).schema
+    // recorded schema when present; parquet-footer inference for
+    // pre-round-6 metadata
+    val schema = layout.schemaDdl
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(spark.read.parquet(layout.dataLocation).schema)
     // SQL-identifier quoting: a backtick inside a backtick-quoted name is
     // doubled. The LOCATION literal is parsed with Spark's default escaped
     // string literals, so backslashes must be escaped BEFORE quotes — a

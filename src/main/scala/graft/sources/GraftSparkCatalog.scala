@@ -93,10 +93,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       }
     val layout = CatalogIO.readLayout(metaLoc, hadoopConfOverlay)
     // FileTable merges these options into its Hadoop conf
-    // (newHadoopConfWithOptions), so the overlay reaches the parquet scan
+    // (newHadoopConfWithOptions), so the overlay reaches the parquet scan.
+    // The metadata-recorded schema (when present) skips parquet-footer
+    // inference — at scale that's a file listing + footer read on every
+    // table resolution the catalog already has the answer to.
     val table = ParquetTable(ref.toString, SparkSession.active,
       new CaseInsensitiveStringMap(hadoopOpts.asJava), Seq(layout.dataLocation),
-      userSpecifiedSchema = None, fallbackFileFormat = classOf[ParquetFileFormat])
+      userSpecifiedSchema = layout.schemaDdl
+        .map(org.apache.spark.sql.types.StructType.fromDDL),
+      fallbackFileFormat = classOf[ParquetFileFormat])
     val readTable = layout.numBuckets match {
       // a recorded bucket layout becomes a DSv2 bucket transform +
       // key-grouped scans → storage-partitioned joins with no shuffle
@@ -149,10 +154,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
             throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
               ident.namespace.toSeq :+ ident.name)
       }
-    val dataLoc = CatalogIO.readDataLocation(metaLoc, hadoopConfOverlay)
+    val vLayout = CatalogIO.readLayout(metaLoc, hadoopConfOverlay)
     ParquetTable(s"$ref@v$n", SparkSession.active,
-      new CaseInsensitiveStringMap(hadoopOpts.asJava), Seq(dataLoc),
-      userSpecifiedSchema = None, fallbackFileFormat = classOf[ParquetFileFormat])
+      new CaseInsensitiveStringMap(hadoopOpts.asJava), Seq(vLayout.dataLocation),
+      userSpecifiedSchema = vLayout.schemaDdl
+        .map(org.apache.spark.sql.types.StructType.fromDDL),
+      fallbackFileFormat = classOf[ParquetFileFormat])
   }
 
   override def tableExists(ident: Identifier): Boolean = cat.tableExists(toRef(ident))

@@ -114,6 +114,24 @@ class V2WriteSpec extends AnyFunSuite {
     assert(q.queryExecution.executedPlan.toString.contains("region"), "partition filter lost")
   }
 
+  test("table schema is served from catalog metadata, not parquet footers") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.s (a BIGINT, b STRING, c DOUBLE) USING parquet")
+    val layout = CatalogIO.readLayout(
+      hc.loadTableMetadataLocation(TableRef.parse("db.s")))
+    assert(layout.schemaDdl.exists(_.contains("BIGINT")), layout.schemaDdl)
+    // remove every data file: with footer inference this scan would fail;
+    // the recorded DDL must carry it (at scale this is the difference
+    // between planning from the catalog and listing+reading files)
+    val dataDir = new org.apache.hadoop.fs.Path(layout.dataLocation)
+    val fs = dataDir.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    fs.listStatus(dataDir).foreach(st => fs.delete(st.getPath, false))
+    val t = spark.table(s"$cat.db.s")
+    assert(t.columns.toSeq == Seq("a", "b", "c"))
+    assert(t.count() == 0)
+  }
+
   test("writes to a non-versioning (rest/memory) catalog fail cleanly") {
     val backing = graft.catalog.CatalogConfig("memory", s"m${java.util.UUID.randomUUID().toString.take(6)}")
     val server = new graft.catalog.RestCatalogServer(
