@@ -148,11 +148,11 @@ object CatalogIO {
   /** Create a table whose v1 is an EMPTY, schema-bearing snapshot while
     * recording the full physical layout for future versions — the DDL
     * face (`CREATE TABLE`, and the empty v1 a CTAS commits before its
-    * SELECT arrives as v2). The empty snapshot is written FLAT with the
-    * complete schema (partition columns as ordinary columns — there is
-    * no data for the directory layout to matter), so a scan between
-    * create and first insert sees the full schema and zero rows;
-    * versioned commits then apply the recorded layout. */
+    * SELECT arrives as v2). v1 writes NO data files at all: the recorded
+    * `schemaDdl` is what serves scans (full schema, zero rows), which
+    * keeps the data dir free of files that couldn't honor the recorded
+    * layout (a flat parquet file in a bucketed table's dir would carry
+    * no bucket id and poison the key-grouped scan). */
   def createEmptyTable(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
       schema: org.apache.spark.sql.types.StructType,
       partitionBy: Seq[String] = Nil,
@@ -169,9 +169,7 @@ object CatalogIO {
       throw new AlreadyExistsException(
         s"Aborted-create debris at $dir (metadata/data without a committed " +
           s"pointer); remove the directory to recreate $ref")
-    // one empty task still writes a schema-bearing parquet file
-    spark.createDataFrame(java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-      schema).repartition(1).write.mode("errorifexists").parquet(dataDir.toString)
+    cat.fileSystem.mkdirs(dataDir)
     val layout = TableLayout(dataDir.toString, partitionBy,
       bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
       Some(schema.toDDL))
@@ -181,6 +179,19 @@ object CatalogIO {
     cat.writeText(metaFile, metadataJson(dir.toString, dataDir.toString, layout))
     cat.registerTable(ref, metaFile.toString)
     metaFile.toString
+  }
+
+  /** Reclaim the debris of OUR OWN aborted create — data/metadata written
+    * but no pointer committed, so the table was never visible. Safe ONLY
+    * for a caller that owns the table name exclusively (e.g. a streaming
+    * writer replaying its first batch after a crash, StreamMaterialize);
+    * a concurrent creator would lose its in-flight attempt. Returns true
+    * if debris was removed. */
+  private[graft] def reclaimAbortedCreate(cat: HadoopFsCatalog, ref: TableRef): Boolean = {
+    val dir = cat.tableDir(ref)
+    if (!cat.tableExists(ref) && cat.fileSystem.exists(dir))
+      cat.fileSystem.delete(dir, true)
+    else false
   }
 
   private def writeData(spark: SparkSession, dataDir: Path, df: DataFrame,

@@ -32,10 +32,13 @@ import graft.catalog.{Catalog => GraftCatalog, CatalogConfig, CatalogFactory, Ca
   * so predicate pushdown, column pruning, and the vectorized reader all
   * come for free — no custom Scan machinery to maintain.
   *
-  * The SQL face is read-oriented (scan/list/drop); writes go through the
-  * engine's migration API ([[graft.catalog.CatalogMigrator]]) and
-  * [[graft.catalog.CatalogIO.createTable]], mirroring the reference tool,
-  * which never creates data tables through SQL either.
+  * Versioning (hadoop-backed) catalogs also accept the SQL write surface
+  * (round 6): CREATE TABLE / CTAS / INSERT run as versioned snapshot
+  * commits ([[GraftWritableTable]], `GraftWrites.scala`); non-versioning
+  * backings (memory, rest) stay read-oriented (scan/list/drop), with
+  * writes going through the migration API ([[graft.catalog
+  * .CatalogMigrator]], [[graft.catalog.CatalogIO.createTable]]) as the
+  * reference tool does.
   */
 class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with FunctionCatalog {
 
@@ -117,7 +120,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       // versioning catalogs also accept SQL writes (INSERT OVERWRITE /
       // INSERT INTO / CTAS) as snapshot commits — GraftWrites.scala
       case h: graft.catalog.HadoopFsCatalog =>
-        new GraftWritableTable(readTable, h, ref, layout)
+        new GraftWritableTable(readTable, h, ref, layout, hadoopOpts)
       case _ => readTable
     }
   }
@@ -181,6 +184,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     if (provider.exists(_ != "parquet"))
       throw new UnsupportedOperationException(
         s"$catalogName: only parquet tables are supported, got ${provider.get}")
+    // silently ignoring LOCATION would store data in the warehouse while
+    // the user believes it lives (and survives DROP) at their path
+    if (properties.containsKey("location") || properties.containsKey("external"))
+      throw new UnsupportedOperationException(
+        s"$catalogName: LOCATION/EXTERNAL tables are not supported; tables live " +
+          "in the catalog warehouse (register external data via the migration API)")
     var partitionBy = Vector.empty[String]
     var bucketBy: Option[(Int, Seq[String])] = None
     partitions.foreach { t =>
@@ -203,6 +212,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
             "(identity and bucket are supported)")
       }
     }
+    // fail at CREATE time on layout columns the schema doesn't have —
+    // otherwise the table commits and every INSERT dies in the writer
+    // with an opaque analysis error
+    val fields = schema.fieldNames.toSet
+    val missing = (partitionBy ++ bucketBy.map(_._2).getOrElse(Nil)).filterNot(fields)
+    if (missing.nonEmpty)
+      throw new IllegalArgumentException(
+        s"$catalogName: partition/bucket column(s) ${missing.mkString(", ")} " +
+          s"not in table schema (${schema.fieldNames.mkString(", ")})")
     val ref = toRef(ident)
     try CatalogIO.createEmptyTable(SparkSession.active, h, ref, schema,
       partitionBy, bucketBy)

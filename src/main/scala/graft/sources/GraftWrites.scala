@@ -4,12 +4,15 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.sources.InsertableRelation
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
@@ -23,22 +26,30 @@ import graft.catalog.CatalogIO.TableLayout
   * extends the time-travel trail (`VERSION AS OF`).
   *
   * Semantics are snapshot-native:
-  *  - INSERT OVERWRITE → the new data IS the next version (natural fit);
-  *  - INSERT INTO → snapshot-append: current ∪ new becomes the next
-  *    version. This rewrites the table — correct, and the honest cost of
-  *    appends in a full-snapshot format (the reference's pointer model
-  *    has no manifest lists to do better); recurring large-scale appends
+  *  - INSERT OVERWRITE (full) → the new data IS the next version;
+  *  - INSERT OVERWRITE ... PARTITION (...) / overwrite-by-filter → the
+  *    next version is (current rows NOT matching the filter) ∪ new.
+  *    (Dynamic partition-overwrite MODE is not offered: Spark's V1Write
+  *    bridge has no dynamic-overwrite executor, so the capability could
+  *    only crash at runtime — static PARTITION overwrite covers the
+  *    snapshot-rewrite semantics.);
+  *  - INSERT INTO → snapshot-append: current ∪ new. Appends rewrite the
+  *    table — correct, and the honest cost of a full-snapshot pointer
+  *    format (no manifest lists to do better); recurring large appends
   *    belong in partitioned re-creates or [[graft.streaming
   *    .StreamMaterialize]]-style aggregate snapshots;
   *  - CTAS → an empty v1 carrying the schema, then the SELECT commits v2.
   *
   * The recorded physical layout (partition/bucket/sort spec) is applied
   * to every committed version, so a bucketed table stays
-  * storage-partitioned-join-ready across writes. Writes require a
-  * versioning catalog (HadoopFsCatalog); tables served by
-  * memory/rest-backed catalogs stay read-only. */
+  * storage-partitioned-join-ready across writes, and the current
+  * snapshot is always re-read with the METADATA-recorded schema (never
+  * footer/partition-value inference — a partition value like '007' must
+  * stay a string). Writes require a versioning catalog (HadoopFsCatalog);
+  * tables served by memory/rest-backed catalogs stay read-only. */
 final class GraftWritableTable(read: Table with SupportsRead,
-    cat: HadoopFsCatalog, ref: TableRef, layout: TableLayout)
+    cat: HadoopFsCatalog, ref: TableRef, layout: TableLayout,
+    hadoopOpts: Map[String, String])
   extends Table with SupportsRead with SupportsWrite {
 
   override def name(): String = read.name()
@@ -47,35 +58,51 @@ final class GraftWritableTable(read: Table with SupportsRead,
   override def partitioning(): Array[Transform] = read.partitioning()
   override def capabilities(): util.Set[TableCapability] =
     (read.capabilities().asScala.toSet ++ Set(
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)).asJava
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     read.newScanBuilder(options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(cat, ref, layout)
+    new GraftWriteBuilder(cat, ref, layout, hadoopOpts)
+}
+
+private object GraftWriteBuilder {
+  /** What survives of the current snapshot, given the incoming batch. */
+  sealed trait Mode
+  case object Append extends Mode
+  case object Truncate extends Mode
+  final case class ByFilter(filters: Array[Filter]) extends Mode
 }
 
 private final class GraftWriteBuilder(cat: HadoopFsCatalog, ref: TableRef,
-    layout: TableLayout) extends WriteBuilder with SupportsTruncate {
+    layout: TableLayout, hadoopOpts: Map[String, String])
+  extends WriteBuilder with SupportsOverwrite {
+  import GraftWriteBuilder._
 
-  private var overwrite = false
+  private var mode: Mode = Append
 
-  override def truncate(): WriteBuilder = { overwrite = true; this }
+  override def truncate(): WriteBuilder = { mode = Truncate; this }
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    mode = ByFilter(filters); this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation = new InsertableRelation {
       override def insert(data: Dataset[Row], overwriteFlag: Boolean): Unit = {
         val spark = data.sparkSession
-        val replace = overwrite || overwriteFlag
-        val next =
-          if (replace) data
-          else currentRows(spark) match {
-            // a just-created (CTAS) or schema-only table has no data
-            // files yet — the "append" is the first real snapshot
-            case Some(cur) => cur.unionByName(data)
-            case None => data
-          }
+        val effective = if (overwriteFlag && mode == Append) Truncate else mode
+        val next = effective match {
+          case Truncate => data
+          case Append =>
+            currentRows(spark).map(_.unionByName(data)).getOrElse(data)
+          case ByFilter(filters) =>
+            val keep = filters.map(f => !filterToColumn(f))
+              .reduceOption(_ && _).getOrElse(lit(false))
+            currentRows(spark).map(_.filter(keep).unionByName(data)).getOrElse(data)
+        }
         CatalogIO.commitVersion(spark, cat, ref, next,
           partitionBy = layout.partitionColumns,
           bucketBy = layout.numBuckets.map(n => (n, layout.bucketColumns)),
@@ -85,17 +112,48 @@ private final class GraftWriteBuilder(cat: HadoopFsCatalog, ref: TableRef,
     }
   }
 
-  /** Current committed rows, or None when the current version holds no
-    * parquet files (the empty v1 a CTAS/CREATE writes). */
+  /** Current committed rows read with the METADATA-recorded schema and
+    * the catalog's Hadoop-conf overlay; None when the snapshot predates
+    * schema recording AND holds no parquet files (the one case inference
+    * could neither serve nor skip). */
   private def currentRows(spark: SparkSession): Option[DataFrame] = {
-    val loc = new org.apache.hadoop.fs.Path(
-      CatalogIO.readDataLocation(cat.loadTableMetadataLocation(ref)))
-    val fs = loc.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    def hasParquet(p: org.apache.hadoop.fs.Path): Boolean =
-      fs.exists(p) && fs.listStatus(p).exists { st =>
-        (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
-          (st.isDirectory && hasParquet(st.getPath))
-      }
-    if (hasParquet(loc)) Some(spark.read.parquet(loc.toString)) else None
+    val conf = new Configuration()
+    hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
+    val cur = CatalogIO.readLayout(cat.loadTableMetadataLocation(ref), conf)
+    val reader = spark.read.options(hadoopOpts)
+    cur.schemaDdl match {
+      case Some(ddl) => Some(reader.schema(ddl).parquet(cur.dataLocation))
+      case None =>
+        val loc = new org.apache.hadoop.fs.Path(cur.dataLocation)
+        val fs = loc.getFileSystem(conf)
+        def hasParquet(p: org.apache.hadoop.fs.Path): Boolean =
+          fs.exists(p) && fs.listStatus(p).exists { st =>
+            (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
+              (st.isDirectory && hasParquet(st.getPath))
+          }
+        if (hasParquet(loc)) Some(reader.parquet(cur.dataLocation)) else None
+    }
+  }
+
+  /** V1 source filters (what SupportsOverwrite carries) → Column
+    * predicates. Partition-pruning filters are simple; anything beyond
+    * this set is rejected loudly rather than guessed. */
+  private def filterToColumn(f: Filter): Column = f match {
+    case sources.EqualTo(a, v) => col(a) === lit(v)
+    case sources.EqualNullSafe(a, v) => col(a) <=> lit(v)
+    case sources.In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
+    case sources.IsNull(a) => col(a).isNull
+    case sources.IsNotNull(a) => col(a).isNotNull
+    case sources.GreaterThan(a, v) => col(a) > lit(v)
+    case sources.GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+    case sources.LessThan(a, v) => col(a) < lit(v)
+    case sources.LessThanOrEqual(a, v) => col(a) <= lit(v)
+    case sources.And(l, r) => filterToColumn(l) && filterToColumn(r)
+    case sources.Or(l, r) => filterToColumn(l) || filterToColumn(r)
+    case sources.Not(c) => !filterToColumn(c)
+    case sources.AlwaysTrue() => lit(true)
+    case sources.AlwaysFalse() => lit(false)
+    case other => throw new UnsupportedOperationException(
+      s"Unsupported overwrite filter on $ref: $other")
   }
 }

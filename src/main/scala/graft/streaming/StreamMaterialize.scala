@@ -25,6 +25,11 @@ import graft.catalog.{CatalogIO, HadoopFsCatalog, TableRef}
   * means a replayed batch after a crash commits a NEW version with the
   * same content (at-least-once commits of identical snapshots — benign
   * under full-snapshot semantics, current readers see the same rows).
+  * A crash INSIDE the very first commit (data/metadata written, pointer
+  * never flipped — the table was never visible) is reclaimed on replay:
+  * the writer owns its target table exclusively, so the invisible debris
+  * is deleted and the create retried rather than wedging every restart
+  * on the debris guard.
   */
 object StreamMaterialize {
 
@@ -39,15 +44,25 @@ object StreamMaterialize {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // runs driver-side; commitVersion's single write action consumes
-        // the micro-batch exactly once. Empty batches commit nothing —
-        // the table appears at the first non-empty batch (as documented)
-        // and a no-input trigger never publishes an empty snapshot over
-        // a populated one.
-        if (!batch.isEmpty) {
-          if (!cat.tableExists(ref)) CatalogIO.createTable(spark, cat, ref, batch)
-          else CatalogIO.commitVersion(spark, cat, ref, batch)
-        }
+        // runs driver-side. The batch plan would re-execute per action
+        // (isEmpty + the commit's write), so pin it for the trigger.
+        // Empty batches commit nothing — the table appears at the first
+        // non-empty batch (as documented) and a no-input trigger never
+        // publishes an empty snapshot over a populated one.
+        val pinned = batch.persist()
+        try {
+          if (!pinned.isEmpty) {
+            if (!cat.tableExists(ref)) {
+              try CatalogIO.createTable(spark, cat, ref, pinned)
+              catch { case e: graft.catalog.AlreadyExistsException
+                  if CatalogIO.reclaimAbortedCreate(cat, ref) =>
+                // our own first commit crashed pre-pointer; debris
+                // reclaimed (we own this table), create again
+                CatalogIO.createTable(spark, cat, ref, pinned)
+              }
+            } else CatalogIO.commitVersion(spark, cat, ref, pinned)
+          }
+        } finally pinned.unpersist()
         ()
       }
       .start()

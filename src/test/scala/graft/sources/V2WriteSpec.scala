@@ -114,6 +114,80 @@ class V2WriteSpec extends AnyFunSuite {
     assert(q.queryExecution.executedPlan.toString.contains("region"), "partition filter lost")
   }
 
+  test("string partition values survive append (no partition-value re-inference)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.pv (id BIGINT, tag STRING) USING parquet" +
+      " PARTITIONED BY (tag)")
+    spark.sql(s"INSERT INTO $cat.db.pv VALUES (1, '007')")
+    spark.sql(s"INSERT INTO $cat.db.pv VALUES (2, 'abc')")
+    // inference would have read tag='007' back as INT 7 during the
+    // second insert's snapshot-append; the recorded schema must keep it
+    assert(spark.table(s"$cat.db.pv").filter(col("tag") === "007").count() == 1)
+    assert(spark.table(s"$cat.db.pv").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("1|007", "2|abc"))
+  }
+
+  test("bucketed CREATE TABLE scans as empty before the first insert") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.be (k BIGINT, v STRING) USING parquet" +
+      " PARTITIONED BY (bucket(4, k))")
+    val t = spark.table(s"$cat.db.be")
+    assert(t.columns.toSeq == Seq("k", "v"))
+    assert(t.count() == 0)
+    spark.sql(s"INSERT INTO $cat.db.be VALUES (1, 'x')")
+    assert(spark.table(s"$cat.db.be").count() == 1)
+  }
+
+  test("INSERT OVERWRITE PARTITION replaces only the named partition") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.po (id BIGINT, region STRING) USING parquet" +
+      " PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.db.po VALUES (1,'eu'), (2,'us'), (3,'eu')")
+    spark.sql(s"INSERT OVERWRITE $cat.db.po PARTITION (region='eu') VALUES (9)")
+    assert(spark.table(s"$cat.db.po").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("2|us", "9|eu"))
+    // the pre-overwrite snapshot remains time-travelable
+    assert(CatalogIO.readTableVersion(spark, hc, TableRef.parse("db.po"), 2)
+      .count() == 3)
+  }
+
+  test("dynamic partition-overwrite mode is refused at analysis, not at runtime") {
+    // Spark's V1Write bridge has no dynamic-overwrite executor, so the
+    // capability is deliberately NOT advertised — the mode must fail
+    // cleanly (static PARTITION overwrite covers the semantics)
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.dyn (id BIGINT, region STRING) USING parquet" +
+      " PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.db.dyn VALUES (1,'eu'), (2,'us')")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT OVERWRITE $cat.db.dyn VALUES (8,'eu')")
+      }
+      assert(e.getMessage.toLowerCase.contains("dynamic overwrite"), e.getMessage)
+    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // table unchanged by the refused write
+    assert(spark.table(s"$cat.db.dyn").count() == 2)
+  }
+
+  test("LOCATION and bad layout columns are rejected at CREATE time") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    val e1 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.ext (k BIGINT) USING parquet LOCATION '/tmp/x'")
+    }
+    assert(e1.getMessage.contains("LOCATION"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"CREATE TABLE $cat.db.bad (id BIGINT) USING parquet" +
+        " PARTITIONED BY (bucket(4, idd))")
+    }
+    assert(e2.getMessage.contains("idd"), e2.getMessage)
+  }
+
   test("table schema is served from catalog metadata, not parquet footers") {
     val (cat, hc) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
