@@ -230,19 +230,35 @@ object CatalogIO {
     * history — and the pointer flip is
     * [[HadoopFsCatalog.replaceTablePointer]], whose delete→rename window
     * readers cover by rolling forward to the newest metadata version.
-    * Returns the new metadata location. */
+    *
+    * `expectedBase` is the read-modify-write guard: a committer whose new
+    * snapshot was DERIVED from version B passes `Some(B)`, and the commit
+    * throws [[CommitConflictException]] if the table has advanced past B —
+    * otherwise writer A (read v3, commit v5) would silently erase a
+    * concurrent writer B's v4 rows from the current snapshot. The
+    * create-exclusive metadata write below only catches races on the SAME
+    * version number; this gate catches the interleaving where the rival
+    * already won. Returns the new metadata location. */
   def commitVersion(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
       df: DataFrame, partitionBy: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
-      sortBy: Seq[String] = Nil): String = {
+      sortBy: Seq[String] = Nil,
+      expectedBase: Option[Int] = None): String = {
     if (!cat.tableExists(ref))
       throw new NoSuchTableException(s"Table does not exist: $ref")
     require(sortBy.isEmpty || bucketBy.isDefined,
       "sortBy requires bucketBy (Spark sorts within buckets)")
-    val n = cat.latestTableVersion(ref).getOrElse(
+    val latest = cat.latestTableVersion(ref).getOrElse(
       throw new IllegalStateException(
         s"Table $ref has no local metadata history to version " +
-          "(registered at an external metadata location?)")) + 1
+          "(registered at an external metadata location?)"))
+    expectedBase.foreach { base =>
+      if (latest != base)
+        throw new CommitConflictException(
+          s"Concurrent commit on $ref: this write read snapshot v$base but " +
+            s"the table is now at v$latest; retry the read-modify-write")
+    }
+    val n = latest + 1
     val dir = cat.tableDir(ref)
     val attempt = java.util.UUID.randomUUID().toString.take(8)
     val dataDir = new Path(dir, s"data-v$n-$attempt")

@@ -43,6 +43,12 @@ final class AlreadyExistsException(msg: String) extends RuntimeException(msg)
 final class NoSuchTableException(msg: String) extends RuntimeException(msg)
 final class NoSuchNamespaceException(msg: String) extends RuntimeException(msg)
 
+/** A versioned commit whose base snapshot is no longer the table's latest
+  * version — the read-modify-write raced another committer and applying
+  * it would silently drop the other writer's rows. Callers retry the
+  * whole read-union-commit loop. */
+final class CommitConflictException(msg: String) extends RuntimeException(msg)
+
 /** Per-table outcome row produced by the distributed registration stage —
   * errors are data, never task failures (fail-soft semantics R10–R12). */
 final case class MigrationOutcome(

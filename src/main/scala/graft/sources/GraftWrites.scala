@@ -10,7 +10,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Tabl
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
-import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
 import org.apache.spark.sql.types.StructType
@@ -94,34 +94,57 @@ private final class GraftWriteBuilder(cat: HadoopFsCatalog, ref: TableRef,
       override def insert(data: Dataset[Row], overwriteFlag: Boolean): Unit = {
         val spark = data.sparkSession
         val effective = if (overwriteFlag && mode == Append) Truncate else mode
-        val next = effective match {
-          case Truncate => data
+        // Modes that DERIVE the next snapshot from the current one pass
+        // the base version to commitVersion, which refuses (and the user
+        // retries) when a rival committed in between — otherwise this
+        // read-union-commit would silently erase the rival's rows. A full
+        // overwrite derives nothing, so it carries no base (last writer
+        // wins is its semantics).
+        val (next, base) = effective match {
+          case Truncate => (data, None)
           case Append =>
-            currentRows(spark).map(_.unionByName(data)).getOrElse(data)
+            val (cur, base) = currentSnapshot(spark)
+            (cur.map(_.unionByName(data)).getOrElse(data), base)
           case ByFilter(filters) =>
-            val keep = filters.map(f => !filterToColumn(f))
-              .reduceOption(_ && _).getOrElse(lit(false))
-            currentRows(spark).map(_.filter(keep).unionByName(data)).getOrElse(data)
+            // SupportsOverwrite deletes rows matching ALL the filters —
+            // the array is a conjunction (Spark splits the delete
+            // condition into conjuncts) — so survivors are ¬(f1 ∧ f2 ∧ …),
+            // NOT ∧¬fi. Null-safed: a row where the conjunction is
+            // unknown (NULL) does not match the delete condition and
+            // must be kept.
+            val del = filters.map(filterToColumn)
+              .reduceOption(_ && _).getOrElse(lit(true))
+            val keep = !coalesce(del, lit(false))
+            val (cur, base) = currentSnapshot(spark)
+            (cur.map(_.filter(keep).unionByName(data)).getOrElse(data), base)
         }
         CatalogIO.commitVersion(spark, cat, ref, next,
           partitionBy = layout.partitionColumns,
           bucketBy = layout.numBuckets.map(n => (n, layout.bucketColumns)),
-          sortBy = layout.sortColumns)
+          sortBy = layout.sortColumns,
+          expectedBase = base)
         ()
       }
     }
   }
 
-  /** Current committed rows read with the METADATA-recorded schema and
-    * the catalog's Hadoop-conf overlay; None when the snapshot predates
-    * schema recording AND holds no parquet files (the one case inference
-    * could neither serve nor skip). */
-  private def currentRows(spark: SparkSession): Option[DataFrame] = {
+  /** Current committed rows (read with the METADATA-recorded schema and
+    * the catalog's Hadoop-conf overlay) plus the version they came from —
+    * the base the derived commit is validated against. Rows are None when
+    * the snapshot predates schema recording AND holds no parquet files
+    * (the one case inference could neither serve nor skip). */
+  private def currentSnapshot(spark: SparkSession): (Option[DataFrame], Option[Int]) = {
     val conf = new Configuration()
     hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
-    val cur = CatalogIO.readLayout(cat.loadTableMetadataLocation(ref), conf)
+    // resolve version FIRST, then read that version's metadata — reading
+    // the pointer here could observe a snapshot newer than the base we
+    // report, un-anchoring the conflict check
+    val base = cat.listTableVersions(ref).lastOption
+    val metaLoc = base.map(cat.metadataLocationForVersion(ref, _))
+      .getOrElse(cat.loadTableMetadataLocation(ref))
+    val cur = CatalogIO.readLayout(metaLoc, conf)
     val reader = spark.read.options(hadoopOpts)
-    cur.schemaDdl match {
+    val rows = cur.schemaDdl match {
       case Some(ddl) => Some(reader.schema(ddl).parquet(cur.dataLocation))
       case None =>
         val loc = new org.apache.hadoop.fs.Path(cur.dataLocation)
@@ -133,6 +156,7 @@ private final class GraftWriteBuilder(cat: HadoopFsCatalog, ref: TableRef,
           }
         if (hasParquet(loc)) Some(reader.parquet(cur.dataLocation)) else None
     }
+    (rows, base)
   }
 
   /** V1 source filters (what SupportsOverwrite carries) → Column

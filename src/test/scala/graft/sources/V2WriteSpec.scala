@@ -154,6 +154,54 @@ class V2WriteSpec extends AnyFunSuite {
       .count() == 3)
   }
 
+  test("multi-column PARTITION overwrite deletes ONLY the conjunction (rows matching a single filter survive)") {
+    // SupportsOverwrite hands the delete condition as a conjunction of
+    // filters; survivors are ¬(a='x' ∧ b='p'). The broken reading
+    // ∧¬fi = ¬(a='x' ∨ b='p') silently destroyed rows (2,x,q) and
+    // (3,y,p) — each matches ONE filter.
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.mc (id BIGINT, a STRING, b STRING) USING parquet" +
+      " PARTITIONED BY (a, b)")
+    spark.sql(s"INSERT INTO $cat.db.mc VALUES (1,'x','p'), (2,'x','q'), (3,'y','p')")
+    spark.sql(s"INSERT OVERWRITE $cat.db.mc PARTITION (a='x', b='p') VALUES (9)")
+    assert(spark.table(s"$cat.db.mc").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("2|x|q", "3|y|p", "9|x|p"))
+  }
+
+  test("overwrite-by-condition keeps rows where the condition is NULL (unknown ≠ match)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.nl (id BIGINT, tag STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.nl VALUES (1,'x'), (2,'y'), (3, CAST(NULL AS STRING))")
+    // DataFrameWriterV2.overwrite pushes EqualTo (not null-safe): for
+    // row 3 the delete condition is NULL — it does not match, so the
+    // row must be KEPT, not dropped by a null-propagating filter
+    import spark.implicits._
+    Seq((9L, "x")).toDF("id", "tag").writeTo(s"$cat.db.nl")
+      .overwrite(col("tag") === lit("x"))
+    assert(spark.table(s"$cat.db.nl").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("2|y", "3|null", "9|x"))
+  }
+
+  test("a derived commit whose base snapshot was overtaken fails instead of erasing the rival's write") {
+    val (_, hc) = freshCatalog()
+    import spark.implicits._
+    val ref = TableRef.parse("db.cc")
+    hc.createNamespace(graft.catalog.Namespace.of("db"))
+    CatalogIO.createTable(spark, hc, ref, Seq((1L, "a")).toDF("k", "v"))
+    // rival commits v2 after our (simulated) snapshot read of v1
+    CatalogIO.commitVersion(spark, hc, ref, Seq((2L, "b")).toDF("k", "v"))
+    val e = intercept[graft.catalog.CommitConflictException] {
+      CatalogIO.commitVersion(spark, hc, ref, Seq((3L, "c")).toDF("k", "v"),
+        expectedBase = Some(1))
+    }
+    assert(e.getMessage.contains("v1") && e.getMessage.contains("v2"), e.getMessage)
+    // the rival's commit is intact
+    assert(spark.read.parquet(CatalogIO.readDataLocation(
+      hc.loadTableMetadataLocation(ref))).collect().map(_.mkString("|")).toSeq == Seq("2|b"))
+  }
+
   test("dynamic partition-overwrite mode is refused at analysis, not at runtime") {
     // Spark's V1Write bridge has no dynamic-overwrite executor, so the
     // capability is deliberately NOT advertised — the mode must fail
