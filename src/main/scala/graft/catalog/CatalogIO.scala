@@ -33,26 +33,101 @@ object CatalogIO {
     * touching parquet footers — at 100 TB schema inference is a file
     * listing + footer read on EVERY `spark.table()` resolution, pure
     * waste when the catalog already knows the schema. Absent in
-    * pre-round-6 metadata → readers fall back to inference. */
+    * pre-round-6 metadata → readers fall back to inference.
+    *
+    * `dataFiles` (since round 7) is the FILE MANIFEST that makes appends
+    * O(new data): each version records the exact data files (paths
+    * relative to `dataLocation`) that make it up, so `INSERT INTO` a
+    * 100 TB table writes only the inserted rows' files and one small
+    * metadata file — the same metadata→manifest indirection as Iceberg's
+    * format (the pointer contract behind reference
+    * CatalogMigrator.java:212-213). Files are immutable and
+    * per-job-unique, so many versions share one partition-directory tree
+    * while each reads only its own list — snapshot isolation at file
+    * granularity, and scans plan from the manifest instead of listing
+    * directories. `None` = pre-manifest metadata (scan the whole
+    * directory, as before); `Some(Nil)` = a committed EMPTY snapshot. */
   final case class TableLayout(
       dataLocation: String,
       partitionColumns: Seq[String] = Nil,
       numBuckets: Option[Int] = None,
       bucketColumns: Seq[String] = Nil,
       sortColumns: Seq[String] = Nil,
-      schemaDdl: Option[String] = None)
+      schemaDdl: Option[String] = None,
+      dataFiles: Option[Seq[String]] = None) {
+    /** Absolute paths of this version's data files (manifest versions). */
+    def absoluteDataFiles: Option[Seq[String]] =
+      dataFiles.map(_.map(f => new Path(dataLocation, f).toString))
+  }
 
-  // A JSON string token: quotes and backslashes inside values are
-  // escape sequences, so a path/column containing `"` `\` or `]` round-
-  // trips instead of silently corrupting the regex parse.
-  private val StrTok = """"((?:[^"\\]|\\.)*)""""
-  private val DataLocRe = ("\"dataLocation\"\\s*:\\s*" + StrTok).r
-  private def arrRe(field: String) =
-    new scala.util.matching.Regex(
-      "\"" + field + "\"\\s*:\\s*\\[((?:\\s*" + StrTok + "\\s*,?)*)\\]")
   private val NumBucketsRe = """"numBuckets"\s*:\s*(\d+)""".r
-  private val SchemaDdlRe = ("\"schemaDdl\"\\s*:\\s*" + StrTok).r
-  private val QuotedRe = StrTok.r
+
+  // Metadata fields are parsed with an ITERATIVE scanner, not regexes:
+  // Java regex evaluates repetition groups recursively, and a file
+  // manifest with a few thousand entries overflows the stack. The
+  // scanner walks characters once, honoring string escapes, so a path
+  // containing `"` `\` or `]` round-trips and manifest size is bounded
+  // only by memory.
+
+  /** Position just past `"field"` followed by `:` (whitespace allowed),
+    * or -1. Occurrences inside string values don't qualify (they are
+    * never followed by a bare colon at this nesting in our format). */
+  private def fieldStart(text: String, field: String): Int = {
+    val key = "\"" + field + "\""
+    var i = text.indexOf(key)
+    while (i >= 0) {
+      var j = i + key.length
+      while (j < text.length && text.charAt(j).isWhitespace) j += 1
+      if (j < text.length && text.charAt(j) == ':') return j + 1
+      i = text.indexOf(key, i + 1)
+    }
+    -1
+  }
+
+  /** One JSON string token starting at/after `from` (skips whitespace);
+    * returns (unescaped value, index past the closing quote). */
+  private def scanString(text: String, from: Int): Option[(String, Int)] = {
+    var i = from
+    while (i < text.length && text.charAt(i).isWhitespace) i += 1
+    if (i >= text.length || text.charAt(i) != '"') return None
+    val sb = new StringBuilder
+    i += 1
+    while (i < text.length) {
+      text.charAt(i) match {
+        case '\\' if i + 1 < text.length => sb += text.charAt(i); sb += text.charAt(i + 1); i += 2
+        case '"' => return Some((jsonUnescape(sb.toString), i + 1))
+        case c => sb += c; i += 1
+      }
+    }
+    None
+  }
+
+  private def stringField(text: String, field: String): Option[String] = {
+    val at = fieldStart(text, field)
+    if (at < 0) None else scanString(text, at).map(_._1)
+  }
+
+  /** `Some(values)` when `"field": [...]` is present (possibly empty),
+    * `None` when absent — presence is load-bearing for `dataFiles`. */
+  private def arrayField(text: String, field: String): Option[Seq[String]] = {
+    val at = fieldStart(text, field)
+    if (at < 0) return None
+    var i = at
+    while (i < text.length && text.charAt(i).isWhitespace) i += 1
+    if (i >= text.length || text.charAt(i) != '[') return None
+    i += 1
+    val out = Vector.newBuilder[String]
+    var done = false
+    while (!done && i < text.length) {
+      while (i < text.length && (text.charAt(i).isWhitespace || text.charAt(i) == ',')) i += 1
+      if (i < text.length && text.charAt(i) == ']') done = true
+      else scanString(text, i) match {
+        case Some((v, next)) => out += v; i = next
+        case None => done = true // malformed tail: stop rather than loop
+      }
+    }
+    Some(out.result())
+  }
 
   private def jsonEscape(s: String): String = s.flatMap {
     case '"'  => "\\\""
@@ -86,9 +161,11 @@ object CatalogIO {
 
   def metadataJson(tableLocation: String, dataLocation: String,
       layout: TableLayout = TableLayout("")): String = {
+    def arrBody(vs: Seq[String]): String =
+      s"[${vs.map("\"" + jsonEscape(_) + "\"").mkString(", ")}]"
     def arr(name: String, vs: Seq[String]): String =
       if (vs.isEmpty) ""
-      else s"""  "$name": [${vs.map("\"" + jsonEscape(_) + "\"").mkString(", ")}],\n"""
+      else s"""  "$name": ${arrBody(vs)},\n"""
     s"""{
        |  "formatVersion": 1,
        |  "location": "${jsonEscape(tableLocation)}",
@@ -98,6 +175,10 @@ object CatalogIO {
         arr("sortColumns", layout.sortColumns)
       }${
         layout.schemaDdl.map(s => s"""  "schemaDdl": "${jsonEscape(s)}",\n""").getOrElse("")
+      }${
+        // an EMPTY manifest is still a manifest (a committed empty
+        // snapshot) — it must round-trip distinctly from "no manifest"
+        layout.dataFiles.map(fs => s"""  "dataFiles": ${arrBody(fs)},\n""").getOrElse("")
       }  "dataLocation": "${jsonEscape(dataLocation)}"
        |}
        |""".stripMargin
@@ -136,7 +217,8 @@ object CatalogIO {
     writeData(spark, dataDir, df, partitionBy, bucketBy, sortBy)
     val layout = TableLayout(dataDir.toString, partitionBy,
       bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
-      Some(df.schema.toDDL))
+      Some(df.schema.toDDL),
+      dataFiles = Some(listDataFiles(cat.fileSystem, dataDir)))
     val metaDir = new Path(dir, "metadata")
     cat.fileSystem.mkdirs(metaDir)
     val metaFile = new Path(metaDir, "v1.metadata.json")
@@ -172,7 +254,8 @@ object CatalogIO {
     cat.fileSystem.mkdirs(dataDir)
     val layout = TableLayout(dataDir.toString, partitionBy,
       bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
-      Some(schema.toDDL))
+      Some(schema.toDDL),
+      dataFiles = Some(Nil)) // a committed EMPTY snapshot, not "scan the dir"
     val metaDir = new Path(dir, "metadata")
     cat.fileSystem.mkdirs(metaDir)
     val metaFile = new Path(metaDir, "v1.metadata.json")
@@ -244,6 +327,118 @@ object CatalogIO {
       bucketBy: Option[(Int, Seq[String])] = None,
       sortBy: Seq[String] = Nil,
       expectedBase: Option[Int] = None): String = {
+    val n = nextVersionNumber(cat, ref, bucketBy, sortBy, expectedBase)
+    val dataDir = versionDataDir(cat, ref, n)
+    writeData(spark, dataDir, df, partitionBy, bucketBy, sortBy)
+    val layout = TableLayout(dataDir.toString, partitionBy,
+      bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
+      Some(df.schema.toDDL),
+      dataFiles = Some(listDataFiles(cat.fileSystem, dataDir)))
+    commitLayoutAsVersion(cat, ref, n, layout)
+  }
+
+  /** Commit an APPEND as a manifest version: write ONLY `df`'s rows
+    * (staged, then moved into the segment's partition tree with their
+    * partition-relative paths preserved) and record prior-manifest ∪
+    * new-files as the next version's `dataFiles`. This is the O(new-data)
+    * append path — `INSERT INTO` a 100 TB table writes the inserted
+    * rows' files and one metadata file, never a snapshot rewrite. Prior
+    * versions keep reading exactly their own (smaller) file lists out of
+    * the same tree — file-level snapshot isolation. Appended files
+    * follow the recorded layout (partition dirs / bucket-id names), so
+    * directory pruning and storage-partitioned joins hold across
+    * appends. A full overwrite starts a fresh segment directory and a
+    * one-write manifest — the format's natural compaction.
+    *
+    * Crash-safety: staged files live in a committer-private `stage-*`
+    * dir; files moved into the segment before a crash are orphans that
+    * NO manifest references (invisible to every reader — manifests are
+    * exact file lists). Race handling is [[commitVersion]]'s: the
+    * expectedBase gate plus the create-exclusive metadata write. */
+  def commitAppend(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
+      df: DataFrame, partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None,
+      sortBy: Seq[String] = Nil,
+      expectedBase: Option[Int] = None): String = {
+    val n = nextVersionNumber(cat, ref, bucketBy, sortBy, expectedBase)
+    val prior = readLayout(cat.metadataLocationForVersion(ref, n - 1),
+      cat.fileSystem.getConf)
+    val priorFiles = prior.dataFiles.getOrElse(throw new UnsupportedOperationException(
+      s"Table $ref v${n - 1} predates file manifests (whole-directory snapshot); " +
+        "INSERT OVERWRITE once to upgrade it before appending"))
+    val staging = new Path(cat.tableDir(ref),
+      s"stage-v$n-${java.util.UUID.randomUUID().toString.take(8)}")
+    writeData(spark, staging, df, partitionBy, bucketBy, sortBy)
+    val moved = moveIntoSegment(cat.fileSystem, staging, new Path(prior.dataLocation))
+    // appends cannot change the schema (insert resolution projects onto
+    // the table schema), so the prior version's recorded DDL carries over
+    val layout = TableLayout(prior.dataLocation, partitionBy,
+      bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
+      prior.schemaDdl.orElse(Some(df.schema.toDDL)),
+      dataFiles = Some(priorFiles ++ moved))
+    commitLayoutAsVersion(cat, ref, n, layout)
+  }
+
+  /** Relative paths (to `root`) of every visible data file under `root`,
+    * sorted for determinism. Hidden entries (`_SUCCESS`, `.crc`…) are
+    * write-protocol artifacts, not data. */
+  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+      root: Path): Seq[String] = {
+    def walk(p: Path): Seq[Path] =
+      fs.listStatus(p).toSeq
+        .filter { st =>
+          val nm = st.getPath.getName
+          !nm.startsWith("_") && !nm.startsWith(".")
+        }
+        .flatMap(st => if (st.isDirectory) walk(st.getPath) else Seq(st.getPath))
+    if (!fs.exists(root)) Nil
+    else {
+      // listStatus returns scheme-qualified paths (file:/…); qualify the
+      // root the same way or the prefix strip silently yields absolutes
+      val prefix = fs.makeQualified(root).toString
+      walk(root).map { p =>
+        val q = fs.makeQualified(p).toString
+        require(q.startsWith(prefix), s"data file $q escapes root $prefix")
+        q.stripPrefix(prefix).stripPrefix("/")
+      }.sorted
+    }
+  }
+
+  /** Move every staged data file into the segment tree, preserving its
+    * partition-relative path; returns the relative paths moved. Spark
+    * part-file names embed a per-job UUID, so names never collide across
+    * commits — a collision is surfaced, never overwritten. */
+  private def moveIntoSegment(fs: org.apache.hadoop.fs.FileSystem,
+      staging: Path, segment: Path): Seq[String] = {
+    val rels = listDataFiles(fs, staging)
+    rels.foreach { rel =>
+      val from = new Path(staging, rel)
+      val to = new Path(segment, rel)
+      fs.mkdirs(to.getParent)
+      if (fs.exists(to) || !fs.rename(from, to))
+        throw new java.io.IOException(
+          s"Could not move staged data file $from into segment $to")
+    }
+    fs.delete(staging, true)
+    rels
+  }
+
+  /** Commit a METADATA-ONLY version: same data files as the latest
+    * version, new layout record — the mechanism behind schema evolution
+    * (ADD COLUMN rewrites nothing; old files read the new column as
+    * null). The caller builds the new layout from the prior one. */
+  private[graft] def commitMetadataOnly(cat: HadoopFsCatalog, ref: TableRef,
+      layout: TableLayout, expectedBase: Option[Int] = None): String = {
+    val n = nextVersionNumber(cat, ref, None, Nil, expectedBase)
+    commitLayoutAsVersion(cat, ref, n, layout)
+  }
+
+  /** Shared preamble of every version commit: existence check, layout
+    * invariants, the expectedBase conflict gate, and the next version
+    * number. */
+  private def nextVersionNumber(cat: HadoopFsCatalog, ref: TableRef,
+      bucketBy: Option[(Int, Seq[String])], sortBy: Seq[String],
+      expectedBase: Option[Int]): Int = {
     if (!cat.tableExists(ref))
       throw new NoSuchTableException(s"Table does not exist: $ref")
     require(sortBy.isEmpty || bucketBy.isDefined,
@@ -258,17 +453,23 @@ object CatalogIO {
           s"Concurrent commit on $ref: this write read snapshot v$base but " +
             s"the table is now at v$latest; retry the read-modify-write")
     }
-    val n = latest + 1
+    latest + 1
+  }
+
+  /** Committer-private data dir for version `n` — unique per attempt, so
+    * racing committers can never interleave files into one snapshot. */
+  private def versionDataDir(cat: HadoopFsCatalog, ref: TableRef, n: Int): Path =
+    new Path(cat.tableDir(ref),
+      s"data-v$n-${java.util.UUID.randomUUID().toString.take(8)}")
+
+  /** Final two steps of every commit: create-exclusive metadata write
+    * (the same-version-number race gate) + atomic pointer flip. */
+  private def commitLayoutAsVersion(cat: HadoopFsCatalog, ref: TableRef,
+      n: Int, layout: TableLayout): String = {
     val dir = cat.tableDir(ref)
-    val attempt = java.util.UUID.randomUUID().toString.take(8)
-    val dataDir = new Path(dir, s"data-v$n-$attempt")
-    writeData(spark, dataDir, df, partitionBy, bucketBy, sortBy)
-    val layout = TableLayout(dataDir.toString, partitionBy,
-      bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
-      Some(df.schema.toDDL))
     val metaFile = new Path(new Path(dir, "metadata"), s"v$n.metadata.json")
     // cat.writeText is fs.create(overwrite = false): the concurrency gate
-    cat.writeText(metaFile, metadataJson(dir.toString, dataDir.toString, layout))
+    cat.writeText(metaFile, metadataJson(dir.toString, layout.dataLocation, layout))
     cat.replaceTablePointer(ref, metaFile.toString)
     metaFile.toString
   }
@@ -281,10 +482,27 @@ object CatalogIO {
     scanLayout(spark, readLayout(cat.metadataLocationForVersion(ref, version), conf))
 
   /** Scan a layout, using its recorded schema when present (no parquet
-    * footer inference — and empty snapshots read with full schema). */
+    * footer inference — and empty snapshots read with full schema).
+    * Manifest versions scan EXACTLY their recorded files — no directory
+    * listing at all (the manifest IS the listing), with `basePath`
+    * anchoring partition-value discovery to the shared segment tree. */
   private def scanLayout(spark: SparkSession, layout: TableLayout): DataFrame =
-    layout.schemaDdl.fold(spark.read)(ddl => spark.read.schema(ddl))
-      .parquet(layout.dataLocation)
+    layout.absoluteDataFiles match {
+      case Some(Nil) =>
+        // a committed empty snapshot: serve the recorded schema, scan nothing
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          layout.schemaDdl.getOrElse(throw new IllegalStateException(
+            s"Empty manifest with no recorded schema at ${layout.dataLocation}")))
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case Some(files) =>
+        layout.schemaDdl.fold(spark.read)(ddl => spark.read.schema(ddl))
+          .option("basePath", layout.dataLocation)
+          .parquet(files: _*)
+      case None =>
+        layout.schemaDdl.fold(spark.read)(ddl => spark.read.schema(ddl))
+          .parquet(layout.dataLocation)
+    }
 
   private def readMetadataText(metadataLocation: String, conf: Configuration): String = {
     val p = new Path(metadataLocation)
@@ -304,19 +522,18 @@ object CatalogIO {
   def readLayout(metadataLocation: String,
       conf: Configuration = new Configuration()): TableLayout = {
     val text = readMetadataText(metadataLocation, conf)
-    val dataLoc = DataLocRe.findFirstMatchIn(text)
-      .map(m => jsonUnescape(m.group(1)))
+    val dataLoc = stringField(text, "dataLocation")
       .getOrElse(throw new IllegalStateException(
         s"No dataLocation in metadata file $metadataLocation"))
     def arr(field: String): Seq[String] =
-      arrRe(field).findFirstMatchIn(text)
-        .map(m => QuotedRe.findAllMatchIn(m.group(1))
-          .map(g => jsonUnescape(g.group(1))).toSeq)
-        .getOrElse(Nil)
+      arrayField(text, field).getOrElse(Nil)
     TableLayout(dataLoc, arr("partitionColumns"),
       NumBucketsRe.findFirstMatchIn(text).map(_.group(1).toInt),
       arr("bucketColumns"), arr("sortColumns"),
-      SchemaDdlRe.findFirstMatchIn(text).map(m => jsonUnescape(m.group(1))))
+      stringField(text, "schemaDdl"),
+      // presence matters: Some(Nil) is a committed empty snapshot,
+      // None is pre-manifest metadata (whole-directory scan)
+      arrayField(text, "dataFiles"))
   }
 
   /** Resolve a table through its catalog and scan it. */
@@ -333,6 +550,12 @@ object CatalogIO {
   def attachAsSessionTable(spark: SparkSession, cat: Catalog, ref: TableRef,
       name: String, conf: Configuration = new Configuration()): String = {
     val layout = readLayout(cat.loadTableMetadataLocation(ref), conf)
+    // The external table points at the segment DIRECTORY, so it is a
+    // LIVE view of the segment tree rather than a pinned file manifest:
+    // it sees later appends into the same segment (and any crashed-
+    // append orphans). For the current version of a healthy table the
+    // two coincide; snapshot-pinned reads go through the DSv2 face or
+    // readTableVersion.
     // recorded schema when present; parquet-footer inference for
     // pre-round-6 metadata
     val schema = layout.schemaDdl

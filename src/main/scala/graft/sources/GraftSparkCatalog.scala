@@ -99,9 +99,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     // (newHadoopConfWithOptions), so the overlay reaches the parquet scan.
     // The metadata-recorded schema (when present) skips parquet-footer
     // inference — at scale that's a file listing + footer read on every
-    // table resolution the catalog already has the answer to.
+    // table resolution the catalog already has the answer to. Manifest
+    // versions hand the scan their exact file list (no directory
+    // listing); basePath anchors partition discovery to the segment tree.
+    val (paths, pathOpts) = tablePaths(layout)
     val table = ParquetTable(ref.toString, SparkSession.active,
-      new CaseInsensitiveStringMap(hadoopOpts.asJava), Seq(layout.dataLocation),
+      new CaseInsensitiveStringMap((hadoopOpts ++ pathOpts).asJava), paths,
       userSpecifiedSchema = layout.schemaDdl
         .map(org.apache.spark.sql.types.StructType.fromDDL),
       fallbackFileFormat = classOf[ParquetFileFormat])
@@ -158,12 +161,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
               ident.namespace.toSeq :+ ident.name)
       }
     val vLayout = CatalogIO.readLayout(metaLoc, hadoopConfOverlay)
+    val (paths, pathOpts) = tablePaths(vLayout)
     ParquetTable(s"$ref@v$n", SparkSession.active,
-      new CaseInsensitiveStringMap(hadoopOpts.asJava), Seq(vLayout.dataLocation),
+      new CaseInsensitiveStringMap((hadoopOpts ++ pathOpts).asJava), paths,
       userSpecifiedSchema = vLayout.schemaDdl
         .map(org.apache.spark.sql.types.StructType.fromDDL),
       fallbackFileFormat = classOf[ParquetFileFormat])
   }
+
+  /** Scan roots for a layout: manifest versions scan exactly their
+    * recorded files (file-level snapshot isolation — several versions
+    * share one segment tree), pre-manifest versions scan the directory. */
+  private def tablePaths(layout: CatalogIO.TableLayout): (Seq[String], Map[String, String]) =
+    layout.absoluteDataFiles match {
+      case Some(Nil) => (Nil, Map.empty)
+      case Some(files) => (files, Map("basePath" -> layout.dataLocation))
+      case None => (Seq(layout.dataLocation), Map.empty)
+    }
 
   override def tableExists(ident: Identifier): Boolean = cat.tableExists(toRef(ident))
 

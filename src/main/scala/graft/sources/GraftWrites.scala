@@ -33,11 +33,11 @@ import graft.catalog.CatalogIO.TableLayout
   *    bridge has no dynamic-overwrite executor, so the capability could
   *    only crash at runtime — static PARTITION overwrite covers the
   *    snapshot-rewrite semantics.);
-  *  - INSERT INTO → snapshot-append: current ∪ new. Appends rewrite the
-  *    table — correct, and the honest cost of a full-snapshot pointer
-  *    format (no manifest lists to do better); recurring large appends
-  *    belong in partitioned re-creates or [[graft.streaming
-  *    .StreamMaterialize]]-style aggregate snapshots;
+  *  - INSERT INTO → MANIFEST append (round 7): only the new rows'
+  *    files are written (staged, then moved into the segment tree);
+  *    the next version's metadata lists prior-manifest ∪ new files —
+  *    O(new data), never a table rewrite. A full overwrite starts a
+  *    fresh segment + one-write manifest (compaction);
   *  - CTAS → an empty v1 carrying the schema, then the SELECT commits v2.
   *
   * The recorded physical layout (partition/bucket/sort spec) is applied
@@ -94,17 +94,27 @@ private final class GraftWriteBuilder(cat: HadoopFsCatalog, ref: TableRef,
       override def insert(data: Dataset[Row], overwriteFlag: Boolean): Unit = {
         val spark = data.sparkSession
         val effective = if (overwriteFlag && mode == Append) Truncate else mode
-        // Modes that DERIVE the next snapshot from the current one pass
-        // the base version to commitVersion, which refuses (and the user
-        // retries) when a rival committed in between — otherwise this
-        // read-union-commit would silently erase the rival's rows. A full
-        // overwrite derives nothing, so it carries no base (last writer
-        // wins is its semantics).
-        val (next, base) = effective match {
-          case Truncate => (data, None)
+        val pb = layout.partitionColumns
+        val bb = layout.numBuckets.map(n => (n, layout.bucketColumns))
+        val sb = layout.sortColumns
+        effective match {
+          // Full overwrite derives nothing from the current snapshot, so
+          // it carries no base version (last-writer-wins IS its
+          // semantics) and collapses any manifest back to one location —
+          // the format's compaction story.
+          case Truncate =>
+            CatalogIO.commitVersion(spark, cat, ref, data,
+              partitionBy = pb, bucketBy = bb, sortBy = sb)
+          // Append is a MANIFEST commit: only the new rows' files are
+          // written; the metadata lists prior ∪ new files — O(new data),
+          // the path a recurring ingest actually exercises at 100 TB.
+          // The base version anchors the conflict gate: a rival commit
+          // in between fails this one instead of vanishing from the list.
           case Append =>
-            val (cur, base) = currentSnapshot(spark)
-            (cur.map(_.unionByName(data)).getOrElse(data), base)
+            val base = cat.listTableVersions(ref).lastOption
+            CatalogIO.commitAppend(spark, cat, ref, data,
+              partitionBy = pb, bucketBy = bb, sortBy = sb,
+              expectedBase = base)
           case ByFilter(filters) =>
             // SupportsOverwrite deletes rows matching ALL the filters —
             // the array is a conjunction (Spark splits the delete
@@ -116,13 +126,11 @@ private final class GraftWriteBuilder(cat: HadoopFsCatalog, ref: TableRef,
               .reduceOption(_ && _).getOrElse(lit(true))
             val keep = !coalesce(del, lit(false))
             val (cur, base) = currentSnapshot(spark)
-            (cur.map(_.filter(keep).unionByName(data)).getOrElse(data), base)
+            val next = cur.map(_.filter(keep).unionByName(data)).getOrElse(data)
+            CatalogIO.commitVersion(spark, cat, ref, next,
+              partitionBy = pb, bucketBy = bb, sortBy = sb,
+              expectedBase = base)
         }
-        CatalogIO.commitVersion(spark, cat, ref, next,
-          partitionBy = layout.partitionColumns,
-          bucketBy = layout.numBuckets.map(n => (n, layout.bucketColumns)),
-          sortBy = layout.sortColumns,
-          expectedBase = base)
         ()
       }
     }
@@ -144,9 +152,18 @@ private final class GraftWriteBuilder(cat: HadoopFsCatalog, ref: TableRef,
       .getOrElse(cat.loadTableMetadataLocation(ref))
     val cur = CatalogIO.readLayout(metaLoc, conf)
     val reader = spark.read.options(hadoopOpts)
-    val rows = cur.schemaDdl match {
-      case Some(ddl) => Some(reader.schema(ddl).parquet(cur.dataLocation))
-      case None =>
+    val rows = (cur.schemaDdl, cur.absoluteDataFiles) match {
+      case (Some(ddl), Some(Nil)) =>
+        // committed empty snapshot: full schema, zero rows, no scan
+        Some(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+          org.apache.spark.sql.types.StructType.fromDDL(ddl)))
+      case (Some(ddl), Some(files)) =>
+        Some(reader.schema(ddl).option("basePath", cur.dataLocation)
+          .parquet(files: _*))
+      case (Some(ddl), None) =>
+        Some(reader.schema(ddl).parquet(cur.dataLocation))
+      case (None, _) =>
+        // legacy pre-schema metadata is always manifest-less: scan the dir
         val loc = new org.apache.hadoop.fs.Path(cur.dataLocation)
         val fs = loc.getFileSystem(conf)
         def hasParquet(p: org.apache.hadoop.fs.Path): Boolean =

@@ -51,7 +51,7 @@ class V2WriteSpec extends AnyFunSuite {
       .collect().map(_.mkString("|")).sorted.toSeq == v2)
   }
 
-  test("INSERT INTO is a snapshot-append: union becomes the next version") {
+  test("INSERT INTO is a manifest append: union becomes the next version") {
     val (cat, hc) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
     spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) USING parquet")
@@ -63,6 +63,104 @@ class V2WriteSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.db.t").collect().map(_.mkString("|")).sorted.toSeq ==
       Seq("1|a", "2|b", "3|c"))
     assert(hc.listTableVersions(TableRef.parse("db.t")).size == 3)
+  }
+
+  test("manifest append writes ONLY the new rows' files; overwrite compacts the segment") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.ap (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.ap VALUES (1,'a'), (2,'b')")
+    val ref = TableRef.parse("db.ap")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    def mtimes(l: graft.catalog.CatalogIO.TableLayout): Set[(String, Long)] =
+      l.absoluteDataFiles.get.map { f =>
+        val st = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+        (f, st.getModificationTime)
+      }.toSet
+    val l2 = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    val before = mtimes(l2)
+    assert(before.nonEmpty)
+
+    spark.sql(s"INSERT INTO $cat.db.ap VALUES (3,'c')")
+    val l3 = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    // same segment dir; manifest = prior files ++ the newly moved files
+    assert(l3.dataLocation == l2.dataLocation)
+    val newFiles = l3.absoluteDataFiles.get.filterNot(l2.absoluteDataFiles.get.toSet)
+    assert(newFiles.nonEmpty)
+    // every pre-append file untouched (same path, same mtime) — the
+    // append rewrote NOTHING of the existing table
+    assert(before.subsetOf(mtimes(l3)))
+    // the appended files hold only the new row
+    assert(spark.read.schema("k BIGINT, v STRING")
+      .parquet(newFiles: _*).collect().map(_.mkString("|")).toSeq == Seq("3|c"))
+    // reads: current = the full manifest; prior versions time-travel to
+    // their own smaller file list OUT OF THE SAME directory tree
+    assert(spark.table(s"$cat.db.ap").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("1|a", "2|b", "3|c"))
+    assert(spark.sql(s"SELECT * FROM $cat.db.ap VERSION AS OF 2").count() == 2)
+    assert(spark.sql(s"SELECT * FROM $cat.db.ap VERSION AS OF 1").count() == 0)
+
+    // a full overwrite is the compaction: fresh segment, one-write manifest
+    spark.sql(s"INSERT OVERWRITE $cat.db.ap VALUES (9, 'z')")
+    val l4 = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    assert(l4.dataLocation != l3.dataLocation)
+    assert(l4.absoluteDataFiles.get.forall(_.startsWith(l4.dataLocation)))
+    assert(spark.table(s"$cat.db.ap").collect().map(_.mkString("|")).toSeq == Seq("9|z"))
+    // pre-overwrite version still reads its manifest from the old segment
+    assert(spark.sql(s"SELECT * FROM $cat.db.ap VERSION AS OF 3").count() == 3)
+  }
+
+  test("partitioned manifest append prunes directories and isolates snapshots in one tree") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.pa (id BIGINT, region STRING) USING parquet" +
+      " PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.db.pa VALUES (1,'eu'), (2,'us')")
+    spark.sql(s"INSERT INTO $cat.db.pa VALUES (3,'eu'), (4,'ap')")
+    // both appends landed in ONE segment tree, under partition dirs
+    val l = CatalogIO.readLayout(
+      hc.loadTableMetadataLocation(TableRef.parse("db.pa")))
+    assert(l.dataFiles.get.count(_.startsWith("region=eu/")) == 2, l.dataFiles)
+    // partition filter prunes to the eu files only
+    val q = spark.table(s"$cat.db.pa").filter(col("region") === "eu")
+    assert(q.collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 3L))
+    // snapshot isolation: v2 (first insert) sees 2 rows although the eu
+    // partition dir now holds a later file too
+    assert(spark.sql(s"SELECT * FROM $cat.db.pa VERSION AS OF 2").count() == 2)
+  }
+
+  test("storage-partitioned join stays shuffle-free after a manifest append") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.o USING parquet
+         |PARTITIONED BY (bucket(4, o_orderkey)) AS
+         |SELECT o_orderkey, o_orderpriority
+         |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE $cat.db.l USING parquet
+         |PARTITIONED BY (bucket(4, l_orderkey)) AS
+         |SELECT l_orderkey, l_quantity
+         |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+    // append bucketed files into a SECOND version dir: bucket k's files
+    // now span two dirs and must still group into one partition key
+    spark.sql(s"INSERT INTO $cat.db.o VALUES (999999, '1-URGENT')")
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table(s"$cat.db.o")
+        .join(spark.table(s"$cat.db.l"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority").agg(sum("l_quantity").as("q"))
+      val plan = joined.queryExecution.executedPlan.toString
+      val joinIdx = plan.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, plan)
+      assert(!plan.substring(joinIdx).contains("Exchange hashpartitioning"), plan)
+      assert(joined.collect().nonEmpty)
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
   }
 
   test("CTAS with a bucket transform records the layout; written table joins shuffle-free") {
