@@ -246,8 +246,71 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(s"$catalogName: alterTable is not supported")
+  /** Schema evolution (round 7): ADD COLUMN commits a METADATA-ONLY
+    * version — same data files, new recorded schema; existing files read
+    * the new column as null (parquet missing-column semantics), so a
+    * 100 TB table evolves with one small JSON write. Earlier versions
+    * keep their own recorded schemas (`VERSION AS OF` time travel).
+    * Only nullable top-level adds are accepted: a required column would
+    * claim a value the existing files don't have, and renames/type
+    * changes would silently disagree with the bytes on disk. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val h = cat match {
+      case h: graft.catalog.HadoopFsCatalog => h
+      case _ => throw new UnsupportedOperationException(
+        s"$catalogName: catalog type does not version tables; schema changes " +
+          "need a versioning (hadoop) catalog")
+    }
+    val ref = toRef(ident)
+    val metaLoc =
+      try cat.loadTableMetadataLocation(ref)
+      catch {
+        case _: graft.catalog.NoSuchTableException =>
+          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+            ident.namespace.toSeq :+ ident.name)
+      }
+    val layout = CatalogIO.readLayout(metaLoc, hadoopConfOverlay)
+    val ddl = layout.schemaDdl.getOrElse(throw new UnsupportedOperationException(
+      s"$catalogName: $ref predates recorded schemas; INSERT OVERWRITE once " +
+        "to upgrade it before altering"))
+    var fields = org.apache.spark.sql.types.StructType.fromDDL(ddl).fields.toVector
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        if (add.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName: only top-level ADD COLUMN is supported, " +
+              s"got nested ${add.fieldNames.mkString(".")}")
+        if (!add.isNullable)
+          throw new UnsupportedOperationException(
+            s"$catalogName: ADD COLUMN must be nullable — existing data files " +
+              s"have no value for ${add.fieldNames.head}")
+        val nm = add.fieldNames.head
+        if (fields.exists(_.name.equalsIgnoreCase(nm)))
+          throw new IllegalArgumentException(
+            s"$catalogName: column $nm already exists in $ref")
+        val fld0 = org.apache.spark.sql.types.StructField(nm, add.dataType)
+        val fld = Option(add.comment).fold(fld0)(fld0.withComment)
+        fields = Option(add.position()) match {
+          case None => fields :+ fld
+          case Some(_: TableChange.First) => fld +: fields
+          case Some(a: TableChange.After) =>
+            val i = fields.indexWhere(_.name.equalsIgnoreCase(a.column))
+            if (i < 0) throw new IllegalArgumentException(
+              s"$catalogName: AFTER column ${a.column} not found in $ref")
+            (fields.take(i + 1) :+ fld) ++ fields.drop(i + 1)
+          case Some(other) => throw new UnsupportedOperationException(
+            s"$catalogName: unsupported column position $other")
+        }
+      case other => throw new UnsupportedOperationException(
+        s"$catalogName: unsupported table change $other (only nullable " +
+          "ADD COLUMN evolves without contradicting existing data files)")
+    }
+    val evolved = org.apache.spark.sql.types.StructType(fields)
+    val base = h.listTableVersions(ref).lastOption
+    CatalogIO.commitMetadataOnly(h, ref,
+      layout.copy(schemaDdl = Some(evolved.toDDL)), expectedBase = base)
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = cat.dropTable(toRef(ident))
 

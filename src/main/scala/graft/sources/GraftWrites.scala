@@ -38,7 +38,10 @@ import graft.catalog.CatalogIO.TableLayout
   *    the next version's metadata lists prior-manifest ∪ new files —
   *    O(new data), never a table rewrite. A full overwrite starts a
   *    fresh segment + one-write manifest (compaction);
-  *  - CTAS → an empty v1 carrying the schema, then the SELECT commits v2.
+  *  - CTAS → an empty v1 carrying the schema, then the SELECT commits v2;
+  *  - DELETE FROM … WHERE → survivors become the next version
+  *    ([[GraftWritableTable.deleteWhere]]); the pre-delete snapshot
+  *    stays time-travelable.
   *
   * The recorded physical layout (partition/bucket/sort spec) is applied
   * to every committed version, so a bucketed table stays
@@ -50,7 +53,8 @@ import graft.catalog.CatalogIO.TableLayout
 final class GraftWritableTable(read: Table with SupportsRead,
     cat: HadoopFsCatalog, ref: TableRef, layout: TableLayout,
     hadoopOpts: Map[String, String])
-  extends Table with SupportsRead with SupportsWrite {
+  extends Table with SupportsRead with SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   override def name(): String = read.name()
   override def schema(): StructType = read.schema()
@@ -66,6 +70,27 @@ final class GraftWritableTable(read: Table with SupportsRead,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(cat, ref, layout, hadoopOpts)
+
+  /** `DELETE FROM … WHERE <cond>` (round 7): survivors of the current
+    * snapshot become the next version — a versioned commit like every
+    * other write, so the pre-delete state stays time-travelable. Spark
+    * only routes conditions it can push down entirely as filters here
+    * (`canDeleteWhere`); anything richer is refused at analysis. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(GraftWriteSupport.translatable)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = SparkSession.active
+    val keep = GraftWriteSupport.keepPredicate(ref, filters)
+    val (cur, base) = GraftWriteSupport.currentSnapshot(spark, cat, ref, hadoopOpts)
+    cur.foreach { rows =>
+      CatalogIO.commitVersion(spark, cat, ref, rows.filter(keep),
+        partitionBy = layout.partitionColumns,
+        bucketBy = layout.numBuckets.map(n => (n, layout.bucketColumns)),
+        sortBy = layout.sortColumns,
+        expectedBase = base)
+    }
+  }
 }
 
 private object GraftWriteBuilder {
@@ -116,16 +141,9 @@ private final class GraftWriteBuilder(cat: HadoopFsCatalog, ref: TableRef,
               partitionBy = pb, bucketBy = bb, sortBy = sb,
               expectedBase = base)
           case ByFilter(filters) =>
-            // SupportsOverwrite deletes rows matching ALL the filters —
-            // the array is a conjunction (Spark splits the delete
-            // condition into conjuncts) — so survivors are ¬(f1 ∧ f2 ∧ …),
-            // NOT ∧¬fi. Null-safed: a row where the conjunction is
-            // unknown (NULL) does not match the delete condition and
-            // must be kept.
-            val del = filters.map(filterToColumn)
-              .reduceOption(_ && _).getOrElse(lit(true))
-            val keep = !coalesce(del, lit(false))
-            val (cur, base) = currentSnapshot(spark)
+            val keep = GraftWriteSupport.keepPredicate(ref, filters)
+            val (cur, base) =
+              GraftWriteSupport.currentSnapshot(spark, cat, ref, hadoopOpts)
             val next = cur.map(_.filter(keep).unionByName(data)).getOrElse(data)
             CatalogIO.commitVersion(spark, cat, ref, next,
               partitionBy = pb, bucketBy = bb, sortBy = sb,
@@ -135,13 +153,21 @@ private final class GraftWriteBuilder(cat: HadoopFsCatalog, ref: TableRef,
       }
     }
   }
+}
+
+/** Shared machinery of the snapshot-deriving write paths (overwrite-by-
+  * filter, DELETE FROM): read the current snapshot anchored to its
+  * version, and turn pushed filter conjunctions into survivor
+  * predicates. */
+private[sources] object GraftWriteSupport {
 
   /** Current committed rows (read with the METADATA-recorded schema and
     * the catalog's Hadoop-conf overlay) plus the version they came from —
     * the base the derived commit is validated against. Rows are None when
     * the snapshot predates schema recording AND holds no parquet files
     * (the one case inference could neither serve nor skip). */
-  private def currentSnapshot(spark: SparkSession): (Option[DataFrame], Option[Int]) = {
+  def currentSnapshot(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
+      hadoopOpts: Map[String, String]): (Option[DataFrame], Option[Int]) = {
     val conf = new Configuration()
     hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
     // resolve version FIRST, then read that version's metadata — reading
@@ -176,10 +202,26 @@ private final class GraftWriteBuilder(cat: HadoopFsCatalog, ref: TableRef,
     (rows, base)
   }
 
-  /** V1 source filters (what SupportsOverwrite carries) → Column
-    * predicates. Partition-pruning filters are simple; anything beyond
-    * this set is rejected loudly rather than guessed. */
-  private def filterToColumn(f: Filter): Column = f match {
+  /** Survivors of a pushed delete condition. The filter array is a
+    * CONJUNCTION (Spark splits the condition into conjuncts), and
+    * SupportsOverwrite/SupportsDelete remove rows matching ALL of them —
+    * so survivors are ¬(f1 ∧ f2 ∧ …), NOT ∧¬fi. Null-safed: a row where
+    * the conjunction is unknown (NULL) does not match the delete
+    * condition and must be kept. */
+  def keepPredicate(ref: TableRef, filters: Array[Filter]): Column = {
+    val del = filters.map(filterToColumn(ref, _))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    !coalesce(del, lit(false))
+  }
+
+  def translatable(f: Filter): Boolean =
+    try { filterToColumn(TableRef.parse("probe"), f); true }
+    catch { case _: UnsupportedOperationException => false }
+
+  /** V1 source filters (what SupportsOverwrite/SupportsDelete carry) →
+    * Column predicates. Partition-pruning filters are simple; anything
+    * beyond this set is rejected loudly rather than guessed. */
+  def filterToColumn(ref: TableRef, f: Filter): Column = f match {
     case sources.EqualTo(a, v) => col(a) === lit(v)
     case sources.EqualNullSafe(a, v) => col(a) <=> lit(v)
     case sources.In(a, vs) => col(a).isin(vs.toIndexedSeq: _*)
@@ -189,12 +231,15 @@ private final class GraftWriteBuilder(cat: HadoopFsCatalog, ref: TableRef,
     case sources.GreaterThanOrEqual(a, v) => col(a) >= lit(v)
     case sources.LessThan(a, v) => col(a) < lit(v)
     case sources.LessThanOrEqual(a, v) => col(a) <= lit(v)
-    case sources.And(l, r) => filterToColumn(l) && filterToColumn(r)
-    case sources.Or(l, r) => filterToColumn(l) || filterToColumn(r)
-    case sources.Not(c) => !filterToColumn(c)
+    case sources.StringStartsWith(a, v) => col(a).startsWith(v)
+    case sources.StringEndsWith(a, v) => col(a).endsWith(v)
+    case sources.StringContains(a, v) => col(a).contains(v)
+    case sources.And(l, r) => filterToColumn(ref, l) && filterToColumn(ref, r)
+    case sources.Or(l, r) => filterToColumn(ref, l) || filterToColumn(ref, r)
+    case sources.Not(c) => !filterToColumn(ref, c)
     case sources.AlwaysTrue() => lit(true)
     case sources.AlwaysFalse() => lit(false)
     case other => throw new UnsupportedOperationException(
-      s"Unsupported overwrite filter on $ref: $other")
+      s"Unsupported pushed filter on $ref: $other")
   }
 }

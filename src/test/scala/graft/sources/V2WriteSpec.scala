@@ -300,6 +300,72 @@ class V2WriteSpec extends AnyFunSuite {
       hc.loadTableMetadataLocation(ref))).collect().map(_.mkString("|")).toSeq == Seq("2|b"))
   }
 
+  test("ADD COLUMN is a metadata-only commit: no data rewrite, old versions keep their schema") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.ev (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (1,'a'), (2,'b')")
+    val ref = TableRef.parse("db.ev")
+    val l2 = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+
+    spark.sql(s"ALTER TABLE $cat.db.ev ADD COLUMNS (tag STRING)")
+    val l3 = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    // same segment, same exact files — evolution rewrote NOTHING
+    assert(l3.dataLocation == l2.dataLocation)
+    assert(l3.dataFiles == l2.dataFiles)
+    assert(l3.schemaDdl.get.contains("tag"))
+    // existing rows read the new column as null
+    assert(spark.table(s"$cat.db.ev").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("1|a|null", "2|b|null"))
+    // new writes carry the column; old files still null-fill
+    spark.sql(s"INSERT INTO $cat.db.ev VALUES (3,'c','t3')")
+    assert(spark.table(s"$cat.db.ev").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("1|a|null", "2|b|null", "3|c|t3"))
+    // each version time-travels with ITS OWN schema
+    assert(spark.sql(s"SELECT * FROM $cat.db.ev VERSION AS OF 2").columns.toSeq ==
+      Seq("k", "v"))
+    assert(spark.sql(s"SELECT * FROM $cat.db.ev VERSION AS OF 3").columns.toSeq ==
+      Seq("k", "v", "tag"))
+    // the CatalogIO read face agrees with the DSv2 face
+    assert(CatalogIO.readTableVersion(spark, hc, ref, 2).columns.toSeq == Seq("k", "v"))
+    assert(CatalogIO.readTable(spark, hc, ref).columns.toSeq == Seq("k", "v", "tag"))
+  }
+
+  test("schema changes that would contradict existing files are refused") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.rf (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.rf VALUES (1,'a')")
+    val e1 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.rf ADD COLUMNS (x STRING NOT NULL)")
+    }
+    assert(e1.getMessage.contains("nullable"), e1.getMessage)
+    val e2 = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.rf RENAME COLUMN v TO w")
+    }
+    assert(e2.getMessage.contains("unsupported table change"), e2.getMessage)
+    // the refused changes left no new version behind
+    assert(spark.table(s"$cat.db.rf").columns.toSeq == Seq("k", "v"))
+  }
+
+  test("DELETE FROM removes exactly the matching rows; the prior snapshot time-travels") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.dl (id BIGINT, tag STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.dl VALUES (1,'x'), (2,'y'), (3,'x')," +
+      " (4, CAST(NULL AS STRING))")
+    spark.sql(s"DELETE FROM $cat.db.dl WHERE tag = 'x'")
+    // NULL-tag row survives: its condition is unknown, not a match
+    assert(spark.table(s"$cat.db.dl").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("2|y", "4|null"))
+    assert(spark.sql(s"SELECT * FROM $cat.db.dl VERSION AS OF 2").count() == 4)
+    // conjunction semantics: both conjuncts must match for removal
+    spark.sql(s"INSERT INTO $cat.db.dl VALUES (5,'y')")
+    spark.sql(s"DELETE FROM $cat.db.dl WHERE id > 2 AND tag = 'y'")
+    assert(spark.table(s"$cat.db.dl").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("2|y", "4|null"))
+  }
+
   test("dynamic partition-overwrite mode is refused at analysis, not at runtime") {
     // Spark's V1Write bridge has no dynamic-overwrite executor, so the
     // capability is deliberately NOT advertised — the mode must fail
