@@ -120,6 +120,7 @@ object SparkEntry {
     "t06_pack_sequences" -> (TextOps.packSequences _),
     "t07_repetition" -> (TextOps.repetition _),
     "t08_vocab" -> (TextOps.vocab _),
+    "w01_sql_write_surface" -> (graft.queries.WriteQueries.w01 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -727,6 +728,31 @@ object SparkEntry {
         |FROM ex JOIN bench USING (g)
         |WHERE ex.doc_id % 10 <> 7
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // w01: the SQL write surface as relational algebra — CTAS ∪ append,
+    // minus the overwritten partition plus its replacement, schema
+    // evolution as a NULL-filled column the later append populates, and
+    // the DELETE as the null-safe survivor filter. The engine runs real
+    // versioned commits (WriteQueries.w01); the oracle replays the same
+    // end state purely declaratively.
+    "w01_sql_write_surface" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_acctbal AS bal, CAST(c_nationkey AS VARCHAR) AS n FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey + 1000000, s_acctbal, CAST(s_nationkey AS VARCHAR) FROM supplier
+        |), po AS (
+        |  SELECT * FROM base WHERE n <> '7'
+        |  UNION ALL
+        |  SELECT c_custkey, c_acctbal, '7' FROM customer WHERE c_custkey <= 5
+        |), ev AS (
+        |  SELECT k, bal, n, CAST(NULL AS VARCHAR) AS seg FROM po
+        |  UNION ALL
+        |  SELECT o_orderkey + 2000000, o_totalprice, CAST(o_orderkey % 3 AS VARCHAR), o_orderpriority
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |), fin AS (
+        |  SELECT * FROM ev WHERE NOT COALESCE(bal < 0 AND seg IS NULL, FALSE)
+        |)
+        |SELECT n, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(seg) AS n_seg
+        |FROM fin GROUP BY n ORDER BY n""".stripMargin,
     // p01: the composed pipeline — each CTE block is the already-proven
     // per-stage oracle (t07 repetition → d07 decontamination → d01
     // pairs → d06 recursive-CTE canonical → t05 sample → t06 pack),

@@ -291,7 +291,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         val fld0 = org.apache.spark.sql.types.StructField(nm, add.dataType)
         val fld = Option(add.comment).fold(fld0)(fld0.withComment)
         fields = Option(add.position()) match {
-          case None => fields :+ fld
+          case None =>
+            // default position: end of the DATA columns — partition
+            // columns stay a schema suffix (Spark's file tables always
+            // serve dataSchema ++ partitionSchema, so a column added
+            // after the partition columns would reorder under the
+            // reader's feet)
+            val p = fields.indexWhere(f =>
+              layout.partitionColumns.exists(_.equalsIgnoreCase(f.name)))
+            if (p < 0) fields :+ fld
+            else (fields.take(p) :+ fld) ++ fields.drop(p)
           case Some(_: TableChange.First) => fld +: fields
           case Some(a: TableChange.After) =>
             val i = fields.indexWhere(_.name.equalsIgnoreCase(a.column))
