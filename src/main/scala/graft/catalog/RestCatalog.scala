@@ -255,15 +255,28 @@ final class RestCatalog(val name: String, baseUri: String) extends Catalog {
 
   private def send(req: HttpRequest): Map[String, Any] = {
     val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
-    val fields =
-      try parseFlat(resp.body())
-      catch { case _: Exception => Map.empty[String, Any] }
     if (resp.statusCode() >= 400) {
+      // error bodies parse leniently: a proxy's HTML 502 page still
+      // surfaces as a typed error with the status attached
+      val fields =
+        try parseFlat(resp.body())
+        catch { case _: Exception => Map.empty[String, Any] }
       val tag = fields.getOrElse("error", "RuntimeException").toString
       val msg = fields.getOrElse("message", s"HTTP ${resp.statusCode()} from $base").toString
       throw rehydrate(tag, msg)
     }
-    fields
+    // a 2xx body that doesn't parse is a protocol failure (truncation,
+    // an interposed proxy): fail HERE with the endpoint/status/body
+    // context, not later with a bare key-not-found on the empty map
+    try parseFlat(resp.body())
+    catch {
+      case e: Exception =>
+        val body = resp.body()
+        val excerpt = if (body.length <= 200) body else body.take(200) + "…"
+        throw new IllegalStateException(
+          s"Unparseable ${resp.statusCode()} response from ${req.uri()}: " +
+            s"'$excerpt'", e)
+    }
   }
 
   // per-request deadline: a half-dead server (TCP up, no response) must

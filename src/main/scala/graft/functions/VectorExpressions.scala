@@ -413,9 +413,16 @@ object VectorFunctions {
     * can reference them via expr(...). Single source of truth is
     * [[graft.GraftExtensions.functions]] — the same table the
     * `spark.sql.extensions` path injects. Idempotent. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
+    val registry = spark.sessionState.functionRegistry
     graft.GraftExtensions.functions.foreach { case (name, builder) =>
-      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-        name, builder, "built-in")
+      // skip names already present: operators call register() per query
+      // construction, and re-replacing an identical builder only buys a
+      // SimpleFunctionRegistry "replaced a temporary function" warning
+      // on every bench/verify line
+      if (!registry.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
     }
+  }
 }

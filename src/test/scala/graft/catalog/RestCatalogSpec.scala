@@ -178,6 +178,29 @@ class RestCatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("an unparseable 2xx body fails with endpoint + status + body excerpt, not key-not-found") {
+    // a proxy/truncation failure mode: TCP and HTTP fine, body garbage
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/", { exchange =>
+      val junk = "<html>not json</html>".getBytes("UTF-8")
+      exchange.sendResponseHeaders(200, junk.length)
+      exchange.getResponseBody.write(junk)
+      exchange.close()
+    })
+    server.start()
+    try {
+      val cat = new RestCatalog("bad",
+        s"http://127.0.0.1:${server.getAddress.getPort}")
+      val e = intercept[IllegalStateException] {
+        cat.loadTableMetadataLocation(TableRef.parse("db.t"))
+      }
+      assert(e.getMessage.contains("200"), e.getMessage)
+      assert(e.getMessage.contains("/v1/tables/load"), e.getMessage)
+      assert(e.getMessage.contains("not json"), e.getMessage)
+    } finally server.stop(0)
+  }
+
   test("DSv2 SQL face over a REST catalog: spark.sql resolves tables through HTTP") {
     // full stack: SQL → GraftSparkCatalog (type=rest) → HttpClient →
     // RestCatalogServer → hadoop backing — the deployment where the

@@ -366,6 +366,67 @@ class V2WriteSpec extends AnyFunSuite {
       Seq("2|y", "4|null"))
   }
 
+  test("MergeOps.upsert: matched keys take the source row, unmatched survive, new keys insert") {
+    val (cat, hc) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.up (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.up VALUES (1,'a'), (2,'b'), (3,'c')")
+    val ref = TableRef.parse("db.up")
+    val source = Seq((2L, "B2"), (9L, "i9")).toDF("k", "v")
+    MergeOps.upsert(spark, hc, ref, source, Seq("k"))
+    assert(spark.table(s"$cat.db.up").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("1|a", "2|B2", "3|c", "9|i9"))
+    // pre-merge state time-travels (v1 create, v2 insert, v3 merge)
+    assert(spark.sql(s"SELECT * FROM $cat.db.up VERSION AS OF 2")
+      .collect().map(_.mkString("|")).sorted.toSeq == Seq("1|a", "2|b", "3|c"))
+
+    // WHEN MATCHED THEN DELETE face: drop keys named by a source feed
+    MergeOps.deleteMatched(spark, hc, ref, Seq((1L, "ignored")).toDF("k", "v"), Seq("k"))
+    assert(spark.table(s"$cat.db.up").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("2|B2", "3|c", "9|i9"))
+  }
+
+  test("MergeOps preserves a bucketed layout across the merge commit") {
+    val (cat, hc) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.bu USING parquet
+         |PARTITIONED BY (bucket(4, o_orderkey)) AS
+         |SELECT o_orderkey, o_orderpriority
+         |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+    val ref = TableRef.parse("db.bu")
+    val n0 = spark.table(s"$cat.db.bu").count()
+    MergeOps.upsert(spark, hc, ref,
+      Seq((1L, "X-PRIORITY"), (999999L, "NEW")).toDF("o_orderkey", "o_orderpriority"),
+      Seq("o_orderkey"))
+    val layout = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    assert(layout.numBuckets.contains(4) &&
+      layout.bucketColumns == Seq("o_orderkey"))
+    val after = spark.table(s"$cat.db.bu")
+    assert(after.filter(col("o_orderkey") === 1L).select("o_orderpriority")
+      .collect().map(_.getString(0)).toSeq == Seq("X-PRIORITY"))
+    assert(after.count() == n0 + 1)
+  }
+
+  test("SQL MERGE INTO is refused with a typed analysis error (V1 write bridge cannot carry it)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.mg (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.mg VALUES (1,'a')")
+    val e = intercept[Exception] {
+      spark.sql(
+        s"""MERGE INTO $cat.db.mg t USING (SELECT 1 AS k, 'z' AS v) s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    assert(e.getMessage.toUpperCase.contains("MERGE"), e.getMessage)
+    // refused at analysis: the table is untouched, no version committed
+    assert(spark.table(s"$cat.db.mg").count() == 1)
+  }
+
   test("dynamic partition-overwrite mode is refused at analysis, not at runtime") {
     // Spark's V1Write bridge has no dynamic-overwrite executor, so the
     // capability is deliberately NOT advertised — the mode must fail
