@@ -379,6 +379,57 @@ object CatalogIO {
     commitLayoutAsVersion(cat, ref, n, layout)
   }
 
+  /** Outcome of [[expireVersions]]. */
+  final case class ExpireResult(expiredVersions: Seq[Int], deletedDataDirs: Int)
+
+  /** Expire all but the newest `keepLast` versions of a table — the
+    * maintenance face of the versioned format (Iceberg's
+    * expire-snapshots idiom): drop the expired versions' metadata files
+    * and every data segment NO surviving version references. Expiring a
+    * pre-append version whose files live on in later manifests of the
+    * same segment deletes metadata only; expiring the versions of a
+    * segment superseded by an overwrite reclaims its storage. Expired
+    * versions stop being time-travelable — that is the point. In-flight
+    * `stage-*` dirs are never touched (a concurrent append may own
+    * them).
+    *
+    * Not safe concurrently with a WRITER whose base version gets
+    * expired mid-commit (its metadata re-read would fail cleanly, not
+    * corrupt) — run it like any table-maintenance job, off the hot
+    * write path. */
+  def expireVersions(cat: HadoopFsCatalog, ref: TableRef,
+      keepLast: Int): ExpireResult = {
+    require(keepLast >= 1, "keepLast must be >= 1 (the current version must survive)")
+    val versions = cat.listTableVersions(ref)
+    val (expired, kept) = versions.splitAt(math.max(0, versions.size - keepLast))
+    if (expired.isEmpty) return ExpireResult(Nil, 0)
+    val fs = cat.fileSystem
+    val conf = fs.getConf
+    // the pointer must resolve to a SURVIVING version — refuse rather
+    // than delete the snapshot current readers are planning against.
+    // Compare fs-qualified (pointer text and directory listings render
+    // the scheme differently for the same file).
+    def q(p: String): String = fs.makeQualified(new Path(p)).toString
+    val current = q(cat.loadTableMetadataLocation(ref))
+    val keptLocs = kept.map(v => cat.metadataLocationForVersion(ref, v))
+    require(keptLocs.map(q).contains(current),
+      s"current pointer of $ref ($current) is not among the surviving " +
+        s"versions ${kept.mkString(", ")} — refusing to expire")
+    // Reference counting collapses to SEGMENT granularity: within a
+    // segment files are only ever ADDED (appends), so an expired
+    // version's files are a subset of any later version's in the same
+    // segment — referenced iff the segment root survives. A segment no
+    // surviving version points at is dead in its entirety.
+    val keepDirs = keptLocs.map(readLayout(_, conf).dataLocation).toSet
+    val expiredMeta = expired.map(v => cat.metadataLocationForVersion(ref, v))
+    var dirs = 0
+    expiredMeta.map(readLayout(_, conf)).map(_.dataLocation).distinct.foreach { root =>
+      if (!keepDirs.contains(root) && fs.delete(new Path(root), true)) dirs += 1
+    }
+    expiredMeta.foreach(m => fs.delete(new Path(m), false))
+    ExpireResult(expired, dirs)
+  }
+
   /** Relative paths (to `root`) of every visible data file under `root`,
     * sorted for determinism. Hidden entries (`_SUCCESS`, `.crc`…) are
     * write-protocol artifacts, not data. */

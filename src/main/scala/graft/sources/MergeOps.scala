@@ -21,7 +21,9 @@ import graft.catalog.{CatalogIO, HadoopFsCatalog, TableRef}
   *     join), every source row lands as the new truth for its key —
   *     `WHEN MATCHED THEN UPDATE SET * / WHEN NOT MATCHED THEN INSERT *`;
   *   - `deleteMatched`: target rows matched by the source are dropped —
-  *     `WHEN MATCHED THEN DELETE`.
+  *     `WHEN MATCHED THEN DELETE`;
+  *   - `updateWhere`: `UPDATE … SET … WHERE` with SQL null semantics
+  *     (an unknown condition leaves the row untouched).
   *
   * Both commit copy-on-write snapshots through
   * [[graft.catalog.CatalogIO.commitVersion]]: the pre-merge state stays
@@ -55,6 +57,43 @@ object MergeOps {
       source: DataFrame, keys: Seq[String]): String = {
     require(keys.nonEmpty, "deleteMatched needs at least one merge key column")
     merge(spark, cat, ref, source, keys, keepSource = false)
+  }
+
+  /** `UPDATE … SET … WHERE cond` as a copy-on-write versioned commit:
+    * rows matching `cond` take the assignment expressions, all others
+    * pass through unchanged. SQL-UPDATE null semantics: a row where
+    * `cond` is unknown (NULL) is NOT updated. Assignment keys must name
+    * existing columns (case-insensitive); expressions may reference any
+    * column of the table. */
+  def updateWhere(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
+      condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): String = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val (curOpt, base) = GraftWriteSupport.currentSnapshot(spark, cat, ref, Map.empty)
+    val cur = curOpt.getOrElse(throw new graft.catalog.NoSuchTableException(
+      s"Table $ref has no readable snapshot to update"))
+    val unknown = assignments.keys
+      .filterNot(k => cur.columns.exists(_.equalsIgnoreCase(k))).toSeq
+    require(unknown.isEmpty,
+      s"assignment column(s) ${unknown.mkString(", ")} not in $ref's schema " +
+        s"(${cur.columns.mkString(", ")})")
+    val hit = org.apache.spark.sql.functions.coalesce(
+      condition, org.apache.spark.sql.functions.lit(false))
+    val next = cur.select(cur.columns.toIndexedSeq.map { c =>
+      assignments.collectFirst { case (k, v) if k.equalsIgnoreCase(c) => v } match {
+        case Some(expr) =>
+          org.apache.spark.sql.functions.when(hit, expr).otherwise(cur.col(c)).as(c)
+        case None => cur.col(c)
+      }
+    }: _*)
+    val layout = CatalogIO.readLayout(
+      base.map(cat.metadataLocationForVersion(ref, _))
+        .getOrElse(cat.loadTableMetadataLocation(ref)))
+    CatalogIO.commitVersion(spark, cat, ref, next,
+      partitionBy = layout.partitionColumns,
+      bucketBy = layout.numBuckets.map(n => (n, layout.bucketColumns)),
+      sortBy = layout.sortColumns,
+      expectedBase = base)
   }
 
   private def merge(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,

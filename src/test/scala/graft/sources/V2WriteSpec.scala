@@ -410,6 +410,57 @@ class V2WriteSpec extends AnyFunSuite {
     assert(after.count() == n0 + 1)
   }
 
+  test("MergeOps.updateWhere rewrites matched rows only; unknown condition leaves rows untouched") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.uw (id BIGINT, qty BIGINT, tag STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.uw VALUES (1, 10, 'a'), (2, 20, 'b')," +
+      " (3, 30, CAST(NULL AS STRING))")
+    MergeOps.updateWhere(spark, hc, TableRef.parse("db.uw"),
+      col("tag") === lit("a"),
+      Map("qty" -> (col("qty") * 2), "tag" -> lit("A")))
+    // row 3's condition is NULL → untouched (SQL UPDATE semantics)
+    assert(spark.table(s"$cat.db.uw").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("1|20|A", "2|20|b", "3|30|null"))
+    assert(spark.sql(s"SELECT * FROM $cat.db.uw VERSION AS OF 2").count() == 3)
+  }
+
+  test("expireVersions drops old history and reclaims only unreferenced segments") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.ex (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.ex VALUES (1,'a')")     // v2: segment A
+    spark.sql(s"INSERT INTO $cat.db.ex VALUES (2,'b')")     // v3: segment A (append)
+    spark.sql(s"INSERT OVERWRITE $cat.db.ex VALUES (9,'z')") // v4: segment B
+    spark.sql(s"INSERT INTO $cat.db.ex VALUES (10,'y')")    // v5: segment B (append)
+    val ref = TableRef.parse("db.ex")
+    val segA = CatalogIO.readLayout(hc.metadataLocationForVersion(ref, 3)).dataLocation
+    val segB = CatalogIO.readLayout(hc.metadataLocationForVersion(ref, 5)).dataLocation
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+
+    // keep v4+v5: v1-v3 expire; segment A is unreferenced and reclaimed,
+    // segment B survives (v4's files are a subset of v5's manifest)
+    val r = CatalogIO.expireVersions(hc, ref, keepLast = 2)
+    assert(r.expiredVersions == Seq(1, 2, 3))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(segA)), "dead segment not reclaimed")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(segB)), "live segment deleted!")
+    assert(hc.listTableVersions(ref) == Seq(4, 5))
+    // current read + remaining time travel still green
+    assert(spark.table(s"$cat.db.ex").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("10|y", "9|z"))
+    assert(spark.sql(s"SELECT * FROM $cat.db.ex VERSION AS OF 4").count() == 1)
+    val e = intercept[Exception] {
+      spark.sql(s"SELECT * FROM $cat.db.ex VERSION AS OF 2").collect()
+    }
+    assert(e.getMessage.contains("no version 2"), e.getMessage)
+    // expiring everything but current still serves the table
+    assert(CatalogIO.expireVersions(hc, ref, keepLast = 1).expiredVersions == Seq(4))
+    assert(spark.table(s"$cat.db.ex").count() == 2)
+    // nothing left to expire → no-op
+    assert(CatalogIO.expireVersions(hc, ref, keepLast = 1).expiredVersions.isEmpty)
+  }
+
   test("SQL MERGE INTO is refused with a typed analysis error (V1 write bridge cannot carry it)") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
