@@ -514,13 +514,24 @@ object CatalogIO {
       s"data-v$n-${java.util.UUID.randomUUID().toString.take(8)}")
 
   /** Final two steps of every commit: create-exclusive metadata write
-    * (the same-version-number race gate) + atomic pointer flip. */
+    * (the same-version-number race gate) + atomic pointer flip. A loss
+    * at the exclusive write surfaces as [[CommitConflictException]] —
+    * the same retryable signal as the expectedBase gate, so callers
+    * handle both interleavings (rival seen before the commit, rival
+    * winning during it) with one catch. */
   private def commitLayoutAsVersion(cat: HadoopFsCatalog, ref: TableRef,
       n: Int, layout: TableLayout): String = {
     val dir = cat.tableDir(ref)
     val metaFile = new Path(new Path(dir, "metadata"), s"v$n.metadata.json")
     // cat.writeText is fs.create(overwrite = false): the concurrency gate
-    cat.writeText(metaFile, metadataJson(dir.toString, layout.dataLocation, layout))
+    try cat.writeText(metaFile,
+      metadataJson(dir.toString, layout.dataLocation, layout))
+    catch {
+      case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
+        throw new CommitConflictException(
+          s"Concurrent commit on $ref: another writer committed v$n first " +
+            s"(${e.getMessage}); retry the read-modify-write")
+    }
     cat.replaceTablePointer(ref, metaFile.toString)
     metaFile.toString
   }

@@ -130,6 +130,66 @@ class V2WriteSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT * FROM $cat.db.pa VERSION AS OF 2").count() == 2)
   }
 
+  test("manifest scans keep filter pushdown and column pruning") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(
+      s"""CREATE TABLE $cat.db.pf USING parquet AS
+         |SELECT o_orderkey, o_orderpriority, o_totalprice
+         |FROM parquet.`$dir/orders.parquet`""".stripMargin)
+    spark.sql(s"INSERT INTO $cat.db.pf SELECT 999999, 'X', 1.0") // manifest version
+    val q = spark.table(s"$cat.db.pf")
+      .filter(col("o_totalprice") > 100000.0)
+      .select("o_orderkey")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(o_totalprice), " +
+      "GreaterThan(o_totalprice,100000.0)]"), plan)
+    assert(plan.contains("ReadSchema: struct<o_orderkey:bigint,o_totalprice:double>"),
+      plan)
+  }
+
+  test("concurrent appends: the conflict gate serializes committers without losing rows") {
+    val (_, hc) = freshCatalog()
+    import spark.implicits._
+    val ref = TableRef.parse("db.cc2")
+    hc.createNamespace(graft.catalog.Namespace.of("db"))
+    CatalogIO.createTable(spark, hc, ref, Seq((0L, "seed")).toDF("k", "v"))
+    val writers = 4
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val futures = (1 to writers).map { i =>
+      Future {
+        var attempts = 0
+        var done = false
+        while (!done) {
+          attempts += 1
+          assert(attempts <= 20, s"writer $i starved")
+          val base = hc.listTableVersions(ref).lastOption
+          try {
+            CatalogIO.commitAppend(spark, hc, ref,
+              Seq((i.toLong, s"w$i")).toDF("k", "v"), expectedBase = base)
+            done = true
+          } catch {
+            // CommitConflict = gate saw a newer version; AlreadyExists =
+            // lost the create-exclusive metadata race on the same number.
+            // Both mean: somebody else committed — re-read and retry.
+            case _: graft.catalog.CommitConflictException |
+                 _: graft.catalog.AlreadyExistsException => ()
+          }
+        }
+        attempts
+      }
+    }
+    val attempts = Await.result(Future.sequence(futures), 120.seconds)
+    // liveness: all four landed; safety: no writer's row was erased
+    val rows = CatalogIO.readTable(spark, hc, ref)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    assert(rows == Seq("0|seed", "1|w1", "2|w2", "3|w3", "4|w4"), rows)
+    assert(hc.listTableVersions(ref).size == writers + 1)
+    assert(attempts.sum >= writers) // at least one attempt each
+  }
+
   test("storage-partitioned join stays shuffle-free after a manifest append") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
