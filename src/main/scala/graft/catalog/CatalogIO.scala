@@ -54,7 +54,8 @@ object CatalogIO {
       bucketColumns: Seq[String] = Nil,
       sortColumns: Seq[String] = Nil,
       schemaDdl: Option[String] = None,
-      dataFiles: Option[Seq[String]] = None) {
+      dataFiles: Option[Seq[String]] = None,
+      properties: Map[String, String] = Map.empty) {
     /** Absolute paths of this version's data files (manifest versions). */
     def absoluteDataFiles: Option[Seq[String]] =
       dataFiles.map(_.map(f => new Path(dataLocation, f).toString))
@@ -108,7 +109,10 @@ object CatalogIO {
   }
 
   /** `Some(values)` when `"field": [...]` is present (possibly empty),
-    * `None` when absent — presence is load-bearing for `dataFiles`. */
+    * `None` when absent — presence is load-bearing for `dataFiles`. A
+    * malformed array THROWS: a truncated manifest parsed as "fewer
+    * files" would silently shrink the table (and the next append would
+    * bake the loss into every future version). */
   private def arrayField(text: String, field: String): Option[Seq[String]] = {
     val at = fieldStart(text, field)
     if (at < 0) return None
@@ -117,16 +121,50 @@ object CatalogIO {
     if (i >= text.length || text.charAt(i) != '[') return None
     i += 1
     val out = Vector.newBuilder[String]
-    var done = false
-    while (!done && i < text.length) {
+    while (true) {
       while (i < text.length && (text.charAt(i).isWhitespace || text.charAt(i) == ',')) i += 1
-      if (i < text.length && text.charAt(i) == ']') done = true
-      else scanString(text, i) match {
+      if (i >= text.length)
+        throw new IllegalStateException(
+          s"Malformed metadata: unterminated '$field' array (truncated file?)")
+      if (text.charAt(i) == ']') return Some(out.result())
+      scanString(text, i) match {
         case Some((v, next)) => out += v; i = next
-        case None => done = true // malformed tail: stop rather than loop
+        case None => throw new IllegalStateException(
+          s"Malformed metadata: bad entry in '$field' array at offset $i")
       }
     }
-    Some(out.result())
+    None // unreachable
+  }
+
+  /** `"field": {"k": "v", ...}` as a string map; empty when absent.
+    * Same strictness as [[arrayField]]. */
+  private def objectField(text: String, field: String): Map[String, String] = {
+    val at = fieldStart(text, field)
+    if (at < 0) return Map.empty
+    var i = at
+    while (i < text.length && text.charAt(i).isWhitespace) i += 1
+    if (i >= text.length || text.charAt(i) != '{') return Map.empty
+    i += 1
+    val out = Map.newBuilder[String, String]
+    while (true) {
+      while (i < text.length && (text.charAt(i).isWhitespace || text.charAt(i) == ',')) i += 1
+      if (i >= text.length)
+        throw new IllegalStateException(
+          s"Malformed metadata: unterminated '$field' object (truncated file?)")
+      if (text.charAt(i) == '}') return out.result()
+      val (k, afterK) = scanString(text, i).getOrElse(throw new IllegalStateException(
+        s"Malformed metadata: bad key in '$field' object at offset $i"))
+      var j = afterK
+      while (j < text.length && text.charAt(j).isWhitespace) j += 1
+      if (j >= text.length || text.charAt(j) != ':')
+        throw new IllegalStateException(
+          s"Malformed metadata: missing ':' in '$field' object at offset $j")
+      val (v, afterV) = scanString(text, j + 1).getOrElse(throw new IllegalStateException(
+        s"Malformed metadata: bad value in '$field' object at offset $j"))
+      out += (k -> v)
+      i = afterV
+    }
+    Map.empty // unreachable
   }
 
   private def jsonEscape(s: String): String = s.flatMap {
@@ -179,6 +217,13 @@ object CatalogIO {
         // an EMPTY manifest is still a manifest (a committed empty
         // snapshot) — it must round-trip distinctly from "no manifest"
         layout.dataFiles.map(fs => s"""  "dataFiles": ${arrBody(fs)},\n""").getOrElse("")
+      }${
+        // commit-scoped properties (e.g. a streaming writer's replay
+        // fence) — atomic with the version because they ARE the version
+        if (layout.properties.isEmpty) ""
+        else layout.properties.toSeq.sorted
+          .map { case (k, v) => s""""${jsonEscape(k)}": "${jsonEscape(v)}"""" }
+          .mkString("  \"properties\": {", ", ", "},\n")
       }  "dataLocation": "${jsonEscape(dataLocation)}"
        |}
        |""".stripMargin
@@ -193,7 +238,8 @@ object CatalogIO {
   def createTable(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
       df: DataFrame, partitionBy: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
-      sortBy: Seq[String] = Nil): String = {
+      sortBy: Seq[String] = Nil,
+      properties: Map[String, String] = Map.empty): String = {
     if (cat.tableExists(ref))
       throw new AlreadyExistsException(s"Table already exists: $ref")
     // sortBy only materializes through the bucketed writer; recording it
@@ -218,7 +264,8 @@ object CatalogIO {
     val layout = TableLayout(dataDir.toString, partitionBy,
       bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
       Some(df.schema.toDDL),
-      dataFiles = Some(listDataFiles(cat.fileSystem, dataDir)))
+      dataFiles = Some(listDataFiles(cat.fileSystem, dataDir)),
+      properties = properties)
     val metaDir = new Path(dir, "metadata")
     cat.fileSystem.mkdirs(metaDir)
     val metaFile = new Path(metaDir, "v1.metadata.json")
@@ -326,14 +373,16 @@ object CatalogIO {
       df: DataFrame, partitionBy: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
       sortBy: Seq[String] = Nil,
-      expectedBase: Option[Int] = None): String = {
+      expectedBase: Option[Int] = None,
+      properties: Map[String, String] = Map.empty): String = {
     val n = nextVersionNumber(cat, ref, bucketBy, sortBy, expectedBase)
     val dataDir = versionDataDir(cat, ref, n)
     writeData(spark, dataDir, df, partitionBy, bucketBy, sortBy)
     val layout = TableLayout(dataDir.toString, partitionBy,
       bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
       Some(df.schema.toDDL),
-      dataFiles = Some(listDataFiles(cat.fileSystem, dataDir)))
+      dataFiles = Some(listDataFiles(cat.fileSystem, dataDir)),
+      properties = properties)
     commitLayoutAsVersion(cat, ref, n, layout)
   }
 
@@ -359,7 +408,8 @@ object CatalogIO {
       df: DataFrame, partitionBy: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
       sortBy: Seq[String] = Nil,
-      expectedBase: Option[Int] = None): String = {
+      expectedBase: Option[Int] = None,
+      properties: Map[String, String] = Map.empty): String = {
     val n = nextVersionNumber(cat, ref, bucketBy, sortBy, expectedBase)
     val prior = readLayout(cat.metadataLocationForVersion(ref, n - 1),
       cat.fileSystem.getConf)
@@ -371,11 +421,14 @@ object CatalogIO {
     writeData(spark, staging, df, partitionBy, bucketBy, sortBy)
     val moved = moveIntoSegment(cat.fileSystem, staging, new Path(prior.dataLocation))
     // appends cannot change the schema (insert resolution projects onto
-    // the table schema), so the prior version's recorded DDL carries over
+    // the table schema), so the prior version's recorded DDL carries
+    // over; properties carry forward with the overlay applied, so a
+    // marker (e.g. a stream's replay fence) survives interleaved appends
     val layout = TableLayout(prior.dataLocation, partitionBy,
       bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
       prior.schemaDdl.orElse(Some(df.schema.toDDL)),
-      dataFiles = Some(priorFiles ++ moved))
+      dataFiles = Some(priorFiles ++ moved),
+      properties = prior.properties ++ properties)
     commitLayoutAsVersion(cat, ref, n, layout)
   }
 
@@ -422,13 +475,30 @@ object CatalogIO {
     // surviving version points at is dead in its entirety.
     val keepDirs = keptLocs.map(readLayout(_, conf).dataLocation).toSet
     val expiredMeta = expired.map(v => cat.metadataLocationForVersion(ref, v))
+    val deadRoots = expiredMeta.map(readLayout(_, conf))
+      .map(_.dataLocation).distinct.filterNot(keepDirs)
+    // metadata FIRST, then data: a crash in between leaves orphan
+    // segment dirs (invisible, reclaimed by hand or a future sweep) —
+    // the reverse order would leave LISTED versions whose scans fail,
+    // breaking the invariant that every version in the history reads
     var dirs = 0
-    expiredMeta.map(readLayout(_, conf)).map(_.dataLocation).distinct.foreach { root =>
-      if (!keepDirs.contains(root) && fs.delete(new Path(root), true)) dirs += 1
-    }
     expiredMeta.foreach(m => fs.delete(new Path(m), false))
+    deadRoots.foreach { root =>
+      if (fs.delete(new Path(root), true)) dirs += 1
+    }
     ExpireResult(expired, dirs)
   }
+
+  /** Commit-scoped properties of a table's CURRENT version (e.g. a
+    * streaming writer's replay fence) — read from the latest metadata,
+    * so a value written through a commit's `properties` overlay is
+    * exactly as durable as the commit itself. */
+  private[graft] def currentProperties(cat: HadoopFsCatalog,
+      ref: TableRef): Map[String, String] =
+    cat.listTableVersions(ref).lastOption
+      .map(v => readLayout(cat.metadataLocationForVersion(ref, v),
+        cat.fileSystem.getConf).properties)
+      .getOrElse(Map.empty)
 
   /** Relative paths (to `root`) of every visible data file under `root`,
     * sorted for determinism. Hidden entries (`_SUCCESS`, `.crc`…) are
@@ -595,7 +665,8 @@ object CatalogIO {
       stringField(text, "schemaDdl"),
       // presence matters: Some(Nil) is a committed empty snapshot,
       // None is pre-manifest metadata (whole-directory scan)
-      arrayField(text, "dataFiles"))
+      arrayField(text, "dataFiles"),
+      objectField(text, "properties"))
   }
 
   /** Resolve a table through its catalog and scan it. */

@@ -414,15 +414,17 @@ object VectorFunctions {
     * [[graft.GraftExtensions.functions]] — the same table the
     * `spark.sql.extensions` path injects. Idempotent. */
   def register(spark: SparkSession): Unit = {
-    val registry = spark.sessionState.functionRegistry
-    graft.GraftExtensions.functions.foreach { case (name, builder) =>
-      // skip names already present: operators call register() per query
-      // construction, and re-replacing an identical builder only buys a
-      // SimpleFunctionRegistry "replaced a temporary function" warning
-      // on every bench/verify line
-      if (!registry.functionExists(
-          org.apache.spark.sql.catalyst.FunctionIdentifier(name)))
-        registry.createOrReplaceTempFunction(name, builder, "built-in")
+    // replace ONCE per session, then skip: the first call still claims
+    // every name (a stale/foreign temp function can't shadow ours), and
+    // repeat calls — operators register per query construction — stop
+    // spamming SimpleFunctionRegistry "replaced a temporary function"
+    // warnings into every bench/verify line
+    if (spark.conf.getOption("spark.graft.functions.registered").isEmpty) {
+      graft.GraftExtensions.functions.foreach { case (name, builder) =>
+        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          name, builder, "built-in")
+      }
+      spark.conf.set("spark.graft.functions.registered", "true")
     }
   }
 }

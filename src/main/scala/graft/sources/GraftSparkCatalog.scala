@@ -262,13 +262,20 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
           "need a versioning (hadoop) catalog")
     }
     val ref = toRef(ident)
-    val metaLoc =
-      try cat.loadTableMetadataLocation(ref)
+    // resolve the base version FIRST and read THAT version's layout —
+    // reading the pointer and resolving the base afterwards would let a
+    // rival's commit land in between, pass the conflict gate, and have
+    // its manifest replaced by this ALTER's carried-over layout (the
+    // lost-update interleaving the gate exists to stop)
+    val base =
+      try h.listTableVersions(ref).lastOption
       catch {
         case _: graft.catalog.NoSuchTableException =>
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
             ident.namespace.toSeq :+ ident.name)
       }
+    val metaLoc = base.map(h.metadataLocationForVersion(ref, _))
+      .getOrElse(cat.loadTableMetadataLocation(ref))
     val layout = CatalogIO.readLayout(metaLoc, hadoopConfOverlay)
     val ddl = layout.schemaDdl.getOrElse(throw new UnsupportedOperationException(
       s"$catalogName: $ref predates recorded schemas; INSERT OVERWRITE once " +
@@ -314,8 +321,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         s"$catalogName: unsupported table change $other (only nullable " +
           "ADD COLUMN evolves without contradicting existing data files)")
     }
+    // explicit FIRST/AFTER may not interleave data columns into the
+    // partition-column suffix: file tables serve dataSchema ++
+    // partitionSchema, so such a DDL order would never match the served
+    // schema. Only enforced when the prior schema HAS the suffix shape
+    // (legacy declarations that already interleave stay alterable).
+    val pset = layout.partitionColumns.map(_.toLowerCase).toSet
+    def suffixShaped(fs: Vector[org.apache.spark.sql.types.StructField]): Boolean = {
+      val firstP = fs.indexWhere(f => pset(f.name.toLowerCase))
+      firstP < 0 || fs.drop(firstP).forall(f => pset(f.name.toLowerCase))
+    }
+    if (suffixShaped(org.apache.spark.sql.types.StructType.fromDDL(ddl).fields.toVector)
+        && !suffixShaped(fields))
+      throw new IllegalArgumentException(
+        s"$catalogName: column position would interleave data columns with the " +
+          s"partition columns (${layout.partitionColumns.mkString(", ")}); file " +
+          "scans always serve partition columns last — place the column before them")
     val evolved = org.apache.spark.sql.types.StructType(fields)
-    val base = h.listTableVersions(ref).lastOption
     CatalogIO.commitMetadataOnly(h, ref,
       layout.copy(schemaDdl = Some(evolved.toDDL)), expectedBase = base)
     loadTable(ident)

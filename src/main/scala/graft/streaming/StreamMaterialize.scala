@@ -66,4 +66,69 @@ object StreamMaterialize {
         ()
       }
       .start()
+
+  /** Streaming INGESTION into the versioned catalog (round 7): append-
+    * mode streams land each micro-batch as a MANIFEST append — only the
+    * batch's files are written, the metadata lists prior ∪ new, and the
+    * version trail records the arrival order. This is the O(batch)
+    * counterpart of [[materialize]]'s aggregate snapshots: a 100 TB
+    * ingest table costs each trigger only its own rows, exactly like
+    * the SQL `INSERT INTO` path (`CatalogIO.commitAppend`).
+    *
+    * Failure semantics: foreachBatch is at-least-once, so a batch
+    * replayed after a crash between commit and checkpoint-advance would
+    * append AGAIN — the fence closes exactly that window by recording
+    * the last committed batch id IN the committed version's metadata
+    * (`properties`), atomic with the commit itself: either the commit
+    * (and its fence) landed, or neither did. The fence key is scoped to
+    * THIS stream's checkpoint location, so batch ids — which are
+    * checkpoint-relative — never fence a different run's batches: a
+    * fresh checkpoint starts a fresh fence. Subsequent appends carry
+    * properties forward, so an interleaved `INSERT INTO` doesn't erase
+    * the fence. (Reusing a checkpoint PATH after deleting the
+    * checkpoint reuses the fence — start fresh ingestion under a fresh
+    * checkpoint dir, as with any Spark sink.) */
+  def appendStream(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
+      rows: DataFrame, checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow(),
+      dedupeReplays: Boolean = true): StreamingQuery = {
+    val fenceKey = "graft.stream.lastBatch." +
+      java.util.UUID.nameUUIDFromBytes(
+        checkpointDir.getBytes("UTF-8")).toString.take(8)
+    rows.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        commitIngestBatch(spark, cat, ref, batch, batchId, fenceKey, dedupeReplays)
+        ()
+      }
+      .start()
+  }
+
+  /** One micro-batch of [[appendStream]] — factored out so the fence
+    * semantics are testable deterministically (replay = same batch id
+    * again; new run = different fence key). */
+  private[streaming] def commitIngestBatch(spark: SparkSession,
+      cat: HadoopFsCatalog, ref: TableRef, batch: DataFrame, batchId: Long,
+      fenceKey: String, dedupeReplays: Boolean): Unit = {
+    val lastCommitted =
+      if (!dedupeReplays || !cat.tableExists(ref)) -1L
+      else CatalogIO.currentProperties(cat, ref)
+        .get(fenceKey).flatMap(_.toLongOption).getOrElse(-1L)
+    if (batchId <= lastCommitted) return
+    val fence = Map(fenceKey -> batchId.toString)
+    val pinned = batch.persist()
+    try {
+      if (!pinned.isEmpty) {
+        if (!cat.tableExists(ref)) {
+          try CatalogIO.createTable(spark, cat, ref, pinned, properties = fence)
+          catch { case e: graft.catalog.AlreadyExistsException
+              if CatalogIO.reclaimAbortedCreate(cat, ref) =>
+            CatalogIO.createTable(spark, cat, ref, pinned, properties = fence)
+          }
+        } else CatalogIO.commitAppend(spark, cat, ref, pinned, properties = fence)
+      }
+    } finally pinned.unpersist()
+  }
 }

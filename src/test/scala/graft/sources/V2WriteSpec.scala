@@ -391,6 +391,24 @@ class V2WriteSpec extends AnyFunSuite {
     assert(CatalogIO.readTable(spark, hc, ref).columns.toSeq == Seq("k", "v", "tag"))
   }
 
+  test("ADD COLUMN keeps the partition-column suffix: default position lands before it, AFTER-it is refused") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.ps (id BIGINT, region STRING) USING parquet" +
+      " PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.db.ps VALUES (1,'eu')")
+    spark.sql(s"ALTER TABLE $cat.db.ps ADD COLUMNS (x STRING)")
+    // recorded DDL order == served order: data cols, then partition col
+    assert(spark.table(s"$cat.db.ps").columns.toSeq == Seq("id", "x", "region"))
+    val ddl = CatalogIO.readLayout(
+      hc.loadTableMetadataLocation(TableRef.parse("db.ps"))).schemaDdl.get
+    assert(ddl.indexOf("x") < ddl.indexOf("region"), ddl)
+    val e = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.ps ADD COLUMNS (y STRING AFTER region)")
+    }
+    assert(e.getMessage.contains("partition columns"), e.getMessage)
+  }
+
   test("schema changes that would contradict existing files are refused") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")

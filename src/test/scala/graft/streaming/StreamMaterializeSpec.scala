@@ -102,4 +102,84 @@ class StreamMaterializeSpec extends AnyFunSuite {
       s"SELECT lang, n FROM $catName.live.by_lang VERSION AS OF 1")) == viaSql)
     cat.close()
   }
+
+  test("append-mode stream lands each micro-batch as a manifest append; replays are fenced") {
+    val streamDir = Files.createTempDirectory("graft-appstream")
+    Files.copy(Paths.get(s"$sfDir/nation.parquet"),
+      streamDir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val batchNation = spark.read.parquet(s"$sfDir/nation.parquet")
+    val sliceDir = Files.createTempDirectory("graft-appslice")
+    batchNation.filter(col("n_nationkey") < 5).coalesce(1)
+      .write.mode("overwrite").parquet(sliceDir.resolve("out").toString)
+    val part = Files.list(sliceDir.resolve("out")).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    Files.copy(part, streamDir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+
+    val wh = Files.createTempDirectory("graft-appwh").toString
+    val cat = new HadoopFsCatalog("appwh", wh)
+    cat.createNamespace(graft.catalog.Namespace.of("live"))
+    val ref = TableRef.parse("live.ingest")
+    val ckpt = Files.createTempDirectory("graft-appckpt").toString
+
+    val stream = spark.readStream.schema(batchNation.schema)
+      .option("maxFilesPerTrigger", "1").parquet(streamDir.toString)
+    val q = StreamMaterialize.appendStream(spark, cat, ref,
+      stream.select("n_nationkey", "n_name"), ckpt)
+    try q.processAllAvailable() finally q.stop()
+
+    // ingested = both files' rows; one version per micro-batch
+    val expect = rows(batchNation.unionByName(
+      batchNation.filter(col("n_nationkey") < 5)).select("n_nationkey", "n_name"))
+    assert(rows(CatalogIO.readTable(spark, cat, ref)) == expect)
+    val versions = cat.listTableVersions(ref)
+    assert(versions.size == 2, s"expected 2 versions, got $versions")
+    // v2 is a MANIFEST append: same segment as v1, superset file list
+    val l1 = CatalogIO.readLayout(cat.metadataLocationForVersion(ref, 1))
+    val l2 = CatalogIO.readLayout(cat.metadataLocationForVersion(ref, 2))
+    assert(l2.dataLocation == l1.dataLocation)
+    assert(l1.dataFiles.get.toSet.subsetOf(l2.dataFiles.get.toSet))
+    // v1 time-travels to the first batch alone
+    assert(CatalogIO.readTableVersion(spark, cat, ref, 1).count() ==
+      batchNation.count())
+
+    cat.close()
+  }
+
+  test("ingest fence: a crash-replayed batch is skipped; a different run is not falsely fenced") {
+    val wh = Files.createTempDirectory("graft-fencewh").toString
+    val cat = new HadoopFsCatalog("fencewh", wh)
+    cat.createNamespace(graft.catalog.Namespace.of("live"))
+    val ref = TableRef.parse("live.fenced")
+    import spark.implicits._
+    def batch(ids: Long*): DataFrame = ids.toDF("id")
+
+    // run A commits batches 0 and 1; the fence rides the commit
+    StreamMaterialize.commitIngestBatch(spark, cat, ref, batch(1), 0L, "runA", true)
+    StreamMaterialize.commitIngestBatch(spark, cat, ref, batch(2), 1L, "runA", true)
+    assert(rows(CatalogIO.readTable(spark, cat, ref)) == Seq("1", "2"))
+    assert(CatalogIO.currentProperties(cat, ref).get("runA").contains("1"))
+
+    // crash-replay of batch 1 (same run): fenced, no duplicate rows,
+    // no new version
+    val v0 = cat.listTableVersions(ref)
+    StreamMaterialize.commitIngestBatch(spark, cat, ref, batch(2), 1L, "runA", true)
+    assert(rows(CatalogIO.readTable(spark, cat, ref)) == Seq("1", "2"))
+    assert(cat.listTableVersions(ref) == v0)
+
+    // a DIFFERENT run's batch 0 (fresh checkpoint ⇒ fresh fence key)
+    // must NOT be fenced by run A's ids — that interleaving is new data
+    StreamMaterialize.commitIngestBatch(spark, cat, ref, batch(3), 0L, "runB", true)
+    assert(rows(CatalogIO.readTable(spark, cat, ref)) == Seq("1", "2", "3"))
+    // both fences coexist: appends carry properties forward
+    val props = CatalogIO.currentProperties(cat, ref)
+    assert(props.get("runA").contains("1") && props.get("runB").contains("0"), props)
+
+    // an interleaved SQL-path append must not erase the fences either
+    CatalogIO.commitAppend(spark, cat, ref, batch(4))
+    assert(CatalogIO.currentProperties(cat, ref).get("runA").contains("1"))
+    // …and the replay check still holds after the interleaving
+    StreamMaterialize.commitIngestBatch(spark, cat, ref, batch(2), 1L, "runA", true)
+    assert(rows(CatalogIO.readTable(spark, cat, ref)) == Seq("1", "2", "3", "4"))
+    cat.close()
+  }
 }
