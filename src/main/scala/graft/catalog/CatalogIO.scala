@@ -197,8 +197,21 @@ object CatalogIO {
     sb.toString
   }
 
+  /** Top-level metadata field names. Property keys may not collide with
+    * them: the flat field scanner ([[fieldStart]]) is not nesting-aware,
+    * so a property literally named `dataLocation` would shadow the real
+    * field on read. Refused loudly at write time. */
+  private val ReservedFieldNames = Set(
+    "formatVersion", "location", "partitionColumns", "numBuckets",
+    "bucketColumns", "sortColumns", "schemaDdl", "dataFiles",
+    "properties", "dataLocation")
+
   def metadataJson(tableLocation: String, dataLocation: String,
       layout: TableLayout = TableLayout("")): String = {
+    val clash = layout.properties.keySet.intersect(ReservedFieldNames)
+    require(clash.isEmpty,
+      s"property key(s) ${clash.mkString(", ")} collide with reserved " +
+        "metadata field names")
     def arrBody(vs: Seq[String]): String =
       s"[${vs.map("\"" + jsonEscape(_) + "\"").mkString(", ")}]"
     def arr(name: String, vs: Seq[String]): String =
@@ -489,16 +502,37 @@ object CatalogIO {
     ExpireResult(expired, dirs)
   }
 
-  /** Commit-scoped properties of a table's CURRENT version (e.g. a
-    * streaming writer's replay fence) — read from the latest metadata,
-    * so a value written through a commit's `properties` overlay is
-    * exactly as durable as the commit itself. */
+  /** The LATEST version's (number, layout) — the commit-derivation base
+    * for writers and the carrier of commit-scoped properties (e.g. a
+    * streaming writer's replay fence, exactly as durable as the commit
+    * it rode in on). None for tables without local metadata history. */
+  private[graft] def latestVersionLayout(cat: HadoopFsCatalog,
+      ref: TableRef): Option[(Int, TableLayout)] =
+    cat.listTableVersions(ref).lastOption.map { v =>
+      (v, readLayout(cat.metadataLocationForVersion(ref, v),
+        cat.fileSystem.getConf))
+    }
+
   private[graft] def currentProperties(cat: HadoopFsCatalog,
       ref: TableRef): Map[String, String] =
-    cat.listTableVersions(ref).lastOption
-      .map(v => readLayout(cat.metadataLocationForVersion(ref, v),
-        cat.fileSystem.getConf).properties)
-      .getOrElse(Map.empty)
+    latestVersionLayout(cat, ref).map(_._2.properties).getOrElse(Map.empty)
+
+  /** Self-heal a LAGGING pointer: a committer that crashed between its
+    * create-exclusive metadata write and the pointer flip leaves a
+    * complete, newest metadata version the pointer never names (the
+    * roll-forward case [[HadoopFsCatalog.loadTableMetadataLocation]]
+    * only heals when the pointer file is MISSING). Callers that can
+    * prove the newest version is theirs (e.g. a replay fence match)
+    * re-publish it here. Returns true if the pointer was advanced. */
+  private[graft] def publishLatestVersion(cat: HadoopFsCatalog,
+      ref: TableRef): Boolean =
+    cat.listTableVersions(ref).lastOption.exists { v =>
+      val latest = cat.metadataLocationForVersion(ref, v)
+      val fs = cat.fileSystem
+      def q(p: String): String = fs.makeQualified(new Path(p)).toString
+      if (q(cat.loadTableMetadataLocation(ref)) == q(latest)) false
+      else { cat.replaceTablePointer(ref, latest); true }
+    }
 
   /** Relative paths (to `root`) of every visible data file under `root`,
     * sorted for determinism. Hidden entries (`_SUCCESS`, `.crc`…) are

@@ -418,11 +418,18 @@ object VectorFunctions {
     // every name (a stale/foreign temp function can't shadow ours), and
     // repeat calls — operators register per query construction — stop
     // spamming SimpleFunctionRegistry "replaced a temporary function"
-    // warnings into every bench/verify line
-    if (spark.conf.getOption("spark.graft.functions.registered").isEmpty) {
+    // warnings into every bench/verify line. The flag alone is shadow
+    // state (a DROP TEMPORARY FUNCTION or catalog reset empties the
+    // registry without clearing it), so skipping also requires every
+    // name to still RESOLVE — the registry stays the source of truth
+    // and a desync self-heals on the next call.
+    val registry = spark.sessionState.functionRegistry
+    val allPresent = graft.GraftExtensions.functions.forall { case (name, _) =>
+      registry.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier(name))
+    }
+    if (spark.conf.getOption("spark.graft.functions.registered").isEmpty || !allPresent) {
       graft.GraftExtensions.functions.foreach { case (name, builder) =>
-        spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-          name, builder, "built-in")
+        registry.createOrReplaceTempFunction(name, builder, "built-in")
       }
       spark.conf.set("spark.graft.functions.registered", "true")
     }

@@ -92,9 +92,10 @@ object StreamMaterialize {
       rows: DataFrame, checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
       dedupeReplays: Boolean = true): StreamingQuery = {
+    // full UUID: a truncated key could collide across two checkpoints
+    // feeding one table, silently fencing away each other's batches
     val fenceKey = "graft.stream.lastBatch." +
-      java.util.UUID.nameUUIDFromBytes(
-        checkpointDir.getBytes("UTF-8")).toString.take(8)
+      java.util.UUID.nameUUIDFromBytes(checkpointDir.getBytes("UTF-8")).toString
     rows.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
@@ -108,26 +109,46 @@ object StreamMaterialize {
 
   /** One micro-batch of [[appendStream]] — factored out so the fence
     * semantics are testable deterministically (replay = same batch id
-    * again; new run = different fence key). */
+    * again; new run = different fence key). One metadata read serves
+    * the fence check, the layout (appends must follow the table's
+    * recorded partition/bucket spec, like the SQL INSERT path), and the
+    * commit's base version (a zombie driver racing a live one loses at
+    * the conflict gate instead of double-appending). */
   private[streaming] def commitIngestBatch(spark: SparkSession,
       cat: HadoopFsCatalog, ref: TableRef, batch: DataFrame, batchId: Long,
       fenceKey: String, dedupeReplays: Boolean): Unit = {
+    val current =
+      if (cat.tableExists(ref)) CatalogIO.latestVersionLayout(cat, ref) else None
     val lastCommitted =
-      if (!dedupeReplays || !cat.tableExists(ref)) -1L
-      else CatalogIO.currentProperties(cat, ref)
-        .get(fenceKey).flatMap(_.toLongOption).getOrElse(-1L)
-    if (batchId <= lastCommitted) return
+      if (!dedupeReplays) -1L
+      else current.flatMap(_._2.properties.get(fenceKey))
+        .flatMap(_.toLongOption).getOrElse(-1L)
+    if (batchId <= lastCommitted) {
+      // the fence's commit may itself be unpublished (crash between its
+      // metadata write and pointer flip): the fence proves the newest
+      // version is ours, so finish its publication before skipping
+      CatalogIO.publishLatestVersion(cat, ref)
+      return
+    }
     val fence = Map(fenceKey -> batchId.toString)
     val pinned = batch.persist()
     try {
       if (!pinned.isEmpty) {
-        if (!cat.tableExists(ref)) {
-          try CatalogIO.createTable(spark, cat, ref, pinned, properties = fence)
-          catch { case e: graft.catalog.AlreadyExistsException
-              if CatalogIO.reclaimAbortedCreate(cat, ref) =>
-            CatalogIO.createTable(spark, cat, ref, pinned, properties = fence)
-          }
-        } else CatalogIO.commitAppend(spark, cat, ref, pinned, properties = fence)
+        current match {
+          case None =>
+            try CatalogIO.createTable(spark, cat, ref, pinned, properties = fence)
+            catch { case e: graft.catalog.AlreadyExistsException
+                if CatalogIO.reclaimAbortedCreate(cat, ref) =>
+              CatalogIO.createTable(spark, cat, ref, pinned, properties = fence)
+            }
+          case Some((base, layout)) =>
+            CatalogIO.commitAppend(spark, cat, ref, pinned,
+              partitionBy = layout.partitionColumns,
+              bucketBy = layout.numBuckets.map(n => (n, layout.bucketColumns)),
+              sortBy = layout.sortColumns,
+              expectedBase = Some(base),
+              properties = fence)
+        }
       }
     } finally pinned.unpersist()
   }

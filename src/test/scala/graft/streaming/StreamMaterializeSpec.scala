@@ -180,6 +180,31 @@ class StreamMaterializeSpec extends AnyFunSuite {
     // …and the replay check still holds after the interleaving
     StreamMaterialize.commitIngestBatch(spark, cat, ref, batch(2), 1L, "runA", true)
     assert(rows(CatalogIO.readTable(spark, cat, ref)) == Seq("1", "2", "3", "4"))
+
+    // property keys that would shadow top-level metadata fields refuse
+    intercept[IllegalArgumentException] {
+      CatalogIO.commitAppend(spark, cat, ref, batch(5),
+        properties = Map("dataLocation" -> "/tmp/evil"))
+    }
+    cat.close()
+  }
+
+  test("ingest into a partitioned table follows the recorded layout (no flat files, spec preserved)") {
+    val wh = Files.createTempDirectory("graft-ptwh").toString
+    val cat = new HadoopFsCatalog("ptwh", wh)
+    cat.createNamespace(graft.catalog.Namespace.of("live"))
+    val ref = TableRef.parse("live.part_ingest")
+    import spark.implicits._
+    CatalogIO.createTable(spark, cat, ref,
+      Seq((1L, "eu"), (2L, "us")).toDF("id", "region"), partitionBy = Seq("region"))
+    StreamMaterialize.commitIngestBatch(spark, cat, ref,
+      Seq((3L, "eu"), (4L, "ap")).toDF("id", "region"), 0L, "runP", true)
+    val l = CatalogIO.readLayout(cat.loadTableMetadataLocation(ref))
+    // the append kept the partition spec AND landed under partition dirs
+    assert(l.partitionColumns == Seq("region"))
+    assert(l.dataFiles.get.count(_.startsWith("region=eu/")) == 2, l.dataFiles)
+    assert(rows(CatalogIO.readTable(spark, cat, ref)) ==
+      Seq("1|eu", "2|us", "3|eu", "4|ap"))
     cat.close()
   }
 }
