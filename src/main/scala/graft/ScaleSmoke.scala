@@ -92,15 +92,8 @@ object ScaleSmoke {
     * INSERT OVERWRITE self ∪ batch) is O(table). Fixed 100k-row batch
     * against a lineitem table of `replicas`× sf0.1 — the two curves vs
     * `replicas` are the claim. */
-  private def writeScale(spark: SparkSession, out: String, replicas: Int): Unit = {
-    val wh = s"/tmp/graft_write_wh_x$replicas"
-    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
-    val cat = s"ws$replicas"
-    spark.conf.set(s"spark.sql.catalog.$cat",
-      "graft.sources.GraftSparkCatalog")
-    spark.conf.set(s"spark.sql.catalog.$cat.type", "hadoop")
-    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-    try {
+  private def writeScale(spark: SparkSession, out: String, replicas: Int): Unit =
+    graft.sources.TempCatalog.withTemp(spark, s"graft-write-x$replicas") { cat =>
       spark.sql(s"CREATE NAMESPACE $cat.db")
       val t0 = System.nanoTime()
       spark.sql(s"CREATE TABLE $cat.db.li USING parquet AS " +
@@ -123,12 +116,7 @@ object ScaleSmoke {
         f"${(System.nanoTime() - s0) / 1e9}%.1f s")
       val fin = spark.table(s"$cat.db.li").count()
       println(s"[scale] write x$replicas: final rows $fin (expect ${rows + 400000})")
-    } finally {
-      Seq("", ".type", ".warehouse")
-        .foreach(s => spark.conf.unset(s"spark.sql.catalog.$cat$s"))
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wh))
     }
-  }
 
   /** SRP-LSH candidate growth in the operator's design regime: n random
     * unit 64-d vectors + n/40 planted near-dups (cosine ≈ 0.995), banded

@@ -20,14 +20,8 @@ import org.apache.spark.sql.functions._
   * DataFrame is consumed. */
 object WriteQueries {
 
-  def w01(spark: SparkSession, dir: String): DataFrame = {
-    val wh = java.nio.file.Files.createTempDirectory("graft_w01_wh").toString
-    val cat = s"w01c${java.util.UUID.randomUUID().toString.take(8)}"
-    spark.conf.set(s"spark.sql.catalog.$cat",
-      classOf[graft.sources.GraftSparkCatalog].getName)
-    spark.conf.set(s"spark.sql.catalog.$cat.type", "hadoop")
-    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
-    try {
+  def w01(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTemp(spark, "graft-w01") { cat =>
       spark.sql(s"CREATE NAMESPACE $cat.db")
       // CTAS → empty schema-bearing v1, SELECT committed as v2
       spark.sql(
@@ -61,19 +55,10 @@ object WriteQueries {
         .agg(count(lit(1)).as("cnt"),
           sum(col("k")).as("sum_k"),
           count(col("seg")).as("n_seg"))
-      // materialize before reclaiming the warehouse (the returned frame
-      // must not depend on the temp files)
+      // materialize before the helper reclaims the warehouse (the
+      // returned frame must not depend on the temp files)
       val rows = out.collect().toIndexedSeq
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), out.schema)
-    } finally {
-      Seq("", ".type", ".warehouse")
-        .foreach(s => spark.conf.unset(s"spark.sql.catalog.$cat$s"))
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(wh)).iterator().asScala
-          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Exception => () }
     }
-  }
 }

@@ -105,15 +105,7 @@ object MergeOps {
     require(missing.isEmpty,
       s"merge key(s) ${missing.mkString(", ")} not in $ref's schema " +
         s"(${cur.columns.mkString(", ")})")
-    // survivors: target rows with no source match on the key. Rows with
-    // NULL keys never equality-match, so they always survive — MERGE's
-    // ON-condition semantics.
-    val survivors = cur.join(source.select(keys.map(source.col): _*).distinct(),
-      keys, "left_anti")
-    val next =
-      if (keepSource)
-        survivors.unionByName(source.select(cur.columns.map(source.col).toIndexedSeq: _*))
-      else survivors
+    val next = mergedRows(cur, source, keys, keepSource)
     // layout of the BASE version — reading the pointer here could see a
     // rival's newer layout while the rows came from the base snapshot
     val layout = CatalogIO.readLayout(
@@ -124,5 +116,21 @@ object MergeOps {
       bucketBy = layout.numBuckets.map(n => (n, layout.bucketColumns)),
       sortBy = layout.sortColumns,
       expectedBase = base)
+  }
+
+  /** The merge dataflow itself, exposed for plan assertions: survivors =
+    * target rows with no source match on the key (rows with NULL keys
+    * never equality-match, so they always survive — MERGE's ON-condition
+    * semantics), plus every source row when upserting. The anti join's
+    * build side is the DISTINCT source keys — small for an incremental
+    * batch, so Catalyst broadcasts it and the big table never shuffles
+    * (plan-locked in V2WriteSpec). */
+  private[sources] def mergedRows(cur: DataFrame, source: DataFrame,
+      keys: Seq[String], keepSource: Boolean): DataFrame = {
+    val survivors = cur.join(source.select(keys.map(source.col): _*).distinct(),
+      keys, "left_anti")
+    if (keepSource)
+      survivors.unionByName(source.select(cur.columns.map(source.col).toIndexedSeq: _*))
+    else survivors
   }
 }

@@ -539,6 +539,25 @@ class V2WriteSpec extends AnyFunSuite {
     assert(CatalogIO.expireVersions(hc, ref, keepLast = 1).expiredVersions.isEmpty)
   }
 
+  test("merge plan: the big table is anti-joined against a BROADCAST of the source keys — no full-table shuffle") {
+    import spark.implicits._
+    val big = spark.read.parquet(s"$dir/orders.parquet")
+      .select(col("o_orderkey"), col("o_orderpriority"))
+    val batch = Seq((1L, "X"), (2L, "Y")).toDF("o_orderkey", "o_orderpriority")
+    val plan = MergeOps.mergedRows(big, batch, Seq("o_orderkey"), keepSource = true)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"), plan)
+    // the STREAMED side (between the join node and the BroadcastExchange
+    // subtree) must go scan → join with no exchange; the tiny distinct of
+    // the source keys inside the broadcast build is allowed to shuffle
+    val joinIdx = plan.indexOf("BroadcastHashJoin")
+    val buildIdx = plan.indexOf("BroadcastExchange", joinIdx)
+    assert(buildIdx > joinIdx, plan)
+    val streamedSide = plan.substring(joinIdx, buildIdx)
+    assert(!streamedSide.contains("Exchange"), s"big side shuffled:\n$plan")
+    assert(streamedSide.contains("FileScan parquet"), s"unexpected streamed side:\n$plan")
+  }
+
   test("SQL MERGE INTO is refused with a typed analysis error (V1 write bridge cannot carry it)") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
