@@ -575,6 +575,32 @@ class V2WriteSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.db.mg").count() == 1)
   }
 
+  test("TRUNCATE TABLE commits an empty version; prior snapshot time-travels") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.tr (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.tr VALUES (1,'a'), (2,'b')")
+    spark.sql(s"TRUNCATE TABLE $cat.db.tr")
+    val t = spark.table(s"$cat.db.tr")
+    assert(t.count() == 0 && t.columns.toSeq == Seq("k", "v"))
+    assert(spark.sql(s"SELECT * FROM $cat.db.tr VERSION AS OF 2").count() == 2)
+    // the table keeps accepting writes after the truncate
+    spark.sql(s"INSERT INTO $cat.db.tr VALUES (9,'z')")
+    assert(spark.table(s"$cat.db.tr").collect().map(_.mkString("|")).toSeq == Seq("9|z"))
+  }
+
+  test("SQL UPDATE is refused at analysis (library face: MergeOps.updateWhere)") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.us (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.us VALUES (1,'a')")
+    val e = intercept[Exception] {
+      spark.sql(s"UPDATE $cat.db.us SET v = 'z' WHERE k = 1")
+    }
+    assert(e.getMessage.toUpperCase.contains("UPDATE"), e.getMessage)
+    assert(spark.table(s"$cat.db.us").collect().map(_.mkString("|")).toSeq == Seq("1|a"))
+  }
+
   test("dynamic partition-overwrite mode is refused at analysis, not at runtime") {
     // Spark's V1Write bridge has no dynamic-overwrite executor, so the
     // capability is deliberately NOT advertised — the mode must fail
