@@ -189,6 +189,35 @@ class StreamMaterializeSpec extends AnyFunSuite {
     cat.close()
   }
 
+  test("a fenced replay re-publishes a lagging pointer (crash between metadata write and flip)") {
+    val wh = Files.createTempDirectory("graft-healwh").toString
+    val cat = new HadoopFsCatalog("healwh", wh)
+    cat.createNamespace(graft.catalog.Namespace.of("live"))
+    val ref = TableRef.parse("live.heal")
+    import spark.implicits._
+    StreamMaterialize.commitIngestBatch(spark, cat, ref,
+      Seq(1L).toDF("id"), 0L, "runH", true)
+    StreamMaterialize.commitIngestBatch(spark, cat, ref,
+      Seq(2L).toDF("id"), 1L, "runH", true)
+    val v2Loc = cat.loadTableMetadataLocation(ref)
+    assert(v2Loc.endsWith("v2.metadata.json"))
+    // simulate the crash window: batch 1's metadata committed but the
+    // pointer flip lost — rewind the pointer file to v1 by hand
+    val ptr = java.nio.file.Paths.get(wh, "live", "heal", "pointer.text")
+    // nio bypasses Hadoop's checksum sidecar — drop it or reads fail CRC
+    Files.deleteIfExists(java.nio.file.Paths.get(wh, "live", "heal", ".pointer.text.crc"))
+    Files.writeString(ptr, cat.metadataLocationForVersion(ref, 1) + "\n")
+    assert(CatalogIO.readTable(spark, cat, ref).count() == 1) // readers lag
+    // the replay of batch 1 is fenced (v2's metadata carries the fence)
+    // AND heals the pointer instead of leaving the rows unpublished
+    StreamMaterialize.commitIngestBatch(spark, cat, ref,
+      Seq(2L).toDF("id"), 1L, "runH", true)
+    // (healed pointer may carry the fs scheme; same file either way)
+    assert(cat.loadTableMetadataLocation(ref).endsWith("v2.metadata.json"))
+    assert(rows(CatalogIO.readTable(spark, cat, ref)) == Seq("1", "2"))
+    cat.close()
+  }
+
   test("ingest into a partitioned table follows the recorded layout (no flat files, spec preserved)") {
     val wh = Files.createTempDirectory("graft-ptwh").toString
     val cat = new HadoopFsCatalog("ptwh", wh)
