@@ -502,6 +502,74 @@ object CatalogIO {
     ExpireResult(expired, dirs)
   }
 
+  /** Outcome of [[compactTable]]. */
+  final case class CompactResult(metadataLocation: String,
+      fromFiles: Int, toFiles: Int, compacted: Boolean)
+
+  /** Rewrite the CURRENT snapshot into few, full-size files and commit it
+    * as the next version — the small-files maintenance face of the format
+    * (Iceberg's rewrite-data-files idiom), the designed counterpart of
+    * [[commitAppend]]: every streaming micro-batch / `INSERT INTO` adds
+    * its own small files to the manifest, and after thousands of triggers
+    * the scan cost is dominated by per-file open overhead, not bytes.
+    * Compaction is an ordinary versioned commit — fresh segment, base
+    * gate (a rival append in flight fails THIS commit, never loses rows),
+    * prior versions stay time-travelable over their own segments until
+    * [[expireVersions]] reclaims them — and commit-scoped `properties`
+    * carry forward, so a streaming writer's replay fence survives (a
+    * compaction that dropped the fence would let a crash-replayed batch
+    * double-append).
+    *
+    * Target file counts derive from the recorded layout:
+    *  - bucketed: rows are repartitioned onto their bucket id (Spark's
+    *    `repartition(n, cols)` and the bucketed writer share Murmur3
+    *    `HashPartitioning`), so each task holds exactly one bucket and
+    *    the writer emits ONE file per bucket — the minimum a bucketed
+    *    layout admits, SPJ-ready;
+    *  - identity-partitioned: rows are repartitioned on the partition
+    *    columns, so each partition value's rows land in one task → one
+    *    file per partition directory;
+    *  - unpartitioned: `ceil(currentBytes / targetFileBytes)` tasks.
+    *
+    * A manifest of ≤1 file is already compact: no-op, no version churn
+    * (`compacted = false`). Post-evolution compaction materializes the
+    * CURRENT schema (added columns become real null-bearing columns in
+    * the rewritten files — older versions still read their own files). */
+  def compactTable(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
+      targetFileBytes: Long = 128L << 20): CompactResult = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val (base, layout) = latestVersionLayout(cat, ref).getOrElse(
+      throw new NoSuchTableException(
+        s"Table $ref has no local version history to compact"))
+    val files = layout.absoluteDataFiles.getOrElse(
+      throw new UnsupportedOperationException(
+        s"Table $ref v$base predates file manifests (whole-directory " +
+          "snapshot); INSERT OVERWRITE once to upgrade it before compacting"))
+    if (files.size <= 1)
+      return CompactResult(cat.metadataLocationForVersion(ref, base),
+        files.size, files.size, compacted = false)
+    val fs = cat.fileSystem
+    val cur = readTableVersion(spark, cat, ref, base, fs.getConf)
+    val arranged = (layout.numBuckets, layout.partitionColumns) match {
+      case (Some(n), _) =>
+        cur.repartition(n, layout.bucketColumns.map(cur.col): _*)
+      case (None, pcols) if pcols.nonEmpty =>
+        cur.repartition(pcols.map(cur.col): _*)
+      case _ =>
+        val bytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+        cur.repartition(math.max(1L,
+          math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt)
+    }
+    val loc = commitVersion(spark, cat, ref, arranged,
+      partitionBy = layout.partitionColumns,
+      bucketBy = layout.numBuckets.map(n => (n, layout.bucketColumns)),
+      sortBy = layout.sortColumns,
+      expectedBase = Some(base),
+      properties = layout.properties)
+    val toFiles = readLayout(loc, fs.getConf).dataFiles.map(_.size).getOrElse(0)
+    CompactResult(loc, files.size, toFiles, compacted = true)
+  }
+
   /** The LATEST version's (number, layout) — the commit-derivation base
     * for writers and the carrier of commit-scoped properties (e.g. a
     * streaming writer's replay fence, exactly as durable as the commit

@@ -218,6 +218,31 @@ class StreamMaterializeSpec extends AnyFunSuite {
     cat.close()
   }
 
+  test("compaction carries the replay fence: a crash-replayed batch stays fenced after compact") {
+    val wh = Files.createTempDirectory("graft-cfwh").toString
+    val cat = new HadoopFsCatalog("cfwh", wh)
+    cat.createNamespace(graft.catalog.Namespace.of("live"))
+    val ref = TableRef.parse("live.cfing")
+    import spark.implicits._
+    StreamMaterialize.commitIngestBatch(spark, cat, ref,
+      Seq(1L).toDF("id"), 0L, "fenceK", true)
+    StreamMaterialize.commitIngestBatch(spark, cat, ref,
+      Seq(2L).toDF("id"), 1L, "fenceK", true)
+    val res = CatalogIO.compactTable(spark, cat, ref)
+    assert(res.compacted)
+    // replaying batch 1 AFTER the compaction must still be fenced — the
+    // compaction commit carries commit-scoped properties forward; a
+    // compaction that dropped the fence would double-append here
+    StreamMaterialize.commitIngestBatch(spark, cat, ref,
+      Seq(2L).toDF("id"), 1L, "fenceK", true)
+    assert(rows(CatalogIO.readTable(spark, cat, ref)) == Seq("1", "2"))
+    // and a genuinely new batch still appends past the compaction
+    StreamMaterialize.commitIngestBatch(spark, cat, ref,
+      Seq(3L).toDF("id"), 2L, "fenceK", true)
+    assert(rows(CatalogIO.readTable(spark, cat, ref)) == Seq("1", "2", "3"))
+    cat.close()
+  }
+
   test("ingest into a partitioned table follows the recorded layout (no flat files, spec preserved)") {
     val wh = Files.createTempDirectory("graft-ptwh").toString
     val cat = new HadoopFsCatalog("ptwh", wh)
