@@ -45,9 +45,9 @@ object ScaleSmoke {
     replicate("lineitem") { (df, i) =>
       df.withColumn("l_orderkey", col("l_orderkey") + lit(i * 10000000L))
     }
-    // the write experiment only needs lineitem — skip the rest of the
-    // synthesis when it (or srp, which synthesizes nothing) runs alone
-    if (only.isEmpty || (only -- Set("write", "srp")).nonEmpty) {
+    // the write/compact experiments only need lineitem — skip the rest
+    // of the synthesis when they (or srp, which synthesizes nothing) run alone
+    if (only.isEmpty || (only -- Set("write", "srp", "compact")).nonEmpty) {
       replicate("orders") { (df, i) =>
         df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
           .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
@@ -74,14 +74,15 @@ object ScaleSmoke {
       "t06_pack_sequences", "p01_training_pipeline")
     // a typo'd name silently measuring nothing would waste a multi-hour
     // rerun — fail fast instead ("srp"/"write" select those experiments)
-    val unknown = only -- all.toSet - "srp" - "write"
+    val unknown = only -- all.toSet - "srp" - "write" - "compact"
     require(unknown.isEmpty,
-      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write")
+      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact")
     all.filter(q => only.isEmpty || only(q)).foreach { q =>
       try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
     }
     if (only.isEmpty || only("srp")) srpScale(spark, 2000 * replicas)
     if (only.isEmpty || only("write")) writeScale(spark, out, replicas)
+    if (only.isEmpty || only("compact")) compactScale(spark, out, replicas)
     spark.stop()
   }
 
@@ -116,6 +117,51 @@ object ScaleSmoke {
         f"${(System.nanoTime() - s0) / 1e9}%.1f s")
       val fin = spark.table(s"$cat.db.li").count()
       println(s"[scale] write x$replicas: final rows $fin (expect ${rows + 400000})")
+    }
+
+  /** Small-files experiment for the compaction face: a simulated
+    * streaming ingest (40 manifest appends of lineitem slices) fragments
+    * the manifest; the SAME aggregate scan is timed (min of 3) against
+    * the fragmented table and again after `CatalogIO.compactTable`. At
+    * fixed bytes the delta is pure per-file overhead — the cost
+    * compaction exists to reclaim — and the compact cost itself is the
+    * one-time O(table) rewrite that buys it back. */
+  private def compactScale(spark: SparkSession, out: String, replicas: Int): Unit =
+    graft.sources.TempCatalog.withTemp(spark, s"graft-compact-x$replicas") { cat =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.read.parquet(s"$out/lineitem.parquet")
+        .select("l_orderkey", "l_quantity", "l_returnflag")
+        .createOrReplaceTempView("cs_src")
+      val slices = 40
+      val t0 = System.nanoTime()
+      spark.sql(s"CREATE TABLE $cat.db.ing USING parquet AS " +
+        s"SELECT * FROM cs_src WHERE pmod(l_orderkey, $slices) = 0")
+      (1 until slices).foreach { i =>
+        spark.sql(s"INSERT INTO $cat.db.ing " +
+          s"SELECT * FROM cs_src WHERE pmod(l_orderkey, $slices) = $i")
+      }
+      println(f"[scale] compact x$replicas: ingested $slices slices in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val hc = new graft.catalog.HadoopFsCatalog(cat,
+        spark.conf.get(s"spark.sql.catalog.$cat.warehouse"))
+      try {
+        val ref = graft.catalog.TableRef.parse("db.ing")
+        def scanTime(): Double = {
+          val s0 = System.nanoTime()
+          spark.table(s"$cat.db.ing").groupBy("l_returnflag")
+            .agg(sum("l_quantity")).collect()
+          (System.nanoTime() - s0) / 1e9
+        }
+        val before = graft.catalog.CatalogIO
+          .readLayout(hc.loadTableMetadataLocation(ref)).dataFiles.get.size
+        val fragScan = (1 to 3).map(_ => scanTime()).min
+        val c0 = System.nanoTime()
+        val res = graft.catalog.CatalogIO.compactTable(spark, hc, ref)
+        val compactSecs = (System.nanoTime() - c0) / 1e9
+        val compScan = (1 to 3).map(_ => scanTime()).min
+        println(f"[scale] compact x$replicas: $before files -> ${res.toFiles}, " +
+          f"scan $fragScan%.2f s -> $compScan%.2f s, compact cost $compactSecs%.1f s")
+      } finally hc.close()
     }
 
   /** SRP-LSH candidate growth in the operator's design regime: n random
