@@ -528,7 +528,10 @@ object CatalogIO {
     *    layout admits, SPJ-ready;
     *  - identity-partitioned: rows are repartitioned on the partition
     *    columns, so each partition value's rows land in one task → one
-    *    file per partition directory;
+    *    file per partition directory (a heavily skewed partition becomes
+    *    one large file — parquet row groups keep SCANS parallel, but the
+    *    single write task is the honest cost; split oversized partitions
+    *    before ingest if write latency matters);
     *  - unpartitioned: `ceil(currentBytes / targetFileBytes)` tasks.
     *
     * A manifest of ≤1 file is already compact: no-op, no version churn
