@@ -432,6 +432,21 @@ object CatalogIO {
     val staging = new Path(cat.tableDir(ref),
       s"stage-v$n-${java.util.UUID.randomUUID().toString.take(8)}")
     writeData(spark, staging, df, partitionBy, bucketBy, sortBy)
+    // Re-check the base immediately before the staged files enter the
+    // SHARED segment tree: a rival commit during our (long) data write
+    // would make the metadata write below lose anyway, but by then our
+    // files would sit in the live segment as permanent orphans. Losing
+    // HERE costs only the committer-private staging dir, which we can
+    // still reclaim. (A rival landing inside the move→metadata window
+    // still orphans — that residue is what sweepOrphanFiles collects.)
+    expectedBase.foreach { base =>
+      cat.latestTableVersion(ref).filter(_ != base).foreach { latest =>
+        cat.fileSystem.delete(staging, true)
+        throw new CommitConflictException(
+          s"Concurrent commit on $ref: this append read snapshot v$base but " +
+            s"the table is now at v$latest; retry the read-modify-write")
+      }
+    }
     val moved = moveIntoSegment(cat.fileSystem, staging, new Path(prior.dataLocation))
     // appends cannot change the schema (insert resolution projects onto
     // the table schema), so the prior version's recorded DDL carries

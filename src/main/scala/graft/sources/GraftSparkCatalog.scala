@@ -281,6 +281,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       s"$catalogName: $ref predates recorded schemas; INSERT OVERWRITE once " +
         "to upgrade it before altering"))
     var fields = org.apache.spark.sql.types.StructType.fromDDL(ddl).fields.toVector
+    val pset = layout.partitionColumns.map(_.toLowerCase).toSet
+    def suffixShaped(fs: Vector[org.apache.spark.sql.types.StructField]): Boolean = {
+      val firstP = fs.indexWhere(f => pset(f.name.toLowerCase))
+      firstP < 0 || fs.drop(firstP).forall(f => pset(f.name.toLowerCase))
+    }
+    val priorSuffixShaped = suffixShaped(fields)
     changes.foreach {
       case add: TableChange.AddColumn =>
         if (add.fieldNames.length != 1)
@@ -303,10 +309,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
             // columns stay a schema suffix (Spark's file tables always
             // serve dataSchema ++ partitionSchema, so a column added
             // after the partition columns would reorder under the
-            // reader's feet)
+            // reader's feet). On a LEGACY schema whose partition columns
+            // are interleaved (not a suffix), "before the first
+            // partition column" is an arbitrary middle position that can
+            // diverge from the served order — append at the END instead
+            // (the one position the served dataSchema ++ partitionSchema
+            // order preserves for an interleaved declaration).
             val p = fields.indexWhere(f =>
               layout.partitionColumns.exists(_.equalsIgnoreCase(f.name)))
-            if (p < 0) fields :+ fld
+            if (p < 0 || !priorSuffixShaped) fields :+ fld
             else (fields.take(p) :+ fld) ++ fields.drop(p)
           case Some(_: TableChange.First) => fld +: fields
           case Some(a: TableChange.After) =>
@@ -326,13 +337,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     // partitionSchema, so such a DDL order would never match the served
     // schema. Only enforced when the prior schema HAS the suffix shape
     // (legacy declarations that already interleave stay alterable).
-    val pset = layout.partitionColumns.map(_.toLowerCase).toSet
-    def suffixShaped(fs: Vector[org.apache.spark.sql.types.StructField]): Boolean = {
-      val firstP = fs.indexWhere(f => pset(f.name.toLowerCase))
-      firstP < 0 || fs.drop(firstP).forall(f => pset(f.name.toLowerCase))
-    }
-    if (suffixShaped(org.apache.spark.sql.types.StructType.fromDDL(ddl).fields.toVector)
-        && !suffixShaped(fields))
+    if (priorSuffixShaped && !suffixShaped(fields))
       throw new IllegalArgumentException(
         s"$catalogName: column position would interleave data columns with the " +
           s"partition columns (${layout.partitionColumns.mkString(", ")}); file " +

@@ -43,20 +43,55 @@ object MergeOps {
 
   /** Upsert `source` into the catalog table on equality of `keys`.
     * Source must carry the table's full schema (by name). Returns the
-    * new version's metadata location. */
+    * new version's metadata location.
+    *
+    * Source-key cardinality: two source rows sharing a key would both
+    * insert (the anti join only drops TARGET rows), silently leaving
+    * duplicate keys in the table — the doubled-feed foot-gun. SQL MERGE
+    * raises a cardinality error for the analogous multiple-match case,
+    * and so does this operator: duplicate non-null source keys throw
+    * [[MergeCardinalityException]] before anything commits. (Rows with a
+    * NULL key never equality-match anything — each inserts, as in SQL —
+    * so they are exempt.) Dedup the feed first (e.g. a row_number window
+    * keeping the latest) if last-wins is the intended semantics. The
+    * check is one aggregate over the SOURCE only — the incremental
+    * batch, never the big table.
+    *
+    * `hadoopOpts` overlays the Hadoop conf for metadata/data access,
+    * matching the DSv2 write path (object-store credentials etc.). */
   def upsert(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
-      source: DataFrame, keys: Seq[String]): String = {
+      source: DataFrame, keys: Seq[String],
+      hadoopOpts: Map[String, String] = Map.empty): String = {
     require(keys.nonEmpty, "upsert needs at least one merge key column")
-    merge(spark, cat, ref, source, keys, keepSource = true)
+    requireUniqueKeys(source, keys)
+    merge(spark, cat, ref, source, keys, keepSource = true, hadoopOpts)
   }
 
   /** Drop every target row matched by `source` on `keys` — MERGE's
     * `WHEN MATCHED THEN DELETE`, e.g. a revocation/takedown feed.
-    * Only the key columns of `source` are consulted. */
+    * Only the key columns of `source` are consulted. Duplicate source
+    * keys are harmless here (deleting the same key twice is deleting it
+    * once), so no cardinality check applies. */
   def deleteMatched(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
-      source: DataFrame, keys: Seq[String]): String = {
+      source: DataFrame, keys: Seq[String],
+      hadoopOpts: Map[String, String] = Map.empty): String = {
     require(keys.nonEmpty, "deleteMatched needs at least one merge key column")
-    merge(spark, cat, ref, source, keys, keepSource = false)
+    merge(spark, cat, ref, source, keys, keepSource = false, hadoopOpts)
+  }
+
+  private def requireUniqueKeys(source: DataFrame, keys: Seq[String]): Unit = {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val nonNull = keys.map(k => source.col(k).isNotNull).reduce(_ && _)
+    val dups = source.filter(nonNull)
+      .groupBy(keys.map(source.col): _*)
+      .agg(count(lit(1)).as("graft_dup_n")).filter(col("graft_dup_n") > 1)
+      .limit(5).collect()
+    if (dups.nonEmpty)
+      throw new MergeCardinalityException(
+        s"upsert source has duplicate merge key(s) on (${keys.mkString(", ")}): " +
+          dups.map(_.toSeq.init.mkString("(", ", ", ")")).mkString(", ") +
+          " … — dedup the source (e.g. keep the latest row per key with a " +
+          "row_number window) or the doubled feed would silently duplicate keys")
   }
 
   /** `UPDATE … SET … WHERE cond` as a copy-on-write versioned commit:
@@ -67,9 +102,10 @@ object MergeOps {
     * column of the table. */
   def updateWhere(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
       condition: org.apache.spark.sql.Column,
-      assignments: Map[String, org.apache.spark.sql.Column]): String = {
+      assignments: Map[String, org.apache.spark.sql.Column],
+      hadoopOpts: Map[String, String] = Map.empty): String = {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
-    val (curOpt, base) = GraftWriteSupport.currentSnapshot(spark, cat, ref, Map.empty)
+    val (curOpt, base) = GraftWriteSupport.currentSnapshot(spark, cat, ref, hadoopOpts)
     val cur = curOpt.getOrElse(throw new graft.catalog.NoSuchTableException(
       s"Table $ref has no readable snapshot to update"))
     val unknown = assignments.keys
@@ -86,19 +122,13 @@ object MergeOps {
         case None => cur.col(c)
       }
     }: _*)
-    val layout = CatalogIO.readLayout(
-      base.map(cat.metadataLocationForVersion(ref, _))
-        .getOrElse(cat.loadTableMetadataLocation(ref)))
-    CatalogIO.commitVersion(spark, cat, ref, next,
-      partitionBy = layout.partitionColumns,
-      bucketBy = layout.numBuckets.map(n => (n, layout.bucketColumns)),
-      sortBy = layout.sortColumns,
-      expectedBase = base)
+    commitLikeBase(spark, cat, ref, next, base, hadoopOpts)
   }
 
   private def merge(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
-      source: DataFrame, keys: Seq[String], keepSource: Boolean): String = {
-    val (curOpt, base) = GraftWriteSupport.currentSnapshot(spark, cat, ref, Map.empty)
+      source: DataFrame, keys: Seq[String], keepSource: Boolean,
+      hadoopOpts: Map[String, String]): String = {
+    val (curOpt, base) = GraftWriteSupport.currentSnapshot(spark, cat, ref, hadoopOpts)
     val cur = curOpt.getOrElse(throw new graft.catalog.NoSuchTableException(
       s"Table $ref has no readable snapshot to merge into"))
     val missing = keys.filterNot(k => cur.columns.exists(_.equalsIgnoreCase(k)))
@@ -106,16 +136,30 @@ object MergeOps {
       s"merge key(s) ${missing.mkString(", ")} not in $ref's schema " +
         s"(${cur.columns.mkString(", ")})")
     val next = mergedRows(cur, source, keys, keepSource)
-    // layout of the BASE version — reading the pointer here could see a
-    // rival's newer layout while the rows came from the base snapshot
+    commitLikeBase(spark, cat, ref, next, base, hadoopOpts)
+  }
+
+  /** Commit `next` re-applying the BASE version's layout — reading the
+    * pointer here could see a rival's newer layout while the rows came
+    * from the base snapshot. Commit-scoped `properties` carry forward
+    * too: a streaming replay fence must survive an interleaved merge, or
+    * a crash-replayed batch would double-append (the fence is atomic
+    * with the version it rode in on, and these COMMITS derive from that
+    * version). */
+  private def commitLikeBase(spark: SparkSession, cat: HadoopFsCatalog,
+      ref: TableRef, next: DataFrame, base: Option[Int],
+      hadoopOpts: Map[String, String]): String = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
     val layout = CatalogIO.readLayout(
       base.map(cat.metadataLocationForVersion(ref, _))
-        .getOrElse(cat.loadTableMetadataLocation(ref)))
+        .getOrElse(cat.loadTableMetadataLocation(ref)), conf)
     CatalogIO.commitVersion(spark, cat, ref, next,
       partitionBy = layout.partitionColumns,
       bucketBy = layout.numBuckets.map(n => (n, layout.bucketColumns)),
       sortBy = layout.sortColumns,
-      expectedBase = base)
+      expectedBase = base,
+      properties = layout.properties)
   }
 
   /** The merge dataflow itself, exposed for plan assertions: survivors =
@@ -134,3 +178,8 @@ object MergeOps {
     else survivors
   }
 }
+
+/** Typed refusal for an upsert source carrying duplicate merge keys —
+  * the library face of SQL MERGE's cardinality violation. */
+final class MergeCardinalityException(message: String)
+  extends IllegalArgumentException(message)

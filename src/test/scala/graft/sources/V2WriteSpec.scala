@@ -653,6 +653,70 @@ class V2WriteSpec extends AnyFunSuite {
     assert(t.count() == 0)
   }
 
+  test("upsert refuses a duplicate-key source (doubled feed) with a typed cardinality error") {
+    val (cat, hc) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.cd (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.cd VALUES (1,'a')")
+    val ref = TableRef.parse("db.cd")
+    // the doubled feed: key 2 appears twice — refusing beats silently
+    // doubling the corpus
+    val doubled = Seq((2L, "first"), (2L, "second"), (3L, "c")).toDF("k", "v")
+    val e = intercept[MergeCardinalityException] {
+      MergeOps.upsert(spark, hc, ref, doubled, Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate merge key"), e.getMessage)
+    // nothing committed: table still at v1+v2
+    assert(hc.listTableVersions(ref) == Seq(1, 2))
+    // NULL keys are exempt (they never equality-match — each inserts, as
+    // in SQL MERGE): two null-key rows are not a cardinality violation
+    val nulls = Seq((Some(5L), "e"), (None, "n1"), (None, "n2"))
+      .toDF("k", "v")
+    MergeOps.upsert(spark, hc, ref, nulls, Seq("k"))
+    assert(spark.table(s"$cat.db.cd").count() == 4)
+  }
+
+  test("a streaming replay fence survives MergeOps commits (properties carry forward)") {
+    val (cat, hc) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    val ref = TableRef.parse("db.fm")
+    // a table whose current version carries a commit-scoped property,
+    // exactly like appendStream's replay fence
+    CatalogIO.createTable(spark, hc, ref, Seq((1L, "a")).toDF("k", "v"),
+      properties = Map("graft.stream.lastBatch.test" -> "7"))
+    MergeOps.upsert(spark, hc, ref, Seq((2L, "b")).toDF("k", "v"), Seq("k"))
+    MergeOps.updateWhere(spark, hc, ref, col("k") === 1L,
+      Map("v" -> lit("A")))
+    MergeOps.deleteMatched(spark, hc, ref, Seq((2L, "x")).toDF("k", "v"), Seq("k"))
+    // three snapshot-deriving commits later, the fence is still there —
+    // a crash-replayed batch 7 must still be fenced off
+    val props = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref)).properties
+    assert(props.get("graft.stream.lastBatch.test").contains("7"), props)
+  }
+
+  test("ADD COLUMN default position on a legacy interleaved schema appends at the end") {
+    val (cat, hc) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    // created through the library with the partition column mid-schema:
+    // the recorded DDL interleaves (a, p, b) — NOT the suffix shape the
+    // DSv2 DDL face produces
+    CatalogIO.createTable(spark, hc, TableRef.parse("db.il"),
+      Seq((1L, "x", 2.0)).toDF("a", "p", "b"), partitionBy = Seq("p"))
+    spark.sql(s"ALTER TABLE $cat.db.il ADD COLUMNS (c BIGINT)")
+    val ddl = CatalogIO.readLayout(
+      hc.loadTableMetadataLocation(TableRef.parse("db.il"))).schemaDdl.get
+    // "before the first partition column" would be position 1 — an
+    // arbitrary middle slot for an interleaved declaration; the end is
+    // the one position the served order preserves
+    val names = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+      .fields.map(_.name).toSeq
+    assert(names == Seq("a", "p", "b", "c"), ddl)
+    assert(spark.table(s"$cat.db.il").columns.contains("c"))
+  }
+
   test("writes to a non-versioning (rest/memory) catalog fail cleanly") {
     val backing = graft.catalog.CatalogConfig("memory", s"m${java.util.UUID.randomUUID().toString.take(6)}")
     val server = new graft.catalog.RestCatalogServer(
