@@ -730,10 +730,12 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // w01: the SQL write surface as relational algebra — CTAS ∪ append,
     // minus the overwritten partition plus its replacement, schema
-    // evolution as a NULL-filled column the later append populates, and
-    // the DELETE as the null-safe survivor filter. The engine runs real
-    // versioned commits (WriteQueries.w01); the oracle replays the same
-    // end state purely declaratively.
+    // evolution as a NULL-filled column the later append populates, the
+    // DELETE as the null-safe survivor filter, MERGE as left-join update
+    // ∪ anti-join insert, UPDATE as a CASE projection, and the dynamic
+    // partition overwrite as partition-minus ∪ replacement. The engine
+    // runs real versioned commits (WriteQueries.w01); the oracle replays
+    // the same end state purely declaratively.
     "w01_sql_write_surface" ->
       """WITH base AS (
         |  SELECT c_custkey AS k, c_acctbal AS bal, CAST(c_nationkey AS VARCHAR) AS n FROM customer
@@ -750,9 +752,27 @@ object SparkEntry {
         |  FROM orders WHERE o_orderkey % 100 = 0
         |), fin AS (
         |  SELECT * FROM ev WHERE NOT COALESCE(bal < 0 AND seg IS NULL, FALSE)
+        |), src AS (
+        |  SELECT s_suppkey AS k, s_acctbal AS bal, CAST(s_nationkey AS VARCHAR) AS n, 'M' AS seg
+        |  FROM supplier WHERE s_suppkey <= 20
+        |), mg AS (
+        |  SELECT f.k,
+        |         CASE WHEN s.k IS NOT NULL THEN f.bal + s.bal ELSE f.bal END AS bal,
+        |         f.n,
+        |         CASE WHEN s.k IS NOT NULL THEN 'M' ELSE f.seg END AS seg
+        |  FROM fin f LEFT JOIN src s ON f.k = s.k
+        |  UNION ALL
+        |  SELECT s.k, s.bal, s.n, s.seg FROM src s
+        |  WHERE NOT EXISTS (SELECT 1 FROM fin f WHERE f.k = s.k)
+        |), up AS (
+        |  SELECT k, bal, n, CASE WHEN bal < 0 THEN 'NEG' ELSE seg END AS seg FROM mg
+        |), dyn AS (
+        |  SELECT * FROM up WHERE n <> '11'
+        |  UNION ALL
+        |  SELECT c_custkey + 3000000, c_acctbal, '11', 'D' FROM customer WHERE c_custkey <= 3
         |)
         |SELECT n, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(seg) AS n_seg
-        |FROM fin GROUP BY n ORDER BY n""".stripMargin,
+        |FROM dyn GROUP BY n ORDER BY n""".stripMargin,
     // p01: the composed pipeline — each CTE block is the already-proven
     // per-stage oracle (t07 repetition → d07 decontamination → d01
     // pairs → d06 recursive-CTE canonical → t05 sample → t06 pack),

@@ -460,6 +460,103 @@ object CatalogIO {
     commitLayoutAsVersion(cat, ref, n, layout)
   }
 
+  // ----- staged-file commits (round 8: the native DSv2 BatchWrite) -----
+  //
+  // The native write path ([[graft.sources.GraftWrite]]) has EXECUTORS
+  // write data files straight into a committer-private staging dir —
+  // rows never funnel through the driver, unlike [[commitVersion]]'s
+  // DataFrame faces, which re-run the query through a driver-planned
+  // write job. These faces turn already-staged files into one versioned
+  // commit: pure metadata work (a file move + one JSON write), O(files
+  // in this commit), never O(table). All carry the prior version's
+  // commit-scoped properties forward, so a streaming replay fence
+  // survives any interleaved SQL write.
+
+  /** Staged APPEND: drain `staging` into the current segment tree and
+    * commit prior-manifest ∪ moved as the next version — the staged-file
+    * face of [[commitAppend]] (same O(new-data) shape, same crash story:
+    * files moved before a crash are unreferenced orphans, invisible to
+    * every manifest reader). The base is the latest version at commit
+    * time — an append derives nothing from what it read, so the only
+    * race that matters is the same-version-number metadata write, which
+    * stays create-exclusive. */
+  def commitStagedAppend(cat: HadoopFsCatalog, ref: TableRef, staging: Path,
+      schemaDdl: String, partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None,
+      sortBy: Seq[String] = Nil): String = {
+    val n = nextVersionNumber(cat, ref, bucketBy, sortBy, expectedBase = None)
+    val prior = readLayout(cat.metadataLocationForVersion(ref, n - 1),
+      cat.fileSystem.getConf)
+    val priorFiles = prior.dataFiles.getOrElse(throw new UnsupportedOperationException(
+      s"Table $ref v${n - 1} predates file manifests (whole-directory snapshot); " +
+        "INSERT OVERWRITE once to upgrade it before appending"))
+    val moved = moveIntoSegment(cat.fileSystem, staging, new Path(prior.dataLocation))
+    // appends cannot change the schema (insert resolution projects onto
+    // the table schema), so the prior version's recorded DDL carries over
+    commitLayoutAsVersion(cat, ref, n, TableLayout(prior.dataLocation,
+      partitionBy, bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
+      prior.schemaDdl.orElse(Some(schemaDdl)),
+      dataFiles = Some(priorFiles ++ moved),
+      properties = prior.properties))
+  }
+
+  /** Staged FULL SNAPSHOT: promote `staging` to a fresh segment whose
+    * files ARE the next version — `INSERT OVERWRITE` (the format's
+    * natural compaction: one-segment manifest) and the group-based
+    * row-level rewrites (SQL MERGE / UPDATE — `expectedBase` pins the
+    * snapshot the operation SCANNED, so a rival commit in between fails
+    * this one instead of being silently erased). The promotion is one
+    * directory rename; a full overwrite replaces DATA, not
+    * table-lifetime commit properties — those carry forward. */
+  def commitStagedSnapshot(cat: HadoopFsCatalog, ref: TableRef, staging: Path,
+      schemaDdl: String, partitionBy: Seq[String] = Nil,
+      bucketBy: Option[(Int, Seq[String])] = None,
+      sortBy: Seq[String] = Nil,
+      expectedBase: Option[Int] = None): String = {
+    val priorProps = currentProperties(cat, ref)
+    val n = nextVersionNumber(cat, ref, bucketBy, sortBy, expectedBase)
+    val fs = cat.fileSystem
+    val dataDir = versionDataDir(cat, ref, n)
+    if (!fs.exists(staging)) fs.mkdirs(staging) // an all-empty write still commits
+    if (!fs.rename(staging, dataDir))
+      throw new java.io.IOException(
+        s"Could not promote staging dir $staging to segment $dataDir")
+    commitLayoutAsVersion(cat, ref, n, TableLayout(dataDir.toString,
+      partitionBy, bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
+      Some(schemaDdl),
+      dataFiles = Some(listDataFiles(fs, dataDir)),
+      properties = priorProps))
+  }
+
+  /** Staged MANIFEST REPLACE: the next version = (prior files passing
+    * `keepFile`) ∪ staged files, all in the SAME segment tree — the
+    * O(new-data) form of partition overwrite. Static `INSERT OVERWRITE …
+    * PARTITION` and dynamic partition-overwrite mode both reduce to
+    * this: the replaced partitions' old files stay on disk for the prior
+    * versions that reference them (expiry reclaims), and nothing is
+    * rewritten — at 100 TB, replacing one partition costs that
+    * partition's new files plus one metadata write. `keepFile` sees
+    * segment-relative paths (partition dirs included). */
+  private[graft] def commitStagedManifestReplace(cat: HadoopFsCatalog,
+      ref: TableRef, staging: Path, schemaDdl: String,
+      partitionBy: Seq[String], bucketBy: Option[(Int, Seq[String])],
+      sortBy: Seq[String], expectedBase: Option[Int],
+      keepFile: String => Boolean): String = {
+    val n = nextVersionNumber(cat, ref, bucketBy, sortBy, expectedBase)
+    val prior = readLayout(cat.metadataLocationForVersion(ref, n - 1),
+      cat.fileSystem.getConf)
+    val priorFiles = prior.dataFiles.getOrElse(throw new UnsupportedOperationException(
+      s"Table $ref v${n - 1} predates file manifests (whole-directory snapshot); " +
+        "INSERT OVERWRITE once to upgrade it before a partition-level overwrite"))
+    val survivors = priorFiles.filter(keepFile)
+    val moved = moveIntoSegment(cat.fileSystem, staging, new Path(prior.dataLocation))
+    commitLayoutAsVersion(cat, ref, n, TableLayout(prior.dataLocation,
+      partitionBy, bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
+      prior.schemaDdl.orElse(Some(schemaDdl)),
+      dataFiles = Some(survivors ++ moved),
+      properties = prior.properties))
+  }
+
   /** Outcome of [[expireVersions]]. */
   final case class ExpireResult(expiredVersions: Seq[Int], deletedDataDirs: Int)
 
@@ -623,7 +720,7 @@ object CatalogIO {
   /** Relative paths (to `root`) of every visible data file under `root`,
     * sorted for determinism. Hidden entries (`_SUCCESS`, `.crc`…) are
     * write-protocol artifacts, not data. */
-  private def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
+  private[graft] def listDataFiles(fs: org.apache.hadoop.fs.FileSystem,
       root: Path): Seq[String] = {
     def walk(p: Path): Seq[Path] =
       fs.listStatus(p).toSeq

@@ -230,5 +230,5 @@ final class HadoopFsCatalog(val name: String, warehouse: String,
 
   private[catalog] def warehousePath: Path = root
   private[catalog] def fileSystem: FileSystem = fs
-  private[catalog] def tableDir(ref: TableRef): Path = tablePath(ref)
+  private[graft] def tableDir(ref: TableRef): Path = tablePath(ref)
 }

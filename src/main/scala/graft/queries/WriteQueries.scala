@@ -8,10 +8,11 @@ import org.apache.spark.sql.functions._
   * previously lived only in specs. w01 drives every write face through
   * the DSv2 catalog — CTAS into a partitioned table, a MANIFEST append,
   * a static partition overwrite, ADD COLUMN schema evolution, an append
-  * carrying the evolved column, and a DELETE — then reads the final
-  * state back and aggregates it into an integer-exact result the
-  * DuckDB oracle reproduces with pure relational algebra over the same
-  * inputs.
+  * carrying the evolved column, a DELETE, and (round 8, via the native
+  * `BatchWrite`) a full-clause MERGE INTO, an UPDATE, and a dynamic
+  * partition overwrite — then reads the final state back and aggregates
+  * it into an integer-exact result the DuckDB oracle reproduces with
+  * pure relational algebra over the same inputs.
   *
   * The aggregate avoids float accumulation (counts + BIGINT key sums
   * only), so the driver's hash compare is exact. Each invocation builds
@@ -50,6 +51,25 @@ object WriteQueries {
            |FROM parquet.`$dir/orders.parquet` WHERE o_orderkey % 100 = 0""".stripMargin)
       // row-level delete: versioned commit of the survivors
       spark.sql(s"DELETE FROM $cat.db.cust WHERE bal < 0 AND seg IS NULL")
+      // MERGE INTO through the native group-based rewrite: matched keys
+      // take a conditional assignment, unmatched source rows insert
+      spark.sql(
+        s"""MERGE INTO $cat.db.cust t
+           |USING (SELECT s_suppkey AS k, s_acctbal AS bal, 'M' AS seg,
+           |              CAST(s_nationkey AS STRING) AS n
+           |       FROM parquet.`$dir/supplier.parquet` WHERE s_suppkey <= 20) s
+           |ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET t.seg = s.seg, t.bal = t.bal + s.bal
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      // UPDATE through the same rewrite (condition on a data column)
+      spark.sql(s"UPDATE $cat.db.cust SET seg = 'NEG' WHERE bal < 0")
+      // dynamic partition overwrite: replaces exactly partition n='11'
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try spark.sql(
+        s"""INSERT OVERWRITE $cat.db.cust
+           |SELECT c_custkey + 3000000 AS k, c_acctbal AS bal, 'D' AS seg, '11' AS n
+           |FROM parquet.`$dir/customer.parquet` WHERE c_custkey <= 3""".stripMargin)
+      finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
       val out = spark.table(s"$cat.db.cust")
         .groupBy("n")
         .agg(count(lit(1)).as("cnt"),

@@ -1,0 +1,675 @@
+package graft.sources
+
+import java.util.UUID
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.hadoop.mapreduce.{Job, JobID, TaskAttemptID, TaskID, TaskType}
+import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriterCommitMessage}
+import org.apache.spark.sql.execution.datasources.OutputWriter
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.catalog.{CatalogIO, HadoopFsCatalog, TableRef}
+import graft.catalog.CatalogIO.TableLayout
+
+/** The native DSv2 write engine (round 8): executors stream rows into
+  * STAGED parquet files through Spark's own `ParquetFileFormat` output
+  * writers, and the driver's `BatchWrite.commit` turns the staged files
+  * into one versioned catalog commit. Replacing the V1
+  * `InsertableRelation` bridge with a real `BatchWrite` is what lets
+  * Spark's group-based row-level plans (`ReplaceDataExec` — SQL
+  * `MERGE INTO`, `UPDATE`, non-pushable `DELETE`) and dynamic
+  * partition-overwrite mode execute against this format; the V1 bridge
+  * could only refuse them at analysis.
+  *
+  * Scale shape of the write path itself:
+  *  - rows never funnel through the driver — each task writes its own
+  *    files (the V1 bridge materialized a `Dataset` insert, this writes
+  *    the query's own distributed output);
+  *  - the write requests a CLUSTERED distribution on the table's
+  *    partition columns (and bucket transform when bucketed), so each
+  *    partition directory / bucket id is produced by few tasks — file
+  *    counts stay bounded by layout, not by shuffle fan-out;
+  *  - bucketed files carry Spark's Murmur3 bucket id in their names
+  *    (`HashPartitioning.partitionIdExpression` — the same hash the
+  *    bucketed reader and storage-partitioned joins key on), so SPJ
+  *    survives native writes;
+  *  - commit modes that derive from the current snapshot re-resolve it
+  *    at commit time under the base-version conflict gate, and every
+  *    mode carries commit-scoped `properties` forward (a streaming
+  *    replay fence survives any interleaved SQL write — including a
+  *    full overwrite, which replaces DATA, not table-lifetime commit
+  *    properties).
+  */
+private[sources] object GraftBatchWrite {
+
+  /** What the staged files become at commit. */
+  sealed trait Mode
+  /** Manifest append: staged files join the current segment. */
+  case object Append extends Mode
+  /** Full overwrite: the staged files ARE the next snapshot. */
+  case object Truncate extends Mode
+  /** Static `INSERT OVERWRITE … [PARTITION …]`: survivors of the pushed
+    * filters ∪ staged files. Partition-only filters resolve at MANIFEST
+    * level (O(new data) — no rewrite); anything else rewrites survivors. */
+  final case class ByFilter(filters: Array[org.apache.spark.sql.sources.Filter]) extends Mode
+  /** Dynamic partition overwrite: partitions present in the staged files
+    * are replaced, all others survive untouched. */
+  case object DynamicOverwrite extends Mode
+  /** Group-based row-level rewrite (MERGE / UPDATE / DELETE): the staged
+    * files replace exactly the GROUPS (files) the operation scanned —
+    * `scanned` records them — gated on `base` so a rival commit in
+    * between fails this one instead of being erased. */
+  final case class Replace(base: Option[Int], scanned: ScannedFileSet) extends Mode
+
+  /** Partition values (path-decoded, `__HIVE_DEFAULT_PARTITION__` → null)
+    * of a segment-relative data file path, in `partitionBy` order. */
+  private[sources] def partitionDirValues(relPath: String,
+      partitionBy: Seq[String]): Seq[String] = {
+    val kv = relPath.split('/').dropRight(1).flatMap { d =>
+      val i = d.indexOf('=')
+      if (i < 0) None
+      else Some(ExternalCatalogUtils.unescapePathName(d.take(i)).toLowerCase ->
+        ExternalCatalogUtils.unescapePathName(d.drop(i + 1)))
+    }.toMap
+    partitionBy.map { c =>
+      val v = kv.getOrElse(c.toLowerCase, throw new IllegalStateException(
+        s"data file $relPath lacks a partition directory for column $c"))
+      if (v == ExternalCatalogUtils.DEFAULT_PARTITION_NAME) null else v
+    }
+  }
+
+  /** The partition-directory prefix of a segment-relative file path (""
+    * for an unpartitioned root file). */
+  private[sources] def partitionPrefix(relPath: String): String = {
+    val i = relPath.lastIndexOf('/')
+    if (i < 0) "" else relPath.take(i)
+  }
+
+  /** `INSERT OVERWRITE … [PARTITION …]` / `overwrite(cond)` over staged
+    * files. Two shapes by what the pushed conjunction references:
+    *
+    *  - PARTITION COLUMNS ONLY (the `PARTITION (p=v)` form — the common
+    *    one) on a manifest table: resolved at MANIFEST level. Each prior
+    *    file's partition values (parsed from its path, cast to the
+    *    recorded types so comparison uses engine Cast semantics, null-
+    *    safed so an unknown condition KEEPS the file) are evaluated with
+    *    a small Spark job over the manifest — metadata-scale work,
+    *    distributed if the manifest is huge — and survivors ∪ staged
+    *    become the next version in the same segment: O(new data), no
+    *    rewrite, at any table size.
+    *  - anything else (data-column conditions, or a pre-manifest table):
+    *    the honest rewrite — survivors of the current snapshot are
+    *    re-read, unioned with the staged rows, and committed as a fresh
+    *    snapshot (staged bytes are written twice; the price of a
+    *    row-level overwrite condition on a copy-on-write format). */
+  private[sources] def commitOverwriteByFilter(spark: SparkSession,
+      cat: HadoopFsCatalog, ref: TableRef, staging: Path,
+      filters: Array[org.apache.spark.sql.sources.Filter], schemaDdl: String,
+      partitionBy: Seq[String], bucketBy: Option[(Int, Seq[String])],
+      sortBy: Seq[String], hadoopOpts: Map[String, String]): String = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
+    val pset = partitionBy.map(_.toLowerCase).toSet
+    val partitionOnly = filters.flatMap(_.references)
+      .forall(r => pset.contains(r.toLowerCase))
+    val latest = cat.listTableVersions(ref).lastOption.map { v =>
+      (v, CatalogIO.readLayout(cat.metadataLocationForVersion(ref, v), conf))
+    }
+    latest match {
+      case Some((base, prior)) if partitionOnly && prior.dataFiles.isDefined =>
+        val keep = survivingPartitionFiles(spark, ref, prior, partitionBy, filters)
+        CatalogIO.commitStagedManifestReplace(cat, ref, staging, schemaDdl,
+          partitionBy, bucketBy, sortBy, Some(base), keep)
+      case _ =>
+        val keep = GraftWriteSupport.keepPredicate(ref, filters)
+        val (cur, base) = GraftWriteSupport.currentSnapshot(spark, cat, ref, hadoopOpts)
+        val staged = spark.read.options(hadoopOpts).schema(schemaDdl)
+          .option("basePath", staging.toString).parquet(staging.toString)
+        val next = cur.map(_.filter(keep).unionByName(staged)).getOrElse(staged)
+        val props = base.map(b => CatalogIO.readLayout(
+          cat.metadataLocationForVersion(ref, b), conf).properties)
+          .getOrElse(Map.empty)
+        val loc = CatalogIO.commitVersion(spark, cat, ref, next,
+          partitionBy, bucketBy, sortBy, expectedBase = base, properties = props)
+        staging.getFileSystem(conf).delete(staging, true)
+        loc
+    }
+  }
+
+  /** Dynamic partition overwrite: partitions PRESENT in the staged files
+    * are replaced, all others survive untouched — a pure manifest swap
+    * (the Iceberg `dynamic` overwrite idiom), O(new data) at any table
+    * size. The replaced set is exactly the staged files' partition-dir
+    * prefixes, so no filter evaluation is needed at all. */
+  private[sources] def commitDynamicOverwrite(cat: HadoopFsCatalog,
+      ref: TableRef, staging: Path, schemaDdl: String,
+      partitionBy: Seq[String], bucketBy: Option[(Int, Seq[String])],
+      sortBy: Seq[String], hadoopOpts: Map[String, String]): String = {
+    require(partitionBy.nonEmpty,
+      s"dynamic partition overwrite needs a partitioned table: $ref")
+    val conf = new org.apache.hadoop.conf.Configuration()
+    hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
+    val fs = staging.getFileSystem(conf)
+    val replacedDirs = CatalogIO.listDataFiles(fs, staging)
+      .map(partitionPrefix).toSet
+    CatalogIO.commitStagedManifestReplace(cat, ref, staging, schemaDdl,
+      partitionBy, bucketBy, sortBy,
+      expectedBase = cat.listTableVersions(ref).lastOption,
+      keepFile = f => !replacedDirs.contains(partitionPrefix(f)))
+  }
+
+  /** Commit a group-based row-level rewrite: the next version's manifest
+    * is (prior files NOT scanned by the operation) ∪ staged. Spark's
+    * group-based contract makes the SCANNED FILE SET the replacement
+    * unit — the optimizer prunes the row-level scan to files that may
+    * hold matching rows (condition pushdown at FILE granularity, runtime
+    * group filtering on partition values), the rewrite query re-emits
+    * every row of those files post-operation, and unscanned files must
+    * survive untouched. At 100 TB that is the difference between an
+    * UPDATE rewriting one file and rewriting the table. `scanned = None`
+    * means the scan was never planned (an optimizer-collapsed empty
+    * rewrite) — nothing was read, so nothing is replaced and staged
+    * files simply append (safe no-op for an empty batch). */
+  private[sources] def commitReplace(cat: HadoopFsCatalog, ref: TableRef,
+      staging: Path, schemaDdl: String, partitionBy: Seq[String],
+      bucketBy: Option[(Int, Seq[String])], sortBy: Seq[String],
+      base: Option[Int], scanned: Option[Set[String]],
+      hadoopOpts: Map[String, String]): String = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
+    val baseLoc = base.map(cat.metadataLocationForVersion(ref, _))
+      .getOrElse(cat.loadTableMetadataLocation(ref))
+    val prior = CatalogIO.readLayout(baseLoc, conf)
+    if (prior.dataFiles.isEmpty)
+      throw new UnsupportedOperationException(
+        s"Table $ref predates file manifests (whole-directory snapshot); " +
+          "INSERT OVERWRITE once to upgrade it before row-level SQL writes")
+    val segment = new Path(prior.dataLocation)
+    val fs = segment.getFileSystem(conf)
+    val segPrefix = fs.makeQualified(segment).toString
+    val replacedRel: Set[String] = scanned.getOrElse(Set.empty).map { abs =>
+      val q = fs.makeQualified(new Path(abs)).toString
+      if (!q.startsWith(segPrefix))
+        throw new IllegalStateException(
+          s"row-level scan of $ref read $q outside its segment $segPrefix")
+      q.stripPrefix(segPrefix).stripPrefix("/")
+    }
+    CatalogIO.commitStagedManifestReplace(cat, ref, staging, schemaDdl,
+      partitionBy, bucketBy, sortBy, expectedBase = base,
+      keepFile = f => !replacedRel.contains(f))
+  }
+
+  /** Prior-manifest files surviving a partition-column overwrite
+    * condition, as a membership test. One small Spark job over the
+    * manifest: file paths → partition values (cast to the table's
+    * recorded types) → the null-safed keep predicate. The collect is
+    * manifest-scale (file names), deliberate. */
+  private def survivingPartitionFiles(spark: SparkSession, ref: TableRef,
+      prior: TableLayout, partitionBy: Seq[String],
+      filters: Array[org.apache.spark.sql.sources.Filter]): String => Boolean = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{StructField, StructType}
+    val files = prior.dataFiles.get
+    if (files.isEmpty) return _ => false
+    val rows = files.map(f => Row.fromSeq(f +: partitionDirValues(f, partitionBy)))
+    val schema = StructType(StructField("graft_file", StringType) +:
+      partitionBy.map(StructField(_, StringType)))
+    val tableSchema = prior.schemaDdl.map(StructType.fromDDL)
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, files.size / 10000 + 1)),
+      schema)
+    val typed = partitionBy.foldLeft(df) { (d, c) =>
+      tableSchema.flatMap(_.find(_.name.equalsIgnoreCase(c)))
+        .map(fld => d.withColumn(c, d.col(c).cast(fld.dataType)))
+        .getOrElse(d)
+    }
+    typed.filter(GraftWriteSupport.keepPredicate(ref, filters))
+      .select("graft_file").collect().map(_.getString(0)).toSet
+  }
+}
+
+/** One Write = one staged-files batch + one commit mode. Created per SQL
+  * statement by [[GraftWriteBuilder]] / [[GraftRowLevelOperation]]. */
+private[sources] final class GraftWrite(spark: SparkSession,
+    cat: HadoopFsCatalog, ref: TableRef, layout: TableLayout,
+    hadoopOpts: Map[String, String], writeSchema: StructType,
+    mode: GraftBatchWrite.Mode)
+  extends Write with BatchWrite with RequiresDistributionAndOrdering {
+  import GraftBatchWrite._
+
+  private val partitionBy = layout.partitionColumns
+  private val bucketBy = layout.numBuckets.map(n => (n, layout.bucketColumns))
+  private val sortBy = layout.sortColumns
+
+  // committer-private staging root under the table dir; becomes (or
+  // drains into) the committed layout at commit, is deleted on abort
+  private val staging = new Path(cat.tableDir(ref),
+    s"stage-g${UUID.randomUUID().toString.take(8)}")
+
+  override def description(): String = s"graft-write $ref ($mode)"
+  override def toBatch: BatchWrite = this
+
+  // ----- distribution & ordering -----
+  // Cluster on the layout: every partition value (and bucket id) is
+  // produced by ONE task, so the write emits the minimum file count the
+  // layout admits instead of numShufflePartitions × numPartitionValues
+  // small files — at 100 TB the difference between a manifest and a
+  // small-files problem. Unpartitioned unbucketed tables leave the
+  // query's own distribution alone.
+  override def requiredDistribution(): Distribution = {
+    val clustering =
+      partitionBy.map(Expressions.identity) ++
+        bucketBy.map { case (n, cols) =>
+          Expressions.bucket(n, cols: _*)
+        }
+    if (clustering.isEmpty) Distributions.unspecified()
+    else Distributions.clustered(clustering.toArray)
+  }
+
+  // recorded sortColumns promise bucket-local order in the files: sort
+  // within tasks (each task = whole buckets under the clustering above)
+  override def requiredOrdering(): Array[V2SortOrder] =
+    sortBy.map(c => Expressions.sort(Expressions.column(c),
+      SortDirection.ASCENDING)).toArray
+
+  // ----- executor side -----
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    val conf = spark.sessionState.newHadoopConf()
+    hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
+    val dataSchema = StructType(writeSchema.filterNot(f =>
+      partitionBy.exists(_.equalsIgnoreCase(f.name))))
+    val job = Job.getInstance(conf)
+    // Spark's own parquet write support (codegen'd InternalRow →
+    // parquet, session codec/ANSI settings) — the factory plus its
+    // prepared job conf serialize to the executors
+    val factory = new ParquetFileFormat()
+      .prepareWrite(spark, job, Map.empty, dataSchema)
+    staging.getFileSystem(conf).mkdirs(staging)
+    new GraftParquetWriterFactory(factory,
+      new SerializableConfiguration(job.getConfiguration),
+      staging.toString, writeSchema, dataSchema, partitionBy,
+      layout.numBuckets, layout.bucketColumns,
+      spark.sessionState.conf.sessionLocalTimeZone)
+  }
+
+  // ----- driver side commit -----
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
+    pruneToCommitted(conf, messages)
+    val ddl = writeSchema.toDDL
+    mode match {
+      case Append =>
+        CatalogIO.commitStagedAppend(cat, ref, staging, ddl,
+          partitionBy, bucketBy, sortBy)
+      case Truncate =>
+        CatalogIO.commitStagedSnapshot(cat, ref, staging, ddl,
+          partitionBy, bucketBy, sortBy, expectedBase = None)
+      case Replace(base, scanned) =>
+        GraftBatchWrite.commitReplace(cat, ref, staging, ddl,
+          partitionBy, bucketBy, sortBy, base, scanned.result(), hadoopOpts)
+      case ByFilter(filters) =>
+        GraftBatchWrite.commitOverwriteByFilter(spark, cat, ref, staging,
+          filters, ddl, partitionBy, bucketBy, sortBy, hadoopOpts)
+      case DynamicOverwrite =>
+        GraftBatchWrite.commitDynamicOverwrite(cat, ref, staging, ddl,
+          partitionBy, bucketBy, sortBy, hadoopOpts)
+    }
+    ()
+  }
+
+  /** Keep ONLY the files named by committed task messages: a zombie task
+    * (one Spark retried but whose JVM still ran to completion) can leave
+    * extra files in the staging dir after its replacement committed —
+    * the commit messages, not the directory listing, are the authority
+    * on what this write produced. */
+  private def pruneToCommitted(conf: org.apache.hadoop.conf.Configuration,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val committed = messages.collect {
+      case m: GraftFilesCommitMessage => m.files
+    }.flatten.toSet
+    val fs = staging.getFileSystem(conf)
+    CatalogIO.listDataFiles(fs, staging)
+      .filterNot(committed)
+      .foreach(rel => fs.delete(new Path(staging, rel), false))
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
+    staging.getFileSystem(conf).delete(staging, true)
+    ()
+  }
+}
+
+private final case class GraftFilesCommitMessage(files: Seq[String])
+  extends WriterCommitMessage
+
+/** Serializable recipe for the per-task writers. */
+private final class GraftParquetWriterFactory(
+    outputFactory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: SerializableConfiguration, stagingDir: String,
+    writeSchema: StructType, dataSchema: StructType,
+    partitionColumns: Seq[String], numBuckets: Option[Int],
+    bucketColumns: Seq[String], timeZoneId: String)
+  extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new GraftDataWriter(outputFactory, conf, stagingDir, writeSchema,
+      dataSchema, partitionColumns, numBuckets, bucketColumns, timeZoneId,
+      partitionId, taskId)
+}
+
+/** Routes each row to the output file its partition values (directory)
+  * and bucket id (file name) demand, creating writers lazily. The
+  * requested clustered distribution means a task usually holds one
+  * partition × few buckets, so the open-writer map stays small; an
+  * unclustered plan still writes CORRECTLY (every (dir, bucket) pair
+  * gets its own file), just with more, smaller files. */
+private final class GraftDataWriter(
+    outputFactory: org.apache.spark.sql.execution.datasources.OutputWriterFactory,
+    conf: SerializableConfiguration, stagingDir: String,
+    writeSchema: StructType, dataSchema: StructType,
+    partitionColumns: Seq[String], numBuckets: Option[Int],
+    bucketColumns: Seq[String], timeZoneId: String,
+    partitionId: Int, taskId: Long)
+  extends DataWriter[InternalRow] {
+
+  private val taskContext = new TaskAttemptContextImpl(conf.value,
+    new TaskAttemptID(new TaskID(new JobID("graft-write", 0), TaskType.MAP,
+      partitionId), (taskId % Int.MaxValue).toInt))
+  private val extension = outputFactory.getFileExtension(taskContext)
+  private val fileUuid = UUID.randomUUID().toString
+  private val fs = new Path(stagingDir).getFileSystem(conf.value)
+
+  // Group-based row-level plans (MERGE / UPDATE / DELETE via
+  // ReplaceData) prefix every row with Spark's `__row_operation` INT
+  // column (RowDeltaUtils.OPERATION_COLUMN); Spark's writing task only
+  // strips it when the operation declares required metadata attributes,
+  // which this format has no need of — so the writer detects the prefix
+  // itself from the first row's arity and binds its projections past
+  // it. Arity is fixed per plan, so the decision is made once.
+  private var opOffset = -1
+  private var dataProj: UnsafeProjection = _
+  private var partProj: UnsafeProjection = _
+  private var bucketProj: UnsafeProjection = _
+
+  private def bindProjections(row: InternalRow): Unit = {
+    opOffset = row.numFields - writeSchema.length match {
+      case 0 => 0
+      case 1 => 1 // leading __row_operation (validated per row in write)
+      case d => throw new IllegalStateException(
+        s"write input has ${row.numFields} fields for ${writeSchema.length}-column " +
+          s"schema ${writeSchema.map(_.name).mkString("(", ", ", ")")} (delta $d)")
+    }
+    def fieldIndex(name: String): Int = {
+      val i = writeSchema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+      require(i >= 0, s"layout column $name not in write schema " +
+        writeSchema.fieldNames.mkString("(", ", ", ")"))
+      i
+    }
+    def bound(i: Int): BoundReference =
+      BoundReference(i + opOffset, writeSchema(i).dataType, writeSchema(i).nullable)
+    // project the DATA columns (partition values live in directory names
+    // only — the directory-partitioned parquet contract)
+    dataProj = UnsafeProjection.create(
+      dataSchema.fields.map(f => bound(fieldIndex(f.name))).toIndexedSeq)
+    // partition values rendered exactly as Spark's file writer renders
+    // them: cast-to-string in the session time zone, then path-escaped
+    partProj =
+      if (partitionColumns.isEmpty) null
+      else UnsafeProjection.create(partitionColumns.map { c =>
+        Cast(bound(fieldIndex(c)), StringType, Option(timeZoneId))
+      }.toIndexedSeq)
+    // Spark's bucket id: Murmur3 hash pmod numBuckets — the SAME
+    // expression `HashPartitioning.partitionIdExpression` the bucketed
+    // reader, SPJ key grouping, and repartition(n, cols) agree on
+    bucketProj = numBuckets.map { n =>
+      UnsafeProjection.create(Seq(HashPartitioning(
+        bucketColumns.map(c => bound(fieldIndex(c))), n).partitionIdExpression))
+    }.orNull
+  }
+
+  private val writers = mutable.LinkedHashMap.empty[(String, Int), OutputWriter]
+  private val written = mutable.ArrayBuffer.empty[String]
+  // clustered input repeats partition values run-length-wise: cache the
+  // last rendered directory instead of re-escaping per row
+  private var lastPartKey: UnsafeRow = _
+  private var lastPartDir: String = ""
+
+  private def partitionDir(row: InternalRow): String = {
+    if (partProj == null) return ""
+    val key = partProj(row)
+    if (lastPartKey != null && key == lastPartKey) return lastPartDir
+    lastPartKey = key.copy()
+    lastPartDir = partitionColumns.indices.map { i =>
+      val v = if (key.isNullAt(i)) null else key.getUTF8String(i).toString
+      ExternalCatalogUtils.getPartitionPathString(partitionColumns(i), v)
+    }.mkString("/")
+    lastPartDir
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (opOffset < 0) bindProjections(row)
+    if (opOffset == 1) {
+      // only the two group-based WRITE ops may reach a full-row writer; a
+      // delta op (DELETE/UPDATE/INSERT ids 1-4) here would mean Spark
+      // handed us a plan shape this format does not speak — refuse loudly
+      // rather than write the row as data
+      val op = row.getInt(0)
+      if (op != 5 && op != 6) // WRITE_OPERATION / WRITE_WITH_METADATA_OPERATION
+        throw new IllegalStateException(
+          s"unexpected __row_operation $op in group-based write of $stagingDir")
+    }
+    val dir = partitionDir(row)
+    val bucket = if (bucketProj == null) -1 else bucketProj(row).getInt(0)
+    val writer = writers.getOrElseUpdate((dir, bucket), {
+      val bucketTag = if (bucket < 0) "" else f"_$bucket%05d"
+      val name = f"part-$partitionId%05d-$fileUuid$bucketTag.c000$extension"
+      val rel = if (dir.isEmpty) name else s"$dir/$name"
+      val path = new Path(stagingDir, rel)
+      fs.mkdirs(path.getParent)
+      written += rel
+      outputFactory.newInstance(path.toString, dataSchema, taskContext)
+    })
+    writer.write(dataProj(row))
+  }
+
+  override def commit(): WriterCommitMessage = {
+    writers.valuesIterator.foreach(_.close())
+    writers.clear()
+    GraftFilesCommitMessage(written.toSeq)
+  }
+
+  override def abort(): Unit = {
+    writers.valuesIterator.foreach { w =>
+      try w.close() catch { case _: Exception => () }
+    }
+    writers.clear()
+    written.foreach { rel =>
+      try fs.delete(new Path(stagingDir, rel), false)
+      catch { case _: Exception => () }
+    }
+  }
+
+  override def close(): Unit = ()
+}
+
+/** The file set a row-level operation's scan actually planned — the
+  * REPLACEMENT UNIT of Spark's group-based rewrites. Written by
+  * [[GraftRowLevelScan]] on the driver at plan time (last planning
+  * wins: the runtime-group-filter subquery plans the full set first,
+  * the main scan re-plans the pruned set after `filter()`), read by the
+  * commit. `result` refuses an inconsistent state (a `filter()` call
+  * never followed by a re-plan) instead of risking a lost row. */
+private[sources] final class ScannedFileSet {
+  @volatile private var files: Option[Array[String]] = None
+  @volatile private var filterPending = false
+  def onFilter(): Unit = { filterPending = true }
+  def record(paths: Array[String]): Unit = { files = Some(paths); filterPending = false }
+  def result(): Option[Set[String]] = {
+    if (filterPending)
+      throw new IllegalStateException(
+        "row-level scan was runtime-filtered but never re-planned — " +
+          "cannot determine the replaced file set safely")
+    files.map(_.toSet)
+  }
+}
+
+/** Group-based row-level operations (SQL `MERGE INTO` / `UPDATE` /
+  * non-pushable `DELETE`) over the versioned format, copy-on-write at
+  * FILE-GROUP granularity: the operation's scan is the table pinned at
+  * `base` (the exact manifest the enclosing [[GraftWritableTable]] was
+  * loaded with) wrapped to record which files it plans, Spark's rewrite
+  * plans re-emit those files' complete post-operation row set
+  * (cardinality checks, conditional clauses, `NOT MATCHED BY SOURCE` —
+  * all Spark's own MERGE machinery), and the commit swaps exactly the
+  * scanned files for the staged output, gated on `base` — a concurrent
+  * commit in between fails this operation instead of being silently
+  * erased. The pre-operation snapshot stays time-travelable, the same
+  * trade Iceberg's COW MERGE makes. Incremental-batch merges that
+  * should NOT touch matched groups at all have the manifest-level
+  * library face ([[MergeOps]]). */
+private final class GraftRowLevelOperation(
+    read: org.apache.spark.sql.connector.catalog.SupportsRead,
+    spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
+    layout: TableLayout, hadoopOpts: Map[String, String],
+    base: Option[Int],
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+  extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  private val scanned = new ScannedFileSet
+
+  override def command(): org.apache.spark.sql.connector.write.RowLevelOperation.Command = cmd
+  override def description(): String = s"graft-$cmd $ref @v${base.getOrElse(0)}"
+
+  override def newScanBuilder(options: org.apache.spark.sql.util.CaseInsensitiveStringMap)
+      : org.apache.spark.sql.connector.read.ScanBuilder =
+    new GraftRowLevelScanBuilder(read.newScanBuilder(options),
+      layout.partitionColumns, scanned)
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): Write = new GraftWrite(spark, cat, ref, layout,
+        hadoopOpts, info.schema(), GraftBatchWrite.Replace(base, scanned))
+    }
+}
+
+/** Scan builder for row-level operations. Forwards column pruning and
+  * PARTITION-COLUMN filters only.
+  *
+  * Partition filters prune the FILE INDEX — file-exact, whole surviving
+  * files are read — so an `UPDATE … WHERE region = 'eu'` plans (and
+  * therefore replaces) only the eu partition's files: the group-based
+  * rewrite stays O(affected partitions) at any table size.
+  *
+  * DATA-column filter pushdown is deliberately NOT forwarded: the
+  * parquet reader would use pushed filters for row-group-stat pruning,
+  * which drops ROWS of files that stay in the planned (= replaced)
+  * set — a fully-deleted row group would simply vanish from the rewrite
+  * output while its file is swapped out, losing rows. Non-partition
+  * conditions prune instead through runtime group filtering (partition-
+  * granular, exact). The Iceberg copy-on-write scan makes the same
+  * choice: file-level selection, whole-file reads. */
+private final class GraftRowLevelScanBuilder(
+    inner: org.apache.spark.sql.connector.read.ScanBuilder,
+    partitionColumns: Seq[String], scanned: ScannedFileSet)
+  extends org.apache.spark.sql.connector.read.ScanBuilder
+  with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
+
+  private val pset = partitionColumns.map(_.toLowerCase).toSet
+
+  override def pruneColumns(requiredSchema: StructType): Unit = inner match {
+    case p: org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns =>
+      p.pruneColumns(requiredSchema)
+    case _ => ()
+  }
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = inner match {
+    case p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+      // only conjuncts referencing exclusively partition columns reach
+      // the file index; a referenceless conjunct (a foldable literal)
+      // must not slip through the forall-on-empty
+      val (partOnly, rest) = filters.partition(f =>
+        f.references.nonEmpty && f.references.forall(a => pset(a.name.toLowerCase)))
+      p.pushFilters(partOnly) ++ rest
+    case _ => filters
+  }
+
+  override def pushedFilters: Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    inner match {
+      case p: org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters =>
+        p.pushedFilters
+      case _ => Array.empty
+    }
+
+  override def build(): org.apache.spark.sql.connector.read.Scan =
+    new GraftRowLevelScan(inner.build(), scanned)
+}
+
+/** Records the planned file set of the wrapped scan (the groups a
+  * row-level rewrite replaces) and forwards runtime group filtering —
+  * partition-value pruning is file-exact, so a filtered re-plan shrinks
+  * the replaced set soundly. Identity equality on purpose: a row-level
+  * scan must never be deduplicated into an unrelated exchange reuse. */
+private final class GraftRowLevelScan(
+    inner: org.apache.spark.sql.connector.read.Scan, scanned: ScannedFileSet)
+  extends org.apache.spark.sql.connector.read.Scan
+  with org.apache.spark.sql.connector.read.Batch
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+
+  override def readSchema(): StructType = inner.readSchema()
+  override def description(): String = s"graft-cow(${inner.description()})"
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def columnarSupportMode(): org.apache.spark.sql.connector.read.Scan.ColumnarSupportMode =
+    inner.columnarSupportMode()
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    inner match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        f.filterAttributes()
+      case _ => Array.empty
+    }
+
+  override def filter(predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit =
+    inner match {
+      case f: org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering =>
+        scanned.onFilter()
+        f.filter(predicates)
+      case _ => ()
+    }
+
+  override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
+    val parts = inner.toBatch.planInputPartitions()
+    scanned.record(parts.flatMap {
+      case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
+        fp.files.map(_.filePath.toString)
+      case b: BucketFilePartition => b.files.files.map(_.filePath.toString)
+      case other => throw new IllegalStateException(
+        s"cannot derive the replaced file set from scan partition ${other.getClass.getName}")
+    })
+    parts
+  }
+
+  override def createReaderFactory(): org.apache.spark.sql.connector.read.PartitionReaderFactory =
+    inner.toBatch.createReaderFactory()
+}

@@ -121,12 +121,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     }
     cat match {
       // versioning catalogs also accept SQL writes (INSERT OVERWRITE /
-      // INSERT INTO / CTAS) as snapshot commits — GraftWrites.scala
+      // INSERT INTO / CTAS / MERGE / UPDATE) as snapshot commits —
+      // GraftWrites.scala. The version parsed from the resolved metadata
+      // location pins the snapshot a row-level rewrite derives from: its
+      // commit is gated on exactly the version this load observed.
       case h: graft.catalog.HadoopFsCatalog =>
-        new GraftWritableTable(readTable, h, ref, layout, hadoopOpts)
+        new GraftWritableTable(readTable, h, ref, layout, hadoopOpts,
+          baseVersion = versionOfMetadataLocation(metaLoc))
       case _ => readTable
     }
   }
+
+  private val MetaVersionRe = """v(\d+)\.metadata\.json$""".r
+
+  /** The version number a metadata-file location names, when it follows
+    * the local-history naming (external registrations don't). */
+  private def versionOfMetadataLocation(loc: String): Option[Int] =
+    MetaVersionRe.findFirstMatchIn(loc).map(_.group(1).toInt)
 
   /** SQL time travel: `SELECT ... FROM <cat>.<ns>.<tbl> VERSION AS OF <n>`.
     * Spark routes the literal here as a string; it resolves through the

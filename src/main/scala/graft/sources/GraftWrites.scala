@@ -5,43 +5,48 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, RowLevelOperationBuilder, RowLevelOperationInfo, SupportsDynamicOverwrite, SupportsOverwrite, SupportsTruncate, Write, WriteBuilder}
 import org.apache.spark.sql.functions.{coalesce, col, lit}
 import org.apache.spark.sql.sources
-import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.sources.Filter
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
 import graft.catalog.{CatalogIO, HadoopFsCatalog, TableRef}
 import graft.catalog.CatalogIO.TableLayout
 
-/** SQL writes through the DSv2 catalog (round 6): INSERT OVERWRITE /
-  * INSERT INTO / CTAS run as VERSIONED catalog commits — every write is
-  * `CatalogIO.commitVersion`'s data → metadata → atomic pointer flip, so
-  * concurrent readers only ever see complete snapshots and every write
-  * extends the time-travel trail (`VERSION AS OF`).
+/** SQL writes through the DSv2 catalog: INSERT OVERWRITE / INSERT INTO /
+  * CTAS / MERGE INTO / UPDATE / DELETE run as VERSIONED catalog
+  * commits — every write ends in `CatalogIO`'s data → metadata → atomic
+  * pointer flip, so concurrent readers only ever see complete snapshots
+  * and every write extends the time-travel trail (`VERSION AS OF`).
   *
+  * Since round 8 the write face is a NATIVE DSv2 `BatchWrite`
+  * ([[GraftWrite]]): executors stream rows into staged parquet files and
+  * the driver commit turns the staged files into one versioned commit.
   * Semantics are snapshot-native:
-  *  - INSERT OVERWRITE (full) → the new data IS the next version;
-  *  - INSERT OVERWRITE ... PARTITION (...) / overwrite-by-filter → the
-  *    next version is (current rows NOT matching the filter) ∪ new.
-  *    (Dynamic partition-overwrite MODE is not offered: Spark's V1Write
-  *    bridge has no dynamic-overwrite executor, so the capability could
-  *    only crash at runtime — static PARTITION overwrite covers the
-  *    snapshot-rewrite semantics.);
-  *  - INSERT INTO → MANIFEST append (round 7): only the new rows'
-  *    files are written (staged, then moved into the segment tree);
-  *    the next version's metadata lists prior-manifest ∪ new files —
-  *    O(new data), never a table rewrite. A full overwrite starts a
-  *    fresh segment + one-write manifest (compaction);
+  *  - INSERT OVERWRITE (full) → fresh segment; staged files ARE the next
+  *    version (the format's natural compaction);
+  *  - INSERT OVERWRITE ... PARTITION (...) → MANIFEST-level partition
+  *    swap: survivors ∪ staged in the same segment, O(new data);
+  *    data-column overwrite conditions take the honest survivor rewrite;
+  *  - dynamic partition-overwrite MODE → manifest swap of exactly the
+  *    partitions present in the staged files (round 8 — the native
+  *    write's executor makes the mode expressible at all);
+  *  - INSERT INTO → MANIFEST append: prior-manifest ∪ staged files —
+  *    O(new data), never a table rewrite;
   *  - CTAS → an empty v1 carrying the schema, then the SELECT commits v2;
-  *  - DELETE FROM … WHERE → survivors become the next version
-  *    ([[GraftWritableTable.deleteWhere]]); the pre-delete snapshot
-  *    stays time-travelable.
+  *  - SQL MERGE INTO / UPDATE / non-pushable DELETE → Spark's own
+  *    group-based row-level rewrite (`ReplaceDataExec`) computes the
+  *    complete post-operation row set against the snapshot this table
+  *    was loaded with, and [[GraftRowLevelOperation]] commits it gated
+  *    on that base version (copy-on-write at snapshot granularity);
+  *  - pushable DELETE FROM … WHERE → [[GraftWritableTable.deleteWhere]]
+  *    (Spark's metadata-delete optimization routes it back here).
   *
   * The recorded physical layout (partition/bucket/sort spec) is applied
   * to every committed version, so a bucketed table stays
@@ -52,9 +57,10 @@ import graft.catalog.CatalogIO.TableLayout
   * tables served by memory/rest-backed catalogs stay read-only. */
 final class GraftWritableTable(read: Table with SupportsRead,
     cat: HadoopFsCatalog, ref: TableRef, layout: TableLayout,
-    hadoopOpts: Map[String, String])
+    hadoopOpts: Map[String, String], baseVersion: Option[Int] = None)
   extends Table with SupportsRead with SupportsWrite
-  with org.apache.spark.sql.connector.catalog.SupportsDelete {
+  with org.apache.spark.sql.connector.catalog.SupportsDelete
+  with SupportsRowLevelOperations {
 
   override def name(): String = read.name()
   override def schema(): StructType = read.schema()
@@ -62,14 +68,24 @@ final class GraftWritableTable(read: Table with SupportsRead,
   override def partitioning(): Array[Transform] = read.partitioning()
   override def capabilities(): util.Set[TableCapability] =
     (read.capabilities().asScala.toSet ++ Set(
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.OVERWRITE_BY_FILTER)).asJava
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.OVERWRITE_DYNAMIC)).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     read.newScanBuilder(options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(cat, ref, layout, hadoopOpts)
+    new GraftWriteBuilder(SparkSession.active, cat, ref, layout, hadoopOpts, info)
+
+  /** SQL MERGE INTO / UPDATE / non-pushable DELETE: hand Spark's
+    * group-based rewrite plans a scan of THIS table's pinned snapshot
+    * and a [[GraftWrite]] whose commit replaces that snapshot, gated on
+    * its version. */
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(read, SparkSession.active, cat, ref,
+      layout, hadoopOpts, baseVersion, info.command)
 
   /** `DELETE FROM … WHERE <cond>` (round 7): survivors of the current
     * snapshot become the next version — a versioned commit like every
@@ -93,18 +109,18 @@ final class GraftWritableTable(read: Table with SupportsRead,
   }
 }
 
-private object GraftWriteBuilder {
-  /** What survives of the current snapshot, given the incoming batch. */
-  sealed trait Mode
-  case object Append extends Mode
-  case object Truncate extends Mode
-  final case class ByFilter(filters: Array[Filter]) extends Mode
-}
-
-private final class GraftWriteBuilder(cat: HadoopFsCatalog, ref: TableRef,
-    layout: TableLayout, hadoopOpts: Map[String, String])
-  extends WriteBuilder with SupportsOverwrite {
-  import GraftWriteBuilder._
+/** One SQL statement's write mode, resolved by Spark calling the
+  * capability-specific mutators, then `build()` → the native
+  * [[GraftWrite]]. Full `INSERT OVERWRITE` arrives as `truncate()`
+  * (Spark folds an AlwaysTrue overwrite condition), `PARTITION (...)` /
+  * `overwrite(cond)` as `overwrite(filters)`, and dynamic
+  * partition-overwrite mode as `overwriteDynamicPartitions()`. */
+private final class GraftWriteBuilder(spark: SparkSession,
+    cat: HadoopFsCatalog, ref: TableRef, layout: TableLayout,
+    hadoopOpts: Map[String, String], info: LogicalWriteInfo)
+  extends WriteBuilder with SupportsTruncate with SupportsOverwrite
+  with SupportsDynamicOverwrite {
+  import GraftBatchWrite._
 
   private var mode: Mode = Append
 
@@ -114,45 +130,12 @@ private final class GraftWriteBuilder(cat: HadoopFsCatalog, ref: TableRef,
     mode = ByFilter(filters); this
   }
 
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation = new InsertableRelation {
-      override def insert(data: Dataset[Row], overwriteFlag: Boolean): Unit = {
-        val spark = data.sparkSession
-        val effective = if (overwriteFlag && mode == Append) Truncate else mode
-        val pb = layout.partitionColumns
-        val bb = layout.numBuckets.map(n => (n, layout.bucketColumns))
-        val sb = layout.sortColumns
-        effective match {
-          // Full overwrite derives nothing from the current snapshot, so
-          // it carries no base version (last-writer-wins IS its
-          // semantics) and collapses any manifest back to one location —
-          // the format's compaction story.
-          case Truncate =>
-            CatalogIO.commitVersion(spark, cat, ref, data,
-              partitionBy = pb, bucketBy = bb, sortBy = sb)
-          // Append is a MANIFEST commit: only the new rows' files are
-          // written; the metadata lists prior ∪ new files — O(new data),
-          // the path a recurring ingest actually exercises at 100 TB.
-          // The base version anchors the conflict gate: a rival commit
-          // in between fails this one instead of vanishing from the list.
-          case Append =>
-            val base = cat.listTableVersions(ref).lastOption
-            CatalogIO.commitAppend(spark, cat, ref, data,
-              partitionBy = pb, bucketBy = bb, sortBy = sb,
-              expectedBase = base)
-          case ByFilter(filters) =>
-            val keep = GraftWriteSupport.keepPredicate(ref, filters)
-            val (cur, base) =
-              GraftWriteSupport.currentSnapshot(spark, cat, ref, hadoopOpts)
-            val next = cur.map(_.filter(keep).unionByName(data)).getOrElse(data)
-            CatalogIO.commitVersion(spark, cat, ref, next,
-              partitionBy = pb, bucketBy = bb, sortBy = sb,
-              expectedBase = base)
-        }
-        ()
-      }
-    }
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    mode = DynamicOverwrite; this
   }
+
+  override def build(): Write =
+    new GraftWrite(spark, cat, ref, layout, hadoopOpts, info.schema(), mode)
 }
 
 /** Shared machinery of the snapshot-deriving write paths (overwrite-by-

@@ -7,15 +7,16 @@ import graft.catalog.{CatalogIO, HadoopFsCatalog, TableRef}
 /** MERGE-style upsert over the versioned catalog (SURVEY §2B E3 round-7
   * extension; judge r6 item 6).
   *
-  * SQL `MERGE INTO` cannot reach this format through Spark's executor:
-  * the group-based row-level rewrite (`ReplaceDataExec`) requires a full
-  * DSv2 `BatchWrite`, and this catalog's write face rides the V1
-  * `InsertableRelation` bridge — so the SQL statement is REFUSED at
-  * analysis (the table does not implement `SupportsRowLevelOperations`;
-  * `V2WriteSpec` asserts the typed error). The merge SEMANTICS — the
-  * upsert idiom an incremental corpus refresh actually needs — are
-  * provided here as a first-class library operator instead, re-expressed
-  * Spark-first:
+  * Since round 8, SQL `MERGE INTO` / `UPDATE` execute natively through
+  * [[GraftRowLevelOperation]] (Spark's group-based rewrite over the
+  * native `BatchWrite`), copy-on-write at scanned-file granularity.
+  * This library face remains the right tool for the INCREMENTAL refresh
+  * idiom: a small upsert batch against a huge table, where even a
+  * group-granular SQL MERGE would rewrite every file its scan couldn't
+  * prune (the merge condition references the source, so only runtime
+  * group filtering prunes) — here the big table is anti-joined against a
+  * broadcast of the batch keys and rewritten once, with the same merge
+  * semantics, re-expressed Spark-first:
   *
   *   - `upsert`: target rows unmatched on the key survive (left-anti
   *     join), every source row lands as the new truth for its key —

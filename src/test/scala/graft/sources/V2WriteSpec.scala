@@ -164,7 +164,9 @@ class V2WriteSpec extends AnyFunSuite {
         var done = false
         while (!done) {
           attempts += 1
-          assert(attempts <= 20, s"writer $i starved")
+          // generous: progress is guaranteed (every failed attempt means a
+          // rival committed), but a loaded box can stretch the tail
+          assert(attempts <= 60, s"writer $i starved")
           val base = hc.listTableVersions(ref).lastOption
           try {
             CatalogIO.commitAppend(spark, hc, ref,
@@ -558,21 +560,59 @@ class V2WriteSpec extends AnyFunSuite {
     assert(streamedSide.contains("FileScan parquet"), s"unexpected streamed side:\n$plan")
   }
 
-  test("SQL MERGE INTO is refused with a typed analysis error (V1 write bridge cannot carry it)") {
-    val (cat, _) = freshCatalog()
+  test("SQL MERGE INTO executes: matched update, not-matched insert, versioned commit") {
+    val (cat, hc) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
     spark.sql(s"CREATE TABLE $cat.db.mg (k BIGINT, v STRING) USING parquet")
-    spark.sql(s"INSERT INTO $cat.db.mg VALUES (1,'a')")
+    spark.sql(s"INSERT INTO $cat.db.mg VALUES (1,'a'), (2,'b'), (3,'c')")
+    spark.sql(
+      s"""MERGE INTO $cat.db.mg t
+         |USING (SELECT * FROM VALUES (2L,'B2'), (9L,'i9') AS s(k, v)) s
+         |ON t.k = s.k
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table(s"$cat.db.mg").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("1|a", "2|B2", "3|c", "9|i9"))
+    // the merge is one versioned commit; the pre-merge state time-travels
+    assert(hc.listTableVersions(TableRef.parse("db.mg")) == Seq(1, 2, 3))
+    assert(spark.sql(s"SELECT * FROM $cat.db.mg VERSION AS OF 2")
+      .collect().map(_.mkString("|")).sorted.toSeq == Seq("1|a", "2|b", "3|c"))
+  }
+
+  test("SQL MERGE INTO full clause matrix: conditional update, matched delete, not-matched-by-source") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.mx (k BIGINT, v STRING, qty BIGINT) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.mx VALUES (1,'a',10), (2,'b',20), (3,'c',30), (4,'d',40)")
+    spark.sql(
+      s"""MERGE INTO $cat.db.mx t
+         |USING (SELECT * FROM VALUES (1L,'A',99L), (2L,'del',0L), (9L,'new',9L)
+         |       AS s(k, v, qty)) s
+         |ON t.k = s.k
+         |WHEN MATCHED AND s.v = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET t.v = s.v, t.qty = t.qty + s.qty
+         |WHEN NOT MATCHED THEN INSERT (k, v, qty) VALUES (s.k, s.v, s.qty)
+         |WHEN NOT MATCHED BY SOURCE AND t.k = 4 THEN UPDATE SET t.v = 'kept'
+         |""".stripMargin)
+    assert(spark.table(s"$cat.db.mx").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("1|A|109", "3|c|30", "4|kept|40", "9|new|9"))
+  }
+
+  test("SQL MERGE INTO raises the cardinality error on multiple source matches; nothing commits") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.mc2 (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.mc2 VALUES (1,'a')")
     val e = intercept[Exception] {
       spark.sql(
-        s"""MERGE INTO $cat.db.mg t USING (SELECT 1 AS k, 'z' AS v) s
+        s"""MERGE INTO $cat.db.mc2 t
+           |USING (SELECT * FROM VALUES (1L,'x'), (1L,'y') AS s(k, v)) s
            |ON t.k = s.k
-           |WHEN MATCHED THEN UPDATE SET *
-           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+           |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
     }
     assert(e.getMessage.toUpperCase.contains("MERGE"), e.getMessage)
-    // refused at analysis: the table is untouched, no version committed
-    assert(spark.table(s"$cat.db.mg").count() == 1)
+    assert(hc.listTableVersions(TableRef.parse("db.mc2")) == Seq(1, 2))
+    assert(spark.table(s"$cat.db.mc2").collect().map(_.mkString("|")).toSeq == Seq("1|a"))
   }
 
   test("TRUNCATE TABLE commits an empty version; prior snapshot time-travels") {
@@ -589,36 +629,184 @@ class V2WriteSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.db.tr").collect().map(_.mkString("|")).toSeq == Seq("9|z"))
   }
 
-  test("SQL UPDATE is refused at analysis (library face: MergeOps.updateWhere)") {
+  test("SQL UPDATE executes as a versioned copy-on-write commit; NULL condition leaves rows untouched") {
     val (cat, _) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
-    spark.sql(s"CREATE TABLE $cat.db.us (k BIGINT, v STRING) USING parquet")
-    spark.sql(s"INSERT INTO $cat.db.us VALUES (1,'a')")
-    val e = intercept[Exception] {
-      spark.sql(s"UPDATE $cat.db.us SET v = 'z' WHERE k = 1")
-    }
-    assert(e.getMessage.toUpperCase.contains("UPDATE"), e.getMessage)
-    assert(spark.table(s"$cat.db.us").collect().map(_.mkString("|")).toSeq == Seq("1|a"))
+    spark.sql(s"CREATE TABLE $cat.db.us (k BIGINT, v STRING, tag STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.us VALUES (1,'a','x'), (2,'b','y')," +
+      " (3,'c', CAST(NULL AS STRING))")
+    spark.sql(s"UPDATE $cat.db.us SET v = upper(v) WHERE tag = 'x'")
+    // row 3's condition is NULL → untouched (SQL UPDATE semantics)
+    assert(spark.table(s"$cat.db.us").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("1|A|x", "2|b|y", "3|c|null"))
+    assert(spark.sql(s"SELECT * FROM $cat.db.us VERSION AS OF 2").count() == 3)
   }
 
-  test("dynamic partition-overwrite mode is refused at analysis, not at runtime") {
-    // Spark's V1Write bridge has no dynamic-overwrite executor, so the
-    // capability is deliberately NOT advertised — the mode must fail
-    // cleanly (static PARTITION overwrite covers the semantics)
-    val (cat, _) = freshCatalog()
+  test("non-pushable DELETE executes through the row-level rewrite; pushable DELETE stays metadata-routed") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.np (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.np VALUES (1,'a'), (2,'b'), (3,'c'), (4,'d')")
+    // modulo doesn't translate to a pushed filter: previously refused,
+    // now Spark's group-based rewrite computes the survivors
+    spark.sql(s"DELETE FROM $cat.db.np WHERE k % 2 = 0")
+    assert(spark.table(s"$cat.db.np").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("1|a", "3|c"))
+    assert(hc.listTableVersions(TableRef.parse("db.np")) == Seq(1, 2, 3))
+    assert(spark.sql(s"SELECT * FROM $cat.db.np VERSION AS OF 2").count() == 4)
+  }
+
+  test("dynamic partition-overwrite mode replaces exactly the written partitions — manifest-level") {
+    val (cat, hc) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
     spark.sql(s"CREATE TABLE $cat.db.dyn (id BIGINT, region STRING) USING parquet" +
       " PARTITIONED BY (region)")
-    spark.sql(s"INSERT INTO $cat.db.dyn VALUES (1,'eu'), (2,'us')")
+    spark.sql(s"INSERT INTO $cat.db.dyn VALUES (1,'eu'), (2,'us'), (3,'ap')")
+    val ref = TableRef.parse("db.dyn")
+    val before = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try {
-      val e = intercept[Exception] {
-        spark.sql(s"INSERT OVERWRITE $cat.db.dyn VALUES (8,'eu')")
-      }
-      assert(e.getMessage.toLowerCase.contains("dynamic overwrite"), e.getMessage)
-    } finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
-    // table unchanged by the refused write
-    assert(spark.table(s"$cat.db.dyn").count() == 2)
+    try spark.sql(s"INSERT OVERWRITE $cat.db.dyn VALUES (8,'eu'), (9,'sa')")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    // eu replaced, sa added; us/ap untouched
+    assert(spark.table(s"$cat.db.dyn").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("2|us", "3|ap", "8|eu", "9|sa"))
+    val after = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    // manifest-level: same segment, untouched partitions keep their EXACT
+    // files (no rewrite anywhere), replaced partition's old files gone
+    // from the manifest (but still on disk for the prior version)
+    assert(after.dataLocation == before.dataLocation)
+    val untouched = before.dataFiles.get.filterNot(_.startsWith("region=eu/"))
+    assert(untouched.forall(after.dataFiles.get.contains), after.dataFiles)
+    assert(!after.dataFiles.get.exists(before.dataFiles.get.filter(_.startsWith("region=eu/")).toSet))
+    assert(spark.sql(s"SELECT * FROM $cat.db.dyn VERSION AS OF 2").count() == 3)
+  }
+
+  test("static PARTITION overwrite is manifest-level: untouched partitions' files are not rewritten") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.sm (id BIGINT, region STRING) USING parquet" +
+      " PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.db.sm VALUES (1,'eu'), (2,'us'), (3,'ap')")
+    val ref = TableRef.parse("db.sm")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    def mtimes(l: graft.catalog.CatalogIO.TableLayout): Map[String, Long] =
+      l.absoluteDataFiles.get.map { f =>
+        f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getModificationTime
+      }.toMap
+    val before = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    val beforeTimes = mtimes(before)
+    spark.sql(s"INSERT OVERWRITE $cat.db.sm PARTITION (region='eu') VALUES (8)")
+    val after = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    assert(after.dataLocation == before.dataLocation) // same segment tree
+    // the us/ap files survive with identical paths and mtimes — the
+    // overwrite wrote O(new partition), not O(table)
+    val survivors = before.absoluteDataFiles.get.filterNot(_.contains("region=eu"))
+    val afterTimes = mtimes(after)
+    survivors.foreach(f => assert(afterTimes.get(f).contains(beforeTimes(f)), f))
+    assert(spark.table(s"$cat.db.sm").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("2|us", "3|ap", "8|eu"))
+  }
+
+  test("a rival commit between table load and MERGE commit fails the merge, not the rival") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.rv (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.rv VALUES (1,'a')")
+    val ref = TableRef.parse("db.rv")
+    // pin the merge's ANALYZED plan to the current version (v2) — table
+    // resolution loads the table and captures its base — then let a
+    // rival land v3 before the merge executes
+    val merge = spark.sessionState.sqlParser.parsePlan(
+      s"""MERGE INTO $cat.db.rv t USING (SELECT 1 AS k, 'z' AS v) s
+         |ON t.k = s.k WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    val qe = spark.sessionState.executePlan(merge)
+    qe.assertAnalyzed()
+    import spark.implicits._
+    CatalogIO.commitAppend(spark, hc, ref, Seq((7L, "rival")).toDF("k", "v"))
+    val e = intercept[Exception] { qe.commandExecuted }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: causes(t.getCause)
+    assert(causes(e).exists(_.isInstanceOf[graft.catalog.CommitConflictException]),
+      e.toString)
+    // the rival's row is intact; no merge version landed
+    assert(spark.table(s"$cat.db.rv").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("1|a", "7|rival"))
+  }
+
+  test("a streaming replay fence survives SQL MERGE / UPDATE / dynamic overwrite (native writes carry properties)") {
+    val (cat, hc) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    val ref = TableRef.parse("db.fp")
+    CatalogIO.createTable(spark, hc, ref,
+      Seq((1L, "a", "eu")).toDF("k", "v", "region"), partitionBy = Seq("region"),
+      properties = Map("graft.stream.lastBatch.test" -> "42"))
+    spark.sql(
+      s"""MERGE INTO $cat.db.fp t USING (SELECT 1L AS k, 'z' AS v, 'eu' AS region) s
+         |ON t.k = s.k WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    spark.sql(s"UPDATE $cat.db.fp SET v = 'u' WHERE k = 1")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try spark.sql(s"INSERT OVERWRITE $cat.db.fp VALUES (2, 'b', 'us')")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    spark.sql(s"INSERT OVERWRITE $cat.db.fp PARTITION (region='ap') SELECT 3, 'c'")
+    spark.sql(s"INSERT OVERWRITE $cat.db.fp SELECT 9, 'z', 'eu'") // full: fresh segment
+    val props = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref)).properties
+    assert(props.get("graft.stream.lastBatch.test").contains("42"), props)
+  }
+
+  test("UPDATE on one partition replaces ONLY that partition's files (group-granular copy-on-write)") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.gp (id BIGINT, v STRING, region STRING)" +
+      " USING parquet PARTITIONED BY (region)")
+    spark.sql(s"INSERT INTO $cat.db.gp VALUES (1,'a','eu'), (2,'b','us'), (3,'c','ap')")
+    val ref = TableRef.parse("db.gp")
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      new org.apache.hadoop.conf.Configuration())
+    def mtimes(l: graft.catalog.CatalogIO.TableLayout): Map[String, Long] =
+      l.absoluteDataFiles.get.map { f =>
+        f -> fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getModificationTime
+      }.toMap
+    val before = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    val beforeTimes = mtimes(before)
+    spark.sql(s"UPDATE $cat.db.gp SET v = upper(v) WHERE region = 'eu'")
+    val after = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    // same segment; us/ap files survive with identical paths AND mtimes —
+    // the partition filter reached the row-level scan's file index, so
+    // the rewrite was O(one partition), not O(table)
+    assert(after.dataLocation == before.dataLocation)
+    val untouched = before.absoluteDataFiles.get.filterNot(_.contains("region=eu"))
+    assert(untouched.nonEmpty)
+    val afterTimes = mtimes(after)
+    untouched.foreach(f => assert(afterTimes.get(f).contains(beforeTimes(f)), f))
+    // the eu partition's pre-update file left the manifest
+    assert(!after.dataFiles.get.exists(before.dataFiles.get
+      .filter(_.startsWith("region=eu/")).toSet))
+    assert(spark.table(s"$cat.db.gp").collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("1|A|eu", "2|b|us", "3|c|ap"))
+    assert(spark.sql(s"SELECT * FROM $cat.db.gp VERSION AS OF 2")
+      .collect().map(_.mkString("|")).sorted.toSeq == Seq("1|a|eu", "2|b|us", "3|c|ap"))
+  }
+
+  test("native partitioned insert clusters by layout: one file per partition value per statement") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.cl (id BIGINT, region STRING) USING parquet" +
+      " PARTITIONED BY (region)")
+    // 200 rows over 3 partition values, written from a parallel source:
+    // the requested CLUSTERED distribution must coalesce each partition
+    // value into ONE task → ONE file (not numShufflePartitions files)
+    spark.sql(
+      s"""INSERT INTO $cat.db.cl
+         |SELECT id, CASE id % 3 WHEN 0 THEN 'eu' WHEN 1 THEN 'us' ELSE 'ap' END
+         |FROM range(200)""".stripMargin)
+    val l = CatalogIO.readLayout(hc.loadTableMetadataLocation(TableRef.parse("db.cl")))
+    val byDir = l.dataFiles.get.groupBy(f => f.take(f.lastIndexOf('/')))
+    assert(byDir.keySet == Set("region=eu", "region=us", "region=ap"), byDir.keySet)
+    byDir.foreach { case (dir, files) =>
+      assert(files.size == 1, s"$dir wrote ${files.size} files — distribution not applied")
+    }
   }
 
   test("LOCATION and bad layout columns are rejected at CREATE time") {
