@@ -28,6 +28,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CatalogIO {
 
+  /** One equality-delete file (round 8 — the merge-on-read face of the
+    * format, Iceberg's equality-delete idiom re-expressed for this
+    * metadata): a small parquet file of KEY TUPLES whose parquet schema
+    * IS the equality column set, recorded in the manifest with the
+    * version (`seq`) it was committed at. A data row is deleted iff its
+    * key tuple null-safe-equals one of the delete file's tuples AND its
+    * data file entered the manifest BEFORE the delete committed
+    * (fileSeq < deleteSeq) — so a row re-inserted after the delete stays
+    * visible. `path` is segment-relative, under `_deletes/` (the `_`
+    * prefix keeps [[listDataFiles]] from ever treating it as data). */
+  final case class DeleteFile(path: String, seq: Int)
+
   /** Physical layout of a table, as recorded in its metadata JSON.
     * `schemaDdl` (recorded since round 6) lets readers plan without
     * touching parquet footers — at 100 TB schema inference is a file
@@ -55,10 +67,26 @@ object CatalogIO {
       sortColumns: Seq[String] = Nil,
       schemaDdl: Option[String] = None,
       dataFiles: Option[Seq[String]] = None,
-      properties: Map[String, String] = Map.empty) {
+      properties: Map[String, String] = Map.empty,
+      deleteFiles: Seq[DeleteFile] = Nil,
+      dataFileSeqs: Option[Seq[Int]] = None) {
+    require(deleteFiles.isEmpty || dataFiles.isDefined,
+      "equality-delete files require a file-manifest version")
+    require(dataFileSeqs.forall(s => dataFiles.exists(_.size == s.size)),
+      "dataFileSeqs must parallel dataFiles one-to-one")
     /** Absolute paths of this version's data files (manifest versions). */
     def absoluteDataFiles: Option[Seq[String]] =
       dataFiles.map(_.map(f => new Path(dataLocation, f).toString))
+    /** (absolute path, manifest-entry seq) per data file. Manifests that
+      * predate seq recording default every file to seq 0 — they all
+      * predate any delete file, so every delete applies to them. */
+    def absoluteDataFilesWithSeqs: Option[Seq[(String, Int)]] =
+      dataFiles.map { fs =>
+        val seqs = dataFileSeqs.getOrElse(Seq.fill(fs.size)(0))
+        fs.map(f => new Path(dataLocation, f).toString).zip(seqs)
+      }
+    def absoluteDeleteFiles: Seq[(String, Int)] =
+      deleteFiles.map(d => (new Path(dataLocation, d.path).toString, d.seq))
   }
 
   private val NumBucketsRe = """"numBuckets"\s*:\s*(\d+)""".r
@@ -204,7 +232,8 @@ object CatalogIO {
   private val ReservedFieldNames = Set(
     "formatVersion", "location", "partitionColumns", "numBuckets",
     "bucketColumns", "sortColumns", "schemaDdl", "dataFiles",
-    "properties", "dataLocation")
+    "properties", "dataLocation",
+    "deleteFiles", "deleteFileSeqs", "dataFileSeqs")
 
   def metadataJson(tableLocation: String, dataLocation: String,
       layout: TableLayout = TableLayout("")): String = {
@@ -230,6 +259,20 @@ object CatalogIO {
         // an EMPTY manifest is still a manifest (a committed empty
         // snapshot) — it must round-trip distinctly from "no manifest"
         layout.dataFiles.map(fs => s"""  "dataFiles": ${arrBody(fs)},\n""").getOrElse("")
+      }${
+        // per-data-file manifest-entry seqs (recorded only while delete
+        // files are live — delete-free tables keep the round-7 format).
+        // Seqs are decimal strings: the metadata scanner tokenizes string
+        // arrays only, and the asymmetry is invisible to readers.
+        layout.dataFileSeqs
+          .map(ss => s"""  "dataFileSeqs": ${arrBody(ss.map(_.toString))},\n""")
+          .getOrElse("")
+      }${
+        // equality-delete files + the versions they committed at — the
+        // merge-on-read state a scan must apply (fileSeq < deleteSeq)
+        if (layout.deleteFiles.isEmpty) ""
+        else s"""  "deleteFiles": ${arrBody(layout.deleteFiles.map(_.path))},\n""" +
+          s"""  "deleteFileSeqs": ${arrBody(layout.deleteFiles.map(_.seq.toString))},\n"""
       }${
         // commit-scoped properties (e.g. a streaming writer's replay
         // fence) — atomic with the version because they ARE the version
@@ -451,14 +494,28 @@ object CatalogIO {
     // appends cannot change the schema (insert resolution projects onto
     // the table schema), so the prior version's recorded DDL carries
     // over; properties carry forward with the overlay applied, so a
-    // marker (e.g. a stream's replay fence) survives interleaved appends
+    // marker (e.g. a stream's replay fence) survives interleaved appends;
+    // live delete files carry forward with the appended files seq'd at n,
+    // so prior deletes never apply to them (insert-after-delete survives)
     val layout = TableLayout(prior.dataLocation, partitionBy,
       bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
       prior.schemaDdl.orElse(Some(df.schema.toDDL)),
       dataFiles = Some(priorFiles ++ moved),
-      properties = prior.properties ++ properties)
+      properties = prior.properties ++ properties,
+      deleteFiles = prior.deleteFiles,
+      dataFileSeqs = appendedSeqs(prior, priorFiles, moved.size, n))
     commitLayoutAsVersion(cat, ref, n, layout)
   }
+
+  /** Manifest-entry seqs for prior ∪ (files added at version `n`) —
+    * recorded only while delete files are live (delete-free tables keep
+    * the seq-less round-7 format; their files all predate any future
+    * delete, which the seq-0 default then expresses). */
+  private def appendedSeqs(prior: TableLayout, priorFiles: Seq[String],
+      added: Int, n: Int): Option[Seq[Int]] =
+    if (prior.deleteFiles.isEmpty) None
+    else Some(prior.dataFileSeqs.getOrElse(Seq.fill(priorFiles.size)(0)) ++
+      Seq.fill(added)(n))
 
   // ----- staged-file commits (round 8: the native DSv2 BatchWrite) -----
   //
@@ -497,7 +554,9 @@ object CatalogIO {
       partitionBy, bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
       prior.schemaDdl.orElse(Some(schemaDdl)),
       dataFiles = Some(priorFiles ++ moved),
-      properties = prior.properties))
+      properties = prior.properties,
+      deleteFiles = prior.deleteFiles,
+      dataFileSeqs = appendedSeqs(prior, priorFiles, moved.size, n)))
   }
 
   /** Staged FULL SNAPSHOT: promote `staging` to a fresh segment whose
@@ -548,13 +607,143 @@ object CatalogIO {
     val priorFiles = prior.dataFiles.getOrElse(throw new UnsupportedOperationException(
       s"Table $ref v${n - 1} predates file manifests (whole-directory snapshot); " +
         "INSERT OVERWRITE once to upgrade it before a partition-level overwrite"))
-    val survivors = priorFiles.filter(keepFile)
+    // survivors keep their manifest-entry seqs (live deletes still apply
+    // to them); the staged replacements are seq'd at n, PAST every live
+    // delete — a rewritten file's rows already reflect the deletes its
+    // source files carried (the rewrite scanned through them)
+    val priorSeqs = prior.dataFileSeqs.getOrElse(Seq.fill(priorFiles.size)(0))
+    val survivors = priorFiles.zip(priorSeqs).filter { case (f, _) => keepFile(f) }
     val moved = moveIntoSegment(cat.fileSystem, staging, new Path(prior.dataLocation))
     commitLayoutAsVersion(cat, ref, n, TableLayout(prior.dataLocation,
       partitionBy, bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
       prior.schemaDdl.orElse(Some(schemaDdl)),
-      dataFiles = Some(survivors ++ moved),
-      properties = prior.properties))
+      dataFiles = Some(survivors.map(_._1) ++ moved),
+      properties = prior.properties,
+      deleteFiles = prior.deleteFiles,
+      dataFileSeqs =
+        if (prior.deleteFiles.isEmpty) None
+        else Some(survivors.map(_._2) ++ Seq.fill(moved.size)(n))))
+  }
+
+  // ----- merge-on-read commits (round 8: equality-delete files) -----
+
+  /** Commit a MERGE-ON-READ version in one metadata write: optional new
+    * data rows (staged, then moved into the segment with seq n) plus an
+    * optional equality-delete file of `deleteTuples` (also seq n, so it
+    * applies to every PRIOR data file and to none of this commit's —
+    * upserted rows are not hidden by their own delete). This is the
+    * O(batch) mutation face of the format: an upsert of K rows against a
+    * 100 TB table writes K rows' data files, one key-tuple parquet, and
+    * one metadata JSON — it never reads, shuffles, or rewrites the
+    * table. Scans apply the tuples as a broadcast anti join until
+    * [[compactTable]] materializes them away (the maintenance contract
+    * that keeps the live delete set broadcast-small).
+    *
+    * `deleteTuples`' columns must name table columns (case-insensitive);
+    * values are cast to the table's recorded types so scan-side equality
+    * is exact. Crash story matches [[commitAppend]]: staged/delete files
+    * written before a crash are unreferenced orphans. Returns the new
+    * metadata location. */
+  private[graft] def commitMergeOnRead(spark: SparkSession,
+      cat: HadoopFsCatalog, ref: TableRef,
+      newRows: Option[DataFrame], deleteTuples: Option[DataFrame],
+      expectedBase: Option[Int] = None): String = {
+    require(newRows.isDefined || deleteTuples.isDefined,
+      "merge-on-read commit needs new rows, delete tuples, or both")
+    val n = nextVersionNumber(cat, ref, None, Nil, expectedBase)
+    val fs = cat.fileSystem
+    val prior = readLayout(cat.metadataLocationForVersion(ref, n - 1), fs.getConf)
+    val priorFiles = prior.dataFiles.getOrElse(throw new UnsupportedOperationException(
+      s"Table $ref v${n - 1} predates file manifests (whole-directory snapshot); " +
+        "INSERT OVERWRITE once to upgrade it before merge-on-read writes"))
+    val schema = prior.schemaDdl
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"Table $ref has no recorded schema; INSERT OVERWRITE once to upgrade " +
+          "it before merge-on-read writes"))
+    val segment = new Path(prior.dataLocation)
+    val delFile = deleteTuples.map { t =>
+      val typed = t.columns.toSeq.foldLeft(t) { (d, c) =>
+        schema.find(_.name.equalsIgnoreCase(c))
+          .map(f => d.withColumn(c, d.col(c).cast(f.dataType)))
+          .getOrElse(throw new IllegalArgumentException(
+            s"delete key column $c not in $ref's schema " +
+              schema.fieldNames.mkString("(", ", ", ")")))
+      }
+      writeEqualityDeleteFile(fs, segment, typed, n)
+    }
+    val moved = newRows.map { rows =>
+      val staging = new Path(cat.tableDir(ref),
+        s"stage-v$n-${java.util.UUID.randomUUID().toString.take(8)}")
+      writeData(spark, staging, rows, prior.partitionColumns,
+        prior.numBuckets.map(b => (b, prior.bucketColumns)), prior.sortColumns)
+      // same pre-move base re-check as commitAppend: losing the race here
+      // costs only committer-private files, never live-segment orphans
+      expectedBase.foreach { base =>
+        cat.latestTableVersion(ref).filter(_ != base).foreach { latest =>
+          fs.delete(staging, true)
+          delFile.foreach(f => fs.delete(new Path(segment, f), false))
+          throw new CommitConflictException(
+            s"Concurrent commit on $ref: this merge read snapshot v$base but " +
+              s"the table is now at v$latest; retry the read-modify-write")
+        }
+      }
+      moveIntoSegment(fs, staging, segment)
+    }.getOrElse(Nil)
+    val deletes = prior.deleteFiles ++ delFile.map(DeleteFile(_, n))
+    commitLayoutAsVersion(cat, ref, n, prior.copy(
+      dataFiles = Some(priorFiles ++ moved),
+      deleteFiles = deletes,
+      dataFileSeqs =
+        if (deletes.isEmpty) None
+        else Some(prior.dataFileSeqs.getOrElse(Seq.fill(priorFiles.size)(0)) ++
+          Seq.fill(moved.size)(n))))
+  }
+
+  /** Metadata-only DELETE of WHOLE files: the next version's manifest is
+    * the prior files passing `keepFile` (segment-relative paths); live
+    * delete files and surviving seqs carry forward. The partition-
+    * condition `DELETE FROM` face — dropping a partition from a 100 TB
+    * table is one JSON write, no data touched. */
+  private[graft] def commitManifestFilter(cat: HadoopFsCatalog, ref: TableRef,
+      expectedBase: Option[Int], keepFile: String => Boolean): String = {
+    val n = nextVersionNumber(cat, ref, None, Nil, expectedBase)
+    val prior = readLayout(cat.metadataLocationForVersion(ref, n - 1),
+      cat.fileSystem.getConf)
+    val priorFiles = prior.dataFiles.getOrElse(throw new UnsupportedOperationException(
+      s"Table $ref v${n - 1} predates file manifests (whole-directory snapshot); " +
+        "INSERT OVERWRITE once to upgrade it before manifest-level deletes"))
+    val priorSeqs = prior.dataFileSeqs.getOrElse(Seq.fill(priorFiles.size)(0))
+    val survivors = priorFiles.zip(priorSeqs).filter { case (f, _) => keepFile(f) }
+    commitLayoutAsVersion(cat, ref, n, prior.copy(
+      dataFiles = Some(survivors.map(_._1)),
+      dataFileSeqs =
+        if (prior.deleteFiles.isEmpty) None else Some(survivors.map(_._2))))
+  }
+
+  /** Write `tuples` as ONE parquet equality-delete file under the
+    * segment's `_deletes/` tree; returns its segment-relative path. The
+    * single-file coalesce is deliberate: delete tuples are key-only
+    * batch-sized data, and one file per commit keeps the scan-side
+    * footer reads bounded by live-delete count, not task count. */
+  private def writeEqualityDeleteFile(fs: org.apache.hadoop.fs.FileSystem,
+      segment: Path, tuples: DataFrame, n: Int): String = {
+    val stage = new Path(segment,
+      s"_deletes/stage-${java.util.UUID.randomUUID().toString.take(8)}")
+    tuples.coalesce(1).write.mode("errorifexists").parquet(stage.toString)
+    val part = fs.listStatus(stage).map(_.getPath).find { p =>
+      p.getName.endsWith(".parquet") && !p.getName.startsWith("_") &&
+        !p.getName.startsWith(".")
+    }.getOrElse(throw new IllegalStateException(
+      s"delete-tuple write produced no parquet part in $stage"))
+    val rel = s"_deletes/del-v$n-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+    val to = new Path(segment, rel)
+    fs.mkdirs(to.getParent)
+    if (!fs.rename(part, to))
+      throw new java.io.IOException(
+        s"Could not move equality-delete file $part to $to")
+    fs.delete(stage, true)
+    rel
   }
 
   /** Outcome of [[expireVersions]]. */
@@ -660,7 +849,12 @@ object CatalogIO {
       throw new UnsupportedOperationException(
         s"Table $ref v$base predates file manifests (whole-directory " +
           "snapshot); INSERT OVERWRITE once to upgrade it before compacting"))
-    if (files.size <= 1)
+    // ≤1 file with no live deletes is already compact; live equality-
+    // delete files force the rewrite regardless — compaction is what
+    // MATERIALIZES merge-on-read deletes (the scan below reads through
+    // them, and commitVersion's fresh layout carries none), restoring
+    // delete-free scans and the bucketed table's SPJ reporting
+    if (files.size <= 1 && layout.deleteFiles.isEmpty)
       return CompactResult(cat.metadataLocationForVersion(ref, base),
         files.size, files.size, compacted = false)
     val fs = cat.fileSystem
@@ -836,7 +1030,23 @@ object CatalogIO {
     * listing at all (the manifest IS the listing), with `basePath`
     * anchoring partition-value discovery to the shared segment tree. */
   private def scanLayout(spark: SparkSession, layout: TableLayout): DataFrame =
-    layout.absoluteDataFiles match {
+    scanLayoutWithOptions(spark, layout, Map.empty)
+
+  /** [[scanLayout]] with reader options (the Hadoop-conf overlay of the
+    * DSv2 / MergeOps faces), applying any live equality-delete files
+    * (merge-on-read): data files are grouped by the delete files that
+    * apply to them (fileSeq < deleteSeq — files appended after a delete
+    * committed are exempt, so a re-inserted key stays visible), each
+    * group is anti-joined against its delete tuples, and the groups
+    * union back together. Typically two groups: pre-delete files (all
+    * deletes apply) and post-delete appends (none do). */
+  private[graft] def scanLayoutWithOptions(spark: SparkSession,
+      layout: TableLayout, options: Map[String, String]): DataFrame = {
+    def reader = {
+      val r = spark.read.options(options)
+      layout.schemaDdl.fold(r)(ddl => r.schema(ddl))
+    }
+    layout.absoluteDataFilesWithSeqs match {
       case Some(Nil) =>
         // a committed empty snapshot: serve the recorded schema, scan nothing
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -844,14 +1054,55 @@ object CatalogIO {
             s"Empty manifest with no recorded schema at ${layout.dataLocation}")))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(files) =>
-        layout.schemaDdl.fold(spark.read)(ddl => spark.read.schema(ddl))
-          .option("basePath", layout.dataLocation)
-          .parquet(files: _*)
+      case Some(filesWithSeqs) if layout.deleteFiles.nonEmpty =>
+        val dels = layout.absoluteDeleteFiles
+        val groups = filesWithSeqs
+          .groupBy { case (_, s) => dels.collect { case (p, d) if s < d => p } }
+          .toSeq.sortBy(_._2.head._1) // deterministic group order
+        groups.map { case (delPaths, fs) =>
+          val df = reader.option("basePath", layout.dataLocation)
+            .parquet(fs.map(_._1): _*)
+          applyEqualityDeletes(spark, df, delPaths, options)
+        }.reduce(_ unionByName _)
+      case Some(filesWithSeqs) =>
+        reader.option("basePath", layout.dataLocation)
+          .parquet(filesWithSeqs.map(_._1): _*)
       case None =>
-        layout.schemaDdl.fold(spark.read)(ddl => spark.read.schema(ddl))
-          .parquet(layout.dataLocation)
+        reader.parquet(layout.dataLocation)
     }
+  }
+
+  /** Anti-join `data` against each delete file's key tuples — the
+    * DataFrame face of merge-on-read. The delete file's parquet schema
+    * IS its equality column set; files sharing a column set are unioned
+    * and applied as ONE broadcast anti join (null-safe per column, so a
+    * deleted NULL key deletes NULL-keyed rows — the tuples came from
+    * rows/conditions where that is the meaning). Delete tuples are
+    * key-only and bounded by the maintenance contract (compaction
+    * materializes deletes away), so the broadcast hint is safe. */
+  private[graft] def applyEqualityDeletes(spark: SparkSession,
+      data: DataFrame, deletePaths: Seq[String],
+      options: Map[String, String]): DataFrame = {
+    if (deletePaths.isEmpty) return data
+    val bySchema = deletePaths
+      .groupBy(p => spark.read.options(options).parquet(p).columns.toVector)
+      .toSeq.sortBy(_._1.mkString(","))
+    bySchema.foldLeft(data) { case (acc, (cols, paths)) =>
+      val del = spark.read.options(options).parquet(paths: _*)
+      // cast tuple columns to the data schema's types: the tuples were
+      // written FROM those columns, but a defensive cast keeps the join
+      // keys type-identical even across schema evolution
+      val typed = cols.foldLeft(del) { (d, c) =>
+        acc.schema.find(_.name.equalsIgnoreCase(c))
+          .map(f => d.withColumn(c, d.col(c).cast(f.dataType)))
+          .getOrElse(throw new IllegalStateException(
+            s"equality-delete column $c not in table schema " +
+              acc.columns.mkString("(", ", ", ")")))
+      }
+      val cond = cols.map(c => acc.col(c) <=> typed.col(c)).reduce(_ && _)
+      acc.join(org.apache.spark.sql.functions.broadcast(typed), cond, "left_anti")
+    }
+  }
 
   private def readMetadataText(metadataLocation: String, conf: Configuration): String = {
     val p = new Path(metadataLocation)
@@ -876,14 +1127,41 @@ object CatalogIO {
         s"No dataLocation in metadata file $metadataLocation"))
     def arr(field: String): Seq[String] =
       arrayField(text, field).getOrElse(Nil)
+    val dataFiles = arrayField(text, "dataFiles")
+    // parallel arrays are validated hard: a seq list that fell out of
+    // step with its file list would misapply deletes (resurrect or lose
+    // rows), so a mismatch is corruption, not a default
+    def intSeqs(field: String, expected: Option[Int]): Option[Seq[Int]] =
+      arrayField(text, field).map { raw =>
+        expected.filter(_ != raw.size).foreach { n =>
+          throw new IllegalStateException(
+            s"Malformed metadata: '$field' has ${raw.size} entries for $n " +
+              s"parallel entries in $metadataLocation")
+        }
+        raw.map { s =>
+          try s.toInt
+          catch { case _: NumberFormatException =>
+            throw new IllegalStateException(
+              s"Malformed metadata: non-integer '$s' in '$field' of $metadataLocation")
+          }
+        }
+      }
+    val delPaths = arrayField(text, "deleteFiles").getOrElse(Nil)
+    val delSeqs = intSeqs("deleteFileSeqs", Some(delPaths.size))
+    if (delPaths.nonEmpty && delSeqs.isEmpty)
+      throw new IllegalStateException(
+        s"Malformed metadata: deleteFiles without deleteFileSeqs in $metadataLocation")
     TableLayout(dataLoc, arr("partitionColumns"),
       NumBucketsRe.findFirstMatchIn(text).map(_.group(1).toInt),
       arr("bucketColumns"), arr("sortColumns"),
       stringField(text, "schemaDdl"),
       // presence matters: Some(Nil) is a committed empty snapshot,
       // None is pre-manifest metadata (whole-directory scan)
-      arrayField(text, "dataFiles"),
-      objectField(text, "properties"))
+      dataFiles,
+      objectField(text, "properties"),
+      deleteFiles = delPaths.zip(delSeqs.getOrElse(Nil))
+        .map { case (p, s) => DeleteFile(p, s) },
+      dataFileSeqs = intSeqs("dataFileSeqs", dataFiles.map(_.size)))
   }
 
   /** Resolve a table through its catalog and scan it. */
@@ -900,6 +1178,15 @@ object CatalogIO {
   def attachAsSessionTable(spark: SparkSession, cat: Catalog, ref: TableRef,
       name: String, conf: Configuration = new Configuration()): String = {
     val layout = readLayout(cat.loadTableMetadataLocation(ref), conf)
+    // a directory-view external table cannot apply merge-on-read state —
+    // it would silently resurrect every deleted row. Refuse until
+    // compaction materializes the deletes (the DSv2 face serves the
+    // table correctly in the meantime).
+    if (layout.deleteFiles.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$ref has ${layout.deleteFiles.size} live equality-delete file(s); a " +
+          "session-catalog directory view would resurrect deleted rows — read " +
+          "through the DSv2 catalog, or compactTable first to materialize them")
     // The external table points at the segment DIRECTORY, so it is a
     // LIVE view of the segment tree rather than a pinned file manifest:
     // it sees later appends into the same segment (and any crashed-
