@@ -665,7 +665,23 @@ object CatalogIO {
     val delFile = deleteTuples.map { t =>
       val typed = t.columns.toSeq.foldLeft(t) { (d, c) =>
         schema.find(_.name.equalsIgnoreCase(c))
-          .map(f => d.withColumn(c, d.col(c).cast(f.dataType)))
+          .map { f =>
+            // nested key types have no exact cross-representation equality
+            // the scan-side tuple match could rely on — refuse at commit,
+            // not at first read
+            val atomic = f.dataType match {
+              case _: org.apache.spark.sql.types.ArrayType |
+                   _: org.apache.spark.sql.types.MapType |
+                   _: org.apache.spark.sql.types.StructType => false
+              case _ => true
+            }
+            if (!atomic)
+              throw new IllegalArgumentException(
+                s"equality-delete key column $c has non-atomic type " +
+                  s"${f.dataType.catalogString}; merge-on-read keys must be " +
+                  "atomic (use the copy-on-write faces for nested-typed keys)")
+            d.withColumn(c, d.col(c).cast(f.dataType))
+          }
           .getOrElse(throw new IllegalArgumentException(
             s"delete key column $c not in $ref's schema " +
               schema.fieldNames.mkString("(", ", ", ")")))

@@ -217,7 +217,7 @@ private[sources] object GraftBatchWrite {
     * manifest: file paths → partition values (cast to the table's
     * recorded types) → the null-safed keep predicate. The collect is
     * manifest-scale (file names), deliberate. */
-  private def survivingPartitionFiles(spark: SparkSession, ref: TableRef,
+  private[sources] def survivingPartitionFiles(spark: SparkSession, ref: TableRef,
       prior: TableLayout, partitionBy: Seq[String],
       filters: Array[org.apache.spark.sql.sources.Filter]): String => Boolean = {
     import org.apache.spark.sql.Row
@@ -664,6 +664,7 @@ private final class GraftRowLevelScan(
       case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
         fp.files.map(_.filePath.toString)
       case b: BucketFilePartition => b.files.files.map(_.filePath.toString)
+      case m: MorFilePartition => m.files.files.map(_.filePath.toString)
       case other => throw new IllegalStateException(
         s"cannot derive the replaced file set from scan partition ${other.getClass.getName}")
     })

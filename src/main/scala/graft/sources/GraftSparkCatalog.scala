@@ -108,17 +108,24 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       userSpecifiedSchema = layout.schemaDdl
         .map(org.apache.spark.sql.types.StructType.fromDDL),
       fallbackFileFormat = classOf[ParquetFileFormat])
-    val readTable = layout.numBuckets match {
-      // a recorded bucket layout becomes a DSv2 bucket transform +
-      // key-grouped scans → storage-partitioned joins with no shuffle
-      // (BucketedScan.scala). Directory-partitioned bucketed layouts keep
-      // the plain scan: their file groups mix partition dirs and bucket
-      // ids, and only flat bucketed tables report a sound single-key
-      // KeyGroupedPartitioning.
-      case Some(n) if layout.partitionColumns.isEmpty =>
-        new GraftBucketedTable(table, n, layout.bucketColumns)
-      case _ => table
-    }
+    val readTable =
+      // live equality-delete files (merge-on-read): scans must APPLY the
+      // delete tuples or deleted rows resurrect. The MOR wrapper takes
+      // precedence over SPJ bucket reporting — correctness over the
+      // shuffle-free join; compaction materializes the deletes away and
+      // restores SPJ (CatalogIO.compactTable).
+      if (layout.deleteFiles.nonEmpty) new GraftMorTable(table, layout, hadoopOpts)
+      else layout.numBuckets match {
+        // a recorded bucket layout becomes a DSv2 bucket transform +
+        // key-grouped scans → storage-partitioned joins with no shuffle
+        // (BucketedScan.scala). Directory-partitioned bucketed layouts keep
+        // the plain scan: their file groups mix partition dirs and bucket
+        // ids, and only flat bucketed tables report a sound single-key
+        // KeyGroupedPartitioning.
+        case Some(n) if layout.partitionColumns.isEmpty =>
+          new GraftBucketedTable(table, n, layout.bucketColumns)
+        case _ => table
+      }
     cat match {
       // versioning catalogs also accept SQL writes (INSERT OVERWRITE /
       // INSERT INTO / CTAS / MERGE / UPDATE) as snapshot commits —
@@ -173,11 +180,14 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       }
     val vLayout = CatalogIO.readLayout(metaLoc, hadoopConfOverlay)
     val (paths, pathOpts) = tablePaths(vLayout)
-    ParquetTable(s"$ref@v$n", SparkSession.active,
+    val table = ParquetTable(s"$ref@v$n", SparkSession.active,
       new CaseInsensitiveStringMap((hadoopOpts ++ pathOpts).asJava), paths,
       userSpecifiedSchema = vLayout.schemaDdl
         .map(org.apache.spark.sql.types.StructType.fromDDL),
       fallbackFileFormat = classOf[ParquetFileFormat])
+    // a time-traveled version with live deletes applies ITS delete set
+    if (vLayout.deleteFiles.nonEmpty) new GraftMorTable(table, vLayout, hadoopOpts)
+    else table
   }
 
   /** Scan roots for a layout: manifest versions scan exactly their

@@ -5,7 +5,7 @@ import java.util
 import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsRowLevelOperations, SupportsWrite, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.ScanBuilder
@@ -87,24 +87,60 @@ final class GraftWritableTable(read: Table with SupportsRead,
     () => new GraftRowLevelOperation(read, SparkSession.active, cat, ref,
       layout, hadoopOpts, baseVersion, info.command)
 
-  /** `DELETE FROM … WHERE <cond>` (round 7): survivors of the current
-    * snapshot become the next version — a versioned commit like every
-    * other write, so the pre-delete state stays time-travelable. Spark
-    * only routes conditions it can push down entirely as filters here
-    * (`canDeleteWhere`); anything richer is refused at analysis. */
-  override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(GraftWriteSupport.translatable)
+  /** `DELETE FROM … WHERE <cond>`, metadata-only tier (round 9). Spark's
+    * metadata-delete optimization routes a condition here only when
+    * `canDeleteWhere` accepts it, and this format accepts exactly the
+    * conditions it can resolve WITHOUT touching data:
+    *
+    *  - PARTITION-COLUMN conditions on a manifest table drop whole files
+    *    from the manifest ([[CatalogIO.commitManifestFilter]]) — dropping
+    *    a partition from a 100 TB table is one JSON write;
+    *  - pre-manifest (legacy directory-snapshot) tables accept any
+    *    translatable condition and pay the honest survivor rewrite (the
+    *    round-7 behavior — such tables have no manifest to filter).
+    *
+    * Everything else is REFUSED here so Spark plans the group-based
+    * row-level rewrite instead ([[newRowLevelOperationBuilder]]), which
+    * replaces only the files the delete's scan planned — strictly less
+    * work than the full-snapshot rewrite this path used to take. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean = {
+    val pset = layout.partitionColumns.map(_.toLowerCase).toSet
+    // reference-free conjuncts are only resolvable when literal (the
+    // AlwaysTrue of TRUNCATE TABLE / SupportsDelete.truncateTable())
+    def manifestResolvable(f: Filter): Boolean = f match {
+      case _: sources.AlwaysTrue | _: sources.AlwaysFalse => true
+      case _ => f.references.nonEmpty &&
+        f.references.forall(r => pset(r.toLowerCase))
+    }
+    filters.forall(GraftWriteSupport.translatable) &&
+      (layout.dataFiles.isEmpty || filters.forall(manifestResolvable))
+  }
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val spark = SparkSession.active
-    val keep = GraftWriteSupport.keepPredicate(ref, filters)
-    val (cur, base) = GraftWriteSupport.currentSnapshot(spark, cat, ref, hadoopOpts)
-    cur.foreach { rows =>
-      CatalogIO.commitVersion(spark, cat, ref, rows.filter(keep),
-        partitionBy = layout.partitionColumns,
-        bucketBy = layout.numBuckets.map(n => (n, layout.bucketColumns)),
-        sortBy = layout.sortColumns,
-        expectedBase = base)
+    if (layout.dataFiles.isDefined) {
+      // manifest table + partition-only condition: metadata-only file
+      // drop. Survivors are evaluated against the BASE version's manifest
+      // and the commit is gated on it — a rival append in between fails
+      // this delete instead of having its fresh files silently dropped.
+      val base = cat.listTableVersions(ref).lastOption
+      val prior = CatalogIO.readLayout(
+        base.map(cat.metadataLocationForVersion(ref, _))
+          .getOrElse(cat.loadTableMetadataLocation(ref)),
+        GraftWriteSupport.confWith(hadoopOpts))
+      val keep = GraftBatchWrite.survivingPartitionFiles(spark, ref, prior,
+        prior.partitionColumns, filters)
+      CatalogIO.commitManifestFilter(cat, ref, expectedBase = base, keepFile = keep)
+    } else {
+      val keep = GraftWriteSupport.keepPredicate(ref, filters)
+      val (cur, base) = GraftWriteSupport.currentSnapshot(spark, cat, ref, hadoopOpts)
+      cur.foreach { rows =>
+        CatalogIO.commitVersion(spark, cat, ref, rows.filter(keep),
+          partitionBy = layout.partitionColumns,
+          bucketBy = layout.numBuckets.map(n => (n, layout.bucketColumns)),
+          sortBy = layout.sortColumns,
+          expectedBase = base)
+      }
     }
   }
 }
@@ -144,6 +180,13 @@ private final class GraftWriteBuilder(spark: SparkSession,
   * predicates. */
 private[sources] object GraftWriteSupport {
 
+  /** A fresh Hadoop Configuration with the catalog's option overlay. */
+  def confWith(hadoopOpts: Map[String, String]): Configuration = {
+    val c = new Configuration()
+    hadoopOpts.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
   /** Current committed rows (read with the METADATA-recorded schema and
     * the catalog's Hadoop-conf overlay) plus the version they came from —
     * the base the derived commit is validated against. Rows are None when
@@ -160,17 +203,14 @@ private[sources] object GraftWriteSupport {
     val metaLoc = base.map(cat.metadataLocationForVersion(ref, _))
       .getOrElse(cat.loadTableMetadataLocation(ref))
     val cur = CatalogIO.readLayout(metaLoc, conf)
-    val reader = spark.read.options(hadoopOpts)
     val rows = (cur.schemaDdl, cur.absoluteDataFiles) match {
-      case (Some(ddl), Some(Nil)) =>
-        // committed empty snapshot: full schema, zero rows, no scan
-        Some(spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
-          org.apache.spark.sql.types.StructType.fromDDL(ddl)))
-      case (Some(ddl), Some(files)) =>
-        Some(reader.schema(ddl).option("basePath", cur.dataLocation)
-          .parquet(files: _*))
-      case (Some(ddl), None) =>
-        Some(reader.schema(ddl).parquet(cur.dataLocation))
+      case (Some(_), _) =>
+        // schema-recorded metadata routes through the shared layout scan:
+        // empty snapshots serve schema-only, manifest versions scan their
+        // exact file lists, and — load-bearing for every snapshot-deriving
+        // write — live equality-delete files are APPLIED, so a COW rewrite
+        // derived from this snapshot can never resurrect deleted rows
+        Some(CatalogIO.scanLayoutWithOptions(spark, cur, hadoopOpts))
       case (None, _) =>
         // legacy pre-schema metadata is always manifest-less: scan the dir
         val loc = new org.apache.hadoop.fs.Path(cur.dataLocation)
@@ -180,7 +220,8 @@ private[sources] object GraftWriteSupport {
             (st.isFile && st.getPath.getName.endsWith(".parquet")) ||
               (st.isDirectory && hasParquet(st.getPath))
           }
-        if (hasParquet(loc)) Some(reader.parquet(cur.dataLocation)) else None
+        if (hasParquet(loc)) Some(spark.read.options(hadoopOpts).parquet(cur.dataLocation))
+        else None
     }
     (rows, base)
   }

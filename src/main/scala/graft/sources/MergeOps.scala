@@ -80,6 +80,66 @@ object MergeOps {
     merge(spark, cat, ref, source, keys, keepSource = false, hadoopOpts)
   }
 
+  // ----- merge-on-read faces (round 9: equality-delete commits) -----
+  //
+  // The copy-on-write faces above rewrite the table; these commit the
+  // SAME logical operation as an O(batch) metadata commit — a key-tuple
+  // equality-delete file plus (for upsert) the batch's own data files —
+  // and every reader (DSv2 SQL scans, readTable, time travel, the
+  // snapshot the next COW write derives from) applies the delete tuples
+  // as a broadcast anti join until compaction materializes them away.
+  // A 100-row takedown against a 100 TB table is three small writes,
+  // never a table rewrite: this is the designed path for small mutations
+  // at scale, while the COW faces remain right when the batch is a large
+  // fraction of the table (one rewrite beats carrying a huge delete set).
+
+  /** [[deleteMatched]]'s merge-on-read twin: drop every target row whose
+    * `keys` tuple appears in `source`, by committing one equality-delete
+    * file — O(batch) at any table size. Rows appended AFTER this commit
+    * are exempt (manifest-entry seq gating), so a later re-insert of a
+    * deleted key stays visible. Returns the new metadata location. */
+  def deleteMatchedMergeOnRead(spark: SparkSession, cat: HadoopFsCatalog,
+      ref: TableRef, source: DataFrame, keys: Seq[String]): String = {
+    require(keys.nonEmpty, "deleteMatchedMergeOnRead needs at least one key column")
+    CatalogIO.commitMergeOnRead(spark, cat, ref,
+      newRows = None,
+      deleteTuples = Some(source.select(keys.map(source.col): _*).distinct()))
+  }
+
+  /** [[upsert]]'s merge-on-read twin: one commit carrying an equality-
+    * delete file of the batch's keys (hiding the old versions of matched
+    * rows in every PRIOR file) plus the batch's rows as ordinary data
+    * files seq'd PAST that delete — `WHEN MATCHED THEN UPDATE SET * /
+    * WHEN NOT MATCHED THEN INSERT *`, O(batch) at any table size. The
+    * same source-key cardinality check as [[upsert]] applies (a doubled
+    * feed would commit duplicate keys). Source must carry the table's
+    * full schema by name; columns are aligned and cast to the recorded
+    * schema so scan-side key equality is exact. */
+  def upsertMergeOnRead(spark: SparkSession, cat: HadoopFsCatalog,
+      ref: TableRef, source: DataFrame, keys: Seq[String]): String = {
+    require(keys.nonEmpty, "upsertMergeOnRead needs at least one merge key column")
+    requireUniqueKeys(source, keys)
+    val (_, layout) = CatalogIO.latestVersionLayout(cat, ref).getOrElse(
+      throw new graft.catalog.NoSuchTableException(
+        s"Table $ref has no local version history to upsert into"))
+    val schema = layout.schemaDdl
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"Table $ref has no recorded schema; INSERT OVERWRITE once to upgrade " +
+          "it before merge-on-read writes"))
+    val missing = schema.fieldNames
+      .filterNot(c => source.columns.exists(_.equalsIgnoreCase(c)))
+    require(missing.isEmpty,
+      s"upsert source lacks table column(s) ${missing.mkString(", ")} of $ref")
+    val aligned = source.select(schema.fields.toIndexedSeq.map { f =>
+      source.col(source.columns.find(_.equalsIgnoreCase(f.name)).get)
+        .cast(f.dataType).as(f.name)
+    }: _*)
+    CatalogIO.commitMergeOnRead(spark, cat, ref,
+      newRows = Some(aligned),
+      deleteTuples = Some(aligned.select(keys.map(aligned.col): _*).distinct()))
+  }
+
   private def requireUniqueKeys(source: DataFrame, keys: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val nonNull = keys.map(k => source.col(k).isNotNull).reduce(_ && _)

@@ -1,0 +1,212 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import graft.catalog.{CatalogIO, HadoopFsCatalog, TableRef}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Merge-on-read equality deletes (round 9, SURVEY §2B E3): the
+  * O(batch) mutation face — a takedown/upsert against a huge table
+  * commits one key-tuple delete file (plus the batch's data files)
+  * instead of rewriting the table, and every reader applies the tuples
+  * until compaction materializes them away. */
+class MergeOnReadSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def freshCatalog(): (String, HadoopFsCatalog) = {
+    val wh = Files.createTempDirectory("mor-wh").toString
+    val name = s"mr${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.type", "hadoop")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    (name, new HadoopFsCatalog(name, wh))
+  }
+
+  private def rowsOf(table: String): Seq[String] =
+    spark.table(table).collect().map(_.mkString("|")).sorted.toSeq
+
+  private def layoutOf(hc: HadoopFsCatalog, ref: TableRef): CatalogIO.TableLayout =
+    CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+
+  private def keyDf(ks: Long*): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    ks.toDF("k")
+  }
+
+  test("MOR delete commits ONE delete file, touches no data file, and every read face applies it") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c'), (4, 'd')")
+    val ref = TableRef.parse("db.t")
+    val before = layoutOf(hc, ref)
+
+    MergeOps.deleteMatchedMergeOnRead(spark, hc, ref, keyDf(2, 4), Seq("k"))
+
+    val after = layoutOf(hc, ref)
+    // delete-file-only commit: identical data-file manifest, one delete file
+    assert(after.dataFiles == before.dataFiles)
+    assert(after.deleteFiles.size == 1)
+    // DSv2 SQL scan applies the tuples
+    assert(rowsOf(s"$cat.db.t") == Seq("1|a", "3|c"))
+    // the library face agrees
+    assert(CatalogIO.readTable(spark, hc, ref)
+      .collect().map(_.mkString("|")).sorted.toSeq == Seq("1|a", "3|c"))
+    // time travel: the pre-delete version still serves all four rows
+    assert(spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF 2")
+      .collect().map(_.mkString("|")).sorted.toSeq ==
+      Seq("1|a", "2|b", "3|c", "4|d"))
+    // pruned reads still probe correctly (key column added back internally)
+    assert(spark.sql(s"SELECT v FROM $cat.db.t").collect()
+      .map(_.getString(0)).sorted.toSeq == Seq("a", "c"))
+    assert(spark.table(s"$cat.db.t").count() == 2)
+  }
+
+  test("insert-after-delete: re-appended keys are visible (seq gating)") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val ref = TableRef.parse("db.t")
+    MergeOps.deleteMatchedMergeOnRead(spark, hc, ref, keyDf(2, 3), Seq("k"))
+    // the append lands AFTER the delete: its rows must not be hidden,
+    // even where the key was previously deleted
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (2, 'b2'), (9, 'i')")
+    assert(rowsOf(s"$cat.db.t") == Seq("1|a", "2|b2", "9|i"))
+  }
+
+  test("MOR upsert: one commit updates matched keys, inserts new ones, rewrites nothing") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val ref = TableRef.parse("db.t")
+    val before = layoutOf(hc, ref)
+
+    import spark.implicits._
+    MergeOps.upsertMergeOnRead(spark, hc, ref,
+      Seq((2L, "B!"), (7L, "g")).toDF("k", "v"), Seq("k"))
+
+    val after = layoutOf(hc, ref)
+    // prior data files all survive in the manifest; the batch only adds
+    assert(before.dataFiles.get.forall(after.dataFiles.get.contains))
+    assert(after.deleteFiles.size == 1)
+    assert(rowsOf(s"$cat.db.t") == Seq("1|a", "2|B!", "3|c", "7|g"))
+    // a doubled feed is refused before anything commits
+    val dup = Seq((5L, "x"), (5L, "y")).toDF("k", "v")
+    intercept[MergeCardinalityException] {
+      MergeOps.upsertMergeOnRead(spark, hc, ref, dup, Seq("k"))
+    }
+  }
+
+  test("compaction materializes deletes away and restores a delete-free manifest") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val ref = TableRef.parse("db.t")
+    MergeOps.upsertMergeOnRead(spark, hc, ref, {
+      import spark.implicits._
+      Seq((3L, "C!"), (8L, "h")).toDF("k", "v")
+    }, Seq("k"))
+    val preCompact = rowsOf(s"$cat.db.t")
+
+    val res = CatalogIO.compactTable(spark, hc, ref)
+    assert(res.compacted)
+    assert(layoutOf(hc, ref).deleteFiles.isEmpty)
+    assert(rowsOf(s"$cat.db.t") == preCompact)
+  }
+
+  test("COW rewrites derived from a MOR snapshot do not resurrect deleted rows") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val ref = TableRef.parse("db.t")
+    MergeOps.deleteMatchedMergeOnRead(spark, hc, ref, keyDf(2), Seq("k"))
+    // the UPDATE's row-level scan reads the file holding k=2; its rewrite
+    // must carry the delete through, not resurrect the row
+    spark.sql(s"UPDATE $cat.db.t SET v = concat(v, '+') WHERE k = 3")
+    assert(rowsOf(s"$cat.db.t") == Seq("1|a", "3|c+"))
+    // and the library COW merge face derives from the deleted snapshot too
+    import spark.implicits._
+    MergeOps.upsert(spark, hc, ref, Seq((1L, "A2")).toDF("k", "v"), Seq("k"))
+    assert(rowsOf(s"$cat.db.t") == Seq("1|A2", "3|c+"))
+  }
+
+  test("bucketed tables read correctly through the MOR wrapper (SPJ deferred to compaction)") {
+    val (cat, hc) = freshCatalog()
+    val ref = TableRef.parse("db.b")
+    hc.createNamespace(graft.catalog.Namespace(Vector("db")))
+    import spark.implicits._
+    CatalogIO.createTable(spark, hc, ref,
+      (1L to 20L).map(i => (i, s"v$i")).toDF("k", "v"),
+      bucketBy = Some((4, Seq("k"))))
+    MergeOps.deleteMatchedMergeOnRead(spark, hc, ref, keyDf(1L to 10L: _*), Seq("k"))
+    assert(spark.table(s"$cat.db.b").count() == 10)
+    assert(spark.table(s"$cat.db.b").agg(org.apache.spark.sql.functions.min("k"))
+      .head().getLong(0) == 11L)
+  }
+
+  test("partition-only SQL DELETE is a metadata-only manifest drop") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.p (k BIGINT, r STRING) USING parquet PARTITIONED BY (r)")
+    spark.sql(s"INSERT INTO $cat.db.p VALUES (1, 'eu'), (2, 'eu'), (3, 'us'), (4, 'ap')")
+    val ref = TableRef.parse("db.p")
+    val before = layoutOf(hc, ref)
+    val segFs = new org.apache.hadoop.fs.Path(before.dataLocation)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val segBefore = CatalogIO.listDataFiles(segFs,
+      new org.apache.hadoop.fs.Path(before.dataLocation)).toSet
+
+    spark.sql(s"DELETE FROM $cat.db.p WHERE r = 'eu'")
+
+    val after = layoutOf(hc, ref)
+    val segAfter = CatalogIO.listDataFiles(segFs,
+      new org.apache.hadoop.fs.Path(after.dataLocation)).toSet
+    // no data file written or removed — the segment tree is untouched;
+    // only the manifest shrank (expiry reclaims the dropped partition)
+    assert(segAfter == segBefore)
+    assert(after.dataFiles.get.size < before.dataFiles.get.size)
+    assert(after.dataFiles.get.forall(f => !f.startsWith("r=eu")))
+    assert(rowsOf(s"$cat.db.p") == Seq("3|us", "4|ap"))
+    // time travel still serves the dropped partition
+    assert(spark.sql(s"SELECT * FROM $cat.db.p VERSION AS OF 2").count() == 4)
+  }
+
+  test("data-column SQL DELETE takes the group-based path and replaces only scanned files") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.p (k BIGINT, r STRING) USING parquet PARTITIONED BY (r)")
+    spark.sql(s"INSERT INTO $cat.db.p VALUES (1, 'eu'), (2, 'eu'), (3, 'us'), (4, 'ap')")
+    val ref = TableRef.parse("db.p")
+    val before = layoutOf(hc, ref)
+    spark.sql(s"DELETE FROM $cat.db.p WHERE k = 2 AND r = 'eu'")
+    val after = layoutOf(hc, ref)
+    assert(rowsOf(s"$cat.db.p") == Seq("1|eu", "3|us", "4|ap"))
+    // only the eu partition's file was replaced: us/ap files carry over
+    val kept = before.dataFiles.get.filterNot(_.startsWith("r=eu"))
+    assert(kept.forall(after.dataFiles.get.contains))
+  }
+
+  test("session-catalog attach refuses while deletes are live; expiry leaves MOR state readable") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a'), (2, 'b')")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 'c')")
+    val ref = TableRef.parse("db.t")
+    MergeOps.deleteMatchedMergeOnRead(spark, hc, ref, keyDf(1), Seq("k"))
+    val ex = intercept[UnsupportedOperationException] {
+      CatalogIO.attachAsSessionTable(spark, hc, ref, "mor_attach_refused")
+    }
+    assert(ex.getMessage.contains("equality-delete"))
+    // expiring history below the delete version keeps the current
+    // (delete-bearing) snapshot fully readable
+    CatalogIO.expireVersions(hc, ref, keepLast = 2)
+    assert(rowsOf(s"$cat.db.t") == Seq("2|b", "3|c"))
+  }
+}
