@@ -47,7 +47,7 @@ object ScaleSmoke {
     }
     // the write/compact experiments only need lineitem — skip the rest
     // of the synthesis when they (or srp, which synthesizes nothing) run alone
-    if (only.isEmpty || (only -- Set("write", "srp", "compact")).nonEmpty) {
+    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor")).nonEmpty) {
       replicate("orders") { (df, i) =>
         df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
           .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
@@ -74,17 +74,59 @@ object ScaleSmoke {
       "t06_pack_sequences", "p01_training_pipeline")
     // a typo'd name silently measuring nothing would waste a multi-hour
     // rerun — fail fast instead ("srp"/"write" select those experiments)
-    val unknown = only -- all.toSet - "srp" - "write" - "compact"
+    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor"
     require(unknown.isEmpty,
-      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact")
+      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor")
     all.filter(q => only.isEmpty || only(q)).foreach { q =>
       try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
     }
     if (only.isEmpty || only("srp")) srpScale(spark, 2000 * replicas)
     if (only.isEmpty || only("write")) writeScale(spark, out, replicas)
     if (only.isEmpty || only("compact")) compactScale(spark, out, replicas)
+    if (only.isEmpty || only("mor")) morScale(spark, out, replicas)
     spark.stop()
   }
+
+  /** Row-level delete cost, merge-on-read vs copy-on-write (judge r8
+    * task 1): a fixed 100-key takedown feed against a lineitem table of
+    * `replicas`× sf0.1. The MOR commit writes one key-tuple file + one
+    * metadata JSON — its cost must stay FLAT as the table grows — while
+    * the COW face re-reads and rewrites every surviving row, O(table).
+    * Also timed: the post-delete scan (the read-side price of carrying
+    * one live delete file) and the row counts both paths agree on. */
+  private def morScale(spark: SparkSession, out: String, replicas: Int): Unit =
+    graft.sources.TempCatalog.withTempHandles(spark, s"graft-mor-x$replicas") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      val ref = graft.catalog.TableRef.parse("db.li")
+      val t0 = System.nanoTime()
+      spark.sql(s"CREATE TABLE $cat.db.li USING parquet AS " +
+        s"SELECT * FROM parquet.`$out/lineitem.parquet`")
+      val rows = spark.table(s"$cat.db.li").count()
+      println(f"[scale] mor x$replicas: base table $rows rows, " +
+        f"created in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // two disjoint 100-key feeds so each path deletes fresh rows
+      spark.sql(s"SELECT DISTINCT l_orderkey FROM $cat.db.li " +
+        "WHERE pmod(l_orderkey, 1000) = 1 LIMIT 100")
+        .createOrReplaceTempView("mor_feed")
+      spark.sql(s"SELECT DISTINCT l_orderkey FROM $cat.db.li " +
+        "WHERE pmod(l_orderkey, 1000) = 2 LIMIT 100")
+        .createOrReplaceTempView("cow_feed")
+      val m0 = System.nanoTime()
+      graft.sources.MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+        spark.table("mor_feed"), Seq("l_orderkey"))
+      val morSecs = (System.nanoTime() - m0) / 1e9
+      val s0 = System.nanoTime()
+      val afterMor = spark.table(s"$cat.db.li").count()
+      val morScan = (System.nanoTime() - s0) / 1e9
+      val c0 = System.nanoTime()
+      graft.sources.MergeOps.deleteMatched(spark, hc, ref,
+        spark.table("cow_feed"), Seq("l_orderkey"))
+      val cowSecs = (System.nanoTime() - c0) / 1e9
+      val afterCow = spark.table(s"$cat.db.li").count()
+      println(f"[scale] mor x$replicas: MOR delete commit $morSecs%.2f s " +
+        f"(rows $rows -> $afterMor), COW delete $cowSecs%.1f s " +
+        f"(-> $afterCow), MOR-scan overhead read $morScan%.1f s")
+    }
 
   /** Append-cost experiment for the SQL write path (judge r6 item 7):
     * manifest appends (INSERT INTO — stage + move new files + one

@@ -121,6 +121,7 @@ object SparkEntry {
     "t07_repetition" -> (TextOps.repetition _),
     "t08_vocab" -> (TextOps.vocab _),
     "w01_sql_write_surface" -> (graft.queries.WriteQueries.w01 _),
+    "w02_merge_on_read" -> (graft.queries.WriteQueries.w02 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -773,6 +774,36 @@ object SparkEntry {
         |)
         |SELECT n, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k, COUNT(seg) AS n_seg
         |FROM dyn GROUP BY n ORDER BY n""".stripMargin,
+    // w02: the merge-on-read surface as pure set algebra. The engine
+    // commits an equality-delete file (takedown), a MOR upsert, and a
+    // post-delete re-insert, reads through the delete-applying DSv2
+    // scan, then compacts (materializing deletes) and reads again; the
+    // oracle replays final = (base ∖ deleted ∖ upserted) ∪ upserts ∪
+    // re-inserts, emitted once per phase (the two phases must agree —
+    // THAT equality is what puts compaction under the oracle).
+    "w02_merge_on_read" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, CAST(c_nationkey AS VARCHAR) AS n FROM customer
+        |), kdel AS (
+        |  SELECT c_custkey AS k FROM customer WHERE c_acctbal < 0
+        |), ups AS (
+        |  SELECT s_suppkey * 5 AS k, CAST(s_nationkey AS VARCHAR) AS n FROM supplier
+        |), reins AS (
+        |  SELECT c_custkey AS k, '99' AS n FROM customer
+        |  WHERE c_acctbal < 0 AND c_custkey % 2 = 0
+        |), fin AS (
+        |  SELECT k, n FROM base
+        |  WHERE k NOT IN (SELECT k FROM kdel) AND k NOT IN (SELECT k FROM ups)
+        |  UNION ALL SELECT k, n FROM ups
+        |  UNION ALL SELECT k, n FROM reins
+        |), agg AS (
+        |  SELECT n, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |         CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+        |  FROM fin GROUP BY n
+        |)
+        |SELECT 'mor' AS phase, * FROM agg
+        |UNION ALL SELECT 'compacted' AS phase, * FROM agg
+        |ORDER BY phase, n""".stripMargin,
     // p01: the composed pipeline — each CTE block is the already-proven
     // per-stage oracle (t07 repetition → d07 decontamination → d01
     // pairs → d06 recursive-CTE canonical → t05 sample → t06 pack),

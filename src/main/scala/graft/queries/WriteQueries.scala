@@ -81,4 +81,67 @@ object WriteQueries {
       spark.createDataFrame(
         spark.sparkContext.parallelize(rows, 1), out.schema)
     }
+
+  /** w02 (round 9): the MERGE-ON-READ write surface under the oracle —
+    * the counterpart of w01's copy-on-write faces. Builds a partitioned
+    * table, then commits the O(batch) mutation sequence:
+    *
+    *   1. a takedown feed via [[graft.sources.MergeOps
+    *      .deleteMatchedMergeOnRead]] (ONE equality-delete file, no data
+    *      rewritten),
+    *   2. an upsert batch via [[graft.sources.MergeOps.upsertMergeOnRead]]
+    *      (matched keys updated, new keys inserted, one commit),
+    *   3. a SQL `INSERT INTO` re-inserting half the deleted keys
+    *      (insert-after-delete: manifest-seq gating must keep them
+    *      visible),
+    *
+    * reads the final state through the DSv2 SQL face (the MOR scan
+    * applies the delete tuples), aggregates it integer-exactly, then
+    * COMPACTS (materializing the deletes away) and aggregates again.
+    * Both phases must hash-equal the oracle's pure relational replay:
+    * final = (base ∖ deleted ∖ upserted-keys) ∪ upserts ∪ re-inserts. */
+  def w02(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w02") { (cat, hc) =>
+      import graft.catalog.{CatalogIO, TableRef}
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(
+        s"""CREATE TABLE $cat.db.cust USING parquet PARTITIONED BY (n) AS
+           |SELECT c_custkey AS k, c_acctbal AS bal,
+           |       CAST(c_nationkey AS STRING) AS n
+           |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+      val ref = TableRef.parse("db.cust")
+      // takedown: purge negative balances — O(batch), no data rewritten
+      graft.sources.MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+        spark.sql(s"SELECT c_custkey AS k FROM parquet.`$dir/customer.parquet` " +
+          "WHERE c_acctbal < 0"), Seq("k"))
+      // upsert: supplier-derived rows — keys k%5=0 collide with customers
+      graft.sources.MergeOps.upsertMergeOnRead(spark, hc, ref,
+        spark.sql(s"SELECT s_suppkey * 5 AS k, s_acctbal AS bal, " +
+          s"CAST(s_nationkey AS STRING) AS n FROM parquet.`$dir/supplier.parquet`"),
+        Seq("k"))
+      // insert-after-delete: re-add half the purged keys under n='99'
+      spark.sql(
+        s"""INSERT INTO $cat.db.cust
+           |SELECT c_custkey AS k, c_acctbal AS bal, '99' AS n
+           |FROM parquet.`$dir/customer.parquet`
+           |WHERE c_acctbal < 0 AND c_custkey % 2 = 0""".stripMargin)
+      def agg(phase: String): DataFrame =
+        spark.table(s"$cat.db.cust")
+          .groupBy(lit(phase).as("phase"), col("n"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+      val mor = agg("mor").collect().toIndexedSeq
+      // compaction must materialize the deletes away without changing
+      // the served rows — same aggregate, delete-free manifest
+      val res = CatalogIO.compactTable(spark, hc, ref)
+      require(res.compacted && CatalogIO.readLayout(
+        hc.loadTableMetadataLocation(ref)).deleteFiles.isEmpty,
+        s"compaction left live delete files on $ref")
+      val compacted = agg("compacted").collect().toIndexedSeq
+      val schema = agg("probe").schema
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(mor ++ compacted, 1), schema)
+    }
 }

@@ -10,6 +10,16 @@ import org.apache.spark.sql.SparkSession
   * for the conf-key set and the teardown. */
 object TempCatalog {
 
+  /** [[withTemp]] plus the underlying [[graft.catalog.HadoopFsCatalog]]
+    * handle, for callers that drive library faces (MergeOps, compaction)
+    * against the same warehouse the SQL catalog serves. */
+  def withTempHandles[T](spark: SparkSession, prefix: String = "graft-tmpcat")(
+      f: (String, graft.catalog.HadoopFsCatalog) => T): T =
+    withTemp(spark, prefix) { cat =>
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      f(cat, new graft.catalog.HadoopFsCatalog(cat, wh))
+    }
+
   def withTemp[T](spark: SparkSession, prefix: String = "graft-tmpcat")(
       f: String => T): T = {
     val wh = java.nio.file.Files.createTempDirectory(prefix).toString
