@@ -122,6 +122,7 @@ object SparkEntry {
     "t08_vocab" -> (TextOps.vocab _),
     "w01_sql_write_surface" -> (graft.queries.WriteQueries.w01 _),
     "w02_merge_on_read" -> (graft.queries.WriteQueries.w02 _),
+    "w03_stream_ingest" -> (graft.queries.WriteQueries.w03 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -804,6 +805,18 @@ object SparkEntry {
         |SELECT 'mor' AS phase, * FROM agg
         |UNION ALL SELECT 'compacted' AS phase, * FROM agg
         |ORDER BY phase, n""".stripMargin,
+    // w03: streaming ingest is exactly-once under crash replay, so the
+    // oracle is simply orders-once ∪ the interleaved supplier append —
+    // a double-appended batch (fence failure) breaks the hash
+    "w03_stream_ingest" ->
+      """WITH fin AS (
+        |  SELECT o_orderkey AS k, CAST(o_orderkey % 5 AS VARCHAR) AS b FROM orders
+        |  UNION ALL
+        |  SELECT s_suppkey + 9000000 AS k, 'S' AS b FROM supplier
+        |)
+        |SELECT b, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |       CAST(MAX(k) AS BIGINT) AS max_k
+        |FROM fin GROUP BY b ORDER BY b""".stripMargin,
     // p01: the composed pipeline — each CTE block is the already-proven
     // per-stage oracle (t07 repetition → d07 decontamination → d01
     // pairs → d06 recursive-CTE canonical → t05 sample → t06 pack),

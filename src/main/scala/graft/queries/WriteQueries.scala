@@ -144,4 +144,49 @@ object WriteQueries {
       spark.createDataFrame(
         spark.sparkContext.parallelize(mor ++ compacted, 1), schema)
     }
+
+  /** w03 (round 9): streaming INGEST under the oracle — the manifest-
+    * append path of [[graft.streaming.StreamMaterialize.appendStream]],
+    * driven through its per-batch body (`commitIngestBatch` — exactly
+    * what `foreachBatch` runs) so the at-least-once hazard is exercised
+    * DETERMINISTICALLY: orders arrive as four micro-batches, batch 1 is
+    * crash-replayed twice (once immediately, once after an interleaved
+    * SQL `INSERT INTO` that must not erase the replay fence), and a
+    * zombie replay of batch 0 arrives at the very end. The final table
+    * must hold each batch exactly once plus the SQL append — any fence
+    * failure double-appends a batch and fails the hash compare. */
+  def w03(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w03") { (cat, hc) =>
+      import graft.catalog.TableRef
+      import graft.streaming.StreamMaterialize.commitIngestBatch
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      val ref = TableRef.parse("db.ing")
+      val fenceKey = "graft.stream.lastBatch.w03"
+      def batch(i: Int): DataFrame = spark.sql(
+        s"""SELECT o_orderkey AS k, o_totalprice AS amt,
+           |       CAST(o_orderkey % 5 AS STRING) AS b
+           |FROM parquet.`$dir/orders.parquet`
+           |WHERE pmod(o_orderkey, 4) = $i""".stripMargin)
+      def commit(i: Int): Unit =
+        commitIngestBatch(spark, hc, ref, batch(i), i.toLong, fenceKey,
+          dedupeReplays = true)
+      commit(0); commit(1)
+      commit(1) // crash-replay: fence must skip it
+      // interleaved SQL append — carries the fence forward
+      spark.sql(
+        s"""INSERT INTO $cat.db.ing
+           |SELECT s_suppkey + 9000000 AS k, s_acctbal AS amt, 'S' AS b
+           |FROM parquet.`$dir/supplier.parquet`""".stripMargin)
+      commit(1) // replay after the interleave: still fenced
+      commit(2); commit(3)
+      commit(0) // zombie replay of an old batch: fenced (id < last)
+      val out = spark.table(s"$cat.db.ing")
+        .groupBy("b")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("k")).as("sum_k"),
+          max(col("k")).as("max_k"))
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), out.schema)
+    }
 }

@@ -114,7 +114,7 @@ object StreamMaterialize {
     * recorded partition/bucket spec, like the SQL INSERT path), and the
     * commit's base version (a zombie driver racing a live one loses at
     * the conflict gate instead of double-appending). */
-  private[streaming] def commitIngestBatch(spark: SparkSession,
+  private[graft] def commitIngestBatch(spark: SparkSession,
       cat: HadoopFsCatalog, ref: TableRef, batch: DataFrame, batchId: Long,
       fenceKey: String, dedupeReplays: Boolean): Unit = {
     val current =
