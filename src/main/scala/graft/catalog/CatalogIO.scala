@@ -534,29 +534,61 @@ object CatalogIO {
     * face of [[commitAppend]] (same O(new-data) shape, same crash story:
     * files moved before a crash are unreferenced orphans, invisible to
     * every manifest reader). The base is the latest version at commit
-    * time — an append derives nothing from what it read, so the only
-    * race that matters is the same-version-number metadata write, which
-    * stays create-exclusive. */
+    * time — an append derives nothing from what it read, so a rival
+    * commit landing between the version resolution and the metadata
+    * write is RETRIED against the fresh latest (bounded attempts): the
+    * moved files are position-independent manifest entries, so only the
+    * metadata step repeats — unless the rival replaced the segment
+    * itself (full overwrite), which strands the moved files as orphans
+    * and surfaces the conflict honestly.
+    *
+    * `stagedFiles`, when given, is the AUTHORITY on what this commit
+    * produced (the write tasks' commit messages): exactly those
+    * segment-relative paths are moved and recorded — a zombie task's
+    * extra file in the staging dir is deleted with it, never committed. */
   def commitStagedAppend(cat: HadoopFsCatalog, ref: TableRef, staging: Path,
       schemaDdl: String, partitionBy: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
-      sortBy: Seq[String] = Nil): String = {
-    val n = nextVersionNumber(cat, ref, bucketBy, sortBy, expectedBase = None)
-    val prior = readLayout(cat.metadataLocationForVersion(ref, n - 1),
+      sortBy: Seq[String] = Nil,
+      stagedFiles: Option[Seq[String]] = None): String = {
+    val n0 = nextVersionNumber(cat, ref, bucketBy, sortBy, expectedBase = None)
+    val first = readLayout(cat.metadataLocationForVersion(ref, n0 - 1),
       cat.fileSystem.getConf)
-    val priorFiles = prior.dataFiles.getOrElse(throw new UnsupportedOperationException(
-      s"Table $ref v${n - 1} predates file manifests (whole-directory snapshot); " +
-        "INSERT OVERWRITE once to upgrade it before appending"))
-    val moved = moveIntoSegment(cat.fileSystem, staging, new Path(prior.dataLocation))
-    // appends cannot change the schema (insert resolution projects onto
-    // the table schema), so the prior version's recorded DDL carries over
-    commitLayoutAsVersion(cat, ref, n, TableLayout(prior.dataLocation,
-      partitionBy, bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
-      prior.schemaDdl.orElse(Some(schemaDdl)),
-      dataFiles = Some(priorFiles ++ moved),
-      properties = prior.properties,
-      deleteFiles = prior.deleteFiles,
-      dataFileSeqs = appendedSeqs(prior, priorFiles, moved.size, n)))
+    if (first.dataFiles.isEmpty)
+      throw new UnsupportedOperationException(
+        s"Table $ref v${n0 - 1} predates file manifests (whole-directory snapshot); " +
+          "INSERT OVERWRITE once to upgrade it before appending")
+    val segment = first.dataLocation
+    val moved = moveIntoSegment(cat.fileSystem, staging, new Path(segment), stagedFiles)
+    var attempt = 0
+    while (true) {
+      val n = nextVersionNumber(cat, ref, bucketBy, sortBy, expectedBase = None)
+      val prior = readLayout(cat.metadataLocationForVersion(ref, n - 1),
+        cat.fileSystem.getConf)
+      val priorFiles = prior.dataFiles.getOrElse(throw new UnsupportedOperationException(
+        s"Table $ref v${n - 1} predates file manifests (whole-directory snapshot); " +
+          "INSERT OVERWRITE once to upgrade it before appending"))
+      if (prior.dataLocation != segment)
+        throw new CommitConflictException(
+          s"Concurrent overwrite on $ref: this append staged files into segment " +
+            s"$segment but the table now lives in ${prior.dataLocation}; " +
+            "retry the whole append")
+      // appends cannot change the schema (insert resolution projects onto
+      // the table schema), so the prior version's recorded DDL carries over
+      try return commitLayoutAsVersion(cat, ref, n, TableLayout(prior.dataLocation,
+        partitionBy, bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
+        prior.schemaDdl.orElse(Some(schemaDdl)),
+        dataFiles = Some(priorFiles ++ moved),
+        properties = prior.properties,
+        deleteFiles = prior.deleteFiles,
+        dataFileSeqs = appendedSeqs(prior, priorFiles, moved.size, n)))
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt >= 5) throw e // moved files remain reclaimable orphans
+      }
+    }
+    throw new IllegalStateException("unreachable")
   }
 
   /** Staged FULL SNAPSHOT: promote `staging` to a fresh segment whose
@@ -571,19 +603,38 @@ object CatalogIO {
       schemaDdl: String, partitionBy: Seq[String] = Nil,
       bucketBy: Option[(Int, Seq[String])] = None,
       sortBy: Seq[String] = Nil,
-      expectedBase: Option[Int] = None): String = {
-    val priorProps = currentProperties(cat, ref)
+      expectedBase: Option[Int] = None,
+      stagedFiles: Option[Seq[String]] = None): String = {
+    // resolve n FIRST, then read the carried-forward properties from
+    // version n-1's layout — atomic with the version the create-exclusive
+    // metadata write below races on. (Reading the pointer before
+    // resolving n would let a rival's property update — e.g. a streaming
+    // replay-fence advance — land in between and be silently dropped
+    // from the carried set.)
     val n = nextVersionNumber(cat, ref, bucketBy, sortBy, expectedBase)
     val fs = cat.fileSystem
+    val priorProps = readLayout(cat.metadataLocationForVersion(ref, n - 1),
+      fs.getConf).properties
     val dataDir = versionDataDir(cat, ref, n)
     if (!fs.exists(staging)) fs.mkdirs(staging) // an all-empty write still commits
     if (!fs.rename(staging, dataDir))
       throw new java.io.IOException(
         s"Could not promote staging dir $staging to segment $dataDir")
+    // the commit-message list, when given, is the authority on this
+    // write's output: a zombie task's file that landed after the caller
+    // listed/pruned the staging dir rode the rename in — drop it now
+    // (the renamed dir is committer-private, so this cannot race)
+    val manifest = stagedFiles match {
+      case Some(rels) =>
+        listDataFiles(fs, dataDir).filterNot(rels.toSet)
+          .foreach(extra => fs.delete(new Path(dataDir, extra), false))
+        rels.sorted
+      case None => listDataFiles(fs, dataDir)
+    }
     commitLayoutAsVersion(cat, ref, n, TableLayout(dataDir.toString,
       partitionBy, bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
       Some(schemaDdl),
-      dataFiles = Some(listDataFiles(fs, dataDir)),
+      dataFiles = Some(manifest),
       properties = priorProps))
   }
 
@@ -600,7 +651,8 @@ object CatalogIO {
       ref: TableRef, staging: Path, schemaDdl: String,
       partitionBy: Seq[String], bucketBy: Option[(Int, Seq[String])],
       sortBy: Seq[String], expectedBase: Option[Int],
-      keepFile: String => Boolean): String = {
+      keepFile: String => Boolean,
+      stagedFiles: Option[Seq[String]] = None): String = {
     val n = nextVersionNumber(cat, ref, bucketBy, sortBy, expectedBase)
     val prior = readLayout(cat.metadataLocationForVersion(ref, n - 1),
       cat.fileSystem.getConf)
@@ -613,7 +665,8 @@ object CatalogIO {
     // source files carried (the rewrite scanned through them)
     val priorSeqs = prior.dataFileSeqs.getOrElse(Seq.fill(priorFiles.size)(0))
     val survivors = priorFiles.zip(priorSeqs).filter { case (f, _) => keepFile(f) }
-    val moved = moveIntoSegment(cat.fileSystem, staging, new Path(prior.dataLocation))
+    val moved = moveIntoSegment(cat.fileSystem, staging,
+      new Path(prior.dataLocation), stagedFiles)
     commitLayoutAsVersion(cat, ref, n, TableLayout(prior.dataLocation,
       partitionBy, bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
       prior.schemaDdl.orElse(Some(schemaDdl)),
@@ -952,13 +1005,18 @@ object CatalogIO {
     }
   }
 
-  /** Move every staged data file into the segment tree, preserving its
-    * partition-relative path; returns the relative paths moved. Spark
+  /** Move staged data files into the segment tree, preserving their
+    * partition-relative paths; returns the relative paths moved. Spark
     * part-file names embed a per-job UUID, so names never collide across
-    * commits — a collision is surfaced, never overwritten. */
+    * commits — a collision is surfaced, never overwritten. `only`, when
+    * given, is the authority on what to move (the write tasks' commit
+    * messages): anything else in the staging dir — a zombie task's file
+    * that landed after its replacement committed — is deleted with the
+    * staging dir, never committed. */
   private def moveIntoSegment(fs: org.apache.hadoop.fs.FileSystem,
-      staging: Path, segment: Path): Seq[String] = {
-    val rels = listDataFiles(fs, staging)
+      staging: Path, segment: Path,
+      only: Option[Seq[String]] = None): Seq[String] = {
+    val rels = only.map(_.sorted).getOrElse(listDataFiles(fs, staging))
     rels.foreach { rel =>
       val from = new Path(staging, rel)
       val to = new Path(segment, rel)

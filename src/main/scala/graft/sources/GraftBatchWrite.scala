@@ -119,7 +119,8 @@ private[sources] object GraftBatchWrite {
       cat: HadoopFsCatalog, ref: TableRef, staging: Path,
       filters: Array[org.apache.spark.sql.sources.Filter], schemaDdl: String,
       partitionBy: Seq[String], bucketBy: Option[(Int, Seq[String])],
-      sortBy: Seq[String], hadoopOpts: Map[String, String]): String = {
+      sortBy: Seq[String], hadoopOpts: Map[String, String],
+      stagedFiles: Seq[String]): String = {
     val conf = new org.apache.hadoop.conf.Configuration()
     hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
     val pset = partitionBy.map(_.toLowerCase).toSet
@@ -132,12 +133,21 @@ private[sources] object GraftBatchWrite {
       case Some((base, prior)) if partitionOnly && prior.dataFiles.isDefined =>
         val keep = survivingPartitionFiles(spark, ref, prior, partitionBy, filters)
         CatalogIO.commitStagedManifestReplace(cat, ref, staging, schemaDdl,
-          partitionBy, bucketBy, sortBy, Some(base), keep)
+          partitionBy, bucketBy, sortBy, Some(base), keep,
+          stagedFiles = Some(stagedFiles))
       case _ =>
         val keep = GraftWriteSupport.keepPredicate(ref, filters)
         val (cur, base) = GraftWriteSupport.currentSnapshot(spark, cat, ref, hadoopOpts)
-        val staged = spark.read.options(hadoopOpts).schema(schemaDdl)
-          .option("basePath", staging.toString).parquet(staging.toString)
+        // read exactly the committed files (the commit-message authority),
+        // never the staging directory listing — a zombie task's file must
+        // not become rows of the rewritten snapshot
+        val reader = spark.read.options(hadoopOpts).schema(schemaDdl)
+        val staged =
+          if (stagedFiles.isEmpty)
+            spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType.fromDDL(schemaDdl))
+          else reader.option("basePath", staging.toString)
+            .parquet(stagedFiles.map(r => new Path(staging, r).toString): _*)
         val next = cur.map(_.filter(keep).unionByName(staged)).getOrElse(staged)
         val props = base.map(b => CatalogIO.readLayout(
           cat.metadataLocationForVersion(ref, b), conf).properties)
@@ -157,18 +167,19 @@ private[sources] object GraftBatchWrite {
   private[sources] def commitDynamicOverwrite(cat: HadoopFsCatalog,
       ref: TableRef, staging: Path, schemaDdl: String,
       partitionBy: Seq[String], bucketBy: Option[(Int, Seq[String])],
-      sortBy: Seq[String], hadoopOpts: Map[String, String]): String = {
+      sortBy: Seq[String], hadoopOpts: Map[String, String],
+      stagedFiles: Seq[String]): String = {
     require(partitionBy.nonEmpty,
       s"dynamic partition overwrite needs a partitioned table: $ref")
-    val conf = new org.apache.hadoop.conf.Configuration()
-    hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
-    val fs = staging.getFileSystem(conf)
-    val replacedDirs = CatalogIO.listDataFiles(fs, staging)
-      .map(partitionPrefix).toSet
+    // the replaced set derives from the COMMITTED files' partition dirs
+    // (commit-message authority) — a zombie task's file in the staging
+    // dir must neither widen the replaced set nor ride into the manifest
+    val replacedDirs = stagedFiles.map(partitionPrefix).toSet
     CatalogIO.commitStagedManifestReplace(cat, ref, staging, schemaDdl,
       partitionBy, bucketBy, sortBy,
       expectedBase = cat.listTableVersions(ref).lastOption,
-      keepFile = f => !replacedDirs.contains(partitionPrefix(f)))
+      keepFile = f => !replacedDirs.contains(partitionPrefix(f)),
+      stagedFiles = Some(stagedFiles))
   }
 
   /** Commit a group-based row-level rewrite: the next version's manifest
@@ -187,7 +198,7 @@ private[sources] object GraftBatchWrite {
       staging: Path, schemaDdl: String, partitionBy: Seq[String],
       bucketBy: Option[(Int, Seq[String])], sortBy: Seq[String],
       base: Option[Int], scanned: Option[Set[String]],
-      hadoopOpts: Map[String, String]): String = {
+      hadoopOpts: Map[String, String], stagedFiles: Seq[String]): String = {
     val conf = new org.apache.hadoop.conf.Configuration()
     hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
     val baseLoc = base.map(cat.metadataLocationForVersion(ref, _))
@@ -209,7 +220,8 @@ private[sources] object GraftBatchWrite {
     }
     CatalogIO.commitStagedManifestReplace(cat, ref, staging, schemaDdl,
       partitionBy, bucketBy, sortBy, expectedBase = base,
-      keepFile = f => !replacedRel.contains(f))
+      keepFile = f => !replacedRel.contains(f),
+      stagedFiles = Some(stagedFiles))
   }
 
   /** Prior-manifest files surviving a partition-column overwrite
@@ -309,44 +321,37 @@ private[sources] final class GraftWrite(spark: SparkSession,
   // ----- driver side commit -----
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
-    val conf = spark.sessionState.newHadoopConf()
-    hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
-    pruneToCommitted(conf, messages)
+    // The committed tasks' messages — NOT the staging-dir listing — are
+    // the authority on what this write produced: a zombie task (one
+    // Spark retried but whose JVM still ran to completion) can drop a
+    // file into the staging dir at ANY point, including between a
+    // listing and the commit. Every commit face below moves/records
+    // exactly this list; whatever else staging holds is deleted with it.
+    val committed = messages.collect {
+      case m: GraftFilesCommitMessage => m.files
+    }.flatten.toIndexedSeq
     val ddl = writeSchema.toDDL
     mode match {
       case Append =>
         CatalogIO.commitStagedAppend(cat, ref, staging, ddl,
-          partitionBy, bucketBy, sortBy)
+          partitionBy, bucketBy, sortBy, stagedFiles = Some(committed))
       case Truncate =>
         CatalogIO.commitStagedSnapshot(cat, ref, staging, ddl,
-          partitionBy, bucketBy, sortBy, expectedBase = None)
+          partitionBy, bucketBy, sortBy, expectedBase = None,
+          stagedFiles = Some(committed))
       case Replace(base, scanned) =>
         GraftBatchWrite.commitReplace(cat, ref, staging, ddl,
-          partitionBy, bucketBy, sortBy, base, scanned.result(), hadoopOpts)
+          partitionBy, bucketBy, sortBy, base, scanned.result(), hadoopOpts,
+          stagedFiles = committed)
       case ByFilter(filters) =>
         GraftBatchWrite.commitOverwriteByFilter(spark, cat, ref, staging,
-          filters, ddl, partitionBy, bucketBy, sortBy, hadoopOpts)
+          filters, ddl, partitionBy, bucketBy, sortBy, hadoopOpts,
+          stagedFiles = committed)
       case DynamicOverwrite =>
         GraftBatchWrite.commitDynamicOverwrite(cat, ref, staging, ddl,
-          partitionBy, bucketBy, sortBy, hadoopOpts)
+          partitionBy, bucketBy, sortBy, hadoopOpts, stagedFiles = committed)
     }
     ()
-  }
-
-  /** Keep ONLY the files named by committed task messages: a zombie task
-    * (one Spark retried but whose JVM still ran to completion) can leave
-    * extra files in the staging dir after its replacement committed —
-    * the commit messages, not the directory listing, are the authority
-    * on what this write produced. */
-  private def pruneToCommitted(conf: org.apache.hadoop.conf.Configuration,
-      messages: Array[WriterCommitMessage]): Unit = {
-    val committed = messages.collect {
-      case m: GraftFilesCommitMessage => m.files
-    }.flatten.toSet
-    val fs = staging.getFileSystem(conf)
-    CatalogIO.listDataFiles(fs, staging)
-      .filterNot(committed)
-      .foreach(rel => fs.delete(new Path(staging, rel), false))
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {
