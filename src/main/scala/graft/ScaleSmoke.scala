@@ -174,15 +174,21 @@ object ScaleSmoke {
       spark.read.parquet(s"$out/lineitem.parquet")
         .select("l_orderkey", "l_quantity", "l_returnflag")
         .createOrReplaceTempView("cs_src")
+      // a COMPACTED bulk (one CTAS of 39/40ths of the data) plus a
+      // fragmented fresh tail (40 small appends of the last 40th) — the
+      // steady state of a streaming-ingest table between maintenance
+      // runs, and the shape where incremental compaction's O(selected)
+      // beats the full rewrite's O(table)
       val slices = 40
       val t0 = System.nanoTime()
       spark.sql(s"CREATE TABLE $cat.db.ing USING parquet AS " +
-        s"SELECT * FROM cs_src WHERE pmod(l_orderkey, $slices) = 0")
-      (1 until slices).foreach { i =>
+        s"SELECT /*+ REPARTITION(2) */ * FROM cs_src WHERE pmod(l_orderkey, $slices) <> 0")
+      (0 until slices).foreach { i =>
         spark.sql(s"INSERT INTO $cat.db.ing " +
-          s"SELECT * FROM cs_src WHERE pmod(l_orderkey, $slices) = $i")
+          s"SELECT * FROM cs_src WHERE pmod(l_orderkey, $slices) = 0 " +
+          s"AND pmod(CAST(l_orderkey / $slices AS BIGINT), $slices) = $i")
       }
-      println(f"[scale] compact x$replicas: ingested $slices slices in " +
+      println(f"[scale] compact x$replicas: bulk + $slices small appends in " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s")
       val hc = new graft.catalog.HadoopFsCatalog(cat,
         spark.conf.get(s"spark.sql.catalog.$cat.warehouse"))
@@ -197,12 +203,21 @@ object ScaleSmoke {
         val before = graft.catalog.CatalogIO
           .readLayout(hc.loadTableMetadataLocation(ref)).dataFiles.get.size
         val fragScan = (1 to 3).map(_ => scanTime()).min
+        // incremental first: merge ONLY the small ingest files (everything
+        // under 4 MB — the micro-batch slices), leaving the bulk files'
+        // manifest entries untouched. Cost is O(selected), not O(table).
+        val i0 = System.nanoTime()
+        val inc = graft.catalog.CatalogIO.compactSmallFiles(spark, hc, ref,
+          smallFileBytes = 4L << 20)
+        val incSecs = (System.nanoTime() - i0) / 1e9
+        val incScan = (1 to 3).map(_ => scanTime()).min
         val c0 = System.nanoTime()
         val res = graft.catalog.CatalogIO.compactTable(spark, hc, ref)
         val compactSecs = (System.nanoTime() - c0) / 1e9
         val compScan = (1 to 3).map(_ => scanTime()).min
-        println(f"[scale] compact x$replicas: $before files -> ${res.toFiles}, " +
-          f"scan $fragScan%.2f s -> $compScan%.2f s, compact cost $compactSecs%.1f s")
+        println(f"[scale] compact x$replicas: $before files -> ${inc.toFiles} " +
+          f"(incremental, $incSecs%.1f s) -> ${res.toFiles} (full, $compactSecs%.1f s), " +
+          f"scan $fragScan%.2f s -> $incScan%.2f s -> $compScan%.2f s")
       } finally hc.close()
     }
 

@@ -948,6 +948,114 @@ object CatalogIO {
     CompactResult(loc, files.size, toFiles, compacted = true)
   }
 
+  /** Incremental (partial) compaction: rewrite ONLY the manifest files
+    * `select` picks (by segment-relative path and size), leaving every
+    * other file's manifest entry — and physical path — untouched. At
+    * 100 TB this is the difference between a maintenance job that costs
+    * O(the partitions whose small-file count crossed a threshold) and
+    * [[compactTable]]'s whole-snapshot rewrite: a streaming-ingest table
+    * compacts its fresh micro-batch files nightly without ever touching
+    * the compacted bulk.
+    *
+    * The selected files' rows are re-read (with the recorded schema) and
+    * re-written THROUGH the recorded layout, so partition directories
+    * and bucket ids re-derive from the row values — a bucketed table's
+    * small per-trigger files merge per bucket, and storage-partitioned
+    * joins keep working across a partial compact (multiple files per
+    * bucket are grouped at plan time). The commit is a staged manifest
+    * replace gated on the base version: survivors keep identical paths,
+    * replaced files stay on disk for prior versions until
+    * [[expireVersions]] reclaims the segment.
+    *
+    * Refused while equality-delete files are live: a partial rewrite
+    * cannot soundly re-seq a subset under the fileSeq < deleteSeq rule
+    * (rewritten rows with deletes applied would need a seq PAST the
+    * deletes, but unselected files still need them) — run the full
+    * [[compactTable]], which materializes deletes away, first.
+    *
+    * Selection sees (relativePath, sizeBytes); sizes come from one
+    * driver-side `getFileStatus` per manifest entry (metadata-scale).
+    * ≤1 selected file is already compact: no-op, no version churn. */
+  def compactFiles(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
+      select: (String, Long) => Boolean,
+      targetFileBytes: Long = 128L << 20): CompactResult = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val (base, layout) = latestVersionLayout(cat, ref).getOrElse(
+      throw new NoSuchTableException(
+        s"Table $ref has no local version history to compact"))
+    val files = layout.dataFiles.getOrElse(
+      throw new UnsupportedOperationException(
+        s"Table $ref v$base predates file manifests (whole-directory " +
+          "snapshot); INSERT OVERWRITE once to upgrade it before compacting"))
+    if (layout.deleteFiles.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$ref has ${layout.deleteFiles.size} live equality-delete file(s); " +
+          "partial compaction cannot re-seq a subset soundly — run the full " +
+          "compactTable (it materializes the deletes away) first")
+    val ddl = layout.schemaDdl.getOrElse(
+      throw new UnsupportedOperationException(
+        s"Table $ref has no recorded schema; INSERT OVERWRITE once to " +
+          "upgrade it before partial compaction"))
+    val fs = cat.fileSystem
+    val segment = new Path(layout.dataLocation)
+    val sized = files.map { f =>
+      (f, fs.getFileStatus(new Path(segment, f)).getLen)
+    }
+    val selected = sized.filter { case (f, len) => select(f, len) }
+    if (selected.size <= 1)
+      return CompactResult(cat.metadataLocationForVersion(ref, base),
+        files.size, files.size, compacted = false)
+    val selectedSet = selected.map(_._1).toSet
+    val df = spark.read.schema(ddl).option("basePath", layout.dataLocation)
+      .parquet(selected.map(f => new Path(segment, f._1).toString): _*)
+    val arranged = (layout.numBuckets, layout.partitionColumns) match {
+      case (Some(n), _) =>
+        df.repartition(n, layout.bucketColumns.map(df.col): _*)
+      case (None, pcols) if pcols.nonEmpty =>
+        df.repartition(pcols.map(df.col): _*)
+      case _ =>
+        val bytes = selected.map(_._2).sum
+        df.repartition(math.max(1L,
+          math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt)
+    }
+    val staging = new Path(cat.tableDir(ref),
+      s"compact-stage-${java.util.UUID.randomUUID().toString.take(8)}")
+    writeData(spark, staging, arranged, layout.partitionColumns,
+      layout.numBuckets.map(n => (n, layout.bucketColumns)), layout.sortColumns)
+    val loc = commitStagedManifestReplace(cat, ref, staging, ddl,
+      layout.partitionColumns,
+      layout.numBuckets.map(n => (n, layout.bucketColumns)),
+      layout.sortColumns, expectedBase = Some(base),
+      keepFile = f => !selectedSet(f))
+    val toFiles = readLayout(loc, fs.getConf).dataFiles.map(_.size).getOrElse(0)
+    CompactResult(loc, files.size, toFiles, compacted = true)
+  }
+
+  /** [[compactFiles]] picking whole partition directories: `prefixFilter`
+    * sees the segment-relative partition prefix (`"r=eu"`, `""` for root
+    * files) — the `compactTable(partitionFilter)` maintenance idiom. */
+  def compactPartitions(spark: SparkSession, cat: HadoopFsCatalog,
+      ref: TableRef, prefixFilter: String => Boolean,
+      targetFileBytes: Long = 128L << 20): CompactResult =
+    compactFiles(spark, cat, ref,
+      (f, _) => prefixFilter(partitionPrefixOf(f)), targetFileBytes)
+
+  /** [[compactFiles]] picking small files only — the bin-pack-smallest
+    * maintenance mode: merge everything under `smallFileBytes`, leave
+    * already-full-size files (and their manifest paths) untouched. */
+  def compactSmallFiles(spark: SparkSession, cat: HadoopFsCatalog,
+      ref: TableRef, smallFileBytes: Long = 32L << 20,
+      targetFileBytes: Long = 128L << 20): CompactResult =
+    compactFiles(spark, cat, ref, (_, len) => len < smallFileBytes,
+      targetFileBytes)
+
+  /** The partition-directory prefix of a segment-relative file path (""
+    * for an unpartitioned root file). */
+  private def partitionPrefixOf(relPath: String): String = {
+    val i = relPath.lastIndexOf('/')
+    if (i < 0) "" else relPath.take(i)
+  }
+
   /** The LATEST version's (number, layout) — the commit-derivation base
     * for writers and the carrier of commit-scoped properties (e.g. a
     * streaming writer's replay fence, exactly as durable as the commit

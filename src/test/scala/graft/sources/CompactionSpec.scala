@@ -128,4 +128,101 @@ class CompactionSpec extends AnyFunSuite {
     assert(spark.table(s"$cat.db.p").where(col("part") === "a").count() == 3)
   }
 
+
+  // ----- incremental (partial) compaction (round 9) -----
+
+  test("compactPartitions rewrites ONLY the selected partition; other files keep identical paths") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.p (k BIGINT, r STRING) USING parquet PARTITIONED BY (r)")
+    // two appends per partition -> >=2 files per partition dir
+    (1 to 2).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.db.p VALUES ($i, 'eu'), (${i + 10}, 'us'), (${i + 20}, 'ap')")
+    }
+    val ref = TableRef.parse("db.p")
+    val before = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    val preRows = spark.table(s"$cat.db.p").collect().map(_.mkString("|")).sorted.toSeq
+    val untouchedBefore = before.dataFiles.get.filterNot(_.startsWith("r=eu"))
+    assert(before.dataFiles.get.count(_.startsWith("r=eu")) >= 2)
+
+    val res = CatalogIO.compactPartitions(spark, hc, ref, _ == "r=eu")
+    assert(res.compacted)
+
+    val after = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    // eu collapsed to one file; us/ap manifest entries are IDENTICAL paths
+    assert(after.dataFiles.get.count(_.startsWith("r=eu")) == 1)
+    assert(after.dataFiles.get.filterNot(_.startsWith("r=eu")).sorted ==
+      untouchedBefore.sorted)
+    // same segment tree (no snapshot rewrite), same rows, history intact
+    assert(after.dataLocation == before.dataLocation)
+    assert(spark.table(s"$cat.db.p").collect().map(_.mkString("|")).sorted.toSeq == preRows)
+    assert(spark.sql(s"SELECT * FROM $cat.db.p VERSION AS OF 3").count() == preRows.size)
+  }
+
+  test("compactSmallFiles merges only sub-threshold files; full-size files stay untouched") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    // big base file via CTAS, then several tiny appends
+    spark.sql(s"CREATE TABLE $cat.db.t USING parquet AS " +
+      s"SELECT o_orderkey AS k, o_totalprice AS v FROM parquet.`$dir/orders.parquet`")
+    (1 to 4).foreach(i => spark.sql(s"INSERT INTO $cat.db.t VALUES ($i + 9000000, 1.0)"))
+    val ref = TableRef.parse("db.t")
+    val before = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    val preRows = spark.table(s"$cat.db.t").count()
+    // threshold between the tiny append files and the CTAS file
+    val fs = new org.apache.hadoop.fs.Path(before.dataLocation)
+      .getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val sizes = before.dataFiles.get.map(f => f -> fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(before.dataLocation + "/" + f)).getLen)
+    val big = sizes.maxBy(_._2)
+    val res = CatalogIO.compactSmallFiles(spark, hc, ref, smallFileBytes = big._2)
+    assert(res.compacted)
+    val after = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    // the big file's manifest entry is byte-identical; small ones merged to 1
+    assert(after.dataFiles.get.contains(big._1))
+    assert(after.dataFiles.get.size == 2)
+    assert(spark.table(s"$cat.db.t").count() == preRows)
+  }
+
+  test("partial compaction of a bucketed table merges per bucket; SPJ survives") {
+    val (cat, hc) = freshCatalog()
+    val ref = TableRef.parse("db.b")
+    hc.createNamespace(graft.catalog.Namespace(Vector("db")))
+    import spark.implicits._
+    CatalogIO.createTable(spark, hc, ref,
+      (1L to 40L).map(i => (i, s"v$i")).toDF("k", "v"),
+      bucketBy = Some((4, Seq("k"))))
+    // two appends fragment each bucket
+    (1 to 2).foreach { i =>
+      spark.sql(s"INSERT INTO $cat.db.b VALUES (${100 + i}, 'x'), (${200 + i}, 'y')")
+    }
+    val preRows = spark.table(s"$cat.db.b").collect().map(_.mkString("|")).sorted.toSeq
+    val res = CatalogIO.compactSmallFiles(spark, hc, ref, smallFileBytes = 1L << 30)
+    assert(res.compacted && res.toFiles <= 4) // at most one file per bucket
+    val after = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    // every compacted file carries a bucket id in its name
+    assert(after.dataFiles.get.forall(f =>
+      org.apache.spark.sql.execution.datasources.BucketingUtils
+        .getBucketId(f.split('/').last).isDefined))
+    assert(spark.table(s"$cat.db.b").collect().map(_.mkString("|")).sorted.toSeq == preRows)
+  }
+
+  test("partial compaction refuses while equality deletes are live; no-op below 2 selected files") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT 1, 'a'") // single task -> one file
+    val ref = TableRef.parse("db.t")
+    assert(CatalogIO.readLayout(hc.loadTableMetadataLocation(ref)).dataFiles.get.size == 1)
+    // <=1 selected file: no-op, no version churn
+    val versions = hc.listTableVersions(ref)
+    val res = CatalogIO.compactPartitions(spark, hc, ref, _ => true)
+    assert(!res.compacted && hc.listTableVersions(ref) == versions)
+    import spark.implicits._
+    MergeOps.deleteMatchedMergeOnRead(spark, hc, ref, Seq(1L).toDF("k"), Seq("k"))
+    val ex = intercept[UnsupportedOperationException] {
+      CatalogIO.compactSmallFiles(spark, hc, ref)
+    }
+    assert(ex.getMessage.contains("equality-delete"))
+  }
 }
