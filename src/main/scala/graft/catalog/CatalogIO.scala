@@ -40,6 +40,18 @@ object CatalogIO {
     * prefix keeps [[listDataFiles]] from ever treating it as data). */
   final case class DeleteFile(path: String, seq: Int)
 
+  /** One column rename, recorded at the version (`seq`) it committed
+    * (round 9 — name-mapping schema evolution, Iceberg's field-id idiom
+    * re-expressed for a name-addressed format): data files written
+    * BEFORE `seq` carry the column under `from`; files at/after `seq`
+    * carry `to`. A scan reads each file with the physical names its
+    * manifest seq implies and serves the rows under the current names —
+    * positions and types never change, so the rows are served as-is.
+    * Renames chain (a→b at 5, b→c at 9: a seq-3 file resolves c→b→a).
+    * Compaction rewrites everything under the current names and clears
+    * the mapping. */
+  final case class RenameOp(seq: Int, from: String, to: String)
+
   /** Physical layout of a table, as recorded in its metadata JSON.
     * `schemaDdl` (recorded since round 6) lets readers plan without
     * touching parquet footers — at 100 TB schema inference is a file
@@ -69,11 +81,41 @@ object CatalogIO {
       dataFiles: Option[Seq[String]] = None,
       properties: Map[String, String] = Map.empty,
       deleteFiles: Seq[DeleteFile] = Nil,
-      dataFileSeqs: Option[Seq[Int]] = None) {
+      dataFileSeqs: Option[Seq[Int]] = None,
+      renameOps: Seq[RenameOp] = Nil,
+      droppedColumns: Seq[String] = Nil) {
     require(deleteFiles.isEmpty || dataFiles.isDefined,
       "equality-delete files require a file-manifest version")
+    require(renameOps.isEmpty || dataFiles.isDefined,
+      "column-rename mappings require a file-manifest version")
     require(dataFileSeqs.forall(s => dataFiles.exists(_.size == s.size)),
       "dataFileSeqs must parallel dataFiles one-to-one")
+    /** Seq-gated per-file state (deletes or renames) is live: manifests
+      * record per-file seqs while any is. */
+    def seqGated: Boolean = deleteFiles.nonEmpty || renameOps.nonEmpty
+    @transient private lazy val currentNames: Seq[String] =
+      schemaDdl.map(org.apache.spark.sql.types.StructType.fromDDL)
+        .map(_.fieldNames.toSeq).getOrElse(Nil)
+    // memoized per distinct file seq — scans call this once per manifest
+    // entry, and distinct seqs are bounded by commits since compaction
+    @transient private lazy val physicalNamesCache =
+      scala.collection.mutable.Map.empty[Int, Map[String, String]]
+    /** current→physical column-name map for a data file committed at
+      * `fileSeq` (identity entries omitted): undo every rename that
+      * happened AFTER the file was written, newest first. */
+    def physicalNamesAt(fileSeq: Int): Map[String, String] = {
+      if (renameOps.isEmpty) return Map.empty
+      physicalNamesCache.synchronized {
+        physicalNamesCache.getOrElseUpdate(fileSeq, {
+          val later = renameOps.filter(_.seq > fileSeq).sortBy(-_.seq)
+          currentNames.flatMap { c =>
+            var name = c
+            later.foreach { r => if (r.to.equalsIgnoreCase(name)) name = r.from }
+            if (name == c) None else Some(c -> name)
+          }.toMap
+        })
+      }
+    }
     /** Absolute paths of this version's data files (manifest versions). */
     def absoluteDataFiles: Option[Seq[String]] =
       dataFiles.map(_.map(f => new Path(dataLocation, f).toString))
@@ -233,7 +275,8 @@ object CatalogIO {
     "formatVersion", "location", "partitionColumns", "numBuckets",
     "bucketColumns", "sortColumns", "schemaDdl", "dataFiles",
     "properties", "dataLocation",
-    "deleteFiles", "deleteFileSeqs", "dataFileSeqs")
+    "deleteFiles", "deleteFileSeqs", "dataFileSeqs",
+    "renameFroms", "renameTos", "renameSeqs", "droppedColumns")
 
   def metadataJson(tableLocation: String, dataLocation: String,
       layout: TableLayout = TableLayout("")): String = {
@@ -273,6 +316,18 @@ object CatalogIO {
         if (layout.deleteFiles.isEmpty) ""
         else s"""  "deleteFiles": ${arrBody(layout.deleteFiles.map(_.path))},\n""" +
           s"""  "deleteFileSeqs": ${arrBody(layout.deleteFiles.map(_.seq.toString))},\n"""
+      }${
+        // column renames as three parallel arrays (seq, from, to) — the
+        // name mapping every reader resolves per-file seqs against
+        if (layout.renameOps.isEmpty) ""
+        else s"""  "renameFroms": ${arrBody(layout.renameOps.map(_.from))},\n""" +
+          s"""  "renameTos": ${arrBody(layout.renameOps.map(_.to))},\n""" +
+          s"""  "renameSeqs": ${arrBody(layout.renameOps.map(_.seq.toString))},\n"""
+      }${
+        // tombstones of dropped columns (and their physical ancestors):
+        // re-ADDing one would resurrect stale bytes from pre-drop files,
+        // so ADD COLUMN refuses these until compaction clears them
+        arr("droppedColumns", layout.droppedColumns)
       }${
         // commit-scoped properties (e.g. a streaming writer's replay
         // fence) — atomic with the version because they ARE the version
@@ -503,7 +558,9 @@ object CatalogIO {
       dataFiles = Some(priorFiles ++ moved),
       properties = prior.properties ++ properties,
       deleteFiles = prior.deleteFiles,
-      dataFileSeqs = appendedSeqs(prior, priorFiles, moved.size, n))
+      dataFileSeqs = appendedSeqs(prior, priorFiles, moved.size, n),
+      renameOps = prior.renameOps,
+      droppedColumns = prior.droppedColumns)
     commitLayoutAsVersion(cat, ref, n, layout)
   }
 
@@ -513,7 +570,7 @@ object CatalogIO {
     * delete, which the seq-0 default then expresses). */
   private def appendedSeqs(prior: TableLayout, priorFiles: Seq[String],
       added: Int, n: Int): Option[Seq[Int]] =
-    if (prior.deleteFiles.isEmpty) None
+    if (!prior.seqGated) None
     else Some(prior.dataFileSeqs.getOrElse(Seq.fill(priorFiles.size)(0)) ++
       Seq.fill(added)(n))
 
@@ -581,7 +638,9 @@ object CatalogIO {
         dataFiles = Some(priorFiles ++ moved),
         properties = prior.properties,
         deleteFiles = prior.deleteFiles,
-        dataFileSeqs = appendedSeqs(prior, priorFiles, moved.size, n)))
+        dataFileSeqs = appendedSeqs(prior, priorFiles, moved.size, n),
+        renameOps = prior.renameOps,
+        droppedColumns = prior.droppedColumns))
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -674,8 +733,10 @@ object CatalogIO {
       properties = prior.properties,
       deleteFiles = prior.deleteFiles,
       dataFileSeqs =
-        if (prior.deleteFiles.isEmpty) None
-        else Some(survivors.map(_._2) ++ Seq.fill(moved.size)(n))))
+        if (!prior.seqGated) None
+        else Some(survivors.map(_._2) ++ Seq.fill(moved.size)(n)),
+      renameOps = prior.renameOps,
+      droppedColumns = prior.droppedColumns))
   }
 
   // ----- merge-on-read commits (round 8: equality-delete files) -----
@@ -706,6 +767,14 @@ object CatalogIO {
     val n = nextVersionNumber(cat, ref, None, Nil, expectedBase)
     val fs = cat.fileSystem
     val prior = readLayout(cat.metadataLocationForVersion(ref, n - 1), fs.getConf)
+    // delete tuples name CURRENT columns; files under un-materialized
+    // renames carry per-epoch physical names — composing the two would
+    // need epoch-aware tuple translation. Refused (like renames refuse
+    // while deletes live): compaction materializes the renames away.
+    if (prior.renameOps.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$ref has ${prior.renameOps.size} un-materialized column rename(s); " +
+          "compactTable first to materialize them before merge-on-read writes")
     val priorFiles = prior.dataFiles.getOrElse(throw new UnsupportedOperationException(
       s"Table $ref v${n - 1} predates file manifests (whole-directory snapshot); " +
         "INSERT OVERWRITE once to upgrade it before merge-on-read writes"))
@@ -787,7 +856,7 @@ object CatalogIO {
     commitLayoutAsVersion(cat, ref, n, prior.copy(
       dataFiles = Some(survivors.map(_._1)),
       dataFileSeqs =
-        if (prior.deleteFiles.isEmpty) None else Some(survivors.map(_._2))))
+        if (!prior.seqGated) None else Some(survivors.map(_._2))))
   }
 
   /** Write `tuples` as ONE parquet equality-delete file under the
@@ -918,12 +987,13 @@ object CatalogIO {
       throw new UnsupportedOperationException(
         s"Table $ref v$base predates file manifests (whole-directory " +
           "snapshot); INSERT OVERWRITE once to upgrade it before compacting"))
-    // ≤1 file with no live deletes is already compact; live equality-
-    // delete files force the rewrite regardless — compaction is what
-    // MATERIALIZES merge-on-read deletes (the scan below reads through
-    // them, and commitVersion's fresh layout carries none), restoring
-    // delete-free scans and the bucketed table's SPJ reporting
-    if (files.size <= 1 && layout.deleteFiles.isEmpty)
+    // ≤1 file with no seq-gated state is already compact; live equality-
+    // delete files and un-materialized column renames force the rewrite
+    // regardless — compaction is what MATERIALIZES them (the scan below
+    // reads through deletes and epoch name mappings, and commitVersion's
+    // fresh layout carries neither), restoring plain scans, ADD COLUMN
+    // over tombstoned names, and the bucketed table's SPJ reporting
+    if (files.size <= 1 && !layout.seqGated)
       return CompactResult(cat.metadataLocationForVersion(ref, base),
         files.size, files.size, compacted = false)
     val fs = cat.fileSystem
@@ -1006,8 +1076,16 @@ object CatalogIO {
       return CompactResult(cat.metadataLocationForVersion(ref, base),
         files.size, files.size, compacted = false)
     val selectedSet = selected.map(_._1).toSet
-    val df = spark.read.schema(ddl).option("basePath", layout.dataLocation)
-      .parquet(selected.map(f => new Path(segment, f._1).toString): _*)
+    // scan the selected subset through the shared layout scan so
+    // un-materialized renames resolve per-epoch physical names (the
+    // rewrite output carries the CURRENT names; the manifest replace
+    // seqs it at n, past every rename)
+    val selSeqs = layout.dataFileSeqs.map { seqs =>
+      files.zip(seqs).filter { case (f, _) => selectedSet(f) }.map(_._2)
+    }
+    val df = scanLayoutWithOptions(spark,
+      layout.copy(dataFiles = Some(selected.map(_._1)), dataFileSeqs = selSeqs),
+      Map.empty)
     val arranged = (layout.numBuckets, layout.partitionColumns) match {
       case (Some(n), _) =>
         df.repartition(n, layout.bucketColumns.map(df.col): _*)
@@ -1215,13 +1293,20 @@ object CatalogIO {
     scanLayoutWithOptions(spark, layout, Map.empty)
 
   /** [[scanLayout]] with reader options (the Hadoop-conf overlay of the
-    * DSv2 / MergeOps faces), applying any live equality-delete files
-    * (merge-on-read): data files are grouped by the delete files that
-    * apply to them (fileSeq < deleteSeq — files appended after a delete
-    * committed are exempt, so a re-inserted key stays visible), each
-    * group is anti-joined against its delete tuples, and the groups
-    * union back together. Typically two groups: pre-delete files (all
-    * deletes apply) and post-delete appends (none do). */
+    * DSv2 / MergeOps faces), applying the layout's seq-gated state:
+    *
+    *  - live equality-delete files (merge-on-read): data files are
+    *    grouped by the delete files that apply to them (fileSeq <
+    *    deleteSeq — files appended after a delete committed are exempt,
+    *    so a re-inserted key stays visible), each group is anti-joined
+    *    against its delete tuples;
+    *  - un-materialized column renames: each group is read with the
+    *    PHYSICAL names its manifest seq implies (rename preserves
+    *    position and type, so `toDF(currentNames)` serves the rows
+    *    as-is — no data conversion);
+    *
+    * and the groups union back together. Typically two groups: pre-
+    * change files and post-change appends. */
   private[graft] def scanLayoutWithOptions(spark: SparkSession,
       layout: TableLayout, options: Map[String, String]): DataFrame = {
     def reader = {
@@ -1236,14 +1321,26 @@ object CatalogIO {
             s"Empty manifest with no recorded schema at ${layout.dataLocation}")))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-      case Some(filesWithSeqs) if layout.deleteFiles.nonEmpty =>
+      case Some(filesWithSeqs) if layout.seqGated =>
         val dels = layout.absoluteDeleteFiles
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          layout.schemaDdl.getOrElse(throw new IllegalStateException(
+            s"Seq-gated manifest with no recorded schema at ${layout.dataLocation}")))
         val groups = filesWithSeqs
-          .groupBy { case (_, s) => dels.collect { case (p, d) if s < d => p } }
+          .groupBy { case (_, s) =>
+            (dels.collect { case (p, d) if s < d => p },
+              layout.physicalNamesAt(s))
+          }
           .toSeq.sortBy(_._2.head._1) // deterministic group order
-        groups.map { case (delPaths, fs) =>
-          val df = reader.option("basePath", layout.dataLocation)
+        groups.map { case ((delPaths, physical), fs) =>
+          val physSchema = org.apache.spark.sql.types.StructType(
+            schema.fields.map(f => f.copy(name = physical.getOrElse(f.name, f.name))))
+          val df0 = spark.read.options(options).schema(physSchema)
+            .option("basePath", layout.dataLocation)
             .parquet(fs.map(_._1): _*)
+          // positional rename back to the current names (no-op when the
+          // group is at the current epoch)
+          val df = if (physical.isEmpty) df0 else df0.toDF(schema.fieldNames.toIndexedSeq: _*)
           applyEqualityDeletes(spark, df, delPaths, options)
         }.reduce(_ unionByName _)
       case Some(filesWithSeqs) =>
@@ -1333,6 +1430,13 @@ object CatalogIO {
     if (delPaths.nonEmpty && delSeqs.isEmpty)
       throw new IllegalStateException(
         s"Malformed metadata: deleteFiles without deleteFileSeqs in $metadataLocation")
+    val renameFroms = arrayField(text, "renameFroms").getOrElse(Nil)
+    val renameTos = arrayField(text, "renameTos").getOrElse(Nil)
+    val renameSeqs = intSeqs("renameSeqs", Some(renameFroms.size)).getOrElse(Nil)
+    if (renameFroms.size != renameTos.size ||
+        (renameFroms.nonEmpty && renameSeqs.size != renameFroms.size))
+      throw new IllegalStateException(
+        s"Malformed metadata: rename arrays out of step in $metadataLocation")
     TableLayout(dataLoc, arr("partitionColumns"),
       NumBucketsRe.findFirstMatchIn(text).map(_.group(1).toInt),
       arr("bucketColumns"), arr("sortColumns"),
@@ -1343,7 +1447,10 @@ object CatalogIO {
       objectField(text, "properties"),
       deleteFiles = delPaths.zip(delSeqs.getOrElse(Nil))
         .map { case (p, s) => DeleteFile(p, s) },
-      dataFileSeqs = intSeqs("dataFileSeqs", dataFiles.map(_.size)))
+      dataFileSeqs = intSeqs("dataFileSeqs", dataFiles.map(_.size)),
+      renameOps = renameSeqs.lazyZip(renameFroms).lazyZip(renameTos)
+        .map((s, f, t) => RenameOp(s, f, t)),
+      droppedColumns = arr("droppedColumns"))
   }
 
   /** Resolve a table through its catalog and scan it. */
@@ -1369,6 +1476,11 @@ object CatalogIO {
         s"$ref has ${layout.deleteFiles.size} live equality-delete file(s); a " +
           "session-catalog directory view would resurrect deleted rows — read " +
           "through the DSv2 catalog, or compactTable first to materialize them")
+    if (layout.renameOps.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$ref has ${layout.renameOps.size} un-materialized column rename(s); a " +
+          "session-catalog directory view would read pre-rename files as NULL — " +
+          "read through the DSv2 catalog, or compactTable first to materialize them")
     // The external table points at the segment DIRECTORY, so it is a
     // LIVE view of the segment tree rather than a pinned file manifest:
     // it sees later appends into the same segment (and any crashed-

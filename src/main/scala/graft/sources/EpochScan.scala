@@ -1,0 +1,194 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{AttributeReference, Expression}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.CatalogIO.TableLayout
+
+/** Name-mapping schema evolution through the DSv2 front door (round 9):
+  * when a table's metadata carries un-materialized column renames,
+  * [[GraftSparkCatalog.loadTable]] serves a [[GraftEpochTable]] whose
+  * scans read each data file with the PHYSICAL column names its
+  * manifest seq implies and serve the rows under the current names.
+  *
+  * The trick that keeps this cheap: a rename changes a column's NAME,
+  * never its position or type, so every epoch's row layout is
+  * position-identical to the current schema — rows (and whole columnar
+  * batches) pass through untouched. The only per-epoch work is at PLAN
+  * time: the pruned schema and the pushed filters are translated into
+  * the epoch's physical names, one stock `ParquetScan` is built per
+  * epoch over that epoch's manifest slice, and the wrapper concatenates
+  * their partitions. Pushdown, vectorized reading, and codegen are all
+  * Spark's own; at 100 TB a rename stays a metadata-only commit and the
+  * scan stays one pass.
+  *
+  * Epoch count is bounded by the number of RENAME commits since the
+  * last compaction (typically 1-2); compaction rewrites everything
+  * under the current names and collapses the table back to a single
+  * stock scan. */
+final class GraftEpochTable(spark: SparkSession, tableName: String,
+    layout: TableLayout, hadoopOpts: Map[String, String]) extends Table
+  with SupportsRead {
+
+  private val currentSchema: StructType = StructType.fromDDL(
+    layout.schemaDdl.getOrElse(throw new IllegalStateException(
+      s"renamed table $tableName has no recorded schema")))
+
+  /** (current→physical lowercase name map, that epoch's files). */
+  private val epochs: Seq[(Map[String, String], Seq[String])] =
+    layout.absoluteDataFilesWithSeqs.getOrElse(throw new IllegalStateException(
+      s"renamed table $tableName has no file manifest"))
+      .groupBy { case (_, s) => layout.physicalNamesAt(s) }
+      .toSeq.sortBy(_._2.head._1)
+      .map { case (m, fs) =>
+        (m.map { case (k, v) => k.toLowerCase -> v }, fs.map(_._1))
+      }
+
+  /** One stock parquet table per epoch, with that epoch's physical
+    * schema (current schema, names substituted — positions and types
+    * identical). */
+  private val epochTables: Seq[(Map[String, String], ParquetTable)] =
+    epochs.map { case (m, files) =>
+      val physSchema = StructType(currentSchema.fields.map(f =>
+        f.copy(name = m.getOrElse(f.name.toLowerCase, f.name))))
+      (m, ParquetTable(s"$tableName@epoch", spark,
+        new CaseInsensitiveStringMap(
+          (hadoopOpts + ("basePath" -> layout.dataLocation)).asJava),
+        files, userSpecifiedSchema = Some(physSchema),
+        fallbackFileFormat = classOf[ParquetFileFormat]))
+    }
+
+  override def name(): String = tableName
+  override def schema(): StructType = currentSchema
+  override def properties(): util.Map[String, String] = util.Collections.emptyMap()
+  override def partitioning(): Array[Transform] = Array.empty
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new EpochScanBuilder(epochTables.map { case (m, t) =>
+      (m, t.newScanBuilder(options).asInstanceOf[ParquetScanBuilder])
+    })
+}
+
+/** Fans pruning and filter pushdown out to each epoch's stock builder,
+  * translated into that epoch's physical names. Filters are reported
+  * back as NOT fully handled (returned unchanged), so Spark re-checks
+  * them post-scan — the per-epoch pushdown still prunes partitions,
+  * row groups, and pages. */
+private final class EpochScanBuilder(
+    builders: Seq[(Map[String, String], ParquetScanBuilder)])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with SupportsPushDownCatalystFilters {
+
+  private def renameSchema(s: StructType, m: Map[String, String]): StructType =
+    StructType(s.fields.map(f => f.copy(name = m.getOrElse(f.name.toLowerCase, f.name))))
+
+  private def renameExpr(e: Expression, m: Map[String, String]): Expression =
+    e.transform {
+      case a: AttributeReference if m.contains(a.name.toLowerCase) =>
+        a.withName(m(a.name.toLowerCase))
+    }
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    builders.foreach { case (m, b) => b.pruneColumns(renameSchema(requiredSchema, m)) }
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    builders.foreach { case (m, b) => b.pushFilters(filters.map(renameExpr(_, m))) }
+    filters // evaluated again post-scan; per-epoch pushdown still prunes
+  }
+
+  override def pushedFilters: Array[Predicate] =
+    builders.headOption.map(_._2.pushedFilters).getOrElse(Array.empty)
+
+  override def build(): Scan =
+    new EpochScan(builders.map { case (m, b) =>
+      (m, b.build().asInstanceOf[ParquetScan])
+    })
+}
+
+/** One epoch's planned file slices. */
+private[sources] final case class EpochFilePartition(epoch: Int,
+    files: FilePartition) extends InputPartition {
+  override def preferredLocations(): Array[String] = files.preferredLocations()
+}
+
+/** Concatenates the per-epoch stock scans. Rows and columnar batches
+  * pass through untouched (position-identical layouts); readSchema maps
+  * epoch 0's (pruned, physically-named) schema back to current names. */
+private final class EpochScan(
+    private val scans: Seq[(Map[String, String], ParquetScan)])
+  extends Scan with Batch {
+
+  // physical→current per epoch 0 (maps are current→physical, lowercased)
+  private val out: StructType = {
+    val (m, s) = scans.head
+    val back = m.map(_.swap)
+    StructType(s.readSchema().fields.map(f =>
+      f.copy(name = back.getOrElse(f.name, f.name))))
+  }
+
+  override def readSchema(): StructType = out
+  override def description(): String =
+    s"graft-epochs(${scans.size}: ${scans.head._2.description()})"
+  override def toBatch: Batch = this
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    Scan.ColumnarSupportMode.PARTITION_DEFINED
+
+  override def equals(other: Any): Boolean = other match {
+    case e: EpochScan => scans == e.scans
+    case _ => false
+  }
+  override def hashCode(): Int = scans.hashCode()
+
+  private lazy val planned: Array[InputPartition] =
+    scans.zipWithIndex.flatMap { case ((_, s), i) =>
+      s.toBatch.planInputPartitions().map {
+        case fp: FilePartition => EpochFilePartition(i, fp): InputPartition
+        case other => throw new IllegalStateException(
+          s"unexpected epoch-scan partition ${other.getClass.getName}")
+      }
+    }.toArray
+
+  override def planInputPartitions(): Array[InputPartition] = planned
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new EpochReaderFactory(scans.map(_._2.createReaderFactory()).toArray)
+}
+
+/** Dispatches each partition to its epoch's stock reader factory. */
+private final class EpochReaderFactory(inners: Array[PartitionReaderFactory])
+  extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val ep = p.asInstanceOf[EpochFilePartition]
+    inners(ep.epoch).createReader(ep.files)
+  }
+
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val ep = p.asInstanceOf[EpochFilePartition]
+    inners(ep.epoch).createColumnarReader(ep.files)
+  }
+
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val ep = p.asInstanceOf[EpochFilePartition]
+    inners(ep.epoch).supportColumnarReads(ep.files)
+  }
+}

@@ -670,6 +670,7 @@ private final class GraftRowLevelScan(
         fp.files.map(_.filePath.toString)
       case b: BucketFilePartition => b.files.files.map(_.filePath.toString)
       case m: MorFilePartition => m.files.files.map(_.filePath.toString)
+      case e: EpochFilePartition => e.files.files.map(_.filePath.toString)
       case other => throw new IllegalStateException(
         s"cannot derive the replaced file set from scan partition ${other.getClass.getName}")
     })

@@ -115,6 +115,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       // shuffle-free join; compaction materializes the deletes away and
       // restores SPJ (CatalogIO.compactTable).
       if (layout.deleteFiles.nonEmpty) new GraftMorTable(table, layout, hadoopOpts)
+      // un-materialized column renames: per-epoch scans serve old files
+      // under their physical names (EpochScan.scala) — a plain scan
+      // would read renamed columns of pre-rename files as NULL
+      else if (layout.renameOps.nonEmpty && paths.nonEmpty)
+        new GraftEpochTable(SparkSession.active, ref.toString, layout, hadoopOpts)
       else layout.numBuckets match {
         // a recorded bucket layout becomes a DSv2 bucket transform +
         // key-grouped scans → storage-partitioned joins with no shuffle
@@ -185,8 +190,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       userSpecifiedSchema = vLayout.schemaDdl
         .map(org.apache.spark.sql.types.StructType.fromDDL),
       fallbackFileFormat = classOf[ParquetFileFormat])
-    // a time-traveled version with live deletes applies ITS delete set
+    // a time-traveled version applies ITS OWN seq-gated state (delete
+    // set / rename epochs) — every version reads with its own schema
     if (vLayout.deleteFiles.nonEmpty) new GraftMorTable(table, vLayout, hadoopOpts)
+    else if (vLayout.renameOps.nonEmpty && paths.nonEmpty)
+      new GraftEpochTable(SparkSession.active, s"$ref@v$n", vLayout, hadoopOpts)
     else table
   }
 
@@ -302,6 +310,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       s"$catalogName: $ref predates recorded schemas; INSERT OVERWRITE once " +
         "to upgrade it before altering"))
     var fields = org.apache.spark.sql.types.StructType.fromDDL(ddl).fields.toVector
+    // accumulated metadata-only evolution state of this ALTER statement
+    val nextSeq = base.getOrElse(0) + 1 // the version this ALTER commits as
+    var renames = layout.renameOps
+    var dropped = layout.droppedColumns
+    var bucketCols = layout.bucketColumns
+    var sortCols = layout.sortColumns
+    // physical names still live in old files: any rename's from-name and
+    // every tombstoned dropped column. ADDing (or renaming TO) one of
+    // these would make pre-change files serve STALE BYTES under the new
+    // column — refused until compaction clears the mapping.
+    def shadowedNames: Set[String] =
+      (renames.map(_.from) ++ dropped).map(_.toLowerCase).toSet
     val pset = layout.partitionColumns.map(_.toLowerCase).toSet
     def suffixShaped(fs: Vector[org.apache.spark.sql.types.StructField]): Boolean = {
       val firstP = fs.indexWhere(f => pset(f.name.toLowerCase))
@@ -322,6 +342,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         if (fields.exists(_.name.equalsIgnoreCase(nm)))
           throw new IllegalArgumentException(
             s"$catalogName: column $nm already exists in $ref")
+        if (shadowedNames(nm.toLowerCase))
+          throw new IllegalArgumentException(
+            s"$catalogName: column name $nm is still physically present in " +
+              s"$ref's pre-rename/pre-drop data files and would serve stale " +
+              "bytes; compactTable first to materialize the schema history")
         val fld0 = org.apache.spark.sql.types.StructField(nm, add.dataType)
         val fld = Option(add.comment).fold(fld0)(fld0.withComment)
         fields = Option(add.position()) match {
@@ -349,9 +374,81 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
           case Some(other) => throw new UnsupportedOperationException(
             s"$catalogName: unsupported column position $other")
         }
+      case rn: TableChange.RenameColumn =>
+        // RENAME COLUMN (round 9): metadata-only — the name mapping lets
+        // every scan resolve old files' physical names (EpochScan)
+        if (rn.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName: only top-level RENAME COLUMN is supported, " +
+              s"got nested ${rn.fieldNames.mkString(".")}")
+        val from = rn.fieldNames.head
+        val to = rn.newName
+        val i = fields.indexWhere(_.name.equalsIgnoreCase(from))
+        if (i < 0) throw new IllegalArgumentException(
+          s"$catalogName: column $from not found in $ref")
+        if (fields.exists(_.name.equalsIgnoreCase(to)))
+          throw new IllegalArgumentException(
+            s"$catalogName: column $to already exists in $ref")
+        if (pset(from.toLowerCase))
+          throw new UnsupportedOperationException(
+            s"$catalogName: cannot rename partition column $from — partition " +
+              "values live in physical directory names; rewrite the table " +
+              "(INSERT OVERWRITE) under the new layout instead")
+        if (layout.deleteFiles.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"$catalogName: $ref has live equality-delete files; compactTable " +
+              "first to materialize them before renaming columns")
+        if (layout.dataFiles.isEmpty)
+          throw new UnsupportedOperationException(
+            s"$catalogName: $ref predates file manifests; INSERT OVERWRITE " +
+              "once to upgrade it before renaming columns")
+        if (!priorSuffixShaped)
+          throw new UnsupportedOperationException(
+            s"$catalogName: $ref's legacy schema interleaves partition " +
+              "columns; positional epoch reads would be unsound — rewrite " +
+              "the table before renaming columns")
+        fields = fields.updated(i, fields(i).copy(name = to))
+        renames = renames :+ graft.catalog.CatalogIO.RenameOp(nextSeq, from, to)
+        // the recorded layout keeps naming the same physical data: bucket
+        // and sort specs follow the rename (file names carry only bucket
+        // IDs, so this is metadata-consistent)
+        bucketCols = bucketCols.map(c => if (c.equalsIgnoreCase(from)) to else c)
+        sortCols = sortCols.map(c => if (c.equalsIgnoreCase(from)) to else c)
+      case del: TableChange.DeleteColumn =>
+        // DROP COLUMN (round 9): metadata-only — scans simply stop
+        // requesting the column; the name (and its physical ancestors)
+        // is tombstoned against re-ADD until compaction
+        if (del.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName: only top-level DROP COLUMN is supported, " +
+              s"got nested ${del.fieldNames.mkString(".")}")
+        val nm = del.fieldNames.head
+        val i = fields.indexWhere(_.name.equalsIgnoreCase(nm))
+        if (i < 0) throw new IllegalArgumentException(
+          s"$catalogName: column $nm not found in $ref")
+        if (fields.size == 1)
+          throw new IllegalArgumentException(
+            s"$catalogName: cannot drop the only column of $ref")
+        val layoutCols = (layout.partitionColumns ++ bucketCols ++ sortCols)
+          .map(_.toLowerCase).toSet
+        if (layoutCols(nm.toLowerCase))
+          throw new UnsupportedOperationException(
+            s"$catalogName: cannot drop $nm — it is part of $ref's recorded " +
+              "partition/bucket/sort layout; rewrite the table under a new " +
+              "layout instead")
+        if (layout.dataFiles.isEmpty)
+          throw new UnsupportedOperationException(
+            s"$catalogName: $ref predates file manifests; INSERT OVERWRITE " +
+              "once to upgrade it before dropping columns")
+        // tombstone the current name; the column's pre-rename physical
+        // ancestors stay shadowed through the (now-inert) rename entries,
+        // which no current column resolves through
+        dropped = dropped :+ fields(i).name
+        fields = fields.take(i) ++ fields.drop(i + 1)
       case other => throw new UnsupportedOperationException(
-        s"$catalogName: unsupported table change $other (only nullable " +
-          "ADD COLUMN evolves without contradicting existing data files)")
+        s"$catalogName: unsupported table change $other (nullable ADD COLUMN, " +
+          "RENAME COLUMN, and DROP COLUMN evolve without contradicting " +
+          "existing data files)")
     }
     // explicit FIRST/AFTER may not interleave data columns into the
     // partition-column suffix: file tables serve dataSchema ++
@@ -365,7 +462,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
           "scans always serve partition columns last — place the column before them")
     val evolved = org.apache.spark.sql.types.StructType(fields)
     CatalogIO.commitMetadataOnly(h, ref,
-      layout.copy(schemaDdl = Some(evolved.toDDL)), expectedBase = base)
+      layout.copy(schemaDdl = Some(evolved.toDDL),
+        bucketColumns = bucketCols, sortColumns = sortCols,
+        renameOps = renames, droppedColumns = dropped),
+      expectedBase = base)
     loadTable(ident)
   }
 
