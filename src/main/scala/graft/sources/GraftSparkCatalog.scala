@@ -445,10 +445,52 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         // which no current column resolves through
         dropped = dropped :+ fields(i).name
         fields = fields.take(i) ++ fields.drop(i + 1)
+      case upd: TableChange.UpdateColumnType =>
+        // TYPE WIDENING (round 9): metadata-only for promotions Spark's
+        // parquet reader serves losslessly from the narrower physical
+        // type (verified against 4.1.2's vectorized reader): integral
+        // up-casts, float→double, and non-truncating decimal widening.
+        // Everything else (narrowing, float→integral, …) would contradict
+        // the bytes on disk and is refused.
+        if (upd.fieldNames.length != 1)
+          throw new UnsupportedOperationException(
+            s"$catalogName: only top-level ALTER COLUMN TYPE is supported, " +
+              s"got nested ${upd.fieldNames.mkString(".")}")
+        val nm = upd.fieldNames.head
+        val i = fields.indexWhere(_.name.equalsIgnoreCase(nm))
+        if (i < 0) throw new IllegalArgumentException(
+          s"$catalogName: column $nm not found in $ref")
+        val from = fields(i).dataType
+        val to = upd.newDataType
+        import org.apache.spark.sql.types._
+        val widens = (from, to) match {
+          case (a, b) if a == b => true
+          case (ByteType, ShortType | IntegerType | LongType) => true
+          case (ShortType, IntegerType | LongType) => true
+          case (IntegerType, LongType) => true
+          case (FloatType, DoubleType) => true
+          case (a: DecimalType, b: DecimalType) =>
+            b.scale >= a.scale && b.precision - b.scale >= a.precision - a.scale
+          case _ => false
+        }
+        if (!widens)
+          throw new UnsupportedOperationException(
+            s"$catalogName: cannot change $nm from ${from.catalogString} to " +
+              s"${to.catalogString} — only lossless widenings (integral " +
+              "up-casts, float to double, non-truncating decimal growth) " +
+              "evolve without contradicting existing data files")
+        val layoutCols = (layout.partitionColumns ++ bucketCols ++ sortCols)
+          .map(_.toLowerCase).toSet
+        if (layoutCols(nm.toLowerCase))
+          throw new UnsupportedOperationException(
+            s"$catalogName: cannot widen $nm — it is part of $ref's recorded " +
+              "partition/bucket/sort layout (bucket ids hash the VALUE TYPE; " +
+              "a widened bucket column would no longer match its files)")
+        fields = fields.updated(i, fields(i).copy(dataType = to))
       case other => throw new UnsupportedOperationException(
         s"$catalogName: unsupported table change $other (nullable ADD COLUMN, " +
-          "RENAME COLUMN, and DROP COLUMN evolve without contradicting " +
-          "existing data files)")
+          "RENAME COLUMN, DROP COLUMN, and widening ALTER COLUMN TYPE evolve " +
+          "without contradicting existing data files)")
     }
     // explicit FIRST/AFTER may not interleave data columns into the
     // partition-column suffix: file tables serve dataSchema ++

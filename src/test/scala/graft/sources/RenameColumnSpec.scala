@@ -181,4 +181,53 @@ class RenameColumnSpec extends AnyFunSuite {
     }
     assert(exA.getMessage.contains("rename"), exA.getMessage)
   }
+
+  test("ALTER COLUMN TYPE widening is metadata-only; narrowing and layout columns refuse") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k INT, f FLOAT, d DECIMAL(5,2)) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (7, CAST(1.5 AS FLOAT), CAST(12.34 AS DECIMAL(5,2)))")
+    val ref = TableRef.parse("db.t")
+    val before = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+
+    spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN k TYPE BIGINT")
+    spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN f TYPE DOUBLE")
+    spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN d TYPE DECIMAL(10,4)")
+
+    val after = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    assert(after.dataFiles == before.dataFiles) // metadata-only
+    val t = spark.table(s"$cat.db.t")
+    assert(t.schema.map(_.dataType.catalogString).toSeq ==
+      Seq("bigint", "double", "decimal(10,4)"))
+    assert(t.collect().map(_.mkString("|")).toSeq == Seq("7|1.5|12.3400"))
+    // post-widen appends mix with pre-widen files
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (8000000000, 2.5, 99999.1234)")
+    assert(spark.table(s"$cat.db.t").count() == 2)
+    assert(spark.table(s"$cat.db.t").agg(org.apache.spark.sql.functions.sum("k"))
+      .head().getLong(0) == 8000000007L)
+    // the pre-widen version still time-travels with its own (narrow) schema
+    assert(spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF 2")
+      .schema.head.dataType.catalogString == "int")
+
+    val exN = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN k TYPE INT")
+    }
+    assert(exN.getMessage.contains("widening") ||
+      exN.getMessage.contains("not supported"), exN.getMessage)
+    val exF = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db.t ALTER COLUMN f TYPE DECIMAL(20,1)")
+    }
+    assert(exF.getMessage.contains("widening") ||
+      exF.getMessage.contains("not supported"), exF.getMessage)
+
+    // bucket columns refuse widening (bucket ids hash the value type)
+    hc.createNamespace(graft.catalog.Namespace(Vector("db2")))
+    import spark.implicits._
+    CatalogIO.createTable(spark, hc, TableRef.parse("db2.b"),
+      Seq((1, "a")).toDF("k", "v"), bucketBy = Some((4, Seq("k"))))
+    val exB = intercept[Exception] {
+      spark.sql(s"ALTER TABLE $cat.db2.b ALTER COLUMN k TYPE BIGINT")
+    }
+    assert(exB.getMessage.contains("bucket"), exB.getMessage)
+  }
 }
