@@ -28,17 +28,43 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object CatalogIO {
 
-  /** One equality-delete file (round 8 — the merge-on-read face of the
-    * format, Iceberg's equality-delete idiom re-expressed for this
-    * metadata): a small parquet file of KEY TUPLES whose parquet schema
-    * IS the equality column set, recorded in the manifest with the
-    * version (`seq`) it was committed at. A data row is deleted iff its
-    * key tuple null-safe-equals one of the delete file's tuples AND its
-    * data file entered the manifest BEFORE the delete committed
-    * (fileSeq < deleteSeq) — so a row re-inserted after the delete stays
-    * visible. `path` is segment-relative, under `_deletes/` (the `_`
-    * prefix keeps [[listDataFiles]] from ever treating it as data). */
-  final case class DeleteFile(path: String, seq: Int)
+  /** Delete-file kinds ([[DeleteFile.kind]]). */
+  object DeleteKinds {
+    /** Equality delete: parquet of KEY TUPLES, schema = the key columns. */
+    val Equality = "eq"
+    /** Positional delete: parquet of ROW ADDRESSES
+      * (`_file` STRING segment-relative data-file path, `_pos` BIGINT
+      * row index within that file). */
+    val Position = "pos"
+    val All: Set[String] = Set(Equality, Position)
+  }
+
+  /** One delete file — the merge-on-read face of the format (Iceberg's
+    * delete-file idiom re-expressed for this metadata), in two kinds:
+    *
+    *  - `eq` (round 8): a small parquet file of KEY TUPLES whose parquet
+    *    schema IS the equality column set. A data row is deleted iff its
+    *    key tuple null-safe-equals one of the delete file's tuples AND
+    *    its data file entered the manifest BEFORE the delete committed
+    *    (fileSeq < deleteSeq) — so a row re-inserted after the delete
+    *    stays visible.
+    *  - `pos` (round 9): a small parquet file of ROW ADDRESSES
+    *    (`_file`, `_pos`). A data row is deleted iff its (file, row
+    *    index) is listed. File-addressed, so no seq gate is needed:
+    *    part-file names embed a per-job UUID and files are immutable —
+    *    rows appended later land in NEW files a prior positional delete
+    *    can never name. Positional deletes make MOR `UPDATE` and
+    *    arbitrary-predicate `DELETE` expressible as O(matched) commits
+    *    (the old copies' addresses + the new copies' files), where
+    *    equality deletes alone would hide EVERY row sharing the key.
+    *
+    * `path` is segment-relative, under `_deletes/` (the `_` prefix keeps
+    * [[listDataFiles]] from ever treating it as data); `seq` is the
+    * version the delete committed at. */
+  final case class DeleteFile(path: String, seq: Int,
+      kind: String = DeleteKinds.Equality) {
+    require(DeleteKinds.All(kind), s"unknown delete-file kind '$kind'")
+  }
 
   /** One column rename, recorded at the version (`seq`) it committed
     * (round 9 — name-mapping schema evolution, Iceberg's field-id idiom
@@ -129,6 +155,18 @@ object CatalogIO {
       }
     def absoluteDeleteFiles: Seq[(String, Int)] =
       deleteFiles.map(d => (new Path(dataLocation, d.path).toString, d.seq))
+    def eqDeleteFiles: Seq[DeleteFile] =
+      deleteFiles.filter(_.kind == DeleteKinds.Equality)
+    def posDeleteFiles: Seq[DeleteFile] =
+      deleteFiles.filter(_.kind == DeleteKinds.Position)
+    /** (absolute path, commit seq) of the EQUALITY delete files only —
+      * the seq participates in the fileSeq < deleteSeq gate. */
+    def absoluteEqDeleteFiles: Seq[(String, Int)] =
+      eqDeleteFiles.map(d => (new Path(dataLocation, d.path).toString, d.seq))
+    /** Absolute paths of the POSITIONAL delete files (file-addressed —
+      * no seq gate; they apply to exactly the files they name). */
+    def absolutePosDeleteFiles: Seq[String] =
+      posDeleteFiles.map(d => new Path(dataLocation, d.path).toString)
   }
 
   private val NumBucketsRe = """"numBuckets"\s*:\s*(\d+)""".r
@@ -275,7 +313,7 @@ object CatalogIO {
     "formatVersion", "location", "partitionColumns", "numBuckets",
     "bucketColumns", "sortColumns", "schemaDdl", "dataFiles",
     "properties", "dataLocation",
-    "deleteFiles", "deleteFileSeqs", "dataFileSeqs",
+    "deleteFiles", "deleteFileSeqs", "deleteFileKinds", "dataFileSeqs",
     "renameFroms", "renameTos", "renameSeqs", "droppedColumns")
 
   def metadataJson(tableLocation: String, dataLocation: String,
@@ -311,11 +349,15 @@ object CatalogIO {
           .map(ss => s"""  "dataFileSeqs": ${arrBody(ss.map(_.toString))},\n""")
           .getOrElse("")
       }${
-        // equality-delete files + the versions they committed at — the
-        // merge-on-read state a scan must apply (fileSeq < deleteSeq)
+        // delete files + the versions they committed at — the
+        // merge-on-read state a scan must apply (eq: fileSeq < deleteSeq;
+        // pos: file-addressed). Kinds are written only when a positional
+        // delete exists — all-equality tables keep the round-8 format.
         if (layout.deleteFiles.isEmpty) ""
         else s"""  "deleteFiles": ${arrBody(layout.deleteFiles.map(_.path))},\n""" +
-          s"""  "deleteFileSeqs": ${arrBody(layout.deleteFiles.map(_.seq.toString))},\n"""
+          s"""  "deleteFileSeqs": ${arrBody(layout.deleteFiles.map(_.seq.toString))},\n""" +
+          (if (layout.deleteFiles.forall(_.kind == DeleteKinds.Equality)) ""
+           else s"""  "deleteFileKinds": ${arrBody(layout.deleteFiles.map(_.kind))},\n""")
       }${
         // column renames as three parallel arrays (seq, from, to) — the
         // name mapping every reader resolves per-file seqs against
@@ -1430,6 +1472,24 @@ object CatalogIO {
     if (delPaths.nonEmpty && delSeqs.isEmpty)
       throw new IllegalStateException(
         s"Malformed metadata: deleteFiles without deleteFileSeqs in $metadataLocation")
+    // kinds absent → all equality (the round-8 format); present → must
+    // parallel deleteFiles and carry only known kinds (a kind this
+    // reader doesn't know is a delete it can't apply — corruption, not
+    // a default, or it would resurrect rows)
+    val delKinds = arrayField(text, "deleteFileKinds")
+      .map { ks =>
+        if (ks.size != delPaths.size)
+          throw new IllegalStateException(
+            s"Malformed metadata: 'deleteFileKinds' has ${ks.size} entries for " +
+              s"${delPaths.size} deleteFiles in $metadataLocation")
+        ks.foreach { k =>
+          if (!DeleteKinds.All(k))
+            throw new IllegalStateException(
+              s"Malformed metadata: unknown delete-file kind '$k' in $metadataLocation")
+        }
+        ks
+      }
+      .getOrElse(Seq.fill(delPaths.size)(DeleteKinds.Equality))
     val renameFroms = arrayField(text, "renameFroms").getOrElse(Nil)
     val renameTos = arrayField(text, "renameTos").getOrElse(Nil)
     val renameSeqs = intSeqs("renameSeqs", Some(renameFroms.size)).getOrElse(Nil)
@@ -1445,8 +1505,8 @@ object CatalogIO {
       // None is pre-manifest metadata (whole-directory scan)
       dataFiles,
       objectField(text, "properties"),
-      deleteFiles = delPaths.zip(delSeqs.getOrElse(Nil))
-        .map { case (p, s) => DeleteFile(p, s) },
+      deleteFiles = delPaths.lazyZip(delSeqs.getOrElse(Nil)).lazyZip(delKinds)
+        .map((p, s, k) => DeleteFile(p, s, k)),
       dataFileSeqs = intSeqs("dataFileSeqs", dataFiles.map(_.size)),
       renameOps = renameSeqs.lazyZip(renameFroms).lazyZip(renameTos)
         .map((s, f, t) => RenameOp(s, f, t)),
