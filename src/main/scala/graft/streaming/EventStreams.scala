@@ -22,6 +22,20 @@ object EventStreams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** File-stream source over a directory of events parquet, normalized to
+    * [[eventSchema]] regardless of the physical `ts` encoding the driver
+    * served (TIMESTAMP(NANOS)-as-long or µs TIMESTAMP_NTZ — both have
+    * occurred across testdata re-provisions). A one-file batch peek
+    * supplies the physical schema (the file source requires one), then
+    * [[graft.Tables.normalize]] applies the same boundary normalization
+    * the batch path uses, so `stream == batch` equivalence holds by
+    * construction rather than by each caller re-deriving the cast. */
+  def eventSource(spark: SparkSession, dir: String): DataFrame = {
+    val physical = spark.read.parquet(dir).schema
+    graft.Tables.normalize(
+      spark.readStream.schema(physical).parquet(dir), "events")
+  }
+
   /** Tumbling 1-hour windows with a 2-hour watermark: counts + exact
     * decimal sums per (window, event_type). */
   def tumblingCounts(events: DataFrame): DataFrame =

@@ -24,17 +24,9 @@ class EventStreamsSpec extends AnyFunSuite {
 
   private def batchEvents: DataFrame = graft.Tables(spark, sfDir, "events")
 
-  /** events.parquet stores TIMESTAMP(NANOS): the file source must read it
-    * as long then normalize, same as the batch path in graft.Tables. */
-  private def streamEvents: DataFrame = {
-    import org.apache.spark.sql.types._
-    val raw = StructType(EventStreams.eventSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
-      case f => f
-    })
-    spark.readStream.schema(raw).parquet(streamDir)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-  }
+  /** Stream source normalized at the boundary exactly like the batch
+    * path — EventStreams.eventSource delegates to graft.Tables.normalize. */
+  private def streamEvents: DataFrame = EventStreams.eventSource(spark, streamDir)
 
   private def runToCompletion(df: DataFrame, mode: String): Seq[String] = {
     val name = s"sink_${java.util.UUID.randomUUID().toString.take(8)}"
@@ -44,8 +36,6 @@ class EventStreamsSpec extends AnyFunSuite {
   }
 
   test("tumbling window counts: stream == batch after replay") {
-    // streaming reads ts as TimestampType directly (schema enforced);
-    // batch path goes through the nanosAsLong normalization — same values
     val streamed = runToCompletion(
       EventStreams.tumblingCounts(streamEvents), "complete")
     val batch = EventStreams.tumblingCounts(batchEvents)
@@ -77,13 +67,7 @@ class EventStreamsSpec extends AnyFunSuite {
     val dir = Files.createTempDirectory("graft-stream-dup")
     Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("a.parquet"))
     Files.copy(Paths.get(s"$sfDir/events.parquet"), dir.resolve("b.parquet"))
-    import org.apache.spark.sql.types._
-    val raw = StructType(EventStreams.eventSchema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
-      case f => f
-    })
-    val src = spark.readStream.schema(raw).parquet(dir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val src = EventStreams.eventSource(spark, dir.toString)
     val got = runToCompletion(
       EventStreams.dedupEvents(src).selectExpr("event_id"), "append")
     val want = batchEvents.select("event_id").distinct().count()
