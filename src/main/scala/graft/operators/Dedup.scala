@@ -129,25 +129,63 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jr"), 4).as("j"))
       .orderBy("a", "b")
 
-  /** MinHash + LSH banding (32 hashes, 16 bands × 2 rows ⇒ catches
-    * J ≥ ~0.7 with near-certainty), then exact verification. The 32
-    * signature mins come from the codegen'd
+  /** MinHash + LSH banding (32 hashes; default 16 bands × 2 rows ⇒
+    * catches J ≥ ~0.7 with near-certainty), then exact verification. The
+    * 32 signature mins come from the codegen'd
     * [[graft.functions.MinHash32]] (one pass over the hash array)
-    * instead of 32 interpreted transform/array_min columns. */
+    * instead of 32 interpreted transform/array_min columns.
+    *
+    * Bucketing is a groupBy + sorted collect_list, and candidate pairs
+    * come from a per-bucket prefix-slice double explode — exactly
+    * n·(n−1)/2 rows per bucket, never the n² a filtered self-join
+    * expands first. Bucket-size telemetry rides the SAME job via
+    * `observe` (zero extra passes over the corpus — at 100 TB a
+    * pre-flight count would itself be a full scan):
+    * candidates/max-bucket/bucket-count land in the engine log through
+    * [[graft.Telemetry]] after every action.
+    *
+    * Operational knobs for corpora where band buckets balloon without a
+    * duplicate gap (candidates explode while emitted pairs stay small):
+    *  - `spark.graft.lsh.rowsPerBand` (default 2; must divide 32): more
+    *    rows per band moves the S-curve midpoint `(1/b)^(1/r)` up
+    *    (2 rows → 0.25, 4 rows → 0.59), trading guaranteed-recall
+    *    margin at τ = 0.8 for selectivity against mid-J corpora.
+    *  - `spark.graft.lsh.maxBucket` (default 0 = unbounded): buckets
+    *    larger than this are DROPPED from candidate generation — a
+    *    documented recall trade for survivability; the telemetry line
+    *    reports how many buckets were suppressed so the loss is loud,
+    *    not silent. Off by default: the oracle gate requires exact
+    *    recall at τ = 0.8.
+    */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    val rowsPerBand = s.conf.getOption("spark.graft.lsh.rowsPerBand").map(_.toInt).getOrElse(2)
+    require(rowsPerBand > 0 && 32 % rowsPerBand == 0,
+      s"spark.graft.lsh.rowsPerBand must divide 32, got $rowsPerBand")
+    val maxBucket = s.conf.getOption("spark.graft.lsh.maxBucket").map(_.toLong).getOrElse(0L)
+    val nBands = 32 / rowsPerBand
+    graft.Telemetry.install(s)
     val sh = shingled(s, dir) // already the xxhash64 image — feed minhash directly
     val sigs = sh
       .withColumn("mh", expr("graft_minhash(sh)"))
       .select("doc_id", "mh")
-    val bandCols = (0 until 16).map(k =>
-      xxhash64(element_at(col("mh"), 2 * k + 1),
-        element_at(col("mh"), 2 * k + 2), lit(k)))
+    val bandCols = (0 until nBands).map { k =>
+      val rows = (0 until rowsPerBand).map(j => element_at(col("mh"), rowsPerBand * k + j + 1))
+      xxhash64(rows :+ lit(k): _*)
+    }
     val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
-    val cand = banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    val buckets = banded.groupBy("band", "bv")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"), count(lit(1)).as("n"))
+      .filter(col("n") >= 2)
+    val keep = if (maxBucket > 0) col("n") <= maxBucket else lit(true)
+    val observed = buckets.observe("graft_lsh_d02",
+      sum(when(keep, expr("n*(n-1)/2")).otherwise(lit(0))).cast("long").as("candidates"),
+      max(col("n")).as("max_bucket"),
+      count(lit(1)).as("buckets"),
+      sum(when(keep, lit(0)).otherwise(lit(1))).cast("long").as("suppressed_buckets"))
+    val cand = observed
+      .filter(keep)
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
+      .select(col("a"), explode(expr("slice(ids, i + 2, size(ids))")).as("b"))
       .distinct()
     verified(cand, sh)
   }

@@ -229,4 +229,50 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!out(2L)._3 && out(2L)._2 > 0.9, out(2L))   // rep3 ≈ 1
     assert(out(3L)._3 && out(3L)._1 == 0.0 && out(3L)._2 == 0.0, out(3L))
   }
+
+  test("minhash-LSH telemetry reports candidates and bucket stats via observe") {
+    graft.Telemetry.clear()
+    val out = rows(Dedup.minhashLsh(spark, dir))
+    val m = graft.Telemetry.await("graft_lsh_d02")
+      .getOrElse(fail("no graft_lsh_d02 observation recorded"))
+    val candidates = m("candidates").asInstanceOf[Long]
+    val maxBucket = m("max_bucket").asInstanceOf[Long]
+    assert(candidates >= out.size,
+      s"candidates ($candidates) must bound verified pairs (${out.size})")
+    assert(maxBucket >= 2)
+    assert(m("suppressed_buckets").asInstanceOf[Long] == 0L) // no cap set
+  }
+
+  test("minhash-LSH rowsPerBand knob stays exact-recall on the gated corpus") {
+    graft.Telemetry.clear()
+    val base = rows(Dedup.minhashLsh(spark, dir))
+    val baseCand = graft.Telemetry.await("graft_lsh_d02").get("candidates").asInstanceOf[Long]
+    spark.conf.set("spark.graft.lsh.rowsPerBand", "4")
+    graft.Telemetry.clear()
+    try {
+      val tighter = rows(Dedup.minhashLsh(spark, dir))
+      val tightCand = graft.Telemetry.await("graft_lsh_d02").get("candidates").asInstanceOf[Long]
+      // 8 bands x 4 rows: same verified pairs on the planted corpus
+      // (duplicates are J >> 0.8), strictly fewer-or-equal candidates
+      assert(tighter == base)
+      assert(tightCand <= baseCand, s"$tightCand > $baseCand")
+    } finally spark.conf.unset("spark.graft.lsh.rowsPerBand")
+  }
+
+  test("minhash-LSH maxBucket cap suppresses hot buckets loudly, not silently") {
+    spark.conf.set("spark.graft.lsh.maxBucket", "2")
+    graft.Telemetry.clear()
+    try {
+      Dedup.minhashLsh(spark, dir).collect()
+      val m = graft.Telemetry.await("graft_lsh_d02").get
+      assert(m("suppressed_buckets").asInstanceOf[Long] > 0L,
+        "cap of 2 on the planted corpus must suppress at least one bucket")
+    } finally spark.conf.unset("spark.graft.lsh.maxBucket")
+  }
+
+  test("minhash-LSH rejects a rowsPerBand that does not divide the signature") {
+    spark.conf.set("spark.graft.lsh.rowsPerBand", "5")
+    try intercept[IllegalArgumentException](Dedup.minhashLsh(spark, dir))
+    finally spark.conf.unset("spark.graft.lsh.rowsPerBand")
+  }
 }
