@@ -214,12 +214,24 @@ class PlanAuditSpec extends AnyFunSuite {
     val bnljAllowed = Set("q11_join_theta", "q38_scalar_subquery",
       "s01_cosine_topk", "s03_knn_join", "q65_tpch11", "q67_tpch15",
       "s02_ann_ivf")
+    // collect per-query failures instead of dying on the first one: a
+    // single broken query must report as ITSELF, not mask the plan audit
+    // of the other hundred (the round-9 failure mode)
+    val failures = Seq.newBuilder[String]
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
-      val p = plan(name)
-      assert(!p.contains("CartesianProduct"), s"$name:\n$p")
-      if (!bnljAllowed(name))
-        assert(!p.contains("BroadcastNestedLoopJoin"), s"$name:\n$p")
+      try {
+        val p = plan(name)
+        if (p.contains("CartesianProduct"))
+          failures += s"$name plans a CartesianProduct"
+        if (!bnljAllowed(name) && p.contains("BroadcastNestedLoopJoin"))
+          failures += s"$name plans an undeclared BroadcastNestedLoopJoin"
+      } catch {
+        case e: Throwable =>
+          failures += s"$name failed to plan: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(3).mkString(" ")}"
+      }
     }
+    val bad = failures.result()
+    assert(bad.isEmpty, bad.mkString("\n"))
   }
 
   test("no registered query plans a window over an empty partition spec") {
@@ -229,12 +241,20 @@ class PlanAuditSpec extends AnyFunSuite {
     // two-stage aggregates broadcast back (see q65/q67). Sweep the whole
     // registered set so the pattern can't reappear.
     import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val failures = Seq.newBuilder[String]
     for (name <- SparkEntry.queries.keys.toSeq.sorted) {
-      val lp = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
-      val empties = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
-      assert(empties.isEmpty,
-        s"$name plans a global (empty-partition-spec) window:\n$lp")
+      try {
+        val lp = SparkEntry.queries(name)(spark, dir).queryExecution.optimizedPlan
+        val empties = lp.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+        if (empties.nonEmpty)
+          failures += s"$name plans a global (empty-partition-spec) window"
+      } catch {
+        case e: Throwable =>
+          failures += s"$name failed to plan: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).linesIterator.take(3).mkString(" ")}"
+      }
     }
+    val bad = failures.result()
+    assert(bad.isEmpty, bad.mkString("\n"))
   }
 
   test("s03: per-query top-k is pruned partition-locally before the shuffle") {
