@@ -1396,11 +1396,16 @@ object CatalogIO {
   /** Anti-join `data` against each delete file's key tuples — the
     * DataFrame face of merge-on-read. The delete file's parquet schema
     * IS its equality column set; files sharing a column set are unioned
-    * and applied as ONE broadcast anti join (null-safe per column, so a
-    * deleted NULL key deletes NULL-keyed rows — the tuples came from
-    * rows/conditions where that is the meaning). Delete tuples are
-    * key-only and bounded by the maintenance contract (compaction
-    * materializes deletes away), so the broadcast hint is safe. */
+    * and applied as ONE anti join (null-safe per column, so a deleted
+    * NULL key deletes NULL-keyed rows — the tuples came from
+    * rows/conditions where that is the meaning).
+    *
+    * The broadcast hint is applied only while the tuple count (footer
+    * counts, no data read) stays under `spark.graft.mor.maxDeleteTuples`
+    * — the same threshold that makes the DSv2 scan REFUSE. Past it this
+    * face falls back to a shuffled anti join instead of refusing,
+    * because it is compaction's own read path: the escape hatch the
+    * refusal message points at must itself work at any delete size. */
   private[graft] def applyEqualityDeletes(spark: SparkSession,
       data: DataFrame, deletePaths: Seq[String],
       options: Map[String, String]): DataFrame = {
@@ -1408,6 +1413,10 @@ object CatalogIO {
     val bySchema = deletePaths
       .groupBy(p => spark.read.options(options).parquet(p).columns.toVector)
       .toSeq.sortBy(_._1.mkString(","))
+    val maxBroadcast = spark.conf.getOption("spark.graft.mor.maxDeleteTuples")
+      .map(_.toLong).getOrElse(4000000L)
+    val tupleCount = deletePaths.distinct
+      .map(p => spark.read.options(options).parquet(p).count()).sum
     bySchema.foldLeft(data) { case (acc, (cols, paths)) =>
       val del = spark.read.options(options).parquet(paths: _*)
       // cast tuple columns to the data schema's types: the tuples were
@@ -1421,7 +1430,10 @@ object CatalogIO {
               acc.columns.mkString("(", ", ", ")")))
       }
       val cond = cols.map(c => acc.col(c) <=> typed.col(c)).reduce(_ && _)
-      acc.join(org.apache.spark.sql.functions.broadcast(typed), cond, "left_anti")
+      val side =
+        if (tupleCount <= maxBroadcast) org.apache.spark.sql.functions.broadcast(typed)
+        else typed
+      acc.join(side, cond, "left_anti")
     }
   }
 

@@ -141,6 +141,13 @@ private[sources] final case class MorFilePartition(group: Int,
 private final case class MorDeleteProbe(ordinals: Array[Int],
     types: Array[DataType], tuples: Set[ArraySeq[Any]])
 
+/** Typed refusal for a merge-on-read table whose live delete tuples
+  * exceed the broadcast-safe threshold (see
+  * `spark.graft.mor.maxDeleteTuples`). A neglected table degrades into
+  * this loud, actionable error instead of a driver OOM. */
+final class MorDeleteOverflowException(msg: String)
+  extends IllegalStateException(msg)
+
 private object MorScan {
   /** Content-comparable normalization of a catalyst value for tuple-set
     * membership: byte arrays compare by reference, so wrap them. All
@@ -203,7 +210,7 @@ private final class MorScan(private val delegate: ParquetScan,
           s"planned file ${pf.filePath} is not in the manifest of " +
             s"${layout.dataLocation} — cannot apply merge-on-read deletes"))
       dels.collect { case (p, d) if seq < d => p }.sorted
-    }.toArray.sortBy(_._1.mkString(" "))
+    }.toArray.sortBy(_._1.mkString("\u0000"))
     val openCost = session.sessionState.conf.filesOpenCostInBytes
     val maxSplit = FilePartition.maxSplitBytes(session,
       slices.map(_.length + openCost).sum)
@@ -232,6 +239,24 @@ private final class MorScan(private val delegate: ParquetScan,
         throw new IllegalStateException(
           s"equality-delete column $c not in table schema " +
             tableSchema.fieldNames.mkString("(", ", ", ")")))
+    // hard broadcast-safety gate: the per-row probe design holds ONLY
+    // while the delete tuple set is driver- and executor-memory-sized.
+    // The maintenance contract ("compaction materializes deletes away")
+    // is a convention; this makes its violation a loud, typed refusal
+    // instead of a driver OOM. The pre-check is footer-count cheap —
+    // no tuple is read before it passes.
+    val maxTuples = session.conf.getOption("spark.graft.mor.maxDeleteTuples")
+      .map(_.toLong).getOrElse(4000000L)
+    val liveTuples = layout.absoluteDeleteFiles.map(_._1).distinct
+      .map(p => session.read.options(hadoopOpts).parquet(p).count()).sum
+    if (liveTuples > maxTuples)
+      throw new MorDeleteOverflowException(
+        s"merge-on-read scan of ${layout.dataLocation}: $liveTuples live " +
+          s"equality-delete tuples exceed spark.graft.mor.maxDeleteTuples=" +
+          s"$maxTuples, so the broadcast probe would risk driver/executor " +
+          "memory. Compact the table first (CLI: compact; API: " +
+          "CatalogIO.compactTable) to materialize the deletes into data " +
+          "files, or raise the threshold explicitly.")
     val tuplesByFile: Map[String, (Vector[String], Vector[Any => Any], Seq[Seq[Any]])] =
       layout.absoluteDeleteFiles.map(_._1).distinct.map { p =>
         val raw = session.read.options(hadoopOpts).parquet(p)

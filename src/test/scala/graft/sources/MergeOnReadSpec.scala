@@ -209,4 +209,26 @@ class MergeOnReadSpec extends AnyFunSuite {
     CatalogIO.expireVersions(hc, ref, keepLast = 2)
     assert(rowsOf(s"$cat.db.t") == Seq("2|b", "3|c"))
   }
+
+  test("over-threshold delete tuples refuse loudly with a compact-first message") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, concat('v', id) FROM range(100)")
+    val ref = TableRef.parse("db.t")
+    MergeOps.deleteMatchedMergeOnRead(spark, hc, ref, keyDf(0L until 50L: _*), Seq("k"))
+    spark.conf.set("spark.graft.mor.maxDeleteTuples", "10")
+    try {
+      val refusal = intercept[MorDeleteOverflowException] {
+        spark.table(s"$cat.db.t").count()
+      }
+      assert(refusal.getMessage.contains("compact"), refusal.getMessage)
+      assert(refusal.getMessage.contains("50"), refusal.getMessage)
+      // compaction clears the state: the same read then succeeds
+      spark.conf.unset("spark.graft.mor.maxDeleteTuples")
+      spark.conf.set("spark.graft.mor.maxDeleteTuples", "10")
+      assert(CatalogIO.compactTable(spark, hc, ref).compacted)
+      assert(spark.table(s"$cat.db.t").count() == 50)
+    } finally spark.conf.unset("spark.graft.mor.maxDeleteTuples")
+  }
 }
