@@ -172,21 +172,9 @@ object Dedup {
       val rows = (0 until rowsPerBand).map(j => element_at(col("mh"), rowsPerBand * k + j + 1))
       xxhash64(rows :+ lit(k): _*)
     }
-    val banded = sigs.select(col("doc_id"), posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
-    val buckets = banded.groupBy("band", "bv")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ids"), count(lit(1)).as("n"))
-      .filter(col("n") >= 2)
-    val keep = if (maxBucket > 0) col("n") <= maxBucket else lit(true)
-    val observed = buckets.observe("graft_lsh_d02",
-      sum(when(keep, expr("n*(n-1)/2")).otherwise(lit(0))).cast("long").as("candidates"),
-      max(col("n")).as("max_bucket"),
-      count(lit(1)).as("buckets"),
-      sum(when(keep, lit(0)).otherwise(lit(1))).cast("long").as("suppressed_buckets"))
-    val cand = observed
-      .filter(keep)
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
-      .select(col("a"), explode(expr("slice(ids, i + 2, size(ids))")).as("b"))
-      .distinct()
+    val banded = sigs.select(col("doc_id").as("id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    val cand = Banding.bucketedPairs(banded, "graft_lsh_d02", maxBucket)
     verified(cand, sh)
   }
 

@@ -117,8 +117,10 @@ object Similarity {
   /** SRP-LSH candidate pairs: signed-random-projection signatures
     * (`graft_srp`, nbits = bands·rowsPerBand), banded like MinHash-LSH —
     * pairs colliding on any band's `rowsPerBand` sign bits become
-    * candidates. One equi-shuffle on (band, bandValue); exact
-    * verification is the caller's. `df` must carry (id, v).
+    * candidates. One equi-shuffle on (band, bandValue); pair generation
+    * and bucket telemetry via [[Banding.bucketedPairs]] (observation
+    * `graft_lsh_srp`); exact verification is the caller's. `df` must
+    * carry (id, v).
     */
   def srpCandidates(df: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
     val nbits = bands * rowsPerBand
@@ -135,12 +137,7 @@ object Similarity {
            | shiftright(element_at(sig, CAST(k * $rowsPerBand DIV 64 AS INT) + 1),
            |            CAST(k * $rowsPerBand % 64 AS INT))
            |  & ${mask}L)""".stripMargin)).as(Seq("band", "bv")))
-    banded.as("x")
-      .join(banded.as("y"),
-        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"))
-      .distinct()
+    Banding.bucketedPairs(banded, "graft_lsh_srp", maxBucket = 0L)
   }
 
   /** SRP-LSH embedding near-dup: same verified output as [[embedNearDup]]
