@@ -64,9 +64,17 @@ object ScaleSmoke {
     }
 
     def timed(name: String): Unit = {
+      graft.Telemetry.clear()
       val t0 = System.nanoTime()
       val n = SparkEntry.queries(name)(spark, out).count()
       println(f"[scale] $name x$replicas: $n rows in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // surface the operator's observe-metrics (LSH band-bucket stats) —
+      // the log channel runs at WARN here, so print them: the
+      // candidates/pairs ratio is the scale story these runs exist to prove
+      val obsOf = Map("d02_dedup_minhash_lsh" -> "graft_lsh_d02")
+      for (obs <- obsOf.get(name); m <- graft.Telemetry.await(obs))
+        println(s"[scale] $name x$replicas $obs: " +
+          m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
     }
     val all = Seq("q04_agg_tpch1", "q08_join_star", "q15_window_frame",
       "q22b_dedup_keepfirst", "d01_dedup_jaccard", "d02_dedup_minhash_lsh",
