@@ -83,6 +83,12 @@ object CatalogFactory {
         throw new IllegalArgumentException(
           s"Catalog ${cfg.name}: rest catalog requires a 'uri' property"))
       new RestCatalog(cfg.name, uri)
+    case "jdbc" =>
+      val uri = cfg.properties.getOrElse("uri",
+        throw new IllegalArgumentException(
+          s"Catalog ${cfg.name}: jdbc catalog requires a 'uri' property"))
+      new JdbcCatalog(cfg.name, uri,
+        cfg.properties.get("jdbc.user"), cfg.properties.get("jdbc.password"))
     case "custom" =>
       val impl = cfg.properties.getOrElse("impl",
         throw new IllegalArgumentException(
