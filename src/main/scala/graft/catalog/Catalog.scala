@@ -89,6 +89,17 @@ object CatalogFactory {
           s"Catalog ${cfg.name}: jdbc catalog requires a 'uri' property"))
       new JdbcCatalog(cfg.name, uri,
         cfg.properties.get("jdbc.user"), cfg.properties.get("jdbc.password"))
+    case "hive" =>
+      val wh = cfg.properties.getOrElse("warehouse",
+        throw new IllegalArgumentException(
+          s"Catalog ${cfg.name}: hive catalog requires a 'warehouse' property"))
+      (cfg.properties.get("uri"), cfg.properties.get("metastore-dir")) match {
+        case (Some(uri), _) => HiveCatalog.remote(cfg.name, uri, wh)
+        case (None, Some(dir)) => HiveCatalog.embedded(cfg.name, dir, wh)
+        case (None, None) => throw new IllegalArgumentException(
+          s"Catalog ${cfg.name}: hive catalog requires 'uri' (remote thrift) " +
+            "or 'metastore-dir' (embedded Derby)")
+      }
     case "custom" =>
       val impl = cfg.properties.getOrElse("impl",
         throw new IllegalArgumentException(
