@@ -100,6 +100,12 @@ object CatalogFactory {
           s"Catalog ${cfg.name}: hive catalog requires 'uri' (remote thrift) " +
             "or 'metastore-dir' (embedded Derby)")
       }
+    case "nessie" =>
+      val store = cfg.properties.getOrElse("store",
+        throw new IllegalArgumentException(
+          s"Catalog ${cfg.name}: nessie catalog requires a 'store' property"))
+      new NessieCatalog(cfg.name, store,
+        cfg.properties.getOrElse("ref", NessieCatalog.DefaultBranch), cfg.hadoopConf)
     case "custom" =>
       val impl = cfg.properties.getOrElse("impl",
         throw new IllegalArgumentException(

@@ -1,0 +1,625 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import scala.collection.mutable
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** One catalog mutation inside a Nessie commit — the Put/Delete content
+  * operations of the public Nessie model, specialized to this engine's
+  * content kinds (table pointers and namespace markers). */
+sealed trait NessieOp { def key: String }
+object NessieOp {
+  final case class PutTable(key: String, metadataLocation: String) extends NessieOp
+  final case class DeleteTable(key: String) extends NessieOp
+  final case class PutNamespace(key: String) extends NessieOp
+  final case class DeleteNamespace(key: String) extends NessieOp
+}
+
+/** Commit-log entry metadata, newest-first in [[NessieCatalog.commitLog]]. */
+final case class NessieCommitMeta(
+    hash: String, parent: String, timestampMillis: Long,
+    message: String, ops: Seq[NessieOp])
+
+/** A named reference: a mutable `branch` or an immutable `tag`. */
+final case class NessieRef(name: String, refType: String, hash: String)
+
+/** Git-like versioned catalog: the whole catalog state (namespace markers
+  * + table→metadata-location pointers) lives in an immutable,
+  * content-addressed commit log with named branches and tags — the Scala
+  * re-expression of the reference's NESSIE catalog kind
+  * (`CatalogMigrationUtil.java:36-46` dispatches NESSIE via Iceberg's
+  * NessieCatalog; the commit/branch/tag model here follows the public
+  * projectnessie design: commits carry Put/Delete content operations,
+  * branches advance by compare-and-swap on their head, tags never move,
+  * and any commit hash is readable as a consistent point-in-time
+  * snapshot of EVERY table at once).
+  *
+  * Store layout (any Hadoop FileSystem — file://, hdfs://; production
+  * Nessie uses a database, this store targets a shared filesystem):
+  *
+  *  - `commits/<sha256>` — immutable commit files named by the SHA-256 of
+  *    their bytes. Content-addressing makes commit writes race-free
+  *    (two writers of the same bytes write the same file; different
+  *    bytes never collide), so the ONLY mutable state is the ref heads.
+  *  - `refs/<name>` — `branch <hash>` or `tag <hash>`. Branch advances
+  *    are CAS: a short-lived exclusive lock file serializes writers, and
+  *    a commit whose recorded parent is no longer the head raises
+  *    [[CommitConflictException]] (the [[Catalog]]-trait single-op faces
+  *    retry with revalidation; multi-op [[commitMulti]] surfaces it).
+  *
+  * The catalog's `ref` decides what it sees and whether it can write:
+  * a branch name (readable + writable), a tag name or commit hash
+  * (readable, writes refused — Nessie semantics). Unlike the JDBC
+  * backend there is no per-catalog-name scoping: the store IS the
+  * repository, so two instances over one store share content — which is
+  * what makes cross-branch migration (main → dev of the same store) a
+  * zero-copy promotion workflow.
+  *
+  * [[SupportsTableVersions]] is served from the commit log itself: every
+  * Put of a table key is one version of that table's pointer, so
+  * catalog-level history doubles as per-table time travel through the
+  * existing `CatalogIO.readTableVersion` faces.
+  */
+final class NessieCatalog(val name: String, storeDir: String,
+    val ref: String = NessieCatalog.DefaultBranch,
+    hadoopConf: Map[String, String] = Map.empty)
+  extends Catalog with SupportsTableVersions {
+
+  import NessieCatalog._
+  import NessieOp._
+
+  @transient private lazy val conf = {
+    val c = new Configuration()
+    hadoopConf.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+  private val root = new Path(storeDir)
+  @transient private lazy val fs: FileSystem = root.getFileSystem(conf)
+  private def commitsDir = new Path(root, "commits")
+  private def refsDir = new Path(root, "refs")
+  private def refPath(n: String) = new Path(refsDir, n)
+
+  // Commits are immutable ⇒ a parsed commit never goes stale.
+  @transient private lazy val commitCache = mutable.HashMap.empty[String, NessieCommitMeta]
+  // Snapshots keyed by commit hash are immutable too; cache bounds the
+  // per-operation cost at O(new commits), not O(chain length).
+  @transient private lazy val snapshotCache = mutable.HashMap.empty[String, Snapshot]
+
+  init()
+
+  private def init(): Unit = {
+    fs.mkdirs(commitsDir)
+    fs.mkdirs(refsDir)
+    if (!fs.exists(refPath(DefaultBranch))) {
+      // race-safe: exclusive create; a concurrent initializer winning is fine
+      try writeExclusive(refPath(DefaultBranch), s"branch $EmptyHash\n")
+      catch { case _: java.io.IOException => () }
+    }
+  }
+
+  // ----- references -----
+
+  def listReferences(): Seq[NessieRef] =
+    fs.listStatus(refsDir).toSeq.filterNot(_.getPath.getName.endsWith(".lock"))
+      .map(st => readRef(st.getPath.getName)).sortBy(_.name)
+
+  private def readRef(n: String): NessieRef = {
+    val p = refPath(n)
+    // a locked writer replaces the ref file with delete→rename; retry the
+    // tiny missing window instead of failing the read
+    var attempts = 0
+    while (true) {
+      if (fs.exists(p)) {
+        val parts = readText(p).trim.split(' ')
+        require(parts.length == 2 && (parts(0) == "branch" || parts(0) == "tag"),
+          s"Malformed reference file: $p")
+        return NessieRef(n, parts(0), parts(1))
+      }
+      attempts += 1
+      if (attempts > 50)
+        throw new NoSuchNamespaceException(s"Reference does not exist: $n")
+      Thread.sleep(10)
+    }
+    sys.error("unreachable")
+  }
+
+  private def refExists(n: String): Boolean = fs.exists(refPath(n))
+
+  /** Resolve any ref spec — branch/tag name or (unambiguous prefix of a)
+    * commit hash — to a commit hash. */
+  def resolveRef(spec: String): String =
+    if (refExists(spec)) readRef(spec).hash
+    else if (spec == EmptyHash) EmptyHash
+    else if (spec.matches("[0-9a-f]{8,64}")) {
+      if (spec.length == 64 && fs.exists(new Path(commitsDir, spec))) spec
+      else {
+        val matches = fs.listStatus(commitsDir).toSeq
+          .map(_.getPath.getName).filter(_.startsWith(spec))
+        matches match {
+          case Seq(one) => one
+          case Seq() => throw new NoSuchNamespaceException(
+            s"Reference does not exist: $spec")
+          case many => throw new IllegalArgumentException(
+            s"Ambiguous commit prefix $spec (${many.size} matches)")
+        }
+      }
+    } else throw new NoSuchNamespaceException(s"Reference does not exist: $spec")
+
+  /** Head of this catalog's own ref. */
+  def currentHash: String = resolveRef(ref)
+
+  private def mutableBranch(): String = {
+    if (!refExists(ref)) {
+      resolveRef(ref) // throws NoSuchNamespace if not a commit hash either
+      throw new UnsupportedOperationException(
+        s"Reference '$ref' is a detached commit; commits require a branch")
+    }
+    val r = readRef(ref)
+    if (r.refType != "branch")
+      throw new UnsupportedOperationException(
+        s"Reference '$ref' is a ${r.refType}; commits require a branch")
+    ref
+  }
+
+  def createBranch(branch: String, fromRef: Option[String] = None): Unit =
+    createRef(branch, "branch", fromRef)
+
+  def createTag(tag: String, fromRef: Option[String] = None): Unit =
+    createRef(tag, "tag", fromRef)
+
+  private def createRef(n: String, refType: String, fromRef: Option[String]): Unit = {
+    require(n.nonEmpty && !n.contains('/') && !n.contains(' ') && !n.endsWith(".lock"),
+      s"Invalid reference name: $n")
+    val hash = resolveRef(fromRef.getOrElse(ref))
+    try writeExclusive(refPath(n), s"$refType $hash\n")
+    catch {
+      case _: java.io.IOException if refExists(n) =>
+        throw new AlreadyExistsException(s"Reference already exists: $n")
+    }
+  }
+
+  def deleteReference(n: String): Unit = {
+    if (n == DefaultBranch)
+      throw new IllegalArgumentException(s"Cannot delete the default branch '$DefaultBranch'")
+    if (!refExists(n))
+      throw new NoSuchNamespaceException(s"Reference does not exist: $n")
+    fs.delete(refPath(n), false)
+  }
+
+  /** Reset a branch head to another ref's commit (git reset --hard). */
+  def assignBranch(branch: String, toRef: String): Unit = {
+    val r = readRef(branch)
+    if (r.refType != "branch")
+      throw new UnsupportedOperationException(s"Reference '$branch' is a ${r.refType}")
+    val target = resolveRef(toRef)
+    withRefLock(branch) { publishRef(branch, "branch", target) }
+  }
+
+  // ----- commit machinery -----
+
+  /** Atomic multi-operation commit on this catalog's branch — the
+    * whole-catalog transaction face (every op lands or none do). Returns
+    * the new commit hash. `expectedHead`, when given, turns the CAS
+    * explicit: the commit applies only if the branch head still equals
+    * it ([[CommitConflictException]] otherwise). */
+  def commitMulti(message: String, ops: Seq[NessieOp],
+      expectedHead: Option[String] = None): String = {
+    val branch = mutableBranch()
+    withRefLock(branch) {
+      val head = readRef(branch).hash
+      expectedHead.foreach { e =>
+        if (e != head)
+          throw new CommitConflictException(
+            s"Branch $branch advanced past $e (now $head)")
+      }
+      val meta = NessieCommitMeta(hash = "", parent = head,
+        timestampMillis = System.currentTimeMillis(), message = message, ops = ops)
+      val bytes = serialize(meta).getBytes(StandardCharsets.UTF_8)
+      val hash = sha256(bytes)
+      val p = new Path(commitsDir, hash)
+      if (!fs.exists(p)) {
+        // content-addressed: exclusive create; a same-bytes racer is benign
+        try {
+          val out = fs.create(p, false)
+          try out.write(bytes) finally out.close()
+        } catch { case _: java.io.IOException if fs.exists(p) => () }
+      }
+      publishRef(branch, "branch", hash)
+      hash
+    }
+  }
+
+  /** Single-op commits retry CAS races with full revalidation — the
+    * precondition check reruns against the new head, so a racer that
+    * already created the same key surfaces as the correct
+    * AlreadyExists/NoSuchNamespace error, never a spurious conflict. */
+  private def commitValidated(message: String, validate: Snapshot => Seq[NessieOp]): Unit = {
+    var attempt = 0
+    while (true) {
+      val branch = mutableBranch()
+      val head = readRef(branch).hash
+      val ops = validate(snapshotAt(head))
+      if (ops.isEmpty) return // validated as a no-op (e.g. drop of missing table)
+      try {
+        commitMulti(message, ops, expectedHead = Some(head))
+        return
+      } catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt >= 10) throw e
+      }
+    }
+  }
+
+  /** Exclusive-create of the lock file. Hadoop's LocalFileSystem
+    * `create(p, overwrite = false)` is check-then-act (two racers can
+    * both "win"), so file:// stores go through java.nio's O_EXCL create;
+    * HDFS-like schemes get atomic exclusive create from the NameNode. */
+  private def tryAcquireLock(lock: Path): Boolean =
+    if (fs.getScheme == "file") {
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(lock.toUri.getPath),
+          s"${System.currentTimeMillis()}\n".getBytes(StandardCharsets.UTF_8),
+          java.nio.file.StandardOpenOption.CREATE_NEW,
+          java.nio.file.StandardOpenOption.WRITE)
+        true
+      } catch { case _: java.io.IOException => false }
+    } else {
+      try { writeExclusive(lock, s"${System.currentTimeMillis()}\n"); true }
+      catch { case _: java.io.IOException => false }
+    }
+
+  private def deleteLock(lock: Path): Unit =
+    if (fs.getScheme == "file")
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(lock.toUri.getPath))
+    else fs.delete(lock, false)
+
+  private def withRefLock[A](branch: String)(body: => A): A = {
+    val lock = refPath(s"$branch.lock")
+    val deadline = System.currentTimeMillis() + 30000
+    var acquired = false
+    while (!acquired) {
+      if (tryAcquireLock(lock)) acquired = true
+      else {
+        // stale-lock recovery: a holder that crashed leaves its
+        // timestamp behind; break locks older than 60 s (an unparsable
+        // or in-flight lock is never stale)
+        val stale = try {
+          fs.exists(lock) &&
+            readText(lock).trim.toLong < System.currentTimeMillis() - 60000
+        } catch { case _: Exception => false }
+        if (stale) deleteLock(lock)
+        else if (System.currentTimeMillis() > deadline)
+          throw new CommitConflictException(
+            s"Timed out waiting for ref lock on branch $branch")
+        else Thread.sleep(5)
+      }
+    }
+    try body finally deleteLock(lock)
+  }
+
+  /** Inside the ref lock: replace the ref file. Hadoop rename does not
+    * overwrite, so delete→rename; readers retry the tiny missing window
+    * (see [[readRef]]) and the lock serializes all writers. */
+  private def publishRef(n: String, refType: String, hash: String): Unit = {
+    val tmp = refPath(s".$n-${java.util.UUID.randomUUID()}.tmp")
+    writeExclusive(tmp, s"$refType $hash\n")
+    fs.delete(refPath(n), false)
+    if (!fs.rename(tmp, refPath(n))) {
+      fs.delete(tmp, false)
+      throw new java.io.IOException(s"Failed to publish reference $n")
+    }
+  }
+
+  // ----- snapshot resolution -----
+
+  private[catalog] final case class Snapshot(
+      tables: Map[String, String], namespaces: Set[String])
+  private val EmptySnapshot = Snapshot(Map.empty, Set.empty)
+
+  private def loadCommit(hash: String): NessieCommitMeta =
+    commitCache.getOrElseUpdate(hash, {
+      val p = new Path(commitsDir, hash)
+      if (!fs.exists(p))
+        throw new IllegalStateException(s"Missing commit object: $hash")
+      deserialize(hash, readText(p))
+    })
+
+  /** Catalog state at a commit: walk the parent chain down to the
+    * nearest cached snapshot (or the root), then fold ops forward.
+    * Iterative, so arbitrarily long histories never overflow the stack. */
+  private def snapshotAt(hash: String): Snapshot = {
+    if (hash == EmptyHash) return EmptySnapshot
+    snapshotCache.get(hash) match {
+      case Some(s) => s
+      case None =>
+        var chain = List.empty[NessieCommitMeta]
+        var cur = hash
+        var base = EmptySnapshot
+        var found = false
+        while (!found && cur != EmptyHash) {
+          snapshotCache.get(cur) match {
+            case Some(s) => base = s; found = true
+            case None => val c = loadCommit(cur); chain ::= c; cur = c.parent
+          }
+        }
+        chain.foldLeft(base) { (snap, c) =>
+          val next = c.ops.foldLeft(snap) { (s, op) =>
+            op match {
+              case NessieOp.PutTable(k, loc) => s.copy(tables = s.tables + (k -> loc))
+              case NessieOp.DeleteTable(k) => s.copy(tables = s.tables - k)
+              case NessieOp.PutNamespace(k) => s.copy(namespaces = s.namespaces + k)
+              case NessieOp.DeleteNamespace(k) => s.copy(namespaces = s.namespaces - k)
+            }
+          }
+          snapshotCache.put(c.hash, next)
+          next
+        }
+    }
+  }
+
+  private def current(): Snapshot = snapshotAt(currentHash)
+
+  /** Commit-log walk from this catalog's ref, newest first. */
+  def commitLog(limit: Int = Int.MaxValue): Seq[NessieCommitMeta] = {
+    val out = Vector.newBuilder[NessieCommitMeta]
+    var cur = currentHash
+    var n = 0
+    while (cur != EmptyHash && n < limit) {
+      val c = loadCommit(cur)
+      out += c
+      cur = c.parent
+      n += 1
+    }
+    out.result()
+  }
+
+  // ----- merge -----
+
+  /** Key-level three-way merge of `fromRef` into this catalog's branch
+    * (the public Nessie merge model, squashed): fast-forward when the
+    * target head is the merge base; otherwise apply the source side's
+    * per-key changes as ONE new commit, refusing with a
+    * [[CommitConflictException]] naming the keys any time both sides
+    * changed the same key to different states. */
+  def merge(fromRef: String, message: String = ""): String = {
+    val branch = mutableBranch()
+    withRefLock(branch) {
+      val targetHead = readRef(branch).hash
+      val sourceHead = resolveRef(fromRef)
+      val base = mergeBase(sourceHead, targetHead)
+      if (sourceHead == base) return targetHead // nothing to merge
+      if (targetHead == base) { // fast-forward
+        publishRef(branch, "branch", sourceHead)
+        return sourceHead
+      }
+      val baseSnap = snapshotAt(base)
+      val srcSnap = snapshotAt(sourceHead)
+      val tgtSnap = snapshotAt(targetHead)
+      def tableState(s: Snapshot, k: String) = s.tables.get(k)
+      def nsState(s: Snapshot, k: String) = s.namespaces.contains(k)
+      val srcTableKeys = (baseSnap.tables.keySet ++ srcSnap.tables.keySet)
+        .filter(k => tableState(baseSnap, k) != tableState(srcSnap, k))
+      val tgtTableKeys = (baseSnap.tables.keySet ++ tgtSnap.tables.keySet)
+        .filter(k => tableState(baseSnap, k) != tableState(tgtSnap, k))
+      val conflicts = srcTableKeys.intersect(tgtTableKeys)
+        .filter(k => tableState(srcSnap, k) != tableState(tgtSnap, k))
+      if (conflicts.nonEmpty)
+        throw new CommitConflictException(
+          s"Merge of $fromRef into $branch conflicts on: ${conflicts.toSeq.sorted.mkString(", ")}")
+      val nsOps = (baseSnap.namespaces ++ srcSnap.namespaces).toSeq.sorted
+        .filter(k => nsState(baseSnap, k) != nsState(srcSnap, k))
+        .filterNot(k => nsState(srcSnap, k) == nsState(tgtSnap, k))
+        .map(k => if (nsState(srcSnap, k)) PutNamespace(k) else DeleteNamespace(k))
+      val tableOps = srcTableKeys.toSeq.sorted
+        .filter(k => tableState(srcSnap, k) != tableState(tgtSnap, k))
+        .map { k =>
+          tableState(srcSnap, k) match {
+            case Some(loc) => PutTable(k, loc)
+            case None => DeleteTable(k)
+          }
+        }
+      val msg = if (message.nonEmpty) message
+        else s"merge $fromRef (${sourceHead.take(8)}) into $branch"
+      // inside the lock already: inline commitMulti's body via a direct call
+      // would re-lock; build the commit here with the same machinery
+      val meta = NessieCommitMeta("", targetHead, System.currentTimeMillis(),
+        msg, nsOps ++ tableOps)
+      val bytes = serialize(meta).getBytes(StandardCharsets.UTF_8)
+      val hash = sha256(bytes)
+      val p = new Path(commitsDir, hash)
+      if (!fs.exists(p)) {
+        try {
+          val out = fs.create(p, false)
+          try out.write(bytes) finally out.close()
+        } catch { case _: java.io.IOException if fs.exists(p) => () }
+      }
+      publishRef(branch, "branch", hash)
+      hash
+    }
+  }
+
+  /** Nearest common ancestor: ancestors of `a` intersected with the walk
+    * from `b` (first hit walking b's chain newest→oldest). */
+  private def mergeBase(a: String, b: String): String = {
+    val ancestorsA = mutable.HashSet.empty[String]
+    var cur = a
+    while (cur != EmptyHash) { ancestorsA += cur; cur = loadCommit(cur).parent }
+    cur = b
+    while (cur != EmptyHash) {
+      if (ancestorsA.contains(cur)) return cur
+      cur = loadCommit(cur).parent
+    }
+    EmptyHash
+  }
+
+  // ----- Catalog surface -----
+
+  override def listNamespaces(parent: Namespace): Seq[Namespace] = {
+    val snap = current()
+    val all = snap.namespaces.toSeq.sorted.map(Namespace.parse)
+    if (parent.isEmpty) all.filter(_.levels.size == 1)
+    else {
+      if (!snap.namespaces.contains(parent.toString))
+        throw new NoSuchNamespaceException(s"Namespace does not exist: $parent")
+      all.filter(ns => ns.levels.size == parent.levels.size + 1 &&
+        ns.levels.startsWith(parent.levels))
+    }
+  }
+
+  override def namespaceExists(ns: Namespace): Boolean =
+    current().namespaces.contains(ns.toString)
+
+  override def createNamespace(ns: Namespace): Unit = {
+    if (ns.isEmpty)
+      throw new IllegalArgumentException(s"Cannot create empty namespace in catalog $name")
+    commitValidated(s"create namespace $ns", { snap =>
+      if (snap.namespaces.contains(ns.toString))
+        throw new AlreadyExistsException(s"Namespace already exists: $ns")
+      Seq(PutNamespace(ns.toString))
+    })
+  }
+
+  override def listTables(ns: Namespace): Seq[TableRef] = {
+    val snap = current()
+    if (!ns.isEmpty && !snap.namespaces.contains(ns.toString))
+      throw new NoSuchNamespaceException(s"Namespace does not exist: $ns")
+    snap.tables.keysIterator.map(TableRef.parse)
+      .filter(_.namespace == ns).toSeq.sortBy(_.toString)
+  }
+
+  override def tableExists(ref: TableRef): Boolean =
+    current().tables.contains(ref.toString)
+
+  override def loadTableMetadataLocation(ref: TableRef): String =
+    current().tables.getOrElse(ref.toString,
+      throw new NoSuchTableException(s"Table does not exist: $ref"))
+
+  override def registerTable(ref: TableRef, metadataLocation: String): Unit =
+    commitValidated(s"register table $ref", { snap =>
+      if (snap.tables.contains(ref.toString))
+        throw new AlreadyExistsException(s"Table already exists: $ref")
+      if (!ref.namespace.isEmpty && !snap.namespaces.contains(ref.namespace.toString))
+        throw new NoSuchNamespaceException(s"Namespace does not exist: ${ref.namespace}")
+      Seq(PutTable(ref.toString, metadataLocation))
+    })
+
+  override def dropTable(ref: TableRef): Boolean = {
+    var dropped = false
+    commitValidated(s"drop table $ref", { snap =>
+      if (!snap.tables.contains(ref.toString)) { dropped = false; Seq.empty }
+      else { dropped = true; Seq(DeleteTable(ref.toString)) }
+    })
+    dropped
+  }
+
+  // ----- SupportsTableVersions (served from the commit log) -----
+
+  /** Every Put of the key along this ref's history is one pointer
+    * version, oldest = 1. */
+  private def pointerHistory(ref: TableRef): Seq[String] =
+    commitLog().reverseIterator.flatMap(_.ops.collect {
+      case NessieOp.PutTable(k, loc) if k == ref.toString => loc
+    }).toSeq
+
+  override def listTableVersions(ref: TableRef): Seq[Int] = {
+    val h = pointerHistory(ref)
+    if (h.isEmpty) throw new NoSuchTableException(s"Table does not exist: $ref")
+    (1 to h.size)
+  }
+
+  override def metadataLocationForVersion(ref: TableRef, version: Int): String = {
+    val h = pointerHistory(ref)
+    if (version < 1 || version > h.size)
+      throw new NoSuchTableException(
+        s"Table $ref has no version $version (history: ${(1 to h.size).mkString(", ")})")
+    h(version - 1)
+  }
+
+  // ----- commit file format -----
+
+  private def serialize(c: NessieCommitMeta): String = {
+    val sb = new StringBuilder
+    sb ++= "graft-nessie-commit v1\n"
+    sb ++= s"parent ${c.parent}\n"
+    sb ++= s"ts ${c.timestampMillis}\n"
+    sb ++= s"message ${escape(c.message)}\n"
+    c.ops.foreach {
+      case NessieOp.PutTable(k, loc) => sb ++= s"put-table\t${escape(k)}\t${escape(loc)}\n"
+      case NessieOp.DeleteTable(k) => sb ++= s"delete-table\t${escape(k)}\n"
+      case NessieOp.PutNamespace(k) => sb ++= s"put-namespace\t${escape(k)}\n"
+      case NessieOp.DeleteNamespace(k) => sb ++= s"delete-namespace\t${escape(k)}\n"
+    }
+    sb.toString
+  }
+
+  private def deserialize(hash: String, text: String): NessieCommitMeta = {
+    val lines = text.split('\n').toSeq.filter(_.nonEmpty)
+    require(lines.headOption.contains("graft-nessie-commit v1"),
+      s"Malformed commit object $hash: bad header")
+    def header(prefix: String): String =
+      lines.find(_.startsWith(prefix + " ")).map(_.drop(prefix.length + 1))
+        .getOrElse(throw new IllegalStateException(
+          s"Malformed commit object $hash: missing '$prefix'"))
+    val ops = lines.drop(1).filter(_.contains('\t')).map { line =>
+      line.split('\t') match {
+        case Array("put-table", k, loc) => NessieOp.PutTable(unescape(k), unescape(loc))
+        case Array("delete-table", k) => NessieOp.DeleteTable(unescape(k))
+        case Array("put-namespace", k) => NessieOp.PutNamespace(unescape(k))
+        case Array("delete-namespace", k) => NessieOp.DeleteNamespace(unescape(k))
+        case _ => throw new IllegalStateException(
+          s"Malformed commit object $hash: bad op line '$line'")
+      }
+    }
+    NessieCommitMeta(hash, header("parent"), header("ts").toLong,
+      unescape(header("message")), ops)
+  }
+
+  private def escape(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '\t' => "\\t"
+    case '\n' => "\\n"
+    case c => c.toString
+  }
+  private def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\\' && i + 1 < s.length) {
+        s.charAt(i + 1) match {
+          case 't' => sb += '\t'
+          case 'n' => sb += '\n'
+          case other => sb += other
+        }
+        i += 2
+      } else { sb += c; i += 1 }
+    }
+    sb.toString
+  }
+
+  private def sha256(bytes: Array[Byte]): String =
+    MessageDigest.getInstance("SHA-256").digest(bytes)
+      .map(b => f"${b & 0xff}%02x").mkString
+
+  private def writeExclusive(p: Path, text: String): Unit = {
+    val out = fs.create(p, false)
+    try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+
+  private def readText(p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+  }
+}
+
+object NessieCatalog {
+  val DefaultBranch = "main"
+  /** Hash of the empty (rootless) snapshot — the head of a fresh branch. */
+  val EmptyHash = "0" * 64
+}

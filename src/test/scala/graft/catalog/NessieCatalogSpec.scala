@@ -1,0 +1,310 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The migrator scenario matrix — plus the version-control surface no
+  * other backend has — against the [[NessieCatalog]] commit-log store.
+  * Mirrors the reference's NESSIE catalog kind
+  * (CatalogMigrationUtil.java:36-46; nested namespaces and
+  * namespace-creation-on-migrate tested by the reference at
+  * ITHadoopToNessieCatalogMigrator.java:45-121). */
+class NessieCatalogSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def uid(): String =
+    java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+
+  private def store(): String =
+    Files.createTempDirectory("graft-nessie").toString
+
+  private def seedCanonical(cfg: CatalogConfig): Unit = {
+    val stage = new HadoopFsCatalog(s"stage-${uid()}",
+      Files.createTempDirectory("graft-stage").toString)
+    val cat = CatalogFactory.build(cfg)
+    try {
+      Seq("foo", "bar").foreach(ns => cat.createNamespace(Namespace.of(ns)))
+      import spark.implicits._
+      Seq("foo.tbl1", "foo.tbl2", "bar.tbl3", "bar.tbl4").map(TableRef.parse)
+        .zipWithIndex.foreach { case (ref, i) =>
+          val df = (1L to 5L).map(x => x * (i + 1)).toDF("id")
+          cat.registerTable(ref, CatalogIO.createTable(spark, stage, ref, df))
+        }
+    } finally cat.close()
+  }
+
+  test("namespace and pointer semantics match the other backends") {
+    val cat = new NessieCatalog(s"nc${uid()}", store())
+    try {
+      cat.createNamespace(Namespace.of("a"))
+      cat.createNamespace(Namespace.of("a", "b"))
+      intercept[AlreadyExistsException](cat.createNamespace(Namespace.of("a")))
+      assert(cat.listNamespaces(Namespace.empty) == Seq(Namespace.of("a")))
+      assert(cat.listNamespaces(Namespace.of("a")) == Seq(Namespace.of("a", "b")))
+      intercept[NoSuchNamespaceException](cat.listNamespaces(Namespace.of("zz")))
+
+      val ref = TableRef.parse("a.t1")
+      intercept[NoSuchTableException](cat.loadTableMetadataLocation(ref))
+      intercept[NoSuchNamespaceException](
+        cat.registerTable(TableRef.parse("zz.t"), "loc"))
+      cat.registerTable(ref, "/meta/v1.metadata.json")
+      assert(cat.loadTableMetadataLocation(ref) == "/meta/v1.metadata.json")
+      intercept[AlreadyExistsException](cat.registerTable(ref, "other"))
+      assert(cat.listTables(Namespace.of("a")) == Seq(ref))
+      assert(cat.dropTable(ref))
+      assert(!cat.dropTable(ref))
+    } finally cat.close()
+  }
+
+  test("every mutation is a commit; any old hash reads as a full snapshot") {
+    val dir = store()
+    val cat = new NessieCatalog(s"nc${uid()}", dir)
+    try {
+      cat.createNamespace(Namespace.of("db"))
+      cat.registerTable(TableRef.parse("db.t1"), "loc1")
+      val beforeT2 = cat.currentHash
+      cat.registerTable(TableRef.parse("db.t2"), "loc2")
+      cat.dropTable(TableRef.parse("db.t1"))
+
+      val log = cat.commitLog()
+      assert(log.size == 4) // ns + t1 + t2 + drop, newest first
+      assert(log.head.message == "drop table db.t1")
+      assert(log.last.message == "create namespace db")
+
+      // detached read at the old hash: t1 exists, t2 does not — a
+      // consistent point-in-time view of the WHOLE catalog
+      val old = new NessieCatalog("old", dir, ref = beforeT2)
+      try {
+        assert(old.listTables(Namespace.of("db")) == Seq(TableRef.parse("db.t1")))
+        assert(old.loadTableMetadataLocation(TableRef.parse("db.t1")) == "loc1")
+        // detached refs refuse writes
+        intercept[UnsupportedOperationException](
+          old.registerTable(TableRef.parse("db.t3"), "loc3"))
+      } finally old.close()
+
+      // current view: only t2
+      assert(cat.listTables(Namespace.of("db")) == Seq(TableRef.parse("db.t2")))
+    } finally cat.close()
+  }
+
+  test("branch isolation and fast-forward merge") {
+    val dir = store()
+    val main = new NessieCatalog(s"nc${uid()}", dir)
+    try {
+      main.createNamespace(Namespace.of("db"))
+      main.registerTable(TableRef.parse("db.base"), "base-loc")
+      main.createBranch("etl")
+
+      val etl = new NessieCatalog("etl-view", dir, ref = "etl")
+      try {
+        etl.registerTable(TableRef.parse("db.staged"), "staged-loc")
+        // branch sees both; main is untouched
+        assert(etl.listTables(Namespace.of("db")).map(_.name).toSet == Set("base", "staged"))
+        assert(main.listTables(Namespace.of("db")).map(_.name) == Seq("base"))
+        // promote: fast-forward merge etl → main
+        main.merge("etl")
+        assert(main.listTables(Namespace.of("db")).map(_.name).toSet == Set("base", "staged"))
+        assert(main.currentHash == etl.currentHash)
+      } finally etl.close()
+    } finally main.close()
+  }
+
+  test("three-way merge applies disjoint changes and refuses conflicting keys") {
+    val dir = store()
+    val main = new NessieCatalog(s"nc${uid()}", dir)
+    try {
+      main.createNamespace(Namespace.of("db"))
+      main.createBranch("dev")
+      val dev = new NessieCatalog("dev-view", dir, ref = "dev")
+      try {
+        // diverge: disjoint keys on each side
+        dev.registerTable(TableRef.parse("db.from_dev"), "dev-loc")
+        main.registerTable(TableRef.parse("db.from_main"), "main-loc")
+        main.merge("dev")
+        assert(main.listTables(Namespace.of("db")).map(_.name).toSet ==
+          Set("from_dev", "from_main"))
+
+        // conflict: both sides now register the SAME key differently
+        main.createBranch("dev2")
+        val dev2 = new NessieCatalog("dev2-view", dir, ref = "dev2")
+        try {
+          dev2.registerTable(TableRef.parse("db.clash"), "dev2-loc")
+          main.registerTable(TableRef.parse("db.clash"), "main-loc2")
+          val e = intercept[CommitConflictException](main.merge("dev2"))
+          assert(e.getMessage.contains("db.clash"))
+        } finally dev2.close()
+      } finally dev.close()
+    } finally main.close()
+  }
+
+  test("tags are immutable readable snapshots; default branch undeletable") {
+    val dir = store()
+    val main = new NessieCatalog(s"nc${uid()}", dir)
+    try {
+      main.createNamespace(Namespace.of("db"))
+      main.registerTable(TableRef.parse("db.t"), "v1-loc")
+      main.createTag("release-1")
+      main.dropTable(TableRef.parse("db.t"))
+
+      val tagged = new NessieCatalog("rel", dir, ref = "release-1")
+      try {
+        assert(tagged.loadTableMetadataLocation(TableRef.parse("db.t")) == "v1-loc")
+        val e = intercept[UnsupportedOperationException](
+          tagged.registerTable(TableRef.parse("db.x"), "loc"))
+        assert(e.getMessage.contains("tag"))
+      } finally tagged.close()
+
+      intercept[AlreadyExistsException](main.createTag("release-1"))
+      intercept[IllegalArgumentException](main.deleteReference("main"))
+      main.deleteReference("release-1")
+      intercept[NoSuchNamespaceException](main.resolveRef("release-1"))
+    } finally main.close()
+  }
+
+  test("commitMulti is atomic and CAS-guarded; single-op faces retry races") {
+    val dir = store()
+    val a = new NessieCatalog(s"nc${uid()}", dir)
+    val b = new NessieCatalog("b-view", dir)
+    try {
+      a.createNamespace(Namespace.of("db"))
+      val head = a.currentHash
+      // an atomic multi-table commit: both pointers land in ONE commit
+      a.commitMulti("publish batch", Seq(
+        NessieOp.PutTable("db.x", "x-loc"), NessieOp.PutTable("db.y", "y-loc")),
+        expectedHead = Some(head))
+      assert(a.commitLog().head.ops.size == 2)
+      // a CAS against the stale head fails without landing anything
+      val e = intercept[CommitConflictException](
+        a.commitMulti("stale", Seq(NessieOp.PutTable("db.z", "z-loc")),
+          expectedHead = Some(head)))
+      assert(e.getMessage.contains("advanced"))
+      assert(!a.tableExists(TableRef.parse("db.z")))
+      // single-op faces revalidate + retry internally: interleaved writers
+      // on the same branch both land
+      a.registerTable(TableRef.parse("db.t_a"), "a-loc")
+      b.registerTable(TableRef.parse("db.t_b"), "b-loc")
+      assert(a.listTables(Namespace.of("db")).map(_.name).toSet ==
+        Set("x", "y", "t_a", "t_b"))
+      // and a racing register of the SAME key surfaces as AlreadyExists
+      intercept[AlreadyExistsException](
+        b.registerTable(TableRef.parse("db.t_a"), "other"))
+    } finally { a.close(); b.close() }
+  }
+
+  test("per-table pointer history serves SupportsTableVersions from the log") {
+    val dir = store()
+    val cat = new NessieCatalog(s"nc${uid()}", dir)
+    try {
+      cat.createNamespace(Namespace.of("db"))
+      val ref = TableRef.parse("db.t")
+      cat.registerTable(ref, "loc-v1")
+      cat.dropTable(ref)
+      cat.registerTable(ref, "loc-v2")
+      assert(cat.listTableVersions(ref) == Seq(1, 2))
+      assert(cat.metadataLocationForVersion(ref, 1) == "loc-v1")
+      assert(cat.metadataLocationForVersion(ref, 2) == "loc-v2")
+      intercept[NoSuchTableException](cat.metadataLocationForVersion(ref, 3))
+      intercept[NoSuchTableException](
+        cat.listTableVersions(TableRef.parse("db.never")))
+    } finally cat.close()
+  }
+
+  test("full migrate mem→nessie: registered, source deleted, data readable") {
+    val srcCfg = CatalogConfig("memory", s"mem-${uid()}")
+    seedCanonical(srcCfg)
+    val tgtCfg = CatalogConfig("nessie", s"nc${uid()}", Map("store" -> store()))
+    val m = new CatalogMigrator(srcCfg, tgtCfg, deleteEntriesFromSourceCatalog = true)
+    val ids = m.getMatchingTableIdentifiers(None)
+    assert(ids.map(_.toString).toSet ==
+      Set("foo.tbl1", "foo.tbl2", "bar.tbl3", "bar.tbl4"))
+    m.registerTables(spark, ids)
+    val r = m.result()
+    assert(r.registeredTableIdentifiers.size == 4)
+    assert(r.failedToRegisterTableIdentifiers.isEmpty)
+    assert(r.failedToDeleteTableIdentifiers.isEmpty)
+    val tgt = CatalogFactory.build(tgtCfg)
+    try {
+      assert(tgt.listTables(Namespace.of("foo")).map(_.toString).toSet ==
+        Set("foo.tbl1", "foo.tbl2"))
+      val loc = tgt.loadTableMetadataLocation(TableRef.parse("bar.tbl3"))
+      val rows = spark.read.parquet(CatalogIO.readDataLocation(loc))
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(rows == Seq(3L, 6L, 9L, 12L, 15L))
+      // the whole migration is on the log: 4 registers + 2 namespace commits
+      assert(tgt.asInstanceOf[NessieCatalog].commitLog().size == 6)
+    } finally tgt.close()
+    val src = CatalogFactory.build(srcCfg)
+    try assert(src.listTables(Namespace.of("foo")).isEmpty)
+    finally src.close()
+  }
+
+  test("CLI migrate into a nessie target: exit 0, pointers on the branch") {
+    val srcCfg = CatalogConfig("memory", s"mem-${uid()}")
+    seedCanonical(srcCfg)
+    val dir = store()
+    val outDir = Files.createTempDirectory("graft-nessie-cli").toString
+    val code = graft.cli.CatalogMigrationCLI.run(Seq("migrate",
+      "--source-catalog-type", "memory",
+      "--source-catalog-properties", s"name=${srcCfg.name}",
+      "--target-catalog-type", "nessie",
+      "--target-catalog-properties", s"store=$dir",
+      "--disable-safety-prompts", "--output-dir", outDir),
+      readLine = () => "yes", out = _ => ())
+    assert(code == 0)
+    val tgt = new NessieCatalog("check", dir)
+    try assert(tgt.listTables(Namespace.of("foo")).map(_.toString).toSet ==
+      Set("foo.tbl1", "foo.tbl2"))
+    finally tgt.close()
+  }
+
+  test("Spark SQL reads a branch through the DSv2 catalog face") {
+    val dir = store()
+    val cfg = CatalogConfig("nessie", s"nc${uid()}", Map("store" -> dir))
+    seedCanonical(cfg)
+    val main = CatalogFactory.build(cfg).asInstanceOf[NessieCatalog]
+    try {
+      main.createBranch("dev")
+      val dev = new NessieCatalog("dev-view", dir, ref = "dev")
+      try {
+        dev.dropTable(TableRef.parse("foo.tbl2"))
+        val catName = s"gnessie${uid()}"
+        spark.conf.set(s"spark.sql.catalog.$catName",
+          classOf[graft.sources.GraftSparkCatalog].getName)
+        spark.conf.set(s"spark.sql.catalog.$catName.type", "nessie")
+        spark.conf.set(s"spark.sql.catalog.$catName.store", dir)
+        spark.conf.set(s"spark.sql.catalog.$catName.ref", "dev")
+        // the SQL session is pinned to the dev branch: tbl2 is gone there,
+        // main still serves it through the library face
+        assert(spark.sql(s"SHOW TABLES IN $catName.foo").collect()
+          .map(_.getString(1)).toSet == Set("tbl1"))
+        assert(spark.sql(s"SELECT sum(id) FROM $catName.foo.tbl1")
+          .collect().head.getLong(0) == 15L)
+        assert(main.tableExists(TableRef.parse("foo.tbl2")))
+      } finally dev.close()
+    } finally main.close()
+  }
+
+  test("cross-branch migrate within one store: main → audit, zero-copy promotion") {
+    val dir = store()
+    val srcCfg = CatalogConfig("nessie", s"nc${uid()}", Map("store" -> dir))
+    seedCanonical(srcCfg)
+    val main = CatalogFactory.build(srcCfg).asInstanceOf[NessieCatalog]
+    try main.createBranch("audit", fromRef = Some(NessieCatalog.EmptyHash))
+    finally main.close()
+    // source = main, target = the empty audit branch of the SAME store
+    val tgtCfg = srcCfg.copy(name = "audit-view",
+      properties = srcCfg.properties + ("ref" -> "audit"))
+    val m = new CatalogMigrator(srcCfg, tgtCfg, deleteEntriesFromSourceCatalog = false)
+    m.registerTables(spark, m.getMatchingTableIdentifiers(Some("foo\\..*")))
+    assert(m.result().registeredTableIdentifiers.size == 2)
+    val audit = CatalogFactory.build(tgtCfg)
+    try {
+      assert(audit.listTables(Namespace.of("foo")).map(_.toString).toSet ==
+        Set("foo.tbl1", "foo.tbl2"))
+      // bar.* stayed behind; main is untouched by the promotion
+      intercept[NoSuchNamespaceException](audit.listTables(Namespace.of("bar")))
+    } finally audit.close()
+  }
+}
