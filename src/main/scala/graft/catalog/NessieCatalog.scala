@@ -518,6 +518,42 @@ final class NessieCatalog(val name: String, storeDir: String,
     dropped
   }
 
+  /** Atomic cross-table publish — the capability the commit-log model
+    * exists for: flip MANY tables' metadata pointers in ONE commit, so a
+    * reader pinned to this branch (or any tag/hash of it) sees either
+    * every table's old version or every table's new version, never a
+    * mix. Composes with the versioned warehouse: stage each table's new
+    * version through `CatalogIO` (the Hadoop catalog's pointer advances
+    * per table, as always), then publish all the new metadata locations
+    * here as one transaction. Tables are created or re-pointed as
+    * needed; missing parent namespaces are created in the same commit.
+    * Returns the new commit hash. */
+  def publish(pointers: Map[TableRef, String], message: String): String = {
+    require(pointers.nonEmpty, "publish requires at least one table pointer")
+    var attempt = 0
+    while (true) {
+      val branch = mutableBranch()
+      val head = readRef(branch).hash
+      val snap = snapshotAt(head)
+      val nsOps = pointers.keysIterator
+        .flatMap(_.namespace.prefixes).distinct
+        .filterNot(ns => snap.namespaces.contains(ns.toString)).toSeq
+        .sortBy(_.levels.size)
+        .map(ns => NessieOp.PutNamespace(ns.toString))
+      val tableOps = pointers.toSeq.sortBy(_._1.toString)
+        .filter { case (r, loc) => !snap.tables.get(r.toString).contains(loc) }
+        .map { case (r, loc) => NessieOp.PutTable(r.toString, loc) }
+      if (nsOps.isEmpty && tableOps.isEmpty) return head // already published
+      try return commitMulti(message, nsOps ++ tableOps, expectedHead = Some(head))
+      catch {
+        case e: CommitConflictException =>
+          attempt += 1
+          if (attempt >= 10) throw e
+      }
+    }
+    sys.error("unreachable")
+  }
+
   // ----- SupportsTableVersions (served from the commit log) -----
 
   /** Every Put of the key along this ref's history is one pointer

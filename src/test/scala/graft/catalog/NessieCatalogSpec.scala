@@ -259,6 +259,49 @@ class NessieCatalogSpec extends AnyFunSuite {
     finally tgt.close()
   }
 
+  test("atomic cross-table publish: branch readers see all-old or all-new, never a mix") {
+    val dir = store()
+    val wh = Files.createTempDirectory("graft-nessie-wh").toString
+    val hadoop = new HadoopFsCatalog(s"wh-${uid()}", wh)
+    val nessie = new NessieCatalog(s"nc${uid()}", dir)
+    try {
+      import spark.implicits._
+      val (orders, totals) = (TableRef.parse("db.orders"), TableRef.parse("db.totals"))
+      val v1Orders = CatalogIO.createTable(spark, hadoop, orders, Seq(1L, 2L).toDF("id"))
+      val v1Totals = CatalogIO.createTable(spark, hadoop, totals, Seq(2L).toDF("id"))
+      nessie.publish(Map(orders -> v1Orders, totals -> v1Totals), "publish v1")
+      nessie.createTag("v1")
+
+      // stage v2 of BOTH tables in the warehouse: the Hadoop catalog's
+      // per-table pointers advance, but the Nessie branch still serves
+      // the consistent v1 pair until the publish commit
+      val v2Orders = CatalogIO.commitVersion(spark, hadoop, orders,
+        Seq(1L, 2L, 3L).toDF("id"))
+      val v2Totals = CatalogIO.commitVersion(spark, hadoop, totals, Seq(3L).toDF("id"))
+      assert(nessie.loadTableMetadataLocation(orders) == v1Orders)
+      assert(nessie.loadTableMetadataLocation(totals) == v1Totals)
+
+      // ONE commit flips both pointers
+      nessie.publish(Map(orders -> v2Orders, totals -> v2Totals), "publish v2")
+      assert(nessie.commitLog().head.ops.size == 2)
+      assert(CatalogIO.readTable(spark, nessie, orders).count() == 3)
+      assert(CatalogIO.readTable(spark, nessie, totals)
+        .collect().map(_.getLong(0)).toSeq == Seq(3L))
+
+      // the v1 tag still serves the OLD consistent pair of the same tables
+      val tagged = new NessieCatalog("v1-view", dir, ref = "v1")
+      try {
+        assert(CatalogIO.readTable(spark, tagged, orders).count() == 2)
+        assert(CatalogIO.readTable(spark, tagged, totals)
+          .collect().map(_.getLong(0)).toSeq == Seq(2L))
+      } finally tagged.close()
+
+      // re-publishing identical pointers is a no-op (no commit churn)
+      val head = nessie.currentHash
+      assert(nessie.publish(Map(orders -> v2Orders), "noop") == head)
+    } finally { hadoop.close(); nessie.close() }
+  }
+
   test("Spark SQL reads a branch through the DSv2 catalog face") {
     val dir = store()
     val cfg = CatalogConfig("nessie", s"nc${uid()}", Map("store" -> dir))
