@@ -46,7 +46,8 @@ object Bench {
     * instead ([[benchWrites]] — timed operations against a pre-built
     * table). */
   private val surfaceOnly = Set(
-    "w01_sql_write_surface", "w02_merge_on_read", "w03_stream_ingest")
+    "w01_sql_write_surface", "w02_merge_on_read", "w03_stream_ingest",
+    "w04_nessie_publish")
 
   // Locale.ROOT: a comma-decimal default locale would otherwise turn the
   // JSON lines into {"total":71,422,...}

@@ -123,6 +123,7 @@ object SparkEntry {
     "w01_sql_write_surface" -> (graft.queries.WriteQueries.w01 _),
     "w02_merge_on_read" -> (graft.queries.WriteQueries.w02 _),
     "w03_stream_ingest" -> (graft.queries.WriteQueries.w03 _),
+    "w04_nessie_publish" -> (graft.queries.WriteQueries.w04 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -817,6 +818,25 @@ object SparkEntry {
         |SELECT b, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,
         |       CAST(MAX(k) AS BIGINT) AS max_k
         |FROM fin GROUP BY b ORDER BY b""".stripMargin,
+    // w04: atomic cross-table publish on the Nessie commit-log catalog.
+    // The engine stages v2 of two tables in the warehouse, reads the
+    // branch before the publish (must still be the consistent v1 pair),
+    // publishes both pointers in ONE commit, and reads a v1 tag after;
+    // the oracle replays the three phases as pure projections — an
+    // isolation failure changes a phase's aggregate and breaks the hash
+    "w04_nessie_publish" ->
+      """WITH v1c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |v1s AS (SELECT CAST(s_suppkey AS BIGINT) AS k FROM supplier),
+        |v2c AS (SELECT CAST(c_custkey AS BIGINT) AS k FROM customer WHERE c_custkey % 2 = 0),
+        |v2s AS (SELECT CAST(s_suppkey + 1000000 AS BIGINT) AS k FROM supplier WHERE s_suppkey % 3 = 0)
+        |SELECT 'staged' AS phase, 'cust' AS src, COUNT(*) AS cnt,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k, CAST(MAX(k) AS BIGINT) AS max_k FROM v1c
+        |UNION ALL SELECT 'staged', 'sup', COUNT(*), CAST(SUM(k) AS BIGINT), CAST(MAX(k) AS BIGINT) FROM v1s
+        |UNION ALL SELECT 'published', 'cust', COUNT(*), CAST(SUM(k) AS BIGINT), CAST(MAX(k) AS BIGINT) FROM v2c
+        |UNION ALL SELECT 'published', 'sup', COUNT(*), CAST(SUM(k) AS BIGINT), CAST(MAX(k) AS BIGINT) FROM v2s
+        |UNION ALL SELECT 'tag', 'cust', COUNT(*), CAST(SUM(k) AS BIGINT), CAST(MAX(k) AS BIGINT) FROM v1c
+        |UNION ALL SELECT 'tag', 'sup', COUNT(*), CAST(SUM(k) AS BIGINT), CAST(MAX(k) AS BIGINT) FROM v1s
+        |ORDER BY phase, src""".stripMargin,
     // p01: the composed pipeline — each CTE block is the already-proven
     // per-stage oracle (t07 repetition → d07 decontamination → d01
     // pairs → d06 recursive-CTE canonical → t05 sample → t06 pack),

@@ -155,6 +155,81 @@ object WriteQueries {
     * zombie replay of batch 0 arrives at the very end. The final table
     * must hold each batch exactly once plus the SQL append — any fence
     * failure double-appends a batch and fails the hash compare. */
+  /** w04 (round 10): the Nessie commit-log catalog's atomic cross-table
+    * publish under the oracle. Two tables are created in a throwaway
+    * versioned warehouse and their v1 pointers published to a Nessie
+    * branch in one commit (then tagged `v1`); v2 of BOTH tables is then
+    * staged in the warehouse — the per-table Hadoop pointers advance,
+    * but the branch must keep serving the consistent v1 pair (phase
+    * `staged`). One `publish` commit flips both pointers (phase
+    * `published`), and the `v1` tag must still serve the OLD pair
+    * afterwards (phase `tag`). The oracle replays the three phases as
+    * pure projections of the source parquet: any isolation failure
+    * (branch seeing a half-published mix, tag following the branch)
+    * changes a phase's aggregate and fails the hash. */
+  def w04(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w04") { (_, hc) =>
+      import graft.catalog.{Catalog, CatalogIO, NessieCatalog, TableRef}
+      val store = java.nio.file.Files.createTempDirectory("graft-w04-nessie").toString
+      try {
+        val nessie = new NessieCatalog("w04", store)
+        try {
+          val (cust, sup) = (TableRef.parse("db.cust"), TableRef.parse("db.sup"))
+          val v1c = CatalogIO.createTable(spark, hc, cust, spark.sql(
+            s"SELECT CAST(c_custkey AS BIGINT) AS k FROM parquet.`$dir/customer.parquet`"))
+          val v1s = CatalogIO.createTable(spark, hc, sup, spark.sql(
+            s"SELECT CAST(s_suppkey AS BIGINT) AS k FROM parquet.`$dir/supplier.parquet`"))
+          nessie.publish(Map(cust -> v1c, sup -> v1s), "publish v1")
+          nessie.createTag("v1")
+          // stage v2 of both tables: warehouse pointers advance, branch must not
+          CatalogIO.commitVersion(spark, hc, cust, spark.sql(
+            s"SELECT CAST(c_custkey AS BIGINT) AS k FROM parquet.`$dir/customer.parquet` " +
+              "WHERE c_custkey % 2 = 0"))
+          CatalogIO.commitVersion(spark, hc, sup, spark.sql(
+            s"SELECT CAST(s_suppkey + 1000000 AS BIGINT) AS k " +
+              s"FROM parquet.`$dir/supplier.parquet` WHERE s_suppkey % 3 = 0"))
+          def snap(phase: String, cat: Catalog): Seq[org.apache.spark.sql.Row] =
+            CatalogIO.readTable(spark, cat, cust).withColumn("src", lit("cust"))
+              .unionByName(
+                CatalogIO.readTable(spark, cat, sup).withColumn("src", lit("sup")))
+              .groupBy(lit(phase).as("phase"), col("src"))
+              .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"),
+                max(col("k")).as("max_k"))
+              .collect().toIndexedSeq
+          val staged = snap("staged", nessie)
+          val v2hash = nessie.publish(
+            Map(cust -> hc.loadTableMetadataLocation(cust),
+              sup -> hc.loadTableMetadataLocation(sup)), "publish v2")
+          // atomicity is observable on the log: ONE commit, two pointer flips
+          require(nessie.commitLog().headOption.exists(c =>
+            c.hash == v2hash && c.ops.size == 2),
+            "publish v2 did not land as one two-op commit")
+          val published = snap("published", nessie)
+          val tagged = new NessieCatalog("w04-v1", store, ref = "v1")
+          val atTag = try snap("tag", tagged) finally tagged.close()
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("phase",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("src",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("cnt",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("sum_k",
+              org.apache.spark.sql.types.LongType, nullable = true),
+            org.apache.spark.sql.types.StructField("max_k",
+              org.apache.spark.sql.types.LongType, nullable = true)))
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(staged ++ published ++ atTag, 1), schema)
+        } finally nessie.close()
+      } finally {
+        try {
+          import scala.jdk.CollectionConverters._
+          java.nio.file.Files.walk(java.nio.file.Paths.get(store)).iterator().asScala
+            .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
+        } catch { case _: Exception => () }
+      }
+    }
+
   def w03(spark: SparkSession, dir: String): DataFrame =
     graft.sources.TempCatalog.withTempHandles(spark, "graft-w03") { (cat, hc) =>
       import graft.catalog.TableRef
