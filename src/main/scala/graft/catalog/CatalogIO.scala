@@ -422,7 +422,8 @@ object CatalogIO {
     val metaDir = new Path(dir, "metadata")
     cat.fileSystem.mkdirs(metaDir)
     val metaFile = new Path(metaDir, "v1.metadata.json")
-    cat.writeText(metaFile, metadataJson(dir.toString, dataDir.toString, layout))
+    cat.writeTextExclusiveAtomic(metaFile,
+      metadataJson(dir.toString, dataDir.toString, layout))
     cat.registerTable(ref, metaFile.toString)
     metaFile.toString
   }
@@ -459,7 +460,8 @@ object CatalogIO {
     val metaDir = new Path(dir, "metadata")
     cat.fileSystem.mkdirs(metaDir)
     val metaFile = new Path(metaDir, "v1.metadata.json")
-    cat.writeText(metaFile, metadataJson(dir.toString, dataDir.toString, layout))
+    cat.writeTextExclusiveAtomic(metaFile,
+      metadataJson(dir.toString, dataDir.toString, layout))
     cat.registerTable(ref, metaFile.toString)
     metaFile.toString
   }
@@ -1306,8 +1308,10 @@ object CatalogIO {
       n: Int, layout: TableLayout): String = {
     val dir = cat.tableDir(ref)
     val metaFile = new Path(new Path(dir, "metadata"), s"v$n.metadata.json")
-    // cat.writeText is fs.create(overwrite = false): the concurrency gate
-    try cat.writeText(metaFile,
+    // atomic no-replace publish: still the same-version concurrency
+    // gate, AND existence ⇒ completeness — the roll-forward fallback
+    // reads the newest version file, which must never be mid-write
+    try cat.writeTextExclusiveAtomic(metaFile,
       metadataJson(dir.toString, layout.dataLocation, layout))
     catch {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException =>

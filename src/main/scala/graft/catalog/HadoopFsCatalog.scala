@@ -223,6 +223,45 @@ final class HadoopFsCatalog(val name: String, warehouse: String,
     try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
+  /** Create-exclusive write where the destination is NEVER observable
+    * half-written: full write to a same-directory temp, then an atomic
+    * no-replace publish — existence ⇒ completeness, with the losing
+    * racer still failing (the concurrency gate [[graft.catalog
+    * .CatalogIO]]'s version commits rely on). Metadata commits need
+    * this: the pointer-missing roll-forward reads the NEWEST version
+    * file, so an in-place `create` that is still streaming bytes would
+    * be read truncated by a concurrent committer. On file:// the
+    * publish is a hard link (`link(2)` is atomic AND fails on an
+    * existing destination, unlike POSIX rename which silently
+    * replaces); elsewhere Hadoop rename (no-overwrite on HDFS). The
+    * temp is nio-written on file:// so no ChecksumFileSystem `.crc`
+    * sidecar is created for a file that will be link-published. */
+  private[catalog] def writeTextExclusiveAtomic(p: Path, text: String): Unit = {
+    val tmp = new Path(p.getParent,
+      s".${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    if (fs.getScheme == "file") {
+      val src = java.nio.file.Paths.get(tmp.toUri.getPath)
+      java.nio.file.Files.createDirectories(src.getParent)
+      java.nio.file.Files.write(src, text.getBytes(StandardCharsets.UTF_8))
+      try java.nio.file.Files.createLink(
+        java.nio.file.Paths.get(p.toUri.getPath), src)
+      catch {
+        case e: java.nio.file.FileAlreadyExistsException =>
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"Destination exists: $p (${e.getMessage})")
+      } finally java.nio.file.Files.deleteIfExists(src)
+    } else {
+      writeText(tmp, text)
+      if (fs.exists(p) || !fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        if (fs.exists(p))
+          throw new org.apache.hadoop.fs.FileAlreadyExistsException(
+            s"Destination exists: $p")
+        throw new java.io.IOException(s"Atomic publish failed for $p")
+      }
+    }
+  }
+
   private[catalog] def readText(p: Path): String = {
     val in = fs.open(p)
     try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()

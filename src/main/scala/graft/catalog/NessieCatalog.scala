@@ -94,10 +94,14 @@ final class NessieCatalog(val name: String, storeDir: String,
   private def init(): Unit = {
     fs.mkdirs(commitsDir)
     fs.mkdirs(refsDir)
-    if (!fs.exists(refPath(DefaultBranch))) {
-      // race-safe: exclusive create; a concurrent initializer winning is fine
-      try writeExclusive(refPath(DefaultBranch), s"branch $EmptyHash\n")
-      catch { case _: java.io.IOException => () }
+    // Bootstrap the default branch ONLY on a truly virgin store: a ref
+    // being republished (delete→rename window) briefly has no ref FILE,
+    // but its lock/tmp files keep the dir non-empty — an existence check
+    // on refs/main alone would resurrect an empty main mid-publish.
+    if (fs.listStatus(refsDir).isEmpty) {
+      try atomicPublishFile(refPath(DefaultBranch), s"branch $EmptyHash\n",
+        replaceExisting = false)
+      catch { case _: java.io.IOException => () } // concurrent bootstrap won
     }
   }
 
@@ -109,19 +113,25 @@ final class NessieCatalog(val name: String, storeDir: String,
 
   private def readRef(n: String): NessieRef = {
     val p = refPath(n)
-    // a locked writer replaces the ref file with delete→rename; retry the
-    // tiny missing window instead of failing the read
+    // On file:// publishes are single atomic moves, so reads always see
+    // a complete old or new file. On rename-no-overwrite filesystems the
+    // publish is delete→rename: retry both the tiny missing window and a
+    // torn read (partial content) instead of failing.
     var attempts = 0
     while (true) {
       if (fs.exists(p)) {
-        val parts = readText(p).trim.split(' ')
-        require(parts.length == 2 && (parts(0) == "branch" || parts(0) == "tag"),
-          s"Malformed reference file: $p")
-        return NessieRef(n, parts(0), parts(1))
+        val parts = try readText(p).trim.split(' ')
+        catch { case _: java.io.IOException => Array.empty[String] }
+        if (parts.length == 2 && (parts(0) == "branch" || parts(0) == "tag"))
+          return NessieRef(n, parts(0), parts(1))
+        attempts += 1
+        if (attempts > 50)
+          throw new IllegalStateException(s"Malformed reference file: $p")
+      } else {
+        attempts += 1
+        if (attempts > 50)
+          throw new NoSuchNamespaceException(s"Reference does not exist: $n")
       }
-      attempts += 1
-      if (attempts > 50)
-        throw new NoSuchNamespaceException(s"Reference does not exist: $n")
       Thread.sleep(10)
     }
     sys.error("unreachable")
@@ -175,7 +185,9 @@ final class NessieCatalog(val name: String, storeDir: String,
     require(n.nonEmpty && !n.contains('/') && !n.contains(' ') && !n.endsWith(".lock"),
       s"Invalid reference name: $n")
     val hash = resolveRef(fromRef.getOrElse(ref))
-    try writeExclusive(refPath(n), s"$refType $hash\n")
+    if (refExists(n))
+      throw new AlreadyExistsException(s"Reference already exists: $n")
+    try atomicPublishFile(refPath(n), s"$refType $hash\n", replaceExisting = false)
     catch {
       case _: java.io.IOException if refExists(n) =>
         throw new AlreadyExistsException(s"Reference already exists: $n")
@@ -218,19 +230,26 @@ final class NessieCatalog(val name: String, storeDir: String,
       }
       val meta = NessieCommitMeta(hash = "", parent = head,
         timestampMillis = System.currentTimeMillis(), message = message, ops = ops)
-      val bytes = serialize(meta).getBytes(StandardCharsets.UTF_8)
-      val hash = sha256(bytes)
-      val p = new Path(commitsDir, hash)
-      if (!fs.exists(p)) {
-        // content-addressed: exclusive create; a same-bytes racer is benign
-        try {
-          val out = fs.create(p, false)
-          try out.write(bytes) finally out.close()
-        } catch { case _: java.io.IOException if fs.exists(p) => () }
-      }
+      val hash = writeCommitObject(meta)
       publishRef(branch, "branch", hash)
       hash
     }
+  }
+
+  /** Content-addressed commit write: full bytes land under a temp name,
+    * then an exclusive atomic move — a commit file either exists
+    * complete or not at all (an in-place create could be truncated
+    * mid-write by a same-bytes racer on LocalFS). A losing racer wrote
+    * identical bytes, so the existing destination is the commit. */
+  private def writeCommitObject(meta: NessieCommitMeta): String = {
+    val bytes = serialize(meta).getBytes(StandardCharsets.UTF_8)
+    val hash = sha256(bytes)
+    val p = new Path(commitsDir, hash)
+    if (!fs.exists(p)) {
+      try atomicPublishFile(p, serialize(meta), replaceExisting = false)
+      catch { case _: java.io.IOException if fs.exists(p) => () }
+    }
+    hash
   }
 
   /** Single-op commits retry CAS races with full revalidation — the
@@ -303,16 +322,46 @@ final class NessieCatalog(val name: String, storeDir: String,
     try body finally deleteLock(lock)
   }
 
-  /** Inside the ref lock: replace the ref file. Hadoop rename does not
-    * overwrite, so delete→rename; readers retry the tiny missing window
-    * (see [[readRef]]) and the lock serializes all writers. */
-  private def publishRef(n: String, refType: String, hash: String): Unit = {
-    val tmp = refPath(s".$n-${java.util.UUID.randomUUID()}.tmp")
-    writeExclusive(tmp, s"$refType $hash\n")
-    fs.delete(refPath(n), false)
-    if (!fs.rename(tmp, refPath(n))) {
-      fs.delete(tmp, false)
-      throw new java.io.IOException(s"Failed to publish reference $n")
+  /** Inside the ref lock: replace the ref file. On file:// this is one
+    * ATOMIC_MOVE (readers always see a complete old or new file); on
+    * rename-no-overwrite filesystems it degrades to delete→rename, whose
+    * tiny missing window readers cover by retrying (see [[readRef]]).
+    * The lock serializes all writers either way. */
+  private def publishRef(n: String, refType: String, hash: String): Unit =
+    atomicPublishFile(refPath(n), s"$refType $hash\n", replaceExisting = true)
+
+  /** Write `text` to `p` so that `p` is NEVER observable half-written:
+    * full write to a same-directory temp, then rename. file:// uses
+    * java.nio ATOMIC_MOVE (with or without REPLACE_EXISTING); elsewhere
+    * Hadoop rename (no overwrite — with `replaceExisting` the
+    * destination is deleted first, opening the retry-covered window). */
+  private def atomicPublishFile(p: Path, text: String,
+      replaceExisting: Boolean): Unit = {
+    val tmp = new Path(p.getParent, s".${p.getName}-${java.util.UUID.randomUUID()}.tmp")
+    if (fs.getScheme == "file") {
+      val src = java.nio.file.Paths.get(tmp.toUri.getPath)
+      val dst = java.nio.file.Paths.get(p.toUri.getPath)
+      java.nio.file.Files.write(src, text.getBytes(StandardCharsets.UTF_8))
+      if (replaceExisting)
+        java.nio.file.Files.move(src, dst,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      else {
+        // link(2): atomic AND fails on an existing destination — POSIX
+        // rename (ATOMIC_MOVE without REPLACE) would silently replace
+        try java.nio.file.Files.createLink(dst, src)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw new java.io.IOException(s"Destination exists: $p", e)
+        } finally java.nio.file.Files.deleteIfExists(src)
+      }
+    } else {
+      writeExclusive(tmp, text)
+      if (replaceExisting) fs.delete(p, false)
+      if (!fs.rename(tmp, p)) {
+        fs.delete(tmp, false)
+        throw new java.io.IOException(s"Failed to publish $p")
+      }
     }
   }
 
@@ -426,19 +475,10 @@ final class NessieCatalog(val name: String, storeDir: String,
         }
       val msg = if (message.nonEmpty) message
         else s"merge $fromRef (${sourceHead.take(8)}) into $branch"
-      // inside the lock already: inline commitMulti's body via a direct call
-      // would re-lock; build the commit here with the same machinery
-      val meta = NessieCommitMeta("", targetHead, System.currentTimeMillis(),
-        msg, nsOps ++ tableOps)
-      val bytes = serialize(meta).getBytes(StandardCharsets.UTF_8)
-      val hash = sha256(bytes)
-      val p = new Path(commitsDir, hash)
-      if (!fs.exists(p)) {
-        try {
-          val out = fs.create(p, false)
-          try out.write(bytes) finally out.close()
-        } catch { case _: java.io.IOException if fs.exists(p) => () }
-      }
+      // inside the lock already: calling commitMulti would re-lock, so
+      // build the commit with the same write machinery directly
+      val hash = writeCommitObject(NessieCommitMeta("", targetHead,
+        System.currentTimeMillis(), msg, nsOps ++ tableOps))
       publishRef(branch, "branch", hash)
       hash
     }
@@ -643,15 +683,24 @@ final class NessieCatalog(val name: String, storeDir: String,
     MessageDigest.getInstance("SHA-256").digest(bytes)
       .map(b => f"${b & 0xff}%02x").mkString
 
+  /** All store I/O on file:// goes through java.nio, NEVER Hadoop's
+    * create: mixing the two under ChecksumFileSystem leaves stale `.crc`
+    * sidecars that fail every later read of an atomically-replaced file.
+    * Non-file schemes use the Hadoop API throughout (no nio fast path),
+    * so the two write planes never touch the same file. */
   private def writeExclusive(p: Path, text: String): Unit = {
     val out = fs.create(p, false)
     try out.write(text.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
 
-  private def readText(p: Path): String = {
-    val in = fs.open(p)
-    try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-  }
+  private def readText(p: Path): String =
+    if (fs.getScheme == "file")
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(p.toUri.getPath)), StandardCharsets.UTF_8)
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
+    }
 }
 
 object NessieCatalog {
