@@ -104,6 +104,7 @@ object SparkEntry {
     "d04_dedup_embed" -> (Similarity.embedNearDup _),
     "d06_dedup_canonical" -> (Dedup.canonical _),
     "d07_decontaminate" -> (Dedup.decontaminate _),
+    "d08_dedup_substrings" -> (Dedup.substringDedup _),
     "d05_dedup_embed_lsh" -> (Similarity.srpNearDup _),
     "m01_image_decode" -> (graft.operators.Multimodal.imageStats _),
     "m02_audio_decode" -> (graft.operators.Multimodal.audioStats _),
@@ -731,6 +732,27 @@ object SparkEntry {
         |FROM ex JOIN bench USING (g)
         |WHERE ex.doc_id % 10 <> 7
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
+    // d08: exact substring dedup — every token position covered by a
+    // 5-gram occurring in >1 document is removed; the oracle recomputes
+    // coverage over string grams (the engine joins on xxhash64 images,
+    // value-identical absent a 64-bit collision, same caveat as d01)
+    "d08_dedup_substrings" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |g0 AS (SELECT doc_id, CASE WHEN len(t) >= 5
+        |    THEN [struct_pack(i := i, gram := list_aggregate(t[i:i+4], 'string_agg', ' ')) for i in range(1, len(t) - 3)]
+        |    ELSE [] END AS gs FROM tk),
+        |g AS (SELECT doc_id, unnest(gs, recursive := true) FROM g0),
+        |hot AS (SELECT gram FROM (SELECT DISTINCT gram, doc_id FROM g) GROUP BY gram HAVING COUNT(*) > 1),
+        |cov AS (SELECT DISTINCT doc_id, unnest([p for p in range(g.i, g.i + 5)]) AS pos
+        |        FROM g JOIN hot USING (gram)),
+        |toks AS (SELECT doc_id, len(t) AS n_tok,
+        |         unnest([struct_pack(i := i, tok := t[i]) for i in range(1, len(t) + 1)], recursive := true) FROM tk),
+        |kept AS (SELECT toks.doc_id, toks.n_tok, toks.i, toks.tok
+        |         FROM toks LEFT JOIN cov ON toks.doc_id = cov.doc_id AND toks.i = cov.pos
+        |         WHERE cov.pos IS NULL)
+        |SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS clean_text,
+        |       COUNT(*) AS n_kept, CAST(MAX(n_tok) - COUNT(*) AS BIGINT) AS n_removed
+        |FROM kept GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // w01: the SQL write surface as relational algebra — CTAS ∪ append,
     // minus the overwritten partition plus its replacement, schema
     // evolution as a NULL-filled column the later append populates, the

@@ -418,4 +418,50 @@ object Dedup {
     contaminationOf(docs.filter(col("doc_id") % 10 =!= 7), bench)
       .orderBy("doc_id")
   }
+
+  /** Exact SUBSTRING dedup (SURVEY §2B E34): remove from every document
+    * each token span covered by a `k`-gram that occurs in more than
+    * `maxDf` documents — the scale-shaped re-expression of
+    * suffix-array duplicated-substring removal (the public "dedup makes
+    * LMs better" recipe): a corpus-wide suffix array is
+    * single-machine-bound, while k-gram coverage marking is pure
+    * dataflow. d01–d07 decide which DOCUMENTS are duplicates; this is
+    * the span-level face that scrubs repeated boilerplate/licensing
+    * blocks out of otherwise-unique documents.
+    *
+    * Shape at 100 TB: grams carry xxhash64 images (8-byte shuffle keys,
+    * the d01 trick); the df aggregation is two map-combinable groupBys
+    * ((g, doc) dedup, then count) — never a distinct-agg buffer; only
+    * HOT gram occurrences survive the df join, so coverage explode and
+    * the anti-join are proportional to marked spans, not the corpus;
+    * reassembly is one shuffle on doc_id with per-doc bounded state.
+    * Documents whose every token is covered drop out entirely (both
+    * engines agree: an all-boilerplate doc IS the duplicate). */
+  def substringDedupOf(docs: DataFrame, k: Int = 5, maxDf: Int = 1): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    val grams = toks.filter(size(col("t")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(1, size(t) - ${k - 1}), " +
+          s"i -> struct(i AS i, xxhash64(concat_ws(' ', slice(t, i, $k))) AS g))")).as("e"))
+      .select(col("doc_id"), col("e.i").as("i"), col("e.g").as("g"))
+    val hot = grams.select("g", "doc_id").distinct()
+      .groupBy("g").count().filter(col("count") > maxDf).select("g")
+    val covered = grams.join(hot, "g")
+      .select(col("doc_id"), explode(sequence(col("i"), col("i") + (k - 1))).as("pos"))
+      .distinct()
+    val positioned = toks
+      .select(col("doc_id"), size(col("t")).as("n_tok"),
+        posexplode(col("t")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), col("n_tok"), (col("p0") + 1).as("pos"), col("tok"))
+    positioned.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(
+        expr("array_join(transform(array_sort(collect_list(struct(pos, tok))), " +
+          "x -> x.tok), ' ')").as("clean_text"),
+        count(lit(1)).as("n_kept"),
+        (max(col("n_tok")) - count(lit(1))).cast("long").as("n_removed"))
+  }
+
+  def substringDedup(s: SparkSession, dir: String): DataFrame =
+    substringDedupOf(Tables(s, dir, "documents")).orderBy("doc_id")
 }
