@@ -35,7 +35,8 @@ object Bench {
     "q04_agg_tpch1", "q04b_agg_fastexact", "q08_join_star",
     "q15_window_frame", "q45_tpch3", "q46_tpch10", "q51_tpch5",
     "d01_dedup_jaccard", "d02_dedup_minhash_lsh", "d03_dedup_simhash",
-    "d05_dedup_embed_lsh", "d07_decontaminate", "m01_image_decode",
+    "d05_dedup_embed_lsh", "d07_decontaminate", "d08_dedup_substrings",
+    "m01_image_decode",
     "m04_video_decode", "p01_training_pipeline", "s01_cosine_topk",
     "s02_ann_ivf", "t04_fingerprint", "t06_pack_sequences",
     "wb01_append", "wb02_merge_cow", "wb03_delete_mor")
