@@ -275,4 +275,22 @@ class OperatorsSpec extends AnyFunSuite {
     try intercept[IllegalArgumentException](Dedup.minhashLsh(spark, dir))
     finally spark.conf.unset("spark.graft.lsh.rowsPerBand")
   }
+
+  test("substring dedup scrubs shared spans, drops all-boilerplate docs, keeps short docs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d e f g h"),   // shares "a b c d e" with doc 2
+      (2L, "x y a b c d e z"),
+      (3L, "p q r s t"),         // exact 5-token duplicate of doc 4:
+      (4L, "p q r s t"),         //   every position covered → both drop
+      (5L, "u v")                // shorter than k: no grams, kept whole
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedupOf(docs, k = 5, maxDf = 1)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq(
+      (1L, "f g h", 3L, 5L),     // positions 1-5 covered
+      (2L, "x y z", 3L, 5L),     // positions 3-7 covered
+      (5L, "u v", 2L, 0L)))
+  }
 }
