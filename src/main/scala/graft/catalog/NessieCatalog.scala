@@ -108,7 +108,11 @@ final class NessieCatalog(val name: String, storeDir: String,
   // ----- references -----
 
   def listReferences(): Seq[NessieRef] =
-    fs.listStatus(refsDir).toSeq.filterNot(_.getPath.getName.endsWith(".lock"))
+    fs.listStatus(refsDir).toSeq
+      // locks and crashed-publish temps live alongside the refs (dotted
+      // names are reserved by createRef's name validation)
+      .filterNot(st => st.getPath.getName.endsWith(".lock") ||
+        st.getPath.getName.startsWith("."))
       .map(st => readRef(st.getPath.getName)).sortBy(_.name)
 
   private def readRef(n: String): NessieRef = {
@@ -182,7 +186,8 @@ final class NessieCatalog(val name: String, storeDir: String,
     createRef(tag, "tag", fromRef)
 
   private def createRef(n: String, refType: String, fromRef: Option[String]): Unit = {
-    require(n.nonEmpty && !n.contains('/') && !n.contains(' ') && !n.endsWith(".lock"),
+    require(n.nonEmpty && !n.contains('/') && !n.contains(' ') &&
+      !n.endsWith(".lock") && !n.startsWith("."),
       s"Invalid reference name: $n")
     val hash = resolveRef(fromRef.getOrElse(ref))
     if (refExists(n))
@@ -199,7 +204,11 @@ final class NessieCatalog(val name: String, storeDir: String,
       throw new IllegalArgumentException(s"Cannot delete the default branch '$DefaultBranch'")
     if (!refExists(n))
       throw new NoSuchNamespaceException(s"Reference does not exist: $n")
-    fs.delete(refPath(n), false)
+    // under the ref lock: a mid-commit publishRef on this branch must not
+    // resurrect the file after the delete
+    withRefLock(n) {
+      if (fs.exists(refPath(n))) fs.delete(refPath(n), false)
+    }
   }
 
   /** Reset a branch head to another ref's commit (git reset --hard). */
