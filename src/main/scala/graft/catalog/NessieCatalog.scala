@@ -493,6 +493,72 @@ final class NessieCatalog(val name: String, storeDir: String,
     }
   }
 
+  /** History truncation — the commit-log face of `expireVersions`:
+    * everything older than this branch's newest `keepLast` commits
+    * collapses into ONE root commit carrying the full snapshot at the
+    * squash point, and the kept suffix is replayed on top (new hashes —
+    * parents changed — same ops, messages, and timestamps). State at
+    * every kept position is identical by construction; tags into the
+    * squashed region keep their commit objects until [[gcStore]]
+    * reclaims what no reference can reach. Returns the new head. */
+  def squashHistory(keepLast: Int, message: String = ""): String = {
+    require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
+    val branch = mutableBranch()
+    withRefLock(branch) {
+      val head = readRef(branch).hash
+      var chain = List.empty[NessieCommitMeta] // oldest-first
+      var cur = head
+      while (cur != EmptyHash) { val c = loadCommit(cur); chain ::= c; cur = c.parent }
+      if (chain.size <= keepLast + 1) return head // nothing to collapse
+      val (squashed, kept) = chain.splitAt(chain.size - keepLast)
+      val at = squashed.last
+      val snap = snapshotAt(at.hash)
+      val rootOps =
+        snap.namespaces.toSeq.sorted.map(NessieOp.PutNamespace) ++
+          snap.tables.toSeq.sortBy(_._1)
+            .map { case (k, l) => NessieOp.PutTable(k, l) }
+      var parent = writeCommitObject(NessieCommitMeta("", EmptyHash,
+        at.timestampMillis,
+        if (message.nonEmpty) message
+        else s"squash of ${squashed.size} commits up to ${at.hash.take(8)}",
+        rootOps))
+      kept.foreach { c =>
+        parent = writeCommitObject(c.copy(hash = "", parent = parent))
+      }
+      publishRef(branch, "branch", parent)
+      parent
+    }
+  }
+
+  /** Reclaim commit objects no reference can reach (orphans left by
+    * branch deletion, head reassignment, or [[squashHistory]]). Holds
+    * every branch's ref lock during the sweep (sorted acquisition — two
+    * concurrent GCs cannot deadlock) so no in-flight commit's object can
+    * be swept between its write and its ref publish, and additionally
+    * skips objects younger than `graceMillis` (belt for writers on
+    * branches created mid-sweep). Returns the number deleted. */
+  def gcStore(graceMillis: Long = 3600000L): Int = {
+    val branches = listReferences().filter(_.refType == "branch").map(_.name).sorted
+    def locked(rest: Seq[String])(body: => Int): Int = rest match {
+      case Seq() => body
+      case b +: tail => withRefLock(b)(locked(tail)(body))
+    }
+    locked(branches) {
+      val reachable = mutable.HashSet.empty[String]
+      listReferences().foreach { r =>
+        var cur = r.hash
+        while (cur != EmptyHash && reachable.add(cur)) cur = loadCommit(cur).parent
+      }
+      val cutoff = System.currentTimeMillis() - graceMillis
+      val dead = fs.listStatus(commitsDir).toSeq.filter { st =>
+        !reachable.contains(st.getPath.getName) &&
+          st.getModificationTime < cutoff
+      }
+      dead.foreach(st => fs.delete(st.getPath, false))
+      dead.size
+    }
+  }
+
   /** Nearest common ancestor: ancestors of `a` intersected with the walk
     * from `b` (first hit walking b's chain newest→oldest). */
   private def mergeBase(a: String, b: String): String = {

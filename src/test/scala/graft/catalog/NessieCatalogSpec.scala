@@ -259,6 +259,39 @@ class NessieCatalogSpec extends AnyFunSuite {
     finally tgt.close()
   }
 
+  test("squashHistory collapses old commits; gcStore reclaims unreachable objects") {
+    val dir = store()
+    val cat = new NessieCatalog(s"nc${uid()}", dir)
+    try {
+      cat.createNamespace(Namespace.of("db"))
+      (1 to 4).foreach(i => cat.registerTable(TableRef.parse(s"db.t$i"), s"loc$i"))
+      cat.createTag("mid") // pins the pre-squash chain
+      assert(cat.commitLog().size == 5)
+
+      cat.squashHistory(keepLast = 2)
+      // state identical, history = snapshot root + the 2 kept commits
+      assert(cat.listTables(Namespace.of("db")).map(_.name).toSet ==
+        Set("t1", "t2", "t3", "t4"))
+      assert(cat.commitLog().size == 3)
+      assert(cat.commitLog().last.parent == NessieCatalog.EmptyHash)
+      assert(cat.loadTableMetadataLocation(TableRef.parse("db.t1")) == "loc1")
+      // the tag still reads the full pre-squash chain (objects retained)
+      val mid = new NessieCatalog("mid-view", dir, ref = "mid")
+      try assert(mid.commitLog().size == 5) finally mid.close()
+
+      // drop the tag: the old chain becomes unreachable; gc reclaims it
+      cat.deleteReference("mid")
+      assert(cat.gcStore(graceMillis = -60000) == 5)
+      assert(cat.gcStore(graceMillis = -60000) == 0) // idempotent
+      // a FRESH instance (cold caches) proves survivors are complete
+      val fresh = new NessieCatalog("fresh", dir)
+      try {
+        assert(fresh.listTables(Namespace.of("db")).size == 4)
+        assert(fresh.commitLog().size == 3)
+      } finally fresh.close()
+    } finally cat.close()
+  }
+
   test("atomic cross-table publish: branch readers see all-old or all-new, never a mix") {
     val dir = store()
     val wh = Files.createTempDirectory("graft-nessie-wh").toString
