@@ -63,6 +63,7 @@ object CatalogMigrationCLI {
       partitionPrefix: Option[String] = None,
       targetFileBytes: Long = 128L << 20,
       keepLast: Int = -1,
+      gcAfter: Boolean = false,
       outputDir: String = ".",
       dryRun: Boolean = false)
 
@@ -77,7 +78,8 @@ object CatalogMigrationCLI {
     if (args.contains("--version")) { out(s"catalog-migrator ${BuildInfo.version}"); return 0 }
     if (args.contains("-h") || args.contains("--help")) { out(usage); return 0 }
 
-    if (args.head == "compact" || args.head == "expire-versions")
+    if (args.head == "compact" || args.head == "expire-versions" ||
+        args.head == "squash-history")
       return runMaintenance(args, out)
 
     parse(args) match {
@@ -197,6 +199,7 @@ object CatalogMigrationCLI {
             case Some(n) => o = o.copy(keepLast = n)
           }
           rest = t
+        case "--gc" :: t => o = o.copy(gcAfter = true); rest = t
         case "--output-dir" :: v :: t => o = o.copy(outputDir = v); rest = t
         case "--dry-run" :: t => o = o.copy(dryRun = true); rest = t
         case other :: _ => return Left(s"Unknown option: $other")
@@ -207,10 +210,14 @@ object CatalogMigrationCLI {
       return Left("Missing required option: --catalog-type")
     if (o.identifiers.nonEmpty && o.identifiersFromFile.isDefined)
       return Left("Error: --identifiers, --identifiers-from-file options are mutually exclusive.")
-    if (o.identifiers.isEmpty && o.identifiersFromFile.isEmpty)
+    if (o.cmd == "squash-history") {
+      if (o.identifiers.nonEmpty || o.identifiersFromFile.isDefined)
+        return Left("squash-history is catalog-level (one commit log for " +
+          "all tables); table identifiers do not apply")
+    } else if (o.identifiers.isEmpty && o.identifiersFromFile.isEmpty)
       return Left(s"${o.cmd} requires explicit table identifiers " +
         "(--identifiers or --identifiers-from-file)")
-    if (o.cmd == "expire-versions" && o.keepLast < 1)
+    if ((o.cmd == "expire-versions" || o.cmd == "squash-history") && o.keepLast < 1)
       return Left("Missing required option: --keep-last")
     if (o.cmd == "compact" && o.smallFilesOnly && o.partitionPrefix.isDefined)
       return Left("Error: --small-files-only, --partition-prefix options are mutually exclusive.")
@@ -218,6 +225,7 @@ object CatalogMigrationCLI {
   }
 
   private def executeMaintenance(opts: MaintOpts, log: String => Unit): Int = {
+    if (opts.cmd == "squash-history") return executeSquash(opts, log)
     val ids: Seq[TableRef] = if (opts.identifiers.nonEmpty)
       opts.identifiers.map(TableRef.parse)
     else {
@@ -304,6 +312,40 @@ object CatalogMigrationCLI {
         log(s"Expired ${res.expiredVersions.size} versions of $ref " +
           s"(${res.expiredVersions.mkString(", ")}); reclaimed ${res.deletedDataDirs} data segments.")
     }
+
+  /** Catalog-level history squash for commit-log (nessie) catalogs —
+    * the branch analogue of per-table `expire-versions`. `--gc` sweeps
+    * unreachable commit objects afterwards with no grace window, so run
+    * it only when no concurrent writers are active (the library face
+    * [[graft.catalog.NessieCatalog.gcStore]] defaults to a 1 h grace). */
+  private def executeSquash(opts: MaintOpts, log: String => Unit): Int = {
+    validateOutputDir(opts.outputDir)
+    val cfg = CatalogConfig(opts.catalogType,
+      s"maintenance-${opts.catalogType}", opts.catalogProps, opts.catalogHadoopConf)
+    CatalogFactory.build(cfg) match {
+      case n: graft.catalog.NessieCatalog =>
+        try {
+          val before = n.commitLog().size
+          if (opts.dryRun) {
+            log(s"Dry run: would squash branch '${n.ref}' ($before commits) " +
+              s"to the newest ${opts.keepLast} plus one snapshot root" +
+              (if (opts.gcAfter) ", then GC unreachable commit objects." else "."))
+            0
+          } else {
+            n.squashHistory(opts.keepLast)
+            log(s"Squashed branch '${n.ref}': $before -> ${n.commitLog().size} commits.")
+            if (opts.gcAfter)
+              log(s"GC reclaimed ${n.gcStore(graceMillis = 0L)} unreachable commit objects.")
+            0
+          }
+        } finally n.close()
+      case other =>
+        log(s"Catalog ${other.name} is not a commit-log (nessie) catalog; " +
+          "squash-history applies only to nessie catalogs.")
+        other.close()
+        1
+    }
+  }
 
   private def parse(args: Seq[String]): Either[String, Opts] = {
     val cmd = args.head
@@ -568,12 +610,13 @@ object CatalogMigrationCLI {
   }
 
   private val usage: String =
-    """Usage: catalog-migrator (migrate | register | compact | expire-versions) [options]
+    """Usage: catalog-migrator (migrate | register | compact | expire-versions | squash-history) [options]
       |Bulk-migrate table entries from a source catalog to a target catalog
       |without data copy. `migrate` deletes entries from the source after
       |successful registration; `register` leaves them in place.
       |`compact` and `expire-versions` are table maintenance against one
-      |versioning (hadoop) catalog:
+      |versioning (hadoop) catalog; `squash-history` is catalog-level
+      |maintenance for a commit-log (nessie) catalog:
       |
       |  --catalog-type <hadoop>          maintenance catalog (versioning required)
       |  --catalog-properties k=v[,...]   (hadoop: warehouse=<dir>; repeatable)
@@ -583,16 +626,19 @@ object CatalogMigrationCLI {
       |  --small-file-bytes <n>           compact: small-file threshold (default 33554432)
       |  --partition-prefix <p>           compact: only partition dir p (e.g. r=eu)
       |  --target-file-bytes <n>          compact: rewrite target size (default 134217728)
-      |  --keep-last <n>                  expire-versions: versions to keep (required)
+      |  --keep-last <n>                  expire-versions: versions to keep (required);
+      |                                   squash-history: newest commits to keep (required)
+      |  --gc                             squash-history: also sweep unreachable commit
+      |                                   objects (no grace window; quiesce writers first)
       |  --dry-run                        report what would be done, commit nothing
       |
       |Migration options:
       |
-      |  --source-catalog-type <hadoop|memory|rest|jdbc|hive|custom>
+      |  --source-catalog-type <hadoop|memory|rest|jdbc|hive|nessie|custom>
       |  --source-catalog-properties k=v[,k=v...]   (hadoop: warehouse=<dir>; rest: uri=<http://host:port>; repeatable)
       |  --source-catalog-hadoop-conf k=v[,k=v...]  Hadoop Configuration overlay (repeatable)
       |  --source-custom-catalog-impl <class>       Catalog impl for type custom
-      |  --target-catalog-type <hadoop|memory|rest|jdbc|hive|custom>
+      |  --target-catalog-type <hadoop|memory|rest|jdbc|hive|nessie|custom>
       |  --target-catalog-properties k=v[,k=v...]   (repeatable)
       |  --target-catalog-hadoop-conf k=v[,k=v...]  (repeatable)
       |  --target-custom-catalog-impl <class>

@@ -292,6 +292,34 @@ class NessieCatalogSpec extends AnyFunSuite {
     } finally cat.close()
   }
 
+  test("CLI squash-history: squashes and GCs a nessie store, refuses elsewhere") {
+    val dir = store()
+    val cfg = CatalogConfig("nessie", s"nc${uid()}", Map("store" -> dir))
+    seedCanonical(cfg) // 2 namespaces + 4 registers = 6 commits
+    val outDir = Files.createTempDirectory("graft-nessie-squash").toString
+    var lines = Vector.empty[String]
+    val code = graft.cli.CatalogMigrationCLI.run(Seq("squash-history",
+      "--catalog-type", "nessie", "--catalog-properties", s"store=$dir",
+      "--keep-last", "1", "--gc", "--output-dir", outDir),
+      readLine = () => "yes", out = l => lines :+= l)
+    assert(code == 0)
+    assert(lines.exists(_.contains("Squashed branch 'main': 6 -> 2 commits.")))
+    assert(lines.exists(_.contains("GC reclaimed 6 unreachable commit objects.")))
+    val cat = CatalogFactory.build(cfg)
+    try assert(cat.listTables(Namespace.of("foo")).size == 2)
+    finally cat.close()
+    // a non-commit-log catalog refuses (exit 1)
+    assert(graft.cli.CatalogMigrationCLI.run(Seq("squash-history",
+      "--catalog-type", "memory", "--catalog-properties", s"name=x${uid()}",
+      "--keep-last", "1", "--output-dir", outDir),
+      readLine = () => "yes", out = _ => ()) == 1)
+    // missing --keep-last is an argument error (exit 2)
+    assert(graft.cli.CatalogMigrationCLI.run(Seq("squash-history",
+      "--catalog-type", "nessie", "--catalog-properties", s"store=$dir",
+      "--output-dir", outDir),
+      readLine = () => "yes", out = _ => ()) == 2)
+  }
+
   test("atomic cross-table publish: branch readers see all-old or all-new, never a mix") {
     val dir = store()
     val wh = Files.createTempDirectory("graft-nessie-wh").toString
