@@ -48,7 +48,7 @@ object Bench {
     * table). */
   private val surfaceOnly = Set(
     "w01_sql_write_surface", "w02_merge_on_read", "w03_stream_ingest",
-    "w04_nessie_publish")
+    "w04_nessie_publish", "w05_incremental_read")
 
   // Locale.ROOT: a comma-decimal default locale would otherwise turn the
   // JSON lines into {"total":71,422,...}
@@ -146,6 +146,7 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -125,6 +125,7 @@ object SparkEntry {
     "w02_merge_on_read" -> (graft.queries.WriteQueries.w02 _),
     "w03_stream_ingest" -> (graft.queries.WriteQueries.w03 _),
     "w04_nessie_publish" -> (graft.queries.WriteQueries.w04 _),
+    "w05_incremental_read" -> (graft.queries.WriteQueries.w05 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -859,6 +860,20 @@ object SparkEntry {
         |UNION ALL SELECT 'tag', 'cust', COUNT(*), CAST(SUM(k) AS BIGINT), CAST(MAX(k) AS BIGINT) FROM v1c
         |UNION ALL SELECT 'tag', 'sup', COUNT(*), CAST(SUM(k) AS BIGINT), CAST(MAX(k) AS BIGINT) FROM v1s
         |ORDER BY phase, src""".stripMargin,
+    // w05: incremental append reads are manifest set-differences, so
+    // each phase's change set is relationally just the slice that
+    // commit appended (WriteQueries.w05 runs the real version-diff
+    // reads; the oracle replays the slices as filters)
+    "w05_incremental_read" ->
+      """WITH b AS (SELECT CAST(l_orderkey AS BIGINT) AS k, l_returnflag AS rf,
+        |                  (l_orderkey % 3) AS m FROM lineitem)
+        |SELECT 'v2' AS phase, rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM b WHERE m = 1 GROUP BY rf
+        |UNION ALL SELECT 'v3', rf, COUNT(*), CAST(SUM(k) AS BIGINT)
+        |FROM b WHERE m = 2 GROUP BY rf
+        |UNION ALL SELECT 'since', rf, COUNT(*), CAST(SUM(k) AS BIGINT)
+        |FROM b WHERE m <> 0 GROUP BY rf
+        |ORDER BY phase, rf""".stripMargin,
     // p01: the composed pipeline — each CTE block is the already-proven
     // per-stage oracle (t07 repetition → d07 decontamination → d01
     // pairs → d06 recursive-CTE canonical → t05 sample → t06 pack),

@@ -109,13 +109,18 @@ object CatalogIO {
       deleteFiles: Seq[DeleteFile] = Nil,
       dataFileSeqs: Option[Seq[Int]] = None,
       renameOps: Seq[RenameOp] = Nil,
-      droppedColumns: Seq[String] = Nil) {
+      droppedColumns: Seq[String] = Nil,
+      dataFileStats: Option[Seq[String]] = None) {
     require(deleteFiles.isEmpty || dataFiles.isDefined,
       "equality-delete files require a file-manifest version")
     require(renameOps.isEmpty || dataFiles.isDefined,
       "column-rename mappings require a file-manifest version")
     require(dataFileSeqs.forall(s => dataFiles.exists(_.size == s.size)),
       "dataFileSeqs must parallel dataFiles one-to-one")
+    // misaligned stats would prune with the WRONG file's envelope and
+    // silently drop matching rows — corruption, not a default
+    require(dataFileStats.forall(s => dataFiles.exists(_.size == s.size)),
+      "dataFileStats must parallel dataFiles one-to-one")
     /** Seq-gated per-file state (deletes or renames) is live: manifests
       * record per-file seqs while any is. */
     def seqGated: Boolean = deleteFiles.nonEmpty || renameOps.nonEmpty
@@ -167,6 +172,11 @@ object CatalogIO {
       * no seq gate; they apply to exactly the files they name). */
     def absolutePosDeleteFiles: Seq[String] =
       posDeleteFiles.map(d => new Path(dataLocation, d.path).toString)
+    /** (absolute path, encoded stats) per data file, when this version
+      * records per-file stats (`""` = no stats for that file). */
+    def absoluteDataFilesWithStats: Option[Seq[(String, String)]] =
+      for { fs <- dataFiles; ss <- dataFileStats } yield
+        fs.map(f => new Path(dataLocation, f).toString).zip(ss)
   }
 
   private val NumBucketsRe = """"numBuckets"\s*:\s*(\d+)""".r
@@ -314,7 +324,8 @@ object CatalogIO {
     "bucketColumns", "sortColumns", "schemaDdl", "dataFiles",
     "properties", "dataLocation",
     "deleteFiles", "deleteFileSeqs", "deleteFileKinds", "dataFileSeqs",
-    "renameFroms", "renameTos", "renameSeqs", "droppedColumns")
+    "renameFroms", "renameTos", "renameSeqs", "droppedColumns",
+    "dataFileStats")
 
   def metadataJson(tableLocation: String, dataLocation: String,
       layout: TableLayout = TableLayout("")): String = {
@@ -347,6 +358,14 @@ object CatalogIO {
         // arrays only, and the asymmetry is invisible to readers.
         layout.dataFileSeqs
           .map(ss => s"""  "dataFileSeqs": ${arrBody(ss.map(_.toString))},\n""")
+          .getOrElse("")
+      }${
+        // per-data-file column stats (round 10 — FileStats.scala), one
+        // encoded string per manifest entry ("" = no stats, unprunable).
+        // Written whenever computed, including all-empty, so a commit
+        // never re-reads footers it has already found unusable.
+        layout.dataFileStats
+          .map(ss => s"""  "dataFileStats": ${arrBody(ss)},\n""")
           .getOrElse("")
       }${
         // delete files + the versions they committed at — the
@@ -414,11 +433,12 @@ object CatalogIO {
         s"Aborted-create debris at $dir (metadata/data without a committed " +
           s"pointer); remove the directory to recreate $ref")
     writeData(spark, dataDir, df, partitionBy, bucketBy, sortBy)
-    val layout = TableLayout(dataDir.toString, partitionBy,
+    val layout = withFileStats(cat, ref, 1, TableLayout(dataDir.toString,
+      partitionBy,
       bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
       Some(df.schema.toDDL),
       dataFiles = Some(listDataFiles(cat.fileSystem, dataDir)),
-      properties = properties)
+      properties = properties))
     val metaDir = new Path(dir, "metadata")
     cat.fileSystem.mkdirs(metaDir)
     val metaFile = new Path(metaDir, "v1.metadata.json")
@@ -879,7 +899,8 @@ object CatalogIO {
       dataFileSeqs =
         if (deletes.isEmpty) None
         else Some(prior.dataFileSeqs.getOrElse(Seq.fill(priorFiles.size)(0)) ++
-          Seq.fill(moved.size)(n))))
+          Seq.fill(moved.size)(n)),
+      dataFileStats = None)) // re-derived in the funnel (prior ∪ footer reads)
   }
 
   /** Metadata-only DELETE of WHOLE files: the next version's manifest is
@@ -900,7 +921,8 @@ object CatalogIO {
     commitLayoutAsVersion(cat, ref, n, prior.copy(
       dataFiles = Some(survivors.map(_._1)),
       dataFileSeqs =
-        if (!prior.seqGated) None else Some(survivors.map(_._2))))
+        if (!prior.seqGated) None else Some(survivors.map(_._2)),
+      dataFileStats = None)) // re-derived in the funnel (all carried forward)
   }
 
   /** Write `tuples` as ONE parquet equality-delete file under the
@@ -1128,7 +1150,8 @@ object CatalogIO {
       files.zip(seqs).filter { case (f, _) => selectedSet(f) }.map(_._2)
     }
     val df = scanLayoutWithOptions(spark,
-      layout.copy(dataFiles = Some(selected.map(_._1)), dataFileSeqs = selSeqs),
+      layout.copy(dataFiles = Some(selected.map(_._1)), dataFileSeqs = selSeqs,
+        dataFileStats = None),
       Map.empty)
     val arranged = (layout.numBuckets, layout.partitionColumns) match {
       case (Some(n), _) =>
@@ -1304,8 +1327,48 @@ object CatalogIO {
     * the same retryable signal as the expectedBase gate, so callers
     * handle both interleavings (rival seen before the commit, rival
     * winning during it) with one catch. */
+  /** Commit-side per-file stats collection kill-switch (JVM-wide;
+    * specs flip it to model pre-stats metadata). */
+  @volatile private[graft] var collectFileStats: Boolean = true
+
+  /** Ensure a manifest commit carries per-file column stats
+    * ([[FileStats]]): stats for files already in the PRIOR version (same
+    * segment, same relative path — files are immutable and per-job
+    * unique) carry forward untouched; only this commit's NEW files get a
+    * footer read, so the cost is O(files added), never O(table). A
+    * layout that already carries stats (metadata-only commits copying
+    * the prior version) passes through unread. Collection failures
+    * degrade to `""` (unprunable file), never a failed commit. */
+  private def withFileStats(cat: HadoopFsCatalog, ref: TableRef, n: Int,
+      layout: TableLayout): TableLayout = {
+    if (!collectFileStats || layout.dataFileStats.isDefined) return layout
+    val files = layout.dataFiles.getOrElse(return layout)
+    if (files.isEmpty) return layout.copy(dataFileStats = Some(Nil))
+    val schema = layout.schemaDdl
+      .flatMap(d => scala.util.Try(
+        org.apache.spark.sql.types.StructType.fromDDL(d)).toOption)
+      .getOrElse(return layout)
+    val prior: Map[String, String] =
+      if (n < 2) Map.empty
+      else scala.util.Try {
+        val pl = readLayout(cat.metadataLocationForVersion(ref, n - 1),
+          cat.fileSystem.getConf)
+        if (pl.dataLocation != layout.dataLocation) Map.empty[String, String]
+        else (for { pf <- pl.dataFiles; ps <- pl.dataFileStats } yield
+          pf.zip(ps).toMap).getOrElse(Map.empty[String, String])
+      }.getOrElse(Map.empty)
+    val conf = cat.fileSystem.getConf
+    import scala.collection.parallel.CollectionConverters._
+    val stats = files.par.map { f =>
+      prior.getOrElse(f,
+        FileStats.fromFooter(new Path(layout.dataLocation, f), conf, schema))
+    }.seq
+    layout.copy(dataFileStats = Some(stats.toVector))
+  }
+
   private def commitLayoutAsVersion(cat: HadoopFsCatalog, ref: TableRef,
-      n: Int, layout: TableLayout): String = {
+      n: Int, layout0: TableLayout): String = {
+    val layout = withFileStats(cat, ref, n, layout0)
     val dir = cat.tableDir(ref)
     val metaFile = new Path(new Path(dir, "metadata"), s"v$n.metadata.json")
     // atomic no-replace publish: still the same-version concurrency
@@ -1329,6 +1392,93 @@ object CatalogIO {
       cat: Catalog with SupportsTableVersions, ref: TableRef, version: Int,
       conf: Configuration = new Configuration()): DataFrame =
     scanLayout(spark, readLayout(cat.metadataLocationForVersion(ref, version), conf))
+
+  /** Incremental append read (round 10): the rows commits strictly after
+    * `fromVersion`, up to and including `toVersion`, ADDED to `ref` —
+    * the manifest set difference, scanned directly. This is the batch
+    * face of change capture for append-mostly tables (Iceberg's
+    * incremental append scan re-expressed for this format): a periodic
+    * pipeline processes `readAppendsBetween(lastSeen, latest)` and each
+    * run costs O(files added since lastSeen), never O(table) — at
+    * 100 TB the difference between an incremental job and a full
+    * re-scan. The cursor (`fromVersion`) is the caller's to persist;
+    * versions are totally ordered and immutable, so replays are
+    * deterministic.
+    *
+    * Refuses loudly when the range's history is NOT append-only — the
+    * set difference would then misstate the change set:
+    *  - a segment replace in range (INSERT OVERWRITE / full compaction):
+    *    every file is new, the diff is the whole table;
+    *  - a manifest shrink in range (file-level DELETE / partial
+    *    compaction): some "appends" are rewrites of surviving rows;
+    *  - a delete-file commit in range (merge-on-read DELETE/UPDATE):
+    *    changes include row removals this read cannot express.
+    * Callers recover by re-syncing: full read at `toVersion`, then
+    * incremental from there (the standard CDC re-bootstrap contract).
+    *
+    * Appended files committed before an in-range column RENAME are
+    * served under the CURRENT names via the usual seq-gated epoch scan.
+    * Delete files that pre-date `fromVersion` are irrelevant by
+    * construction: equality deletes gate on fileSeq < deleteSeq, and
+    * every file in the diff has seq > fromVersion ≥ deleteSeq. */
+  def readAppendsBetween(spark: SparkSession,
+      cat: Catalog with SupportsTableVersions, ref: TableRef,
+      fromVersion: Int, toVersion: Int,
+      conf: Configuration = new Configuration()): DataFrame = {
+    require(fromVersion <= toVersion,
+      s"incremental read range is inverted: v$fromVersion > v$toVersion")
+    val to = readLayout(cat.metadataLocationForVersion(ref, toVersion), conf)
+    val schema = to.schemaDdl.getOrElse(throw new UnsupportedOperationException(
+      s"Table $ref v$toVersion has no recorded schema; INSERT OVERWRITE once " +
+        "to upgrade it before incremental reads"))
+    def emptyResult: DataFrame = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType.fromDDL(schema))
+    if (fromVersion == toVersion) return emptyResult
+    val from = readLayout(cat.metadataLocationForVersion(ref, fromVersion), conf)
+    val toFiles = to.dataFiles.getOrElse(throw new UnsupportedOperationException(
+      s"Table $ref v$toVersion predates file manifests (whole-directory " +
+        "snapshot); INSERT OVERWRITE once to upgrade it before incremental reads"))
+    val fromFiles = from.dataFiles.getOrElse(throw new UnsupportedOperationException(
+      s"Table $ref v$fromVersion predates file manifests (whole-directory " +
+        "snapshot); INSERT OVERWRITE once to upgrade it before incremental reads"))
+    if (to.dataLocation != from.dataLocation)
+      throw new UnsupportedOperationException(
+        s"Table $ref history v$fromVersion..v$toVersion is not append-only: " +
+          "the data segment was replaced (INSERT OVERWRITE or full compaction) " +
+          "in the range; re-sync with a full read at the new version")
+    val fromSet = fromFiles.toSet
+    if (!fromSet.subsetOf(toFiles.toSet))
+      throw new UnsupportedOperationException(
+        s"Table $ref history v$fromVersion..v$toVersion is not append-only: " +
+          "the file manifest shrank in the range (file-level DELETE or partial " +
+          "compaction); re-sync with a full read at v" + toVersion)
+    if (to.deleteFiles.exists(_.seq > fromVersion))
+      throw new UnsupportedOperationException(
+        s"Table $ref history v$fromVersion..v$toVersion is not append-only: " +
+          "row-level delete files committed in the range; re-sync with a " +
+          "full read at v" + toVersion)
+    val toSeqs = to.dataFileSeqs.getOrElse(Seq.fill(toFiles.size)(0))
+    val added = toFiles.zip(toSeqs).filterNot { case (f, _) => fromSet(f) }
+    if (added.isEmpty) return emptyResult
+    scanLayoutWithOptions(spark, to.copy(
+      dataFiles = Some(added.map(_._1)),
+      dataFileSeqs = if (to.seqGated) Some(added.map(_._2)) else None,
+      deleteFiles = Nil, // all pre-date fromVersion: exempt by seq gate
+      dataFileStats = None), Map.empty)
+  }
+
+  /** [[readAppendsBetween]] from a persisted cursor to the current
+    * version; returns the frame and the new cursor to persist. */
+  def readAppendsSince(spark: SparkSession,
+      cat: Catalog with SupportsTableVersions, ref: TableRef, fromVersion: Int,
+      conf: Configuration = new Configuration()): (DataFrame, Int) = {
+    val latest = cat.listTableVersions(ref).lastOption.getOrElse(
+      throw new NoSuchTableException(
+        s"Table $ref has no local metadata history to read incrementally " +
+          "(registered at an external metadata location?)"))
+    (readAppendsBetween(spark, cat, ref, fromVersion, latest, conf), latest)
+  }
 
   /** Scan a layout, using its recorded schema when present (no parquet
     * footer inference — and empty snapshots read with full schema).
@@ -1526,7 +1676,17 @@ object CatalogIO {
       dataFileSeqs = intSeqs("dataFileSeqs", dataFiles.map(_.size)),
       renameOps = renameSeqs.lazyZip(renameFroms).lazyZip(renameTos)
         .map((s, f, t) => RenameOp(s, f, t)),
-      droppedColumns = arr("droppedColumns"))
+      droppedColumns = arr("droppedColumns"),
+      dataFileStats = arrayField(text, "dataFileStats").map { ss =>
+        // misaligned stats would prune with the wrong file's envelope —
+        // corruption, same hardness as the seq arrays
+        dataFiles.map(_.size).filter(_ != ss.size).foreach { n =>
+          throw new IllegalStateException(
+            s"Malformed metadata: 'dataFileStats' has ${ss.size} entries for " +
+              s"$n data files in $metadataLocation")
+        }
+        ss
+      })
   }
 
   /** Resolve a table through its catalog and scan it. */

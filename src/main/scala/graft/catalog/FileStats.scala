@@ -1,0 +1,270 @@
+package graft.catalog
+
+import scala.util.Try
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.column.statistics.{BinaryStatistics, BooleanStatistics, DoubleStatistics, FloatStatistics, IntStatistics, LongStatistics, Statistics}
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Per-data-file column statistics — the manifest-level pruning metadata
+  * that lets a scan skip whole files without opening them (the engine's
+  * re-expression of Iceberg's manifest `lower_bounds`/`upper_bounds`/
+  * `null_value_counts`, which the reference rides via its Iceberg jars).
+  *
+  * At 100 TB this is the difference between "schedule a task per file and
+  * let parquet row-group pushdown discard the rows" and "never schedule
+  * the task at all": a filter on an append-ordered or clustered column
+  * (event time, ingest date, a sorted key) prunes the manifest down to
+  * the few files whose [min,max] intersect — O(matching files) tasks,
+  * not O(table). Row-group pushdown still applies inside surviving files;
+  * this layer removes the per-file open+footer+schedule cost for files
+  * that provably hold no matching rows.
+  *
+  * Stats are computed ONCE per file at commit time from the parquet
+  * footer the write already produced (no data re-read — the footer is a
+  * few KB), then carried forward by every later commit that keeps the
+  * file (append, compaction survivor, delete-file commit). Storage is one
+  * compact string per manifest entry (`dataFileStats`, parallel to
+  * `dataFiles`); `""` = no stats for that file, which every reader treats
+  * as "cannot prune" — the format stays fully backward/forward
+  * compatible, and a footer-read failure degrades to an unprunable file,
+  * never a failed commit.
+  *
+  * Soundness rules (a pruned file must PROVABLY hold no matching row):
+  *  - values are typed by the CURRENT schema at decode time, so metadata
+  *    type-widening (int→long, float→double, decimal precision) reads old
+  *    stats correctly — the stored form is type-agnostic text;
+  *  - float/double stats that touch NaN are dropped, and ±0.0 bounds are
+  *    widened (−0.0 as min, +0.0 as max) so IEEE ordering quirks can
+  *    never exclude a matching file;
+  *  - string bounds longer than [[MaxStringBound]] are dropped (Iceberg
+  *    truncates; dropping is simpler and equally sound);
+  *  - stats for columns a later version renames are keyed by the OLD
+  *    name, which current-name lookups simply miss (no pruning — and
+  *    renamed tables scan through the epoch path, which never prunes).
+  */
+object FileStats {
+
+  /** Longest string min/max worth recording; beyond this the bound is
+    * dropped (the column stays null-count-prunable). */
+  val MaxStringBound = 256
+
+  /** Most columns recorded per file — a very wide table records the
+    * first N schema columns (schema order, stable across files). */
+  val MaxColumns = 48
+
+  /** Decoded per-column stats: catalyst-internal `min`/`max` (None =
+    * unknown) and `nullCount` (None = unknown). */
+  final case class ColStats(dataType: DataType, min: Option[Any],
+      max: Option[Any], nullCount: Option[Long])
+
+  /** Decoded per-file stats; `cols` is keyed by lowercase column name. */
+  final case class Decoded(rowCount: Long, cols: Map[String, ColStats])
+
+  // ---- codec -------------------------------------------------------
+  //
+  // One file's stats = records joined by ';', record fields by ','.
+  //   r,<rowCount>
+  //   c,<name>,<min>,<max>,<nulls>      (one per column)
+  // A present value field is "=" + escaped text; an absent one is empty.
+  // Escaping covers the separators, '%', '=' at position 0, and control
+  // chars, so any string value round-trips.
+
+  private def esc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach {
+      case c @ (',' | ';' | '%' | '=') => sb.append(f"%%${c.toInt}%02x")
+      case c if c < ' ' => sb.append(f"%%${c.toInt}%02x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def unesc(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 3 <= s.length) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        i += 3
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def encVal(v: Option[String]): String = v.fold("")("=" + esc(_))
+  private def decVal(f: String): Option[String] =
+    if (f.isEmpty) None else Some(unesc(f.substring(1)))
+
+  /** Encode (rowCount, per-column textual min/max/nulls) to the manifest
+    * string form. Column order follows the given seq. */
+  private def encode(rowCount: Long,
+      cols: Seq[(String, Option[String], Option[String], Option[Long])]): String = {
+    val head = s"r,$rowCount"
+    val body = cols.map { case (n, mn, mx, nu) =>
+      s"c,${esc(n)},${encVal(mn)},${encVal(mx)},${nu.fold("")(_.toString)}"
+    }
+    (head +: body).mkString(";")
+  }
+
+  /** Parse a stored textual bound into the column type's catalyst
+    * value. Unknown/mismatched types decode as None (no pruning). */
+  private def parseValue(dt: DataType, s: String): Option[Any] = Try(dt match {
+    case ByteType => s.toByte
+    case ShortType => s.toShort
+    case IntegerType | DateType => s.toInt
+    case LongType | TimestampType | TimestampNTZType => s.toLong
+    case FloatType => s.toFloat
+    case DoubleType => s.toDouble
+    case BooleanType => s.toBoolean
+    case StringType => UTF8String.fromString(s)
+    case _: DecimalType => Decimal(new java.math.BigDecimal(s))
+    case _ => null
+  }).toOption.filter(_ != null)
+
+  /** Decode one manifest stats string under the CURRENT schema. Returns
+    * None for `""` (no stats) or anything unparseable — pruning treats
+    * both as "must read". */
+  def decode(encoded: String, schema: StructType): Option[Decoded] = {
+    if (encoded == null || encoded.isEmpty) return None
+    Try {
+      val byName = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+      val recs = encoded.split(';')
+      require(recs.nonEmpty && recs(0).startsWith("r,"))
+      val rows = recs(0).substring(2).toLong
+      val cols = recs.iterator.drop(1).flatMap { r =>
+        val fs = r.split(",", -1)
+        if (fs.length != 5 || fs(0) != "c") None
+        else {
+          val name = unesc(fs(1)).toLowerCase
+          byName.get(name).map { dt =>
+            name -> ColStats(dt,
+              decVal(fs(2)).flatMap(parseValue(dt, _)),
+              decVal(fs(3)).flatMap(parseValue(dt, _)),
+              if (fs(4).isEmpty) None else Try(fs(4).toLong).toOption)
+          }
+        }
+      }.toMap
+      Decoded(rows, cols)
+    }.toOption
+  }
+
+  // ---- footer collection -------------------------------------------
+
+  /** Textual form of a parquet min/max for a Spark type, or None when
+    * the (sparkType, parquet statistics class) pairing is unsupported —
+    * e.g. INT96 timestamps, whose binary stats are unreliable. */
+  private def boundStrings(dt: DataType, st: Statistics[_]): Option[(String, String)] =
+    (dt, st) match {
+      case (ByteType | ShortType | IntegerType | DateType, s: IntStatistics) =>
+        Some((s.getMin.toString, s.getMax.toString))
+      case (LongType | TimestampType | TimestampNTZType, s: LongStatistics) =>
+        Some((s.getMin.toString, s.getMax.toString))
+      case (FloatType, s: FloatStatistics) =>
+        if (s.getMin.isNaN || s.getMax.isNaN) None
+        else Some((widenZero(s.getMin.toDouble, isMin = true).toFloat.toString,
+          widenZero(s.getMax.toDouble, isMin = false).toFloat.toString))
+      case (DoubleType, s: DoubleStatistics) =>
+        if (s.getMin.isNaN || s.getMax.isNaN) None
+        else Some((widenZero(s.getMin, isMin = true).toString,
+          widenZero(s.getMax, isMin = false).toString))
+      case (BooleanType, s: BooleanStatistics) =>
+        Some((s.getMin.toString, s.getMax.toString))
+      case (StringType, s: BinaryStatistics) =>
+        val mn = s.genericGetMin.toStringUsingUTF8
+        val mx = s.genericGetMax.toStringUsingUTF8
+        if (mn.length > MaxStringBound || mx.length > MaxStringBound) None
+        else Some((mn, mx))
+      case (d: DecimalType, s: IntStatistics) =>
+        Some((java.math.BigDecimal.valueOf(s.getMin.toLong, d.scale).toPlainString,
+          java.math.BigDecimal.valueOf(s.getMax.toLong, d.scale).toPlainString))
+      case (d: DecimalType, s: LongStatistics) =>
+        Some((java.math.BigDecimal.valueOf(s.getMin, d.scale).toPlainString,
+          java.math.BigDecimal.valueOf(s.getMax, d.scale).toPlainString))
+      case (d: DecimalType, s: BinaryStatistics) =>
+        Some((new java.math.BigDecimal(
+          new java.math.BigInteger(s.genericGetMin.getBytes), d.scale).toPlainString,
+          new java.math.BigDecimal(
+            new java.math.BigInteger(s.genericGetMax.getBytes), d.scale).toPlainString))
+      case _ => None
+    }
+
+  /** IEEE −0.0 == +0.0 but sorts below it; widen a zero bound so a
+    * query literal of either sign can never be range-excluded. */
+  private def widenZero(v: Double, isMin: Boolean): Double =
+    if (v == 0.0d) { if (isMin) -0.0d else 0.0d } else v
+
+  private def ordered(dt: DataType, mn: String, mx: String): Boolean =
+    (for { a <- parseValue(dt, mn); b <- parseValue(dt, mx) } yield
+      graft.sources.StatsPruning.orderingFor(dt).lteq(a, b)).getOrElse(false)
+
+  /** Read one parquet footer and produce the encoded stats string for
+    * this file, under `schema` (the table's current schema — columns are
+    * matched case-insensitively by name; nested and unsupported columns
+    * are skipped). Returns "" when nothing useful can be recorded. Never
+    * throws: any failure degrades to "" (unprunable file). */
+  def fromFooter(file: Path, conf: Configuration, schema: StructType): String = try {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val rowCount = blocks.map(_.getRowCount).sum
+      val wanted: Seq[StructField] = schema.fields.toSeq
+        .filter(f => supported(f.dataType)).take(MaxColumns)
+      val byCol = blocks.flatMap(_.getColumns.asScala)
+        .groupBy(_.getPath.toDotString.toLowerCase)
+      val cols = wanted.flatMap { f =>
+        byCol.get(f.name.toLowerCase).map { chunks =>
+          // nullCount: known only if every chunk reports it
+          val nulls =
+            if (chunks.forall(c => c.getStatistics != null && c.getStatistics.isNumNullsSet))
+              Some(chunks.map(_.getStatistics.getNumNulls).sum)
+            else None
+          // min/max: known only if every chunk with live values has
+          // usable bounds (an all-null chunk contributes nothing)
+          val perChunk: Seq[Option[Option[(String, String)]]] = chunks.map { c =>
+            val st = c.getStatistics
+            if (st == null) None // unusable -> poison
+            else if (st.hasNonNullValue) boundStrings(f.dataType, st).map(Some(_))
+            else if (st.isNumNullsSet && st.getNumNulls == c.getValueCount)
+              Some(None) // provably all-null chunk: contributes no bounds
+            else None
+          }
+          val bounds: Option[(String, String)] =
+            if (perChunk.exists(_.isEmpty)) None
+            else {
+              val live = perChunk.flatten.flatten
+              if (live.isEmpty) None
+              else {
+                val ord = graft.sources.StatsPruning.orderingFor(f.dataType)
+                def parsed(vals: Seq[String]): Seq[(String, Any)] =
+                  vals.flatMap(v => parseValue(f.dataType, v).map(v -> _))
+                val mins = parsed(live.map(_._1))
+                val maxs = parsed(live.map(_._2))
+                if (mins.size != live.size || maxs.size != live.size) None
+                else {
+                  val a = mins.minBy(_._2)(ord)._1
+                  val b = maxs.maxBy(_._2)(ord)._1
+                  if (ordered(f.dataType, a, b)) Some((a, b)) else None
+                }
+              }
+            }
+          (f.name, bounds.map(_._1), bounds.map(_._2), nulls)
+        }
+      }
+      if (cols.isEmpty && rowCount == 0) "" else encode(rowCount, cols)
+    } finally reader.close()
+  } catch { case scala.util.control.NonFatal(_) => "" }
+
+  private def supported(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType | FloatType | DoubleType |
+         BooleanType | StringType | DateType | TimestampType | TimestampNTZType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+}

@@ -600,6 +600,9 @@ object CatalogMigrationCLI {
         .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
         .appName("catalog-migration-cli")
         .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "4"))
+        // INT64 µs timestamps (Iceberg's mandate; INT96 is deprecated
+        // and carries no usable parquet stats for manifest pruning)
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     }

@@ -230,6 +230,38 @@ object WriteQueries {
       }
     }
 
+  /** w05 (round 10): incremental append reads under the oracle
+    * ([[graft.catalog.CatalogIO.readAppendsBetween]] — the batch
+    * change-capture face of the manifest format). A table is built as
+    * three disjoint commits (l_orderkey mod 3 = 0 / 1 / 2); the query
+    * then serves each commit's change set by manifest diff — v1→v2,
+    * v2→v3, and the cursor face `readAppendsSince(1)` — and aggregates
+    * integer-exactly. The oracle replays the slices as pure filters of
+    * the source parquet: any diff error (missed file, leaked base row,
+    * wrong cursor) changes a phase's aggregate and fails the hash. */
+  def w05(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w05") { (_, hc) =>
+      import graft.catalog.{CatalogIO, TableRef}
+      val ref = TableRef.parse("db.li")
+      def slice(m: Int): DataFrame = spark.sql(
+        s"""SELECT CAST(l_orderkey AS BIGINT) AS k, l_returnflag AS rf
+           |FROM parquet.`$dir/lineitem.parquet` WHERE l_orderkey % 3 = $m""".stripMargin)
+      CatalogIO.createTable(spark, hc, ref, slice(0))   // v1: the base
+      CatalogIO.commitAppend(spark, hc, ref, slice(1))  // v2
+      CatalogIO.commitAppend(spark, hc, ref, slice(2))  // v3
+      val (sinceDf, cursor) = CatalogIO.readAppendsSince(spark, hc, ref, 1)
+      require(cursor == 3, s"incremental cursor advanced to $cursor, expected 3")
+      def agg(phase: String, df: DataFrame): DataFrame =
+        df.groupBy(lit(phase).as("phase"), col("rf"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+      val out = agg("v2", CatalogIO.readAppendsBetween(spark, hc, ref, 1, 2))
+        .unionByName(agg("v3", CatalogIO.readAppendsBetween(spark, hc, ref, 2, 3)))
+        .unionByName(agg("since", sinceDf))
+      // materialize before the helper reclaims the warehouse
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    }
+
   def w03(spark: SparkSession, dir: String): DataFrame =
     graft.sources.TempCatalog.withTempHandles(spark, "graft-w03") { (cat, hc) =>
       import graft.catalog.TableRef

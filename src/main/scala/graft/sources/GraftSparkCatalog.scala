@@ -126,10 +126,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         // (BucketedScan.scala). Directory-partitioned bucketed layouts keep
         // the plain scan: their file groups mix partition dirs and bucket
         // ids, and only flat bucketed tables report a sound single-key
-        // KeyGroupedPartitioning.
+        // KeyGroupedPartitioning. Bucketed tables skip stats pruning —
+        // the SPJ partitioning report is the bigger 100 TB lever there,
+        // and composing both wrappers is future work.
         case Some(n) if layout.partitionColumns.isEmpty =>
           new GraftBucketedTable(table, n, layout.bucketColumns)
-        case _ => table
+        case _ => statsPruned(table, layout)
       }
     cat match {
       // versioning catalogs also accept SQL writes (INSERT OVERWRITE /
@@ -191,10 +193,26 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         .map(org.apache.spark.sql.types.StructType.fromDDL),
       fallbackFileFormat = classOf[ParquetFileFormat])
     // a time-traveled version applies ITS OWN seq-gated state (delete
-    // set / rename epochs) — every version reads with its own schema
+    // set / rename epochs / stats) — every version reads with its own schema
     if (vLayout.deleteFiles.nonEmpty) new GraftMorTable(table, vLayout, hadoopOpts)
     else if (vLayout.renameOps.nonEmpty && paths.nonEmpty)
       new GraftEpochTable(SparkSession.active, s"$ref@v$n", vLayout, hadoopOpts)
+    else if (vLayout.numBuckets.isEmpty) statsPruned(table, vLayout)
+    else table
+  }
+
+  /** Wrap a plain manifest-planned parquet table in manifest-stats file
+    * skipping ([[StatsPruning]]) when its layout records per-file stats.
+    * `spark.graft.stats.pruning=false` is the session kill-switch. */
+  private def statsPruned(table: ParquetTable,
+      layout: CatalogIO.TableLayout): Table with org.apache.spark.sql.connector.catalog.SupportsRead = {
+    val enabled = SparkSession.active.conf
+      .getOption("spark.graft.stats.pruning").forall(_ == "true")
+    val byPath = layout.absoluteDataFilesWithStats
+      .map(_.collect { case (p, s) if s.nonEmpty =>
+        new org.apache.hadoop.fs.Path(p).toUri.getPath -> s }.toMap)
+      .filter(_.nonEmpty)
+    if (enabled && byPath.isDefined) new StatsPrunedTable(table, byPath.get)
     else table
   }
 

@@ -1,0 +1,326 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EmptyRow, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
+import org.apache.spark.sql.types.{DataType, StringType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.FileStats
+import graft.catalog.FileStats.{ColStats, Decoded}
+
+/** Manifest-stats file skipping for graft-catalog scans (round 10) —
+  * the scan-side half of [[graft.catalog.FileStats]] (Iceberg's
+  * min/max manifest pruning, re-expressed for this format's metadata;
+  * the reference gets this from its Iceberg jars, reference
+  * `api/.../CatalogMigrator.java:212-213` rides the same pointer
+  * contract).
+  *
+  * [[GraftSparkCatalog.loadTable]] wraps a plain manifest-planned
+  * parquet table in [[StatsPrunedTable]] when its manifest carries
+  * per-file stats. The scan builder delegates every pushdown to Spark's
+  * own `ParquetScanBuilder` (column pruning, catalyst filters,
+  * aggregates), CAPTURING the filter conjuncts on the way through; at
+  * `build()` the planned file slices are tested against each file's
+  * decoded [min,max]/null-count envelope and files that provably hold
+  * no matching row are dropped before any task is scheduled. Surviving
+  * files still get parquet row-group pushdown — this layer only removes
+  * whole files, which at 100 TB is the difference between O(matching
+  * files) tasks and O(table) tasks for a selective filter on a
+  * clustered column.
+  *
+  * Soundness: [[mayMatch]] is three-valued-conservative — every verdict
+  * of "no row can match" must hold for EVERY possible row in the file;
+  * anything unknown (missing stats, unsupported expression shape, type
+  * mismatch, non-literal comparand) keeps the file. The
+  * `spark.graft.stats.pruning` session conf (default on) is the
+  * kill-switch, and specs diff pruned-vs-unpruned row sets.
+  */
+object StatsPruning {
+
+  private val log = org.slf4j.LoggerFactory.getLogger("graft.sources.statspruning")
+
+  /** (files skipped, files total) of the most recent planned scan —
+    * driver-side observability for specs and ops. */
+  @volatile var lastPlanned: Option[(Int, Int)] = None
+
+  def orderingFor(dt: DataType): Ordering[Any] =
+    TypeUtils.getInterpretedOrdering(dt)
+
+  /** True when the file may hold a row satisfying ALL conjuncts; false
+    * only when some conjunct provably matches no row of the file. */
+  def filePrunable(conjuncts: Seq[Expression], d: Decoded): Boolean =
+    d.rowCount == 0 || conjuncts.exists(c => !mayMatch(c, d))
+
+  /** Literal comparand of `dt`: Some(Some(v)) = non-null literal,
+    * Some(None) = null literal, None = not usable (non-foldable or a
+    * different type — e.g. a cast the evaluator must not see through). */
+  private def litOf(e: Expression, dt: DataType): Option[Option[Any]] = e match {
+    case l: Literal if l.dataType == dt => Some(Option(l.value))
+    case _ if e.foldable && e.dataType == dt =>
+      scala.util.Try(Option(e.eval(EmptyRow))).toOption
+    case _ => None
+  }
+
+  private def colOf(d: Decoded, a: AttributeReference): Option[ColStats] =
+    d.cols.get(a.name.toLowerCase).filter(_.dataType == a.dataType)
+
+  /** All rows of the file are null in this column (comparisons can
+    * never match). */
+  private def allNull(d: Decoded, c: ColStats): Boolean =
+    c.nullCount.contains(d.rowCount)
+
+  /** Range test for a non-null comparand: `pass(min, max, v)` decides
+    * with whatever bounds exist; a missing bound passes its side. */
+  private def cmpMayMatch(d: Decoded, a: AttributeReference, comparand: Expression,
+      pass: (ColStats, Any, Ordering[Any]) => Boolean): Boolean =
+    colOf(d, a) match {
+      case None => true
+      case Some(c) =>
+        litOf(comparand, a.dataType) match {
+          case None => true
+          case Some(None) => false // comparison with NULL matches no row
+          case Some(Some(v)) =>
+            !allNull(d, c) && pass(c, v, orderingFor(a.dataType))
+        }
+    }
+
+  private def containsVal(c: ColStats, v: Any, ord: Ordering[Any]): Boolean =
+    c.min.forall(mn => ord.gteq(v, mn)) && c.max.forall(mx => ord.lteq(v, mx))
+
+  /** Three-valued-conservative "may any row match": false ⇒ provably no
+    * row of the file satisfies `e`. */
+  def mayMatch(e: Expression, d: Decoded): Boolean = e match {
+    case And(l, r) => mayMatch(l, d) && mayMatch(r, d)
+    case Or(l, r) => mayMatch(l, d) || mayMatch(r, d)
+
+    case EqualTo(a: AttributeReference, v) => cmpMayMatch(d, a, v, containsVal)
+    case EqualTo(v, a: AttributeReference) => cmpMayMatch(d, a, v, containsVal)
+
+    case EqualNullSafe(a: AttributeReference, v) =>
+      colOf(d, a) match {
+        case None => true
+        case Some(c) => litOf(v, a.dataType) match {
+          case None => true
+          case Some(None) => c.nullCount.forall(_ > 0) // <=> NULL: needs a null
+          case Some(Some(x)) =>
+            !allNull(d, c) && containsVal(c, x, orderingFor(a.dataType))
+        }
+      }
+    case EqualNullSafe(v, a: AttributeReference) =>
+      mayMatch(EqualNullSafe(a, v), d)
+
+    case GreaterThan(a: AttributeReference, v) => // a > v: need max > v
+      cmpMayMatch(d, a, v, (c, x, ord) => c.max.forall(mx => ord.gt(mx, x)))
+    case GreaterThan(v, a: AttributeReference) => // v > a: need min < v
+      cmpMayMatch(d, a, v, (c, x, ord) => c.min.forall(mn => ord.lt(mn, x)))
+    case GreaterThanOrEqual(a: AttributeReference, v) =>
+      cmpMayMatch(d, a, v, (c, x, ord) => c.max.forall(mx => ord.gteq(mx, x)))
+    case GreaterThanOrEqual(v, a: AttributeReference) =>
+      cmpMayMatch(d, a, v, (c, x, ord) => c.min.forall(mn => ord.lteq(mn, x)))
+    case LessThan(a: AttributeReference, v) =>
+      cmpMayMatch(d, a, v, (c, x, ord) => c.min.forall(mn => ord.lt(mn, x)))
+    case LessThan(v, a: AttributeReference) =>
+      cmpMayMatch(d, a, v, (c, x, ord) => c.max.forall(mx => ord.gt(mx, x)))
+    case LessThanOrEqual(a: AttributeReference, v) =>
+      cmpMayMatch(d, a, v, (c, x, ord) => c.min.forall(mn => ord.lteq(mn, x)))
+    case LessThanOrEqual(v, a: AttributeReference) =>
+      cmpMayMatch(d, a, v, (c, x, ord) => c.max.forall(mx => ord.gteq(mx, x)))
+
+    case In(a: AttributeReference, values) =>
+      colOf(d, a) match {
+        case None => true
+        case Some(c) =>
+          if (allNull(d, c)) false
+          else {
+            val lits = values.map(litOf(_, a.dataType))
+            if (lits.exists(_.isEmpty)) true // a non-literal element: give up
+            else {
+              val ord = orderingFor(a.dataType)
+              // null elements never match; keep the file iff some
+              // non-null element falls inside the envelope
+              lits.flatten.flatten.exists(v => containsVal(c, v, ord))
+            }
+          }
+      }
+    case InSet(a: AttributeReference, hset) if hset.size <= 10000 =>
+      colOf(d, a) match {
+        case None => true
+        case Some(c) =>
+          if (allNull(d, c)) false
+          else {
+            val ord = orderingFor(a.dataType)
+            hset.exists(v => v != null && containsVal(c, v, ord))
+          }
+      }
+
+    case IsNull(a: AttributeReference) =>
+      colOf(d, a) match {
+        case None => true
+        case Some(c) => c.nullCount.forall(_ > 0)
+      }
+    case IsNotNull(a: AttributeReference) =>
+      colOf(d, a) match {
+        case None => true
+        case Some(c) => !allNull(d, c)
+      }
+
+    case StartsWith(a: AttributeReference, p) if a.dataType == StringType =>
+      colOf(d, a) match {
+        case None => true
+        case Some(c) => litOf(p, StringType) match {
+          case None => true
+          case Some(None) => false
+          case Some(Some(prefix)) =>
+            if (allNull(d, c)) false
+            else {
+              // a p-prefixed value sorts within [p, p∥…]; comparing the
+              // bounds TRUNCATED to |p| avoids prefix-increment edge
+              // cases: trunc(min)>p ⇒ min above every p-prefixed string;
+              // trunc(max)<p ⇒ max below them all
+              val ps = prefix.toString
+              def trunc(v: Any): String = {
+                val s = v.toString
+                if (s.length > ps.length) s.substring(0, ps.length) else s
+              }
+              // trunc(min)>p ⇒ min above every p-prefixed string (prune);
+              // trunc(max)<p ⇒ max below them all (prune)
+              c.min.forall(mn => trunc(mn) <= ps) &&
+                c.max.forall(mx => trunc(mx) >= ps)
+            }
+        }
+      }
+
+    case Literal(v, t) if t == org.apache.spark.sql.types.BooleanType =>
+      v == true // literal FALSE / NULL predicate matches nothing
+
+    case _ => true // unsupported shape: never prune on it
+  }
+
+  private[sources] def recordPlan(skipped: Int, total: Int, table: String): Unit = {
+    lastPlanned = Some((skipped, total))
+    if (skipped > 0)
+      log.info(s"stats pruning on $table: skipped $skipped of $total data files")
+  }
+}
+
+/** A manifest-planned parquet table whose data files carry stats:
+  * scans drop files whose envelopes exclude the pushed filters.
+  * Read-only, like the rest of the SQL face; `statsByPath` is keyed by
+  * normalized absolute file path (`Path.toUri.getPath`). */
+final class StatsPrunedTable(delegate: ParquetTable,
+    statsByPath: Map[String, String]) extends Table with SupportsRead {
+
+  override def name(): String = delegate.name
+  override def schema(): StructType = delegate.schema
+  override def properties(): util.Map[String, String] = delegate.properties
+  override def partitioning(): Array[Transform] = delegate.partitioning()
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new StatsPrunedScanBuilder(delegate.newScanBuilder(options), statsByPath,
+      delegate.schema, delegate.name)
+}
+
+/** Delegates every pushdown to Spark's ParquetScanBuilder, capturing the
+  * filter conjuncts; `build()` wraps the scan so file slices excluded by
+  * stats never become input partitions. */
+final class StatsPrunedScanBuilder(delegate: ParquetScanBuilder,
+    statsByPath: Map[String, String], schema: StructType, tableName: String)
+  extends ScanBuilder
+  with SupportsPushDownRequiredColumns with SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  private var captured: Seq[Expression] = Nil
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    delegate.pruneColumns(requiredSchema)
+
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    // capture EVERY conjunct the scan is asked to satisfy — pruning is
+    // sound for post-scan filters too (their rows also come from these
+    // files), so even conjuncts parquet rejects can skip whole files
+    captured = filters
+    delegate.pushFilters(filters)
+  }
+
+  override def pushedFilters: Array[Predicate] = delegate.pushedFilters
+
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    delegate.supportCompletePushDown(aggregation)
+  override def pushAggregation(aggregation: Aggregation): Boolean =
+    delegate.pushAggregation(aggregation)
+
+  override def build(): Scan = delegate.build() match {
+    case p: ParquetScan if p.pushedAggregate.isEmpty && captured.nonEmpty =>
+      new StatsPrunedScan(p, captured, statsByPath, schema, tableName)
+    case other => other // no filters / aggregate-pushdown scans pass through
+  }
+}
+
+/** Filters the delegate parquet scan's planned file slices through the
+  * manifest stats envelope, then re-bin-packs the survivors with Spark's
+  * own size-based packer. Reading is 100% stock — only the partition
+  * list changes. */
+final class StatsPrunedScan(private val delegate: ParquetScan,
+    private val filters: Seq[Expression],
+    statsByPath: Map[String, String], schema: StructType, tableName: String)
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = delegate.readSchema()
+  override def toBatch: Batch = this
+  override def columnarSupportMode(): Scan.ColumnarSupportMode =
+    delegate.columnarSupportMode()
+  override def createReaderFactory(): PartitionReaderFactory =
+    delegate.createReaderFactory()
+  // the delegate's estimate ignores pruning — a sound over-estimate
+  override def estimateStatistics(): Statistics = delegate.estimateStatistics()
+
+  override def equals(other: Any): Boolean = other match {
+    case s: StatsPrunedScan => delegate == s.delegate &&
+      filters.map(_.canonicalized) == s.filters.map(_.canonicalized)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    (delegate, filters.map(_.canonicalized)).hashCode()
+
+  override def description(): String =
+    s"${delegate.description()}, GraftStatsPruning: ${statsByPath.size} stat'd files"
+
+  // decode once per distinct file, shared across slices of that file
+  @transient private lazy val decodedByPath: Map[String, Option[Decoded]] =
+    statsByPath.map { case (p, s) => p -> FileStats.decode(s, schema) }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val session = delegate.sparkSession
+    val slices = delegate.toBatch.planInputPartitions()
+      .flatMap(_.asInstanceOf[FilePartition].files)
+    val kept = slices.filter { pf =>
+      decodedByPath.get(pf.filePath.toPath.toUri.getPath).flatten match {
+        case Some(d) => !StatsPruning.filePrunable(filters, d)
+        case None => true // no stats for this file: must read it
+      }
+    }
+    val totalFiles = slices.map(_.filePath.toString).distinct.length
+    val keptFiles = kept.map(_.filePath.toString).distinct.length
+    StatsPruning.recordPlan(totalFiles - keptFiles, totalFiles, tableName)
+    if (kept.isEmpty) return Array.empty
+    val openCost = session.sessionState.conf.filesOpenCostInBytes
+    val maxSplit = FilePartition.maxSplitBytes(session,
+      kept.map(_.length + openCost).sum)
+    FilePartition.getFilePartitions(session, kept.toIndexedSeq, maxSplit)
+      .toArray[InputPartition]
+  }
+}
