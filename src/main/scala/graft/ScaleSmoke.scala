@@ -48,7 +48,7 @@ object ScaleSmoke {
     }
     // the write/compact experiments only need lineitem — skip the rest
     // of the synthesis when they (or srp, which synthesizes nothing) run alone
-    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor")).nonEmpty) {
+    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats")).nonEmpty) {
       replicate("orders") { (df, i) =>
         df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
           .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
@@ -83,9 +83,9 @@ object ScaleSmoke {
       "d08_dedup_substrings", "t06_pack_sequences", "p01_training_pipeline")
     // a typo'd name silently measuring nothing would waste a multi-hour
     // rerun — fail fast instead ("srp"/"write" select those experiments)
-    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor"
+    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats"
     require(unknown.isEmpty,
-      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor")
+      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats")
     all.filter(q => only.isEmpty || only(q)).foreach { q =>
       try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
     }
@@ -93,8 +93,55 @@ object ScaleSmoke {
     if (only.isEmpty || only("write")) writeScale(spark, out, replicas)
     if (only.isEmpty || only("compact")) compactScale(spark, out, replicas)
     if (only.isEmpty || only("mor")) morScale(spark, out, replicas)
+    if (only.isEmpty || only("stats")) statsScale(spark, out, replicas)
     spark.stop()
   }
+
+  /** File-skipping experiment for the manifest-stats face (round 10):
+    * a lineitem table of `replicas`× sf0.1 written as ONE range-
+    * clustered CTAS (REPARTITION_BY_RANGE on the key — the sort-order
+    * clustering that makes per-file envelopes tight), then the same
+    * selective key-band scan is timed pruned vs unpruned
+    * (`spark.graft.stats.pruning` on/off, min of 3 each). The claim:
+    * skipped files ≈ (1 − selectivity) × files, so the selective scan's
+    * cost tracks the MATCHING files — at 100 TB, O(band), not
+    * O(table) — while the unpruned run pays a task per file. */
+  private def statsScale(spark: SparkSession, out: String, replicas: Int): Unit =
+    graft.sources.TempCatalog.withTemp(spark, s"graft-stats-x$replicas") { cat =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.read.parquet(s"$out/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_quantity", "l_returnflag")
+        .createOrReplaceTempView("ss_src")
+      val files = 40
+      val t0 = System.nanoTime()
+      spark.sql(s"CREATE TABLE $cat.db.li USING parquet AS " +
+        s"SELECT /*+ REPARTITION_BY_RANGE($files, l_orderkey) */ * FROM ss_src")
+      val rows = spark.table(s"$cat.db.li").count()
+      println(f"[scale] stats x$replicas: range-clustered table $rows rows in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val Array(lo, hi) = spark.sql(
+        "SELECT min(l_orderkey), max(l_orderkey) FROM ss_src")
+        .collect()(0).toSeq.map(_.toString.toLong).toArray
+      // one ~2.5%-wide key band near the top of the range
+      val bandLo = lo + (hi - lo) * 90 / 100
+      val bandHi = lo + (hi - lo) * 925 / 1000
+      def scanTime(): Double = {
+        val s0 = System.nanoTime()
+        spark.sql(s"SELECT l_returnflag, sum(l_quantity) FROM $cat.db.li " +
+          s"WHERE l_orderkey BETWEEN $bandLo AND $bandHi GROUP BY 1").collect()
+        (System.nanoTime() - s0) / 1e9
+      }
+      spark.conf.set("spark.graft.stats.pruning", "true")
+      graft.sources.StatsPruning.lastPlanned = None
+      val pruned = (1 to 3).map(_ => scanTime()).min
+      val planned = graft.sources.StatsPruning.lastPlanned
+      spark.conf.set("spark.graft.stats.pruning", "false")
+      val unpruned = try (1 to 3).map(_ => scanTime()).min
+      finally spark.conf.set("spark.graft.stats.pruning", "true")
+      println(f"[scale] stats x$replicas: band scan pruned $pruned%.2f s " +
+        f"(skipped ${planned.fold("?")(p => s"${p._1}/${p._2}")} files) " +
+        f"vs unpruned $unpruned%.2f s")
+    }
 
   /** Row-level delete cost, merge-on-read vs copy-on-write (judge r8
     * task 1): a fixed 100-key takedown feed against a lineitem table of

@@ -1084,6 +1084,64 @@ object CatalogIO {
     CompactResult(loc, files.size, toFiles, compacted = true)
   }
 
+  /** Sort-order clustering rewrite (round 10): a one-shot compaction
+    * that RANGE-CLUSTERS the table on `clusterBy`, Iceberg's
+    * rewrite-with-sort-order re-expressed for this format. Each
+    * rewritten file holds one contiguous band of the clustering key(s)
+    * (`repartitionByRange` + a within-partition sort for row-group
+    * locality), so the per-file stats envelopes the commit records
+    * ([[FileStats]]) are tight and disjoint — a selective filter on the
+    * clustered column(s) then prunes to O(matching files) at scan
+    * planning, where an append-interleaved table's envelopes all span
+    * the full domain and prune nothing. This is the layout-maintenance
+    * half of stats pruning: run it on the columns queries actually
+    * filter by.
+    *
+    * Like [[compactTable]], the rewrite materializes live deletes and
+    * rename epochs away and starts a fresh one-segment manifest.
+    * Partitioned layouts keep their directories (rows re-derive them);
+    * bucketed layouts are refused — the bucket hash dictates file
+    * membership, so range bands can't hold (within-bucket ordering is
+    * already expressible as the layout's `sortBy`). The clustering
+    * columns are recorded as the `graft.clustered-by` table property,
+    * purely informational. */
+  def clusterTable(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
+      clusterBy: Seq[String], targetFileBytes: Long = 128L << 20): CompactResult = {
+    require(clusterBy.nonEmpty, "clusterTable needs at least one column")
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    val (base, layout) = latestVersionLayout(cat, ref).getOrElse(
+      throw new NoSuchTableException(
+        s"Table $ref has no local version history to cluster"))
+    if (layout.numBuckets.isDefined)
+      throw new UnsupportedOperationException(
+        s"Table $ref is bucketed: bucket hashing dictates file membership, " +
+          "so range clustering cannot hold — use the layout's sortBy for " +
+          "within-bucket ordering instead")
+    val files = layout.absoluteDataFiles.getOrElse(
+      throw new UnsupportedOperationException(
+        s"Table $ref v$base predates file manifests (whole-directory " +
+          "snapshot); INSERT OVERWRITE once to upgrade it before clustering"))
+    val fs = cat.fileSystem
+    val cur = readTableVersion(spark, cat, ref, base, fs.getConf)
+    clusterBy.foreach { c =>
+      require(cur.columns.exists(_.equalsIgnoreCase(c)),
+        s"cluster column $c not in table schema ${cur.columns.mkString("(", ", ", ")")}")
+    }
+    val bytes = files.map(f => fs.getFileStatus(new Path(f)).getLen).sum
+    val n = math.max(1L,
+      math.ceil(bytes.toDouble / targetFileBytes).toLong).toInt
+    val keys = clusterBy.map(cur.col)
+    val arranged = cur.repartitionByRange(n, keys: _*)
+      .sortWithinPartitions(keys: _*)
+    val loc = commitVersion(spark, cat, ref, arranged,
+      partitionBy = layout.partitionColumns,
+      expectedBase = Some(base),
+      properties = layout.properties +
+        ("graft.clustered-by" -> clusterBy.mkString(",")))
+    val toFiles = readLayout(loc, fs.getConf).dataFiles.map(_.size).getOrElse(0)
+    CompactResult(loc, files.size, toFiles, compacted = true)
+  }
+
   /** Incremental (partial) compaction: rewrite ONLY the manifest files
     * `select` picks (by segment-relative path and size), leaving every
     * other file's manifest entry — and physical path — untouched. At

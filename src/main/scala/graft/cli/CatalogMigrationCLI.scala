@@ -61,6 +61,7 @@ object CatalogMigrationCLI {
       smallFilesOnly: Boolean = false,
       smallFileBytes: Long = 32L << 20,
       partitionPrefix: Option[String] = None,
+      clusterBy: Seq[String] = Seq.empty,
       targetFileBytes: Long = 128L << 20,
       keepLast: Int = -1,
       gcAfter: Boolean = false,
@@ -179,6 +180,9 @@ object CatalogMigrationCLI {
         case "--identifiers-from-file" :: v :: t =>
           o = o.copy(identifiersFromFile = Some(v)); rest = t
         case "--small-files-only" :: t => o = o.copy(smallFilesOnly = true); rest = t
+        case "--cluster-by" :: v :: t =>
+          o = o.copy(clusterBy = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
+          rest = t
         case "--small-file-bytes" :: v :: t =>
           long("--small-file-bytes", v) match {
             case Left(e) => return Left(e)
@@ -221,6 +225,9 @@ object CatalogMigrationCLI {
       return Left("Missing required option: --keep-last")
     if (o.cmd == "compact" && o.smallFilesOnly && o.partitionPrefix.isDefined)
       return Left("Error: --small-files-only, --partition-prefix options are mutually exclusive.")
+    if (o.clusterBy.nonEmpty && (o.smallFilesOnly || o.partitionPrefix.isDefined))
+      return Left("Error: --cluster-by rewrites the full snapshot; it cannot " +
+        "combine with --small-files-only or --partition-prefix.")
     Right(o)
   }
 
@@ -272,6 +279,8 @@ object CatalogMigrationCLI {
       val files = layout.dataFiles.map(_.size).getOrElse(-1)
       val mode =
         if (opts.smallFilesOnly) s"small files < ${opts.smallFileBytes} bytes"
+        else if (opts.clusterBy.nonEmpty)
+          s"full snapshot, range-clustered by ${opts.clusterBy.mkString(",")}"
         else opts.partitionPrefix.map(p => s"partition prefix '$p'")
           .getOrElse("full snapshot")
       log(s"Dry run: would compact $ref ($mode); current manifest: " +
@@ -282,6 +291,9 @@ object CatalogMigrationCLI {
         if (opts.smallFilesOnly)
           CatalogIO.compactSmallFiles(spark, cat, ref,
             opts.smallFileBytes, opts.targetFileBytes)
+        else if (opts.clusterBy.nonEmpty)
+          CatalogIO.clusterTable(spark, cat, ref, opts.clusterBy,
+            opts.targetFileBytes)
         else opts.partitionPrefix match {
           case Some(p) =>
             CatalogIO.compactPartitions(spark, cat, ref, _ == p, opts.targetFileBytes)
@@ -628,6 +640,8 @@ object CatalogMigrationCLI {
       |  --small-files-only               compact: merge only files under --small-file-bytes
       |  --small-file-bytes <n>           compact: small-file threshold (default 33554432)
       |  --partition-prefix <p>           compact: only partition dir p (e.g. r=eu)
+      |  --cluster-by c1[,c2...]          compact: range-cluster the rewrite on these
+      |                                   columns (tight per-file stats -> file skipping)
       |  --target-file-bytes <n>          compact: rewrite target size (default 134217728)
       |  --keep-last <n>                  expire-versions: versions to keep (required);
       |                                   squash-history: newest commits to keep (required)

@@ -81,6 +81,33 @@ class MaintenanceCLISpec extends AnyFunSuite {
     assert(hc.listTableVersions(ref) == versions)
   }
 
+  test("compact --cluster-by range-clusters the rewrite; excludes other modes") {
+    val (wh, hc) = fragmentedTable()
+    val outDir = Files.createTempDirectory("maint-out").toString
+    val ref = TableRef.parse("db.t")
+    val preRows = CatalogIO.readTable(spark, hc, ref)
+      .collect().map(_.mkString("|")).sorted.toSeq
+    val (code, lines) = runCli(maintArgs("compact", wh, outDir,
+      "--cluster-by", "k"))
+    assert(code == 0)
+    assert(lines.exists(_.matches("Compacted db\\.t: \\d+ data files -> \\d+\\.")))
+    val after = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    assert(after.properties("graft.clustered-by") == "k")
+    assert(CatalogIO.readTable(spark, hc, ref)
+      .collect().map(_.mkString("|")).sorted.toSeq == preRows)
+    // dry-run reports the clustering mode and commits nothing
+    val versions = hc.listTableVersions(ref)
+    val (dcode, dlines) = runCli(maintArgs("compact", wh, outDir,
+      "--dry-run", "--cluster-by", "k"))
+    assert(dcode == 0 && dlines.exists(l =>
+      l.startsWith("Dry run: would compact db.t") && l.contains("range-clustered by k")))
+    assert(hc.listTableVersions(ref) == versions)
+    // mode exclusivity is an argument error (exit 2)
+    val (xcode, xlines) = runCli(maintArgs("compact", wh, outDir,
+      "--cluster-by", "k", "--small-files-only"))
+    assert(xcode == 2 && xlines.exists(_.contains("--cluster-by")))
+  }
+
   test("expire-versions dry-run previews, execute reclaims; exit 0") {
     val (wh, hc) = fragmentedTable()
     val outDir = Files.createTempDirectory("maint-out").toString

@@ -152,6 +152,50 @@ class StatsPruningSpec extends AnyFunSuite {
     checkAgainstUnpruned(cat, "k = 1500")
   }
 
+  test("clusterTable range-clusters an interleaved table so envelopes prune") {
+    val wh = Files.createTempDirectory("cluster-wh").toString
+    val name = s"cl${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.type", "hadoop")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $name.db")
+    // three appends of INTERLEAVED keys: every file spans ~the full key
+    // domain, so the envelopes exclude nothing
+    def slice(m: Int): String =
+      s"""SELECT id AS k, concat('p', cast(id AS string)) AS s
+         |FROM range(0, 30000) WHERE id % 3 = $m""".stripMargin
+    spark.sql(s"CREATE TABLE $name.db.t USING parquet AS " +
+      s"SELECT /*+ COALESCE(1) */ * FROM (${slice(0)})")
+    spark.sql(s"INSERT INTO $name.db.t SELECT /*+ COALESCE(1) */ * FROM (${slice(1)})")
+    spark.sql(s"INSERT INTO $name.db.t SELECT /*+ COALESCE(1) */ * FROM (${slice(2)})")
+    val hc = new HadoopFsCatalog(name, wh)
+    val ref = TableRef.parse("db.t")
+    val q = s"SELECT count(*) FROM $name.db.t WHERE k BETWEEN 1000 AND 1999"
+    spark.conf.set("spark.graft.stats.pruning", "true")
+    StatsPruning.lastPlanned = None
+    assert(spark.sql(q).collect()(0).getLong(0) == 1000)
+    assert(StatsPruning.lastPlanned.contains((0, 3))) // interleaved: nothing prunable
+    // cluster on k: small target bytes force several range-band files
+    val res = CatalogIO.clusterTable(spark, hc, ref, Seq("k"),
+      targetFileBytes = 64L << 10)
+    assert(res.compacted && res.toFiles > 1)
+    val layout = layoutOf(hc)
+    assert(layout.properties("graft.clustered-by") == "k")
+    assert(layout.dataFileStats.get.forall(_.nonEmpty))
+    StatsPruning.lastPlanned = None
+    assert(spark.sql(q).collect()(0).getLong(0) == 1000)
+    val Some((skipped, total)) = StatsPruning.lastPlanned
+    assert(total == res.toFiles && skipped >= total - 2,
+      s"clustered table should prune to the matching band, got $skipped/$total")
+
+    // bucketed layouts refuse: bucket hashing owns file membership
+    CatalogIO.createTable(spark, hc, TableRef.parse("db.b"),
+      spark.sql("SELECT id AS k FROM range(100)"), bucketBy = Some((4, Seq("k"))))
+    val refusal = intercept[UnsupportedOperationException](
+      CatalogIO.clusterTable(spark, hc, TableRef.parse("db.b"), Seq("k")))
+    assert(refusal.getMessage.contains("bucket"))
+  }
+
   test("time travel prunes with the traveled version's own stats") {
     val (cat, _) = fixture()
     spark.conf.set("spark.graft.stats.pruning", "true")
