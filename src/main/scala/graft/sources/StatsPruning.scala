@@ -285,8 +285,32 @@ final class StatsPrunedScan(private val delegate: ParquetScan,
     delegate.columnarSupportMode()
   override def createReaderFactory(): PartitionReaderFactory =
     delegate.createReaderFactory()
-  // the delegate's estimate ignores pruning — a sound over-estimate
-  override def estimateStatistics(): Statistics = delegate.estimateStatistics()
+
+  /** Post-pruning size, so the optimizer plans with what will actually
+    * be read: a 100 TB table pruned to a few files under a selective
+    * filter reports those files' bytes (and, when every surviving
+    * file's stats carry a row count, their row sum) — which lets
+    * Catalyst promote the join above it to a broadcast join where the
+    * unpruned estimate would force a shuffle. Sound in both directions:
+    * the surviving-file byte size over-estimates the post-row-group-
+    * filter read, exactly like Spark's own file-scan estimate. */
+  override def estimateStatistics(): Statistics = {
+    val keptBytes = keptSlices.map(_.length).sum
+    val rowCounts = keptSlices.map(_.filePath.toString).distinct.map { p =>
+      decodedByPath.get(new org.apache.hadoop.fs.Path(p).toUri.getPath)
+        .flatten.map(_.rowCount)
+    }
+    // same expansion model as Spark's own FileScan estimate
+    val factor = delegate.sparkSession.sessionState.conf.fileCompressionFactor
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of((keptBytes * factor).toLong)
+      override def numRows(): java.util.OptionalLong =
+        if (rowCounts.nonEmpty && rowCounts.forall(_.isDefined))
+          java.util.OptionalLong.of(rowCounts.flatten.sum)
+        else java.util.OptionalLong.empty()
+    }
+  }
 
   override def equals(other: Any): Boolean = other match {
     case s: StatsPrunedScan => delegate == s.delegate &&
@@ -303,10 +327,12 @@ final class StatsPrunedScan(private val delegate: ParquetScan,
   @transient private lazy val decodedByPath: Map[String, Option[Decoded]] =
     statsByPath.map { case (p, s) => p -> FileStats.decode(s, schema) }
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val session = delegate.sparkSession
+  /** The delegate's planned file slices minus the stats-excluded files.
+    * Memoized: both partition planning and the optimizer's statistics
+    * request resolve the same pruning decision exactly once. */
+  @transient private lazy val keptSlices: Seq[org.apache.spark.sql.execution.datasources.PartitionedFile] = {
     val slices = delegate.toBatch.planInputPartitions()
-      .flatMap(_.asInstanceOf[FilePartition].files)
+      .flatMap(_.asInstanceOf[FilePartition].files).toSeq
     val kept = slices.filter { pf =>
       decodedByPath.get(pf.filePath.toPath.toUri.getPath).flatten match {
         case Some(d) => !StatsPruning.filePrunable(filters, d)
@@ -316,11 +342,16 @@ final class StatsPrunedScan(private val delegate: ParquetScan,
     val totalFiles = slices.map(_.filePath.toString).distinct.length
     val keptFiles = kept.map(_.filePath.toString).distinct.length
     StatsPruning.recordPlan(totalFiles - keptFiles, totalFiles, tableName)
-    if (kept.isEmpty) return Array.empty
+    kept
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val session = delegate.sparkSession
+    if (keptSlices.isEmpty) return Array.empty
     val openCost = session.sessionState.conf.filesOpenCostInBytes
     val maxSplit = FilePartition.maxSplitBytes(session,
-      kept.map(_.length + openCost).sum)
-    FilePartition.getFilePartitions(session, kept.toIndexedSeq, maxSplit)
+      keptSlices.map(_.length + openCost).sum)
+    FilePartition.getFilePartitions(session, keptSlices.toIndexedSeq, maxSplit)
       .toArray[InputPartition]
   }
 }

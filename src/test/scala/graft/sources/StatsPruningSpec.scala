@@ -196,6 +196,42 @@ class StatsPruningSpec extends AnyFunSuite {
     assert(refusal.getMessage.contains("bucket"))
   }
 
+  test("pruned size estimate promotes the join above the scan to broadcast") {
+    val wh = Files.createTempDirectory("bcast-wh").toString
+    val name = s"bc${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.type", "hadoop")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.sql(s"CREATE NAMESPACE $name.db")
+    spark.sql(
+      s"""CREATE TABLE $name.db.t USING parquet AS
+         |SELECT /*+ REPARTITION_BY_RANGE(20, id) */ id AS k,
+         |       repeat(cast(id AS string), 20) AS pad
+         |FROM range(0, 100000)""".stripMargin)
+    val probe = spark.range(0, 200000).selectExpr("id AS k")
+    // threshold between the pruned (1-file band) and unpruned estimates
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (256 << 10).toString)
+    try {
+      def planOf(): String = {
+        val filtered = spark.table(s"$name.db.t")
+          .where("k BETWEEN 41000 AND 42000")
+        probe.join(filtered, "k").queryExecution.sparkPlan.toString
+      }
+      spark.conf.set("spark.graft.stats.pruning", "true")
+      val pruned = planOf()
+      assert(pruned.contains("BroadcastHashJoin"),
+        s"pruned scan should broadcast, got:\n$pruned")
+      spark.conf.set("spark.graft.stats.pruning", "false")
+      val unpruned = planOf()
+      assert(!unpruned.contains("BroadcastHashJoin"),
+        s"unpruned estimate should exceed the threshold, got:\n$unpruned")
+    } finally {
+      spark.conf.set("spark.graft.stats.pruning", "true")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    }
+  }
+
   test("time travel prunes with the traveled version's own stats") {
     val (cat, _) = fixture()
     spark.conf.set("spark.graft.stats.pruning", "true")
