@@ -121,6 +121,7 @@ object SparkEntry {
     "t06_pack_sequences" -> (TextOps.packSequences _),
     "t07_repetition" -> (TextOps.repetition _),
     "t08_vocab" -> (TextOps.vocab _),
+    "t09_lm_score" -> (TextOps.lmScore _),
     "w01_sql_write_surface" -> (graft.queries.WriteQueries.w01 _),
     "w02_merge_on_read" -> (graft.queries.WriteQueries.w02 _),
     "w03_stream_ingest" -> (graft.queries.WriteQueries.w03 _),
@@ -1087,6 +1088,28 @@ object SparkEntry {
         |            FROM documents)
         |SELECT token, COUNT(*) AS df FROM tok WHERE token <> ''
         |GROUP BY token ORDER BY df DESC, token LIMIT 50""".stripMargin,
+    // t09: corpus-conditional bigram LM score — integer corpus counts,
+    // add-one smoothing over the unigram vocab, and a POSITION-ORDERED
+    // left fold for the per-doc mean (list(... ORDER BY i) +
+    // list_reduce) so both engines sum the same doubles in the same
+    // sequence (TextOps.lmScoreOf mirrors with sort_array + aggregate)
+    "t09_lm_score" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |uni AS (SELECT w, COUNT(*) AS c1
+        |        FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w),
+        |vc AS (SELECT COUNT(*) AS v FROM uni),
+        |bi AS (SELECT doc_id, u['i'] AS i, u['w1'] AS w1, u['bg'] AS bg FROM (
+        |  SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+        |    THEN [{'i': i, 'w1': t[i], 'bg': t[i] || ' ' || t[i + 1]} for i in range(1, len(t))]
+        |    ELSE [] END) AS u FROM tk)),
+        |bc AS (SELECT bg, COUNT(*) AS c12 FROM bi GROUP BY bg),
+        |sc AS (SELECT doc_id, i, ln((c12 + 1) / (c1 + v)) AS lnp
+        |       FROM bi JOIN bc USING (bg) JOIN uni ON bi.w1 = uni.w CROSS JOIN vc),
+        |ag AS (SELECT doc_id, list(lnp ORDER BY i) AS l FROM sc GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       ROUND(list_reduce(ag.l, (a, b) -> a + b) / len(ag.l), 4) AS lm_score
+        |FROM (SELECT doc_id FROM documents) d LEFT JOIN ag USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
     // t06: concat-and-chunk packing — per-shard running token count in
     // doc_id order, cut every 512 tokens; shard = t05's Knuth hash mod 8,
     // tokens = t03's pre-tokenizer count (TextOps.packSequencesOf)

@@ -210,6 +210,59 @@ object TextOps {
   def vocab(s: SparkSession, dir: String): DataFrame =
     vocabOf(Tables(s, dir, "documents"), k = 50)
 
+  /** Corpus-conditional bigram LM quality score (t09) — the CCNet-style
+    * "how typical of the corpus is this document" signal (Wenzek et al.
+    * 2020 use a wiki-trained KenLM; with no external model shippable
+    * offline, the corpus is its own LM):
+    *
+    *   score(doc) = avg over the doc's bigrams of
+    *                ln((c(w1,w2) + 1) / (c(w1) + V))
+    *
+    * with corpus-wide bigram/unigram occurrence counts and add-one
+    * smoothing over the unigram vocabulary V. Boilerplate scores high,
+    * word-salad scores low — the standard perplexity-bucket input for
+    * quality-stratified sampling ([[stratifiedSampleOf]]).
+    *
+    * Scale shape: two map-combinable groupBys build the count tables
+    * (never a distinct-agg buffer), the doc's exploded bigrams reach
+    * them by shuffle equi-join — NO broadcast assumption; at 100 TB the
+    * bigram table is itself large — and one doc_id shuffle reassembles.
+    * V rides a broadcast single-row cross join.
+    *
+    * Engine-portability of the float math: every count is an integer
+    * both engines agree on; the only float steps are ln() and the
+    * per-doc mean, and the mean is an ORDERED left fold over the
+    * bigrams in position order (`sort_array` + `aggregate` here,
+    * `list(... ORDER BY i)` + `list_reduce` in the DuckDB oracle), so
+    * both engines add the same doubles in the same sequence —
+    * bit-identical, not just close. Docs with <2 tokens score NULL. */
+  def lmScoreOf(docs: DataFrame): DataFrame = {
+    val tk = docs.selectExpr("doc_id", "split(lower(text), ' ') AS t")
+    val uni = tk.selectExpr("explode(t) AS w")
+      .groupBy("w").agg(count(lit(1)).as("c1"))
+    val vocab = uni.agg(count(lit(1)).as("v"))
+    val bi = tk.selectExpr("doc_id",
+      """explode(CASE WHEN size(t) >= 2
+        | THEN transform(sequence(0, size(t) - 2),
+        |        i -> struct(i AS i, t[i] AS w1, concat(t[i], ' ', t[i + 1]) AS bg))
+        | ELSE array() END) AS b""".stripMargin)
+      .selectExpr("doc_id", "b.i AS i", "b.w1 AS w1", "b.bg AS bg")
+    val bc = bi.groupBy("bg").agg(count(lit(1)).as("c12"))
+    val scored = bi.join(bc, "bg")
+      .join(uni, col("w1") === col("w"))
+      .crossJoin(broadcast(vocab))
+      .selectExpr("doc_id", "i", "ln((c12 + 1) / (c1 + v)) AS lnp")
+    val perDoc = scored.groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("i"), col("lnp")))).as("l"))
+      .selectExpr("doc_id",
+        "ROUND(aggregate(l, CAST(0.0 AS DOUBLE), (a, x) -> a + x.lnp) / size(l), 4) AS lm_score")
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select("doc_id", "lm_score")
+  }
+
+  def lmScore(s: SparkSession, dir: String): DataFrame =
+    lmScoreOf(Tables(s, dir, "documents")).orderBy("doc_id")
+
   /** The keep/drop verdict of [[repetitionOf]] as a PASS-THROUGH column —
     * the stream-filter face: a streaming ingest can gate rows on it
     * without joining the stream to its own projection (stream–stream

@@ -67,6 +67,21 @@ class OperatorsSpec extends AnyFunSuite {
     assert(!batch.contains(1L)) // contaminated doc dropped by both
   }
 
+  test("lmScore matches the hand-computed bigram log-probs; <2 tokens -> null") {
+    import spark.implicits._
+    // corpus: "a b a", "a b", "x" -> unigram counts a:3 b:2 x:1 (V=3),
+    // bigram counts "a b":2, "b a":1
+    val docs = Seq((1L, "a b a"), (2L, "a b"), (3L, "x")).toDF("doc_id", "text")
+    val got = TextOps.lmScoreOf(docs).orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+    // d1: (ln((2+1)/(3+3)) + ln((1+1)/(2+3))) / 2 ; d2: ln(3/6) ; d3: null
+    val d1 = BigDecimal((math.log(3.0 / 6) + math.log(2.0 / 5)) / 2)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val d2 = BigDecimal(math.log(3.0 / 6))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq((1L, Some(d1)), (2L, Some(d2)), (3L, None)))
+  }
+
   test("minhash-LSH and simhash find exactly the exact-Jaccard pairs") {
     val exact = rows(Dedup.ngramJaccard(spark, dir))
     val lsh = rows(Dedup.minhashLsh(spark, dir))
