@@ -106,6 +106,21 @@ object CatalogFactory {
           s"Catalog ${cfg.name}: nessie catalog requires a 'store' property"))
       new NessieCatalog(cfg.name, store,
         cfg.properties.getOrElse("ref", NessieCatalog.DefaultBranch), cfg.hadoopConf)
+    case "kv" =>
+      // the DynamoDB/ECS catalog model over the KvStore seam: `store`
+      // names a JVM-global MemoryKvStore (offline/testing); a production
+      // deployment loads a cloud-SDK adapter via `store-impl`
+      val store = (cfg.properties.get("store-impl"), cfg.properties.get("store")) match {
+        case (Some(impl), _) =>
+          Class.forName(impl).getConstructor(classOf[CatalogConfig])
+            .newInstance(cfg).asInstanceOf[KvStore]
+        case (None, Some(id)) => MemoryKvStore.forId(id)
+        case (None, None) => throw new IllegalArgumentException(
+          s"Catalog ${cfg.name}: kv catalog requires a 'store' (memory id) " +
+            "or 'store-impl' (KvStore adapter class) property")
+      }
+      new KvCatalog(cfg.name, store,
+        ownsStore = cfg.properties.contains("store-impl"))
     case "custom" =>
       val impl = cfg.properties.getOrElse("impl",
         throw new IllegalArgumentException(

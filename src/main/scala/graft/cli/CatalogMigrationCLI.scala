@@ -651,11 +651,11 @@ object CatalogMigrationCLI {
       |
       |Migration options:
       |
-      |  --source-catalog-type <hadoop|memory|rest|jdbc|hive|nessie|custom>
+      |  --source-catalog-type <hadoop|memory|rest|jdbc|hive|nessie|kv|custom>
       |  --source-catalog-properties k=v[,k=v...]   (hadoop: warehouse=<dir>; rest: uri=<http://host:port>; repeatable)
       |  --source-catalog-hadoop-conf k=v[,k=v...]  Hadoop Configuration overlay (repeatable)
       |  --source-custom-catalog-impl <class>       Catalog impl for type custom
-      |  --target-catalog-type <hadoop|memory|rest|jdbc|hive|nessie|custom>
+      |  --target-catalog-type <hadoop|memory|rest|jdbc|hive|nessie|kv|custom>
       |  --target-catalog-properties k=v[,k=v...]   (repeatable)
       |  --target-catalog-hadoop-conf k=v[,k=v...]  (repeatable)
       |  --target-custom-catalog-impl <class>
