@@ -119,7 +119,8 @@ object GraftBucketFunction {
   * DSv2 `bucket` transform; scans report key-grouped partitioning over
   * the bucket file groups. Read-only, like the rest of the SQL face. */
 final class GraftBucketedTable(delegate: ParquetTable, numBuckets: Int,
-    bucketCols: Seq[String]) extends Table with SupportsRead {
+    bucketCols: Seq[String], statsByPath: Map[String, String] = Map.empty)
+  extends Table with SupportsRead {
 
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
@@ -130,21 +131,32 @@ final class GraftBucketedTable(delegate: ParquetTable, numBuckets: Int,
     Array(Expressions.bucket(numBuckets, bucketCols: _*))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BucketedScanBuilder(delegate.newScanBuilder(options), numBuckets, bucketCols)
+    new BucketedScanBuilder(delegate.newScanBuilder(options), numBuckets,
+      bucketCols, statsByPath, delegate.schema)
 }
 
 /** Delegates every pushdown Spark's ParquetScanBuilder supports; `build()`
-  * wraps the resulting scan so its partitions are bucket-keyed. */
+  * wraps the resulting scan so its partitions are bucket-keyed. Filter
+  * conjuncts are captured on the way through for manifest-stats file
+  * skipping ([[StatsPruning]], round 10): a bucket whose every file is
+  * stats-excluded simply reports no partitions — sound under SPJ, where
+  * push-part-values already aligns sides with different populated
+  * bucket sets. */
 final class BucketedScanBuilder(delegate: ParquetScanBuilder, numBuckets: Int,
-    bucketCols: Seq[String]) extends ScanBuilder
+    bucketCols: Seq[String], statsByPath: Map[String, String],
+    tableSchema: StructType) extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+
+  private var captured: Seq[Expression] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     delegate.pruneColumns(requiredSchema)
 
-  override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
+  override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    captured = filters
     delegate.pushFilters(filters)
+  }
 
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
 
@@ -158,7 +170,8 @@ final class BucketedScanBuilder(delegate: ParquetScanBuilder, numBuckets: Int,
 
   override def build(): Scan = delegate.build() match {
     case p: ParquetScan if p.pushedAggregate.isEmpty =>
-      new BucketedScan(p, numBuckets, bucketCols)
+      new BucketedScan(p, numBuckets, bucketCols, captured, statsByPath,
+        tableSchema)
     case other => other // aggregate-pushdown scans have no row partitions
   }
 }
@@ -203,7 +216,10 @@ private final class UnwrapReaderFactory(inner: PartitionReaderFactory)
   * runtime-filter. equals/hashCode delegate so exchange/scan reuse still
   * deduplicates identical scans. */
 final class BucketedScan(private val delegate: ParquetScan,
-    private val numBuckets: Int, private val bucketCols: Seq[String])
+    private val numBuckets: Int, private val bucketCols: Seq[String],
+    private val filters: Seq[Expression] = Nil,
+    statsByPath: Map[String, String] = Map.empty,
+    tableSchema: StructType = new StructType())
   extends Scan with Batch with SupportsReportPartitioning {
 
   override def readSchema(): StructType = delegate.readSchema()
@@ -215,15 +231,40 @@ final class BucketedScan(private val delegate: ParquetScan,
 
   override def equals(other: Any): Boolean = other match {
     case b: BucketedScan =>
-      delegate == b.delegate && numBuckets == b.numBuckets && bucketCols == b.bucketCols
+      delegate == b.delegate && numBuckets == b.numBuckets &&
+        bucketCols == b.bucketCols &&
+        filters.map(_.canonicalized) == b.filters.map(_.canonicalized)
     case _ => false
   }
-  override def hashCode(): Int = (delegate, numBuckets, bucketCols).hashCode()
+  override def hashCode(): Int =
+    (delegate, numBuckets, bucketCols, filters.map(_.canonicalized)).hashCode()
+
+  @transient private lazy val decodedByPath
+      : Map[String, Option[graft.catalog.FileStats.Decoded]] =
+    statsByPath.map { case (p, s) =>
+      p -> graft.catalog.FileStats.decode(s, tableSchema) }
 
   private lazy val grouped: Array[InputPartition] = {
     val session = delegate.sparkSession
-    val slices = delegate.toBatch.planInputPartitions()
+    val allSlices = delegate.toBatch.planInputPartitions()
       .flatMap(_.asInstanceOf[FilePartition].files)
+    // manifest-stats file skipping before bucket grouping: an excluded
+    // file provably holds no matching row, so its bucket group shrinks
+    // (or vanishes) without affecting join correctness
+    val slices =
+      if (decodedByPath.isEmpty) allSlices
+      else {
+        val kept = allSlices.filter { pf =>
+          decodedByPath.get(pf.filePath.toPath.toUri.getPath).flatten match {
+            case Some(d) => !StatsPruning.filePrunable(filters, d)
+            case None => true
+          }
+        }
+        val total = allSlices.map(_.filePath.toString).distinct.length
+        val keptN = kept.map(_.filePath.toString).distinct.length
+        StatsPruning.recordPlan(total - keptN, total, delegate.description())
+        kept
+      }
     val byBucket = slices.groupBy { pf =>
       val fileName = pf.filePath.toPath.getName
       BucketingUtils.getBucketId(fileName).getOrElse(throw new IllegalStateException(

@@ -130,7 +130,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         // the SPJ partitioning report is the bigger 100 TB lever there,
         // and composing both wrappers is future work.
         case Some(n) if layout.partitionColumns.isEmpty =>
-          new GraftBucketedTable(table, n, layout.bucketColumns)
+          new GraftBucketedTable(table, n, layout.bucketColumns,
+            statsMapOf(layout).getOrElse(Map.empty))
         case _ => statsPruned(table, layout)
       }
     cat match {
@@ -201,20 +202,26 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     else table
   }
 
-  /** Wrap a plain manifest-planned parquet table in manifest-stats file
-    * skipping ([[StatsPruning]]) when its layout records per-file stats.
-    * `spark.graft.stats.pruning=false` is the session kill-switch. */
-  private def statsPruned(table: ParquetTable,
-      layout: CatalogIO.TableLayout): Table with org.apache.spark.sql.connector.catalog.SupportsRead = {
+  /** The layout's per-file stats keyed by normalized absolute path —
+    * None when absent/empty or the `spark.graft.stats.pruning`
+    * kill-switch is off. */
+  private def statsMapOf(layout: CatalogIO.TableLayout): Option[Map[String, String]] = {
     val enabled = SparkSession.active.conf
       .getOption("spark.graft.stats.pruning").forall(_ == "true")
-    val byPath = layout.absoluteDataFilesWithStats
+    layout.absoluteDataFilesWithStats
       .map(_.collect { case (p, s) if s.nonEmpty =>
         new org.apache.hadoop.fs.Path(p).toUri.getPath -> s }.toMap)
-      .filter(_.nonEmpty)
-    if (enabled && byPath.isDefined) new StatsPrunedTable(table, byPath.get)
-    else table
+      .filter(m => enabled && m.nonEmpty)
   }
+
+  /** Wrap a plain manifest-planned parquet table in manifest-stats file
+    * skipping ([[StatsPruning]]) when its layout records per-file stats. */
+  private def statsPruned(table: ParquetTable,
+      layout: CatalogIO.TableLayout): Table with org.apache.spark.sql.connector.catalog.SupportsRead =
+    statsMapOf(layout) match {
+      case Some(m) => new StatsPrunedTable(table, m)
+      case None => table
+    }
 
   /** Scan roots for a layout: manifest versions scan exactly their
     * recorded files (file-level snapshot isolation — several versions

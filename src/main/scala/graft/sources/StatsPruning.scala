@@ -263,10 +263,12 @@ final class StatsPrunedScanBuilder(delegate: ParquetScanBuilder,
   override def pushAggregation(aggregation: Aggregation): Boolean =
     delegate.pushAggregation(aggregation)
 
+  // wrapped even with NO filters: pruning then no-ops, but the scan
+  // still reports manifest row counts to the optimizer (join sizing)
   override def build(): Scan = delegate.build() match {
-    case p: ParquetScan if p.pushedAggregate.isEmpty && captured.nonEmpty =>
+    case p: ParquetScan if p.pushedAggregate.isEmpty =>
       new StatsPrunedScan(p, captured, statsByPath, schema, tableName)
-    case other => other // no filters / aggregate-pushdown scans pass through
+    case other => other // aggregate-pushdown scans pass through
   }
 }
 

@@ -232,6 +232,40 @@ class StatsPruningSpec extends AnyFunSuite {
     }
   }
 
+  test("bucketed tables skip stats-excluded files before bucket grouping") {
+    val wh = Files.createTempDirectory("bstats-wh").toString
+    val name = s"bs${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.type", "hadoop")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    val hc = new HadoopFsCatalog(name, wh)
+    hc.createNamespace(graft.catalog.Namespace.of("db"))
+    val ref = TableRef.parse("db.t")
+    // two commits bucketed on k; w is append-ordered (the clustered
+    // secondary column stats pruning works on — k itself is
+    // hash-scattered across every file, so its envelopes never prune)
+    def batch(wLo: Int): org.apache.spark.sql.DataFrame =
+      spark.sql(s"SELECT id % 1000 AS k, id + $wLo AS w FROM range(0, 1000)")
+    CatalogIO.createTable(spark, hc, ref, batch(0), bucketBy = Some((4, Seq("k"))))
+    CatalogIO.commitAppend(spark, hc, ref, batch(1000), bucketBy = Some((4, Seq("k"))))
+    val layout = layoutOf(hc)
+    val files = layout.dataFiles.get.size
+    assert(files >= 8 && layout.dataFileStats.get.forall(_.nonEmpty))
+    val q = s"SELECT count(*), sum(k) FROM $name.db.t WHERE w >= 1500"
+    spark.conf.set("spark.graft.stats.pruning", "false")
+    val expected = spark.sql(q).collect()(0).toSeq
+    spark.conf.set("spark.graft.stats.pruning", "true")
+    StatsPruning.lastPlanned = None
+    assert(spark.sql(q).collect()(0).toSeq == expected)
+    val Some((skipped, total)) = StatsPruning.lastPlanned
+    // the whole first commit (w in [0,1000)) is provably excluded
+    assert(total == files && skipped >= files / 2,
+      s"expected the first commit's files skipped, got $skipped/$total")
+    // SPJ survives: the bucketed join face still reports its grouping
+    assert(spark.table(s"$name.db.t").queryExecution.executedPlan.toString
+      .contains("KeyGroupedBuckets"))
+  }
+
   test("time travel prunes with the traveled version's own stats") {
     val (cat, _) = fixture()
     spark.conf.set("spark.graft.stats.pruning", "true")
