@@ -219,7 +219,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
   private def statsPruned(table: ParquetTable,
       layout: CatalogIO.TableLayout): Table with org.apache.spark.sql.connector.catalog.SupportsRead =
     statsMapOf(layout) match {
-      case Some(m) => new StatsPrunedTable(table, m)
+      case Some(m) => new StatsPrunedTable(table, m,
+        layout.dataFiles.map(_.size).getOrElse(-1))
       case None => table
     }
 

@@ -9,6 +9,7 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.Aggregation
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EmptyRow, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.FilePartition
@@ -54,6 +55,14 @@ object StatsPruning {
   /** (files skipped, files total) of the most recent planned scan —
     * driver-side observability for specs and ops. */
   @volatile var lastPlanned: Option[(Int, Int)] = None
+
+  /** Table name of the most recent manifest-answered aggregate. */
+  @volatile var lastManifestAgg: Option[String] = None
+
+  private[sources] def recordManifestAgg(table: String): Unit = {
+    lastManifestAgg = Some(table)
+    log.info(s"aggregate on $table answered from manifest stats (no files read)")
+  }
 
   def orderingFor(dt: DataType): Ordering[Any] =
     TypeUtils.getInterpretedOrdering(dt)
@@ -216,11 +225,15 @@ object StatsPruning {
 }
 
 /** A manifest-planned parquet table whose data files carry stats:
-  * scans drop files whose envelopes exclude the pushed filters.
+  * scans drop files whose envelopes exclude the pushed filters, and
+  * whole-table COUNT/MIN/MAX aggregates answer from the manifest alone.
   * Read-only, like the rest of the SQL face; `statsByPath` is keyed by
-  * normalized absolute file path (`Path.toUri.getPath`). */
+  * normalized absolute file path (`Path.toUri.getPath`);
+  * `totalDataFiles` is the manifest size — agg answering requires
+  * stats coverage of EVERY file. */
 final class StatsPrunedTable(delegate: ParquetTable,
-    statsByPath: Map[String, String]) extends Table with SupportsRead {
+    statsByPath: Map[String, String], totalDataFiles: Int = -1)
+  extends Table with SupportsRead {
 
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
@@ -231,19 +244,21 @@ final class StatsPrunedTable(delegate: ParquetTable,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new StatsPrunedScanBuilder(delegate.newScanBuilder(options), statsByPath,
-      delegate.schema, delegate.name)
+      delegate.schema, delegate.name, totalDataFiles)
 }
 
 /** Delegates every pushdown to Spark's ParquetScanBuilder, capturing the
   * filter conjuncts; `build()` wraps the scan so file slices excluded by
   * stats never become input partitions. */
 final class StatsPrunedScanBuilder(delegate: ParquetScanBuilder,
-    statsByPath: Map[String, String], schema: StructType, tableName: String)
+    statsByPath: Map[String, String], schema: StructType, tableName: String,
+    totalDataFiles: Int = -1)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var captured: Seq[Expression] = Nil
+  private var manifestAgg: Option[(StructType, InternalRow)] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     delegate.pruneColumns(requiredSchema)
@@ -258,18 +273,125 @@ final class StatsPrunedScanBuilder(delegate: ParquetScanBuilder,
 
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
 
+  // ---- manifest-answered aggregates (round 10) ---------------------
+  //
+  // A whole-table COUNT(*)/COUNT(col)/MIN/MAX whose answer the manifest
+  // stats fully determine is served as a driver-local row — ZERO data
+  // files opened, zero tasks scheduled (Iceberg's aggregate pushdown
+  // from manifests, re-expressed; parquet's own footer-based pushdown
+  // remains the fallback and still opens every footer). Refusals are
+  // conservative: any filter, grouping, distinct, missing per-file
+  // stat, float/double bound (widened ±0.0 makes the exact extremum
+  // unknowable), or dropped string bound falls back to the scan.
+
+  @transient private lazy val allDecoded: Option[Seq[Decoded]] =
+    if (totalDataFiles < 0 || statsByPath.size != totalDataFiles) None
+    else {
+      val ds = statsByPath.values.map(FileStats.decode(_, schema)).toVector
+      if (ds.exists(_.isEmpty)) None else Some(ds.flatten)
+    }
+
+  private def refName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: org.apache.spark.sql.connector.expressions.NamedReference
+          if nr.fieldNames.length == 1 => Some(nr.fieldNames()(0).toLowerCase)
+      case _ => None
+    }
+
+  private def answerable(dt: org.apache.spark.sql.types.DataType): Boolean = dt match {
+    case org.apache.spark.sql.types.FloatType | org.apache.spark.sql.types.DoubleType => false
+    case _ => true
+  }
+
+  /** Min or max over every file's envelope, or None when any file's
+    * contribution is unknowable. Files that are empty or provably
+    * all-null contribute nothing; an all-skip answer is SQL NULL. */
+  private def extremum(ds: Seq[Decoded], col: String, min: Boolean): Option[Any] = {
+    val perFile: Seq[Option[Option[Any]]] = ds.map { d =>
+      if (d.rowCount == 0) Some(None)
+      else d.cols.get(col) match {
+        case Some(c) if c.nullCount.contains(d.rowCount) => Some(None)
+        case Some(c) =>
+          val b = if (min) c.min else c.max
+          if (b.isDefined && answerable(c.dataType)) Some(b) else None
+        case None => None
+      }
+    }
+    if (perFile.exists(_.isEmpty)) return None // some file unknowable
+    val live = perFile.flatten.flatten
+    val dt = ds.flatMap(_.cols.get(col)).headOption.map(_.dataType)
+    Some(
+      if (live.isEmpty) null
+      else {
+        val ord = StatsPruning.orderingFor(dt.get)
+        if (min) live.min(ord) else live.max(ord)
+      })
+  }
+
+  private def manifestAnswer(agg: Aggregation): Option[(StructType, InternalRow)] = {
+    if (captured.nonEmpty || agg.groupByExpressions.nonEmpty) return None
+    val ds = allDecoded.getOrElse(return None)
+    val resultSchema = org.apache.spark.sql.execution.datasources
+      .AggregatePushDownUtils
+      .getSchemaForPushedAggregation(agg, schema, Set.empty, Nil)
+      .getOrElse(return None)
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
+    val values = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => ds.map(_.rowCount).sum: Any
+      case c: Count if !c.isDistinct =>
+        val col = refName(c.column).getOrElse(return None)
+        ds.map { d =>
+          if (d.rowCount == 0) 0L
+          else d.cols.get(col).flatMap(_.nullCount) match {
+            case Some(n) => d.rowCount - n
+            case None => return None
+          }
+        }.sum: Any
+      case m: Min =>
+        val col = refName(m.column).getOrElse(return None)
+        extremum(ds, col, min = true).getOrElse(return None)
+      case m: Max =>
+        val col = refName(m.column).getOrElse(return None)
+        extremum(ds, col, min = false).getOrElse(return None)
+      case _ => return None
+    }
+    StatsPruning.recordManifestAgg(tableName)
+    Some((resultSchema,
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)))
+  }
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    delegate.supportCompletePushDown(aggregation)
+    manifestAnswer(aggregation).isDefined ||
+      delegate.supportCompletePushDown(aggregation)
+
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    delegate.pushAggregation(aggregation)
+    manifestAnswer(aggregation) match {
+      case some @ Some(_) => manifestAgg = some; true
+      case None => delegate.pushAggregation(aggregation)
+    }
 
   // wrapped even with NO filters: pruning then no-ops, but the scan
   // still reports manifest row counts to the optimizer (join sizing)
-  override def build(): Scan = delegate.build() match {
-    case p: ParquetScan if p.pushedAggregate.isEmpty =>
-      new StatsPrunedScan(p, captured, statsByPath, schema, tableName)
-    case other => other // aggregate-pushdown scans pass through
+  override def build(): Scan = manifestAgg match {
+    case Some((out, row)) => new ManifestAggScan(out, row, tableName)
+    case None => delegate.build() match {
+      case p: ParquetScan if p.pushedAggregate.isEmpty =>
+        new StatsPrunedScan(p, captured, statsByPath, schema, tableName)
+      case other => other // footer-based aggregate scans pass through
+    }
   }
+}
+
+/** A completely-pushed aggregate served from manifest stats: one
+  * driver-local row, surfaced to Spark as a [[org.apache.spark.sql
+  * .connector.read.LocalScan]] (planned as a LocalTableScan — no data
+  * file opened, no task scheduled). */
+final class ManifestAggScan(out: StructType, row: InternalRow,
+    tableName: String) extends org.apache.spark.sql.connector.read.LocalScan {
+  override def rows(): Array[InternalRow] = Array(row)
+  override def readSchema(): StructType = out
+  override def description(): String =
+    s"GraftManifestAgg $tableName [${out.fieldNames.mkString(", ")}]"
 }
 
 /** Filters the delegate parquet scan's planned file slices through the

@@ -210,10 +210,11 @@ class PlanAuditSpec extends AnyFunSuite {
     // q65/q67 cross-join a broadcast 1-ROW aggregate (the global
     // threshold/max) — the empty-partition-window replacement; s02's
     // recall gate broadcasts the bounded query set (brute-force arm)
-    // and cross-joins two 1-row aggregates
+    // and cross-joins two 1-row aggregates; t09 cross-joins the
+    // broadcast 1-row vocabulary size into the smoothing denominator
     val bnljAllowed = Set("q11_join_theta", "q38_scalar_subquery",
       "s01_cosine_topk", "s03_knn_join", "q65_tpch11", "q67_tpch15",
-      "s02_ann_ivf")
+      "s02_ann_ivf", "t09_lm_score")
     // collect per-query failures instead of dying on the first one: a
     // single broken query must report as ITSELF, not mask the plan audit
     // of the other hundred (the round-9 failure mode)

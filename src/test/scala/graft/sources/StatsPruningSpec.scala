@@ -232,6 +232,37 @@ class StatsPruningSpec extends AnyFunSuite {
     }
   }
 
+  test("whole-table COUNT/MIN/MAX answer from manifest stats without reading files") {
+    val (cat, _) = fixture()
+    spark.conf.set("spark.graft.stats.pruning", "true")
+    // count(*) / count(col) / integer+date min/max are fully determined
+    // by the per-file envelopes (all-null third-file s contributes 0 to
+    // count(s) and nothing to extrema)
+    val q = s"SELECT count(*) AS c, count(s) AS cs, min(k) AS mn, " +
+      s"max(k) AS mx, min(dt) AS mdt, max(dt) AS xdt FROM $cat.db.t"
+    spark.conf.set("spark.graft.stats.pruning", "false")
+    val expected = spark.sql(q).collect()(0).toSeq
+    spark.conf.set("spark.graft.stats.pruning", "true")
+    StatsPruning.lastManifestAgg = None
+    val df = spark.sql(q)
+    assert(df.collect()(0).toSeq == expected)
+    assert(StatsPruning.lastManifestAgg.isDefined, "manifest agg did not fire")
+    assert(df.queryExecution.executedPlan.toString.contains("LocalTableScan"),
+      "manifest-answered aggregate should plan as a local scan")
+
+    // refusals fall back to a real scan with identical results:
+    // a filtered aggregate, and a float extremum (widened zero bounds)
+    for (fq <- Seq(s"SELECT count(*) AS c FROM $cat.db.t WHERE k > 100",
+        s"SELECT min(d) AS m FROM $cat.db.t")) {
+      StatsPruning.lastManifestAgg = None
+      spark.conf.set("spark.graft.stats.pruning", "false")
+      val want = spark.sql(fq).collect()(0).toSeq
+      spark.conf.set("spark.graft.stats.pruning", "true")
+      assert(spark.sql(fq).collect()(0).toSeq == want)
+      assert(StatsPruning.lastManifestAgg.isEmpty, s"$fq must not answer from manifest")
+    }
+  }
+
   test("bucketed tables skip stats-excluded files before bucket grouping") {
     val wh = Files.createTempDirectory("bstats-wh").toString
     val name = s"bs${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
