@@ -328,36 +328,47 @@ final class StatsPrunedScanBuilder(delegate: ParquetScanBuilder,
       })
   }
 
+  private def colType(colName: String): Option[org.apache.spark.sql.types.DataType] =
+    schema.fields.find(_.name.equalsIgnoreCase(colName)).map(_.dataType)
+
   private def manifestAnswer(agg: Aggregation): Option[(StructType, InternalRow)] = {
     if (captured.nonEmpty || agg.groupByExpressions.nonEmpty) return None
     val ds = allDecoded.getOrElse(return None)
-    val resultSchema = org.apache.spark.sql.execution.datasources
-      .AggregatePushDownUtils
-      .getSchemaForPushedAggregation(agg, schema, Set.empty, Nil)
-      .getOrElse(return None)
     import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
-    val values = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => ds.map(_.rowCount).sum: Any
+    import org.apache.spark.sql.types.{LongType, StructField}
+    // (result type, value) per aggregate, positionally — the plan
+    // rewrite matches scan output to the pushed aggregates by position,
+    // so unlike parquet's footer pushdown this face answers MIN/MAX for
+    // every stats-supported type (strings, timestamps, decimals too)
+    val fields = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        (StructField("count(*)", LongType, nullable = false),
+          ds.map(_.rowCount).sum: Any)
       case c: Count if !c.isDistinct =>
         val col = refName(c.column).getOrElse(return None)
-        ds.map { d =>
+        val n = ds.map { d =>
           if (d.rowCount == 0) 0L
           else d.cols.get(col).flatMap(_.nullCount) match {
-            case Some(n) => d.rowCount - n
+            case Some(nulls) => d.rowCount - nulls
             case None => return None
           }
-        }.sum: Any
+        }.sum
+        (StructField(s"count($col)", LongType, nullable = false), n: Any)
       case m: Min =>
         val col = refName(m.column).getOrElse(return None)
-        extremum(ds, col, min = true).getOrElse(return None)
+        val dt = colType(col).getOrElse(return None)
+        (StructField(s"min($col)", dt),
+          extremum(ds, col, min = true).getOrElse(return None))
       case m: Max =>
         val col = refName(m.column).getOrElse(return None)
-        extremum(ds, col, min = false).getOrElse(return None)
+        val dt = colType(col).getOrElse(return None)
+        (StructField(s"max($col)", dt),
+          extremum(ds, col, min = false).getOrElse(return None))
       case _ => return None
     }
     StatsPruning.recordManifestAgg(tableName)
-    Some((resultSchema,
-      org.apache.spark.sql.catalyst.InternalRow.fromSeq(values)))
+    Some((StructType(fields.map(_._1)),
+      org.apache.spark.sql.catalyst.InternalRow.fromSeq(fields.map(_._2))))
   }
 
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =

@@ -235,11 +235,13 @@ class StatsPruningSpec extends AnyFunSuite {
   test("whole-table COUNT/MIN/MAX answer from manifest stats without reading files") {
     val (cat, _) = fixture()
     spark.conf.set("spark.graft.stats.pruning", "true")
-    // count(*) / count(col) / integer+date min/max are fully determined
-    // by the per-file envelopes (all-null third-file s contributes 0 to
-    // count(s) and nothing to extrema)
+    // count(*) / count(col) and min/max over EVERY stats-supported type
+    // (integers, dates, strings, timestamps, decimals) are fully
+    // determined by the per-file envelopes (the all-null third-file s
+    // contributes 0 to count(s) and nothing to extrema)
     val q = s"SELECT count(*) AS c, count(s) AS cs, min(k) AS mn, " +
-      s"max(k) AS mx, min(dt) AS mdt, max(dt) AS xdt FROM $cat.db.t"
+      s"max(k) AS mx, min(dt) AS mdt, max(dt) AS xdt, min(s) AS ms, " +
+      s"max(ts) AS xts, min(dc) AS mdc FROM $cat.db.t"
     spark.conf.set("spark.graft.stats.pruning", "false")
     val expected = spark.sql(q).collect()(0).toSeq
     spark.conf.set("spark.graft.stats.pruning", "true")
