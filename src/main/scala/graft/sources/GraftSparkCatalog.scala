@@ -91,6 +91,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       try cat.loadTableMetadataLocation(ref)
       catch {
         case _: graft.catalog.NoSuchTableException =>
+          // Iceberg-style metadata tables: `db.t.files` / `db.t.history`
+          // resolve when `db.t` is a real table and no actual table
+          // shadows the suffix name (the real table always wins above)
+          MetadataTables.resolve(cat, ident, hadoopConfOverlay).foreach(return _)
           throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
             ident.namespace.toSeq :+ ident.name)
       }
