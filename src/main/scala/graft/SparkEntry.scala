@@ -105,6 +105,7 @@ object SparkEntry {
     "d06_dedup_canonical" -> (Dedup.canonical _),
     "d07_decontaminate" -> (Dedup.decontaminate _),
     "d08_dedup_substrings" -> (Dedup.substringDedup _),
+    "d09_decontaminate_fuzzy" -> (Dedup.fuzzyDecontaminate _),
     "d05_dedup_embed_lsh" -> (Similarity.srpNearDup _),
     "m01_image_decode" -> (graft.operators.Multimodal.imageStats _),
     "m02_audio_decode" -> (graft.operators.Multimodal.audioStats _),
@@ -736,6 +737,24 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY doc_id""".stripMargin,
     // d08: exact substring dedup — every token position covered by a
     // 5-gram occurring in >1 document is removed; the oracle recomputes
+    // d09: fuzzy decontamination = exact cross-corpus Jaccard above τ
+    // (the engine's LSH is candidates-only; verified pairs are exact,
+    // so the oracle is the brute-force cross join over the small
+    // benchmark split — same exactness contract as d01/d02)
+    "d09_decontaminate_fuzzy" ->
+      """WITH tk AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(t) >= 3
+        |   THEN list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2] for i in range(1, len(t) - 1)])
+        |   ELSE [] END AS s FROM tk),
+        |tr AS (SELECT * FROM sh WHERE doc_id % 10 <> 7),
+        |be AS (SELECT * FROM sh WHERE doc_id % 10 = 7),
+        |ext AS (SELECT doc_id, len(s) AS n, unnest(s) AS sg FROM tr),
+        |exb AS (SELECT doc_id, len(s) AS n, unnest(s) AS sg FROM be),
+        |co AS (SELECT t.doc_id AS a, b.doc_id AS bench_id, t.n AS na, b.n AS nb, COUNT(*) AS c
+        |       FROM ext t JOIN exb b ON t.sg = b.sg GROUP BY 1, 2, 3, 4)
+        |SELECT a AS doc_id, bench_id, ROUND(c * 1.0 / (na + nb - c), 4) AS j
+        |FROM co WHERE c * 1.0 / (na + nb - c) >= 0.8
+        |ORDER BY 1, 2""".stripMargin,
     // coverage over string grams (the engine joins on xxhash64 images,
     // value-identical absent a 64-bit collision, same caveat as d01)
     "d08_dedup_substrings" ->

@@ -165,17 +165,68 @@ object Dedup {
     val nBands = 32 / rowsPerBand
     graft.Telemetry.install(s)
     val sh = shingled(s, dir) // already the xxhash64 image — feed minhash directly
-    val sigs = sh
-      .withColumn("mh", expr("graft_minhash(sh)"))
-      .select("doc_id", "mh")
-    val bandCols = (0 until nBands).map { k =>
-      val rows = (0 until rowsPerBand).map(j => element_at(col("mh"), rowsPerBand * k + j + 1))
-      xxhash64(rows :+ lit(k): _*)
-    }
-    val banded = sigs.select(col("doc_id").as("id"),
-      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+    val banded = bandedSigs(sh, rowsPerBand).select(col("doc_id").as("id"),
+      col("band"), col("bv"))
     val cand = Banding.bucketedPairs(banded, "graft_lsh_d02", maxBucket)
     verified(cand, sh)
+  }
+
+  /** (doc_id, band, bv) MinHash band signatures of hash-shingled docs —
+    * the shared banding front of [[minhashLsh]] (self-dedup) and
+    * [[fuzzyContaminationOf]] (cross-corpus). */
+  private def bandedSigs(sh: DataFrame, rowsPerBand: Int): DataFrame = {
+    val nBands = 32 / rowsPerBand
+    val sigs = sh.withColumn("mh", expr("graft_minhash(sh)"))
+    val bandCols = (0 until nBands).map { k =>
+      val rows = (0 until rowsPerBand).map(j =>
+        element_at(col("mh"), rowsPerBand * k + j + 1))
+      xxhash64(rows :+ lit(k): _*)
+    }
+    sigs.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band", "bv")))
+  }
+
+  /** Fuzzy (near-duplicate) decontamination (d09): training docs whose
+    * shingle Jaccard against ANY benchmark doc clears τ = 0.8 — the
+    * near-dup face of [[contaminationOf]]'s exact 5-gram scrub, the
+    * standard fuzzy train/eval-overlap policy (GPT-3's 13-gram overlap
+    * removal, PaLM's fuzzy decontamination) where paraphrased or
+    * lightly-edited benchmark copies slip past exact gram matching.
+    *
+    * Scale shape: the benchmark side is eval-suite-sized by
+    * construction, so its band signatures AND its shingle arrays ride
+    * broadcasts — the corpus is banded map-side, candidates come from a
+    * broadcast equi-join on (band, bv), and the exact-verify join ships
+    * only the CANDIDATES' shingle arrays. The corpus never shuffles;
+    * cost is O(corpus) map work + O(candidates) verification, the same
+    * envelope as [[decontaminationKeepOf]]'s exact face. Emits verified
+    * pairs only (no LSH false positives); recall at τ follows d02's
+    * measured exact-recall regime (16 bands × 2 rows). */
+  def fuzzyContaminationOf(train: DataFrame, bench: DataFrame,
+      rowsPerBand: Int = 2): DataFrame = {
+    val tb = bandedSigs(train, rowsPerBand)
+      .select(col("doc_id").as("a"), col("band"), col("bv"))
+    val bb = bandedSigs(bench, rowsPerBand)
+      .select(col("doc_id").as("b"), col("band"), col("bv"))
+    val cand = tb.join(broadcast(bb), Seq("band", "bv"))
+      .select("a", "b").distinct()
+    cand
+      .join(train.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(broadcast(bench.select(col("doc_id").as("b"), col("sh").as("shb"))), "b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jr",
+        col("common") * 1.0 / (size(col("sha")) + size(col("shb")) - col("common")))
+      .filter(col("jr") >= 0.8)
+      .select(col("a").as("doc_id"), col("b").as("bench_id"),
+        round(col("jr"), 4).as("j"))
+  }
+
+  def fuzzyDecontaminate(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.VectorFunctions.register(s)
+    val docs = Tables(s, dir, "documents")
+    val bench = hashedShingledOf(docs.filter(col("doc_id") % 10 === 7))
+    val train = hashedShingledOf(docs.filter(col("doc_id") % 10 =!= 7))
+    fuzzyContaminationOf(train, bench).orderBy("doc_id", "bench_id")
   }
 
   /** One large-star round (Kiveris et al., "Connected Components in
