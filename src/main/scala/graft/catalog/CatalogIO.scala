@@ -1483,20 +1483,49 @@ object CatalogIO {
       cat: Catalog with SupportsTableVersions, ref: TableRef,
       fromVersion: Int, toVersion: Int,
       conf: Configuration = new Configuration()): DataFrame = {
-    require(fromVersion <= toVersion,
-      s"incremental read range is inverted: v$fromVersion > v$toVersion")
-    val to = readLayout(cat.metadataLocationForVersion(ref, toVersion), conf)
+    val (to, added) = appendsLayoutBetween(cat, ref, fromVersion, toVersion, conf)
     val schema = to.schemaDdl.getOrElse(throw new UnsupportedOperationException(
       s"Table $ref v$toVersion has no recorded schema; INSERT OVERWRITE once " +
         "to upgrade it before incremental reads"))
-    def emptyResult: DataFrame = spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-      org.apache.spark.sql.types.StructType.fromDDL(schema))
-    if (fromVersion == toVersion) return emptyResult
-    val from = readLayout(cat.metadataLocationForVersion(ref, fromVersion), conf)
+    if (added.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(schema))
+    scanLayoutWithOptions(spark, to.copy(
+      dataFiles = Some(added.map(_._1)),
+      dataFileSeqs = if (to.seqGated) Some(added.map(_._2)) else None,
+      deleteFiles = Nil, // all pre-date fromVersion: exempt by seq gate
+      dataFileStats = None), Map.empty)
+  }
+
+  /** The (to-layout, segment-relative files ∪ seqs ADDED in
+    * (fromVersion, toVersion]) behind [[readAppendsBetween]] and the
+    * table stream source — one place owns the append-only checks.
+    * `fromVersion = 0` means "from the empty table": every file of
+    * `toVersion` is the change set (the stream's full-bootstrap start),
+    * refused while delete files are live (a bootstrap must not
+    * resurrect deleted rows — compact first). */
+  private[graft] def appendsLayoutBetween(
+      cat: Catalog with SupportsTableVersions, ref: TableRef,
+      fromVersion: Int, toVersion: Int,
+      conf: Configuration): (TableLayout, Seq[(String, Int)]) = {
+    require(fromVersion <= toVersion,
+      s"incremental read range is inverted: v$fromVersion > v$toVersion")
+    val to = readLayout(cat.metadataLocationForVersion(ref, toVersion), conf)
     val toFiles = to.dataFiles.getOrElse(throw new UnsupportedOperationException(
       s"Table $ref v$toVersion predates file manifests (whole-directory " +
         "snapshot); INSERT OVERWRITE once to upgrade it before incremental reads"))
+    val toSeqs = to.dataFileSeqs.getOrElse(Seq.fill(toFiles.size)(0))
+    if (fromVersion == toVersion) return (to, Nil)
+    if (fromVersion == 0) {
+      if (to.deleteFiles.nonEmpty)
+        throw new UnsupportedOperationException(
+          s"Table $ref carries live row-level delete files; a from-scratch " +
+            "incremental bootstrap would resurrect deleted rows — compact " +
+            "first to materialize them away")
+      return (to, toFiles.zip(toSeqs))
+    }
+    val from = readLayout(cat.metadataLocationForVersion(ref, fromVersion), conf)
     val fromFiles = from.dataFiles.getOrElse(throw new UnsupportedOperationException(
       s"Table $ref v$fromVersion predates file manifests (whole-directory " +
         "snapshot); INSERT OVERWRITE once to upgrade it before incremental reads"))
@@ -1516,14 +1545,7 @@ object CatalogIO {
         s"Table $ref history v$fromVersion..v$toVersion is not append-only: " +
           "row-level delete files committed in the range; re-sync with a " +
           "full read at v" + toVersion)
-    val toSeqs = to.dataFileSeqs.getOrElse(Seq.fill(toFiles.size)(0))
-    val added = toFiles.zip(toSeqs).filterNot { case (f, _) => fromSet(f) }
-    if (added.isEmpty) return emptyResult
-    scanLayoutWithOptions(spark, to.copy(
-      dataFiles = Some(added.map(_._1)),
-      dataFileSeqs = if (to.seqGated) Some(added.map(_._2)) else None,
-      deleteFiles = Nil, // all pre-date fromVersion: exempt by seq gate
-      dataFileStats = None), Map.empty)
+    (to, toFiles.zip(toSeqs).filterNot { case (f, _) => fromSet(f) })
   }
 
   /** [[readAppendsBetween]] from a persisted cursor to the current

@@ -1,0 +1,188 @@
+package graft.streaming
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.catalog.{Catalog, CatalogConfig, CatalogFactory, CatalogIO, SupportsTableVersions, TableRef}
+
+/** Structured Streaming FROM a graft catalog table (round 10): the
+  * read twin of [[StreamMaterialize]]'s stream-INTO-table face, and the
+  * streaming face of [[CatalogIO.readAppendsBetween]] — Iceberg's
+  * streaming read re-expressed for this format.
+  *
+  * Offsets ARE committed version numbers: micro-batch (start, end]
+  * serves exactly the files commits in that version range appended
+  * (manifest set difference), so replay after any crash is
+  * deterministic — versions are immutable and totally ordered, which is
+  * the whole exactly-once story; no source-side state beyond the
+  * checkpointed offset. Non-append history inside a batch range
+  * (overwrite, manifest shrink, delete files) fails the stream loudly
+  * with the same re-sync contract as the batch face. At 100 TB each
+  * trigger costs O(files appended since the last trigger) — the
+  * manifest diff is two small JSON reads; no listing, no full scan.
+  *
+  *   spark.readStream.format("graft-table")
+  *     .option("type", "hadoop").option("warehouse", wh)
+  *     .option("table", "db.events")
+  *     .option("startingVersion", "earliest" | <N>)   // default: latest
+  *     .load()
+  *
+  * `startingVersion` absent → only appends AFTER stream start;
+  * `earliest` → full bootstrap (refused while delete files are live —
+  * it would resurrect deleted rows; compact first); `N` → start at
+  * version N's changes. Un-materialized column renames refuse at plan
+  * time (compact first); reading is Spark's own vectorized parquet
+  * reader over the exact added files.
+  */
+final class GraftTableStreamProvider extends TableProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft-table"
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def cfgOf(options: CaseInsensitiveStringMap): (CatalogConfig, TableRef) = {
+    val props = options.asCaseSensitiveMap().asScala.toMap
+    val tpe = props.getOrElse("type", throw new IllegalArgumentException(
+      "graft-table stream source requires a 'type' option (catalog type)"))
+    val table = props.getOrElse("table", throw new IllegalArgumentException(
+      "graft-table stream source requires a 'table' option (dotted table name)"))
+    val cfg = CatalogConfig(tpe, props.getOrElse("name", "graft-stream-source"),
+      properties = props - "type" - "table" - "startingVersion" - "name")
+    (cfg, TableRef.parse(table))
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val (cfg, ref) = cfgOf(options)
+    val cat = CatalogFactory.build(cfg)
+    try {
+      val layout = CatalogIO.readLayout(cat.loadTableMetadataLocation(ref))
+      StructType.fromDDL(layout.schemaDdl.getOrElse(
+        throw new UnsupportedOperationException(
+          s"Table $ref has no recorded schema; INSERT OVERWRITE once to " +
+            "upgrade it before streaming reads")))
+    } finally cat.close()
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val (cfg, ref) = cfgOf(new CaseInsensitiveStringMap(properties))
+    new GraftStreamTable(cfg, ref, schema,
+      Option(properties.get("startingVersion")))
+  }
+}
+
+private[streaming] final class GraftStreamTable(cfg: CatalogConfig,
+    ref: TableRef, tableSchema: StructType, startingVersion: Option[String])
+  extends Table with SupportsRead {
+
+  override def name(): String = s"graft-stream:${cfg.name}.$ref"
+  override def schema(): StructType = tableSchema
+  override def properties(): util.Map[String, String] =
+    util.Collections.emptyMap()
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.MICRO_BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = tableSchema
+        override def description(): String = name()
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new GraftTableMicroBatchStream(cfg, ref, tableSchema, startingVersion)
+      }
+    }
+}
+
+/** One committed version number = one offset. */
+private[streaming] final case class VersionOffset(v: Int) extends Offset {
+  override def json(): String = v.toString
+}
+
+private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
+    ref: TableRef, tableSchema: StructType, startingVersion: Option[String])
+  extends MicroBatchStream {
+
+  private val cat: Catalog with SupportsTableVersions =
+    CatalogFactory.build(cfg) match {
+      case v: SupportsTableVersions => v.asInstanceOf[Catalog with SupportsTableVersions]
+      case other =>
+        other.close()
+        throw new UnsupportedOperationException(
+          s"graft-table stream source needs a versioning catalog; " +
+            s"type '${cfg.catalogType}' keeps no history")
+    }
+  private def conf: Configuration = new Configuration()
+
+  private def latestVersion: Int =
+    cat.listTableVersions(ref).lastOption.getOrElse(
+      throw new graft.catalog.NoSuchTableException(
+        s"Table does not exist: $ref"))
+
+  override def initialOffset(): Offset = VersionOffset(startingVersion match {
+    case None => latestVersion // only appends after stream start
+    case Some("earliest") => 0 // full bootstrap, then incremental
+    case Some(n) => n.toIntOption.filter(_ >= 1).getOrElse(
+      throw new IllegalArgumentException(
+        s"startingVersion must be 'earliest' or a version >= 1, got '$n'")) - 1
+  })
+
+  override def latestOffset(): Offset = VersionOffset(latestVersion)
+
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toInt)
+
+  // the factory of the most recent per-batch scan; a template over the
+  // current manifest serves the (factory-before-plan / empty-batch) case
+  @volatile private var lastFactory: PartitionReaderFactory = _
+
+  private def parquetScanOver(paths: Seq[String], dataLocation: String) = {
+    val spark = SparkSession.active
+    ParquetTable(s"$ref-stream", spark,
+      new CaseInsensitiveStringMap(Map("basePath" -> dataLocation).asJava),
+      paths, userSpecifiedSchema = Some(tableSchema),
+      fallbackFileFormat = classOf[ParquetFileFormat])
+      .newScanBuilder(CaseInsensitiveStringMap.empty())
+      .build()
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
+    val (to, added) = CatalogIO.appendsLayoutBetween(cat, ref, s, e, conf)
+    if (to.renameOps.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"Table $ref carries un-materialized column renames; compact to " +
+          "materialize them before streaming reads")
+    if (added.isEmpty) return Array.empty
+    val abs = added.map { case (f, _) =>
+      new org.apache.hadoop.fs.Path(to.dataLocation, f).toString }
+    val scan = parquetScanOver(abs, to.dataLocation)
+    lastFactory = scan.toBatch.createReaderFactory()
+    scan.toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val f = lastFactory
+    if (f != null) f
+    else {
+      // empty first batch: build a factory from the current layout (it
+      // only carries schema + conf; partitions name their own files)
+      val layout = CatalogIO.readLayout(cat.loadTableMetadataLocation(ref), conf)
+      parquetScanOver(Nil, layout.dataLocation).toBatch.createReaderFactory()
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = cat.close()
+}
