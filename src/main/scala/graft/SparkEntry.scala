@@ -128,6 +128,7 @@ object SparkEntry {
     "w03_stream_ingest" -> (graft.queries.WriteQueries.w03 _),
     "w04_nessie_publish" -> (graft.queries.WriteQueries.w04 _),
     "w05_incremental_read" -> (graft.queries.WriteQueries.w05 _),
+    "w06_table_stream" -> (graft.queries.WriteQueries.w06 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -880,6 +881,18 @@ object SparkEntry {
         |UNION ALL SELECT 'tag', 'cust', COUNT(*), CAST(SUM(k) AS BIGINT), CAST(MAX(k) AS BIGINT) FROM v1c
         |UNION ALL SELECT 'tag', 'sup', COUNT(*), CAST(SUM(k) AS BIGINT), CAST(MAX(k) AS BIGINT) FROM v1s
         |ORDER BY phase, src""".stripMargin,
+    // w06: the table stream source is exactly the manifest diffs of
+    // its version offsets, so each phase of the streamed sink is
+    // relationally a filter of the source (WriteQueries.w06 runs a
+    // real stream with appends landing mid-flight)
+    "w06_table_stream" ->
+      """WITH b AS (SELECT CAST(l_orderkey AS BIGINT) AS k, l_returnflag AS rf,
+        |                  (l_orderkey % 3) AS m FROM lineitem)
+        |SELECT 'boot' AS phase, rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM b WHERE m = 0 GROUP BY rf
+        |UNION ALL SELECT 'incr', rf, COUNT(*), CAST(SUM(k) AS BIGINT)
+        |FROM b GROUP BY rf
+        |ORDER BY phase, rf""".stripMargin,
     // w05: incremental append reads are manifest set-differences, so
     // each phase's change set is relationally just the slice that
     // commit appended (WriteQueries.w05 runs the real version-diff

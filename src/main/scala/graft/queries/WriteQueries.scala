@@ -262,6 +262,57 @@ object WriteQueries {
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
     }
 
+  /** w06 (round 10): the table STREAM SOURCE under the oracle
+    * ([[graft.streaming.GraftTableStreamProvider]] — version offsets,
+    * manifest-diff micro-batches). A table is bootstrapped from one
+    * lineitem slice, a stream reads it from `earliest` into a memory
+    * sink, and two more slices are appended WHILE the stream runs; the
+    * sink is aggregated after the bootstrap and again after the
+    * incremental batches. The oracle replays both phases as pure
+    * filters — a stream that missed a file, double-served a batch, or
+    * leaked rows across trigger boundaries changes a phase's aggregate
+    * and fails the hash. */
+  def w06(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w06") { (cat, hc) =>
+      import graft.catalog.{CatalogIO, TableRef}
+      val ref = TableRef.parse("db.li")
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      def slice(m: Int): DataFrame = spark.sql(
+        s"""SELECT CAST(l_orderkey AS BIGINT) AS k, l_returnflag AS rf
+           |FROM parquet.`$dir/lineitem.parquet` WHERE l_orderkey % 3 = $m""".stripMargin)
+      CatalogIO.createTable(spark, hc, ref, slice(0))          // v1
+      val sink = s"w06s${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+      val q = spark.readStream.format("graft-table")
+        .option("type", "hadoop").option("warehouse", wh)
+        .option("table", "db.li").option("startingVersion", "earliest")
+        .load()
+        .writeStream.format("memory").queryName(sink).outputMode("append")
+        .start()
+      try {
+        q.processAllAvailable()
+        def agg(phase: String): Seq[org.apache.spark.sql.Row] =
+          spark.table(sink).groupBy(lit(phase).as("phase"), col("rf"))
+            .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+            .collect().toIndexedSeq
+        val boot = agg("boot") // exactly the bootstrap slice
+        CatalogIO.commitAppend(spark, hc, ref, slice(1))       // v2
+        CatalogIO.commitAppend(spark, hc, ref, slice(2))       // v3
+        q.processAllAvailable()
+        val incr = agg("incr") // cumulative: all three slices
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("phase",
+            org.apache.spark.sql.types.StringType, nullable = false),
+          org.apache.spark.sql.types.StructField("rf",
+            org.apache.spark.sql.types.StringType, nullable = true),
+          org.apache.spark.sql.types.StructField("cnt",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("sum_k",
+            org.apache.spark.sql.types.LongType, nullable = true)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(boot ++ incr, 1), schema)
+      } finally q.stop()
+    }
+
   def w03(spark: SparkSession, dir: String): DataFrame =
     graft.sources.TempCatalog.withTempHandles(spark, "graft-w03") { (cat, hc) =>
       import graft.catalog.TableRef
