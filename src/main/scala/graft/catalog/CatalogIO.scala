@@ -1007,6 +1007,97 @@ object CatalogIO {
     ExpireResult(expired, dirs)
   }
 
+  /** Outcome of [[sweepOrphanFiles]]. */
+  final case class OrphanSweepResult(scannedFiles: Int, deletedFiles: Int,
+      reclaimedBytes: Long)
+
+  /** Reclaim files under a table's directory that NO committed version
+    * references — the garbage-collection face of the format (Iceberg's
+    * remove-orphan-files idiom), closing the crash-residue loop the
+    * commit paths deliberately leave behind: a loser's data dir from a
+    * raced full-snapshot commit, files moved into the live segment by
+    * an append whose metadata write then lost, stale `stage-*` dirs and
+    * `.tmp` pointer debris from crashes, and files a PARTIAL compaction
+    * replaced once [[expireVersions]] has dropped every version that
+    * referenced them (whole dead segments are expiry's job; this sweeps
+    * the file-level remainder inside surviving segments).
+    *
+    * Safety: the keep set is (metadata dir + pointer) ∪ every file any
+    * version's manifest references (data AND delete files) ∪ the WHOLE
+    * data location of any pre-manifest version (its files cannot be
+    * enumerated from metadata) — and nothing younger than `graceMs` is
+    * touched, so an in-flight commit's just-moved files survive the
+    * sweep even though no manifest names them yet (the same grace
+    * convention as object-store GC). Run it off the hot write path,
+    * like every maintenance job. */
+  def sweepOrphanFiles(cat: HadoopFsCatalog, ref: TableRef,
+      graceMs: Long = 3600000L): OrphanSweepResult = {
+    val fs = cat.fileSystem
+    val dir = cat.tableDir(ref)
+    val versions = cat.listTableVersions(ref)
+    if (versions.isEmpty)
+      throw new UnsupportedOperationException(
+        s"Table $ref has no local metadata history (registered at an " +
+          "external metadata location?) — nothing to sweep against")
+    def norm(p: Path): String = fs.makeQualified(p).toUri.getPath
+    val conf = fs.getConf
+    val referenced = scala.collection.mutable.Set.empty[String]
+    val keepRoots = scala.collection.mutable.Set.empty[String]
+    // every version's segment DIRECTORY itself survives (an empty
+    // snapshot's data dir must stay appendable), even when the sweep
+    // empties it of unreferenced files
+    val segmentDirs = scala.collection.mutable.Set.empty[String]
+    versions.foreach { v =>
+      val l = readLayout(cat.metadataLocationForVersion(ref, v), conf)
+      segmentDirs += norm(new Path(l.dataLocation))
+      l.absoluteDataFiles match {
+        case Some(files) =>
+          referenced ++= files.map(f => norm(new Path(f)))
+          referenced ++= l.absoluteDeleteFiles.map(d => norm(new Path(d._1)))
+        case None => keepRoots += norm(new Path(l.dataLocation))
+      }
+    }
+    keepRoots += norm(new Path(dir, "metadata"))
+    val cutoff = System.currentTimeMillis() - graceMs
+    var scanned = 0
+    var deleted = 0
+    var bytes = 0L
+    val it = fs.listFiles(dir, true)
+    val doomed = Vector.newBuilder[Path]
+    while (it.hasNext) {
+      val st = it.next()
+      val p = norm(st.getPath)
+      scanned += 1
+      val keep =
+        keepRoots.exists(r => p == r || p.startsWith(r + "/")) ||
+          referenced(p) ||
+          st.getPath.getName == "pointer.text" ||
+          st.getModificationTime >= cutoff
+      if (!keep) { doomed += st.getPath; bytes += st.getLen }
+    }
+    doomed.result().foreach { p =>
+      if (fs.delete(p, false)) deleted += 1
+    }
+    // fold away directories the sweep emptied (stage-* trees, orphan
+    // data dirs), deepest first; non-recursive delete refuses non-empty
+    // dirs, so this can never take live data
+    def dirsUnder(p: Path): Seq[Path] = {
+      val subs = (try fs.listStatus(p) catch {
+        case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus]
+      }).filter(_.isDirectory).map(_.getPath).toSeq
+      subs.flatMap(dirsUnder) ++ subs
+    }
+    dirsUnder(dir)
+      .filterNot { d =>
+        val n = norm(d)
+        segmentDirs(n) || keepRoots.exists(r => n == r || n.startsWith(r + "/"))
+      }
+      .foreach { d =>
+        try fs.delete(d, false) catch { case _: java.io.IOException => () }
+      }
+    OrphanSweepResult(scanned, deleted, bytes)
+  }
+
   /** Outcome of [[compactTable]]. */
   final case class CompactResult(metadataLocation: String,
       fromFiles: Int, toFiles: Int, compacted: Boolean)

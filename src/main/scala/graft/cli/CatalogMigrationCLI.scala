@@ -64,6 +64,7 @@ object CatalogMigrationCLI {
       clusterBy: Seq[String] = Seq.empty,
       targetFileBytes: Long = 128L << 20,
       keepLast: Int = -1,
+      graceMs: Long = 3600000L,
       gcAfter: Boolean = false,
       outputDir: String = ".",
       dryRun: Boolean = false)
@@ -80,7 +81,7 @@ object CatalogMigrationCLI {
     if (args.contains("-h") || args.contains("--help")) { out(usage); return 0 }
 
     if (args.head == "compact" || args.head == "expire-versions" ||
-        args.head == "squash-history")
+        args.head == "squash-history" || args.head == "sweep-orphans")
       return runMaintenance(args, out)
 
     parse(args) match {
@@ -203,6 +204,12 @@ object CatalogMigrationCLI {
             case Some(n) => o = o.copy(keepLast = n)
           }
           rest = t
+        case "--grace-ms" :: v :: t =>
+          v.toLongOption.filter(_ >= 0) match {
+            case Some(n) => o = o.copy(graceMs = n)
+            case None => return Left(s"--grace-ms expects a non-negative integer, got '$v'")
+          }
+          rest = t
         case "--gc" :: t => o = o.copy(gcAfter = true); rest = t
         case "--output-dir" :: v :: t => o = o.copy(outputDir = v); rest = t
         case "--dry-run" :: t => o = o.copy(dryRun = true); rest = t
@@ -260,6 +267,7 @@ object CatalogMigrationCLI {
       ids.foreach { ref =>
         try {
           if (opts.cmd == "compact") compactOne(opts, hadoop, ref, log)
+          else if (opts.cmd == "sweep-orphans") sweepOne(opts, hadoop, ref, log)
           else expireOne(opts, hadoop, ref, log)
         } catch {
           case e: Exception =>
@@ -305,6 +313,18 @@ object CatalogMigrationCLI {
         log(s"$ref is already compact (${res.fromFiles} data files); nothing to do.")
     }
   }
+
+  private def sweepOne(opts: MaintOpts, cat: HadoopFsCatalog, ref: TableRef,
+      log: String => Unit): Unit =
+    if (opts.dryRun) {
+      val versions = cat.listTableVersions(ref)
+      log(s"Dry run: would sweep orphan files of $ref against " +
+        s"${versions.size} version(s), grace ${opts.graceMs} ms.")
+    } else {
+      val res = CatalogIO.sweepOrphanFiles(cat, ref, opts.graceMs)
+      log(s"Swept $ref: ${res.deletedFiles} orphan file(s) of " +
+        s"${res.scannedFiles} scanned, ${res.reclaimedBytes} bytes reclaimed.")
+    }
 
   private def expireOne(opts: MaintOpts, cat: HadoopFsCatalog, ref: TableRef,
       log: String => Unit): Unit =
@@ -625,7 +645,7 @@ object CatalogMigrationCLI {
   }
 
   private val usage: String =
-    """Usage: catalog-migrator (migrate | register | compact | expire-versions | squash-history) [options]
+    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history) [options]
       |Bulk-migrate table entries from a source catalog to a target catalog
       |without data copy. `migrate` deletes entries from the source after
       |successful registration; `register` leaves them in place.
@@ -643,6 +663,8 @@ object CatalogMigrationCLI {
       |  --cluster-by c1[,c2...]          compact: range-cluster the rewrite on these
       |                                   columns (tight per-file stats -> file skipping)
       |  --target-file-bytes <n>          compact: rewrite target size (default 134217728)
+      |  --grace-ms <n>                   sweep-orphans: age files must exceed to be
+      |                                   reclaimed (default 3600000; in-flight commits)
       |  --keep-last <n>                  expire-versions: versions to keep (required);
       |                                   squash-history: newest commits to keep (required)
       |  --gc                             squash-history: also sweep unreachable commit

@@ -108,6 +108,31 @@ class MaintenanceCLISpec extends AnyFunSuite {
     assert(xcode == 2 && xlines.exists(_.contains("--cluster-by")))
   }
 
+  test("sweep-orphans reclaims planted crash residue; dry-run reports only") {
+    val (wh, hc) = fragmentedTable()
+    val outDir = Files.createTempDirectory("maint-out").toString
+    val ref = TableRef.parse("db.t")
+    val dir = hc.tableDir(ref).toUri.getPath
+    val stage = java.nio.file.Paths.get(dir, "stage-v9-dead")
+    Files.createDirectories(stage)
+    Files.write(stage.resolve("junk.parquet"), Array[Byte](1, 2, 3))
+    val preRows = CatalogIO.readTable(spark, hc, ref)
+      .collect().map(_.mkString("|")).sorted.toSeq
+
+    val (dcode, dlines) = runCli(maintArgs("sweep-orphans", wh, outDir, "--dry-run"))
+    assert(dcode == 0 && dlines.exists(_.startsWith("Dry run: would sweep orphan files of db.t")))
+    assert(Files.exists(stage))
+
+    Thread.sleep(1200) // local-FS mtime granularity vs the grace cutoff
+    val (code, lines) = runCli(maintArgs("sweep-orphans", wh, outDir,
+      "--grace-ms", "0"))
+    assert(code == 0)
+    assert(lines.exists(_.matches("Swept db\\.t: \\d+ orphan file\\(s\\) of \\d+ scanned, \\d+ bytes reclaimed\\.")))
+    assert(!Files.exists(stage))
+    assert(CatalogIO.readTable(spark, hc, ref)
+      .collect().map(_.mkString("|")).sorted.toSeq == preRows)
+  }
+
   test("expire-versions dry-run previews, execute reclaims; exit 0") {
     val (wh, hc) = fragmentedTable()
     val outDir = Files.createTempDirectory("maint-out").toString
