@@ -133,7 +133,13 @@ object FileStats {
   def decode(encoded: String, schema: StructType): Option[Decoded] = {
     if (encoded == null || encoded.isEmpty) return None
     Try {
-      val byName = schema.fields.map(f => f.name.toLowerCase -> f.dataType).toMap
+      // case-colliding names (possible only under case-sensitive
+      // schemas) decode to NOTHING: a lowercased lookup could hand one
+      // column the other's envelope and prune wrongly
+      val colliding = schema.fields.groupBy(_.name.toLowerCase)
+        .collect { case (n, fs) if fs.length > 1 => n }.toSet
+      val byName = schema.fields.map(f => f.name.toLowerCase -> f.dataType)
+        .toMap -- colliding
       val recs = encoded.split(';')
       require(recs.nonEmpty && recs(0).startsWith("r,"))
       val rows = recs(0).substring(2).toLong
@@ -216,10 +222,15 @@ object FileStats {
       val rowCount = blocks.map(_.getRowCount).sum
       val wanted: Seq[StructField] = schema.fields.toSeq
         .filter(f => supported(f.dataType)).take(MaxColumns)
+      // TOP-LEVEL chunks only, keyed by their EXACT single path element:
+      // dot-joined keys would conflate a top-level column named "a.b"
+      // with nested a.b, and lowercasing would merge case-colliding
+      // columns' chunks into one wrong stat under case-sensitive schemas
       val byCol = blocks.flatMap(_.getColumns.asScala)
-        .groupBy(_.getPath.toDotString.toLowerCase)
+        .filter(_.getPath.toArray.length == 1)
+        .groupBy(_.getPath.toArray.apply(0))
       val cols = wanted.flatMap { f =>
-        byCol.get(f.name.toLowerCase).map { chunks =>
+        byCol.get(f.name).map { chunks =>
           // nullCount: known only if every chunk reports it
           val nulls =
             if (chunks.forall(c => c.getStatistics != null && c.getStatistics.isNumNullsSet))

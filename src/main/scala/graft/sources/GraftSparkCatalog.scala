@@ -90,13 +90,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     val metaLoc =
       try cat.loadTableMetadataLocation(ref)
       catch {
-        case _: graft.catalog.NoSuchTableException =>
-          // Iceberg-style metadata tables: `db.t.files` / `db.t.history`
-          // resolve when `db.t` is a real table and no actual table
-          // shadows the suffix name (the real table always wins above)
+        // Iceberg-style metadata tables: `db.t.files` / `db.t.history`
+        // resolve when `db.t` is a real table and no actual table
+        // shadows the suffix name (the real table always wins above).
+        // The suffixed identifier's own failure varies by backend —
+        // missing table, missing namespace, or a single-level catalog's
+        // namespace-depth refusal — so every resolution failure gets
+        // the metadata-table attempt before surfacing
+        case e @ (_: graft.catalog.NoSuchTableException |
+            _: graft.catalog.NoSuchNamespaceException |
+            _: IllegalArgumentException) =>
           MetadataTables.resolve(cat, ident, hadoopConfOverlay).foreach(return _)
-          throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-            ident.namespace.toSeq :+ ident.name)
+          e match {
+            case _: graft.catalog.NoSuchTableException =>
+              throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+                ident.namespace.toSeq :+ ident.name)
+            case other => throw other
+          }
       }
     val layout = CatalogIO.readLayout(metaLoc, hadoopConfOverlay)
     // FileTable merges these options into its Hadoop conf

@@ -60,9 +60,13 @@ object MetadataTables {
     if (kind != "files" && kind != "history") return None
     val base = TableRef(Namespace(ident.namespace.dropRight(1).toVector),
       ident.namespace.last)
+    // ANY failure to resolve the base table means "no metadata table
+    // here" — single-level catalogs (Hive) throw IllegalArgument for
+    // the deep namespace, others NoSuchNamespace; the caller surfaces
+    // its own table-not-found either way
     val metaLoc =
       try cat.loadTableMetadataLocation(base)
-      catch { case _: graft.catalog.NoSuchTableException => return None }
+      catch { case scala.util.control.NonFatal(_) => return None }
     kind match {
       case "files" => Some(filesTable(base, metaLoc, conf))
       case _ => historyTable(cat, base, conf)
@@ -74,13 +78,28 @@ object MetadataTables {
     val layout = CatalogIO.readLayout(metaLoc, conf)
     val schema = layout.schemaDdl.flatMap(d =>
       scala.util.Try(StructType.fromDDL(d)).toOption)
-    val files = layout.dataFiles.getOrElse(Nil)
+    val files = layout.dataFiles.getOrElse(throw new UnsupportedOperationException(
+      s"Table $base predates file manifests (whole-directory snapshot); " +
+        "INSERT OVERWRITE once to upgrade it before reading the files table"))
     val seqs = layout.dataFileSeqs.getOrElse(Seq.fill(files.size)(0))
     val stats = layout.dataFileStats.getOrElse(Seq.fill(files.size)(""))
+    // ONE recursive listing for sizes, not a getFileStatus round-trip
+    // per manifest entry (O(files) serial RPCs on an object store)
     val fs = new Path(layout.dataLocation).getFileSystem(conf)
+    val sizeOf: Map[String, Long] = {
+      val m = Map.newBuilder[String, Long]
+      try {
+        val it = fs.listFiles(new Path(layout.dataLocation), true)
+        while (it.hasNext) {
+          val st = it.next()
+          m += fs.makeQualified(st.getPath).toUri.getPath -> st.getLen
+        }
+      } catch { case scala.util.control.NonFatal(_) => () }
+      m.result()
+    }
     val rows = files.lazyZip(seqs).lazyZip(stats).map { (f, seq, st) =>
-      val size = scala.util.Try(
-        fs.getFileStatus(new Path(layout.dataLocation, f)).getLen).getOrElse(-1L)
+      val size = sizeOf.getOrElse(fs.makeQualified(
+        new Path(layout.dataLocation, f)).toUri.getPath, -1L)
       val decoded = schema.flatMap(sc => FileStats.decode(st, sc))
       val summary = decoded.map { d =>
         d.cols.toSeq.sortBy(_._1).map { case (n, c) =>

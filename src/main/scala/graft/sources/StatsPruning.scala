@@ -196,17 +196,21 @@ object StatsPruning {
             else {
               // a p-prefixed value sorts within [p, p∥…]; comparing the
               // bounds TRUNCATED to |p| avoids prefix-increment edge
-              // cases: trunc(min)>p ⇒ min above every p-prefixed string;
-              // trunc(max)<p ⇒ max below them all
-              val ps = prefix.toString
-              def trunc(v: Any): String = {
-                val s = v.toString
-                if (s.length > ps.length) s.substring(0, ps.length) else s
+              // cases: trunc(min)>p ⇒ min above every p-prefixed string
+              // (prune); trunc(max)<p ⇒ max below them all (prune).
+              // Comparison and truncation are both in UTF8String
+              // code-point space — parquet min/max are unsigned-byte
+              // ordered, which equals code-point order; Java String
+              // (UTF-16) order disagrees above U+FFFF and could prune a
+              // matching file
+              val ps = prefix.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+              val n = ps.numChars()
+              def trunc(v: Any): org.apache.spark.unsafe.types.UTF8String = {
+                val u = v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+                if (u.numChars() > n) u.substring(0, n) else u
               }
-              // trunc(min)>p ⇒ min above every p-prefixed string (prune);
-              // trunc(max)<p ⇒ max below them all (prune)
-              c.min.forall(mn => trunc(mn) <= ps) &&
-                c.max.forall(mx => trunc(mx) >= ps)
+              c.min.forall(mn => trunc(mn).compareTo(ps) <= 0) &&
+                c.max.forall(mx => trunc(mx).compareTo(ps) >= 0)
             }
         }
       }
@@ -366,17 +370,28 @@ final class StatsPrunedScanBuilder(delegate: ParquetScanBuilder,
           extremum(ds, col, min = false).getOrElse(return None))
       case _ => return None
     }
-    StatsPruning.recordManifestAgg(tableName)
     Some((StructType(fields.map(_._1)),
       org.apache.spark.sql.catalyst.InternalRow.fromSeq(fields.map(_._2))))
   }
 
+  // memoized per aggregation: the probe (supportCompletePushDown) and
+  // the push both consult the same computation exactly once
+  private var memo: Option[(Aggregation, Option[(StructType, InternalRow)])] = None
+  private def manifestAnswerMemo(agg: Aggregation): Option[(StructType, InternalRow)] =
+    memo match {
+      case Some((a, r)) if a eq agg => r
+      case _ =>
+        val r = manifestAnswer(agg)
+        memo = Some((agg, r))
+        r
+    }
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
-    manifestAnswer(aggregation).isDefined ||
+    manifestAnswerMemo(aggregation).isDefined ||
       delegate.supportCompletePushDown(aggregation)
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
-    manifestAnswer(aggregation) match {
+    manifestAnswerMemo(aggregation) match {
       case some @ Some(_) => manifestAgg = some; true
       case None => delegate.pushAggregation(aggregation)
     }
@@ -384,7 +399,9 @@ final class StatsPrunedScanBuilder(delegate: ParquetScanBuilder,
   // wrapped even with NO filters: pruning then no-ops, but the scan
   // still reports manifest row counts to the optimizer (join sizing)
   override def build(): Scan = manifestAgg match {
-    case Some((out, row)) => new ManifestAggScan(out, row, tableName)
+    case Some((out, row)) =>
+      StatsPruning.recordManifestAgg(tableName) // the agg actually ships
+      new ManifestAggScan(out, row, tableName)
     case None => delegate.build() match {
       case p: ParquetScan if p.pushedAggregate.isEmpty =>
         new StatsPrunedScan(p, captured, statsByPath, schema, tableName)

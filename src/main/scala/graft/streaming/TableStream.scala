@@ -52,22 +52,16 @@ final class GraftTableStreamProvider extends TableProvider with DataSourceRegist
   override def shortName(): String = "graft-table"
   override def supportsExternalMetadata(): Boolean = false
 
-  private def cfgOf(options: CaseInsensitiveStringMap): (CatalogConfig, TableRef) = {
-    val props = options.asCaseSensitiveMap().asScala.toMap
-    val tpe = props.getOrElse("type", throw new IllegalArgumentException(
-      "graft-table stream source requires a 'type' option (catalog type)"))
-    val table = props.getOrElse("table", throw new IllegalArgumentException(
-      "graft-table stream source requires a 'table' option (dotted table name)"))
-    val cfg = CatalogConfig(tpe, props.getOrElse("name", "graft-stream-source"),
-      properties = props - "type" - "table" - "startingVersion" - "name")
-    (cfg, TableRef.parse(table))
-  }
+  private def cfgOf(options: CaseInsensitiveStringMap): (CatalogConfig, TableRef) =
+    GraftTableStreamProvider.parse(options)
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val (cfg, ref) = cfgOf(options)
     val cat = CatalogFactory.build(cfg)
     try {
-      val layout = CatalogIO.readLayout(cat.loadTableMetadataLocation(ref))
+      val c = new Configuration()
+      cfg.hadoopConf.foreach { case (k, v) => c.set(k, v) }
+      val layout = CatalogIO.readLayout(cat.loadTableMetadataLocation(ref), c)
       StructType.fromDDL(layout.schemaDdl.getOrElse(
         throw new UnsupportedOperationException(
           s"Table $ref has no recorded schema; INSERT OVERWRITE once to " +
@@ -77,9 +71,32 @@ final class GraftTableStreamProvider extends TableProvider with DataSourceRegist
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table = {
-    val (cfg, ref) = cfgOf(new CaseInsensitiveStringMap(properties))
-    new GraftStreamTable(cfg, ref, schema,
-      Option(properties.get("startingVersion")))
+    val ci = new CaseInsensitiveStringMap(properties)
+    val (cfg, ref) = cfgOf(ci)
+    new GraftStreamTable(cfg, ref, schema, Option(ci.get("startingVersion")))
+  }
+}
+
+private[streaming] object GraftTableStreamProvider {
+  /** Option parsing, case-insensitive like every Spark option surface:
+    * `type`/`table`/`name`/`startingVersion` are control keys,
+    * `hadoop.`-prefixed keys become the Hadoop Configuration overlay
+    * (same convention as the DSv2 catalog face), everything else passes
+    * to the catalog factory as properties. */
+  def parse(options: CaseInsensitiveStringMap): (CatalogConfig, TableRef) = {
+    // CaseInsensitiveStringMap lowercases keys; Hadoop conf keys are
+    // case-sensitive in principle but universally lowercase in practice
+    val props = options.asScala.toMap
+    val control = Set("type", "table", "startingversion", "name")
+    val tpe = props.getOrElse("type", throw new IllegalArgumentException(
+      "graft-table stream source requires a 'type' option (catalog type)"))
+    val table = props.getOrElse("table", throw new IllegalArgumentException(
+      "graft-table stream source requires a 'table' option (dotted table name)"))
+    val (hadoop, plain) = (props -- control).partition(_._1.startsWith("hadoop."))
+    val cfg = CatalogConfig(tpe, props.getOrElse("name", "graft-stream-source"),
+      properties = plain,
+      hadoopConf = hadoop.map { case (k, v) => k.stripPrefix("hadoop.") -> v })
+    (cfg, TableRef.parse(table))
   }
 }
 
@@ -123,7 +140,12 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
           s"graft-table stream source needs a versioning catalog; " +
             s"type '${cfg.catalogType}' keeps no history")
     }
-  private def conf: Configuration = new Configuration()
+  // the catalog's Hadoop overlay (hadoop.* options), like the DSv2 face
+  private def conf: Configuration = {
+    val c = new Configuration()
+    cfg.hadoopConf.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
 
   private def latestVersion: Int =
     cat.listTableVersions(ref).lastOption.getOrElse(
@@ -149,11 +171,14 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
 
   private def parquetScanOver(paths: Seq[String], dataLocation: String) = {
     val spark = SparkSession.active
-    ParquetTable(s"$ref-stream", spark,
-      new CaseInsensitiveStringMap(Map("basePath" -> dataLocation).asJava),
+    // FileTable merges these options into its Hadoop conf, so the
+    // catalog's hadoop.* overlay reaches the parquet reader
+    val opts = new CaseInsensitiveStringMap(
+      (cfg.hadoopConf + ("basePath" -> dataLocation)).asJava)
+    ParquetTable(s"$ref-stream", spark, opts,
       paths, userSpecifiedSchema = Some(tableSchema),
       fallbackFileFormat = classOf[ParquetFileFormat])
-      .newScanBuilder(CaseInsensitiveStringMap.empty())
+      .newScanBuilder(opts)
       .build()
   }
 
