@@ -48,7 +48,7 @@ object ScaleSmoke {
     }
     // the write/compact experiments only need lineitem — skip the rest
     // of the synthesis when they (or srp, which synthesizes nothing) run alone
-    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats")).nonEmpty) {
+    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr")).nonEmpty) {
       replicate("orders") { (df, i) =>
         df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
           .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
@@ -83,9 +83,9 @@ object ScaleSmoke {
       "d08_dedup_substrings", "t06_pack_sequences", "p01_training_pipeline")
     // a typo'd name silently measuring nothing would waste a multi-hour
     // rerun — fail fast instead ("srp"/"write" select those experiments)
-    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats"
+    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr"
     require(unknown.isEmpty,
-      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats")
+      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats, incr")
     all.filter(q => only.isEmpty || only(q)).foreach { q =>
       try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
     }
@@ -94,8 +94,46 @@ object ScaleSmoke {
     if (only.isEmpty || only("compact")) compactScale(spark, out, replicas)
     if (only.isEmpty || only("mor")) morScale(spark, out, replicas)
     if (only.isEmpty || only("stats")) statsScale(spark, out, replicas)
+    if (only.isEmpty || only("incr")) incrScale(spark, out, replicas)
     spark.stop()
   }
+
+  /** Incremental-read experiment (round 10): against a lineitem table
+    * of `replicas`× sf0.1, a fixed 100k-row append is committed and the
+    * CHANGE SET is read back two ways — `readAppendsBetween` (manifest
+    * set difference: two JSON reads + a scan of the added files) vs the
+    * full-table scan an incremental-less pipeline would pay. The claim:
+    * the incremental read's cost tracks the batch, not the table, so
+    * the two curves diverge linearly with `replicas`. */
+  private def incrScale(spark: SparkSession, out: String, replicas: Int): Unit =
+    graft.sources.TempCatalog.withTempHandles(spark, s"graft-incr-x$replicas") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      val ref = graft.catalog.TableRef.parse("db.li")
+      val t0 = System.nanoTime()
+      spark.sql(s"CREATE TABLE $cat.db.li USING parquet AS " +
+        s"SELECT * FROM parquet.`$out/lineitem.parquet`")
+      val rows = spark.table(s"$cat.db.li").count()
+      println(f"[scale] incr x$replicas: base table $rows rows in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      val base = hc.listTableVersions(ref).last
+      spark.read.parquet(s"$out/lineitem.parquet").limit(100000)
+        .createOrReplaceTempView("incr_batch")
+      spark.sql(s"INSERT INTO $cat.db.li SELECT * FROM incr_batch")
+      val tip = hc.listTableVersions(ref).last
+      // a REAL aggregate on both sides — count() alone answers from
+      // parquet footers and would flatter the full-scan arm
+      def work(df: DataFrame): Long =
+        df.agg(sum(col("l_quantity")), count(lit(1))).collect()(0).getLong(1)
+      def timed(what: String)(body: => Long): Unit = {
+        val s0 = System.nanoTime()
+        val n = body
+        println(f"[scale] incr x$replicas: $what $n rows in " +
+          f"${(System.nanoTime() - s0) / 1e9}%.2f s")
+      }
+      timed(s"incremental read v$base..v$tip:")(work(
+        graft.catalog.CatalogIO.readAppendsBetween(spark, hc, ref, base, tip)))
+      timed("full-table scan:")(work(spark.table(s"$cat.db.li")))
+    }
 
   /** File-skipping experiment for the manifest-stats face (round 10):
     * a lineitem table of `replicas`× sf0.1 written as ONE range-
