@@ -299,6 +299,33 @@ class StatsPruningSpec extends AnyFunSuite {
       .contains("KeyGroupedBuckets"))
   }
 
+  test("streaming-ingested tables carry stats and prune like any other") {
+    val wh = Files.createTempDirectory("sstats-wh").toString
+    val name = s"ss${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.type", "hadoop")
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    val hc = new HadoopFsCatalog(name, wh)
+    hc.createNamespace(graft.catalog.Namespace.of("db"))
+    val ref = TableRef.parse("db.t")
+    // the streaming writer's batch body: replay-fenced manifest appends
+    (0 until 3).foreach { i =>
+      graft.streaming.StreamMaterialize.commitIngestBatch(spark, hc, ref,
+        spark.sql(s"SELECT /*+ COALESCE(1) */ id AS k FROM " +
+          s"range(${i * 1000}, ${i * 1000 + 1000})"),
+        i.toLong, "graft.stream.lastBatch.statsSpec", dedupeReplays = true)
+    }
+    val layout = layoutOf(hc)
+    assert(layout.dataFileStats.get.size == layout.dataFiles.get.size)
+    assert(layout.dataFileStats.get.forall(_.nonEmpty))
+    spark.conf.set("spark.graft.stats.pruning", "true")
+    StatsPruning.lastPlanned = None
+    assert(spark.sql(s"SELECT count(*) FROM $name.db.t WHERE k >= 2500")
+      .collect()(0).getLong(0) == 500)
+    assert(StatsPruning.lastPlanned.exists(_._1 >= 2),
+      s"micro-batch files should prune: ${StatsPruning.lastPlanned}")
+  }
+
   test("time travel prunes with the traveled version's own stats") {
     val (cat, _) = fixture()
     spark.conf.set("spark.graft.stats.pruning", "true")
