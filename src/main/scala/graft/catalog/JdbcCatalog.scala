@@ -75,13 +75,7 @@ final class JdbcCatalog(val name: String, uri: String,
       try Iterator.continually(rs).takeWhile(_.next()).map(_.getString(1)).toVector
       finally { rs.close(); ps.close() }
     }.map(Namespace.parse)
-    if (parent.isEmpty) all.filter(_.levels.size == 1)
-    else {
-      if (!all.contains(parent))
-        throw new NoSuchNamespaceException(s"Namespace does not exist: $parent")
-      all.filter(ns => ns.levels.size == parent.levels.size + 1 &&
-        ns.levels.startsWith(parent.levels))
-    }
+    NamespaceListing.childrenOf(all, parent)
   }
 
   override def namespaceExists(ns: Namespace): Boolean = synchronized {

@@ -87,13 +87,7 @@ final class KvCatalog(val name: String, store: KvStore,
   override def listNamespaces(parent: Namespace): Seq[Namespace] = {
     val all = store.scanPrefix(s"$name${Sep}NAMESPACE$Sep")
       .map(_._1.split(Sep, 3)(2)).map(Namespace.parse)
-    if (parent.isEmpty) all.filter(_.levels.size == 1)
-    else {
-      if (!all.contains(parent))
-        throw new NoSuchNamespaceException(s"Namespace does not exist: $parent")
-      all.filter(ns => ns.levels.size == parent.levels.size + 1 &&
-        ns.levels.startsWith(parent.levels))
-    }
+    NamespaceListing.childrenOf(all, parent)
   }
 
   override def namespaceExists(ns: Namespace): Boolean =

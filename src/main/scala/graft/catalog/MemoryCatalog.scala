@@ -22,14 +22,7 @@ final class MemoryCatalog private (
   private val tables = mutable.LinkedHashMap.empty[String, String] // ref → metadataLocation
 
   override def listNamespaces(parent: Namespace): Seq[Namespace] = synchronized {
-    if (parent.isEmpty)
-      namespaces.toSeq.filter(_.levels.size == 1)
-    else {
-      if (!namespaces.contains(parent))
-        throw new NoSuchNamespaceException(s"Namespace does not exist: $parent")
-      namespaces.toSeq.filter(ns =>
-        ns.levels.size == parent.levels.size + 1 && ns.levels.startsWith(parent.levels))
-    }
+    NamespaceListing.childrenOf(namespaces.toSeq, parent)
   }
 
   override def namespaceExists(ns: Namespace): Boolean = synchronized {

@@ -63,3 +63,19 @@ final case class MigrationResult(
     registeredTableIdentifiers: Seq[TableRef],
     failedToRegisterTableIdentifiers: Seq[TableRef],
     failedToDeleteTableIdentifiers: Seq[TableRef])
+
+/** Direct-children listing shared by the explicit-namespace backends
+  * (memory, jdbc, kv): roots for the empty parent, otherwise the parent
+  * must exist — ONE definition so the three catalogs' namespace
+  * semantics (and the error wording parity specs assert on) cannot
+  * drift. */
+private[catalog] object NamespaceListing {
+  def childrenOf(all: Seq[Namespace], parent: Namespace): Seq[Namespace] =
+    if (parent.isEmpty) all.filter(_.levels.size == 1)
+    else {
+      if (!all.contains(parent))
+        throw new NoSuchNamespaceException(s"Namespace does not exist: $parent")
+      all.filter(ns => ns.levels.size == parent.levels.size + 1 &&
+        ns.levels.startsWith(parent.levels))
+    }
+}

@@ -159,10 +159,7 @@ object Dedup {
     */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     val rowsPerBand = s.conf.getOption("spark.graft.lsh.rowsPerBand").map(_.toInt).getOrElse(2)
-    require(rowsPerBand > 0 && 32 % rowsPerBand == 0,
-      s"spark.graft.lsh.rowsPerBand must divide 32, got $rowsPerBand")
     val maxBucket = s.conf.getOption("spark.graft.lsh.maxBucket").map(_.toLong).getOrElse(0L)
-    val nBands = 32 / rowsPerBand
     graft.Telemetry.install(s)
     val sh = shingled(s, dir) // already the xxhash64 image — feed minhash directly
     val banded = bandedSigs(sh, rowsPerBand).select(col("doc_id").as("id"),
@@ -175,8 +172,18 @@ object Dedup {
     * the shared banding front of [[minhashLsh]] (self-dedup) and
     * [[fuzzyContaminationOf]] (cross-corpus). */
   private def bandedSigs(sh: DataFrame, rowsPerBand: Int): DataFrame = {
+    require(rowsPerBand > 0 && 32 % rowsPerBand == 0,
+      s"rowsPerBand must divide 32, got $rowsPerBand")
     val nBands = 32 / rowsPerBand
-    val sigs = sh.withColumn("mh", expr("graft_minhash(sh)"))
+    // gram-less docs (<3 tokens) have NO minhash signature — banding
+    // them would give every such doc identical all-null band values,
+    // making each pair of short docs a candidate in EVERY band (a
+    // quadratic blowup on crawl corpora full of near-empty docs) and
+    // sending 0/0 Jaccards into verification. They can never clear a
+    // shingle-Jaccard gate, so they simply don't band — matching the
+    // oracle, whose shingle-intersection join emits no rows for them.
+    val sigs = sh.filter(size(col("sh")) > 0)
+      .withColumn("mh", expr("graft_minhash(sh)"))
     val bandCols = (0 until nBands).map { k =>
       val rows = (0 until rowsPerBand).map(j =>
         element_at(col("mh"), rowsPerBand * k + j + 1))
@@ -351,12 +358,14 @@ object Dedup {
       .orderBy(col("comp"))
   }
 
-  /** d06 query face: exact-Jaccard pairs (d01) materialized ONCE via
-    * localCheckpoint — the detector runs exactly one time, the component
-    * loop iterates over the stored pairs — composed with the t02 quality
-    * score for representative selection. */
+  /** d06 query face: exact-Jaccard pairs (d01) composed with the t02
+    * quality score for representative selection. The detector runs
+    * exactly once — [[connectedComponents]]' own eager initial
+    * localCheckpoint materializes the pair table (and frees it with the
+    * round loop); a second checkpoint here would leak a never-freed
+    * copy in the block manager. */
   def canonical(s: SparkSession, dir: String): DataFrame = {
-    val pairs = ngramJaccard(s, dir).select(col("a"), col("b")).localCheckpoint()
+    val pairs = ngramJaccard(s, dir).select(col("a"), col("b"))
     canonicalOf(pairs, TextOps.quality(s, dir).select(col("doc_id"), col("score")))
   }
 

@@ -174,12 +174,17 @@ object TextOps {
     * like every `*Of` here); the distinct count rides the codegen'd
     * `graft_shingles_n`. Fractions are exact integer ratios, so the
     * keep verdict is engine-portable with no float-boundary hazard. */
+  /** rep_n SQL template over the token array `t` — ONE definition for
+    * both the batch scorer and the stream filter, so the Gopher
+    * verdict cannot drift between the two faces. */
+  private def repSql(n: Int): String =
+    s"""(CASE WHEN size(t) >= $n
+       | THEN CAST(size(t) - $n + 1 - size(graft_shingles_n(t, $n)) AS DOUBLE)
+       |      / CAST(size(t) - $n + 1 AS DOUBLE)
+       | ELSE CAST(0.0 AS DOUBLE) END)""".stripMargin
+
   def repetitionOf(docs: DataFrame): DataFrame = {
-    def rep(n: Int): String =
-      s"""CASE WHEN size(t) >= $n
-         | THEN CAST(size(t) - $n + 1 - size(graft_shingles_n(t, $n)) AS DOUBLE)
-         |      / CAST(size(t) - $n + 1 AS DOUBLE)
-         | ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+    def rep(n: Int): String = repSql(n)
     docs.selectExpr("doc_id", "split(lower(text), ' ') AS t")
       .selectExpr("doc_id", s"${rep(2)} AS rep2_raw", s"${rep(3)} AS rep3_raw")
       .selectExpr("doc_id",
@@ -268,11 +273,7 @@ object TextOps {
     * without joining the stream to its own projection (stream–stream
     * joins need watermarks; this is projections only). */
   def repetitionKeepOf(docs: DataFrame): DataFrame = {
-    def rep(n: Int): String =
-      s"""(CASE WHEN size(t) >= $n
-         | THEN CAST(size(t) - $n + 1 - size(graft_shingles_n(t, $n)) AS DOUBLE)
-         |      / CAST(size(t) - $n + 1 AS DOUBLE)
-         | ELSE CAST(0.0 AS DOUBLE) END)""".stripMargin
+    def rep(n: Int): String = repSql(n)
     docs
       .withColumn("t", split(lower(col("text")), " "))
       .withColumn("keep", expr(s"${rep(2)} <= 0.2 AND ${rep(3)} <= 0.1"))

@@ -63,13 +63,18 @@ object WriteQueries {
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
       // UPDATE through the same rewrite (condition on a data column)
       spark.sql(s"UPDATE $cat.db.cust SET seg = 'NEG' WHERE bal < 0")
-      // dynamic partition overwrite: replaces exactly partition n='11'
+      // dynamic partition overwrite: replaces exactly partition n='11';
+      // restore the CALLER's overwrite mode, not the global default
+      val priorMode = spark.conf.getOption("spark.sql.sources.partitionOverwriteMode")
       spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
       try spark.sql(
         s"""INSERT OVERWRITE $cat.db.cust
            |SELECT c_custkey + 3000000 AS k, c_acctbal AS bal, 'D' AS seg, '11' AS n
            |FROM parquet.`$dir/customer.parquet` WHERE c_custkey <= 3""".stripMargin)
-      finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      finally priorMode match {
+        case Some(m) => spark.conf.set("spark.sql.sources.partitionOverwriteMode", m)
+        case None => spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+      }
       val out = spark.table(s"$cat.db.cust")
         .groupBy("n")
         .agg(count(lit(1)).as("cnt"),
@@ -145,16 +150,6 @@ object WriteQueries {
         spark.sparkContext.parallelize(mor ++ compacted, 1), schema)
     }
 
-  /** w03 (round 9): streaming INGEST under the oracle — the manifest-
-    * append path of [[graft.streaming.StreamMaterialize.appendStream]],
-    * driven through its per-batch body (`commitIngestBatch` — exactly
-    * what `foreachBatch` runs) so the at-least-once hazard is exercised
-    * DETERMINISTICALLY: orders arrive as four micro-batches, batch 1 is
-    * crash-replayed twice (once immediately, once after an interleaved
-    * SQL `INSERT INTO` that must not erase the replay fence), and a
-    * zombie replay of batch 0 arrives at the very end. The final table
-    * must hold each batch exactly once plus the SQL append — any fence
-    * failure double-appends a batch and fails the hash compare. */
   /** w04 (round 10): the Nessie commit-log catalog's atomic cross-table
     * publish under the oracle. Two tables are created in a throwaway
     * versioned warehouse and their v1 pointers published to a Nessie
@@ -221,13 +216,7 @@ object WriteQueries {
           spark.createDataFrame(
             spark.sparkContext.parallelize(staged ++ published ++ atTag, 1), schema)
         } finally nessie.close()
-      } finally {
-        try {
-          import scala.jdk.CollectionConverters._
-          java.nio.file.Files.walk(java.nio.file.Paths.get(store)).iterator().asScala
-            .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-        } catch { case _: Exception => () }
-      }
+      } finally graft.sources.TempCatalog.deleteRecursively(store)
     }
 
   /** w05 (round 10): incremental append reads under the oracle
@@ -310,9 +299,24 @@ object WriteQueries {
             org.apache.spark.sql.types.LongType, nullable = true)))
         spark.createDataFrame(
           spark.sparkContext.parallelize(boot ++ incr, 1), schema)
-      } finally q.stop()
+      } finally {
+        q.stop()
+        // the memory sink holds every sunk row on the driver under the
+        // temp-view name — drop it or each invocation leaks a copy
+        spark.catalog.dropTempView(sink)
+      }
     }
 
+  /** w03 (round 9): streaming INGEST under the oracle — the manifest-
+    * append path of [[graft.streaming.StreamMaterialize.appendStream]],
+    * driven through its per-batch body (`commitIngestBatch` — exactly
+    * what `foreachBatch` runs) so the at-least-once hazard is exercised
+    * DETERMINISTICALLY: orders arrive as four micro-batches, batch 1 is
+    * crash-replayed twice (once immediately, once after an interleaved
+    * SQL `INSERT INTO` that must not erase the replay fence), and a
+    * zombie replay of batch 0 arrives at the very end. The final table
+    * must hold each batch exactly once plus the SQL append — any fence
+    * failure double-appends a batch and fails the hash compare. */
   def w03(spark: SparkSession, dir: String): DataFrame =
     graft.sources.TempCatalog.withTempHandles(spark, "graft-w03") { (cat, hc) =>
       import graft.catalog.TableRef

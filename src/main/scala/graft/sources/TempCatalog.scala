@@ -31,11 +31,20 @@ object TempCatalog {
     finally {
       Seq("", ".type", ".warehouse")
         .foreach(s => spark.conf.unset(s"spark.sql.catalog.$cat$s"))
-      try {
-        import scala.jdk.CollectionConverters._
-        java.nio.file.Files.walk(java.nio.file.Paths.get(wh)).iterator().asScala
-          .toSeq.reverse.foreach(p => java.nio.file.Files.deleteIfExists(p))
-      } catch { case _: Exception => () }
+      deleteRecursively(wh)
     }
   }
+
+  /** Best-effort recursive teardown of a temp tree (deepest first); the
+    * walk stream is closed so directory handles never outlive the call.
+    * Shared by every throwaway-warehouse face — a second inline copy
+    * (w04 had one) drifts. */
+  private[graft] def deleteRecursively(root: String): Unit =
+    try {
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(root))
+      try stream.iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+      finally stream.close()
+    } catch { case _: Exception => () }
 }
