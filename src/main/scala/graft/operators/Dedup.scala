@@ -377,7 +377,10 @@ object Dedup {
     * whole pipeline. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
     val sh = shingled(s, dir) // already the xxhash64 image — feed simhash directly
-    val sim = sh
+    // gram-less docs share one degenerate simhash (every block equal,
+    // hamming 0) — the same quadratic short-doc hazard as MinHash
+    // banding; they can never clear the Jaccard verify, so skip them
+    val sim = sh.filter(size(col("sh")) > 0)
       .withColumn("sim", expr("graft_simhash(sh)"))
       .select("doc_id", "sim")
     // Pigeonhole blocking: 13 blocks (12×5 bits + 1×4 bits) guarantee
