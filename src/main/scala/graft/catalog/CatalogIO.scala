@@ -438,7 +438,7 @@ object CatalogIO {
       bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
       Some(df.schema.toDDL),
       dataFiles = Some(listDataFiles(cat.fileSystem, dataDir)),
-      properties = properties))
+      properties = properties), priorLayout = None)
     val metaDir = new Path(dir, "metadata")
     cat.fileSystem.mkdirs(metaDir)
     val metaFile = new Path(metaDir, "v1.metadata.json")
@@ -625,7 +625,7 @@ object CatalogIO {
       dataFileSeqs = appendedSeqs(prior, priorFiles, moved.size, n),
       renameOps = prior.renameOps,
       droppedColumns = prior.droppedColumns)
-    commitLayoutAsVersion(cat, ref, n, layout)
+    commitLayoutAsVersion(cat, ref, n, layout, Some(prior))
   }
 
   /** Manifest-entry seqs for prior ∪ (files added at version `n`) —
@@ -704,7 +704,7 @@ object CatalogIO {
         deleteFiles = prior.deleteFiles,
         dataFileSeqs = appendedSeqs(prior, priorFiles, moved.size, n),
         renameOps = prior.renameOps,
-        droppedColumns = prior.droppedColumns))
+        droppedColumns = prior.droppedColumns), Some(prior))
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -800,7 +800,7 @@ object CatalogIO {
         if (!prior.seqGated) None
         else Some(survivors.map(_._2) ++ Seq.fill(moved.size)(n)),
       renameOps = prior.renameOps,
-      droppedColumns = prior.droppedColumns))
+      droppedColumns = prior.droppedColumns), Some(prior))
   }
 
   // ----- merge-on-read commits (round 8: equality-delete files) -----
@@ -900,7 +900,8 @@ object CatalogIO {
         if (deletes.isEmpty) None
         else Some(prior.dataFileSeqs.getOrElse(Seq.fill(priorFiles.size)(0)) ++
           Seq.fill(moved.size)(n)),
-      dataFileStats = None)) // re-derived in the funnel (prior ∪ footer reads)
+      dataFileStats = None), // re-derived in the funnel (prior ∪ footer reads)
+      Some(prior))
   }
 
   /** Metadata-only DELETE of WHOLE files: the next version's manifest is
@@ -922,7 +923,8 @@ object CatalogIO {
       dataFiles = Some(survivors.map(_._1)),
       dataFileSeqs =
         if (!prior.seqGated) None else Some(survivors.map(_._2)),
-      dataFileStats = None)) // re-derived in the funnel (all carried forward)
+      dataFileStats = None), // re-derived in the funnel (all carried forward)
+      Some(prior))
   }
 
   /** Write `tuples` as ONE parquet equality-delete file under the
@@ -1063,7 +1065,7 @@ object CatalogIO {
     var deleted = 0
     var bytes = 0L
     val it = fs.listFiles(dir, true)
-    val doomed = Vector.newBuilder[Path]
+    val doomed = Vector.newBuilder[(Path, Long)]
     while (it.hasNext) {
       val st = it.next()
       val p = norm(st.getPath)
@@ -1073,10 +1075,12 @@ object CatalogIO {
           referenced(p) ||
           st.getPath.getName == "pointer.text" ||
           st.getModificationTime >= cutoff
-      if (!keep) { doomed += st.getPath; bytes += st.getLen }
+      if (!keep) doomed += ((st.getPath, st.getLen))
     }
-    doomed.result().foreach { p =>
-      if (fs.delete(p, false)) deleted += 1
+    doomed.result().foreach { case (p, len) =>
+      // bytes counted only for deletes that actually happened — the
+      // CLI reports reclaimedBytes as freed space
+      if (fs.delete(p, false)) { deleted += 1; bytes += len }
     }
     // fold away directories the sweep emptied (stage-* trees, orphan
     // data dirs), deepest first; non-recursive delete refuses non-empty
@@ -1093,7 +1097,16 @@ object CatalogIO {
         segmentDirs(n) || keepRoots.exists(r => n == r || n.startsWith(r + "/"))
       }
       .foreach { d =>
-        try fs.delete(d, false) catch { case _: java.io.IOException => () }
+        // the grace window covers DIRECTORIES too: a concurrent
+        // commit's freshly-made (still-empty) staging or attempt dir
+        // must survive the fold, same invariant as the file pass
+        try {
+          if (fs.getFileStatus(d).getModificationTime < cutoff)
+            fs.delete(d, false)
+        } catch {
+          case _: java.io.IOException => ()
+          case _: java.io.FileNotFoundException => ()
+        }
       }
     OrphanSweepResult(scanned, deleted, bytes)
   }
@@ -1489,7 +1502,7 @@ object CatalogIO {
     * the prior version) passes through unread. Collection failures
     * degrade to `""` (unprunable file), never a failed commit. */
   private def withFileStats(cat: HadoopFsCatalog, ref: TableRef, n: Int,
-      layout: TableLayout): TableLayout = {
+      layout: TableLayout, priorLayout: Option[TableLayout]): TableLayout = {
     if (!collectFileStats || layout.dataFileStats.isDefined) return layout
     val files = layout.dataFiles.getOrElse(return layout)
     if (files.isEmpty) return layout.copy(dataFileStats = Some(Nil))
@@ -1497,15 +1510,19 @@ object CatalogIO {
       .flatMap(d => scala.util.Try(
         org.apache.spark.sql.types.StructType.fromDDL(d)).toOption)
       .getOrElse(return layout)
-    val prior: Map[String, String] =
-      if (n < 2) Map.empty
-      else scala.util.Try {
-        val pl = readLayout(cat.metadataLocationForVersion(ref, n - 1),
-          cat.fileSystem.getConf)
-        if (pl.dataLocation != layout.dataLocation) Map.empty[String, String]
-        else (for { pf <- pl.dataFiles; ps <- pl.dataFileStats } yield
-          pf.zip(ps).toMap).getOrElse(Map.empty[String, String])
-      }.getOrElse(Map.empty)
+    // callers on the commit path already hold the prior layout — re-read
+    // it only when they don't
+    val priorOpt = priorLayout.orElse {
+      if (n < 2) None
+      else scala.util.Try(readLayout(
+        cat.metadataLocationForVersion(ref, n - 1), cat.fileSystem.getConf)).toOption
+    }
+    val prior: Map[String, String] = priorOpt match {
+      case Some(pl) if pl.dataLocation == layout.dataLocation =>
+        (for { pf <- pl.dataFiles; ps <- pl.dataFileStats } yield
+          pf.zip(ps).toMap).getOrElse(Map.empty)
+      case _ => Map.empty
+    }
     val conf = cat.fileSystem.getConf
     import scala.collection.parallel.CollectionConverters._
     val stats = files.par.map { f =>
@@ -1516,8 +1533,9 @@ object CatalogIO {
   }
 
   private def commitLayoutAsVersion(cat: HadoopFsCatalog, ref: TableRef,
-      n: Int, layout0: TableLayout): String = {
-    val layout = withFileStats(cat, ref, n, layout0)
+      n: Int, layout0: TableLayout,
+      priorLayout: Option[TableLayout] = None): String = {
+    val layout = withFileStats(cat, ref, n, layout0, priorLayout)
     val dir = cat.tableDir(ref)
     val metaFile = new Path(new Path(dir, "metadata"), s"v$n.metadata.json")
     // atomic no-replace publish: still the same-version concurrency
@@ -1735,13 +1753,32 @@ object CatalogIO {
       data: DataFrame, deletePaths: Seq[String],
       options: Map[String, String]): DataFrame = {
     if (deletePaths.isEmpty) return data
+    // ONE driver-side footer read per delete file serves BOTH the
+    // schema grouping and the broadcast-guard row count — the previous
+    // formulation scheduled a Spark job per path for each (a schema
+    // inference plus a count), per scan of a merge-on-read table
+    val conf = {
+      val c = new Configuration()
+      options.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+    val footer: Map[String, (Vector[String], Long)] =
+      deletePaths.distinct.map { p =>
+        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf))
+        try {
+          import scala.jdk.CollectionConverters._
+          val md = r.getFooter
+          p -> (md.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toVector,
+            md.getBlocks.asScala.map(_.getRowCount).sum)
+        } finally r.close()
+      }.toMap
     val bySchema = deletePaths
-      .groupBy(p => spark.read.options(options).parquet(p).columns.toVector)
+      .groupBy(p => footer(p)._1)
       .toSeq.sortBy(_._1.mkString(","))
     val maxBroadcast = spark.conf.getOption("spark.graft.mor.maxDeleteTuples")
       .map(_.toLong).getOrElse(4000000L)
-    val tupleCount = deletePaths.distinct
-      .map(p => spark.read.options(options).parquet(p).count()).sum
+    val tupleCount = deletePaths.distinct.map(p => footer(p)._2).sum
     bySchema.foldLeft(data) { case (acc, (cols, paths)) =>
       val del = spark.read.options(options).parquet(paths: _*)
       // cast tuple columns to the data schema's types: the tuples were

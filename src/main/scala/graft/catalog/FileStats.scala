@@ -163,13 +163,35 @@ object FileStats {
   // ---- footer collection -------------------------------------------
 
   /** Textual form of a parquet min/max for a Spark type, or None when
-    * the (sparkType, parquet statistics class) pairing is unsupported —
-    * e.g. INT96 timestamps, whose binary stats are unreliable. */
-  private def boundStrings(dt: DataType, st: Statistics[_]): Option[(String, String)] =
+    * the (sparkType, parquet statistics class, logical annotation)
+    * pairing is unsupported — e.g. INT96 timestamps (unreliable binary
+    * stats), or timestamp units other than micro/milliseconds. The
+    * annotation check matters for soundness: a TIMESTAMP_MILLIS file's
+    * INT64 stats recorded verbatim would be compared against
+    * microsecond literals at scan time — 1000x off, pruning files that
+    * DO match. Decimal unscaling likewise trusts the FILE's recorded
+    * scale over the (possibly widened) current schema scale. */
+  private def boundStrings(dt: DataType, st: Statistics[_],
+      primitive: org.apache.parquet.schema.PrimitiveType): Option[(String, String)] = {
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    val ann = primitive.getLogicalTypeAnnotation
     (dt, st) match {
       case (ByteType | ShortType | IntegerType | DateType, s: IntStatistics) =>
         Some((s.getMin.toString, s.getMax.toString))
-      case (LongType | TimestampType | TimestampNTZType, s: LongStatistics) =>
+      case (TimestampType | TimestampNTZType, s: LongStatistics) =>
+        ann match {
+          case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+              if t.isAdjustedToUTC == (dt == TimestampType) =>
+            t.getUnit match {
+              case LogicalTypeAnnotation.TimeUnit.MICROS =>
+                Some((s.getMin.toString, s.getMax.toString))
+              case LogicalTypeAnnotation.TimeUnit.MILLIS =>
+                Some(((s.getMin * 1000L).toString, (s.getMax * 1000L).toString))
+              case _ => None // NANOS: no exact catalyst-micros bound
+            }
+          case _ => None // unannotated/foreign encoding: unknowable
+        }
+      case (LongType, s: LongStatistics) =>
         Some((s.getMin.toString, s.getMax.toString))
       case (FloatType, s: FloatStatistics) =>
         if (s.getMin.isNaN || s.getMax.isNaN) None
@@ -186,19 +208,30 @@ object FileStats {
         val mx = s.genericGetMax.toStringUsingUTF8
         if (mn.length > MaxStringBound || mx.length > MaxStringBound) None
         else Some((mn, mx))
-      case (d: DecimalType, s: IntStatistics) =>
-        Some((java.math.BigDecimal.valueOf(s.getMin.toLong, d.scale).toPlainString,
-          java.math.BigDecimal.valueOf(s.getMax.toLong, d.scale).toPlainString))
-      case (d: DecimalType, s: LongStatistics) =>
-        Some((java.math.BigDecimal.valueOf(s.getMin, d.scale).toPlainString,
-          java.math.BigDecimal.valueOf(s.getMax, d.scale).toPlainString))
-      case (d: DecimalType, s: BinaryStatistics) =>
-        Some((new java.math.BigDecimal(
-          new java.math.BigInteger(s.genericGetMin.getBytes), d.scale).toPlainString,
-          new java.math.BigDecimal(
-            new java.math.BigInteger(s.genericGetMax.getBytes), d.scale).toPlainString))
+      case (d: DecimalType, _) =>
+        // the FILE's recorded scale is the truth for unscaling (the
+        // current schema's scale may have been widened since)
+        val scale = ann match {
+          case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => dec.getScale
+          case _ => d.scale
+        }
+        st match {
+          case s: IntStatistics =>
+            Some((java.math.BigDecimal.valueOf(s.getMin.toLong, scale).toPlainString,
+              java.math.BigDecimal.valueOf(s.getMax.toLong, scale).toPlainString))
+          case s: LongStatistics =>
+            Some((java.math.BigDecimal.valueOf(s.getMin, scale).toPlainString,
+              java.math.BigDecimal.valueOf(s.getMax, scale).toPlainString))
+          case s: BinaryStatistics =>
+            Some((new java.math.BigDecimal(
+              new java.math.BigInteger(s.genericGetMin.getBytes), scale).toPlainString,
+              new java.math.BigDecimal(
+                new java.math.BigInteger(s.genericGetMax.getBytes), scale).toPlainString))
+          case _ => None
+        }
       case _ => None
     }
+  }
 
   /** IEEE −0.0 == +0.0 but sorts below it; widen a zero bound so a
     * query literal of either sign can never be range-excluded. */
@@ -241,7 +274,8 @@ object FileStats {
           val perChunk: Seq[Option[Option[(String, String)]]] = chunks.map { c =>
             val st = c.getStatistics
             if (st == null) None // unusable -> poison
-            else if (st.hasNonNullValue) boundStrings(f.dataType, st).map(Some(_))
+            else if (st.hasNonNullValue)
+              boundStrings(f.dataType, st, c.getPrimitiveType).map(Some(_))
             else if (st.isNumNullsSet && st.getNumNulls == c.getValueCount)
               Some(None) // provably all-null chunk: contributes no bounds
             else None
