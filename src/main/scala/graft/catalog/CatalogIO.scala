@@ -1064,6 +1064,19 @@ object CatalogIO {
     var scanned = 0
     var deleted = 0
     var bytes = 0L
+    // directory mtimes are captured BEFORE the file pass: deleting a
+    // child bumps the parent's mtime, so a post-delete reading would
+    // make the sweep's own work disqualify every just-emptied dir from
+    // the fold — while a genuinely fresh dir (a concurrent commit's
+    // still-empty staging) must keep its grace protection
+    def dirsUnder(p: Path): Seq[(Path, Long)] = {
+      val subs = (try fs.listStatus(p) catch {
+        case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus]
+      }).filter(_.isDirectory).toSeq
+      subs.flatMap(d => dirsUnder(d.getPath)) ++
+        subs.map(d => (d.getPath, d.getModificationTime))
+    }
+    val preDirs = dirsUnder(dir)
     val it = fs.listFiles(dir, true)
     val doomed = Vector.newBuilder[(Path, Long)]
     while (it.hasNext) {
@@ -1084,25 +1097,16 @@ object CatalogIO {
     }
     // fold away directories the sweep emptied (stage-* trees, orphan
     // data dirs), deepest first; non-recursive delete refuses non-empty
-    // dirs, so this can never take live data
-    def dirsUnder(p: Path): Seq[Path] = {
-      val subs = (try fs.listStatus(p) catch {
-        case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus]
-      }).filter(_.isDirectory).map(_.getPath).toSeq
-      subs.flatMap(dirsUnder) ++ subs
-    }
-    dirsUnder(dir)
-      .filterNot { d =>
+    // dirs, so this can never take live data. The grace window covers
+    // directories too, judged by their PRE-sweep mtime (above).
+    preDirs
+      .filterNot { case (d, _) =>
         val n = norm(d)
         segmentDirs(n) || keepRoots.exists(r => n == r || n.startsWith(r + "/"))
       }
-      .foreach { d =>
-        // the grace window covers DIRECTORIES too: a concurrent
-        // commit's freshly-made (still-empty) staging or attempt dir
-        // must survive the fold, same invariant as the file pass
+      .foreach { case (d, mtime) =>
         try {
-          if (fs.getFileStatus(d).getModificationTime < cutoff)
-            fs.delete(d, false)
+          if (mtime < cutoff) fs.delete(d, false)
         } catch {
           case _: java.io.IOException => ()
           case _: java.io.FileNotFoundException => ()

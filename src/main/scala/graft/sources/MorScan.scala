@@ -247,8 +247,22 @@ private final class MorScan(private val delegate: ParquetScan,
     // no tuple is read before it passes.
     val maxTuples = session.conf.getOption("spark.graft.mor.maxDeleteTuples")
       .map(_.toLong).getOrElse(4000000L)
-    val liveTuples = layout.absoluteDeleteFiles.map(_._1).distinct
-      .map(p => session.read.options(hadoopOpts).parquet(p).count()).sum
+    // driver-side footer row counts — a count() here would schedule a
+    // Spark job per delete file before every MOR table resolution
+    val footerConf = {
+      val c = new org.apache.hadoop.conf.Configuration()
+      hadoopOpts.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+    val liveTuples = layout.absoluteDeleteFiles.map(_._1).distinct.map { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(p), footerConf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      } finally r.close()
+    }.sum
     if (liveTuples > maxTuples)
       throw new MorDeleteOverflowException(
         s"merge-on-read scan of ${layout.dataLocation}: $liveTuples live " +
