@@ -43,6 +43,12 @@ object MetadataTables {
     StructField("row_count", LongType, nullable = true),
     StructField("stats", StringType, nullable = false)))
 
+  private val PartitionsSchema = StructType(Seq(
+    StructField("partition", StringType, nullable = false),
+    StructField("data_files", IntegerType, nullable = false),
+    StructField("row_count", LongType, nullable = true),
+    StructField("size_bytes", LongType, nullable = true)))
+
   private val HistorySchema = StructType(Seq(
     StructField("version", IntegerType, nullable = false),
     StructField("committed_at", TimestampType, nullable = true),
@@ -57,7 +63,7 @@ object MetadataTables {
       conf: Configuration): Option[Table] = {
     if (ident.namespace.length < 1) return None
     val kind = ident.name.toLowerCase
-    if (kind != "files" && kind != "history") return None
+    if (kind != "files" && kind != "history" && kind != "partitions") return None
     val base = TableRef(Namespace(ident.namespace.dropRight(1).toVector),
       ident.namespace.last)
     // ANY failure to resolve the base table means "no metadata table
@@ -69,8 +75,53 @@ object MetadataTables {
       catch { case scala.util.control.NonFatal(_) => return None }
     kind match {
       case "files" => Some(filesTable(base, metaLoc, conf))
+      case "partitions" => Some(partitionsTable(base, metaLoc, conf))
       case _ => historyTable(cat, base, conf)
     }
+  }
+
+  /** One row per partition directory of the current manifest —
+    * file/row/byte totals, rolled up from the manifest entries and
+    * their recorded stats plus one recursive size listing (no data
+    * read; unpartitioned tables report one `<all>` row). Row counts go
+    * null when any of the partition's files lacks stats. */
+  private def partitionsTable(base: TableRef, metaLoc: String,
+      conf: Configuration): Table = {
+    val layout = CatalogIO.readLayout(metaLoc, conf)
+    val schema = layout.schemaDdl.flatMap(d =>
+      scala.util.Try(StructType.fromDDL(d)).toOption)
+    val files = layout.dataFiles.getOrElse(throw new UnsupportedOperationException(
+      s"Table $base predates file manifests (whole-directory snapshot); " +
+        "INSERT OVERWRITE once to upgrade it before reading the partitions table"))
+    val stats = layout.dataFileStats.getOrElse(Seq.fill(files.size)(""))
+    val fs = new Path(layout.dataLocation).getFileSystem(conf)
+    val sizeOf = collection.mutable.Map.empty[String, Long]
+    try {
+      val it = fs.listFiles(new Path(layout.dataLocation), true)
+      while (it.hasNext) {
+        val st = it.next()
+        sizeOf(fs.makeQualified(st.getPath).toUri.getPath) = st.getLen
+      }
+    } catch { case scala.util.control.NonFatal(_) => () }
+    def partitionOf(rel: String): String = {
+      val cut = rel.lastIndexOf('/')
+      if (cut < 0) "<all>" else rel.substring(0, cut)
+    }
+    val rows = files.zip(stats).groupBy { case (f, _) => partitionOf(f) }
+      .toSeq.sortBy(_._1)
+      .map { case (part, entries) =>
+        val rowCounts = entries.map { case (_, st) =>
+          schema.flatMap(sc => FileStats.decode(st, sc)).map(_.rowCount) }
+        val bytes = entries.map { case (f, _) =>
+          sizeOf.get(fs.makeQualified(
+            new Path(layout.dataLocation, f)).toUri.getPath) }
+        InternalRow(UTF8String.fromString(part), entries.size,
+          (if (rowCounts.forall(_.isDefined))
+            Long.box(rowCounts.flatten.sum) else null): Any,
+          (if (bytes.forall(_.isDefined))
+            Long.box(bytes.flatten.sum) else null): Any)
+      }
+    new StaticRowsTable(s"$base.partitions", PartitionsSchema, rows.toArray)
   }
 
   private def filesTable(base: TableRef, metaLoc: String,

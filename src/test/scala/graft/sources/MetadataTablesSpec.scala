@@ -55,6 +55,22 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(hist2.last.getInt(3) == 1)
   }
 
+  test("partitions rolls up per-partition file/row/byte totals from metadata") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.p USING parquet PARTITIONED BY (g) AS " +
+      "SELECT /*+ REPARTITION(1) */ id AS k, CAST(id % 3 AS STRING) AS g FROM range(0, 900)")
+    val parts = spark.table(s"$cat.db.p.partitions").orderBy("partition").collect()
+    assert(parts.length == 3)
+    assert(parts.map(_.getString(0)).toSeq == Seq("g=0", "g=1", "g=2"))
+    assert(parts.forall(_.getLong(2) == 300L)) // rows from stats
+    assert(parts.forall(_.getLong(3) > 0L)) // bytes from one listing
+    // unpartitioned tables report one <all> row
+    spark.sql(s"CREATE TABLE $cat.db.u USING parquet AS " +
+      "SELECT /*+ COALESCE(1) */ id FROM range(0, 10)")
+    val u = spark.table(s"$cat.db.u.partitions").collect()
+    assert(u.length == 1 && u(0).getString(0) == "<all>" && u(0).getLong(2) == 10L)
+  }
+
   test("a real table always shadows the metadata suffix; missing base errors") {
     val (cat, hc) = freshCatalog()
     spark.sql(s"CREATE TABLE $cat.db.sub USING parquet AS SELECT 1 AS a")
