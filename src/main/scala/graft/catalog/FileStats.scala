@@ -123,7 +123,13 @@ object FileStats {
     case DoubleType => s.toDouble
     case BooleanType => s.toBoolean
     case StringType => UTF8String.fromString(s)
-    case _: DecimalType => Decimal(new java.math.BigDecimal(s))
+    case dt: DecimalType =>
+      // normalize to the CURRENT schema's scale: the stored text carries
+      // the file's annotation scale, and a manifest-answered MIN/MAX
+      // places this value directly into an InternalRow typed by the
+      // schema — a mismatched scale would reinterpret the unscaled long
+      val d = Decimal(new java.math.BigDecimal(s))
+      if (d.changePrecision(dt.precision, dt.scale)) d else null
     case _ => null
   }).toOption.filter(_ != null)
 

@@ -140,9 +140,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         // (BucketedScan.scala). Directory-partitioned bucketed layouts keep
         // the plain scan: their file groups mix partition dirs and bucket
         // ids, and only flat bucketed tables report a sound single-key
-        // KeyGroupedPartitioning. Bucketed tables skip stats pruning —
-        // the SPJ partitioning report is the bigger 100 TB lever there,
-        // and composing both wrappers is future work.
+        // KeyGroupedPartitioning. BucketedScan applies the same
+        // stats-based file skipping via statsMapOf; the one face it
+        // skips is manifest-answered aggregates (LocalScan), which only
+        // the plain StatsPrunedTable wrapper serves.
         case Some(n) if layout.partitionColumns.isEmpty =>
           new GraftBucketedTable(table, n, layout.bucketColumns,
             statsMapOf(layout).getOrElse(Map.empty))

@@ -67,8 +67,9 @@ object StatsPruning {
   def orderingFor(dt: DataType): Ordering[Any] =
     TypeUtils.getInterpretedOrdering(dt)
 
-  /** True when the file may hold a row satisfying ALL conjuncts; false
-    * only when some conjunct provably matches no row of the file. */
+  /** True when the file provably holds no row satisfying the conjuncts
+    * (empty, or some conjunct matches no possible row of it) and may be
+    * skipped; false = the file may hold a match and must be read. */
   def filePrunable(conjuncts: Seq[Expression], d: Decoded): Boolean =
     d.rowCount == 0 || conjuncts.exists(c => !mayMatch(c, d))
 
@@ -425,11 +426,20 @@ final class ManifestAggScan(out: StructType, row: InternalRow,
 /** Filters the delegate parquet scan's planned file slices through the
   * manifest stats envelope, then re-bin-packs the survivors with Spark's
   * own size-based packer. Reading is 100% stock — only the partition
-  * list changes. */
+  * list changes.
+  *
+  * Also implements [[SupportsRuntimeV2Filtering]] — which Spark 4.1.2's
+  * own DSv2 `ParquetScan` does NOT — so dynamic partition pruning's
+  * runtime IN-list (the broadcast-side join keys) prunes whole FILES via
+  * the manifest envelopes at execution time: a selective dimension
+  * filter skips fact files Spark would otherwise schedule, with zero
+  * data read. Runtime predicates arrive after planning, so the memoized
+  * pruning decision is invalidated when `filter()` lands. */
 final class StatsPrunedScan(private val delegate: ParquetScan,
     private val filters: Seq[Expression],
     statsByPath: Map[String, String], schema: StructType, tableName: String)
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
   override def readSchema(): StructType = delegate.readSchema()
   override def toBatch: Batch = this
@@ -437,6 +447,31 @@ final class StatsPrunedScan(private val delegate: ParquetScan,
     delegate.columnarSupportMode()
   override def createReaderFactory(): PartitionReaderFactory =
     delegate.createReaderFactory()
+
+  // ---- runtime (dynamic) file pruning ------------------------------
+
+  /** Conjuncts delivered by [[filter]] after planning — applied to the
+    * same manifest envelopes as the static pushdown. */
+  @volatile private var runtimeFilters: Seq[Expression] = Nil
+
+  /** Columns worth runtime-filtering on: those with a recorded stats
+    * envelope in at least one manifest entry — restricted to the scan's
+    * (column-pruned) output, which is what Spark resolves these against. */
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] = {
+    val statted = decodedByPath.values.flatten.flatMap(_.cols.keys).toSet
+    delegate.readSchema().fields.iterator
+      .filter(f => statted(f.name.toLowerCase))
+      .map(f => org.apache.spark.sql.connector.expressions.Expressions.column(f.name))
+      .toArray
+  }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val converted = predicates.toSeq.flatMap(V2PredicateToCatalyst.convert(_, schema))
+    if (converted.nonEmpty) {
+      runtimeFilters = runtimeFilters ++ converted
+      keptMemo = null // re-prune under the richer conjunct set
+    }
+  }
 
   /** Post-pruning size, so the optimizer plans with what will actually
     * be read: a 100 TB table pruned to a few files under a selective
@@ -466,34 +501,42 @@ final class StatsPrunedScan(private val delegate: ParquetScan,
 
   override def equals(other: Any): Boolean = other match {
     case s: StatsPrunedScan => delegate == s.delegate &&
-      filters.map(_.canonicalized) == s.filters.map(_.canonicalized)
+      filters.map(_.canonicalized) == s.filters.map(_.canonicalized) &&
+      runtimeFilters.map(_.canonicalized) == s.runtimeFilters.map(_.canonicalized)
     case _ => false
   }
   override def hashCode(): Int =
     (delegate, filters.map(_.canonicalized)).hashCode()
 
   override def description(): String =
-    s"${delegate.description()}, GraftStatsPruning: ${statsByPath.size} stat'd files"
+    s"${delegate.description()}, GraftStatsPruning: ${statsByPath.size} stat'd files" +
+      (if (runtimeFilters.nonEmpty)
+        s", RuntimeFilters: [${runtimeFilters.mkString(", ")}]" else "")
 
   // decode once per distinct file, shared across slices of that file
   @transient private lazy val decodedByPath: Map[String, Option[Decoded]] =
     statsByPath.map { case (p, s) => p -> FileStats.decode(s, schema) }
 
   /** The delegate's planned file slices minus the stats-excluded files.
-    * Memoized: both partition planning and the optimizer's statistics
-    * request resolve the same pruning decision exactly once. */
-  @transient private lazy val keptSlices: Seq[org.apache.spark.sql.execution.datasources.PartitionedFile] = {
+    * Memoized (invalidated by [[filter]]): partition planning and the
+    * optimizer's statistics request share one pruning decision. */
+  @transient @volatile private var keptMemo: Seq[org.apache.spark.sql.execution.datasources.PartitionedFile] = null
+  private def keptSlices: Seq[org.apache.spark.sql.execution.datasources.PartitionedFile] = {
+    val memo = keptMemo
+    if (memo != null) return memo
+    val conjuncts = filters ++ runtimeFilters
     val slices = delegate.toBatch.planInputPartitions()
       .flatMap(_.asInstanceOf[FilePartition].files).toSeq
     val kept = slices.filter { pf =>
       decodedByPath.get(pf.filePath.toPath.toUri.getPath).flatten match {
-        case Some(d) => !StatsPruning.filePrunable(filters, d)
+        case Some(d) => !StatsPruning.filePrunable(conjuncts, d)
         case None => true // no stats for this file: must read it
       }
     }
     val totalFiles = slices.map(_.filePath.toString).distinct.length
     val keptFiles = kept.map(_.filePath.toString).distinct.length
     StatsPruning.recordPlan(totalFiles - keptFiles, totalFiles, tableName)
+    keptMemo = kept
     kept
   }
 
@@ -505,5 +548,85 @@ final class StatsPrunedScan(private val delegate: ParquetScan,
       keptSlices.map(_.length + openCost).sum)
     FilePartition.getFilePartitions(session, keptSlices.toIndexedSeq, maxSplit)
       .toArray[InputPartition]
+  }
+}
+
+/** Conservative DSv2 `Predicate` → catalyst `Expression` conversion for
+  * the runtime-filter path: only shapes [[StatsPruning.mayMatch]] can
+  * prune on are converted; anything else drops out (no pruning — never
+  * wrong pruning). Attribute types come from the TABLE schema, so the
+  * resulting conjuncts compare in the same type space as the decoded
+  * manifest envelopes. */
+private[sources] object V2PredicateToCatalyst {
+
+  import org.apache.spark.sql.connector.expressions.{Expression => V2Expression}
+  import org.apache.spark.sql.connector.expressions.NamedReference
+
+  private def attr(schema: StructType, name: String): Option[AttributeReference] =
+    schema.fields.find(_.name.equalsIgnoreCase(name))
+      .map(f => AttributeReference(f.name, f.dataType)())
+
+  private def ref(schema: StructType, e: V2Expression): Option[AttributeReference] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 =>
+        attr(schema, nr.fieldNames()(0))
+      case _ => None
+    }
+
+  private def lit(e: V2Expression): Option[Literal] = e match {
+    case lv: org.apache.spark.sql.connector.expressions.Literal[_] =>
+      Some(Literal(lv.value, lv.dataType))
+    case _ => None
+  }
+
+  /** Either (col, lit) or (lit, col), normalized to column-first via
+    * `flip` so range predicates keep their direction. */
+  private def binary(schema: StructType, l: V2Expression, r: V2Expression,
+      make: (Expression, Expression) => Expression,
+      flip: (Expression, Expression) => Expression): Option[Expression] =
+    (for { a <- ref(schema, l); v <- lit(r) } yield make(a, v)).orElse(
+      for { a <- ref(schema, r); v <- lit(l) } yield flip(a, v))
+
+  def convert(p: Predicate, schema: StructType): Option[Expression] = {
+    val c = p.children()
+    p.name() match {
+      case "AND" if c.length == 2 => (c(0), c(1)) match {
+        case (l: Predicate, r: Predicate) =>
+          // one convertible side still prunes soundly (A ∧ B ⊆ A)
+          (convert(l, schema), convert(r, schema)) match {
+            case (Some(a), Some(b)) => Some(And(a, b))
+            case (one, other) => one.orElse(other)
+          }
+        case _ => None
+      }
+      case "OR" if c.length == 2 => (c(0), c(1)) match {
+        case (l: Predicate, r: Predicate) =>
+          // OR needs BOTH branches — dropping one would over-prune
+          for { a <- convert(l, schema); b <- convert(r, schema) } yield Or(a, b)
+        case _ => None
+      }
+      case "=" if c.length == 2 =>
+        binary(schema, c(0), c(1), EqualTo(_, _), EqualTo(_, _))
+      case "<=>" if c.length == 2 =>
+        binary(schema, c(0), c(1), EqualNullSafe(_, _), EqualNullSafe(_, _))
+      case ">" if c.length == 2 =>
+        binary(schema, c(0), c(1), GreaterThan(_, _), LessThan(_, _))
+      case ">=" if c.length == 2 =>
+        binary(schema, c(0), c(1), GreaterThanOrEqual(_, _), LessThanOrEqual(_, _))
+      case "<" if c.length == 2 =>
+        binary(schema, c(0), c(1), LessThan(_, _), GreaterThan(_, _))
+      case "<=" if c.length == 2 =>
+        binary(schema, c(0), c(1), LessThanOrEqual(_, _), GreaterThanOrEqual(_, _))
+      case "IN" if c.length >= 2 =>
+        for {
+          a <- ref(schema, c(0))
+          vs <- Some(c.toSeq.drop(1).map(lit)) if vs.forall(_.isDefined)
+        } yield In(a, vs.flatten)
+      case "IS_NULL" if c.length == 1 => ref(schema, c(0)).map(IsNull)
+      case "IS_NOT_NULL" if c.length == 1 => ref(schema, c(0)).map(IsNotNull)
+      case "STARTS_WITH" if c.length == 2 =>
+        for { a <- ref(schema, c(0)); v <- lit(c(1)) } yield StartsWith(a, v)
+      case _ => None
+    }
   }
 }

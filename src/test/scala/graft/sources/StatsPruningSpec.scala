@@ -326,6 +326,35 @@ class StatsPruningSpec extends AnyFunSuite {
       s"micro-batch files should prune: ${StatsPruning.lastPlanned}")
   }
 
+  test("runtime DPP IN-list prunes fact files via manifest stats (dynamic file pruning)") {
+    // Spark 4.1.2's own DSv2 ParquetScan implements NO runtime
+    // filtering; StatsPrunedScan's SupportsRuntimeV2Filtering face turns
+    // the DPP broadcast keys into manifest-envelope file skipping: the
+    // dim side names only keys < 500, so fact files [1000,2000) and
+    // [2000,3000) are dropped AT EXECUTION with no literal fact filter.
+    val (cat, _) = fixture()
+    spark.range(0, 50).selectExpr("id * 10 AS k", "id AS v")
+      .createOrReplaceTempView("dppdim")
+    spark.conf.set("spark.graft.stats.pruning", "true")
+    val prevUseStats =
+      spark.conf.getOption("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    try {
+      StatsPruning.lastPlanned = None
+      val rows = spark.sql(
+        s"""SELECT f.k, d.v FROM $cat.db.t f
+           |JOIN dppdim d ON f.k = d.k WHERE d.v < 50""".stripMargin).collect()
+      assert(rows.length == 50)
+      assert(StatsPruning.lastPlanned.contains((2, 3)),
+        s"runtime filter should skip 2 of 3 fact files: ${StatsPruning.lastPlanned}")
+    } finally prevUseStats match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", v)
+      case None =>
+        spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+    }
+  }
+
   test("time travel prunes with the traveled version's own stats") {
     val (cat, _) = fixture()
     spark.conf.set("spark.graft.stats.pruning", "true")
