@@ -110,7 +110,8 @@ object CatalogIO {
       dataFileSeqs: Option[Seq[Int]] = None,
       renameOps: Seq[RenameOp] = Nil,
       droppedColumns: Seq[String] = Nil,
-      dataFileStats: Option[Seq[String]] = None) {
+      dataFileStats: Option[Seq[String]] = None,
+      dataFileSizes: Option[Seq[Long]] = None) {
     require(deleteFiles.isEmpty || dataFiles.isDefined,
       "equality-delete files require a file-manifest version")
     require(renameOps.isEmpty || dataFiles.isDefined,
@@ -121,6 +122,10 @@ object CatalogIO {
     // silently drop matching rows — corruption, not a default
     require(dataFileStats.forall(s => dataFiles.exists(_.size == s.size)),
       "dataFileStats must parallel dataFiles one-to-one")
+    // misaligned sizes would split-plan the wrong byte ranges (silent
+    // row loss at read) — same hardness as the stats array
+    require(dataFileSizes.forall(s => dataFiles.exists(_.size == s.size)),
+      "dataFileSizes must parallel dataFiles one-to-one")
     /** Seq-gated per-file state (deletes or renames) is live: manifests
       * record per-file seqs while any is. */
     def seqGated: Boolean = deleteFiles.nonEmpty || renameOps.nonEmpty
@@ -176,6 +181,14 @@ object CatalogIO {
       * records per-file stats (`""` = no stats for that file). */
     def absoluteDataFilesWithStats: Option[Seq[(String, String)]] =
       for { fs <- dataFiles; ss <- dataFileStats } yield
+        fs.map(f => new Path(dataLocation, f).toString).zip(ss)
+    /** (absolute path, size in bytes) per data file when this version
+      * records COMPLETE sizes (every entry known) — the contract split
+      * planning needs: a single unknown (-1) entry drops the whole
+      * manifest back to filesystem listing rather than planning one
+      * file's byte range wrong. */
+    def absoluteDataFilesWithSizes: Option[Seq[(String, Long)]] =
+      for { fs <- dataFiles; ss <- dataFileSizes if ss.forall(_ >= 0) } yield
         fs.map(f => new Path(dataLocation, f).toString).zip(ss)
   }
 
@@ -325,7 +338,7 @@ object CatalogIO {
     "properties", "dataLocation",
     "deleteFiles", "deleteFileSeqs", "deleteFileKinds", "dataFileSeqs",
     "renameFroms", "renameTos", "renameSeqs", "droppedColumns",
-    "dataFileStats")
+    "dataFileStats", "dataFileSizes")
 
   def metadataJson(tableLocation: String, dataLocation: String,
       layout: TableLayout = TableLayout("")): String = {
@@ -366,6 +379,14 @@ object CatalogIO {
         // never re-reads footers it has already found unusable.
         layout.dataFileStats
           .map(ss => s"""  "dataFileStats": ${arrBody(ss)},\n""")
+          .getOrElse("")
+      }${
+        // per-data-file byte sizes (round 11 — Iceberg's
+        // file_size_in_bytes): metadata tables and split planning answer
+        // from the manifest with ZERO filesystem calls. -1 = unknown
+        // (pre-round-11 file whose size was never captured).
+        layout.dataFileSizes
+          .map(ss => s"""  "dataFileSizes": ${arrBody(ss.map(_.toString))},\n""")
           .getOrElse("")
       }${
         // delete files + the versions they committed at — the
@@ -900,7 +921,8 @@ object CatalogIO {
         if (deletes.isEmpty) None
         else Some(prior.dataFileSeqs.getOrElse(Seq.fill(priorFiles.size)(0)) ++
           Seq.fill(moved.size)(n)),
-      dataFileStats = None), // re-derived in the funnel (prior ∪ footer reads)
+      dataFileStats = None, // re-derived in the funnel (prior ∪ footer reads)
+      dataFileSizes = None),
       Some(prior))
   }
 
@@ -923,7 +945,8 @@ object CatalogIO {
       dataFiles = Some(survivors.map(_._1)),
       dataFileSeqs =
         if (!prior.seqGated) None else Some(survivors.map(_._2)),
-      dataFileStats = None), // re-derived in the funnel (all carried forward)
+      dataFileStats = None, // re-derived in the funnel (all carried forward)
+      dataFileSizes = None),
       Some(prior))
   }
 
@@ -1275,9 +1298,10 @@ object CatalogIO {
     * deletes, but unselected files still need them) — run the full
     * [[compactTable]], which materializes deletes away, first.
     *
-    * Selection sees (relativePath, sizeBytes); sizes come from one
-    * driver-side `getFileStatus` per manifest entry (metadata-scale).
-    * ≤1 selected file is already compact: no-op, no version churn. */
+    * Selection sees (relativePath, sizeBytes); sizes come straight from
+    * the manifest (round 11) — pre-size manifests pay one driver-side
+    * `getFileStatus` per entry, once, and the compacted commit records
+    * sizes. ≤1 selected file is already compact: no-op, no version churn. */
   def compactFiles(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
       select: (String, Long) => Boolean,
       targetFileBytes: Long = 128L << 20): CompactResult = {
@@ -1300,8 +1324,13 @@ object CatalogIO {
           "upgrade it before partial compaction"))
     val fs = cat.fileSystem
     val segment = new Path(layout.dataLocation)
-    val sized = files.map { f =>
-      (f, fs.getFileStatus(new Path(segment, f)).getLen)
+    // manifest-recorded sizes when complete (round 11 — zero filesystem
+    // calls); pre-size manifests fall back to one status per entry
+    val sized = layout.dataFileSizes.filter(_.forall(_ >= 0)) match {
+      case Some(sizes) => files.zip(sizes)
+      case None => files.map { f =>
+        (f, fs.getFileStatus(new Path(segment, f)).getLen)
+      }
     }
     val selected = sized.filter { case (f, len) => select(f, len) }
     if (selected.size <= 1)
@@ -1317,7 +1346,7 @@ object CatalogIO {
     }
     val df = scanLayoutWithOptions(spark,
       layout.copy(dataFiles = Some(selected.map(_._1)), dataFileSeqs = selSeqs,
-        dataFileStats = None),
+        dataFileStats = None, dataFileSizes = None),
       Map.empty)
     val arranged = (layout.numBuckets, layout.partitionColumns) match {
       case (Some(n), _) =>
@@ -1498,22 +1527,29 @@ object CatalogIO {
   @volatile private[graft] var collectFileStats: Boolean = true
 
   /** Ensure a manifest commit carries per-file column stats
-    * ([[FileStats]]): stats for files already in the PRIOR version (same
-    * segment, same relative path — files are immutable and per-job
-    * unique) carry forward untouched; only this commit's NEW files get a
-    * footer read, so the cost is O(files added), never O(table). A
-    * layout that already carries stats (metadata-only commits copying
-    * the prior version) passes through unread. Collection failures
-    * degrade to `""` (unprunable file), never a failed commit. */
+    * ([[FileStats]]) AND per-file byte sizes (round 11 — Iceberg's
+    * `file_size_in_bytes`, the field that lets metadata tables and split
+    * planning answer without any filesystem call): values for files
+    * already in the PRIOR version (same segment, same relative path —
+    * files are immutable and per-job unique) carry forward untouched;
+    * only this commit's NEW files get ONE file-status + footer read
+    * (the status the footer open performs anyway carries the size), so
+    * the cost is O(files added), never O(table). A layout that already
+    * carries both passes through unread. Collection failures degrade to
+    * `""` / -1 (unprunable / unknown-size file), never a failed commit. */
   private def withFileStats(cat: HadoopFsCatalog, ref: TableRef, n: Int,
       layout: TableLayout, priorLayout: Option[TableLayout]): TableLayout = {
-    if (!collectFileStats || layout.dataFileStats.isDefined) return layout
+    if (!collectFileStats ||
+        (layout.dataFileStats.isDefined && layout.dataFileSizes.isDefined))
+      return layout
     val files = layout.dataFiles.getOrElse(return layout)
-    if (files.isEmpty) return layout.copy(dataFileStats = Some(Nil))
-    val schema = layout.schemaDdl
+    if (files.isEmpty) return layout.copy(
+      dataFileStats = layout.dataFileStats.orElse(Some(Nil)),
+      dataFileSizes = layout.dataFileSizes.orElse(Some(Nil)))
+    // sizes are schema-independent; stats need a decodable recorded DDL
+    val schemaOpt = layout.schemaDdl
       .flatMap(d => scala.util.Try(
         org.apache.spark.sql.types.StructType.fromDDL(d)).toOption)
-      .getOrElse(return layout)
     // callers on the commit path already hold the prior layout — re-read
     // it only when they don't
     val priorOpt = priorLayout.orElse {
@@ -1521,19 +1557,48 @@ object CatalogIO {
       else scala.util.Try(readLayout(
         cat.metadataLocationForVersion(ref, n - 1), cat.fileSystem.getConf)).toOption
     }
-    val prior: Map[String, String] = priorOpt match {
-      case Some(pl) if pl.dataLocation == layout.dataLocation =>
-        (for { pf <- pl.dataFiles; ps <- pl.dataFileStats } yield
-          pf.zip(ps).toMap).getOrElse(Map.empty)
-      case _ => Map.empty
-    }
+    val sameSegment = priorOpt.filter(_.dataLocation == layout.dataLocation)
+    val priorStats: Map[String, String] = sameSegment
+      .flatMap(pl => for { pf <- pl.dataFiles; ps <- pl.dataFileStats } yield
+        pf.zip(ps).toMap)
+      .getOrElse(Map.empty)
+    val priorSizes: Map[String, Long] = sameSegment
+      .flatMap(pl => for { pf <- pl.dataFiles; ps <- pl.dataFileSizes } yield
+        pf.zip(ps).filter(_._2 >= 0).toMap)
+      .getOrElse(Map.empty)
+    val needStats = layout.dataFileStats.isEmpty && schemaOpt.isDefined
+    val needSizes = layout.dataFileSizes.isEmpty
+    if (!needStats && !needSizes) return layout
     val conf = cat.fileSystem.getConf
     import scala.collection.parallel.CollectionConverters._
-    val stats = files.par.map { f =>
-      prior.getOrElse(f,
-        FileStats.fromFooter(new Path(layout.dataLocation, f), conf, schema))
-    }.seq
-    layout.copy(dataFileStats = Some(stats.toVector))
+    val collected: Seq[(String, Long)] = files.par.map { f =>
+      val carriedStat = if (needStats) priorStats.get(f) else None
+      val carriedSize = if (needSizes) priorSizes.get(f) else None
+      (carriedStat, carriedSize) match {
+        case (Some(st), Some(sz)) => (st, sz)
+        case (Some(st), None) if needSizes =>
+          // stats carried from a pre-size manifest: one status call
+          val sz = scala.util.Try(cat.fileSystem
+            .getFileStatus(new Path(layout.dataLocation, f)).getLen).getOrElse(-1L)
+          (st, sz)
+        case _ if needStats =>
+          // a new file: the footer open's own file status carries the size
+          FileStats.fromFooterWithSize(
+            new Path(layout.dataLocation, f), conf, schemaOpt.get)
+        case _ =>
+          (carriedStat.getOrElse(""), carriedSize.getOrElse(
+            scala.util.Try(cat.fileSystem
+              .getFileStatus(new Path(layout.dataLocation, f)).getLen)
+              .getOrElse(-1L)))
+      }
+    }.seq.toVector
+    layout.copy(
+      dataFileStats =
+        if (needStats) Some(collected.map(_._1))
+        else layout.dataFileStats,
+      dataFileSizes =
+        if (needSizes) Some(collected.map(_._2))
+        else layout.dataFileSizes)
   }
 
   private def commitLayoutAsVersion(cat: HadoopFsCatalog, ref: TableRef,
@@ -1608,7 +1673,7 @@ object CatalogIO {
       dataFiles = Some(added.map(_._1)),
       dataFileSeqs = if (to.seqGated) Some(added.map(_._2)) else None,
       deleteFiles = Nil, // all pre-date fromVersion: exempt by seq gate
-      dataFileStats = None), Map.empty)
+      dataFileStats = None, dataFileSizes = None), Map.empty)
   }
 
   /** The (to-layout, segment-relative files ∪ seqs ADDED in
@@ -1898,6 +1963,23 @@ object CatalogIO {
               s"$n data files in $metadataLocation")
         }
         ss
+      },
+      dataFileSizes = arrayField(text, "dataFileSizes").map { ss =>
+        // misaligned sizes would split-plan wrong byte ranges —
+        // corruption, same hardness as the stats array
+        dataFiles.map(_.size).filter(_ != ss.size).foreach { n =>
+          throw new IllegalStateException(
+            s"Malformed metadata: 'dataFileSizes' has ${ss.size} entries for " +
+              s"$n data files in $metadataLocation")
+        }
+        ss.map { s =>
+          try s.toLong
+          catch { case _: NumberFormatException =>
+            throw new IllegalStateException(
+              s"Malformed metadata: non-integer size '$s' in 'dataFileSizes' " +
+                s"of $metadataLocation")
+          }
+        }
       })
   }
 

@@ -253,8 +253,24 @@ object FileStats {
     * matched case-insensitively by name; nested and unsupported columns
     * are skipped). Returns "" when nothing useful can be recorded. Never
     * throws: any failure degrades to "" (unprunable file). */
-  def fromFooter(file: Path, conf: Configuration, schema: StructType): String = try {
-    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, conf))
+  def fromFooter(file: Path, conf: Configuration, schema: StructType): String =
+    fromFooterWithSize(file, conf, schema)._1
+
+  /** [[fromFooter]] plus the file's byte size in the SAME pass: the
+    * footer open's `HadoopInputFile.fromPath` already performs the file
+    * status, so the size is free — no second filesystem round-trip per
+    * committed file. Size -1 on any failure (unknown — readers fall back
+    * to a live listing for that manifest). */
+  def fromFooterWithSize(file: Path, conf: Configuration,
+      schema: StructType): (String, Long) = try {
+    val input = HadoopInputFile.fromPath(file, conf)
+    val size = input.getLength
+    (statsFromFooter(input, schema), size)
+  } catch { case scala.util.control.NonFatal(_) => ("", -1L) }
+
+  private def statsFromFooter(input: HadoopInputFile,
+      schema: StructType): String = try {
+    val reader = ParquetFileReader.open(input)
     try {
       import scala.jdk.CollectionConverters._
       val blocks = reader.getFooter.getBlocks.asScala.toSeq

@@ -229,15 +229,27 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       .filter(m => enabled && m.nonEmpty)
   }
 
-  /** Wrap a plain manifest-planned parquet table in manifest-stats file
-    * skipping ([[StatsPruning]]) when its layout records per-file stats. */
+  /** The plain-scan table for a layout: planned from the manifest when
+    * it carries complete per-file sizes (round 11 — ZERO driver
+    * filesystem calls on data files at plan time, see
+    * [[ManifestFileIndex]]; `spark.graft.manifest.planning=false` is the
+    * kill-switch back to Spark's listing-based `ParquetTable`), wrapped
+    * in manifest-stats file skipping ([[StatsPruning]]) when the layout
+    * records per-file stats. */
   private def statsPruned(table: ParquetTable,
-      layout: CatalogIO.TableLayout): Table with org.apache.spark.sql.connector.catalog.SupportsRead =
+      layout: CatalogIO.TableLayout): Table with org.apache.spark.sql.connector.catalog.SupportsRead = {
+    val manifestPlanning = SparkSession.active.conf
+      .getOption("spark.graft.manifest.planning").forall(_ == "true")
+    val planTable: Table with org.apache.spark.sql.connector.catalog.SupportsRead =
+      if (!manifestPlanning) table
+      else ManifestFileIndex.tableFor(table.name, SparkSession.active,
+        hadoopOpts, layout).getOrElse(table)
     statsMapOf(layout) match {
-      case Some(m) => new StatsPrunedTable(table, m,
+      case Some(m) => new StatsPrunedTable(planTable, m,
         layout.dataFiles.map(_.size).getOrElse(-1))
-      case None => table
+      case None => planTable
     }
+  }
 
   /** Scan roots for a layout: manifest versions scan exactly their
     * recorded files (file-level snapshot isolation — several versions

@@ -80,11 +80,22 @@ object MetadataTables {
     }
   }
 
+  /** Per-manifest-entry byte sizes, purely from the metadata (round 11:
+    * the manifest records `dataFileSizes` at commit). Pre-size manifests
+    * report -1 per entry — NO filesystem fallback: a million-file table's
+    * "zero data read" introspection query must never become a
+    * million-entry object-store listing. One `INSERT INTO`/compaction
+    * upgrades the manifest. */
+  private def sizesOf(layout: CatalogIO.TableLayout,
+      files: Seq[String]): Seq[Long] =
+    layout.dataFileSizes.getOrElse(Seq.fill(files.size)(-1L))
+
   /** One row per partition directory of the current manifest —
-    * file/row/byte totals, rolled up from the manifest entries and
-    * their recorded stats plus one recursive size listing (no data
-    * read; unpartitioned tables report one `<all>` row). Row counts go
-    * null when any of the partition's files lacks stats. */
+    * file/row/byte totals, rolled up from the manifest entries, their
+    * recorded stats and recorded sizes (no data read, no filesystem
+    * listing; unpartitioned tables report one `<all>` row). Row counts
+    * (byte totals) go null when any of the partition's files lacks
+    * stats (a recorded size). */
   private def partitionsTable(base: TableRef, metaLoc: String,
       conf: Configuration): Table = {
     val layout = CatalogIO.readLayout(metaLoc, conf)
@@ -94,27 +105,19 @@ object MetadataTables {
       s"Table $base predates file manifests (whole-directory snapshot); " +
         "INSERT OVERWRITE once to upgrade it before reading the partitions table"))
     val stats = layout.dataFileStats.getOrElse(Seq.fill(files.size)(""))
-    val fs = new Path(layout.dataLocation).getFileSystem(conf)
-    val sizeOf = collection.mutable.Map.empty[String, Long]
-    try {
-      val it = fs.listFiles(new Path(layout.dataLocation), true)
-      while (it.hasNext) {
-        val st = it.next()
-        sizeOf(fs.makeQualified(st.getPath).toUri.getPath) = st.getLen
-      }
-    } catch { case scala.util.control.NonFatal(_) => () }
+    val sizes = sizesOf(layout, files)
     def partitionOf(rel: String): String = {
       val cut = rel.lastIndexOf('/')
       if (cut < 0) "<all>" else rel.substring(0, cut)
     }
-    val rows = files.zip(stats).groupBy { case (f, _) => partitionOf(f) }
+    val rows = files.lazyZip(stats).lazyZip(sizes).toSeq
+      .groupBy { case (f, _, _) => partitionOf(f) }
       .toSeq.sortBy(_._1)
       .map { case (part, entries) =>
-        val rowCounts = entries.map { case (_, st) =>
+        val rowCounts = entries.map { case (_, st, _) =>
           schema.flatMap(sc => FileStats.decode(st, sc)).map(_.rowCount) }
-        val bytes = entries.map { case (f, _) =>
-          sizeOf.get(fs.makeQualified(
-            new Path(layout.dataLocation, f)).toUri.getPath) }
+        val bytes = entries.map { case (_, _, sz) =>
+          if (sz >= 0) Some(sz) else None }
         InternalRow(UTF8String.fromString(part), entries.size,
           (if (rowCounts.forall(_.isDefined))
             Long.box(rowCounts.flatten.sum) else null): Any,
@@ -134,23 +137,8 @@ object MetadataTables {
         "INSERT OVERWRITE once to upgrade it before reading the files table"))
     val seqs = layout.dataFileSeqs.getOrElse(Seq.fill(files.size)(0))
     val stats = layout.dataFileStats.getOrElse(Seq.fill(files.size)(""))
-    // ONE recursive listing for sizes, not a getFileStatus round-trip
-    // per manifest entry (O(files) serial RPCs on an object store)
-    val fs = new Path(layout.dataLocation).getFileSystem(conf)
-    val sizeOf: Map[String, Long] = {
-      val m = Map.newBuilder[String, Long]
-      try {
-        val it = fs.listFiles(new Path(layout.dataLocation), true)
-        while (it.hasNext) {
-          val st = it.next()
-          m += fs.makeQualified(st.getPath).toUri.getPath -> st.getLen
-        }
-      } catch { case scala.util.control.NonFatal(_) => () }
-      m.result()
-    }
-    val rows = files.lazyZip(seqs).lazyZip(stats).map { (f, seq, st) =>
-      val size = sizeOf.getOrElse(fs.makeQualified(
-        new Path(layout.dataLocation, f)).toUri.getPath, -1L)
+    val sizes = sizesOf(layout, files)
+    val rows = files.lazyZip(seqs).lazyZip(stats).lazyZip(sizes).map { (f, seq, st, size) =>
       val decoded = schema.flatMap(sc => FileStats.decode(st, sc))
       val summary = decoded.map { d =>
         d.cols.toSeq.sortBy(_._1).map { case (n, c) =>

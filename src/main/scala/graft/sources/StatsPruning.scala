@@ -236,7 +236,7 @@ object StatsPruning {
   * normalized absolute file path (`Path.toUri.getPath`);
   * `totalDataFiles` is the manifest size — agg answering requires
   * stats coverage of EVERY file. */
-final class StatsPrunedTable(delegate: ParquetTable,
+final class StatsPrunedTable(delegate: Table with SupportsRead,
     statsByPath: Map[String, String], totalDataFiles: Int = -1)
   extends Table with SupportsRead {
 
@@ -248,8 +248,11 @@ final class StatsPrunedTable(delegate: ParquetTable,
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new StatsPrunedScanBuilder(delegate.newScanBuilder(options), statsByPath,
-      delegate.schema, delegate.name, totalDataFiles)
+    // both wrappable tables (Spark's ParquetTable, ManifestParquetTable)
+    // build ParquetScanBuilders — the only builder this wrapper delegates to
+    new StatsPrunedScanBuilder(
+      delegate.newScanBuilder(options).asInstanceOf[ParquetScanBuilder],
+      statsByPath, delegate.schema, delegate.name, totalDataFiles)
 }
 
 /** Delegates every pushdown to Spark's ParquetScanBuilder, capturing the

@@ -63,12 +63,35 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(parts.length == 3)
     assert(parts.map(_.getString(0)).toSeq == Seq("g=0", "g=1", "g=2"))
     assert(parts.forall(_.getLong(2) == 300L)) // rows from stats
-    assert(parts.forall(_.getLong(3) > 0L)) // bytes from one listing
+    assert(parts.forall(_.getLong(3) > 0L)) // bytes from the manifest
     // unpartitioned tables report one <all> row
     spark.sql(s"CREATE TABLE $cat.db.u USING parquet AS " +
       "SELECT /*+ COALESCE(1) */ id FROM range(0, 10)")
     val u = spark.table(s"$cat.db.u.partitions").collect()
     assert(u.length == 1 && u(0).getString(0) == "<all>" && u(0).getLong(2) == 10L)
+  }
+
+  test("files/partitions serve sizes from the manifest alone — zero filesystem reach") {
+    // The round-10 implementation recursively listed the whole data tree
+    // for byte sizes (O(files) object-store listing per introspection
+    // query); sizes now live in the manifest. Proof of zero filesystem
+    // dependence: DELETE the entire data tree, then read both metadata
+    // tables — identical rows, sizes still real.
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.z USING parquet PARTITIONED BY (g) AS " +
+      "SELECT /*+ REPARTITION(1) */ id AS k, CAST(id % 2 AS STRING) AS g FROM range(0, 100)")
+    def snap(): (Seq[String], Seq[String]) = (
+      spark.table(s"$cat.db.z.files").collect().map(_.mkString("|")).sorted.toSeq,
+      spark.table(s"$cat.db.z.partitions").collect().map(_.mkString("|")).sorted.toSeq)
+    val before = snap()
+    assert(spark.table(s"$cat.db.z.files").collect().forall(_.getLong(1) > 0))
+    val layout = graft.catalog.CatalogIO.readLayout(
+      hc.loadTableMetadataLocation(TableRef.parse("db.z")))
+    val dataPath = new org.apache.hadoop.fs.Path(layout.dataLocation)
+    val fs = dataPath.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    assert(fs.delete(dataPath, true), "data tree should exist")
+    assert(snap() == before,
+      "metadata tables must not depend on the live data tree")
   }
 
   test("a real table always shadows the metadata suffix; missing base errors") {
