@@ -129,6 +129,7 @@ object SparkEntry {
     "w04_nessie_publish" -> (graft.queries.WriteQueries.w04 _),
     "w05_incremental_read" -> (graft.queries.WriteQueries.w05 _),
     "w06_table_stream" -> (graft.queries.WriteQueries.w06 _),
+    "w07_positional_mor" -> (graft.queries.WriteQueries.w07 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -893,6 +894,34 @@ object SparkEntry {
         |UNION ALL SELECT 'incr', rf, COUNT(*), CAST(SUM(k) AS BIGINT)
         |FROM b GROUP BY rf
         |ORDER BY phase, rf""".stripMargin,
+    // w07: positional merge-on-read as pure set algebra. The engine
+    // commits a predicate DELETE (address file), a positional UPDATE
+    // (addresses + rewritten copies), an equality takedown (hides base
+    // and update copies alike), and a post-delete re-insert; it reads
+    // through the address-applying scan, compacts, and reads again. The
+    // oracle replays the sequence: survivors ∪ updated ∪ re-inserts,
+    // emitted once per phase (their equality puts compaction of
+    // positional deletes under the oracle).
+    "w07_positional_mor" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS k, c_acctbal AS bal,
+        |         CAST(c_nationkey AS VARCHAR) AS n FROM customer
+        |), fin AS (
+        |  SELECT k, n FROM base
+        |  WHERE bal >= 0 AND k % 100 <> 0 AND k % 97 <> 0
+        |  UNION ALL
+        |  SELECT k, 'U' AS n FROM base
+        |  WHERE bal >= 0 AND k % 100 = 0 AND k % 97 <> 0
+        |  UNION ALL
+        |  SELECT k, '99' AS n FROM base WHERE bal < 0 AND k % 2 = 0
+        |), agg AS (
+        |  SELECT n, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k,
+        |         CAST(MIN(k) AS BIGINT) AS min_k, CAST(MAX(k) AS BIGINT) AS max_k
+        |  FROM fin GROUP BY n
+        |)
+        |SELECT 'mor' AS phase, * FROM agg
+        |UNION ALL SELECT 'compacted' AS phase, * FROM agg
+        |ORDER BY phase, n""".stripMargin,
     // w05: incremental append reads are manifest set-differences, so
     // each phase's change set is relationally just the slice that
     // commit appended (WriteQueries.w05 runs the real version-diff

@@ -60,10 +60,17 @@ object CatalogIO {
     *
     * `path` is segment-relative, under `_deletes/` (the `_` prefix keeps
     * [[listDataFiles]] from ever treating it as data); `seq` is the
-    * version the delete committed at. */
+    * version the delete committed at. `targets` (pos only) lists the
+    * segment-relative DATA files the delete addresses — Iceberg's
+    * `referenced_data_file` idiom — so scans confine the row-counting
+    * read path to exactly the addressed files; empty targets on a pos
+    * delete means "unknown: treat every pre-delete file as addressed"
+    * (sound, slower). */
   final case class DeleteFile(path: String, seq: Int,
-      kind: String = DeleteKinds.Equality) {
+      kind: String = DeleteKinds.Equality, targets: Seq[String] = Nil) {
     require(DeleteKinds.All(kind), s"unknown delete-file kind '$kind'")
+    require(targets.isEmpty || kind == DeleteKinds.Position,
+      "delete-file targets apply to positional deletes only")
   }
 
   /** One column rename, recorded at the version (`seq`) it committed
@@ -177,6 +184,16 @@ object CatalogIO {
       * no seq gate; they apply to exactly the files they name). */
     def absolutePosDeleteFiles: Seq[String] =
       posDeleteFiles.map(d => new Path(dataLocation, d.path).toString)
+    /** Absolute paths of the pos-delete files addressing data file
+      * `relFile` (committed at `fileSeq`): files whose recorded targets
+      * name it, plus any pos delete WITHOUT recorded targets that the
+      * file predates (unknown targets: conservatively addressed). */
+    def posDeletesFor(relFile: String, fileSeq: Int): Seq[String] =
+      posDeleteFiles.collect {
+        case d if d.targets.contains(relFile) ||
+            (d.targets.isEmpty && fileSeq < d.seq) =>
+          new Path(dataLocation, d.path).toString
+      }
     /** (absolute path, encoded stats) per data file, when this version
       * records per-file stats (`""` = no stats for that file). */
     def absoluteDataFilesWithStats: Option[Seq[(String, String)]] =
@@ -338,7 +355,7 @@ object CatalogIO {
     "properties", "dataLocation",
     "deleteFiles", "deleteFileSeqs", "deleteFileKinds", "dataFileSeqs",
     "renameFroms", "renameTos", "renameSeqs", "droppedColumns",
-    "dataFileStats", "dataFileSizes")
+    "dataFileStats", "dataFileSizes", "deleteFileTargets")
 
   def metadataJson(tableLocation: String, dataLocation: String,
       layout: TableLayout = TableLayout("")): String = {
@@ -397,7 +414,17 @@ object CatalogIO {
         else s"""  "deleteFiles": ${arrBody(layout.deleteFiles.map(_.path))},\n""" +
           s"""  "deleteFileSeqs": ${arrBody(layout.deleteFiles.map(_.seq.toString))},\n""" +
           (if (layout.deleteFiles.forall(_.kind == DeleteKinds.Equality)) ""
-           else s"""  "deleteFileKinds": ${arrBody(layout.deleteFiles.map(_.kind))},\n""")
+           else s"""  "deleteFileKinds": ${arrBody(layout.deleteFiles.map(_.kind))},\n""") +
+          // per-delete-file addressed data files (pos deletes only; ';'-
+          // joined — part-file paths never contain ';', enforced at write)
+          (if (layout.deleteFiles.forall(_.targets.isEmpty)) ""
+           else {
+             layout.deleteFiles.flatMap(_.targets).find(_.contains(";")).foreach(t =>
+               throw new IllegalArgumentException(
+                 s"positional-delete target path contains ';': $t"))
+             s"""  "deleteFileTargets": ${arrBody(
+               layout.deleteFiles.map(_.targets.mkString(";")))},\n"""
+           })
       }${
         // column renames as three parallel arrays (seq, from, to) — the
         // name mapping every reader resolves per-file seqs against
@@ -950,13 +977,14 @@ object CatalogIO {
       Some(prior))
   }
 
-  /** Write `tuples` as ONE parquet equality-delete file under the
-    * segment's `_deletes/` tree; returns its segment-relative path. The
-    * single-file coalesce is deliberate: delete tuples are key-only
-    * batch-sized data, and one file per commit keeps the scan-side
-    * footer reads bounded by live-delete count, not task count. */
-  private def writeEqualityDeleteFile(fs: org.apache.hadoop.fs.FileSystem,
-      segment: Path, tuples: DataFrame, n: Int): String = {
+  /** Write `tuples` as ONE parquet delete file under the segment's
+    * `_deletes/` tree; returns its segment-relative path. The
+    * single-file coalesce is deliberate: delete tuples are key-only /
+    * address-only batch-sized data, and one file per commit keeps the
+    * scan-side footer reads bounded by live-delete count, not task
+    * count. */
+  private def writeDeleteFile(fs: org.apache.hadoop.fs.FileSystem,
+      segment: Path, tuples: DataFrame, n: Int, prefix: String): String = {
     val stage = new Path(segment,
       s"_deletes/stage-${java.util.UUID.randomUUID().toString.take(8)}")
     tuples.coalesce(1).write.mode("errorifexists").parquet(stage.toString)
@@ -965,14 +993,104 @@ object CatalogIO {
         !p.getName.startsWith(".")
     }.getOrElse(throw new IllegalStateException(
       s"delete-tuple write produced no parquet part in $stage"))
-    val rel = s"_deletes/del-v$n-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
+    val rel = s"_deletes/$prefix-v$n-${java.util.UUID.randomUUID().toString.take(8)}.parquet"
     val to = new Path(segment, rel)
     fs.mkdirs(to.getParent)
     if (!fs.rename(part, to))
       throw new java.io.IOException(
-        s"Could not move equality-delete file $part to $to")
+        s"Could not move delete file $part to $to")
     fs.delete(stage, true)
     rel
+  }
+
+  private def writeEqualityDeleteFile(fs: org.apache.hadoop.fs.FileSystem,
+      segment: Path, tuples: DataFrame, n: Int): String =
+    writeDeleteFile(fs, segment, tuples, n, "del")
+
+  /** Commit a POSITIONAL merge-on-read mutation (round 11 — Iceberg's
+    * v2 position-delete files re-expressed for this metadata): one
+    * parquet of ROW ADDRESSES (`_file` segment-relative path, `_pos`
+    * row index) naming the OLD copies of matched rows, plus (for
+    * UPDATE) the rewritten copies as ordinary data files seq'd at this
+    * commit. An UPDATE touching a handful of rows in huge files commits
+    * O(matched) — where equality deletes would need the rows' key
+    * tuples and would hide EVERY row sharing them.
+    *
+    * `expectedBase` is REQUIRED (unlike the equality face): the
+    * addresses were computed against that exact snapshot's files, so
+    * any rival commit in between invalidates them — the caller's
+    * read-modify-write must retry from a fresh scan.
+    *
+    * An empty address set is a no-op (no version churn). The address
+    * count is gated by `spark.graft.mor.maxDeleteTuples` (same
+    * threshold as the scan-side broadcast guard) — past it the caller
+    * should use the copy-on-write faces. Returns the (possibly
+    * unchanged) current metadata location. */
+  private[graft] def commitPositionalMergeOnRead(spark: SparkSession,
+      cat: HadoopFsCatalog, ref: TableRef,
+      addresses: DataFrame, newRows: Option[DataFrame],
+      expectedBase: Int): String = {
+    val n = nextVersionNumber(cat, ref, None, Nil, Some(expectedBase))
+    val fs = cat.fileSystem
+    val prior = readLayout(cat.metadataLocationForVersion(ref, n - 1), fs.getConf)
+    val segment = new Path(prior.dataLocation)
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val typed = addresses
+      .select(col("_file").cast(StringType).as("_file"),
+        col("_pos").cast(LongType).as("_pos"))
+      .distinct().persist()
+    try {
+      val count = typed.count()
+      if (count == 0) return cat.metadataLocationForVersion(ref, n - 1)
+      val maxTuples = spark.conf.getOption("spark.graft.mor.maxDeleteTuples")
+        .map(_.toLong).getOrElse(4000000L)
+      if (count > maxTuples)
+        throw new IllegalStateException(
+          s"positional delete on $ref addresses $count rows, past " +
+            s"spark.graft.mor.maxDeleteTuples=$maxTuples — at that volume a " +
+            "copy-on-write rewrite (SQL DELETE/UPDATE/MERGE) is the right " +
+            "face; or raise the threshold explicitly")
+      val targets = typed.select("_file").distinct()
+        .collect().map(_.getString(0)).toSeq.sorted
+      targets.find(_.contains(";")).foreach(t =>
+        throw new IllegalArgumentException(
+          s"positional-delete target path contains ';': $t"))
+      val priorFiles = prior.dataFiles.getOrElse(
+        throw new UnsupportedOperationException(
+          s"Table $ref v${n - 1} predates file manifests; INSERT OVERWRITE " +
+            "once to upgrade it before merge-on-read writes"))
+      val unknown = targets.filterNot(priorFiles.contains)
+      require(unknown.isEmpty,
+        s"positional delete on $ref addresses file(s) not in snapshot " +
+          s"v${n - 1}'s manifest: ${unknown.take(3).mkString(", ")}")
+      val delRel = writeDeleteFile(fs, segment, typed, n, "posdel")
+      val moved = newRows.map { rows =>
+        val staging = new Path(cat.tableDir(ref),
+          s"stage-v$n-${java.util.UUID.randomUUID().toString.take(8)}")
+        writeData(spark, staging, rows, prior.partitionColumns,
+          prior.numBuckets.map(b => (b, prior.bucketColumns)), prior.sortColumns)
+        // same pre-move base re-check as commitMergeOnRead
+        cat.latestTableVersion(ref).filter(_ != expectedBase).foreach { latest =>
+          fs.delete(staging, true)
+          fs.delete(new Path(segment, delRel), false)
+          throw new CommitConflictException(
+            s"Concurrent commit on $ref: this rewrite read snapshot " +
+              s"v$expectedBase but the table is now at v$latest; retry")
+        }
+        moveIntoSegment(fs, staging, segment)
+      }.getOrElse(Nil)
+      val deletes = prior.deleteFiles :+
+        DeleteFile(delRel, n, DeleteKinds.Position, targets)
+      commitLayoutAsVersion(cat, ref, n, prior.copy(
+        dataFiles = Some(priorFiles ++ moved),
+        deleteFiles = deletes,
+        dataFileSeqs = Some(prior.dataFileSeqs
+          .getOrElse(Seq.fill(priorFiles.size)(0)) ++ Seq.fill(moved.size)(n)),
+        dataFileStats = None, // re-derived in the funnel
+        dataFileSizes = None),
+        Some(prior))
+    } finally typed.unpersist()
   }
 
   /** Outcome of [[expireVersions]]. */
@@ -1776,26 +1894,49 @@ object CatalogIO {
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
       case Some(filesWithSeqs) if layout.seqGated =>
-        val dels = layout.absoluteDeleteFiles
+        val eqDels = layout.absoluteEqDeleteFiles
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           layout.schemaDdl.getOrElse(throw new IllegalStateException(
             s"Seq-gated manifest with no recorded schema at ${layout.dataLocation}")))
+        // rel paths drive pos-delete targeting; parallel to filesWithSeqs
+        val rels = layout.dataFiles.getOrElse(Nil)
+        val relByAbs = rels.zip(filesWithSeqs.map(_._1)).map(_.swap).toMap
         val groups = filesWithSeqs
-          .groupBy { case (_, s) =>
-            (dels.collect { case (p, d) if s < d => p },
+          .groupBy { case (abs, s) =>
+            (eqDels.collect { case (p, d) if s < d => p },
+              layout.posDeletesFor(relByAbs(abs), s).sorted,
               layout.physicalNamesAt(s))
           }
           .toSeq.sortBy(_._2.head._1) // deterministic group order
-        groups.map { case ((delPaths, physical), fs) =>
+        groups.map { case ((eqPaths, posPaths, physical), fs) =>
           val physSchema = org.apache.spark.sql.types.StructType(
             schema.fields.map(f => f.copy(name = physical.getOrElse(f.name, f.name))))
           val df0 = spark.read.options(options).schema(physSchema)
             .option("basePath", layout.dataLocation)
             .parquet(fs.map(_._1): _*)
+          // row addresses must be captured ON the scan (metadata columns
+          // do not survive joins), before any delete application
+          val addressed =
+            if (posPaths.isEmpty) df0
+            else df0
+              .withColumn("__graft_file", org.apache.spark.sql.functions
+                .col("_metadata.file_path"))
+              .withColumn("__graft_pos", org.apache.spark.sql.functions
+                .col("_metadata.row_index"))
           // positional rename back to the current names (no-op when the
-          // group is at the current epoch)
-          val df = if (physical.isEmpty) df0 else df0.toDF(schema.fieldNames.toIndexedSeq: _*)
-          applyEqualityDeletes(spark, df, delPaths, options)
+          // group is at the current epoch; never live alongside pos
+          // deletes — the write face refuses renames)
+          val df =
+            if (physical.isEmpty) addressed
+            else addressed.toDF(schema.fieldNames.toIndexedSeq: _*)
+          require(physical.isEmpty || posPaths.isEmpty,
+            "un-materialized renames alongside positional deletes — the " +
+              "write faces refuse this combination; metadata is corrupt")
+          val eqApplied = applyEqualityDeletes(spark, df, eqPaths, options)
+          if (posPaths.isEmpty) eqApplied
+          else applyPositionalDeletes(spark, eqApplied, posPaths,
+            layout.dataLocation, options)
+            .drop("__graft_file", "__graft_pos")
         }.reduce(_ unionByName _)
       case Some(filesWithSeqs) =>
         reader.option("basePath", layout.dataLocation)
@@ -1868,6 +2009,118 @@ object CatalogIO {
     }
   }
 
+  /** The current snapshot's post-delete row set WITH row addresses
+    * (`__graft_file` absolute path, `__graft_pos` file row index) — the
+    * read half of the positional-mutation faces: a DELETE/UPDATE WHERE
+    * filters this and commits the matched addresses. Existing equality
+    * AND positional deletes are applied, so a rewrite can never match
+    * (and resurrect) an already-deleted row. Refuses un-materialized
+    * renames, like every merge-on-read write face. */
+  private[graft] def scanLayoutAddressed(spark: SparkSession,
+      layout: TableLayout, options: Map[String, String]): DataFrame = {
+    if (layout.renameOps.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"${layout.dataLocation} has un-materialized column renames; " +
+          "compactTable first to materialize them before positional writes")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      layout.schemaDdl.getOrElse(throw new IllegalStateException(
+        s"manifest with no recorded schema at ${layout.dataLocation}")))
+    val filesWithSeqs = layout.absoluteDataFilesWithSeqs.getOrElse(
+      throw new UnsupportedOperationException(
+        s"${layout.dataLocation} predates file manifests; INSERT OVERWRITE " +
+          "once to upgrade it before positional writes"))
+    import org.apache.spark.sql.functions.col
+    if (filesWithSeqs.isEmpty) {
+      val empty = spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      return empty
+        .withColumn("__graft_file",
+          org.apache.spark.sql.functions.lit(null).cast("string"))
+        .withColumn("__graft_pos",
+          org.apache.spark.sql.functions.lit(null).cast("bigint"))
+    }
+    val eqDels = layout.absoluteEqDeleteFiles
+    val rels = layout.dataFiles.getOrElse(Nil)
+    val relByAbs = rels.zip(filesWithSeqs.map(_._1)).map(_.swap).toMap
+    val groups = filesWithSeqs
+      .groupBy { case (abs, s) =>
+        (eqDels.collect { case (p, d) if s < d => p },
+          layout.posDeletesFor(relByAbs(abs), s).sorted)
+      }
+      .toSeq.sortBy(_._2.head._1)
+    groups.map { case ((eqPaths, posPaths), fs) =>
+      val df = spark.read.options(options).schema(schema)
+        .option("basePath", layout.dataLocation)
+        .parquet(fs.map(_._1): _*)
+        .withColumn("__graft_file", col("_metadata.file_path"))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+      val eqApplied = applyEqualityDeletes(spark, df, eqPaths, options)
+      applyPositionalDeletes(spark, eqApplied, posPaths,
+        layout.dataLocation, options)
+    }.reduce(_ unionByName _)
+  }
+
+  /** Segment-relative form of an absolute data-file path column,
+    * matching every absolute spelling the readers can produce for the
+    * segment (qualified, raw, URI). A path matching NO prefix raises at
+    * execution — a silent mismatch here would resurrect deleted rows. */
+  private[graft] def relativizeFileColumn(
+      fileCol: org.apache.spark.sql.Column, dataLocation: String,
+      conf: Configuration): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{concat, length, lit, raise_error, when}
+    val p = new Path(dataLocation)
+    val fs = p.getFileSystem(conf)
+    val prefixes = Seq(fs.makeQualified(p).toString, p.toString,
+      p.toUri.toString).distinct.map(_ + "/")
+    val err = raise_error(concat(
+      lit(s"data file outside segment $dataLocation: "), fileCol))
+      .cast(org.apache.spark.sql.types.StringType)
+    prefixes.foldRight(err) { (pre, els) =>
+      when(fileCol.startsWith(pre),
+        fileCol.substr(lit(pre.length + 1), length(fileCol))).otherwise(els)
+    }
+  }
+
+  /** Anti-join `data` (which must carry materialized `__graft_file` /
+    * `__graft_pos` address columns — see [[scanLayoutWithOptions]])
+    * against the positional delete files' (`_file`, `_pos`) addresses.
+    * Address equality runs in segment-RELATIVE path space on both
+    * sides, so absolute-path spelling differences can only fail loudly
+    * (raise_error in [[relativizeFileColumn]]), never resurrect rows.
+    * Broadcast below the shared tuple threshold, shuffled past it —
+    * this is compaction's own read path, so it must work at any size. */
+  private[graft] def applyPositionalDeletes(spark: SparkSession,
+      data: DataFrame, posPaths: Seq[String], dataLocation: String,
+      options: Map[String, String]): DataFrame = {
+    if (posPaths.isEmpty) return data
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val conf = {
+      val c = new Configuration()
+      options.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+    val addr = spark.read.options(options).parquet(posPaths.distinct: _*)
+      .select(col("_file").as("__graft_del_file"),
+        col("_pos").cast(org.apache.spark.sql.types.LongType).as("__graft_del_pos"))
+      .distinct()
+    val tupleCount = posPaths.distinct.map { p =>
+      val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf))
+      try {
+        import scala.jdk.CollectionConverters._
+        r.getFooter.getBlocks.asScala.map(_.getRowCount).sum
+      } finally r.close()
+    }.sum
+    val maxBroadcast = spark.conf.getOption("spark.graft.mor.maxDeleteTuples")
+      .map(_.toLong).getOrElse(4000000L)
+    val side = if (tupleCount <= maxBroadcast) broadcast(addr) else addr
+    val rel = relativizeFileColumn(data.col("__graft_file"), dataLocation, conf)
+    data.join(side,
+      rel === side.col("__graft_del_file") &&
+        data.col("__graft_pos") === side.col("__graft_del_pos"),
+      "left_anti")
+  }
+
   private def readMetadataText(metadataLocation: String, conf: Configuration): String = {
     val p = new Path(metadataLocation)
     val fs = p.getFileSystem(conf)
@@ -1933,6 +2186,15 @@ object CatalogIO {
         ks
       }
       .getOrElse(Seq.fill(delPaths.size)(DeleteKinds.Equality))
+    val delTargets = arrayField(text, "deleteFileTargets")
+      .map { ts =>
+        if (ts.size != delPaths.size)
+          throw new IllegalStateException(
+            s"Malformed metadata: 'deleteFileTargets' has ${ts.size} entries " +
+              s"for ${delPaths.size} deleteFiles in $metadataLocation")
+        ts.map(_.split(';').toSeq.filter(_.nonEmpty))
+      }
+      .getOrElse(Seq.fill(delPaths.size)(Nil))
     val renameFroms = arrayField(text, "renameFroms").getOrElse(Nil)
     val renameTos = arrayField(text, "renameTos").getOrElse(Nil)
     val renameSeqs = intSeqs("renameSeqs", Some(renameFroms.size)).getOrElse(Nil)
@@ -1949,7 +2211,7 @@ object CatalogIO {
       dataFiles,
       objectField(text, "properties"),
       deleteFiles = delPaths.lazyZip(delSeqs.getOrElse(Nil)).lazyZip(delKinds)
-        .map((p, s, k) => DeleteFile(p, s, k)),
+        .lazyZip(delTargets).map((p, s, k, t) => DeleteFile(p, s, k, t)),
       dataFileSeqs = intSeqs("dataFileSeqs", dataFiles.map(_.size)),
       renameOps = renameSeqs.lazyZip(renameFroms).lazyZip(renameTos)
         .map((s, f, t) => RenameOp(s, f, t)),

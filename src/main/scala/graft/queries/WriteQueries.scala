@@ -219,6 +219,67 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(store)
     }
 
+  /** w07 (round 11): POSITIONAL delete files under the oracle — the
+    * row-address half of merge-on-read (Iceberg v2 position deletes;
+    * the equality half is w02). The sequence exercises every
+    * composition the format claims:
+    *
+    *   1. `deleteWhereMergeOnRead(bal < 0)` — an arbitrary-predicate
+    *      DELETE committed as ONE address parquet (no key tuples, no
+    *      rewrite);
+    *   2. `updateWhereMergeOnRead(k % 100 = 0, bal += 1000, n = 'U')` —
+    *      old copies hidden by address, rewritten copies appended;
+    *   3. an EQUALITY takedown of k % 97 = 0 (hides base AND step-2's
+    *      update copies — both predate it);
+    *   4. a re-insert of half the purged keys (new files: no positional
+    *      address can name them, the eq delete is seq-gated past).
+    *
+    * The final state is read through the delete-applying DSv2 scan
+    * (phase `mor`), then COMPACTED and read again (phase `compacted`);
+    * the oracle replays the four steps as pure set algebra — both
+    * phases must hash-equal it, which puts positional application AND
+    * its compaction equivalence under DuckDB. */
+  def w07(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w07") { (cat, hc) =>
+      import graft.catalog.{CatalogIO, TableRef}
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(
+        s"""CREATE TABLE $cat.db.cust USING parquet AS
+           |SELECT c_custkey AS k, c_acctbal AS bal,
+           |       CAST(c_nationkey AS STRING) AS n
+           |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+      val ref = TableRef.parse("db.cust")
+      graft.sources.MergeOps.deleteWhereMergeOnRead(spark, hc, ref,
+        col("bal") < 0)
+      graft.sources.MergeOps.updateWhereMergeOnRead(spark, hc, ref,
+        col("k") % 100 === 0,
+        Map("bal" -> (col("bal") + 1000), "n" -> lit("U")))
+      graft.sources.MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+        spark.sql(s"SELECT c_custkey AS k FROM parquet.`$dir/customer.parquet` " +
+          "WHERE c_custkey % 97 = 0"), Seq("k"))
+      spark.sql(
+        s"""INSERT INTO $cat.db.cust
+           |SELECT c_custkey AS k, c_acctbal AS bal, '99' AS n
+           |FROM parquet.`$dir/customer.parquet`
+           |WHERE c_acctbal < 0 AND c_custkey % 2 = 0""".stripMargin)
+      def agg(phase: String): DataFrame =
+        spark.table(s"$cat.db.cust")
+          .groupBy(lit(phase).as("phase"), col("n"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("k")).as("sum_k"),
+            min(col("k")).as("min_k"),
+            max(col("k")).as("max_k"))
+      val mor = agg("mor").collect().toIndexedSeq
+      val res = CatalogIO.compactTable(spark, hc, ref)
+      require(res.compacted && CatalogIO.readLayout(
+        hc.loadTableMetadataLocation(ref)).deleteFiles.isEmpty,
+        s"compaction left live delete files on $ref")
+      val compacted = agg("compacted").collect().toIndexedSeq
+      val schema = agg("probe").schema
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(mor ++ compacted, 1), schema)
+    }
+
   /** w05 (round 10): incremental append reads under the oracle
     * ([[graft.catalog.CatalogIO.readAppendsBetween]] — the batch
     * change-capture face of the manifest format). A table is built as

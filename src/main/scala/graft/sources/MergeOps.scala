@@ -140,6 +140,88 @@ object MergeOps {
       deleteTuples = Some(aligned.select(keys.map(aligned.col): _*).distinct()))
   }
 
+  // ----- positional merge-on-read faces (round 11: row-address deletes) -----
+  //
+  // Equality deletes address rows by KEY — right for takedowns, wrong
+  // for arbitrary-predicate mutations (they would hide EVERY row sharing
+  // the key, including re-inserts... so the key must identify the row).
+  // These faces address rows by POSITION (file, row index): an UPDATE or
+  // DELETE matching a handful of rows inside huge files commits
+  // O(matched) — one address parquet (+ the rewritten copies, for
+  // UPDATE) and one metadata write, never a file rewrite. Iceberg's v2
+  // position-delete files, re-expressed for this metadata. Scans apply
+  // the addresses until compaction materializes them away; the commit is
+  // pinned to the scanned snapshot (addresses are meaningless against
+  // any other), so a concurrent commit fails it for retry.
+
+  /** `DELETE FROM … WHERE <condition>` as an O(matched) positional
+    * merge-on-read commit. The condition sees the table's columns; rows
+    * already hidden by live equality/positional deletes can never match.
+    * No matches = no-op (no version churn). Returns the (possibly
+    * unchanged) metadata location. */
+  def deleteWhereMergeOnRead(spark: SparkSession, cat: HadoopFsCatalog,
+      ref: TableRef, condition: org.apache.spark.sql.Column,
+      hadoopOpts: Map[String, String] = Map.empty): String =
+    positionalRewrite(spark, cat, ref, condition, assignments = Map.empty,
+      hadoopOpts)
+
+  /** `UPDATE … SET … WHERE` as an O(matched) positional merge-on-read
+    * commit: the matched rows' addresses hide the OLD copies; the NEW
+    * copies (assignments applied, other columns carried) land as
+    * ordinary data files seq'd past every live delete. Assignment
+    * expressions see the table's columns (SQL semantics: right-hand
+    * sides evaluate against the OLD row). */
+  def updateWhereMergeOnRead(spark: SparkSession, cat: HadoopFsCatalog,
+      ref: TableRef, condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      hadoopOpts: Map[String, String] = Map.empty): String = {
+    require(assignments.nonEmpty, "updateWhereMergeOnRead needs assignments")
+    positionalRewrite(spark, cat, ref, condition, assignments, hadoopOpts)
+  }
+
+  private def positionalRewrite(spark: SparkSession, cat: HadoopFsCatalog,
+      ref: TableRef, condition: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      hadoopOpts: Map[String, String]): String = {
+    val (base, layout) = CatalogIO.latestVersionLayout(cat, ref).getOrElse(
+      throw new graft.catalog.NoSuchTableException(
+        s"Table $ref has no local version history for positional writes"))
+    val schema = layout.schemaDdl
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+      .getOrElse(throw new UnsupportedOperationException(
+        s"Table $ref has no recorded schema; INSERT OVERWRITE once to " +
+          "upgrade it before positional writes"))
+    assignments.keys.foreach { c =>
+      if (!schema.fieldNames.exists(_.equalsIgnoreCase(c)))
+        throw new IllegalArgumentException(
+          s"UPDATE assignment names unknown column $c of $ref " +
+            schema.fieldNames.mkString("(", ", ", ")"))
+    }
+    val scan = CatalogIO.scanLayoutAddressed(spark, layout, hadoopOpts)
+    val matched = scan.filter(condition)
+    val conf = {
+      val c = new org.apache.hadoop.conf.Configuration()
+      hadoopOpts.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+    val addresses = matched.select(
+      CatalogIO.relativizeFileColumn(matched.col("__graft_file"),
+        layout.dataLocation, conf).as("_file"),
+      matched.col("__graft_pos").as("_pos"))
+    val newRows =
+      if (assignments.isEmpty) None
+      else {
+        val assigned = assignments.foldLeft(matched) { case (d, (c, e)) =>
+          val exact = schema.fieldNames.find(_.equalsIgnoreCase(c)).get
+          d.withColumn(exact,
+            e.cast(schema(schema.fieldIndex(exact)).dataType))
+        }
+        Some(assigned.select(schema.fieldNames.toIndexedSeq.map(assigned.col): _*))
+      }
+    CatalogIO.commitPositionalMergeOnRead(spark, cat, ref, addresses,
+      newRows, expectedBase = base)
+  }
+
   private def requireUniqueKeys(source: DataFrame, keys: Seq[String]): Unit = {
     import org.apache.spark.sql.functions.{col, count, lit}
     val nonNull = keys.map(k => source.col(k).isNotNull).reduce(_ && _)

@@ -71,13 +71,14 @@ final class GraftMorTable(delegate: ParquetTable, layout: TableLayout,
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 
-  // the union of the live delete files' key columns, with the TABLE's
-  // types — resolved once per table load (delete-file count is small by
-  // the maintenance contract). These must be read even when pruned away,
-  // so scans can probe them.
+  // the union of the live EQUALITY delete files' key columns, with the
+  // TABLE's types — resolved once per table load (delete-file count is
+  // small by the maintenance contract). These must be read even when
+  // pruned away, so scans can probe them. Positional delete files carry
+  // addresses (_file, _pos), not key columns — excluded here.
   private val keyFields: Seq[StructField] = {
     val spark = SparkSession.active
-    val cols = layout.absoluteDeleteFiles
+    val cols = layout.absoluteEqDeleteFiles
       .flatMap { case (p, _) =>
         spark.read.options(hadoopOpts).parquet(p).schema.fieldNames
       }.distinct
@@ -119,7 +120,15 @@ private final class MorScanBuilder(delegate: ParquetScanBuilder,
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
-    delegate.pushFilters(filters)
+    // while POSITIONAL deletes are live, nothing may be pushed into the
+    // parquet read: row addresses are file row indexes, and the
+    // delete-applying reader recovers them by COUNTING rows, which is
+    // only sound when every physical row comes back (no row-group skip,
+    // no page skip). Spark applies the returned filters above the scan —
+    // correctness unchanged, pushdown restored by compaction, the same
+    // bounded trade as losing the columnar path while deletes are live.
+    if (layout.posDeleteFiles.nonEmpty) filters
+    else delegate.pushFilters(filters)
 
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
 
@@ -129,9 +138,11 @@ private final class MorScanBuilder(delegate: ParquetScanBuilder,
 }
 
 /** One delete-group's planned file slices, tagged with the group index
-  * the reader factory resolves to its broadcast tuple sets. */
+  * the reader factory resolves to its broadcast tuple sets. `posFile` =
+  * the (single) file's segment-relative path when the partition is a
+  * whole-file counting read for positional-delete application. */
 private[sources] final case class MorFilePartition(group: Int,
-    files: FilePartition) extends InputPartition {
+    files: FilePartition, posFile: Option[String] = None) extends InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
 
@@ -189,37 +200,61 @@ private final class MorScan(private val delegate: ParquetScan,
   }
   override def hashCode(): Int = (delegate, out, layout.deleteFiles).hashCode()
 
-  /** (partitions, per-group applicable delete paths). Group order is
-    * deterministic (sorted by delete-path set). */
+  /** (partitions, per-group applicable EQUALITY delete paths). Group
+    * order is deterministic (sorted by delete-path set). Files addressed
+    * by a positional delete become whole-file, single-file partitions
+    * (the reader recovers row indexes by counting — only sound over a
+    * complete in-order read); everything else keeps Spark's size-packed
+    * slicing. */
   private lazy val planned: (Array[InputPartition], Array[Seq[String]]) = {
     val session = delegate.sparkSession
     val conf = session.sessionState.newHadoopConf()
     hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
     val fs = new Path(layout.dataLocation).getFileSystem(conf)
     def qual(s: String): String = fs.makeQualified(new Path(s)).toString
-    val seqByPath = layout.absoluteDataFilesWithSeqs.getOrElse(
+    val withSeqs = layout.absoluteDataFilesWithSeqs.getOrElse(
       throw new IllegalStateException(
         s"merge-on-read scan of a manifest-less layout at ${layout.dataLocation}"))
-      .map { case (p, s) => qual(p) -> s }.toMap
-    val dels = layout.absoluteDeleteFiles
+    val seqByPath = withSeqs.map { case (p, s) => qual(p) -> s }.toMap
+    val relByPath = layout.dataFiles.getOrElse(Nil)
+      .zip(withSeqs.map(_._1)).map { case (rel, abs) => qual(abs) -> rel }.toMap
+    val eqDels = layout.absoluteEqDeleteFiles
     val slices = delegate.toBatch.planInputPartitions()
       .flatMap(_.asInstanceOf[FilePartition].files)
-    val byGroup = slices.groupBy { pf =>
-      val seq = seqByPath.getOrElse(qual(pf.filePath.toString),
+    def seqOf(pf: org.apache.spark.sql.execution.datasources.PartitionedFile): Int =
+      seqByPath.getOrElse(qual(pf.filePath.toString),
         throw new IllegalStateException(
           s"planned file ${pf.filePath} is not in the manifest of " +
             s"${layout.dataLocation} — cannot apply merge-on-read deletes"))
-      dels.collect { case (p, d) if seq < d => p }.sorted
+    val byGroup = slices.groupBy { pf =>
+      eqDels.collect { case (p, d) if seqOf(pf) < d => p }.sorted
     }.toArray.sortBy(_._1.mkString("\u0000"))
     val openCost = session.sessionState.conf.filesOpenCostInBytes
     val maxSplit = FilePartition.maxSplitBytes(session,
       slices.map(_.length + openCost).sum)
     var idx = -1
     val parts = byGroup.zipWithIndex.flatMap { case ((_, fs0), g) =>
-      FilePartition.getFilePartitions(session, fs0.toIndexedSeq, maxSplit).map { fp =>
-        idx += 1
-        MorFilePartition(g, FilePartition(idx, fp.files)): InputPartition
+      val (posAffected, plain) = fs0.partition { pf =>
+        layout.posDeletesFor(relByPath(qual(pf.filePath.toString)), seqOf(pf))
+          .nonEmpty
       }
+      val plainParts =
+        FilePartition.getFilePartitions(session, plain.toIndexedSeq, maxSplit).map { fp =>
+          idx += 1
+          MorFilePartition(g, FilePartition(idx, fp.files)): InputPartition
+        }
+      // one whole-file partition per pos-addressed file: merge its
+      // slices (they tile the file) back into a single 0..length read
+      val posParts = posAffected.groupBy(_.filePath.toString).toSeq
+        .sortBy(_._1).map { case (_, slicesOfFile) =>
+          val first = slicesOfFile.minBy(_.start)
+          val whole = first.copy(start = 0L,
+            length = slicesOfFile.map(_.length).sum)
+          idx += 1
+          MorFilePartition(g, FilePartition(idx, Array(whole)),
+            posFile = Some(relByPath(qual(first.filePath.toString)))): InputPartition
+        }
+      plainParts ++ posParts
     }
     (parts, byGroup.map(_._1.toSeq))
   }
@@ -272,7 +307,7 @@ private final class MorScan(private val delegate: ParquetScan,
           "CatalogIO.compactTable) to materialize the deletes into data " +
           "files, or raise the threshold explicitly.")
     val tuplesByFile: Map[String, (Vector[String], Vector[Any => Any], Seq[Seq[Any]])] =
-      layout.absoluteDeleteFiles.map(_._1).distinct.map { p =>
+      layout.absoluteEqDeleteFiles.map(_._1).distinct.map { p =>
         val raw = session.read.options(hadoopOpts).parquet(p)
         val cols = raw.columns.toVector
         val typed = cols.foldLeft(raw) { (d, c) =>
@@ -300,20 +335,37 @@ private final class MorScan(private val delegate: ParquetScan,
       }.toArray
     }.toArray
     val bc = session.sparkContext.broadcast(probesPerGroup)
+    // positional delete addresses, keyed by segment-relative data file:
+    // one driver read over the (batch-sized, guard-gated) address files,
+    // sorted position arrays for O(log n) executor-side probes
+    val posByFile: Map[String, Array[Long]] = {
+      val paths = layout.absolutePosDeleteFiles.distinct
+      if (paths.isEmpty) Map.empty
+      else session.read.options(hadoopOpts).parquet(paths: _*)
+        .select("_file", "_pos").collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rows) =>
+          f -> rows.map(_.getLong(1)).distinct.sorted
+        }
+    }
+    val bcPos = session.sparkContext.broadcast(posByFile)
     val outOrdinals = out.fields.map(f => ordinalOf(f.name))
     val identity = outOrdinals.sameElements(readSchemaWide.fields.indices)
-    new MorReaderFactory(delegate.createReaderFactory(), bc,
+    new MorReaderFactory(delegate.createReaderFactory(), bc, bcPos,
       readSchemaWide.fields.map(_.dataType),
       readSchemaWide.fields.map(_.nullable), outOrdinals, identity)
   }
 }
 
 /** Unwraps [[MorFilePartition]], probes rows of delete-affected groups
-  * against the broadcast tuple sets, and projects widened rows back to
-  * the served schema. Exempt groups with an identity projection pass
-  * straight through to Spark's own (columnar) reader. */
+  * against the broadcast tuple sets (equality) and the partition file's
+  * sorted position array (positional, counting rows of the whole-file
+  * in-order read), and projects widened rows back to the served schema.
+  * Exempt groups with an identity projection pass straight through to
+  * Spark's own (columnar) reader. */
 private final class MorReaderFactory(inner: PartitionReaderFactory,
     probes: Broadcast[Array[Array[MorDeleteProbe]]],
+    posByFile: Broadcast[Map[String, Array[Long]]],
     readTypes: Array[DataType], readNullable: Array[Boolean],
     outOrdinals: Array[Int], identityProjection: Boolean)
   extends PartitionReaderFactory {
@@ -321,8 +373,12 @@ private final class MorReaderFactory(inner: PartitionReaderFactory,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val mp = p.asInstanceOf[MorFilePartition]
     val delegate = inner.createReader(mp.files)
-    if (probes.value(mp.group).isEmpty && identityProjection) delegate
-    else new MorRowReader(delegate, probes.value(mp.group),
+    val positions = mp.posFile
+      .map(f => posByFile.value.getOrElse(f, Array.emptyLongArray))
+      .getOrElse(Array.emptyLongArray)
+    if (probes.value(mp.group).isEmpty && positions.isEmpty &&
+        identityProjection) delegate
+    else new MorRowReader(delegate, probes.value(mp.group), positions,
       readTypes, readNullable, outOrdinals, identityProjection)
   }
 
@@ -330,11 +386,15 @@ private final class MorReaderFactory(inner: PartitionReaderFactory,
   override def supportColumnarReads(p: InputPartition): Boolean = false
 }
 
-/** Row-wise delete probe + projection. The probe is an O(1) hash-set
-  * lookup per (row × column-set); values are read transiently from the
-  * current row (no copies — set membership hashes by content). */
+/** Row-wise delete probe + projection. The equality probe is an O(1)
+  * hash-set lookup per (row × column-set); values are read transiently
+  * from the current row (no copies — set membership hashes by content).
+  * The positional probe counts rows of the (whole-file, in-order,
+  * pushdown-free) read and binary-searches the sorted deleted-position
+  * array. */
 private final class MorRowReader(inner: PartitionReader[InternalRow],
-    probes: Array[MorDeleteProbe], readTypes: Array[DataType],
+    probes: Array[MorDeleteProbe], positions: Array[Long],
+    readTypes: Array[DataType],
     readNullable: Array[Boolean], outOrdinals: Array[Int],
     identityProjection: Boolean)
   extends PartitionReader[InternalRow] {
@@ -344,8 +404,11 @@ private final class MorRowReader(inner: PartitionReader[InternalRow],
       BoundReference(i, readTypes(i), readNullable(i)): Expression)))
 
   private var current: InternalRow = _
+  private var rowIndex: Long = -1L
 
   private def deleted(row: InternalRow): Boolean = {
+    if (positions.length > 0 &&
+        java.util.Arrays.binarySearch(positions, rowIndex) >= 0) return true
     var i = 0
     while (i < probes.length) {
       val p = probes(i)
@@ -362,6 +425,7 @@ private final class MorRowReader(inner: PartitionReader[InternalRow],
 
   override def next(): Boolean = {
     while (inner.next()) {
+      rowIndex += 1
       val row = inner.get()
       if (!deleted(row)) {
         current = if (identityProjection) row else project(row)
