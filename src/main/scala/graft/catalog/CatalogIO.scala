@@ -39,6 +39,22 @@ object CatalogIO {
     val All: Set[String] = Set(Equality, Position)
   }
 
+  /** Commit-operation markers ([[TableLayout.commitOp]]) — Iceberg's
+    * `snapshot.operation` re-expressed. Change-capture readers
+    * ([[readAppendsBetween]] with `skipRewrites`, the table stream
+    * source) treat `Append`/`Create` as change sets, skip the
+    * row-preserving `Replace`/`Metadata`, and refuse `Overwrite`/
+    * `Delete`/absent (pre-round-11 metadata) — unknown never guesses. */
+  object CommitOps {
+    val Create = "create"
+    val Append = "append"
+    val Overwrite = "overwrite"
+    val Delete = "delete"
+    /** Row-preserving rewrite: compaction, clustering. */
+    val Replace = "replace"
+    val Metadata = "metadata"
+  }
+
   /** One delete file — the merge-on-read face of the format (Iceberg's
     * delete-file idiom re-expressed for this metadata), in two kinds:
     *
@@ -118,7 +134,8 @@ object CatalogIO {
       renameOps: Seq[RenameOp] = Nil,
       droppedColumns: Seq[String] = Nil,
       dataFileStats: Option[Seq[String]] = None,
-      dataFileSizes: Option[Seq[Long]] = None) {
+      dataFileSizes: Option[Seq[Long]] = None,
+      commitOp: Option[String] = None) {
     require(deleteFiles.isEmpty || dataFiles.isDefined,
       "equality-delete files require a file-manifest version")
     require(renameOps.isEmpty || dataFiles.isDefined,
@@ -355,7 +372,7 @@ object CatalogIO {
     "properties", "dataLocation",
     "deleteFiles", "deleteFileSeqs", "deleteFileKinds", "dataFileSeqs",
     "renameFroms", "renameTos", "renameSeqs", "droppedColumns",
-    "dataFileStats", "dataFileSizes", "deleteFileTargets")
+    "dataFileStats", "dataFileSizes", "deleteFileTargets", "commitOp")
 
   def metadataJson(tableLocation: String, dataLocation: String,
       layout: TableLayout = TableLayout("")): String = {
@@ -377,6 +394,13 @@ object CatalogIO {
         arr("sortColumns", layout.sortColumns)
       }${
         layout.schemaDdl.map(s => s"""  "schemaDdl": "${jsonEscape(s)}",\n""").getOrElse("")
+      }${
+        // the operation that produced this version (round 11 — Iceberg's
+        // snapshot.operation): append/create/overwrite/delete/replace/
+        // metadata. Change-capture readers use it to tell row-preserving
+        // rewrites (replace) from genuine data changes; absent on
+        // pre-round-11 versions (readers then refuse, never guess).
+        layout.commitOp.map(o => s"""  "commitOp": "${jsonEscape(o)}",\n""").getOrElse("")
       }${
         // an EMPTY manifest is still a manifest (a committed empty
         // snapshot) — it must round-trip distinctly from "no manifest"
@@ -486,7 +510,8 @@ object CatalogIO {
       bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
       Some(df.schema.toDDL),
       dataFiles = Some(listDataFiles(cat.fileSystem, dataDir)),
-      properties = properties), priorLayout = None)
+      properties = properties,
+      commitOp = Some(CommitOps.Create)), priorLayout = None)
     val metaDir = new Path(dir, "metadata")
     cat.fileSystem.mkdirs(metaDir)
     val metaFile = new Path(metaDir, "v1.metadata.json")
@@ -524,7 +549,8 @@ object CatalogIO {
     val layout = TableLayout(dataDir.toString, partitionBy,
       bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
       Some(schema.toDDL),
-      dataFiles = Some(Nil)) // a committed EMPTY snapshot, not "scan the dir"
+      dataFiles = Some(Nil), // a committed EMPTY snapshot, not "scan the dir"
+      commitOp = Some(CommitOps.Create))
     val metaDir = new Path(dir, "metadata")
     cat.fileSystem.mkdirs(metaDir)
     val metaFile = new Path(metaDir, "v1.metadata.json")
@@ -597,7 +623,8 @@ object CatalogIO {
       bucketBy: Option[(Int, Seq[String])] = None,
       sortBy: Seq[String] = Nil,
       expectedBase: Option[Int] = None,
-      properties: Map[String, String] = Map.empty): String = {
+      properties: Map[String, String] = Map.empty,
+      op: String = CommitOps.Overwrite): String = {
     val n = nextVersionNumber(cat, ref, bucketBy, sortBy, expectedBase)
     val dataDir = versionDataDir(cat, ref, n)
     writeData(spark, dataDir, df, partitionBy, bucketBy, sortBy)
@@ -606,7 +633,7 @@ object CatalogIO {
       Some(df.schema.toDDL),
       dataFiles = Some(listDataFiles(cat.fileSystem, dataDir)),
       properties = properties)
-    commitLayoutAsVersion(cat, ref, n, layout)
+    commitLayoutAsVersion(cat, ref, n, layout, op)
   }
 
   /** Commit an APPEND as a manifest version: write ONLY `df`'s rows
@@ -673,7 +700,7 @@ object CatalogIO {
       dataFileSeqs = appendedSeqs(prior, priorFiles, moved.size, n),
       renameOps = prior.renameOps,
       droppedColumns = prior.droppedColumns)
-    commitLayoutAsVersion(cat, ref, n, layout, Some(prior))
+    commitLayoutAsVersion(cat, ref, n, layout, CommitOps.Append, Some(prior))
   }
 
   /** Manifest-entry seqs for prior ∪ (files added at version `n`) —
@@ -752,7 +779,7 @@ object CatalogIO {
         deleteFiles = prior.deleteFiles,
         dataFileSeqs = appendedSeqs(prior, priorFiles, moved.size, n),
         renameOps = prior.renameOps,
-        droppedColumns = prior.droppedColumns), Some(prior))
+        droppedColumns = prior.droppedColumns), CommitOps.Append, Some(prior))
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -806,7 +833,7 @@ object CatalogIO {
       partitionBy, bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
       Some(schemaDdl),
       dataFiles = Some(manifest),
-      properties = priorProps))
+      properties = priorProps), CommitOps.Overwrite)
   }
 
   /** Staged MANIFEST REPLACE: the next version = (prior files passing
@@ -823,7 +850,8 @@ object CatalogIO {
       partitionBy: Seq[String], bucketBy: Option[(Int, Seq[String])],
       sortBy: Seq[String], expectedBase: Option[Int],
       keepFile: String => Boolean,
-      stagedFiles: Option[Seq[String]] = None): String = {
+      stagedFiles: Option[Seq[String]] = None,
+      op: String = CommitOps.Overwrite): String = {
     val n = nextVersionNumber(cat, ref, bucketBy, sortBy, expectedBase)
     val prior = readLayout(cat.metadataLocationForVersion(ref, n - 1),
       cat.fileSystem.getConf)
@@ -848,7 +876,7 @@ object CatalogIO {
         if (!prior.seqGated) None
         else Some(survivors.map(_._2) ++ Seq.fill(moved.size)(n)),
       renameOps = prior.renameOps,
-      droppedColumns = prior.droppedColumns), Some(prior))
+      droppedColumns = prior.droppedColumns), op, Some(prior))
   }
 
   // ----- merge-on-read commits (round 8: equality-delete files) -----
@@ -950,6 +978,7 @@ object CatalogIO {
           Seq.fill(moved.size)(n)),
       dataFileStats = None, // re-derived in the funnel (prior ∪ footer reads)
       dataFileSizes = None),
+      if (delFile.isDefined) CommitOps.Delete else CommitOps.Append,
       Some(prior))
   }
 
@@ -974,6 +1003,7 @@ object CatalogIO {
         if (!prior.seqGated) None else Some(survivors.map(_._2)),
       dataFileStats = None, // re-derived in the funnel (all carried forward)
       dataFileSizes = None),
+      CommitOps.Delete,
       Some(prior))
   }
 
@@ -1089,6 +1119,7 @@ object CatalogIO {
           .getOrElse(Seq.fill(priorFiles.size)(0)) ++ Seq.fill(moved.size)(n)),
         dataFileStats = None, // re-derived in the funnel
         dataFileSizes = None),
+        CommitOps.Delete,
         Some(prior))
     } finally typed.unpersist()
   }
@@ -1328,6 +1359,7 @@ object CatalogIO {
       bucketBy = layout.numBuckets.map(n => (n, layout.bucketColumns)),
       sortBy = layout.sortColumns,
       expectedBase = Some(base),
+      op = CommitOps.Replace,
       properties = layout.properties)
     val toFiles = readLayout(loc, fs.getConf).dataFiles.map(_.size).getOrElse(0)
     CompactResult(loc, files.size, toFiles, compacted = true)
@@ -1386,7 +1418,8 @@ object CatalogIO {
       partitionBy = layout.partitionColumns,
       expectedBase = Some(base),
       properties = layout.properties +
-        ("graft.clustered-by" -> clusterBy.mkString(",")))
+        ("graft.clustered-by" -> clusterBy.mkString(",")),
+      op = CommitOps.Replace)
     val toFiles = readLayout(loc, fs.getConf).dataFiles.map(_.size).getOrElse(0)
     CompactResult(loc, files.size, toFiles, compacted = true)
   }
@@ -1484,7 +1517,8 @@ object CatalogIO {
       layout.partitionColumns,
       layout.numBuckets.map(n => (n, layout.bucketColumns)),
       layout.sortColumns, expectedBase = Some(base),
-      keepFile = f => !selectedSet(f))
+      keepFile = f => !selectedSet(f),
+      op = CommitOps.Replace)
     val toFiles = readLayout(loc, fs.getConf).dataFiles.map(_.size).getOrElse(0)
     CompactResult(loc, files.size, toFiles, compacted = true)
   }
@@ -1602,7 +1636,7 @@ object CatalogIO {
   private[graft] def commitMetadataOnly(cat: HadoopFsCatalog, ref: TableRef,
       layout: TableLayout, expectedBase: Option[Int] = None): String = {
     val n = nextVersionNumber(cat, ref, None, Nil, expectedBase)
-    commitLayoutAsVersion(cat, ref, n, layout)
+    commitLayoutAsVersion(cat, ref, n, layout, CommitOps.Metadata)
   }
 
   /** Shared preamble of every version commit: existence check, layout
@@ -1720,9 +1754,10 @@ object CatalogIO {
   }
 
   private def commitLayoutAsVersion(cat: HadoopFsCatalog, ref: TableRef,
-      n: Int, layout0: TableLayout,
+      n: Int, layout0: TableLayout, op: String,
       priorLayout: Option[TableLayout] = None): String = {
-    val layout = withFileStats(cat, ref, n, layout0, priorLayout)
+    val layout = withFileStats(cat, ref, n, layout0.copy(commitOp = Some(op)),
+      priorLayout)
     val dir = cat.tableDir(ref)
     val metaFile = new Path(new Path(dir, "metadata"), s"v$n.metadata.json")
     // atomic no-replace publish: still the same-version concurrency
@@ -1778,20 +1813,95 @@ object CatalogIO {
   def readAppendsBetween(spark: SparkSession,
       cat: Catalog with SupportsTableVersions, ref: TableRef,
       fromVersion: Int, toVersion: Int,
-      conf: Configuration = new Configuration()): DataFrame = {
-    val (to, added) = appendsLayoutBetween(cat, ref, fromVersion, toVersion, conf)
+      conf: Configuration = new Configuration(),
+      skipRewrites: Boolean = false): DataFrame = {
+    val (to, groups) =
+      if (skipRewrites)
+        appendsAcrossRewrites(cat, ref, fromVersion, toVersion, conf)
+      else {
+        val (t, added) = appendsLayoutBetween(cat, ref, fromVersion, toVersion, conf)
+        (t, if (added.isEmpty) Nil else Seq((t.dataLocation, added)))
+      }
     val schema = to.schemaDdl.getOrElse(throw new UnsupportedOperationException(
       s"Table $ref v$toVersion has no recorded schema; INSERT OVERWRITE once " +
         "to upgrade it before incremental reads"))
-    if (added.isEmpty)
+    if (groups.forall(_._2.isEmpty))
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
-    scanLayoutWithOptions(spark, to.copy(
-      dataFiles = Some(added.map(_._1)),
-      dataFileSeqs = if (to.seqGated) Some(added.map(_._2)) else None,
-      deleteFiles = Nil, // all pre-date fromVersion: exempt by seq gate
-      dataFileStats = None, dataFileSizes = None), Map.empty)
+    groups.filter(_._2.nonEmpty).map { case (segLoc, added) =>
+      scanLayoutWithOptions(spark, to.copy(
+        dataLocation = segLoc,
+        dataFiles = Some(added.map(_._1)),
+        dataFileSeqs = if (to.seqGated) Some(added.map(_._2)) else None,
+        deleteFiles = Nil, // all pre-date fromVersion: exempt by seq gate
+        dataFileStats = None, dataFileSizes = None), Map.empty)
+    }.reduce(_ unionByName _)
+  }
+
+  /** The change capture behind `skipRewrites=true`: walk every version
+    * step in (from, to] and keep ONLY the files appended by
+    * append/create commits, grouped by the segment they live in —
+    * row-preserving rewrites (`replace`: compaction, clustering) and
+    * metadata-only commits contribute nothing (their rows were captured
+    * when first appended; the rewritten files stay readable until
+    * version expiry reclaims them). Iceberg's
+    * streaming-skip-overwrite-snapshots idiom. Still refuses loudly on
+    * genuine data changes — `overwrite`, `delete`, or a version with no
+    * recorded operation (pre-round-11 metadata: unknown never guesses).
+    * Cost: O(versions in range) small metadata reads, each diff
+    * O(files changed at that step). */
+  private[graft] def appendsAcrossRewrites(
+      cat: Catalog with SupportsTableVersions, ref: TableRef,
+      fromVersion: Int, toVersion: Int,
+      conf: Configuration): (TableLayout, Seq[(String, Seq[(String, Int)])]) = {
+    require(fromVersion <= toVersion,
+      s"incremental read range is inverted: v$fromVersion > v$toVersion")
+    // bootstrap keeps the plain face's semantics (and its refusals)
+    if (fromVersion == 0 || fromVersion == toVersion) {
+      val (t, added) = appendsLayoutBetween(cat, ref, fromVersion, toVersion, conf)
+      return (t, if (added.isEmpty) Nil else Seq((t.dataLocation, added)))
+    }
+    var prev = readLayout(cat.metadataLocationForVersion(ref, fromVersion), conf)
+    val bySegment = scala.collection.mutable.LinkedHashMap
+      .empty[String, Vector[(String, Int)]]
+    var to: TableLayout = prev
+    (fromVersion + 1 to toVersion).foreach { v =>
+      val lv = readLayout(cat.metadataLocationForVersion(ref, v), conf)
+      lv.commitOp match {
+        case Some(CommitOps.Append) | Some(CommitOps.Create) =>
+          if (lv.dataLocation != prev.dataLocation)
+            throw new UnsupportedOperationException(
+              s"Table $ref v$v is marked '${lv.commitOp.get}' but changed " +
+                "data segments — metadata is inconsistent; re-sync with a " +
+                "full read")
+          if (lv.deleteFiles.size > prev.deleteFiles.size)
+            throw new UnsupportedOperationException(
+              s"Table $ref v$v is marked '${lv.commitOp.get}' but added " +
+                "delete files — metadata is inconsistent; re-sync with a " +
+                "full read")
+          val prevSet = prev.dataFiles.getOrElse(Nil).toSet
+          val files = lv.dataFiles.getOrElse(throw new UnsupportedOperationException(
+            s"Table $ref v$v predates file manifests; INSERT OVERWRITE once " +
+              "to upgrade it before incremental reads"))
+          val seqs = lv.dataFileSeqs.getOrElse(Seq.fill(files.size)(0))
+          val added = files.zip(seqs).filterNot { case (f, _) => prevSet(f) }
+          if (added.nonEmpty)
+            bySegment(lv.dataLocation) =
+              bySegment.getOrElse(lv.dataLocation, Vector.empty) ++ added
+        case Some(CommitOps.Replace) | Some(CommitOps.Metadata) =>
+          () // row-preserving: nothing to capture
+        case other =>
+          throw new UnsupportedOperationException(
+            s"Table $ref history v$fromVersion..v$toVersion is not " +
+              s"append-only even skipping rewrites: v$v is " +
+              s"${other.fold("a pre-operation-marker commit")(o => s"an '$o' commit")} " +
+              "— re-sync with a full read at the new version")
+      }
+      prev = lv
+      to = lv
+    }
+    (to, bySegment.toSeq)
   }
 
   /** The (to-layout, segment-relative files ∪ seqs ADDED in
@@ -2226,6 +2336,7 @@ object CatalogIO {
         }
         ss
       },
+      commitOp = stringField(text, "commitOp"),
       dataFileSizes = arrayField(text, "dataFileSizes").map { ss =>
         // misaligned sizes would split-plan wrong byte ranges —
         // corruption, same hardness as the stats array

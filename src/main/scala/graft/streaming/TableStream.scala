@@ -73,7 +73,8 @@ final class GraftTableStreamProvider extends TableProvider with DataSourceRegist
       properties: util.Map[String, String]): Table = {
     val ci = new CaseInsensitiveStringMap(properties)
     val (cfg, ref) = cfgOf(ci)
-    new GraftStreamTable(cfg, ref, schema, Option(ci.get("startingVersion")))
+    new GraftStreamTable(cfg, ref, schema, Option(ci.get("startingVersion")),
+      ci.getBoolean("skipRewrites", false))
   }
 }
 
@@ -87,7 +88,7 @@ private[streaming] object GraftTableStreamProvider {
     // CaseInsensitiveStringMap lowercases keys; Hadoop conf keys are
     // case-sensitive in principle but universally lowercase in practice
     val props = options.asScala.toMap
-    val control = Set("type", "table", "startingversion", "name")
+    val control = Set("type", "table", "startingversion", "name", "skiprewrites")
     val tpe = props.getOrElse("type", throw new IllegalArgumentException(
       "graft-table stream source requires a 'type' option (catalog type)"))
     val table = props.getOrElse("table", throw new IllegalArgumentException(
@@ -101,7 +102,8 @@ private[streaming] object GraftTableStreamProvider {
 }
 
 private[streaming] final class GraftStreamTable(cfg: CatalogConfig,
-    ref: TableRef, tableSchema: StructType, startingVersion: Option[String])
+    ref: TableRef, tableSchema: StructType, startingVersion: Option[String],
+    skipRewrites: Boolean)
   extends Table with SupportsRead {
 
   override def name(): String = s"graft-stream:${cfg.name}.$ref"
@@ -117,7 +119,8 @@ private[streaming] final class GraftStreamTable(cfg: CatalogConfig,
         override def readSchema(): StructType = tableSchema
         override def description(): String = name()
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftTableMicroBatchStream(cfg, ref, tableSchema, startingVersion)
+          new GraftTableMicroBatchStream(cfg, ref, tableSchema, startingVersion,
+            skipRewrites)
       }
     }
 }
@@ -128,7 +131,8 @@ private[streaming] final case class VersionOffset(v: Int) extends Offset {
 }
 
 private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
-    ref: TableRef, tableSchema: StructType, startingVersion: Option[String])
+    ref: TableRef, tableSchema: StructType, startingVersion: Option[String],
+    skipRewrites: Boolean)
   extends MicroBatchStream {
 
   private val cat: Catalog with SupportsTableVersions =
@@ -184,17 +188,37 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
-    val (to, added) = CatalogIO.appendsLayoutBetween(cat, ref, s, e, conf)
+    // skipRewrites (round 11): a long-lived stream rides through
+    // row-preserving maintenance commits (compaction, clustering,
+    // metadata-only) instead of dying on the first nightly compaction —
+    // the walk serves only genuinely appended files, grouped by the
+    // segment each lived in when appended, and still refuses loudly on
+    // overwrites and deletes (CatalogIO.appendsAcrossRewrites)
+    val (to, groups) =
+      if (skipRewrites) CatalogIO.appendsAcrossRewrites(cat, ref, s, e, conf)
+      else {
+        val (t, added) = CatalogIO.appendsLayoutBetween(cat, ref, s, e, conf)
+        (t, if (added.isEmpty) Nil else Seq((t.dataLocation, added)))
+      }
     if (to.renameOps.nonEmpty)
       throw new UnsupportedOperationException(
         s"Table $ref carries un-materialized column renames; compact to " +
           "materialize them before streaming reads")
-    if (added.isEmpty) return Array.empty
-    val abs = added.map { case (f, _) =>
-      new org.apache.hadoop.fs.Path(to.dataLocation, f).toString }
-    val scan = parquetScanOver(abs, to.dataLocation)
-    lastFactory = scan.toBatch.createReaderFactory()
-    scan.toBatch.planInputPartitions()
+    val live = groups.filter(_._2.nonEmpty)
+    if (live.isEmpty) return Array.empty
+    // partitions across segment groups concatenate; the reader factory
+    // is path-agnostic (partitions name their own files), so the first
+    // group's factory serves them all
+    var factory: PartitionReaderFactory = null
+    val parts = live.flatMap { case (segLoc, added) =>
+      val abs = added.map { case (f, _) =>
+        new org.apache.hadoop.fs.Path(segLoc, f).toString }
+      val scan = parquetScanOver(abs, segLoc)
+      if (factory == null) factory = scan.toBatch.createReaderFactory()
+      scan.toBatch.planInputPartitions()
+    }.toArray
+    lastFactory = factory
+    parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {

@@ -126,4 +126,32 @@ class IncrementalReadSpec extends AnyFunSuite {
     assert(keys(CatalogIO.readAppendsBetween(spark, hc, ref, 2, 4)) ==
       (Seq(1L) ++ (100L until 104L)))
   }
+
+  test("skipRewrites: appends across compaction/clustering serve exactly once; overwrite still refuses") {
+    val (hc, _) = freshCatalog()
+    val ref = TableRef.parse("db.sk")
+    CatalogIO.createTable(spark, hc, ref, batch(0, 10))       // v1
+    CatalogIO.commitAppend(spark, hc, ref, batch(100, 5))     // v2
+    assert(CatalogIO.compactTable(spark, hc, ref).compacted)  // v3: replace
+    CatalogIO.commitAppend(spark, hc, ref, batch(200, 7))     // v4
+    assert(CatalogIO.clusterTable(spark, hc, ref, Seq("k")).compacted) // v5
+    CatalogIO.commitAppend(spark, hc, ref, batch(300, 2))     // v6
+    // the plain face refuses the range (segment replaced mid-range)
+    intercept[UnsupportedOperationException](
+      CatalogIO.readAppendsBetween(spark, hc, ref, 1, 6).collect())
+    // skipRewrites serves ONLY the appended rows — the compaction's
+    // rewritten copies of v1/v2 rows must NOT reappear
+    assert(keys(CatalogIO.readAppendsBetween(spark, hc, ref, 1, 6,
+      skipRewrites = true)) ==
+      ((100L until 105L) ++ (200L until 207L) ++ (300L until 302L)))
+    // a range that is only maintenance = an empty change set
+    assert(CatalogIO.readAppendsBetween(spark, hc, ref, 4, 5,
+      skipRewrites = true).count() == 0)
+    // a genuine overwrite refuses even with the flag
+    CatalogIO.commitVersion(spark, hc, ref, batch(0, 1))      // v7: overwrite
+    val e = intercept[UnsupportedOperationException](
+      CatalogIO.readAppendsBetween(spark, hc, ref, 6, 7,
+        skipRewrites = true).collect())
+    assert(e.getMessage.contains("overwrite"))
+  }
 }

@@ -26,10 +26,12 @@ class TableStreamSourceSpec extends AnyFunSuite {
   private def batch(lo: Int, n: Int): DataFrame =
     spark.sql(s"SELECT id AS k, concat('v', id) AS s FROM range($lo, ${lo + n})")
 
-  private def streamFrom(wh: String, starting: Option[String]): DataFrame = {
+  private def streamFrom(wh: String, starting: Option[String],
+      skipRewrites: Boolean = false): DataFrame = {
     var r = spark.readStream.format("graft-table")
       .option("type", "hadoop").option("warehouse", wh).option("table", "db.t")
     starting.foreach(v => r = r.option("startingVersion", v))
+    if (skipRewrites) r = r.option("skipRewrites", "true")
     r.load()
   }
 
@@ -95,6 +97,50 @@ class TableStreamSourceSpec extends AnyFunSuite {
       val e = intercept[StreamingQueryException] { q.processAllAvailable() }
       assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
         .take(8).exists(_.getMessage.contains("resurrect")), s"unexpected: $e")
+    } finally q.stop()
+  }
+
+  test("skipRewrites rides a long-lived stream through compaction; appends keep flowing") {
+    val (hc, wh, ref) = freshTable()
+    CatalogIO.createTable(spark, hc, ref, batch(0, 5))        // v1
+    val name = s"ts${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    val q = streamFrom(wh, Some("earliest"), skipRewrites = true).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      CatalogIO.commitAppend(spark, hc, ref, batch(100, 3))   // v2
+      q.processAllAvailable()
+      // nightly maintenance: full compaction (new segment) — the r10
+      // source killed every reader here; skipRewrites serves nothing
+      // for the replace commit and keeps the stream alive
+      val res = CatalogIO.compactTable(spark, hc, ref)
+      assert(res.compacted)
+      CatalogIO.commitAppend(spark, hc, ref, batch(200, 2))   // post-compact append
+      q.processAllAvailable()
+      assert(sinkRows(name) ==
+        ((0L until 5L) ++ (100L until 103L) ++ (200L until 202L)),
+        "appends across the compaction must flow exactly once")
+      // a genuine overwrite still fails the stream loudly
+      CatalogIO.commitVersion(spark, hc, ref, batch(0, 1))
+      CatalogIO.commitAppend(spark, hc, ref, batch(300, 1))
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getCause.getMessage.contains("re-sync"),
+        s"overwrite should keep the re-sync contract: ${e.getCause.getMessage}")
+    } finally q.stop()
+  }
+
+  test("without skipRewrites a compaction still fails the stream (unchanged contract)") {
+    val (hc, wh, ref) = freshTable()
+    CatalogIO.createTable(spark, hc, ref, batch(0, 5))
+    val name = s"ts${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    val q = streamFrom(wh, Some("earliest")).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      CatalogIO.commitAppend(spark, hc, ref, batch(100, 3))
+      assert(CatalogIO.compactTable(spark, hc, ref).compacted)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      assert(e.getCause.getMessage.contains("re-sync"))
     } finally q.stop()
   }
 }
