@@ -135,7 +135,8 @@ object CatalogIO {
       droppedColumns: Seq[String] = Nil,
       dataFileStats: Option[Seq[String]] = None,
       dataFileSizes: Option[Seq[Long]] = None,
-      commitOp: Option[String] = None) {
+      commitOp: Option[String] = None,
+      dataFileNdv: Option[Seq[String]] = None) {
     require(deleteFiles.isEmpty || dataFiles.isDefined,
       "equality-delete files require a file-manifest version")
     require(renameOps.isEmpty || dataFiles.isDefined,
@@ -150,6 +151,10 @@ object CatalogIO {
     // row loss at read) — same hardness as the stats array
     require(dataFileSizes.forall(s => dataFiles.exists(_.size == s.size)),
       "dataFileSizes must parallel dataFiles one-to-one")
+    // misattributed sketches would hand the optimizer another file's
+    // cardinalities — same hardness as the other parallel arrays
+    require(dataFileNdv.forall(s => dataFiles.exists(_.size == s.size)),
+      "dataFileNdv must parallel dataFiles one-to-one")
     /** Seq-gated per-file state (deletes or renames) is live: manifests
       * record per-file seqs while any is. */
     def seqGated: Boolean = deleteFiles.nonEmpty || renameOps.nonEmpty
@@ -215,6 +220,11 @@ object CatalogIO {
       * records per-file stats (`""` = no stats for that file). */
     def absoluteDataFilesWithStats: Option[Seq[(String, String)]] =
       for { fs <- dataFiles; ss <- dataFileStats } yield
+        fs.map(f => new Path(dataLocation, f).toString).zip(ss)
+    /** (absolute path, encoded NDV sketches) per data file, when this
+      * version records them (`""` = no sketch for that file). */
+    def absoluteDataFilesWithNdv: Option[Seq[(String, String)]] =
+      for { fs <- dataFiles; ss <- dataFileNdv } yield
         fs.map(f => new Path(dataLocation, f).toString).zip(ss)
     /** (absolute path, size in bytes) per data file when this version
       * records COMPLETE sizes (every entry known) — the contract split
@@ -372,7 +382,8 @@ object CatalogIO {
     "properties", "dataLocation",
     "deleteFiles", "deleteFileSeqs", "deleteFileKinds", "dataFileSeqs",
     "renameFroms", "renameTos", "renameSeqs", "droppedColumns",
-    "dataFileStats", "dataFileSizes", "deleteFileTargets", "commitOp")
+    "dataFileStats", "dataFileSizes", "deleteFileTargets", "commitOp",
+    "dataFileNdv")
 
   def metadataJson(tableLocation: String, dataLocation: String,
       layout: TableLayout = TableLayout("")): String = {
@@ -428,6 +439,12 @@ object CatalogIO {
         // (pre-round-11 file whose size was never captured).
         layout.dataFileSizes
           .map(ss => s"""  "dataFileSizes": ${arrBody(ss.map(_.toString))},\n""")
+          .getOrElse("")
+      }${
+        // per-data-file NDV sketches (round 11 — Ndv.scala; recorded by
+        // analyzeTable, carried forward by the commit funnel)
+        layout.dataFileNdv
+          .map(ss => s"""  "dataFileNdv": ${arrBody(ss)},\n""")
           .getOrElse("")
       }${
         // delete files + the versions they committed at — the
@@ -977,7 +994,7 @@ object CatalogIO {
         else Some(prior.dataFileSeqs.getOrElse(Seq.fill(priorFiles.size)(0)) ++
           Seq.fill(moved.size)(n)),
       dataFileStats = None, // re-derived in the funnel (prior ∪ footer reads)
-      dataFileSizes = None),
+      dataFileSizes = None, dataFileNdv = None),
       if (delFile.isDefined) CommitOps.Delete else CommitOps.Append,
       Some(prior))
   }
@@ -1002,7 +1019,7 @@ object CatalogIO {
       dataFileSeqs =
         if (!prior.seqGated) None else Some(survivors.map(_._2)),
       dataFileStats = None, // re-derived in the funnel (all carried forward)
-      dataFileSizes = None),
+      dataFileSizes = None, dataFileNdv = None),
       CommitOps.Delete,
       Some(prior))
   }
@@ -1118,7 +1135,7 @@ object CatalogIO {
         dataFileSeqs = Some(prior.dataFileSeqs
           .getOrElse(Seq.fill(priorFiles.size)(0)) ++ Seq.fill(moved.size)(n)),
         dataFileStats = None, // re-derived in the funnel
-        dataFileSizes = None),
+        dataFileSizes = None, dataFileNdv = None),
         CommitOps.Delete,
         Some(prior))
     } finally typed.unpersist()
@@ -1424,6 +1441,115 @@ object CatalogIO {
     CompactResult(loc, files.size, toFiles, compacted = true)
   }
 
+  /** Outcome of [[analyzeTable]]. */
+  final case class AnalyzeResult(metadataLocation: String,
+      analyzedFiles: Int, columns: Seq[String])
+
+  /** Compute per-file, per-column NDV sketches ([[Ndv]]) for the
+    * current snapshot and commit them as a metadata-only version — the
+    * explicit ANALYZE action of this format (Iceberg's compute-stats /
+    * puffin idiom, Spark's `ANALYZE TABLE` re-expressed). ONE
+    * distributed pass over the tracked columns (never on the commit
+    * path: ordinary writes stay O(new data) with zero extra read);
+    * later commits carry the sketches forward for surviving files, and
+    * files added after this analyze simply carry none until the next
+    * run. Scans merge the surviving files' registers at plan time and
+    * hand the optimizer real distinct counts
+    * ([[graft.sources.StatsPrunedScan]] `columnStats`) — the
+    * cardinality input CBO's join sizing and reordering want.
+    *
+    * `columns` empty = every sketchable (atomic-typed) column, schema
+    * order, up to [[Ndv.MaxColumns]]. Refuses while row-level deletes
+    * or un-materialized renames are live (sketches describe FILES;
+    * compact first — it materializes both away). */
+  def analyzeTable(spark: SparkSession, cat: HadoopFsCatalog, ref: TableRef,
+      columns: Seq[String] = Nil): AnalyzeResult = {
+    val (base, layout) = latestVersionLayout(cat, ref).getOrElse(
+      throw new NoSuchTableException(
+        s"Table $ref has no local version history to analyze"))
+    val files = layout.dataFiles.getOrElse(
+      throw new UnsupportedOperationException(
+        s"Table $ref predates file manifests; INSERT OVERWRITE once to " +
+          "upgrade it before analyze"))
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      layout.schemaDdl.getOrElse(throw new UnsupportedOperationException(
+        s"Table $ref has no recorded schema; INSERT OVERWRITE once to " +
+          "upgrade it before analyze")))
+    if (layout.deleteFiles.nonEmpty || layout.renameOps.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"$ref has live delete files or un-materialized renames; sketches " +
+          "describe raw files — compactTable first")
+    val tracked: Seq[org.apache.spark.sql.types.StructField] =
+      if (columns.isEmpty)
+        schema.fields.toSeq.filter(f => Ndv.supported(f.dataType))
+          .take(Ndv.MaxColumns)
+      else columns.map { c =>
+        val f = schema.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+          throw new IllegalArgumentException(
+            s"analyze column $c not in $ref's schema " +
+              schema.fieldNames.mkString("(", ", ", ")")))
+        require(Ndv.supported(f.dataType),
+          s"analyze column $c has unsketchable type ${f.dataType.catalogString}")
+        f
+      }
+    if (files.isEmpty || tracked.isEmpty) {
+      val loc = commitMetadataOnly(cat, ref,
+        layout.copy(dataFileNdv = Some(Seq.fill(files.size)(""))),
+        expectedBase = Some(base))
+      return AnalyzeResult(loc, 0, tracked.map(_.name))
+    }
+    val names = tracked.map(_.name)
+    val nCols = names.size
+    import org.apache.spark.sql.functions.col
+    val src = spark.read.schema(schema)
+      .option("basePath", layout.dataLocation)
+      .parquet(layout.absoluteDataFiles.get: _*)
+      .select((col("_metadata.file_path") +: names.map(col)): _*)
+    // per-partition sketch accumulation, merged per file — one shuffle
+    // of (files × 256-byte registers), never of data rows
+    val perFile: Array[(String, Array[Array[Byte]])] = src.rdd
+      .mapPartitions { rows =>
+        val acc = scala.collection.mutable.HashMap.empty[String, Array[Array[Byte]]]
+        rows.foreach { r =>
+          val sketches = acc.getOrElseUpdate(r.getString(0),
+            Array.fill(nCols)(Ndv.emptySketch()))
+          var i = 0
+          while (i < nCols) {
+            val v = r.get(i + 1)
+            if (v != null) Ndv.add(sketches(i), v)
+            i += 1
+          }
+        }
+        acc.iterator
+      }
+      .reduceByKey((a, b) => a.lazyZip(b).map(Ndv.merge))
+      .collect()
+    // relativize the reader's absolute spellings against the segment
+    val fs = new Path(layout.dataLocation).getFileSystem(cat.fileSystem.getConf)
+    val prefixes = {
+      val p = new Path(layout.dataLocation)
+      Seq(fs.makeQualified(p).toString, p.toString, p.toUri.toString)
+        .distinct.map(_ + "/")
+    }
+    def rel(abs: String): String =
+      prefixes.collectFirst {
+        case pre if abs.startsWith(pre) => abs.substring(pre.length)
+      }.getOrElse(throw new IllegalStateException(
+        s"analyzed file outside segment ${layout.dataLocation}: $abs"))
+    val byRel: Map[String, Array[Array[Byte]]] =
+      perFile.map { case (abs, regs) => rel(abs) -> regs }.toMap
+    val lowered = names.map(_.toLowerCase)
+    val encoded = files.map { f =>
+      // a file absent from the job's output held zero rows: its empty
+      // sketches are a VALID "0 distinct" answer, not a gap
+      val regs = byRel.getOrElse(f, Array.fill(nCols)(Ndv.emptySketch()))
+      Ndv.encode(lowered.zip(regs).toMap)
+    }
+    val loc = commitMetadataOnly(cat, ref,
+      layout.copy(dataFileNdv = Some(encoded)), expectedBase = Some(base))
+    AnalyzeResult(loc, files.size, names)
+  }
+
   /** Incremental (partial) compaction: rewrite ONLY the manifest files
     * `select` picks (by segment-relative path and size), leaving every
     * other file's manifest entry — and physical path — untouched. At
@@ -1497,7 +1623,7 @@ object CatalogIO {
     }
     val df = scanLayoutWithOptions(spark,
       layout.copy(dataFiles = Some(selected.map(_._1)), dataFileSeqs = selSeqs,
-        dataFileStats = None, dataFileSizes = None),
+        dataFileStats = None, dataFileSizes = None, dataFileNdv = None),
       Map.empty)
     val arranged = (layout.numBuckets, layout.partitionColumns) match {
       case (Some(n), _) =>
@@ -1744,13 +1870,24 @@ object CatalogIO {
               .getOrElse(-1L)))
       }
     }.seq.toVector
+    // NDV sketches carry forward like stats; files new since the last
+    // analyzeTable get "" (no sketch — never computed on the commit path)
+    val priorNdv: Map[String, String] = sameSegment
+      .flatMap(pl => for { pf <- pl.dataFiles; ps <- pl.dataFileNdv } yield
+        pf.zip(ps).toMap)
+      .getOrElse(Map.empty)
+    val carriedNdv: Option[Seq[String]] =
+      if (layout.dataFileNdv.isDefined) layout.dataFileNdv
+      else if (priorNdv.isEmpty) None
+      else Some(files.map(f => priorNdv.getOrElse(f, "")))
     layout.copy(
       dataFileStats =
         if (needStats) Some(collected.map(_._1))
         else layout.dataFileStats,
       dataFileSizes =
         if (needSizes) Some(collected.map(_._2))
-        else layout.dataFileSizes)
+        else layout.dataFileSizes,
+      dataFileNdv = carriedNdv)
   }
 
   private def commitLayoutAsVersion(cat: HadoopFsCatalog, ref: TableRef,
@@ -1835,7 +1972,7 @@ object CatalogIO {
         dataFiles = Some(added.map(_._1)),
         dataFileSeqs = if (to.seqGated) Some(added.map(_._2)) else None,
         deleteFiles = Nil, // all pre-date fromVersion: exempt by seq gate
-        dataFileStats = None, dataFileSizes = None), Map.empty)
+        dataFileStats = None, dataFileSizes = None, dataFileNdv = None), Map.empty)
     }.reduce(_ unionByName _)
   }
 
@@ -2337,6 +2474,14 @@ object CatalogIO {
         ss
       },
       commitOp = stringField(text, "commitOp"),
+      dataFileNdv = arrayField(text, "dataFileNdv").map { ss =>
+        dataFiles.map(_.size).filter(_ != ss.size).foreach { n =>
+          throw new IllegalStateException(
+            s"Malformed metadata: 'dataFileNdv' has ${ss.size} entries for " +
+              s"$n data files in $metadataLocation")
+        }
+        ss
+      },
       dataFileSizes = arrayField(text, "dataFileSizes").map { ss =>
         // misaligned sizes would split-plan wrong byte ranges —
         // corruption, same hardness as the stats array

@@ -246,9 +246,22 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         hadoopOpts, layout).getOrElse(table)
     statsMapOf(layout) match {
       case Some(m) => new StatsPrunedTable(planTable, m,
-        layout.dataFiles.map(_.size).getOrElse(-1))
+        layout.dataFiles.map(_.size).getOrElse(-1), ndvMapOf(layout))
       case None => planTable
     }
+  }
+
+  /** The layout's per-file NDV sketches keyed by normalized absolute
+    * path (recorded by [[graft.catalog.CatalogIO.analyzeTable]]) —
+    * empty when absent or `spark.graft.ndv.enabled=false`. */
+  private def ndvMapOf(layout: CatalogIO.TableLayout): Map[String, String] = {
+    val enabled = SparkSession.active.conf
+      .getOption("spark.graft.ndv.enabled").forall(_ == "true")
+    if (!enabled) Map.empty
+    else layout.absoluteDataFilesWithNdv
+      .map(_.collect { case (p, s) if s.nonEmpty =>
+        new org.apache.hadoop.fs.Path(p).toUri.getPath -> s }.toMap)
+      .getOrElse(Map.empty)
   }
 
   /** Scan roots for a layout: manifest versions scan exactly their

@@ -237,7 +237,8 @@ object StatsPruning {
   * `totalDataFiles` is the manifest size — agg answering requires
   * stats coverage of EVERY file. */
 final class StatsPrunedTable(delegate: Table with SupportsRead,
-    statsByPath: Map[String, String], totalDataFiles: Int = -1)
+    statsByPath: Map[String, String], totalDataFiles: Int = -1,
+    ndvByPath: Map[String, String] = Map.empty)
   extends Table with SupportsRead {
 
   override def name(): String = delegate.name
@@ -252,7 +253,7 @@ final class StatsPrunedTable(delegate: Table with SupportsRead,
     // build ParquetScanBuilders — the only builder this wrapper delegates to
     new StatsPrunedScanBuilder(
       delegate.newScanBuilder(options).asInstanceOf[ParquetScanBuilder],
-      statsByPath, delegate.schema, delegate.name, totalDataFiles)
+      statsByPath, delegate.schema, delegate.name, totalDataFiles, ndvByPath)
 }
 
 /** Delegates every pushdown to Spark's ParquetScanBuilder, capturing the
@@ -260,7 +261,7 @@ final class StatsPrunedTable(delegate: Table with SupportsRead,
   * stats never become input partitions. */
 final class StatsPrunedScanBuilder(delegate: ParquetScanBuilder,
     statsByPath: Map[String, String], schema: StructType, tableName: String,
-    totalDataFiles: Int = -1)
+    totalDataFiles: Int = -1, ndvByPath: Map[String, String] = Map.empty)
   extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownCatalystFilters
   with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
@@ -408,7 +409,8 @@ final class StatsPrunedScanBuilder(delegate: ParquetScanBuilder,
       new ManifestAggScan(out, row, tableName)
     case None => delegate.build() match {
       case p: ParquetScan if p.pushedAggregate.isEmpty =>
-        new StatsPrunedScan(p, captured, statsByPath, schema, tableName)
+        new StatsPrunedScan(p, captured, statsByPath, schema, tableName,
+          ndvByPath)
       case other => other // footer-based aggregate scans pass through
     }
   }
@@ -440,7 +442,8 @@ final class ManifestAggScan(out: StructType, row: InternalRow,
   * pruning decision is invalidated when `filter()` lands. */
 final class StatsPrunedScan(private val delegate: ParquetScan,
     private val filters: Seq[Expression],
-    statsByPath: Map[String, String], schema: StructType, tableName: String)
+    statsByPath: Map[String, String], schema: StructType, tableName: String,
+    ndvByPath: Map[String, String] = Map.empty)
   extends Scan with Batch with SupportsReportStatistics
   with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -485,10 +488,74 @@ final class StatsPrunedScan(private val delegate: ParquetScan,
     * the surviving-file byte size over-estimates the post-row-group-
     * filter read, exactly like Spark's own file-scan estimate. */
   override def estimateStatistics(): Statistics = {
+    val keptPaths = keptSlices.map(_.filePath.toString).distinct
+      .map(p => new org.apache.hadoop.fs.Path(p).toUri.getPath)
     val keptBytes = keptSlices.map(_.length).sum
-    val rowCounts = keptSlices.map(_.filePath.toString).distinct.map { p =>
-      decodedByPath.get(new org.apache.hadoop.fs.Path(p).toUri.getPath)
-        .flatten.map(_.rowCount)
+    val rowCounts = keptPaths.map(p => decodedByPath.get(p).flatten.map(_.rowCount))
+    // per-column distinct counts for the SURVIVING files (round 11):
+    // the manifest's HLL registers (CatalogIO.analyzeTable) merge by
+    // register-wise max, so the post-pruning NDV is exact-to-sketch for
+    // whatever file subset this scan actually plans — the cardinality
+    // input CBO's join sizing wants. Reported only for columns every
+    // kept file has a sketch for (partial coverage never guesses);
+    // null counts ride along from the min/max stats envelopes.
+    val colStats: java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+      val m = new java.util.HashMap[org.apache.spark.sql.connector.expressions.NamedReference,
+        org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+      if (ndvByPath.nonEmpty && keptPaths.nonEmpty) {
+        val sketches = keptPaths.map(p => ndvByPath.get(p).flatMap(graft.catalog.Ndv.decode))
+        if (sketches.forall(_.isDefined)) {
+          val perFile = sketches.flatten
+          delegate.readSchema().fields.foreach { f =>
+            val key = f.name.toLowerCase
+            if (perFile.forall(_.contains(key))) {
+              val merged = perFile.map(_(key))
+                .foldLeft(graft.catalog.Ndv.emptySketch())(graft.catalog.Ndv.merge)
+              val ndv = graft.catalog.Ndv.estimate(merged)
+              val nulls = keptPaths.map(p => decodedByPath.get(p).flatten
+                .flatMap(_.cols.get(key)).flatMap(_.nullCount))
+              // merged min/max from the pruning envelopes: without a key
+              // range, catalyst's join estimation (ValueInterval) treats
+              // the sides as DISJOINT and estimates zero rows — bounds
+              // are what make the NDV usable. Reported only when every
+              // kept file carries them (strings excluded: catalyst
+              // intervals are numeric/temporal only).
+              val bounded = f.dataType match {
+                case StringType | org.apache.spark.sql.types.BooleanType => false
+                case _ => true
+              }
+              val envelopes = keptPaths.map(p => decodedByPath.get(p).flatten
+                .flatMap(_.cols.get(key)))
+              val (mnOpt, mxOpt) =
+                if (!bounded || envelopes.exists(e =>
+                    e.isEmpty || e.get.min.isEmpty || e.get.max.isEmpty))
+                  (None, None)
+                else {
+                  val ord = StatsPruning.orderingFor(f.dataType)
+                  (Some(envelopes.flatMap(_.get.min).min(ord)),
+                    Some(envelopes.flatMap(_.get.max).max(ord)))
+                }
+              m.put(org.apache.spark.sql.connector.expressions.Expressions.column(f.name),
+                new org.apache.spark.sql.connector.read.colstats.ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(ndv)
+                  override def nullCount(): java.util.OptionalLong =
+                    if (nulls.forall(_.isDefined))
+                      java.util.OptionalLong.of(nulls.flatten.sum)
+                    else java.util.OptionalLong.empty()
+                  override def min(): java.util.Optional[Object] =
+                    mnOpt.fold(java.util.Optional.empty[Object]())(v =>
+                      java.util.Optional.of(v.asInstanceOf[Object]))
+                  override def max(): java.util.Optional[Object] =
+                    mxOpt.fold(java.util.Optional.empty[Object]())(v =>
+                      java.util.Optional.of(v.asInstanceOf[Object]))
+                })
+            }
+          }
+        }
+      }
+      m
     }
     // same expansion model as Spark's own FileScan estimate
     val factor = delegate.sparkSession.sessionState.conf.fileCompressionFactor
@@ -499,6 +566,8 @@ final class StatsPrunedScan(private val delegate: ParquetScan,
         if (rowCounts.nonEmpty && rowCounts.forall(_.isDefined))
           java.util.OptionalLong.of(rowCounts.flatten.sum)
         else java.util.OptionalLong.empty()
+      override def columnStats(): java.util.Map[org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = colStats
     }
   }
 
