@@ -104,8 +104,29 @@ object CatalogFactory {
       val store = cfg.properties.getOrElse("store",
         throw new IllegalArgumentException(
           s"Catalog ${cfg.name}: nessie catalog requires a 'store' property"))
+      // ref-store=kv routes branch-head CAS through the KvStore seam
+      // (DynamoDB/ECS conditional writes) instead of O_EXCL lock files —
+      // the production posture for object-store-backed Nessie stores.
+      // Commit objects stay content-addressed files under `store`.
+      val (kvRefs, kvOwned) = cfg.properties.get("ref-store") match {
+        case Some("kv") =>
+          (cfg.properties.get("ref-store-impl"),
+            cfg.properties.get("ref-store-id")) match {
+            case (Some(impl), _) =>
+              (Some(Class.forName(impl).getConstructor(classOf[CatalogConfig])
+                .newInstance(cfg).asInstanceOf[KvStore]), true)
+            case (None, Some(id)) => (Some(MemoryKvStore.forId(id)), false)
+            case (None, None) => throw new IllegalArgumentException(
+              s"Catalog ${cfg.name}: ref-store=kv requires 'ref-store-id' " +
+                "(memory id) or 'ref-store-impl' (KvStore adapter class)")
+          }
+        case Some("file") | None => (None, false)
+        case Some(other) => throw new IllegalArgumentException(
+          s"Catalog ${cfg.name}: unknown ref-store '$other' (file | kv)")
+      }
       new NessieCatalog(cfg.name, store,
-        cfg.properties.getOrElse("ref", NessieCatalog.DefaultBranch), cfg.hadoopConf)
+        cfg.properties.getOrElse("ref", NessieCatalog.DefaultBranch),
+        cfg.hadoopConf, kvRefs, kvOwned)
     case "kv" =>
       // the DynamoDB/ECS catalog model over the KvStore seam: `store`
       // names a JVM-global MemoryKvStore (offline/testing); a production

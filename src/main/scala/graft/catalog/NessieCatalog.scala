@@ -66,7 +66,9 @@ final case class NessieRef(name: String, refType: String, hash: String)
   */
 final class NessieCatalog(val name: String, storeDir: String,
     val ref: String = NessieCatalog.DefaultBranch,
-    hadoopConf: Map[String, String] = Map.empty)
+    hadoopConf: Map[String, String] = Map.empty,
+    kvRefStore: Option[KvStore] = None,
+    kvRefStoreOwned: Boolean = false)
   extends Catalog with SupportsTableVersions {
 
   import NessieCatalog._
@@ -81,7 +83,17 @@ final class NessieCatalog(val name: String, storeDir: String,
   @transient private lazy val fs: FileSystem = root.getFileSystem(conf)
   private def commitsDir = new Path(root, "commits")
   private def refsDir = new Path(root, "refs")
-  private def refPath(n: String) = new Path(refsDir, n)
+
+  /** The reference plane (round 11): branch-head CAS routes through
+    * [[NessieRefStore]] — file-backed by default, or the [[KvStore]]
+    * conditional-write seam (`ref-store=kv`) so a production store
+    * rides DynamoDB/ECS CAS instead of O_EXCL lock files. Commit
+    * OBJECTS stay content-addressed files either way (immutable — no
+    * coordination to route). */
+  @transient private lazy val refs: NessieRefStore = kvRefStore match {
+    case Some(kv) => new KvNessieRefStore(kv, storeDir, kvRefStoreOwned)
+    case None => new FileNessieRefStore(fs, refsDir)
+  }
 
   // Commits are immutable ⇒ a parsed commit never goes stale.
   @transient private lazy val commitCache = mutable.HashMap.empty[String, NessieCommitMeta]
@@ -94,54 +106,29 @@ final class NessieCatalog(val name: String, storeDir: String,
   private def init(): Unit = {
     fs.mkdirs(commitsDir)
     fs.mkdirs(refsDir)
-    // Bootstrap the default branch ONLY on a truly virgin store: a ref
-    // being republished (delete→rename window) briefly has no ref FILE,
-    // but its lock/tmp files keep the dir non-empty — an existence check
-    // on refs/main alone would resurrect an empty main mid-publish.
-    if (fs.listStatus(refsDir).isEmpty) {
-      try atomicPublishFile(refPath(DefaultBranch), s"branch $EmptyHash\n",
-        replaceExisting = false)
-      catch { case _: java.io.IOException => () } // concurrent bootstrap won
-    }
+    // Bootstrap the default branch ONLY on a truly virgin store (the
+    // file impl checks the RAW dir — lock/tmp debris mid-publish must
+    // not look virgin and resurrect an empty main); create-if-absent
+    // makes a concurrent bootstrap race benign in both impls.
+    if (refs.storeIsVirgin)
+      refs.create(DefaultBranch, s"branch $EmptyHash")
   }
 
   // ----- references -----
 
   def listReferences(): Seq[NessieRef] =
-    fs.listStatus(refsDir).toSeq
-      // locks and crashed-publish temps live alongside the refs (dotted
-      // names are reserved by createRef's name validation)
-      .filterNot(st => st.getPath.getName.endsWith(".lock") ||
-        st.getPath.getName.startsWith("."))
-      .map(st => readRef(st.getPath.getName)).sortBy(_.name)
+    refs.listNames().map(readRef).sortBy(_.name)
 
   private def readRef(n: String): NessieRef = {
-    val p = refPath(n)
-    // On file:// publishes are single atomic moves, so reads always see
-    // a complete old or new file. On rename-no-overwrite filesystems the
-    // publish is delete→rename: retry both the tiny missing window and a
-    // torn read (partial content) instead of failing.
-    var attempts = 0
-    while (true) {
-      if (fs.exists(p)) {
-        val parts = try readText(p).trim.split(' ')
-        catch { case _: java.io.IOException => Array.empty[String] }
-        if (parts.length == 2 && (parts(0) == "branch" || parts(0) == "tag"))
-          return NessieRef(n, parts(0), parts(1))
-        attempts += 1
-        if (attempts > 50)
-          throw new IllegalStateException(s"Malformed reference file: $p")
-      } else {
-        attempts += 1
-        if (attempts > 50)
-          throw new NoSuchNamespaceException(s"Reference does not exist: $n")
-      }
-      Thread.sleep(10)
-    }
-    sys.error("unreachable")
+    val text = refs.read(n).getOrElse(
+      throw new NoSuchNamespaceException(s"Reference does not exist: $n"))
+    val parts = text.split(' ')
+    if (parts.length == 2 && (parts(0) == "branch" || parts(0) == "tag"))
+      NessieRef(n, parts(0), parts(1))
+    else throw new IllegalStateException(s"Malformed reference $n: '$text'")
   }
 
-  private def refExists(n: String): Boolean = fs.exists(refPath(n))
+  private def refExists(n: String): Boolean = refs.exists(n)
 
   /** Resolve any ref spec — branch/tag name or (unambiguous prefix of a)
     * commit hash — to a commit hash. */
@@ -190,24 +177,31 @@ final class NessieCatalog(val name: String, storeDir: String,
       !n.endsWith(".lock") && !n.startsWith("."),
       s"Invalid reference name: $n")
     val hash = resolveRef(fromRef.getOrElse(ref))
-    if (refExists(n))
+    if (!refs.create(n, s"$refType $hash"))
       throw new AlreadyExistsException(s"Reference already exists: $n")
-    try atomicPublishFile(refPath(n), s"$refType $hash\n", replaceExisting = false)
-    catch {
-      case _: java.io.IOException if refExists(n) =>
-        throw new AlreadyExistsException(s"Reference already exists: $n")
-    }
   }
 
   def deleteReference(n: String): Unit = {
     if (n == DefaultBranch)
       throw new IllegalArgumentException(s"Cannot delete the default branch '$DefaultBranch'")
-    if (!refExists(n))
-      throw new NoSuchNamespaceException(s"Reference does not exist: $n")
-    // under the ref lock: a mid-commit publishRef on this branch must not
-    // resurrect the file after the delete
-    withRefLock(n) {
-      if (fs.exists(refPath(n))) fs.delete(refPath(n), false)
+    // delete-if-current, retried: a commit racing this delete either
+    // lands before it (its head is what we delete) or loses its CAS
+    // after it (the ref is gone — conflict surfaces there); the ref can
+    // never be resurrected by a straggler
+    var attempts = 0
+    while (true) {
+      refs.read(n) match {
+        case None =>
+          if (attempts == 0)
+            throw new NoSuchNamespaceException(s"Reference does not exist: $n")
+          return // a racer's commit lost; the delete already landed
+        case Some(cur) =>
+          if (refs.deleteIf(n, cur)) return
+      }
+      attempts += 1
+      if (attempts >= 10)
+        throw new CommitConflictException(
+          s"Could not delete reference $n: concurrent commits kept advancing it")
     }
   }
 
@@ -217,8 +211,20 @@ final class NessieCatalog(val name: String, storeDir: String,
     if (r.refType != "branch")
       throw new UnsupportedOperationException(s"Reference '$branch' is a ${r.refType}")
     val target = resolveRef(toRef)
-    withRefLock(branch) { publishRef(branch, "branch", target) }
+    var attempts = 0
+    while (!refs.cas(branch, readRefText(branch), s"branch $target")) {
+      attempts += 1
+      if (attempts >= 10)
+        throw new CommitConflictException(
+          s"Could not reset branch $branch: concurrent commits kept advancing it")
+    }
   }
+
+  /** The ref's current raw line (missing ref surfaces as the usual
+    * NoSuchNamespace). */
+  private def readRefText(n: String): String =
+    refs.read(n).getOrElse(
+      throw new NoSuchNamespaceException(s"Reference does not exist: $n"))
 
   // ----- commit machinery -----
 
@@ -230,8 +236,15 @@ final class NessieCatalog(val name: String, storeDir: String,
   def commitMulti(message: String, ops: Seq[NessieOp],
       expectedHead: Option[String] = None): String = {
     val branch = mutableBranch()
-    withRefLock(branch) {
-      val head = readRef(branch).hash
+    // optimistic CAS on the branch head — the commit protocol itself.
+    // Without expectedHead the commit applies to whatever head wins the
+    // race (retried with a fresh parent; the lost attempts' commit
+    // objects are unreachable and gcStore reclaims them); with it, the
+    // first CAS loss IS the caller's conflict.
+    var attempts = 0
+    while (true) {
+      val headText = readRefText(branch)
+      val head = headText.split(' ')(1)
       expectedHead.foreach { e =>
         if (e != head)
           throw new CommitConflictException(
@@ -240,9 +253,16 @@ final class NessieCatalog(val name: String, storeDir: String,
       val meta = NessieCommitMeta(hash = "", parent = head,
         timestampMillis = System.currentTimeMillis(), message = message, ops = ops)
       val hash = writeCommitObject(meta)
-      publishRef(branch, "branch", hash)
-      hash
+      if (refs.cas(branch, headText, s"branch $hash")) return hash
+      if (expectedHead.isDefined)
+        throw new CommitConflictException(
+          s"Branch $branch advanced past ${expectedHead.get} during commit")
+      attempts += 1
+      if (attempts >= 10)
+        throw new CommitConflictException(
+          s"Commit on $branch kept losing the head CAS after $attempts attempts")
     }
+    sys.error("unreachable")
   }
 
   /** Content-addressed commit write: full bytes land under a temp name,
@@ -278,66 +298,14 @@ final class NessieCatalog(val name: String, storeDir: String,
       } catch {
         case e: CommitConflictException =>
           attempt += 1
-          if (attempt >= 10) throw e
+          if (attempt >= 50) throw e
+          // optimistic CAS under contention: jittered backoff spreads
+          // the racers so every one eventually wins a round (the lock-
+          // based round-10 store got this for free by blocking)
+          Thread.sleep(scala.util.Random.nextInt(5 * attempt) + 1L)
       }
     }
   }
-
-  /** Exclusive-create of the lock file. Hadoop's LocalFileSystem
-    * `create(p, overwrite = false)` is check-then-act (two racers can
-    * both "win"), so file:// stores go through java.nio's O_EXCL create;
-    * HDFS-like schemes get atomic exclusive create from the NameNode. */
-  private def tryAcquireLock(lock: Path): Boolean =
-    if (fs.getScheme == "file") {
-      try {
-        java.nio.file.Files.write(
-          java.nio.file.Paths.get(lock.toUri.getPath),
-          s"${System.currentTimeMillis()}\n".getBytes(StandardCharsets.UTF_8),
-          java.nio.file.StandardOpenOption.CREATE_NEW,
-          java.nio.file.StandardOpenOption.WRITE)
-        true
-      } catch { case _: java.io.IOException => false }
-    } else {
-      try { writeExclusive(lock, s"${System.currentTimeMillis()}\n"); true }
-      catch { case _: java.io.IOException => false }
-    }
-
-  private def deleteLock(lock: Path): Unit =
-    if (fs.getScheme == "file")
-      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(lock.toUri.getPath))
-    else fs.delete(lock, false)
-
-  private def withRefLock[A](branch: String)(body: => A): A = {
-    val lock = refPath(s"$branch.lock")
-    val deadline = System.currentTimeMillis() + 30000
-    var acquired = false
-    while (!acquired) {
-      if (tryAcquireLock(lock)) acquired = true
-      else {
-        // stale-lock recovery: a holder that crashed leaves its
-        // timestamp behind; break locks older than 60 s (an unparsable
-        // or in-flight lock is never stale)
-        val stale = try {
-          fs.exists(lock) &&
-            readText(lock).trim.toLong < System.currentTimeMillis() - 60000
-        } catch { case _: Exception => false }
-        if (stale) deleteLock(lock)
-        else if (System.currentTimeMillis() > deadline)
-          throw new CommitConflictException(
-            s"Timed out waiting for ref lock on branch $branch")
-        else Thread.sleep(5)
-      }
-    }
-    try body finally deleteLock(lock)
-  }
-
-  /** Inside the ref lock: replace the ref file. On file:// this is one
-    * ATOMIC_MOVE (readers always see a complete old or new file); on
-    * rename-no-overwrite filesystems it degrades to delete→rename, whose
-    * tiny missing window readers cover by retrying (see [[readRef]]).
-    * The lock serializes all writers either way. */
-  private def publishRef(n: String, refType: String, hash: String): Unit =
-    atomicPublishFile(refPath(n), s"$refType $hash\n", replaceExisting = true)
 
   /** Write `text` to `p` so that `p` is NEVER observable half-written:
     * full write to a same-directory temp, then rename. file:// uses
@@ -447,15 +415,32 @@ final class NessieCatalog(val name: String, storeDir: String,
     * changed the same key to different states. */
   def merge(fromRef: String, message: String = ""): String = {
     val branch = mutableBranch()
-    withRefLock(branch) {
-      val targetHead = readRef(branch).hash
+    // optimistic: compute against the observed head, publish by CAS,
+    // recompute on loss (the three-way result depends on the head)
+    var attempts = 0
+    while (true) {
+      val r = mergeOnce(branch, fromRef, message)
+      if (r.isDefined) return r.get
+      attempts += 1
+      if (attempts >= 10)
+        throw new CommitConflictException(
+          s"Merge into $branch kept losing the head CAS after $attempts attempts")
+    }
+    sys.error("unreachable")
+  }
+
+  private def mergeOnce(branch: String, fromRef: String,
+      message: String): Option[String] = {
+    {
+      val targetText = readRefText(branch)
+      val targetHead = targetText.split(' ')(1)
       val sourceHead = resolveRef(fromRef)
       val base = mergeBase(sourceHead, targetHead)
-      if (sourceHead == base) return targetHead // nothing to merge
-      if (targetHead == base) { // fast-forward
-        publishRef(branch, "branch", sourceHead)
-        return sourceHead
-      }
+      if (sourceHead == base) return Some(targetHead) // nothing to merge
+      if (targetHead == base) // fast-forward
+        return if (refs.cas(branch, targetText, s"branch $sourceHead"))
+          Some(sourceHead)
+        else None
       val baseSnap = snapshotAt(base)
       val srcSnap = snapshotAt(sourceHead)
       val tgtSnap = snapshotAt(targetHead)
@@ -484,12 +469,9 @@ final class NessieCatalog(val name: String, storeDir: String,
         }
       val msg = if (message.nonEmpty) message
         else s"merge $fromRef (${sourceHead.take(8)}) into $branch"
-      // inside the lock already: calling commitMulti would re-lock, so
-      // build the commit with the same write machinery directly
       val hash = writeCommitObject(NessieCommitMeta("", targetHead,
         System.currentTimeMillis(), msg, nsOps ++ tableOps))
-      publishRef(branch, "branch", hash)
-      hash
+      if (refs.cas(branch, targetText, s"branch $hash")) Some(hash) else None
     }
   }
 
@@ -504,12 +486,27 @@ final class NessieCatalog(val name: String, storeDir: String,
   def squashHistory(keepLast: Int, message: String = ""): String = {
     require(keepLast >= 0, s"keepLast must be >= 0, got $keepLast")
     val branch = mutableBranch()
-    withRefLock(branch) {
-      val head = readRef(branch).hash
+    var attempts = 0
+    while (true) {
+      val r = squashOnce(branch, keepLast, message)
+      if (r.isDefined) return r.get
+      attempts += 1
+      if (attempts >= 10)
+        throw new CommitConflictException(
+          s"Squash of $branch kept losing the head CAS after $attempts attempts")
+    }
+    sys.error("unreachable")
+  }
+
+  private def squashOnce(branch: String, keepLast: Int,
+      message: String): Option[String] = {
+    {
+      val headText = readRefText(branch)
+      val head = headText.split(' ')(1)
       var chain = List.empty[NessieCommitMeta] // oldest-first
       var cur = head
       while (cur != EmptyHash) { val c = loadCommit(cur); chain ::= c; cur = c.parent }
-      if (chain.size <= keepLast + 1) return head // nothing to collapse
+      if (chain.size <= keepLast + 1) return Some(head) // nothing to collapse
       val (squashed, kept) = chain.splitAt(chain.size - keepLast)
       val at = squashed.last
       val snap = snapshotAt(at.hash)
@@ -525,8 +522,7 @@ final class NessieCatalog(val name: String, storeDir: String,
       kept.foreach { c =>
         parent = writeCommitObject(c.copy(hash = "", parent = parent))
       }
-      publishRef(branch, "branch", parent)
-      parent
+      if (refs.cas(branch, headText, s"branch $parent")) Some(parent) else None
     }
   }
 
@@ -539,11 +535,7 @@ final class NessieCatalog(val name: String, storeDir: String,
     * branches created mid-sweep). Returns the number deleted. */
   def gcStore(graceMillis: Long = 3600000L): Int = {
     val branches = listReferences().filter(_.refType == "branch").map(_.name).sorted
-    def locked(rest: Seq[String])(body: => Int): Int = rest match {
-      case Seq() => body
-      case b +: tail => withRefLock(b)(locked(tail)(body))
-    }
-    locked(branches) {
+    refs.withExclusive(branches) {
       val reachable = mutable.HashSet.empty[String]
       listReferences().foreach { r =>
         var cur = r.hash
@@ -776,6 +768,8 @@ final class NessieCatalog(val name: String, storeDir: String,
       val in = fs.open(p)
       try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
     }
+
+  override def close(): Unit = refs.close()
 }
 
 object NessieCatalog {

@@ -193,6 +193,92 @@ class NessieCatalogSpec extends AnyFunSuite {
     } finally { a.close(); b.close() }
   }
 
+  test("the racing-commit matrix holds over a KvStore-backed ref store (CAS, no locks)") {
+    // ref-store=kv: branch-head CAS rides KvStore.replace (the DynamoDB/
+    // ECS conditional write) — same commit protocol, zero lock files
+    val dir = store()
+    val kvId = s"nessie-kv-${uid()}"
+    def open(view: String, ref: String = NessieCatalog.DefaultBranch) =
+      new NessieCatalog(view, dir, ref = ref,
+        kvRefStore = Some(MemoryKvStore.forId(kvId)))
+    val a = open(s"nc${uid()}")
+    val b = open("b-view")
+    try {
+      a.createNamespace(Namespace.of("db"))
+      val head = a.currentHash
+      a.commitMulti("publish batch", Seq(
+        NessieOp.PutTable("db.x", "x-loc"), NessieOp.PutTable("db.y", "y-loc")),
+        expectedHead = Some(head))
+      assert(a.commitLog().head.ops.size == 2)
+      // stale-head CAS refuses without landing anything
+      val e = intercept[CommitConflictException](
+        a.commitMulti("stale", Seq(NessieOp.PutTable("db.z", "z-loc")),
+          expectedHead = Some(head)))
+      assert(e.getMessage.contains("advanced"))
+      assert(!a.tableExists(TableRef.parse("db.z")))
+      // interleaved single-op writers both land; same-key race surfaces
+      a.registerTable(TableRef.parse("db.t_a"), "a-loc")
+      b.registerTable(TableRef.parse("db.t_b"), "b-loc")
+      intercept[AlreadyExistsException](
+        b.registerTable(TableRef.parse("db.t_a"), "other"))
+      // genuinely concurrent commits: every one lands exactly once and
+      // the log is one linear CAS-serialized chain
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration._
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        val futures = (0 until 8).map { t =>
+          Future {
+            val view = open(s"racer-$t")
+            try (0 until 5).foreach(i =>
+              view.registerTable(TableRef.parse(s"db.race_${t}_$i"), s"loc-$t-$i"))
+            finally view.close()
+          }
+        }
+        Await.result(Future.sequence(futures), 60.seconds)
+      } finally pool.shutdown()
+      val names = a.listTables(Namespace.of("db")).map(_.name).toSet
+      assert((0 until 8).forall(t => (0 until 5).forall(i => names(s"race_${t}_$i"))))
+      // the chain is linear back to the empty hash (no lost commit)
+      val log = a.commitLog()
+      assert(log.size >= 40)
+      assert(log.last.parent == NessieCatalog.EmptyHash)
+      // branch/tag surface works over kv refs too
+      a.createTag("kv-tag", None)
+      assert(a.resolveRef("kv-tag") == a.currentHash)
+      a.createBranch("kv-dev", None)
+      val dev = open("dev-view", ref = "kv-dev")
+      try {
+        dev.registerTable(TableRef.parse("db.dev_only"), "dev-loc")
+        assert(!a.tableExists(TableRef.parse("db.dev_only")))
+        a.merge("kv-dev")
+        assert(a.tableExists(TableRef.parse("db.dev_only")))
+      } finally dev.close()
+      a.deleteReference("kv-dev")
+      intercept[NoSuchNamespaceException](a.resolveRef("kv-dev"))
+    } finally { a.close(); b.close() }
+  }
+
+  test("CatalogFactory wires ref-store=kv; file and kv stores are independent planes") {
+    val dir = store()
+    val kvId = s"nessie-kv-${uid()}"
+    val cfg = CatalogConfig("nessie", s"nc${uid()}",
+      Map("store" -> dir, "ref-store" -> "kv", "ref-store-id" -> kvId))
+    val cat = CatalogFactory.build(cfg).asInstanceOf[NessieCatalog]
+    try {
+      cat.createNamespace(Namespace.of("db"))
+      cat.registerTable(TableRef.parse("db.t"), "loc-1")
+      assert(cat.loadTableMetadataLocation(TableRef.parse("db.t")) == "loc-1")
+      // refs live in the KV store, not as files
+      val kv = MemoryKvStore.forId(kvId)
+      assert(kv.scanPrefix(s"$dir/refs/").nonEmpty)
+      val refsDir = new java.io.File(dir, "refs")
+      assert(!refsDir.exists() || refsDir.listFiles().forall(_.getName.startsWith(".")),
+        "kv-backed refs must not be written as ref files")
+    } finally cat.close()
+  }
+
   test("per-table pointer history serves SupportsTableVersions from the log") {
     val dir = store()
     val cat = new NessieCatalog(s"nc${uid()}", dir)
