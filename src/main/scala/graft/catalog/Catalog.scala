@@ -142,6 +142,22 @@ object CatalogFactory {
       }
       new KvCatalog(cfg.name, store,
         ownsStore = cfg.properties.contains("store-impl"))
+    case "glue" =>
+      // the reference's 9th catalog kind: AWS Glue databases/tables over
+      // the GlueApi seam. `store` names a JVM-global MemoryGlueApi
+      // (offline/testing); production loads an AWS-SDK adapter via
+      // `glue-impl` — the same seam discipline as the kv kind.
+      val glue = (cfg.properties.get("glue-impl"), cfg.properties.get("store")) match {
+        case (Some(impl), _) =>
+          Class.forName(impl).getConstructor(classOf[CatalogConfig])
+            .newInstance(cfg).asInstanceOf[GlueApi]
+        case (None, Some(id)) => MemoryGlueApi.forId(id)
+        case (None, None) => throw new IllegalArgumentException(
+          s"Catalog ${cfg.name}: glue catalog requires a 'store' (memory id) " +
+            "or 'glue-impl' (GlueApi adapter class) property")
+      }
+      new GlueCatalog(cfg.name, glue,
+        ownsApi = cfg.properties.contains("glue-impl"))
     case "custom" =>
       val impl = cfg.properties.getOrElse("impl",
         throw new IllegalArgumentException(
