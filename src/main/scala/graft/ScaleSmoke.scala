@@ -48,7 +48,7 @@ object ScaleSmoke {
     }
     // the write/compact experiments only need lineitem — skip the rest
     // of the synthesis when they (or srp, which synthesizes nothing) run alone
-    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr")).nonEmpty) {
+    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr", "plan")).nonEmpty) {
       replicate("orders") { (df, i) =>
         df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
           .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
@@ -83,9 +83,9 @@ object ScaleSmoke {
       "d08_dedup_substrings", "t06_pack_sequences", "p01_training_pipeline")
     // a typo'd name silently measuring nothing would waste a multi-hour
     // rerun — fail fast instead ("srp"/"write" select those experiments)
-    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr"
+    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr" - "plan"
     require(unknown.isEmpty,
-      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats, incr")
+      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats, incr, plan")
     all.filter(q => only.isEmpty || only(q)).foreach { q =>
       try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
     }
@@ -95,8 +95,51 @@ object ScaleSmoke {
     if (only.isEmpty || only("mor")) morScale(spark, out, replicas)
     if (only.isEmpty || only("stats")) statsScale(spark, out, replicas)
     if (only.isEmpty || only("incr")) incrScale(spark, out, replicas)
+    if (only.isEmpty || only("plan")) planScale(spark, out, replicas)
     spark.stop()
   }
+
+  /** Query-PLANNING cost vs manifest size (round 11, ManifestScan.scala):
+    * a table of 150×replicas files, resolved and split-planned (no job
+    * run) through the manifest-backed file index vs Spark's
+    * listing-backed InMemoryFileIndex. The listing path pays O(files)
+    * driver filesystem calls per table load (glob/exists per path plus
+    * the leaf listing) — milliseconds each on an object store, which at
+    * 100 TB is minutes of driver time before the first task; the
+    * manifest path reads ONE metadata JSON. The FileStatusCache is reset
+    * between runs so the listing side is measured honestly (a fresh
+    * driver's first plan). */
+  private def planScale(spark: SparkSession, out: String, replicas: Int): Unit =
+    graft.sources.TempCatalog.withTemp(spark, s"graft-plan-x$replicas") { cat =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      val files = 150 * replicas
+      val t0 = System.nanoTime()
+      spark.sql(s"CREATE TABLE $cat.db.many USING parquet AS " +
+        s"SELECT /*+ REPARTITION($files) */ l_orderkey AS k, l_quantity AS q " +
+        s"FROM parquet.`$out/lineitem.parquet`")
+      println(f"[scale] plan x$replicas: $files-file table created in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      def planTime(manifest: Boolean): Double = {
+        spark.conf.set("spark.graft.manifest.planning", manifest.toString)
+        (1 to 3).map { _ =>
+          org.apache.spark.sql.execution.datasources.FileStatusCache.resetForTesting()
+          val p0 = System.nanoTime()
+          val df = spark.table(s"$cat.db.many").where("k > 0")
+          val scan = df.queryExecution.sparkPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+          }.get
+          val parts = scan.scan.toBatch.planInputPartitions().length
+          require(parts > 0)
+          (System.nanoTime() - p0) / 1e9
+        }.min
+      }
+      val manifestSecs = planTime(manifest = true)
+      val listingSecs = try planTime(manifest = false)
+      finally spark.conf.unset("spark.graft.manifest.planning")
+      println(f"[scale] plan x$replicas: resolve+split-plan $files files — " +
+        f"manifest $manifestSecs%.3f s vs listing $listingSecs%.3f s " +
+        f"(local-FS stats are ~free; object-store HEADs multiply the listing side only)")
+    }
 
   /** Incremental-read experiment (round 10): against a lineitem table
     * of `replicas`× sf0.1, a fixed 100k-row append is committed and the
