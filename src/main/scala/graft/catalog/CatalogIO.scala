@@ -1525,12 +1525,7 @@ object CatalogIO {
       .reduceByKey((a, b) => a.lazyZip(b).map(Ndv.merge))
       .collect()
     // relativize the reader's absolute spellings against the segment
-    val fs = new Path(layout.dataLocation).getFileSystem(cat.fileSystem.getConf)
-    val prefixes = {
-      val p = new Path(layout.dataLocation)
-      Seq(fs.makeQualified(p).toString, p.toString, p.toUri.toString)
-        .distinct.map(_ + "/")
-    }
+    val prefixes = segmentPrefixes(layout.dataLocation, cat.fileSystem.getConf)
     def rel(abs: String): String =
       prefixes.collectFirst {
         case pre if abs.startsWith(pre) => abs.substring(pre.length)
@@ -2021,6 +2016,11 @@ object CatalogIO {
           val files = lv.dataFiles.getOrElse(throw new UnsupportedOperationException(
             s"Table $ref v$v predates file manifests; INSERT OVERWRITE once " +
               "to upgrade it before incremental reads"))
+          if (!prevSet.subsetOf(files.toSet))
+            throw new UnsupportedOperationException(
+              s"Table $ref v$v is marked '${lv.commitOp.get}' but the " +
+                "manifest shrank — metadata is inconsistent; re-sync with a " +
+                "full read")
           val seqs = lv.dataFileSeqs.getOrElse(Seq.fill(files.size)(0))
           val added = files.zip(seqs).filterNot { case (f, _) => prevSet(f) }
           if (added.nonEmpty)
@@ -2311,14 +2311,23 @@ object CatalogIO {
     * matching every absolute spelling the readers can produce for the
     * segment (qualified, raw, URI). A path matching NO prefix raises at
     * execution — a silent mismatch here would resurrect deleted rows. */
+  /** Every absolute spelling a reader can produce for files under
+    * `dataLocation` (qualified, raw, URI), each with a trailing slash —
+    * ONE definition of the path-spelling contract, shared by the
+    * column-level relativizer and analyzeTable's driver-side form. */
+  private[graft] def segmentPrefixes(dataLocation: String,
+      conf: Configuration): Seq[String] = {
+    val p = new Path(dataLocation)
+    val fs = p.getFileSystem(conf)
+    Seq(fs.makeQualified(p).toString, p.toString, p.toUri.toString)
+      .distinct.map(_ + "/")
+  }
+
   private[graft] def relativizeFileColumn(
       fileCol: org.apache.spark.sql.Column, dataLocation: String,
       conf: Configuration): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{concat, length, lit, raise_error, when}
-    val p = new Path(dataLocation)
-    val fs = p.getFileSystem(conf)
-    val prefixes = Seq(fs.makeQualified(p).toString, p.toString,
-      p.toUri.toString).distinct.map(_ + "/")
+    val prefixes = segmentPrefixes(dataLocation, conf)
     val err = raise_error(concat(
       lit(s"data file outside segment $dataLocation: "), fileCol))
       .cast(org.apache.spark.sql.types.StringType)

@@ -536,18 +536,42 @@ final class NessieCatalog(val name: String, storeDir: String,
   def gcStore(graceMillis: Long = 3600000L): Int = {
     val branches = listReferences().filter(_.refType == "branch").map(_.name).sorted
     refs.withExclusive(branches) {
-      val reachable = mutable.HashSet.empty[String]
-      listReferences().foreach { r =>
-        var cur = r.hash
-        while (cur != EmptyHash && reachable.add(cur)) cur = loadCommit(cur).parent
+      // File-backed refs: committers CAS under the SAME per-branch locks
+      // held here, so the sweep is fully exclusive. KV-backed refs CAS
+      // lock-free, so the sweep re-reads every head after computing the
+      // candidate set and restarts if ANY moved — the only mutation that
+      // could endanger an old orphan is a head LANDING ON one
+      // (assignBranch / createRef from a detached hash), and that
+      // mutation changes a head this check observes. The residual
+      // window (a reassignment racing the final delete) matches the
+      // upstream Nessie GC contract: do not reassign refs to expired
+      // commits concurrently with GC.
+      def headsNow(): Seq[(String, String)] =
+        listReferences().map(r => r.name -> r.hash).sortBy(_._1)
+      var attempts = 0
+      while (true) {
+        val before = headsNow()
+        val reachable = mutable.HashSet.empty[String]
+        before.foreach { case (_, h) =>
+          var cur = h
+          while (cur != EmptyHash && reachable.add(cur)) cur = loadCommit(cur).parent
+        }
+        val cutoff = System.currentTimeMillis() - graceMillis
+        val dead = fs.listStatus(commitsDir).toSeq.filter { st =>
+          !reachable.contains(st.getPath.getName) &&
+            st.getModificationTime < cutoff
+        }
+        if (headsNow() == before) {
+          dead.foreach(st => fs.delete(st.getPath, false))
+          return dead.size
+        }
+        attempts += 1
+        if (attempts >= 10)
+          throw new CommitConflictException(
+            "gcStore could not observe a stable set of reference heads " +
+              s"after $attempts attempts; retry when commit traffic quiets")
       }
-      val cutoff = System.currentTimeMillis() - graceMillis
-      val dead = fs.listStatus(commitsDir).toSeq.filter { st =>
-        !reachable.contains(st.getPath.getName) &&
-          st.getModificationTime < cutoff
-      }
-      dead.foreach(st => fs.delete(st.getPath, false))
-      dead.size
+      sys.error("unreachable")
     }
   }
 

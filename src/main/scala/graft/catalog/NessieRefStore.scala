@@ -245,13 +245,18 @@ private[catalog] final class KvNessieRefStore(kv: KvStore, prefix: String,
       case n +: rest =>
         val lk = lockKey(n)
         val deadline = System.currentTimeMillis() + 30000
-        var acquired = false
-        while (!acquired) {
-          if (kv.putIfAbsent(lk, System.currentTimeMillis().toString)) acquired = true
+        // unique per acquisition: release and stale-break are both
+        // value-checked deletes, so a holder that stalled past the
+        // stale window can never delete a SUCCESSOR's lock entry
+        var myToken: String = null
+        while (myToken == null) {
+          val candidate = s"${System.currentTimeMillis()}:${java.util.UUID.randomUUID()}"
+          if (kv.putIfAbsent(lk, candidate)) myToken = candidate
           else {
-            val stale = kv.get(lk).flatMap(_.toLongOption)
+            val cur = kv.get(lk)
+            val stale = cur.flatMap(_.split(':').headOption.flatMap(_.toLongOption))
               .exists(_ < System.currentTimeMillis() - 60000)
-            if (stale) kv.get(lk).foreach(v => kv.delete(lk, Some(v)))
+            if (stale) cur.foreach(v => kv.delete(lk, Some(v)))
             else if (System.currentTimeMillis() > deadline)
               throw new CommitConflictException(
                 s"Timed out waiting for ref lock on $n")
@@ -259,7 +264,7 @@ private[catalog] final class KvNessieRefStore(kv: KvStore, prefix: String,
           }
         }
         try withExclusive(rest)(body)
-        finally kv.get(lk).foreach(_ => kv.delete(lk))
+        finally kv.delete(lk, Some(myToken))
     }
 
   override def close(): Unit = if (ownsStore) kv.close()

@@ -211,12 +211,17 @@ object MergeOps {
     val newRows =
       if (assignments.isEmpty) None
       else {
-        val assigned = assignments.foldLeft(matched) { case (d, (c, e)) =>
-          val exact = schema.fieldNames.find(_.equalsIgnoreCase(c)).get
-          d.withColumn(exact,
-            e.cast(schema(schema.fieldIndex(exact)).dataType))
-        }
-        Some(assigned.select(schema.fieldNames.toIndexedSeq.map(assigned.col): _*))
+        // ONE simultaneous projection, never sequential withColumn: SQL
+        // UPDATE right-hand sides evaluate against the OLD row, so a
+        // swap like SET a = b, b = a must read both old values — a fold
+        // would feed later assignments the earlier assignments' output
+        val byLower = assignments.map { case (c, e) => c.toLowerCase -> e }
+        Some(matched.select(schema.fields.toIndexedSeq.map { f =>
+          byLower.get(f.name.toLowerCase) match {
+            case Some(e) => e.cast(f.dataType).as(f.name)
+            case None => matched.col(f.name)
+          }
+        }: _*))
       }
     CatalogIO.commitPositionalMergeOnRead(spark, cat, ref, addresses,
       newRows, expectedBase = base)

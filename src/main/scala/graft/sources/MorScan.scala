@@ -120,15 +120,26 @@ private final class MorScanBuilder(delegate: ParquetScanBuilder,
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] =
-    // while POSITIONAL deletes are live, nothing may be pushed into the
+    // while POSITIONAL deletes are live, DATA filters may not reach the
     // parquet read: row addresses are file row indexes, and the
     // delete-applying reader recovers them by COUNTING rows, which is
-    // only sound when every physical row comes back (no row-group skip,
-    // no page skip). Spark applies the returned filters above the scan —
-    // correctness unchanged, pushdown restored by compaction, the same
-    // bounded trade as losing the columnar path while deletes are live.
-    if (layout.posDeleteFiles.nonEmpty) filters
-    else delegate.pushFilters(filters)
+    // only sound when every physical row of a read file comes back (no
+    // row-group skip, no page skip). PARTITION-column conjuncts still
+    // forward — they exclude WHOLE files at the index (sound for
+    // counting; a date-partitioned table keeps partition pruning while
+    // a delete is live). Spark re-applies the withheld filters above
+    // the scan — correctness unchanged, full pushdown restored by
+    // compaction, the same bounded trade as losing the columnar path.
+    if (layout.posDeleteFiles.isEmpty) delegate.pushFilters(filters)
+    else {
+      val partitionCols = layout.partitionColumns.map(_.toLowerCase).toSet
+      val (partitionOnly, withheld) = filters.partition { f =>
+        val refs = f.references.map(_.name.toLowerCase).toSet
+        refs.nonEmpty && refs.subsetOf(partitionCols)
+      }
+      val post = delegate.pushFilters(partitionOnly)
+      withheld ++ post
+    }
 
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
 

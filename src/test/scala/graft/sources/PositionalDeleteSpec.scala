@@ -156,4 +156,40 @@ class PositionalDeleteSpec extends AnyFunSuite {
     assert(ks(cat) == (0L until 300L).filterNot(_ == 7))
     assert(ks(cat).count(_ == 42L) == 1, "re-inserted 42 visible exactly once")
   }
+
+  test("UPDATE assignments all evaluate against the OLD row (swap semantics)") {
+    val (cat, hc) = fixture()
+    // cross-referencing assignments: s reads old v, v reads old s's
+    // length — a sequential fold would feed each the other's NEW value
+    MergeOps.updateWhereMergeOnRead(spark, hc, TableRef.parse("db.t"),
+      col("k") === 7,
+      Map("s" -> concat(lit("was-"), col("v").cast("string")),
+        "v" -> (length(col("s")) + col("v"))))
+    val r = spark.sql(s"SELECT s, v FROM $cat.db.t WHERE k = 7").collect()(0)
+    assert(r.getString(0) == "was-10.5", s"s should read OLD v: ${r.getString(0)}")
+    // old s = "x7" (length 2), old v = 10.5 -> new v = 12.5
+    assert(r.getDouble(1) == 12.5, s"v should read OLD s: ${r.getDouble(1)}")
+  }
+
+  test("partition pruning survives live positional deletes (only data pushdown is withheld)") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.pt USING parquet PARTITIONED BY (g) AS " +
+      "SELECT /*+ REPARTITION(1) */ id AS k, CAST(id % 4 AS STRING) AS g FROM range(0, 400)")
+    MergeOps.deleteWhereMergeOnRead(spark, hc, TableRef.parse("db.pt"),
+      col("k") === 5)
+    val df = spark.sql(s"SELECT k FROM $cat.db.pt WHERE g = '2'")
+    assert(df.collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until 400L).filter(_ % 4 == 2))
+    // the scan plans ONLY partition g=2's files despite the live delete
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.get
+    val planned = scan.scan.toBatch.planInputPartitions().flatMap {
+      case m: MorFilePartition => m.files.files
+      case f: org.apache.spark.sql.execution.datasources.FilePartition => f.files
+    }
+    assert(planned.nonEmpty &&
+      planned.forall(_.filePath.toString.contains("g=2")),
+      s"only g=2 files should plan: ${planned.map(_.filePath).toSeq}")
+  }
 }
