@@ -81,7 +81,8 @@ object CatalogMigrationCLI {
     if (args.contains("-h") || args.contains("--help")) { out(usage); return 0 }
 
     if (args.head == "compact" || args.head == "expire-versions" ||
-        args.head == "squash-history" || args.head == "sweep-orphans")
+        args.head == "squash-history" || args.head == "sweep-orphans" ||
+        args.head == "analyze")
       return runMaintenance(args, out)
 
     parse(args) match {
@@ -268,6 +269,7 @@ object CatalogMigrationCLI {
         try {
           if (opts.cmd == "compact") compactOne(opts, hadoop, ref, log)
           else if (opts.cmd == "sweep-orphans") sweepOne(opts, hadoop, ref, log)
+          else if (opts.cmd == "analyze") analyzeOne(opts, hadoop, ref, log)
           else expireOne(opts, hadoop, ref, log)
         } catch {
           case e: Exception =>
@@ -277,6 +279,19 @@ object CatalogMigrationCLI {
       }
     } finally hadoop.close()
     if (failures > 0 || ids.isEmpty) 1 else 0
+  }
+
+  /** `analyze` subcommand (round 11): one distributed NDV-sketch pass
+    * per table ([[CatalogIO.analyzeTable]]) committed as a
+    * metadata-only version — the maintenance action that feeds the
+    * optimizer's join sizing (run it after large ingests, with
+    * compaction in the same maintenance window). */
+  private def analyzeOne(opts: MaintOpts, cat: HadoopFsCatalog,
+      ref: TableRef, log: String => Unit): Unit = {
+    val spark = activeSpark()
+    val r = CatalogIO.analyzeTable(spark, cat, ref)
+    log(s"Analyzed $ref: NDV sketches for ${r.analyzedFiles} data files " +
+      s"over columns [${r.columns.mkString(", ")}] -> ${r.metadataLocation}")
   }
 
   private def compactOne(opts: MaintOpts, cat: HadoopFsCatalog, ref: TableRef,
@@ -645,7 +660,7 @@ object CatalogMigrationCLI {
   }
 
   private val usage: String =
-    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history) [options]
+    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history | analyze) [options]
       |Bulk-migrate table entries from a source catalog to a target catalog
       |without data copy. `migrate` deletes entries from the source after
       |successful registration; `register` leaves them in place.

@@ -127,8 +127,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       // delete tuples or deleted rows resurrect. The MOR wrapper takes
       // precedence over SPJ bucket reporting — correctness over the
       // shuffle-free join; compaction materializes the deletes away and
-      // restores SPJ (CatalogIO.compactTable).
-      if (layout.deleteFiles.nonEmpty) new GraftMorTable(table, layout, hadoopOpts)
+      // restores SPJ (CatalogIO.compactTable). Planning goes through the
+      // manifest index when sizes allow (same zero-listing win as the
+      // plain path; the MOR grouping consumes identical slices).
+      if (layout.deleteFiles.nonEmpty)
+        new GraftMorTable(manifestPlanned(table, layout), layout, hadoopOpts)
       // un-materialized column renames: per-epoch scans serve old files
       // under their physical names (EpochScan.scala) — a plain scan
       // would read renamed columns of pre-rename files as NULL
@@ -210,7 +213,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       fallbackFileFormat = classOf[ParquetFileFormat])
     // a time-traveled version applies ITS OWN seq-gated state (delete
     // set / rename epochs / stats) — every version reads with its own schema
-    if (vLayout.deleteFiles.nonEmpty) new GraftMorTable(table, vLayout, hadoopOpts)
+    if (vLayout.deleteFiles.nonEmpty)
+      new GraftMorTable(manifestPlanned(table, vLayout), vLayout, hadoopOpts)
     else if (vLayout.renameOps.nonEmpty && paths.nonEmpty)
       new GraftEpochTable(SparkSession.active, s"$ref@v$n", vLayout, hadoopOpts)
     else if (vLayout.numBuckets.isEmpty) statsPruned(table, vLayout)
@@ -236,14 +240,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     * kill-switch back to Spark's listing-based `ParquetTable`), wrapped
     * in manifest-stats file skipping ([[StatsPruning]]) when the layout
     * records per-file stats. */
+  /** The manifest-planned twin of `table` when the layout carries
+    * complete per-file sizes (and the kill-switch allows), else the
+    * listing-backed table unchanged. */
+  private def manifestPlanned(table: ParquetTable,
+      layout: CatalogIO.TableLayout): Table with org.apache.spark.sql.connector.catalog.SupportsRead = {
+    val enabled = SparkSession.active.conf
+      .getOption("spark.graft.manifest.planning").forall(_ == "true")
+    if (!enabled) table
+    else ManifestFileIndex.tableFor(table.name, SparkSession.active,
+      hadoopOpts, layout).getOrElse(table)
+  }
+
   private def statsPruned(table: ParquetTable,
       layout: CatalogIO.TableLayout): Table with org.apache.spark.sql.connector.catalog.SupportsRead = {
-    val manifestPlanning = SparkSession.active.conf
-      .getOption("spark.graft.manifest.planning").forall(_ == "true")
-    val planTable: Table with org.apache.spark.sql.connector.catalog.SupportsRead =
-      if (!manifestPlanning) table
-      else ManifestFileIndex.tableFor(table.name, SparkSession.active,
-        hadoopOpts, layout).getOrElse(table)
+    val planTable = manifestPlanned(table, layout)
     statsMapOf(layout) match {
       case Some(m) => new StatsPrunedTable(planTable, m,
         layout.dataFiles.map(_.size).getOrElse(-1), ndvMapOf(layout))

@@ -61,7 +61,8 @@ import graft.catalog.CatalogIO.TableLayout
   * and aggregate pushdown (a footer-computed COUNT would include deleted
   * rows). Iceberg's Spark reader makes the same trades for its
   * equality-delete scans. */
-final class GraftMorTable(delegate: ParquetTable, layout: TableLayout,
+final class GraftMorTable(delegate: Table with SupportsRead,
+    layout: TableLayout,
     hadoopOpts: Map[String, String]) extends Table with SupportsRead {
 
   override def name(): String = delegate.name
@@ -94,7 +95,9 @@ final class GraftMorTable(delegate: ParquetTable, layout: TableLayout,
     delegate.newScanBuilder(options) match {
       case p: ParquetScanBuilder =>
         new MorScanBuilder(p, keyFields, layout, hadoopOpts)
-      case other => other // ParquetTable always builds ParquetScanBuilder
+      // both wrappable tables (ParquetTable, ManifestParquetTable)
+      // build ParquetScanBuilders
+      case other => other
     }
 }
 

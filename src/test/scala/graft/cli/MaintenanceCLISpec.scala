@@ -193,4 +193,20 @@ class MaintenanceCLISpec extends AnyFunSuite {
     assert(mcode == 1)
     assert(mlines.exists(_.startsWith("Failed compact for db.nope:")))
   }
+
+  test("analyze records NDV sketches via the CLI; exit 0") {
+    val (wh, hc) = fragmentedTable()
+    val outDir = Files.createTempDirectory("maint-out").toString
+    val (code, lines) = runCli(maintArgs("analyze", wh, outDir))
+    assert(code == 0, lines.mkString("\n"))
+    assert(lines.exists(_.contains("Analyzed db.t")), lines.mkString("\n"))
+    val layout = CatalogIO.readLayout(hc.loadTableMetadataLocation(TableRef.parse("db.t")))
+    assert(layout.dataFileNdv.isDefined &&
+      layout.dataFileNdv.get.forall(_.nonEmpty))
+    // a missing table stays a per-table failure: exit 1
+    val (bad, _) = runCli(Seq("analyze", "--catalog-type", "hadoop",
+      "--catalog-properties", s"warehouse=$wh",
+      "--identifiers", "db.nope", "--output-dir", outDir))
+    assert(bad == 1)
+  }
 }
