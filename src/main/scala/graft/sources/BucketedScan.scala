@@ -118,7 +118,8 @@ object GraftBucketFunction {
 /** A parquet-backed table whose recorded bucket layout is surfaced as a
   * DSv2 `bucket` transform; scans report key-grouped partitioning over
   * the bucket file groups. Read-only, like the rest of the SQL face. */
-final class GraftBucketedTable(delegate: ParquetTable, numBuckets: Int,
+final class GraftBucketedTable(delegate: Table with SupportsRead,
+    numBuckets: Int,
     bucketCols: Seq[String], statsByPath: Map[String, String] = Map.empty)
   extends Table with SupportsRead {
 
@@ -131,8 +132,11 @@ final class GraftBucketedTable(delegate: ParquetTable, numBuckets: Int,
     Array(Expressions.bucket(numBuckets, bucketCols: _*))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new BucketedScanBuilder(delegate.newScanBuilder(options), numBuckets,
-      bucketCols, statsByPath, delegate.schema)
+    // both wrappable tables (ParquetTable, ManifestParquetTable) build
+    // ParquetScanBuilders — the only builder this wrapper decorates
+    new BucketedScanBuilder(
+      delegate.newScanBuilder(options).asInstanceOf[ParquetScanBuilder],
+      numBuckets, bucketCols, statsByPath, delegate.schema)
 }
 
 /** Delegates every pushdown Spark's ParquetScanBuilder supports; `build()`

@@ -148,8 +148,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         // skips is manifest-answered aggregates (LocalScan), which only
         // the plain StatsPrunedTable wrapper serves.
         case Some(n) if layout.partitionColumns.isEmpty =>
-          new GraftBucketedTable(table, n, layout.bucketColumns,
-            statsMapOf(layout).getOrElse(Map.empty))
+          new GraftBucketedTable(manifestPlanned(table, layout), n,
+            layout.bucketColumns, statsMapOf(layout).getOrElse(Map.empty))
         case _ => statsPruned(table, layout)
       }
     cat match {

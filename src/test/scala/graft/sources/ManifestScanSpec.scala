@@ -125,4 +125,48 @@ class ManifestScanSpec extends AnyFunSuite {
         s"stats pruning should skip 1 of 2 files: ${StatsPruning.lastPlanned}")
     }
   }
+
+  test("schema evolution reads identically through manifest and listing planning") {
+    val (cat, _) = freshCatalog()
+    spark.sql(s"CREATE TABLE $cat.db.ev USING parquet AS " +
+      "SELECT CAST(id AS INT) AS k, concat('v', id) AS s FROM range(0, 1000)")
+    // metadata-only evolution: files predate every change
+    spark.sql(s"ALTER TABLE $cat.db.ev ADD COLUMN extra DOUBLE")
+    spark.sql(s"ALTER TABLE $cat.db.ev ALTER COLUMN k TYPE BIGINT")
+    spark.sql(s"INSERT INTO $cat.db.ev SELECT id, concat('n', id), id * 0.5 " +
+      "FROM range(1000, 1100)")
+    spark.sql(s"ALTER TABLE $cat.db.ev DROP COLUMN s")
+    val q = s"SELECT * FROM $cat.db.ev"
+    val manifest = withPlanning(on = true)(spark.sql(q))
+    val listing = withPlanning(on = false)(spark.sql(q))
+    assert(manifest.schema == listing.schema)
+    assert(manifest.collect().map(_.mkString("|")).sorted.toSeq ==
+      listing.collect().map(_.mkString("|")).sorted.toSeq)
+    // old files serve the added column as null, new files carry values
+    assert(withPlanning(on = true)(
+      spark.sql(s"SELECT count(*) FROM $cat.db.ev WHERE extra IS NULL"))
+      .collect()(0).getLong(0) == 1000)
+  }
+
+  test("bucketed tables keep shuffle-free SPJ over manifest planning") {
+    val (cat, _) = freshCatalog()
+    for (t <- Seq("b1", "b2")) {
+      spark.sql(s"CREATE TABLE $cat.db.$t (k BIGINT, v STRING) USING parquet " +
+        "CLUSTERED BY (k) INTO 4 BUCKETS")
+      spark.sql(s"INSERT INTO $cat.db.$t SELECT id, concat('$t', id) FROM range(0, 2000)")
+    }
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try withPlanning(on = true) {
+      val j = spark.sql(
+        s"SELECT a.k FROM $cat.db.b1 a JOIN $cat.db.b2 b ON a.k = b.k")
+      assert(j.count() == 2000)
+      val plan = j.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"SPJ should remove the shuffle over manifest planning:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.sources.v2.bucketing.enabled")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }
