@@ -62,17 +62,40 @@ final class GraftEpochTable(spark: SparkSession, tableName: String,
 
   /** One stock parquet table per epoch, with that epoch's physical
     * schema (current schema, names substituted — positions and types
-    * identical). */
-  private val epochTables: Seq[(Map[String, String], ParquetTable)] =
+    * identical). Planned from the manifest when it carries complete
+    * sizes (round 11 — the same zero-listing win as every other scan
+    * path; each epoch's index holds exactly its file subset), else the
+    * listing-backed ParquetTable. */
+  private val epochTables: Seq[(Map[String, String], Table with SupportsRead)] = {
+    val rels = layout.dataFiles.getOrElse(Nil)
+    val relByAbs = layout.absoluteDataFiles.getOrElse(Nil).zip(rels).toMap
+    val sizeByRel: Option[Map[String, Long]] =
+      layout.dataFileSizes.filter(_.forall(_ >= 0)).map(ss => rels.zip(ss).toMap)
+    val manifestPlanning = spark.conf
+      .getOption("spark.graft.manifest.planning").forall(_ == "true")
     epochs.map { case (m, files) =>
       val physSchema = StructType(currentSchema.fields.map(f =>
         f.copy(name = m.getOrElse(f.name.toLowerCase, f.name))))
-      (m, ParquetTable(s"$tableName@epoch", spark,
-        new CaseInsensitiveStringMap(
-          (hadoopOpts + ("basePath" -> layout.dataLocation)).asJava),
-        files, userSpecifiedSchema = Some(physSchema),
-        fallbackFileFormat = classOf[ParquetFileFormat]))
+      val table: Table with SupportsRead = sizeByRel match {
+        case Some(sz) if manifestPlanning =>
+          // partition columns never rename (refused at ALTER), so the
+          // physical schema carries them under their current names
+          val partitionFields = layout.partitionColumns.flatMap(c =>
+            physSchema.fields.find(_.name.equalsIgnoreCase(c)))
+          new ManifestParquetTable(s"$tableName@epoch", spark,
+            new CaseInsensitiveStringMap(hadoopOpts.asJava),
+            layout.dataLocation,
+            files.map(a => { val r = relByAbs(a); (r, sz(r)) }),
+            physSchema, StructType(partitionFields))
+        case _ => ParquetTable(s"$tableName@epoch", spark,
+          new CaseInsensitiveStringMap(
+            (hadoopOpts + ("basePath" -> layout.dataLocation)).asJava),
+          files, userSpecifiedSchema = Some(physSchema),
+          fallbackFileFormat = classOf[ParquetFileFormat])
+      }
+      (m, table)
     }
+  }
 
   override def name(): String = tableName
   override def schema(): StructType = currentSchema
