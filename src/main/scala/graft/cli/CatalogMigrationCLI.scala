@@ -288,6 +288,17 @@ object CatalogMigrationCLI {
     * compaction in the same maintenance window). */
   private def analyzeOne(opts: MaintOpts, cat: HadoopFsCatalog,
       ref: TableRef, log: String => Unit): Unit = {
+    if (opts.dryRun) {
+      // like the other maintenance verbs: report, commit nothing — an
+      // analyze is a full distributed pass, exactly what a preview must
+      // not silently run
+      val layout = CatalogIO.readLayout(cat.loadTableMetadataLocation(ref))
+      val files = layout.dataFiles.map(_.size).getOrElse(0)
+      val sketched = layout.dataFileNdv.map(_.count(_.nonEmpty)).getOrElse(0)
+      log(s"Would analyze $ref: $files data files " +
+        s"($sketched currently carrying NDV sketches); dry run, nothing committed.")
+      return
+    }
     val spark = activeSpark()
     val r = CatalogIO.analyzeTable(spark, cat, ref)
     log(s"Analyzed $ref: NDV sketches for ${r.analyzedFiles} data files " +

@@ -67,32 +67,27 @@ final class GraftEpochTable(spark: SparkSession, tableName: String,
     * path; each epoch's index holds exactly its file subset), else the
     * listing-backed ParquetTable. */
   private val epochTables: Seq[(Map[String, String], Table with SupportsRead)] = {
-    val rels = layout.dataFiles.getOrElse(Nil)
-    val relByAbs = layout.absoluteDataFiles.getOrElse(Nil).zip(rels).toMap
-    val sizeByRel: Option[Map[String, Long]] =
-      layout.dataFileSizes.filter(_.forall(_ >= 0)).map(ss => rels.zip(ss).toMap)
+    val relByAbs = layout.absoluteDataFiles.getOrElse(Nil)
+      .zip(layout.dataFiles.getOrElse(Nil)).toMap
     val manifestPlanning = spark.conf
       .getOption("spark.graft.manifest.planning").forall(_ == "true")
     epochs.map { case (m, files) =>
       val physSchema = StructType(currentSchema.fields.map(f =>
         f.copy(name = m.getOrElse(f.name.toLowerCase, f.name))))
-      val table: Table with SupportsRead = sizeByRel match {
-        case Some(sz) if manifestPlanning =>
-          // partition columns never rename (refused at ALTER), so the
-          // physical schema carries them under their current names
-          val partitionFields = layout.partitionColumns.flatMap(c =>
-            physSchema.fields.find(_.name.equalsIgnoreCase(c)))
-          new ManifestParquetTable(s"$tableName@epoch", spark,
-            new CaseInsensitiveStringMap(hadoopOpts.asJava),
-            layout.dataLocation,
-            files.map(a => { val r = relByAbs(a); (r, sz(r)) }),
-            physSchema, StructType(partitionFields))
-        case _ => ParquetTable(s"$tableName@epoch", spark,
+      // partition columns never rename (refused at ALTER), so the
+      // physical schema carries them under their current names; the
+      // size-completeness and partition guards live in tableFor
+      val manifest: Option[Table with SupportsRead] =
+        if (!manifestPlanning) None
+        else ManifestFileIndex.tableFor(s"$tableName@epoch", spark,
+          hadoopOpts, layout, schemaOverride = Some(physSchema),
+          fileSubset = Some(files.map(relByAbs)))
+      val table = manifest.getOrElse(
+        ParquetTable(s"$tableName@epoch", spark,
           new CaseInsensitiveStringMap(
             (hadoopOpts + ("basePath" -> layout.dataLocation)).asJava),
           files, userSpecifiedSchema = Some(physSchema),
-          fallbackFileFormat = classOf[ParquetFileFormat])
-      }
+          fallbackFileFormat = classOf[ParquetFileFormat]))
       (m, table)
     }
   }

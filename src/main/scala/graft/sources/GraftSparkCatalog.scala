@@ -218,7 +218,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     else if (vLayout.renameOps.nonEmpty && paths.nonEmpty)
       new GraftEpochTable(SparkSession.active, s"$ref@v$n", vLayout, hadoopOpts)
     else if (vLayout.numBuckets.isEmpty) statsPruned(table, vLayout)
-    else table
+    else manifestPlanned(table, vLayout) // bucketed history: no SPJ, but zero-listing planning
   }
 
   /** The layout's per-file stats keyed by normalized absolute path —
@@ -233,16 +233,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       .filter(m => enabled && m.nonEmpty)
   }
 
-  /** The plain-scan table for a layout: planned from the manifest when
-    * it carries complete per-file sizes (round 11 — ZERO driver
-    * filesystem calls on data files at plan time, see
-    * [[ManifestFileIndex]]; `spark.graft.manifest.planning=false` is the
-    * kill-switch back to Spark's listing-based `ParquetTable`), wrapped
-    * in manifest-stats file skipping ([[StatsPruning]]) when the layout
-    * records per-file stats. */
   /** The manifest-planned twin of `table` when the layout carries
-    * complete per-file sizes (and the kill-switch allows), else the
-    * listing-backed table unchanged. */
+    * complete per-file sizes (round 11 — ZERO driver filesystem calls
+    * on data files at plan time, see [[ManifestFileIndex]];
+    * `spark.graft.manifest.planning=false` is the kill-switch back to
+    * Spark's listing-based `ParquetTable`), else the listing-backed
+    * table unchanged. */
   private def manifestPlanned(table: ParquetTable,
       layout: CatalogIO.TableLayout): Table with org.apache.spark.sql.connector.catalog.SupportsRead = {
     val enabled = SparkSession.active.conf
@@ -252,6 +248,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       hadoopOpts, layout).getOrElse(table)
   }
 
+  /** [[manifestPlanned]] wrapped in manifest-stats file skipping
+    * ([[StatsPruning]]) when the layout records per-file stats — the
+    * plain-scan path's full decoration. */
   private def statsPruned(table: ParquetTable,
       layout: CatalogIO.TableLayout): Table with org.apache.spark.sql.connector.catalog.SupportsRead = {
     val planTable = manifestPlanned(table, layout)

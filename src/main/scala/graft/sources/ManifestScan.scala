@@ -39,16 +39,21 @@ final class ManifestFileIndex(
     session: SparkSession,
     dataLocation: String,
     entries: Seq[(String, Long)], // (segment-relative path, size >= 0)
-    partitionSchemaOf: StructType)
+    partitionSchemaOf: StructType,
+    hadoopOpts: Map[String, String] = Map.empty)
   extends PartitioningAwareFileIndex(
     session, Map("basePath" -> dataLocation), None) {
 
   // ONE filesystem-client resolution for the root (no RPC — qualification
   // is syntactic), so every path matches what Spark's own listing would
-  // have produced and partition-dir keys line up across the index
+  // have produced and partition-dir keys line up across the index. The
+  // catalog's hadoop.* overlay participates (fs.defaultFS etc.), exactly
+  // as FileTable merges options into its conf — a scheme-less warehouse
+  // must qualify against the SAME filesystem on every plane
   private val qualifiedRoot: Path = {
     val p = new Path(dataLocation)
-    p.getFileSystem(session.sessionState.newHadoopConf()).makeQualified(p)
+    p.getFileSystem(session.sessionState.newHadoopConfWithOptions(hadoopOpts))
+      .makeQualified(p)
   }
 
   override def rootPaths: Seq[Path] = Seq(qualifiedRoot)
@@ -103,22 +108,34 @@ object ManifestFileIndex {
   /** Build the manifest-planned table for `layout` when the manifest
     * carries everything planning needs: a recorded schema, an exact file
     * list, and a COMPLETE size per entry. Partition columns must all be
-    * present in the recorded schema. Returns None when any ingredient is
-    * missing — callers fall back to the stock listing-based table. */
+    * present in the schema. Returns None when any ingredient is missing —
+    * callers fall back to the stock listing-based table.
+    *
+    * `schemaOverride` substitutes the served schema (the rename-epoch
+    * path's physical names — positions and types identical);
+    * `fileSubset` restricts the index to the given segment-relative
+    * files (one epoch's slice). Policy — the size-completeness gate and
+    * the partition-column guard — lives HERE alone. */
   def tableFor(name: String, session: SparkSession,
       options: Map[String, String],
-      layout: CatalogIO.TableLayout): Option[ManifestParquetTable] =
+      layout: CatalogIO.TableLayout,
+      schemaOverride: Option[StructType] = None,
+      fileSubset: Option[Seq[String]] = None): Option[ManifestParquetTable] =
     for {
-      ddl <- layout.schemaDdl
-      schema <- scala.util.Try(StructType.fromDDL(ddl)).toOption
-      sized <- layout.dataFiles.zip(layout.dataFileSizes
+      schema <- schemaOverride.orElse(layout.schemaDdl.flatMap(d =>
+        scala.util.Try(StructType.fromDDL(d)).toOption))
+      allSized <- layout.dataFiles.zip(layout.dataFileSizes
         .filter(_.forall(_ >= 0))).map { case (fs, ss) => fs.zip(ss) }
+      sized = fileSubset.fold(allSized) { keep =>
+        val keepSet = keep.toSet
+        allSized.filter { case (f, _) => keepSet(f) }
+      }
       partitionFields = layout.partitionColumns.flatMap(c =>
         schema.fields.find(_.name.equalsIgnoreCase(c)))
       if partitionFields.size == layout.partitionColumns.size
     } yield new ManifestParquetTable(name, session,
       new CaseInsensitiveStringMap(options.asJava), layout.dataLocation,
-      sized, schema, StructType(partitionFields))
+      sized, schema, StructType(partitionFields), options)
 }
 
 /** A read-only parquet table planned from the manifest: serves the same
@@ -133,7 +150,8 @@ final class ManifestParquetTable(
     dataLocation: String,
     entries: Seq[(String, Long)],
     recordedSchema: StructType,
-    partitionSchemaOf: StructType) extends Table with SupportsRead {
+    partitionSchemaOf: StructType,
+    hadoopOpts: Map[String, String] = Map.empty) extends Table with SupportsRead {
 
   private val partitionNames =
     partitionSchemaOf.fieldNames.map(_.toLowerCase).toSet
@@ -158,7 +176,8 @@ final class ManifestParquetTable(
     .asInstanceOf[StructType]
 
   lazy val fileIndex: ManifestFileIndex =
-    new ManifestFileIndex(session, dataLocation, entries, partitionSchemaOf)
+    new ManifestFileIndex(session, dataLocation, entries, partitionSchemaOf,
+      hadoopOpts)
 
   override def name(): String = tableName
   override val schema: StructType =

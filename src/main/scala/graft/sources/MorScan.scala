@@ -95,9 +95,12 @@ final class GraftMorTable(delegate: Table with SupportsRead,
     delegate.newScanBuilder(options) match {
       case p: ParquetScanBuilder =>
         new MorScanBuilder(p, keyFields, layout, hadoopOpts)
-      // both wrappable tables (ParquetTable, ManifestParquetTable)
-      // build ParquetScanBuilders
-      case other => other
+      // both wrappable tables (ParquetTable, ManifestParquetTable) build
+      // ParquetScanBuilders; anything else would serve raw files WITHOUT
+      // delete application — resurrecting deleted rows silently. Refuse.
+      case other => throw new IllegalStateException(
+        s"merge-on-read wrapper needs a ParquetScanBuilder delegate, got " +
+          s"${other.getClass.getName} for ${delegate.name}")
     }
 }
 

@@ -197,6 +197,12 @@ class MaintenanceCLISpec extends AnyFunSuite {
   test("analyze records NDV sketches via the CLI; exit 0") {
     val (wh, hc) = fragmentedTable()
     val outDir = Files.createTempDirectory("maint-out").toString
+    // dry run: reports, commits nothing
+    val (dcode, dlines) = runCli(maintArgs("analyze", wh, outDir, "--dry-run"))
+    assert(dcode == 0 && dlines.exists(_.contains("Would analyze db.t")),
+      dlines.mkString("\n"))
+    assert(CatalogIO.readLayout(hc.loadTableMetadataLocation(TableRef.parse("db.t")))
+      .dataFileNdv.isEmpty, "dry run must not commit sketches")
     val (code, lines) = runCli(maintArgs("analyze", wh, outDir))
     assert(code == 0, lines.mkString("\n"))
     assert(lines.exists(_.contains("Analyzed db.t")), lines.mkString("\n"))
