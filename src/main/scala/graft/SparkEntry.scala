@@ -130,6 +130,7 @@ object SparkEntry {
     "w05_incremental_read" -> (graft.queries.WriteQueries.w05 _),
     "w06_table_stream" -> (graft.queries.WriteQueries.w06 _),
     "w07_positional_mor" -> (graft.queries.WriteQueries.w07 _),
+    "w08_skip_rewrites" -> (graft.queries.WriteQueries.w08 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -922,6 +923,21 @@ object SparkEntry {
         |SELECT 'mor' AS phase, * FROM agg
         |UNION ALL SELECT 'compacted' AS phase, * FROM agg
         |ORDER BY phase, n""".stripMargin,
+    // w08: rewrite-skipping change capture — the captured phase is
+    // relationally just the three appended slices (base rows appear
+    // ONLY in the final phase; a compaction double-serve or a lost
+    // append breaks the captured phase's hash; compaction equivalence
+    // breaks the final phase's)
+    "w08_skip_rewrites" ->
+      """WITH b AS (SELECT CAST(l_orderkey AS BIGINT) AS k, l_returnflag AS rf,
+        |                  (l_orderkey % 4) AS m FROM lineitem)
+        |SELECT 'captured' AS phase, rf, COUNT(*) AS cnt,
+        |       CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM b WHERE m IN (1, 2, 3) GROUP BY rf
+        |UNION ALL
+        |SELECT 'final', rf, COUNT(*), CAST(SUM(k) AS BIGINT)
+        |FROM b GROUP BY rf
+        |ORDER BY phase, rf""".stripMargin,
     // w05: incremental append reads are manifest set-differences, so
     // each phase's change set is relationally just the slice that
     // commit appended (WriteQueries.w05 runs the real version-diff

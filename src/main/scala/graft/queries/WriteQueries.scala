@@ -280,6 +280,46 @@ object WriteQueries {
         spark.sparkContext.parallelize(mor ++ compacted, 1), schema)
     }
 
+  /** w08 (round 11): rewrite-skipping change capture under the oracle —
+    * the maintenance-survival face of w05's incremental reads. A table
+    * is built as base + append, COMPACTED (full rewrite, new segment),
+    * appended again, CLUSTERED (another row-preserving rewrite), and
+    * appended once more; `readAppendsBetween(1, latest,
+    * skipRewrites=true)` must serve EXACTLY the three appended slices —
+    * never the compaction's rewritten copies of base rows (the
+    * double-serve failure), never a dropped append (the lost-file
+    * failure). Phases: the full capture, a maintenance-only sub-range
+    * (must be empty), and the final table state (compaction equivalence).
+    * The oracle replays all three as pure filters of the source. */
+  def w08(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w08") { (_, hc) =>
+      import graft.catalog.{CatalogIO, TableRef}
+      val ref = TableRef.parse("db.li")
+      def slice(m: Int): DataFrame = spark.sql(
+        s"""SELECT CAST(l_orderkey AS BIGINT) AS k, l_returnflag AS rf
+           |FROM parquet.`$dir/lineitem.parquet` WHERE l_orderkey % 4 = $m""".stripMargin)
+      CatalogIO.createTable(spark, hc, ref, slice(0))      // v1: base
+      CatalogIO.commitAppend(spark, hc, ref, slice(1))     // v2: append A
+      require(CatalogIO.compactTable(spark, hc, ref).compacted) // v3: replace
+      CatalogIO.commitAppend(spark, hc, ref, slice(2))     // v4: append B
+      require(CatalogIO.clusterTable(spark, hc, ref, Seq("k")).compacted) // v5
+      CatalogIO.commitAppend(spark, hc, ref, slice(3))     // v6: append C
+      val latest = hc.listTableVersions(ref).last
+      def agg(phase: String, df: DataFrame): DataFrame =
+        df.groupBy(lit(phase).as("phase"), col("rf"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+      val captured = CatalogIO.readAppendsBetween(spark, hc, ref, 1, latest,
+        skipRewrites = true)
+      val quiet = CatalogIO.readAppendsBetween(spark, hc, ref, 2, 3,
+        skipRewrites = true)
+      require(quiet.count() == 0,
+        "a maintenance-only range must be an empty change set")
+      val out = agg("captured", captured)
+        .unionByName(agg("final", CatalogIO.readTable(spark, hc, ref)))
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    }
+
   /** w05 (round 10): incremental append reads under the oracle
     * ([[graft.catalog.CatalogIO.readAppendsBetween]] — the batch
     * change-capture face of the manifest format). A table is built as
