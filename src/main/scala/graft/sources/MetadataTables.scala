@@ -55,7 +55,11 @@ object MetadataTables {
     StructField("data_files", IntegerType, nullable = true),
     StructField("delete_files", IntegerType, nullable = false),
     StructField("data_location", StringType, nullable = false),
-    StructField("metadata_location", StringType, nullable = false)))
+    StructField("metadata_location", StringType, nullable = false),
+    // the operation that produced the version (round 11 commitOp —
+    // append/create/overwrite/delete/replace/metadata; null on
+    // pre-marker versions)
+    StructField("operation", StringType, nullable = true)))
 
   /** The metadata table for `ident`, when its name is a metadata suffix
     * and the namespace prefix resolves to a real table. */
@@ -167,7 +171,8 @@ object MetadataTables {
           layout.dataFiles.map(f => Int.box(f.size)).orNull,
           layout.deleteFiles.size,
           UTF8String.fromString(layout.dataLocation),
-          UTF8String.fromString(loc))
+          UTF8String.fromString(loc),
+          layout.commitOp.map(UTF8String.fromString).orNull)
       }
       Some(new StaticRowsTable(s"$base.history", HistorySchema, rows.toArray))
     case _ => None // no version history to serve

@@ -36,6 +36,9 @@ class MetadataTablesSpec extends AnyFunSuite {
     assert(hist.map(r => Option(r.get(2))).toSeq == Seq(Some(0), Some(1), Some(2)))
     assert(hist.forall(_.getInt(3) == 0)) // no delete files yet
     assert(hist.last.getString(5).endsWith("v3.metadata.json"))
+    // each version's commit operation rides along (round 11): the CTAS
+    // SELECT lands as an append onto the empty created v1
+    assert(hist.map(_.getString(6)).toSeq == Seq("create", "append", "append"))
 
     val files = spark.table(s"$cat.db.t.files").collect()
     assert(files.length == 2)
@@ -53,6 +56,7 @@ class MetadataTablesSpec extends AnyFunSuite {
     val hist2 = spark.table(s"$cat.db.t.history").orderBy("version").collect()
     assert(hist2.map(_.getInt(0)).toSeq == Seq(1, 2, 3, 4))
     assert(hist2.last.getInt(3) == 1)
+    assert(hist2.last.getString(6) == "delete")
   }
 
   test("partitions rolls up per-partition file/row/byte totals from metadata") {
