@@ -48,7 +48,7 @@ object ScaleSmoke {
     }
     // the write/compact experiments only need lineitem — skip the rest
     // of the synthesis when they (or srp, which synthesizes nothing) run alone
-    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr", "plan")).nonEmpty) {
+    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr", "plan", "manifest")).nonEmpty) {
       replicate("orders") { (df, i) =>
         df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
           .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
@@ -83,9 +83,9 @@ object ScaleSmoke {
       "d08_dedup_substrings", "t06_pack_sequences", "p01_training_pipeline")
     // a typo'd name silently measuring nothing would waste a multi-hour
     // rerun — fail fast instead ("srp"/"write" select those experiments)
-    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr" - "plan"
+    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr" - "plan" - "manifest"
     require(unknown.isEmpty,
-      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats, incr, plan")
+      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats, incr, plan, manifest")
     all.filter(q => only.isEmpty || only(q)).foreach { q =>
       try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
     }
@@ -96,7 +96,74 @@ object ScaleSmoke {
     if (only.isEmpty || only("stats")) statsScale(spark, out, replicas)
     if (only.isEmpty || only("incr")) incrScale(spark, out, replicas)
     if (only.isEmpty || only("plan")) planScale(spark, out, replicas)
+    if (only.isEmpty || only("manifest")) manifestScale(spark)
     spark.stop()
+  }
+
+  /** Commit-METADATA cost vs table file count (round 12, the
+    * manifest-chunk indirection): tables inflated to 10k / 100k
+    * manifest entries (synthetic paths with pre-supplied stats/sizes —
+    * no filesystem reads, so what's measured is purely the metadata
+    * write path), then five 10-entry append commits are timed and their
+    * metadata-dir byte growth recorded, inline vs chunked. The inline
+    * format rewrites the cumulative list each commit (bytes/commit ∝
+    * table); chunked carries sealed chunks forward by reference and
+    * rewrites at most one underfull tail (bytes/commit flat in table
+    * size — the 100 TB contract: a streaming micro-batch against a
+    * 10⁶-file table must not rewrite a 100 MB JSON). */
+  private def manifestScale(spark: SparkSession): Unit = {
+    import graft.catalog._
+    import org.apache.hadoop.fs.Path
+    val dir = java.nio.file.Files.createTempDirectory("graft-manifest-scale")
+    val cat = new HadoopFsCatalog("mscale", dir.toString)
+    cat.createNamespace(Namespace.of("m"))
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val fs = new Path(dir.toString).getFileSystem(conf)
+    def run(label: String, n: Int, inlineMax: Int): Unit = {
+      val prevMax = CatalogIO.manifestInlineMax
+      CatalogIO.manifestInlineMax = inlineMax
+      try {
+        val ref = TableRef.parse(s"m.t_${label}_$n")
+        import spark.implicits._
+        CatalogIO.createTable(spark, cat, ref, Seq((1L, "x")).toDF("id", "v"))
+        def inflated(pr: CatalogIO.TableLayout, add: Seq[String]) = pr.copy(
+          dataFiles = Some(pr.dataFiles.get ++ add),
+          dataFileStats = Some(pr.dataFileStats
+            .getOrElse(Seq.fill(pr.dataFiles.get.size)("")) ++
+            Seq.fill(add.size)("")),
+          dataFileSizes = Some(pr.dataFileSizes
+            .getOrElse(Seq.fill(pr.dataFiles.get.size)(-1L)) ++
+            Seq.fill(add.size)(1024L)))
+        val pr0 = CatalogIO.readLayout(cat.loadTableMetadataLocation(ref), conf)
+        CatalogIO.commitMetadataOnly(cat, ref,
+          inflated(pr0, (0 until n).map(i => f"part-$i%06d-synth.parquet")))
+        def metaBytes(): Long = {
+          val it = fs.listFiles(
+            new Path(cat.tableDir(ref), "metadata"), true)
+          var b = 0L
+          while (it.hasNext) b += it.next().getLen
+          b
+        }
+        val runs = (1 to 5).map { a =>
+          val pr = CatalogIO.readLayout(cat.loadTableMetadataLocation(ref), conf)
+          val add = (0 until 10).map(i => s"part-new-$a-$i.parquet")
+          val b0 = metaBytes()
+          val t0 = System.nanoTime()
+          CatalogIO.commitMetadataOnly(cat, ref, inflated(pr, add))
+          ((System.nanoTime() - t0) / 1e6, metaBytes() - b0)
+        }
+        val r0 = System.nanoTime()
+        val l = CatalogIO.readLayout(cat.loadTableMetadataLocation(ref), conf)
+        val readMs = (System.nanoTime() - r0) / 1e6
+        println(f"[scale] manifest $label n=$n: append-commit " +
+          f"${runs.map(_._1).min}%.0f ms, metadata bytes/commit " +
+          f"${runs.map(_._2).min}%d, plan-side readLayout $readMs%.0f ms " +
+          f"(${l.dataFiles.get.size} files, " +
+          f"${l.manifestChunks.map(_.size).getOrElse(0)} chunks)")
+      } finally CatalogIO.manifestInlineMax = prevMax
+    }
+    for (n <- Seq(10000, 100000); mode <- Seq(("inline", Int.MaxValue), ("chunked", 0)))
+      run(mode._1, n, mode._2)
   }
 
   /** Query-PLANNING cost vs manifest size (round 11, ManifestScan.scala):

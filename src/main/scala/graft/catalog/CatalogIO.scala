@@ -120,6 +120,14 @@ object CatalogIO {
     * granularity, and scans plan from the manifest instead of listing
     * directories. `None` = pre-manifest metadata (scan the whole
     * directory, as before); `Some(Nil)` = a committed EMPTY snapshot. */
+  /** One immutable manifest-chunk file reference: `relPath` under the
+    * table's `metadata/` dir, holding `count` manifest entries. Chunked
+    * versions (round 12) record these instead of inlining the file
+    * arrays — see [[TableLayout.manifestChunks]]. */
+  final case class ManifestChunk(relPath: String, count: Int) {
+    require(count >= 0, "negative manifest-chunk count")
+  }
+
   final case class TableLayout(
       dataLocation: String,
       partitionColumns: Seq[String] = Nil,
@@ -136,7 +144,20 @@ object CatalogIO {
       dataFileStats: Option[Seq[String]] = None,
       dataFileSizes: Option[Seq[Long]] = None,
       commitOp: Option[String] = None,
-      dataFileNdv: Option[Seq[String]] = None) {
+      dataFileNdv: Option[Seq[String]] = None,
+      /** How THIS version's manifest entries are stored on disk, when
+        * chunked (round 12 — Iceberg's manifest-list indirection
+        * re-expressed): the version's metadata JSON records chunk-file
+        * references and the entries live in immutable chunk files, so a
+        * commit against a 10⁶-file table writes O(new files) of
+        * manifest data and one small JSON — never the cumulative list.
+        * Populated by [[readLayout]] for chunked versions so the commit
+        * funnel can carry unchanged chunks forward BY REFERENCE;
+        * `None` for inline versions. Descriptive of the layout AS READ —
+        * a `copy(dataFiles = …)` makes it stale, which is safe: the
+        * serializer never trusts it on the layout being written, only on
+        * the PRIOR layout, and verifies entry-by-entry before reuse. */
+      manifestChunks: Option[Seq[ManifestChunk]] = None) {
     require(deleteFiles.isEmpty || dataFiles.isDefined,
       "equality-delete files require a file-manifest version")
     require(renameOps.isEmpty || dataFiles.isDefined,
@@ -383,10 +404,24 @@ object CatalogIO {
     "deleteFiles", "deleteFileSeqs", "deleteFileKinds", "dataFileSeqs",
     "renameFroms", "renameTos", "renameSeqs", "droppedColumns",
     "dataFileStats", "dataFileSizes", "deleteFileTargets", "commitOp",
-    "dataFileNdv")
+    "dataFileNdv", "manifestChunkFiles", "manifestChunkCounts",
+    "manifestFields")
 
   def metadataJson(tableLocation: String, dataLocation: String,
-      layout: TableLayout = TableLayout("")): String = {
+      layout: TableLayout = TableLayout("")): String =
+    metadataJsonBody(tableLocation, dataLocation, layout, chunked = None)
+
+  /** [[metadataJson]] with an optional CHUNKED manifest encoding: when
+    * `chunked` is given, the five per-file arrays are replaced by
+    * references to immutable chunk files (`manifestChunkFiles` /
+    * `manifestChunkCounts`, paths relative to the table's `metadata/`
+    * dir) plus `manifestFields` — the tokens naming which optional
+    * per-entry arrays ([[ManifestFieldTokens]]) the chunk columns
+    * reconstruct as present. The JSON then stays O(chunks), not
+    * O(files), no matter how many commits the table accumulates. */
+  private def metadataJsonBody(tableLocation: String, dataLocation: String,
+      layout: TableLayout,
+      chunked: Option[(Seq[ManifestChunk], Seq[String])]): String = {
     val clash = layout.properties.keySet.intersect(ReservedFieldNames)
     require(clash.isEmpty,
       s"property key(s) ${clash.mkString(", ")} collide with reserved " +
@@ -413,15 +448,24 @@ object CatalogIO {
         // pre-round-11 versions (readers then refuse, never guess).
         layout.commitOp.map(o => s"""  "commitOp": "${jsonEscape(o)}",\n""").getOrElse("")
       }${
+        // chunked manifest: references only — entries live in the chunks
+        chunked.map { case (chunks, fields) =>
+          s"""  "manifestChunkFiles": ${arrBody(chunks.map(_.relPath))},\n""" +
+            s"""  "manifestChunkCounts": ${arrBody(chunks.map(_.count.toString))},\n""" +
+            s"""  "manifestFields": ${arrBody(fields)},\n"""
+        }.getOrElse("")
+      }${
         // an EMPTY manifest is still a manifest (a committed empty
         // snapshot) — it must round-trip distinctly from "no manifest"
-        layout.dataFiles.map(fs => s"""  "dataFiles": ${arrBody(fs)},\n""").getOrElse("")
+        if (chunked.isDefined) ""
+        else layout.dataFiles.map(fs => s"""  "dataFiles": ${arrBody(fs)},\n""").getOrElse("")
       }${
         // per-data-file manifest-entry seqs (recorded only while delete
         // files are live — delete-free tables keep the round-7 format).
         // Seqs are decimal strings: the metadata scanner tokenizes string
         // arrays only, and the asymmetry is invisible to readers.
-        layout.dataFileSeqs
+        if (chunked.isDefined) ""
+        else layout.dataFileSeqs
           .map(ss => s"""  "dataFileSeqs": ${arrBody(ss.map(_.toString))},\n""")
           .getOrElse("")
       }${
@@ -429,7 +473,8 @@ object CatalogIO {
         // encoded string per manifest entry ("" = no stats, unprunable).
         // Written whenever computed, including all-empty, so a commit
         // never re-reads footers it has already found unusable.
-        layout.dataFileStats
+        if (chunked.isDefined) ""
+        else layout.dataFileStats
           .map(ss => s"""  "dataFileStats": ${arrBody(ss)},\n""")
           .getOrElse("")
       }${
@@ -437,13 +482,15 @@ object CatalogIO {
         // file_size_in_bytes): metadata tables and split planning answer
         // from the manifest with ZERO filesystem calls. -1 = unknown
         // (pre-round-11 file whose size was never captured).
-        layout.dataFileSizes
+        if (chunked.isDefined) ""
+        else layout.dataFileSizes
           .map(ss => s"""  "dataFileSizes": ${arrBody(ss.map(_.toString))},\n""")
           .getOrElse("")
       }${
         // per-data-file NDV sketches (round 11 — Ndv.scala; recorded by
         // analyzeTable, carried forward by the commit funnel)
-        layout.dataFileNdv
+        if (chunked.isDefined) ""
+        else layout.dataFileNdv
           .map(ss => s"""  "dataFileNdv": ${arrBody(ss)},\n""")
           .getOrElse("")
       }${
@@ -490,6 +537,219 @@ object CatalogIO {
        |""".stripMargin
   }
 
+  // ----- manifest-chunk indirection (round 12) -----
+  //
+  // Iceberg's manifest-list design re-expressed for this metadata: the
+  // version JSON stays a POINTER-SIZED document and the per-file entries
+  // (path, seq, stats, size, NDV) live in immutable CHUNK files under
+  // `metadata/manifests/`. A commit carries every unchanged chunk
+  // forward BY REFERENCE and writes only the entries it adds (plus, at
+  // most, a rewrite of one underfull tail chunk — O(1) amortized), so
+  // commit metadata cost is O(files in this commit), never O(table): at
+  // 10⁶ files the inline format rewrote a multi-hundred-MB JSON on
+  // every streaming micro-batch; chunked, the same append writes one
+  // small chunk and a ~chunk-count-sized JSON. Reads resolve chunks
+  // against the metadata's own `location` field, so a pointer copied
+  // into any catalog backend (Nessie CAS, Glue, JDBC…) keeps resolving.
+
+  /** Tokens naming the OPTIONAL per-entry columns a chunked version's
+    * entries reconstruct as present ([[TableLayout.dataFileSeqs]] /
+    * stats / sizes / NDV). An unknown token on read is corruption — a
+    * column this reader cannot reconstruct, never a default. */
+  private object ManifestFieldTokens {
+    val Seqs = "seqs"; val Stats = "stats"; val Sizes = "sizes"; val Ndv = "ndv"
+    val All: Set[String] = Set(Seqs, Stats, Sizes, Ndv)
+  }
+
+  /** File count above which a version's manifest is written CHUNKED
+    * instead of inline. JVM-wide dial (specs force chunking with 0);
+    * the default keeps small tables' metadata a single readable JSON
+    * while any table big enough for the O(table) rewrite to matter
+    * crosses over automatically. */
+  @volatile private[graft] var manifestInlineMax: Int = 512
+  /** Entries per sealed chunk. 4096 entries ≈ 400 KB of chunk JSON;
+    * a 10⁶-file table carries ~250 chunk references in its version
+    * JSON. Tail chunks below HALF this size are coalesced with the
+    * next commit's new entries, bounding chunk-count growth under
+    * micro-batch append load. */
+  @volatile private[graft] var manifestChunkTarget: Int = 4096
+
+  /** One manifest entry, normalized (absent optional columns take the
+    * same defaults the read path applies: seq 0, "" stats/ndv, -1 size)
+    * so reuse comparison is representation-independent. */
+  private final case class MEntry(path: String, seq: Int, stats: String,
+      size: Long, ndv: String)
+
+  private def entriesOf(l: TableLayout): Vector[MEntry] = {
+    val fs = l.dataFiles.getOrElse(Nil).toVector
+    val seqs = l.dataFileSeqs.getOrElse(Seq.fill(fs.size)(0))
+    val stats = l.dataFileStats.getOrElse(Seq.fill(fs.size)(""))
+    val sizes = l.dataFileSizes.getOrElse(Seq.fill(fs.size)(-1L))
+    val ndv = l.dataFileNdv.getOrElse(Seq.fill(fs.size)(""))
+    fs.indices.map(i =>
+      MEntry(fs(i), seqs(i), stats(i), sizes(i), ndv(i))).toVector
+  }
+
+  private def chunkJson(ents: Seq[MEntry]): String = {
+    def arrBody(vs: Seq[String]): String =
+      s"[${vs.map("\"" + jsonEscape(_) + "\"").mkString(", ")}]"
+    s"""{
+       |  "manifestChunkFormat": 1,
+       |  "paths": ${arrBody(ents.map(_.path))},
+       |  "seqs": ${arrBody(ents.map(_.seq.toString))},
+       |  "stats": ${arrBody(ents.map(_.stats))},
+       |  "sizes": ${arrBody(ents.map(_.size.toString))},
+       |  "ndv": ${arrBody(ents.map(_.ndv))}
+       |}
+       |""".stripMargin
+  }
+
+  /** Parse one chunk file's entries; every malformation throws (a
+    * truncated chunk silently parsed as "fewer files" would shrink the
+    * table — same hardness as the inline arrays). */
+  private def parseChunk(text: String, where: String): Vector[MEntry] = {
+    def col(field: String): Seq[String] =
+      arrayField(text, field).getOrElse(throw new IllegalStateException(
+        s"Malformed manifest chunk: no '$field' array in $where"))
+    val paths = col("paths")
+    def sized(field: String): Seq[String] = {
+      val vs = col(field)
+      if (vs.size != paths.size)
+        throw new IllegalStateException(
+          s"Malformed manifest chunk: '$field' has ${vs.size} entries for " +
+            s"${paths.size} paths in $where")
+      vs
+    }
+    def num[T](field: String, conv: String => T): Seq[T] =
+      sized(field).map { s =>
+        try conv(s)
+        catch { case _: NumberFormatException =>
+          throw new IllegalStateException(
+            s"Malformed manifest chunk: non-integer '$s' in '$field' of $where")
+        }
+      }
+    val seqs = num("seqs", _.toInt)
+    val stats = sized("stats")
+    val sizes = num("sizes", _.toLong)
+    val ndv = sized("ndv")
+    paths.indices.map(i =>
+      MEntry(paths(i), seqs(i), stats(i), sizes(i), ndv(i))).toVector
+  }
+
+  /** Chunk plan for `newEntries` given the prior version's chunks:
+    * an ordered sequence of reused references (Left) and entry runs to
+    * write as new chunks (Right). Reuse is VERIFIED entry-by-entry —
+    * a prior chunk is carried forward only when its exact entries
+    * appear contiguously, in order, at the current position of the new
+    * list — so a stale `manifestChunks` on a mutated layout can never
+    * smuggle wrong entries in. Appends reuse every prior chunk (O(new)
+    * writes); a mid-list manifest filter rewrites only the chunks it
+    * punched holes in, and chunks past the holes realign and carry
+    * forward. An underfull FINAL reused chunk (< target/2) is merged
+    * with the tail instead — amortized-O(1) extra writing that stops
+    * micro-batch appends accreting one tiny chunk per commit. */
+  private def planChunks(newEntries: Vector[MEntry],
+      prior: Seq[(ManifestChunk, Vector[MEntry])],
+      target: Int): Seq[Either[ManifestChunk, Vector[MEntry]]] = {
+    val firstIdx = new java.util.HashMap[String, Int](newEntries.size * 2)
+    newEntries.iterator.zipWithIndex.foreach { case (e, i) =>
+      firstIdx.putIfAbsent(e.path, i)
+    }
+    def sliceEq(s: Int, ents: Vector[MEntry]): Boolean = {
+      var k = 0
+      while (k < ents.size) {
+        if (newEntries(s + k) != ents(k)) return false
+        k += 1
+      }
+      true
+    }
+    // parts keep reused chunks' entries alongside, for the tail merge
+    val parts = scala.collection.mutable.ArrayBuffer
+      .empty[(Option[ManifestChunk], Vector[MEntry])]
+    var i = 0
+    prior.foreach { case (c, ents) =>
+      if (ents.nonEmpty) {
+        val at = firstIdx.getOrDefault(ents.head.path, -1)
+        if (at >= i && at + ents.size <= newEntries.size && sliceEq(at, ents)) {
+          if (at > i) parts += ((None, newEntries.slice(i, at)))
+          parts += ((Some(c), ents))
+          i = at + ents.size
+        }
+        // else: diverged — its survivors land in a gap run and are rewritten
+      }
+    }
+    if (i < newEntries.size) parts += ((None, newEntries.slice(i, newEntries.size)))
+    // tail coalesce: an underfull final REUSED chunk followed only by
+    // new entries merges into them (one bounded rewrite, not a reuse)
+    if (parts.size >= 2) {
+      val (lastRef, lastEnts) = parts(parts.size - 1)
+      val (prevRef, prevEnts) = parts(parts.size - 2)
+      if (lastRef.isEmpty && prevRef.isDefined && prevEnts.size < target / 2) {
+        parts.remove(parts.size - 1)
+        parts.remove(parts.size - 1)
+        parts += ((None, prevEnts ++ lastEnts))
+      }
+    }
+    // merge adjacent new runs, then split every new run at the target
+    val out = Vector.newBuilder[Either[ManifestChunk, Vector[MEntry]]]
+    var pendingNew = Vector.empty[MEntry]
+    def flushNew(): Unit = {
+      pendingNew.grouped(target).foreach(g => out += Right(g))
+      pendingNew = Vector.empty
+    }
+    parts.foreach {
+      case (Some(c), _) => flushNew(); out += Left(c)
+      case (None, ents) => pendingNew ++= ents
+    }
+    flushNew()
+    out.result()
+  }
+
+  /** Serialize `layout` as version metadata at `metaFile` — inline for
+    * small manifests, CHUNKED past [[manifestInlineMax]] files, reusing
+    * `priorLayout`'s chunks where entries are unchanged. Chunk files are
+    * written BEFORE the metadata JSON (the commit point): a crash in
+    * between leaves unreferenced chunk orphans, never a version whose
+    * chunks are missing. */
+  private def writeVersionMetadataFile(cat: HadoopFsCatalog, tableDir: Path,
+      metaFile: Path, layout: TableLayout,
+      priorLayout: Option[TableLayout]): Unit = {
+    val text = layout.dataFiles match {
+      case Some(files) if files.size > manifestInlineMax =>
+        val newEntries = entriesOf(layout)
+        val priorSlices: Seq[(ManifestChunk, Vector[MEntry])] =
+          priorLayout.flatMap { pl =>
+            pl.manifestChunks.map { chunks =>
+              val pe = entriesOf(pl)
+              var off = 0
+              chunks.map { c =>
+                val s = pe.slice(off, off + c.count); off += c.count; (c, s)
+              }
+            }
+          }.getOrElse(Nil)
+        val metaDir = new Path(tableDir, "metadata")
+        cat.fileSystem.mkdirs(new Path(metaDir, "manifests"))
+        val chunks = planChunks(newEntries, priorSlices, manifestChunkTarget).map {
+          case Left(reused) => reused
+          case Right(ents) =>
+            val rel =
+              s"manifests/mc-${java.util.UUID.randomUUID().toString.take(12)}.json"
+            cat.writeTextExclusiveAtomic(new Path(metaDir, rel), chunkJson(ents))
+            ManifestChunk(rel, ents.size)
+        }
+        val fields = Seq(
+          layout.dataFileSeqs.map(_ => ManifestFieldTokens.Seqs),
+          layout.dataFileStats.map(_ => ManifestFieldTokens.Stats),
+          layout.dataFileSizes.map(_ => ManifestFieldTokens.Sizes),
+          layout.dataFileNdv.map(_ => ManifestFieldTokens.Ndv)).flatten
+        metadataJsonBody(tableDir.toString, layout.dataLocation, layout,
+          Some((chunks, fields)))
+      case _ =>
+        metadataJson(tableDir.toString, layout.dataLocation, layout)
+    }
+    cat.writeTextExclusiveAtomic(metaFile, text)
+  }
+
   /** Create a physical table in a Hadoop warehouse: parquet data +
     * v1 metadata + pointer commit. Optional partition columns produce a
     * directory-partitioned layout (pruned by every reader); an optional
@@ -532,8 +792,7 @@ object CatalogIO {
     val metaDir = new Path(dir, "metadata")
     cat.fileSystem.mkdirs(metaDir)
     val metaFile = new Path(metaDir, "v1.metadata.json")
-    cat.writeTextExclusiveAtomic(metaFile,
-      metadataJson(dir.toString, dataDir.toString, layout))
+    writeVersionMetadataFile(cat, dir, metaFile, layout, priorLayout = None)
     cat.registerTable(ref, metaFile.toString)
     metaFile.toString
   }
@@ -1182,16 +1441,28 @@ object CatalogIO {
     // version's files are a subset of any later version's in the same
     // segment — referenced iff the segment root survives. A segment no
     // surviving version points at is dead in its entirety.
-    val keepDirs = keptLocs.map(readLayout(_, conf).dataLocation).toSet
+    val keptLayouts = keptLocs.map(readLayout(_, conf))
+    val keepDirs = keptLayouts.map(_.dataLocation).toSet
     val expiredMeta = expired.map(v => cat.metadataLocationForVersion(ref, v))
-    val deadRoots = expiredMeta.map(readLayout(_, conf))
+    val expiredLayouts = expiredMeta.map(readLayout(_, conf))
+    val deadRoots = expiredLayouts
       .map(_.dataLocation).distinct.filterNot(keepDirs)
+    // manifest chunks referenced ONLY by expired versions go with them
+    // (chunk files are immutable and shared across versions by
+    // reference — the kept set is the reachability root)
+    val keptChunks = keptLayouts
+      .flatMap(_.manifestChunks.getOrElse(Nil)).map(_.relPath).toSet
+    val deadChunks = expiredLayouts
+      .flatMap(_.manifestChunks.getOrElse(Nil)).map(_.relPath)
+      .distinct.filterNot(keptChunks)
     // metadata FIRST, then data: a crash in between leaves orphan
     // segment dirs (invisible, reclaimed by hand or a future sweep) —
     // the reverse order would leave LISTED versions whose scans fail,
     // breaking the invariant that every version in the history reads
     var dirs = 0
     expiredMeta.foreach(m => fs.delete(new Path(m), false))
+    val metaDir = new Path(cat.tableDir(ref), "metadata")
+    deadChunks.foreach(rel => fs.delete(new Path(metaDir, rel), false))
     deadRoots.foreach { root =>
       if (fs.delete(new Path(root), true)) dirs += 1
     }
@@ -1238,9 +1509,16 @@ object CatalogIO {
     // snapshot's data dir must stay appendable), even when the sweep
     // empties it of unreferenced files
     val segmentDirs = scala.collection.mutable.Set.empty[String]
+    // manifest chunk files referenced by any version survive; an
+    // unreferenced mc-*.json (a crashed commit's debris) is sweepable
+    // like any orphan, once past the grace window
+    val referencedChunks = scala.collection.mutable.Set.empty[String]
+    val metaDirPath = new Path(dir, "metadata")
     versions.foreach { v =>
       val l = readLayout(cat.metadataLocationForVersion(ref, v), conf)
       segmentDirs += norm(new Path(l.dataLocation))
+      l.manifestChunks.getOrElse(Nil).foreach(c =>
+        referencedChunks += norm(new Path(metaDirPath, c.relPath)))
       l.absoluteDataFiles match {
         case Some(files) =>
           referenced ++= files.map(f => norm(new Path(f)))
@@ -1272,11 +1550,18 @@ object CatalogIO {
       val st = it.next()
       val p = norm(st.getPath)
       scanned += 1
+      val manifestsRoot = norm(new Path(metaDirPath, "manifests"))
       val keep =
-        keepRoots.exists(r => p == r || p.startsWith(r + "/")) ||
-          referenced(p) ||
-          st.getPath.getName == "pointer.text" ||
-          st.getModificationTime >= cutoff
+        if (p.startsWith(manifestsRoot + "/"))
+          // chunk files: survive only if some version references them
+          // (or they are younger than the grace window — an in-flight
+          // commit writes chunks BEFORE its metadata)
+          referencedChunks(p) || st.getModificationTime >= cutoff
+        else
+          keepRoots.exists(r => p == r || p.startsWith(r + "/")) ||
+            referenced(p) ||
+            st.getPath.getName == "pointer.text" ||
+            st.getModificationTime >= cutoff
       if (!keep) doomed += ((st.getPath, st.getLen))
     }
     doomed.result().foreach { case (p, len) =>
@@ -1757,7 +2042,14 @@ object CatalogIO {
   private[graft] def commitMetadataOnly(cat: HadoopFsCatalog, ref: TableRef,
       layout: TableLayout, expectedBase: Option[Int] = None): String = {
     val n = nextVersionNumber(cat, ref, None, Nil, expectedBase)
-    commitLayoutAsVersion(cat, ref, n, layout, CommitOps.Metadata)
+    // resolve the prior layout so a metadata-only commit on a CHUNKED
+    // table (rename, set-props…) carries every chunk forward by
+    // reference instead of rewriting the whole manifest
+    val prior =
+      if (n < 2) None
+      else scala.util.Try(readLayout(
+        cat.metadataLocationForVersion(ref, n - 1), cat.fileSystem.getConf)).toOption
+    commitLayoutAsVersion(cat, ref, n, layout, CommitOps.Metadata, prior)
   }
 
   /** Shared preamble of every version commit: existence check, layout
@@ -1894,9 +2186,10 @@ object CatalogIO {
     val metaFile = new Path(new Path(dir, "metadata"), s"v$n.metadata.json")
     // atomic no-replace publish: still the same-version concurrency
     // gate, AND existence ⇒ completeness — the roll-forward fallback
-    // reads the newest version file, which must never be mid-write
-    try cat.writeTextExclusiveAtomic(metaFile,
-      metadataJson(dir.toString, layout.dataLocation, layout))
+    // reads the newest version file, which must never be mid-write.
+    // (Chunk files, if any, are written first — crash debris is
+    // unreferenced chunks, never a version missing its chunks.)
+    try writeVersionMetadataFile(cat, dir, metaFile, layout, priorLayout)
     catch {
       case e: org.apache.hadoop.fs.FileAlreadyExistsException =>
         throw new CommitConflictException(
@@ -2172,13 +2465,16 @@ object CatalogIO {
                 .col("_metadata.row_index"))
           // positional rename back to the current names (no-op when the
           // group is at the current epoch; never live alongside pos
-          // deletes — the write face refuses renames)
-          val df =
-            if (physical.isEmpty) addressed
-            else addressed.toDF(schema.fieldNames.toIndexedSeq: _*)
+          // deletes — the write face refuses renames). Checked BEFORE the
+          // toDF below: with both live, `addressed` carries the two extra
+          // __graft_* columns and toDF would throw a generic column-count
+          // error, masking this specific corruption message.
           require(physical.isEmpty || posPaths.isEmpty,
             "un-materialized renames alongside positional deletes — the " +
               "write faces refuse this combination; metadata is corrupt")
+          val df =
+            if (physical.isEmpty) addressed
+            else addressed.toDF(schema.fieldNames.toIndexedSeq: _*)
           val eqApplied = applyEqualityDeletes(spark, df, eqPaths, options)
           if (posPaths.isEmpty) eqApplied
           else applyPositionalDeletes(spark, eqApplied, posPaths,
@@ -2400,7 +2696,60 @@ object CatalogIO {
         s"No dataLocation in metadata file $metadataLocation"))
     def arr(field: String): Seq[String] =
       arrayField(text, field).getOrElse(Nil)
-    val dataFiles = arrayField(text, "dataFiles")
+    // chunked manifest (round 12): entries live in immutable chunk
+    // files under <location>/metadata/, referenced here. Resolved via
+    // the metadata's own `location` field so a pointer copied into any
+    // catalog backend keeps resolving. All-or-nothing: a missing or
+    // malformed chunk throws (a partially-resolved manifest would
+    // silently shrink the table).
+    val chunked: Option[(Seq[ManifestChunk], Vector[MEntry], Set[String])] =
+      arrayField(text, "manifestChunkFiles").map { rels =>
+        val counts = arrayField(text, "manifestChunkCounts")
+          .getOrElse(throw new IllegalStateException(
+            s"Malformed metadata: manifestChunkFiles without " +
+              s"manifestChunkCounts in $metadataLocation"))
+        if (counts.size != rels.size)
+          throw new IllegalStateException(
+            s"Malformed metadata: ${counts.size} manifestChunkCounts for " +
+              s"${rels.size} manifestChunkFiles in $metadataLocation")
+        val fields = arrayField(text, "manifestFields").getOrElse(Nil)
+        fields.filterNot(ManifestFieldTokens.All).foreach(f =>
+          throw new IllegalStateException(
+            s"Malformed metadata: unknown manifest field token '$f' in " +
+              s"$metadataLocation — written by a newer format?"))
+        val loc = stringField(text, "location")
+          .getOrElse(throw new IllegalStateException(
+            s"Malformed metadata: chunked manifest without a location in " +
+              s"$metadataLocation"))
+        val metaDir = new Path(loc, "metadata")
+        import scala.collection.parallel.CollectionConverters._
+        val perChunk: Seq[Vector[MEntry]] = rels.par.map { rel =>
+          val p = new Path(metaDir, rel).toString
+          parseChunk(readMetadataText(p, conf), p)
+        }.seq
+        val refs = rels.zip(counts).map { case (rel, c) =>
+          val n = try c.toInt catch { case _: NumberFormatException =>
+            throw new IllegalStateException(
+              s"Malformed metadata: non-integer manifest chunk count '$c' " +
+                s"in $metadataLocation")
+          }
+          ManifestChunk(rel, n)
+        }
+        refs.zip(perChunk).foreach { case (r, ents) =>
+          if (ents.size != r.count)
+            throw new IllegalStateException(
+              s"Manifest chunk ${r.relPath} holds ${ents.size} entries but " +
+                s"$metadataLocation records ${r.count} — chunk and version " +
+                "disagree")
+        }
+        (refs, perChunk.toVector.flatten, fields.toSet)
+      }
+    val inlineDataFiles = arrayField(text, "dataFiles")
+    if (inlineDataFiles.isDefined && chunked.isDefined)
+      throw new IllegalStateException(
+        s"Malformed metadata: both inline dataFiles and manifestChunkFiles " +
+          s"in $metadataLocation")
+    val dataFiles = inlineDataFiles.orElse(chunked.map(_._2.map(_.path)))
     // parallel arrays are validated hard: a seq list that fell out of
     // step with its file list would misapply deletes (resurrect or lose
     // rows), so a mismatch is corruption, not a default
@@ -2468,7 +2817,9 @@ object CatalogIO {
       objectField(text, "properties"),
       deleteFiles = delPaths.lazyZip(delSeqs.getOrElse(Nil)).lazyZip(delKinds)
         .lazyZip(delTargets).map((p, s, k, t) => DeleteFile(p, s, k, t)),
-      dataFileSeqs = intSeqs("dataFileSeqs", dataFiles.map(_.size)),
+      dataFileSeqs = intSeqs("dataFileSeqs", dataFiles.map(_.size)).orElse(
+        chunked.collect { case (_, ents, fields)
+          if fields(ManifestFieldTokens.Seqs) => ents.map(_.seq) }),
       renameOps = renameSeqs.lazyZip(renameFroms).lazyZip(renameTos)
         .map((s, f, t) => RenameOp(s, f, t)),
       droppedColumns = arr("droppedColumns"),
@@ -2481,7 +2832,8 @@ object CatalogIO {
               s"$n data files in $metadataLocation")
         }
         ss
-      },
+      }.orElse(chunked.collect { case (_, ents, fields)
+        if fields(ManifestFieldTokens.Stats) => ents.map(_.stats) }),
       commitOp = stringField(text, "commitOp"),
       dataFileNdv = arrayField(text, "dataFileNdv").map { ss =>
         dataFiles.map(_.size).filter(_ != ss.size).foreach { n =>
@@ -2490,7 +2842,8 @@ object CatalogIO {
               s"$n data files in $metadataLocation")
         }
         ss
-      },
+      }.orElse(chunked.collect { case (_, ents, fields)
+        if fields(ManifestFieldTokens.Ndv) => ents.map(_.ndv) }),
       dataFileSizes = arrayField(text, "dataFileSizes").map { ss =>
         // misaligned sizes would split-plan wrong byte ranges —
         // corruption, same hardness as the stats array
@@ -2507,7 +2860,9 @@ object CatalogIO {
                 s"of $metadataLocation")
           }
         }
-      })
+      }.orElse(chunked.collect { case (_, ents, fields)
+        if fields(ManifestFieldTokens.Sizes) => ents.map(_.size) }),
+      manifestChunks = chunked.map(_._1))
   }
 
   /** Resolve a table through its catalog and scan it. */

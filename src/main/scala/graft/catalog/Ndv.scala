@@ -71,7 +71,11 @@ object Ndv {
     case d: java.math.BigDecimal => Some(fnv1a(d.stripTrailingZeros.toPlainString
       .getBytes(java.nio.charset.StandardCharsets.UTF_8)))
     case d: org.apache.spark.sql.types.Decimal => imageOf(d.toJavaBigDecimal)
-    case d: java.sql.Date => Some(d.getTime)
+    // java.sql.Date canonicalizes to its EPOCH-DAY, same image as
+    // LocalDate/catalyst Int days — epoch-millis would make the same
+    // date hash differently under spark.sql.datetime.java8API.enabled,
+    // silently inflating NDV on any cross-run sketch merge
+    case d: java.sql.Date => Some(d.toLocalDate.toEpochDay)
     case d: java.time.LocalDate => Some(d.toEpochDay)
     case t: java.sql.Timestamp => Some(t.getTime * 1000L + t.getNanos / 1000 % 1000)
     case t: java.time.Instant => Some(t.getEpochSecond * 1000000L + t.getNano / 1000)

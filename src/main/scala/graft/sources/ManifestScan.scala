@@ -61,7 +61,13 @@ final class ManifestFileIndex(
   override def refresh(): Unit = () // manifests are immutable
 
   /** Synthesized statuses: length from the manifest, mtime 0 (commit
-    * time lives in table history, not here), a nominal block size. */
+    * time lives in table history, not here), a nominal block size.
+    * CONSTRAINT: no DSv2 table in this repo implements
+    * SupportsMetadataColumns, so the zero mtime is unobservable. If
+    * `_metadata.file_modification_time` (or mtime-keyed caching) is
+    * ever exposed, record the commit timestamp in the manifest first —
+    * otherwise manifest-planned and listing-planned scans silently
+    * diverge on that column. */
   override val leafFiles: scala.collection.mutable.LinkedHashMap[Path, FileStatus] = {
     val m = scala.collection.mutable.LinkedHashMap.empty[Path, FileStatus]
     entries.foreach { case (rel, size) =>

@@ -577,8 +577,15 @@ final class StatsPrunedScan(private val delegate: ParquetScan,
       runtimeFilters.map(_.canonicalized) == s.runtimeFilters.map(_.canonicalized)
     case _ => false
   }
+  // runtimeFilters participate in BOTH equals and hashCode (mirroring
+  // equals above): filter() mutates the scan after planning, and a
+  // hash that ignored what equals compares would let two scans land in
+  // one exchange-reuse bucket yet compare unequal — or worse, compare
+  // equal under a stale hash. Keeping the pair consistent means a
+  // runtime-filter arrival changes the scan's identity atomically.
   override def hashCode(): Int =
-    (delegate, filters.map(_.canonicalized)).hashCode()
+    (delegate, filters.map(_.canonicalized),
+      runtimeFilters.map(_.canonicalized)).hashCode()
 
   override def description(): String =
     s"${delegate.description()}, GraftStatsPruning: ${statsByPath.size} stat'd files" +

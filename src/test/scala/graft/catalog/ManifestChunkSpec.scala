@@ -1,0 +1,247 @@
+package graft.catalog
+
+import java.nio.file.Files
+
+import graft.TestSpark
+import org.apache.hadoop.fs.Path
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Manifest-chunk indirection (round 12 — Iceberg's manifest-list
+  * design re-expressed): past a file-count threshold, a version's
+  * metadata JSON records references to immutable chunk files instead of
+  * inlining the per-file arrays, and a commit carries unchanged chunks
+  * forward BY REFERENCE — commit metadata cost O(files in this commit),
+  * never O(table). These specs force chunking with a zero threshold and
+  * a tiny chunk size so a handful of files exercises the multi-chunk
+  * paths. */
+class ManifestChunkSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private def uid(): String =
+    java.util.UUID.randomUUID().toString.take(8).replace("-", "")
+
+  private def withChunking[A](inlineMax: Int, target: Int)(body: => A): A = {
+    val (pm, pt) = (CatalogIO.manifestInlineMax, CatalogIO.manifestChunkTarget)
+    CatalogIO.manifestInlineMax = inlineMax
+    CatalogIO.manifestChunkTarget = target
+    try body
+    finally { CatalogIO.manifestInlineMax = pm; CatalogIO.manifestChunkTarget = pt }
+  }
+
+  private def newCat(): HadoopFsCatalog =
+    new HadoopFsCatalog(s"mc${uid()}",
+      Files.createTempDirectory("graft-mchunk").toString)
+
+  private def df(ids: Range, parts: Int = 2) = {
+    import spark.implicits._
+    ids.map(i => (i.toLong, s"row-$i")).toDF("id", "name").repartition(parts)
+  }
+
+  private def metaText(cat: HadoopFsCatalog, ref: TableRef, v: Int): String = {
+    val p = new Path(cat.metadataLocationForVersion(ref, v))
+    val in = cat.fileSystem.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  test("chunked metadata round-trips every per-file array and scans identically") {
+    withChunking(inlineMax = 0, target = 3) {
+      val cat = newCat()
+      val ref = TableRef.parse("m.t1")
+      cat.createNamespace(Namespace.of("m"))
+      CatalogIO.createTable(spark, cat, ref, df(1 to 40, parts = 4))
+      CatalogIO.commitAppend(spark, cat, ref, df(41 to 60, parts = 4))
+      val v2 = metaText(cat, ref, 2)
+      assert(v2.contains("manifestChunkFiles"), "v2 should be chunked")
+      assert(!v2.contains("\"dataFiles\""), "chunked versions must not inline the file list")
+      val layout = CatalogIO.readLayout(cat.metadataLocationForVersion(ref, 2),
+        cat.fileSystem.getConf)
+      assert(layout.dataFiles.exists(_.size == 8))
+      assert(layout.dataFileStats.exists(_.size == 8), "stats round-trip through chunks")
+      assert(layout.dataFileSizes.exists(ss => ss.size == 8 && ss.forall(_ > 0)),
+        "sizes round-trip through chunks")
+      assert(layout.manifestChunks.exists(cs => cs.size >= 3 &&
+        cs.map(_.count).sum == 8))
+      // 3-entry target: no chunk may exceed it
+      assert(layout.manifestChunks.get.forall(_.count <= 3))
+      val rows = CatalogIO.readTable(spark, cat, ref)
+      assert(rows.count() == 60)
+      import org.apache.spark.sql.functions.sum
+      assert(rows.agg(sum("id")).head.getLong(0) == (1 to 60).map(_.toLong).sum)
+    }
+  }
+
+  test("appends carry prior chunks forward by reference — O(new) manifest writes") {
+    withChunking(inlineMax = 0, target = 4) {
+      val cat = newCat()
+      val ref = TableRef.parse("m.t2")
+      cat.createNamespace(Namespace.of("m"))
+      CatalogIO.createTable(spark, cat, ref, df(1 to 40, parts = 8))
+      val conf = cat.fileSystem.getConf
+      def chunksAt(v: Int): Seq[CatalogIO.ManifestChunk] =
+        CatalogIO.readLayout(cat.metadataLocationForVersion(ref, v), conf)
+          .manifestChunks.getOrElse(fail(s"v$v not chunked"))
+      val v1 = chunksAt(1)
+      CatalogIO.commitAppend(spark, cat, ref, df(41 to 50, parts = 2))
+      val v2 = chunksAt(2)
+      // every SEALED v1 chunk (at target size) is referenced verbatim by
+      // v2 — carried forward, not rewritten. Only an underfull tail may
+      // be coalesced into the new entries' chunk.
+      val sealedV1 = v1.filter(_.count == 4)
+      assert(sealedV1.nonEmpty)
+      sealedV1.foreach(c => assert(v2.contains(c),
+        s"sealed chunk $c must be reused by reference in v2"))
+      // the append added 2 files: new chunk bytes are O(new), so v2 adds
+      // at most 2 chunk files beyond the reused set (tail merge + spill)
+      assert(v2.filterNot(v1.toSet).map(_.count).sum <= 4 + 2,
+        "append rewrote more than tail + new entries")
+      // a second append still reuses all sealed v2 chunks
+      CatalogIO.commitAppend(spark, cat, ref, df(51 to 60, parts = 2))
+      val v3 = chunksAt(3)
+      v2.filter(_.count == 4).foreach(c => assert(v3.contains(c)))
+      // version JSON stays pointer-sized: O(chunks), not O(files)
+      assert(metaText(cat, ref, 3).length < 4000)
+      assert(CatalogIO.readTable(spark, cat, ref).count() == 60)
+    }
+  }
+
+  test("file-level delete rewrites only the punctured chunk; later chunks realign") {
+    withChunking(inlineMax = 0, target = 3) {
+      val cat = newCat()
+      val ref = TableRef.parse("m.t3")
+      cat.createNamespace(Namespace.of("m"))
+      CatalogIO.createTable(spark, cat, ref, df(1 to 90, parts = 9))
+      val conf = cat.fileSystem.getConf
+      val v1 = CatalogIO.readLayout(cat.metadataLocationForVersion(ref, 1), conf)
+      val files = v1.dataFiles.get
+      assert(files.size == 9 && v1.manifestChunks.get.size == 3)
+      // drop one file from the MIDDLE chunk (index 4)
+      val victim = files(4)
+      CatalogIO.commitManifestFilter(cat, ref, expectedBase = Some(1),
+        keepFile = f => f != victim)
+      val v2 = CatalogIO.readLayout(cat.metadataLocationForVersion(ref, 2), conf)
+      assert(v2.dataFiles.get.size == 8 && !v2.dataFiles.get.contains(victim))
+      val (c1, c2) = (v1.manifestChunks.get, v2.manifestChunks.get)
+      // first chunk untouched → reused; last chunk realigns → reused;
+      // middle chunk was punctured → rewritten
+      assert(c2.contains(c1.head), "pre-hole chunk must be reused")
+      assert(c2.contains(c1.last), "post-hole chunk must realign and be reused")
+      assert(!c2.contains(c1(1)), "punctured chunk must be rewritten")
+      val rows = CatalogIO.readTable(spark, cat, ref)
+      assert(rows.count() < 90 && rows.count() > 0)
+      // prior version still reads its own full manifest (time travel)
+      assert(CatalogIO.readTableVersion(spark, cat, ref, 1, conf).count() == 90)
+    }
+  }
+
+  test("inline → chunked migration: history reads across both formats") {
+    val cat = newCat()
+    val ref = TableRef.parse("m.t4")
+    cat.createNamespace(Namespace.of("m"))
+    // v1+v2 inline (threshold above file count)
+    withChunking(inlineMax = 512, target = 3) {
+      CatalogIO.createTable(spark, cat, ref, df(1 to 20, parts = 2))
+      CatalogIO.commitAppend(spark, cat, ref, df(21 to 40, parts = 2))
+      assert(metaText(cat, ref, 2).contains("\"dataFiles\""))
+    }
+    // threshold drops (table "grew"): next commit converts to chunked
+    withChunking(inlineMax = 0, target = 3) {
+      CatalogIO.commitAppend(spark, cat, ref, df(41 to 60, parts = 2))
+      val v3 = metaText(cat, ref, 3)
+      assert(v3.contains("manifestChunkFiles") && !v3.contains("\"dataFiles\""))
+      assert(CatalogIO.readTable(spark, cat, ref).count() == 60)
+      // every version of the mixed-format history still reads
+      val conf = cat.fileSystem.getConf
+      assert(CatalogIO.readTableVersion(spark, cat, ref, 1, conf).count() == 20)
+      assert(CatalogIO.readTableVersion(spark, cat, ref, 2, conf).count() == 40)
+      // and a shrink back under the threshold returns to inline
+      withChunking(inlineMax = 512, target = 3) {
+        CatalogIO.commitAppend(spark, cat, ref, df(61 to 70, parts = 1))
+        assert(metaText(cat, ref, 4).contains("\"dataFiles\""))
+        assert(CatalogIO.readTable(spark, cat, ref).count() == 70)
+      }
+    }
+  }
+
+  test("merge-on-read state (delete files, seqs) round-trips chunked") {
+    withChunking(inlineMax = 0, target = 3) {
+      val cat = newCat()
+      val ref = TableRef.parse("m.t5")
+      cat.createNamespace(Namespace.of("m"))
+      CatalogIO.createTable(spark, cat, ref, df(1 to 30, parts = 3))
+      import spark.implicits._
+      CatalogIO.commitMergeOnRead(spark, cat, ref, newRows = None,
+        deleteTuples = Some(Seq(3L, 7L).toDF("id")))
+      CatalogIO.commitAppend(spark, cat, ref, df(Range(3, 4), parts = 1))
+      val layout = CatalogIO.readLayout(
+        cat.loadTableMetadataLocation(ref), cat.fileSystem.getConf)
+      assert(layout.deleteFiles.size == 1)
+      assert(layout.dataFileSeqs.exists(ss =>
+        ss.size == 4 && ss.count(_ == 3) == 1),
+        "per-file seqs must survive the chunk round-trip")
+      val ids = CatalogIO.readTable(spark, cat, ref)
+        .select("id").as[Long].collect().toSet
+      assert(!ids.contains(7L), "equality delete applies")
+      assert(ids.contains(3L), "re-inserted row (seq past delete) is visible")
+    }
+  }
+
+  test("expire reclaims chunks referenced only by expired versions") {
+    withChunking(inlineMax = 0, target = 3) {
+      val cat = newCat()
+      val ref = TableRef.parse("m.t6")
+      cat.createNamespace(Namespace.of("m"))
+      CatalogIO.createTable(spark, cat, ref, df(1 to 30, parts = 3))
+      // v2 replaces the segment (fresh chunk set); v1's chunks die with it
+      CatalogIO.commitVersion(spark, cat, ref, df(101 to 130, parts = 3))
+      CatalogIO.commitAppend(spark, cat, ref, df(131 to 140, parts = 1))
+      val conf = cat.fileSystem.getConf
+      val v1Chunks = CatalogIO.readLayout(
+        cat.metadataLocationForVersion(ref, 1), conf).manifestChunks.get
+      val v3Chunks = CatalogIO.readLayout(
+        cat.metadataLocationForVersion(ref, 3), conf).manifestChunks.get
+      val metaDir = new Path(cat.tableDir(ref), "metadata")
+      val res = CatalogIO.expireVersions(cat, ref, keepLast = 2)
+      assert(res.expiredVersions == Seq(1))
+      v1Chunks.foreach(c => assert(
+        !cat.fileSystem.exists(new Path(metaDir, c.relPath)),
+        s"expired-only chunk ${c.relPath} must be deleted"))
+      v3Chunks.foreach(c => assert(
+        cat.fileSystem.exists(new Path(metaDir, c.relPath)),
+        s"live chunk ${c.relPath} must survive"))
+      assert(CatalogIO.readTable(spark, cat, ref).count() == 40)
+    }
+  }
+
+  test("append metadata cost is flat in table size (the O(new) contract)") {
+    withChunking(inlineMax = 0, target = 8) {
+      val cat = newCat()
+      val ref = TableRef.parse("m.t7")
+      cat.createNamespace(Namespace.of("m"))
+      CatalogIO.createTable(spark, cat, ref, df(1 to 10, parts = 1))
+      val metaDir = new Path(cat.tableDir(ref), "metadata")
+      val manifests = new Path(metaDir, "manifests")
+      def manifestBytes(): Long = {
+        val it = cat.fileSystem.listFiles(manifests, true)
+        var b = 0L
+        while (it.hasNext) b += it.next().getLen
+        b
+      }
+      // grow the table; record manifest bytes WRITTEN per append
+      val written = (1 to 12).map { i =>
+        val before = manifestBytes()
+        CatalogIO.commitAppend(spark, cat, ref, df(i * 100 to i * 100 + 1, parts = 1))
+        manifestBytes() - before
+      }
+      // cost must not grow with table size: the last appends (table ~4×
+      // bigger than at the start) write no more than the tail-coalesce
+      // bound (target entries), not the cumulative list
+      val early = written.take(3).max
+      val late = written.takeRight(3).max
+      assert(late <= early * 3 + 2048,
+        s"append manifest bytes grew with table size: early=$early late=$late " +
+          s"(all: ${written.mkString(",")})")
+      assert(CatalogIO.readTable(spark, cat, ref).count() == 10 + 24)
+    }
+  }
+}
