@@ -131,6 +131,7 @@ object SparkEntry {
     "w06_table_stream" -> (graft.queries.WriteQueries.w06 _),
     "w07_positional_mor" -> (graft.queries.WriteQueries.w07 _),
     "w08_skip_rewrites" -> (graft.queries.WriteQueries.w08 _),
+    "w09_iceberg_roundtrip" -> (graft.queries.WriteQueries.w09 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -938,6 +939,17 @@ object SparkEntry {
         |SELECT 'final', rf, COUNT(*), CAST(SUM(k) AS BIGINT)
         |FROM b GROUP BY rf
         |ORDER BY phase, rf""".stripMargin,
+    // w09: native Iceberg interop — the engine writes a REAL Iceberg v2
+    // table (public spec: metadata.json + avro manifest chain), registers
+    // the pointer, and reads it back through the DSv2 face with the
+    // manifest bounds driving file pruning; relationally it is just a
+    // projection + filter + aggregate over lineitem
+    "w09_iceberg_roundtrip" ->
+      """SELECT l_returnflag AS rf, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS k_sum,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+        |FROM lineitem WHERE l_orderkey <= 30000
+        |GROUP BY rf""".stripMargin,
     // w05: incremental append reads are manifest set-differences, so
     // each phase's change set is relationally just the slice that
     // commit appended (WriteQueries.w05 runs the real version-diff

@@ -582,10 +582,14 @@ object CatalogIO {
 
   private def entriesOf(l: TableLayout): Vector[MEntry] = {
     val fs = l.dataFiles.getOrElse(Nil).toVector
-    val seqs = l.dataFileSeqs.getOrElse(Seq.fill(fs.size)(0))
-    val stats = l.dataFileStats.getOrElse(Seq.fill(fs.size)(""))
-    val sizes = l.dataFileSizes.getOrElse(Seq.fill(fs.size)(-1L))
-    val ndv = l.dataFileNdv.getOrElse(Seq.fill(fs.size)(""))
+    // materialize each parallel column as an IndexedSeq FIRST: callers
+    // hand in Lists (Seq.fill, ++-built), and positional apply on a
+    // List inside the index loop is O(n) — O(n²) on a 10⁵-entry
+    // manifest, precisely the scale this machinery exists for
+    val seqs = l.dataFileSeqs.map(_.toVector).getOrElse(Vector.fill(fs.size)(0))
+    val stats = l.dataFileStats.map(_.toVector).getOrElse(Vector.fill(fs.size)(""))
+    val sizes = l.dataFileSizes.map(_.toVector).getOrElse(Vector.fill(fs.size)(-1L))
+    val ndv = l.dataFileNdv.map(_.toVector).getOrElse(Vector.fill(fs.size)(""))
     fs.indices.map(i =>
       MEntry(fs(i), seqs(i), stats(i), sizes(i), ndv(i))).toVector
   }
@@ -2691,6 +2695,11 @@ object CatalogIO {
   def readLayout(metadataLocation: String,
       conf: Configuration = new Configuration()): TableLayout = {
     val text = readMetadataText(metadataLocation, conf)
+    // a REAL Apache Iceberg metadata.json (the format the reference's
+    // users register — CatalogMigrator.java:212-213) is converted into
+    // this engine's layout so every scan face serves it natively
+    if (IcebergFormat.isIcebergMetadata(text))
+      return IcebergFormat.toTableLayout(text, metadataLocation, conf)
     val dataLoc = stringField(text, "dataLocation")
       .getOrElse(throw new IllegalStateException(
         s"No dataLocation in metadata file $metadataLocation"))
@@ -2868,6 +2877,14 @@ object CatalogIO {
   /** Resolve a table through its catalog and scan it. */
   def readTable(spark: SparkSession, cat: Catalog, ref: TableRef): DataFrame =
     scanLayout(spark, readLayout(cat.loadTableMetadataLocation(ref)))
+
+  /** Scan a bare metadata pointer — either of this engine's format or a
+    * real Iceberg metadata.json ([[IcebergFormat]]) — without a catalog
+    * entry. The read face of the reference's pointer contract: whatever
+    * location a catalog would hand back resolves here identically. */
+  def scanMetadataLocation(spark: SparkSession, metadataLocation: String): DataFrame =
+    scanLayout(spark, readLayout(metadataLocation,
+      spark.sessionState.newHadoopConf()))
 
   /** Project a catalog table's recorded layout into the session catalog
     * as an EXTERNAL table over the same files, so Spark's bucketed

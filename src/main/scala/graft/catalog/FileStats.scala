@@ -239,6 +239,24 @@ object FileStats {
     }
   }
 
+  /** Encode stats sourced OUTSIDE a parquet footer (e.g. a real Iceberg
+    * manifest's converted bounds — [[IcebergFormat]]): caller supplies
+    * textual min/max (already in this codec's value form) and null
+    * counts per column. Out-of-order bounds are dropped per column
+    * (unsound inputs degrade to unprunable, never to wrong pruning). */
+  private[catalog] def encodeExternal(rowCount: Long,
+      cols: Seq[(String, DataType, Option[String], Option[String], Option[Long])]): String = {
+    val kept = cols.take(MaxColumns).map { case (n, dt, mn, mx, nu) =>
+      // a bound survives only as a PAIR that parses under the column
+      // type and satisfies min <= max — anything else degrades to
+      // unprunable, never to wrong pruning
+      val bounded = (for { a <- mn; b <- mx } yield (a, b))
+        .filter { case (a, b) => ordered(dt, a, b) }
+      (n, bounded.map(_._1), bounded.map(_._2), nu)
+    }
+    encode(rowCount, kept)
+  }
+
   /** IEEE −0.0 == +0.0 but sorts below it; widen a zero bound so a
     * query literal of either sign can never be range-excluded. */
   private def widenZero(v: Double, isMin: Boolean): Double =

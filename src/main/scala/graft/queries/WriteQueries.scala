@@ -87,6 +87,39 @@ object WriteQueries {
         spark.sparkContext.parallelize(rows, 1), out.schema)
     }
 
+  /** w09 (round 12): the native APACHE ICEBERG interop surface under
+    * the oracle — [[graft.catalog.IcebergExport]] writes a REAL Iceberg
+    * v2 table (metadata.json + avro manifest list + avro manifest, per
+    * the public spec; no Iceberg jars), the pointer is registered like
+    * any migrated table (the reference's CatalogMigrator.java:212-213
+    * contract), and the rows are read back through the DSv2 SQL face —
+    * [[graft.catalog.IcebergFormat]] resolving the manifest chain into
+    * the engine's own layout, manifest-planned and stats-pruned (the
+    * `k <= 30000` filter prunes range-written files via the converted
+    * Iceberg `lower_bounds`/`upper_bounds`). The oracle replays the
+    * same projection/filter/aggregate over the raw parquet. */
+  def w09(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w09") { (cat, hc) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w09-ice").toString
+      try {
+        val src = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("k"),
+            col("l_quantity").cast("long").as("qty"),
+            col("l_returnflag").as("rf"))
+          .repartitionByRange(8, col("k"))
+        val metaLoc = graft.catalog.IcebergExport.writeTable(spark, src, s"$tmp/t")
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(graft.catalog.TableRef.parse("db.ice"), metaLoc)
+        val out = spark.sql(
+          s"""SELECT rf, COUNT(*) AS cnt, SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.ice WHERE k <= 30000
+             |GROUP BY rf""".stripMargin)
+        // materialize before the warehouses are reclaimed
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w02 (round 9): the MERGE-ON-READ write surface under the oracle —
     * the counterpart of w01's copy-on-write faces. Builds a partitioned
     * table, then commits the O(batch) mutation sequence:

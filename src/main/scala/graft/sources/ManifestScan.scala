@@ -81,6 +81,14 @@ final class ManifestFileIndex(
     leafFiles.values.toSeq.groupBy(_.getPath.getParent)
       .view.mapValues(_.toArray).toMap
 
+  /** The manifest is an EXACT file list — serve it regardless of
+    * nesting. The inherited implementation special-cases unpartitioned
+    * tables to "children of the root directory", which silently drops
+    * entries living one level deeper (a real Iceberg layout: root is
+    * the TABLE dir, files under `data/`); native flat layouts never hit
+    * the difference. */
+  override def allFiles(): Seq[FileStatus] = leafFiles.values.toSeq
+
   /** Partition directories parsed from the manifest's OWN relative
     * paths: `g=0/x=a/part-*.parquet` under recorded partition columns
     * [g, x] yields typed values via the same Hive-path conventions
