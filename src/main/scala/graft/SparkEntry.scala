@@ -132,6 +132,8 @@ object SparkEntry {
     "w07_positional_mor" -> (graft.queries.WriteQueries.w07 _),
     "w08_skip_rewrites" -> (graft.queries.WriteQueries.w08 _),
     "w09_iceberg_roundtrip" -> (graft.queries.WriteQueries.w09 _),
+    "w10_type_widening" -> (graft.queries.WriteQueries.w10 _),
+    "w11_hidden_partitioning" -> (graft.queries.WriteQueries.w11 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -950,6 +952,36 @@ object SparkEntry {
         |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
         |FROM lineitem WHERE l_orderkey <= 30000
         |GROUP BY rf""".stripMargin,
+    // w10: type widening — the engine runs metadata-only ALTER COLUMN
+    // TYPE commits and reads narrow-typed files through the widened
+    // schema; relationally it is the union of the two slices with the
+    // widening casts applied up front (float quantities are integral
+    // ≤ 50, so the BIGINT cast is exact in both engines; the decimal
+    // sum is exact and its DOUBLE rendering well within 53 bits)
+    "w10_type_widening" ->
+      """WITH w AS (
+        |  SELECT CAST(CAST(l_orderkey AS INT) AS BIGINT) AS k,
+        |         CAST(CAST(l_quantity AS FLOAT) AS DOUBLE) AS qty,
+        |         CAST(CAST(l_extendedprice AS DECIMAL(9,2)) AS DECIMAL(14,2)) AS price
+        |  FROM lineitem WHERE l_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT CAST(l_orderkey AS BIGINT) + 5000000,
+        |         CAST(l_quantity AS DOUBLE),
+        |         CAST(l_extendedprice AS DECIMAL(14,2))
+        |  FROM lineitem WHERE l_orderkey % 3 = 1)
+        |SELECT COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum,
+        |       CAST(SUM(CAST(qty AS BIGINT)) AS BIGINT) AS qty_sum,
+        |       CAST(SUM(price) AS DOUBLE) AS price_sum
+        |FROM w""".stripMargin,
+    // w11: hidden partitioning — days(ts) shapes the files and prunes
+    // the week-range scan; relationally it is a filter + aggregate
+    "w11_hidden_partitioning" ->
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(event_id) AS BIGINT) AS id_sum
+        |FROM events
+        |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
+        |GROUP BY event_type""".stripMargin,
     // w05: incremental append reads are manifest set-differences, so
     // each phase's change set is relationally just the slice that
     // commit appended (WriteQueries.w05 runs the real version-diff

@@ -120,6 +120,71 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(tmp)
     }
 
+  /** w10 (round 12): metadata-only TYPE WIDENING under the oracle —
+    * a table created with narrow columns (INT / FLOAT / DECIMAL(9,2)),
+    * widened by three `ALTER COLUMN TYPE` commits (int→long,
+    * float→double, decimal growth — Iceberg spec §Schema Evolution's
+    * safe promotions), then appended to at the WIDE types, so the final
+    * scan reads pre-widen files through the widened schema (Spark's
+    * parquet reader up-casts the narrower physical types losslessly)
+    * mixed with post-widen files written wide. The aggregate is
+    * integer-exact per column; the oracle replays the same values with
+    * the casts applied relationally. */
+  def w10(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTemp(spark, "graft-w10") { cat =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(
+        s"""CREATE TABLE $cat.db.wide USING parquet AS
+           |SELECT CAST(l_orderkey AS INT) AS k,
+           |       CAST(l_quantity AS FLOAT) AS qty,
+           |       CAST(l_extendedprice AS DECIMAL(9,2)) AS price
+           |FROM parquet.`$dir/lineitem.parquet` WHERE l_orderkey % 3 = 0""".stripMargin)
+      spark.sql(s"ALTER TABLE $cat.db.wide ALTER COLUMN k TYPE BIGINT")
+      spark.sql(s"ALTER TABLE $cat.db.wide ALTER COLUMN qty TYPE DOUBLE")
+      spark.sql(s"ALTER TABLE $cat.db.wide ALTER COLUMN price TYPE DECIMAL(14,2)")
+      spark.sql(
+        s"""INSERT INTO $cat.db.wide
+           |SELECT CAST(l_orderkey AS BIGINT) + 5000000 AS k,
+           |       CAST(l_quantity AS DOUBLE) AS qty,
+           |       CAST(l_extendedprice AS DECIMAL(14,2)) AS price
+           |FROM parquet.`$dir/lineitem.parquet` WHERE l_orderkey % 3 = 1""".stripMargin)
+      val out = spark.sql(
+        s"""SELECT COUNT(*) AS cnt, SUM(k) AS k_sum,
+           |       CAST(SUM(CAST(qty AS BIGINT)) AS BIGINT) AS qty_sum,
+           |       CAST(SUM(price) AS DOUBLE) AS price_sum
+           |FROM $cat.db.wide""".stripMargin)
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    }
+
+  /** w11 (round 12): HIDDEN PARTITIONING under the oracle — a
+    * `PARTITIONED BY (days(ts))` table ([[graft.sources
+    * .TransformFunctions]]): the insert range-clusters on the day
+    * transform (ordered write distribution), per-file stats then prune
+    * the week-range read file-exact, and no synthetic partition column
+    * exists anywhere. Relationally the whole thing is a filter +
+    * aggregate over events, which is exactly what the oracle replays. */
+  def w11(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTemp(spark, "graft-w11") { cat =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(
+        s"""CREATE TABLE $cat.db.ev
+           |(event_id BIGINT, ts TIMESTAMP, event_type STRING, value DOUBLE)
+           |USING parquet PARTITIONED BY (days(ts))""".stripMargin)
+      graft.Tables(spark, dir, "events")
+        .select("event_id", "ts", "event_type", "value")
+        .createOrReplaceTempView("w11_src")
+      spark.sql(s"INSERT INTO $cat.db.ev SELECT * FROM w11_src")
+      val out = spark.sql(
+        s"""SELECT event_type, COUNT(*) AS cnt, SUM(event_id) AS id_sum
+           |FROM $cat.db.ev
+           |WHERE ts >= TIMESTAMP'2024-01-08 00:00:00'
+           |  AND ts < TIMESTAMP'2024-01-15 00:00:00'
+           |GROUP BY event_type""".stripMargin)
+      val rows = out.collect().toIndexedSeq
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+    }
+
   /** w02 (round 9): the MERGE-ON-READ write surface under the oracle —
     * the counterpart of w01's copy-on-write faces. Builds a partitioned
     * table, then commits the O(batch) mutation sequence:

@@ -281,7 +281,22 @@ private[sources] final class GraftWrite(spark: SparkSession,
   // small files — at 100 TB the difference between a manifest and a
   // small-files problem. Unpartitioned unbucketed tables leave the
   // query's own distribution alone.
+  // hidden-partitioning transforms request an ORDERED (range)
+  // distribution: each task — hence each file — covers a CONTIGUOUS run
+  // of transform values, so commit-time per-file stats give file-exact
+  // source-column pruning (the read-side half of hidden partitioning;
+  // no synthetic partition column ever exists). The transform functions
+  // resolve through this catalog's FunctionCatalog face, exactly as
+  // storage-partitioned joins resolve `bucket`.
+  private val clusterSorts: Seq[V2SortOrder] =
+    (partitionBy.map(c => Expressions.sort(Expressions.column(c),
+      SortDirection.ASCENDING)) ++
+      layout.clusterTransforms.map(t => Expressions.sort(
+        TransformFunctions.toV2(t), SortDirection.ASCENDING)))
+
   override def requiredDistribution(): Distribution = {
+    if (layout.clusterTransforms.nonEmpty)
+      return Distributions.ordered(clusterSorts.toArray)
     val clustering =
       partitionBy.map(Expressions.identity) ++
         bucketBy.map { case (n, cols) =>
@@ -292,10 +307,15 @@ private[sources] final class GraftWrite(spark: SparkSession,
   }
 
   // recorded sortColumns promise bucket-local order in the files: sort
-  // within tasks (each task = whole buckets under the clustering above)
-  override def requiredOrdering(): Array[V2SortOrder] =
-    sortBy.map(c => Expressions.sort(Expressions.column(c),
-      SortDirection.ASCENDING)).toArray
+  // within tasks (each task = whole buckets under the clustering above);
+  // transform-clustered tables additionally sort by the transform so a
+  // task's files split on value boundaries
+  override def requiredOrdering(): Array[V2SortOrder] = {
+    val sorts = sortBy.map(c => Expressions.sort(Expressions.column(c),
+      SortDirection.ASCENDING))
+    if (layout.clusterTransforms.isEmpty) sorts.toArray
+    else (clusterSorts ++ sorts).toArray
+  }
 
   // ----- executor side -----
 

@@ -311,6 +311,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
           "in the catalog warehouse (register external data via the migration API)")
     var partitionBy = Vector.empty[String]
     var bucketBy: Option[(Int, Seq[String])] = None
+    var clusterBy = Vector.empty[String]
     partitions.foreach { t =>
       t.name match {
         case "bucket" =>
@@ -326,11 +327,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
           bucketBy = Some((n, cols))
         case "identity" =>
           partitionBy :+= t.references.head.fieldNames.mkString(".")
+        case "years" | "months" | "days" | "hours" | "truncate" =>
+          // hidden partitioning (round 12): recorded as a cluster
+          // transform — writes range-cluster on it, per-file stats
+          // prune source-column predicates file-exact
+          clusterBy :+= TransformFunctions.canonicalize(t, schema)
         case other => throw new UnsupportedOperationException(
           s"$catalogName: unsupported partition transform $other " +
-            "(identity and bucket are supported)")
+            "(identity, bucket, years/months/days/hours, truncate)")
       }
     }
+    if (clusterBy.nonEmpty && bucketBy.isDefined)
+      throw new UnsupportedOperationException(
+        s"$catalogName: bucket and ${clusterBy.mkString("/")} transforms do " +
+          "not combine — bucketed writes hash-cluster, hidden-partitioning " +
+          "writes range-cluster; pick one layout")
     // fail at CREATE time on layout columns the schema doesn't have —
     // otherwise the table commits and every INSERT dies in the writer
     // with an opaque analysis error
@@ -342,7 +353,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
           s"not in table schema (${schema.fieldNames.mkString(", ")})")
     val ref = toRef(ident)
     try CatalogIO.createEmptyTable(SparkSession.active, h, ref, schema,
-      partitionBy, bucketBy)
+      partitionBy, bucketBy, clusterTransforms = clusterBy)
     catch {
       case _: graft.catalog.AlreadyExistsException =>
         throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(
@@ -635,8 +646,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
   // from the table's own catalog, exactly as Iceberg's SparkCatalog does).
 
   override def listFunctions(namespace: Array[String]): Array[Identifier] =
-    Array(Identifier.of(Array.empty, "bucket"))
+    ("bucket" +: TransformFunctions.names)
+      .map(n => Identifier.of(Array.empty, n)).toArray
 
   override def loadFunction(ident: Identifier): UnboundFunction =
-    GraftBucketFunction.load(ident)
+    TransformFunctions.load(ident.name)
+      .getOrElse(GraftBucketFunction.load(ident))
 }

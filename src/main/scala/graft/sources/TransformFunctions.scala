@@ -1,0 +1,192 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.types._
+
+/** Iceberg's HIDDEN-PARTITIONING transforms (`years`/`months`/`days`/
+  * `hours`, `truncate(W, col)` — public spec §Partition Transforms),
+  * re-expressed Spark-first:
+  *
+  *   - DDL: `CREATE TABLE … PARTITIONED BY (days(ts))` records the
+  *     transform in the table layout (`clusterTransforms`);
+  *   - WRITE: [[GraftWrite]] requests an ORDERED distribution over the
+  *     transform (these functions, served through the catalog's
+  *     `FunctionCatalog` face, exactly how Iceberg's SparkCatalog wires
+  *     its own) — a range exchange, so each output file covers a
+  *     CONTIGUOUS run of transform values;
+  *   - READ: no hidden partition column exists at all. The engine's
+  *     manifest stats ([[StatsPruning]]) carry each file's source-column
+  *     envelope, and range-clustered files make a `ts` predicate prune
+  *     FILE-EXACT — the same skipping Iceberg gets from partition-value
+  *     manifests, without a synthetic column in the schema, without
+  *     filter rewriting, and with partition evolution for free (the
+  *     transform shapes future files only; old files keep pruning by
+  *     their recorded envelopes).
+  *
+  * The catalyst-side semantics match the spec exactly (epoch-relative
+  * ordinals, UTC calendar for months/years) so reported values stay
+  * stable if these transforms ever participate in storage-partitioned
+  * joins. */
+object TransformFunctions {
+
+  private val Micros = 1000000L
+  private val DayMicros = 86400L * Micros
+  private val HourMicros = 3600L * Micros
+
+  private def utc(micros: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(micros, Micros),
+      (Math.floorMod(micros, Micros) * 1000L).toInt, java.time.ZoneOffset.UTC)
+
+  /** years/months/days/hours over DATE / TIMESTAMP / TIMESTAMP_NTZ. */
+  private final class TimeTransform(fn: String, input: DataType)
+    extends ScalarFunction[Integer] {
+    override def inputTypes(): Array[DataType] = Array(input)
+    override def resultType(): DataType = IntegerType
+    override def name(): String = fn
+    override def canonicalName(): String = s"graft.$fn(${input.catalogString})"
+    override def produceResult(row: InternalRow): Integer = {
+      if (row.isNullAt(0)) return null
+      val v: Int = (fn, input) match {
+        case ("days", DateType) => row.getInt(0)
+        case ("days", _) => Math.floorDiv(row.getLong(0), DayMicros).toInt
+        case ("hours", _) => Math.floorDiv(row.getLong(0), HourMicros).toInt
+        case (_, DateType) =>
+          val d = java.time.LocalDate.ofEpochDay(row.getInt(0).toLong)
+          if (fn == "years") d.getYear - 1970
+          else (d.getYear - 1970) * 12 + d.getMonthValue - 1
+        case _ =>
+          val d = utc(row.getLong(0))
+          if (fn == "years") d.getYear - 1970
+          else (d.getYear - 1970) * 12 + d.getMonthValue - 1
+      }
+      Integer.valueOf(v)
+    }
+  }
+
+  private def timeUnbound(fn: String): UnboundFunction = new UnboundFunction {
+    override def name(): String = fn
+    override def description(): String =
+      s"$fn(col): Iceberg $fn partition transform (epoch-relative ordinal)"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"$fn expects one column, got $inputType")
+      inputType.fields(0).dataType match {
+        case DateType if fn != "hours" => new TimeTransform(fn, DateType)
+        case t @ (TimestampType | TimestampNTZType) => new TimeTransform(fn, t)
+        case other => throw new UnsupportedOperationException(
+          s"$fn transform does not apply to ${other.catalogString}" +
+            (if (fn == "hours") " (hours needs a timestamp)" else ""))
+      }
+    }
+  }
+
+  /** truncate(W, v): ints/longs floor to multiples of W, strings keep
+    * their first W characters (spec: substring of length L). */
+  private final class TruncateFunction(types: Array[DataType])
+    extends ScalarFunction[Any] {
+    private val valueType = types.last
+    override def inputTypes(): Array[DataType] = types
+    override def resultType(): DataType = valueType
+    override def name(): String = "truncate"
+    override def canonicalName(): String =
+      s"graft.truncate(${valueType.catalogString})"
+    override def produceResult(row: InternalRow): Any = {
+      // width first or last — both DDL orders appear in the wild
+      val (wIdx, vIdx) = if (types(0) == valueType && types.length == 2 &&
+        types(1) == IntegerType && valueType != IntegerType) (1, 0) else (0, 1)
+      if (row.isNullAt(vIdx)) return null
+      val w = row.getInt(wIdx)
+      require(w > 0, s"truncate width must be positive, got $w")
+      valueType match {
+        case IntegerType =>
+          val v = row.getInt(vIdx); v - Math.floorMod(v, w)
+        case LongType =>
+          val v = row.getLong(vIdx); v - Math.floorMod(v, w.toLong)
+        case StringType =>
+          val s = row.getUTF8String(vIdx)
+          if (s.numChars <= w) s else s.substringSQL(1, w)
+        case other => throw new IllegalStateException(
+          s"truncate over unsupported type $other")
+      }
+    }
+  }
+
+  private val truncateUnbound: UnboundFunction = new UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "truncate(width, col): Iceberg truncate partition transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"truncate expects (width, col), got $inputType")
+      val ts = inputType.fields.map(_.dataType)
+      val valueType = ts.filterNot(_ == IntegerType).headOption.getOrElse(IntegerType)
+      valueType match {
+        case IntegerType | LongType | StringType => new TruncateFunction(ts)
+        case other => throw new UnsupportedOperationException(
+          s"truncate transform does not apply to ${other.catalogString} " +
+            "(int, long, and string columns truncate)")
+      }
+    }
+  }
+
+  val names: Seq[String] = Seq("years", "months", "days", "hours", "truncate")
+
+  def load(name: String): Option[UnboundFunction] = name match {
+    case "years" | "months" | "days" | "hours" => Some(timeUnbound(name))
+    case "truncate" => Some(truncateUnbound)
+    case _ => None
+  }
+
+  // ----- canonical layout strings -----
+
+  private val TimeRe = """(years|months|days|hours)\(([^)]+)\)""".r
+  private val TruncRe = """truncate\((\d+),(.+)\)""".r
+
+  /** Canonical layout string for a DDL transform over `schema`, or
+    * refuse. Accepts both truncate argument orders; stores
+    * `truncate(W,col)`. */
+  def canonicalize(t: Transform, schema: StructType): String = {
+    def col(): String = {
+      val refs = t.references
+      require(refs.length == 1, s"transform $t must reference one column")
+      val n = refs.head.fieldNames.mkString(".")
+      val f = schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+        throw new IllegalArgumentException(
+          s"transform $t references unknown column $n"))
+      f.name
+    }
+    t.name match {
+      case fn @ ("years" | "months" | "days" | "hours") => s"$fn(${col()})"
+      case "truncate" =>
+        val w = t.arguments.collectFirst {
+          case l: org.apache.spark.sql.connector.expressions.Literal[_] =>
+            l.value.asInstanceOf[Number].intValue
+        }.getOrElse(throw new IllegalArgumentException(
+          s"truncate transform without a width literal: $t"))
+        require(w > 0, s"truncate width must be positive, got $w")
+        s"truncate($w,${col()})"
+      case other => throw new UnsupportedOperationException(
+        s"unsupported partition transform $other")
+    }
+  }
+
+  /** A canonical layout string back to the V2 transform the write's
+    * ordered distribution requests. */
+  def toV2(s: String): Transform = s match {
+    case TimeRe(fn, c) => Expressions.apply(fn, Expressions.column(c))
+    case TruncRe(w, c) => Expressions.apply("truncate",
+      Expressions.literal(Integer.valueOf(w.toInt)), Expressions.column(c))
+    case other => throw new IllegalStateException(
+      s"unparseable cluster transform '$other' in table metadata")
+  }
+
+  /** The source column a canonical transform reads. */
+  def sourceColumn(s: String): String = s match {
+    case TimeRe(_, c) => c
+    case TruncRe(_, c) => c
+    case other => throw new IllegalStateException(
+      s"unparseable cluster transform '$other' in table metadata")
+  }
+}

@@ -1,0 +1,145 @@
+package graft.sources
+
+import graft.TestSpark
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hidden-partitioning transforms (round 12 — Iceberg's
+  * years/months/days/hours and truncate(W,col), SURVEY follow-up):
+  * `PARTITIONED BY (days(ts))` records a CLUSTER TRANSFORM; writes
+  * request an ordered (range) distribution over it, so each file covers
+  * a contiguous run of transform values and the commit-time per-file
+  * stats make source-column predicates prune FILE-EXACT — no synthetic
+  * partition column exists in the schema, in the files, or in results. */
+class HiddenPartitionSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** Tiny test datasets get coalesced into ONE shuffle partition by AQE,
+    * which would hide the file-boundary behavior the suite asserts on —
+    * run the INSERT with coalescing off so the requested range exchange
+    * keeps its partitions (at real scale the task count is organic). */
+  private def withFixedPartitions[A](body: => A): A = {
+    val key = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "false")
+    try body
+    finally prior match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
+  test("days(ts) table: scrambled inserts land day-clustered; a day filter prunes file-exact") {
+    TempCatalog.withTemp(spark, "graft-hidden-days") { cat =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(
+        s"""CREATE TABLE $cat.db.ev (id BIGINT, ts TIMESTAMP_NTZ, v DOUBLE)
+           |USING parquet PARTITIONED BY (days(ts))""".stripMargin)
+      // 12 days × 200 events, deliberately SCRAMBLED before the insert —
+      // day-contiguous files must come from the write's ordered
+      // distribution, not from accidental input order
+      import spark.implicits._
+      (0 until 2400).map { i =>
+        (i.toLong,
+          java.time.LocalDateTime.of(2024, 3, 1, 0, 0)
+            .plusDays(i % 12).plusMinutes(i / 12),
+          i * 0.5)
+      }.toDF("id", "ts", "v")
+        .orderBy(org.apache.spark.sql.functions.hash($"id"))
+        .createOrReplaceTempView("ev_src")
+      withFixedPartitions { spark.sql(s"INSERT INTO $cat.db.ev SELECT * FROM ev_src") }
+      assert(spark.table(s"$cat.db.ev").count() == 2400)
+      // hidden: the schema carries NO synthetic column
+      assert(spark.table(s"$cat.db.ev").columns.toSeq == Seq("id", "ts", "v"))
+
+      val layout = graft.catalog.CatalogIO.readLayout(
+        spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/db/ev/metadata/v2.metadata.json",
+        spark.sessionState.newHadoopConf())
+      assert(layout.clusterTransforms == Seq("days(ts)"))
+      val total = layout.dataFiles.get.size
+      assert(total >= 3, s"expected a multi-file table, got $total files")
+
+      // one-day predicate: every file whose ts envelope misses the day
+      // is skipped at PLAN time; day-range-clustered files make that
+      // file-exact (a single day intersects at most 2 boundary files)
+      StatsPruning.lastPlanned = None
+      val n = spark.sql(
+        s"""SELECT count(*) FROM $cat.db.ev
+           |WHERE ts >= TIMESTAMP_NTZ'2024-03-05 00:00:00'
+           |  AND ts < TIMESTAMP_NTZ'2024-03-06 00:00:00'""".stripMargin)
+        .head.getLong(0)
+      assert(n == 200)
+      val (skipped, planned) = StatsPruning.lastPlanned
+        .getOrElse(fail("stats pruning never planned"))
+      assert(planned == total)
+      assert(planned - skipped <= 2,
+        s"one-day filter should keep at most 2 boundary files, kept ${planned - skipped} of $planned")
+    }
+  }
+
+  test("truncate(4, name) clusters string prefixes; a prefix range prunes files") {
+    TempCatalog.withTemp(spark, "graft-hidden-trunc") { cat =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(
+        s"""CREATE TABLE $cat.db.doc (name STRING, n BIGINT)
+           |USING parquet PARTITIONED BY (truncate(4, name))""".stripMargin)
+      import spark.implicits._
+      val names = ('a' to 'p').flatMap(c => (0 until 150).map(i => s"$c$c$c$c-doc-$i"))
+      names.zipWithIndex.map { case (s, i) => (s, i.toLong) }
+        .toDF("name", "n")
+        .orderBy(org.apache.spark.sql.functions.hash($"n"))
+        .createOrReplaceTempView("doc_src")
+      withFixedPartitions { spark.sql(s"INSERT INTO $cat.db.doc SELECT * FROM doc_src") }
+      val layout = graft.catalog.CatalogIO.readLayout(
+        spark.conf.get(s"spark.sql.catalog.$cat.warehouse") + "/db/doc/metadata/v2.metadata.json",
+        spark.sessionState.newHadoopConf())
+      assert(layout.clusterTransforms == Seq("truncate(4,name)"))
+      val total = layout.dataFiles.get.size
+      assert(total >= 3)
+      StatsPruning.lastPlanned = None
+      val n = spark.sql(
+        s"SELECT count(*) FROM $cat.db.doc WHERE name >= 'cccc' AND name < 'cccd'")
+        .head.getLong(0)
+      assert(n == 150)
+      val (skipped, planned) = StatsPruning.lastPlanned
+        .getOrElse(fail("stats pruning never planned"))
+      assert(planned == total && skipped >= total - 2,
+        s"prefix filter should skip all but boundary files: $skipped/$planned")
+    }
+  }
+
+  test("days over a DATE column; months/years accepted; refusals hold") {
+    TempCatalog.withTemp(spark, "graft-hidden-date") { cat =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      spark.sql(
+        s"""CREATE TABLE $cat.db.d (d DATE, n BIGINT)
+           |USING parquet PARTITIONED BY (months(d))""".stripMargin)
+      import spark.implicits._
+      (0 until 600).map(i =>
+        (java.sql.Date.valueOf(java.time.LocalDate.of(2023, 1, 1).plusDays(i % 300).toString),
+          i.toLong))
+        .toDF("d", "n")
+        .orderBy(org.apache.spark.sql.functions.hash($"n"))
+        .createOrReplaceTempView("d_src")
+      withFixedPartitions { spark.sql(s"INSERT INTO $cat.db.d SELECT * FROM d_src") }
+      assert(spark.table(s"$cat.db.d").count() == 600)
+      // a one-month filter prunes (range-clustered by month ordinal)
+      StatsPruning.lastPlanned = None
+      spark.sql(s"SELECT count(*) FROM $cat.db.d WHERE d >= DATE'2023-06-01' AND d < DATE'2023-07-01'")
+        .head.getLong(0)
+      val (skipped, planned) = StatsPruning.lastPlanned.getOrElse(fail("never planned"))
+      assert(skipped >= 1, s"expected month pruning, got $skipped/$planned")
+
+      // hours over DATE refuses at write (bind-time), bucket+days at DDL
+      spark.sql(s"CREATE TABLE $cat.db.h (d DATE, n BIGINT) USING parquet PARTITIONED BY (hours(d))")
+      val e = intercept[Exception](
+        spark.sql(s"INSERT INTO $cat.db.h VALUES (DATE'2023-01-01', 1)"))
+      assert(e.getMessage.contains("hours") ||
+        e.getCause != null && e.getCause.getMessage.contains("hours"))
+      val e2 = intercept[UnsupportedOperationException](spark.sql(
+        s"""CREATE TABLE $cat.db.bad (ts TIMESTAMP_NTZ, k BIGINT)
+           |USING parquet PARTITIONED BY (days(ts), bucket(4, k))""".stripMargin))
+      assert(e2.getMessage.contains("do not combine"))
+    }
+  }
+}
