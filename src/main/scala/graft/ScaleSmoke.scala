@@ -308,6 +308,29 @@ object ScaleSmoke {
       val rows = spark.table(s"$cat.db.li").count()
       println(f"[scale] mor x$replicas: base table $rows rows, " +
         f"created in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      // round-12 measurement: the same full-scan aggregate before any
+      // delete vs with a live delete file — the columnar selection
+      // mapping keeps the delete-live scan vectorized, so the delta is
+      // the probe cost, not a fall-off-the-vectorized-path cliff
+      def scanAgg(label: String): Double = {
+        val df = spark.sql(
+          s"SELECT SUM(l_quantity), COUNT(*) FROM $cat.db.li WHERE l_quantity > 0")
+        // probe the scan mode on an exchange-free twin: AQE wraps the
+        // aggregate plan in AdaptiveSparkPlanExec, which hides the scan
+        // from collectFirst until execution
+        val columnar = spark.table(s"$cat.db.li").where("l_quantity > 0")
+          .queryExecution.executedPlan.collectFirst {
+            case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+              b.supportsColumnar
+          }.getOrElse(false)
+        val s = System.nanoTime()
+        df.collect()
+        val secs = (System.nanoTime() - s) / 1e9
+        println(f"[scale] mor x$replicas: $label full-scan aggregate " +
+          f"$secs%.2f s (columnar=$columnar)")
+        secs
+      }
+      scanAgg("delete-free")
       // two disjoint 100-key feeds so each path deletes fresh rows
       spark.sql(s"SELECT DISTINCT l_orderkey FROM $cat.db.li " +
         "WHERE pmod(l_orderkey, 1000) = 1 LIMIT 100")
@@ -322,6 +345,7 @@ object ScaleSmoke {
       val s0 = System.nanoTime()
       val afterMor = spark.table(s"$cat.db.li").count()
       val morScan = (System.nanoTime() - s0) / 1e9
+      scanAgg("delete-live")
       val c0 = System.nanoTime()
       graft.sources.MergeOps.deleteMatched(spark, hc, ref,
         spark.table("cow_feed"), Seq("l_orderkey"))
