@@ -2911,6 +2911,22 @@ object CatalogIO {
     scanLayout(spark, readLayout(metadataLocation,
       spark.sessionState.newHadoopConf()))
 
+  /** Time-travel read of a REAL Iceberg pointer: scan the table as of
+    * `snapshotId` — every Iceberg metadata.json carries its retained
+    * snapshot history, so no other file is needed. Refuses non-Iceberg
+    * metadata (this engine's own format time-travels by VERSION through
+    * [[readTableVersion]]). */
+  def scanIcebergSnapshot(spark: SparkSession, metadataLocation: String,
+      snapshotId: Long): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val text = readMetadataText(metadataLocation, conf)
+    require(IcebergFormat.isIcebergMetadata(text),
+      s"$metadataLocation is not Apache Iceberg metadata; graft-format " +
+        "tables time-travel by version (readTableVersion)")
+    scanLayout(spark, IcebergFormat.toTableLayout(text, metadataLocation,
+      conf, Some(snapshotId)))
+  }
+
   /** Project a catalog table's recorded layout into the session catalog
     * as an EXTERNAL table over the same files, so Spark's bucketed
     * execution applies: two tables bucketed on the join key with equal

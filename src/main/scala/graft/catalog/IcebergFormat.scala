@@ -53,9 +53,13 @@ object IcebergFormat {
     text.contains("\"format-version\"") && !text.contains("\"dataLocation\"")
 
   /** Parse a real Iceberg metadata.json (+ its avro manifests) into a
-    * scannable [[CatalogIO.TableLayout]]. */
+    * scannable [[CatalogIO.TableLayout]]. `snapshotId` selects a
+    * historical snapshot from the metadata's snapshot list (Iceberg
+    * time travel — every metadata.json carries the full retained
+    * history); None reads the current one. */
   def toTableLayout(text: String, metadataLocation: String,
-      conf: Configuration): CatalogIO.TableLayout = {
+      conf: Configuration,
+      snapshotId: Option[Long] = None): CatalogIO.TableLayout = {
     val root = new ObjectMapper().readTree(text)
     val fv = root.path("format-version").asInt(-1)
     if (fv != 1 && fv != 2)
@@ -70,7 +74,7 @@ object IcebergFormat {
     val fieldNamesById = fieldIdsOf(schema)
     val props = Option(root.get("properties")).map(_.properties().asScala
       .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
-    val curId = root.path("current-snapshot-id").asLong(-1L)
+    val curId = snapshotId.getOrElse(root.path("current-snapshot-id").asLong(-1L))
     val base = CatalogIO.TableLayout(
       dataLocation = location,
       schemaDdl = Some(sparkSchema.toDDL),
@@ -83,15 +87,16 @@ object IcebergFormat {
       .flatMap(_.elements().asScala)
       .find(_.path("snapshot-id").asLong(-2L) == curId)
       .getOrElse(throw new IllegalStateException(
-        s"Iceberg metadata $metadataLocation: current-snapshot-id $curId " +
-          "not in snapshots"))
+        s"Iceberg metadata $metadataLocation: " +
+          snapshotId.fold("current-snapshot-id")(_ => "requested snapshot-id") +
+          s" $curId not in snapshots"))
     // v2 (and modern v1) points at a manifest LIST; early v1 snapshots
     // may inline the manifest paths instead
     val manifestPaths: Seq[(String, Int)] = Option(snapshot.get("manifest-list")) match {
       case Some(ml) =>
         readAvroRecords(new Path(ml.asText), conf).map { r =>
           (r.get("manifest_path").toString,
-            Option(r.get("content")).map(_.asInstanceOf[Int]).getOrElse(0))
+            opt(r, "content").map(_.asInstanceOf[Int]).getOrElse(0))
         }
       case None =>
         Option(snapshot.get("manifests")).toSeq
@@ -118,7 +123,7 @@ object IcebergFormat {
           val df = entry.get("data_file").asInstanceOf[GenericRecord]
           // v2 data_file.content: 0=data, 1/2=delete files (those live
           // in content=1 manifests, but be defensive)
-          val content = Option(df.get("content"))
+          val content = opt(df, "content")
             .map(_.asInstanceOf[Int]).getOrElse(0)
           if (content != 0)
             throw new UnsupportedOperationException(
@@ -148,6 +153,13 @@ object IcebergFormat {
       dataFileSizes = Some(rels.map(_._2)),
       dataFileStats = Some(rels.map(_._3)))
   }
+
+
+  /** Schema-checked optional field read: GenericData.Record.get(name)
+    * THROWS on a field absent from the writer schema (a real v1
+    * manifest has no `content`, no bounds) — absent must mean None. */
+  private def opt(r: GenericRecord, field: String): Option[Any] =
+    if (r.getSchema.getField(field) == null) None else Option(r.get(field))
 
   // ----- schema conversion ------------------------------------------
 
@@ -234,17 +246,17 @@ object IcebergFormat {
       fields: Map[Int, (String, JsonNode)], schema: StructType): String = {
     val rowCount = df.get("record_count").asInstanceOf[Long]
     def idMap(field: String): Map[Int, Array[Byte]] =
-      Option(df.get(field)).map(avroMap(_).map { case (k, v) =>
+      opt(df, field).map(avroMap(_).map { case (k, v) =>
         k -> bytesOf(v)
       }).getOrElse(Map.empty)
     def idLongs(field: String): Map[Int, Long] =
-      Option(df.get(field)).map(avroMap(_).map { case (k, v) =>
+      opt(df, field).map(avroMap(_).map { case (k, v) =>
         k -> v.asInstanceOf[Long]
       }).getOrElse(Map.empty)
     val lower = idMap("lower_bounds")
     val upper = idMap("upper_bounds")
     val nulls = idLongs("null_value_counts")
-    val nans = Option(df.get("nan_value_counts")).map(avroMap(_).map {
+    val nans = opt(df, "nan_value_counts").map(avroMap(_).map {
       case (k, v) => k -> v.asInstanceOf[Long]
     }).getOrElse(Map.empty)
     val cols = schema.fields.toSeq.flatMap { sf =>

@@ -163,6 +163,139 @@ class IcebergFormatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("delete files"))
   }
 
+  test("v1-format metadata: inline manifests, absent optional manifest columns") {
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/t5"
+    val metaLoc = IcebergExport.writeTable(spark, sampleDf.coalesce(1), dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    // read the exported (v2-shaped) manifest's entries…
+    val m2 = fs.listStatus(new Path(dir, "metadata")).map(_.getPath)
+      .find(_.getName.startsWith("m0-")).get
+    val rIn = org.apache.avro.file.DataFileReader.openReader(
+      new org.apache.avro.mapred.FsInput(m2, conf),
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    val entries = try {
+      val b = Vector.newBuilder[GenericRecord]
+      while (rIn.hasNext) b += rIn.next()
+      b.result()
+    } finally rIn.close()
+    // …and rewrite them as a V1-SHAPED manifest: no content, no
+    // sequence numbers, no bounds — the spec's original field set
+    val v1Schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val m1 = new Path(dir, "metadata/v1-manifest.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](v1Schema))
+    w.create(v1Schema, fs.create(m1, true))
+    entries.foreach { e =>
+      val df2 = e.get("data_file").asInstanceOf[GenericRecord]
+      val d = new GenericData.Record(v1Schema.getField("data_file").schema())
+      d.put("file_path", df2.get("file_path").toString)
+      d.put("file_format", df2.get("file_format").toString)
+      d.put("record_count", df2.get("record_count"))
+      d.put("file_size_in_bytes", df2.get("file_size_in_bytes"))
+      val r = new GenericData.Record(v1Schema)
+      r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
+      w.append(r)
+    }
+    w.close()
+    // v1 metadata: single `schema`, snapshot with INLINE `manifests`
+    val v1Meta = new Path(dir, "metadata/v1meta.metadata.json")
+    val out = fs.create(v1Meta, true)
+    val loc = fs.makeQualified(new Path(dir)).toString
+    try out.write(
+      s"""{"format-version": 1, "location": "$loc",
+         |"schema": {"type": "struct", "fields": [
+         |  {"id": 1, "name": "id", "required": true, "type": "long"},
+         |  {"id": 2, "name": "name", "required": false, "type": "string"},
+         |  {"id": 3, "name": "price", "required": false, "type": "double"},
+         |  {"id": 4, "name": "d", "required": false, "type": "date"},
+         |  {"id": 5, "name": "dec", "required": false, "type": "decimal(10, 2)"}]},
+         |"current-snapshot-id": 7,
+         |"snapshots": [{"snapshot-id": 7,
+         |  "manifests": ["${fs.makeQualified(m1)}"]}]}""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val df = CatalogIO.scanMetadataLocation(spark, v1Meta.toString)
+    assert(df.count() == 300)
+    val layout = CatalogIO.readLayout(v1Meta.toString, conf)
+    // no bounds in a v1 fixture: stats degrade to row-count-only text,
+    // sizes still present
+    assert(layout.dataFileSizes.exists(_.forall(_ > 0)))
+    assert(metaLoc.nonEmpty) // v2 twin still reads
+  }
+
+  test("snapshot-id time travel reads a historical snapshot from the same metadata") {
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/t6"
+    val metaLoc = IcebergExport.writeTable(spark,
+      sampleDf.repartitionByRange(3, org.apache.spark.sql.functions.col("id")), dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val metaText = {
+      val in = fs.open(new Path(metaLoc))
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val curId = """"current-snapshot-id": (\d+)""".r
+      .findFirstMatchIn(metaText).get.group(1).toLong
+    val listPath = """"manifest-list": "([^"]+)"""".r
+      .findFirstMatchIn(metaText).get.group(1)
+    // historical snapshot 11: the full manifest minus… nothing — build a
+    // 1-entry manifest (the first data file) + its own manifest list
+    def readAll(p: Path) = {
+      val r = org.apache.avro.file.DataFileReader.openReader(
+        new org.apache.avro.mapred.FsInput(p, conf),
+        new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+      try {
+        val b = Vector.newBuilder[GenericRecord]
+        while (r.hasNext) b += r.next()
+        (r.getSchema, b.result())
+      } finally r.close()
+    }
+    val (lSchema, lEntries) = readAll(new Path(listPath))
+    val (mSchema, mEntries) = readAll(
+      new Path(lEntries.head.get("manifest_path").toString))
+    val firstCount = mEntries.head.get("data_file")
+      .asInstanceOf[GenericRecord].get("record_count").asInstanceOf[Long]
+    val m1 = new Path(dir, "metadata/hist-m.avro")
+    val mw = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
+    mw.create(mSchema, fs.create(m1, true))
+    mw.append(mEntries.head)
+    mw.close()
+    val l1 = new Path(dir, "metadata/snap-11-hist.avro")
+    val lw = new DataFileWriter(new GenericDatumWriter[GenericRecord](lSchema))
+    lw.create(lSchema, fs.create(l1, true))
+    val le = new GenericData.Record(lSchema)
+    lSchema.getFields.forEach(f => le.put(f.name, lEntries.head.get(f.name)))
+    le.put("manifest_path", fs.makeQualified(m1).toString)
+    le.put("manifest_length", fs.getFileStatus(m1).getLen)
+    lw.append(le)
+    lw.close()
+    // splice the historical snapshot into the metadata's snapshot list
+    val spliced = metaText.replace("\"snapshots\": [{",
+      s"""\"snapshots\": [{
+         |    "sequence-number": 1, "snapshot-id": 11,
+         |    "timestamp-ms": 0, "summary": {"operation": "append"},
+         |    "manifest-list": "${fs.makeQualified(l1)}", "schema-id": 0
+         |  }, {""".stripMargin)
+    val out = fs.create(new Path(metaLoc), true)
+    try out.write(spliced.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // current snapshot unchanged; snapshot 11 serves only the first file
+    assert(CatalogIO.scanMetadataLocation(spark, metaLoc).count() == 300)
+    assert(CatalogIO.scanIcebergSnapshot(spark, metaLoc, 11L).count() == firstCount)
+    assert(CatalogIO.scanIcebergSnapshot(spark, metaLoc, curId).count() == 300)
+    val e = intercept[IllegalStateException](
+      CatalogIO.scanIcebergSnapshot(spark, metaLoc, 999L))
+    assert(e.getMessage.contains("999"))
+  }
+
   test("unsupported column types and future format versions refuse loudly") {
     val conf = spark.sessionState.newHadoopConf()
     def metaWith(body: String): String = {
