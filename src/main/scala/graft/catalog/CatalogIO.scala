@@ -1466,8 +1466,15 @@ object CatalogIO {
     val keepDirs = keptLayouts.map(_.dataLocation).toSet
     val expiredMeta = expired.map(v => cat.metadataLocationForVersion(ref, v))
     val expiredLayouts = expiredMeta.map(readLayout(_, conf))
+    // segments OUTSIDE the table dir are never deleted: an ADOPTED
+    // table ([[adoptIcebergTable]]) shares its original data tree with
+    // the adopted-from table's own metadata — expiry here must not
+    // destroy data another catalog's readers still reference. Only
+    // engine-owned segment dirs (under the table dir) are reclaimable.
+    val tableRoot = q(cat.tableDir(ref).toString)
     val deadRoots = expiredLayouts
       .map(_.dataLocation).distinct.filterNot(keepDirs)
+      .filter(r => q(r).startsWith(tableRoot + "/"))
     // manifest chunks referenced ONLY by expired versions go with them
     // (chunk files are immutable and shared across versions by
     // reference — the kept set is the reachability root)
@@ -2910,6 +2917,51 @@ object CatalogIO {
   def scanMetadataLocation(spark: SparkSession, metadataLocation: String): DataFrame =
     scanLayout(spark, readLayout(metadataLocation,
       spark.sessionState.newHadoopConf()))
+
+  /** ADOPT a real Apache Iceberg table into the engine's own format —
+    * the WRITE-side completion of the migration story. `registerTable`
+    * copies a read-only pointer ([[IcebergFormat]] serves it); adoption
+    * converts the table's current snapshot into a graft v1 manifest
+    * referencing the SAME data files — zero data movement, per-file
+    * sizes and converted pruning stats carried straight from the
+    * Iceberg manifests — so from v2 on every write face works: SQL
+    * INSERT/DELETE/MERGE, merge-on-read mutations, compaction,
+    * clustering, analyze. New data files land inside the original data
+    * tree (manifests are exact lists; the Iceberg table's own metadata
+    * never references them).
+    *
+    * One-way door, explicitly: the adopted entry and the original
+    * Iceberg metadata DIVERGE at the adoption point — readers of the
+    * old pointer keep seeing the table as of adoption, never the new
+    * writes. The original metadata files are never touched, and
+    * [[expireVersions]] refuses to reclaim segment trees outside the
+    * adopted table's own directory, so the source table stays readable
+    * forever. Live v2 delete files refuse (same contract as the read
+    * path): compact the source first. Returns the new metadata
+    * location. */
+  def adoptIcebergTable(spark: SparkSession, cat: HadoopFsCatalog,
+      ref: TableRef, metadataLocation: String): String = {
+    if (cat.tableExists(ref))
+      throw new AlreadyExistsException(s"Table already exists: $ref")
+    val conf = cat.fileSystem.getConf
+    val text = readMetadataText(metadataLocation, conf)
+    require(IcebergFormat.isIcebergMetadata(text),
+      s"$metadataLocation is not Apache Iceberg metadata — graft-format " +
+        "pointers register directly (registerTable), no adoption needed")
+    val layout = IcebergFormat.toTableLayout(text, metadataLocation, conf)
+    val dir = cat.tableDir(ref)
+    if (cat.fileSystem.exists(new Path(new Path(dir, "metadata"), "v1.metadata.json")))
+      throw new AlreadyExistsException(
+        s"Aborted-create debris at $dir (metadata without a committed " +
+          s"pointer); remove the directory to adopt into $ref")
+    val metaDir = new Path(dir, "metadata")
+    cat.fileSystem.mkdirs(metaDir)
+    val metaFile = new Path(metaDir, "v1.metadata.json")
+    writeVersionMetadataFile(cat, dir, metaFile,
+      layout.copy(commitOp = Some(CommitOps.Create)), priorLayout = None)
+    cat.registerTable(ref, metaFile.toString)
+    metaFile.toString
+  }
 
   /** Time-travel read of a REAL Iceberg pointer: scan the table as of
     * `snapshotId` — every Iceberg metadata.json carries its retained

@@ -296,6 +296,42 @@ class IcebergFormatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("999"))
   }
 
+  test("adoption makes a real Iceberg table WRITABLE zero-copy; the source stays readable") {
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-iceberg-adopt") { (cat, hc) =>
+      val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/t7"
+      val metaLoc = IcebergExport.writeTable(spark,
+        sampleDf.repartitionByRange(3, org.apache.spark.sql.functions.col("id")), dir)
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      val ref = TableRef.parse("db.ad")
+      CatalogIO.adoptIcebergTable(spark, hc, ref, metaLoc)
+      // v1 = the Iceberg snapshot, zero-copy (same files, stats carried)
+      assert(spark.table(s"$cat.db.ad").count() == 300)
+      val v1 = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref),
+        hc.fileSystem.getConf)
+      assert(v1.dataFiles.exists(_.size == 3))
+      assert(v1.dataFileStats.exists(_.forall(_.nonEmpty)),
+        "converted Iceberg stats must carry into the adopted manifest")
+      // the full write surface works from v2 on
+      spark.sql(s"INSERT INTO $cat.db.ad SELECT id + 1000, concat('x', id), " +
+        "0.5, DATE'2024-06-01', CAST(1.25 AS DECIMAL(10,2)) FROM range(10)")
+      assert(spark.table(s"$cat.db.ad").count() == 310)
+      import spark.implicits._
+      graft.sources.MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+        Seq(1L, 2L, 3L).toDF("id"), Seq("id"))
+      assert(spark.table(s"$cat.db.ad").count() == 307)
+      val compacted = CatalogIO.compactTable(spark, hc, ref)
+      assert(compacted.compacted)
+      assert(spark.table(s"$cat.db.ad").count() == 307)
+      // the source Iceberg pointer never sees the divergence
+      assert(CatalogIO.scanMetadataLocation(spark, metaLoc).count() == 300)
+      // expiry refuses to reclaim the EXTERNAL (adopted-from) data tree
+      CatalogIO.expireVersions(hc, ref, keepLast = 1)
+      assert(spark.table(s"$cat.db.ad").count() == 307)
+      assert(CatalogIO.scanMetadataLocation(spark, metaLoc).count() == 300,
+        "expiring adopted-table versions must never destroy the source's data")
+    }
+  }
+
   test("unsupported column types and future format versions refuse loudly") {
     val conf = spark.sessionState.newHadoopConf()
     def metaWith(body: String): String = {
