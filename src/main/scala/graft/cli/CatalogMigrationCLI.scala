@@ -67,7 +67,8 @@ object CatalogMigrationCLI {
       graceMs: Long = 3600000L,
       gcAfter: Boolean = false,
       outputDir: String = ".",
-      dryRun: Boolean = false)
+      dryRun: Boolean = false,
+      metadataLocation: Option[String] = None)
 
   def main(args: Array[String]): Unit = sys.exit(run(args.toSeq))
 
@@ -82,7 +83,7 @@ object CatalogMigrationCLI {
 
     if (args.head == "compact" || args.head == "expire-versions" ||
         args.head == "squash-history" || args.head == "sweep-orphans" ||
-        args.head == "analyze")
+        args.head == "analyze" || args.head == "adopt")
       return runMaintenance(args, out)
 
     parse(args) match {
@@ -181,6 +182,8 @@ object CatalogMigrationCLI {
             v.split(',').map(_.trim).filter(_.nonEmpty)); rest = t
         case "--identifiers-from-file" :: v :: t =>
           o = o.copy(identifiersFromFile = Some(v)); rest = t
+        case "--metadata-location" :: v :: t =>
+          o = o.copy(metadataLocation = Some(v)); rest = t
         case "--small-files-only" :: t => o = o.copy(smallFilesOnly = true); rest = t
         case "--cluster-by" :: v :: t =>
           o = o.copy(clusterBy = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -270,6 +273,7 @@ object CatalogMigrationCLI {
           if (opts.cmd == "compact") compactOne(opts, hadoop, ref, log)
           else if (opts.cmd == "sweep-orphans") sweepOne(opts, hadoop, ref, log)
           else if (opts.cmd == "analyze") analyzeOne(opts, hadoop, ref, log)
+          else if (opts.cmd == "adopt") adoptOne(opts, hadoop, ref, log)
           else expireOne(opts, hadoop, ref, log)
         } catch {
           case e: Exception =>
@@ -303,6 +307,30 @@ object CatalogMigrationCLI {
     val r = CatalogIO.analyzeTable(spark, cat, ref)
     log(s"Analyzed $ref: NDV sketches for ${r.analyzedFiles} data files " +
       s"over columns [${r.columns.mkString(", ")}] -> ${r.metadataLocation}")
+  }
+
+  /** `adopt` subcommand (round 12): convert a REAL Apache Iceberg
+    * table's current snapshot into this engine's format under `ref`,
+    * zero-copy ([[CatalogIO.adoptIcebergTable]]) — `register` copies a
+    * read-only pointer; `adopt` makes the table writable through every
+    * engine face while the source metadata stays untouched and forever
+    * readable. */
+  private def adoptOne(opts: MaintOpts, cat: HadoopFsCatalog, ref: TableRef,
+      log: String => Unit): Unit = {
+    val loc = opts.metadataLocation.getOrElse(throw new IllegalArgumentException(
+      "adopt requires --metadata-location <iceberg metadata.json>"))
+    if (opts.dryRun) {
+      val layout = CatalogIO.readLayout(loc)
+      log(s"Would adopt $loc as $ref: " +
+        s"${layout.dataFiles.map(_.size).getOrElse(0)} data files at " +
+        s"${layout.dataLocation}; dry run, nothing committed.")
+      return
+    }
+    val spark = activeSpark()
+    val meta = CatalogIO.adoptIcebergTable(spark, cat, ref, loc)
+    log(s"Adopted $loc as $ref -> $meta " +
+      "(zero-copy; the source Iceberg metadata is untouched and keeps " +
+      "reading the table as of adoption)")
   }
 
   private def compactOne(opts: MaintOpts, cat: HadoopFsCatalog, ref: TableRef,
@@ -671,7 +699,7 @@ object CatalogMigrationCLI {
   }
 
   private val usage: String =
-    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history | analyze) [options]
+    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history | analyze | adopt) [options]
       |Bulk-migrate table entries from a source catalog to a target catalog
       |without data copy. `migrate` deletes entries from the source after
       |successful registration; `register` leaves them in place.
@@ -695,6 +723,8 @@ object CatalogMigrationCLI {
       |                                   squash-history: newest commits to keep (required)
       |  --gc                             squash-history: also sweep unreachable commit
       |                                   objects (no grace window; quiesce writers first)
+      |  --metadata-location <loc>        adopt: the Apache Iceberg metadata.json to
+      |                                   convert (zero-copy) into a writable table
       |  --dry-run                        report what would be done, commit nothing
       |
       |Migration options:

@@ -194,6 +194,40 @@ class MaintenanceCLISpec extends AnyFunSuite {
     assert(mlines.exists(_.startsWith("Failed compact for db.nope:")))
   }
 
+
+  test("adopt converts a real Iceberg pointer into a writable table via the CLI") {
+    val wh = Files.createTempDirectory("maint-wh").toString
+    val hc = new HadoopFsCatalog(s"ad${uid()}", wh)
+    hc.createNamespace(graft.catalog.Namespace.of("db"))
+    val outDir = Files.createTempDirectory("maint-out").toString
+    import spark.implicits._
+    val iceDir = s"${Files.createTempDirectory("maint-ice").toString}/t"
+    val metaLoc = graft.catalog.IcebergExport.writeTable(spark,
+      (1 to 50).map(i => (i.toLong, s"r$i")).toDF("k", "v"), iceDir)
+    // dry run: reports, commits nothing
+    val (dcode, dlines) = runCli(maintArgs("adopt", wh, outDir,
+      "--metadata-location", metaLoc, "--dry-run"))
+    assert(dcode == 0)
+    assert(dlines.exists(_.startsWith("Would adopt")))
+    assert(!hc.tableExists(TableRef.parse("db.t")))
+    // real adoption: table exists, reads, and accepts writes
+    val (code, lines) = runCli(maintArgs("adopt", wh, outDir,
+      "--metadata-location", metaLoc))
+    assert(code == 0)
+    assert(lines.exists(_.startsWith("Adopted ")))
+    val ref = TableRef.parse("db.t")
+    assert(CatalogIO.readTable(spark, hc, ref).count() == 50)
+    CatalogIO.commitAppend(spark, hc, ref,
+      (51 to 60).map(i => (i.toLong, s"r$i")).toDF("k", "v"))
+    assert(CatalogIO.readTable(spark, hc, ref).count() == 60)
+    // the source pointer still serves the pre-adoption rows
+    assert(CatalogIO.scanMetadataLocation(spark, metaLoc).count() == 50)
+    // missing --metadata-location is a per-table failure, exit 1
+    val (ecode, elines) = runCli(maintArgs("adopt", wh, outDir))
+    assert(ecode == 1)
+    assert(elines.exists(_.contains("--metadata-location")))
+  }
+
   test("analyze records NDV sketches via the CLI; exit 0") {
     val (wh, hc) = fragmentedTable()
     val outDir = Files.createTempDirectory("maint-out").toString
