@@ -2963,6 +2963,24 @@ object CatalogIO {
     metaFile.toString
   }
 
+  /** `Some(layout as of snapshot `version`)` when `metadataLocation`
+    * is REAL Iceberg metadata; `None` when it is this engine's own
+    * format (callers fall through to graft-version time travel). A
+    * non-numeric version string on an Iceberg pointer throws with the
+    * caller-supplied message — the id space is Iceberg's. */
+  private[graft] def icebergSnapshotLayout(metadataLocation: String,
+      conf: Configuration, version: String,
+      badVersionMsg: String): Option[TableLayout] = {
+    val text = readMetadataText(metadataLocation, conf)
+    if (!IcebergFormat.isIcebergMetadata(text)) return None
+    val snap =
+      try version.toLong
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(badVersionMsg)
+      }
+    Some(IcebergFormat.toTableLayout(text, metadataLocation, conf, Some(snap)))
+  }
+
   /** Time-travel read of a REAL Iceberg pointer: scan the table as of
     * `snapshotId` — every Iceberg metadata.json carries its retained
     * snapshot history, so no other file is needed. Refuses non-Iceberg

@@ -178,35 +178,50 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     * .SupportsTableVersions]]) to that version's data location. */
   override def loadTable(ident: Identifier, version: String): Table = {
     val ref = toRef(ident)
-    val versioned = cat match {
-      case v: graft.catalog.SupportsTableVersions => v
-      case _ => throw new UnsupportedOperationException(
-        s"$catalogName: catalog type does not keep version history")
-    }
-    val n =
+    // a registered REAL Iceberg pointer time-travels by SNAPSHOT ID —
+    // the id space its users hold; the metadata.json carries the whole
+    // retained history, so no graft-local version dir is needed
+    val icebergLayout: Option[CatalogIO.TableLayout] =
+      (try Some(cat.loadTableMetadataLocation(ref))
+       catch { case _: graft.catalog.NoSuchTableException => None })
+        .flatMap { loc =>
+          CatalogIO.icebergSnapshotLayout(loc, hadoopConfOverlay, version,
+            s"$catalogName: VERSION AS OF on an Iceberg table expects a " +
+              s"snapshot id, got '$version'")
+        }
+    val n = if (icebergLayout.isDefined) -1 else {
       try version.toInt
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
           s"$catalogName: VERSION AS OF expects an integer version, got '$version'")
       }
-    val metaLoc =
-      try versioned.metadataLocationForVersion(ref, n)
-      catch {
-        // only a truly absent table maps to Spark's table-not-found; a
-        // missing VERSION on an existing table keeps the history
-        // diagnostic ("no version N (history: ...)") instead of being
-        // misreported as "table or view not found"
-        case e: graft.catalog.NoSuchTableException =>
-          if (cat.tableExists(ref))
-            throw new IllegalArgumentException(
-              s"$catalogName: ${e.getMessage}", e)
-          else
-            throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
-              ident.namespace.toSeq :+ ident.name)
+    }
+    val vLayout = icebergLayout.getOrElse {
+      val versioned = cat match {
+        case v: graft.catalog.SupportsTableVersions => v
+        case _ => throw new UnsupportedOperationException(
+          s"$catalogName: catalog type does not keep version history")
       }
-    val vLayout = CatalogIO.readLayout(metaLoc, hadoopConfOverlay)
+      val metaLoc =
+        try versioned.metadataLocationForVersion(ref, n)
+        catch {
+          // only a truly absent table maps to Spark's table-not-found; a
+          // missing VERSION on an existing table keeps the history
+          // diagnostic ("no version N (history: ...)") instead of being
+          // misreported as "table or view not found"
+          case e: graft.catalog.NoSuchTableException =>
+            if (cat.tableExists(ref))
+              throw new IllegalArgumentException(
+                s"$catalogName: ${e.getMessage}", e)
+            else
+              throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(
+                ident.namespace.toSeq :+ ident.name)
+        }
+      CatalogIO.readLayout(metaLoc, hadoopConfOverlay)
+    }
     val (paths, pathOpts) = tablePaths(vLayout)
-    val table = ParquetTable(s"$ref@v$n", SparkSession.active,
+    val label = s"$ref@v$version"
+    val table = ParquetTable(label, SparkSession.active,
       new CaseInsensitiveStringMap((hadoopOpts ++ pathOpts).asJava), paths,
       userSpecifiedSchema = vLayout.schemaDdl
         .map(org.apache.spark.sql.types.StructType.fromDDL),
@@ -216,7 +231,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     if (vLayout.deleteFiles.nonEmpty)
       new GraftMorTable(manifestPlanned(table, vLayout), vLayout, hadoopOpts)
     else if (vLayout.renameOps.nonEmpty && paths.nonEmpty)
-      new GraftEpochTable(SparkSession.active, s"$ref@v$n", vLayout, hadoopOpts)
+      new GraftEpochTable(SparkSession.active, label, vLayout, hadoopOpts)
     else if (vLayout.numBuckets.isEmpty) statsPruned(table, vLayout)
     else manifestPlanned(table, vLayout) // bucketed history: no SPJ, but zero-listing planning
   }

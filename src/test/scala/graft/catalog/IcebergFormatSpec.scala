@@ -294,6 +294,18 @@ class IcebergFormatSpec extends AnyFunSuite {
     val e = intercept[IllegalStateException](
       CatalogIO.scanIcebergSnapshot(spark, metaLoc, 999L))
     assert(e.getMessage.contains("999"))
+    // SQL face: VERSION AS OF on a registered Iceberg pointer resolves
+    // SNAPSHOT IDS (the id space Iceberg users hold)
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-iceberg-tt") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.ice"), metaLoc)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.ice").head.getLong(0) == 300)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.ice VERSION AS OF 11")
+        .head.getLong(0) == firstCount)
+      val e2 = intercept[Exception](
+        spark.sql(s"SELECT count(*) FROM $cat.db.ice VERSION AS OF 999").collect())
+      assert(e2.getMessage.contains("999"))
+    }
   }
 
   test("adoption makes a real Iceberg table WRITABLE zero-copy; the source stays readable") {
