@@ -71,7 +71,10 @@ object IcebergFormat {
         s"Iceberg metadata $metadataLocation has no location"))
     val schema = currentSchema(root, metadataLocation)
     val sparkSchema = schemaToSpark(schema, metadataLocation)
-    val fieldNamesById = fieldIdsOf(schema)
+    // name → (field id, type) ONCE — statsText runs per data file, and
+    // a per-file scan of the field list would be O(files × cols²)
+    val fieldsByName: Map[String, (Int, JsonNode)] =
+      fieldIdsOf(schema).map { case (id, (n, t)) => n -> (id, t) }
     val props = Option(root.get("properties")).map(_.properties().asScala
       .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
     val curId = snapshotId.getOrElse(root.path("current-snapshot-id").asLong(-1L))
@@ -115,7 +118,14 @@ object IcebergFormat {
             "append/overwrite tables only — compact the table (rewrite " +
             "data files) to materialize deletes before registering it")
     }
-    val entries = manifestPaths.filter(_._2 == 0).flatMap { case (mp, _) =>
+    // one avro read per manifest, in parallel — a 10⁶-file table carries
+    // hundreds of manifests and the driver should not walk them serially
+    // (same shape as the chunked-manifest reader in CatalogIO)
+    val parEntries = {
+      import scala.collection.parallel.CollectionConverters._
+      manifestPaths.filter(_._2 == 0).par
+    }
+    val entries = parEntries.flatMap { case (mp, _) =>
       readAvroRecords(new Path(mp), conf).flatMap { entry =>
         val status = entry.get("status").asInstanceOf[Int]
         if (status == 2) None // DELETED entry: not part of this snapshot
@@ -136,18 +146,18 @@ object IcebergFormat {
                 "(parquet only)")
           Some((df.get("file_path").toString,
             df.get("file_size_in_bytes").asInstanceOf[Long],
-            statsText(df, fieldNamesById, sparkSchema)))
+            statsText(df, fieldsByName, sparkSchema)))
         }
       }
     }
     val prefix = location.stripSuffix("/") + "/"
-    val rels = entries.map { case (p, size, stats) =>
+    val rels = entries.seq.map { case (p, size, stats) =>
       if (!p.startsWith(prefix))
         throw new UnsupportedOperationException(
           s"Iceberg data file $p lies outside the table location " +
             s"$location; relocated-file layouts are not supported")
       (p.stripPrefix(prefix), size, stats)
-    }
+    }.toVector
     base.copy(
       dataFiles = Some(rels.map(_._1)),
       dataFileSizes = Some(rels.map(_._2)),
@@ -243,7 +253,7 @@ object IcebergFormat {
     * have) NaNs: Iceberg excludes NaN from bounds, and a NaN-blind
     * envelope must not prune. */
   private def statsText(df: GenericRecord,
-      fields: Map[Int, (String, JsonNode)], schema: StructType): String = {
+      fields: Map[String, (Int, JsonNode)], schema: StructType): String = {
     val rowCount = df.get("record_count").asInstanceOf[Long]
     def idMap(field: String): Map[Int, Array[Byte]] =
       opt(df, field).map(avroMap(_).map { case (k, v) =>
@@ -260,7 +270,7 @@ object IcebergFormat {
       case (k, v) => k -> v.asInstanceOf[Long]
     }).getOrElse(Map.empty)
     val cols = schema.fields.toSeq.flatMap { sf =>
-      fields.find(_._2._1 == sf.name).map { case (id, (_, tnode)) =>
+      fields.get(sf.name).map { case (id, tnode) =>
         val floaty = sf.dataType == FloatType || sf.dataType == DoubleType
         // NaN-safety: absent nan count on a float column = unknowable
         val nanSafe = !floaty || nans.get(id).contains(0L)
