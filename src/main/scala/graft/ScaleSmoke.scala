@@ -48,7 +48,7 @@ object ScaleSmoke {
     }
     // the write/compact experiments only need lineitem — skip the rest
     // of the synthesis when they (or srp, which synthesizes nothing) run alone
-    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr", "plan", "manifest")).nonEmpty) {
+    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr", "plan", "manifest", "iceberg")).nonEmpty) {
       replicate("orders") { (df, i) =>
         df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
           .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
@@ -83,9 +83,9 @@ object ScaleSmoke {
       "d08_dedup_substrings", "t06_pack_sequences", "p01_training_pipeline")
     // a typo'd name silently measuring nothing would waste a multi-hour
     // rerun — fail fast instead ("srp"/"write" select those experiments)
-    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr" - "plan" - "manifest"
+    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr" - "plan" - "manifest" - "iceberg"
     require(unknown.isEmpty,
-      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats, incr, plan, manifest")
+      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats, incr, plan, manifest, iceberg")
     all.filter(q => only.isEmpty || only(q)).foreach { q =>
       try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
     }
@@ -97,7 +97,52 @@ object ScaleSmoke {
     if (only.isEmpty || only("incr")) incrScale(spark, out, replicas)
     if (only.isEmpty || only("plan")) planScale(spark, out, replicas)
     if (only.isEmpty || only("manifest")) manifestScale(spark)
+    if (only.isEmpty || only("iceberg")) icebergScale(spark, out, replicas)
     spark.stop()
+  }
+
+  /** Iceberg-interop experiment (round 12, [[graft.catalog
+    * .IcebergFormat]]/[[graft.catalog.IcebergExport]]): export
+    * `replicas`× lineitem as a REAL Iceberg v2 table (avro manifests,
+    * Appendix-D bounds), register the pointer, and measure (a) the
+    * export pass, (b) a full-scan aggregate through the converted
+    * layout, (c) a tight key-range query — whose file skipping comes
+    * entirely from the Iceberg manifests' lower/upper bounds feeding
+    * the engine's own stats pruning. The claim: a genuine Iceberg
+    * table is a first-class citizen of every scan optimization. */
+  private def icebergScale(spark: SparkSession, out: String, replicas: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val dir = s"/tmp/graft_iceberg_x$replicas/t"
+    graft.sources.TempCatalog.deleteRecursively(s"/tmp/graft_iceberg_x$replicas")
+    val t0 = System.nanoTime()
+    val src = spark.read.parquet(s"$out/lineitem.parquet")
+      .select(col("l_orderkey").as("k"), col("l_quantity").as("qty"),
+        col("l_returnflag").as("rf"))
+      .repartitionByRange(64, col("k"))
+    val metaLoc = graft.catalog.IcebergExport.writeTable(spark, src, dir)
+    val rows = spark.read.parquet(s"$out/lineitem.parquet").count()
+    println(f"[scale] iceberg x$replicas: exported $rows rows as a real " +
+      f"Iceberg v2 table (64 files + manifests) in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    graft.sources.TempCatalog.withTempHandles(spark, s"graft-ice-x$replicas") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(graft.catalog.TableRef.parse("db.li"), metaLoc)
+      val f0 = System.nanoTime()
+      val full = spark.sql(
+        s"SELECT SUM(qty), COUNT(*) FROM $cat.db.li WHERE qty > 0").collect()
+      println(f"[scale] iceberg x$replicas: full-scan aggregate " +
+        f"${(System.nanoTime() - f0) / 1e9}%.2f s (${full(0).getLong(1)} rows)")
+      graft.sources.StatsPruning.lastPlanned = None
+      val p0 = System.nanoTime()
+      val n = spark.sql(
+        s"SELECT SUM(qty) FROM $cat.db.li WHERE k BETWEEN 500000 AND 520000")
+        .collect()
+      val (skipped, total) = graft.sources.StatsPruning.lastPlanned
+        .getOrElse((-1, -1))
+      println(f"[scale] iceberg x$replicas: key-range query " +
+        f"${(System.nanoTime() - p0) / 1e9}%.2f s — $skipped/$total files " +
+        "skipped at plan time from the ICEBERG manifests' bounds")
+    }
   }
 
   /** Commit-METADATA cost vs table file count (round 12, the
