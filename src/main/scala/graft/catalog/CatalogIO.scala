@@ -2692,10 +2692,27 @@ object CatalogIO {
       options.foreach { case (k, v) => c.set(k, v) }
       c
     }
-    val addr = spark.read.options(options).parquet(posPaths.distinct: _*)
-      .select(col("_file").as("__graft_del_file"),
-        col("_pos").cast(org.apache.spark.sql.types.LongType).as("__graft_del_pos"))
-      .distinct()
+    // two on-disk address schemas serve here: the engine's own
+    // (`_file` segment-RELATIVE, `_pos`) and Apache Iceberg's
+    // positional-delete files (`file_path` ABSOLUTE, `pos` — round 13,
+    // [[IcebergFormat]] conversion). Group by footer schema (cached) and
+    // normalize both to relative-path space.
+    val byStyle = posPaths.distinct.groupBy { p =>
+      DeleteFileFooters.of(p, conf)._1.contains("file_path")
+    }
+    val addr = byStyle.toSeq.sortBy(_._1).map { case (iceberg, paths) =>
+      val raw = spark.read.options(options).parquet(paths: _*)
+      if (iceberg)
+        raw.select(
+          relativizeFileColumn(col("file_path"), dataLocation, conf)
+            .as("__graft_del_file"),
+          col("pos").cast(org.apache.spark.sql.types.LongType)
+            .as("__graft_del_pos"))
+      else
+        raw.select(col("_file").as("__graft_del_file"),
+          col("_pos").cast(org.apache.spark.sql.types.LongType)
+            .as("__graft_del_pos"))
+    }.reduce(_ unionByName _).distinct()
     val tupleCount =
       posPaths.distinct.map(p => DeleteFileFooters.countOf(p, conf)).sum
     val maxBroadcast = spark.conf.getOption("spark.graft.mor.maxDeleteTuples")
@@ -2936,8 +2953,9 @@ object CatalogIO {
     * writes. The original metadata files are never touched, and
     * [[expireVersions]] refuses to reclaim segment trees outside the
     * adopted table's own directory, so the source table stays readable
-    * forever. Live v2 delete files refuse (same contract as the read
-    * path): compact the source first. Returns the new metadata
+    * forever. Live v2 delete files refuse ADOPTION (reads serve them
+    * — [[IcebergFormat]]; adoption would renumber their sequence
+    * gates): compact the source first. Returns the new metadata
     * location. */
   def adoptIcebergTable(spark: SparkSession, cat: HadoopFsCatalog,
       ref: TableRef, metadataLocation: String): String = {
@@ -2949,6 +2967,23 @@ object CatalogIO {
       s"$metadataLocation is not Apache Iceberg metadata — graft-format " +
         "pointers register directly (registerTable), no adoption needed")
     val layout = IcebergFormat.toTableLayout(text, metadataLocation, conf)
+    // READS of a merge-on-read table convert and serve the deletes
+    // (IcebergFormat, round 13); ADOPTION cannot: the adopted manifest's
+    // future commits number seqs from the engine's version counter, and
+    // carried Iceberg sequence numbers above it would exempt adopted
+    // files from post-adoption equality deletes (fileSeq < deleteSeq) —
+    // silent resurrection. Refuse with the live counts named.
+    if (layout.deleteFiles.nonEmpty) {
+      val pos = layout.posDeleteFiles.size
+      val eq = layout.eqDeleteFiles.size
+      throw new UnsupportedOperationException(
+        s"Iceberg table at $metadataLocation carries live row-level " +
+          s"delete files ($pos positional, $eq equality); adoption would " +
+          "renumber sequence gates and risk resurrecting rows. The table " +
+          "READS fine as a registered pointer (registerTable); to adopt " +
+          "it writable, compact the source first to materialize the " +
+          "deletes into data files")
+    }
     val dir = cat.tableDir(ref)
     if (cat.fileSystem.exists(new Path(new Path(dir, "metadata"), "v1.metadata.json")))
       throw new AlreadyExistsException(

@@ -210,9 +210,22 @@ private object MorScan {
         .withConf(conf).build()
       try {
         var g = reader.read()
+        // two on-disk address schemas (detected per file, once): the
+        // engine's own (`_file` segment-relative, `_pos`) and Apache
+        // Iceberg's positional-delete files (`file_path` ABSOLUTE,
+        // `pos` — graft.catalog.IcebergFormat conversion). Iceberg
+        // paths match in suffix space: within one table, "/"+relFile
+        // suffixes exactly the addressed file (paths are unique and the
+        // delete only names this table's files), and suffix matching is
+        // robust to qualified-vs-raw URI spellings of the table root.
+        val iceberg = g != null && g.getType.containsField("file_path")
+        val (fileField, posField) =
+          if (iceberg) ("file_path", "pos") else ("_file", "_pos")
+        val suffix = "/" + relFile
         while (g != null) {
-          if (g.getString("_file", 0) == relFile) {
-            out += g.getLong("_pos", 0)
+          val named = g.getString(fileField, 0)
+          if (if (iceberg) named.endsWith(suffix) else named == relFile) {
+            out += g.getLong(posField, 0)
             n += 1
             if (n > maxTuples)
               throw new MorDeleteOverflowException(
