@@ -946,11 +946,27 @@ object SparkEntry {
     // the pointer, and reads it back through the DSv2 face with the
     // manifest bounds driving file pruning; relationally it is just a
     // projection + filter + aggregate over lineitem
+    // round 13: the gate now spans snapshot lineage + merge-on-read —
+    // snapshot 1 = even keys, snapshot 2 = odd keys (one totally
+    // (k, ln)-ordered file), snapshot 3 = positional deletes of the 3
+    // smallest odd (k, ln) rows + equality deletes of every key with a
+    // qty>=49 line; relationally two anti-joins over lineitem
     "w09_iceberg_roundtrip" ->
-      """SELECT l_returnflag AS rf, COUNT(*) AS cnt,
-        |       CAST(SUM(CAST(l_orderkey AS BIGINT)) AS BIGINT) AS k_sum,
-        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
-        |FROM lineitem WHERE l_orderkey <= 30000
+      """WITH base AS (
+        |  SELECT l_orderkey AS k, l_linenumber AS ln,
+        |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+        |  FROM lineitem),
+        |pos_del AS (
+        |  SELECT k, ln FROM base WHERE k % 2 = 1 ORDER BY k, ln LIMIT 3),
+        |eq_del AS (SELECT DISTINCT k FROM base WHERE qty >= 49)
+        |SELECT rf, COUNT(*) AS cnt,
+        |       CAST(SUM(k) AS BIGINT) AS k_sum,
+        |       CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |FROM base b
+        |WHERE k <= 30000
+        |  AND NOT EXISTS (SELECT 1 FROM pos_del p
+        |                  WHERE p.k = b.k AND p.ln = b.ln)
+        |  AND NOT EXISTS (SELECT 1 FROM eq_del e WHERE e.k = b.k)
         |GROUP BY rf""".stripMargin,
     // w10: type widening — the engine runs metadata-only ALTER COLUMN
     // TYPE commits and reads narrow-typed files through the widened

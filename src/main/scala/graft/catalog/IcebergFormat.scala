@@ -244,7 +244,11 @@ object IcebergFormat {
         val status = entry.get("status").asInstanceOf[Int]
         if (status == 2) None // DELETED: not live in this snapshot
         else {
-          val df = entry.get("data_file").asInstanceOf[GenericRecord]
+          val df = Option(entry.get("data_file"))
+            .map(_.asInstanceOf[GenericRecord]).getOrElse(
+              throw new IllegalStateException(
+                s"Iceberg delete manifest $mp: live entry without a " +
+                  "data_file record — metadata is malformed"))
           val content = opt(df, "content").map(_.asInstanceOf[Int]).getOrElse(
             throw new IllegalStateException(
               s"Iceberg delete manifest $mp: entry without data_file.content"))

@@ -96,20 +96,52 @@ object WriteQueries {
     * [[graft.catalog.IcebergFormat]] resolving the manifest chain into
     * the engine's own layout, manifest-planned and stats-pruned (the
     * `k <= 30000` filter prunes range-written files via the converted
-    * Iceberg `lower_bounds`/`upper_bounds`). The oracle replays the
-    * same projection/filter/aggregate over the raw parquet. */
+    * Iceberg `lower_bounds`/`upper_bounds`). Round 13 extends the gate
+    * over the FULL lineage + merge-on-read surface: a second snapshot
+    * appended (`appendSnapshot` — parent-snapshot-id, carried
+    * manifests), then a delete snapshot (`appendDeletes`) committing
+    * live POSITIONAL and EQUALITY delete files, and the final read
+    * resolves all three snapshots with both delete kinds applied
+    * ([[graft.catalog.IcebergFormat]]'s MOR conversion → the engine's
+    * per-task positional reads + broadcast equality probes). The oracle
+    * replays the whole thing relationally over the raw parquet. */
   def w09(spark: SparkSession, dir: String): DataFrame =
     graft.sources.TempCatalog.withTempHandles(spark, "graft-w09") { (cat, hc) =>
       val tmp = java.nio.file.Files.createTempDirectory("graft-w09-ice").toString
       try {
-        val src = spark.read.parquet(s"$dir/lineitem.parquet")
+        import spark.implicits._
+        val base = spark.read.parquet(s"$dir/lineitem.parquet")
           .select(col("l_orderkey").as("k"),
+            col("l_linenumber").as("ln"),
             col("l_quantity").cast("long").as("qty"),
             col("l_returnflag").as("rf"))
-          .repartitionByRange(8, col("k"))
-        val metaLoc = graft.catalog.IcebergExport.writeTable(spark, src, s"$tmp/t")
+        // snapshot 1: the even keys, range-clustered (bounds prune)
+        val meta1 = graft.catalog.IcebergExport.writeTable(spark,
+          base.filter(col("k") % 2 === 0).repartitionByRange(4, col("k")),
+          s"$tmp/t")
+        // snapshot 2 (round 13): APPEND the odd keys as a new snapshot —
+        // prior manifest carried by reference, parent-snapshot-id
+        // lineage, one totally-ordered file so row positions are the
+        // (k, ln) order
+        val meta2 = graft.catalog.IcebergExport.appendSnapshot(spark,
+          base.filter(col("k") % 2 === 1).repartition(1)
+            .sortWithinPartitions("k", "ln"), meta1)
+        // snapshot 3: a MERGE-ON-READ delete commit — positional
+        // addresses for the first 3 rows of the snapshot-2 file (= the 3
+        // smallest odd (k, ln) rows) + an equality delete of every key
+        // with a qty-49+ line. The read back must apply both kinds.
+        val conf = spark.sessionState.newHadoopConf()
+        val layout2 = graft.catalog.CatalogIO.readLayout(meta2, conf)
+        val file2 = layout2.dataFiles.get.zip(layout2.absoluteDataFiles.get)
+          .collectFirst { case (rel, abs) if rel.startsWith("data/s2-") => abs }
+          .getOrElse(throw new IllegalStateException(
+            "w09: snapshot-2 data file not found in layout"))
+        val meta3 = graft.catalog.IcebergExport.appendDeletes(spark, meta2,
+          positional = Some((0L to 2L).map(p => (file2, p)).toDF("file_path", "pos")),
+          equality = Some(base.filter(col("qty") >= 49)
+            .select("k").distinct()))
         spark.sql(s"CREATE NAMESPACE $cat.db")
-        hc.registerTable(graft.catalog.TableRef.parse("db.ice"), metaLoc)
+        hc.registerTable(graft.catalog.TableRef.parse("db.ice"), meta3)
         val out = spark.sql(
           s"""SELECT rf, COUNT(*) AS cnt, SUM(k) AS k_sum, SUM(qty) AS qty_sum
              |FROM $cat.db.ice WHERE k <= 30000

@@ -251,25 +251,33 @@ class MergeOnReadSpec extends AnyFunSuite {
     assert(rowsOf(s"$cat.db.t") == Seq("2|b", "3|c"))
   }
 
-  test("over-threshold delete tuples refuse loudly with a compact-first message") {
+  test("over-threshold delete tuples DEGRADE to the join-spill plan with identical results") {
     val (cat, hc) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
     spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) USING parquet")
     spark.sql(s"INSERT INTO $cat.db.t SELECT id, concat('v', id) FROM range(100)")
     val ref = TableRef.parse("db.t")
     MergeOps.deleteMatchedMergeOnRead(spark, hc, ref, keyDf(0L until 50L: _*), Seq("k"))
+    // post-delete append: the re-inserted keys must stay visible under
+    // the degrade path too (the spill job runs per seq-gated group)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 'resurrected')")
+    val expected = (50L until 100L).map(k => s"$k|v$k") :+ "3|resurrected"
+    // 51 live tuples > threshold 10: round 13 DEGRADES (plan-time
+    // shuffled join → spilled positional addresses → per-task reads)
+    // instead of refusing; the same read must produce identical rows
     spark.conf.set("spark.graft.mor.maxDeleteTuples", "10")
     try {
-      val refusal = intercept[MorDeleteOverflowException] {
-        spark.table(s"$cat.db.t").count()
-      }
-      assert(refusal.getMessage.contains("compact"), refusal.getMessage)
-      assert(refusal.getMessage.contains("50"), refusal.getMessage)
-      // compaction clears the state: the same read then succeeds
-      spark.conf.unset("spark.graft.mor.maxDeleteTuples")
-      spark.conf.set("spark.graft.mor.maxDeleteTuples", "10")
+      assert(rowsOf(s"$cat.db.t") == expected.sorted)
+      assert(spark.table(s"$cat.db.t").count() == 51)
+      // a filtered degraded read stays correct (Spark re-applies the
+      // withheld data filters above the counting scan)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.t WHERE k < 60")
+        .head.getLong(0) == 11) // 50..59 plus the re-inserted 3
+      // compaction still materializes the state away; the read then
+      // runs the ordinary (non-degraded) plan
       assert(CatalogIO.compactTable(spark, hc, ref).compacted)
-      assert(spark.table(s"$cat.db.t").count() == 50)
+      assert(spark.table(s"$cat.db.t").count() == 51)
+      assert(rowsOf(s"$cat.db.t") == expected.sorted)
     } finally spark.conf.unset("spark.graft.mor.maxDeleteTuples")
   }
 }
