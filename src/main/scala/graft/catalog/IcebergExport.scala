@@ -138,9 +138,14 @@ object IcebergExport {
         require(pos.schema.fieldNames.toSeq == Seq("file_path", "pos"),
           s"positional deletes need (file_path, pos), got ${pos.schema.toDDL}")
         val target = new Path(delDir, "pos-del-0.parquet")
+        // repartition(1) first: the spec requires position delete files
+        // GLOBALLY sorted by (file_path, pos) — a multi-partition
+        // sortWithinPartitions would only be partition-wise sorted
+        // after the single-file merge (advisor r13)
         val n = writeSingleParquet(spark,
           pos.select(pos.col("file_path"),
-            pos.col("pos").cast(LongType).as("pos")).sortWithinPartitions("file_path", "pos"),
+            pos.col("pos").cast(LongType).as("pos"))
+            .repartition(1).sortWithinPartitions("file_path", "pos"),
           target)
         val referenced = {
           val distinct = pos.select("file_path").distinct().collect()
@@ -188,15 +193,30 @@ object IcebergExport {
         rows += n
       }
     } finally writer.close()
+    val nFiles = positional.size + equality.size
     val entry = ListEntry(st.fs.makeQualified(manifestPath).toString,
-      st.fs.getFileStatus(manifestPath).getLen, content = 1, seq, rows)
+      st.fs.getFileStatus(manifestPath).getLen, content = 1, seq,
+      minSeq = seq, addedSnapshotId = snapshotId,
+      addedFiles = nFiles, existingFiles = 0, deletedFiles = 0,
+      addedRows = rows, existingRows = 0L, deletedRows = 0L)
     commitSnapshot(st, snapshotId, seq, "delete", st.priorEntries :+ entry)
   }
 
   // ----- shared commit machinery --------------------------------------
 
+  /** One manifest-list row. New manifests get accurate added-counts and
+    * their adding snapshot's id; CARRIED manifests re-emit every field
+    * verbatim from the prior list — the spec requires preserving the
+    * adding snapshot id (entries relying on snapshot-id inheritance
+    * would otherwise be misattributed) and the true min_sequence_number
+    * (overstating it lets readers wrongly prune delete application —
+    * row resurrection). Real Iceberg readers also SKIP any manifest
+    * with added_files_count==0 && existing_files_count==0, so the
+    * counts must be real, not placeholders (advisor r13, high). */
   private final case class ListEntry(path: String, length: Long,
-      content: Int, seq: Long, rows: Long)
+      content: Int, seq: Long, minSeq: Long, addedSnapshotId: Long,
+      addedFiles: Int, existingFiles: Int, deletedFiles: Int,
+      addedRows: Long, existingRows: Long, deletedRows: Long)
 
   private final case class TableState(fs: org.apache.hadoop.fs.FileSystem,
       root: Path, metaDir: Path, location: String, uuid: String,
@@ -266,16 +286,35 @@ object IcebergExport {
       new org.apache.avro.mapred.FsInput(listPath, conf),
       new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
     try {
+      // v1 lists may omit counts; default a carried v1 manifest to
+      // existing_files_count=1 so skip-on-empty readers never drop it
+      val listSnapshotId = (reader match {
+        case d: org.apache.avro.file.DataFileReader[_] =>
+          Option(d.getMetaString("snapshot-id"))
+        case _ => None
+      }).flatMap(_.toLongOption).getOrElse(-1L)
       val b = Vector.newBuilder[ListEntry]
       while (reader.hasNext) {
         val r = reader.next()
         def opt(f: String): Option[Any] =
           if (r.getSchema.getField(f) == null) None else Option(r.get(f))
+        def int(f: String, d: Int): Int =
+          opt(f).map(_.asInstanceOf[Int]).getOrElse(d)
+        def long(f: String, d: Long): Long =
+          opt(f).map(_.asInstanceOf[Long]).getOrElse(d)
+        val seq = long("sequence_number", 0L)
+        val added = int("added_files_count", 0)
         b += ListEntry(r.get("manifest_path").toString,
           r.get("manifest_length").asInstanceOf[Long],
-          opt("content").map(_.asInstanceOf[Int]).getOrElse(0),
-          opt("sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
-          opt("added_rows_count").map(_.asInstanceOf[Long]).getOrElse(0L))
+          int("content", 0), seq,
+          long("min_sequence_number", seq),
+          long("added_snapshot_id", listSnapshotId),
+          added,
+          int("existing_files_count", if (added == 0) 1 else 0),
+          int("deleted_files_count", 0),
+          long("added_rows_count", 0L),
+          long("existing_rows_count", 0L),
+          long("deleted_rows_count", 0L))
       }
       b.result()
     } finally reader.close()
@@ -400,7 +439,10 @@ object IcebergExport {
       writer.append(e)
     } finally writer.close()
     (ListEntry(fs.makeQualified(manifestPath).toString,
-      fs.getFileStatus(manifestPath).getLen, content = 0, seq, rowCount),
+      fs.getFileStatus(manifestPath).getLen, content = 0, seq,
+      minSeq = seq, addedSnapshotId = snapshotId,
+      addedFiles = files.size, existingFiles = 0, deletedFiles = 0,
+      addedRows = rowCount, existingRows = 0L, deletedRows = 0L),
       rowCount)
   }
 
@@ -456,14 +498,14 @@ object IcebergExport {
       m.put("partition_spec_id", 0)
       m.put("content", e.content)
       m.put("sequence_number", e.seq)
-      m.put("min_sequence_number", e.seq)
-      m.put("added_snapshot_id", snapshotId)
-      m.put("added_files_count", 0)
-      m.put("existing_files_count", 0)
-      m.put("deleted_files_count", 0)
-      m.put("added_rows_count", e.rows)
-      m.put("existing_rows_count", 0L)
-      m.put("deleted_rows_count", 0L)
+      m.put("min_sequence_number", e.minSeq)
+      m.put("added_snapshot_id", e.addedSnapshotId)
+      m.put("added_files_count", e.addedFiles)
+      m.put("existing_files_count", e.existingFiles)
+      m.put("deleted_files_count", e.deletedFiles)
+      m.put("added_rows_count", e.addedRows)
+      m.put("existing_rows_count", e.existingRows)
+      m.put("deleted_rows_count", e.deletedRows)
       lw.append(m)
     } finally lw.close()
     listPath
