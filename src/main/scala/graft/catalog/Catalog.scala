@@ -82,7 +82,9 @@ object CatalogFactory {
       val uri = cfg.properties.getOrElse("uri",
         throw new IllegalArgumentException(
           s"Catalog ${cfg.name}: rest catalog requires a 'uri' property"))
-      new RestCatalog(cfg.name, uri)
+      new RestCatalog(cfg.name, uri,
+        token = cfg.properties.get("token"),
+        pageSize = cfg.properties.get("page-size").flatMap(_.toIntOption))
     case "jdbc" =>
       val uri = cfg.properties.getOrElse("uri",
         throw new IllegalArgumentException(

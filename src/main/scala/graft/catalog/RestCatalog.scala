@@ -1,156 +1,142 @@
 package graft.catalog
 
-import java.net.{InetSocketAddress, URLEncoder}
+import java.net.{InetSocketAddress, URLDecoder, URLEncoder}
 import java.net.http.{HttpClient, HttpRequest, HttpResponse}
 import java.nio.charset.StandardCharsets
 import java.time.Duration
 
+import scala.jdk.CollectionConverters._
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 import com.sun.net.httpserver.{HttpExchange, HttpServer}
 
-/** REST catalog wire format + endpoints, shared by [[RestCatalog]] (client)
-  * and [[RestCatalogServer]]. Re-expresses the reference's REST catalog
-  * type (CatalogMigrationUtil.java:36-46 dispatches REST to Iceberg's
-  * RESTCatalog) as a minimal HTTP/JSON protocol over the [[Catalog]]
-  * trait — same operations, same error taxonomy, carried by status codes:
+/** The PUBLIC Apache Iceberg REST catalog protocol (the published
+  * rest-catalog-open-api.yaml), shared by [[RestCatalog]] (client) and
+  * [[RestCatalogServer]] (server). This is the wire format the
+  * reference's REST kind actually speaks — CatalogMigrationUtil.java:91-92
+  * dispatches REST to `org.apache.iceberg.rest.RESTCatalog` — so this
+  * client can talk to a real Iceberg REST service (Polaris, Nessie REST,
+  * Tabular/Unity, …) and this server can serve a real RESTCatalog:
   *
-  *   - `GET  /v1/config`                → {"name":…,"dropDestroysData":…}
-  *   - `GET  /v1/namespaces?parent=…`   → {"namespaces":[…]}
-  *   - `GET  /v1/namespaces/exists?ns=…`→ {"exists":…}
-  *   - `POST /v1/namespaces` {"namespace":…}
-  *   - `GET  /v1/tables?ns=…`           → {"tables":[…]}
-  *   - `GET  /v1/tables/exists?ref=…`   → {"exists":…}
-  *   - `GET  /v1/tables/load?ref=…`     → {"metadataLocation":…}
-  *   - `POST /v1/tables/register` {"identifier":…,"metadataLocation":…}
-  *   - `POST /v1/tables/drop` {"identifier":…} → {"dropped":…}
+  *   - `GET  /v1/config?warehouse=…`    → {"defaults":{…},"overrides":{…}}
+  *     (the `prefix` override, when present, is spliced into every
+  *     subsequent route: `/v1/{prefix}/namespaces/…`)
+  *   - `GET  /v1/{p}/namespaces?parent=…&pageToken=…&pageSize=…`
+  *       → {"namespaces":[["a"],["a","b"]],"next-page-token":…}
+  *   - `HEAD /v1/{p}/namespaces/{ns}`   → 204 / 404
+  *   - `GET  /v1/{p}/namespaces/{ns}`   → {"namespace":[…],"properties":{}}
+  *   - `POST /v1/{p}/namespaces` {"namespace":[…],"properties":{}}
+  *   - `GET  /v1/{p}/namespaces/{ns}/tables?pageToken=…&pageSize=…`
+  *       → {"identifiers":[{"namespace":[…],"name":…}],"next-page-token":…}
+  *   - `HEAD /v1/{p}/namespaces/{ns}/tables/{t}` → 204 / 404
+  *   - `GET  /v1/{p}/namespaces/{ns}/tables/{t}`
+  *       → LoadTableResult {"metadata-location":…,"metadata":{…}}
+  *   - `POST /v1/{p}/namespaces/{ns}/register` {"name":…,"metadata-location":…}
+  *       → LoadTableResult
+  *   - `DELETE /v1/{p}/namespaces/{ns}/tables/{t}?purgeRequested=false`
+  *       → 204 / 404
   *
-  * Typed errors travel as {"error":<exception simple name>,"message":…}
-  * with 404 (NoSuchTable/NoSuchNamespace), 409 (AlreadyExists) or 400
-  * (IllegalArgument); the client rehydrates the SAME exception types, so
-  * the migrator's fail-soft and tolerant-scan semantics (R3, R10–R12)
-  * hold identically across the network boundary.
-  */
+  * Spec details honored exactly: multi-level namespaces travel as JSON
+  * ARRAYS in bodies and as `%1F` (unit-separator)-joined percent-encoded
+  * segments in paths and the `parent` query param; list endpoints
+  * paginate via `pageToken`/`next-page-token`; errors travel as the
+  * spec's envelope `{"error":{"message":…,"type":…,"code":…}}` with the
+  * Iceberg exception type names the client rehydrates
+  * (NoSuchTableException, NoSuchNamespaceException,
+  * AlreadyExistsException, …), so the migrator's fail-soft and
+  * tolerant-scan semantics (R3, R10–R12) hold identically across the
+  * network boundary. Bearer auth (`token` property) is forwarded as
+  * `Authorization: Bearer` like Iceberg's own client. */
 private[catalog] object RestProtocol {
 
-  /** JSON string literal with full escaping — metadata locations and
-    * identifiers are caller-controlled and may be hostile (quotes,
-    * backslashes, control chars), and must round-trip byte-exact. */
-  def jstr(s: String): String = {
-    val b = new StringBuilder(s.length + 2).append('"')
-    s.foreach {
-      case '"' => b.append("\\\"")
-      case '\\' => b.append("\\\\")
-      case '\b' => b.append("\\b")
-      case '\f' => b.append("\\f")
-      case '\n' => b.append("\\n")
-      case '\r' => b.append("\\r")
-      case '\t' => b.append("\\t")
-      case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
-      case c => b.append(c)
-    }
-    b.append('"').toString
+  val mapper = new ObjectMapper()
+
+  /** Percent-encode one PATH SEGMENT (space → %20, not '+'). */
+  def encSeg(s: String): String =
+    URLEncoder.encode(s, StandardCharsets.UTF_8).replace("+", "%20")
+
+  /** Namespace → one path segment: levels joined by the unit separator
+    * 0x1F, then percent-encoded (the spec's multipart-namespace rule —
+    * `%1F` can never collide with a level's own characters because the
+    * raw separator inside a level is itself percent-encoded first…
+    * it cannot be: 0x1F in a level is rejected by real services; we
+    * refuse it too for exactness). */
+  def encNs(ns: Namespace): String = {
+    require(ns.levels.forall(!_.contains('\u001F')),
+      s"namespace level contains the reserved unit separator: $ns")
+    encSeg(ns.levels.mkString("\u001F"))
   }
 
-  def obj(fields: (String, String)*): String =
-    fields.map { case (k, v) => s"${jstr(k)}:$v" }.mkString("{", ",", "}")
-
-  def arr(vs: Seq[String]): String = vs.map(jstr).mkString("[", ",", "]")
-
-  /** Parse one flat JSON object of string / boolean / string-array values
-    * (the only shapes this protocol emits). A real tokenizer, not regex:
-    * values may contain braces, commas, escapes. */
-  def parseFlat(json: String): Map[String, Any] = {
-    var i = 0
-    def fail(msg: String): Nothing =
-      throw new IllegalArgumentException(s"Bad JSON at $i: $msg in $json")
-    def ws(): Unit = while (i < json.length && json(i).isWhitespace) i += 1
-    def expect(c: Char): Unit = {
-      ws(); if (i >= json.length || json(i) != c) fail(s"expected '$c'"); i += 1
-    }
-    def str(): String = {
-      expect('"')
-      val b = new StringBuilder
-      while (json(i) != '"') {
-        if (json(i) == '\\') {
-          i += 1
-          json(i) match {
-            case '"' => b.append('"'); case '\\' => b.append('\\')
-            case '/' => b.append('/'); case 'b' => b.append('\b')
-            case 'f' => b.append('\f'); case 'n' => b.append('\n')
-            case 'r' => b.append('\r'); case 't' => b.append('\t')
-            case 'u' =>
-              b.append(Integer.parseInt(json.substring(i + 1, i + 5), 16).toChar)
-              i += 4
-            case c => fail(s"bad escape \\$c")
-          }
-        } else b.append(json(i))
-        i += 1
-      }
-      i += 1
-      b.toString
-    }
-    def value(): Any = {
-      ws()
-      json(i) match {
-        case '"' => str()
-        case '[' =>
-          i += 1; ws()
-          val out = Seq.newBuilder[String]
-          if (json(i) == ']') { i += 1 }
-          else {
-            var more = true
-            while (more) {
-              out += str(); ws()
-              if (json(i) == ',') { i += 1; ws() }
-              else { expect(']'); more = false }
-            }
-          }
-          out.result()
-        case 't' => i += 4; true
-        case 'f' => i += 5; false
-        case c => fail(s"unexpected '$c'")
-      }
-    }
-    expect('{'); ws()
-    val out = Map.newBuilder[String, Any]
-    if (i < json.length && json(i) == '}') return Map.empty
-    var more = true
-    while (more) {
-      val k = str(); expect(':')
-      out += (k -> value()); ws()
-      if (i < json.length && json(i) == ',') { i += 1; ws() }
-      else { expect('}'); more = false }
-    }
-    out.result()
+  def decNs(segment: String): Namespace = {
+    val raw = URLDecoder.decode(segment, StandardCharsets.UTF_8)
+    if (raw.isEmpty) Namespace.empty
+    else Namespace(raw.split('\u001F').toVector)
   }
 
-  /** Exception → (status, error tag); the tag is what the client switches
-    * on to rehydrate the typed exception. */
-  def errorStatus(e: Exception): (Int, String) = e match {
+  def nsArray(ns: Namespace): ArrayNode = {
+    val a = mapper.createArrayNode()
+    ns.levels.foreach(a.add)
+    a
+  }
+
+  def nsOf(node: JsonNode): Namespace =
+    Namespace(node.elements().asScala.map(_.asText).toVector)
+
+  /** Engine exception → the spec's error envelope fields. Type names
+    * are the Iceberg exception simple names real clients switch on. */
+  def errorFor(e: Exception): (Int, String) = e match {
     case _: AlreadyExistsException => (409, "AlreadyExistsException")
     case _: NoSuchTableException => (404, "NoSuchTableException")
     case _: NoSuchNamespaceException => (404, "NoSuchNamespaceException")
-    case _: IllegalArgumentException => (400, "IllegalArgumentException")
+    case _: IllegalArgumentException => (400, "BadRequestException")
     case _ => (500, e.getClass.getSimpleName)
   }
 
-  def rehydrate(error: String, message: String): Exception = error match {
-    case "AlreadyExistsException" => new AlreadyExistsException(message)
+  /** Error envelope type → engine exception. Accepts the type-name
+    * variants real services emit (Namespace/TableAlreadyExists…). */
+  def rehydrate(tpe: String, message: String, code: Int): Exception = tpe match {
+    case "AlreadyExistsException" | "NamespaceAlreadyExistsException" |
+         "TableAlreadyExistsException" => new AlreadyExistsException(message)
     case "NoSuchTableException" => new NoSuchTableException(message)
     case "NoSuchNamespaceException" => new NoSuchNamespaceException(message)
-    case "IllegalArgumentException" => new IllegalArgumentException(message)
-    case other => new RuntimeException(s"$other: $message")
+    case "BadRequestException" | "IllegalArgumentException" =>
+      new IllegalArgumentException(message)
+    case other => new RuntimeException(s"$other (HTTP $code): $message")
+  }
+
+  def errorJson(code: Int, tpe: String, message: String): String = {
+    val err = mapper.createObjectNode()
+    err.put("message", message); err.put("type", tpe); err.put("code", code)
+    val root = mapper.createObjectNode()
+    root.set[ObjectNode]("error", err)
+    root.toString
   }
 }
 
-/** Serve any [[Catalog]] over HTTP on an ephemeral loopback port — the
-  * in-process stand-in for a remote REST catalog service (Nessie, Polaris,
-  * …). Handlers delegate straight to the backing catalog; a thread pool
-  * serves concurrent executor partitions (registerTables' mapPartitions
-  * fan-in is the intended load shape). The server owns no catalog state
-  * and does not close the backing catalog. */
-final class RestCatalogServer(backing: Catalog) extends AutoCloseable {
+/** Serve any [[Catalog]] over the PUBLIC Iceberg REST catalog protocol on
+  * an ephemeral loopback port — the in-process stand-in for Polaris /
+  * Nessie REST / any catalog service a real `RESTCatalog` client can
+  * talk to. Routes are served under the prefix the config endpoint
+  * advertises (exercising the client's prefix splice). `authToken`, when
+  * set, demands `Authorization: Bearer <token>` on every request (401
+  * otherwise), like a token-secured deployment. Handlers delegate
+  * straight to the backing catalog; a thread pool serves concurrent
+  * executor partitions (registerTables' mapPartitions fan-in is the
+  * intended load shape). The server owns no catalog state and does not
+  * close the backing catalog.
+  *
+  * The one semantic the spec does not carry — whether dropping an entry
+  * destroys data the migrated pointer still references (the reference's
+  * delete-at-source guard) — travels as a catalog-config override
+  * property `graft.drop-destroys-data` (arbitrary string properties are
+  * the spec's own extension point); foreign clients ignore it, this
+  * engine's guard keeps firing through the wire. */
+final class RestCatalogServer(backing: Catalog,
+    authToken: Option[String] = None) extends AutoCloseable {
   import RestProtocol._
 
+  private val prefix = "graft"
   private val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
   private val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
   server.setExecutor(pool)
@@ -167,18 +153,31 @@ final class RestCatalogServer(backing: Catalog) extends AutoCloseable {
   }
 
   private def handle(x: HttpExchange): Unit = {
-    val resp =
-      try route(x)
-      catch { case e: Exception =>
-        val (status, tag) = errorStatus(e)
-        (status, obj("error" -> jstr(tag),
-          "message" -> jstr(Option(e.getMessage).getOrElse(""))))
+    val (status, body) =
+      try {
+        if (authToken.exists(t =>
+            !Option(x.getRequestHeaders.getFirst("Authorization"))
+              .contains(s"Bearer $t")))
+          (401, Some(errorJson(401, "NotAuthorizedException",
+            "missing or wrong bearer token")))
+        else route(x)
+      } catch {
+        case e: Exception =>
+          val (code, tpe) = errorFor(e)
+          (code, Some(errorJson(code, tpe,
+            Option(e.getMessage).getOrElse(""))))
       }
-    val bytes = resp._2.getBytes(StandardCharsets.UTF_8)
-    x.getResponseHeaders.set("Content-Type", "application/json")
-    x.sendResponseHeaders(resp._1, bytes.length.toLong)
-    val out = x.getResponseBody
-    try out.write(bytes) finally out.close()
+    body match {
+      case Some(json) =>
+        val bytes = json.getBytes(StandardCharsets.UTF_8)
+        x.getResponseHeaders.set("Content-Type", "application/json")
+        x.sendResponseHeaders(status, bytes.length.toLong)
+        val out = x.getResponseBody
+        try out.write(bytes) finally out.close()
+      case None =>
+        x.sendResponseHeaders(status, -1L) // HEAD / 204: no body
+        x.close()
+    }
   }
 
   private def query(x: HttpExchange): Map[String, String] =
@@ -186,149 +185,326 @@ final class RestCatalogServer(backing: Catalog) extends AutoCloseable {
       .filter(_.nonEmpty)
       .map { kv =>
         val i = kv.indexOf('=')
-        val dec = (s: String) => java.net.URLDecoder.decode(s, StandardCharsets.UTF_8)
+        val dec = (s: String) => URLDecoder.decode(s, StandardCharsets.UTF_8)
         if (i < 0) dec(kv) -> "" else dec(kv.take(i)) -> dec(kv.drop(i + 1))
       }.toMap
 
-  private def body(x: HttpExchange): Map[String, Any] = {
+  private def body(x: HttpExchange): JsonNode = {
     val in = x.getRequestBody
-    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8) finally in.close()
-    parseFlat(text)
+    val text = try new String(in.readAllBytes(), StandardCharsets.UTF_8)
+      finally in.close()
+    mapper.readTree(text)
   }
 
-  private def route(x: HttpExchange): (Int, String) = {
-    val path = x.getRequestURI.getPath
+  /** Slice `all` per pageToken/pageSize; emit next-page-token when more
+    * remain (the spec's opaque-token pagination — ours is an offset). */
+  private def paged[A](x: HttpExchange, all: Seq[A], field: String,
+      render: A => JsonNode): String = {
+    val q = query(x)
+    val from = q.get("pageToken").flatMap(_.toIntOption).getOrElse(0)
+    val size = q.get("pageSize").flatMap(_.toIntOption)
+    val page = size.fold(all.drop(from))(s => all.slice(from, from + s))
+    val root = mapper.createObjectNode()
+    val arr = root.putArray(field)
+    page.foreach(a => arr.add(render(a)))
+    if (size.exists(s => from + s < all.size))
+      root.put("next-page-token", (from + size.get).toString)
+    root.toString
+  }
+
+  private def loadTableResult(ref: TableRef): String = {
+    val loc = backing.loadTableMetadataLocation(ref)
+    val root = mapper.createObjectNode()
+    root.put("metadata-location", loc)
+    // LoadTableResult.metadata is required by the spec: embed the
+    // pointed-to document when it parses as JSON (a real Iceberg
+    // table's metadata.json, or this engine's own JSON metadata);
+    // otherwise a minimal stand-in — pointer-moving clients (the
+    // migrator, this engine) read only metadata-location
+    val metadata: JsonNode =
+      try {
+        val p = new org.apache.hadoop.fs.Path(loc)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val in = fs.open(p)
+        try mapper.readTree(new String(in.readAllBytes(), StandardCharsets.UTF_8))
+        finally in.close()
+      } catch {
+        case _: Exception =>
+          val m = mapper.createObjectNode()
+          m.put("format-version", 2)
+          m.put("metadata-location", loc)
+          m
+      }
+    root.set[ObjectNode]("metadata", metadata)
+    root.toString
+  }
+
+  private def route(x: HttpExchange): (Int, Option[String]) = {
     val method = x.getRequestMethod
-    (method, path) match {
-      case ("GET", "/v1/config") =>
-        (200, obj("name" -> jstr(backing.name),
-          "dropDestroysData" -> backing.dropDestroysData.toString))
-      case ("GET", "/v1/namespaces") =>
-        val parent = Namespace.parse(query(x).getOrElse("parent", ""))
-        (200, obj("namespaces" -> arr(backing.listNamespaces(parent).map(_.toString))))
-      case ("GET", "/v1/namespaces/exists") =>
-        val ns = Namespace.parse(query(x).getOrElse("ns", ""))
-        (200, obj("exists" -> backing.namespaceExists(ns).toString))
-      case ("POST", "/v1/namespaces") =>
-        backing.createNamespace(Namespace.parse(body(x)("namespace").asInstanceOf[String]))
-        (200, "{}")
-      case ("GET", "/v1/tables") =>
-        val ns = Namespace.parse(query(x).getOrElse("ns", ""))
-        (200, obj("tables" -> arr(backing.listTables(ns).map(_.toString))))
-      case ("GET", "/v1/tables/exists") =>
-        val ref = TableRef.parse(query(x).getOrElse("ref", ""))
-        (200, obj("exists" -> backing.tableExists(ref).toString))
-      case ("GET", "/v1/tables/load") =>
-        val ref = TableRef.parse(query(x).getOrElse("ref", ""))
-        (200, obj("metadataLocation" -> jstr(backing.loadTableMetadataLocation(ref))))
-      case ("POST", "/v1/tables/register") =>
+    // split RAW segments before decoding: an encoded '/' inside a name
+    // must not create a phantom segment
+    val segs = x.getRequestURI.getRawPath.split('/').toSeq.filter(_.nonEmpty)
+    def seg(i: Int): String = URLDecoder.decode(segs(i), StandardCharsets.UTF_8)
+    (method, segs) match {
+      case ("GET", Seq("v1", "config")) =>
+        val root = mapper.createObjectNode()
+        root.set[ObjectNode]("defaults", mapper.createObjectNode())
+        val ov = root.putObject("overrides")
+        ov.put("prefix", prefix)
+        ov.put("graft.drop-destroys-data", backing.dropDestroysData.toString)
+        (200, Some(root.toString))
+
+      case ("GET", Seq("v1", p, "namespaces")) if p == prefix =>
+        val parent = query(x).get("parent").map(raw =>
+          Namespace(raw.split('\u001F').toVector)).getOrElse(Namespace.empty)
+        (200, Some(paged(x, backing.listNamespaces(parent), "namespaces",
+          (ns: Namespace) => nsArray(ns))))
+
+      case ("POST", Seq("v1", p, "namespaces")) if p == prefix =>
         val b = body(x)
-        backing.registerTable(TableRef.parse(b("identifier").asInstanceOf[String]),
-          b("metadataLocation").asInstanceOf[String])
-        (200, "{}")
-      case ("POST", "/v1/tables/drop") =>
-        val dropped = backing.dropTable(
-          TableRef.parse(body(x)("identifier").asInstanceOf[String]))
-        (200, obj("dropped" -> dropped.toString))
+        val ns = nsOf(b.get("namespace"))
+        backing.createNamespace(ns)
+        val root = mapper.createObjectNode()
+        root.set[ArrayNode]("namespace", nsArray(ns))
+        root.set[ObjectNode]("properties", mapper.createObjectNode())
+        (200, Some(root.toString))
+
+      case ("HEAD", Seq("v1", p, "namespaces", _)) if p == prefix =>
+        if (backing.namespaceExists(decNs(segs(3)))) (204, None)
+        else (404, Some(errorJson(404, "NoSuchNamespaceException",
+          s"Namespace does not exist: ${decNs(segs(3))}")))
+
+      case ("GET", Seq("v1", p, "namespaces", _)) if p == prefix =>
+        val ns = decNs(segs(3))
+        if (!backing.namespaceExists(ns))
+          throw new NoSuchNamespaceException(s"Namespace does not exist: $ns")
+        val root = mapper.createObjectNode()
+        root.set[ArrayNode]("namespace", nsArray(ns))
+        root.set[ObjectNode]("properties", mapper.createObjectNode())
+        (200, Some(root.toString))
+
+      case ("GET", Seq("v1", p, "namespaces", _, "tables")) if p == prefix =>
+        val ns = decNs(segs(3))
+        (200, Some(paged(x, backing.listTables(ns), "identifiers",
+          (ref: TableRef) => {
+            val o = mapper.createObjectNode()
+            o.set[ArrayNode]("namespace", nsArray(ref.namespace))
+            o.put("name", ref.name)
+            o
+          })))
+
+      case ("POST", Seq("v1", p, "namespaces", _, "register")) if p == prefix =>
+        val ns = decNs(segs(3))
+        val b = body(x)
+        val ref = TableRef(ns, b.get("name").asText)
+        backing.registerTable(ref, b.get("metadata-location").asText)
+        (200, Some(loadTableResult(ref)))
+
+      case ("HEAD", Seq("v1", p, "namespaces", _, "tables", _)) if p == prefix =>
+        val ref = TableRef(decNs(segs(3)), seg(5))
+        if (backing.tableExists(ref)) (204, None)
+        else (404, Some(errorJson(404, "NoSuchTableException",
+          s"Table does not exist: $ref")))
+
+      case ("GET", Seq("v1", p, "namespaces", _, "tables", _)) if p == prefix =>
+        (200, Some(loadTableResult(TableRef(decNs(segs(3)), seg(5)))))
+
+      case ("DELETE", Seq("v1", p, "namespaces", _, "tables", _)) if p == prefix =>
+        val ref = TableRef(decNs(segs(3)), seg(5))
+        if (backing.dropTable(ref)) (204, None)
+        else (404, Some(errorJson(404, "NoSuchTableException",
+          s"Table does not exist: $ref")))
+
       case _ =>
-        (404, obj("error" -> jstr("NotFound"), "message" -> jstr(s"$method $path")))
+        (404, Some(errorJson(404, "NotFoundException",
+          s"No route: $method ${x.getRequestURI.getPath}")))
     }
   }
 }
 
-/** HTTP client face of the REST protocol — a full [[Catalog]] whose every
-  * operation is one round-trip to a [[RestCatalogServer]] (or anything
-  * speaking the same endpoints). Built per-partition from a serializable
-  * [[CatalogConfig]] (`type = rest`, property `uri`), exactly like the
-  * reference building Iceberg's RESTCatalog from CLI options
-  * (CatalogMigrationUtil.java:36-46). `dropDestroysData` is served by the
-  * remote config endpoint — the delete-at-source guard fires through the
-  * network, not from client-side assumptions. */
-final class RestCatalog(val name: String, baseUri: String) extends Catalog {
+/** Client face of the public Iceberg REST catalog protocol — a full
+  * [[Catalog]] whose every operation is one round-trip to a
+  * [[RestCatalogServer]] or any real Iceberg REST service (Polaris,
+  * Nessie REST, Tabular/Unity). Built per-partition from a serializable
+  * [[CatalogConfig]] (`type = rest`, property `uri`, optional `token`
+  * bearer auth and `page-size`), exactly like the reference building
+  * Iceberg's RESTCatalog from CLI options
+  * (CatalogMigrationUtil.java:91-92). The first call fetches
+  * `GET /v1/config` once and splices the advertised `prefix` into every
+  * route, per the spec's bootstrap flow. */
+final class RestCatalog(val name: String, baseUri: String,
+    token: Option[String] = None,
+    pageSize: Option[Int] = None) extends Catalog {
   import RestProtocol._
 
   private val base = baseUri.stripSuffix("/")
   private lazy val http = HttpClient.newBuilder()
     .connectTimeout(Duration.ofSeconds(10)).build()
 
-  private def enc(s: String): String = URLEncoder.encode(s, StandardCharsets.UTF_8)
+  // per-request deadline: a half-dead server (TCP up, no response) must
+  // surface as an exception the migrator's fail-soft can record, not
+  // hang an executor partition forever
+  private val requestTimeout = Duration.ofSeconds(60)
 
-  private def send(req: HttpRequest): Map[String, Any] = {
-    val resp = http.send(req, HttpResponse.BodyHandlers.ofString())
-    if (resp.statusCode() >= 400) {
-      // error bodies parse leniently: a proxy's HTML 502 page still
-      // surfaces as a typed error with the status attached
-      val fields =
-        try parseFlat(resp.body())
-        catch { case _: Exception => Map.empty[String, Any] }
-      val tag = fields.getOrElse("error", "RuntimeException").toString
-      val msg = fields.getOrElse("message", s"HTTP ${resp.statusCode()} from $base").toString
-      throw rehydrate(tag, msg)
-    }
-    // a 2xx body that doesn't parse is a protocol failure (truncation,
-    // an interposed proxy): fail HERE with the endpoint/status/body
-    // context, not later with a bare key-not-found on the empty map
-    try parseFlat(resp.body())
+  private def send(req: HttpRequest.Builder): HttpResponse[String] = {
+    token.foreach(t => req.header("Authorization", s"Bearer $t"))
+    http.send(req.timeout(requestTimeout).build(),
+      HttpResponse.BodyHandlers.ofString())
+  }
+
+  /** Throw the envelope's typed error for a 4xx/5xx response; tolerate
+    * non-JSON error bodies (a proxy's HTML 502 page still surfaces as a
+    * typed error with the status attached). */
+  private def raise(resp: HttpResponse[String]): Nothing = {
+    val err =
+      try Option(mapper.readTree(resp.body())).map(_.path("error"))
+      catch { case _: Exception => None }
+    val tpe = err.map(_.path("type").asText("")).filter(_.nonEmpty)
+      .getOrElse("RuntimeException")
+    val msg = err.map(_.path("message").asText("")).filter(_.nonEmpty)
+      .getOrElse(s"HTTP ${resp.statusCode()} from ${resp.uri()}")
+    throw rehydrate(tpe, msg, resp.statusCode())
+  }
+
+  /** GET returning the parsed body. A 2xx body that doesn't parse is a
+    * protocol failure (truncation, an interposed proxy): fail HERE with
+    * the endpoint/status/body context, not later with a bare
+    * key-not-found. */
+  private def getJson(pathAndQuery: String): JsonNode = {
+    val resp = send(HttpRequest.newBuilder(
+      java.net.URI.create(base + pathAndQuery)).GET())
+    if (resp.statusCode() >= 400) raise(resp)
+    try mapper.readTree(resp.body())
     catch {
       case e: Exception =>
         val body = resp.body()
         val excerpt = if (body.length <= 200) body else body.take(200) + "…"
         throw new IllegalStateException(
-          s"Unparseable ${resp.statusCode()} response from ${req.uri()}: " +
-            s"'$excerpt'", e)
+          s"Unparseable ${resp.statusCode()} response from " +
+            s"${base + pathAndQuery}: '$excerpt'", e)
     }
   }
 
-  // per-request deadline: a half-dead server (TCP up, no response) must
-  // surface as an exception the migrator's fail-soft can record, not hang
-  // an executor partition forever
-  private val requestTimeout = Duration.ofSeconds(60)
-
-  private def get(pathAndQuery: String): Map[String, Any] =
-    send(HttpRequest.newBuilder(java.net.URI.create(base + pathAndQuery))
-      .timeout(requestTimeout).GET().build())
-
-  private def post(path: String, json: String): Map[String, Any] =
-    send(HttpRequest.newBuilder(java.net.URI.create(base + path))
-      .timeout(requestTimeout)
+  private def postJson(path: String, json: String): JsonNode = {
+    val resp = send(HttpRequest.newBuilder(java.net.URI.create(base + path))
       .header("Content-Type", "application/json")
-      .POST(HttpRequest.BodyPublishers.ofString(json, StandardCharsets.UTF_8)).build())
+      .POST(HttpRequest.BodyPublishers.ofString(json, StandardCharsets.UTF_8)))
+    if (resp.statusCode() >= 400) raise(resp)
+    try mapper.readTree(resp.body())
+    catch { case _: Exception => mapper.createObjectNode() }
+  }
+
+  /** 204 → true, 404 → false, anything else raises. */
+  private def headExists(path: String): Boolean = {
+    val resp = send(HttpRequest.newBuilder(java.net.URI.create(base + path))
+      .method("HEAD", HttpRequest.BodyPublishers.noBody()))
+    resp.statusCode() match {
+      case c if c < 300 => true
+      case 404 => false
+      case _ => raise(resp)
+    }
+  }
+
+  /** One config round-trip, cached for the client's lifetime — the
+    * spec's bootstrap: merged defaults+overrides configure the client,
+    * and the `prefix` override re-routes everything under
+    * `/v1/{prefix}`. */
+  private lazy val config: Map[String, String] = {
+    val node = getJson("/v1/config")
+    def m(f: String): Map[String, String] =
+      Option(node.get(f)).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
+    m("defaults") ++ m("overrides")
+  }
+
+  private lazy val routeBase: String =
+    config.get("prefix").filter(_.nonEmpty)
+      .fold(s"$base/v1")(p => s"$base/v1/${encSeg(p)}")
+  private def path(suffix: String): String =
+    routeBase.stripPrefix(base) + suffix
+
+  /** Follow next-page-token until the listing is complete. `pageSize`
+    * (client property `page-size`) opts into bounded pages like
+    * Iceberg's own `rest.page-size`. */
+  private def listPaged(pathNoQuery: String, extraQuery: Option[String],
+      field: String): Seq[JsonNode] = {
+    val out = Seq.newBuilder[JsonNode]
+    var pageToken: Option[String] = None
+    var more = true
+    while (more) {
+      val q = Seq(extraQuery,
+        pageSize.map(s => s"pageSize=$s"),
+        pageToken.map(t => s"pageToken=${encSeg(t)}")).flatten
+      val full = if (q.isEmpty) pathNoQuery else pathNoQuery + q.mkString("?", "&", "")
+      val node = getJson(full)
+      Option(node.get(field)).foreach(_.elements().asScala.foreach(out += _))
+      pageToken = Option(node.get("next-page-token"))
+        .filterNot(_.isNull).map(_.asText).filter(_.nonEmpty)
+      more = pageToken.isDefined
+    }
+    out.result()
+  }
 
   override def listNamespaces(parent: Namespace): Seq[Namespace] =
-    get(s"/v1/namespaces?parent=${enc(parent.toString)}")("namespaces")
-      .asInstanceOf[Seq[String]].map(Namespace.parse)
+    listPaged(path("/namespaces"),
+      if (parent.isEmpty) None
+      else Some(s"parent=${encSeg(parent.levels.mkString("\u001F"))}"),
+      "namespaces").map(nsOf)
 
   override def namespaceExists(ns: Namespace): Boolean =
-    get(s"/v1/namespaces/exists?ns=${enc(ns.toString)}")("exists").asInstanceOf[Boolean]
+    headExists(path(s"/namespaces/${encNs(ns)}"))
 
   override def createNamespace(ns: Namespace): Unit = {
-    post("/v1/namespaces", obj("namespace" -> jstr(ns.toString)))
+    val root = mapper.createObjectNode()
+    root.set[ArrayNode]("namespace", nsArray(ns))
+    root.set[ObjectNode]("properties", mapper.createObjectNode())
+    postJson(path("/namespaces"), root.toString)
     ()
   }
 
   override def listTables(ns: Namespace): Seq[TableRef] =
-    get(s"/v1/tables?ns=${enc(ns.toString)}")("tables")
-      .asInstanceOf[Seq[String]].map(TableRef.parse)
+    listPaged(path(s"/namespaces/${encNs(ns)}/tables"), None, "identifiers")
+      .map(id => TableRef(nsOf(id.get("namespace")), id.get("name").asText))
 
   override def tableExists(ref: TableRef): Boolean =
-    get(s"/v1/tables/exists?ref=${enc(ref.toString)}")("exists").asInstanceOf[Boolean]
+    headExists(path(
+      s"/namespaces/${encNs(ref.namespace)}/tables/${encSeg(ref.name)}"))
 
-  override def loadTableMetadataLocation(ref: TableRef): String =
-    get(s"/v1/tables/load?ref=${enc(ref.toString)}")("metadataLocation")
-      .asInstanceOf[String]
+  override def loadTableMetadataLocation(ref: TableRef): String = {
+    val node = getJson(path(
+      s"/namespaces/${encNs(ref.namespace)}/tables/${encSeg(ref.name)}"))
+    val loc = node.path("metadata-location")
+    if (loc.isMissingNode || loc.isNull)
+      throw new IllegalStateException(
+        s"LoadTableResult for $ref carries no metadata-location")
+    loc.asText
+  }
 
   override def registerTable(ref: TableRef, metadataLocation: String): Unit = {
-    post("/v1/tables/register", obj("identifier" -> jstr(ref.toString),
-      "metadataLocation" -> jstr(metadataLocation)))
+    val root = mapper.createObjectNode()
+    root.put("name", ref.name)
+    root.put("metadata-location", metadataLocation)
+    postJson(path(s"/namespaces/${encNs(ref.namespace)}/register"),
+      root.toString)
     ()
   }
 
-  override def dropTable(ref: TableRef): Boolean =
-    post("/v1/tables/drop", obj("identifier" -> jstr(ref.toString)))("dropped")
-      .asInstanceOf[Boolean]
+  override def dropTable(ref: TableRef): Boolean = {
+    val resp = send(HttpRequest.newBuilder(java.net.URI.create(base + path(
+        s"/namespaces/${encNs(ref.namespace)}/tables/${encSeg(ref.name)}" +
+          "?purgeRequested=false")))
+      .DELETE())
+    resp.statusCode() match {
+      case c if c < 300 => true
+      case 404 => false
+      case _ => raise(resp)
+    }
+  }
 
-  /** One config round-trip, cached for the client's lifetime (the guard
-    * reads it once, driver-side, before any registration starts). */
+  /** Not part of the public protocol — carried as the config override
+    * `graft.drop-destroys-data` (this engine's server emits it; a
+    * foreign service omits it and the safe default is false: REST drops
+    * without purgeRequested remove the pointer, not the data). */
   override lazy val dropDestroysData: Boolean =
-    get("/v1/config")("dropDestroysData").asInstanceOf[Boolean]
+    config.get("graft.drop-destroys-data").contains("true")
 }

@@ -196,7 +196,8 @@ class RestCatalogSpec extends AnyFunSuite {
         cat.loadTableMetadataLocation(TableRef.parse("db.t"))
       }
       assert(e.getMessage.contains("200"), e.getMessage)
-      assert(e.getMessage.contains("/v1/tables/load"), e.getMessage)
+      // the client's first round-trip is the spec's config bootstrap
+      assert(e.getMessage.contains("/v1/config"), e.getMessage)
       assert(e.getMessage.contains("not json"), e.getMessage)
     } finally server.stop(0)
   }
@@ -220,6 +221,135 @@ class RestCatalogSpec extends AnyFunSuite {
       assert(spark.sql(s"SHOW TABLES IN $name.db").collect().map(_.getString(1)).toSeq
         == Seq("t1"))
       assert(spark.sql(s"SELECT sum(id) FROM $name.db.t1").collect()(0).getLong(0) == 60L)
+    } finally server.close()
+  }
+
+  test("wire shapes are the PUBLIC Iceberg REST protocol (raw HTTP, no graft client)") {
+    // what a real org.apache.iceberg.rest.RESTCatalog would see: config
+    // bootstrap with prefix override, namespace ARRAYS, %1F-joined path
+    // segments, LoadTableResult with metadata-location AND metadata,
+    // identifier objects, the spec error envelope, HEAD existence, and
+    // DELETE semantics — asserted over raw java.net.http, so the shapes
+    // cannot be an artifact of this engine's own client
+    val backing = CatalogFactory.build(memCfg())
+    backing.createNamespace(Namespace.of("db"))
+    backing.createNamespace(Namespace.of("db", "inner"))
+    backing.registerTable(TableRef(Namespace.of("db", "inner"), "t1"),
+      "file:///meta/v7.metadata.json")
+    val server = new RestCatalogServer(backing)
+    val http = java.net.http.HttpClient.newHttpClient()
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    def sendRaw(method: String, path: String,
+        body: Option[String] = None): (Int, String) = {
+      val b = java.net.http.HttpRequest.newBuilder(
+        java.net.URI.create(server.uri + path))
+      body match {
+        case Some(j) => b.header("Content-Type", "application/json")
+          .method(method, java.net.http.HttpRequest.BodyPublishers.ofString(j))
+        case None => b.method(method,
+          java.net.http.HttpRequest.BodyPublishers.noBody())
+      }
+      val r = http.send(b.build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      (r.statusCode(), r.body())
+    }
+    try {
+      // config bootstrap: defaults/overrides maps, prefix override
+      val (cs, cb) = sendRaw("GET", "/v1/config")
+      assert(cs == 200)
+      val cfg = om.readTree(cb)
+      assert(cfg.get("defaults").isObject && cfg.get("overrides").isObject)
+      val prefix = cfg.get("overrides").get("prefix").asText
+      assert(prefix.nonEmpty)
+      // namespaces list as ARRAYS of levels
+      val (_, nsb) = sendRaw("GET", s"/v1/$prefix/namespaces")
+      val nss = om.readTree(nsb).get("namespaces")
+      assert(nss.isArray && nss.get(0).isArray)
+      // parent query uses the %1F unit separator; child comes back as
+      // the full 2-level array
+      val (_, childB) = sendRaw("GET", s"/v1/$prefix/namespaces?parent=db")
+      val child = om.readTree(childB).get("namespaces").get(0)
+      assert(child.size == 2 && child.get(0).asText == "db" &&
+        child.get(1).asText == "inner")
+      // multipart namespace path segment: db%1Finner
+      val nsSeg = "db%1Finner"
+      val (hs, _) = sendRaw("HEAD", s"/v1/$prefix/namespaces/$nsSeg")
+      assert(hs == 204)
+      // identifiers are {namespace: [...], name: ...} objects
+      val (_, tb) = sendRaw("GET", s"/v1/$prefix/namespaces/$nsSeg/tables")
+      val id0 = om.readTree(tb).get("identifiers").get(0)
+      assert(id0.get("namespace").get(1).asText == "inner")
+      assert(id0.get("name").asText == "t1")
+      // LoadTableResult carries metadata-location AND metadata
+      val (_, lb) = sendRaw("GET", s"/v1/$prefix/namespaces/$nsSeg/tables/t1")
+      val load = om.readTree(lb)
+      assert(load.get("metadata-location").asText == "file:///meta/v7.metadata.json")
+      assert(load.get("metadata").isObject)
+      // the spec error envelope: {"error": {message, type, code}}
+      val (es, eb) = sendRaw("GET", s"/v1/$prefix/namespaces/$nsSeg/tables/nope")
+      assert(es == 404)
+      val err = om.readTree(eb).get("error")
+      assert(err.get("type").asText == "NoSuchTableException")
+      assert(err.get("code").asInt == 404)
+      assert(err.get("message").asText.nonEmpty)
+      // register returns a LoadTableResult; conflict is a 409 envelope
+      val (rs, rb) = sendRaw("POST", s"/v1/$prefix/namespaces/$nsSeg/register",
+        Some("""{"name": "t2", "metadata-location": "file:///meta/v1.metadata.json"}"""))
+      assert(rs == 200)
+      assert(om.readTree(rb).get("metadata-location").asText ==
+        "file:///meta/v1.metadata.json")
+      val (rs2, rb2) = sendRaw("POST", s"/v1/$prefix/namespaces/$nsSeg/register",
+        Some("""{"name": "t2", "metadata-location": "file:///other.json"}"""))
+      assert(rs2 == 409)
+      assert(om.readTree(rb2).get("error").get("type").asText == "AlreadyExistsException")
+      // DELETE: 204 then 404
+      assert(sendRaw("DELETE",
+        s"/v1/$prefix/namespaces/$nsSeg/tables/t2?purgeRequested=false")._1 == 204)
+      assert(sendRaw("DELETE",
+        s"/v1/$prefix/namespaces/$nsSeg/tables/t2?purgeRequested=false")._1 == 404)
+    } finally server.close()
+  }
+
+  test("list pagination: client follows next-page-token across bounded pages") {
+    val backing = CatalogFactory.build(memCfg())
+    backing.createNamespace(Namespace.of("db"))
+    val refs = (0 until 25).map(i => TableRef.parse(f"db.t$i%03d"))
+    refs.foreach(r => backing.registerTable(r, s"file:///m/$r.json"))
+    val server = new RestCatalogServer(backing)
+    try {
+      // page-size 7 → 4 round-trips (7+7+7+4); the client must stitch
+      // them back into the complete, ordered listing
+      val cat = new RestCatalog("paged", server.uri, pageSize = Some(7))
+      assert(cat.listTables(Namespace.of("db")) == refs)
+      assert(cat.listNamespaces(Namespace.empty) == Seq(Namespace.of("db")))
+      // raw check: a bounded page really is bounded and carries a token
+      val http = java.net.http.HttpClient.newHttpClient()
+      val resp = http.send(java.net.http.HttpRequest.newBuilder(java.net.URI
+          .create(s"${server.uri}/v1/graft/namespaces/db/tables?pageSize=7")).GET().build(),
+        java.net.http.HttpResponse.BodyHandlers.ofString())
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp.body())
+      assert(node.get("identifiers").size == 7)
+      assert(node.get("next-page-token").asText.nonEmpty)
+    } finally server.close()
+  }
+
+  test("bearer-token auth: 401 without the token, full function with it") {
+    val backing = CatalogFactory.build(memCfg())
+    backing.createNamespace(Namespace.of("db"))
+    backing.registerTable(TableRef.parse("db.t"), "file:///m.json")
+    val server = new RestCatalogServer(backing, authToken = Some("s3cr3t"))
+    try {
+      val anon = new RestCatalog("anon", server.uri)
+      val e = intercept[RuntimeException] {
+        anon.loadTableMetadataLocation(TableRef.parse("db.t"))
+      }
+      assert(e.getMessage.contains("NotAuthorizedException") ||
+        e.getMessage.contains("401"), e.getMessage)
+      val authed = CatalogFactory.build(CatalogConfig("rest", "authed",
+        Map("uri" -> server.uri, "token" -> "s3cr3t")))
+      assert(authed.loadTableMetadataLocation(TableRef.parse("db.t")) ==
+        "file:///m.json")
+      assert(authed.listTables(Namespace.of("db")).map(_.toString) == Seq("db.t"))
     } finally server.close()
   }
 
