@@ -2,6 +2,8 @@ package graft.catalog
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.TestSpark
 import org.apache.avro.file.DataFileWriter
 import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
@@ -538,25 +540,210 @@ class IcebergFormatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("equality_ids"))
   }
 
-  test("a renamed column refuses loudly (name-addressed reads would serve NULLs)") {
+  /** Write `df` as ONE parquet file at `target` with the given
+    * parquet field ids attached (what a real Iceberg writer records). */
+  private def writeWithFieldIds(df: org.apache.spark.sql.DataFrame,
+      ids: Seq[Int], target: Path): Unit = {
+    import org.apache.spark.sql.types.{Metadata, MetadataBuilder, StructType}
+    val annotated = StructType(df.schema.fields.zip(ids).map { case (f, id) =>
+      f.copy(metadata = new MetadataBuilder().withMetadata(f.metadata)
+        .putLong("parquet.field.id", id.toLong).build())
+    })
+    val tmp = new Path(target.getParent, s".tmp-${uid()}")
+    spark.createDataFrame(
+        java.util.Arrays.asList(df.collect(): _*), annotated)
+      .coalesce(1).write.parquet(tmp.toString)
+    val fs = target.getFileSystem(spark.sessionState.newHadoopConf())
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(target.getParent)
+    assert(fs.rename(part, target))
+    fs.delete(tmp, true)
+  }
+
+  test("a table renamed mid-history reads hash-identically: old and new files both served") {
+    import spark.implicits._
     val conf = spark.sessionState.newHadoopConf()
-    val p = new Path(Files.createTempDirectory("graft-iceberg").toString,
-      "ren.metadata.json")
-    val fs = p.getFileSystem(conf)
-    val out = fs.create(p, true)
+    val dir = new Path(s"${Files.createTempDirectory("graft-iceberg").toString}/ren")
+    val fs = dir.getFileSystem(conf)
+    val loc = fs.makeQualified(dir).toString
+    // epoch 0: a file written under the OLD name (field ids 1, 2)
+    writeWithFieldIds((1L to 50L).map(i => (i, i * 10L)).toDF("k", "old_name"),
+      Seq(1, 2), new Path(dir, "data/f-old.parquet"))
+    // epoch 1: a file written under the NEW name, same field ids
+    writeWithFieldIds((51L to 80L).map(i => (i, i * 10L)).toDF("k", "new_name"),
+      Seq(1, 2), new Path(dir, "data/f-new.parquet"))
+    // one v1-shaped manifest listing both files (inline-manifest form)
+    val mSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val m = new Path(dir, "metadata/m-ren.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
+    w.create(mSchema, fs.create(m, true))
+    Seq("data/f-old.parquet", "data/f-new.parquet").foreach { rel =>
+      val abs = new Path(dir, rel)
+      val d = new GenericData.Record(mSchema.getField("data_file").schema())
+      d.put("file_path", fs.makeQualified(abs).toString)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", 0L)
+      d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
+      val r = new GenericData.Record(mSchema)
+      r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
+      w.append(r)
+    }
+    w.close()
+    // metadata with the RENAME in history: schema 0 names field 2
+    // old_name, schema 1 (current) names it new_name
+    val metaP = new Path(dir, "metadata/ren.metadata.json")
+    val out = fs.create(metaP, true)
     try out.write(
-      """{"format-version": 2, "location": "/tmp/ren-ice",
-        |"schemas": [
-        |  {"type": "struct", "schema-id": 0, "fields": [
-        |    {"id": 1, "name": "old_name", "required": false, "type": "long"}]},
-        |  {"type": "struct", "schema-id": 1, "fields": [
-        |    {"id": 1, "name": "new_name", "required": false, "type": "long"}]}],
-        |"current-schema-id": 1, "current-snapshot-id": -1}""".stripMargin
+      s"""{"format-version": 1, "location": "$loc",
+         |"schemas": [
+         |  {"type": "struct", "schema-id": 0, "fields": [
+         |    {"id": 1, "name": "k", "required": false, "type": "long"},
+         |    {"id": 2, "name": "old_name", "required": false, "type": "long"}]},
+         |  {"type": "struct", "schema-id": 1, "fields": [
+         |    {"id": 1, "name": "k", "required": false, "type": "long"},
+         |    {"id": 2, "name": "new_name", "required": false, "type": "long"}]}],
+         |"current-schema-id": 1,
+         |"current-snapshot-id": 7,
+         |"snapshots": [{"snapshot-id": 7, "schema-id": 1,
+         |  "manifests": ["${fs.makeQualified(m)}"]}]}""".stripMargin
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
-    val e = intercept[UnsupportedOperationException](
-      CatalogIO.readLayout(p.toString, conf))
-    assert(e.getMessage.contains("renamed"))
+    // the layout converts the rename into the engine's epoch model
+    val layout = CatalogIO.readLayout(metaP.toString, conf)
+    assert(layout.renameOps.nonEmpty, "expected synthesized rename ops")
+    assert(layout.dataFileSeqs.exists(_.distinct.size == 2),
+      "expected two file epochs")
+    // direct read: logical content — old file's column under the new name
+    val expected = (1L to 80L).map(i => s"$i|${i * 10}").sorted
+    val df = CatalogIO.scanMetadataLocation(spark, metaP.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "new_name"))
+    assert(df.collect().map(_.mkString("|")).sorted.toSeq == expected)
+    // SQL face: the DSv2 catalog serves it through the epoch scan, with
+    // pruning and filters crossing the rename boundary
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-iceberg-ren") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.ren"), metaP.toString)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.ren").head.getLong(0) == 80)
+      // a filter on the RENAMED column must apply in both epochs
+      assert(spark.sql(
+        s"SELECT sum(new_name) FROM $cat.db.ren WHERE new_name <= 600")
+        .head.getLong(0) == (1L to 60L).map(_ * 10).sum)
+      // pruned projection of only the renamed column
+      assert(spark.sql(s"SELECT new_name FROM $cat.db.ren ORDER BY new_name DESC LIMIT 1")
+        .head.getLong(0) == 800L)
+    }
+  }
+
+  test("rename via name-mapping: an exported (id-less) table renamed afterwards still reads") {
+    // the spec's OTHER resolution path: files without parquet field ids
+    // resolve through schema.name-mapping.default — the export writer
+    // publishes it, so renaming an exported table's column in metadata
+    // must keep its old files readable
+    val conf = spark.sessionState.newHadoopConf()
+    import spark.implicits._
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/renmap"
+    val metaLoc = IcebergExport.writeTable(spark,
+      (1L to 40L).map(i => (i, s"v$i")).toDF("id", "name"), dir)
+    val fs = new Path(metaLoc).getFileSystem(conf)
+    val text = {
+      val in = fs.open(new Path(metaLoc))
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    // simulate ALTER TABLE RENAME COLUMN name → label: current schema 1
+    // renames field 2; history keeps schema 0; name-mapping still maps
+    // field 2 → ["name"], which is what the old files store
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val rootNode = om.readTree(text)
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    val schemas = rootNode.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("schemas")
+    val renamedSchema = schemas.get(0).deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]()
+    renamedSchema.put("schema-id", 1)
+    renamedSchema.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+      .elements().asScala.find(_.get("id").asInt == 2).get
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      .put("name", "label")
+    schemas.add(renamedSchema)
+    rootNode.put("current-schema-id", 1)
+    val renamedText = rootNode.toString
+    val meta2 = new Path(dir, "metadata/v2.metadata.json")
+    val o = fs.create(meta2, false)
+    try o.write(renamedText.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally o.close()
+    val df = CatalogIO.scanMetadataLocation(spark, meta2.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("id", "label"))
+    assert(df.filter($"label" === "v7").select("id").head.getLong(0) == 7L)
+    assert(df.count() == 40)
+  }
+
+  test("a dropped-and-re-added column serves NULLs in old files (never the old column's data)") {
+    val conf = spark.sessionState.newHadoopConf()
+    import spark.implicits._
+    val dir = new Path(s"${Files.createTempDirectory("graft-iceberg").toString}/readd")
+    val fs = dir.getFileSystem(conf)
+    val loc = fs.makeQualified(dir).toString
+    // the file stores column "x" under field id 2; the served schema
+    // re-added "x" as field id 9 (and renamed the original away)
+    writeWithFieldIds((1L to 5L).map(i => (i, i * 2L)).toDF("k", "x"),
+      Seq(1, 2), new Path(dir, "data/f.parquet"))
+    val mSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val m = new Path(dir, "metadata/m.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
+    w.create(mSchema, fs.create(m, true))
+    val abs = new Path(dir, "data/f.parquet")
+    val d = new GenericData.Record(mSchema.getField("data_file").schema())
+    d.put("file_path", fs.makeQualified(abs).toString)
+    d.put("file_format", "PARQUET")
+    d.put("record_count", 5L)
+    d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
+    val r = new GenericData.Record(mSchema)
+    r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
+    w.append(r)
+    w.close()
+    val metaP = new Path(dir, "metadata/readd.metadata.json")
+    val out = fs.create(metaP, true)
+    try out.write(
+      s"""{"format-version": 1, "location": "$loc",
+         |"schemas": [
+         |  {"type": "struct", "schema-id": 0, "fields": [
+         |    {"id": 1, "name": "k", "required": false, "type": "long"},
+         |    {"id": 2, "name": "x", "required": false, "type": "long"}]},
+         |  {"type": "struct", "schema-id": 1, "fields": [
+         |    {"id": 1, "name": "k", "required": false, "type": "long"},
+         |    {"id": 9, "name": "x", "required": false, "type": "long"}]}],
+         |"current-schema-id": 1,
+         |"current-snapshot-id": 7,
+         |"snapshots": [{"snapshot-id": 7, "schema-id": 1,
+         |  "manifests": ["${fs.makeQualified(m)}"]}]}""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // schema 0 named field id 2 "x"; the served "x" is field id 9. The
+    // file predates the re-added field, so Iceberg semantics is NULL —
+    // NOT the old id-2 column's values, which a plain name-addressed
+    // read would serve. (Detection must fire even though no SERVED id
+    // was renamed — the NAME moved ids.)
+    val df = CatalogIO.scanMetadataLocation(spark, metaP.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "x"))
+    val rows = df.collect().map(r => (r.getLong(0), Option(r.get(1)))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == (1L to 5L))
+    assert(rows.forall(_._2.isEmpty), s"re-added column must be NULL, got ${rows.toSeq}")
   }
 
   test("v1-format metadata: inline manifests, absent optional manifest columns") {
