@@ -56,6 +56,11 @@ object StatsPruning {
     * driver-side observability for specs and ops. */
   @volatile var lastPlanned: Option[(Int, Int)] = None
 
+  /** (manifest chunks skipped, chunks total) of the most recent
+    * chunk-pruned plan (round 14 — summary-level skipping BEFORE any
+    * chunk file is read; [[graft.catalog.CatalogIO.readLayoutChunkPruned]]). */
+  @volatile var lastChunkPlanned: Option[(Int, Int)] = None
+
   /** Table name of the most recent manifest-answered aggregate. */
   @volatile var lastManifestAgg: Option[String] = None
 

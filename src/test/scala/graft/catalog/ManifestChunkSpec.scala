@@ -265,6 +265,71 @@ class ManifestChunkSpec extends AnyFunSuite {
     }
   }
 
+  test("chunk summaries prune whole chunks at plan time; a key band reads a chunk subset") {
+    withChunking(inlineMax = 0, target = 4) {
+      val wh = Files.createTempDirectory("graft-mchunk-prune").toString
+      val cat = s"mp${uid()}"
+      spark.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftSparkCatalog].getName)
+      spark.conf.set(s"spark.sql.catalog.$cat.type", "hadoop")
+      spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      try {
+        val hc = new HadoopFsCatalog(cat, wh)
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING) USING parquet")
+        // 12 single-file inserts over disjoint key ranges: with target=4
+        // the manifest chunks cover contiguous, disjoint key bands —
+        // exactly the clustered shape summaries exist to exploit
+        (0 until 12).foreach { i =>
+          spark.sql(s"INSERT INTO $cat.db.t SELECT id, concat('r', id) " +
+            s"FROM range(${i * 100}, ${i * 100 + 100}, 1, 1)")
+        }
+        val ref = TableRef.parse("db.t")
+        val layout = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref),
+          hc.fileSystem.getConf)
+        val chunks = layout.manifestChunks.getOrElse(fail("not chunked"))
+        assert(chunks.size >= 3, s"expected >=3 chunks, got ${chunks.size}")
+        assert(chunks.forall(_.summary.nonEmpty),
+          "every chunk must carry a stats envelope summary")
+        // a key band: only the chunk(s) whose envelope intersects are READ
+        graft.sources.StatsPruning.lastChunkPlanned = None
+        assert(spark.sql(
+          s"SELECT count(*) FROM $cat.db.t WHERE k >= 450 AND k < 520")
+          .head.getLong(0) == 70)
+        val (skipped, total) = graft.sources.StatsPruning.lastChunkPlanned
+          .getOrElse(fail("chunk-pruned plan never ran"))
+        assert(total == chunks.size)
+        assert(skipped >= 1 && total - skipped <= 2,
+          s"expected a chunk-subset read, got $skipped skipped of $total")
+        // kill-switch: same rows through the eager path, no chunk plan
+        spark.conf.set("spark.graft.chunk.pruning", "false")
+        try {
+          graft.sources.StatsPruning.lastChunkPlanned = None
+          assert(spark.sql(
+            s"SELECT count(*) FROM $cat.db.t WHERE k >= 450 AND k < 520")
+            .head.getLong(0) == 70)
+          assert(graft.sources.StatsPruning.lastChunkPlanned.isEmpty)
+        } finally spark.conf.set("spark.graft.chunk.pruning", "true")
+        // a filterless read resolves every chunk and serves everything
+        assert(spark.sql(s"SELECT count(*) FROM $cat.db.t WHERE v IS NOT NULL")
+          .head.getLong(0) == 1200)
+        // manifest-answered aggregates still fire through the lazy table
+        graft.sources.StatsPruning.lastManifestAgg = None
+        assert(spark.sql(s"SELECT count(*) FROM $cat.db.t").head.getLong(0) == 1200)
+        assert(graft.sources.StatsPruning.lastManifestAgg.isDefined,
+          "filterless COUNT must stay manifest-answered under the lazy table")
+        // commits after pruned reads keep the chunk-reuse funnel intact
+        spark.sql(s"INSERT INTO $cat.db.t VALUES (5000, 'tail')")
+        assert(spark.sql(s"SELECT count(*) FROM $cat.db.t WHERE k >= 450 AND k < 520")
+          .head.getLong(0) == 70)
+        assert(spark.table(s"$cat.db.t").count() == 1201)
+      } finally {
+        Seq("", ".type", ".warehouse").foreach(s =>
+          spark.conf.unset(s"spark.sql.catalog.$cat$s"))
+      }
+    }
+  }
+
   test("append metadata cost is flat in table size (the O(new) contract)") {
     withChunking(inlineMax = 0, target = 8) {
       val cat = newCat()
