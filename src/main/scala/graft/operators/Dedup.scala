@@ -96,7 +96,10 @@ object Dedup {
     * face p01 uses on the post-filter survivor set. */
   def ngramJaccardOf(docs: DataFrame): DataFrame = {
     val tau = 0.8
-    val sh = hashedShingledOf(docs)
+    // materialized once (round 14, as in [[simhash]]): the exploded
+    // index side reads it twice (df aggregation + prefix join) and the
+    // verify join twice more — four text passes folded into one
+    val sh = hashedShingledOf(docs).localCheckpoint()
     val ex = sh.selectExpr("doc_id", "size(sh) AS sz", "explode(sh) AS s")
     val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
     // prefix filtering only needs SOME globally-consistent total order of
@@ -161,7 +164,10 @@ object Dedup {
     val rowsPerBand = s.conf.getOption("spark.graft.lsh.rowsPerBand").map(_.toInt).getOrElse(2)
     val maxBucket = s.conf.getOption("spark.graft.lsh.maxBucket").map(_.toLong).getOrElse(0L)
     graft.Telemetry.install(s)
-    val sh = shingled(s, dir) // already the xxhash64 image — feed minhash directly
+    // materialized once (round 14, as in [[simhash]]): banding reads it
+    // once and the verify join twice — three corpus text passes folded
+    // into one compute + stored reads
+    val sh = shingled(s, dir).localCheckpoint()
     val banded = bandedSigs(sh, rowsPerBand).select(col("doc_id").as("id"),
       col("band"), col("bv"))
     val cand = Banding.bucketedPairs(banded, "graft_lsh_d02", maxBucket)
@@ -376,7 +382,14 @@ object Dedup {
     * the interpreted HOF formulation took ~21 ms/doc and dominated the
     * whole pipeline. */
   def simhash(s: SparkSession, dir: String): DataFrame = {
-    val sh = shingled(s, dir) // already the xxhash64 image — feed simhash directly
+    // MATERIALIZE the shingle table once (round 14): without it the
+    // candidate self-join's two sides AND the verify join's two sides
+    // each re-run the whole text→shingle→hash pipeline — four corpus
+    // passes for one logical computation. localCheckpoint stores the
+    // hashed-shingle table executor-local (memory-and-disk, the
+    // standard compute-signatures-once materialization of a SimHash
+    // pipeline); every downstream join reads the stored table instead.
+    val sh = shingled(s, dir).localCheckpoint()
     // gram-less docs share one degenerate simhash (every block equal,
     // hamming 0) — the same quadratic short-doc hazard as MinHash
     // banding; they can never clear the Jaccard verify, so skip them

@@ -353,6 +353,44 @@ class RestCatalogSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("CLI migrate hadoop → rest: full command-line path over the public protocol") {
+    val wh = Files.createTempDirectory("graft-cli-rest-wh").toString
+    val srcCfg = CatalogConfig("hadoop", s"hadoop-${uid()}", Map("warehouse" -> wh))
+    val src = CatalogFactory.build(srcCfg).asInstanceOf[HadoopFsCatalog]
+    src.createNamespace(Namespace.of("db"))
+    import spark.implicits._
+    val loc = CatalogIO.createTable(spark, src, TableRef.parse("db.t1"),
+      Seq(1L, 2L, 3L).toDF("id"))
+    CatalogIO.createTable(spark, src, TableRef.parse("db.t2"),
+      Seq(4L).toDF("id"))
+    val backing = CatalogFactory.build(memCfg())
+    val server = new RestCatalogServer(backing)
+    try {
+      val out = Files.createTempDirectory("graft-cli-rest-out").toString
+      val lines = collection.mutable.ArrayBuffer.empty[String]
+      // `register`, not `migrate`: a hadoop source refuses delete-at-
+      // source (dropping its entries destroys data), exactly like the
+      // reference's guidance to use the register command instead
+      val code = graft.cli.CatalogMigrationCLI.run(Seq("register",
+        "--source-catalog-type", "hadoop",
+        "--source-catalog-properties", s"warehouse=$wh",
+        "--target-catalog-type", "rest",
+        "--target-catalog-properties", s"uri=${server.uri}",
+        "--output-dir", out, "--disable-safety-prompts"),
+        readLine = () => "no", out = l => lines += l)
+      assert(code == 0, lines.mkString("\n"))
+      assert(lines.exists(_.contains("Identified 2 tables for registration.")))
+      assert(lines.exists(_.contains(
+        "Successfully registered 2 tables from HADOOP catalog to REST catalog.")))
+      // pointers landed through HTTP; the data reads back through rest
+      assert(backing.loadTableMetadataLocation(TableRef.parse("db.t1")) == loc)
+      val restCat = CatalogFactory.build(
+        CatalogConfig("rest", s"rest-${uid()}", Map("uri" -> server.uri)))
+      assert(CatalogIO.readTable(spark, restCat, TableRef.parse("db.t1"))
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L))
+    } finally server.close()
+  }
+
   test("hadoop → rest with real data: pointer migrates, data reads via rest") {
     val wh = Files.createTempDirectory("graft-wh").toString
     val srcCfg = CatalogConfig("hadoop", s"hadoop-${uid()}", Map("warehouse" -> wh))
