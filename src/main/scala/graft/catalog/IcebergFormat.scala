@@ -520,7 +520,7 @@ object IcebergFormat {
     // index becomes the file's synthetic seq; physicalNamesAt(g) walks
     // boundary renames with seq > g back down to group g's names.
     val distinctMaps = perFile.distinct
-      .sortBy(m => (m.isEmpty, m.toSeq.sorted.mkString(" ")))
+      .sortBy(m => (m.isEmpty, m.toSeq.sorted.mkString("\u0000")))
     val groups =
       if (distinctMaps.lastOption.contains(Map.empty[String, String]) ||
           distinctMaps.exists(_.isEmpty)) distinctMaps

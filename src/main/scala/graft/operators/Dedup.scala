@@ -89,17 +89,21 @@ object Dedup {
     */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     graft.functions.VectorFunctions.register(s)
-    ngramJaccardOf(Tables(s, dir, "documents"))
+    ngramJaccardOf(Tables(s, dir, "documents"), materialize = true)
   }
 
   /** [[ngramJaccard]] over any (doc_id, text) frame — the composable
-    * face p01 uses on the post-filter survivor set. */
-  def ngramJaccardOf(docs: DataFrame): DataFrame = {
+    * face p01 uses on the post-filter survivor set. `materialize` folds
+    * the four text passes (df aggregation + prefix join + both verify
+    * sides) into one stored shingle table (round 14, as in [[simhash]])
+    * — right for a full-corpus run, a net LOSS for p01's small
+    * post-filter survivor set, where recompute is cheaper than the
+    * extra job + storage barrier (measured 2.5 s vs 3.2 s), so the
+    * composable face defaults off. */
+  def ngramJaccardOf(docs: DataFrame, materialize: Boolean = false): DataFrame = {
     val tau = 0.8
-    // materialized once (round 14, as in [[simhash]]): the exploded
-    // index side reads it twice (df aggregation + prefix join) and the
-    // verify join twice more — four text passes folded into one
-    val sh = hashedShingledOf(docs).localCheckpoint()
+    val sh0 = hashedShingledOf(docs)
+    val sh = if (materialize) sh0.localCheckpoint() else sh0
     val ex = sh.selectExpr("doc_id", "size(sh) AS sz", "explode(sh) AS s")
     val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
     // prefix filtering only needs SOME globally-consistent total order of

@@ -306,7 +306,7 @@ private object MorScan {
         eqDels.collect { case (p, d) if s < d => p }.sorted
       }
       .filter(_._1.nonEmpty)
-      .toSeq.sortBy(_._1.mkString(" "))
+      .toSeq.sortBy(_._1.mkString("\u0000"))
     if (groups.isEmpty) return Map.empty
     val fs = new Path(layout.dataLocation).getFileSystem(conf)
     def qual(s: String): String = fs.makeQualified(new Path(s)).toString
