@@ -48,7 +48,7 @@ object ScaleSmoke {
     }
     // the write/compact experiments only need lineitem — skip the rest
     // of the synthesis when they (or srp, which synthesizes nothing) run alone
-    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr", "plan", "manifest", "iceberg", "chunks")).nonEmpty) {
+    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr", "plan", "manifest", "iceberg", "chunks", "dv")).nonEmpty) {
       replicate("orders") { (df, i) =>
         df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
           .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
@@ -83,9 +83,9 @@ object ScaleSmoke {
       "d08_dedup_substrings", "t06_pack_sequences", "p01_training_pipeline")
     // a typo'd name silently measuring nothing would waste a multi-hour
     // rerun — fail fast instead ("srp"/"write" select those experiments)
-    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr" - "plan" - "manifest" - "iceberg" - "chunks"
+    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr" - "plan" - "manifest" - "iceberg" - "chunks" - "dv"
     require(unknown.isEmpty,
-      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats, incr, plan, manifest, iceberg, chunks")
+      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats, incr, plan, manifest, iceberg, chunks, dv")
     all.filter(q => only.isEmpty || only(q)).foreach { q =>
       try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
     }
@@ -99,7 +99,79 @@ object ScaleSmoke {
     if (only.isEmpty || only("manifest")) manifestScale(spark)
     if (only.isEmpty || only("iceberg")) icebergScale(spark, out, replicas)
     if (only.isEmpty || only("chunks")) chunkPruneScale(spark)
+    if (only.isEmpty || only("dv")) dvScale(spark, out, replicas)
     spark.stop()
+  }
+
+  /** Deletion-vector experiment (round 14, [[graft.catalog
+    * .DeletionVectors]]): export `replicas`× lineitem as an Iceberg
+    * table (64 sorted files), then delete every 7th row position of
+    * every file TWICE — once as a v3 DELETION-VECTOR commit
+    * (`appendDeletionVectors`, one roaring blob per file in one Puffin
+    * file) and once as a v2 parquet positional-delete commit on an
+    * identical copy — and measure the full-scan aggregate over the
+    * delete-free, DV-live, and parquet-pos-live states, plus the commit
+    * cost and the delete-metadata footprint. The claim: the per-task
+    * blob decode (seek + bounded read + bitmap probe) costs no more
+    * than the per-task parquet address read while the metadata is a
+    * fraction of the 16-bytes-per-address parquet form. */
+  private def dvScale(spark: SparkSession, out: String, replicas: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = s"/tmp/graft_dv_x$replicas"
+    graft.sources.TempCatalog.deleteRecursively(base)
+    val src = spark.read.parquet(s"$out/lineitem.parquet")
+      .select(col("l_orderkey").as("k"), col("l_quantity").as("qty"),
+        col("l_returnflag").as("rf"))
+      .repartitionByRange(64, col("k")).sortWithinPartitions("k")
+    val metaFree = graft.catalog.IcebergExport.writeTable(spark, src, s"$base/ta")
+    val metaB0 = graft.catalog.IcebergExport.writeTable(spark, src, s"$base/tb")
+    val conf = spark.sessionState.newHadoopConf()
+    // addresses built from the manifests' own path spellings + recorded
+    // per-file row counts — every 7th position, enumerated DISTRIBUTED
+    def addresses(metaLoc: String): org.apache.spark.sql.DataFrame = {
+      val l = graft.catalog.CatalogIO.readLayout(metaLoc, conf)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(l.schemaDdl.get)
+      val perFile = l.absoluteDataFiles.get.zip(
+        l.dataFileStats.get.map(s => graft.catalog.FileStats.decode(s, schema)
+          .map(_.rowCount).getOrElse(0L)))
+      spark.createDataset(perFile).repartition(perFile.size)
+        .flatMap { case (f, n) => (0L until n by 7L).iterator.map(p => (f, p)) }
+        .toDF("file_path", "pos")
+    }
+    val t1 = System.nanoTime()
+    val metaDv = graft.catalog.IcebergExport.appendDeletionVectors(
+      spark, metaFree, addresses(metaFree))
+    val dvCommitS = (System.nanoTime() - t1) / 1e9
+    val t2 = System.nanoTime()
+    val metaPos = graft.catalog.IcebergExport.appendDeletes(
+      spark, metaB0, positional = Some(
+        addresses(metaB0).repartition(1).sortWithinPartitions("file_path", "pos")))
+    val posCommitS = (System.nanoTime() - t2) / 1e9
+    def treeBytes(p: String): Long = {
+      val fs = new org.apache.hadoop.fs.Path(p).getFileSystem(conf)
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(p), true)
+      var s = 0L
+      while (it.hasNext) s += it.next().getLen
+      s
+    }
+    println(f"[scale] dv x$replicas: DV commit $dvCommitS%.2f s " +
+      f"(${treeBytes(s"$base/ta/deletes")}%,d delete bytes, puffin) vs " +
+      f"parquet-pos commit $posCommitS%.2f s " +
+      f"(${treeBytes(s"$base/tb/deletes")}%,d delete bytes)")
+    graft.sources.TempCatalog.withTempHandles(spark, s"graft-dv-x$replicas") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(graft.catalog.TableRef.parse("db.free"), metaFree)
+      hc.registerTable(graft.catalog.TableRef.parse("db.dv"), metaDv)
+      hc.registerTable(graft.catalog.TableRef.parse("db.pos"), metaPos)
+      for (pass <- 1 to 2; t <- Seq("free", "dv", "pos")) {
+        val s0 = System.nanoTime()
+        val r = spark.sql(s"SELECT SUM(qty), COUNT(*) FROM $cat.db.$t").collect()
+        println(f"[scale] dv x$replicas pass $pass: full-scan aggregate on " +
+          f"$t%-4s ${(System.nanoTime() - s0) / 1e9}%.2f s " +
+          f"(${r(0).getLong(1)}%,d rows)")
+      }
+    }
   }
 
   /** Iceberg-interop experiment (round 12, [[graft.catalog

@@ -134,6 +134,7 @@ object SparkEntry {
     "w09_iceberg_roundtrip" -> (graft.queries.WriteQueries.w09 _),
     "w10_type_widening" -> (graft.queries.WriteQueries.w10 _),
     "w11_hidden_partitioning" -> (graft.queries.WriteQueries.w11 _),
+    "w12_deletion_vectors" -> (graft.queries.WriteQueries.w12 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -998,6 +999,27 @@ object SparkEntry {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-15 00:00:00'
         |GROUP BY event_type""".stripMargin,
+    // w12: v3 deletion vectors — two one-file snapshots totally ordered
+    // by (k, ln), so a file's row POSITIONS are its per-parity (k, ln)
+    // ranks; the two DV commits delete even ranks 100..4999 (dense,
+    // bitmap-container scale) and odd ranks 0,1,2 and 5 (the second
+    // commit's REPLACE merge); relationally a ROW_NUMBER filter
+    "w12_deletion_vectors" ->
+      """WITH base AS (
+        |  SELECT l_orderkey AS k, l_linenumber AS ln,
+        |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+        |  FROM lineitem),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k % 2 ORDER BY k, ln) - 1 AS p
+        |  FROM base)
+        |SELECT rf, COUNT(*) AS cnt,
+        |       CAST(SUM(k) AS BIGINT) AS k_sum,
+        |       CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |FROM ranked
+        |WHERE k <= 30000
+        |  AND NOT (k % 2 = 0 AND p BETWEEN 100 AND 4999)
+        |  AND NOT (k % 2 = 1 AND (p <= 2 OR p = 5))
+        |GROUP BY rf""".stripMargin,
     // w05: incremental append reads are manifest set-differences, so
     // each phase's change set is relationally just the slice that
     // commit appended (WriteQueries.w05 runs the real version-diff

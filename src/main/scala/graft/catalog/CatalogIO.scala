@@ -36,7 +36,13 @@ object CatalogIO {
       * (`_file` STRING segment-relative data-file path, `_pos` BIGINT
       * row index within that file). */
     val Position = "pos"
-    val All: Set[String] = Set(Equality, Position)
+    /** Deletion VECTOR (Iceberg v3): one roaring bitmap of dead row
+      * positions for ONE data file, stored as a `deletion-vector-v1`
+      * blob inside a Puffin file ([[DeletionVectors]]); `path` is the
+      * Puffin file, `targets` the single addressed data file, and the
+      * blob span rides [[DeleteFile.blobOffset]]/[[DeleteFile.blobLength]]. */
+    val Vector = "dv"
+    val All: Set[String] = Set(Equality, Position, Vector)
   }
 
   /** Commit-operation markers ([[TableLayout.commitOp]]) — Iceberg's
@@ -83,10 +89,23 @@ object CatalogIO {
     * delete means "unknown: treat every pre-delete file as addressed"
     * (sound, slower). */
   final case class DeleteFile(path: String, seq: Int,
-      kind: String = DeleteKinds.Equality, targets: Seq[String] = Nil) {
+      kind: String = DeleteKinds.Equality, targets: Seq[String] = Nil,
+      blobOffset: Option[Long] = None, blobLength: Option[Long] = None,
+      /** Deleted-position count HINT (a vector's manifest
+        * `record_count`) — drives the DataFrame face's broadcast
+        * decision only; not persisted by the engine's own metadata, so
+        * absence must only cost performance (shuffled join), never
+        * correctness. */
+      rowCount: Option[Long] = None) {
     require(DeleteKinds.All(kind), s"unknown delete-file kind '$kind'")
-    require(targets.isEmpty || kind == DeleteKinds.Position,
-      "delete-file targets apply to positional deletes only")
+    require(targets.isEmpty || kind != DeleteKinds.Equality,
+      "delete-file targets apply to positional deletes and vectors only")
+    require(if (kind == DeleteKinds.Vector)
+        blobOffset.isDefined && blobLength.isDefined
+      else blobOffset.isEmpty && blobLength.isEmpty,
+      "blob offset/length are the deletion-vector span, exactly")
+    require(kind != DeleteKinds.Vector || targets.size == 1,
+      "a deletion vector addresses exactly one data file")
   }
 
   /** One column rename, recorded at the version (`seq`) it committed
@@ -235,6 +254,25 @@ object CatalogIO {
       deleteFiles.filter(_.kind == DeleteKinds.Equality)
     def posDeleteFiles: Seq[DeleteFile] =
       deleteFiles.filter(_.kind == DeleteKinds.Position)
+    def dvDeleteFiles: Seq[DeleteFile] =
+      deleteFiles.filter(_.kind == DeleteKinds.Vector)
+    /** The deletion vector addressing data file `relFile`, if any —
+      * (absolute Puffin path, blob offset, blob length). At most one
+      * per file by the Iceberg v3 spec; a spec-violating second vector
+      * refuses rather than silently picking one. When a vector exists,
+      * parquet POSITION deletes for the same file are superseded (the
+      * v3 writer contract merges them into the vector) — see
+      * [[posDeletesFor]] callers. */
+    def dvFor(relFile: String): Option[(String, Long, Long)] = {
+      val dvs = dvDeleteFiles.filter(_.targets.contains(relFile))
+      if (dvs.size > 1)
+        throw new IllegalStateException(
+          s"data file $relFile is addressed by ${dvs.size} deletion " +
+            "vectors; the Iceberg v3 spec allows at most one")
+      dvs.headOption.map(d =>
+        (new Path(dataLocation, d.path).toString,
+          d.blobOffset.get, d.blobLength.get))
+    }
     /** (absolute path, commit seq) of the EQUALITY delete files only —
       * the seq participates in the fileSeq < deleteSeq gate. */
     def absoluteEqDeleteFiles: Seq[(String, Int)] =
@@ -420,6 +458,7 @@ object CatalogIO {
     "deleteFiles", "deleteFileSeqs", "deleteFileKinds", "dataFileSeqs",
     "renameFroms", "renameTos", "renameSeqs", "droppedColumns",
     "dataFileStats", "dataFileSizes", "deleteFileTargets", "commitOp",
+    "deleteFileBlobOffsets", "deleteFileBlobLengths",
     "dataFileNdv", "manifestChunkFiles", "manifestChunkCounts",
     "manifestChunkSummaries", "manifestFields", "clusterTransforms")
 
@@ -529,7 +568,15 @@ object CatalogIO {
                  s"positional-delete target path contains ';': $t"))
              s"""  "deleteFileTargets": ${arrBody(
                layout.deleteFiles.map(_.targets.mkString(";")))},\n"""
-           })
+           }) +
+          // deletion-vector blob spans (adopted Iceberg v3 tables):
+          // per-delete-file offset/length into the Puffin file, empty
+          // for non-vector kinds
+          (if (layout.deleteFiles.forall(_.kind != DeleteKinds.Vector)) ""
+           else s"""  "deleteFileBlobOffsets": ${arrBody(
+               layout.deleteFiles.map(_.blobOffset.fold("")(_.toString)))},\n""" +
+             s"""  "deleteFileBlobLengths": ${arrBody(
+               layout.deleteFiles.map(_.blobLength.fold("")(_.toString)))},\n""")
       }${
         // column renames as three parallel arrays (seq, from, to) — the
         // name mapping every reader resolves per-file seqs against
@@ -2486,14 +2533,25 @@ object CatalogIO {
         // rel paths drive pos-delete targeting; parallel to filesWithSeqs
         val rels = layout.dataFiles.getOrElse(Nil)
         val relByAbs = rels.zip(filesWithSeqs.map(_._1)).map(_.swap).toMap
+        // v3 deletion vectors ride the same join-based application as
+        // parquet addresses, exploded once ([[dvAddressFrame]]); a
+        // vector supersedes parquet POSITION deletes for its file
+        val dvAddrs = dvAddressFrame(spark, layout, options)
+        val dvCount = {
+          val cs = layout.dvDeleteFiles.map(_.rowCount)
+          if (cs.forall(_.isDefined)) Some(cs.flatten.sum) else None
+        }
         val groups = filesWithSeqs
           .groupBy { case (abs, s) =>
+            val rel = relByAbs(abs)
+            val hasDv = layout.dvFor(rel).isDefined
             (eqDels.collect { case (p, d) if s < d => p },
-              layout.posDeletesFor(relByAbs(abs), s).sorted,
+              (if (hasDv) Nil else layout.posDeletesFor(rel, s)).sorted,
+              hasDv,
               layout.physicalNamesAt(s))
           }
           .toSeq.sortBy(_._2.head._1) // deterministic group order
-        groups.map { case ((eqPaths, posPaths, physical), fs) =>
+        groups.map { case ((eqPaths, posPaths, hasDv, physical), fs) =>
           val physSchema = org.apache.spark.sql.types.StructType(
             schema.fields.map(f => f.copy(name = physical.getOrElse(f.name, f.name))))
           val df0 = spark.read.options(options).schema(physSchema)
@@ -2502,7 +2560,7 @@ object CatalogIO {
           // row addresses must be captured ON the scan (metadata columns
           // do not survive joins), before any delete application
           val addressed =
-            if (posPaths.isEmpty) df0
+            if (posPaths.isEmpty && !hasDv) df0
             else df0
               .withColumn("__graft_file", org.apache.spark.sql.functions
                 .col("_metadata.file_path"))
@@ -2514,16 +2572,18 @@ object CatalogIO {
           // toDF below: with both live, `addressed` carries the two extra
           // __graft_* columns and toDF would throw a generic column-count
           // error, masking this specific corruption message.
-          require(physical.isEmpty || posPaths.isEmpty,
+          require(physical.isEmpty || (posPaths.isEmpty && !hasDv),
             "un-materialized renames alongside positional deletes — the " +
               "write faces refuse this combination; metadata is corrupt")
           val df =
             if (physical.isEmpty) addressed
             else addressed.toDF(schema.fieldNames.toIndexedSeq: _*)
           val eqApplied = applyEqualityDeletes(spark, df, eqPaths, options)
-          if (posPaths.isEmpty) eqApplied
+          if (posPaths.isEmpty && !hasDv) eqApplied
           else applyPositionalDeletes(spark, eqApplied, posPaths,
-            layout.dataLocation, options)
+            layout.dataLocation, options,
+            extraAddresses = if (hasDv) dvAddrs else None,
+            extraCount = dvCount)
             .drop("__graft_file", "__graft_pos")
         }.reduce(_ unionByName _)
       case Some(filesWithSeqs) =>
@@ -2643,13 +2703,21 @@ object CatalogIO {
     val eqDels = layout.absoluteEqDeleteFiles
     val rels = layout.dataFiles.getOrElse(Nil)
     val relByAbs = rels.zip(filesWithSeqs.map(_._1)).map(_.swap).toMap
+    val dvAddrs = dvAddressFrame(spark, layout, options)
+    val dvCount = {
+      val cs = layout.dvDeleteFiles.map(_.rowCount)
+      if (cs.forall(_.isDefined)) Some(cs.flatten.sum) else None
+    }
     val groups = filesWithSeqs
       .groupBy { case (abs, s) =>
+        val rel = relByAbs(abs)
+        val hasDv = layout.dvFor(rel).isDefined
         (eqDels.collect { case (p, d) if s < d => p },
-          layout.posDeletesFor(relByAbs(abs), s).sorted)
+          (if (hasDv) Nil else layout.posDeletesFor(rel, s)).sorted,
+          hasDv)
       }
       .toSeq.sortBy(_._2.head._1)
-    groups.map { case ((eqPaths, posPaths), fs) =>
+    groups.map { case ((eqPaths, posPaths, hasDv), fs) =>
       val df = spark.read.options(options).schema(schema)
         .option("basePath", layout.dataLocation)
         .parquet(fs.map(_._1): _*)
@@ -2657,7 +2725,9 @@ object CatalogIO {
         .withColumn("__graft_pos", col("_metadata.row_index"))
       val eqApplied = applyEqualityDeletes(spark, df, eqPaths, options)
       applyPositionalDeletes(spark, eqApplied, posPaths,
-        layout.dataLocation, options)
+        layout.dataLocation, options,
+        extraAddresses = if (hasDv) dvAddrs else None,
+        extraCount = dvCount)
     }.reduce(_ unionByName _)
   }
 
@@ -2699,10 +2769,42 @@ object CatalogIO {
     * (raise_error in [[relativizeFileColumn]]), never resurrect rows.
     * Broadcast below the shared tuple threshold, shuffled past it —
     * this is compaction's own read path, so it must work at any size. */
+  /** The table's DELETION VECTORS exploded to address rows
+    * (`__graft_del_file` segment-relative, `__graft_del_pos`) — the
+    * DataFrame-face form of the v3 bitmaps, for the join-based delete
+    * application (compaction / positional-write reads). Decode runs
+    * DISTRIBUTED: one task per vector (flatMap over the blob spans),
+    * so no bitmap is ever enumerated on the driver. Returns None when
+    * the layout carries no vectors. */
+  private[graft] def dvAddressFrame(spark: SparkSession,
+      layout: TableLayout, options: Map[String, String]): Option[DataFrame] = {
+    val dvs = layout.dvDeleteFiles
+    if (dvs.isEmpty) return None
+    import spark.implicits._
+    val rows = dvs.map(d => (d.targets.head,
+      new Path(layout.dataLocation, d.path).toString,
+      d.blobOffset.get, d.blobLength.get))
+    val confB = spark.sparkContext.broadcast(
+      new org.apache.spark.util.SerializableConfiguration({
+        val c = new Configuration()
+        options.foreach { case (k, v) => c.set(k, v) }
+        c
+      }))
+    Some(spark.createDataset(rows)
+      .repartition(rows.size)
+      .flatMap { case (target, puffin, off, len) =>
+        DeletionVectors.readBlob(puffin, off, len, confB.value.value)
+          .positions.map(p => (target, p))
+      }
+      .toDF("__graft_del_file", "__graft_del_pos"))
+  }
+
   private[graft] def applyPositionalDeletes(spark: SparkSession,
       data: DataFrame, posPaths: Seq[String], dataLocation: String,
-      options: Map[String, String]): DataFrame = {
-    if (posPaths.isEmpty) return data
+      options: Map[String, String],
+      extraAddresses: Option[DataFrame] = None,
+      extraCount: Option[Long] = None): DataFrame = {
+    if (posPaths.isEmpty && extraAddresses.isEmpty) return data
     import org.apache.spark.sql.functions.{broadcast, col}
     val conf = {
       val c = new Configuration()
@@ -2717,7 +2819,7 @@ object CatalogIO {
     val byStyle = posPaths.distinct.groupBy { p =>
       DeleteFileFooters.of(p, conf)._1.contains("file_path")
     }
-    val addr = byStyle.toSeq.sortBy(_._1).map { case (iceberg, paths) =>
+    val fromParquet = byStyle.toSeq.sortBy(_._1).map { case (iceberg, paths) =>
       val raw = spark.read.options(options).parquet(paths: _*)
       if (iceberg)
         raw.select(
@@ -2729,12 +2831,18 @@ object CatalogIO {
         raw.select(col("_file").as("__graft_del_file"),
           col("_pos").cast(org.apache.spark.sql.types.LongType)
             .as("__graft_del_pos"))
-    }.reduce(_ unionByName _).distinct()
+    }.reduceOption(_ unionByName _)
+    val addr = (fromParquet.toSeq ++ extraAddresses)
+      .reduce(_ unionByName _).distinct()
     val tupleCount =
-      posPaths.distinct.map(p => DeleteFileFooters.countOf(p, conf)).sum
+      posPaths.distinct.map(p => DeleteFileFooters.countOf(p, conf)).sum +
+        // unknown vector cardinality must only cost performance: treat
+        // it as over-threshold (shuffled join), never broadcast blind
+        extraAddresses.fold(0L)(_ => extraCount.getOrElse(Long.MaxValue))
     val maxBroadcast = spark.conf.getOption("spark.graft.mor.maxDeleteTuples")
       .map(_.toLong).getOrElse(4000000L)
-    val side = if (tupleCount <= maxBroadcast) broadcast(addr) else addr
+    val side = if (tupleCount >= 0 && tupleCount <= maxBroadcast)
+      broadcast(addr) else addr
     val rel = relativizeFileColumn(data.col("__graft_file"), dataLocation, conf)
     data.join(side,
       rel === side.col("__graft_del_file") &&
@@ -2951,6 +3059,24 @@ object CatalogIO {
         ts.map(_.split(';').toSeq.filter(_.nonEmpty))
       }
       .getOrElse(Seq.fill(delPaths.size)(Nil))
+    def delLongs(field: String): Seq[Option[Long]] =
+      arrayField(text, field)
+        .map { vs =>
+          if (vs.size != delPaths.size)
+            throw new IllegalStateException(
+              s"Malformed metadata: '$field' has ${vs.size} entries for " +
+                s"${delPaths.size} deleteFiles in $metadataLocation")
+          vs.map(v => if (v.isEmpty) None else Some(
+            try v.toLong
+            catch { case _: NumberFormatException =>
+              throw new IllegalStateException(
+                s"Malformed metadata: non-integer '$v' in '$field' of " +
+                  metadataLocation)
+            }))
+        }
+        .getOrElse(Seq.fill(delPaths.size)(None))
+    val delBlobOffsets = delLongs("deleteFileBlobOffsets")
+    val delBlobLengths = delLongs("deleteFileBlobLengths")
     val renameFroms = arrayField(text, "renameFroms").getOrElse(Nil)
     val renameTos = arrayField(text, "renameTos").getOrElse(Nil)
     val renameSeqs = intSeqs("renameSeqs", Some(renameFroms.size)).getOrElse(Nil)
@@ -2967,7 +3093,8 @@ object CatalogIO {
       dataFiles,
       objectField(text, "properties"),
       deleteFiles = delPaths.lazyZip(delSeqs.getOrElse(Nil)).lazyZip(delKinds)
-        .lazyZip(delTargets).map((p, s, k, t) => DeleteFile(p, s, k, t)),
+        .lazyZip(delTargets.lazyZip(delBlobOffsets).lazyZip(delBlobLengths).toSeq)
+        .map { case (p, s, k, (t, bo, bl)) => DeleteFile(p, s, k, t, bo, bl) },
       dataFileSeqs = intSeqs("dataFileSeqs", dataFiles.map(_.size)).orElse(
         chunked.collect { case (_, ents, fields)
           if fields(ManifestFieldTokens.Seqs) => ents.map(_.seq) }),

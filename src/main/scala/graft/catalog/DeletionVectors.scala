@@ -1,0 +1,482 @@
+package graft.catalog
+
+import java.nio.charset.StandardCharsets
+import java.util.zip.CRC32
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Iceberg v3 DELETION VECTORS, implemented from the public specs — no
+  * Iceberg or RoaringBitmap jars.
+  *
+  * A v3 positional delete is one bitmap of dead row positions PER data
+  * file, stored as a `deletion-vector-v1` blob inside a Puffin file;
+  * the delete manifest entry records `referenced_data_file` plus the
+  * blob's `content_offset`/`content_size_in_bytes`, so a scan task
+  * seeks straight to its own file's bitmap without touching the Puffin
+  * footer. That shape is exactly this engine's per-task positional
+  * machinery (`graft.sources.MorScan`): each whole-file task decodes
+  * one blob and probes it — no driver collect, no cross-file reads,
+  * and the in-memory cost is the roaring containers (~2 bytes/position
+  * worst case), not 8 bytes per deleted row.
+  *
+  * Wire formats implemented here:
+  *
+  *  - BLOB (Iceberg spec v3, "Deletion vectors"): 4-byte big-endian
+  *    length of (magic + vector), the 4-byte magic `D1 D3 39 64`
+  *    (0x6439D3D1 little-endian), the serialized vector, then a 4-byte
+  *    big-endian CRC-32 of (magic + vector).
+  *  - VECTOR: the RoaringBitmap 64-bit "portable" format — an 8-byte
+  *    little-endian count of 32-bit bitmaps, then per bitmap a 4-byte
+  *    little-endian high-32-bit key followed by a standard 32-bit
+  *    roaring serialization (RoaringFormatSpec): cookie 12346
+  *    (no runs; 4-byte container count follows) or 12347 (runs; count
+  *    is `(cookie >>> 16) + 1` and a run-marker bitset follows),
+  *    2+2-byte (key, cardinality−1) descriptive headers, a 4-byte
+  *    offset table (always for cookie 12346, only at ≥4 containers for
+  *    12347), then the containers: sorted uint16 arrays (≤4096 values),
+  *    8 KiB bitsets, or (runCount, (start, length−1)*) run lists.
+  *  - PUFFIN (Puffin spec 1): "PFA1" magic, blobs, then a footer of
+  *    magic + UTF-8 JSON payload + 4-byte little-endian payload size +
+  *    4 flag bytes + magic. The writer emits an uncompressed footer;
+  *    the reader accepts uncompressed footers (zstd-compressed footers
+  *    refuse loudly — no zstd-jni binding is assumed).
+  *
+  * The reader accepts all three container kinds (real Iceberg writers
+  * produce runs); the writer emits the no-run form, which the format
+  * always permits.
+  */
+object DeletionVectors {
+
+  /** Executor-shippable "is this row position deleted" predicate — the
+    * abstraction [[graft.sources.MorScan]] probes per row, implemented
+    * by the decoded deletion vector and by the engine's own sorted
+    * address arrays. */
+  trait PositionSet extends Serializable {
+    def isEmpty: Boolean
+    def contains(pos: Long): Boolean
+  }
+
+  object PositionSet {
+    val empty: PositionSet = new PositionSet {
+      def isEmpty = true
+      def contains(pos: Long) = false
+    }
+
+    /** Sorted, deduplicated positions — the parquet-address form. */
+    final class Sorted(val arr: Array[Long]) extends PositionSet {
+      def isEmpty: Boolean = arr.length == 0
+      def contains(pos: Long): Boolean =
+        java.util.Arrays.binarySearch(arr, pos) >= 0
+    }
+
+    def sorted(arr: Array[Long]): PositionSet =
+      if (arr.length == 0) empty else new Sorted(arr)
+
+    /** Positions deleted by EITHER side — a data file carrying both a
+      * deletion vector and engine-spilled equality addresses. */
+    final class Union(a: PositionSet, b: PositionSet) extends PositionSet {
+      def isEmpty: Boolean = a.isEmpty && b.isEmpty
+      def contains(pos: Long): Boolean = a.contains(pos) || b.contains(pos)
+    }
+
+    def union(a: PositionSet, b: PositionSet): PositionSet =
+      if (a.isEmpty) b else if (b.isEmpty) a else new Union(a, b)
+  }
+
+  // ---- roaring containers (values are the low 16 bits of a position) --
+
+  private sealed trait Container extends Serializable {
+    /** `low` in 0..65535. */
+    def contains(low: Int): Boolean
+    def cardinality: Int
+    /** Ascending member values (0..65535). */
+    def values: Iterator[Int]
+  }
+
+  /** Sorted unsigned 16-bit values; Char order IS unsigned order. */
+  private final class ArrayC(vs: Array[Char]) extends Container {
+    def contains(low: Int): Boolean = {
+      var lo = 0; var hi = vs.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = vs(mid).toInt
+        if (v == low) return true
+        if (v < low) lo = mid + 1 else hi = mid - 1
+      }
+      false
+    }
+    def cardinality: Int = vs.length
+    def values: Iterator[Int] = vs.iterator.map(_.toInt)
+  }
+
+  /** 1024-word (65536-bit) bitset. */
+  private final class BitmapC(words: Array[Long], val cardinality: Int)
+    extends Container {
+    def contains(low: Int): Boolean =
+      (words(low >>> 6) & (1L << (low & 63))) != 0
+    def values: Iterator[Int] =
+      Iterator.range(0, 65536).filter(contains)
+  }
+
+  /** Inclusive [start, end] runs, sorted by start. */
+  private final class RunC(starts: Array[Int], ends: Array[Int],
+      val cardinality: Int) extends Container {
+    def contains(low: Int): Boolean = {
+      var lo = 0; var hi = starts.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (low < starts(mid)) hi = mid - 1
+        else if (low > ends(mid)) lo = mid + 1
+        else return true
+      }
+      false
+    }
+    def values: Iterator[Int] =
+      starts.indices.iterator.flatMap(r =>
+        Iterator.range(starts(r), ends(r) + 1))
+  }
+
+  /** One decoded deletion vector: parallel arrays of 48-bit position
+    * prefixes (`pos >>> 16`, sorted ascending) and their containers.
+    * `contains` is a binary search + an O(log container) probe. */
+  final class Vector private[DeletionVectors] (
+      prefixes: Array[Long], containers: Array[Container])
+    extends PositionSet {
+    def isEmpty: Boolean = prefixes.length == 0
+    def cardinality: Long = {
+      var s = 0L; var i = 0
+      while (i < containers.length) { s += containers(i).cardinality; i += 1 }
+      s
+    }
+    def contains(pos: Long): Boolean = {
+      val p = pos >>> 16
+      var lo = 0; var hi = prefixes.length - 1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        val v = prefixes(mid)
+        if (v == p) return containers(mid).contains((pos & 0xFFFFL).toInt)
+        if (v < p) lo = mid + 1 else hi = mid - 1
+      }
+      false
+    }
+    /** Ascending deleted positions — the enumeration face the
+      * DataFrame-side delete application (compaction's read path)
+      * explodes into address rows. */
+    def positions: Iterator[Long] =
+      prefixes.indices.iterator.flatMap(i =>
+        containers(i).values.map(v => (prefixes(i) << 16) | v))
+  }
+
+  // ---- constants ----------------------------------------------------
+
+  /** DV blob magic, file order D1 D3 39 64 = 0x6439D3D1 little-endian. */
+  private val BlobMagic = Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39, 0x64)
+  private val PuffinMagic = Array[Byte]('P', 'F', 'A', '1')
+  private val CookieRuns = 12347
+  private val CookieNoRuns = 12346
+  private val NoOffsetThreshold = 4
+  /** Puffin blob type of a deletion vector (Iceberg v3 spec). */
+  val BlobType = "deletion-vector-v1"
+
+  // ---- reading ------------------------------------------------------
+
+  /** Read and decode the `deletion-vector-v1` blob at
+    * `[offset, offset+length)` of `puffinPath` — the manifest entry's
+    * `content_offset`/`content_size_in_bytes` — validating the length
+    * field, magic, and CRC-32. One seek + one bounded read per task. */
+  def readBlob(puffinPath: String, offset: Long, length: Long,
+      conf: Configuration): Vector = {
+    require(length >= 12 && length <= Int.MaxValue,
+      s"deletion-vector blob length $length out of range at $puffinPath")
+    val p = new Path(puffinPath)
+    val in = p.getFileSystem(conf).open(p)
+    val blob = new Array[Byte](length.toInt)
+    try in.readFully(offset, blob, 0, blob.length) finally in.close()
+    decodeBlob(blob, puffinPath)
+  }
+
+  private[catalog] def decodeBlob(blob: Array[Byte], where: String): Vector = {
+    def fail(msg: String): Nothing = throw new IllegalStateException(
+      s"malformed deletion-vector blob at $where: $msg")
+    if (blob.length < 12) fail(s"${blob.length} bytes, minimum is 12")
+    val declared = ((blob(0) & 0xFF) << 24) | ((blob(1) & 0xFF) << 16) |
+      ((blob(2) & 0xFF) << 8) | (blob(3) & 0xFF)
+    if (declared != blob.length - 8)
+      fail(s"length field $declared != ${blob.length - 8} " +
+        "(blob length minus the length and CRC words)")
+    var i = 0
+    while (i < 4) {
+      if (blob(4 + i) != BlobMagic(i))
+        fail(f"magic byte $i is 0x${blob(4 + i) & 0xFF}%02X, " +
+          f"expected 0x${BlobMagic(i) & 0xFF}%02X")
+      i += 1
+    }
+    val crc = new CRC32
+    crc.update(blob, 4, blob.length - 8) // magic + vector
+    val stored = ((blob(blob.length - 4) & 0xFFL) << 24) |
+      ((blob(blob.length - 3) & 0xFFL) << 16) |
+      ((blob(blob.length - 2) & 0xFFL) << 8) |
+      (blob(blob.length - 1) & 0xFFL)
+    if (crc.getValue != stored)
+      fail(f"CRC-32 mismatch: stored 0x$stored%08X, computed 0x${crc.getValue}%08X")
+    decodeVector(blob, 8, blob.length - 4, where)
+  }
+
+  /** Decode the portable-64 roaring serialization in
+    * `bytes[from, until)`. */
+  private def decodeVector(bytes: Array[Byte], from: Int, until: Int,
+      where: String): Vector = {
+    def fail(msg: String): Nothing = throw new IllegalStateException(
+      s"malformed deletion vector at $where: $msg")
+    var p = from
+    def need(n: Int): Unit =
+      if (p + n > until) fail(s"truncated at byte $p (need $n of ${until - p})")
+    def u8(): Int = { val v = bytes(p) & 0xFF; p += 1; v }
+    def u16(): Int = { need(2); val v = (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8); p += 2; v }
+    def i32(): Int = { need(4); val v = (bytes(p) & 0xFF) | ((bytes(p + 1) & 0xFF) << 8) |
+      ((bytes(p + 2) & 0xFF) << 16) | ((bytes(p + 3) & 0xFF) << 24); p += 4; v }
+    def i64(): Long = { need(8); (i32() & 0xFFFFFFFFL) | (i32().toLong << 32) }
+    val nBitmaps = i64()
+    if (nBitmaps < 0 || nBitmaps > Int.MaxValue) fail(s"bitmap count $nBitmaps")
+    val prefixes = scala.collection.mutable.ArrayBuilder.make[Long]
+    val containers = scala.collection.mutable.ArrayBuilder.make[Container]
+    var b = 0L
+    var lastKey32 = -1L
+    while (b < nBitmaps) {
+      val key32 = i32() & 0xFFFFFFFFL
+      if (key32 <= lastKey32 && b > 0) fail(s"unsorted 32-bit key $key32")
+      lastKey32 = key32
+      // one standard 32-bit roaring bitmap
+      val cookie = i32()
+      val (n, runBits) =
+        if ((cookie & 0xFFFF) == CookieRuns) {
+          val n = (cookie >>> 16) + 1
+          need((n + 7) / 8)
+          val bits = new Array[Byte]((n + 7) / 8)
+          var i = 0
+          while (i < bits.length) { bits(i) = u8().toByte; i += 1 }
+          (n, bits)
+        } else if (cookie == CookieNoRuns) (i32(), null)
+        else fail(f"unknown roaring cookie 0x$cookie%08X")
+      if (n < 0) fail(s"container count $n")
+      val keys = new Array[Int](n)
+      val cards = new Array[Int](n)
+      var i = 0
+      var lastK = -1
+      while (i < n) {
+        keys(i) = u16()
+        if (keys(i) <= lastK && i > 0) fail(s"unsorted container key ${keys(i)}")
+        lastK = keys(i)
+        cards(i) = u16() + 1
+        i += 1
+      }
+      def isRun(i: Int): Boolean =
+        runBits != null && (runBits(i / 8) & (1 << (i % 8))) != 0
+      // the offset table is positional redundancy for random access; the
+      // containers follow in key order regardless, so skip it
+      if (runBits == null || n >= NoOffsetThreshold) { need(4 * n); p += 4 * n }
+      i = 0
+      while (i < n) {
+        val c: Container =
+          if (isRun(i)) {
+            val nRuns = u16()
+            val starts = new Array[Int](nRuns)
+            val ends = new Array[Int](nRuns)
+            var r = 0
+            var card = 0
+            while (r < nRuns) {
+              starts(r) = u16()
+              val len = u16() + 1
+              ends(r) = starts(r) + len - 1
+              if (ends(r) > 0xFFFF) fail(s"run past 65535: ${starts(r)}+$len")
+              card += len
+              r += 1
+            }
+            new RunC(starts, ends, card)
+          } else if (cards(i) <= 4096) {
+            val vs = new Array[Char](cards(i))
+            var v = 0
+            while (v < cards(i)) { vs(v) = u16().toChar; v += 1 }
+            new ArrayC(vs)
+          } else {
+            val words = new Array[Long](1024)
+            var w = 0
+            while (w < 1024) { words(w) = i64(); w += 1 }
+            new BitmapC(words, cards(i))
+          }
+        prefixes += (key32 << 16) | keys(i)
+        containers += c
+        i += 1
+      }
+      b += 1
+    }
+    if (p != until) fail(s"${until - p} trailing bytes")
+    new Vector(prefixes.result(), containers.result())
+  }
+
+  // ---- writing ------------------------------------------------------
+
+  /** Serialize sorted, deduplicated positions as a complete DV blob
+    * (length + magic + portable-64 vector + CRC). The no-run form:
+    * array containers at ≤4096 values, bitsets above. */
+  def encodeBlob(positions: Array[Long]): Array[Byte] = {
+    require(positions.nonEmpty, "a deletion vector must mark at least one row")
+    var i = 1
+    while (i < positions.length) {
+      require(positions(i - 1) < positions(i),
+        s"positions must be sorted and distinct at index $i")
+      i += 1
+    }
+    val vector = encodeVector(positions)
+    val out = new java.io.ByteArrayOutputStream(vector.length + 12)
+    val len = vector.length + 4
+    out.write((len >>> 24) & 0xFF); out.write((len >>> 16) & 0xFF)
+    out.write((len >>> 8) & 0xFF); out.write(len & 0xFF)
+    out.write(BlobMagic)
+    out.write(vector)
+    val crc = new CRC32
+    crc.update(BlobMagic)
+    crc.update(vector)
+    val c = crc.getValue
+    out.write(((c >>> 24) & 0xFF).toInt); out.write(((c >>> 16) & 0xFF).toInt)
+    out.write(((c >>> 8) & 0xFF).toInt); out.write((c & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  private def encodeVector(positions: Array[Long]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w8(v: Int): Unit = out.write(v & 0xFF)
+    def w16(v: Int): Unit = { w8(v); w8(v >>> 8) }
+    def w32(v: Int): Unit = { w16(v); w16(v >>> 16) }
+    def w64(v: Long): Unit = { w32(v.toInt); w32((v >>> 32).toInt) }
+    // group by 32-bit high key, then by 16-bit container key
+    val by32 = scala.collection.mutable.LinkedHashMap
+      .empty[Long, scala.collection.mutable.LinkedHashMap[Int, scala.collection.mutable.ArrayBuilder.ofInt]]
+    positions.foreach { pos =>
+      require(pos >= 0, s"negative position $pos")
+      val hi32 = pos >>> 32
+      val key16 = ((pos >>> 16) & 0xFFFF).toInt
+      val m = by32.getOrElseUpdate(hi32,
+        scala.collection.mutable.LinkedHashMap.empty)
+      m.getOrElseUpdate(key16, new scala.collection.mutable.ArrayBuilder.ofInt) +=
+        (pos & 0xFFFF).toInt
+    }
+    w64(by32.size.toLong)
+    by32.foreach { case (hi32, byKey) =>
+      w32(hi32.toInt)
+      val containers = byKey.toArray.map { case (k, b) => (k, b.result()) }
+      w32(CookieNoRuns)
+      w32(containers.length)
+      containers.foreach { case (k, vs) => w16(k); w16(vs.length - 1) }
+      // offset table: distance from the start of this 32-bit bitmap's
+      // serialization to each container's first byte
+      val headerBytes = 4 + 4 + 4 * containers.length + 4 * containers.length
+      var off = headerBytes
+      containers.foreach { case (_, vs) =>
+        w32(off)
+        off += (if (vs.length <= 4096) 2 * vs.length else 8192)
+      }
+      containers.foreach { case (_, vs) =>
+        if (vs.length <= 4096) vs.foreach(w16)
+        else {
+          val words = new Array[Long](1024)
+          vs.foreach(v => words(v >>> 6) |= (1L << (v & 63)))
+          words.foreach(w64)
+        }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** One blob to place in a Puffin file. */
+  final case class BlobSpec(blob: Array[Byte], referencedDataFile: String,
+      cardinality: Long, snapshotId: Long, sequenceNumber: Long)
+
+  /** Write a Puffin file holding `blobs` (plus the spec's footer with
+    * per-blob `referenced-data-file`/`cardinality` properties); returns
+    * each blob's (content_offset, content_size_in_bytes) for the delete
+    * manifest entries. */
+  def writePuffin(path: Path, blobs: Seq[BlobSpec],
+      conf: Configuration): Seq[(Long, Long)] = {
+    require(blobs.nonEmpty, "a Puffin file must hold at least one blob")
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(path, true)
+    try {
+      out.write(PuffinMagic)
+      var off = 4L
+      val spans = blobs.map { b =>
+        out.write(b.blob)
+        val span = (off, b.blob.length.toLong)
+        off += b.blob.length
+        span
+      }
+      def esc(s: String): String = s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      }
+      val blobsJson = blobs.zip(spans).map { case (b, (o, l)) =>
+        s"""{"type":"$BlobType","fields":[],""" +
+          s""""snapshot-id":${b.snapshotId},""" +
+          s""""sequence-number":${b.sequenceNumber},""" +
+          s""""offset":$o,"length":$l,"properties":{""" +
+          s""""referenced-data-file":"${esc(b.referencedDataFile)}",""" +
+          s""""cardinality":"${b.cardinality}"}}"""
+      }.mkString("[", ",", "]")
+      val payload =
+        s"""{"blobs":$blobsJson,"properties":{"created-by":"graft"}}"""
+          .getBytes(StandardCharsets.UTF_8)
+      out.write(PuffinMagic)
+      out.write(payload)
+      val n = payload.length
+      out.write(n & 0xFF); out.write((n >>> 8) & 0xFF)
+      out.write((n >>> 16) & 0xFF); out.write((n >>> 24) & 0xFF)
+      out.write(Array[Byte](0, 0, 0, 0)) // flags: footer uncompressed
+      out.write(PuffinMagic)
+      spans
+    } finally out.close()
+  }
+
+  /** Parse a Puffin footer into its blob descriptors — the
+    * conformance face (scans use the manifest's offsets instead).
+    * Returns (type, offset, length, properties) per blob. */
+  def readFooter(path: Path, conf: Configuration)
+      : Seq[(String, Long, Long, Map[String, String])] = {
+    val fs = path.getFileSystem(conf)
+    val len = fs.getFileStatus(path).getLen
+    def fail(msg: String): Nothing = throw new IllegalStateException(
+      s"malformed Puffin file $path: $msg")
+    if (len < 20) fail(s"$len bytes, minimum is 20")
+    val in = fs.open(path)
+    try {
+      val tail = new Array[Byte](12)
+      in.readFully(len - 12, tail, 0, 12)
+      if (tail(8) != 'P' || tail(9) != 'F' || tail(10) != 'A' || tail(11) != '1')
+        fail("trailing magic missing")
+      if ((tail(4) & 0x01) != 0)
+        fail("zstd-compressed footer payloads are not supported " +
+          "(no zstd binding in this environment)")
+      val pSize = (tail(0) & 0xFF) | ((tail(1) & 0xFF) << 8) |
+        ((tail(2) & 0xFF) << 16) | ((tail(3) & 0xFF) << 24)
+      if (pSize < 0 || pSize > len - 20) fail(s"footer payload size $pSize")
+      val payload = new Array[Byte](pSize)
+      in.readFully(len - 12 - pSize, payload, 0, pSize)
+      val head = new Array[Byte](4)
+      in.readFully(len - 12 - pSize - 4, head, 0, 4)
+      if (head(0) != 'P' || head(1) != 'F' || head(2) != 'A' || head(3) != '1')
+        fail("footer opening magic missing")
+      val root = new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(new String(payload, StandardCharsets.UTF_8))
+      import scala.jdk.CollectionConverters._
+      Option(root.get("blobs")).toSeq.flatMap(_.elements().asScala).map { b =>
+        val props = Option(b.get("properties")).map { p =>
+          p.properties().asScala.map(e => e.getKey -> e.getValue.asText).toMap
+        }.getOrElse(Map.empty[String, String])
+        (b.path("type").asText, b.path("offset").asLong,
+          b.path("length").asLong, props)
+      }
+    } finally in.close()
+  }
+}

@@ -121,6 +121,11 @@ object IcebergExport {
     require(positional.nonEmpty || equality.nonEmpty,
       "appendDeletes needs at least one delete set")
     val st = loadState(spark, metadataLocation)
+    // the v3 spec forbids ADDING position delete files (deletion
+    // vectors replace them); equality deletes remain legal
+    require(st.formatVersion < 3 || positional.isEmpty,
+      s"$metadataLocation is format-version 3: position delete files " +
+        "must not be added to v3 tables — use appendDeletionVectors")
     val seq = st.lastSeq + 1
     val snapshotId = newSnapshotId()
     val delDir = new Path(st.root,
@@ -202,6 +207,193 @@ object IcebergExport {
     commitSnapshot(st, snapshotId, seq, "delete", st.priorEntries :+ entry)
   }
 
+  /** Commit positional deletes as v3 DELETION VECTORS: one roaring
+    * bitmap per addressed data file inside a single Puffin file
+    * ([[DeletionVectors]]), with manifest entries carrying
+    * `referenced_data_file` + `content_offset`/`content_size_in_bytes`
+    * per the v3 spec, and the table's `format-version` raised to 3
+    * (never lowered; position delete FILES become un-addable from then
+    * on — appendDeletes refuses them). `positional` is
+    * (`file_path` absolute, `pos`), the same shape appendDeletes takes.
+    * Bitmaps are encoded DISTRIBUTED (one task per data file, bounded
+    * by that file's row count); only the roaring-compressed blob bytes
+    * visit the driver for the sequential Puffin write — a commit's
+    * delete set, not the table, bounds that. */
+  def appendDeletionVectors(spark: SparkSession, metadataLocation: String,
+      positional: DataFrame): String = {
+    require(positional.schema.fieldNames.toSeq == Seq("file_path", "pos"),
+      s"deletion vectors need (file_path, pos), got ${positional.schema.toDDL}")
+    val st = loadState(spark, metadataLocation)
+    val seq = st.lastSeq + 1
+    val snapshotId = newSnapshotId()
+    import spark.implicits._
+    val conf0 = spark.sessionState.newHadoopConf()
+    def norm(s: String): String = new Path(s).toString
+    val newFiles: Set[String] = positional.select("file_path")
+      .distinct().collect().map(r => norm(r.getString(0))).toSet
+    // REPLACE semantics (v3 spec): a new vector for a data file must
+    // contain every delete already live for it — the prior vector's
+    // positions AND any carried parquet position-delete addresses
+    // (without the merge, the vector's supersede rule would resurrect
+    // them). Both merge sources arrive as (file_path, pos) frames; the
+    // prior vectors decode DISTRIBUTED (CatalogIO.dvAddressFrame).
+    val priorLayout = CatalogIO.readLayout(metadataLocation, conf0)
+    val locPrefix = priorLayout.dataLocation.stripSuffix("/") + "/"
+    import org.apache.spark.sql.functions.{col, concat, lit, udf}
+    val normU = udf(norm _)
+    val fromPriorDvs = CatalogIO.dvAddressFrame(spark, priorLayout, Map.empty)
+      .map(_.select(
+        normU(concat(lit(locPrefix), col("__graft_del_file"))).as("file_path"),
+        col("__graft_del_pos").cast(LongType).as("pos"))
+        .filter(col("file_path").isInCollection(newFiles)))
+    val fromPriorParquet = {
+      val paths = priorLayout.absolutePosDeleteFiles
+      if (paths.isEmpty) None
+      else {
+        val raw = spark.read.parquet(paths: _*)
+        require(raw.columns.toSeq.contains("file_path"),
+          s"$metadataLocation: positional delete files are not in the " +
+            "Iceberg (file_path, pos) shape — cannot merge into vectors")
+        Some(raw.select(normU(col("file_path")).as("file_path"),
+          col("pos").cast(LongType).as("pos"))
+          .filter(col("file_path").isInCollection(newFiles)))
+      }
+    }
+    val merged = (Seq(positional
+      .select(normU(positional.col("file_path")).as("file_path"),
+        positional.col("pos").cast(LongType).as("pos"))) ++
+      fromPriorDvs ++ fromPriorParquet).reduce(_ unionByName _)
+    val blobs: Seq[(String, Array[Byte], Long)] = merged
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroups { (file, it) =>
+        val raw = it.map(_._2).toArray
+        java.util.Arrays.sort(raw)
+        var w = 0
+        var i = 0
+        while (i < raw.length) {
+          if (w == 0 || raw(w - 1) != raw(i)) { raw(w) = raw(i); w += 1 }
+          i += 1
+        }
+        val dedup = if (w == raw.length) raw else java.util.Arrays.copyOf(raw, w)
+        (file, DeletionVectors.encodeBlob(dedup), dedup.length.toLong)
+      }.collect().toSeq.sortBy(_._1)
+    require(blobs.nonEmpty, "appendDeletionVectors needs at least one address")
+    val delDir = new Path(st.root,
+      s"deletes/s$seq-${java.util.UUID.randomUUID().toString.take(8)}")
+    val puffin = new Path(delDir, "dv-0.puffin")
+    val conf = spark.sessionState.newHadoopConf()
+    val spans = DeletionVectors.writePuffin(puffin,
+      blobs.map { case (f, b, c) =>
+        DeletionVectors.BlobSpec(b, f, c, snapshotId, seq)
+      }, conf)
+    val puffinAbs = st.fs.makeQualified(puffin).toString
+    val puffinLen = st.fs.getFileStatus(puffin).getLen
+    val mSchema = new Schema.Parser().parse(manifestSchemaJson("dv_manifest"))
+    val dfSchema = mSchema.getField("data_file").schema()
+    val manifestPath = new Path(st.metaDir,
+      s"dvm$seq-${java.util.UUID.randomUUID()}.avro")
+    val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
+    setManifestMeta(writer, st.schemaNode.toString, content = "deletes")
+    writer.create(mSchema, st.fs.create(manifestPath, false))
+    var rows = 0L
+    try blobs.zip(spans).foreach { case ((file, _, card), (off, len)) =>
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", 1)
+      d.put("file_path", puffinAbs)
+      d.put("file_format", "PUFFIN")
+      d.put("partition", emptyPartition(dfSchema))
+      d.put("record_count", card)
+      d.put("file_size_in_bytes", puffinLen)
+      d.put("referenced_data_file", file)
+      d.put("content_offset", Long.box(off))
+      d.put("content_size_in_bytes", Long.box(len))
+      val e = new GenericData.Record(mSchema)
+      e.put("status", 1); e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", seq); e.put("file_sequence_number", seq)
+      e.put("data_file", d)
+      writer.append(e)
+      rows += card
+    } finally writer.close()
+    val entry = ListEntry(st.fs.makeQualified(manifestPath).toString,
+      st.fs.getFileStatus(manifestPath).getLen, content = 1, seq,
+      minSeq = seq, addedSnapshotId = snapshotId,
+      addedFiles = blobs.size, existingFiles = 0, deletedFiles = 0,
+      addedRows = rows, existingRows = 0L, deletedRows = 0L)
+    // SUPERSEDE the replaced vectors: a data file may carry at most ONE
+    // live vector, so any carried delete manifest holding a vector
+    // entry for a file in this commit's set is REWRITTEN without it
+    // (entries copied verbatim under the original avro schema, with
+    // inherited seq/snapshot-id materialized so nothing re-inherits
+    // from the new list row; the original manifest file stays untouched
+    // for older snapshots). Manifests left empty are simply not carried.
+    val carried = st.priorEntries.flatMap { le =>
+      if (le.content != 1) Some(le)
+      else {
+        val (schema, recs) = readManifestEntries(new Path(le.path), conf0)
+        def dataFile(r: GenericRecord): GenericRecord =
+          r.get("data_file").asInstanceOf[GenericRecord]
+        def fieldOf(r: GenericRecord, f: String): Option[Any] = {
+          val df = dataFile(r)
+          if (df.getSchema.getField(f) == null) None else Option(df.get(f))
+        }
+        def supersededRec(r: GenericRecord): Boolean =
+          r.get("status").asInstanceOf[Int] != 2 &&
+            fieldOf(r, "file_format").exists(
+              _.toString.equalsIgnoreCase("puffin")) &&
+            fieldOf(r, "referenced_data_file").exists(v =>
+              newFiles.contains(norm(v.toString)))
+        val live = recs.filter(_.get("status").asInstanceOf[Int] != 2)
+        val (drop, keep) = live.partition(supersededRec)
+        if (drop.isEmpty) Some(le)
+        else if (keep.isEmpty) None
+        else {
+          val rw = new Path(st.metaDir,
+            s"dvm$seq-rw-${java.util.UUID.randomUUID()}.avro")
+          val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+          setManifestMeta(w, st.schemaNode.toString, content = "deletes")
+          w.create(schema, st.fs.create(rw, false))
+          var keptRows = 0L
+          try keep.foreach { r =>
+            if (r.get("sequence_number") == null)
+              r.put("sequence_number", Long.box(le.seq))
+            if (r.getSchema.getField("file_sequence_number") != null &&
+                r.get("file_sequence_number") == null)
+              r.put("file_sequence_number", Long.box(le.seq))
+            if (r.get("snapshot_id") == null)
+              r.put("snapshot_id", Long.box(le.addedSnapshotId))
+            r.put("status", 0) // existing: carried, not added here
+            keptRows += fieldOf(r, "record_count")
+              .map(_.asInstanceOf[Long]).getOrElse(0L)
+            w.append(r)
+          } finally w.close()
+          Some(ListEntry(st.fs.makeQualified(rw).toString,
+            st.fs.getFileStatus(rw).getLen, content = 1,
+            seq = le.seq, minSeq = le.minSeq, addedSnapshotId = snapshotId,
+            addedFiles = 0, existingFiles = keep.size, deletedFiles = 0,
+            addedRows = 0L, existingRows = keptRows, deletedRows = 0L))
+        }
+      }
+    }
+    commitSnapshot(st, snapshotId, seq, "delete", carried :+ entry,
+      minFormatVersion = 3)
+  }
+
+  /** Read every entry record of a manifest avro file, with its writer
+    * schema (for verbatim rewrite). */
+  private def readManifestEntries(p: Path,
+      conf: org.apache.hadoop.conf.Configuration)
+      : (Schema, Vector[GenericRecord]) = {
+    val reader = org.apache.avro.file.DataFileReader.openReader(
+      new org.apache.avro.mapred.FsInput(p, conf),
+      new org.apache.avro.generic.GenericDatumReader[GenericRecord]())
+    try {
+      val b = Vector.newBuilder[GenericRecord]
+      while (reader.hasNext) b += reader.next()
+      (reader.getSchema, b.result())
+    } finally reader.close()
+  }
+
   // ----- shared commit machinery --------------------------------------
 
   /** One manifest-list row. New manifests get accurate added-counts and
@@ -223,7 +415,7 @@ object IcebergExport {
       lastSeq: Long, curSnapshotId: Long, version: Int,
       schemaNode: JsonNode, sparkSchema: StructType,
       fieldIds: Seq[(StructField, Int)], snapshotsJson: Seq[String],
-      priorEntries: Seq[ListEntry])
+      priorEntries: Seq[ListEntry], formatVersion: Int)
 
   private def newSnapshotId(): Long =
     math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
@@ -238,9 +430,10 @@ object IcebergExport {
       finally in.close()
     }
     val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
-    require(root.path("format-version").asInt(-1) == 2,
-      s"$metadataLocation is not Iceberg v2 metadata; this writer " +
-        "appends to v2 tables only")
+    val fv = root.path("format-version").asInt(-1)
+    require(fv == 2 || fv == 3,
+      s"$metadataLocation is not Iceberg v2/v3 metadata; this writer " +
+        "appends to v2 and v3 tables only")
     val specs = Option(root.get("partition-specs")).toSeq
       .flatMap(_.elements().asScala)
     require(specs.forall(s => !s.get("fields").elements().hasNext),
@@ -277,7 +470,7 @@ object IcebergExport {
       location, root.path("table-uuid").asText(java.util.UUID.randomUUID().toString),
       root.path("last-sequence-number").asLong(0L), curId, version,
       schemaNode, sparkSchema, fieldIds,
-      snapshots.map(_.toString), priorEntries)
+      snapshots.map(_.toString), priorEntries, fv)
   }
 
   private def readListEntries(listPath: Path,
@@ -323,7 +516,9 @@ object IcebergExport {
   /** Write the new manifest list + `v{N+1}.metadata.json` with the
     * snapshot appended to the retained history. */
   private def commitSnapshot(st: TableState, snapshotId: Long, seq: Long,
-      operation: String, entries: Seq[ListEntry]): String = {
+      operation: String, entries: Seq[ListEntry],
+      // a table already at v3 never downgrades; a DV commit upgrades
+      minFormatVersion: Int = 2): String = {
     val listPath = writeManifestList(st.fs, st.metaDir, snapshotId,
       parent = Some(st.curSnapshotId).filter(_ != -1L), seq, entries)
     val snapshotJson = snapshotNode(snapshotId,
@@ -332,7 +527,8 @@ object IcebergExport {
     val metaPath = new Path(st.metaDir, s"v${st.version + 1}.metadata.json")
     val out = st.fs.create(metaPath, false)
     try out.write(metadataJson(st.uuid, st.location, st.sparkSchema,
-      st.fieldIds, snapshotId, seq, st.snapshotsJson :+ snapshotJson)
+      st.fieldIds, snapshotId, seq, st.snapshotsJson :+ snapshotJson,
+      formatVersion = math.max(st.formatVersion, minFormatVersion))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     st.fs.makeQualified(metaPath).toString
@@ -619,7 +815,8 @@ object IcebergExport {
 
   private def metadataJson(uuid: String, location: String,
       schema: StructType, fieldIds: Seq[(StructField, Int)],
-      snapshotId: Long, lastSeq: Long, snapshotsJson: Seq[String]): String = {
+      snapshotId: Long, lastSeq: Long, snapshotsJson: Seq[String],
+      formatVersion: Int = 2): String = {
     val fields = fieldIds.map { case (f, id) =>
       s"""{"id": $id, "name": "${esc(f.name)}", "required": ${!f.nullable}, """ +
         s""""type": "${icebergTypeName(f.dataType)}"}"""
@@ -629,7 +826,7 @@ object IcebergExport {
       s"""{"field-id": $id, "names": ["${esc(f.name)}"]}"""
     }.mkString("[", ", ", "]"))
     s"""{
-       |  "format-version": 2,
+       |  "format-version": $formatVersion,
        |  "table-uuid": "$uuid",
        |  "location": "${esc(location)}",
        |  "last-sequence-number": $lastSeq,
@@ -689,7 +886,9 @@ object IcebergExport {
        |      {"name": "lower_bounds", "type": ["null", {"type": "array", "items": $kvBytesSchema}], "default": null, "field-id": 125},
        |      {"name": "upper_bounds", "type": ["null", {"type": "array", "items": {"type": "record", "name": "k_v_bytes2", "fields": [{"name": "key", "type": "int", "field-id": 129}, {"name": "value", "type": "bytes", "field-id": 130}]}}], "default": null, "field-id": 128},
        |      {"name": "equality_ids", "type": ["null", {"type": "array", "items": "int"}], "default": null, "field-id": 135},
-       |      {"name": "referenced_data_file", "type": ["null", "string"], "default": null, "field-id": 143}
+       |      {"name": "referenced_data_file", "type": ["null", "string"], "default": null, "field-id": 143},
+       |      {"name": "content_offset", "type": ["null", "long"], "default": null, "field-id": 144},
+       |      {"name": "content_size_in_bytes", "type": ["null", "long"], "default": null, "field-id": 145}
        |    ]}}
        |]}""".stripMargin
 

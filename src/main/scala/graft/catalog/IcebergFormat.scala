@@ -93,10 +93,10 @@ object IcebergFormat {
       snapshotId: Option[Long] = None): CatalogIO.TableLayout = {
     val root = new ObjectMapper().readTree(text)
     val fv = root.path("format-version").asInt(-1)
-    if (fv != 1 && fv != 2)
+    if (fv != 1 && fv != 2 && fv != 3)
       throw new UnsupportedOperationException(
         s"Iceberg metadata $metadataLocation has format-version $fv; " +
-          "this reader implements the public v1/v2 spec")
+          "this reader implements the public v1/v2/v3 spec")
     val location = Option(root.get("location")).map(_.asText).getOrElse(
       throw new IllegalStateException(
         s"Iceberg metadata $metadataLocation has no location"))
@@ -222,7 +222,7 @@ object IcebergFormat {
     }.toVector
     val dataRelSet = rels.map(_._1).toSet
     val deleteFiles = readDeleteManifests(manifestPaths, conf, location,
-      relativize, intSeq, entrySeq, nameById, dataRelSet, metadataLocation)
+      relativize, intSeq, entrySeq, nameById, dataRelSet, metadataLocation, fv)
     if (renamed) {
       // renamed tables serve through the engine's EPOCH machinery
       // (round 14, judge r13 item 3) — per-file physical names, rows
@@ -274,7 +274,7 @@ object IcebergFormat {
       intSeq: (Long, String) => Int,
       entrySeq: (GenericRecord, Int, Long, String) => Long,
       nameById: Map[Int, String], dataRelSet: Set[String],
-      metadataLocation: String): Seq[CatalogIO.DeleteFile] =
+      metadataLocation: String, formatVersion: Int): Seq[CatalogIO.DeleteFile] =
     manifestPaths.filter(_._2 == 1).flatMap { case (mp, _, mseq) =>
       readAvroRecords(new Path(mp), conf).flatMap { entry =>
         val status = entry.get("status").asInstanceOf[Int]
@@ -291,12 +291,48 @@ object IcebergFormat {
           val absPath = df.get("file_path").toString
           val rel = relativize(absPath, "delete file")
           val format = df.get("file_format").toString
-          if (!format.equalsIgnoreCase("parquet"))
+          val seq = entrySeq(entry, status, mseq, mp)
+          if (format.equalsIgnoreCase("puffin")) {
+            // v3 DELETION VECTOR: one roaring bitmap of dead positions
+            // for one data file, addressed by (blob offset, length)
+            // inside the Puffin file — decoded task-side by the scan
+            // ([[DeletionVectors]]); file-addressed like positional
+            // deletes, so no seq gate participates
+            if (formatVersion < 3)
+              throw new UnsupportedOperationException(
+                s"Iceberg delete file $absPath is a Puffin deletion " +
+                  s"vector but the table is format-version $formatVersion; " +
+                  "vectors are a v3 construct — refusing spec-violating " +
+                  "metadata rather than guessing its semantics")
+            if (content != 1)
+              throw new UnsupportedOperationException(
+                s"Iceberg Puffin delete file $absPath has content=" +
+                  s"$content; deletion vectors are positional (content=1)")
+            def req[T](field: String)(cast: Any => T): T =
+              opt(df, field).map(cast).getOrElse(
+                throw new IllegalStateException(
+                  s"Iceberg deletion vector $absPath carries no $field; " +
+                    "the v3 spec requires it — metadata is malformed"))
+            val referenced = req("referenced_data_file")(_.toString)
+            val off = req("content_offset")(_.asInstanceOf[Long])
+            val len = req("content_size_in_bytes")(_.asInstanceOf[Long])
+            val t = relativize(referenced, "deletion-vector target")
+            // a vector whose data file is not in this snapshot deletes
+            // nothing (the file was compacted/removed after the vector
+            // was written but before this snapshot expired it)
+            if (!dataRelSet.contains(t)) None
+            else Some(CatalogIO.DeleteFile(rel, intSeq(seq, mp),
+              CatalogIO.DeleteKinds.Vector, Seq(t), Some(off), Some(len),
+              // record_count IS the vector's cardinality (v3 spec) —
+              // the broadcast-decision hint for the DataFrame face
+              rowCount = opt(df, "record_count")
+                .map(_.asInstanceOf[Long])))
+          }
+          else if (!format.equalsIgnoreCase("parquet"))
             throw new UnsupportedOperationException(
               s"Iceberg delete file format $format is not supported " +
-                "(parquet only)")
-          val seq = entrySeq(entry, status, mseq, mp)
-          content match {
+                "(parquet and puffin deletion vectors only)")
+          else content match {
             case 2 => // equality delete
               val ids = opt(df, "equality_ids").map {
                 case l: java.util.Collection[_] =>
@@ -593,6 +629,18 @@ object IcebergFormat {
 
   private def structToSpark(t: JsonNode, where: String): StructType =
     StructType(t.get("fields").elements().asScala.map { f =>
+      // v3 default values: `initial-default` is the value EXISTING data
+      // files must serve for the new column. This scan serves NULL for
+      // absent columns, so a non-null initial-default would silently
+      // misread every pre-addition file — refuse. (`write-default`
+      // binds writers only; reads are unaffected.)
+      val idef = f.get("initial-default")
+      if (idef != null && !idef.isNull)
+        throw new UnsupportedOperationException(
+          s"Iceberg field '${f.get("name").asText}' in $where carries a " +
+            s"non-null initial-default ($idef); this reader serves NULL " +
+            "for columns absent from a data file and cannot honor it — " +
+            "rewrite the table to materialize the default")
       StructField(f.get("name").asText, typeToSpark(f.get("type"), where),
         nullable = !f.path("required").asBoolean(false))
     }.toSeq)

@@ -217,6 +217,61 @@ object WriteQueries {
       spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
     }
 
+  /** w12 (round 14): Iceberg v3 DELETION VECTORS under the oracle —
+    * the engine writes a two-snapshot Iceberg table (even keys then odd
+    * keys, each one totally (k, ln)-ordered file), commits deletion
+    * vectors twice via [[graft.catalog.IcebergExport
+    * .appendDeletionVectors]] (commit 1: a DENSE 4900-position range on
+    * the even file — bitmap-container scale — plus the 3 smallest odd
+    * rows; commit 2: one more odd row, exercising the REPLACE cadence —
+    * the second vector must merge the first's positions and supersede
+    * its manifest entry), then reads the final state through the DSv2
+    * SQL face ([[graft.catalog.IcebergFormat]] converting the puffin
+    * entries, [[graft.sources.MorScan]] decoding one roaring blob per
+    * task). Row positions ARE the per-file (k, ln) ranks by
+    * construction, so relationally the whole thing is a ROW_NUMBER
+    * filter — which is exactly what the oracle replays. */
+  def w12(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w12") { (cat, hc) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w12-ice").toString
+      try {
+        import spark.implicits._
+        val base = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("k"),
+            col("l_linenumber").as("ln"),
+            col("l_quantity").cast("long").as("qty"),
+            col("l_returnflag").as("rf"))
+        val meta1 = graft.catalog.IcebergExport.writeTable(spark,
+          base.filter(col("k") % 2 === 0).repartition(1)
+            .sortWithinPartitions("k", "ln"), s"$tmp/t")
+        val meta2 = graft.catalog.IcebergExport.appendSnapshot(spark,
+          base.filter(col("k") % 2 === 1).repartition(1)
+            .sortWithinPartitions("k", "ln"), meta1)
+        val conf = spark.sessionState.newHadoopConf()
+        val layout = graft.catalog.CatalogIO.readLayout(meta2, conf)
+        def fileOf(prefix: String): String =
+          layout.dataFiles.get.zip(layout.absoluteDataFiles.get)
+            .collectFirst { case (rel, abs) if rel.startsWith(prefix) => abs }
+            .getOrElse(throw new IllegalStateException(
+              s"w12: no data file under $prefix"))
+        val (evenFile, oddFile) = (fileOf("data/part"), fileOf("data/s2-"))
+        val meta3 = graft.catalog.IcebergExport.appendDeletionVectors(spark,
+          meta2,
+          ((100L until 5000L).map(p => (evenFile, p)) ++
+            (0L to 2L).map(p => (oddFile, p))).toDF("file_path", "pos"))
+        val meta4 = graft.catalog.IcebergExport.appendDeletionVectors(spark,
+          meta3, Seq((oddFile, 5L)).toDF("file_path", "pos"))
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(graft.catalog.TableRef.parse("db.dv"), meta4)
+        val out = spark.sql(
+          s"""SELECT rf, COUNT(*) AS cnt, SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.dv WHERE k <= 30000
+             |GROUP BY rf""".stripMargin)
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w02 (round 9): the MERGE-ON-READ write surface under the oracle —
     * the counterpart of w01's copy-on-write faces. Builds a partitioned
     * table, then commits the O(batch) mutation sequence:

@@ -154,7 +154,12 @@ private final class MorScanBuilder(delegate: ParquetScanBuilder,
     // a delete is live). Spark re-applies the withheld filters above
     // the scan — correctness unchanged, full pushdown restored by
     // compaction, the same bounded trade as losing the columnar path.
-    if (layout.posDeleteFiles.isEmpty && !eqOverflow)
+    // DELETION VECTORS are counting reads too (their positions are file
+    // row indexes, exactly like parquet addresses) — same suppression,
+    // or a pushed filter's row-group/page skip would shift every
+    // counted index after it and delete the WRONG rows.
+    if (layout.posDeleteFiles.isEmpty && layout.dvDeleteFiles.isEmpty &&
+        !eqOverflow)
       delegate.pushFilters(filters)
     else {
       val partitionCols = layout.partitionColumns.map(_.toLowerCase).toSet
@@ -191,7 +196,14 @@ private[sources] final case class MorFilePartition(group: Int,
       * apply to them. The reader pushes a `_file == posFile` parquet
       * predicate into these reads (they are `_file`-partitioned and
       * `_file`-sorted, so row-group stats prune other files' rows). */
-    spilledPaths: Seq[String] = Nil) extends InputPartition {
+    spilledPaths: Seq[String] = Nil,
+    /** The Iceberg v3 DELETION VECTOR addressing this partition's file:
+      * (absolute Puffin path, blob offset, blob length). The task seeks
+      * straight to its own file's bitmap — one bounded read, decoded
+      * with [[graft.catalog.DeletionVectors.readBlob]]. When present,
+      * parquet position deletes for the file are superseded (v3 writer
+      * contract), so `posDeletePaths` carries only engine spill. */
+    dvBlob: Option[(String, Long, Long)] = None) extends InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
 
@@ -516,8 +528,13 @@ private final class MorScan(private val delegate: ParquetScan,
         throw new IllegalStateException(
           s"planned file ${pf.filePath} is not in the manifest of " +
             s"${layout.dataLocation} — cannot apply merge-on-read deletes"))
+    // a live deletion vector supersedes parquet POSITION deletes for
+    // its file (Iceberg v3: the writer merged them into the vector);
+    // engine eq-overflow spill still applies — it encodes EQUALITY
+    // deletes, which a vector never subsumes
     def posPathsFor(rel: String, seq: Int): Seq[String] =
-      layout.posDeletesFor(rel, seq) ++ spilledFor.getOrElse(rel, Nil)
+      (if (layout.dvFor(rel).isDefined) Nil
+       else layout.posDeletesFor(rel, seq)) ++ spilledFor.getOrElse(rel, Nil)
     val byGroup = slices.groupBy { pf =>
       eqDels.collect { case (p, d) if seqOf(pf) < d => p }.sorted
     }.toArray.sortBy(_._1.mkString("\u0000"))
@@ -527,8 +544,8 @@ private final class MorScan(private val delegate: ParquetScan,
     var idx = -1
     val parts = byGroup.zipWithIndex.flatMap { case ((_, fs0), g) =>
       val (posAffected, plain) = fs0.partition { pf =>
-        posPathsFor(relByPath(qual(pf.filePath.toString)), seqOf(pf))
-          .nonEmpty
+        val rel = relByPath(qual(pf.filePath.toString))
+        posPathsFor(rel, seqOf(pf)).nonEmpty || layout.dvFor(rel).isDefined
       }
       val plainParts =
         FilePartition.getFilePartitions(session, plain.toIndexedSeq, maxSplit).map { fp =>
@@ -551,7 +568,8 @@ private final class MorScan(private val delegate: ParquetScan,
             posDeletePaths = posPathsFor(rel, seqOf(first))
               .distinct.sorted,
             spilledPaths = spilledFor.getOrElse(rel, Nil)
-              .distinct.sorted): InputPartition
+              .distinct.sorted,
+            dvBlob = layout.dvFor(rel)): InputPartition
         }
       plainParts ++ posParts
     }
@@ -649,15 +667,24 @@ private final class MorReaderFactory(inner: PartitionReaderFactory,
     outOrdinals: Array[Int], identityProjection: Boolean)
   extends PartitionReaderFactory {
 
-  // task-side: the partition's OWN address files only
-  private def positionsFor(mp: MorFilePartition): Array[Long] =
-    mp.posFile match {
+  // task-side: the partition's OWN address files + its own file's
+  // deletion-vector blob only
+  private def positionsFor(mp: MorFilePartition)
+      : graft.catalog.DeletionVectors.PositionSet = {
+    import graft.catalog.DeletionVectors.PositionSet
+    val fromParquet = mp.posFile match {
       case Some(rel) if mp.posDeletePaths.nonEmpty =>
-        MorScan.readPositionsFor(rel, mp.posDeletePaths, hadoopConf.value,
-          if (mp.spilledPaths.nonEmpty) Long.MaxValue else maxTuples,
-          mp.spilledPaths.toSet)
-      case _ => Array.emptyLongArray
+        PositionSet.sorted(
+          MorScan.readPositionsFor(rel, mp.posDeletePaths, hadoopConf.value,
+            if (mp.spilledPaths.nonEmpty) Long.MaxValue else maxTuples,
+            mp.spilledPaths.toSet))
+      case _ => PositionSet.empty
     }
+    val fromDv = mp.dvBlob.fold(PositionSet.empty) { case (p, off, len) =>
+      graft.catalog.DeletionVectors.readBlob(p, off, len, hadoopConf.value)
+    }
+    PositionSet.union(fromParquet, fromDv)
+  }
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val mp = p.asInstanceOf[MorFilePartition]
@@ -697,7 +724,8 @@ private final class MorReaderFactory(inner: PartitionReaderFactory,
   * reader. Batches fully deleted are skipped in place. */
 private final class MorColumnarReader(
     inner: PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch],
-    probes: Array[MorDeleteProbe], positions: Array[Long],
+    probes: Array[MorDeleteProbe],
+    positions: graft.catalog.DeletionVectors.PositionSet,
     outOrdinals: Array[Int], identityProjection: Boolean)
   extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
 
@@ -707,8 +735,7 @@ private final class MorColumnarReader(
   private var fileRowOffset: Long = 0L
 
   private def deletedAt(batch: ColumnarBatch, i: Int, fileRow: Long): Boolean = {
-    if (positions.length > 0 &&
-        java.util.Arrays.binarySearch(positions, fileRow) >= 0) return true
+    if (positions.contains(fileRow)) return true
     if (probes.isEmpty) return false
     val row = batch.getRow(i)
     var k = 0
@@ -807,7 +834,8 @@ private final class MappedColumnVector(
   * pushdown-free) read and binary-searches the sorted deleted-position
   * array. */
 private final class MorRowReader(inner: PartitionReader[InternalRow],
-    probes: Array[MorDeleteProbe], positions: Array[Long],
+    probes: Array[MorDeleteProbe],
+    positions: graft.catalog.DeletionVectors.PositionSet,
     readTypes: Array[DataType],
     readNullable: Array[Boolean], outOrdinals: Array[Int],
     identityProjection: Boolean)
@@ -821,8 +849,7 @@ private final class MorRowReader(inner: PartitionReader[InternalRow],
   private var rowIndex: Long = -1L
 
   private def deleted(row: InternalRow): Boolean = {
-    if (positions.length > 0 &&
-        java.util.Arrays.binarySearch(positions, rowIndex) >= 0) return true
+    if (positions.contains(rowIndex)) return true
     var i = 0
     while (i < probes.length) {
       val p = probes(i)

@@ -122,12 +122,17 @@ class IcebergFormatSpec extends AnyFunSuite {
       |    {"name":"record_count","type":"long"},
       |    {"name":"file_size_in_bytes","type":"long"},
       |    {"name":"equality_ids","type":["null",{"type":"array","items":"int"}],"default":null},
-      |    {"name":"referenced_data_file","type":["null","string"],"default":null}
+      |    {"name":"referenced_data_file","type":["null","string"],"default":null},
+      |    {"name":"content_offset","type":["null","long"],"default":null},
+      |    {"name":"content_size_in_bytes","type":["null","long"],"default":null}
       |  ]}}]}""".stripMargin)
 
   private case class DelFile(content: Int, absPath: String, rows: Long,
       seq: Long, equalityIds: Seq[Int] = Nil,
-      referenced: Option[String] = None)
+      referenced: Option[String] = None,
+      format: String = "PARQUET",
+      contentOffset: Option[Long] = None,
+      contentSize: Option[Long] = None)
 
   /** Write a parquet file of rows into `target` (exact path) via a
     * single-part Spark write + rename. */
@@ -165,10 +170,12 @@ class IcebergFormatSpec extends AnyFunSuite {
       val r = new GenericData.Record(dfSchema)
       r.put("content", d.content)
       r.put("file_path", d.absPath)
-      r.put("file_format", "PARQUET")
+      r.put("file_format", d.format)
       r.put("record_count", d.rows)
       r.put("file_size_in_bytes",
         fs.getFileStatus(new Path(d.absPath)).getLen)
+      d.contentOffset.foreach(v => r.put("content_offset", Long.box(v)))
+      d.contentSize.foreach(v => r.put("content_size_in_bytes", Long.box(v)))
       if (d.equalityIds.nonEmpty) {
         val ids = new GenericData.Array[Integer](d.equalityIds.size,
           org.apache.avro.Schema.createArray(
@@ -995,5 +1002,286 @@ class IcebergFormatSpec extends AnyFunSuite {
     val df = CatalogIO.scanMetadataLocation(spark, p.toString)
     assert(df.count() == 0)
     assert(df.schema.fieldNames.toSeq == Seq("id", "v"))
+  }
+
+  // ---- v3 deletion vectors (round 14) --------------------------------
+
+  private def patchMetadata(metaLoc: String)(f: String => String): Unit = {
+    val conf = spark.sessionState.newHadoopConf()
+    val p = new Path(metaLoc)
+    val fs = p.getFileSystem(conf)
+    val text = {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val out = fs.create(p, true)
+    try out.write(f(text).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  test("deletion-vector codec: blob round-trip across container kinds, CRC/magic refusals") {
+    // array containers (sparse), a bitmap container (>4096 in one
+    // 65536-block), multiple 32-bit keys (a position past 2^32)
+    val dense = (100000L until 100000L + 5000L).toArray
+    val positions = (Array(0L, 1L, 7L, 65535L, 65536L, 1L << 33, (1L << 33) + 9) ++
+      dense).sorted
+    val blob = DeletionVectors.encodeBlob(positions)
+    val dv = DeletionVectors.decodeBlob(blob, "test")
+    assert(dv.cardinality == positions.length)
+    assert(positions.forall(dv.contains))
+    assert(!dv.contains(2L) && !dv.contains(99999L) &&
+      !dv.contains((1L << 33) + 10) && !dv.contains(1L << 32))
+    assert(dv.positions.toSeq == positions.toSeq,
+      "enumeration must yield the exact ascending position set")
+    // a flipped CRC byte refuses
+    val bad = blob.clone(); bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x1).toByte
+    val e1 = intercept[IllegalStateException](DeletionVectors.decodeBlob(bad, "test"))
+    assert(e1.getMessage.contains("CRC"))
+    // a wrong magic byte refuses
+    val bad2 = blob.clone(); bad2(4) = 0x00
+    assert(intercept[IllegalStateException](
+      DeletionVectors.decodeBlob(bad2, "test")).getMessage.contains("magic"))
+    // a truncated blob refuses
+    assert(intercept[IllegalStateException](DeletionVectors.decodeBlob(
+      java.util.Arrays.copyOf(blob, blob.length - 1), "test"))
+      .getMessage.contains("length"))
+  }
+
+  test("deletion-vector codec: reads the run-container form real writers emit") {
+    // hand-craft a 32-bit roaring bitmap with ONE RUN container
+    // (cookie 12347, <4 containers so no offset table): key 0,
+    // run [10, 14] — then wrap it in the portable-64 + blob framing
+    val bb = java.nio.ByteBuffer.allocate(64)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putLong(1L)              // one 32-bit bitmap
+    bb.putInt(0)                // high-32 key
+    bb.putInt(12347)            // run cookie, (containers-1)=0 in high bits
+    bb.put(0x1.toByte)          // run-marker bitset: container 0 is a run
+    bb.putShort(0)              // container key
+    bb.putShort(4)              // cardinality-1 (5 values)
+    bb.putShort(1)              // one run
+    bb.putShort(10)             // start
+    bb.putShort(4)              // length-1
+    val vector = java.util.Arrays.copyOf(bb.array(), bb.position())
+    val framed = java.nio.ByteBuffer.allocate(vector.length + 12)
+    framed.putInt(vector.length + 4)
+    framed.put(Array[Byte](0xD1.toByte, 0xD3.toByte, 0x39, 0x64))
+    framed.put(vector)
+    val crc = new java.util.zip.CRC32
+    crc.update(framed.array(), 4, 4 + vector.length)
+    framed.putInt(crc.getValue.toInt)
+    val dv = DeletionVectors.decodeBlob(framed.array(), "test-run")
+    assert(dv.cardinality == 5)
+    assert((10L to 14L).forall(dv.contains))
+    assert(!dv.contains(9L) && !dv.contains(15L))
+  }
+
+  test("v3 deletion vectors: scan, supersede rule, SQL face, and rebase adoption") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/t5"
+    val metaLoc = IcebergExport.writeTable(spark,
+      sampleDf.repartitionByRange(3, col("id")).sortWithinPartitions("id"), dir)
+    patchMetadata(metaLoc)(_.replace(
+      "\"format-version\": 2", "\"format-version\": 3"))
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val layout0 = CatalogIO.readLayout(metaLoc, conf)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(layout0.schemaDdl.get)
+    def idsAt(p: String, rows: Seq[Int]): Seq[Long] = {
+      val sorted = spark.read.schema(schema).parquet(p).orderBy("id")
+        .select("id").collect().map(_.getLong(0))
+      rows.map(sorted(_))
+    }
+    val sortedFiles = layout0.absoluteDataFiles.get
+      .sortBy(p => idsAt(p, Seq(0)).head)
+    val (fileA, fileB) = (sortedFiles.head, sortedFiles(1))
+    // DV on A: rows 0-4; DV on B: row 0 — one Puffin file, two blobs
+    val blobA = DeletionVectors.encodeBlob(Array(0L, 1L, 2L, 3L, 4L))
+    val blobB = DeletionVectors.encodeBlob(Array(0L))
+    val puffin = new Path(dir, "deletes/dv.puffin")
+    val spans = DeletionVectors.writePuffin(puffin, Seq(
+      DeletionVectors.BlobSpec(blobA, fileA, 5, 2L, 2L),
+      DeletionVectors.BlobSpec(blobB, fileB, 1, 2L, 2L)), conf)
+    // a STALE parquet positional delete naming A row 10: the v3 spec
+    // makes the vector authoritative for its file — row 10 must remain
+    // VISIBLE through every face
+    val pdStale = new Path(dir, "deletes/pd-stale.parquet")
+    writeParquetFile(Seq((fileA, 10L)).toDF("file_path", "pos"), pdStale)
+    // equality deletes still apply alongside vectors (different kind)
+    val eqIds = Set(150L, 299L)
+    val eqD = new Path(dir, "deletes/eq-ids.parquet")
+    writeParquetFile(eqIds.toSeq.toDF("id"), eqD)
+    val qp = fs.makeQualified(puffin).toString
+    spliceDeleteManifest(dir, metaLoc, Seq(
+      DelFile(1, qp, 5, 2L, referenced = Some(fileA), format = "PUFFIN",
+        contentOffset = Some(spans(0)._1), contentSize = Some(spans(0)._2)),
+      DelFile(1, qp, 1, 2L, referenced = Some(fileB), format = "PUFFIN",
+        contentOffset = Some(spans(1)._1), contentSize = Some(spans(1)._2)),
+      DelFile(1, fs.makeQualified(pdStale).toString, 1, 2L,
+        referenced = Some(fileA)),
+      DelFile(2, fs.makeQualified(eqD).toString, eqIds.size, 2L,
+        equalityIds = Seq(1))))
+
+    // conversion: two vector delete files with exact targets + spans
+    val layout = CatalogIO.readLayout(metaLoc, conf)
+    assert(layout.dvDeleteFiles.size == 2)
+    assert(layout.dvDeleteFiles.forall(d =>
+      d.blobOffset.isDefined && d.blobLength.isDefined &&
+        d.targets.size == 1 && d.rowCount.isDefined))
+    assert(layout.dvFor(layout.dataFiles.get(
+      layout.absoluteDataFiles.get.indexOf(fileA))).isDefined)
+
+    val dvDeletedIds = idsAt(fileA, 0 to 4) ++ idsAt(fileB, Seq(0))
+    val staleId = idsAt(fileA, Seq(10)).head
+    val hidden = dvDeletedIds.toSet ++ eqIds
+    assert(!hidden.contains(staleId), "fixture: the superseded row must differ")
+    val expected = sampleDf.filter(!col("id").isin(hidden.toSeq: _*))
+    // DataFrame face (join-based application, distributed decode)
+    val df = CatalogIO.scanMetadataLocation(spark, metaLoc)
+    assert(df.count() == 300 - hidden.size)
+    assert(df.exceptAll(expected).isEmpty && expected.exceptAll(df).isEmpty)
+    assert(df.filter(col("id") === staleId).count() == 1,
+      "a parquet positional delete superseded by a vector must not apply")
+    // DSv2/SQL face (MorScan: per-task blob decode) + adoption
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-iceberg-dv") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.dv"), metaLoc)
+      val sqlDf = spark.sql(s"SELECT * FROM $cat.db.dv")
+      assert(sqlDf.count() == 300 - hidden.size)
+      assert(sqlDf.exceptAll(expected).isEmpty && expected.exceptAll(sqlDf).isEmpty)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.dv WHERE id <= 50")
+        .head.getLong(0) == (1L to 50L).count(!hidden.contains(_)))
+      // counting-read discipline: vectors address file ROW INDEXES, so
+      // while one is live, data filters must NOT reach parquet — a
+      // row-group/page skip would shift every counted index after it
+      val plan = spark.sql(s"SELECT * FROM $cat.db.dv WHERE id <= 50")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("PushedFilters: []"),
+        s"data filters must be withheld while vectors are live:\n$plan")
+      // rebase adoption: vector spans survive the engine's own
+      // metadata JSON (deleteFileBlobOffsets/Lengths round-trip)
+      val adoptedRef = TableRef.parse("db.adoptdv")
+      CatalogIO.adoptIcebergTable(spark, hc, adoptedRef, metaLoc)
+      val aLayout = CatalogIO.readLayout(
+        hc.loadTableMetadataLocation(adoptedRef), conf)
+      assert(aLayout.dvDeleteFiles.size == 2 &&
+        aLayout.dvDeleteFiles.forall(d =>
+          d.blobOffset.isDefined && d.blobLength.isDefined && d.seq < 0))
+      val aDf = spark.table(s"$cat.db.adoptdv")
+      assert(aDf.count() == 300 - hidden.size)
+      assert(aDf.exceptAll(expected).isEmpty && expected.exceptAll(aDf).isEmpty)
+      // post-adoption write lands and reads alongside the vectors
+      spark.sql(s"INSERT INTO $cat.db.adoptdv VALUES " +
+        "(1001, 'new', 0.5, DATE'2024-01-01', 1.25)")
+      assert(spark.table(s"$cat.db.adoptdv").count() == 300 - hidden.size + 1)
+    }
+  }
+
+  test("appendDeletionVectors: the engine WRITES a v3 DV commit its own reader round-trips") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/t7"
+    // two files, each totally ordered by id → positions are id-ranks
+    val metaLoc = IcebergExport.writeTable(spark,
+      sampleDf.repartitionByRange(2, col("id")).sortWithinPartitions("id"), dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val layout0 = CatalogIO.readLayout(metaLoc, conf)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(layout0.schemaDdl.get)
+    def idAt(p: String, row: Int): Long =
+      spark.read.schema(schema).parquet(p).orderBy("id")
+        .select("id").collect().apply(row).getLong(0)
+    val Seq(fileA, fileB) = layout0.absoluteDataFiles.get
+      .sortBy(p => idAt(p, 0)).toSeq
+    val meta2 = IcebergExport.appendDeletionVectors(spark, metaLoc,
+      (Seq.tabulate(3)(p => (fileA, p.toLong)) :+ (fileB, 1L))
+        .toDF("file_path", "pos"))
+    // the commit upgraded the table to v3 and the reader serves it
+    val text = {
+      val fs = new Path(dir).getFileSystem(conf)
+      val in = fs.open(new Path(meta2))
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    assert(text.contains("\"format-version\": 3"))
+    val layout = CatalogIO.readLayout(meta2, conf)
+    assert(layout.dvDeleteFiles.size == 2 &&
+      layout.dvDeleteFiles.map(_.rowCount.get).sorted == Seq(1L, 3L))
+    val hidden = Set(idAt(fileA, 0), idAt(fileA, 1), idAt(fileA, 2),
+      idAt(fileB, 1))
+    val expected = sampleDf.filter(!col("id").isin(hidden.toSeq: _*))
+    val df = CatalogIO.scanMetadataLocation(spark, meta2)
+    assert(df.count() == 300 - 4)
+    assert(df.exceptAll(expected).isEmpty && expected.exceptAll(df).isEmpty)
+    // …and a v3 table refuses NEW position delete FILES (spec), while
+    // a second DV commit (the delete-maintenance cadence) still lands
+    val e = intercept[IllegalArgumentException](
+      IcebergExport.appendDeletes(spark, meta2,
+        positional = Some(Seq((fileA, 9L)).toDF("file_path", "pos"))))
+    assert(e.getMessage.contains("appendDeletionVectors"))
+    val meta3 = IcebergExport.appendDeletionVectors(spark, meta2,
+      Seq((fileB, 0L)).toDF("file_path", "pos"))
+    val df3 = CatalogIO.scanMetadataLocation(spark, meta3)
+    assert(df3.count() == 300 - 5)
+  }
+
+  test("v3 guards: puffin at v2 refuses, non-null initial-default refuses") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // puffin delete file inside a v2 table: spec-violating metadata
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/t6"
+    val metaLoc = IcebergExport.writeTable(spark, sampleDf.coalesce(1), dir)
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val fileA = CatalogIO.readLayout(metaLoc, conf).absoluteDataFiles.get.head
+    val blob = DeletionVectors.encodeBlob(Array(0L))
+    val puffin = new Path(dir, "deletes/dv.puffin")
+    val spans = DeletionVectors.writePuffin(puffin,
+      Seq(DeletionVectors.BlobSpec(blob, fileA, 1, 2L, 2L)), conf)
+    spliceDeleteManifest(dir, metaLoc, Seq(
+      DelFile(1, fs.makeQualified(puffin).toString, 1, 2L,
+        referenced = Some(fileA), format = "PUFFIN",
+        contentOffset = Some(spans(0)._1), contentSize = Some(spans(0)._2))))
+    val e = intercept[UnsupportedOperationException](
+      CatalogIO.readLayout(metaLoc, conf))
+    assert(e.getMessage.contains("format-version 2") &&
+      e.getMessage.contains("v3"))
+    // …and at v3 a vector entry missing its blob span is malformed
+    patchMetadata(metaLoc)(_.replace(
+      "\"format-version\": 2", "\"format-version\": 3"))
+    // (the spliced entry above HAS spans; write another without them)
+    val dir2 = s"${Files.createTempDirectory("graft-iceberg").toString}/t6b"
+    val metaLoc2 = IcebergExport.writeTable(spark, sampleDf.coalesce(1), dir2)
+    patchMetadata(metaLoc2)(_.replace(
+      "\"format-version\": 2", "\"format-version\": 3"))
+    val fs2 = new Path(dir2).getFileSystem(conf)
+    val fileA2 = CatalogIO.readLayout(metaLoc2, conf).absoluteDataFiles.get.head
+    val puffin2 = new Path(dir2, "deletes/dv.puffin")
+    DeletionVectors.writePuffin(puffin2,
+      Seq(DeletionVectors.BlobSpec(blob, fileA2, 1, 2L, 2L)), conf)
+    spliceDeleteManifest(dir2, metaLoc2, Seq(
+      DelFile(1, fs2.makeQualified(puffin2).toString, 1, 2L,
+        referenced = Some(fileA2), format = "PUFFIN")))
+    assert(intercept[IllegalStateException](
+      CatalogIO.readLayout(metaLoc2, conf))
+      .getMessage.contains("content_offset"))
+    // non-null initial-default: this reader would serve NULL where the
+    // spec demands the default — refuse at schema conversion
+    val p3 = new Path(Files.createTempDirectory("graft-iceberg").toString,
+      "v0.metadata.json")
+    val out = p3.getFileSystem(conf).create(p3, true)
+    try out.write(
+      """{"format-version": 3, "location": "/tmp/dv-ice",
+        |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
+        |  {"id": 1, "name": "id", "required": true, "type": "long"},
+        |  {"id": 2, "name": "v", "required": false, "type": "string",
+        |   "initial-default": "backfilled"}]}],
+        |"current-schema-id": 0, "current-snapshot-id": -1}""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val e3 = intercept[UnsupportedOperationException](
+      CatalogIO.scanMetadataLocation(spark, p3.toString))
+    assert(e3.getMessage.contains("initial-default"))
   }
 }
