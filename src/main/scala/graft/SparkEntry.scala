@@ -135,6 +135,7 @@ object SparkEntry {
     "w10_type_widening" -> (graft.queries.WriteQueries.w10 _),
     "w11_hidden_partitioning" -> (graft.queries.WriteQueries.w11 _),
     "w12_deletion_vectors" -> (graft.queries.WriteQueries.w12 _),
+    "w13_iceberg_orc" -> (graft.queries.WriteQueries.w13 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1019,6 +1020,16 @@ object SparkEntry {
         |WHERE k <= 30000
         |  AND NOT (k % 2 = 0 AND p BETWEEN 100 AND 4999)
         |  AND NOT (k % 2 = 1 AND (p <= 2 OR p = 5))
+        |GROUP BY rf""".stripMargin,
+    // w13: ORC data files — the engine writes and reads back an Iceberg
+    // table whose data files are ORC; relationally a projection +
+    // filter + aggregate over lineitem
+    "w13_iceberg_orc" ->
+      """SELECT l_returnflag AS rf, COUNT(*) AS cnt,
+        |       CAST(SUM(l_orderkey) AS BIGINT) AS k_sum,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+        |FROM lineitem
+        |WHERE l_orderkey <= 30000
         |GROUP BY rf""".stripMargin,
     // w05: incremental append reads are manifest set-differences, so
     // each phase's change set is relationally just the slice that

@@ -53,15 +53,22 @@ import org.apache.spark.sql.types._
 object IcebergExport {
 
   /** Write `df` as an Iceberg v2 table under `tableDir` (created; must
-    * not exist). Returns the metadata.json location. */
-  def writeTable(spark: SparkSession, df: DataFrame, tableDir: String): String = {
+    * not exist). Returns the metadata.json location. `fileFormat`
+    * selects the data-file format (`parquet` default; `orc` produces
+    * the Hive-migration-shaped tables [[IcebergFormat]] reads back —
+    * the append/delete faces below stay parquet-only, as this engine's
+    * writes are). */
+  def writeTable(spark: SparkSession, df: DataFrame, tableDir: String,
+      fileFormat: String = "parquet"): String = {
+    require(fileFormat == "parquet" || fileFormat == "orc",
+      s"unsupported Iceberg export data format '$fileFormat'")
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(tableDir)
     val fs = root.getFileSystem(conf)
     require(!fs.exists(root), s"Iceberg export target $tableDir already exists")
     val location = fs.makeQualified(root).toString
     val dataDir = new Path(root, "data")
-    df.write.parquet(dataDir.toString)
+    df.write.format(fileFormat).save(dataDir.toString)
     val schema = df.schema
     // field ids 1..n in schema order — the ids the manifests key
     // bounds by and the name mapping publishes
@@ -71,7 +78,8 @@ object IcebergExport {
     val snapshotId = newSnapshotId()
     val seq = 1L
     val (manifestEntry, rowCount) = writeDataManifest(spark, fs, metaDir,
-      location, schema, fieldIds, dataDir, relPrefix = "data", snapshotId, seq)
+      location, schema, fieldIds, dataDir, relPrefix = "data", snapshotId, seq,
+      fileFormat)
     val listPath = writeManifestList(fs, metaDir, snapshotId,
       parent = None, seq, Seq(manifestEntry))
     val snapshotJson = snapshotNode(snapshotId, parent = None, seq,
@@ -540,7 +548,8 @@ object IcebergExport {
   private def writeDataManifest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, metaDir: Path, location: String,
       schema: StructType, fieldIds: Seq[(StructField, Int)], dataDir: Path,
-      relPrefix: String, snapshotId: Long, seq: Long): (ListEntry, Long) = {
+      relPrefix: String, snapshotId: Long, seq: Long,
+      fileFormat: String = "parquet"): (ListEntry, Long) = {
     import org.apache.spark.sql.functions._
     val boundCols = fieldIds.filter { case (f, _) => boundSupported(f.dataType) }
     val aggs = count(lit(1)).as("_cnt") +:
@@ -553,7 +562,8 @@ object IcebergExport {
             case _ => Nil
           })
       }
-    val perFile = spark.read.schema(schema).parquet(dataDir.toString)
+    val perFile = spark.read.schema(schema).format(fileFormat)
+      .load(dataDir.toString)
       .groupBy(input_file_name().as("_file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
@@ -590,7 +600,7 @@ object IcebergExport {
       val d = new GenericData.Record(dfSchema)
       d.put("content", 0)
       d.put("file_path", s"$location/$relPrefix/$rel")
-      d.put("file_format", "PARQUET")
+      d.put("file_format", fileFormat.toUpperCase)
       d.put("partition", emptyPartition(dfSchema))
       d.put("record_count", cnt)
       d.put("file_size_in_bytes", st.getLen)

@@ -205,29 +205,56 @@ object IcebergFormat {
             throw new UnsupportedOperationException(
               s"Iceberg manifest $mp lists a delete file inside a data " +
                 "manifest; metadata is malformed")
-          val format = df.get("file_format").toString
-          if (!format.equalsIgnoreCase("parquet"))
+          val format = df.get("file_format").toString.toLowerCase
+          if (format != "parquet" && format != "orc")
             throw new UnsupportedOperationException(
               s"Iceberg data file format $format is not supported " +
-                "(parquet only)")
+                "(parquet or orc)")
           Some((df.get("file_path").toString,
             df.get("file_size_in_bytes").asInstanceOf[Long],
             statsText(df, fieldsByName, sparkSchema),
-            intSeq(entrySeq(entry, status, mseq, mp), mp)))
+            intSeq(entrySeq(entry, status, mseq, mp), mp),
+            format))
         }
       }
     }
-    val rels = entries.seq.map { case (p, size, stats, seq) =>
-      (relativize(p, "data file"), size, stats, seq)
+    val rels = entries.seq.map { case (p, size, stats, seq, fmt) =>
+      (relativize(p, "data file"), size, stats, seq, fmt)
     }.toVector
+    // homogeneous data format (round 14): ORC tables read end-to-end,
+    // but a MIXED parquet/orc table would need per-file reader dispatch
+    // inside one scan — refuse with the split named rather than
+    // mis-serve half the files
+    val dataFormat = {
+      val formats = rels.map(_._5).distinct.sorted
+      if (formats.size > 1)
+        throw new UnsupportedOperationException(
+          s"Iceberg metadata $metadataLocation mixes data file formats " +
+            formats.map(f => s"$f=${rels.count(_._5 == f)}").mkString("(", ", ", ")") +
+            "; this engine serves homogeneous tables only — rewrite " +
+            "(compact) the table to one format first")
+      formats.headOption.getOrElse("parquet")
+    }
     val dataRelSet = rels.map(_._1).toSet
     val deleteFiles = readDeleteManifests(manifestPaths, conf, location,
       relativize, intSeq, entrySeq, nameById, dataRelSet, metadataLocation, fv)
+    if (dataFormat == "orc" && deleteFiles.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"Iceberg metadata $metadataLocation: ORC data files with live " +
+          "delete files — position-addressed delete application needs " +
+          "parquet's row-index metadata, which Spark's ORC source does " +
+          "not serve; compact the table (materialize the deletes) first")
     if (renamed) {
       // renamed tables serve through the engine's EPOCH machinery
       // (round 14, judge r13 item 3) — per-file physical names, rows
       // served under the current names. Live deletes cannot coexist:
       // their seq gates would collide with the synthesized epoch seqs.
+      if (dataFormat == "orc")
+        throw new UnsupportedOperationException(
+          s"Iceberg metadata $metadataLocation: ORC data files with " +
+            "un-materialized column renames — the epoch mapping reads " +
+            "parquet footers for field ids; rewrite the table (compact) " +
+            "to materialize the rename first")
       if (deleteFiles.nonEmpty)
         throw new UnsupportedOperationException(
           s"Iceberg metadata $metadataLocation: the table has renamed " +
@@ -254,7 +281,8 @@ object IcebergFormat {
       // are live — the gate that decides which deletes apply to which
       // files; without deletes the layout keeps its pre-round-13 shape
       dataFileSeqs = if (deleteFiles.isEmpty) None else Some(rels.map(_._4)),
-      deleteFiles = deleteFiles)
+      deleteFiles = deleteFiles,
+      dataFormat = dataFormat)
   }
 
   /** The `file_path` field id of the spec's positional-delete file

@@ -272,6 +272,39 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(tmp)
     }
 
+  /** w13 (round 14): Iceberg tables with ORC DATA FILES under the
+    * oracle — the Hive-migration shape (`file_format: ORC` manifest
+    * entries). The engine writes a range-clustered ORC Iceberg table
+    * ([[graft.catalog.IcebergExport.writeTable]] with `fileFormat =
+    * "orc"`), registers the pointer, and reads it back through the DSv2
+    * SQL face: [[graft.catalog.IcebergFormat]] records the homogeneous
+    * format on the layout, planning serves Spark's OrcScan over the
+    * engine's [[graft.sources.ManifestFileIndex]] (zero listing), and
+    * the manifest's converted bounds prune the `k <= 30000` scan
+    * file-exact — the same manifest machinery as parquet, dispatched on
+    * format only at the reader seam. Relationally a projection +
+    * filter + aggregate over lineitem. */
+  def w13(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w13") { (cat, hc) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w13-ice").toString
+      try {
+        val base = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("k"),
+            col("l_quantity").cast("long").as("qty"),
+            col("l_returnflag").as("rf"))
+        val meta = graft.catalog.IcebergExport.writeTable(spark,
+          base.repartitionByRange(4, col("k")), s"$tmp/t", fileFormat = "orc")
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(graft.catalog.TableRef.parse("db.orc_ice"), meta)
+        val out = spark.sql(
+          s"""SELECT rf, COUNT(*) AS cnt, SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.orc_ice WHERE k <= 30000
+             |GROUP BY rf""".stripMargin)
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w02 (round 9): the MERGE-ON-READ write surface under the oracle —
     * the counterpart of w01's copy-on-write faces. Builds a partitioned
     * table, then commits the O(batch) mutation sequence:

@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{FunctionCatalog, Identifier, NamespaceChange, SupportsNamespaces, Table, TableCatalog, TableChange}
 import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.FileTable
+import org.apache.spark.sql.execution.datasources.v2.orc.OrcTable
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -134,11 +137,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     // versions hand the scan their exact file list (no directory
     // listing); basePath anchors partition discovery to the segment tree.
     val (paths, pathOpts) = tablePaths(layout)
-    val table = ParquetTable(ref.toString, SparkSession.active,
-      new CaseInsensitiveStringMap((hadoopOpts ++ pathOpts).asJava), paths,
-      userSpecifiedSchema = layout.schemaDdl
-        .map(org.apache.spark.sql.types.StructType.fromDDL),
-      fallbackFileFormat = classOf[ParquetFileFormat])
+    val table = baseTableFor(ref.toString, layout, paths, pathOpts)
     val readTable =
       // live equality-delete files (merge-on-read): scans must APPLY the
       // delete tuples or deleted rows resurrect. The MOR wrapper takes
@@ -238,11 +237,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     }
     val (paths, pathOpts) = tablePaths(vLayout)
     val label = s"$ref@v$version"
-    val table = ParquetTable(label, SparkSession.active,
-      new CaseInsensitiveStringMap((hadoopOpts ++ pathOpts).asJava), paths,
-      userSpecifiedSchema = vLayout.schemaDdl
-        .map(org.apache.spark.sql.types.StructType.fromDDL),
-      fallbackFileFormat = classOf[ParquetFileFormat])
+    val table = baseTableFor(label, vLayout, paths, pathOpts)
     // a time-traveled version applies ITS OWN seq-gated state (delete
     // set / rename epochs / stats) — every version reads with its own schema
     if (vLayout.deleteFiles.nonEmpty)
@@ -251,6 +246,23 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       new GraftEpochTable(SparkSession.active, label, vLayout, hadoopOpts)
     else if (vLayout.numBuckets.isEmpty) statsPruned(table, vLayout)
     else manifestPlanned(table, vLayout) // bucketed history: no SPJ, but zero-listing planning
+  }
+
+  /** Spark's stock listing-backed table for `layout`, dispatched on the
+    * layout's data-file format (round 14): parquet for every
+    * engine-written table, ORC for converted Iceberg ORC tables. The
+    * metadata-recorded schema (when present) skips footer inference. */
+  private def baseTableFor(name: String, layout: CatalogIO.TableLayout,
+      paths: Seq[String], pathOpts: Map[String, String]): FileTable = {
+    val opts = new CaseInsensitiveStringMap((hadoopOpts ++ pathOpts).asJava)
+    val schema = layout.schemaDdl
+      .map(org.apache.spark.sql.types.StructType.fromDDL)
+    layout.dataFormat match {
+      case "orc" => OrcTable(name, SparkSession.active, opts, paths, schema,
+        fallbackFileFormat = classOf[OrcFileFormat])
+      case _ => ParquetTable(name, SparkSession.active, opts, paths, schema,
+        fallbackFileFormat = classOf[ParquetFileFormat])
+    }
   }
 
   /** The layout's per-file stats keyed by normalized absolute path —
@@ -271,7 +283,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     * `spark.graft.manifest.planning=false` is the kill-switch back to
     * Spark's listing-based `ParquetTable`), else the listing-backed
     * table unchanged. */
-  private def manifestPlanned(table: ParquetTable,
+  private def manifestPlanned(table: FileTable,
       layout: CatalogIO.TableLayout): Table with org.apache.spark.sql.connector.catalog.SupportsRead = {
     val enabled = SparkSession.active.conf
       .getOption("spark.graft.manifest.planning").forall(_ == "true")
@@ -283,7 +295,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
   /** [[manifestPlanned]] wrapped in manifest-stats file skipping
     * ([[StatsPruning]]) when the layout records per-file stats — the
     * plain-scan path's full decoration. */
-  private def statsPruned(table: ParquetTable,
+  private def statsPruned(table: FileTable,
       layout: CatalogIO.TableLayout): Table with org.apache.spark.sql.connector.catalog.SupportsRead = {
     val planTable = manifestPlanned(table, layout)
     statsMapOf(layout) match {

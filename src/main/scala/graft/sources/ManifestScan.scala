@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.execution.datasources.{PartitioningAwareFileIndex, PartitioningUtils, PartitionPath, PartitionSpec}
+import org.apache.spark.sql.execution.datasources.v2.orc.OrcScanBuilder
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -134,7 +135,7 @@ object ManifestFileIndex {
       options: Map[String, String],
       layout: CatalogIO.TableLayout,
       schemaOverride: Option[StructType] = None,
-      fileSubset: Option[Seq[String]] = None): Option[ManifestParquetTable] =
+      fileSubset: Option[Seq[String]] = None): Option[ManifestFileTable] =
     for {
       schema <- schemaOverride.orElse(layout.schemaDdl.flatMap(d =>
         scala.util.Try(StructType.fromDDL(d)).toOption))
@@ -147,17 +148,20 @@ object ManifestFileIndex {
       partitionFields = layout.partitionColumns.flatMap(c =>
         schema.fields.find(_.name.equalsIgnoreCase(c)))
       if partitionFields.size == layout.partitionColumns.size
-    } yield new ManifestParquetTable(name, session,
+    } yield new ManifestFileTable(name, session,
       new CaseInsensitiveStringMap(options.asJava), layout.dataLocation,
-      sized, schema, StructType(partitionFields), options)
+      sized, schema, StructType(partitionFields), options, layout.dataFormat)
 }
 
-/** A read-only parquet table planned from the manifest: serves the same
-  * `ParquetScanBuilder` as Spark's `ParquetTable`, but over a
-  * [[ManifestFileIndex]] instead of a listing-backed `InMemoryFileIndex`.
-  * Schema shape mirrors `FileTable`: data columns (nullable-forced, as
-  * parquet files may omit values) followed by the partition columns. */
-final class ManifestParquetTable(
+/** A read-only file table planned from the manifest: serves the same
+  * `ParquetScanBuilder`/`OrcScanBuilder` as Spark's own file tables,
+  * but over a [[ManifestFileIndex]] instead of a listing-backed
+  * `InMemoryFileIndex`. `format` is the layout's homogeneous data-file
+  * format (parquet for every engine-written table; orc for converted
+  * Iceberg ORC tables). Schema shape mirrors `FileTable`: data columns
+  * (nullable-forced, as files may omit values) followed by the
+  * partition columns. */
+final class ManifestFileTable(
     tableName: String,
     session: SparkSession,
     options: CaseInsensitiveStringMap,
@@ -165,7 +169,8 @@ final class ManifestParquetTable(
     entries: Seq[(String, Long)],
     recordedSchema: StructType,
     partitionSchemaOf: StructType,
-    hadoopOpts: Map[String, String] = Map.empty) extends Table with SupportsRead {
+    hadoopOpts: Map[String, String] = Map.empty,
+    format: String = "parquet") extends Table with SupportsRead {
 
   private val partitionNames =
     partitionSchemaOf.fieldNames.map(_.toLowerCase).toSet
@@ -209,6 +214,9 @@ final class ManifestParquetTable(
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder = {
     val merged = new CaseInsensitiveStringMap(
       (options.asScala ++ opts.asScala).asJava)
-    ParquetScanBuilder(session, fileIndex, schema, dataSchema, merged)
+    format match {
+      case "orc" => OrcScanBuilder(session, fileIndex, schema, dataSchema, merged)
+      case _ => ParquetScanBuilder(session, fileIndex, schema, dataSchema, merged)
+    }
   }
 }

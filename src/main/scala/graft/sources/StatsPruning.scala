@@ -13,6 +13,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EmptyRow, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, InSet, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.v2.{FileScan, FileScanBuilder}
+import org.apache.spark.sql.execution.datasources.v2.orc.OrcScan
 import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.{DataType, StringType, StructType}
@@ -254,17 +256,18 @@ final class StatsPrunedTable(delegate: Table with SupportsRead,
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    // both wrappable tables (Spark's ParquetTable, ManifestParquetTable)
-    // build ParquetScanBuilders — the only builder this wrapper delegates to
+    // every wrappable table (Spark's ParquetTable/OrcTable,
+    // ManifestFileTable) builds a FileScanBuilder — the pushdown
+    // surface this wrapper delegates to
     new StatsPrunedScanBuilder(
-      delegate.newScanBuilder(options).asInstanceOf[ParquetScanBuilder],
+      delegate.newScanBuilder(options).asInstanceOf[FileScanBuilder],
       statsByPath, delegate.schema, delegate.name, totalDataFiles, ndvByPath)
 }
 
-/** Delegates every pushdown to Spark's ParquetScanBuilder, capturing the
-  * filter conjuncts; `build()` wraps the scan so file slices excluded by
-  * stats never become input partitions. */
-final class StatsPrunedScanBuilder(delegate: ParquetScanBuilder,
+/** Delegates every pushdown to Spark's FileScanBuilder (parquet or orc),
+  * capturing the filter conjuncts; `build()` wraps the scan so file
+  * slices excluded by stats never become input partitions. */
+final class StatsPrunedScanBuilder(delegate: FileScanBuilder,
     statsByPath: Map[String, String], schema: StructType, tableName: String,
     totalDataFiles: Int = -1, ndvByPath: Map[String, String] = Map.empty)
   extends ScanBuilder
@@ -396,14 +399,22 @@ final class StatsPrunedScanBuilder(delegate: ParquetScanBuilder,
         r
     }
 
+  // aggregate pushdown is per-format (both parquet and orc builders
+  // implement it, but FileScanBuilder itself does not declare it)
+  private def aggDelegate: Option[org.apache.spark.sql.connector.read.SupportsPushDownAggregates] =
+    delegate match {
+      case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates => Some(a)
+      case _ => None
+    }
+
   override def supportCompletePushDown(aggregation: Aggregation): Boolean =
     manifestAnswerMemo(aggregation).isDefined ||
-      delegate.supportCompletePushDown(aggregation)
+      aggDelegate.exists(_.supportCompletePushDown(aggregation))
 
   override def pushAggregation(aggregation: Aggregation): Boolean =
     manifestAnswerMemo(aggregation) match {
       case some @ Some(_) => manifestAgg = some; true
-      case None => delegate.pushAggregation(aggregation)
+      case None => aggDelegate.exists(_.pushAggregation(aggregation))
     }
 
   // wrapped even with NO filters: pruning then no-ops, but the scan
@@ -415,6 +426,9 @@ final class StatsPrunedScanBuilder(delegate: ParquetScanBuilder,
     case None => delegate.build() match {
       case p: ParquetScan if p.pushedAggregate.isEmpty =>
         new StatsPrunedScan(p, captured, statsByPath, schema, tableName,
+          ndvByPath)
+      case o: OrcScan if o.pushedAggregate.isEmpty =>
+        new StatsPrunedScan(o, captured, statsByPath, schema, tableName,
           ndvByPath)
       case other => other // footer-based aggregate scans pass through
     }
@@ -445,7 +459,7 @@ final class ManifestAggScan(out: StructType, row: InternalRow,
   * filter skips fact files Spark would otherwise schedule, with zero
   * data read. Runtime predicates arrive after planning, so the memoized
   * pruning decision is invalidated when `filter()` lands. */
-final class StatsPrunedScan(private val delegate: ParquetScan,
+final class StatsPrunedScan(private val delegate: FileScan,
     private val filters: Seq[Expression],
     statsByPath: Map[String, String], schema: StructType, tableName: String,
     ndvByPath: Map[String, String] = Map.empty)

@@ -105,6 +105,82 @@ class IcebergFormatSpec extends AnyFunSuite {
     assert(viaTarget.count() == 300)
   }
 
+  // ---- ORC data files (round 14) -------------------------------------
+
+  test("an Iceberg table with ORC data files reads end-to-end: scan, SQL, stats pruning") {
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-iceberg-orc") { (cat, hc) =>
+      val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/torc"
+      val df = sampleDf.repartitionByRange(3, org.apache.spark.sql.functions.col("id"))
+      val metaLoc = IcebergExport.writeTable(spark, df, dir, fileFormat = "orc")
+      val layout = CatalogIO.readLayout(metaLoc, spark.sessionState.newHadoopConf())
+      assert(layout.dataFormat == "orc")
+      assert(layout.dataFiles.exists(fs => fs.size == 3 &&
+        fs.forall(_.endsWith(".orc"))))
+      // DataFrame face: logical content identical to the source
+      val got = CatalogIO.scanMetadataLocation(spark, metaLoc)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == sampleDf.collect().map(_.toString).sorted.toSeq)
+      // DSv2 SQL face: a registered pointer serves ORC through manifest
+      // planning, and the manifest's converted bounds prune files
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.orc_ice"), metaLoc)
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.db.orc_ice")
+        .head.getLong(0) == 300)
+      graft.sources.StatsPruning.lastPlanned = None
+      val n = spark.sql(s"SELECT sum(id) s FROM $cat.db.orc_ice WHERE id <= 50")
+        .head.getLong(0)
+      assert(n == (1 to 50).map(_.toLong).sum)
+      val (skipped, total) = graft.sources.StatsPruning.lastPlanned
+        .getOrElse(fail("stats pruning never planned"))
+      assert(total == 3 && skipped >= 1,
+        s"expected ORC file skipping from Iceberg bounds, got $skipped/$total")
+      // the physical scan is Spark's ORC machinery, not parquet pointed
+      // at ORC bytes
+      val plan = spark.sql(s"SELECT * FROM $cat.db.orc_ice WHERE id <= 50")
+        .queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("orc"), plan)
+      // adoption (writability) refuses: this engine's writes are parquet
+      val e = intercept[UnsupportedOperationException] {
+        CatalogIO.adoptIcebergTable(spark, hc, TableRef.parse("db.adopted"), metaLoc)
+      }
+      assert(e.getMessage.contains("orc") && e.getMessage.contains("adoption"))
+    }
+  }
+
+  test("mixed parquet/orc data files refuse with the split named") {
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tmix"
+    val meta1 = IcebergExport.writeTable(spark, sampleDf.coalesce(1), dir,
+      fileFormat = "orc")
+    // the append faces write parquet — appending to an ORC table is the
+    // realistic way a mixed table arises
+    val meta2 = IcebergExport.appendSnapshot(spark, sampleDf.limit(5), meta1)
+    val e = intercept[UnsupportedOperationException] {
+      CatalogIO.readLayout(meta2, spark.sessionState.newHadoopConf())
+    }
+    assert(e.getMessage.contains("mixes data file formats") &&
+      e.getMessage.contains("orc=1") && e.getMessage.contains("parquet="),
+      e.getMessage)
+  }
+
+  test("ORC data with live delete files refuses loudly (addressing needs parquet)") {
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tdel"
+    val metaLoc = IcebergExport.writeTable(spark, sampleDf.coalesce(1), dir,
+      fileFormat = "orc")
+    val conf = spark.sessionState.newHadoopConf()
+    // a parquet equality-delete file over field id 1 (`id`)
+    import spark.implicits._
+    val delPath = new Path(dir, "data/eqdel-0.parquet")
+    writeParquetFile(Seq(1L, 2L).toDF("id"), delPath)
+    spliceDeleteManifest(dir, metaLoc, Seq(DelFile(content = 2,
+      absPath = delPath.getFileSystem(conf).makeQualified(delPath).toString,
+      rows = 2, seq = 2, equalityIds = Seq(1))))
+    val e = intercept[UnsupportedOperationException] {
+      CatalogIO.readLayout(metaLoc, conf)
+    }
+    assert(e.getMessage.contains("ORC data files with live delete files"),
+      e.getMessage)
+  }
+
   // ---- v2 merge-on-read fixtures (round 13, judge r12 item 2) --------
 
   /** Avro schema of a spec-shaped DELETE manifest entry: the data_file
