@@ -200,7 +200,22 @@ object CatalogIO {
         * renames, and adoption refuse there (the MOR/epoch machinery is
         * position-addressed via parquet's `_metadata.row_index`, which
         * Spark's ORC source does not serve). */
-      dataFormat: String = "parquet") {
+      dataFormat: String = "parquet",
+      /** v3 initial-default FILLS (round 14, Iceberg-converted layouts
+        * only — never serialized): parallel to `dataFiles`, each entry
+        * lists the (column → external JVM default value) constants that
+        * file must serve because it predates the column. Empty for
+        * files that contain the column (their own values — including
+        * legitimate NULLs — pass through). The converter guarantees
+        * fills never coexist with deletes, renames, or ORC. */
+      dataFileFills: Option[Seq[Seq[(String, Any)]]] = None) {
+    require(dataFileFills.forall(s => dataFiles.exists(_.size == s.size)),
+      "dataFileFills must parallel dataFiles one-to-one")
+    require(dataFileFills.forall(_ => deleteFiles.isEmpty && renameOps.isEmpty
+      && dataFormat == "parquet"),
+      "initial-default fills never coexist with deletes/renames/ORC")
+    /** Any file with a non-empty fill set? (the scan-routing test) */
+    def hasFills: Boolean = dataFileFills.exists(_.exists(_.nonEmpty))
     require(dataFormat == "parquet" || dataFormat == "orc",
       s"unsupported data file format '$dataFormat' (parquet or orc)")
     require(dataFormat == "parquet" || (deleteFiles.isEmpty && renameOps.isEmpty),
@@ -2607,6 +2622,32 @@ object CatalogIO {
             extraCount = dvCount)
             .drop("__graft_file", "__graft_pos")
         }.reduce(_ unionByName _)
+      case Some(filesWithSeqs) if layout.hasFills =>
+        // v3 initial-defaults: group files by their fill set; each
+        // pre-addition group reads under the full schema (absent
+        // columns surface as NULL) and the fill OVERWRITES the column
+        // with the constant — sound because a filled file provably
+        // lacks the column, so there are no real values to clobber
+        val groups = filesWithSeqs.map(_._1)
+          .zip(layout.dataFileFills.get)
+          .groupBy(_._2).toSeq
+          .sortBy(_._1.map(_._1).mkString(","))
+        // read nullable-forced: a REQUIRED column with a default is
+        // physically absent from pre-addition files, and the strict
+        // schema would refuse the scan the fill exists to serve
+        val nullableSchema = org.apache.spark.sql.types.StructType(
+          org.apache.spark.sql.types.StructType
+            .fromDDL(layout.schemaDdl.getOrElse(throw new IllegalStateException(
+              s"fill layout with no recorded schema at ${layout.dataLocation}")))
+            .fields.map(_.copy(nullable = true)))
+        groups.map { case (fills, pairs) =>
+          val df0 = load(spark.read.options(options).schema(nullableSchema)
+            .option("basePath", layout.dataLocation), pairs.map(_._1))
+          fills.foldLeft(df0) { case (d, (c, v)) =>
+            d.withColumn(c, org.apache.spark.sql.functions.lit(v)
+              .cast(d.schema(c).dataType))
+          }
+        }.reduce(_ unionByName _)
       case Some(filesWithSeqs) =>
         load(reader.option("basePath", layout.dataLocation),
           filesWithSeqs.map(_._1))
@@ -3221,6 +3262,15 @@ object CatalogIO {
           "files; adoption requires parquet (this engine's writes are " +
           "parquet and mixed-format tables cannot be served). The table " +
           "remains readable through its Iceberg pointer")
+    // un-materialized v3 initial-defaults cannot be represented in the
+    // engine's manifest format — adopting would silently turn every
+    // pre-addition row's default into NULL
+    if (raw.hasFills)
+      throw new UnsupportedOperationException(
+        s"Iceberg table at $metadataLocation carries un-materialized " +
+          "initial-default columns; rewrite the table (materializing " +
+          "the defaults) before adoption. The table remains readable " +
+          "through its Iceberg pointer")
     // Live-delete tables ADOPT by SEQUENCE REBASE (round 14, judge r13
     // item 7 — the r13 refusal lifted): the adopted manifest's future
     // commits number seqs from the engine's version counter (1, 2, …),

@@ -122,12 +122,19 @@ object IcebergFormat {
         snapshot.flatMap(s => Option(s.get("schema-id")).map(_.asInt))))
     val sparkSchema = schemaToSpark(schema, metadataLocation)
     val renamed = hasRenamedColumns(root, schema)
+    // v3 initial-defaults (round 14): the value pre-addition files must
+    // serve for an added column; applied per-file by the scan's fill
+    // machinery (files proven to CONTAIN the column — manifest stats or
+    // footer — serve their own values)
+    val defaults = initialDefaultsOf(schema, metadataLocation)
     // name → (field id, type) ONCE — statsText runs per data file, and
     // a per-file scan of the field list would be O(files × cols²)
     val fieldsByName: Map[String, (Int, JsonNode)] =
       fieldIdsOf(schema).map { case (id, (n, t)) => n -> (id, t) }
     val nameById: Map[Int, String] =
       fieldIdsOf(schema).map { case (id, (n, _)) => id -> n }
+    val fillIds: Set[Int] =
+      defaults.map { case (n, _) => fieldsByName(n)._1 }.toSet
     val props = Option(root.get("properties")).map(_.properties().asScala
       .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
     val base = CatalogIO.TableLayout(
@@ -210,16 +217,26 @@ object IcebergFormat {
             throw new UnsupportedOperationException(
               s"Iceberg data file format $format is not supported " +
                 "(parquet or orc)")
+          // which fill columns this file PROVABLY contains: manifest
+          // stats are writer-derived, so a bounds/null-count entry keyed
+          // by the field id proves presence (the cheap gate before any
+          // footer read)
+          val stattedFills: Set[Int] =
+            if (fillIds.isEmpty) Set.empty
+            else Seq("lower_bounds", "upper_bounds", "null_value_counts")
+              .flatMap(fld => opt(df, fld).toSeq
+                .flatMap(m => avroMap(m).keys))
+              .toSet.intersect(fillIds)
           Some((df.get("file_path").toString,
             df.get("file_size_in_bytes").asInstanceOf[Long],
             statsText(df, fieldsByName, sparkSchema),
             intSeq(entrySeq(entry, status, mseq, mp), mp),
-            format))
+            format, stattedFills))
         }
       }
     }
-    val rels = entries.seq.map { case (p, size, stats, seq, fmt) =>
-      (relativize(p, "data file"), size, stats, seq, fmt)
+    val rels = entries.seq.map { case (p, size, stats, seq, fmt, statted) =>
+      (relativize(p, "data file"), size, stats, seq, fmt, statted)
     }.toVector
     // homogeneous data format (round 14): ORC tables read end-to-end,
     // but a MIXED parquet/orc table would need per-file reader dispatch
@@ -244,6 +261,54 @@ object IcebergFormat {
           "delete files — position-addressed delete application needs " +
           "parquet's row-index metadata, which Spark's ORC source does " +
           "not serve; compact the table (materialize the deletes) first")
+    // v3 initial-defaults → per-file FILL sets: a default applies to a
+    // file iff the file LACKS the column. Manifest stats keyed by the
+    // field id prove presence for free; only the remaining files pay a
+    // (cached, parallel) footer read — the same ground-truth check the
+    // rename-epoch path uses. Combinations whose scan machinery cannot
+    // thread a constant refuse loudly rather than mis-serve.
+    val dataFileFills: Option[Seq[Seq[(String, Any)]]] =
+      if (defaults.isEmpty) None
+      else {
+        def refuseWith(what: String): Nothing =
+          throw new UnsupportedOperationException(
+            s"Iceberg metadata $metadataLocation: non-null " +
+              s"initial-default columns alongside $what — this engine " +
+              "serves either, not both; rewrite the table (compact, " +
+              "materializing the defaults) first")
+        if (dataFormat == "orc") refuseWith("ORC data files")
+        if (renamed) refuseWith("un-materialized column renames")
+        if (deleteFiles.nonEmpty) refuseWith("live delete files")
+        val idOf: Map[String, Int] =
+          defaults.map { case (n, _) => n -> fieldsByName(n)._1 }.toMap
+        val mappedNames: Map[Int, Seq[String]] =
+          props.get("schema.name-mapping.default").map { text =>
+            new ObjectMapper().readTree(text).elements().asScala.map { e =>
+              e.path("field-id").asInt(-1) ->
+                e.path("names").elements().asScala.map(_.asText).toSeq
+            }.toMap
+          }.getOrElse(Map.empty)
+        val perFile = {
+          import scala.collection.parallel.CollectionConverters._
+          rels.par.map { case (rel, _, _, _, _, statted) =>
+            val unproven = defaults.filter { case (n, _) => !statted(idOf(n)) }
+            if (unproven.isEmpty) Seq.empty[(String, Any)]
+            else {
+              val abs = location.stripSuffix("/") + "/" + rel
+              val footer = FooterFields.of(abs, conf)
+              val byId = footer.flatMap(_._2).toSet
+              val names = footer.map(_._1).toSet
+              val hasIds = footer.exists(_._2.isDefined)
+              unproven.filterNot { case (n, _) =>
+                // present ⇒ the file serves its own values, no fill
+                if (hasIds) byId(idOf(n))
+                else names(n) || mappedNames.getOrElse(idOf(n), Nil).exists(names)
+              }
+            }
+          }.seq.toVector
+        }
+        if (perFile.forall(_.isEmpty)) None else Some(perFile)
+      }
     if (renamed) {
       // renamed tables serve through the engine's EPOCH machinery
       // (round 14, judge r13 item 3) — per-file physical names, rows
@@ -282,7 +347,8 @@ object IcebergFormat {
       // files; without deletes the layout keeps its pre-round-13 shape
       dataFileSeqs = if (deleteFiles.isEmpty) None else Some(rels.map(_._4)),
       deleteFiles = deleteFiles,
-      dataFormat = dataFormat)
+      dataFormat = dataFormat,
+      dataFileFills = dataFileFills)
   }
 
   /** The `file_path` field id of the spec's positional-delete file
@@ -655,26 +721,69 @@ object IcebergFormat {
           s"Iceberg nested type '$other' in $where is not supported")
     }
 
-  private def structToSpark(t: JsonNode, where: String): StructType =
+  private def structToSpark(t: JsonNode, where: String,
+      topLevel: Boolean = false): StructType =
     StructType(t.get("fields").elements().asScala.map { f =>
       // v3 default values: `initial-default` is the value EXISTING data
-      // files must serve for the new column. This scan serves NULL for
-      // absent columns, so a non-null initial-default would silently
-      // misread every pre-addition file — refuse. (`write-default`
-      // binds writers only; reads are unaffected.)
+      // files must serve for the new column. TOP-LEVEL defaults are
+      // honored (decoded by [[initialDefaultsOf]], applied per-file by
+      // the scan's fill machinery); a default buried in a NESTED struct
+      // would need value surgery inside Spark's readers — refuse.
+      // (`write-default` binds writers only; reads are unaffected.)
       val idef = f.get("initial-default")
-      if (idef != null && !idef.isNull)
+      if (idef != null && !idef.isNull && !topLevel)
         throw new UnsupportedOperationException(
-          s"Iceberg field '${f.get("name").asText}' in $where carries a " +
-            s"non-null initial-default ($idef); this reader serves NULL " +
-            "for columns absent from a data file and cannot honor it — " +
-            "rewrite the table to materialize the default")
+          s"Iceberg NESTED field '${f.get("name").asText}' in $where " +
+            s"carries a non-null initial-default ($idef); only top-level " +
+            "column defaults are served — rewrite the table to " +
+            "materialize the default")
       StructField(f.get("name").asText, typeToSpark(f.get("type"), where),
         nullable = !f.path("required").asBoolean(false))
     }.toSeq)
 
   private def schemaToSpark(schema: JsonNode, where: String): StructType =
-    structToSpark(schema, where)
+    structToSpark(schema, where, topLevel = true)
+
+  /** Top-level fields with a non-null v3 `initial-default`, decoded
+    * from the spec's JSON single-value serialization into the EXTERNAL
+    * JVM value `functions.lit`/`Literal.create` accept for the field's
+    * catalyst type. Types whose JSON form this decoder does not cover
+    * exactly (binary/fixed hex, uuid, nested) refuse — a mis-decoded
+    * default would silently corrupt every pre-addition row. */
+  private[graft] def initialDefaultsOf(schema: JsonNode,
+      where: String): Seq[(String, Any)] =
+    schema.get("fields").elements().asScala.flatMap { f =>
+      val idef = f.get("initial-default")
+      if (idef == null || idef.isNull) None
+      else {
+        val name = f.get("name").asText
+        val t = f.get("type")
+        val tText = if (t.isTextual) t.asText else t.path("type").asText
+        val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+        def bad(why: String): Nothing = throw new UnsupportedOperationException(
+          s"Iceberg field '$name' in $where: initial-default $idef " +
+            s"cannot be decoded for type $tText ($why) — rewrite the " +
+            "table to materialize the default")
+        val v: Any = tText match {
+          case "boolean" if idef.isBoolean => idef.asBoolean
+          case "int" if idef.canConvertToInt => idef.asInt
+          case "long" if idef.canConvertToLong => idef.asLong
+          case "float" if idef.isNumber => idef.asDouble.toFloat
+          case "double" if idef.isNumber => idef.asDouble
+          case "string" if idef.isTextual => idef.asText
+          case "date" if idef.isTextual =>
+            java.sql.Date.valueOf(java.time.LocalDate.parse(idef.asText))
+          case "timestamp" if idef.isTextual =>
+            java.time.LocalDateTime.parse(idef.asText)
+          case "timestamptz" if idef.isTextual =>
+            java.time.OffsetDateTime.parse(idef.asText).toInstant
+          case DecimalRe(_, _) if idef.isTextual =>
+            new java.math.BigDecimal(idef.asText)
+          case other => bad(s"unsupported type or JSON shape")
+        }
+        Some(name -> v)
+      }
+    }.toSeq
 
   /** Top-level field id → (name, type node) — bounds and null counts in
     * manifests are keyed by field id. Nested ids are not mapped: the

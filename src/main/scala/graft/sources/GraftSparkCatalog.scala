@@ -153,6 +153,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       // would read renamed columns of pre-rename files as NULL
       else if (layout.renameOps.nonEmpty && paths.nonEmpty)
         new GraftEpochTable(SparkSession.active, ref.toString, layout, hadoopOpts)
+      // v3 initial-defaults (Iceberg-converted layouts): per-group
+      // stock scans with constant injection at the reader seam
+      else if (layout.hasFills)
+        new GraftFillTable(SparkSession.active, ref.toString, layout, hadoopOpts)
       else layout.numBuckets match {
         // a recorded bucket layout becomes a DSv2 bucket transform +
         // key-grouped scans → storage-partitioned joins with no shuffle
@@ -244,6 +248,8 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       new GraftMorTable(manifestPlanned(table, vLayout), vLayout, hadoopOpts)
     else if (vLayout.renameOps.nonEmpty && paths.nonEmpty)
       new GraftEpochTable(SparkSession.active, label, vLayout, hadoopOpts)
+    else if (vLayout.hasFills)
+      new GraftFillTable(SparkSession.active, label, vLayout, hadoopOpts)
     else if (vLayout.numBuckets.isEmpty) statsPruned(table, vLayout)
     else manifestPlanned(table, vLayout) // bucketed history: no SPJ, but zero-listing planning
   }

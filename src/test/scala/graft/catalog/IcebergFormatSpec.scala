@@ -1302,7 +1302,98 @@ class IcebergFormatSpec extends AnyFunSuite {
     assert(df3.count() == 300 - 5)
   }
 
-  test("v3 guards: puffin at v2 refuses, non-null initial-default refuses") {
+  test("v3 initial-defaults: pre-addition files serve the default, later files their own values") {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(s"${Files.createTempDirectory("graft-iceberg").toString}/idef")
+    val fs = dir.getFileSystem(conf)
+    val loc = fs.makeQualified(dir).toString
+    // file A predates columns c and d; file B was written after (its c
+    // values include a legitimate NULL and one equal to the default —
+    // both must pass through untouched)
+    writeWithFieldIds((1L to 5L).map(i => (i, s"n$i")).toDF("k", "nm"),
+      Seq(1, 2), new Path(dir, "data/a.parquet"))
+    writeWithFieldIds(Seq((6L, "n6", Some(10L), "x"), (7L, "n7", None, "y"),
+        (8L, "n8", Some(7L), "z")).toDF("k", "nm", "c", "d"),
+      Seq(1, 2, 3, 4), new Path(dir, "data/b.parquet"))
+    val mSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val m = new Path(dir, "metadata/m.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
+    w.create(mSchema, fs.create(m, true))
+    Seq(("data/a.parquet", 5L), ("data/b.parquet", 3L)).foreach { case (rel, n) =>
+      val abs = new Path(dir, rel)
+      val d = new GenericData.Record(mSchema.getField("data_file").schema())
+      d.put("file_path", fs.makeQualified(abs).toString)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", n)
+      d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
+      val r = new GenericData.Record(mSchema)
+      r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
+      w.append(r)
+    }
+    w.close()
+    val metaP = new Path(dir, "metadata/idef.metadata.json")
+    val out = fs.create(metaP, true)
+    try out.write(
+      s"""{"format-version": 3, "location": "$loc",
+         |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
+         |  {"id": 1, "name": "k", "required": true, "type": "long"},
+         |  {"id": 2, "name": "nm", "required": false, "type": "string"},
+         |  {"id": 3, "name": "c", "required": false, "type": "long",
+         |   "initial-default": 7},
+         |  {"id": 4, "name": "d", "required": true, "type": "string",
+         |   "initial-default": "en"}]}],
+         |"current-schema-id": 0,
+         |"current-snapshot-id": 7,
+         |"snapshots": [{"snapshot-id": 7, "schema-id": 0,
+         |  "manifests": ["${fs.makeQualified(m)}"]}]}""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val expected = ((1L to 5L).map(i => (i, s"n$i", Some(7L), "en")) ++
+      Seq((6L, "n6", Some(10L), "x"), (7L, "n7", None: Option[Long], "y"),
+        (8L, "n8", Some(7L), "z"))).sortBy(_._1)
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getString(3)))
+        .sortBy(_._1).toSeq
+    // DataFrame face
+    assert(rowsOf(CatalogIO.scanMetadataLocation(spark, metaP.toString)) == expected)
+    // DSv2 SQL face: columnar (ConstantColumnVector injection), a
+    // filter ON the fill column (must match pre-addition rows and file
+    // B's own c=7 row — never pushed into file A's parquet), and the
+    // row-based path (vectorization off → UnsafeProjection)
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-iceberg-idef") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.idef"), metaP.toString)
+      assert(rowsOf(spark.table(s"$cat.db.idef")) == expected)
+      assert(spark.sql(s"SELECT k FROM $cat.db.idef WHERE c = 7")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 8L))
+      assert(spark.sql(s"SELECT k FROM $cat.db.idef WHERE d = 'en'")
+        .collect().map(_.getLong(0)).sorted.toSeq == (1L to 5L))
+      val vect = "spark.sql.parquet.enableVectorizedReader"
+      val prior = spark.conf.get(vect)
+      try {
+        spark.conf.set(vect, "false")
+        assert(rowsOf(spark.table(s"$cat.db.idef")) == expected)
+      } finally spark.conf.set(vect, prior)
+      // adoption refuses: the engine manifest cannot carry fills
+      val e = intercept[UnsupportedOperationException] {
+        CatalogIO.adoptIcebergTable(spark, hc, TableRef.parse("db.ad2"),
+          metaP.toString)
+      }
+      assert(e.getMessage.contains("initial-default"))
+    }
+  }
+
+  test("v3 guards: puffin at v2 refuses, nested initial-default refuses") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     // puffin delete file inside a v2 table: spec-violating metadata
@@ -1342,8 +1433,9 @@ class IcebergFormatSpec extends AnyFunSuite {
     assert(intercept[IllegalStateException](
       CatalogIO.readLayout(metaLoc2, conf))
       .getMessage.contains("content_offset"))
-    // non-null initial-default: this reader would serve NULL where the
-    // spec demands the default — refuse at schema conversion
+    // a NESTED initial-default still refuses (value surgery inside
+    // Spark's readers); TOP-LEVEL defaults are served by the fill
+    // machinery — see the dedicated initial-default test
     val p3 = new Path(Files.createTempDirectory("graft-iceberg").toString,
       "v0.metadata.json")
     val out = p3.getFileSystem(conf).create(p3, true)
@@ -1351,13 +1443,16 @@ class IcebergFormatSpec extends AnyFunSuite {
       """{"format-version": 3, "location": "/tmp/dv-ice",
         |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
         |  {"id": 1, "name": "id", "required": true, "type": "long"},
-        |  {"id": 2, "name": "v", "required": false, "type": "string",
-        |   "initial-default": "backfilled"}]}],
+        |  {"id": 2, "name": "s", "required": false, "type": {
+        |    "type": "struct", "fields": [
+        |      {"id": 3, "name": "v", "required": false, "type": "string",
+        |       "initial-default": "backfilled"}]}}]}],
         |"current-schema-id": 0, "current-snapshot-id": -1}""".stripMargin
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val e3 = intercept[UnsupportedOperationException](
       CatalogIO.scanMetadataLocation(spark, p3.toString))
-    assert(e3.getMessage.contains("initial-default"))
+    assert(e3.getMessage.contains("initial-default") &&
+      e3.getMessage.contains("NESTED"))
   }
 }
