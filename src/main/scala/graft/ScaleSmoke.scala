@@ -48,7 +48,7 @@ object ScaleSmoke {
     }
     // the write/compact experiments only need lineitem — skip the rest
     // of the synthesis when they (or srp, which synthesizes nothing) run alone
-    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr", "plan", "manifest", "iceberg", "chunks", "dv")).nonEmpty) {
+    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr", "plan", "manifest", "iceberg", "chunks", "dv", "orc")).nonEmpty) {
       replicate("orders") { (df, i) =>
         df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
           .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
@@ -83,9 +83,9 @@ object ScaleSmoke {
       "d08_dedup_substrings", "t06_pack_sequences", "p01_training_pipeline")
     // a typo'd name silently measuring nothing would waste a multi-hour
     // rerun — fail fast instead ("srp"/"write" select those experiments)
-    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr" - "plan" - "manifest" - "iceberg" - "chunks" - "dv"
+    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr" - "plan" - "manifest" - "iceberg" - "chunks" - "dv" - "orc"
     require(unknown.isEmpty,
-      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats, incr, plan, manifest, iceberg, chunks, dv")
+      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats, incr, plan, manifest, iceberg, chunks, dv, orc")
     all.filter(q => only.isEmpty || only(q)).foreach { q =>
       try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
     }
@@ -100,6 +100,7 @@ object ScaleSmoke {
     if (only.isEmpty || only("iceberg")) icebergScale(spark, out, replicas)
     if (only.isEmpty || only("chunks")) chunkPruneScale(spark)
     if (only.isEmpty || only("dv")) dvScale(spark, out, replicas)
+    if (only.isEmpty || only("orc")) orcScale(spark, out, replicas)
     spark.stop()
   }
 
@@ -215,6 +216,50 @@ object ScaleSmoke {
       println(f"[scale] iceberg x$replicas: key-range query " +
         f"${(System.nanoTime() - p0) / 1e9}%.2f s — $skipped/$total files " +
         "skipped at plan time from the ICEBERG manifests' bounds")
+    }
+  }
+
+  /** ORC vs parquet Iceberg data files (round 14): the same lineitem
+    * replica exported twice — once per format — and read back through
+    * the registered DSv2 face. What's measured: the format dispatch is
+    * reader-seam-only, so manifest-planned full scans and bound-driven
+    * file pruning must behave identically; the absolute scan times
+    * differ only by the codecs' own read cost. */
+  private def orcScale(spark: SparkSession, out: String, replicas: Int): Unit = {
+    import org.apache.spark.sql.functions.col
+    val root = s"/tmp/graft_orc_x$replicas"
+    graft.sources.TempCatalog.deleteRecursively(root)
+    val src = spark.read.parquet(s"$out/lineitem.parquet")
+      .select(col("l_orderkey").as("k"), col("l_quantity").as("qty"),
+        col("l_returnflag").as("rf"))
+      .repartitionByRange(64, col("k"))
+    for (fmt <- Seq("parquet", "orc")) {
+      val t0 = System.nanoTime()
+      val metaLoc = graft.catalog.IcebergExport.writeTable(spark, src,
+        s"$root/$fmt", fileFormat = fmt)
+      println(f"[scale] orc x$replicas: exported $fmt Iceberg table in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      graft.sources.TempCatalog.withTempHandles(spark, s"graft-orc-x$replicas") { (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(graft.catalog.TableRef.parse("db.li"), metaLoc)
+        for (pass <- 1 to 2) {
+          val f0 = System.nanoTime()
+          val full = spark.sql(
+            s"SELECT SUM(qty), COUNT(*) FROM $cat.db.li WHERE qty > 0").collect()
+          println(f"[scale] orc x$replicas: $fmt full-scan aggregate pass $pass " +
+            f"${(System.nanoTime() - f0) / 1e9}%.2f s (${full(0).getLong(1)} rows)")
+        }
+        graft.sources.StatsPruning.lastPlanned = None
+        val p0 = System.nanoTime()
+        spark.sql(
+          s"SELECT SUM(qty) FROM $cat.db.li WHERE k BETWEEN 500000 AND 520000")
+          .collect()
+        val (skipped, total) = graft.sources.StatsPruning.lastPlanned
+          .getOrElse((-1, -1))
+        println(f"[scale] orc x$replicas: $fmt key-range query " +
+          f"${(System.nanoTime() - p0) / 1e9}%.2f s — $skipped/$total files " +
+          "skipped at plan time from the manifests' bounds")
+      }
     }
   }
 
