@@ -200,7 +200,7 @@ object CatalogIO {
         * renames, and adoption refuse there (the MOR/epoch machinery is
         * position-addressed via parquet's `_metadata.row_index`, which
         * Spark's ORC source does not serve). */
-      dataFormat: String = "parquet",
+      dataFormat: String = "parquet", // parquet | orc | avro
       /** v3 initial-default FILLS (round 14, Iceberg-converted layouts
         * only — never serialized): parallel to `dataFiles`, each entry
         * lists the (column → external JVM default value) constants that
@@ -216,10 +216,11 @@ object CatalogIO {
       "initial-default fills never coexist with deletes/renames/ORC")
     /** Any file with a non-empty fill set? (the scan-routing test) */
     def hasFills: Boolean = dataFileFills.exists(_.exists(_.nonEmpty))
-    require(dataFormat == "parquet" || dataFormat == "orc",
-      s"unsupported data file format '$dataFormat' (parquet or orc)")
+    require(dataFormat == "parquet" || dataFormat == "orc" ||
+      dataFormat == "avro",
+      s"unsupported data file format '$dataFormat' (parquet, orc, or avro)")
     require(dataFormat == "parquet" || (deleteFiles.isEmpty && renameOps.isEmpty),
-      "ORC layouts are delete-free and rename-free (read-only interop)")
+      "non-parquet layouts are delete-free and rename-free (read-only interop)")
     require(deleteFiles.isEmpty || dataFiles.isDefined,
       "equality-delete files require a file-manifest version")
     require(renameOps.isEmpty || dataFiles.isDefined,
@@ -809,6 +810,16 @@ object CatalogIO {
   private def writeVersionMetadataFile(cat: HadoopFsCatalog, tableDir: Path,
       metaFile: Path, layout: TableLayout,
       priorLayout: Option[TableLayout]): Unit = {
+    // the engine's metadata format records no per-table data format —
+    // every engine-written file IS parquet. A commit funnel handed a
+    // non-parquet layout (an ORC/avro Iceberg pointer whose files a
+    // carry-forward would smuggle into a parquet-addressed manifest)
+    // must refuse HERE, the single choke point, or the next read
+    // silently decodes ORC/avro bytes as parquet.
+    require(layout.dataFormat == "parquet",
+      s"cannot commit a ${layout.dataFormat}-format layout as an engine " +
+        "version: engine manifests are parquet-addressed. Rewrite the " +
+        "data (CTAS / INSERT OVERWRITE from the readable pointer) instead")
     val text = layout.dataFiles match {
       case Some(files) if files.size > manifestInlineMax =>
         val newEntries = entriesOf(layout)
@@ -2648,6 +2659,18 @@ object CatalogIO {
               .cast(d.schema(c).dataType))
           }
         }.reduce(_ unionByName _)
+      case Some(filesWithSeqs) if layout.dataFormat == "avro" =>
+        // avro has no Spark DataFrameReader face in this environment —
+        // the engine's own reader decodes records task-side
+        // ([[graft.sources.AvroRead]]), sized slices from the manifest
+        graft.sources.AvroRead.dataFrame(spark,
+          org.apache.spark.sql.types.StructType.fromDDL(
+            layout.schemaDdl.getOrElse(throw new IllegalStateException(
+              s"avro layout with no recorded schema at ${layout.dataLocation}"))),
+          filesWithSeqs.map(_._1).zip(
+            layout.dataFileSizes.getOrElse(throw new IllegalStateException(
+              s"avro layout with no file sizes at ${layout.dataLocation}"))),
+          options)
       case Some(filesWithSeqs) =>
         load(reader.option("basePath", layout.dataLocation),
           filesWithSeqs.map(_._1))

@@ -213,10 +213,10 @@ object IcebergFormat {
               s"Iceberg manifest $mp lists a delete file inside a data " +
                 "manifest; metadata is malformed")
           val format = df.get("file_format").toString.toLowerCase
-          if (format != "parquet" && format != "orc")
+          if (format != "parquet" && format != "orc" && format != "avro")
             throw new UnsupportedOperationException(
               s"Iceberg data file format $format is not supported " +
-                "(parquet or orc)")
+                "(parquet, orc, or avro)")
           // which fill columns this file PROVABLY contains: manifest
           // stats are writer-derived, so a bounds/null-count entry keyed
           // by the field id proves presence (the cheap gate before any
@@ -255,12 +255,12 @@ object IcebergFormat {
     val dataRelSet = rels.map(_._1).toSet
     val deleteFiles = readDeleteManifests(manifestPaths, conf, location,
       relativize, intSeq, entrySeq, nameById, dataRelSet, metadataLocation, fv)
-    if (dataFormat == "orc" && deleteFiles.nonEmpty)
+    if (dataFormat != "parquet" && deleteFiles.nonEmpty)
       throw new UnsupportedOperationException(
-        s"Iceberg metadata $metadataLocation: ORC data files with live " +
-          "delete files — position-addressed delete application needs " +
-          "parquet's row-index metadata, which Spark's ORC source does " +
-          "not serve; compact the table (materialize the deletes) first")
+        s"Iceberg metadata $metadataLocation: $dataFormat data files " +
+          "with live delete files — position-addressed delete " +
+          "application needs parquet's row-index metadata; compact the " +
+          "table (materialize the deletes) first")
     // v3 initial-defaults → per-file FILL sets: a default applies to a
     // file iff the file LACKS the column. Manifest stats keyed by the
     // field id prove presence for free; only the remaining files pay a
@@ -276,7 +276,7 @@ object IcebergFormat {
               s"initial-default columns alongside $what — this engine " +
               "serves either, not both; rewrite the table (compact, " +
               "materializing the defaults) first")
-        if (dataFormat == "orc") refuseWith("ORC data files")
+        if (dataFormat != "parquet") refuseWith(s"$dataFormat data files")
         if (renamed) refuseWith("un-materialized column renames")
         if (deleteFiles.nonEmpty) refuseWith("live delete files")
         val idOf: Map[String, Int] =
@@ -314,12 +314,12 @@ object IcebergFormat {
       // (round 14, judge r13 item 3) — per-file physical names, rows
       // served under the current names. Live deletes cannot coexist:
       // their seq gates would collide with the synthesized epoch seqs.
-      if (dataFormat == "orc")
+      if (dataFormat != "parquet")
         throw new UnsupportedOperationException(
-          s"Iceberg metadata $metadataLocation: ORC data files with " +
-            "un-materialized column renames — the epoch mapping reads " +
-            "parquet footers for field ids; rewrite the table (compact) " +
-            "to materialize the rename first")
+          s"Iceberg metadata $metadataLocation: $dataFormat data files " +
+            "with un-materialized column renames — the epoch mapping " +
+            "reads parquet footers for field ids; rewrite the table " +
+            "(compact) to materialize the rename first")
       if (deleteFiles.nonEmpty)
         throw new UnsupportedOperationException(
           s"Iceberg metadata $metadataLocation: the table has renamed " +

@@ -1,0 +1,319 @@
+package graft.sources
+
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.avro.file.DataFileReader
+import org.apache.avro.generic.{GenericDatumReader, GenericFixed, GenericRecord}
+import org.apache.avro.mapred.FsInput
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.catalog.CatalogIO.TableLayout
+
+/** Native reader for Iceberg tables whose DATA files are Avro object
+  * container files (round 14) — the third and last of the spec's data
+  * formats (`file_format: AVRO`), implemented from the public Avro +
+  * Iceberg specs over the avro jars Spark already ships (no spark-avro
+  * module exists in this environment, so `spark.read.format("avro")`
+  * is not an option).
+  *
+  * Both faces plan from the manifest (zero listing) and split files at
+  * Avro SYNC markers — `DataFileReader.sync(start)`/`pastSync(end)` is
+  * the format's own split contract, so a 1 GB avro file fans out
+  * across tasks exactly like parquet row groups. Values convert
+  * per the TABLE schema (Iceberg's avro encoding: date = int days,
+  * timestamps = long micros, decimal = fixed/bytes big-endian unscaled,
+  * non-string-key maps = arrays of key/value records); a shape the
+  * decoder does not cover exactly refuses with the field named.
+  *
+  * Scope matches ORC interop: read-only, delete-free, rename-free,
+  * fill-free (refused upstream by [[graft.catalog.IcebergFormat]]),
+  * no adoption. Column pruning is honored (unread fields are never
+  * converted); filters stay post-scan (avro is row-oriented — there is
+  * nothing sound to push below the record decode). */
+object AvroRead {
+
+  /** External-typed rows of one avro file slice, plus an explicit
+    * closer (DSv2 readers close on task end; the iterator also closes
+    * itself on exhaustion). `start`/`length` follow the avro split
+    * contract: the slice owns every sync block beginning in
+    * [start, start+length). */
+  def openSlice(path: String, start: Long, length: Long,
+      conf: Configuration, schema: StructType): (Iterator[Row], () => Unit) = {
+    val reader = DataFileReader.openReader(
+      new FsInput(new Path(path), conf),
+      new GenericDatumReader[GenericRecord]())
+    reader.sync(start)
+    val convs = schema.fields.map(f =>
+      fieldConverter(reader.getSchema, f, s"$path/${f.name}"))
+    var closed = false
+    def closeNow(): Unit = if (!closed) { closed = true; reader.close() }
+    // hoisted OUTSIDE the anonymous Iterator: inside it, the inherited
+    // Iterator.length member shadows the method parameter
+    val end = start + length
+    val it = new Iterator[Row] {
+      override def hasNext: Boolean = {
+        if (closed) return false
+        val h = reader.hasNext && !reader.pastSync(end)
+        if (!h) closeNow()
+        h
+      }
+      override def next(): Row = {
+        val rec = reader.next()
+        Row.fromSeq(convs.toIndexedSeq.map(_(rec)))
+      }
+    }
+    (it, () => closeNow())
+  }
+
+  /** The DataFrame face: one slice per file (the file list and sizes
+    * come from the manifest; callers at this face read tables whole). */
+  def dataFrame(spark: SparkSession, schema: StructType,
+      files: Seq[(String, Long)], options: Map[String, String]): DataFrame = {
+    val conf = {
+      val c = spark.sessionState.newHadoopConf()
+      options.foreach { case (k, v) => c.set(k, v) }
+      new SerializableConfiguration(c)
+    }
+    val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
+    val rdd = spark.sparkContext
+      .parallelize(files, math.max(files.size, 1))
+      .flatMap { case (p, len) => openSlice(p, 0, len, conf.value, nullable)._1 }
+    spark.createDataFrame(rdd, nullable)
+  }
+
+  /** Converter for one top-level (or nested) field: resolves the avro
+    * field by NAME against the record's own schema — a file written
+    * before the column was added yields nulls, Iceberg's semantics for
+    * id-less name-addressed evolution. */
+  private def fieldConverter(rec: AvroSchema, f: StructField,
+      where: String): GenericRecord => Any = {
+    val af = Option(rec.getField(f.name))
+    af match {
+      case None => _ => null
+      case Some(field) =>
+        val c = valueConverter(field.schema(), f.dataType, where)
+        val pos = field.pos()
+        r => {
+          val v = r.get(pos)
+          if (v == null) null else c(v)
+        }
+    }
+  }
+
+  /** Strip a `[null, T]` union down to T; refuse wider unions (no
+    * catalyst shape represents them exactly). */
+  private def nonNull(s: AvroSchema, where: String): AvroSchema =
+    if (s.getType != AvroSchema.Type.UNION) s
+    else {
+      val ts = s.getTypes.asScala.filter(_.getType != AvroSchema.Type.NULL)
+      if (ts.size != 1)
+        throw new UnsupportedOperationException(
+          s"avro union of ${ts.size} non-null branches at $where has no " +
+            "exact catalyst mapping")
+      ts.head
+    }
+
+  private def bytesOf(v: Any): Array[Byte] = v match {
+    case b: java.nio.ByteBuffer =>
+      val d = new Array[Byte](b.remaining()); b.duplicate().get(d); d
+    case f: GenericFixed => f.bytes()
+    case other => throw new IllegalStateException(
+      s"unexpected avro binary representation ${other.getClass.getName}")
+  }
+
+  private def valueConverter(raw: AvroSchema, dt: DataType,
+      where: String): Any => Any = {
+    val s = nonNull(raw, where)
+    def refuse(): Nothing = throw new UnsupportedOperationException(
+      s"avro ${s.getType} at $where has no exact decoding to catalyst " +
+        s"$dt — this reader refuses rather than mis-serve")
+    dt match {
+      case BooleanType => { case b: java.lang.Boolean => b; case _ => refuse() }
+      case IntegerType => { case i: java.lang.Integer => i; case _ => refuse() }
+      case LongType => {
+        case l: java.lang.Long => l
+        case i: java.lang.Integer => i.longValue() // int widened to long
+        case _ => refuse()
+      }
+      case FloatType => { case f: java.lang.Float => f; case _ => refuse() }
+      case DoubleType => {
+        case d: java.lang.Double => d
+        case f: java.lang.Float => f.doubleValue() // float widened
+        case _ => refuse()
+      }
+      case StringType => v => v.toString
+      case BinaryType => v => bytesOf(v)
+      case DateType => { // iceberg avro: int days since epoch
+        case i: java.lang.Integer => java.time.LocalDate.ofEpochDay(i.longValue())
+        case _ => refuse()
+      }
+      case TimestampType => { // long micros, UTC-adjusted
+        case l: java.lang.Long =>
+          java.time.Instant.EPOCH.plus(l, java.time.temporal.ChronoUnit.MICROS)
+        case _ => refuse()
+      }
+      case TimestampNTZType => { // long micros, no zone
+        case l: java.lang.Long =>
+          java.time.LocalDateTime.ofEpochSecond(
+            Math.floorDiv(l, 1000000L),
+            (Math.floorMod(l, 1000000L) * 1000L).toInt,
+            java.time.ZoneOffset.UTC)
+        case _ => refuse()
+      }
+      case d: DecimalType => v => // big-endian unscaled in fixed/bytes
+        new java.math.BigDecimal(
+          new java.math.BigInteger(bytesOf(v)), d.scale)
+      case st: StructType =>
+        val inner = nonNull(s, where)
+        if (inner.getType != AvroSchema.Type.RECORD) refuse()
+        val convs = st.fields.map(f =>
+          fieldConverter(inner, f, s"$where.${f.name}"))
+        v => Row.fromSeq(convs.toIndexedSeq
+          .map(_(v.asInstanceOf[GenericRecord])))
+      case ArrayType(et, _) =>
+        if (s.getType != AvroSchema.Type.ARRAY) refuse()
+        val c = valueConverter(s.getElementType, et, s"$where[]")
+        v => v.asInstanceOf[java.util.Collection[Any]].asScala
+          .map(e => if (e == null) null else c(e)).toSeq
+      case MapType(kt, vt, _) => s.getType match {
+        case AvroSchema.Type.MAP if kt == StringType =>
+          val c = valueConverter(s.getValueType, vt, s"$where{}")
+          v => v.asInstanceOf[java.util.Map[Any, Any]].asScala.map {
+            case (k, mv) => k.toString -> (if (mv == null) null else c(mv))
+          }.toMap
+        case AvroSchema.Type.ARRAY
+            if s.getElementType.getType == AvroSchema.Type.RECORD =>
+          // iceberg's non-string-key map encoding: array of k/v records
+          val es = s.getElementType
+          val kc = valueConverter(es.getField("key").schema(), kt, s"$where.key")
+          val vc = valueConverter(es.getField("value").schema(), vt, s"$where.value")
+          val kp = es.getField("key").pos()
+          val vp = es.getField("value").pos()
+          v => v.asInstanceOf[java.util.Collection[Any]].asScala.map { e =>
+            val r = e.asInstanceOf[GenericRecord]
+            val mv = r.get(vp)
+            kc(r.get(kp)) -> (if (mv == null) null else vc(mv))
+          }.toMap
+        case _ => refuse()
+      }
+      case _ => refuse()
+    }
+  }
+}
+
+/** The DSv2 face: a read-only avro table planned from the manifest. */
+final class GraftAvroTable(spark: SparkSession, tableName: String,
+    layout: TableLayout, hadoopOpts: Map[String, String]) extends Table
+  with SupportsRead {
+
+  private val currentSchema: StructType = StructType(StructType.fromDDL(
+    layout.schemaDdl.getOrElse(throw new IllegalStateException(
+      s"avro table $tableName has no recorded schema")))
+    .fields.map(_.copy(nullable = true)))
+
+  private val sized: Seq[(String, Long)] =
+    layout.absoluteDataFiles.getOrElse(throw new IllegalStateException(
+      s"avro table $tableName has no file manifest"))
+      .zip(layout.dataFileSizes.getOrElse(throw new IllegalStateException(
+        s"avro table $tableName has no file sizes")))
+
+  override def name(): String = tableName
+  override def schema(): StructType = currentSchema
+  override def properties(): util.Map[String, String] = util.Collections.emptyMap()
+  override def partitioning(): Array[Transform] = Array.empty
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new AvroScanBuilder(spark, currentSchema, sized, hadoopOpts)
+}
+
+private final class AvroScanBuilder(spark: SparkSession,
+    fullSchema: StructType, sized: Seq[(String, Long)],
+    hadoopOpts: Map[String, String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = fullSchema
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // preserve the table's field order and types; honor the subset
+    required = StructType(fullSchema.fields.filter(f =>
+      requiredSchema.fieldNames.exists(_.equalsIgnoreCase(f.name))))
+
+  override def build(): Scan = {
+    val conf = {
+      val c = spark.sessionState.newHadoopConf()
+      hadoopOpts.foreach { case (k, v) => c.set(k, v) }
+      new SerializableConfiguration(c)
+    }
+    new AvroScan(sized.toVector, required)(conf,
+      spark.sessionState.conf.filesMaxPartitionBytes)
+  }
+}
+
+private[sources] final case class AvroSlice(path: String, start: Long,
+    length: Long) extends InputPartition
+
+/** Plans one slice per `maxSplitBytes` range of each file (avro sync
+  * markers make any byte range a valid split) and decodes records
+  * task-side. A case class so identical scans compare equal (exchange
+  * reuse). `conf` is excluded from equality by the case-class trick of
+  * comparing only the first parameter list — conf rides along. */
+private[sources] final case class AvroScan(sized: Vector[(String, Long)],
+    required: StructType)(
+    conf: SerializableConfiguration, maxSplit: Long)
+  extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-avro(${sized.size} files)"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    sized.flatMap { case (p, size) =>
+      val step = math.max(maxSplit, 1L)
+      (0L until math.max(size, 1L) by step).map(off =>
+        AvroSlice(p, off, math.min(step, size - off)): InputPartition)
+    }.toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new AvroReaderFactory(required, conf)
+}
+
+private final class AvroReaderFactory(schema: StructType,
+    conf: SerializableConfiguration) extends PartitionReaderFactory {
+
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val s = p.asInstanceOf[AvroSlice]
+    new PartitionReader[InternalRow] {
+      private val (it, closer) =
+        AvroRead.openSlice(s.path, s.start, s.length, conf.value, schema)
+      // lenient: the converter emits java.time values (LocalDate /
+      // Instant / LocalDateTime), which the strict Row encoder rejects
+      private val toRow = ExpressionEncoder(
+        org.apache.spark.sql.catalyst.encoders.RowEncoder
+          .encoderFor(schema, true)).createSerializer()
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (!it.hasNext) return false
+        current = toRow(it.next())
+        true
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = closer()
+    }
+  }
+}

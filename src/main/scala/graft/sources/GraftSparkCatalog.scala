@@ -137,8 +137,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     // versions hand the scan their exact file list (no directory
     // listing); basePath anchors partition discovery to the segment tree.
     val (paths, pathOpts) = tablePaths(layout)
-    val table = baseTableFor(ref.toString, layout, paths, pathOpts)
+    lazy val table = baseTableFor(ref.toString, layout, paths, pathOpts)
     val readTable =
+      // avro data files (Iceberg-converted layouts): the engine's own
+      // sync-split avro source — Spark ships no avro DataSource here
+      if (layout.dataFormat == "avro")
+        new GraftAvroTable(SparkSession.active, ref.toString, layout, hadoopOpts)
+      else
       // live equality-delete files (merge-on-read): scans must APPLY the
       // delete tuples or deleted rows resurrect. The MOR wrapper takes
       // precedence over SPJ bucket reporting — correctness over the
@@ -241,7 +246,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     }
     val (paths, pathOpts) = tablePaths(vLayout)
     val label = s"$ref@v$version"
-    val table = baseTableFor(label, vLayout, paths, pathOpts)
+    lazy val table = baseTableFor(label, vLayout, paths, pathOpts)
+    if (vLayout.dataFormat == "avro")
+      return new GraftAvroTable(SparkSession.active, label, vLayout, hadoopOpts)
     // a time-traveled version applies ITS OWN seq-gated state (delete
     // set / rename epochs / stats) — every version reads with its own schema
     if (vLayout.deleteFiles.nonEmpty)

@@ -177,8 +177,130 @@ class IcebergFormatSpec extends AnyFunSuite {
     val e = intercept[UnsupportedOperationException] {
       CatalogIO.readLayout(metaLoc, conf)
     }
-    assert(e.getMessage.contains("ORC data files with live delete files"),
+    assert(e.getMessage.contains("orc data files with live delete files"),
       e.getMessage)
+  }
+
+  test("an Iceberg table with AVRO data files reads end-to-end (native sync-split reader)") {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(s"${Files.createTempDirectory("graft-iceberg").toString}/tavro")
+    val fs = dir.getFileSystem(conf)
+    val loc = fs.makeQualified(dir).toString
+    // two avro object-container files covering the Iceberg avro value
+    // encodings: long, nullable string, double, date (int days),
+    // decimal (bytes, big-endian unscaled), timestamptz (long micros),
+    // list<string>
+    val avroSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"r","fields":[
+        |  {"name":"k","type":"long"},
+        |  {"name":"nm","type":["null","string"],"default":null},
+        |  {"name":"price","type":"double"},
+        |  {"name":"d","type":{"type":"int","logicalType":"date"}},
+        |  {"name":"dec","type":{"type":"bytes","logicalType":"decimal","precision":10,"scale":2}},
+        |  {"name":"ts","type":{"type":"long","logicalType":"timestamp-micros"}},
+        |  {"name":"tags","type":{"type":"array","items":"string"}}]}""".stripMargin)
+    def decBytes(unscaled: Long): java.nio.ByteBuffer =
+      java.nio.ByteBuffer.wrap(java.math.BigInteger.valueOf(unscaled).toByteArray)
+    def rec(k: Long, nm: String, price: Double, days: Int, decUnscaled: Long,
+        micros: Long, tags: Seq[String]): GenericRecord = {
+      val r = new GenericData.Record(avroSchema)
+      r.put("k", k); r.put("nm", nm); r.put("price", price)
+      r.put("d", days); r.put("dec", decBytes(decUnscaled))
+      r.put("ts", micros)
+      r.put("tags", java.util.Arrays.asList(tags: _*))
+      r
+    }
+    def writeAvro(rel: String, recs: Seq[GenericRecord]): Unit = {
+      val p = new Path(dir, rel)
+      fs.mkdirs(p.getParent)
+      val w = new DataFileWriter(
+        new org.apache.avro.generic.GenericDatumWriter[GenericRecord](avroSchema))
+      w.create(avroSchema, fs.create(p, true))
+      recs.foreach(w.append)
+      w.close()
+    }
+    writeAvro("data/a.avro", Seq(
+      rec(1L, "one", 1.5, 19723, 125L, 1700000000000000L, Seq("x", "y")),
+      rec(2L, null, 2.5, 19724, 250L, 1700000001000000L, Seq.empty),
+      rec(3L, "three", 3.5, 19725, 375L, 1700000002000000L, Seq("z"))))
+    writeAvro("data/b.avro", Seq(
+      rec(4L, "four", 4.5, 19726, 500L, 1700000003000000L, Seq("w")),
+      rec(5L, null, 5.5, 19727, 625L, 1700000004000000L, Seq("v", "u"))))
+    val mSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val m = new Path(dir, "metadata/m.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
+    w.create(mSchema, fs.create(m, true))
+    Seq(("data/a.avro", 3L), ("data/b.avro", 2L)).foreach { case (rel, n) =>
+      val abs = new Path(dir, rel)
+      val d = new GenericData.Record(mSchema.getField("data_file").schema())
+      d.put("file_path", fs.makeQualified(abs).toString)
+      d.put("file_format", "AVRO")
+      d.put("record_count", n)
+      d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
+      val r = new GenericData.Record(mSchema)
+      r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
+      w.append(r)
+    }
+    w.close()
+    val metaP = new Path(dir, "metadata/avro.metadata.json")
+    val out = fs.create(metaP, true)
+    try out.write(
+      s"""{"format-version": 2, "location": "$loc",
+         |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
+         |  {"id": 1, "name": "k", "required": true, "type": "long"},
+         |  {"id": 2, "name": "nm", "required": false, "type": "string"},
+         |  {"id": 3, "name": "price", "required": true, "type": "double"},
+         |  {"id": 4, "name": "d", "required": true, "type": "date"},
+         |  {"id": 5, "name": "dec", "required": true, "type": "decimal(10,2)"},
+         |  {"id": 6, "name": "ts", "required": true, "type": "timestamptz"},
+         |  {"id": 7, "name": "tags", "required": true, "type": {
+         |    "type": "list", "element-id": 8, "element": "string",
+         |    "element-required": true}}]}],
+         |"current-schema-id": 0,
+         |"current-snapshot-id": 7,
+         |"snapshots": [{"snapshot-id": 7, "schema-id": 0,
+         |  "manifests": ["${fs.makeQualified(m)}"]}]}""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val canon = Seq("k", "nm", "price", "CAST(d AS STRING) d",
+      "CAST(dec AS STRING) dec", "unix_micros(ts) tsu",
+      "array_join(tags, '|') tg")
+    def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.selectExpr(canon: _*).collect().map(_.toString).sorted.toSeq
+    val expected = Seq(
+      "[1,one,1.5,2024-01-01,1.25,1700000000000000,x|y]",
+      "[2,null,2.5,2024-01-02,2.50,1700000001000000,]",
+      "[3,three,3.5,2024-01-03,3.75,1700000002000000,z]",
+      "[4,four,4.5,2024-01-04,5.00,1700000003000000,w]",
+      "[5,null,5.5,2024-01-05,6.25,1700000004000000,v|u]").sorted
+    val layout = CatalogIO.readLayout(metaP.toString, conf)
+    assert(layout.dataFormat == "avro")
+    // DataFrame face
+    assert(rowsOf(CatalogIO.scanMetadataLocation(spark, metaP.toString)) == expected)
+    // DSv2 SQL face: registered pointer, pruned projections, aggregate
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-iceberg-avro") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.av"), metaP.toString)
+      assert(rowsOf(spark.table(s"$cat.db.av")) == expected)
+      val agg = spark.sql(s"SELECT COUNT(*) c, SUM(k) sk, CAST(SUM(dec) AS STRING) sd " +
+        s"FROM $cat.db.av WHERE price > 2.0").head
+      assert((agg.getLong(0), agg.getLong(1), agg.getString(2)) ==
+        ((4L, 14L, "17.50")))
+      // adoption refuses: the engine writes parquet
+      val e = intercept[UnsupportedOperationException] {
+        CatalogIO.adoptIcebergTable(spark, hc, TableRef.parse("db.ad3"),
+          metaP.toString)
+      }
+      assert(e.getMessage.contains("avro") && e.getMessage.contains("adoption"))
+    }
   }
 
   // ---- v2 merge-on-read fixtures (round 13, judge r12 item 2) --------
