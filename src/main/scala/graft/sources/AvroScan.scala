@@ -237,21 +237,51 @@ final class GraftAvroTable(spark: SparkSession, tableName: String,
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 
+  /** Per-file pruning stats (manifest bounds), keyed by absolute path —
+    * avro files carry no parquet-style footer pushdown, so the
+    * manifest envelope is the ONLY file-skipping layer this format
+    * gets; same kill-switch as the parquet/orc paths. */
+  private val statsByPath: Map[String, String] = {
+    val enabled = spark.conf
+      .getOption("spark.graft.stats.pruning").forall(_ == "true")
+    if (!enabled) Map.empty
+    else layout.absoluteDataFilesWithStats
+      .map(_.collect { case (p, s) if s.nonEmpty => p -> s }.toMap)
+      .getOrElse(Map.empty)
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new AvroScanBuilder(spark, currentSchema, sized, hadoopOpts)
+    new AvroScanBuilder(spark, tableName, currentSchema, sized, statsByPath,
+      hadoopOpts)
 }
 
-private final class AvroScanBuilder(spark: SparkSession,
+private final class AvroScanBuilder(spark: SparkSession, tableName: String,
     fullSchema: StructType, sized: Seq[(String, Long)],
-    hadoopOpts: Map[String, String])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+    statsByPath: Map[String, String], hadoopOpts: Map[String, String])
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
   private var required: StructType = fullSchema
+  private var captured: Seq[org.apache.spark.sql.catalyst.expressions.Expression] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the table's field order and types; honor the subset
     required = StructType(fullSchema.fields.filter(f =>
       requiredSchema.fieldNames.exists(_.equalsIgnoreCase(f.name))))
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] = {
+    // captured only for manifest-envelope FILE pruning; every conjunct
+    // is re-evaluated post-scan (nothing sound to push below the
+    // row-oriented record decode)
+    captured = filters
+    filters
+  }
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
 
   override def build(): Scan = {
     val conf = {
@@ -259,7 +289,20 @@ private final class AvroScanBuilder(spark: SparkSession,
       hadoopOpts.foreach { case (k, v) => c.set(k, v) }
       new SerializableConfiguration(c)
     }
-    new AvroScan(sized.toVector, required)(conf,
+    // the same envelope test as StatsPrunedScan, applied to whole files
+    val kept =
+      if (captured.isEmpty || statsByPath.isEmpty) sized
+      else sized.filter { case (p, _) =>
+        statsByPath.get(p).flatMap(graft.catalog.FileStats
+          .decode(_, fullSchema)) match {
+          case Some(d) => !StatsPruning.filePrunable(captured, d)
+          case None => true // no stats: must read
+        }
+      }
+    if (kept.size != sized.size)
+      StatsPruning.recordPlan(sized.size - kept.size, sized.size, tableName)
+    else StatsPruning.lastPlanned = Some((0, sized.size))
+    new AvroScan(kept.toVector, required)(conf,
       spark.sessionState.conf.filesMaxPartitionBytes)
   }
 }

@@ -234,20 +234,45 @@ class IcebergFormatSpec extends AnyFunSuite {
         |  {"name":"file_path","type":"string"},
         |  {"name":"file_format","type":"string"},
         |  {"name":"record_count","type":"long"},
-        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"lower_bounds","type":["null",{"type":"array","items":
+        |    {"type":"record","name":"kvl","fields":[
+        |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+        |   "default":null},
+        |  {"name":"upper_bounds","type":["null",{"type":"array","items":
+        |    {"type":"record","name":"kvu","fields":[
+        |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+        |   "default":null}]}}]}""".stripMargin)
+    def leLong(v: Long): java.nio.ByteBuffer = { // Appendix-D long encoding
+      val b = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putLong(v); b.flip(); b
+    }
     val m = new Path(dir, "metadata/m.avro")
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
     w.create(mSchema, fs.create(m, true))
-    Seq(("data/a.avro", 3L), ("data/b.avro", 2L)).foreach { case (rel, n) =>
-      val abs = new Path(dir, rel)
-      val d = new GenericData.Record(mSchema.getField("data_file").schema())
-      d.put("file_path", fs.makeQualified(abs).toString)
-      d.put("file_format", "AVRO")
-      d.put("record_count", n)
-      d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
-      val r = new GenericData.Record(mSchema)
-      r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
-      w.append(r)
+    val dfSchema = mSchema.getField("data_file").schema()
+    def kv(field: String, v: Long): GenericData.Array[GenericRecord] = {
+      val itemS = dfSchema.getField(field).schema().getTypes.get(1).getElementType
+      val arr = new GenericData.Array[GenericRecord](1,
+        org.apache.avro.Schema.createArray(itemS))
+      val r = new GenericData.Record(itemS)
+      r.put("key", 1); r.put("value", leLong(v)); arr.add(r)
+      arr
+    }
+    Seq(("data/a.avro", 3L, 1L, 3L), ("data/b.avro", 2L, 4L, 5L)).foreach {
+      case (rel, n, lo, hi) =>
+        val abs = new Path(dir, rel)
+        val d = new GenericData.Record(dfSchema)
+        d.put("file_path", fs.makeQualified(abs).toString)
+        d.put("file_format", "AVRO")
+        d.put("record_count", n)
+        d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
+        d.put("lower_bounds", kv("lower_bounds", lo))
+        d.put("upper_bounds", kv("upper_bounds", hi))
+        val r = new GenericData.Record(mSchema)
+        r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
+        w.append(r)
     }
     w.close()
     val metaP = new Path(dir, "metadata/avro.metadata.json")
@@ -294,6 +319,13 @@ class IcebergFormatSpec extends AnyFunSuite {
         s"FROM $cat.db.av WHERE price > 2.0").head
       assert((agg.getLong(0), agg.getLong(1), agg.getString(2)) ==
         ((4L, 14L, "17.50")))
+      // manifest bounds prune whole avro files at plan time — the only
+      // file-skipping layer a footer-less row format gets
+      graft.sources.StatsPruning.lastPlanned = None
+      assert(spark.sql(s"SELECT SUM(k) FROM $cat.db.av WHERE k <= 3")
+        .head.getLong(0) == 6L)
+      assert(graft.sources.StatsPruning.lastPlanned == Some((1, 2)),
+        s"expected 1/2 avro files skipped, got ${graft.sources.StatsPruning.lastPlanned}")
       // adoption refuses: the engine writes parquet
       val e = intercept[UnsupportedOperationException] {
         CatalogIO.adoptIcebergTable(spark, hc, TableRef.parse("db.ad3"),
