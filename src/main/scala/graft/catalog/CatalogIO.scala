@@ -2659,17 +2659,18 @@ object CatalogIO {
               .cast(d.schema(c).dataType))
           }
         }.reduce(_ unionByName _)
-      case Some(filesWithSeqs) if layout.dataFormat == "avro" =>
+      case Some(_) if layout.dataFormat == "avro" =>
         // avro has no Spark DataFrameReader face in this environment —
         // the engine's own reader decodes records task-side
-        // ([[graft.sources.AvroRead]]), sized slices from the manifest
+        // ([[graft.sources.AvroRead]]); the sizes helper enforces the
+        // complete-sizes contract (a -1 size would silently drop rows)
         graft.sources.AvroRead.dataFrame(spark,
           org.apache.spark.sql.types.StructType.fromDDL(
             layout.schemaDdl.getOrElse(throw new IllegalStateException(
               s"avro layout with no recorded schema at ${layout.dataLocation}"))),
-          filesWithSeqs.map(_._1).zip(
-            layout.dataFileSizes.getOrElse(throw new IllegalStateException(
-              s"avro layout with no file sizes at ${layout.dataLocation}"))),
+          layout.absoluteDataFilesWithSizes.getOrElse(
+            throw new IllegalStateException(
+              s"avro layout with incomplete file sizes at ${layout.dataLocation}")),
           options)
       case Some(filesWithSeqs) =>
         load(reader.option("basePath", layout.dataLocation),

@@ -63,6 +63,7 @@ object AvroRead {
     // hoisted OUTSIDE the anonymous Iterator: inside it, the inherited
     // Iterator.length member shadows the method parameter
     val end = start + length
+    val convSeq = convs.toIndexedSeq
     val it = new Iterator[Row] {
       override def hasNext: Boolean = {
         if (closed) return false
@@ -72,7 +73,7 @@ object AvroRead {
       }
       override def next(): Row = {
         val rec = reader.next()
-        Row.fromSeq(convs.toIndexedSeq.map(_(rec)))
+        Row.fromSeq(convSeq.map(_(rec)))
       }
     }
     (it, () => closeNow())
@@ -90,7 +91,14 @@ object AvroRead {
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
     val rdd = spark.sparkContext
       .parallelize(files, math.max(files.size, 1))
-      .flatMap { case (p, len) => openSlice(p, 0, len, conf.value, nullable)._1 }
+      .flatMap { case (p, len) =>
+        val (it, close) = openSlice(p, 0, len, conf.value, nullable)
+        // a LIMIT abandons the iterator before exhaustion — close the
+        // stream at task end, not at GC
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
+        it
+      }
     spark.createDataFrame(rdd, nullable)
   }
 
@@ -140,6 +148,19 @@ object AvroRead {
     def refuse(): Nothing = throw new UnsupportedOperationException(
       s"avro ${s.getType} at $where has no exact decoding to catalyst " +
         s"$dt — this reader refuses rather than mis-serve")
+    // a DECLARED avro logical type must agree with the decoding this
+    // converter applies — a timestamp-millis long decoded as micros
+    // (or a decimal at another scale) would be served silently wrong.
+    // An absent logical type is tolerated (Iceberg's own avro files
+    // always declare them; id-less migrated files may not).
+    val logical = Option(s.getLogicalType).map(_.getName)
+    def requireLogical(ok: String*): Unit =
+      logical.filterNot(ok.contains).foreach(lt =>
+        throw new UnsupportedOperationException(
+          s"avro logical type '$lt' at $where does not match the " +
+            s"catalyst type $dt decoding " +
+            ok.mkString("(expected one of ", ", ", ")") +
+            " — this reader refuses rather than mis-serve"))
     dt match {
       case BooleanType => { case b: java.lang.Boolean => b; case _ => refuse() }
       case IntegerType => { case i: java.lang.Integer => i; case _ => refuse() }
@@ -156,33 +177,43 @@ object AvroRead {
       }
       case StringType => v => v.toString
       case BinaryType => v => bytesOf(v)
-      case DateType => { // iceberg avro: int days since epoch
-        case i: java.lang.Integer => java.time.LocalDate.ofEpochDay(i.longValue())
-        case _ => refuse()
-      }
-      case TimestampType => { // long micros, UTC-adjusted
-        case l: java.lang.Long =>
-          java.time.Instant.EPOCH.plus(l, java.time.temporal.ChronoUnit.MICROS)
-        case _ => refuse()
-      }
-      case TimestampNTZType => { // long micros, no zone
-        case l: java.lang.Long =>
-          java.time.LocalDateTime.ofEpochSecond(
-            Math.floorDiv(l, 1000000L),
-            (Math.floorMod(l, 1000000L) * 1000L).toInt,
-            java.time.ZoneOffset.UTC)
-        case _ => refuse()
-      }
-      case d: DecimalType => v => // big-endian unscaled in fixed/bytes
-        new java.math.BigDecimal(
+      case DateType => // iceberg avro: int days since epoch
+        requireLogical("date");
+        { case i: java.lang.Integer =>
+            java.time.LocalDate.ofEpochDay(i.longValue())
+          case _ => refuse() }
+      case TimestampType => // long micros, UTC-adjusted
+        requireLogical("timestamp-micros");
+        { case l: java.lang.Long =>
+            java.time.Instant.EPOCH.plus(l, java.time.temporal.ChronoUnit.MICROS)
+          case _ => refuse() }
+      case TimestampNTZType => // long micros, no zone
+        requireLogical("local-timestamp-micros", "timestamp-micros");
+        { case l: java.lang.Long =>
+            java.time.LocalDateTime.ofEpochSecond(
+              Math.floorDiv(l, 1000000L),
+              (Math.floorMod(l, 1000000L) * 1000L).toInt,
+              java.time.ZoneOffset.UTC)
+          case _ => refuse() }
+      case d: DecimalType => // big-endian unscaled in fixed/bytes
+        requireLogical("decimal")
+        s.getLogicalType match {
+          case dec: org.apache.avro.LogicalTypes.Decimal
+              if dec.getScale != d.scale =>
+            throw new UnsupportedOperationException(
+              s"avro decimal scale ${dec.getScale} at $where does not " +
+                s"match the table's $dt — this reader refuses rather " +
+                "than mis-serve")
+          case _ => ()
+        }
+        v => new java.math.BigDecimal(
           new java.math.BigInteger(bytesOf(v)), d.scale)
       case st: StructType =>
         val inner = nonNull(s, where)
         if (inner.getType != AvroSchema.Type.RECORD) refuse()
         val convs = st.fields.map(f =>
-          fieldConverter(inner, f, s"$where.${f.name}"))
-        v => Row.fromSeq(convs.toIndexedSeq
-          .map(_(v.asInstanceOf[GenericRecord])))
+          fieldConverter(inner, f, s"$where.${f.name}")).toIndexedSeq
+        v => Row.fromSeq(convs.map(_(v.asInstanceOf[GenericRecord])))
       case ArrayType(et, _) =>
         if (s.getType != AvroSchema.Type.ARRAY) refuse()
         val c = valueConverter(s.getElementType, et, s"$where[]")
@@ -224,11 +255,11 @@ final class GraftAvroTable(spark: SparkSession, tableName: String,
       s"avro table $tableName has no recorded schema")))
     .fields.map(_.copy(nullable = true)))
 
+  // the helper enforces the complete-sizes contract (a -1 entry would
+  // make a slice's pastSync fire immediately — silent row loss)
   private val sized: Seq[(String, Long)] =
-    layout.absoluteDataFiles.getOrElse(throw new IllegalStateException(
-      s"avro table $tableName has no file manifest"))
-      .zip(layout.dataFileSizes.getOrElse(throw new IllegalStateException(
-        s"avro table $tableName has no file sizes")))
+    layout.absoluteDataFilesWithSizes.getOrElse(throw new IllegalStateException(
+      s"avro table $tableName has no complete file-size manifest"))
 
   override def name(): String = tableName
   override def schema(): StructType = currentSchema

@@ -132,7 +132,7 @@ final class GraftBucketedTable(delegate: Table with SupportsRead,
     Array(Expressions.bucket(numBuckets, bucketCols: _*))
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    // both wrappable tables (ParquetTable, ManifestParquetTable) build
+    // both wrappable tables (ParquetTable, ManifestFileTable) build
     // ParquetScanBuilders — the only builder this wrapper decorates
     new BucketedScanBuilder(
       delegate.newScanBuilder(options).asInstanceOf[ParquetScanBuilder],

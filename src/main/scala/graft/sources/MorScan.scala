@@ -113,7 +113,7 @@ final class GraftMorTable(delegate: Table with SupportsRead,
     delegate.newScanBuilder(options) match {
       case p: ParquetScanBuilder =>
         new MorScanBuilder(p, keyFields, layout, hadoopOpts, eqOverflow)
-      // both wrappable tables (ParquetTable, ManifestParquetTable) build
+      // both wrappable tables (ParquetTable, ManifestFileTable) build
       // ParquetScanBuilders; anything else would serve raw files WITHOUT
       // delete application — resurrecting deleted rows silently. Refuse.
       case other => throw new IllegalStateException(
