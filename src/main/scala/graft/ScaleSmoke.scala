@@ -136,7 +136,9 @@ object ScaleSmoke {
       val schema = org.apache.spark.sql.types.StructType.fromDDL(l.schemaDdl.get)
       val perFile = l.absoluteDataFiles.get.zip(
         l.dataFileStats.get.map(s => graft.catalog.FileStats.decode(s, schema)
-          .map(_.rowCount).getOrElse(0L)))
+          .map(_.rowCount).getOrElse(throw new IllegalStateException(
+            "dv experiment: a file without decodable stats would " +
+              "silently shrink the delete set being measured"))))
       spark.createDataset(perFile).repartition(perFile.size)
         .flatMap { case (f, n) => (0L until n by 7L).iterator.map(p => (f, p)) }
         .toDF("file_path", "pos")

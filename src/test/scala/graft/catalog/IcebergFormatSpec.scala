@@ -1435,6 +1435,11 @@ class IcebergFormatSpec extends AnyFunSuite {
       finally in.close()
     }
     assert(text.contains("\"format-version\": 3"))
+    // v3 row lineage is REQUIRED metadata: next-row-id on the table,
+    // first-row-id on the v3 snapshot (this table never assigned row
+    // ids, so both are 0 — valid: every id is unassigned)
+    assert(text.contains("\"next-row-id\": 0"), "v3 requires next-row-id")
+    assert(text.contains("\"first-row-id\": 0"), "v3 snapshots record first-row-id")
     val layout = CatalogIO.readLayout(meta2, conf)
     assert(layout.dvDeleteFiles.size == 2 &&
       layout.dvDeleteFiles.map(_.rowCount.get).sorted == Seq(1L, 3L))
@@ -1454,6 +1459,24 @@ class IcebergFormatSpec extends AnyFunSuite {
       Seq((fileB, 0L)).toDF("file_path", "pos"))
     val df3 = CatalogIO.scanMetadataLocation(spark, meta3)
     assert(df3.count() == 300 - 5)
+    // a DV commit addressing a path the manifests don't spell that way
+    // refuses AT COMMIT (a poisoned snapshot would fail every later read)
+    val bad = intercept[IllegalArgumentException](
+      IcebergExport.appendDeletionVectors(spark, meta3,
+        Seq((fileA + ".missing", 0L)).toDF("file_path", "pos")))
+    assert(bad.getMessage.contains("no current data file"))
+    // an APPEND on the (now v3) table advances next-row-id by the rows
+    // added and stamps the new snapshot's first-row-id
+    val meta4 = IcebergExport.appendSnapshot(spark, sampleDf.limit(10), meta3)
+    val text4 = {
+      val fs = new Path(dir).getFileSystem(conf)
+      val in = fs.open(new Path(meta4))
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    assert(text4.contains("\"next-row-id\": 10"),
+      "append of 10 rows must advance v3 next-row-id to 10")
+    assert(CatalogIO.scanMetadataLocation(spark, meta4).count() == 300 - 5 + 10)
   }
 
   test("v3 initial-defaults: pre-addition files serve the default, later files their own values") {
