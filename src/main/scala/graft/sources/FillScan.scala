@@ -13,7 +13,7 @@ import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.FilePartition
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.{FileScan, FileScanBuilder}
+
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
@@ -77,6 +77,20 @@ final class GraftFillTable(spark: SparkSession, tableName: String,
       .zip(layout.dataFiles.getOrElse(Nil)).toMap
     val manifestPlanning = spark.conf
       .getOption("spark.graft.manifest.planning").forall(_ == "true")
+    // manifest stats still skip whole files per group (a filter on a
+    // NON-fill column prunes like any plain scan; fill columns have no
+    // stats in pre-addition files, which is conservatively unprunable).
+    // totalDataFiles = -1 disables manifest-ANSWERED aggregates: this
+    // builder does not forward aggregate pushdown, and a per-group
+    // answer would be a partial one anyway.
+    val statsEnabled = spark.conf
+      .getOption("spark.graft.stats.pruning").forall(_ == "true")
+    val statsByPath: Map[String, String] =
+      if (!statsEnabled) Map.empty
+      else layout.absoluteDataFilesWithStats
+        .map(_.collect { case (p, s) if s.nonEmpty =>
+          new org.apache.hadoop.fs.Path(p).toUri.getPath -> s }.toMap)
+        .getOrElse(Map.empty)
     groups.map { case (fills, files) =>
       val manifest: Option[Table with SupportsRead] =
         if (!manifestPlanning) None
@@ -89,7 +103,15 @@ final class GraftFillTable(spark: SparkSession, tableName: String,
             (hadoopOpts + ("basePath" -> layout.dataLocation)).asJava),
           files, userSpecifiedSchema = Some(currentSchema),
           fallbackFileFormat = classOf[ParquetFileFormat]))
-      (fills, table)
+      val groupStats = {
+        val keep = files.map(f =>
+          new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+        statsByPath.filter { case (p, _) => keep(p) }
+      }
+      val decorated: Table with SupportsRead =
+        if (groupStats.isEmpty) table
+        else new StatsPrunedTable(table, groupStats, totalDataFiles = -1)
+      (fills, decorated)
     }
   }
 
@@ -102,16 +124,21 @@ final class GraftFillTable(spark: SparkSession, tableName: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FillScanBuilder(groupTables.map { case (fills, t) =>
-      (fills, t.newScanBuilder(options).asInstanceOf[FileScanBuilder])
+      (fills, t.newScanBuilder(options)
+        .asInstanceOf[ScanBuilder with SupportsPushDownRequiredColumns
+          with SupportsPushDownCatalystFilters])
     })
 }
 
-/** Fans pruning out to each group's stock builder; filters touching a
+/** Fans pruning out to each group's builder (the stock FileScanBuilder,
+  * or the StatsPrunedScanBuilder wrapping it); filters touching a
   * group's fill columns are withheld from THAT group's pushdown. All
   * filters are reported back as not-fully-handled, so Spark re-checks
   * them after the constants are injected. */
 private final class FillScanBuilder(
-    builders: Seq[(Seq[(String, Any)], FileScanBuilder)])
+    builders: Seq[(Seq[(String, Any)],
+      ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownCatalystFilters)])
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters {
 
@@ -134,9 +161,7 @@ private final class FillScanBuilder(
     builders.headOption.map(_._2.pushedFilters).getOrElse(Array.empty)
 
   override def build(): Scan =
-    new FillScan(builders.map { case (fills, b) =>
-      (fills, b.build().asInstanceOf[FileScan])
-    })
+    new FillScan(builders.map { case (fills, b) => (fills, b.build()) })
 }
 
 /** One group's planned file slices. */
@@ -148,7 +173,7 @@ private[sources] final case class FillFilePartition(group: Int,
 /** Concatenates the per-group stock scans; groups with fills get their
   * readers wrapped with the constant injection. */
 private final class FillScan(
-    private val scans: Seq[(Seq[(String, Any)], FileScan)])
+    private val scans: Seq[(Seq[(String, Any)], Scan)])
   extends Scan with Batch {
 
   override def readSchema(): StructType = scans.head._2.readSchema()

@@ -1528,20 +1528,45 @@ class IcebergFormatSpec extends AnyFunSuite {
         |  {"name":"file_path","type":"string"},
         |  {"name":"file_format","type":"string"},
         |  {"name":"record_count","type":"long"},
-        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"lower_bounds","type":["null",{"type":"array","items":
+        |    {"type":"record","name":"kvl","fields":[
+        |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+        |   "default":null},
+        |  {"name":"upper_bounds","type":["null",{"type":"array","items":
+        |    {"type":"record","name":"kvu","fields":[
+        |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+        |   "default":null}]}}]}""".stripMargin)
+    def leLong(v: Long): java.nio.ByteBuffer = {
+      val b = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putLong(v); b.flip(); b
+    }
+    val dfS = mSchema.getField("data_file").schema()
+    def kv1(field: String, v: Long): GenericData.Array[GenericRecord] = {
+      val itemS = dfS.getField(field).schema().getTypes.get(1).getElementType
+      val arr = new GenericData.Array[GenericRecord](1,
+        org.apache.avro.Schema.createArray(itemS))
+      val r = new GenericData.Record(itemS)
+      r.put("key", 1); r.put("value", leLong(v)); arr.add(r)
+      arr
+    }
     val m = new Path(dir, "metadata/m.avro")
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
     w.create(mSchema, fs.create(m, true))
-    Seq(("data/a.parquet", 5L), ("data/b.parquet", 3L)).foreach { case (rel, n) =>
-      val abs = new Path(dir, rel)
-      val d = new GenericData.Record(mSchema.getField("data_file").schema())
-      d.put("file_path", fs.makeQualified(abs).toString)
-      d.put("file_format", "PARQUET")
-      d.put("record_count", n)
-      d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
-      val r = new GenericData.Record(mSchema)
-      r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
-      w.append(r)
+    Seq(("data/a.parquet", 5L, 1L, 5L), ("data/b.parquet", 3L, 6L, 8L)).foreach {
+      case (rel, n, lo, hi) =>
+        val abs = new Path(dir, rel)
+        val d = new GenericData.Record(dfS)
+        d.put("file_path", fs.makeQualified(abs).toString)
+        d.put("file_format", "PARQUET")
+        d.put("record_count", n)
+        d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
+        d.put("lower_bounds", kv1("lower_bounds", lo))
+        d.put("upper_bounds", kv1("upper_bounds", hi))
+        val r = new GenericData.Record(mSchema)
+        r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
+        w.append(r)
     }
     w.close()
     val metaP = new Path(dir, "metadata/idef.metadata.json")
@@ -1582,6 +1607,14 @@ class IcebergFormatSpec extends AnyFunSuite {
         .collect().map(_.getLong(0)).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L, 8L))
       assert(spark.sql(s"SELECT k FROM $cat.db.idef WHERE d = 'en'")
         .collect().map(_.getLong(0)).sorted.toSeq == (1L to 5L))
+      // manifest bounds on a NON-fill column still prune whole files
+      // through the fill table's per-group stats decoration
+      graft.sources.StatsPruning.lastPlanned = None
+      assert(spark.sql(s"SELECT SUM(k) FROM $cat.db.idef WHERE k >= 6")
+        .head.getLong(0) == 21L)
+      assert(graft.sources.StatsPruning.lastPlanned == Some((1, 1)),
+        s"expected the pre-addition file pruned from its own group, " +
+          s"got ${graft.sources.StatsPruning.lastPlanned}")
       val vect = "spark.sql.parquet.enableVectorizedReader"
       val prior = spark.conf.get(vect)
       try {
