@@ -136,6 +136,7 @@ object SparkEntry {
     "w11_hidden_partitioning" -> (graft.queries.WriteQueries.w11 _),
     "w12_deletion_vectors" -> (graft.queries.WriteQueries.w12 _),
     "w13_iceberg_orc" -> (graft.queries.WriteQueries.w13 _),
+    "w14_iceberg_avro" -> (graft.queries.WriteQueries.w14 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1031,6 +1032,25 @@ object SparkEntry {
         |FROM lineitem
         |WHERE l_orderkey <= 30000
         |GROUP BY rf""".stripMargin,
+    // w14: AVRO data files — the engine writes (native avro writer,
+    // stats in the write pass) and reads back an Iceberg table with
+    // avro data files through both faces under sync-marker multi-slice
+    // splits; relationally the same projection + filter + aggregate
+    // replayed once per face. The DOUBLE p_sum is exact: cents sums are
+    // integers < 2^53 in both engines.
+    "w14_iceberg_avro" ->
+      """WITH a AS (
+        |  SELECT l_returnflag AS rf, COUNT(*) AS cnt,
+        |         CAST(SUM(l_orderkey) AS BIGINT) AS k_sum,
+        |         MIN(CAST(l_shipdate AS DATE)) AS d_min,
+        |         CAST(epoch_us(MAX(CAST(l_shipdate AS TIMESTAMP))) AS BIGINT) AS ts_max,
+        |         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS p_sum
+        |  FROM lineitem
+        |  WHERE l_orderkey <= 30000
+        |  GROUP BY rf)
+        |SELECT 'sql' AS face, * FROM a
+        |UNION ALL
+        |SELECT 'df' AS face, * FROM a""".stripMargin,
     // w05: incremental append reads are manifest set-differences, so
     // each phase's change set is relationally just the slice that
     // commit appended (WriteQueries.w05 runs the real version-diff

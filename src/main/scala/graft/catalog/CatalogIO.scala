@@ -2687,7 +2687,9 @@ object CatalogIO {
         // avro has no Spark DataFrameReader face in this environment —
         // the engine's own reader decodes records task-side
         // ([[graft.sources.AvroRead]]); the sizes helper enforces the
-        // complete-sizes contract (a -1 size would silently drop rows)
+        // complete-sizes contract (a -1 size would silently drop rows).
+        // Round 15: this face is the SAME DSv2 scan as the SQL face, so
+        // sync-marker splits and manifest-bounds pruning apply here too.
         graft.sources.AvroRead.dataFrame(spark,
           org.apache.spark.sql.types.StructType.fromDDL(
             layout.schemaDdl.getOrElse(throw new IllegalStateException(
@@ -2695,7 +2697,10 @@ object CatalogIO {
           layout.absoluteDataFilesWithSizes.getOrElse(
             throw new IllegalStateException(
               s"avro layout with incomplete file sizes at ${layout.dataLocation}")),
-          options)
+          options,
+          layout.absoluteDataFilesWithStats
+            .map(_.collect { case (p, s) if s.nonEmpty => p -> s }.toMap)
+            .getOrElse(Map.empty))
       case Some(filesWithSeqs) =>
         load(reader.option("basePath", layout.dataLocation),
           filesWithSeqs.map(_._1))

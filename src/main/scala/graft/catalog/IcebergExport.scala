@@ -60,7 +60,8 @@ object IcebergExport {
     * writes are). */
   def writeTable(spark: SparkSession, df: DataFrame, tableDir: String,
       fileFormat: String = "parquet"): String = {
-    require(fileFormat == "parquet" || fileFormat == "orc",
+    require(fileFormat == "parquet" || fileFormat == "orc" ||
+      fileFormat == "avro",
       s"unsupported Iceberg export data format '$fileFormat'")
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(tableDir)
@@ -68,18 +69,25 @@ object IcebergExport {
     require(!fs.exists(root), s"Iceberg export target $tableDir already exists")
     val location = fs.makeQualified(root).toString
     val dataDir = new Path(root, "data")
-    df.write.format(fileFormat).save(dataDir.toString)
     val schema = df.schema
     // field ids 1..n in schema order — the ids the manifests key
     // bounds by and the name mapping publishes
     val fieldIds = schema.fields.zipWithIndex.map { case (f, i) => (f, i + 1) }.toSeq
+    // avro: the engine's own writer (no spark-avro module exists here)
+    // computes the manifest stats IN the write pass — one scan of the
+    // data, where parquet/orc pay write + stats read-back
+    val avroResults =
+      if (fileFormat != "avro") {
+        df.write.format(fileFormat).save(dataDir.toString); None
+      } else Some(graft.sources.AvroWrite.write(df, dataDir, fieldIds,
+        new org.apache.spark.util.SerializableConfiguration(conf)))
     val metaDir = new Path(root, "metadata")
     fs.mkdirs(metaDir)
     val snapshotId = newSnapshotId()
     val seq = 1L
     val (manifestEntry, rowCount) = writeDataManifest(spark, fs, metaDir,
       location, schema, fieldIds, dataDir, relPrefix = "data", snapshotId, seq,
-      fileFormat)
+      fileFormat, avroResults)
     val listPath = writeManifestList(fs, metaDir, snapshotId,
       parent = None, seq, Seq(manifestEntry))
     val snapshotJson = snapshotNode(snapshotId, parent = None, seq,
@@ -571,41 +579,66 @@ object IcebergExport {
     st.fs.makeQualified(metaPath).toString
   }
 
-  /** One-pass stats + manifest write for the parquet files under
-    * `dataDir` (paths recorded as `location/relPrefix/<file>`). Returns
-    * the manifest-list entry and the snapshot row count. */
+  /** Per-file manifest stats in one normalized shape, keyed by the
+    * Iceberg field id (bound values are Spark EXTERNAL types). */
+  private final case class FileExportStats(cnt: Long,
+      lowers: Map[Int, Any], uppers: Map[Int, Any],
+      nulls: Map[Int, Long], nans: Map[Int, Long])
+
+  /** One-pass stats + manifest write for the data files under
+    * `dataDir` (paths recorded as `location/relPrefix/<file>`). For
+    * parquet/orc the stats come from a read-back scan; for avro the
+    * caller passes the write-pass results. Returns the manifest-list
+    * entry and the snapshot row count. */
   private def writeDataManifest(spark: SparkSession,
       fs: org.apache.hadoop.fs.FileSystem, metaDir: Path, location: String,
       schema: StructType, fieldIds: Seq[(StructField, Int)], dataDir: Path,
       relPrefix: String, snapshotId: Long, seq: Long,
-      fileFormat: String = "parquet"): (ListEntry, Long) = {
+      fileFormat: String = "parquet",
+      avroResults: Option[Seq[graft.sources.AvroWrite.FileResult]] = None)
+      : (ListEntry, Long) = {
     import org.apache.spark.sql.functions._
     val boundCols = fieldIds.filter { case (f, _) => boundSupported(f.dataType) }
-    val aggs = count(lit(1)).as("_cnt") +:
-      boundCols.flatMap { case (f, id) =>
-        Seq(min(col(f.name)).as(s"_mn$id"), max(col(f.name)).as(s"_mx$id"),
-          sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"_nu$id")) ++
-          (f.dataType match {
-            case FloatType | DoubleType =>
-              Seq(sum(when(isnan(col(f.name)), 1L).otherwise(0L)).as(s"_na$id"))
-            case _ => Nil
-          })
-      }
-    val perFile = spark.read.schema(schema).format(fileFormat)
-      .load(dataDir.toString)
-      .groupBy(input_file_name().as("_file"))
-      .agg(aggs.head, aggs.tail: _*)
-      .collect()
+    val statsByRel: Map[String, FileExportStats] = avroResults match {
+      case Some(rs) => rs.map(r =>
+        r.name -> FileExportStats(r.count, r.lowers, r.uppers,
+          r.nulls, r.nans)).toMap
+      case None =>
+        val aggs = count(lit(1)).as("_cnt") +:
+          boundCols.flatMap { case (f, id) =>
+            Seq(min(col(f.name)).as(s"_mn$id"), max(col(f.name)).as(s"_mx$id"),
+              sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"_nu$id")) ++
+              (f.dataType match {
+                case FloatType | DoubleType =>
+                  Seq(sum(when(isnan(col(f.name)), 1L).otherwise(0L)).as(s"_na$id"))
+                case _ => Nil
+              })
+          }
+        val perFile = spark.read.schema(schema).format(fileFormat)
+          .load(dataDir.toString)
+          .groupBy(input_file_name().as("_file"))
+          .agg(aggs.head, aggs.tail: _*)
+          .collect()
+        // compare by URI PATH: input_file_name renders file:///p while
+        // hadoop's makeQualified renders file:/p — same file, two spellings
+        val dataPathPrefix = fs.makeQualified(dataDir).toUri.getPath
+        perFile.map { r =>
+          val abs = r.getAs[String]("_file")
+          val rel = java.net.URI.create(abs).getPath
+            .stripPrefix(dataPathPrefix).stripPrefix("/")
+          rel -> FileExportStats(r.getAs[Long]("_cnt"),
+            boundCols.flatMap { case (f, id) =>
+              Option(r.getAs[Any](s"_mn$id")).map(id -> _) }.toMap,
+            boundCols.flatMap { case (f, id) =>
+              Option(r.getAs[Any](s"_mx$id")).map(id -> _) }.toMap,
+            boundCols.map { case (_, id) =>
+              id -> r.getAs[Long](s"_nu$id") }.toMap,
+            boundCols.collect { case (f, id)
+                if f.dataType == FloatType || f.dataType == DoubleType =>
+              id -> r.getAs[Long](s"_na$id") }.toMap)
+        }.toMap
+    }
     val files = CatalogIO.listDataFiles(fs, dataDir)
-    // compare by URI PATH: input_file_name renders file:///p while
-    // hadoop's makeQualified renders file:/p — same file, two spellings
-    val dataPathPrefix = fs.makeQualified(dataDir).toUri.getPath
-    val statsByRel = perFile.map { r =>
-      val abs = r.getAs[String]("_file")
-      val rel = java.net.URI.create(abs).getPath
-        .stripPrefix(dataPathPrefix).stripPrefix("/")
-      rel -> r
-    }.toMap
     val manifestPath = new Path(metaDir,
       s"m$seq-${java.util.UUID.randomUUID()}.avro")
     val mSchema = new Schema.Parser().parse(manifestSchemaJson(s"m$seq"))
@@ -623,7 +656,7 @@ object IcebergExport {
       // a 0-row part file (empty DataFrame export, an empty task) has
       // no stats row: record_count 0, no bounds — never a crash
       val row = statsByRel.get(rel)
-      val cnt = row.map(_.getAs[Long]("_cnt")).getOrElse(0L)
+      val cnt = row.map(_.cnt).getOrElse(0L)
       rowCount += cnt
       val st = fs.getFileStatus(new Path(dataDir, rel))
       val d = new GenericData.Record(dfSchema)
@@ -644,21 +677,21 @@ object IcebergExport {
       }
       row.foreach { r =>
         val lowers = boundCols.flatMap { case (f, id) =>
-          Option(r.getAs[Any](s"_mn$id"))
+          r.lowers.get(id)
             .flatMap(serializeBound(f.dataType, _))
             .map(b => id -> (java.nio.ByteBuffer.wrap(b): Any))
         }
         val uppers = boundCols.flatMap { case (f, id) =>
-          Option(r.getAs[Any](s"_mx$id"))
+          r.uppers.get(id)
             .flatMap(serializeBound(f.dataType, _))
             .map(b => id -> (java.nio.ByteBuffer.wrap(b): Any))
         }
-        val nulls = boundCols.map { case (_, id) =>
-          id -> (r.getAs[Long](s"_nu$id"): Any)
+        val nulls = boundCols.flatMap { case (_, id) =>
+          r.nulls.get(id).map(n => id -> (n: Any))
         }
         val nans = boundCols.collect { case (f, id)
             if f.dataType == FloatType || f.dataType == DoubleType =>
-          id -> (r.getAs[Long](s"_na$id"): Any)
+          id -> (r.nans.getOrElse(id, 0L): Any)
         }
         d.put("lower_bounds", kvRecs(kvBytes, lowers))
         d.put("upper_bounds", kvRecs(kvBytes, uppers))

@@ -10,14 +10,16 @@ import org.apache.avro.generic.{GenericDatumReader, GenericFixed, GenericRecord}
 import org.apache.avro.mapred.FsInput
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
 import graft.catalog.CatalogIO.TableLayout
@@ -32,11 +34,17 @@ import graft.catalog.CatalogIO.TableLayout
   * Both faces plan from the manifest (zero listing) and split files at
   * Avro SYNC markers — `DataFileReader.sync(start)`/`pastSync(end)` is
   * the format's own split contract, so a 1 GB avro file fans out
-  * across tasks exactly like parquet row groups. Values convert
-  * per the TABLE schema (Iceberg's avro encoding: date = int days,
-  * timestamps = long micros, decimal = fixed/bytes big-endian unscaled,
-  * non-string-key maps = arrays of key/value records); a shape the
-  * decoder does not cover exactly refuses with the field named.
+  * across tasks exactly like parquet row groups. Since round 15 the
+  * DataFrame face is the SAME DSv2 scan (served through
+  * [[AvroTableProvider]]'s driver-side plan handoff), so both faces
+  * share splits, pruning, and decode. Records decode STRAIGHT to
+  * catalyst internal values (UTF8String / days-int / micros-long /
+  * unscaled Decimal) — one conversion, no external-row detour. Values
+  * convert per the TABLE schema (Iceberg's avro encoding: date = int
+  * days, timestamps = long micros, decimal = fixed/bytes big-endian
+  * unscaled, non-string-key maps = arrays of key/value records); a
+  * shape the decoder does not cover exactly refuses with the field
+  * named.
   *
   * Scope matches ORC interop: read-only, delete-free, rename-free,
   * fill-free (refused upstream by [[graft.catalog.IcebergFormat]]),
@@ -45,13 +53,14 @@ import graft.catalog.CatalogIO.TableLayout
   * nothing sound to push below the record decode). */
 object AvroRead {
 
-  /** External-typed rows of one avro file slice, plus an explicit
+  /** Internal-typed rows of one avro file slice, plus an explicit
     * closer (DSv2 readers close on task end; the iterator also closes
     * itself on exhaustion). `start`/`length` follow the avro split
     * contract: the slice owns every sync block beginning in
     * [start, start+length). */
   def openSlice(path: String, start: Long, length: Long,
-      conf: Configuration, schema: StructType): (Iterator[Row], () => Unit) = {
+      conf: Configuration, schema: StructType)
+      : (Iterator[InternalRow], () => Unit) = {
     val reader = DataFileReader.openReader(
       new FsInput(new Path(path), conf),
       new GenericDatumReader[GenericRecord]())
@@ -63,43 +72,38 @@ object AvroRead {
     // hoisted OUTSIDE the anonymous Iterator: inside it, the inherited
     // Iterator.length member shadows the method parameter
     val end = start + length
-    val convSeq = convs.toIndexedSeq
-    val it = new Iterator[Row] {
+    val width = convs.length
+    val it = new Iterator[InternalRow] {
       override def hasNext: Boolean = {
         if (closed) return false
         val h = reader.hasNext && !reader.pastSync(end)
         if (!h) closeNow()
         h
       }
-      override def next(): Row = {
+      override def next(): InternalRow = {
         val rec = reader.next()
-        Row.fromSeq(convSeq.map(_(rec)))
+        val vals = new Array[Any](width)
+        var i = 0
+        while (i < width) { vals(i) = convs(i)(rec); i += 1 }
+        new GenericInternalRow(vals)
       }
     }
     (it, () => closeNow())
   }
 
-  /** The DataFrame face: one slice per file (the file list and sizes
-    * come from the manifest; callers at this face read tables whole). */
+  /** The DataFrame face: the SAME DSv2 table as the SQL face, handed to
+    * `spark.read.format(...)` through [[AvroTableProvider]]'s plan
+    * registry — sync-marker splits, manifest-bounds pruning, and column
+    * pruning all apply identically on both faces. */
   def dataFrame(spark: SparkSession, schema: StructType,
-      files: Seq[(String, Long)], options: Map[String, String]): DataFrame = {
-    val conf = {
-      val c = spark.sessionState.newHadoopConf()
-      options.foreach { case (k, v) => c.set(k, v) }
-      new SerializableConfiguration(c)
-    }
+      files: Seq[(String, Long)], options: Map[String, String],
+      statsByPath: Map[String, String] = Map.empty): DataFrame = {
     val nullable = StructType(schema.fields.map(_.copy(nullable = true)))
-    val rdd = spark.sparkContext
-      .parallelize(files, math.max(files.size, 1))
-      .flatMap { case (p, len) =>
-        val (it, close) = openSlice(p, 0, len, conf.value, nullable)
-        // a LIMIT abandons the iterator before exhaustion — close the
-        // stream at task end, not at GC
-        Option(org.apache.spark.TaskContext.get())
-          .foreach(_.addTaskCompletionListener[Unit](_ => close()))
-        it
-      }
-    spark.createDataFrame(rdd, nullable)
+    val table = new GraftAvroTable(spark, s"graft-avro-df(${files.size} files)",
+      nullable, files, statsByPath, options)
+    val key = AvroTableProvider.register(table)
+    spark.read.format(classOf[AvroTableProvider].getName)
+      .option(AvroTableProvider.PlanKey, key).load()
   }
 
   /** Converter for one top-level (or nested) field: resolves the avro
@@ -142,6 +146,11 @@ object AvroRead {
       s"unexpected avro binary representation ${other.getClass.getName}")
   }
 
+  /** Decoder from an avro runtime value to the CATALYST INTERNAL value
+    * of `dt` — UTF8String for strings, epoch-days int for dates,
+    * micros long for timestamps, [[Decimal]] for decimals, internal
+    * rows/arrays/maps for nested shapes. One conversion per value; the
+    * scan hands these rows to Spark as-is. */
   private def valueConverter(raw: AvroSchema, dt: DataType,
       where: String): Any => Any = {
     val s = nonNull(raw, where)
@@ -166,35 +175,26 @@ object AvroRead {
       case IntegerType => { case i: java.lang.Integer => i; case _ => refuse() }
       case LongType => {
         case l: java.lang.Long => l
-        case i: java.lang.Integer => i.longValue() // int widened to long
+        case i: java.lang.Integer => java.lang.Long.valueOf(i.longValue()) // int widened
         case _ => refuse()
       }
       case FloatType => { case f: java.lang.Float => f; case _ => refuse() }
       case DoubleType => {
         case d: java.lang.Double => d
-        case f: java.lang.Float => f.doubleValue() // float widened
+        case f: java.lang.Float => java.lang.Double.valueOf(f.doubleValue()) // float widened
         case _ => refuse()
       }
-      case StringType => v => v.toString
+      case StringType => v => UTF8String.fromString(v.toString)
       case BinaryType => v => bytesOf(v)
-      case DateType => // iceberg avro: int days since epoch
+      case DateType => // iceberg avro: int days since epoch = catalyst internal
         requireLogical("date");
-        { case i: java.lang.Integer =>
-            java.time.LocalDate.ofEpochDay(i.longValue())
-          case _ => refuse() }
-      case TimestampType => // long micros, UTC-adjusted
+        { case i: java.lang.Integer => i; case _ => refuse() }
+      case TimestampType => // long micros, UTC-adjusted = catalyst internal
         requireLogical("timestamp-micros");
-        { case l: java.lang.Long =>
-            java.time.Instant.EPOCH.plus(l, java.time.temporal.ChronoUnit.MICROS)
-          case _ => refuse() }
-      case TimestampNTZType => // long micros, no zone
+        { case l: java.lang.Long => l; case _ => refuse() }
+      case TimestampNTZType => // long micros, no zone = catalyst internal
         requireLogical("local-timestamp-micros", "timestamp-micros");
-        { case l: java.lang.Long =>
-            java.time.LocalDateTime.ofEpochSecond(
-              Math.floorDiv(l, 1000000L),
-              (Math.floorMod(l, 1000000L) * 1000L).toInt,
-              java.time.ZoneOffset.UTC)
-          case _ => refuse() }
+        { case l: java.lang.Long => l; case _ => refuse() }
       case d: DecimalType => // big-endian unscaled in fixed/bytes
         requireLogical("decimal")
         s.getLogicalType match {
@@ -206,25 +206,42 @@ object AvroRead {
                 "than mis-serve")
           case _ => ()
         }
-        v => new java.math.BigDecimal(
-          new java.math.BigInteger(bytesOf(v)), d.scale)
+        v => Decimal(new java.math.BigDecimal(
+          new java.math.BigInteger(bytesOf(v)), d.scale), d.precision, d.scale)
       case st: StructType =>
         val inner = nonNull(s, where)
         if (inner.getType != AvroSchema.Type.RECORD) refuse()
         val convs = st.fields.map(f =>
-          fieldConverter(inner, f, s"$where.${f.name}")).toIndexedSeq
-        v => Row.fromSeq(convs.map(_(v.asInstanceOf[GenericRecord])))
+          fieldConverter(inner, f, s"$where.${f.name}"))
+        v => {
+          val rec = v.asInstanceOf[GenericRecord]
+          val vals = new Array[Any](convs.length)
+          var i = 0
+          while (i < convs.length) { vals(i) = convs(i)(rec); i += 1 }
+          new GenericInternalRow(vals)
+        }
       case ArrayType(et, _) =>
         if (s.getType != AvroSchema.Type.ARRAY) refuse()
         val c = valueConverter(s.getElementType, et, s"$where[]")
-        v => v.asInstanceOf[java.util.Collection[Any]].asScala
-          .map(e => if (e == null) null else c(e)).toSeq
+        v => new GenericArrayData(
+          v.asInstanceOf[java.util.Collection[Any]].asScala
+            .map(e => if (e == null) null else c(e)).toArray)
       case MapType(kt, vt, _) => s.getType match {
         case AvroSchema.Type.MAP if kt == StringType =>
           val c = valueConverter(s.getValueType, vt, s"$where{}")
-          v => v.asInstanceOf[java.util.Map[Any, Any]].asScala.map {
-            case (k, mv) => k.toString -> (if (mv == null) null else c(mv))
-          }.toMap
+          v => {
+            val m = v.asInstanceOf[java.util.Map[Any, Any]].asScala
+            val keys = new Array[Any](m.size)
+            val vals = new Array[Any](m.size)
+            var i = 0
+            m.foreach { case (k, mv) =>
+              keys(i) = UTF8String.fromString(k.toString)
+              vals(i) = if (mv == null) null else c(mv)
+              i += 1
+            }
+            new ArrayBasedMapData(new GenericArrayData(keys),
+              new GenericArrayData(vals))
+          }
         case AvroSchema.Type.ARRAY
             if s.getElementType.getType == AvroSchema.Type.RECORD =>
           // iceberg's non-string-key map encoding: array of k/v records
@@ -233,11 +250,21 @@ object AvroRead {
           val vc = valueConverter(es.getField("value").schema(), vt, s"$where.value")
           val kp = es.getField("key").pos()
           val vp = es.getField("value").pos()
-          v => v.asInstanceOf[java.util.Collection[Any]].asScala.map { e =>
-            val r = e.asInstanceOf[GenericRecord]
-            val mv = r.get(vp)
-            kc(r.get(kp)) -> (if (mv == null) null else vc(mv))
-          }.toMap
+          v => {
+            val entries = v.asInstanceOf[java.util.Collection[Any]].asScala.toArray
+            val keys = new Array[Any](entries.length)
+            val vals = new Array[Any](entries.length)
+            var i = 0
+            while (i < entries.length) {
+              val r = entries(i).asInstanceOf[GenericRecord]
+              val mv = r.get(vp)
+              keys(i) = kc(r.get(kp))
+              vals(i) = if (mv == null) null else vc(mv)
+              i += 1
+            }
+            new ArrayBasedMapData(new GenericArrayData(keys),
+              new GenericArrayData(vals))
+          }
         case _ => refuse()
       }
       case _ => refuse()
@@ -245,21 +272,82 @@ object AvroRead {
   }
 }
 
+/** DSv2 TableProvider that serves a driver-side [[GraftAvroTable]] by
+  * registry key — the bridge that lets the DataFrame face
+  * (`spark.read.format(...)`) reuse the exact DSv2 scan the SQL face
+  * plans (same sync-marker splits, same internal-row decode), with no
+  * layout re-parse and no file list squeezed through string options.
+  * Keys are one-shot: [[AvroRead.dataFrame]] registers, `load()`
+  * consumes (planning is driver-side; executors only ever see the
+  * serialized [[AvroScan]]). */
+final class AvroTableProvider extends TableProvider {
+  import AvroTableProvider._
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    lookup(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    take(new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object AvroTableProvider {
+  /** Option key carrying the registry handle. */
+  val PlanKey = "graft.avro.plan"
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, GraftAvroTable]()
+
+  private[sources] def register(t: GraftAvroTable): String = {
+    val k = java.util.UUID.randomUUID().toString
+    registry.put(k, t)
+    k
+  }
+
+  private def lookup(options: CaseInsensitiveStringMap): GraftAvroTable = {
+    val k = options.get(PlanKey)
+    val t = if (k == null) null else registry.get(k)
+    if (t == null) throw new IllegalStateException(
+      "AvroTableProvider is driver-internal: construct reads through " +
+        "graft.sources.AvroRead.dataFrame, not spark.read.format(...)")
+    t
+  }
+
+  /** `getTable` consumes the key (one `load()` per registration) so the
+    * registry never accumulates file lists across a long session. */
+  private def take(options: CaseInsensitiveStringMap): GraftAvroTable = {
+    val t = lookup(options)
+    registry.remove(options.get(PlanKey))
+    t
+  }
+}
+
 /** The DSv2 face: a read-only avro table planned from the manifest. */
 final class GraftAvroTable(spark: SparkSession, tableName: String,
-    layout: TableLayout, hadoopOpts: Map[String, String]) extends Table
-  with SupportsRead {
+    currentSchema: StructType, sized: Seq[(String, Long)],
+    statsRaw: Map[String, String], hadoopOpts: Map[String, String])
+  extends Table with SupportsRead {
 
-  private val currentSchema: StructType = StructType(StructType.fromDDL(
-    layout.schemaDdl.getOrElse(throw new IllegalStateException(
-      s"avro table $tableName has no recorded schema")))
-    .fields.map(_.copy(nullable = true)))
-
-  // the helper enforces the complete-sizes contract (a -1 entry would
-  // make a slice's pastSync fire immediately — silent row loss)
-  private val sized: Seq[(String, Long)] =
+  /** Layout-driven construction (the SQL face): schema from the
+    * recorded DDL, file list + sizes + pruning stats from the
+    * manifest. */
+  def this(spark: SparkSession, tableName: String, layout: TableLayout,
+      hadoopOpts: Map[String, String]) = this(
+    spark, tableName,
+    StructType(StructType.fromDDL(
+      layout.schemaDdl.getOrElse(throw new IllegalStateException(
+        s"avro table $tableName has no recorded schema")))
+      .fields.map(_.copy(nullable = true))),
+    // the helper enforces the complete-sizes contract (a -1 entry would
+    // make a slice's pastSync fire immediately — silent row loss)
     layout.absoluteDataFilesWithSizes.getOrElse(throw new IllegalStateException(
-      s"avro table $tableName has no complete file-size manifest"))
+      s"avro table $tableName has no complete file-size manifest")),
+    layout.absoluteDataFilesWithStats
+      .map(_.collect { case (p, s) if s.nonEmpty => p -> s }.toMap)
+      .getOrElse(Map.empty),
+    hadoopOpts)
 
   override def name(): String = tableName
   override def schema(): StructType = currentSchema
@@ -272,13 +360,10 @@ final class GraftAvroTable(spark: SparkSession, tableName: String,
     * avro files carry no parquet-style footer pushdown, so the
     * manifest envelope is the ONLY file-skipping layer this format
     * gets; same kill-switch as the parquet/orc paths. */
-  private val statsByPath: Map[String, String] = {
+  private def statsByPath: Map[String, String] = {
     val enabled = spark.conf
       .getOption("spark.graft.stats.pruning").forall(_ == "true")
-    if (!enabled) Map.empty
-    else layout.absoluteDataFilesWithStats
-      .map(_.collect { case (p, s) if s.nonEmpty => p -> s }.toMap)
-      .getOrElse(Map.empty)
+    if (!enabled) Map.empty else statsRaw
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -373,17 +458,13 @@ private final class AvroReaderFactory(schema: StructType,
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val s = p.asInstanceOf[AvroSlice]
     new PartitionReader[InternalRow] {
+      // records decode straight to internal rows — no per-row encoder
       private val (it, closer) =
         AvroRead.openSlice(s.path, s.start, s.length, conf.value, schema)
-      // lenient: the converter emits java.time values (LocalDate /
-      // Instant / LocalDateTime), which the strict Row encoder rejects
-      private val toRow = ExpressionEncoder(
-        org.apache.spark.sql.catalyst.encoders.RowEncoder
-          .encoderFor(schema, true)).createSerializer()
       private var current: InternalRow = _
       override def next(): Boolean = {
         if (!it.hasNext) return false
-        current = toRow(it.next())
+        current = it.next()
         true
       }
       override def get(): InternalRow = current

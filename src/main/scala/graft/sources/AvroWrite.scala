@@ -1,0 +1,233 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.avro.{Schema => AvroSchema}
+import org.apache.avro.file.DataFileWriter
+import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+/** Native Avro object-container WRITER for Iceberg exports (round 15)
+  * — the counterpart of [[AvroRead]], needed because no spark-avro
+  * module exists in this environment (`df.write.format("avro")` is not
+  * an option). One distributed pass writes one avro file per non-empty
+  * partition AND computes the manifest stats (record counts, per-field
+  * lower/upper bounds, null/NaN counts) task-side in the same stream —
+  * at export scale that halves the I/O the parquet/orc paths pay
+  * (write, then a stats read-back scan).
+  *
+  * The avro schema follows Iceberg's avro spec mapping (field-ids as
+  * `field-id` attributes, date = int/`date`, timestamptz =
+  * long/`timestamp-micros` with `adjust-to-utc`, timestamp =
+  * long/`local-timestamp-micros`, decimal = minimal fixed with the
+  * `decimal` logical type), so the files read back through real
+  * Iceberg readers as well as [[AvroRead]]. Scope = the export
+  * writer's primitive set; nested types refuse loudly. */
+object AvroWrite {
+
+  /** Per-file write result: everything the manifest entry needs, keyed
+    * by the Iceberg field id. Bound values are Spark EXTERNAL types
+    * (what `IcebergExport.serializeBound` consumes). */
+  final case class FileResult(name: String, size: Long, count: Long,
+      lowers: Map[Int, Any], uppers: Map[Int, Any],
+      nulls: Map[Int, Long], nans: Map[Int, Long])
+
+  /** Write `df` under `dir` as `part-<p>-<uuid>.avro` files (one per
+    * non-empty partition) and return the per-file manifest stats. */
+  def write(df: DataFrame, dir: Path, fieldIds: Seq[(StructField, Int)],
+      conf: SerializableConfiguration): Seq[FileResult] = {
+    val schemaJson = avroSchemaJson(fieldIds)
+    val fields = fieldIds.toIndexedSeq
+    val dirStr = {
+      val fs = dir.getFileSystem(conf.value)
+      fs.mkdirs(dir)
+      fs.makeQualified(dir).toString
+    }
+    df.queryExecution.toRdd.mapPartitionsWithIndex { (pid, rows) =>
+      if (!rows.hasNext) Iterator.empty
+      else {
+        val avroSchema = new AvroSchema.Parser().parse(schemaJson)
+        val name = f"part-$pid%05d-${java.util.UUID.randomUUID().toString.take(8)}.avro"
+        val path = new Path(dirStr, name)
+        val fs = path.getFileSystem(conf.value)
+        val writers = fields.zipWithIndex.map { case ((f, _), i) =>
+          valueWriter(f.dataType, avroSchema.getFields.get(i).schema())
+        }
+        val trackers = fields.map { case (f, _) => ColTracker(f.dataType) }
+        val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
+        var count = 0L
+        try {
+          w.create(avroSchema, fs.create(path, false))
+          while (rows.hasNext) {
+            val row: InternalRow = rows.next()
+            val rec = new GenericData.Record(avroSchema)
+            var i = 0
+            while (i < fields.length) {
+              if (row.isNullAt(i)) trackers(i).nulls += 1
+              else {
+                val v = row.get(i, fields(i)._1.dataType)
+                rec.put(i, writers(i)(v))
+                trackers(i).update(v)
+              }
+              i += 1
+            }
+            w.append(rec)
+            count += 1
+          }
+        } finally w.close()
+        val size = fs.getFileStatus(path).getLen
+        val lowers = fields.zip(trackers).collect {
+          case ((f, id), t) if t.min != null => id -> external(f.dataType, t.min)
+        }.toMap
+        val uppers = fields.zip(trackers).collect {
+          case ((f, id), t) if t.max != null => id -> external(f.dataType, t.max)
+        }.toMap
+        val nulls = fields.zip(trackers).collect {
+          case ((f, id), t) if t.tracksBounds => id -> t.nulls
+        }.toMap
+        val nans = fields.zip(trackers).collect {
+          case ((f, id), t) if f.dataType == FloatType ||
+            f.dataType == DoubleType => id -> t.nans
+        }.toMap
+        Iterator.single(FileResult(name, size, count, lowers, uppers, nulls, nans))
+      }
+    }.collect().toIndexedSeq
+  }
+
+  /** Iceberg-avro schema document for the export writer's primitive
+    * set, with per-field `field-id` attributes as the spec requires. */
+  private[sources] def avroSchemaJson(fieldIds: Seq[(StructField, Int)]): String = {
+    def typeNode(dt: DataType, id: Int): String = dt match {
+      case BooleanType => "\"boolean\""
+      case IntegerType => "\"int\""
+      case LongType => "\"long\""
+      case FloatType => "\"float\""
+      case DoubleType => "\"double\""
+      case StringType => "\"string\""
+      case BinaryType => "\"bytes\""
+      case DateType => """{"type": "int", "logicalType": "date"}"""
+      case TimestampType =>
+        """{"type": "long", "logicalType": "timestamp-micros", "adjust-to-utc": true}"""
+      case TimestampNTZType =>
+        """{"type": "long", "logicalType": "local-timestamp-micros", "adjust-to-utc": false}"""
+      case d: DecimalType =>
+        s"""{"type": "fixed", "name": "decimal_$id", "size": ${decimalBytes(d.precision)}, """ +
+          s""""logicalType": "decimal", "precision": ${d.precision}, "scale": ${d.scale}}"""
+      case other => throw new UnsupportedOperationException(
+        s"Iceberg avro export does not map catalyst type ${other.catalogString}")
+    }
+    val fs = fieldIds.map { case (f, id) =>
+      val t = typeNode(f.dataType, id)
+      val tt = if (f.nullable) s"""["null", $t]""" else t
+      s"""{"name": "${f.name}", "type": $tt, "field-id": $id}"""
+    }.mkString(", ")
+    s"""{"type": "record", "name": "r_graft", "fields": [$fs]}"""
+  }
+
+  /** Minimal fixed size holding any unscaled value of `precision`
+    * digits (the size real Iceberg writers use). */
+  private[sources] def decimalBytes(precision: Int): Int =
+    java.math.BigInteger.TEN.pow(precision)
+      .subtract(java.math.BigInteger.ONE).toByteArray.length
+
+  /** Converter from a catalyst INTERNAL value to the avro runtime value
+    * of the (possibly union-wrapped) field schema. */
+  private def valueWriter(dt: DataType, fieldSchema: AvroSchema): Any => AnyRef = {
+    def unwrapped: AvroSchema =
+      if (fieldSchema.getType != AvroSchema.Type.UNION) fieldSchema
+      else fieldSchema.getTypes.asScala
+        .find(_.getType != AvroSchema.Type.NULL).get
+    dt match {
+      case BooleanType | IntegerType | LongType | FloatType | DoubleType |
+           DateType | TimestampType | TimestampNTZType =>
+        v => v.asInstanceOf[AnyRef] // already the avro boxed primitive
+      case StringType => v => v.asInstanceOf[UTF8String].toString
+      case BinaryType =>
+        v => java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+      case d: DecimalType =>
+        val fixed = unwrapped
+        val n = fixed.getFixedSize
+        v => {
+          val unscaled = v.asInstanceOf[Decimal].toJavaBigDecimal
+            .setScale(d.scale).unscaledValue()
+          val raw = unscaled.toByteArray
+          require(raw.length <= n,
+            s"decimal $unscaled overflows ${d.precision} digits")
+          val out = new Array[Byte](n)
+          // sign-extend to the fixed width (big-endian two's complement)
+          val pad: Byte = if (unscaled.signum() < 0) -1 else 0
+          java.util.Arrays.fill(out, 0, n - raw.length, pad)
+          System.arraycopy(raw, 0, out, n - raw.length, raw.length)
+          new GenericData.Fixed(fixed, out)
+        }
+      case other => throw new UnsupportedOperationException(
+        s"Iceberg avro export does not map catalyst type ${other.catalogString}")
+    }
+  }
+
+  /** Streaming min/max/null/NaN tracker over INTERNAL values of one
+    * column. Retained values are defensively copied where the source
+    * buffer is task-reused (UTF8String views into UnsafeRows). */
+  private final class ColTracker(cmp: (Any, Any) => Int, copy: Any => Any,
+      val tracksBounds: Boolean, nanOf: Any => Boolean) extends Serializable {
+    var nulls = 0L
+    var nans = 0L
+    var min: Any = null
+    var max: Any = null
+    def update(v: Any): Unit = if (tracksBounds) {
+      if (nanOf(v)) { nans += 1; return }
+      if (min == null || cmp(v, min) < 0) min = copy(v)
+      if (max == null || cmp(v, max) > 0) max = copy(v)
+    }
+  }
+
+  private object ColTracker {
+    private val never: Any => Boolean = _ => false
+    def apply(dt: DataType): ColTracker = dt match {
+      case IntegerType | DateType => new ColTracker(
+        (a, b) => Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int]),
+        identity, true, never)
+      case LongType | TimestampType | TimestampNTZType => new ColTracker(
+        (a, b) => java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long]),
+        identity, true, never)
+      case FloatType => new ColTracker(
+        (a, b) => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float]),
+        identity, true, v => java.lang.Float.isNaN(v.asInstanceOf[Float]))
+      case DoubleType => new ColTracker(
+        (a, b) => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double]),
+        identity, true, v => java.lang.Double.isNaN(v.asInstanceOf[Double]))
+      case BooleanType => new ColTracker(
+        (a, b) => java.lang.Boolean.compare(a.asInstanceOf[Boolean], b.asInstanceOf[Boolean]),
+        identity, true, never)
+      case StringType => new ColTracker(
+        (a, b) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]),
+        v => v.asInstanceOf[UTF8String].clone(), true, never)
+      case _: DecimalType => new ColTracker(
+        (a, b) => a.asInstanceOf[Decimal].compare(b.asInstanceOf[Decimal]),
+        identity, true, never)
+      case _ => new ColTracker((_, _) => 0, identity, false, never)
+    }
+  }
+
+  /** Internal bound value → the Spark EXTERNAL type
+    * `IcebergExport.serializeBound` consumes. */
+  private def external(dt: DataType, v: Any): Any = dt match {
+    case DateType => java.time.LocalDate.ofEpochDay(v.asInstanceOf[Int].toLong)
+    case TimestampType =>
+      val us = v.asInstanceOf[Long]
+      java.time.Instant.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        Math.floorMod(us, 1000000L) * 1000L)
+    case TimestampNTZType =>
+      val us = v.asInstanceOf[Long]
+      java.time.LocalDateTime.ofEpochSecond(Math.floorDiv(us, 1000000L),
+        (Math.floorMod(us, 1000000L) * 1000L).toInt, java.time.ZoneOffset.UTC)
+    case StringType => v.asInstanceOf[UTF8String].toString
+    case _: DecimalType => v.asInstanceOf[Decimal].toJavaBigDecimal
+    case _ => v
+  }
+}

@@ -335,6 +335,59 @@ class IcebergFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("the native avro WRITER round-trips an Iceberg table " +
+    "(write-pass stats, multi-slice read, file pruning)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tavrow"
+    val df = (1 to 5000).map { i =>
+      (i.toLong,
+        if (i % 7 == 0) null else s"nm-$i",
+        i * 1.25,
+        java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i % 365)),
+        java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(1700000000L + i)),
+        new java.math.BigDecimal(s"$i.75"),
+        i % 2 == 0,
+        i)
+    }.toDF("k", "nm", "price", "d", "ts", "dec", "b", "i32")
+      .withColumn("dec", col("dec").cast("decimal(12,2)"))
+    val meta = IcebergExport.writeTable(spark,
+      df.repartitionByRange(4, col("k")), dir, fileFormat = "avro")
+    val conf = spark.sessionState.newHadoopConf()
+    val layout = CatalogIO.readLayout(meta, conf)
+    assert(layout.dataFormat == "avro")
+    assert(layout.absoluteDataFiles.get.size == 4)
+    // canonical row images: null-safe, timestamp as micros, decimal as
+    // its exact string rendering
+    val canon = Seq("k", "coalesce(nm, '<null>') nm", "price", "d",
+      "unix_micros(ts) tsu", "cast(dec as string) dec", "b", "i32")
+    def imgs(d: org.apache.spark.sql.DataFrame): Seq[String] =
+      d.selectExpr(canon: _*).collect().map(_.toString).sorted.toSeq
+    // multi-slice read: a tiny split size fans each file into several
+    // sync-marker slices; boundary double-reads/drops would change the
+    // row set
+    val prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try {
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "8192")
+      assert(imgs(CatalogIO.scanMetadataLocation(spark, meta)) == imgs(df))
+    } finally spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
+    // write-pass manifest bounds prune whole files on both faces
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-avro-w") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.avw"), meta)
+      graft.sources.StatsPruning.lastPlanned = None
+      assert(spark.sql(s"SELECT SUM(k) FROM $cat.db.avw WHERE k <= 1000")
+        .head.getLong(0) == 500500L)
+      val planned = graft.sources.StatsPruning.lastPlanned
+      assert(planned.exists(p => p._2 == 4 && p._1 >= 2),
+        s"expected >=2/4 avro files pruned from write-pass bounds, got $planned")
+      // null counts survived the write pass: a nm IS NULL scan still
+      // answers exactly (stats are advisory, rows are the truth)
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.avw WHERE nm IS NULL")
+        .head.getLong(0) == 5000L / 7)
+    }
+  }
+
   // ---- v2 merge-on-read fixtures (round 13, judge r12 item 2) --------
 
   /** Avro schema of a spec-shaped DELETE manifest entry: the data_file
