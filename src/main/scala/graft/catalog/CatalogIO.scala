@@ -3391,23 +3391,34 @@ object CatalogIO {
     metaFile.toString
   }
 
-  /** `Some(layout as of snapshot `version`)` when `metadataLocation`
-    * is REAL Iceberg metadata; `None` when it is this engine's own
-    * format (callers fall through to graft-version time travel). A
-    * non-numeric version string on an Iceberg pointer throws with the
-    * caller-supplied message — the id space is Iceberg's. */
+  /** `Some(layout as of `version`)` when `metadataLocation` is REAL
+    * Iceberg metadata; `None` when it is this engine's own format
+    * (callers fall through to graft-version time travel). `version` is
+    * a snapshot id, or (round 15) a NAMED REF — the metadata.json
+    * `refs` map's branches/tags, the names real Iceberg writers hand
+    * their users. An unresolvable version throws with the
+    * caller-supplied message plus the known ref names. */
   private[graft] def icebergSnapshotLayout(metadataLocation: String,
       conf: Configuration, version: String,
       badVersionMsg: String): Option[TableLayout] = {
     val text = readMetadataText(metadataLocation, conf)
     if (!IcebergFormat.isIcebergMetadata(text)) return None
-    val snap =
-      try version.toLong
-      catch { case _: NumberFormatException =>
-        throw new IllegalArgumentException(badVersionMsg)
-      }
-    Some(IcebergFormat.toTableLayout(text, metadataLocation, conf, Some(snap)))
+    Some(IcebergFormat.toTableLayout(text, metadataLocation, conf,
+      Some(resolveIcebergVersion(text, version, badVersionMsg))))
   }
+
+  /** Snapshot id of `version` against Iceberg metadata `text`: numeric
+    * strings ARE snapshot ids; anything else resolves through the
+    * `refs` map (branch/tag names). Unknown names refuse with the
+    * known names listed. */
+  private def resolveIcebergVersion(text: String, version: String,
+      badVersionMsg: String): Long =
+    version.toLongOption.getOrElse {
+      val refs = IcebergFormat.refsOf(text)
+      refs.getOrElse(version, throw new IllegalArgumentException(
+        badVersionMsg + (if (refs.isEmpty) " (the table metadata has no named refs)"
+          else s" (known refs: ${refs.keys.toSeq.sorted.mkString(", ")})")))
+    }
 
   /** Time-travel read of a REAL Iceberg pointer: scan the table as of
     * `snapshotId` — every Iceberg metadata.json carries its retained
@@ -3423,6 +3434,26 @@ object CatalogIO {
         "tables time-travel by version (readTableVersion)")
     scanLayout(spark, IcebergFormat.toTableLayout(text, metadataLocation,
       conf, Some(snapshotId)))
+  }
+
+  /** Time-travel read of a REAL Iceberg pointer by NAMED REF (branch or
+    * tag from the metadata.json `refs` map) — the library face of
+    * `VERSION AS OF 'name'`. Unknown names refuse with the known names
+    * listed. */
+  def scanIcebergRef(spark: SparkSession, metadataLocation: String,
+      refName: String): DataFrame = {
+    val conf = spark.sessionState.newHadoopConf()
+    val text = readMetadataText(metadataLocation, conf)
+    require(IcebergFormat.isIcebergMetadata(text),
+      s"$metadataLocation is not Apache Iceberg metadata; graft-format " +
+        "tables time-travel by version (readTableVersion)")
+    val refs = IcebergFormat.refsOf(text)
+    val snap = refs.getOrElse(refName, throw new IllegalArgumentException(
+      s"no ref '$refName' in $metadataLocation" +
+        (if (refs.isEmpty) " (the table metadata has no named refs)"
+         else s" (known refs: ${refs.keys.toSeq.sorted.mkString(", ")})")))
+    scanLayout(spark, IcebergFormat.toTableLayout(text, metadataLocation,
+      conf, Some(snap)))
   }
 
   /** Project a catalog table's recorded layout into the session catalog

@@ -448,7 +448,13 @@ object IcebergExport {
       priorEntries: Seq[ListEntry], formatVersion: Int,
       /** v3 row lineage: the next `_row_id` to assign (0 on a table
         * that has never assigned any — valid, every id is unassigned). */
-      nextRowId: Long)
+      nextRowId: Long,
+      /** Named refs OTHER than `main` (tags / pinned branches), carried
+        * verbatim across commits — `main` always follows the current
+        * snapshot, so it is regenerated rather than carried. */
+      refs: Map[String, (Long, String)],
+      /** Every retained snapshot id ([[setRef]] validates targets). */
+      snapshotIds: Set[Long])
 
   private def newSnapshotId(): Long =
     math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
@@ -499,12 +505,19 @@ object IcebergExport {
       .findFirstMatchIn(metaPath.getName).map(_.group(1).toInt).getOrElse(
         throw new IllegalArgumentException(
           s"cannot derive a metadata version from ${metaPath.getName}"))
+    val refs = Option(root.get("refs")).map(_.properties().asScala.collect {
+      case e if e.getKey != "main" =>
+        e.getKey -> (e.getValue.path("snapshot-id").asLong(-1L),
+          e.getValue.path("type").asText("tag"))
+    }.toMap).getOrElse(Map.empty)
     TableState(fs, new Path(location), new Path(location, "metadata"),
       location, root.path("table-uuid").asText(java.util.UUID.randomUUID().toString),
       root.path("last-sequence-number").asLong(0L), curId, version,
       schemaNode, sparkSchema, fieldIds,
       snapshots.map(_.toString), priorEntries, fv,
-      root.path("next-row-id").asLong(0L))
+      root.path("next-row-id").asLong(0L),
+      refs,
+      snapshots.map(_.path("snapshot-id").asLong(-2L)).toSet)
   }
 
   private def readListEntries(listPath: Path,
@@ -573,7 +586,35 @@ object IcebergExport {
     try out.write(metadataJson(st.uuid, st.location, st.sparkSchema,
       st.fieldIds, snapshotId, seq, st.snapshotsJson :+ snapshotJson,
       formatVersion = fv,
-      nextRowId = if (fv >= 3) Some(st.nextRowId + addedRows) else None)
+      nextRowId = if (fv >= 3) Some(st.nextRowId + addedRows) else None,
+      extraRefs = st.refs)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    st.fs.makeQualified(metaPath).toString
+  }
+
+  /** Metadata-only commit naming `snapshotId` as a TAG or BRANCH ref
+    * (spec §Table Metadata `refs` — the names Iceberg's
+    * `VERSION AS OF 'name'` resolves). `main` is managed (it follows
+    * the current snapshot); other refs are carried verbatim across
+    * subsequent commits. Returns the new metadata location. */
+  def setRef(spark: SparkSession, metadataLocation: String, name: String,
+      snapshotId: Long, kind: String = "tag"): String = {
+    require(kind == "tag" || kind == "branch",
+      s"ref kind must be tag or branch, got '$kind'")
+    require(name != "main",
+      "the main branch follows the current snapshot; it cannot be re-pointed")
+    val st = loadState(spark, metadataLocation)
+    require(st.snapshotIds.contains(snapshotId),
+      s"snapshot $snapshotId is not in the retained history of " +
+        s"$metadataLocation (snapshots: ${st.snapshotIds.toSeq.sorted.mkString(", ")})")
+    val metaPath = new Path(st.metaDir, s"v${st.version + 1}.metadata.json")
+    val out = st.fs.create(metaPath, false)
+    try out.write(metadataJson(st.uuid, st.location, st.sparkSchema,
+      st.fieldIds, st.curSnapshotId, st.lastSeq, st.snapshotsJson,
+      formatVersion = st.formatVersion,
+      nextRowId = if (st.formatVersion >= 3) Some(st.nextRowId) else None,
+      extraRefs = st.refs + (name -> (snapshotId, kind)))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     st.fs.makeQualified(metaPath).toString
@@ -890,7 +931,8 @@ object IcebergExport {
   private def metadataJson(uuid: String, location: String,
       schema: StructType, fieldIds: Seq[(StructField, Int)],
       snapshotId: Long, lastSeq: Long, snapshotsJson: Seq[String],
-      formatVersion: Int = 2, nextRowId: Option[Long] = None): String = {
+      formatVersion: Int = 2, nextRowId: Option[Long] = None,
+      extraRefs: Map[String, (Long, String)] = Map.empty): String = {
     val fields = fieldIds.map { case (f, id) =>
       s"""{"id": $id, "name": "${esc(f.name)}", "required": ${!f.nullable}, """ +
         s""""type": "${icebergTypeName(f.dataType)}"}"""
@@ -916,7 +958,10 @@ object IcebergExport {
        |  "sort-orders": [{"order-id": 0, "fields": []}],
        |  "properties": {"schema.name-mapping.default": "$mapping"},
        |  "current-snapshot-id": $snapshotId,
-       |  "refs": {"main": {"snapshot-id": $snapshotId, "type": "branch"}},
+       |  "refs": {"main": {"snapshot-id": $snapshotId, "type": "branch"}${
+           extraRefs.toSeq.sortBy(_._1).map { case (n, (sid, kind)) =>
+             s""", "${esc(n)}": {"snapshot-id": $sid, "type": "$kind"}"""
+           }.mkString}},
        |  "snapshots": [${snapshotsJson.mkString(", ")}],
        |  "snapshot-log": [],
        |  "metadata-log": []

@@ -83,6 +83,17 @@ object IcebergFormat {
   def isIcebergMetadata(text: String): Boolean =
     text.contains("\"format-version\"") && !text.contains("\"dataLocation\"")
 
+  /** The metadata.json `refs` map (spec §Table Metadata): branch/tag
+    * name → pinned snapshot id — the names real Iceberg writers hand
+    * out for `VERSION AS OF 'name'` time travel. Empty when the
+    * document carries no refs (pre-refs v1 metadata). */
+  def refsOf(text: String): Map[String, Long] = {
+    val root = new ObjectMapper().readTree(text)
+    Option(root.get("refs")).map(_.properties().asScala.map(e =>
+      e.getKey -> e.getValue.path("snapshot-id").asLong(-1L)).toMap)
+      .getOrElse(Map.empty)
+  }
+
   /** Parse a real Iceberg metadata.json (+ its avro manifests) into a
     * scannable [[CatalogIO.TableLayout]]. `snapshotId` selects a
     * historical snapshot from the metadata's snapshot list (Iceberg

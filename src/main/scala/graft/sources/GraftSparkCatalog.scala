@@ -212,7 +212,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         .flatMap { loc =>
           CatalogIO.icebergSnapshotLayout(loc, hadoopConfOverlay, version,
             s"$catalogName: VERSION AS OF on an Iceberg table expects a " +
-              s"snapshot id, got '$version'")
+              s"snapshot id or a named ref (branch/tag), got '$version'")
         }
     val n = if (icebergLayout.isDefined) -1 else {
       try version.toInt

@@ -388,6 +388,68 @@ class IcebergFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("named refs (tags/branches) resolve through VERSION AS OF, " +
+    "survive later commits, and refuse unknown names with the list") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/trefs"
+    def curSnap(meta: String): Long = {
+      val conf = spark.sessionState.newHadoopConf()
+      val p = new Path(meta)
+      val in = p.getFileSystem(conf).open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        .path("current-snapshot-id").asLong(-1L)
+    }
+    val meta1 = IcebergExport.writeTable(spark,
+      (1 to 10).toDF("k").repartition(1), dir)
+    val s1 = curSnap(meta1)
+    val meta2 = IcebergExport.appendSnapshot(spark,
+      (11 to 20).toDF("k").repartition(1), meta1)
+    val s2 = curSnap(meta2)
+    // tag snapshot 1, then COMMIT AGAIN — the tag must be carried
+    val meta3 = IcebergExport.setRef(spark, meta2, "v1", s1, "tag")
+    val meta4 = IcebergExport.appendSnapshot(spark,
+      (21 to 30).toDF("k").repartition(1), meta3)
+    val meta5 = IcebergExport.setRef(spark, meta4, "stable", s2, "branch")
+    def sumOf(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(org.apache.spark.sql.functions.sum(col("k").cast("long")))
+        .head.getLong(0)
+    // library face
+    assert(sumOf(CatalogIO.scanIcebergRef(spark, meta5, "v1")) == 55L)
+    assert(sumOf(CatalogIO.scanIcebergRef(spark, meta5, "stable")) == 210L)
+    assert(sumOf(CatalogIO.scanIcebergRef(spark, meta5, "main")) == 465L)
+    // SQL face: registered pointer + VERSION AS OF by name
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-refs") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.refs"), meta5)
+      assert(spark.sql(s"SELECT SUM(k) FROM $cat.db.refs VERSION AS OF 'v1'")
+        .head.getLong(0) == 55L)
+      assert(spark.sql(s"SELECT SUM(k) FROM $cat.db.refs VERSION AS OF 'stable'")
+        .head.getLong(0) == 210L)
+      // snapshot-id time travel still works beside the names
+      assert(spark.sql(s"SELECT SUM(k) FROM $cat.db.refs VERSION AS OF $s1")
+        .head.getLong(0) == 55L)
+      val e = intercept[Exception] {
+        spark.sql(s"SELECT SUM(k) FROM $cat.db.refs VERSION AS OF 'nope'")
+          .collect()
+      }
+      val msg = e.getMessage + Option(e.getCause).map(_.getMessage).getOrElse("")
+      assert(msg.contains("stable") && msg.contains("v1"),
+        s"unknown-ref error must list the known refs, got: $msg")
+    }
+    // setRef refuses snapshots outside the retained history and 'main'
+    val bad = intercept[IllegalArgumentException] {
+      IcebergExport.setRef(spark, meta5, "x", 123456789L, "tag")
+    }
+    assert(bad.getMessage.contains("not in the retained history"))
+    val badMain = intercept[IllegalArgumentException] {
+      IcebergExport.setRef(spark, meta5, "main", s1, "branch")
+    }
+    assert(badMain.getMessage.contains("main"))
+  }
+
   // ---- v2 merge-on-read fixtures (round 13, judge r12 item 2) --------
 
   /** Avro schema of a spec-shaped DELETE manifest entry: the data_file
