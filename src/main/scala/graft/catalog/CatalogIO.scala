@@ -195,12 +195,14 @@ object CatalogIO {
       clusterTransforms: Seq[String] = Nil,
       /** On-disk format of the DATA files (round 14): the engine's own
         * tables are always `parquet`; a converted Apache Iceberg layout
-        * may be `orc` (homogeneous — [[IcebergFormat]] refuses mixed
-        * tables). ORC layouts are read-only interop: live deletes,
-        * renames, and adoption refuse there (the MOR/epoch machinery is
-        * position-addressed via parquet's `_metadata.row_index`, which
-        * Spark's ORC source does not serve). */
-      dataFormat: String = "parquet", // parquet | orc | avro
+        * may be `orc`, `avro`, or (round 15) `mixed` — per-ENTRY
+        * formats in [[dataFileFormats]], the Hive-migration shape (old
+        * ORC partitions + new parquet appends). Non-parquet layouts are
+        * read-only interop: live deletes, renames, and adoption refuse
+        * there (the MOR/epoch machinery is position-addressed via
+        * parquet's `_metadata.row_index`, which the other sources do
+        * not serve). */
+      dataFormat: String = "parquet", // parquet | orc | avro | mixed
       /** v3 initial-default FILLS (round 14, Iceberg-converted layouts
         * only — never serialized): parallel to `dataFiles`, each entry
         * lists the (column → external JVM default value) constants that
@@ -208,7 +210,12 @@ object CatalogIO {
         * files that contain the column (their own values — including
         * legitimate NULLs — pass through). The converter guarantees
         * fills never coexist with deletes, renames, or ORC. */
-      dataFileFills: Option[Seq[Seq[(String, Any)]]] = None) {
+      dataFileFills: Option[Seq[Seq[(String, Any)]]] = None,
+      /** Per-file data formats (round 15, `dataFormat == "mixed"`
+        * only): parallel to `dataFiles`, each entry's manifest
+        * `file_format` lowercased. Scans group files by format and
+        * serve one reader stack per group. */
+      dataFileFormats: Option[Seq[String]] = None) {
     require(dataFileFills.forall(s => dataFiles.exists(_.size == s.size)),
       "dataFileFills must parallel dataFiles one-to-one")
     require(dataFileFills.forall(_ => deleteFiles.isEmpty && renameOps.isEmpty
@@ -217,10 +224,17 @@ object CatalogIO {
     /** Any file with a non-empty fill set? (the scan-routing test) */
     def hasFills: Boolean = dataFileFills.exists(_.exists(_.nonEmpty))
     require(dataFormat == "parquet" || dataFormat == "orc" ||
-      dataFormat == "avro",
-      s"unsupported data file format '$dataFormat' (parquet, orc, or avro)")
+      dataFormat == "avro" || dataFormat == "mixed",
+      s"unsupported data file format '$dataFormat' (parquet, orc, avro, or mixed)")
     require(dataFormat == "parquet" || (deleteFiles.isEmpty && renameOps.isEmpty),
       "non-parquet layouts are delete-free and rename-free (read-only interop)")
+    require((dataFormat == "mixed") == dataFileFormats.isDefined,
+      "dataFileFormats accompany exactly the mixed data format")
+    require(dataFileFormats.forall(s => dataFiles.exists(_.size == s.size)),
+      "dataFileFormats must parallel dataFiles one-to-one")
+    require(dataFileFormats.forall(_.forall(f =>
+      f == "parquet" || f == "orc" || f == "avro")),
+      "per-file formats must each be parquet, orc, or avro")
     require(deleteFiles.isEmpty || dataFiles.isDefined,
       "equality-delete files require a file-manifest version")
     require(renameOps.isEmpty || dataFiles.isDefined,
@@ -2683,6 +2697,38 @@ object CatalogIO {
               .cast(d.schema(c).dataType))
           }
         }.reduce(_ unionByName _)
+      case Some(_) if layout.dataFormat == "mixed" =>
+        // mixed parquet/orc/avro (round 15): one reader per format
+        // group over that group's manifest slice, unioned — the same
+        // grouping the DSv2 face plans ([[graft.sources
+        // .GraftMixedFormatTable]])
+        val schema = org.apache.spark.sql.types.StructType.fromDDL(
+          layout.schemaDdl.getOrElse(throw new IllegalStateException(
+            s"mixed-format layout with no recorded schema at ${layout.dataLocation}")))
+        val absWithFmt = layout.absoluteDataFiles.get
+          .zip(layout.dataFileFormats.get)
+        absWithFmt.groupBy(_._2).toSeq.sortBy(_._1).map { case (fmt, pairs) =>
+          val paths = pairs.map(_._1)
+          fmt match {
+            case "avro" =>
+              val keep = paths.toSet
+              graft.sources.AvroRead.dataFrame(spark, schema,
+                layout.absoluteDataFilesWithSizes.getOrElse(
+                  throw new IllegalStateException(
+                    s"mixed-format layout has avro files but incomplete " +
+                      s"sizes at ${layout.dataLocation}"))
+                  .filter { case (p, _) => keep(p) },
+                options,
+                layout.absoluteDataFilesWithStats
+                  .map(_.collect { case (p, s) if s.nonEmpty && keep(p) =>
+                    p -> s }.toMap)
+                  .getOrElse(Map.empty))
+            case "orc" => spark.read.options(options).schema(schema)
+              .option("basePath", layout.dataLocation).orc(paths: _*)
+            case _ => spark.read.options(options).schema(schema)
+              .option("basePath", layout.dataLocation).parquet(paths: _*)
+          }
+        }.reduce(_ unionByName _)
       case Some(_) if layout.dataFormat == "avro" =>
         // avro has no Spark DataFrameReader face in this environment —
         // the engine's own reader decodes records task-side
@@ -3434,6 +3480,76 @@ object CatalogIO {
         "tables time-travel by version (readTableVersion)")
     scanLayout(spark, IcebergFormat.toTableLayout(text, metadataLocation,
       conf, Some(snapshotId)))
+  }
+
+  /** v3 ROW LINEAGE read of a REAL Iceberg pointer (round 15): the
+    * table's columns plus `_row_id` and
+    * `_last_updated_sequence_number`, served per the v3 spec's
+    * inheritance — `_row_id` = the file's inherited `first_row_id` +
+    * the row's position (parquet `_metadata.row_index`), NULL for
+    * files whose snapshot predates the v3 upgrade;
+    * `_last_updated_sequence_number` = the file's data sequence
+    * number. Deletion vectors apply (survivors keep their ids — DV
+    * deletes never renumber); equality deletes / renames / fills /
+    * non-parquet formats refuse loudly (their machinery does not
+    * thread lineage yet). One scan + a broadcast file-lineage join +
+    * the standard DV anti-join: scale-identical to a plain MOR read. */
+  def scanIcebergLineage(spark: SparkSession,
+      metadataLocation: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val conf = spark.sessionState.newHadoopConf()
+    val text = readMetadataText(metadataLocation, conf)
+    require(IcebergFormat.isIcebergMetadata(text),
+      s"$metadataLocation is not Apache Iceberg metadata")
+    val layout = IcebergFormat.toTableLayout(text, metadataLocation, conf)
+    def refuse(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"$metadataLocation: row-lineage reads over $what are not " +
+          "supported — compact the table first")
+    if (layout.dataFormat != "parquet")
+      refuse(s"${layout.dataFormat} data files")
+    if (layout.eqDeleteFiles.nonEmpty) refuse("live equality deletes")
+    if (layout.posDeleteFiles.nonEmpty) refuse("parquet position deletes")
+    if (layout.renameOps.nonEmpty) refuse("un-materialized renames")
+    if (layout.hasFills) refuse("initial-default fills")
+    val lineage = IcebergFormat.fileLineage(text, metadataLocation, conf)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      layout.schemaDdl.getOrElse(throw new IllegalStateException(
+        s"$metadataLocation has no recorded schema")))
+    val files = layout.absoluteDataFiles.getOrElse(Nil)
+    if (files.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(schema.fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_row_id",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField(
+            "_last_updated_sequence_number",
+            org.apache.spark.sql.types.LongType))))
+    val base = spark.read.schema(schema)
+      .option("basePath", layout.dataLocation)
+      .parquet(files: _*)
+      .withColumn("__graft_file",
+        relativizeFileColumn(col("_metadata.file_path"),
+          layout.dataLocation, conf))
+      .withColumn("__graft_pos", col("_metadata.row_index"))
+    import spark.implicits._
+    val lin = lineage
+      .map { case (rel, first, seq) =>
+        (rel, first.map(Long.box).orNull: java.lang.Long, seq) }
+      .toDF("__graft_lin_file", "__graft_first", "__graft_seq")
+    val joined = base.join(broadcast(lin),
+      col("__graft_file") === col("__graft_lin_file"), "left")
+      .withColumn("_row_id", col("__graft_first") + col("__graft_pos"))
+      .withColumn("_last_updated_sequence_number", col("__graft_seq"))
+    val undeleted = dvAddressFrame(spark, layout, Map.empty) match {
+      case None => joined
+      case Some(addr) => joined.join(addr,
+        col("__graft_file") === col("__graft_del_file") &&
+          col("__graft_pos") === col("__graft_del_pos"), "left_anti")
+    }
+    undeleted.select((schema.fieldNames.toSeq ++
+      Seq("_row_id", "_last_updated_sequence_number")).map(col): _*)
   }
 
   /** Time-travel read of a REAL Iceberg pointer by NAMED REF (branch or

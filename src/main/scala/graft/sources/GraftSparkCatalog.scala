@@ -139,6 +139,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     val (paths, pathOpts) = tablePaths(layout)
     lazy val table = baseTableFor(ref.toString, layout, paths, pathOpts)
     val readTable =
+      // MIXED parquet/orc/avro data files (round 15): one stock reader
+      // stack per format group, concatenated in one DSv2 scan
+      if (layout.dataFormat == "mixed")
+        new GraftMixedFormatTable(SparkSession.active, ref.toString, layout,
+          hadoopOpts)
+      else
       // avro data files (Iceberg-converted layouts): the engine's own
       // sync-split avro source — Spark ships no avro DataSource here
       if (layout.dataFormat == "avro")
@@ -247,6 +253,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     val (paths, pathOpts) = tablePaths(vLayout)
     val label = s"$ref@v$version"
     lazy val table = baseTableFor(label, vLayout, paths, pathOpts)
+    if (vLayout.dataFormat == "mixed")
+      return new GraftMixedFormatTable(SparkSession.active, label, vLayout,
+        hadoopOpts)
     if (vLayout.dataFormat == "avro")
       return new GraftAvroTable(SparkSession.active, label, vLayout, hadoopOpts)
     // a time-traveled version applies ITS OWN seq-gated state (delete

@@ -135,7 +135,8 @@ object ManifestFileIndex {
       options: Map[String, String],
       layout: CatalogIO.TableLayout,
       schemaOverride: Option[StructType] = None,
-      fileSubset: Option[Seq[String]] = None): Option[ManifestFileTable] =
+      fileSubset: Option[Seq[String]] = None,
+      formatOverride: Option[String] = None): Option[ManifestFileTable] =
     for {
       schema <- schemaOverride.orElse(layout.schemaDdl.flatMap(d =>
         scala.util.Try(StructType.fromDDL(d)).toOption))
@@ -150,7 +151,8 @@ object ManifestFileIndex {
       if partitionFields.size == layout.partitionColumns.size
     } yield new ManifestFileTable(name, session,
       new CaseInsensitiveStringMap(options.asJava), layout.dataLocation,
-      sized, schema, StructType(partitionFields), options, layout.dataFormat)
+      sized, schema, StructType(partitionFields), options,
+      formatOverride.getOrElse(layout.dataFormat))
 }
 
 /** A read-only file table planned from the manifest: serves the same

@@ -147,18 +147,35 @@ class IcebergFormatSpec extends AnyFunSuite {
     }
   }
 
-  test("mixed parquet/orc data files refuse with the split named") {
-    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tmix"
+  test("a parquet append to an ORC table reads as a MIXED layout " +
+    "(round 15 — the refusal this replaced is kept for mixed+deletes)") {
+    import spark.implicits._
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tmix0"
     val meta1 = IcebergExport.writeTable(spark, sampleDf.coalesce(1), dir,
       fileFormat = "orc")
     // the append faces write parquet — appending to an ORC table is the
-    // realistic way a mixed table arises
-    val meta2 = IcebergExport.appendSnapshot(spark, sampleDf.limit(5), meta1)
+    // realistic way a mixed table arises (the Hive-migration shape)
+    val meta2 = IcebergExport.appendSnapshot(spark,
+      sampleDf.orderBy("id").limit(5), meta1)
+    val conf = spark.sessionState.newHadoopConf()
+    val layout = CatalogIO.readLayout(meta2, conf)
+    assert(layout.dataFormat == "mixed")
+    assert(layout.dataFileFormats.get.sorted == Seq("orc", "parquet"))
+    val got = CatalogIO.scanMetadataLocation(spark, meta2)
+    assert(got.count() == 305)
+    assert(got.filter(org.apache.spark.sql.functions.col("id") === 1L)
+      .count() == 2) // the original row plus the appended duplicate
+    // mixed WITH live deletes still refuses: delete application is
+    // position-addressed through parquet row indexes on every file
+    val delPath = new Path(dir, "data/eqdel-0.parquet")
+    writeParquetFile(Seq(3L, 4L).toDF("id"), delPath)
+    spliceDeleteManifest(dir, meta2, Seq(DelFile(content = 2,
+      absPath = delPath.getFileSystem(conf).makeQualified(delPath).toString,
+      rows = 2, seq = 3, equalityIds = Seq(1))))
     val e = intercept[UnsupportedOperationException] {
-      CatalogIO.readLayout(meta2, spark.sessionState.newHadoopConf())
+      CatalogIO.readLayout(meta2, conf)
     }
-    assert(e.getMessage.contains("mixes data file formats") &&
-      e.getMessage.contains("orc=1") && e.getMessage.contains("parquet="),
+    assert(e.getMessage.contains("mixed data files with live delete files"),
       e.getMessage)
   }
 
@@ -388,6 +405,144 @@ class IcebergFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("a MIXED parquet/orc/avro Iceberg table reads per-entry formats, " +
+    "with bounds pruning intact on every group") {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(s"${Files.createTempDirectory("graft-iceberg").toString}/tmix")
+    val fs = dir.getFileSystem(conf)
+    val loc = fs.makeQualified(dir).toString
+    def df(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"v-$i")).toDF("k", "v")
+    // two parquet files, one ORC file (the Hive-migration shape), one avro
+    writeParquetFile(df(1, 100), new Path(dir, "data/p1.parquet"))
+    writeParquetFile(df(101, 200), new Path(dir, "data/p2.parquet"))
+    locally { // single ORC file at an exact path
+      val tmp = new Path(Files.createTempDirectory("graft-orcwrite").toString, "w")
+      df(201, 300).coalesce(1).write.orc(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.endsWith(".orc")).get
+      fs.mkdirs(new Path(dir, "data"))
+      fs.rename(part, new Path(dir, "data/o1.orc"))
+    }
+    val avroName = { // the engine's own avro writer
+      val res = graft.sources.AvroWrite.write(df(301, 400).coalesce(1),
+        new Path(dir, "data"),
+        Seq((org.apache.spark.sql.types.StructField("k",
+          org.apache.spark.sql.types.LongType, nullable = false), 1),
+          (org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.StringType, nullable = true), 2)),
+        new org.apache.spark.util.SerializableConfiguration(conf))
+      assert(res.size == 1)
+      res.head.name
+    }
+    // manifest with per-entry file_format + k bounds (field id 1)
+    val mSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"},
+        |  {"name":"lower_bounds","type":["null",{"type":"array","items":
+        |    {"type":"record","name":"kvl","fields":[
+        |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+        |   "default":null},
+        |  {"name":"upper_bounds","type":["null",{"type":"array","items":
+        |    {"type":"record","name":"kvu","fields":[
+        |      {"name":"key","type":"int"},{"name":"value","type":"bytes"}]}}],
+        |   "default":null}]}}]}""".stripMargin)
+    def leLong(v: Long): java.nio.ByteBuffer = {
+      val b = java.nio.ByteBuffer.allocate(8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putLong(v); b.flip(); b
+    }
+    val m = new Path(dir, "metadata/m.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
+    w.create(mSchema, fs.create(m, true))
+    val dfSchema = mSchema.getField("data_file").schema()
+    def kv(field: String, v: Long): GenericData.Array[GenericRecord] = {
+      val itemS = dfSchema.getField(field).schema().getTypes.get(1).getElementType
+      val arr = new GenericData.Array[GenericRecord](1,
+        org.apache.avro.Schema.createArray(itemS))
+      val r = new GenericData.Record(itemS)
+      r.put("key", 1); r.put("value", leLong(v)); arr.add(r)
+      arr
+    }
+    Seq(("data/p1.parquet", "PARQUET", 100L, 1L, 100L),
+      ("data/p2.parquet", "PARQUET", 100L, 101L, 200L),
+      ("data/o1.orc", "ORC", 100L, 201L, 300L),
+      (s"data/$avroName", "AVRO", 100L, 301L, 400L)).foreach {
+      case (rel, fmt, n, lo, hi) =>
+        val abs = new Path(dir, rel)
+        val d = new GenericData.Record(dfSchema)
+        d.put("file_path", fs.makeQualified(abs).toString)
+        d.put("file_format", fmt)
+        d.put("record_count", n)
+        d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
+        d.put("lower_bounds", kv("lower_bounds", lo))
+        d.put("upper_bounds", kv("upper_bounds", hi))
+        val r = new GenericData.Record(mSchema)
+        r.put("status", 1); r.put("snapshot_id", 9L); r.put("data_file", d)
+        w.append(r)
+    }
+    w.close()
+    val metaP = new Path(dir, "metadata/mix.metadata.json")
+    val out = fs.create(metaP, true)
+    try out.write(
+      s"""{"format-version": 2, "location": "$loc",
+         |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
+         |  {"id": 1, "name": "k", "required": true, "type": "long"},
+         |  {"id": 2, "name": "v", "required": false, "type": "string"}]}],
+         |"current-schema-id": 0,
+         |"current-snapshot-id": 9,
+         |"snapshots": [{"snapshot-id": 9, "schema-id": 0,
+         |  "manifests": ["${fs.makeQualified(m)}"]}]}""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val layout = CatalogIO.readLayout(metaP.toString, conf)
+    assert(layout.dataFormat == "mixed")
+    assert(layout.dataFileFormats.get.sorted ==
+      Seq("avro", "orc", "parquet", "parquet"))
+    val expected = df(1, 400)
+    // DataFrame face: hash-identical to the logical content
+    val scanned = CatalogIO.scanMetadataLocation(spark, metaP.toString)
+    assert(scanned.count() == 400)
+    assert(scanned.exceptAll(expected).isEmpty &&
+      expected.exceptAll(scanned).isEmpty)
+    // DSv2 SQL face + per-group bounds pruning
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-mixfmt") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.mix"), metaP.toString)
+      assert(spark.sql(s"SELECT COUNT(*) c, SUM(k) sk FROM $cat.db.mix")
+        .head.toSeq == Seq(400L, (1L to 400L).sum))
+      // k <= 150 keeps both parquet files, prunes the ORC and avro ones
+      graft.sources.StatsPruning.lastPlanned = None
+      assert(spark.sql(s"SELECT SUM(k) FROM $cat.db.mix WHERE k <= 150")
+        .head.getLong(0) == (1L to 150L).sum)
+      assert(graft.sources.StatsPruning.lastPlanned == Some((2, 4)),
+        s"expected orc+avro pruned, got ${graft.sources.StatsPruning.lastPlanned}")
+      // k > 320 keeps only the avro file — the parquet GROUP prunes too
+      graft.sources.StatsPruning.lastPlanned = None
+      assert(spark.sql(s"SELECT SUM(k) FROM $cat.db.mix WHERE k > 320")
+        .head.getLong(0) == (321L to 400L).sum)
+      assert(graft.sources.StatsPruning.lastPlanned == Some((3, 4)),
+        s"expected parquet+orc pruned, got ${graft.sources.StatsPruning.lastPlanned}")
+      // engine write faces refuse: registered external pointers have no
+      // local history to version (and the commit choke point would
+      // refuse the mixed layout anyway)
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.db.mix VALUES (401, 'x')")
+      }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + msgs(t.getCause)
+      assert(msgs(e).contains("mixed") ||
+        msgs(e).contains("external metadata location"), msgs(e))
+    }
+  }
+
   test("named refs (tags/branches) resolve through VERSION AS OF, " +
     "survive later commits, and refuse unknown names with the list") {
     import spark.implicits._
@@ -448,6 +603,70 @@ class IcebergFormatSpec extends AnyFunSuite {
       IcebergExport.setRef(spark, meta5, "main", s1, "branch")
     }
     assert(badMain.getMessage.contains("main"))
+  }
+
+  test("v3 row lineage: _row_id/_last_updated_sequence_number served " +
+    "from first-row-id inheritance across an append + DV-delete chain") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tlin"
+    val conf = spark.sessionState.newHadoopConf()
+    // snapshot 1 written under v2 — pre-upgrade rows carry NO lineage
+    val meta1 = IcebergExport.writeTable(spark,
+      (1 to 100).map(i => (i.toLong, s"a-$i")).toDF("id", "v")
+        .repartition(1).sortWithinPartitions("id"), dir)
+    patchMetadata(meta1)(_.replace(
+      "\"format-version\": 2", "\"format-version\": 3"))
+    // snapshot 2 under v3: first-row-id 0, rows 0..99 assigned in file order
+    val meta2 = IcebergExport.appendSnapshot(spark,
+      (101 to 200).map(i => (i.toLong, s"b-$i")).toDF("id", "v")
+        .repartition(1).sortWithinPartitions("id"), meta1)
+    val layout2 = CatalogIO.readLayout(meta2, conf)
+    def fileOf(prefix: String): String =
+      layout2.dataFiles.get.zip(layout2.absoluteDataFiles.get)
+        .collectFirst { case (rel, abs) if rel.startsWith(prefix) => abs }.get
+    val (file1, file2) = (fileOf("data/part"), fileOf("data/s2-"))
+    // snapshot 3: deletion vectors — ids 1..3 (file1 pos 0..2) and
+    // 101..105 (file2 pos 0..4) disappear; SURVIVORS keep their ids
+    val meta3 = IcebergExport.appendDeletionVectors(spark, meta2,
+      ((0L to 2L).map(p => (file1, p)) ++ (0L to 4L).map(p => (file2, p)))
+        .toDF("file_path", "pos"))
+    // the exporter's recorded counters
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree {
+      val p = new Path(meta3)
+      val in = p.getFileSystem(conf).open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    }
+    assert(root.path("next-row-id").asLong(-1L) == 100L)
+    val firstRowIds = root.get("snapshots").elements().asScala
+      .flatMap(s => Option(s.get("first-row-id")).map(_.asLong)).toSeq
+    assert(firstRowIds == Seq(0L, 100L)) // append snap, then DV snap
+    // served lineage
+    val served = CatalogIO.scanIcebergLineage(spark, meta3)
+    assert(served.columns.takeRight(2).toSeq ==
+      Seq("_row_id", "_last_updated_sequence_number"))
+    val s1 = served.filter(col("id") <= 100)
+    assert(s1.count() == 97) // ids 1..3 DV-deleted
+    assert(s1.filter(col("_row_id").isNotNull).count() == 0,
+      "pre-upgrade rows must serve NULL _row_id")
+    assert(s1.filter(col("_last_updated_sequence_number") =!= 1L).count() == 0)
+    val s2 = served.filter(col("id") >= 101)
+    assert(s2.count() == 95) // ids 101..105 DV-deleted
+    // file order = sorted by id, so position = id - 101 and the
+    // inherited base is snapshot 2's first-row-id (0): survivors keep
+    // exactly their original ids — DV deletes never renumber
+    assert(s2.filter(col("_row_id") =!= col("id") - 101L).count() == 0)
+    assert(s2.filter(col("_last_updated_sequence_number") =!= 2L).count() == 0)
+    assert(s2.agg(org.apache.spark.sql.functions.max(col("_row_id")))
+      .head.getLong(0) == 99L) // == exporter's next-row-id - 1
+    // equality deletes refuse loudly (their machinery threads no lineage)
+    val meta4 = IcebergExport.appendDeletes(spark, meta3,
+      equality = Some(Seq(150L).toDF("id")))
+    val e = intercept[UnsupportedOperationException] {
+      CatalogIO.scanIcebergLineage(spark, meta4)
+    }
+    assert(e.getMessage.contains("equality"))
   }
 
   // ---- v2 merge-on-read fixtures (round 13, judge r12 item 2) --------
