@@ -222,12 +222,15 @@ object ScaleSmoke {
     }
   }
 
-  /** ORC vs parquet Iceberg data files (round 14): the same lineitem
-    * replica exported twice — once per format — and read back through
+  /** ORC / AVRO vs parquet Iceberg data files (rounds 14–15): the same
+    * lineitem replica exported once per format and read back through
     * the registered DSv2 face. What's measured: the format dispatch is
     * reader-seam-only, so manifest-planned full scans and bound-driven
     * file pruning must behave identically; the absolute scan times
-    * differ only by the codecs' own read cost. */
+    * differ only by the codecs' own read cost (avro is row-oriented
+    * with an internal-row decode — round 15 — so its scan is the
+    * throughput ceiling of a migration read, and its EXPORT is the
+    * one-pass write+stats path). */
   private def orcScale(spark: SparkSession, out: String, replicas: Int): Unit = {
     import org.apache.spark.sql.functions.col
     val root = s"/tmp/graft_orc_x$replicas"
@@ -236,7 +239,7 @@ object ScaleSmoke {
       .select(col("l_orderkey").as("k"), col("l_quantity").as("qty"),
         col("l_returnflag").as("rf"))
       .repartitionByRange(64, col("k"))
-    for (fmt <- Seq("parquet", "orc")) {
+    for (fmt <- Seq("parquet", "orc", "avro")) {
       val t0 = System.nanoTime()
       val metaLoc = graft.catalog.IcebergExport.writeTable(spark, src,
         s"$root/$fmt", fileFormat = fmt)

@@ -517,13 +517,22 @@ object Dedup {
     * reassembly is one shuffle on doc_id with per-doc bounded state.
     * Documents whose every token is covered drop out entirely (both
     * engines agree: an all-boilerplate doc IS the duplicate). */
-  def substringDedupOf(docs: DataFrame, k: Int = 5, maxDf: Int = 1): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-    val grams = toks.filter(size(col("t")) >= k)
+  def substringDedupOf(docs: DataFrame, k: Int = 5, maxDf: Int = 1,
+      materialize: Boolean = false): DataFrame = {
+    // `materialize` folds the repeated passes into stored ones (round
+    // 15, the same caller-controlled lever as [[ngramJaccardOf]]):
+    // without it the gram table is exploded+hashed TWICE (df
+    // aggregation, coverage join) and the text split THREE times
+    // (grams ×2, reassembly) — at full-corpus scale one stored pass
+    // wins, on small survivor sets the store costs more than it saves
+    val toks0 = docs.select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    val toks = if (materialize) toks0.localCheckpoint() else toks0
+    val grams0 = toks.filter(size(col("t")) >= k)
       .select(col("doc_id"), explode(expr(
         s"transform(sequence(1, size(t) - ${k - 1}), " +
           s"i -> struct(i AS i, xxhash64(concat_ws(' ', slice(t, i, $k))) AS g))")).as("e"))
       .select(col("doc_id"), col("e.i").as("i"), col("e.g").as("g"))
+    val grams = if (materialize) grams0.localCheckpoint() else grams0
     val hot = grams.select("g", "doc_id").distinct()
       .groupBy("g").count().filter(col("count") > maxDf).select("g")
     val covered = grams.join(hot, "g")
@@ -543,5 +552,6 @@ object Dedup {
   }
 
   def substringDedup(s: SparkSession, dir: String): DataFrame =
-    substringDedupOf(Tables(s, dir, "documents")).orderBy("doc_id")
+    substringDedupOf(Tables(s, dir, "documents"), materialize = true)
+      .orderBy("doc_id")
 }
