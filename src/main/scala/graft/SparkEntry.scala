@@ -137,6 +137,7 @@ object SparkEntry {
     "w12_deletion_vectors" -> (graft.queries.WriteQueries.w12 _),
     "w13_iceberg_orc" -> (graft.queries.WriteQueries.w13 _),
     "w14_iceberg_avro" -> (graft.queries.WriteQueries.w14 _),
+    "w15_iceberg_mixed" -> (graft.queries.WriteQueries.w15 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1051,6 +1052,28 @@ object SparkEntry {
         |SELECT 'sql' AS face, * FROM a
         |UNION ALL
         |SELECT 'df' AS face, * FROM a""".stripMargin,
+    // w15: MIXED-format Iceberg table (ORC base + parquet append) —
+    // phase 'low' filters k <= 30000 (the appended keys sit at +10M, so
+    // only ORC rows contribute); phase 'all' aggregates both format
+    // groups: lineitem plus the shifted head re-projection
+    "w15_iceberg_mixed" ->
+      """WITH t AS (
+        |  SELECT l_orderkey AS k, CAST(l_quantity AS BIGINT) AS qty,
+        |         l_returnflag AS rf
+        |  FROM lineitem
+        |), appended AS (
+        |  SELECT k + 10000000 AS k, qty, rf FROM t WHERE k <= 1000
+        |), full_t AS (
+        |  SELECT * FROM t UNION ALL SELECT * FROM appended)
+        |SELECT 'low' AS phase, rf, COUNT(*) AS cnt,
+        |       CAST(SUM(k) AS BIGINT) AS k_sum,
+        |       CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |FROM full_t WHERE k <= 30000 GROUP BY rf
+        |UNION ALL
+        |SELECT 'all' AS phase, rf, COUNT(*) AS cnt,
+        |       CAST(SUM(k) AS BIGINT) AS k_sum,
+        |       CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |FROM full_t GROUP BY rf""".stripMargin,
     // w05: incremental append reads are manifest set-differences, so
     // each phase's change set is relationally just the slice that
     // commit appended (WriteQueries.w05 runs the real version-diff

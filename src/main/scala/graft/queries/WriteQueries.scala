@@ -365,6 +365,53 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(tmp)
     }
 
+  /** w15 (round 15): MIXED-format Iceberg tables under the oracle — the
+    * Hive-migration shape. An ORC Iceberg table takes a PARQUET append
+    * ([[graft.catalog.IcebergExport.appendSnapshot]] writes parquet, the
+    * realistic way a mixed table arises), and the read back serves BOTH
+    * format groups in one scan ([[graft.sources.GraftMixedFormatTable]] —
+    * one stock reader stack per group, manifest bounds pruning intact on
+    * each). Scanned through both faces; the `k <= 30000` predicate
+    * prunes ORC files from the manifest bounds while the appended
+    * parquet rows (keys shifted by 10M) survive only in the unfiltered
+    * phase. Relationally: projection + filter + aggregate over lineitem
+    * plus a shifted re-projection of its head. */
+  def w15(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w15") { (cat, hc) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w15-ice").toString
+      try {
+        val base = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("k"),
+            col("l_quantity").cast("long").as("qty"),
+            col("l_returnflag").as("rf"))
+        val meta1 = graft.catalog.IcebergExport.writeTable(spark,
+          base.repartitionByRange(4, col("k")), s"$tmp/t", fileFormat = "orc")
+        // the appended slice: the 2000 smallest keys, shifted past the
+        // ORC key space so each phase's contribution is unambiguous
+        val meta2 = graft.catalog.IcebergExport.appendSnapshot(spark,
+          base.filter(col("k") <= 1000)
+            .select((col("k") + 10000000L).as("k"), col("qty"), col("rf"))
+            .repartition(1), meta1)
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        val ref = graft.catalog.TableRef.parse("db.mix_ice")
+        hc.registerTable(ref, meta2)
+        val sqlFace = spark.sql(
+          s"""SELECT 'low' AS phase, rf, COUNT(*) AS cnt, SUM(k) AS k_sum,
+             |       SUM(qty) AS qty_sum
+             |FROM $cat.db.mix_ice WHERE k <= 30000
+             |GROUP BY rf""".stripMargin)
+        val dfFace = graft.catalog.CatalogIO.readTable(spark, hc, ref)
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"),
+            sum(col("qty")).as("qty_sum"))
+          .select(lit("all").as("phase"), col("rf"), col("cnt"),
+            col("k_sum"), col("qty_sum"))
+        val out = sqlFace.unionByName(dfFace)
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w02 (round 9): the MERGE-ON-READ write surface under the oracle —
     * the counterpart of w01's copy-on-write faces. Builds a partitioned
     * table, then commits the O(batch) mutation sequence:
