@@ -52,7 +52,11 @@ object AvroWrite {
       if (!rows.hasNext) Iterator.empty
       else {
         val avroSchema = new AvroSchema.Parser().parse(schemaJson)
-        val name = f"part-$pid%05d-${java.util.UUID.randomUUID().toString.take(8)}.avro"
+        // DETERMINISTIC name + overwrite: a retried/speculated task
+        // rewrites the same path with the same content instead of
+        // orphaning a sibling file — the manifest writer lists the data
+        // dir, so an orphan would silently DUPLICATE the partition
+        val name = f"part-$pid%05d.avro"
         val path = new Path(dirStr, name)
         val fs = path.getFileSystem(conf.value)
         val writers = fields.zipWithIndex.map { case ((f, _), i) =>
@@ -62,7 +66,7 @@ object AvroWrite {
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
         var count = 0L
         try {
-          w.create(avroSchema, fs.create(path, false))
+          w.create(avroSchema, fs.create(path, true))
           while (rows.hasNext) {
             val row: InternalRow = rows.next()
             val rec = new GenericData.Record(avroSchema)

@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.execution.datasources.v2.orc.OrcTable
@@ -184,7 +184,27 @@ private[sources] final case class MixedPartition(group: Int,
   * list keeps scan equality (exchange reuse) on the scans alone. */
 private final class MixedScan(private val scans: Seq[Scan])(
     buildCounts: Seq[Option[(Int, Int)]])
-  extends Scan with Batch {
+  extends Scan with Batch with SupportsReportStatistics {
+
+  /** Sum of the groups' own estimates — reported only when EVERY group
+    * reports (a missing group would silently underestimate, and an
+    * underestimate flips joins to broadcast wrongly). */
+  override def estimateStatistics(): Statistics = {
+    val sizes = scans.map {
+      case s: SupportsReportStatistics =>
+        val sz = s.estimateStatistics().sizeInBytes()
+        if (sz.isPresent) Some(sz.getAsLong) else None
+      case _ => None
+    }
+    new Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        if (sizes.forall(_.isDefined))
+          java.util.OptionalLong.of(sizes.flatten.sum)
+        else java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
 
   override def readSchema(): StructType = {
     val schemas = scans.map(_.readSchema()).distinct

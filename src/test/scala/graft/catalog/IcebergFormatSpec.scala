@@ -402,6 +402,14 @@ class IcebergFormatSpec extends AnyFunSuite {
       // answers exactly (stats are advisory, rows are the truth)
       assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.avw WHERE nm IS NULL")
         .head.getLong(0) == 5000L / 7)
+      // the scan reports its manifest byte size (round 15) — without
+      // it DSv2 assumes infinity and this small table would never
+      // BROADCAST against a larger join side
+      val big = spark.range(0, 200000)
+        .selectExpr("id % 5000 + 1 AS k", "id AS payload")
+      val plan = big.join(spark.table(s"$cat.db.avw"), "k")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
     }
   }
 
