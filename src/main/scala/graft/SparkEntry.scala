@@ -955,21 +955,30 @@ object SparkEntry {
     // (k, ln)-ordered file), snapshot 3 = positional deletes of the 3
     // smallest odd (k, ln) rows + equality deletes of every key with a
     // qty>=49 line; relationally two anti-joins over lineitem
+    // positional deletes replay as a RANK filter over the same total
+    // order the Spark side sorts the file by (the full projected row —
+    // (k, ln) alone has duplicate pairs in the synthetic data, so a
+    // key-match delete would over-delete and a partial-order rank would
+    // tie-break differently; round 15, caught at sf0.1)
     "w09_iceberg_roundtrip" ->
       """WITH base AS (
         |  SELECT l_orderkey AS k, l_linenumber AS ln,
         |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
         |  FROM lineitem),
-        |pos_del AS (
-        |  SELECT k, ln FROM base WHERE k % 2 = 1 ORDER BY k, ln LIMIT 3),
+        |odd_ranked AS (
+        |  SELECT k, ln, qty, rf,
+        |         ROW_NUMBER() OVER (ORDER BY k, ln, qty, rf) - 1 AS p
+        |  FROM base WHERE k % 2 = 1),
+        |survivors AS (
+        |  SELECT k, ln, qty, rf FROM base WHERE k % 2 = 0
+        |  UNION ALL
+        |  SELECT k, ln, qty, rf FROM odd_ranked WHERE p > 2),
         |eq_del AS (SELECT DISTINCT k FROM base WHERE qty >= 49)
         |SELECT rf, COUNT(*) AS cnt,
         |       CAST(SUM(k) AS BIGINT) AS k_sum,
         |       CAST(SUM(qty) AS BIGINT) AS qty_sum
-        |FROM base b
+        |FROM survivors b
         |WHERE k <= 30000
-        |  AND NOT EXISTS (SELECT 1 FROM pos_del p
-        |                  WHERE p.k = b.k AND p.ln = b.ln)
         |  AND NOT EXISTS (SELECT 1 FROM eq_del e WHERE e.k = b.k)
         |GROUP BY rf""".stripMargin,
     // w10: type widening — the engine runs metadata-only ALTER COLUMN
@@ -1013,7 +1022,8 @@ object SparkEntry {
         |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
         |  FROM lineitem),
         |ranked AS (
-        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k % 2 ORDER BY k, ln) - 1 AS p
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k % 2
+        |                               ORDER BY k, ln, qty, rf) - 1 AS p
         |  FROM base)
         |SELECT rf, COUNT(*) AS cnt,
         |       CAST(SUM(k) AS BIGINT) AS k_sum,

@@ -122,10 +122,13 @@ object WriteQueries {
         // snapshot 2 (round 13): APPEND the odd keys as a new snapshot —
         // prior manifest carried by reference, parent-snapshot-id
         // lineage, one totally-ordered file so row positions are the
-        // (k, ln) order
+        // (k, ln, qty, rf) order — the FULL projected row, because the
+        // synthetic lineitem has duplicate (k, ln) pairs and a partial
+        // order would let Spark and the oracle break ties differently
+        // (caught at sf0.1, round 15)
         val meta2 = graft.catalog.IcebergExport.appendSnapshot(spark,
           base.filter(col("k") % 2 === 1).repartition(1)
-            .sortWithinPartitions("k", "ln"), meta1)
+            .sortWithinPartitions("k", "ln", "qty", "rf"), meta1)
         // snapshot 3: a MERGE-ON-READ delete commit — positional
         // addresses for the first 3 rows of the snapshot-2 file (= the 3
         // smallest odd (k, ln) rows) + an equality delete of every key
@@ -241,12 +244,17 @@ object WriteQueries {
             col("l_linenumber").as("ln"),
             col("l_quantity").cast("long").as("qty"),
             col("l_returnflag").as("rf"))
+        // sort by the FULL projected row: the synthetic lineitem has
+        // duplicate (k, ln) pairs (~20%), so a (k, ln) rank is not a
+        // total order and Spark/DuckDB would break ties differently —
+        // caught at sf0.1 (round 15). Remaining ties are full-row
+        // duplicates, where either deletion choice aggregates the same.
         val meta1 = graft.catalog.IcebergExport.writeTable(spark,
           base.filter(col("k") % 2 === 0).repartition(1)
-            .sortWithinPartitions("k", "ln"), s"$tmp/t")
+            .sortWithinPartitions("k", "ln", "qty", "rf"), s"$tmp/t")
         val meta2 = graft.catalog.IcebergExport.appendSnapshot(spark,
           base.filter(col("k") % 2 === 1).repartition(1)
-            .sortWithinPartitions("k", "ln"), meta1)
+            .sortWithinPartitions("k", "ln", "qty", "rf"), meta1)
         val conf = spark.sessionState.newHadoopConf()
         val layout = graft.catalog.CatalogIO.readLayout(meta2, conf)
         def fileOf(prefix: String): String =
