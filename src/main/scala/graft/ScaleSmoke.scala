@@ -267,6 +267,43 @@ object ScaleSmoke {
           "skipped at plan time from the manifests' bounds")
       }
     }
+    // MIXED table (round 15): orc base + parquet append — the
+    // Hive-migration shape, one stock reader stack per format group in
+    // a single DSv2 scan, bounds pruning across BOTH groups
+    locally {
+      val t0 = System.nanoTime()
+      val m1 = graft.catalog.IcebergExport.writeTable(spark, src,
+        s"$root/mixed", fileFormat = "orc")
+      val appended = src.filter(col("k") <= 100000)
+        .select((col("k") + 100000000L).as("k"), col("qty"), col("rf"))
+        .repartitionByRange(8, col("k"))
+      val m2 = graft.catalog.IcebergExport.appendSnapshot(spark, appended, m1)
+      println(f"[scale] orc x$replicas: mixed table built (orc + parquet " +
+        f"append) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      graft.sources.TempCatalog.withTempHandles(spark, s"graft-mix-x$replicas") { (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(graft.catalog.TableRef.parse("db.mix"), m2)
+        for (pass <- 1 to 2) {
+          val f0 = System.nanoTime()
+          val full = spark.sql(
+            s"SELECT SUM(qty), COUNT(*) FROM $cat.db.mix WHERE qty > 0").collect()
+          println(f"[scale] orc x$replicas: mixed full-scan aggregate pass $pass " +
+            f"${(System.nanoTime() - f0) / 1e9}%.2f s (${full(0).getLong(1)} rows)")
+        }
+        // prunes ORC files by bounds AND skips every parquet file (the
+        // appended keys sit at +100M)
+        graft.sources.StatsPruning.lastPlanned = None
+        val p0 = System.nanoTime()
+        spark.sql(
+          s"SELECT SUM(qty) FROM $cat.db.mix WHERE k BETWEEN 500000 AND 520000")
+          .collect()
+        val (skipped, total) = graft.sources.StatsPruning.lastPlanned
+          .getOrElse((-1, -1))
+        println(f"[scale] orc x$replicas: mixed key-range query " +
+          f"${(System.nanoTime() - p0) / 1e9}%.2f s — $skipped/$total files " +
+          "skipped at plan time across both format groups")
+      }
+    }
   }
 
   /** Commit-METADATA cost vs table file count (round 12, the
