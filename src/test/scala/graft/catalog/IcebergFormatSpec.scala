@@ -677,6 +677,55 @@ class IcebergFormatSpec extends AnyFunSuite {
     assert(e.getMessage.contains("equality"))
   }
 
+  test("incremental append reads between Iceberg snapshots (file-set " +
+    "diff; non-append ranges refuse)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tincr"
+    val conf = spark.sessionState.newHadoopConf()
+    def snapOf(meta: String): Long = {
+      val p = new Path(meta)
+      val in = p.getFileSystem(conf).open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        .path("current-snapshot-id").asLong(-1L)
+    }
+    def df(lo: Int, hi: Int) =
+      (lo to hi).map(i => (i.toLong, s"v-$i")).toDF("k", "v")
+    val meta1 = IcebergExport.writeTable(spark, df(1, 100).coalesce(1), dir)
+    val meta2 = IcebergExport.appendSnapshot(spark, df(101, 150).coalesce(1), meta1)
+    val meta3 = IcebergExport.appendSnapshot(spark, df(151, 170).coalesce(1), meta2)
+    val (s1, s2, s3) = (snapOf(meta1), snapOf(meta2), snapOf(meta3))
+    def ks(d: org.apache.spark.sql.DataFrame): Seq[Long] =
+      d.select(col("k")).collect().map(_.getLong(0)).sorted.toSeq
+    assert(ks(CatalogIO.readIcebergAppendsBetween(spark, meta3, s1, s3)) ==
+      (101L to 170L))
+    assert(ks(CatalogIO.readIcebergAppendsBetween(spark, meta3, s2, s3)) ==
+      (151L to 170L))
+    assert(CatalogIO.readIcebergAppendsBetween(spark, meta3, s3, s3).count() == 0)
+    // a REVERSED range removes files — refuse, never a negative changelog
+    val rev = intercept[UnsupportedOperationException] {
+      CatalogIO.readIcebergAppendsBetween(spark, meta3, s3, s1)
+    }
+    assert(rev.getMessage.contains("removed"))
+    // deletes between the endpoints change visibility, not just growth
+    val meta4 = IcebergExport.appendDeletes(spark, meta3,
+      equality = Some(Seq(5L).toDF("k")))
+    val del = intercept[UnsupportedOperationException] {
+      CatalogIO.readIcebergAppendsBetween(spark, meta4, s1, snapOf(meta4))
+    }
+    assert(del.getMessage.contains("delete"))
+    // MIXED formats: a parquet append to an ORC base serves exactly the
+    // parquet group as the increment
+    val dir2 = s"${Files.createTempDirectory("graft-iceberg").toString}/tincr2"
+    val m1 = IcebergExport.writeTable(spark, df(1, 100).coalesce(1), dir2,
+      fileFormat = "orc")
+    val m2 = IcebergExport.appendSnapshot(spark, df(201, 220).coalesce(1), m1)
+    assert(ks(CatalogIO.readIcebergAppendsBetween(spark, m2,
+      snapOf(m1), snapOf(m2))) == (201L to 220L))
+  }
+
   // ---- v2 merge-on-read fixtures (round 13, judge r12 item 2) --------
 
   /** Avro schema of a spec-shaped DELETE manifest entry: the data_file
