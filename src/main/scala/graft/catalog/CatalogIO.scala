@@ -3051,7 +3051,7 @@ object CatalogIO {
       "left_anti")
   }
 
-  private def readMetadataText(metadataLocation: String, conf: Configuration): String = {
+  private[graft] def readMetadataText(metadataLocation: String, conf: Configuration): String = {
     val p = new Path(metadataLocation)
     val fs = p.getFileSystem(conf)
     val in = fs.open(p)

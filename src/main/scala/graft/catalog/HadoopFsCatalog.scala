@@ -161,7 +161,7 @@ final class HadoopFsCatalog(val name: String, warehouse: String,
     * so a crash there loses nothing. A failed rename is diagnosed by
     * destination state: pointer present ⇒ a concurrent committer won the
     * flip; pointer absent ⇒ an I/O failure, distinct error. */
-  private[catalog] def replaceTablePointer(ref: TableRef,
+  private[graft] def replaceTablePointer(ref: TableRef,
       metadataLocation: String): Unit = {
     val dir = tablePath(ref)
     if (!isTableDir(dir))

@@ -118,9 +118,26 @@ private[streaming] final class GraftStreamTable(cfg: CatalogConfig,
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = tableSchema
         override def description(): String = name()
-        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new GraftTableMicroBatchStream(cfg, ref, tableSchema, startingVersion,
-            skipRewrites)
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream = {
+          // mode decided once per stream from the table's metadata
+          // document: a REGISTERED Apache Iceberg pointer streams by its
+          // OWN snapshot chain (sequence-number offsets, round 15) — no
+          // graft version history exists or is needed there
+          val probe = CatalogFactory.build(cfg)
+          val iceberg =
+            try {
+              val c = new Configuration()
+              cfg.hadoopConf.foreach { case (k, v) => c.set(k, v) }
+              graft.catalog.IcebergFormat.isIcebergMetadata(
+                CatalogIO.readMetadataText(
+                  probe.loadTableMetadataLocation(ref), c))
+            } finally probe.close()
+          if (iceberg)
+            new IcebergMicroBatchStream(cfg, ref, tableSchema, startingVersion)
+          else
+            new GraftTableMicroBatchStream(cfg, ref, tableSchema,
+              startingVersion, skipRewrites)
+        }
       }
     }
 }
@@ -135,6 +152,12 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
     skipRewrites: Boolean)
   extends MicroBatchStream {
 
+  // a REGISTERED Apache Iceberg pointer streams by its OWN history
+  // (round 15): offsets are Iceberg sequence numbers from the snapshot
+  // chain the metadata.json retains, so no graft version history is
+  // needed — [[IcebergMicroBatchStream]] handles that mode and this
+  // class keeps the graft-format path. The mode is decided once per
+  // stream from the table's metadata document.
   private val cat: Catalog with SupportsTableVersions =
     CatalogFactory.build(cfg) match {
       case v: SupportsTableVersions => v.asInstanceOf[Catalog with SupportsTableVersions]
@@ -229,6 +252,139 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
       // only carries schema + conf; partitions name their own files)
       val layout = CatalogIO.readLayout(cat.loadTableMetadataLocation(ref), conf)
       parquetScanOver(Nil, layout.dataLocation).toBatch.createReaderFactory()
+    }
+  }
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = cat.close()
+}
+
+/** One Iceberg SEQUENCE NUMBER = one offset. */
+private[streaming] final case class SeqOffset(s: Long) extends Offset {
+  override def json(): String = s.toString
+}
+
+/** Structured Streaming FROM a registered Apache Iceberg pointer
+  * (round 15): offsets are the table's own SEQUENCE NUMBERS — totally
+  * ordered, immutable once committed, and retained with the snapshot
+  * history inside every metadata.json, so a micro-batch (start, end]
+  * serves exactly the data files of snapshots in that sequence range
+  * (file-set difference of the two snapshots' manifests, the same diff
+  * as [[graft.catalog.CatalogIO.readIcebergAppendsBetween]]). The
+  * catalog pointer is re-read per trigger, so a migrator that
+  * re-registers the table on each upstream Iceberg commit feeds the
+  * stream continuously. Non-append ranges (live deletes, removed or
+  * rewritten files), renames, fills, and non-parquet ADDED files
+  * refuse loudly — note a MIXED table whose appends are parquet (the
+  * Hive-migration shape) streams fine: only the ADDED files are read.
+  * Each trigger costs two in-memory manifest walks + O(added files). */
+private[streaming] final class IcebergMicroBatchStream(cfg: CatalogConfig,
+    ref: TableRef, tableSchema: StructType, startingVersion: Option[String])
+  extends MicroBatchStream {
+
+  private val cat: Catalog = CatalogFactory.build(cfg)
+
+  private def conf: Configuration = {
+    val c = new Configuration()
+    cfg.hadoopConf.foreach { case (k, v) => c.set(k, v) }
+    c
+  }
+
+  private def currentMeta(): (String, String) = {
+    val loc = cat.loadTableMetadataLocation(ref)
+    (loc, CatalogIO.readMetadataText(loc, conf))
+  }
+
+  /** (snapshot id, sequence number) per retained snapshot, seq-sorted. */
+  private def snapshots(text: String): Seq[(Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    Option(root.get("snapshots")).toSeq.flatMap(_.elements().asScala)
+      .map(s => (s.path("snapshot-id").asLong(-1L),
+        s.path("sequence-number").asLong(0L)))
+      .sortBy(_._2).toSeq
+  }
+
+  private def lastSeq(text: String): Long =
+    snapshots(text).lastOption.map(_._2).getOrElse(0L)
+
+  override def initialOffset(): Offset = SeqOffset(startingVersion match {
+    case None => lastSeq(currentMeta()._2) // only appends after stream start
+    case Some("earliest") => 0L // full bootstrap, then incremental
+    case Some(n) => n.toLongOption.filter(_ >= 1).getOrElse(
+      throw new IllegalArgumentException(
+        s"startingVersion must be 'earliest' or a sequence number >= 1, " +
+          s"got '$n'")) - 1
+  })
+
+  override def latestOffset(): Offset = SeqOffset(lastSeq(currentMeta()._2))
+
+  override def deserializeOffset(json: String): Offset =
+    SeqOffset(json.trim.toLong)
+
+  @volatile private var lastFactory: PartitionReaderFactory = _
+
+  private def parquetScanOver(paths: Seq[String], dataLocation: String) = {
+    val spark = SparkSession.active
+    val opts = new CaseInsensitiveStringMap(
+      (cfg.hadoopConf + ("basePath" -> dataLocation)).asJava)
+    ParquetTable(s"$ref-icestream", spark, opts,
+      paths, userSpecifiedSchema = Some(tableSchema),
+      fallbackFileFormat = classOf[ParquetFileFormat])
+      .newScanBuilder(opts)
+      .build()
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val (s, e) = (start.asInstanceOf[SeqOffset].s, end.asInstanceOf[SeqOffset].s)
+    if (e <= s) return Array.empty
+    val (loc, text) = currentMeta()
+    def refuse(what: String): Nothing =
+      throw new UnsupportedOperationException(
+        s"$ref: Iceberg sequence range $s..$e is not append-only ($what) " +
+          "— restart the stream from a full snapshot read")
+    val snaps = snapshots(text)
+    def layoutAt(seq: Long): Option[graft.catalog.CatalogIO.TableLayout] =
+      snaps.filter(_._2 <= seq).lastOption.map { case (id, _) =>
+        graft.catalog.IcebergFormat.toTableLayout(text, loc, conf, Some(id))
+      }
+    // snapshots older than the retention window cannot anchor the diff
+    if (s > 0 && snaps.headOption.exists(_._2 > s) && layoutAt(s).isEmpty)
+      refuse(s"no retained snapshot at or before sequence $s")
+    val fromL = layoutAt(s)
+    val toL = layoutAt(e).getOrElse(return Array.empty)
+    if (fromL.exists(_.deleteFiles.nonEmpty) || toL.deleteFiles.nonEmpty)
+      refuse("live delete files")
+    if (toL.renameOps.nonEmpty) refuse("un-materialized column renames")
+    if (toL.hasFills) refuse("initial-default fills")
+    val fromFiles = fromL.flatMap(_.dataFiles).getOrElse(Nil).toSet
+    val toFiles = toL.dataFiles.getOrElse(Nil)
+    val removed = fromFiles -- toFiles.toSet
+    if (removed.nonEmpty)
+      refuse(s"${removed.size} data file(s) removed/rewritten in the range")
+    // ADDED files must be parquet — but the TABLE may be mixed (orc base
+    // + parquet appends): only the increment is read here
+    val formats = toL.dataFileFormats
+      .getOrElse(Seq.fill(toFiles.size)(toL.dataFormat))
+    val added = toFiles.zip(formats).filterNot { case (f, _) => fromFiles(f) }
+    added.collectFirst { case (f, fmt) if fmt != "parquet" =>
+      refuse(s"appended file $f is $fmt; streaming reads serve parquet appends")
+    }
+    if (added.isEmpty) return Array.empty
+    val abs = added.map { case (f, _) =>
+      new org.apache.hadoop.fs.Path(toL.dataLocation, f).toString }
+    val scan = parquetScanOver(abs, toL.dataLocation)
+    lastFactory = scan.toBatch.createReaderFactory()
+    scan.toBatch.planInputPartitions()
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    val f = lastFactory
+    if (f != null) f
+    else {
+      val (loc, _) = currentMeta()
+      val dataLoc = graft.catalog.CatalogIO.readLayout(loc, conf).dataLocation
+      parquetScanOver(Nil, dataLoc).toBatch.createReaderFactory()
     }
   }
 

@@ -69,6 +69,70 @@ class TableStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("a registered Iceberg pointer streams by its snapshot chain " +
+    "(sequence-number offsets; re-pointed commits feed the stream)") {
+    import graft.catalog.IcebergExport
+    val (hc, wh, ref) = freshTable()
+    val dir = s"${Files.createTempDirectory("tstream-ice").toString}/t"
+    val meta1 = IcebergExport.writeTable(spark, batch(0, 5).coalesce(1), dir)
+    hc.registerTable(ref, meta1)
+    val name = s"ts${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    val q = streamFrom(wh, Some("earliest")).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sinkRows(name) == (0L until 5L)) // bootstrap: snapshot 1
+      // the upstream writer commits; the pointer advances
+      val meta2 = IcebergExport.appendSnapshot(spark,
+        batch(100, 3).coalesce(1), meta1)
+      hc.replaceTablePointer(ref, meta2)
+      q.processAllAvailable()
+      assert(sinkRows(name) == ((0L until 5L) ++ (100L until 103L)))
+      // TWO commits inside one trigger serve as one batch
+      val meta3 = IcebergExport.appendSnapshot(spark,
+        batch(200, 2).coalesce(1), meta2)
+      val meta4 = IcebergExport.appendSnapshot(spark,
+        batch(300, 2).coalesce(1), meta3)
+      hc.replaceTablePointer(ref, meta4)
+      q.processAllAvailable()
+      assert(sinkRows(name) == ((0L until 5L) ++ (100L until 103L) ++
+        (200L until 202L) ++ (300L until 302L)))
+      // a DELETE commit is not append-only: the stream must fail loudly
+      val meta5 = IcebergExport.appendDeletes(spark, meta4,
+        equality = Some(spark.sql("SELECT CAST(0 AS BIGINT) AS k")))
+      hc.replaceTablePointer(ref, meta5)
+      val e = intercept[StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + msgs(t.getCause)
+      assert(msgs(e).contains("not append-only"), msgs(e))
+    } finally q.stop()
+  }
+
+  test("a MIXED Iceberg table streams its parquet appends (orc base " +
+    "registered first; only the increment is read)") {
+    import graft.catalog.IcebergExport
+    val (hc, wh, ref) = freshTable()
+    val dir = s"${Files.createTempDirectory("tstream-mix").toString}/t"
+    val meta1 = IcebergExport.writeTable(spark, batch(0, 5).coalesce(1), dir,
+      fileFormat = "orc")
+    hc.registerTable(ref, meta1)
+    val name = s"ts${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    // default start = latest: the ORC base is history, not an increment
+    val q = streamFrom(wh, None).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sinkRows(name).isEmpty)
+      val meta2 = IcebergExport.appendSnapshot(spark,
+        batch(50, 4).coalesce(1), meta1) // parquet append → mixed table
+      hc.replaceTablePointer(ref, meta2)
+      q.processAllAvailable()
+      assert(sinkRows(name) == (50L until 54L))
+    } finally q.stop()
+  }
+
   test("a non-append commit fails the stream with the re-sync message") {
     val (hc, wh, ref) = freshTable()
     CatalogIO.createTable(spark, hc, ref, batch(0, 5))        // v1
