@@ -449,10 +449,13 @@ object IcebergExport {
       /** v3 row lineage: the next `_row_id` to assign (0 on a table
         * that has never assigned any — valid, every id is unassigned). */
       nextRowId: Long,
-      /** Named refs OTHER than `main` (tags / pinned branches), carried
-        * verbatim across commits — `main` always follows the current
-        * snapshot, so it is regenerated rather than carried. */
-      refs: Map[String, (Long, String)],
+      /** Named refs OTHER than `main` (tags / pinned branches), each
+        * carried as its VERBATIM JSON object across commits — retention
+        * attributes real Iceberg writers add (`max-ref-age-ms`,
+        * `min-snapshots-to-keep`, …) survive untouched. `main` always
+        * follows the current snapshot, so it is regenerated rather than
+        * carried. */
+      refs: Map[String, String],
       /** Every retained snapshot id ([[setRef]] validates targets). */
       snapshotIds: Set[Long])
 
@@ -506,10 +509,8 @@ object IcebergExport {
         throw new IllegalArgumentException(
           s"cannot derive a metadata version from ${metaPath.getName}"))
     val refs = Option(root.get("refs")).map(_.properties().asScala.collect {
-      case e if e.getKey != "main" =>
-        e.getKey -> (e.getValue.path("snapshot-id").asLong(-1L),
-          e.getValue.path("type").asText("tag"))
-    }.toMap).getOrElse(Map.empty)
+      case e if e.getKey != "main" => e.getKey -> e.getValue.toString
+    }.toMap).getOrElse(Map.empty[String, String])
     TableState(fs, new Path(location), new Path(location, "metadata"),
       location, root.path("table-uuid").asText(java.util.UUID.randomUUID().toString),
       root.path("last-sequence-number").asLong(0L), curId, version,
@@ -614,7 +615,8 @@ object IcebergExport {
       st.fieldIds, st.curSnapshotId, st.lastSeq, st.snapshotsJson,
       formatVersion = st.formatVersion,
       nextRowId = if (st.formatVersion >= 3) Some(st.nextRowId) else None,
-      extraRefs = st.refs + (name -> (snapshotId, kind)))
+      extraRefs = st.refs +
+        (name -> s"""{"snapshot-id": $snapshotId, "type": "$kind"}"""))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     st.fs.makeQualified(metaPath).toString
@@ -932,7 +934,8 @@ object IcebergExport {
       schema: StructType, fieldIds: Seq[(StructField, Int)],
       snapshotId: Long, lastSeq: Long, snapshotsJson: Seq[String],
       formatVersion: Int = 2, nextRowId: Option[Long] = None,
-      extraRefs: Map[String, (Long, String)] = Map.empty): String = {
+      /** name → VERBATIM ref JSON object (non-main refs carried through). */
+      extraRefs: Map[String, String] = Map.empty): String = {
     val fields = fieldIds.map { case (f, id) =>
       s"""{"id": $id, "name": "${esc(f.name)}", "required": ${!f.nullable}, """ +
         s""""type": "${icebergTypeName(f.dataType)}"}"""
@@ -959,8 +962,8 @@ object IcebergExport {
        |  "properties": {"schema.name-mapping.default": "$mapping"},
        |  "current-snapshot-id": $snapshotId,
        |  "refs": {"main": {"snapshot-id": $snapshotId, "type": "branch"}${
-           extraRefs.toSeq.sortBy(_._1).map { case (n, (sid, kind)) =>
-             s""", "${esc(n)}": {"snapshot-id": $sid, "type": "$kind"}"""
+           extraRefs.toSeq.sortBy(_._1).map { case (n, json) =>
+             s""", "${esc(n)}": $json"""
            }.mkString}},
        |  "snapshots": [${snapshotsJson.mkString(", ")}],
        |  "snapshot-log": [],

@@ -52,12 +52,18 @@ object AvroWrite {
       if (!rows.hasNext) Iterator.empty
       else {
         val avroSchema = new AvroSchema.Parser().parse(schemaJson)
-        // DETERMINISTIC name + overwrite: a retried/speculated task
-        // rewrites the same path with the same content instead of
-        // orphaning a sibling file — the manifest writer lists the data
-        // dir, so an orphan would silently DUPLICATE the partition
+        // DETERMINISTIC final name, written via an attempt-unique temp +
+        // rename: a retried/speculated task can never orphan a sibling
+        // file (the manifest writer lists the data dir, so an orphan
+        // would DUPLICATE the partition), and two live attempts can
+        // never interleave bytes in one stream — the rename loser just
+        // discards its temp (review round 15: create-with-overwrite
+        // would let a zombie attempt truncate the winner's completed
+        // file AFTER its stats were reported)
         val name = f"part-$pid%05d.avro"
         val path = new Path(dirStr, name)
+        val tmp = new Path(dirStr,
+          s".tmp-$name-${java.util.UUID.randomUUID().toString.take(8)}")
         val fs = path.getFileSystem(conf.value)
         val writers = fields.zipWithIndex.map { case ((f, _), i) =>
           valueWriter(f.dataType, avroSchema.getFields.get(i).schema())
@@ -66,7 +72,7 @@ object AvroWrite {
         val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](avroSchema))
         var count = 0L
         try {
-          w.create(avroSchema, fs.create(path, true))
+          w.create(avroSchema, fs.create(tmp, false))
           while (rows.hasNext) {
             val row: InternalRow = rows.next()
             val rec = new GenericData.Record(avroSchema)
@@ -84,6 +90,16 @@ object AvroWrite {
             count += 1
           }
         } finally w.close()
+        // rename into place; a loser (the final file already exists from
+        // another attempt of THIS partition — logically identical rows)
+        // discards its temp and reports the winner's file
+        if (!fs.rename(tmp, path)) {
+          fs.delete(tmp, false)
+          if (!fs.exists(path))
+            throw new java.io.IOException(
+              s"could not commit avro part file $path (rename failed and " +
+                "no prior attempt's file exists)")
+        }
         val size = fs.getFileStatus(path).getLen
         val lowers = fields.zip(trackers).collect {
           case ((f, id), t) if t.min != null => id -> external(f.dataType, t.min)
@@ -126,6 +142,14 @@ object AvroWrite {
         s"Iceberg avro export does not map catalyst type ${other.catalogString}")
     }
     val fs = fieldIds.map { case (f, id) =>
+      // avro NAMES are [A-Za-z_][A-Za-z0-9_]* by spec — a column outside
+      // that alphabet cannot be spelled in an avro schema at all (real
+      // Iceberg writers sanitize + name-map); refuse with the column
+      // named rather than emit unparseable JSON (review round 15)
+      require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"column '${f.name}' is not an avro-safe name " +
+          "([A-Za-z_][A-Za-z0-9_]*); export this schema as parquet/orc, " +
+          "or rename the column first")
       val t = typeNode(f.dataType, id)
       val tt = if (f.nullable) s"""["null", $t]""" else t
       s"""{"name": "${f.name}", "type": $tt, "field-id": $id}"""

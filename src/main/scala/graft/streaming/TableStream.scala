@@ -132,9 +132,17 @@ private[streaming] final class GraftStreamTable(cfg: CatalogConfig,
                 CatalogIO.readMetadataText(
                   probe.loadTableMetadataLocation(ref), c))
             } finally probe.close()
-          if (iceberg)
+          if (iceberg) {
+            // refuse rather than silently drop the option: the
+            // ride-through-maintenance walk is graft-commitOp-based and
+            // has no Iceberg equivalent here (rewrites refuse loudly)
+            if (skipRewrites)
+              throw new UnsupportedOperationException(
+                "skipRewrites is not supported when streaming a " +
+                  "registered Apache Iceberg pointer; rewrites fail the " +
+                  "stream loudly instead")
             new IcebergMicroBatchStream(cfg, ref, tableSchema, startingVersion)
-          else
+          } else
             new GraftTableMicroBatchStream(cfg, ref, tableSchema,
               startingVersion, skipRewrites)
         }
@@ -344,15 +352,32 @@ private[streaming] final class IcebergMicroBatchStream(cfg: CatalogConfig,
         s"$ref: Iceberg sequence range $s..$e is not append-only ($what) " +
           "— restart the stream from a full snapshot read")
     val snaps = snapshots(text)
-    def layoutAt(seq: Long): Option[graft.catalog.CatalogIO.TableLayout] =
-      snaps.filter(_._2 <= seq).lastOption.map { case (id, _) =>
-        graft.catalog.IcebergFormat.toTableLayout(text, loc, conf, Some(id))
+    def layoutOf(id: Long): graft.catalog.CatalogIO.TableLayout =
+      graft.catalog.IcebergFormat.toTableLayout(text, loc, conf, Some(id))
+    // the START anchor must be a snapshot retained EXACTLY at the
+    // checkpointed sequence: every offset this stream emits is a real
+    // snapshot's seq, so a missing one means expireSnapshots dropped it
+    // — anchoring at an OLDER survivor (e.g. a tag-pinned snapshot)
+    // would silently re-serve rows already emitted (review round 15)
+    val fromL: Option[graft.catalog.CatalogIO.TableLayout] =
+      if (s == 0) None
+      else snaps.find(_._2 == s) match {
+        case Some((id, _)) => Some(layoutOf(id))
+        case None =>
+          refuse(s"the snapshot at checkpointed sequence $s is no longer " +
+            "retained (expired?)")
       }
-    // snapshots older than the retention window cannot anchor the diff
-    if (s > 0 && snaps.headOption.exists(_._2 > s) && layoutAt(s).isEmpty)
-      refuse(s"no retained snapshot at or before sequence $s")
-    val fromL = layoutAt(s)
-    val toL = layoutAt(e).getOrElse(return Array.empty)
+    // the END anchor must match exactly too: `e` is always a seq this
+    // stream's latestOffset() observed as a real snapshot, and the
+    // checkpoint will record the batch as served THROUGH e — anchoring
+    // at a retained predecessor would under-serve the batch and then
+    // skip the gap forever
+    val toL = snaps.find(_._2 == e) match {
+      case Some((id, _)) => layoutOf(id)
+      case None =>
+        refuse(s"the snapshot at batch-end sequence $e is no longer " +
+          "retained (expired?)")
+    }
     if (fromL.exists(_.deleteFiles.nonEmpty) || toL.deleteFiles.nonEmpty)
       refuse("live delete files")
     if (toL.renameOps.nonEmpty) refuse("un-materialized column renames")

@@ -602,9 +602,32 @@ class IcebergFormatSpec extends AnyFunSuite {
       assert(msg.contains("stable") && msg.contains("v1"),
         s"unknown-ref error must list the known refs, got: $msg")
     }
+    // ref attributes real Iceberg writers add (retention) are carried
+    // VERBATIM across commits, not re-synthesized from (snapshot-id, type)
+    patchMetadata(meta5) { text =>
+      // the carried ref renders compactly (Jackson toString); patch
+      // whichever spelling this metadata carries
+      val spaced = s""""v1": {"snapshot-id": $s1, "type": "tag"}"""
+      val compact = s""""v1": {"snapshot-id":$s1,"type":"tag"}"""
+      val enriched = s""""v1": {"snapshot-id": $s1, "type": "tag", "max-ref-age-ms": 604800000}"""
+      val patched = text.replace(spaced, enriched).replace(compact, enriched)
+      assert(patched != text, "fixture: the v1 ref spelling must match")
+      patched
+    }
+    val meta6 = IcebergExport.appendSnapshot(spark,
+      (31 to 35).toDF("k").repartition(1), meta5)
+    val text6 = {
+      val p = new Path(meta6)
+      val in = p.getFileSystem(spark.sessionState.newHadoopConf()).open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    }
+    assert(text6.contains("\"max-ref-age-ms\""),
+      "ref retention attributes must survive commits verbatim")
+    assert(sumOf(CatalogIO.scanIcebergRef(spark, meta6, "v1")) == 55L)
     // setRef refuses snapshots outside the retained history and 'main'
     val bad = intercept[IllegalArgumentException] {
-      IcebergExport.setRef(spark, meta5, "x", 123456789L, "tag")
+      IcebergExport.setRef(spark, meta6, "x", 123456789L, "tag")
     }
     assert(bad.getMessage.contains("not in the retained history"))
     val badMain = intercept[IllegalArgumentException] {
