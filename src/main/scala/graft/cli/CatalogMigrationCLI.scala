@@ -68,7 +68,10 @@ object CatalogMigrationCLI {
       gcAfter: Boolean = false,
       outputDir: String = ".",
       dryRun: Boolean = false,
-      metadataLocation: Option[String] = None)
+      metadataLocation: Option[String] = None,
+      refName: String = "",
+      refSnapshot: Long = -1L,
+      refKind: String = "tag")
 
   def main(args: Array[String]): Unit = sys.exit(run(args.toSeq))
 
@@ -83,7 +86,8 @@ object CatalogMigrationCLI {
 
     if (args.head == "compact" || args.head == "expire-versions" ||
         args.head == "squash-history" || args.head == "sweep-orphans" ||
-        args.head == "analyze" || args.head == "adopt")
+        args.head == "analyze" || args.head == "adopt" ||
+        args.head == "set-ref")
       return runMaintenance(args, out)
 
     parse(args) match {
@@ -184,6 +188,19 @@ object CatalogMigrationCLI {
           o = o.copy(identifiersFromFile = Some(v)); rest = t
         case "--metadata-location" :: v :: t =>
           o = o.copy(metadataLocation = Some(v)); rest = t
+        case "--ref-name" :: v :: t =>
+          o = o.copy(refName = v); rest = t
+        case "--snapshot-id" :: v :: t =>
+          v.toLongOption match {
+            case Some(n) => o = o.copy(refSnapshot = n)
+            case None => return Left(
+              s"--snapshot-id expects an Iceberg snapshot id, got '$v'")
+          }
+          rest = t
+        case "--ref-type" :: v :: t =>
+          if (v != "tag" && v != "branch")
+            return Left(s"--ref-type expects tag or branch, got '$v'")
+          o = o.copy(refKind = v); rest = t
         case "--small-files-only" :: t => o = o.copy(smallFilesOnly = true); rest = t
         case "--cluster-by" :: v :: t =>
           o = o.copy(clusterBy = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -234,6 +251,12 @@ object CatalogMigrationCLI {
         "(--identifiers or --identifiers-from-file)")
     if ((o.cmd == "expire-versions" || o.cmd == "squash-history") && o.keepLast < 1)
       return Left("Missing required option: --keep-last")
+    if (o.cmd == "set-ref") {
+      if (o.refName.isEmpty)
+        return Left("set-ref requires --ref-name")
+      if (o.refSnapshot < 0)
+        return Left("set-ref requires --snapshot-id")
+    }
     if (o.cmd == "compact" && o.smallFilesOnly && o.partitionPrefix.isDefined)
       return Left("Error: --small-files-only, --partition-prefix options are mutually exclusive.")
     if (o.clusterBy.nonEmpty && (o.smallFilesOnly || o.partitionPrefix.isDefined))
@@ -274,6 +297,7 @@ object CatalogMigrationCLI {
           else if (opts.cmd == "sweep-orphans") sweepOne(opts, hadoop, ref, log)
           else if (opts.cmd == "analyze") analyzeOne(opts, hadoop, ref, log)
           else if (opts.cmd == "adopt") adoptOne(opts, hadoop, ref, log)
+          else if (opts.cmd == "set-ref") setRefOne(opts, hadoop, ref, log)
           else expireOne(opts, hadoop, ref, log)
         } catch {
           case e: Exception =>
@@ -331,6 +355,26 @@ object CatalogMigrationCLI {
     log(s"Adopted $loc as $ref -> $meta " +
       "(zero-copy; the source Iceberg metadata is untouched and keeps " +
       "reading the table as of adoption)")
+  }
+
+  /** `set-ref` subcommand (round 15): commit an Iceberg TAG or BRANCH
+    * ref on a registered pointer's table and advance the pointer to the
+    * new metadata — the names `VERSION AS OF 'name'` then resolves
+    * ([[graft.catalog.IcebergExport.setRef]]; the migration workflow's
+    * "tag the pre-switch state" step). */
+  private def setRefOne(opts: MaintOpts, cat: HadoopFsCatalog, ref: TableRef,
+      log: String => Unit): Unit = {
+    val loc = cat.loadTableMetadataLocation(ref)
+    if (opts.dryRun) {
+      log(s"Would commit ${opts.refKind} '${opts.refName}' -> snapshot " +
+        s"${opts.refSnapshot} on $ref ($loc); dry run, nothing committed.")
+      return
+    }
+    val meta = graft.catalog.IcebergExport.setRef(activeSpark(), loc,
+      opts.refName, opts.refSnapshot, opts.refKind)
+    cat.replaceTablePointer(ref, meta)
+    log(s"Committed ${opts.refKind} '${opts.refName}' -> snapshot " +
+      s"${opts.refSnapshot} on $ref -> $meta")
   }
 
   private def compactOne(opts: MaintOpts, cat: HadoopFsCatalog, ref: TableRef,
@@ -699,7 +743,7 @@ object CatalogMigrationCLI {
   }
 
   private val usage: String =
-    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history | analyze | adopt) [options]
+    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history | analyze | adopt | set-ref) [options]
       |Bulk-migrate table entries from a source catalog to a target catalog
       |without data copy. `migrate` deletes entries from the source after
       |successful registration; `register` leaves them in place.
@@ -725,6 +769,9 @@ object CatalogMigrationCLI {
       |                                   objects (no grace window; quiesce writers first)
       |  --metadata-location <loc>        adopt: the Apache Iceberg metadata.json to
       |                                   convert (zero-copy) into a writable table
+      |  --ref-name <name>                set-ref: the tag/branch name to commit
+      |  --snapshot-id <id>               set-ref: the Iceberg snapshot it pins
+      |  --ref-type <tag|branch>          set-ref: ref kind (default tag)
       |  --dry-run                        report what would be done, commit nothing
       |
       |Migration options:

@@ -195,6 +195,46 @@ class MaintenanceCLISpec extends AnyFunSuite {
   }
 
 
+  test("set-ref commits an Iceberg tag via the CLI; VERSION AS OF the name resolves") {
+    val wh = Files.createTempDirectory("maint-wh").toString
+    val hc = new HadoopFsCatalog(s"sr${uid()}", wh)
+    hc.createNamespace(graft.catalog.Namespace.of("db"))
+    val outDir = Files.createTempDirectory("maint-out").toString
+    import spark.implicits._
+    val iceDir = s"${Files.createTempDirectory("maint-ice").toString}/t"
+    val meta1 = graft.catalog.IcebergExport.writeTable(spark,
+      (1 to 10).toDF("k").repartition(1), iceDir)
+    val snap1 = {
+      val p = new org.apache.hadoop.fs.Path(meta1)
+      val in = p.getFileSystem(spark.sessionState.newHadoopConf()).open(p)
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        .path("current-snapshot-id").asLong(-1L)
+    }
+    val meta2 = graft.catalog.IcebergExport.appendSnapshot(spark,
+      (11 to 20).toDF("k").repartition(1), meta1)
+    hc.registerTable(TableRef.parse("db.t"), meta2)
+    // dry run: reports, commits nothing
+    val (dcode, dlines) = runCli(maintArgs("set-ref", wh, outDir,
+      "--ref-name", "v1", "--snapshot-id", snap1.toString, "--dry-run"))
+    assert(dcode == 0)
+    assert(dlines.exists(_.startsWith("Would commit tag 'v1'")))
+    // real commit: the pointer advances and the name time-travels
+    val (code, lines) = runCli(maintArgs("set-ref", wh, outDir,
+      "--ref-name", "v1", "--snapshot-id", snap1.toString))
+    assert(code == 0)
+    assert(lines.exists(_.startsWith("Committed tag 'v1'")))
+    assert(graft.catalog.CatalogIO.scanIcebergRef(spark,
+      hc.loadTableMetadataLocation(TableRef.parse("db.t")), "v1")
+      .count() == 10)
+    // validation: missing --snapshot-id is an argument error, exit 2
+    val (ecode, elines) = runCli(maintArgs("set-ref", wh, outDir,
+      "--ref-name", "x"))
+    assert(ecode == 2)
+    assert(elines.exists(_.contains("--snapshot-id")))
+  }
+
   test("adopt converts a real Iceberg pointer into a writable table via the CLI") {
     val wh = Files.createTempDirectory("maint-wh").toString
     val hc = new HadoopFsCatalog(s"ad${uid()}", wh)
