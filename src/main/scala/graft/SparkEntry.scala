@@ -138,6 +138,7 @@ object SparkEntry {
     "w13_iceberg_orc" -> (graft.queries.WriteQueries.w13 _),
     "w14_iceberg_avro" -> (graft.queries.WriteQueries.w14 _),
     "w15_iceberg_mixed" -> (graft.queries.WriteQueries.w15 _),
+    "w16_iceberg_stream" -> (graft.queries.WriteQueries.w16 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1084,6 +1085,17 @@ object SparkEntry {
         |       CAST(SUM(k) AS BIGINT) AS k_sum,
         |       CAST(SUM(qty) AS BIGINT) AS qty_sum
         |FROM full_t GROUP BY rf""".stripMargin,
+    // w16: streaming from a registered Iceberg pointer — the bootstrap
+    // phase is snapshot 1 (the %3=0 slice), the incremental phase is
+    // cumulative after two upstream append commits advanced the pointer
+    "w16_iceberg_stream" ->
+      """WITH b AS (SELECT CAST(l_orderkey AS BIGINT) AS k, l_returnflag AS rf,
+        |                  (l_orderkey % 3) AS m FROM lineitem)
+        |SELECT 'boot' AS phase, rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM b WHERE m = 0 GROUP BY rf
+        |UNION ALL SELECT 'incr', rf, COUNT(*), CAST(SUM(k) AS BIGINT)
+        |FROM b GROUP BY rf
+        |ORDER BY phase, rf""".stripMargin,
     // w05: incremental append reads are manifest set-differences, so
     // each phase's change set is relationally just the slice that
     // commit appended (WriteQueries.w05 runs the real version-diff

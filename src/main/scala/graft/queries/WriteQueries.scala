@@ -420,6 +420,71 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(tmp)
     }
 
+  /** w16 (round 15): STREAMING from a registered Apache Iceberg pointer
+    * under the oracle — the Iceberg-mode twin of w06 (the graft-table
+    * stream). The table is exported natively, registered, and streamed
+    * with sequence-number offsets ([[graft.streaming
+    * .IcebergMicroBatchStream]]): the `earliest` bootstrap serves
+    * snapshot 1, then TWO upstream append commits advance the pointer
+    * (re-registration, the migrator cadence) and the next trigger
+    * serves exactly their file-set diff. Relationally two phases of the
+    * same projection + aggregate over lineitem slices — any bootstrap
+    * gap, double-served batch, or missed commit changes a phase's
+    * aggregate and fails the hash. */
+  def w16(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w16") { (cat, hc) =>
+      import graft.catalog.TableRef
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w16-ice").toString
+      try {
+        val ref = TableRef.parse("db.ice_stream")
+        val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+        def slice(m: Int): DataFrame = spark.sql(
+          s"""SELECT CAST(l_orderkey AS BIGINT) AS k, l_returnflag AS rf
+             |FROM parquet.`$dir/lineitem.parquet` WHERE l_orderkey % 3 = $m""".stripMargin)
+        val meta1 = graft.catalog.IcebergExport.writeTable(spark,
+          slice(0).repartition(2), s"$tmp/t")
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(ref, meta1)
+        val sink = s"w16s${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+        val q = spark.readStream.format("graft-table")
+          .option("type", "hadoop").option("warehouse", wh)
+          .option("table", "db.ice_stream").option("startingVersion", "earliest")
+          .load()
+          .writeStream.format("memory").queryName(sink).outputMode("append")
+          .start()
+        try {
+          q.processAllAvailable()
+          def agg(phase: String): Seq[org.apache.spark.sql.Row] =
+            spark.table(sink).groupBy(lit(phase).as("phase"), col("rf"))
+              .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))
+              .collect().toIndexedSeq
+          val boot = agg("boot") // exactly the bootstrap snapshot
+          // upstream Iceberg commits; the registered pointer advances
+          val meta2 = graft.catalog.IcebergExport.appendSnapshot(spark,
+            slice(1).repartition(2), meta1)
+          val meta3 = graft.catalog.IcebergExport.appendSnapshot(spark,
+            slice(2).repartition(2), meta2)
+          hc.replaceTablePointer(ref, meta3)
+          q.processAllAvailable()
+          val incr = agg("incr") // cumulative: all three slices
+          val schema = org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("phase",
+              org.apache.spark.sql.types.StringType, nullable = false),
+            org.apache.spark.sql.types.StructField("rf",
+              org.apache.spark.sql.types.StringType, nullable = true),
+            org.apache.spark.sql.types.StructField("cnt",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("sum_k",
+              org.apache.spark.sql.types.LongType, nullable = true)))
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(boot ++ incr, 1), schema)
+        } finally {
+          q.stop()
+          spark.catalog.dropTempView(sink)
+        }
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w02 (round 9): the MERGE-ON-READ write surface under the oracle —
     * the counterpart of w01's copy-on-write faces. Builds a partitioned
     * table, then commits the O(batch) mutation sequence:
