@@ -3576,6 +3576,11 @@ object CatalogIO {
     if (layout.posDeleteFiles.nonEmpty) refuse("parquet position deletes")
     if (layout.renameOps.nonEmpty) refuse("un-materialized renames")
     if (layout.hasFills) refuse("initial-default fills")
+    // known cost: the manifests are walked twice at PLAN time (once by
+    // toTableLayout above, once here for the lineage triple) — driver
+    // metadata I/O only, parallel per walk; folding lineage extraction
+    // into toTableLayout would save it at the cost of widening every
+    // layout, which no other face needs
     val lineage = IcebergFormat.fileLineage(text, metadataLocation, conf)
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       layout.schemaDdl.getOrElse(throw new IllegalStateException(
