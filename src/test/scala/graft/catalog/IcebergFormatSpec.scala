@@ -165,6 +165,23 @@ class IcebergFormatSpec extends AnyFunSuite {
     assert(got.count() == 305)
     assert(got.filter(org.apache.spark.sql.functions.col("id") === 1L)
       .count() == 2) // the original row plus the appended duplicate
+    // TIME TRAVEL across the format change: snapshot 1 is the
+    // homogeneous ORC state — the versioned load path must dispatch
+    // formats per SNAPSHOT, not per current table
+    val snap1 = {
+      val in = new Path(meta1).getFileSystem(conf).open(new Path(meta1))
+      val text = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+        .path("current-snapshot-id").asLong(-1L)
+    }
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-mix-tt") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.m"), meta2)
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.m").head.getLong(0) == 305)
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.m VERSION AS OF $snap1")
+        .head.getLong(0) == 300)
+    }
     // mixed WITH live deletes still refuses: delete application is
     // position-addressed through parquet row indexes on every file
     val delPath = new Path(dir, "data/eqdel-0.parquet")
