@@ -139,6 +139,7 @@ object SparkEntry {
     "w14_iceberg_avro" -> (graft.queries.WriteQueries.w14 _),
     "w15_iceberg_mixed" -> (graft.queries.WriteQueries.w15 _),
     "w16_iceberg_stream" -> (graft.queries.WriteQueries.w16 _),
+    "w17_iceberg_ride_admission" -> (graft.queries.WriteQueries.w17 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1095,6 +1096,21 @@ object SparkEntry {
         |FROM b WHERE m = 0 GROUP BY rf
         |UNION ALL SELECT 'incr', rf, COUNT(*), CAST(SUM(k) AS BIGINT)
         |FROM b GROUP BY rf
+        |ORDER BY phase, rf""".stripMargin,
+    // w17: Iceberg ride-through + stream admission control (round 16).
+    // The table is built from %4 slices: append(0), append(1), a
+    // row-preserving REWRITE ("replace"), append(2). Phase 'ride' is
+    // the skipRewrites incremental read (exactly the two appends —
+    // rewritten base copies must not double-serve); phase 'stream' is
+    // the bounded earliest bootstrap (maxFilesPerTrigger=1, exactly-
+    // once across 3 snapshot-aligned batches) = all three slices.
+    "w17_iceberg_ride_admission" ->
+      """WITH b AS (SELECT CAST(l_orderkey AS BIGINT) AS k, l_returnflag AS rf,
+        |                  (l_orderkey % 4) AS m FROM lineitem)
+        |SELECT 'ride' AS phase, rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS sum_k
+        |FROM b WHERE m IN (1, 2) GROUP BY rf
+        |UNION ALL SELECT 'stream', rf, COUNT(*), CAST(SUM(k) AS BIGINT)
+        |FROM b WHERE m IN (0, 1, 2) GROUP BY rf
         |ORDER BY phase, rf""".stripMargin,
     // w05: incremental append reads are manifest set-differences, so
     // each phase's change set is relationally just the slice that

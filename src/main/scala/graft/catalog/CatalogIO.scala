@@ -3511,39 +3511,107 @@ object CatalogIO {
     * the range is not append-only — live delete files at either end
     * (row visibility changed, not just grew) or files REMOVED between
     * (a rewrite/compaction re-bins rows, so "new files" double-count) —
-    * rather than serving a wrong changelog. */
+    * rather than serving a wrong changelog.
+    *
+    * Round 16: both endpoints must lie on the MAIN-BRANCH ancestry
+    * (`refs.main` → `parent-snapshot-id` chain) with `fromSnapshotId`
+    * an ancestor of `toSnapshotId` — a staged/branch snapshot that
+    * happens to be a pure addition is still not committed main-branch
+    * history (advisor r15 #2). `skipRewrites = true` rides through
+    * `summary.operation == "replace"` snapshots (compaction) exactly
+    * like the engine's own commitOp walk: append steps' files are
+    * served from the layout they were appended into (a rewritten-away
+    * file stays readable on disk until GC), replace steps contribute
+    * nothing, and genuine `overwrite`/`delete` (or unmarked) snapshots
+    * still refuse. Cost with skipRewrites: O(snapshots in range)
+    * manifest walks — plan-time metadata I/O, the same shape as
+    * [[appendsAcrossRewrites]]. */
   def readIcebergAppendsBetween(spark: SparkSession, metadataLocation: String,
-      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+      fromSnapshotId: Long, toSnapshotId: Long,
+      skipRewrites: Boolean = false): DataFrame = {
     val conf = spark.sessionState.newHadoopConf()
     val text = readMetadataText(metadataLocation, conf)
     require(IcebergFormat.isIcebergMetadata(text),
       s"$metadataLocation is not Apache Iceberg metadata; engine tables " +
         "read incrementally through readAppendsBetween")
-    val fromL = IcebergFormat.toTableLayout(text, metadataLocation, conf,
-      Some(fromSnapshotId))
-    val toL = IcebergFormat.toTableLayout(text, metadataLocation, conf,
-      Some(toSnapshotId))
     def refuse(what: String): Nothing =
       throw new UnsupportedOperationException(
         s"$metadataLocation: snapshots $fromSnapshotId..$toSnapshotId are " +
           s"not an append-only range ($what) — an incremental read would " +
           "serve a wrong changelog; read the full snapshot instead")
+    val anc = IcebergFormat.mainAncestry(text)
+    val fromIdx = anc.indexWhere(_.id == fromSnapshotId)
+    val toIdx = anc.indexWhere(_.id == toSnapshotId)
+    if (toIdx < 0)
+      refuse(s"snapshot $toSnapshotId is not on the main branch — staged " +
+        "or divergent-branch snapshots are not committed history")
+    if (fromIdx < 0)
+      refuse(s"snapshot $fromSnapshotId is not on the main branch (staged, " +
+        "divergent, or expired) — it cannot anchor an incremental read")
+    if (fromIdx > toIdx)
+      refuse(s"snapshot $fromSnapshotId is not an ancestor of $toSnapshotId")
+    val fromL = IcebergFormat.toTableLayout(text, metadataLocation, conf,
+      Some(fromSnapshotId))
+    val toL = IcebergFormat.toTableLayout(text, metadataLocation, conf,
+      Some(toSnapshotId))
     if (fromL.deleteFiles.nonEmpty || toL.deleteFiles.nonEmpty)
       refuse("live delete files")
-    val fromFiles = fromL.dataFiles.getOrElse(Nil).toSet
-    val toFiles = toL.dataFiles.getOrElse(Nil).toSet
-    val removed = fromFiles -- toFiles
-    if (removed.nonEmpty)
-      refuse(s"${removed.size} data file(s) removed/rewritten in between")
-    val added = toFiles -- fromFiles
-    if (added.isEmpty) {
+    val empty = {
       val schema = org.apache.spark.sql.types.StructType.fromDDL(
         toL.schemaDdl.getOrElse(throw new IllegalStateException(
           s"$metadataLocation has no recorded schema")))
-      return spark.createDataFrame(
+      () => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
-    scanLayoutWithOptions(spark, toL.retainDataFiles(added), Map.empty)
+    if (!skipRewrites) {
+      val fromFiles = fromL.dataFiles.getOrElse(Nil).toSet
+      val toFiles = toL.dataFiles.getOrElse(Nil).toSet
+      val removed = fromFiles -- toFiles
+      if (removed.nonEmpty)
+        refuse(s"${removed.size} data file(s) removed/rewritten in between; " +
+          "a row-preserving compaction can be ridden through with " +
+          "skipRewrites=true")
+      val added = toFiles -- fromFiles
+      if (added.isEmpty) return empty()
+      scanLayoutWithOptions(spark, toL.retainDataFiles(added), Map.empty)
+    } else {
+      // per-step walk: each append's files scan with the LAYOUT they
+      // were appended into (their stats/formats), because a later
+      // replace may have dropped them from toL's manifest — retaining
+      // against toL would silently lose them
+      var prev = fromL
+      val groups = Vector.newBuilder[DataFrame]
+      anc.slice(fromIdx + 1, toIdx + 1).foreach { si =>
+        si.operation match {
+          case Some("append") =>
+            val l = IcebergFormat.toTableLayout(text, metadataLocation, conf,
+              Some(si.id))
+            if (l.deleteFiles.nonEmpty) refuse("live delete files")
+            val prevSet = prev.dataFiles.getOrElse(Nil).toSet
+            val cur = l.dataFiles.getOrElse(Nil).toSet
+            if (!prevSet.subsetOf(cur))
+              refuse(s"snapshot ${si.id} is marked 'append' but its " +
+                "manifest shrank — metadata is inconsistent")
+            val added = cur -- prevSet
+            if (added.nonEmpty)
+              groups += scanLayoutWithOptions(spark,
+                l.retainDataFiles(added), Map.empty)
+            prev = l
+          case Some("replace") =>
+            val l = IcebergFormat.toTableLayout(text, metadataLocation, conf,
+              Some(si.id))
+            if (l.deleteFiles.nonEmpty) refuse("live delete files")
+            prev = l // row-preserving: nothing to capture
+          case Some(op) =>
+            refuse(s"snapshot ${si.id} is a genuine '$op' snapshot, which " +
+              "skipRewrites must not ride through")
+          case None =>
+            refuse(s"snapshot ${si.id} records no summary.operation " +
+              "(required by the spec), so it cannot be proven row-preserving")
+        }
+      }
+      groups.result().reduceOption(_ unionByName _).getOrElse(empty())
+    }
   }
 
   /** v3 ROW LINEAGE read of a REAL Iceberg pointer (round 15): the

@@ -85,13 +85,15 @@ object IcebergExport {
     fs.mkdirs(metaDir)
     val snapshotId = newSnapshotId()
     val seq = 1L
-    val (manifestEntry, rowCount) = writeDataManifest(spark, fs, metaDir,
-      location, schema, fieldIds, dataDir, relPrefix = "data", snapshotId, seq,
-      fileFormat, avroResults)
+    val (manifestEntry, rowCount, dataBytes) = writeDataManifest(spark, fs,
+      metaDir, location, schema, fieldIds, dataDir, relPrefix = "data",
+      snapshotId, seq, fileFormat, avroResults)
     val listPath = writeManifestList(fs, metaDir, snapshotId,
       parent = None, seq, Seq(manifestEntry))
     val snapshotJson = snapshotNode(snapshotId, parent = None, seq,
-      "append", fs.makeQualified(listPath).toString)
+      "append", fs.makeQualified(listPath).toString,
+      summaryCounts = Map("added-data-files" -> manifestEntry.addedFiles.toLong,
+        "added-records" -> rowCount, "added-files-size" -> dataBytes))
     val metaPath = new Path(metaDir, "v1.metadata.json")
     val out = fs.create(metaPath, false)
     try out.write(metadataJson(java.util.UUID.randomUUID().toString,
@@ -120,10 +122,52 @@ object IcebergExport {
     val rel = s"data/s$seq-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(st.root, rel)
     df.write.parquet(dataDir.toString)
-    val (entry, rowCount) = writeDataManifest(spark, st.fs, st.metaDir,
-      st.location, st.sparkSchema, st.fieldIds, dataDir, rel, snapshotId, seq)
+    val (entry, rowCount, dataBytes) = writeDataManifest(spark, st.fs,
+      st.metaDir, st.location, st.sparkSchema, st.fieldIds, dataDir, rel,
+      snapshotId, seq)
     commitSnapshot(st, snapshotId, seq, "append", st.priorEntries :+ entry,
-      addedRows = rowCount)
+      addedRows = rowCount,
+      summaryCounts = Map("added-data-files" -> entry.addedFiles.toLong,
+        "added-records" -> rowCount, "added-files-size" -> dataBytes))
+  }
+
+  /** Commit a REWRITE (compaction) snapshot: the table's current rows
+    * re-written into fresh parquet files, committed with
+    * `summary.operation = "replace"` — Iceberg's `rewrite_data_files`
+    * maintenance shape, the face the skipRewrites stream walk rides
+    * through. Row-preserving by construction (one scan in, same rows
+    * out); refuses on live delete files (a rewrite must not change row
+    * visibility — materialize deletes first via a read + writeTable)
+    * and on v3 tables (the v3 spec requires rewritten files to CARRY
+    * their rows' `_row_id`s forward, which this writer does not emit
+    * into data files — a silent renumbering would corrupt lineage).
+    * Returns the new metadata location. */
+  def rewriteSnapshot(spark: SparkSession, metadataLocation: String): String = {
+    val st = loadState(spark, metadataLocation)
+    require(st.priorEntries.forall(_.content == 0),
+      s"$metadataLocation carries live delete files; a rewrite would " +
+        "change row visibility — materialize the deletes first")
+    require(st.formatVersion < 3,
+      s"$metadataLocation is format-version 3: rewritten files must " +
+        "preserve row lineage ids, which this writer does not emit — " +
+        "rewrite refused rather than silently renumbering _row_id")
+    require(st.curSnapshotId != -1L,
+      s"$metadataLocation has no current snapshot; nothing to rewrite")
+    val seq = st.lastSeq + 1
+    val snapshotId = newSnapshotId()
+    val rows = CatalogIO.scanIcebergSnapshot(spark, metadataLocation,
+      st.curSnapshotId)
+    val rel = s"data/rw$seq-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dataDir = new Path(st.root, rel)
+    rows.coalesce(1).write.parquet(dataDir.toString)
+    val (entry, rowCount, _) = writeDataManifest(spark, st.fs, st.metaDir,
+      st.location, st.sparkSchema, st.fieldIds, dataDir, rel, snapshotId, seq)
+    // a replace snapshot's manifest list carries ONLY the rewritten
+    // files: the prior entries are dropped (their rows live on in the
+    // new files; the old data files stay on disk until GC)
+    commitSnapshot(st, snapshotId, seq, "replace", Seq(entry),
+      summaryCounts = Map("added-data-files" -> entry.addedFiles.toLong,
+        "added-records" -> rowCount))
   }
 
   /** Commit positional (`file_path` absolute, `pos`) and/or equality
@@ -574,14 +618,16 @@ object IcebergExport {
       // no explicit first_row_id: the spec's null-default inheritance
       // assigns ranges from the snapshot's first-row-id and the
       // entries' added_rows_count, which this writer records exactly.
-      addedRows: Long = 0L): String = {
+      addedRows: Long = 0L,
+      summaryCounts: Map[String, Long] = Map.empty): String = {
     val fv = math.max(st.formatVersion, minFormatVersion)
     val listPath = writeManifestList(st.fs, st.metaDir, snapshotId,
       parent = Some(st.curSnapshotId).filter(_ != -1L), seq, entries)
     val snapshotJson = snapshotNode(snapshotId,
       Some(st.curSnapshotId).filter(_ != -1L), seq, operation,
       st.fs.makeQualified(listPath).toString,
-      firstRowId = if (fv >= 3) Some(st.nextRowId) else None)
+      firstRowId = if (fv >= 3) Some(st.nextRowId) else None,
+      summaryCounts = summaryCounts)
     val metaPath = new Path(st.metaDir, s"v${st.version + 1}.metadata.json")
     val out = st.fs.create(metaPath, false)
     try out.write(metadataJson(st.uuid, st.location, st.sparkSchema,
@@ -639,7 +685,7 @@ object IcebergExport {
       relPrefix: String, snapshotId: Long, seq: Long,
       fileFormat: String = "parquet",
       avroResults: Option[Seq[graft.sources.AvroWrite.FileResult]] = None)
-      : (ListEntry, Long) = {
+      : (ListEntry, Long, Long) = {
     import org.apache.spark.sql.functions._
     val boundCols = fieldIds.filter { case (f, _) => boundSupported(f.dataType) }
     val statsByRel: Map[String, FileExportStats] = avroResults match {
@@ -695,6 +741,7 @@ object IcebergExport {
     setManifestMeta(writer, schemaJson, content = "data")
     writer.create(mSchema, fs.create(manifestPath, false))
     var rowCount = 0L
+    var dataBytes = 0L
     try files.foreach { rel =>
       // a 0-row part file (empty DataFrame export, an empty task) has
       // no stats row: record_count 0, no bounds — never a crash
@@ -702,6 +749,7 @@ object IcebergExport {
       val cnt = row.map(_.cnt).getOrElse(0L)
       rowCount += cnt
       val st = fs.getFileStatus(new Path(dataDir, rel))
+      dataBytes += st.getLen
       val d = new GenericData.Record(dfSchema)
       d.put("content", 0)
       d.put("file_path", s"$location/$relPrefix/$rel")
@@ -754,7 +802,7 @@ object IcebergExport {
       minSeq = seq, addedSnapshotId = snapshotId,
       addedFiles = files.size, existingFiles = 0, deletedFiles = 0,
       addedRows = rowCount, existingRows = 0L, deletedRows = 0L),
-      rowCount)
+      rowCount, dataBytes)
   }
 
   /** Required manifest-file avro key-value metadata (spec §Manifests —
@@ -918,14 +966,21 @@ object IcebergExport {
 
   private def snapshotNode(snapshotId: Long, parent: Option[Long],
       seq: Long, operation: String, manifestList: String,
-      firstRowId: Option[Long] = None): String =
+      firstRowId: Option[Long] = None,
+      // spec §Snapshots optional summary counts (values are JSON
+      // strings, as real writers record them) — `added-data-files` /
+      // `added-files-size` let streaming admission control budget a
+      // micro-batch without walking the snapshot's manifests
+      summaryCounts: Map[String, Long] = Map.empty): String =
     s"""{
        |    "sequence-number": $seq,
        |    "snapshot-id": $snapshotId,${parent.fold("")(p =>
            s"""\n    "parent-snapshot-id": $p,""")}${firstRowId.fold("")(r =>
            s"""\n    "first-row-id": $r,""")}
        |    "timestamp-ms": ${System.currentTimeMillis()},
-       |    "summary": {"operation": "$operation"},
+       |    "summary": {"operation": "$operation"${summaryCounts.toSeq
+             .sortBy(_._1).map { case (k, v) => s""", "${esc(k)}": "$v"""" }
+             .mkString}},
        |    "manifest-list": "${esc(manifestList)}",
        |    "schema-id": 0
        |  }""".stripMargin

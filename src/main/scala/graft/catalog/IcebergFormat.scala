@@ -94,6 +94,62 @@ object IcebergFormat {
       .getOrElse(Map.empty)
   }
 
+  /** One retained snapshot as the streaming / incremental faces see
+    * it: identity, the `parent-snapshot-id` ancestry link, ordering
+    * (`sequence-number` — absent in v1 metadata, which predates
+    * sequencing), the spec-REQUIRED `summary.operation`, and the
+    * optional summary counts real Iceberg writers record
+    * (`added-data-files` / `added-files-size`, spec §Snapshots —
+    * summary values are JSON strings). */
+  final case class SnapshotInfo(id: Long, parent: Option[Long],
+      seq: Option[Long], operation: Option[String],
+      addedDataFiles: Option[Long], addedFilesSize: Option[Long])
+
+  /** Every retained snapshot of the document, in file order. */
+  def snapshotInfos(text: String): Seq[SnapshotInfo] = {
+    val root = new ObjectMapper().readTree(text)
+    Option(root.get("snapshots")).toSeq.flatMap(_.elements().asScala).map { s =>
+      val summary = Option(s.get("summary")).filterNot(_.isNull)
+      def count(key: String): Option[Long] =
+        summary.flatMap(m => Option(m.get(key))).filterNot(_.isNull)
+          .flatMap(_.asText.toLongOption)
+      SnapshotInfo(
+        s.path("snapshot-id").asLong(-1L),
+        Option(s.get("parent-snapshot-id")).filterNot(_.isNull).map(_.asLong),
+        Option(s.get("sequence-number")).filterNot(_.isNull).map(_.asLong),
+        summary.flatMap(m => Option(m.get("operation"))).filterNot(_.isNull)
+          .map(_.asText),
+        count("added-data-files"), count("added-files-size"))
+    }.toSeq
+  }
+
+  /** The MAIN-branch ancestry, oldest → newest: walk
+    * `parent-snapshot-id` from the `refs.main` head (falling back to
+    * `current-snapshot-id` for pre-refs metadata) through the retained
+    * snapshots; an expired ancestor ends the walk. Snapshots OUTSIDE
+    * this chain — staged write-audit-publish snapshots, divergent
+    * branches — are not committed table history, and incremental /
+    * streaming reads must not serve their files (advisor r15: the
+    * seq-sorted walk over ALL retained snapshots did). */
+  def mainAncestry(text: String): Seq[SnapshotInfo] = {
+    val root = new ObjectMapper().readTree(text)
+    val byId = snapshotInfos(text).map(s => s.id -> s).toMap
+    var chain = List.empty[SnapshotInfo]
+    var cur = refsOf(text).get("main")
+      .orElse(Some(root.path("current-snapshot-id").asLong(-1L)))
+      .filter(_ != -1L)
+    while (cur.exists(byId.contains)) {
+      val s = byId(cur.get)
+      chain = s :: chain
+      cur = s.parent
+    }
+    chain
+  }
+
+  /** The document's `format-version` (1, 2, or 3). */
+  def formatVersionOf(text: String): Int =
+    new ObjectMapper().readTree(text).path("format-version").asInt(-1)
+
   /** Parse a real Iceberg metadata.json (+ its avro manifests) into a
     * scannable [[CatalogIO.TableLayout]]. `snapshotId` selects a
     * historical snapshot from the metadata's snapshot list (Iceberg
