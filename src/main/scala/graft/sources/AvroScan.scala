@@ -102,8 +102,17 @@ object AvroRead {
     val table = new GraftAvroTable(spark, s"graft-avro-df(${files.size} files)",
       nullable, files, statsByPath, options)
     val key = AvroTableProvider.register(table)
-    spark.read.format(classOf[AvroTableProvider].getName)
+    // a load() failure between register and the provider's one-shot
+    // take() would strand the entry (table + file list + session ref)
+    // in the registry for the life of the driver (advisor r15 #4) —
+    // deregister on the failure path; success consumed the key already
+    try spark.read.format(classOf[AvroTableProvider].getName)
       .option(AvroTableProvider.PlanKey, key).load()
+    catch {
+      case e: Throwable =>
+        AvroTableProvider.deregister(key)
+        throw e
+    }
   }
 
   /** Converter for one top-level (or nested) field: resolves the avro
@@ -306,6 +315,16 @@ object AvroTableProvider {
     k
   }
 
+  /** Failure-path cleanup for [[AvroRead.dataFrame]] (idempotent —
+    * `load()` may already have consumed the key before failing). */
+  private[sources] def deregister(key: String): Unit = registry.remove(key)
+
+  /** Test-only visibility: is the key still registered? */
+  private[sources] def registered(key: String): Boolean =
+    registry.containsKey(key)
+
+  private[sources] def registrySize: Int = registry.size()
+
   private def lookup(options: CaseInsensitiveStringMap): GraftAvroTable = {
     val k = options.get(PlanKey)
     val t = if (k == null) null else registry.get(k)
@@ -415,9 +434,7 @@ private final class AvroScanBuilder(spark: SparkSession, tableName: String,
           case None => true // no stats: must read
         }
       }
-    if (kept.size != sized.size)
-      StatsPruning.recordPlan(sized.size - kept.size, sized.size, tableName)
-    else StatsPruning.lastPlanned = Some((0, sized.size))
+    StatsPruning.recordPlan(sized.size - kept.size, sized.size, tableName)
     new AvroScan(kept.toVector, required)(conf,
       spark.sessionState.conf.filesMaxPartitionBytes)
   }

@@ -92,15 +92,34 @@ object AvroWrite {
         } finally w.close()
         // rename into place; a loser (the final file already exists from
         // another attempt of THIS partition — logically identical rows)
-        // discards its temp and reports the winner's file
-        if (!fs.rename(tmp, path)) {
-          fs.delete(tmp, false)
-          if (!fs.exists(path))
-            throw new java.io.IOException(
-              s"could not commit avro part file $path (rename failed and " +
-                "no prior attempt's file exists)")
-        }
+        // discards its temp and reports the winner's file. POSIX/
+        // RawLocalFileSystem rename REPLACES an existing destination
+        // (advisor r15 #3: a zombie attempt could overwrite the winner
+        // AFTER its stats were reported), so losers are detected by an
+        // exists-check FIRST, and a won rename re-stats the destination
+        // and refuses on a size mismatch — an undersized manifest
+        // length would make sync-split reads silently drop trailing
+        // rows, which is corruption, not a race to tolerate
+        val tmpLen = fs.getFileStatus(tmp).getLen
+        val won =
+          if (fs.exists(path)) { fs.delete(tmp, false); false }
+          else if (fs.rename(tmp, path)) true
+          else {
+            fs.delete(tmp, false)
+            if (!fs.exists(path))
+              throw new java.io.IOException(
+                s"could not commit avro part file $path (rename failed and " +
+                  "no prior attempt's file exists)")
+            false
+          }
         val size = fs.getFileStatus(path).getLen
+        if (won && size != tmpLen)
+          throw new java.io.IOException(
+            s"avro part file $path changed size after commit " +
+              s"($tmpLen -> $size bytes): a concurrent attempt overwrote " +
+              "the committed file with different bytes — the upstream is " +
+              "non-deterministic; refusing to record a manifest length " +
+              "that disagrees with the data")
         val lowers = fields.zip(trackers).collect {
           case ((f, id), t) if t.min != null => id -> external(f.dataType, t.min)
         }.toMap

@@ -161,13 +161,11 @@ private final class MixedScanBuilder(
   override def build(): Scan = {
     // the avro builder records its (skipped, total) pruning telemetry
     // at BUILD time; the stats-pruned file scans record at PLANNING
-    // time — capture the build-time contributions here, and MixedScan
-    // aggregates both kinds when it plans
-    val scans = builders.map { b =>
-      StatsPruning.lastPlanned = None
-      val s = b.build()
-      (s, StatsPruning.lastPlanned)
-    }
+    // time — capture the build-time contributions through a
+    // thread-local frame (round 16: the global slot is no longer a
+    // carrier, so concurrent query plans cannot interleave counts), and
+    // MixedScan aggregates both kinds when it plans
+    val scans = builders.map(b => StatsPruning.collectPlanned(b.build()))
     new MixedScan(scans.map(_._1))(scans.map(_._2))
   }
 }
@@ -238,16 +236,17 @@ private final class MixedScan(private val scans: Seq[Scan])(
 
   private lazy val planned: Array[InputPartition] = {
     val perGroup = scans.zipWithIndex.map { case (s, i) =>
-      StatsPruning.lastPlanned = None
-      val ps = s.toBatch.planInputPartitions()
-        .map(p => MixedPartition(i, p): InputPartition)
-      (ps, StatsPruning.lastPlanned.orElse(buildCounts(i)))
+      val (ps, c) = StatsPruning.collectPlanned(
+        s.toBatch.planInputPartitions()
+          .map(p => MixedPartition(i, p): InputPartition))
+      (ps, c.orElse(buildCounts(i)))
     }
-    // one aggregated (skipped, total) for the whole table's plan
+    // one aggregated (skipped, total) for the whole table's plan —
+    // a single record call (one atomic global store + any outer frame)
     val counted = perGroup.flatMap(_._2)
-    StatsPruning.lastPlanned =
-      if (counted.isEmpty) None
-      else Some((counted.map(_._1).sum, counted.map(_._2).sum))
+    if (counted.nonEmpty)
+      StatsPruning.recordPlan(counted.map(_._1).sum,
+        counted.map(_._2).sum, description())
     perGroup.flatMap(_._1).toArray
   }
 
