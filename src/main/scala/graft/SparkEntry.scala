@@ -140,6 +140,8 @@ object SparkEntry {
     "w15_iceberg_mixed" -> (graft.queries.WriteQueries.w15 _),
     "w16_iceberg_stream" -> (graft.queries.WriteQueries.w16 _),
     "w17_iceberg_ride_admission" -> (graft.queries.WriteQueries.w17 _),
+    "w18_row_lineage_sql" -> (graft.queries.WriteQueries.w18 _),
+    "w19_mixed_insert" -> (graft.queries.WriteQueries.w19 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1112,6 +1114,47 @@ object SparkEntry {
         |UNION ALL SELECT 'stream', rf, COUNT(*), CAST(SUM(k) AS BIGINT)
         |FROM b WHERE m IN (0, 1, 2) GROUP BY rf
         |ORDER BY phase, rf""".stripMargin,
+    // w18: v3 row lineage through the SQL metadata-column face
+    // (round 16). The appended file is written in (k, rf) order, so
+    // _row_id = ROW_NUMBER() - 1 over that order; ties are identical
+    // rows whose interchangeable ids cancel in SUM/COUNT. DV deletes
+    // kill k%10=3 of the appended file; the pre-upgrade base file
+    // serves NULL _row_id (phase 'base').
+    "w18_row_lineage_sql" ->
+      """WITH b AS (SELECT CAST(l_orderkey AS BIGINT) AS k, l_returnflag AS rf,
+        |                  (l_orderkey % 4) AS m FROM lineitem),
+        |app AS (SELECT k, rf, ROW_NUMBER() OVER (ORDER BY k, rf) - 1 AS rid
+        |        FROM b WHERE m = 1)
+        |SELECT 'base' AS phase, rf, COUNT(*) AS cnt,
+        |       CAST(NULL AS BIGINT) AS rid_sum, CAST(SUM(k) AS BIGINT) AS k_sum
+        |FROM b WHERE m = 0 GROUP BY rf
+        |UNION ALL
+        |SELECT 'app', rf, COUNT(*), CAST(SUM(rid) AS BIGINT),
+        |       CAST(SUM(k) AS BIGINT)
+        |FROM app WHERE k % 10 <> 3 GROUP BY rf
+        |ORDER BY phase, rf""".stripMargin,
+    // w19: the Hive-migration WRITE life cycle (round 16) — an adopted
+    // ORC table takes a parquet INSERT INTO (mixed layout through the
+    // engine's own metadata); same relational shape as w15, now with
+    // the ENGINE owning the commit
+    "w19_mixed_insert" ->
+      """WITH t AS (
+        |  SELECT l_orderkey AS k, CAST(l_quantity AS BIGINT) AS qty,
+        |         l_returnflag AS rf
+        |  FROM lineitem
+        |), appended AS (
+        |  SELECT k + 10000000 AS k, qty, rf FROM t WHERE k <= 1000
+        |), full_t AS (
+        |  SELECT * FROM t UNION ALL SELECT * FROM appended)
+        |SELECT 'low' AS phase, rf, COUNT(*) AS cnt,
+        |       CAST(SUM(k) AS BIGINT) AS k_sum,
+        |       CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |FROM full_t WHERE k <= 30000 GROUP BY rf
+        |UNION ALL
+        |SELECT 'all' AS phase, rf, COUNT(*) AS cnt,
+        |       CAST(SUM(k) AS BIGINT) AS k_sum,
+        |       CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |FROM full_t GROUP BY rf""".stripMargin,
     // w05: incremental append reads are manifest set-differences, so
     // each phase's change set is relationally just the slice that
     // commit appended (WriteQueries.w05 runs the real version-diff
