@@ -84,7 +84,14 @@ object CatalogFactory {
           s"Catalog ${cfg.name}: rest catalog requires a 'uri' property"))
       new RestCatalog(cfg.name, uri,
         token = cfg.properties.get("token"),
-        pageSize = cfg.properties.get("page-size").flatMap(_.toIntOption))
+        pageSize = cfg.properties.get("page-size").flatMap(_.toIntOption),
+        // OAuth2 client credentials (round 16) — Iceberg's property
+        // names: `credential` = clientId:clientSecret,
+        // `oauth2-server-uri` overrides the spec's /v1/oauth/tokens,
+        // `scope` defaults to "catalog"
+        credential = cfg.properties.get("credential"),
+        oauth2ServerUri = cfg.properties.get("oauth2-server-uri"),
+        scope = cfg.properties.get("scope"))
     case "jdbc" =>
       val uri = cfg.properties.getOrElse("uri",
         throw new IllegalArgumentException(
