@@ -2544,13 +2544,27 @@ object CatalogIO {
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         org.apache.spark.sql.types.StructType.fromDDL(schema))
+    // per-group formats (round 16 — adopted mixed tables): files added
+    // by engine appends are parquet; a from-zero bootstrap's "added"
+    // set is the whole table, whose per-entry formats carry over from
+    // `to` (a flat copy would leave the formats array misaligned with
+    // the subset and trip the layout invariant)
+    val fmtByRel: Map[String, String] =
+      if (to.dataFormat == "parquet") Map.empty
+      else to.dataFiles.getOrElse(Nil).zip(to.dataFileFormats.getOrElse(
+        Seq.fill(to.dataFiles.getOrElse(Nil).size)(to.dataFormat))).toMap
     groups.filter(_._2.nonEmpty).map { case (segLoc, added) =>
+      val fmts = added.map { case (f, _) => fmtByRel.getOrElse(f, "parquet") }
+      val (gFmt, gFmts) =
+        if (fmts.distinct.sizeIs == 1) (fmts.head, None)
+        else ("mixed", Some(fmts))
       scanLayoutWithOptions(spark, to.copy(
         dataLocation = segLoc,
         dataFiles = Some(added.map(_._1)),
         dataFileSeqs = if (to.seqGated) Some(added.map(_._2)) else None,
         deleteFiles = Nil, // all pre-date fromVersion: exempt by seq gate
-        dataFileStats = None, dataFileSizes = None, dataFileNdv = None), Map.empty)
+        dataFileStats = None, dataFileSizes = None, dataFileNdv = None,
+        dataFormat = gFmt, dataFileFormats = gFmts), Map.empty)
     }.reduce(_ unionByName _)
   }
 
@@ -3219,6 +3233,10 @@ object CatalogIO {
         if arrayField(text, "renameFroms").forall(_.isEmpty)
         if NumBucketsRe.findFirstMatchIn(text).isEmpty
         if arrayField(text, "partitionColumns").forall(_.isEmpty)
+        // round 16: the lazy chunk face plans a PARQUET scan — a
+        // non-parquet (adopted orc/avro/mixed) chunked layout must take
+        // the eager path, whose format dispatch serves it correctly
+        if stringField(text, "dataFormat").forall(_ == "parquet")
         ints <- scala.util.Try(counts.map(_.toInt)).toOption
       } yield ChunkIndex(metadataLocation,
         TableLayout(dataLoc,

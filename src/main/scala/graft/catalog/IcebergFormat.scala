@@ -135,10 +135,16 @@ object IcebergFormat {
     val root = new ObjectMapper().readTree(text)
     val byId = snapshotInfos(text).map(s => s.id -> s).toMap
     var chain = List.empty[SnapshotInfo]
+    val visited = scala.collection.mutable.Set.empty[Long]
     var cur = refsOf(text).get("main")
       .orElse(Some(root.path("current-snapshot-id").asLong(-1L)))
       .filter(_ != -1L)
     while (cur.exists(byId.contains)) {
+      // a cyclic parent chain is corruption — refuse loudly, never spin
+      if (!visited.add(cur.get))
+        throw new IllegalStateException(
+          s"Iceberg metadata: parent-snapshot-id chain cycles at " +
+            s"snapshot ${cur.get} — malformed snapshot history")
       val s = byId(cur.get)
       chain = s :: chain
       cur = s.parent

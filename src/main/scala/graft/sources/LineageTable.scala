@@ -121,7 +121,8 @@ private final class LineageScanBuilder(inner: ScanBuilder,
     spark: SparkSession, label: String, layout: TableLayout,
     hadoopOpts: Map[String, String])
   extends ScanBuilder with SupportsPushDownRequiredColumns
-  with SupportsPushDownCatalystFilters {
+  with SupportsPushDownCatalystFilters
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: Option[StructType] = None
 
@@ -145,6 +146,27 @@ private final class LineageScanBuilder(inner: ScanBuilder,
   }
 
   override def pushedFilters: Array[Predicate] = Array.empty
+
+  // aggregate pushdown DELEGATES (round 16 review: a wrapper that hides
+  // the interface would cost every v3 pointer its manifest-answered
+  // COUNT/MIN/MAX). An aggregate referencing a lineage column reaches
+  // the inner builder, whose schema lacks it → rejected → the plain
+  // (or lineage) scan serves it row-wise; a pushed aggregate's required
+  // schema is the agg output, never a lineage column, so the two paths
+  // cannot collide.
+  private def aggDelegate: Option[org.apache.spark.sql.connector.read.SupportsPushDownAggregates] =
+    inner match {
+      case a: org.apache.spark.sql.connector.read.SupportsPushDownAggregates => Some(a)
+      case _ => None
+    }
+
+  override def supportCompletePushDown(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggDelegate.exists(_.supportCompletePushDown(aggregation))
+
+  override def pushAggregation(
+      aggregation: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    aggDelegate.exists(_.pushAggregation(aggregation))
 
   override def build(): Scan = required.filter(wantsLineage) match {
     case None => inner.build()

@@ -163,6 +163,17 @@ private[streaming] object AdmissionBudget {
         ReadLimit.compositeLimit(Array(ReadLimit.maxFiles(f),
           ReadLimit.maxBytes(b)))
     }
+
+  /** Saturating byte accumulation for the budget walks: an UNKNOWN file
+    * size (the manifest's -1 sentinel for a pre-size entry) counts as
+    * budget-EXHAUSTING — summing it raw would subtract from the count
+    * and silently admit an unbounded backlog, the exact failure the
+    * byte limit exists to prevent (round 16 review). */
+  def addBytes(acc: Long, sizes: Seq[Long]): Long =
+    sizes.foldLeft(acc) { (a, s) =>
+      val v = if (s < 0) Long.MaxValue else s
+      if (a > Long.MaxValue - v) Long.MaxValue else a + v
+    }
 }
 
 private[streaming] final class GraftStreamTable(cfg: CatalogConfig,
@@ -306,10 +317,13 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
       val rewrite = skipRewrites && lv.commitOp.exists(op =>
         op == CatalogIO.CommitOps.Replace || op == CatalogIO.CommitOps.Metadata)
       val added = if (rewrite) Nil else cur.filterNot { case (f, _) => prevFiles(f) }
-      val (af, ab) = (added.size.toLong, added.map(_._2).sum)
-      if (end > s && budget.exceeded(files + af, bytes + ab))
+      val af = added.size.toLong
+      val byTotal =
+        if (budget.needsBytes) AdmissionBudget.addBytes(bytes, added.map(_._2))
+        else 0L
+      if (end > s && budget.exceeded(files + af, byTotal))
         return VersionOffset(end)
-      files += af; bytes += ab; end = v
+      files += af; bytes = byTotal; end = v
       prevFiles = cur.map(_._1).toSet
       v += 1
     }
@@ -354,6 +368,25 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
       throw new UnsupportedOperationException(
         s"Table $ref carries un-materialized column renames; compact to " +
           "materialize them before streaming reads")
+    // adopted non-parquet tables (round 16): the reader below is
+    // parquet — a non-parquet file in the batch (an orc/avro base
+    // reached by an `earliest` bootstrap) must refuse at PLAN time,
+    // never fail executors mid-batch decoding orc bytes as parquet.
+    // Post-adoption appends are parquet, so a latest-start stream over
+    // a mixed table serves its increments fine (the Iceberg-mode rule).
+    if (to.dataFormat != "parquet") {
+      val fmtByRel: Map[String, String] = to.dataFiles.getOrElse(Nil)
+        .zip(to.dataFileFormats.getOrElse(
+          Seq.fill(to.dataFiles.getOrElse(Nil).size)(to.dataFormat))).toMap
+      groups.iterator.flatMap(_._2).collectFirst {
+        case (f, _) if fmtByRel.getOrElse(f, "parquet") != "parquet" =>
+          throw new UnsupportedOperationException(
+            s"Table $ref: batch file $f is ${fmtByRel(f)}; streaming " +
+              "reads serve parquet appends — start the stream AFTER the " +
+              "adopted base (default startingVersion), or compact the " +
+              "table to parquet first")
+      }
+    }
     val live = groups.filter(_._2.nonEmpty)
     if (live.isEmpty) return Array.empty
     // partitions across segment groups concatenate; the reader factory
@@ -537,21 +570,28 @@ private[streaming] final class IcebergMicroBatchStream(cfg: CatalogConfig,
     while (it.hasNext) {
       val si = it.next()
       val skip = skipRewrites && si.operation.contains("replace")
-      val (af, ab) =
-        if (skip) (0L, 0L)
-        else (si.addedDataFiles, si.addedFilesSize) match {
-          case (Some(f), Some(b)) => (f, b)
+      // negative summary counts are malformed → priced by manifest diff;
+      // unknown per-file sizes saturate the byte budget (never subtract)
+      val (af, byTotal) =
+        if (skip) (0L, bytes)
+        else (si.addedDataFiles.filter(_ >= 0),
+            si.addedFilesSize.filter(_ >= 0)) match {
+          case (Some(f), Some(b)) =>
+            (f, if (budget.needsBytes) AdmissionBudget.addBytes(bytes, Seq(b))
+                else 0L)
           case (Some(f), None) if !budget.needsBytes => (f, 0L)
           case _ =>
             // summary counts absent: one manifest-diff walk prices it
             val prev =
               prevId.map(filesWithSizes(_).map(_._1).toSet).getOrElse(Set.empty)
             val added = filesWithSizes(si.id).filterNot { case (f, _) => prev(f) }
-            (added.size.toLong, added.map(_._2).sum)
+            (added.size.toLong,
+              if (budget.needsBytes) AdmissionBudget.addBytes(bytes, added.map(_._2))
+              else 0L)
         }
-      if (end > s && budget.exceeded(files + af, bytes + ab))
+      if (end > s && budget.exceeded(files + af, byTotal))
         return SeqOffset(end)
-      files += af; bytes += ab; end = si.seq.get
+      files += af; bytes = byTotal; end = si.seq.get
       prevId = Some(si.id)
     }
     SeqOffset(end)

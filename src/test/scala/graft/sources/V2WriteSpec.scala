@@ -1012,12 +1012,20 @@ class V2WriteSpec extends AnyFunSuite {
       val fmts = layout.dataFileFormats.get
       assert(fmts.count(_ == "orc") == 1 && fmts.count(_ == "parquet") >= 1,
         s"per-entry formats must survive the chunk round-trip: $fmts")
+      // read VALUES, not just counts: a count can answer from the
+      // manifest alone, masking a scan that decodes orc bytes as
+      // parquet (the round-16 chunk-index format guard exists for this)
       assert(spark.table(s"$cat.db.mix_chunk").count() == 70)
+      assert(spark.sql(s"SELECT SUM(k) FROM $cat.db.mix_chunk")
+        .head.getLong(0) == (0 until 50).sum + (100 until 120).sum)
       // a second append reuses the prior chunks by reference and the
       // formats stay aligned
       spark.sql(s"INSERT INTO $cat.db.mix_chunk " +
         "SELECT CAST(id AS BIGINT) FROM range(200, 210)")
       assert(spark.table(s"$cat.db.mix_chunk").count() == 80)
+      assert(spark.sql(s"SELECT SUM(k) FROM $cat.db.mix_chunk")
+        .head.getLong(0) ==
+        (0 until 50).sum + (100 until 120).sum + (200 until 210).sum)
       val again = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref),
         spark.sessionState.newHadoopConf())
       assert(again.dataFileFormats.get.size == again.dataFiles.get.size)
