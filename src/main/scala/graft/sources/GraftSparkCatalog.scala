@@ -261,21 +261,28 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     val (paths, pathOpts) = tablePaths(vLayout)
     val label = s"$ref@v$version"
     lazy val table = baseTableFor(label, vLayout, paths, pathOpts)
-    if (vLayout.dataFormat == "mixed")
-      return new GraftMixedFormatTable(SparkSession.active, label, vLayout,
-        hadoopOpts)
-    if (vLayout.dataFormat == "avro")
-      return new GraftAvroTable(SparkSession.active, label, vLayout, hadoopOpts)
     // a time-traveled version applies ITS OWN seq-gated state (delete
     // set / rename epochs / stats) — every version reads with its own schema
-    if (vLayout.deleteFiles.nonEmpty)
-      new GraftMorTable(manifestPlanned(table, vLayout), vLayout, hadoopOpts)
-    else if (vLayout.renameOps.nonEmpty && paths.nonEmpty)
-      new GraftEpochTable(SparkSession.active, label, vLayout, hadoopOpts)
-    else if (vLayout.hasFills)
-      new GraftFillTable(SparkSession.active, label, vLayout, hadoopOpts)
-    else if (vLayout.numBuckets.isEmpty) statsPruned(table, vLayout)
-    else manifestPlanned(table, vLayout) // bucketed history: no SPJ, but zero-listing planning
+    val served: Table =
+      if (vLayout.dataFormat == "mixed")
+        new GraftMixedFormatTable(SparkSession.active, label, vLayout,
+          hadoopOpts)
+      else if (vLayout.dataFormat == "avro")
+        new GraftAvroTable(SparkSession.active, label, vLayout, hadoopOpts)
+      else if (vLayout.deleteFiles.nonEmpty)
+        new GraftMorTable(manifestPlanned(table, vLayout), vLayout, hadoopOpts)
+      else if (vLayout.renameOps.nonEmpty && paths.nonEmpty)
+        new GraftEpochTable(SparkSession.active, label, vLayout, hadoopOpts)
+      else if (vLayout.hasFills)
+        new GraftFillTable(SparkSession.active, label, vLayout, hadoopOpts)
+      else if (vLayout.numBuckets.isEmpty) statsPruned(table, vLayout)
+      else manifestPlanned(table, vLayout) // bucketed history: no SPJ, but zero-listing planning
+    // v3 lineage columns are snapshot-scoped, so time travel serves them
+    // too (each snapshot's layout carries ITS OWN inheritance)
+    if (vLayout.dataFileLineage.isDefined)
+      new GraftLineageTable(served.asInstanceOf[Table with SupportsRead],
+        SparkSession.active, label, vLayout, hadoopOpts)
+    else served
   }
 
   /** Spark's stock listing-backed table for `layout`, dispatched on the

@@ -41,15 +41,17 @@ import graft.catalog.CatalogIO.TableLayout
   * walk — [[TableLayout.dataFileLineage]]) + the row's position in the
   * file; NULL for files whose snapshot predates the v3 upgrade;
   * `_last_updated_sequence_number` = the file's data sequence number.
-  * Deletion vectors apply (survivors keep their ids). Positions are
-  * recovered by COUNTING over whole-file, in-order, pushdown-free
-  * reads — the established MOR positional idiom — so lineage scans
-  * plan one partition per file and take the row path; filters are
-  * evaluated above the scan (every filter is reported unhandled).
-  * States whose machinery cannot thread a per-row position through
-  * this face refuse loudly: live EQUALITY deletes (served by the
-  * library face's anti-join instead), parquet position deletes,
-  * renames, fills, non-parquet files. */
+  * Deletion vectors apply (survivors keep their ids), and EQUALITY
+  * deletes apply through reader-side key probes gated on the row's
+  * file data seq (broadcast-small tuple sets, the MOR probe shape —
+  * re-inserted keys stay visible, survivors keep their counted
+  * positions). Positions are recovered by COUNTING over whole-file,
+  * in-order, pushdown-free reads — the established MOR positional
+  * idiom — so lineage scans plan one partition per file and take the
+  * row path; filters are evaluated above the scan (every filter is
+  * reported unhandled). States whose machinery cannot thread a per-row
+  * position through this face refuse loudly: parquet position deletes,
+  * renames, fills, non-parquet files, over-threshold delete sets. */
 final class GraftLineageTable(inner: Table with SupportsRead,
     spark: SparkSession, label: String, layout: TableLayout,
     hadoopOpts: Map[String, String])
@@ -192,8 +194,6 @@ private final class LineageScan(spark: SparkSession, label: String,
       s"$label: SQL-face row-lineage reads over $what are not supported — " +
         "read through CatalogIO.scanIcebergLineage, or compact the table")
   if (layout.dataFormat != "parquet") refuse(s"${layout.dataFormat} data files")
-  if (layout.eqDeleteFiles.nonEmpty)
-    refuse("live equality deletes (the library face serves them)")
   if (layout.posDeleteFiles.nonEmpty) refuse("parquet position deletes")
   if (layout.renameOps.nonEmpty) refuse("un-materialized renames")
   if (layout.hasFills) refuse("initial-default fills")
@@ -204,16 +204,73 @@ private final class LineageScan(spark: SparkSession, label: String,
     throw new IllegalStateException(s"$label has no recorded schema")))
   private val dataFields =
     required.fields.filterNot(f => GraftLineageTable.LineageColumns(f.name))
-  private val dataSchema = StructType(dataFields)
+
+  // EQUALITY deletes (round 16 follow-up — the library face's semantics
+  // on the SQL face too): each delete file's key tuples load driver-side
+  // (broadcast-small by the maintenance contract, footer-count-gated
+  // BEFORE any read like MorScan), the key columns ride the widened
+  // inner read, and the reader drops a row whose key matches a delete
+  // whose seq postdates the row's file data seq — survivors keep their
+  // counted positions, exactly the DV rule.
+  private val eqDeletes: Seq[LineageEqDelete] = {
+    val maxTuples = spark.conf.getOption("spark.graft.mor.maxDeleteTuples")
+      .map(_.toLong).getOrElse(4000000L)
+    val footerConf = {
+      val c = new org.apache.hadoop.conf.Configuration()
+      hadoopOpts.foreach { case (k, v) => c.set(k, v) }
+      c
+    }
+    val paths = layout.eqDeleteFiles.map(d =>
+      (d, layout.dataLocation.stripSuffix("/") + "/" + d.path))
+    val totalTuples = paths.map { case (_, p) =>
+      graft.catalog.CatalogIO.DeleteFileFooters.countOf(p, footerConf) }.sum
+    if (totalTuples > maxTuples)
+      refuse(s"$totalTuples live equality-delete tuples (over the " +
+        s"broadcast-safe $maxTuples)")
+    paths.map { case (del, abs) =>
+      val raw = spark.read.options(hadoopOpts).parquet(abs)
+      val cols = raw.columns.toVector
+      val fields = cols.map(c => tableSchema.find(_.name.equalsIgnoreCase(c))
+        .getOrElse(throw new IllegalStateException(
+          s"equality-delete column $c not in table schema " +
+            tableSchema.fieldNames.mkString("(", ", ", ")"))))
+      val typed = cols.zip(fields).foldLeft(raw) { case (d, (c, f)) =>
+        d.withColumn(c, d.col(c).cast(f.dataType))
+      }
+      val convs = fields.map(f => org.apache.spark.sql.catalyst
+        .CatalystTypeConverters.createToCatalystConverter(f.dataType))
+      val tuples = typed.collect().map { r =>
+        scala.collection.immutable.ArraySeq.from(
+          cols.indices.map(i => MorScan.normalize(convs(i)(r.get(i)))))
+      }.toSet
+      LineageEqDelete(del.seq.toLong, cols, fields.map(_.dataType), tuples)
+    }
+  }
+  // the key columns the probes need beyond the projection, appended to
+  // the inner read and never served
+  private val extraKeyFields: Array[org.apache.spark.sql.types.StructField] =
+    eqDeletes.flatMap(_.cols).distinct
+      .filterNot(c => dataFields.exists(_.name.equalsIgnoreCase(c)))
+      .map(c => tableSchema.find(_.name.equalsIgnoreCase(c)).get)
+      .toArray
+  private val innerFields = dataFields ++ extraKeyFields
+  private val dataSchema = StructType(innerFields)
   // per required field: the inner-row ordinal, or the lineage markers
   private val RowIdOrd = -1
   private val SeqOrd = -2
   private val fieldPlan: Array[Int] = required.fields.map { f =>
     if (f.name == "_row_id") RowIdOrd
     else if (f.name == "_last_updated_sequence_number") SeqOrd
-    else dataFields.indexWhere(_.name == f.name)
+    else innerFields.indexWhere(_.name == f.name)
   }
-  private val fieldTypes: Array[DataType] = dataFields.map(_.dataType)
+  private val fieldTypes: Array[DataType] = innerFields.map(_.dataType)
+  // per delete: (delete seq, key ordinals into the inner row, key types,
+  // tuple set) — resolved once, shipped to every reader
+  private val eqProbes: Array[LineageEqProbe] = eqDeletes.map { d =>
+    LineageEqProbe(d.seq,
+      d.cols.map(c => innerFields.indexWhere(_.name.equalsIgnoreCase(c))).toArray,
+      d.types.toArray, d.tuples)
+  }.toArray
 
   override def readSchema(): StructType = required
   override def description(): String = s"graft-lineage($label)"
@@ -266,13 +323,27 @@ private final class LineageScan(spark: SparkSession, label: String,
     val conf = spark.sessionState.newHadoopConf()
     hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
     new LineageReaderFactory(innerScan.toBatch.createReaderFactory(),
-      new SerializableConfiguration(conf), fieldPlan, fieldTypes)
+      new SerializableConfiguration(conf), fieldPlan, fieldTypes, eqProbes)
   }
 }
 
+/** One loaded equality-delete file: its commit seq, key column names,
+  * key types, and normalized catalyst tuple set. */
+private final case class LineageEqDelete(seq: Long, cols: Vector[String],
+    types: Vector[DataType],
+    tuples: Set[scala.collection.immutable.ArraySeq[Any]])
+
+/** The reader-side probe: key ordinals resolved into the widened inner
+  * row. A probe applies to a file iff the file's data seq predates the
+  * delete's (`fileSeq < seq` — a re-inserted key stays visible). */
+private final case class LineageEqProbe(seq: Long, ordinals: Array[Int],
+    types: Array[DataType],
+    tuples: Set[scala.collection.immutable.ArraySeq[Any]])
+
 private final class LineageReaderFactory(inner: PartitionReaderFactory,
     conf: SerializableConfiguration, fieldPlan: Array[Int],
-    fieldTypes: Array[DataType]) extends PartitionReaderFactory {
+    fieldTypes: Array[DataType], eqProbes: Array[LineageEqProbe])
+  extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val lp = p.asInstanceOf[LineagePartition]
@@ -282,45 +353,64 @@ private final class LineageReaderFactory(inner: PartitionReaderFactory,
           graft.catalog.DeletionVectors.readBlob(path, off, len, conf.value)
       }
     new LineageRowReader(inner.createReader(lp.files), lp.firstRowId,
-      lp.dataSeq, deleted, fieldPlan, fieldTypes)
+      lp.dataSeq, deleted, fieldPlan, fieldTypes,
+      eqProbes.filter(lp.dataSeq < _.seq))
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
 }
 
 /** Counts PHYSICAL rows of the whole-file in-order read (the position),
-  * skips deletion-vector positions (survivors keep their ids), and
-  * serves the required schema with `_row_id` / sequence appended from
-  * the partition's per-file lineage. Values reference the inner row's
-  * buffers; they stay valid until the next `next()` — the
-  * PartitionReader contract. */
+  * skips deletion-vector positions and equality-deleted keys (survivors
+  * keep their ids), and serves the required schema with `_row_id` /
+  * sequence appended from the partition's per-file lineage. Values
+  * reference the inner row's buffers; they stay valid until the next
+  * `next()` — the PartitionReader contract. */
 private final class LineageRowReader(inner: PartitionReader[InternalRow],
     firstRowId: Option[Long], dataSeq: Long,
     deleted: graft.catalog.DeletionVectors.PositionSet,
-    fieldPlan: Array[Int], fieldTypes: Array[DataType])
+    fieldPlan: Array[Int], fieldTypes: Array[DataType],
+    probes: Array[LineageEqProbe])
   extends PartitionReader[InternalRow] {
 
   private var pos = -1L
   private var current: InternalRow = _
+
+  private def equalityDeleted(row: InternalRow): Boolean = {
+    var k = 0
+    while (k < probes.length) {
+      val p = probes(k)
+      val key = scala.collection.immutable.ArraySeq.tabulate(p.ordinals.length) { j =>
+        val o = p.ordinals(j)
+        if (row.isNullAt(o)) null
+        else MorScan.normalize(row.get(o, p.types(j)))
+      }
+      if (p.tuples.contains(key)) return true
+      k += 1
+    }
+    false
+  }
 
   override def next(): Boolean = {
     while (inner.next()) {
       pos += 1
       if (!deleted.contains(pos)) {
         val row = inner.get()
-        val vals = new Array[Any](fieldPlan.length)
-        var i = 0
-        while (i < fieldPlan.length) {
-          val o = fieldPlan(i)
-          vals(i) =
-            if (o == -1) firstRowId.map(f => (f + pos): java.lang.Long).orNull
-            else if (o == -2) dataSeq
-            else if (row.isNullAt(o)) null
-            else row.get(o, fieldTypes(o))
-          i += 1
+        if (probes.isEmpty || !equalityDeleted(row)) {
+          val vals = new Array[Any](fieldPlan.length)
+          var i = 0
+          while (i < fieldPlan.length) {
+            val o = fieldPlan(i)
+            vals(i) =
+              if (o == -1) firstRowId.map(f => (f + pos): java.lang.Long).orNull
+              else if (o == -2) dataSeq
+              else if (row.isNullAt(o)) null
+              else row.get(o, fieldTypes(o))
+            i += 1
+          }
+          current = new GenericInternalRow(vals)
+          return true
         }
-        current = new GenericInternalRow(vals)
-        return true
       }
     }
     false

@@ -766,19 +766,41 @@ class IcebergFormatSpec extends AnyFunSuite {
       // lineage-only projection (position counting without data columns)
       assert(spark.sql(
         s"SELECT MAX(_row_id) AS m FROM $cat.db.lin").head.getLong(0) == 99L)
-      // live EQUALITY deletes refuse on the SQL face (the library
-      // face's anti-join serves them), naming the escape hatch
+      // live EQUALITY deletes serve on the SQL face too (reader-side
+      // key probes, seq-gated) — row-for-row equal to the library face,
+      // even when the delete key is NOT in the projection (the probe
+      // columns ride the widened inner read)
       hc.replaceTablePointer(ref, meta4)
-      val e3 = intercept[Exception] {
-        spark.sql(s"SELECT _row_id FROM $cat.db.lin").collect()
-      }
-      def msgs(t: Throwable): String =
-        Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(8)
-          .map(x => Option(x.getMessage).getOrElse("")).mkString(" | ")
-      assert(msgs(e3).contains("scanIcebergLineage"), msgs(e3))
-      // ... while plain reads of the same pointer still serve (MOR path)
+      val sqlEq = spark.sql(s"SELECT id, _row_id, " +
+        s"_last_updated_sequence_number FROM $cat.db.lin")
+        .collect().map(_.toString).sorted.toSeq
+      val libEq = CatalogIO.scanIcebergLineage(spark, meta4)
+        .select("id", "_row_id", "_last_updated_sequence_number")
+        .collect().map(_.toString).sorted.toSeq
+      assert(sqlEq == libEq)
+      assert(spark.sql(s"SELECT COUNT(_row_id) FROM $cat.db.lin " +
+        "WHERE id = 150").head.getLong(0) == 0,
+        "the equality-deleted key must not serve")
+      assert(spark.sql(s"SELECT _row_id FROM $cat.db.lin WHERE id = 151")
+        .head.getLong(0) == 50L, "eq-delete survivors keep their ids")
+      // projection WITHOUT the delete key still applies the delete
+      assert(spark.sql(s"SELECT COUNT(_row_id) FROM $cat.db.lin")
+        .head.getLong(0) == 94L + 0L /* pre-upgrade rows: NULL ids */)
       assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.lin")
         .head.getLong(0) == 191)
+      // the re-inserted key (meta5) serves through SQL with the next id,
+      // and VERSION AS OF a PRIOR snapshot serves THAT snapshot's lineage
+      hc.replaceTablePointer(ref, meta5)
+      assert(spark.sql(s"SELECT _row_id FROM $cat.db.lin WHERE id = 150 " +
+        "AND v = 're-ins'").head.getLong(0) == 100L)
+      val snap2 = IcebergFormat.mainAncestry(
+        CatalogIO.readMetadataText(meta5, spark.sessionState.newHadoopConf()))
+        .apply(1).id // the v3 append snapshot (pre-DV)
+      assert(spark.sql(s"SELECT MAX(_row_id) FROM $cat.db.lin " +
+        s"VERSION AS OF $snap2").head.getLong(0) == 99L,
+        "time travel serves the snapshot's own lineage (no DV applied yet)")
+      assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.lin " +
+        s"VERSION AS OF $snap2").head.getLong(0) == 200)
     }
   }
 
