@@ -142,6 +142,7 @@ object SparkEntry {
     "w17_iceberg_ride_admission" -> (graft.queries.WriteQueries.w17 _),
     "w18_row_lineage_sql" -> (graft.queries.WriteQueries.w18 _),
     "w19_mixed_insert" -> (graft.queries.WriteQueries.w19 _),
+    "w20_nested_export" -> (graft.queries.WriteQueries.w20 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1155,6 +1156,25 @@ object SparkEntry {
         |       CAST(SUM(k) AS BIGINT) AS k_sum,
         |       CAST(SUM(qty) AS BIGINT) AS qty_sum
         |FROM full_t GROUP BY rf""".stripMargin,
+    // w20: nested-type Iceberg export (round 16). The struct gate is
+    // k%7<>0 (NULL structs drop via WHERE st IS NOT NULL); the single-
+    // entry maps make element_at(sm, rf) = qty and the im probe always
+    // hit, so m_sum = qty_sum and im_hits = cnt — plumbing checks, the
+    // oracle replays all of it as flat scalars
+    "w20_nested_export" ->
+      """WITH b AS (
+        |  SELECT l_returnflag AS rf, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(l_linenumber AS BIGINT) AS ln
+        |  FROM lineitem WHERE l_orderkey % 7 <> 0),
+        |g AS (
+        |  SELECT rf, COUNT(*) AS cnt, CAST(SUM(qty) AS BIGINT) AS qty_sum,
+        |         CAST(SUM(ln) AS BIGINT) AS ln_sum,
+        |         CAST(SUM(qty) AS BIGINT) AS m_sum,
+        |         COUNT(*) AS im_hits
+        |  FROM b GROUP BY rf)
+        |SELECT 'sql' AS face, * FROM g
+        |UNION ALL
+        |SELECT 'df' AS face, * FROM g""".stripMargin,
     // w05: incremental append reads are manifest set-differences, so
     // each phase's change set is relationally just the slice that
     // commit appended (WriteQueries.w05 runs the real version-diff

@@ -914,52 +914,60 @@ object IcebergExport {
   /** Iceberg schema JSON (metadata document + manifest `schema`
     * metadata both use this form). */
   private def icebergSchemaJson(fieldIds: Seq[(StructField, Int)]): String = {
-    val fields = fieldIds.map { case (f, id) =>
-      s"""{"id": $id, "name": "${esc(f.name)}", "required": ${!f.nullable}, """ +
-        s""""type": "${icebergTypeName(f.dataType)}"}"""
-    }.mkString(", ")
-    s"""{"type": "struct", "schema-id": 0, "fields": [$fields]}"""
+    // NESTED types export (round 16): the id tree assigns nested
+    // member ids deterministically, shared with the metadata schema
+    // and the avro writer — see [[IcebergSchemaIds]]
+    val tree = IcebergSchemaIds.of(fieldIds)
+    s"""{"type": "struct", "schema-id": 0, "fields": [${
+      tree.fields.map(IcebergSchemaIds.fieldJson).mkString(", ")}]}"""
   }
 
   /** Minimal inverse of [[icebergTypeName]] for appending to an
     * existing exported table (primitive types only — exactly what the
     * export writer can produce). */
-  private def sparkTypeOf(t: JsonNode, where: String): DataType = {
-    val s = t.asText
-    val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
-    s match {
-      case "boolean" => BooleanType
-      case "int" => IntegerType
-      case "long" => LongType
-      case "float" => FloatType
-      case "double" => DoubleType
-      case "date" => DateType
-      case "string" => StringType
-      case "binary" => BinaryType
-      case "timestamp" => TimestampNTZType
-      case "timestamptz" => TimestampType
-      case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
+  private def sparkTypeOf(t: JsonNode, where: String): DataType =
+    if (t.isTextual) {
+      val s = t.asText
+      val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+      s match {
+        case "boolean" => BooleanType
+        case "int" => IntegerType
+        case "long" => LongType
+        case "float" => FloatType
+        case "double" => DoubleType
+        case "date" => DateType
+        case "string" => StringType
+        case "binary" => BinaryType
+        case "timestamp" => TimestampNTZType
+        case "timestamptz" => TimestampType
+        case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
+        case other => throw new UnsupportedOperationException(
+          s"Iceberg type '$other' in $where is outside this writer's " +
+            "append surface")
+      }
+    } else t.path("type").asText match {
+      // nested types (round 16): the append path round-trips what the
+      // export wrote — same shapes as the reader's typeToSpark
+      case "struct" =>
+        StructType(t.get("fields").elements().asScala.map { f =>
+          StructField(f.get("name").asText,
+            sparkTypeOf(f.get("type"), where),
+            nullable = !f.path("required").asBoolean(false))
+        }.toSeq)
+      case "list" =>
+        ArrayType(sparkTypeOf(t.get("element"), where),
+          containsNull = !t.path("element-required").asBoolean(false))
+      case "map" =>
+        MapType(sparkTypeOf(t.get("key"), where),
+          sparkTypeOf(t.get("value"), where),
+          valueContainsNull = !t.path("value-required").asBoolean(false))
       case other => throw new UnsupportedOperationException(
-        s"Iceberg type '$other' in $where is outside this writer's " +
-          "append surface (primitive exports only)")
+        s"Iceberg nested type '$other' in $where is outside this " +
+          "writer's append surface")
     }
-  }
 
-  private def icebergTypeName(dt: DataType): String = dt match {
-    case BooleanType => "boolean"
-    case IntegerType => "int"
-    case LongType => "long"
-    case FloatType => "float"
-    case DoubleType => "double"
-    case DateType => "date"
-    case StringType => "string"
-    case BinaryType => "binary"
-    case TimestampNTZType => "timestamp"
-    case TimestampType => "timestamptz"
-    case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
-    case other => throw new UnsupportedOperationException(
-      s"Iceberg export does not map catalyst type ${other.catalogString}")
-  }
+  // primitive type names live in [[IcebergSchemaIds.primName]] (shared
+  // with the nested-type renderers since round 16)
 
   private def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
@@ -991,14 +999,12 @@ object IcebergExport {
       formatVersion: Int = 2, nextRowId: Option[Long] = None,
       /** name → VERBATIM ref JSON object (non-main refs carried through). */
       extraRefs: Map[String, String] = Map.empty): String = {
-    val fields = fieldIds.map { case (f, id) =>
-      s"""{"id": $id, "name": "${esc(f.name)}", "required": ${!f.nullable}, """ +
-        s""""type": "${icebergTypeName(f.dataType)}"}"""
-    }.mkString(", ")
+    // nested types (round 16): fields, last-column-id, and the
+    // recursive name mapping all derive from ONE id tree
+    val tree = IcebergSchemaIds.of(fieldIds)
+    val fields = tree.fields.map(IcebergSchemaIds.fieldJson).mkString(", ")
     // the property VALUE is itself a JSON document → escaped as a string
-    val mapping = esc(fieldIds.map { case (f, id) =>
-      s"""{"field-id": $id, "names": ["${esc(f.name)}"]}"""
-    }.mkString("[", ", ", "]"))
+    val mapping = esc(IcebergSchemaIds.mappingJson(tree.fields))
     s"""{
        |  "format-version": $formatVersion,
        |  "table-uuid": "$uuid",
@@ -1006,7 +1012,7 @@ object IcebergExport {
        |  "last-sequence-number": $lastSeq,
        |  "last-updated-ms": ${System.currentTimeMillis()},${nextRowId.fold("")(r =>
            s"""\n  "next-row-id": $r,""")}
-       |  "last-column-id": ${fieldIds.size},
+       |  "last-column-id": ${tree.lastColumnId},
        |  "current-schema-id": 0,
        |  "schemas": [{"type": "struct", "schema-id": 0, "fields": [$fields]}],
        |  "default-spec-id": 0,

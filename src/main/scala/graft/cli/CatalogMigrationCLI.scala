@@ -87,7 +87,7 @@ object CatalogMigrationCLI {
     if (args.head == "compact" || args.head == "expire-versions" ||
         args.head == "squash-history" || args.head == "sweep-orphans" ||
         args.head == "analyze" || args.head == "adopt" ||
-        args.head == "set-ref")
+        args.head == "set-ref" || args.head == "rewrite")
       return runMaintenance(args, out)
 
     parse(args) match {
@@ -298,6 +298,7 @@ object CatalogMigrationCLI {
           else if (opts.cmd == "analyze") analyzeOne(opts, hadoop, ref, log)
           else if (opts.cmd == "adopt") adoptOne(opts, hadoop, ref, log)
           else if (opts.cmd == "set-ref") setRefOne(opts, hadoop, ref, log)
+          else if (opts.cmd == "rewrite") rewriteOne(opts, hadoop, ref, log)
           else expireOne(opts, hadoop, ref, log)
         } catch {
           case e: Exception =>
@@ -375,6 +376,28 @@ object CatalogMigrationCLI {
     cat.replaceTablePointer(ref, meta)
     log(s"Committed ${opts.refKind} '${opts.refName}' -> snapshot " +
       s"${opts.refSnapshot} on $ref -> $meta")
+  }
+
+  /** `rewrite` subcommand (round 16): commit a REWRITE (compaction)
+    * snapshot on a registered Apache Iceberg pointer — the table's
+    * current rows re-written into fresh parquet files under a
+    * `summary.operation = "replace"` snapshot
+    * ([[graft.catalog.IcebergExport.rewriteSnapshot]], Iceberg's
+    * `rewrite_data_files` maintenance shape) and the pointer advanced.
+    * Streams/incremental readers with `skipRewrites=true` ride through
+    * it; live deletes and v3 lineage tables refuse inside the export
+    * face. Graft-format tables compact via `compact` instead. */
+  private def rewriteOne(opts: MaintOpts, cat: HadoopFsCatalog,
+      ref: TableRef, log: String => Unit): Unit = {
+    val loc = cat.loadTableMetadataLocation(ref)
+    if (opts.dryRun) {
+      log(s"Would rewrite (compact) Iceberg pointer $ref ($loc) into a " +
+        "'replace' snapshot; dry run, nothing committed.")
+      return
+    }
+    val meta = graft.catalog.IcebergExport.rewriteSnapshot(activeSpark(), loc)
+    cat.replaceTablePointer(ref, meta)
+    log(s"Committed rewrite (replace) snapshot on $ref -> $meta")
   }
 
   private def compactOne(opts: MaintOpts, cat: HadoopFsCatalog, ref: TableRef,
@@ -743,7 +766,7 @@ object CatalogMigrationCLI {
   }
 
   private val usage: String =
-    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history | analyze | adopt | set-ref) [options]
+    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history | analyze | adopt | set-ref | rewrite) [options]
       |Bulk-migrate table entries from a source catalog to a target catalog
       |without data copy. `migrate` deletes entries from the source after
       |successful registration; `register` leaves them in place.

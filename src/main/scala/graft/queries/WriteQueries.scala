@@ -681,6 +681,60 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(tmp)
     }
 
+  /** w20 (round 16): NESTED-type Iceberg export under the oracle — the
+    * flat-only export refusal lifted. lineitem rows are packed into a
+    * struct + array + string-key map + NON-string-key map (the spec's
+    * array-of-k/v-records avro encoding), exported as an AVRO-file
+    * Iceberg table through the engine's own writer (nested member ids
+    * from the shared id tree), and read back through BOTH faces with
+    * nested field extraction; the oracle replays the same scalars
+    * straight from lineitem — any mis-addressed nested id, dropped
+    * null, or mis-encoded map entry changes an aggregate. */
+  def w20(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w20") { (cat, hc) =>
+      import graft.catalog.{IcebergExport, TableRef}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w20-ice").toString
+      try {
+        val nested = spark.sql(
+          s"""SELECT CAST(l_orderkey AS BIGINT) AS k,
+             |  CASE WHEN l_orderkey % 7 = 0 THEN NULL ELSE
+             |    named_struct('qty', CAST(l_quantity AS BIGINT),
+             |                 'rf', l_returnflag) END AS st,
+             |  array(CAST(l_orderkey AS BIGINT), NULL,
+             |        CAST(l_linenumber AS BIGINT)) AS ar,
+             |  map(l_returnflag, CAST(l_quantity AS BIGINT)) AS sm,
+             |  map(CAST(l_orderkey % 4 AS BIGINT), l_returnflag) AS im
+             |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+        val meta = IcebergExport.writeTable(spark, nested.coalesce(1),
+          s"$tmp/t", fileFormat = "avro")
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.nested"), meta)
+        val sqlFace = spark.sql(
+          s"""SELECT 'sql' AS face, st.rf AS rf, COUNT(*) AS cnt,
+             |       CAST(SUM(st.qty) AS BIGINT) AS qty_sum,
+             |       CAST(SUM(ar[2]) AS BIGINT) AS ln_sum,
+             |       CAST(SUM(element_at(sm, st.rf)) AS BIGINT) AS m_sum,
+             |       CAST(SUM(CASE WHEN element_at(im, k % 4) = st.rf
+             |                     THEN 1 ELSE 0 END) AS BIGINT) AS im_hits
+             |FROM $cat.db.nested WHERE st IS NOT NULL
+             |GROUP BY st.rf""".stripMargin)
+        val dfFace = graft.catalog.CatalogIO.scanMetadataLocation(spark, meta)
+          .filter(col("st").isNotNull)
+          .groupBy(col("st.rf").as("rf"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("st.qty")).cast("bigint").as("qty_sum"),
+            sum(col("ar").getItem(2)).cast("bigint").as("ln_sum"),
+            sum(element_at(col("sm"), col("st.rf"))).cast("bigint").as("m_sum"),
+            sum(when(element_at(col("im"), col("k") % 4) === col("st.rf"), 1L)
+              .otherwise(0L)).cast("bigint").as("im_hits"))
+          .select(lit("df").as("face"), col("rf"), col("cnt"),
+            col("qty_sum"), col("ln_sum"), col("m_sum"), col("im_hits"))
+        val out = sqlFace.unionByName(dfFace)
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w02 (round 9): the MERGE-ON-READ write surface under the oracle —
     * the counterpart of w01's copy-on-write faces. Builds a partitioned
     * table, then commits the O(batch) mutation sequence:

@@ -26,8 +26,13 @@ import org.apache.spark.util.SerializableConfiguration
   * long/`timestamp-micros` with `adjust-to-utc`, timestamp =
   * long/`local-timestamp-micros`, decimal = minimal fixed with the
   * `decimal` logical type), so the files read back through real
-  * Iceberg readers as well as [[AvroRead]]. Scope = the export
-  * writer's primitive set; nested types refuse loudly. */
+  * Iceberg readers as well as [[AvroRead]]. Round 16: NESTED types
+  * write too — struct → record, list → array (`element-id`), map →
+  * avro map for string keys / the spec's array-of-k/v-records
+  * otherwise (`key-id`/`value-id`) — with member ids from the same
+  * [[graft.catalog.IcebergSchemaIds]] tree the metadata schema
+  * declares. Manifest bounds stay primitive-top-level (nested columns
+  * record counts only, like real writers' default). */
 object AvroWrite {
 
   /** Per-file write result: everything the manifest entry needs, keyed
@@ -138,10 +143,58 @@ object AvroWrite {
     }.collect().toIndexedSeq
   }
 
-  /** Iceberg-avro schema document for the export writer's primitive
-    * set, with per-field `field-id` attributes as the spec requires. */
+  /** Iceberg-avro schema document with per-member id attributes as the
+    * spec requires (`field-id` on record fields, `element-id` on
+    * arrays, `key-id`/`value-id` on maps). NESTED types (round 16):
+    * struct → named record, list → array, map → avro map for string
+    * keys or the spec's array-of-key/value-records encoding otherwise
+    * (`"logicalType": "map"`) — the ids come from the SAME
+    * [[graft.catalog.IcebergSchemaIds]] tree the metadata schema
+    * renders, so the file and the table schema can never disagree. */
   private[sources] def avroSchemaJson(fieldIds: Seq[(StructField, Int)]): String = {
-    def typeNode(dt: DataType, id: Int): String = dt match {
+    import graft.catalog.IcebergSchemaIds._
+    def avroName(name: String, what: String): String = {
+      // avro NAMES are [A-Za-z_][A-Za-z0-9_]* by spec — a column outside
+      // that alphabet cannot be spelled in an avro schema at all (real
+      // Iceberg writers sanitize + name-map); refuse with the column
+      // named rather than emit unparseable JSON (review round 15)
+      require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"$what '$name' is not an avro-safe name " +
+          "([A-Za-z_][A-Za-z0-9_]*); export this schema as parquet/orc, " +
+          "or rename it first")
+      name
+    }
+    // `id` uniquifies generated record/fixed names (field / element /
+    // key / value ids are schema-unique by construction)
+    def typeNode(n: Node, id: Int): String = n match {
+      case Prim(dt) => primNode(dt, id)
+      case Struct(fs) =>
+        s"""{"type": "record", "name": "r_$id", "fields": [${
+          fs.map(fieldNode).mkString(", ")}]}"""
+      case Arr(eid, cn, e) =>
+        val et = typeNode(e, eid)
+        s"""{"type": "array", "items": ${
+          if (cn) s"""["null", $et]""" else et}, "element-id": $eid}"""
+      case MapN(kid, Prim(StringType), vid, vcn, v) =>
+        val vt = typeNode(v, vid)
+        s"""{"type": "map", "values": ${
+          if (vcn) s"""["null", $vt]""" else vt}, """ +
+          s""""key-id": $kid, "value-id": $vid}"""
+      case MapN(kid, k, vid, vcn, v) =>
+        // non-string keys: the spec's array-of-k/v-records encoding
+        val vt = typeNode(v, vid)
+        s"""{"type": "array", "logicalType": "map", "items": {""" +
+          s""""type": "record", "name": "k_v_$kid", "fields": [""" +
+          s"""{"name": "key", "type": ${typeNode(k, kid)}, "field-id": $kid}, """ +
+          s"""{"name": "value", "type": ${
+            if (vcn) s"""["null", $vt]""" else vt}, "field-id": $vid}]}}"""
+    }
+    def fieldNode(f: Field): String = {
+      val t = typeNode(f.node, f.id)
+      val tt = if (f.nullable) s"""["null", $t]""" else t
+      s"""{"name": "${avroName(f.name, "column")}", "type": $tt, "field-id": ${f.id}}"""
+    }
+    def primNode(dt: DataType, id: Int): String = dt match {
       case BooleanType => "\"boolean\""
       case IntegerType => "\"int\""
       case LongType => "\"long\""
@@ -160,20 +213,9 @@ object AvroWrite {
       case other => throw new UnsupportedOperationException(
         s"Iceberg avro export does not map catalyst type ${other.catalogString}")
     }
-    val fs = fieldIds.map { case (f, id) =>
-      // avro NAMES are [A-Za-z_][A-Za-z0-9_]* by spec — a column outside
-      // that alphabet cannot be spelled in an avro schema at all (real
-      // Iceberg writers sanitize + name-map); refuse with the column
-      // named rather than emit unparseable JSON (review round 15)
-      require(f.name.matches("[A-Za-z_][A-Za-z0-9_]*"),
-        s"column '${f.name}' is not an avro-safe name " +
-          "([A-Za-z_][A-Za-z0-9_]*); export this schema as parquet/orc, " +
-          "or rename the column first")
-      val t = typeNode(f.dataType, id)
-      val tt = if (f.nullable) s"""["null", $t]""" else t
-      s"""{"name": "${f.name}", "type": $tt, "field-id": $id}"""
-    }.mkString(", ")
-    s"""{"type": "record", "name": "r_graft", "fields": [$fs]}"""
+    val tree = graft.catalog.IcebergSchemaIds.of(fieldIds)
+    s"""{"type": "record", "name": "r_graft", "fields": [${
+      tree.fields.map(fieldNode).mkString(", ")}]}"""
   }
 
   /** Minimal fixed size holding any unscaled value of `precision`
@@ -211,6 +253,76 @@ object AvroWrite {
           java.util.Arrays.fill(out, 0, n - raw.length, pad)
           System.arraycopy(raw, 0, out, n - raw.length, raw.length)
           new GenericData.Fixed(fixed, out)
+        }
+      // NESTED shapes (round 16): catalyst internal values (InternalRow
+      // / ArrayData / MapData) convert recursively into avro runtime
+      // values against the (possibly union-wrapped) child schemas
+      case s: StructType =>
+        val rec = unwrapped
+        val childTypes = s.fields.map(_.dataType)
+        val childWriters = s.fields.zipWithIndex.map { case (f, i) =>
+          valueWriter(f.dataType, rec.getFields.get(i).schema())
+        }
+        v => {
+          val row = v.asInstanceOf[InternalRow]
+          val out = new GenericData.Record(rec)
+          var i = 0
+          while (i < childWriters.length) {
+            out.put(i,
+              if (row.isNullAt(i)) null
+              else childWriters(i)(row.get(i, childTypes(i))))
+            i += 1
+          }
+          out
+        }
+      case ArrayType(et, _) =>
+        val arr = unwrapped
+        val ew = valueWriter(et, arr.getElementType)
+        v => {
+          val ad = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          val out = new java.util.ArrayList[AnyRef](ad.numElements())
+          var i = 0
+          while (i < ad.numElements()) {
+            out.add(if (ad.isNullAt(i)) null else ew(ad.get(i, et)))
+            i += 1
+          }
+          out
+        }
+      case MapType(StringType, vt, _)
+          if unwrapped.getType == AvroSchema.Type.MAP =>
+        val vw = valueWriter(vt, unwrapped.getValueType)
+        v => {
+          val md = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+          val keys = md.keyArray()
+          val vals = md.valueArray()
+          val out = new java.util.HashMap[String, AnyRef](md.numElements() * 2)
+          var i = 0
+          while (i < md.numElements()) {
+            out.put(keys.get(i, StringType).asInstanceOf[UTF8String].toString,
+              if (vals.isNullAt(i)) null else vw(vals.get(i, vt)))
+            i += 1
+          }
+          out
+        }
+      case MapType(kt, vt, _) =>
+        // non-string keys: the spec's array-of-k/v-records encoding
+        val itemSchema = unwrapped.getElementType
+        val kw = valueWriter(kt, itemSchema.getField("key").schema())
+        val vw = valueWriter(vt, itemSchema.getField("value").schema())
+        v => {
+          val md = v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData]
+          val keys = md.keyArray()
+          val vals = md.valueArray()
+          val out = new java.util.ArrayList[AnyRef](md.numElements())
+          var i = 0
+          while (i < md.numElements()) {
+            val r = new GenericData.Record(itemSchema)
+            r.put(0, kw(keys.get(i, kt)))
+            r.put(1, if (vals.isNullAt(i)) null else vw(vals.get(i, vt)))
+            out.add(r)
+            i += 1
+          }
+          out
         }
       case other => throw new UnsupportedOperationException(
         s"Iceberg avro export does not map catalyst type ${other.catalogString}")

@@ -235,6 +235,50 @@ class MaintenanceCLISpec extends AnyFunSuite {
     assert(elines.exists(_.contains("--snapshot-id")))
   }
 
+  test("rewrite commits a 'replace' snapshot on a registered Iceberg " +
+    "pointer via the CLI (round 16); graft tables fail loudly") {
+    val wh = Files.createTempDirectory("maint-wh").toString
+    val hc = new HadoopFsCatalog(s"rw${uid()}", wh)
+    hc.createNamespace(graft.catalog.Namespace.of("db"))
+    val outDir = Files.createTempDirectory("maint-out").toString
+    import spark.implicits._
+    val iceDir = s"${Files.createTempDirectory("maint-rw").toString}/t"
+    val meta1 = graft.catalog.IcebergExport.writeTable(spark,
+      (1 to 10).toDF("k").repartition(1), iceDir)
+    val meta2 = graft.catalog.IcebergExport.appendSnapshot(spark,
+      (11 to 20).toDF("k").repartition(1), meta1)
+    val ref = TableRef.parse("db.t")
+    hc.registerTable(ref, meta2)
+    // dry run: reports, commits nothing
+    val (dcode, dlines) = runCli(maintArgs("rewrite", wh, outDir, "--dry-run"))
+    assert(dcode == 0)
+    assert(dlines.exists(_.startsWith("Would rewrite")))
+    assert(hc.loadTableMetadataLocation(ref) == meta2)
+    // real rewrite: pointer advances, the snapshot is a 'replace', the
+    // rows are identical, and the file count dropped to one
+    val (code, lines) = runCli(maintArgs("rewrite", wh, outDir))
+    assert(code == 0, lines.mkString("\n"))
+    assert(lines.exists(_.startsWith("Committed rewrite (replace)")))
+    val loc = hc.loadTableMetadataLocation(ref)
+    assert(loc != meta2)
+    val conf = spark.sessionState.newHadoopConf()
+    val anc = graft.catalog.IcebergFormat.mainAncestry(
+      graft.catalog.CatalogIO.readMetadataText(loc, conf))
+    assert(anc.last.operation.contains("replace"))
+    val layout = graft.catalog.CatalogIO.readLayout(loc, conf)
+    assert(layout.dataFiles.get.size == 1, "rewritten into one file")
+    assert(graft.catalog.CatalogIO.scanMetadataLocation(spark, loc)
+      .select("k").collect().map(_.getInt(0)).sorted.toSeq == (1 to 20))
+    // a graft-format table refuses with the failure named (exit 1)
+    graft.catalog.CatalogIO.createTable(spark, hc, TableRef.parse("db.g"),
+      (1 to 5).toDF("k"))
+    val (gcode, glines) = runCli(Seq("rewrite", "--catalog-type", "hadoop",
+      "--catalog-properties", s"warehouse=$wh",
+      "--identifiers", "db.g", "--output-dir", outDir))
+    assert(gcode == 1)
+    assert(glines.exists(_.contains("Failed rewrite")), glines.mkString("\n"))
+  }
+
   test("adopt converts a real Iceberg pointer into a writable table via the CLI") {
     val wh = Files.createTempDirectory("maint-wh").toString
     val hc = new HadoopFsCatalog(s"ad${uid()}", wh)

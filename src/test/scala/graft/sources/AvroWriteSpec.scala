@@ -118,4 +118,78 @@ class AvroWriteSpec extends AnyFunSuite {
         .head.getLong(0) == 1L)
     }
   }
+
+  test("NESTED types export and round-trip through all three formats " +
+    "and both faces (round 16 — the flat-only refusal lifted)") {
+    import graft.catalog.{CatalogIO, IcebergExport, TableRef}
+    import org.apache.spark.sql.functions._
+    // struct, array (nullable elems), string-key map, NON-string-key
+    // map (the spec's array-of-k/v-records avro encoding), nested
+    // decimal/date inside the struct, nulls at every level
+    val base = spark.sql(
+      """SELECT id AS k,
+        |  CASE WHEN id % 7 = 0 THEN NULL ELSE
+        |    named_struct('a', id * 2, 'b', concat('s', id),
+        |      'dec', CAST(id AS DECIMAL(10,2)) / 4,
+        |      'dt', date_add(DATE'2024-01-01', CAST(id % 90 AS INT))) END AS st,
+        |  CASE WHEN id % 5 = 0 THEN NULL ELSE
+        |    array(id, NULL, id + 2) END AS ar,
+        |  map(concat('m', id % 3), id * 3) AS sm,
+        |  map(id % 4, concat('v', id)) AS im
+        |FROM range(0, 200)""".stripMargin)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("k"), col("st.a"), col("st.b"), col("st.dec"),
+        col("st.dt"), col("ar"), map_entries(col("sm")).as("sm"),
+        map_entries(col("im")).as("im"))
+        .collect().map(_.toString).sorted.toSeq
+    val expected = canon(base)
+    for (fmt <- Seq("parquet", "orc", "avro")) {
+      val dir = s"${java.nio.file.Files.createTempDirectory(s"nested-$fmt")}/t"
+      val meta = IcebergExport.writeTable(spark, base.coalesce(1), dir,
+        fileFormat = fmt)
+      // DataFrame face
+      assert(canon(CatalogIO.scanMetadataLocation(spark, meta)) == expected,
+        s"$fmt DataFrame-face round-trip")
+      // SQL face via a registered pointer
+      graft.sources.TempCatalog.withTempHandles(spark, s"nested-$fmt") { (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.n"), meta)
+        assert(canon(spark.table(s"$cat.db.n")) == expected,
+          s"$fmt SQL-face round-trip")
+        // nested field access through SQL
+        assert(spark.sql(s"SELECT SUM(st.a) FROM $cat.db.n").head.getLong(0) ==
+          (0 until 200).filter(_ % 7 != 0).map(_ * 2L).sum)
+      }
+      // the metadata schema declares unique nested ids and a matching
+      // last-column-id (spec-validity for foreign readers)
+      val text = CatalogIO.readMetadataText(meta,
+        spark.sessionState.newHadoopConf())
+      val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+      def idsOf(n: com.fasterxml.jackson.databind.JsonNode): Seq[Int] = {
+        val b = Seq.newBuilder[Int]
+        def walk(x: com.fasterxml.jackson.databind.JsonNode): Unit = {
+          if (x.isObject) {
+            x.properties().forEach { e =>
+              if (Set("id", "element-id", "key-id", "value-id")(e.getKey) &&
+                  e.getValue.isInt) b += e.getValue.asInt
+              walk(e.getValue)
+            }
+          } else if (x.isArray) x.elements().forEachRemaining(walk)
+        }
+        walk(n); b.result()
+      }
+      val ids = idsOf(root.get("schemas"))
+      assert(ids.distinct.size == ids.size, s"$fmt: duplicate nested ids: $ids")
+      assert(root.path("last-column-id").asInt(-1) == ids.max,
+        s"$fmt: last-column-id must cover the nested ids")
+    }
+    // append keeps working on a nested table (schema round-trips
+    // through loadState's nested parser)
+    val dir2 = s"${java.nio.file.Files.createTempDirectory("nested-app")}/t"
+    val meta1 = IcebergExport.writeTable(spark,
+      base.filter(col("k") < 100).coalesce(1), dir2)
+    val meta2 = IcebergExport.appendSnapshot(spark,
+      base.filter(col("k") >= 100).coalesce(1), meta1)
+    assert(canon(CatalogIO.scanMetadataLocation(spark, meta2)) == expected)
+  }
 }
