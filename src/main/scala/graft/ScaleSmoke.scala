@@ -135,26 +135,27 @@ object ScaleSmoke {
     println(f"[scale] stream x$replicas: $commits-commit backlog built in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s (2 files/commit)")
     def drain(opts: Map[String, String], label: String): Unit = {
-      val name = s"ss${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
       var r = spark.readStream.format("graft-table")
         .option("type", "hadoop").option("warehouse", wh)
         .option("table", "db.backlog").option("startingVersion", "earliest")
       opts.foreach { case (k, v) => r = r.option(k, v) }
-      val q = r.load().writeStream.format("memory").queryName(name)
+      // noop sink: the experiment measures the SOURCE's batching — a
+      // memory sink would collect the whole backlog to the driver and
+      // die on maxResultSize at 50x, measuring the sink instead
+      val q = r.load().writeStream.format("noop")
+        .option("checkpointLocation",
+          s"$wh/_ckpt-${java.util.UUID.randomUUID().toString.take(8)}")
         .outputMode("append").start()
       try {
         t0 = System.nanoTime()
         q.processAllAvailable()
         val secs = (System.nanoTime() - t0) / 1e9
         val batches = q.recentProgress.filter(_.numInputRows > 0)
-        val rows = spark.table(name).count()
+        val rows = batches.map(_.numInputRows).sum
         println(f"[scale] stream x$replicas $label: $rows rows drained in " +
           f"$secs%.1f s across ${batches.length} batches, peak batch " +
           f"${if (batches.isEmpty) 0L else batches.map(_.numInputRows).max} rows")
-      } finally {
-        q.stop()
-        spark.catalog.dropTempView(name)
-      }
+      } finally q.stop()
     }
     drain(Map.empty, "unbounded")
     drain(Map("maxFilesPerTrigger" -> "4"), "maxFiles=4")
