@@ -150,7 +150,15 @@ object ScaleSmoke {
         t0 = System.nanoTime()
         q.processAllAvailable()
         val secs = (System.nanoTime() - t0) / 1e9
-        val batches = q.recentProgress.filter(_.numInputRows > 0)
+        val all = q.recentProgress
+        // recentProgress is a RING BUFFER (default 100 entries): a
+        // config producing more batches than it retains would silently
+        // undercount the drain — refuse the measurement instead
+        require(all.length < 100,
+          s"stream experiment produced ${all.length} progress entries — " +
+            "at the recentProgress retention cap, counts are truncated; " +
+            "raise spark.sql.streaming.numRecentProgressUpdates")
+        val batches = all.filter(_.numInputRows > 0)
         val rows = batches.map(_.numInputRows).sum
         println(f"[scale] stream x$replicas $label: $rows rows drained in " +
           f"$secs%.1f s across ${batches.length} batches, peak batch " +

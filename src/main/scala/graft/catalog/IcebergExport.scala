@@ -124,7 +124,7 @@ object IcebergExport {
     df.write.parquet(dataDir.toString)
     val (entry, rowCount, dataBytes) = writeDataManifest(spark, st.fs,
       st.metaDir, st.location, st.sparkSchema, st.fieldIds, dataDir, rel,
-      snapshotId, seq)
+      snapshotId, seq, treeOverride = Some(st.tree))
     commitSnapshot(st, snapshotId, seq, "append", st.priorEntries :+ entry,
       addedRows = rowCount,
       summaryCounts = Map("added-data-files" -> entry.addedFiles.toLong,
@@ -141,8 +141,14 @@ object IcebergExport {
     * and on v3 tables (the v3 spec requires rewritten files to CARRY
     * their rows' `_row_id`s forward, which this writer does not emit
     * into data files — a silent renumbering would corrupt lineage).
-    * Returns the new metadata location. */
-  def rewriteSnapshot(spark: SparkSession, metadataLocation: String): String = {
+    * The rewrite is DISTRIBUTED: output file count targets
+    * `targetFileBytes` from the manifest's recorded sizes (round-16
+    * review: the first cut's `coalesce(1)` made the maintenance verb a
+    * single-task whole-table write). Returns the new metadata
+    * location. */
+  def rewriteSnapshot(spark: SparkSession, metadataLocation: String,
+      targetFileBytes: Long = 128L << 20): String = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
     val st = loadState(spark, metadataLocation)
     require(st.priorEntries.forall(_.content == 0),
       s"$metadataLocation carries live delete files; a rewrite would " +
@@ -157,11 +163,17 @@ object IcebergExport {
     val snapshotId = newSnapshotId()
     val rows = CatalogIO.scanIcebergSnapshot(spark, metadataLocation,
       st.curSnapshotId)
+    val conf = spark.sessionState.newHadoopConf()
+    val totalBytes = CatalogIO.readLayout(metadataLocation, conf)
+      .dataFileSizes.map(_.filter(_ > 0).sum).getOrElse(0L)
+    val parts = math.max(1L,
+      math.ceil(totalBytes.toDouble / targetFileBytes).toLong).toInt
     val rel = s"data/rw$seq-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(st.root, rel)
-    rows.coalesce(1).write.parquet(dataDir.toString)
+    rows.repartition(parts).write.parquet(dataDir.toString)
     val (entry, rowCount, _) = writeDataManifest(spark, st.fs, st.metaDir,
-      st.location, st.sparkSchema, st.fieldIds, dataDir, rel, snapshotId, seq)
+      st.location, st.sparkSchema, st.fieldIds, dataDir, rel, snapshotId, seq,
+      treeOverride = Some(st.tree))
     // a replace snapshot's manifest list carries ONLY the rewritten
     // files: the prior entries are dropped (their rows live on in the
     // new files; the old data files stay on disk until GC)
@@ -501,7 +513,17 @@ object IcebergExport {
         * carried. */
       refs: Map[String, String],
       /** Every retained snapshot id ([[setRef]] validates targets). */
-      snapshotIds: Set[Long])
+      snapshotIds: Set[Long],
+      /** The schema's ID TREE parsed VERBATIM from the loaded document
+        * (round-16 review): commits re-render the schema from THIS, so
+        * nested ids some other writer allocated (real Iceberg
+        * interleaves them) carry through unchanged — re-allocation
+        * would re-bind the name mapping away from the ids the data
+        * files carry. */
+      tree: IcebergSchemaIds.Tree,
+      /** The loaded document's `last-column-id` (may exceed the live
+        * ids — dropped columns retain theirs). */
+      lastColumnId: Int)
 
   private def newSnapshotId(): Long =
     math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
@@ -555,6 +577,7 @@ object IcebergExport {
     val refs = Option(root.get("refs")).map(_.properties().asScala.collect {
       case e if e.getKey != "main" => e.getKey -> e.getValue.toString
     }.toMap).getOrElse(Map.empty[String, String])
+    val tree = IcebergSchemaIds.parse(schemaNode)
     TableState(fs, new Path(location), new Path(location, "metadata"),
       location, root.path("table-uuid").asText(java.util.UUID.randomUUID().toString),
       root.path("last-sequence-number").asLong(0L), curId, version,
@@ -562,7 +585,9 @@ object IcebergExport {
       snapshots.map(_.toString), priorEntries, fv,
       root.path("next-row-id").asLong(0L),
       refs,
-      snapshots.map(_.path("snapshot-id").asLong(-2L)).toSet)
+      snapshots.map(_.path("snapshot-id").asLong(-2L)).toSet,
+      tree,
+      root.path("last-column-id").asInt(0))
   }
 
   private def readListEntries(listPath: Path,
@@ -634,7 +659,8 @@ object IcebergExport {
       st.fieldIds, snapshotId, seq, st.snapshotsJson :+ snapshotJson,
       formatVersion = fv,
       nextRowId = if (fv >= 3) Some(st.nextRowId + addedRows) else None,
-      extraRefs = st.refs)
+      extraRefs = st.refs,
+      treeOverride = Some(st.tree), minLastColumnId = st.lastColumnId)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     st.fs.makeQualified(metaPath).toString
@@ -662,7 +688,8 @@ object IcebergExport {
       formatVersion = st.formatVersion,
       nextRowId = if (st.formatVersion >= 3) Some(st.nextRowId) else None,
       extraRefs = st.refs +
-        (name -> s"""{"snapshot-id": $snapshotId, "type": "$kind"}"""))
+        (name -> s"""{"snapshot-id": $snapshotId, "type": "$kind"}"""),
+      treeOverride = Some(st.tree), minLastColumnId = st.lastColumnId)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     st.fs.makeQualified(metaPath).toString
@@ -684,7 +711,8 @@ object IcebergExport {
       schema: StructType, fieldIds: Seq[(StructField, Int)], dataDir: Path,
       relPrefix: String, snapshotId: Long, seq: Long,
       fileFormat: String = "parquet",
-      avroResults: Option[Seq[graft.sources.AvroWrite.FileResult]] = None)
+      avroResults: Option[Seq[graft.sources.AvroWrite.FileResult]] = None,
+      treeOverride: Option[IcebergSchemaIds.Tree] = None)
       : (ListEntry, Long, Long) = {
     import org.apache.spark.sql.functions._
     val boundCols = fieldIds.filter { case (f, _) => boundSupported(f.dataType) }
@@ -736,7 +764,7 @@ object IcebergExport {
       .getTypes.get(1).getElementType
     val kvLong = dfSchema.getField("null_value_counts").schema()
       .getTypes.get(1).getElementType
-    val schemaJson = icebergSchemaJson(fieldIds)
+    val schemaJson = icebergSchemaJson(fieldIds, treeOverride)
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
     setManifestMeta(writer, schemaJson, content = "data")
     writer.create(mSchema, fs.create(manifestPath, false))
@@ -913,18 +941,22 @@ object IcebergExport {
 
   /** Iceberg schema JSON (metadata document + manifest `schema`
     * metadata both use this form). */
-  private def icebergSchemaJson(fieldIds: Seq[(StructField, Int)]): String = {
+  private def icebergSchemaJson(fieldIds: Seq[(StructField, Int)],
+      treeOverride: Option[IcebergSchemaIds.Tree] = None): String = {
     // NESTED types export (round 16): the id tree assigns nested
     // member ids deterministically, shared with the metadata schema
-    // and the avro writer — see [[IcebergSchemaIds]]
-    val tree = IcebergSchemaIds.of(fieldIds)
+    // and the avro writer — see [[IcebergSchemaIds]]; an append to a
+    // LOADED table carries the document's own ids verbatim
+    val tree = treeOverride.getOrElse(IcebergSchemaIds.of(fieldIds))
     s"""{"type": "struct", "schema-id": 0, "fields": [${
       tree.fields.map(IcebergSchemaIds.fieldJson).mkString(", ")}]}"""
   }
 
-  /** Minimal inverse of [[icebergTypeName]] for appending to an
-    * existing exported table (primitive types only — exactly what the
-    * export writer can produce). */
+  /** Inverse of [[IcebergSchemaIds.primName]] plus the spec's
+    * struct/list/map nodes (round 16) — the catalyst type an append's
+    * input frame must match for a loaded table. Nested field IDS are
+    * not read here; [[loadState]] parses them verbatim into the state's
+    * id tree. */
   private def sparkTypeOf(t: JsonNode, where: String): DataType =
     if (t.isTextual) {
       val s = t.asText
@@ -969,8 +1001,7 @@ object IcebergExport {
   // primitive type names live in [[IcebergSchemaIds.primName]] (shared
   // with the nested-type renderers since round 16)
 
-  private def esc(s: String): String =
-    s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
+  private def esc(s: String): String = IcebergSchemaIds.esc(s)
 
   private def snapshotNode(snapshotId: Long, parent: Option[Long],
       seq: Long, operation: String, manifestList: String,
@@ -998,10 +1029,17 @@ object IcebergExport {
       snapshotId: Long, lastSeq: Long, snapshotsJson: Seq[String],
       formatVersion: Int = 2, nextRowId: Option[Long] = None,
       /** name → VERBATIM ref JSON object (non-main refs carried through). */
-      extraRefs: Map[String, String] = Map.empty): String = {
+      extraRefs: Map[String, String] = Map.empty,
+      /** The VERBATIM-parsed id tree of a LOADED table (commits must
+        * carry foreign nested ids unchanged); None = a fresh export
+        * whose ids this writer allocates. */
+      treeOverride: Option[IcebergSchemaIds.Tree] = None,
+      /** The loaded document's last-column-id floor (dropped columns
+        * keep their ids reserved). */
+      minLastColumnId: Int = 0): String = {
     // nested types (round 16): fields, last-column-id, and the
     // recursive name mapping all derive from ONE id tree
-    val tree = IcebergSchemaIds.of(fieldIds)
+    val tree = treeOverride.getOrElse(IcebergSchemaIds.of(fieldIds))
     val fields = tree.fields.map(IcebergSchemaIds.fieldJson).mkString(", ")
     // the property VALUE is itself a JSON document → escaped as a string
     val mapping = esc(IcebergSchemaIds.mappingJson(tree.fields))
@@ -1012,7 +1050,7 @@ object IcebergExport {
        |  "last-sequence-number": $lastSeq,
        |  "last-updated-ms": ${System.currentTimeMillis()},${nextRowId.fold("")(r =>
            s"""\n  "next-row-id": $r,""")}
-       |  "last-column-id": ${tree.lastColumnId},
+       |  "last-column-id": ${math.max(tree.lastColumnId, minLastColumnId)},
        |  "current-schema-id": 0,
        |  "schemas": [{"type": "struct", "schema-id": 0, "fields": [$fields]}],
        |  "default-spec-id": 0,

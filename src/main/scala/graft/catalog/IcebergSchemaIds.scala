@@ -20,6 +20,11 @@ object IcebergSchemaIds {
   /** A primitive leaf (the round-12 export set; see
     * [[IcebergSchemaIds.primName]]). */
   final case class Prim(dt: DataType) extends Node
+  /** A primitive leaf carried VERBATIM from a loaded schema document
+    * (the append path): `fixed[16]`/`uuid`/`time` re-render exactly as
+    * declared — renaming them through a catalyst round-trip would
+    * mutate the schema of a table this writer did not create. */
+  final case class PrimName(name: String) extends Node
   final case class Struct(fields: Seq[Field]) extends Node
   final case class Arr(elementId: Int, containsNull: Boolean,
       element: Node) extends Node
@@ -29,6 +34,50 @@ object IcebergSchemaIds {
       node: Node)
 
   final case class Tree(fields: Seq[Field], lastColumnId: Int)
+
+  /** Parse the ID TREE a schema document DECLARES — the load-path twin
+    * of [[of]]. A table whose nested ids some OTHER writer allocated
+    * (real Iceberg interleaves them pre-order across the whole schema)
+    * must have every id carried VERBATIM through every commit:
+    * re-allocating (round-16 review) would re-bind the name mapping
+    * away from the ids the existing data files carry, and a
+    * spec-compliant field-id-addressed reader would silently serve
+    * NULLs after something as small as a `set-ref`. */
+  def parse(schemaNode: com.fasterxml.jackson.databind.JsonNode): Tree = {
+    import scala.jdk.CollectionConverters._
+    var maxId = 0
+    def reg(id: Int, what: String): Int = {
+      require(id > 0, s"schema document declares no $what id")
+      if (id > maxId) maxId = id
+      id
+    }
+    def nodeOf(t: com.fasterxml.jackson.databind.JsonNode): Node =
+      if (t.isTextual) PrimName(t.asText)
+      else t.path("type").asText match {
+        case "struct" => Struct(fieldsOf(t))
+        case "list" => Arr(
+          reg(t.path("element-id").asInt(-1), "list element"),
+          !t.path("element-required").asBoolean(false),
+          nodeOf(t.get("element")))
+        case "map" => MapN(
+          reg(t.path("key-id").asInt(-1), "map key"),
+          nodeOf(t.get("key")),
+          reg(t.path("value-id").asInt(-1), "map value"),
+          !t.path("value-required").asBoolean(false),
+          nodeOf(t.get("value")))
+        case other => throw new UnsupportedOperationException(
+          s"Iceberg nested type '$other' cannot be carried through a commit")
+      }
+    def fieldsOf(t: com.fasterxml.jackson.databind.JsonNode): Seq[Field] =
+      t.get("fields").elements().asScala.map { f =>
+        Field(f.get("name").asText,
+          reg(f.path("id").asInt(-1), s"field '${f.get("name").asText}'"),
+          nullable = !f.path("required").asBoolean(false),
+          nodeOf(f.get("type")))
+      }.toSeq
+    val fields = fieldsOf(schemaNode)
+    Tree(fields, maxId)
+  }
 
   def of(fieldIds: Seq[(StructField, Int)]): Tree = {
     var next = (0 +: fieldIds.map(_._2)).max
@@ -70,13 +119,16 @@ object IcebergSchemaIds {
       s"Iceberg export does not map catalyst type ${other.catalogString}")
   }
 
-  private def esc(s: String): String =
+  /** JSON string escape shared with [[IcebergExport]] (one escaper —
+    * the schema JSON and the rest of the metadata must never diverge). */
+  private[catalog] def esc(s: String): String =
     s.flatMap { case '"' => "\\\""; case '\\' => "\\\\"; case c => c.toString }
 
   /** The field's `type` value in the metadata schema document — a
     * quoted primitive name, or the spec's struct/list/map object. */
   def typeJson(n: Node): String = n match {
     case Prim(dt) => "\"" + primName(dt) + "\""
+    case PrimName(name) => "\"" + esc(name) + "\""
     case Struct(fs) =>
       s"""{"type": "struct", "fields": [${fs.map(fieldJson).mkString(", ")}]}"""
     case Arr(eid, cn, e) =>
@@ -99,7 +151,7 @@ object IcebergSchemaIds {
     s"[${fields.map(fieldMapping).mkString(", ")}]"
 
   private def childEntries(n: Node): Seq[String] = n match {
-    case Prim(_) => Nil
+    case Prim(_) | PrimName(_) => Nil
     case Struct(fs) => fs.map(fieldMapping)
     case Arr(eid, _, e) =>
       Seq(entry(eid, "element", e))

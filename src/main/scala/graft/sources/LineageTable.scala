@@ -211,8 +211,17 @@ private final class LineageScan(spark: SparkSession, label: String,
   // BEFORE any read like MorScan), the key columns ride the widened
   // inner read, and the reader drops a row whose key matches a delete
   // whose seq postdates the row's file data seq — survivors keep their
-  // counted positions, exactly the DV rule.
-  private val eqDeletes: Seq[LineageEqDelete] = {
+  // counted positions, exactly the DV rule. The load is CACHED per
+  // (segment, delete-file set) — delete files are immutable, and every
+  // build() (explain + execute each construct a scan) would otherwise
+  // re-run one Spark job per delete file (round-16 review).
+  private val eqDeletes: Seq[LineageEqDelete] =
+    if (layout.eqDeleteFiles.isEmpty) Nil
+    else LineageScan.eqCache.getOrElseUpdate(
+      (layout.dataLocation, layout.eqDeleteFiles.map(d => (d.path, d.seq))),
+      loadEqDeletes())
+
+  private def loadEqDeletes(): Seq[LineageEqDelete] = {
     val maxTuples = spark.conf.getOption("spark.graft.mor.maxDeleteTuples")
       .map(_.toLong).getOrElse(4000000L)
     val footerConf = {
@@ -325,6 +334,15 @@ private final class LineageScan(spark: SparkSession, label: String,
     new LineageReaderFactory(innerScan.toBatch.createReaderFactory(),
       new SerializableConfiguration(conf), fieldPlan, fieldTypes, eqProbes)
   }
+}
+
+private object LineageScan {
+  /** Loaded eq-delete tuple sets keyed by (segment, delete-file set) —
+    * delete files are immutable, so content-keyed reuse is sound; the
+    * JVM-lifetime footprint is bounded by the broadcast-safe tuple cap
+    * per live layout. */
+  val eqCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Seq[(String, Int)]), Seq[LineageEqDelete]]
 }
 
 /** One loaded equality-delete file: its commit seq, key column names,

@@ -192,4 +192,55 @@ class AvroWriteSpec extends AnyFunSuite {
       base.filter(col("k") >= 100).coalesce(1), meta1)
     assert(canon(CatalogIO.scanMetadataLocation(spark, meta2)) == expected)
   }
+
+  test("commits carry FOREIGN nested field ids verbatim (round-16 " +
+    "review: re-allocating would re-bind the name mapping away from " +
+    "the ids the data files carry)") {
+    import graft.catalog.{CatalogIO, IcebergExport}
+    import org.apache.spark.sql.functions._
+    val dir = s"${java.nio.file.Files.createTempDirectory("foreign-ids")}/t"
+    val df = spark.sql(
+      """SELECT named_struct('x', id * 2, 'y', id * 3) AS a, id AS b
+        |FROM range(0, 20)""".stripMargin)
+    val meta1 = IcebergExport.writeTable(spark, df.coalesce(1), dir)
+    val conf = spark.sessionState.newHadoopConf()
+    // our allocator assigns a=1, b=2, x=3, y=4; REAL Iceberg assigns
+    // interleaved pre-order a=1, x=2, y=3, b=4 — patch the document to
+    // the foreign shape (data files are name-addressed by this reader,
+    // so the swap is metadata-only)
+    val text = CatalogIO.readMetadataText(meta1, conf)
+    val ours = """{"id": 1, "name": "a", "required": true, "type": """ +
+      """{"type": "struct", "fields": [{"id": 3, "name": "x", "required": true, "type": "long"}, """ +
+      """{"id": 4, "name": "y", "required": true, "type": "long"}]}}, """ +
+      """{"id": 2, "name": "b", "required": true, "type": "long"}"""
+    val foreign = """{"id": 1, "name": "a", "required": true, "type": """ +
+      """{"type": "struct", "fields": [{"id": 2, "name": "x", "required": true, "type": "long"}, """ +
+      """{"id": 3, "name": "y", "required": true, "type": "long"}]}}, """ +
+      """{"id": 4, "name": "b", "required": true, "type": "long"}"""
+    assert(text.contains(ours), "fixture: expected our allocation shape")
+    val patched = text.replace(ours, foreign)
+    val p = new org.apache.hadoop.fs.Path(meta1)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(patched.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    // an append re-renders the schema: the FOREIGN ids must survive
+    val meta2 = IcebergExport.appendSnapshot(spark,
+      spark.sql("""SELECT named_struct('x', id, 'y', id) AS a, id AS b
+                  |FROM range(100, 110)""".stripMargin).coalesce(1), meta1)
+    val text2 = CatalogIO.readMetadataText(meta2, conf)
+    assert(text2.contains(foreign),
+      "append must carry the document's own nested ids verbatim")
+    assert(!text2.contains("""{"id": 3, "name": "x""""),
+      "nested ids must NOT be re-allocated")
+    // the regenerated name mapping binds the foreign ids
+    assert(text2.contains("""{\"field-id\": 2, \"names\": [\"x\"]"""),
+      "name mapping must bind x to the foreign id 2")
+    // a metadata-only commit (set-ref) carries them too
+    val snap = graft.catalog.IcebergFormat.mainAncestry(text2).last.id
+    val meta3 = IcebergExport.setRef(spark, meta2, "v1", snap)
+    assert(CatalogIO.readMetadataText(meta3, conf).contains(foreign))
+    // rows still serve (this reader is name-addressed)
+    assert(CatalogIO.scanMetadataLocation(spark, meta3).count() == 30)
+  }
 }
