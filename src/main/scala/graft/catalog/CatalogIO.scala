@@ -3408,6 +3408,7 @@ object CatalogIO {
         (renameFroms.nonEmpty && renameSeqs.size != renameFroms.size))
       throw new IllegalStateException(
         s"Malformed metadata: rename arrays out of step in $metadataLocation")
+    val recordedFormat = stringField(text, "dataFormat")
     val layout = TableLayout(dataLoc, arr("partitionColumns"),
       NumBucketsRe.findFirstMatchIn(text).map(_.group(1).toInt),
       arr("bucketColumns"), arr("sortColumns"),
@@ -3467,9 +3468,9 @@ object CatalogIO {
       manifestChunks = chunked.map(_._1),
       clusterTransforms = arr("clusterTransforms"),
       // round 16: adopted non-parquet layouts — absent = parquet
-      dataFormat = stringField(text, "dataFormat").getOrElse("parquet"),
+      dataFormat = recordedFormat.getOrElse("parquet"),
       dataFileFormats =
-        if (stringField(text, "dataFormat").contains("mixed")) {
+        if (recordedFormat.contains("mixed")) {
           val fmts = arrayField(text, "dataFileFormats").map { fs =>
             dataFiles.map(_.size).filter(_ != fs.size).foreach { n =>
               throw new IllegalStateException(
