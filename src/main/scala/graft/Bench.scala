@@ -53,7 +53,8 @@ object Bench {
     "w10_type_widening", "w11_hidden_partitioning", "w12_deletion_vectors",
     "w13_iceberg_orc", "w14_iceberg_avro", "w15_iceberg_mixed",
     "w16_iceberg_stream", "w17_iceberg_ride_admission",
-    "w18_row_lineage_sql", "w19_mixed_insert", "w20_nested_export")
+    "w18_row_lineage_sql", "w19_mixed_insert", "w20_nested_export",
+    "w21_orc_mor")
 
   // Locale.ROOT: a comma-decimal default locale would otherwise turn the
   // JSON lines into {"total":71,422,...}

@@ -143,6 +143,7 @@ object SparkEntry {
     "w18_row_lineage_sql" -> (graft.queries.WriteQueries.w18 _),
     "w19_mixed_insert" -> (graft.queries.WriteQueries.w19 _),
     "w20_nested_export" -> (graft.queries.WriteQueries.w20 _),
+    "w21_orc_mor" -> (graft.queries.WriteQueries.w21 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1175,6 +1176,32 @@ object SparkEntry {
         |SELECT 'sql' AS face, * FROM g
         |UNION ALL
         |SELECT 'df' AS face, * FROM g""".stripMargin,
+    // w21: ORC merge-on-read — two one-parity ORC files, each totally
+    // ordered by the full projected row, so row positions are the
+    // per-parity ranks; one delete snapshot removes even ranks 10..99,
+    // odd ranks 0..2 (positional) and k ∈ {2,3,5} (equality);
+    // relationally a ROW_NUMBER filter + NOT IN, replayed per face
+    "w21_orc_mor" ->
+      """WITH base AS (
+        |  SELECT l_orderkey AS k, l_linenumber AS ln,
+        |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+        |  FROM lineitem),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k % 2
+        |                               ORDER BY k, ln, qty, rf) - 1 AS p
+        |  FROM base),
+        |kept AS (
+        |  SELECT * FROM ranked
+        |  WHERE NOT (k % 2 = 0 AND p BETWEEN 10 AND 99)
+        |    AND NOT (k % 2 = 1 AND p <= 2)
+        |    AND k NOT IN (2, 3, 5)),
+        |a AS (
+        |  SELECT rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum,
+        |         CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |  FROM kept WHERE k <= 30000 GROUP BY rf)
+        |SELECT 'sql' AS face, * FROM a
+        |UNION ALL
+        |SELECT 'df' AS face, * FROM a""".stripMargin,
     // w05: incremental append reads are manifest set-differences, so
     // each phase's change set is relationally just the slice that
     // commit appended (WriteQueries.w05 runs the real version-diff

@@ -239,8 +239,14 @@ object CatalogIO {
     require(dataFormat == "parquet" || dataFormat == "orc" ||
       dataFormat == "avro" || dataFormat == "mixed",
       s"unsupported data file format '$dataFormat' (parquet, orc, avro, or mixed)")
-    require(dataFormat == "parquet" || (deleteFiles.isEmpty && renameOps.isEmpty),
-      "non-parquet layouts are delete-free and rename-free (read-only interop)")
+    // renames need per-file parquet footer field ids (epoch machinery);
+    // deletes only need a whole-file counting read, which parquet AND
+    // ORC serve (round 16 — graft.sources.MorScan generalization)
+    require(dataFormat == "parquet" || renameOps.isEmpty,
+      "non-parquet layouts are rename-free (read-only interop)")
+    require(dataFormat == "parquet" || dataFormat == "orc" ||
+      deleteFiles.isEmpty,
+      "live deletes ride the parquet/ORC counting read only")
     require((dataFormat == "mixed") == dataFileFormats.isDefined,
       "dataFileFormats accompany exactly the mixed data format")
     require(dataFileFormats.forall(s => dataFiles.exists(_.size == s.size)),
@@ -1210,7 +1216,19 @@ object CatalogIO {
       val priorFmts = prior.dataFileFormats
         .getOrElse(Seq.fill(priorFiles.size)(prior.dataFormat))
       val all = priorFmts ++ Seq.fill(added)("parquet")
-      if (all.distinct.sizeIs == 1) (all.head, None) else ("mixed", Some(all))
+      val fmt = if (all.distinct.sizeIs == 1) all.head else "mixed"
+      // a MIXED layout cannot carry live deletes (the delete-applying
+      // scan serves homogeneous parquet/ORC only) — refuse the append
+      // here with the real reason, not the layout invariant's generic
+      // message at commit time
+      if (fmt == "mixed" && prior.deleteFiles.nonEmpty && added > 0)
+        throw new UnsupportedOperationException(
+          s"appending parquet files to a ${prior.dataFormat} table with " +
+            s"${prior.deleteFiles.size} live delete file(s) would make " +
+            "the layout mixed-format + merge-on-read, which no scan " +
+            "here serves; compact the table (materializing the deletes) " +
+            "before appending")
+      if (fmt == "mixed") (fmt, Some(all)) else (fmt, None)
     }
 
   // ----- staged-file commits (round 8: the native DSv2 BatchWrite) -----
@@ -2746,6 +2764,14 @@ object CatalogIO {
             s"Empty manifest with no recorded schema at ${layout.dataLocation}")))
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      // ORC + live deletes (round 16): the join-based application below
+      // captures row addresses via `_metadata.row_index`, which Spark's
+      // file sources expose for PARQUET only — ORC layouts route through
+      // the DSv2 merge-on-read machinery instead (whole-file counting
+      // reads, the exact scan the SQL face plans), so both faces share
+      // one delete-application implementation for ORC.
+      case Some(_) if layout.seqGated && layout.dataFormat == "orc" =>
+        graft.sources.MorRead.dataFrame(spark, layout, options)
       case Some(filesWithSeqs) if layout.seqGated =>
         val eqDels = layout.absoluteEqDeleteFiles
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
@@ -2981,6 +3007,16 @@ object CatalogIO {
       throw new UnsupportedOperationException(
         s"${layout.dataLocation} has un-materialized column renames; " +
           "compactTable first to materialize them before positional writes")
+    // positional WRITES address rows via parquet's `_metadata.row_index`
+    // (ORC exposes no row-index metadata column) — adopted non-parquet
+    // tables stay append-only through this engine; fail here, before a
+    // parquet read of non-parquet bytes produces a decoder error
+    if (layout.dataFormat != "parquet")
+      throw new UnsupportedOperationException(
+        s"${layout.dataLocation} has ${layout.dataFormat} data files; " +
+          "positional writes need parquet's _metadata.row_index — " +
+          "non-parquet tables take appends only (compact/rewrite to " +
+          "parquet for row-level writes)")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       layout.schemaDdl.getOrElse(throw new IllegalStateException(
         s"manifest with no recorded schema at ${layout.dataLocation}")))
@@ -3537,9 +3573,11 @@ object CatalogIO {
     // metadata records the data format (per-entry for mixed), INSERT
     // INTO appends parquet entries onto the ORC/avro base (the
     // Hive-migration life cycle), and the scan faces already dispatch
-    // per format group. Mutations that need parquet machinery on every
-    // file (deletes, renames) keep refusing via the layout invariants;
-    // compaction rewrites everything as parquet and clears the mix.
+    // per format group. ORC tables adopt WITH live deletes (the
+    // counting-read MOR machinery serves them; appends then refuse
+    // until compaction so the layout never goes mixed+deletes); avro/
+    // mixed + deletes and non-parquet renames keep refusing via the
+    // layout invariants; compaction rewrites everything as parquet.
     // v3 row lineage does not survive adoption (the engine's manifests
     // carry no first_row_id) — drop it rather than serve stale ids.
     val raw = raw0.copy(dataFileLineage = None)

@@ -108,9 +108,16 @@ object IcebergExport {
     * new snapshot records `parent-snapshot-id` and the next sequence
     * number; a new `vN.metadata.json` is written next to the old one.
     * Returns the new metadata location. `df`'s schema must equal the
-    * table's (append never evolves the schema). */
+    * table's (append never evolves the schema). `fileFormat` (round 16:
+    * parquet or orc — avro appends would need the native writer's
+    * stats-in-the-write-pass plumbing threaded here) selects the
+    * appended files' on-disk format; appending parquet onto an ORC
+    * base is the Hive-migration mixed shape, orc-onto-orc stays
+    * homogeneous. */
   def appendSnapshot(spark: SparkSession, df: DataFrame,
-      metadataLocation: String): String = {
+      metadataLocation: String, fileFormat: String = "parquet"): String = {
+    require(fileFormat == "parquet" || fileFormat == "orc",
+      s"appendSnapshot writes parquet or orc data files, got '$fileFormat'")
     val st = loadState(spark, metadataLocation)
     require(df.schema == st.sparkSchema,
       s"appendSnapshot schema ${df.schema.toDDL} does not match the " +
@@ -121,10 +128,10 @@ object IcebergExport {
     // is exact (no listing diff), and file names can never collide
     val rel = s"data/s$seq-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(st.root, rel)
-    df.write.parquet(dataDir.toString)
+    df.write.format(fileFormat).save(dataDir.toString)
     val (entry, rowCount, dataBytes) = writeDataManifest(spark, st.fs,
       st.metaDir, st.location, st.sparkSchema, st.fieldIds, dataDir, rel,
-      snapshotId, seq, treeOverride = Some(st.tree))
+      snapshotId, seq, fileFormat, treeOverride = Some(st.tree))
     commitSnapshot(st, snapshotId, seq, "append", st.priorEntries :+ entry,
       addedRows = rowCount,
       summaryCounts = Map("added-data-files" -> entry.addedFiles.toLong,

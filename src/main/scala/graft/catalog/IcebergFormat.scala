@@ -373,12 +373,18 @@ object IcebergFormat {
     val deleteFiles = readDeleteManifests(
       manifestPaths.map(t => (t._1, t._2, t._3)), conf, location,
       relativize, intSeq, entrySeq, nameById, dataRelSet, metadataLocation, fv)
-    if (dataFormat != "parquet" && deleteFiles.nonEmpty)
+    // round 16: ORC joins parquet under live deletes — position
+    // application is a whole-file COUNTING read (graft.sources.MorScan),
+    // sound for any in-order file source with pushdown withheld, and
+    // both stock readers qualify. The engine's own avro reader and the
+    // mixed-format composite do not route through that wrapper, so those
+    // combinations still refuse.
+    if (dataFormat != "parquet" && dataFormat != "orc" && deleteFiles.nonEmpty)
       throw new UnsupportedOperationException(
         s"Iceberg metadata $metadataLocation: $dataFormat data files " +
-          "with live delete files — position-addressed delete " +
-          "application needs parquet's row-index metadata; compact the " +
-          "table (materialize the deletes) first")
+          "with live delete files — delete application runs through the " +
+          "stock parquet/ORC file sources only; compact the table " +
+          "(materialize the deletes) first")
     // v3 initial-defaults → per-file FILL sets: a default applies to a
     // file iff the file LACKS the column. Manifest stats keyed by the
     // field id prove presence for free; only the remaining files pay a

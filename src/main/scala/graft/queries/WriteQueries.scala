@@ -735,6 +735,83 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(tmp)
     }
 
+  /** w21 (round 16): ORC merge-on-read under the oracle — the r15
+    * "ORC + live deletes" refusal lifted. The engine writes a TWO-file
+    * ORC Iceberg table (one file per `k` parity, each totally ordered by
+    * (k, ln, qty, rf), so a file's row positions are its per-parity
+    * ranks), commits ONE delete snapshot carrying parquet POSITIONAL
+    * deletes (even ranks 10..99, odd ranks 0..2 — a two-file address
+    * set, so the untargeted per-task suffix-matching path runs) AND an
+    * EQUALITY delete on `k ∈ {2, 3, 5}`, then reads the final state
+    * through BOTH faces: the DSv2 SQL face ([[graft.sources
+    * .GraftMorTable]] over Spark's OrcScan — whole-file counting reads,
+    * data filters withheld for counting soundness and re-applied above)
+    * and the library DataFrame face ([[graft.sources.MorRead]] — ORC has
+    * no `_metadata.row_index`, so it shares the SAME DSv2 machinery).
+    * Relationally a per-parity ROW_NUMBER filter plus a NOT IN,
+    * replayed once per face. */
+  def w21(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w21") { (cat, hc) =>
+      import graft.catalog.{CatalogIO, IcebergExport, TableRef}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w21-ice").toString
+      try {
+        import spark.implicits._
+        val base = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("k"),
+            col("l_linenumber").as("ln"),
+            col("l_quantity").cast("long").as("qty"),
+            col("l_returnflag").as("rf"))
+        // two ONE-file snapshots (w12's construction), each totally
+        // ordered by the full projected row — ORC appends via
+        // appendSnapshot(fileFormat = "orc") keep the table homogeneous
+        def paritySlice(par: Int) =
+          base.filter(col("k") % 2 === par).repartition(1)
+            .sortWithinPartitions("k", "ln", "qty", "rf")
+        val metaA = IcebergExport.writeTable(spark, paritySlice(0),
+          s"$tmp/t", fileFormat = "orc")
+        val meta1 = IcebergExport.appendSnapshot(spark, paritySlice(1),
+          metaA, fileFormat = "orc")
+        val conf = spark.sessionState.newHadoopConf()
+        val layout0 = CatalogIO.readLayout(meta1, conf)
+        require(layout0.dataFormat == "orc",
+          s"w21: expected a homogeneous orc layout, got ${layout0.dataFormat}")
+        // snapshot 1's file is data/part-*, snapshot 2's data/s2-*
+        val byParity: Map[Long, String] =
+          layout0.dataFiles.get.zip(layout0.absoluteDataFiles.get).map {
+            case (rel, abs) if rel.startsWith("data/part") => 0L -> abs
+            case (rel, abs) if rel.startsWith("data/s2-") => 1L -> abs
+            case (rel, _) => throw new IllegalStateException(
+              s"w21: unexpected data file $rel")
+          }.toMap
+        require(byParity.size == 2,
+          s"w21: expected 2 one-parity files, got ${layout0.dataFiles.get}")
+        val meta2 = IcebergExport.appendDeletes(spark, meta1,
+          positional = Some(
+            ((10L to 99L).map(p => (byParity(0L), p)) ++
+              (0L to 2L).map(p => (byParity(1L), p)))
+              .toDF("file_path", "pos")),
+          equality = Some(Seq(2L, 3L, 5L).toDF("k")))
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        val ref = TableRef.parse("db.orc_mor")
+        hc.registerTable(ref, meta2)
+        val sqlFace = spark.sql(
+          s"""SELECT 'sql' AS face, rf, COUNT(*) AS cnt,
+             |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.orc_mor WHERE k <= 30000
+             |GROUP BY rf""".stripMargin)
+        val dfFace = CatalogIO.readTable(spark, hc, ref)
+          .filter(col("k") <= 30000)
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"),
+            sum(col("qty")).as("qty_sum"))
+          .select(lit("df").as("face"), col("rf"), col("cnt"),
+            col("k_sum"), col("qty_sum"))
+        val out = sqlFace.unionByName(dfFace)
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w02 (round 9): the MERGE-ON-READ write surface under the oracle —
     * the counterpart of w01's copy-on-write faces. Builds a partitioned
     * table, then commits the O(batch) mutation sequence:

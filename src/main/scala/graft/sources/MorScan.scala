@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.broadcast.Broadcast
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Expression, UnsafeProjection}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability}
@@ -15,7 +15,9 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.FilePartition
-import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.execution.datasources.v2.{FileScan, FileScanBuilder}
+import org.apache.spark.sql.execution.datasources.v2.orc.OrcScanBuilder
+import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetScanBuilder
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.{DataType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -111,23 +113,29 @@ final class GraftMorTable(delegate: Table with SupportsRead,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     delegate.newScanBuilder(options) match {
-      case p: ParquetScanBuilder =>
-        new MorScanBuilder(p, keyFields, layout, hadoopOpts, eqOverflow)
-      // both wrappable tables (ParquetTable, ManifestFileTable) build
-      // ParquetScanBuilders; anything else would serve raw files WITHOUT
+      // parquet and ORC delegates are both sound here: delete
+      // application is a whole-file COUNTING read (positions are file
+      // row indexes, recovered by counting an in-order, pushdown-free
+      // read), which neither format's reader breaks when no filter or
+      // aggregate is pushed. The wrappable tables (ParquetTable,
+      // OrcTable, ManifestFileTable over either) all build
+      // FileScanBuilders; anything else would serve raw files WITHOUT
       // delete application — resurrecting deleted rows silently. Refuse.
+      case f @ (_: ParquetScanBuilder | _: OrcScanBuilder) =>
+        new MorScanBuilder(f.asInstanceOf[FileScanBuilder], keyFields,
+          layout, hadoopOpts, eqOverflow)
       case other => throw new IllegalStateException(
-        s"merge-on-read wrapper needs a ParquetScanBuilder delegate, got " +
-          s"${other.getClass.getName} for ${delegate.name}")
+        s"merge-on-read wrapper needs a parquet or ORC FileScanBuilder " +
+          s"delegate, got ${other.getClass.getName} for ${delegate.name}")
     }
 }
 
-/** Delegates pruning and filter pushdown to Spark's ParquetScanBuilder,
-  * widening the pruned schema with the delete-key columns; `build()`
-  * wraps the scan with the delete-applying machinery. Aggregate pushdown
-  * is deliberately not implemented (a footer COUNT would count deleted
-  * rows). */
-private final class MorScanBuilder(delegate: ParquetScanBuilder,
+/** Delegates pruning and filter pushdown to Spark's file-source scan
+  * builder (parquet or ORC), widening the pruned schema with the
+  * delete-key columns; `build()` wraps the scan with the delete-applying
+  * machinery. Aggregate pushdown is deliberately not implemented (a
+  * footer/stripe-computed COUNT would count deleted rows). */
+private final class MorScanBuilder(delegate: FileScanBuilder,
     keyFields: Seq[StructField], layout: TableLayout,
     hadoopOpts: Map[String, String], eqOverflow: Boolean) extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownCatalystFilters {
@@ -174,7 +182,7 @@ private final class MorScanBuilder(delegate: ParquetScanBuilder,
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
 
   override def build(): Scan =
-    new MorScan(delegate.build().asInstanceOf[ParquetScan],
+    new MorScan(delegate.build().asInstanceOf[FileScan],
       requested, layout, hadoopOpts, eqOverflow)
 }
 
@@ -324,6 +332,17 @@ private object MorScan {
         s"merge-on-read scan of ${layout.dataLocation}: over-threshold " +
           "equality deletes alongside un-materialized column renames; " +
           "compact the table first")
+    // the spill join captures row addresses via `_metadata.row_index`,
+    // which Spark's file sources expose for PARQUET only (OrcFileFormat
+    // keeps the base metadata fields) — over-threshold equality deletes
+    // on an ORC table have no degrade path here
+    if (layout.dataFormat != "parquet")
+      throw new MorDeleteOverflowException(
+        s"merge-on-read scan of ${layout.dataLocation}: equality-delete " +
+          s"tuples exceed spark.graft.mor.maxDeleteTuples and the data " +
+          s"files are ${layout.dataFormat} — the positional degrade path " +
+          "needs parquet's _metadata.row_index; compact the table " +
+          "(materializing the deletes) or raise the threshold explicitly")
     val schema = StructType.fromDDL(layout.schemaDdl.getOrElse(
       throw new IllegalStateException(
         s"merge-on-read layout without a recorded schema at ${layout.dataLocation}")))
@@ -488,12 +507,13 @@ private object MorScan {
   }
 }
 
-/** The delete-applying scan: re-plans the delegate parquet scan's file
-  * slices into delete-GROUPS (files sharing an applicable delete set),
-  * probes each row of an affected group against its group's broadcast
-  * tuple sets, and projects the widened rows back to the schema Spark
-  * requested. Equality delegates (scan-reuse dedup stays sound). */
-private final class MorScan(private val delegate: ParquetScan,
+/** The delete-applying scan: re-plans the delegate file scan's (parquet
+  * or ORC) file slices into delete-GROUPS (files sharing an applicable
+  * delete set), probes each row of an affected group against its group's
+  * broadcast tuple sets, and projects the widened rows back to the
+  * schema Spark requested. Equality delegates (scan-reuse dedup stays
+  * sound). */
+private final class MorScan(private val delegate: FileScan,
     requested: Option[StructType], private val layout: TableLayout,
     hadoopOpts: Map[String, String], eqOverflow: Boolean)
   extends Scan with Batch {
@@ -910,4 +930,104 @@ private final class MorRowReader(inner: PartitionReader[InternalRow],
 
   override def get(): InternalRow = current
   override def close(): Unit = inner.close()
+}
+
+/** The DataFrame face of a delete-live ORC layout (round 16): the SAME
+  * DSv2 merge-on-read machinery the SQL face plans — whole-file counting
+  * reads, broadcast equality probes, per-task positional/DV decode —
+  * handed to `spark.read.format(...)` through [[MorTableProvider]]'s
+  * one-shot registry (the [[AvroRead.dataFrame]] bridge pattern).
+  * Parquet layouts keep CatalogIO's join-based DataFrame path: it
+  * captures row addresses via `_metadata.row_index`, which Spark's file
+  * sources expose for parquet ONLY — this route exists precisely because
+  * ORC has no such column. */
+object MorRead {
+  def dataFrame(spark: SparkSession, layout: TableLayout,
+      options: Map[String, String]): DataFrame = {
+    val files = layout.absoluteDataFiles.getOrElse(
+      throw new IllegalStateException(
+        s"merge-on-read DataFrame read of a manifest-less layout at " +
+          layout.dataLocation))
+    val name = s"graft-mor-df(${layout.dataFormat}, ${files.size} files)"
+    // manifest-planned when sizes are complete (zero listing calls),
+    // else Spark's listing-backed table for the layout's format
+    val base: Table with SupportsRead =
+      ManifestFileIndex.tableFor(name, spark, options, layout).getOrElse {
+        val opts = new CaseInsensitiveStringMap(
+          (options + ("basePath" -> layout.dataLocation)).asJava)
+        val schema = layout.schemaDdl
+          .map(org.apache.spark.sql.types.StructType.fromDDL)
+        layout.dataFormat match {
+          case "orc" => org.apache.spark.sql.execution.datasources.v2.orc
+            .OrcTable(name, spark, opts, files, schema,
+              classOf[org.apache.spark.sql.execution.datasources.orc.OrcFileFormat])
+          case other => throw new IllegalStateException(
+            s"MorRead.dataFrame serves non-parquet counting-read layouts; " +
+              s"got $other for ${layout.dataLocation}")
+        }
+      }
+    val key = MorTableProvider.register(
+      new GraftMorTable(base, layout, options))
+    // deregister on the failure path so a failed load() cannot strand
+    // the table (layout + file list + session ref) for the driver's life
+    try spark.read.format(classOf[MorTableProvider].getName)
+      .option(MorTableProvider.PlanKey, key).load()
+    catch {
+      case e: Throwable =>
+        MorTableProvider.deregister(key)
+        throw e
+    }
+  }
+}
+
+/** DSv2 TableProvider serving a driver-side prepared [[GraftMorTable]]
+  * by one-shot registry key — see [[MorRead.dataFrame]]. */
+final class MorTableProvider
+  extends org.apache.spark.sql.connector.catalog.TableProvider {
+  import MorTableProvider._
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    lookup(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    take(new CaseInsensitiveStringMap(properties))
+
+  override def supportsExternalMetadata(): Boolean = false
+}
+
+object MorTableProvider {
+  /** Option key carrying the registry handle. */
+  val PlanKey = "graft.mor.plan"
+
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[String, GraftMorTable]()
+
+  private[sources] def register(t: GraftMorTable): String = {
+    val k = java.util.UUID.randomUUID().toString
+    registry.put(k, t)
+    k
+  }
+
+  /** Failure-path cleanup (idempotent — `load()` may already have
+    * consumed the key before failing). */
+  private[sources] def deregister(key: String): Unit = registry.remove(key)
+
+  private[sources] def registrySize: Int = registry.size()
+
+  private def lookup(options: CaseInsensitiveStringMap): GraftMorTable = {
+    val k = options.get(PlanKey)
+    val t = if (k == null) null else registry.get(k)
+    if (t == null) throw new IllegalStateException(
+      "MorTableProvider is driver-internal: construct reads through " +
+        "graft.sources.MorRead.dataFrame, not spark.read.format(...)")
+    t
+  }
+
+  /** `getTable` consumes the key (one `load()` per registration). */
+  private def take(options: CaseInsensitiveStringMap): GraftMorTable = {
+    val t = lookup(options)
+    registry.remove(options.get(PlanKey))
+    t
+  }
 }

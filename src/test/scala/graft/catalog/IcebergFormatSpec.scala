@@ -201,23 +201,151 @@ class IcebergFormatSpec extends AnyFunSuite {
       e.getMessage)
   }
 
-  test("ORC data with live delete files refuses loudly (addressing needs parquet)") {
+  test("ORC merge-on-read (round 16): live positional AND equality deletes " +
+    "serve exact values on both faces; the r15 refusal is lifted") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
     val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tdel"
+    // deterministic row→file→position mapping: range-partitioned by id,
+    // sorted within each file
+    val metaLoc = IcebergExport.writeTable(spark,
+      sampleDf.repartitionByRange(3, col("id")).sortWithinPartitions("id"),
+      dir, fileFormat = "orc")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val layout0 = CatalogIO.readLayout(metaLoc, conf)
+    assert(layout0.dataFormat == "orc")
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(layout0.schemaDdl.get)
+    val absFiles = layout0.absoluteDataFiles.get
+    def minId(p: String): Long =
+      spark.read.schema(schema).orc(p)
+        .agg(org.apache.spark.sql.functions.min("id")).head.getLong(0)
+    val sorted = absFiles.sortBy(minId)
+    val (fileA, fileB) = (sorted.head, sorted(1))
+    // positions 0..3 of A and 0 of B = their smallest ids (in-file order
+    // is the id order by construction)
+    val posDeletedIds =
+      spark.read.schema(schema).orc(fileA).orderBy("id")
+        .limit(4).select("id").collect().map(_.getLong(0)).toSet ++
+      spark.read.schema(schema).orc(fileB).orderBy("id")
+        .limit(1).select("id").collect().map(_.getLong(0)).toSet
+    val eqIds = Set(42L, 250L)
+    // positional delete #1: targeted via referenced_data_file; #2
+    // untargeted (per-task suffix matching); equality delete on id
+    val pdA = new Path(dir, "deletes/pd-a.parquet")
+    writeParquetFile((0L to 3L).map(p => (fileA, p)).toDF("file_path", "pos"), pdA)
+    val pdB = new Path(dir, "deletes/pd-b.parquet")
+    writeParquetFile(Seq((fileB, 0L)).toDF("file_path", "pos"), pdB)
+    val eqD = new Path(dir, "deletes/eq-ids.parquet")
+    writeParquetFile(eqIds.toSeq.toDF("id"), eqD)
+    spliceDeleteManifest(dir, metaLoc, Seq(
+      DelFile(1, fs.makeQualified(pdA).toString, 4, 2L,
+        referenced = Some(fileA)),
+      DelFile(1, fs.makeQualified(pdB).toString, 1, 2L),
+      DelFile(2, fs.makeQualified(eqD).toString, eqIds.size, 2L,
+        equalityIds = Seq(1))))
+    val layout = CatalogIO.readLayout(metaLoc, conf)
+    assert(layout.dataFormat == "orc" && layout.deleteFiles.size == 3)
+    val deleted = posDeletedIds ++ eqIds
+    val expected = sampleDf.filter(!col("id").isin(deleted.toSeq: _*))
+    // DataFrame face — ORC has no `_metadata.row_index`, so this routes
+    // through the DSv2 counting-read machinery (MorRead), not the
+    // parquet join path
+    val df = CatalogIO.scanMetadataLocation(spark, metaLoc)
+    assert(df.count() == 300 - deleted.size)
+    assert(df.exceptAll(expected).isEmpty && expected.exceptAll(df).isEmpty,
+      "ORC merge-on-read scan must equal the logical row set exactly")
+    // SQL face: GraftMorTable over the ORC delegate
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-orc-mor") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.omor"), metaLoc)
+      val sqlDf = spark.sql(s"SELECT * FROM $cat.db.omor")
+      assert(sqlDf.count() == 300 - deleted.size)
+      assert(sqlDf.exceptAll(expected).isEmpty && expected.exceptAll(sqlDf).isEmpty)
+      // VALUES at the deletion boundary: survivors adjacent to deleted
+      // positions serve their own rows, not position-shifted neighbors
+      val survivors = spark.sql(
+        s"SELECT name FROM $cat.db.omor WHERE id <= 10 ORDER BY id")
+        .collect().map(_.getString(0)).toSeq
+      assert(survivors ==
+        (1L to 10L).filterNot(deleted).map(i => s"name-$i"),
+        s"boundary survivors read wrong values: $survivors")
+      // a filtered read stays correct: data filters are withheld from
+      // the ORC scan (counting soundness) and re-applied above it
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.omor WHERE id <= 50")
+        .head.getLong(0) == (1L to 50L).count(!deleted.contains(_)))
+      // adoption with live deletes: the sequence rebase covers ORC too
+      val adoptedRef = TableRef.parse("db.oadopt")
+      CatalogIO.adoptIcebergTable(spark, hc, adoptedRef, metaLoc)
+      val aLayout = CatalogIO.readLayout(
+        hc.loadTableMetadataLocation(adoptedRef), conf)
+      assert(aLayout.dataFormat == "orc" && aLayout.deleteFiles.size == 3)
+      assert(aLayout.dataFileSeqs.exists(_.forall(_ < 0)) &&
+        aLayout.deleteFiles.forall(_.seq < 0))
+      val aDf = spark.table(s"$cat.db.oadopt")
+      assert(aDf.exceptAll(expected).isEmpty && expected.exceptAll(aDf).isEmpty)
+      // appends onto the adopted live-delete ORC table refuse LOUDLY:
+      // they would make the layout mixed-format + merge-on-read
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.db.oadopt VALUES " +
+          "(9999, 'x', 1.0, DATE'2024-01-01', 9999.25)")
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("mixed-format + merge-on-read"), msgs)
+    }
+  }
+
+  test("ORC + v3 deletion vectors: the puffin/roaring counting read serves ORC data files") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tdv-orc"
+    val metaLoc = IcebergExport.writeTable(spark,
+      sampleDf.repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      dir, fileFormat = "orc")
+    val conf = spark.sessionState.newHadoopConf()
+    val layout0 = CatalogIO.readLayout(metaLoc, conf)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(layout0.schemaDdl.get)
+    val fileA = layout0.absoluteDataFiles.get.minBy(p =>
+      spark.read.schema(schema).orc(p)
+        .agg(org.apache.spark.sql.functions.min("id")).head.getLong(0))
+    val dvDeletedIds = spark.read.schema(schema).orc(fileA).orderBy("id")
+      .limit(3).select("id").collect().map(_.getLong(0)).toSet
+    val meta2 = IcebergExport.appendDeletionVectors(spark, metaLoc,
+      Seq(0L, 1L, 2L).map(p => (fileA, p)).toDF("file_path", "pos"))
+    val expected = sampleDf.filter(!col("id").isin(dvDeletedIds.toSeq: _*))
+    val df = CatalogIO.scanMetadataLocation(spark, meta2)
+    assert(df.count() == 300 - dvDeletedIds.size)
+    assert(df.exceptAll(expected).isEmpty && expected.exceptAll(df).isEmpty,
+      "DV-over-ORC scan must equal the logical row set exactly")
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-orc-dv") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.odv"), meta2)
+      val sqlDf = spark.sql(s"SELECT * FROM $cat.db.odv")
+      assert(sqlDf.exceptAll(expected).isEmpty && expected.exceptAll(sqlDf).isEmpty)
+    }
+  }
+
+  test("ORC over-threshold equality deletes refuse loudly (no parquet row_index degrade path)") {
+    import spark.implicits._
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/teqo"
     val metaLoc = IcebergExport.writeTable(spark, sampleDf.coalesce(1), dir,
       fileFormat = "orc")
     val conf = spark.sessionState.newHadoopConf()
-    // a parquet equality-delete file over field id 1 (`id`)
-    import spark.implicits._
-    val delPath = new Path(dir, "data/eqdel-0.parquet")
-    writeParquetFile(Seq(1L, 2L).toDF("id"), delPath)
-    spliceDeleteManifest(dir, metaLoc, Seq(DelFile(content = 2,
-      absPath = delPath.getFileSystem(conf).makeQualified(delPath).toString,
-      rows = 2, seq = 2, equalityIds = Seq(1))))
-    val e = intercept[UnsupportedOperationException] {
-      CatalogIO.readLayout(metaLoc, conf)
-    }
-    assert(e.getMessage.contains("orc data files with live delete files"),
-      e.getMessage)
+    val eqD = new Path(dir, "deletes/eq-big.parquet")
+    writeParquetFile(Seq(1L, 2L, 3L).toDF("id"), eqD)
+    spliceDeleteManifest(dir, metaLoc, Seq(DelFile(2,
+      eqD.getFileSystem(conf).makeQualified(eqD).toString, 3, 2L,
+      equalityIds = Seq(1))))
+    spark.conf.set("spark.graft.mor.maxDeleteTuples", "1")
+    try {
+      val e = intercept[Exception] {
+        CatalogIO.scanMetadataLocation(spark, metaLoc).count()
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+      assert(msgs.contains("_metadata.row_index"), msgs)
+    } finally spark.conf.unset("spark.graft.mor.maxDeleteTuples")
   }
 
   test("an Iceberg table with AVRO data files reads end-to-end (native sync-split reader)") {
