@@ -239,11 +239,13 @@ object CatalogIO {
     require(dataFormat == "parquet" || dataFormat == "orc" ||
       dataFormat == "avro" || dataFormat == "mixed",
       s"unsupported data file format '$dataFormat' (parquet, orc, avro, or mixed)")
-    // renames need per-file parquet footer field ids (epoch machinery);
-    // deletes only need a whole-file counting read, which parquet AND
-    // ORC serve (round 16 — graft.sources.MorScan generalization)
-    require(dataFormat == "parquet" || renameOps.isEmpty,
-      "non-parquet layouts are rename-free (read-only interop)")
+    // renames resolve per-file physical names (epoch machinery) from
+    // parquet footer field ids or ORC schema attributes; deletes need a
+    // whole-file counting read, which parquet AND ORC serve (round 16 —
+    // the graft.sources.MorScan/EpochScan generalizations)
+    require(dataFormat == "parquet" || dataFormat == "orc" ||
+      renameOps.isEmpty,
+      "renames ride the parquet/ORC epoch scan only")
     require(dataFormat == "parquet" || dataFormat == "orc" ||
       deleteFiles.isEmpty,
       "live deletes ride the parquet/ORC counting read only")
@@ -1227,6 +1229,15 @@ object CatalogIO {
             s"${prior.deleteFiles.size} live delete file(s) would make " +
             "the layout mixed-format + merge-on-read, which no scan " +
             "here serves; compact the table (materializing the deletes) " +
+            "before appending")
+      // same reasoning for RENAMES (round 16, ORC rename epochs): the
+      // epoch scan serves homogeneous parquet/ORC only
+      if (fmt == "mixed" && prior.renameOps.nonEmpty && added > 0)
+        throw new UnsupportedOperationException(
+          s"appending parquet files to a ${prior.dataFormat} table with " +
+            s"${prior.renameOps.size} un-materialized column rename(s) " +
+            "would make the layout mixed-format + renamed, which no scan " +
+            "here serves; compact the table (materializing the renames) " +
             "before appending")
       if (fmt == "mixed") (fmt, Some(all)) else (fmt, None)
     }
@@ -2769,9 +2780,14 @@ object CatalogIO {
       // file sources expose for PARQUET only — ORC layouts route through
       // the DSv2 merge-on-read machinery instead (whole-file counting
       // reads, the exact scan the SQL face plans), so both faces share
-      // one delete-application implementation for ORC.
+      // one delete-application implementation for ORC. Rename-only ORC
+      // layouts (no deletes — the combination refuses upstream) route
+      // to the SAME epoch machinery the SQL face plans, for the same
+      // reason: the per-group read below is spark.read.parquet-shaped.
       case Some(_) if layout.seqGated && layout.dataFormat == "orc" =>
-        graft.sources.MorRead.dataFrame(spark, layout, options)
+        if (layout.deleteFiles.nonEmpty)
+          graft.sources.MorRead.dataFrame(spark, layout, options)
+        else graft.sources.EpochRead.dataFrame(spark, layout, options)
       case Some(filesWithSeqs) if layout.seqGated =>
         val eqDels = layout.absoluteEqDeleteFiles
         val schema = org.apache.spark.sql.types.StructType.fromDDL(

@@ -13,8 +13,11 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScan, ParquetScanBuilder, ParquetTable}
+import org.apache.spark.sql.execution.datasources.v2.{FileScan, FileScanBuilder}
+import org.apache.spark.sql.execution.datasources.v2.orc.{OrcScanBuilder, OrcTable}
+import org.apache.spark.sql.execution.datasources.v2.parquet.{ParquetScanBuilder, ParquetTable}
 import org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -32,11 +35,12 @@ import graft.catalog.CatalogIO.TableLayout
   * position-identical to the current schema — rows (and whole columnar
   * batches) pass through untouched. The only per-epoch work is at PLAN
   * time: the pruned schema and the pushed filters are translated into
-  * the epoch's physical names, one stock `ParquetScan` is built per
-  * epoch over that epoch's manifest slice, and the wrapper concatenates
-  * their partitions. Pushdown, vectorized reading, and codegen are all
-  * Spark's own; at 100 TB a rename stays a metadata-only commit and the
-  * scan stays one pass.
+  * the epoch's physical names, one stock file scan (parquet or ORC —
+  * round 16 generalized the seam exactly like [[GraftMorTable]]) is
+  * built per epoch over that epoch's manifest slice, and the wrapper
+  * concatenates their partitions. Pushdown, vectorized reading, and
+  * codegen are all Spark's own; at 100 TB a rename stays a
+  * metadata-only commit and the scan stays one pass.
   *
   * Epoch count is bounded by the number of RENAME commits since the
   * last compaction (typically 1-2); compaction rewrites everything
@@ -60,12 +64,13 @@ final class GraftEpochTable(spark: SparkSession, tableName: String,
         (m.map { case (k, v) => k.toLowerCase -> v }, fs.map(_._1))
       }
 
-  /** One stock parquet table per epoch, with that epoch's physical
-    * schema (current schema, names substituted — positions and types
-    * identical). Planned from the manifest when it carries complete
-    * sizes (round 11 — the same zero-listing win as every other scan
-    * path; each epoch's index holds exactly its file subset), else the
-    * listing-backed ParquetTable. */
+  /** One stock file table (the layout's format: parquet or ORC) per
+    * epoch, with that epoch's physical schema (current schema, names
+    * substituted — positions and types identical). Planned from the
+    * manifest when it carries complete sizes (round 11 — the same
+    * zero-listing win as every other scan path; each epoch's index
+    * holds exactly its file subset), else the listing-backed stock
+    * table. */
   private val epochTables: Seq[(Map[String, String], Table with SupportsRead)] = {
     val relByAbs = layout.absoluteDataFiles.getOrElse(Nil)
       .zip(layout.dataFiles.getOrElse(Nil)).toMap
@@ -82,12 +87,21 @@ final class GraftEpochTable(spark: SparkSession, tableName: String,
         else ManifestFileIndex.tableFor(s"$tableName@epoch", spark,
           hadoopOpts, layout, schemaOverride = Some(physSchema),
           fileSubset = Some(files.map(relByAbs)))
-      val table = manifest.getOrElse(
-        ParquetTable(s"$tableName@epoch", spark,
-          new CaseInsensitiveStringMap(
-            (hadoopOpts + ("basePath" -> layout.dataLocation)).asJava),
-          files, userSpecifiedSchema = Some(physSchema),
-          fallbackFileFormat = classOf[ParquetFileFormat]))
+      val table = manifest.getOrElse {
+        val opts = new CaseInsensitiveStringMap(
+          (hadoopOpts + ("basePath" -> layout.dataLocation)).asJava)
+        layout.dataFormat match {
+          case "parquet" => ParquetTable(s"$tableName@epoch", spark, opts,
+            files, userSpecifiedSchema = Some(physSchema),
+            fallbackFileFormat = classOf[ParquetFileFormat])
+          case "orc" => OrcTable(s"$tableName@epoch", spark, opts,
+            files, userSpecifiedSchema = Some(physSchema),
+            fallbackFileFormat = classOf[OrcFileFormat])
+          case other => throw new IllegalStateException(
+            s"renamed table $tableName has $other data files; the epoch " +
+              "scan serves parquet and ORC only")
+        }
+      }
       (m, table)
     }
   }
@@ -101,7 +115,15 @@ final class GraftEpochTable(spark: SparkSession, tableName: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EpochScanBuilder(epochTables.map { case (m, t) =>
-      (m, t.newScanBuilder(options).asInstanceOf[ParquetScanBuilder])
+      t.newScanBuilder(options) match {
+        // both stock builders share the FileScanBuilder pruning/pushdown
+        // seam; anything else would mis-serve physical names — refuse
+        case f @ (_: ParquetScanBuilder | _: OrcScanBuilder) =>
+          (m, f.asInstanceOf[FileScanBuilder])
+        case other => throw new IllegalStateException(
+          s"epoch scan needs a parquet or ORC FileScanBuilder delegate, " +
+            s"got ${other.getClass.getName} for $tableName")
+      }
     })
 }
 
@@ -111,7 +133,7 @@ final class GraftEpochTable(spark: SparkSession, tableName: String,
   * them post-scan — the per-epoch pushdown still prunes partitions,
   * row groups, and pages. */
 private final class EpochScanBuilder(
-    builders: Seq[(Map[String, String], ParquetScanBuilder)])
+    builders: Seq[(Map[String, String], FileScanBuilder)])
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters {
 
@@ -137,7 +159,7 @@ private final class EpochScanBuilder(
 
   override def build(): Scan =
     new EpochScan(builders.map { case (m, b) =>
-      (m, b.build().asInstanceOf[ParquetScan])
+      (m, b.build().asInstanceOf[FileScan])
     })
 }
 
@@ -151,7 +173,7 @@ private[sources] final case class EpochFilePartition(epoch: Int,
   * pass through untouched (position-identical layouts); readSchema maps
   * epoch 0's (pruned, physically-named) schema back to current names. */
 private final class EpochScan(
-    private val scans: Seq[(Map[String, String], ParquetScan)])
+    private val scans: Seq[(Map[String, String], FileScan)])
   extends Scan with Batch {
 
   // physical→current per epoch 0 (maps are current→physical, lowercased)
@@ -209,4 +231,18 @@ private final class EpochReaderFactory(inners: Array[PartitionReaderFactory])
     val ep = p.asInstanceOf[EpochFilePartition]
     inners(ep.epoch).supportColumnarReads(ep.files)
   }
+}
+
+/** The DataFrame face of a renamed non-parquet layout (round 16): the
+  * SAME epoch machinery the SQL face plans, handed to `spark.read` via
+  * [[MorTableProvider]]'s one-shot registry. Parquet layouts keep
+  * CatalogIO's per-group `spark.read.parquet` path (equivalent plans);
+  * this route exists for ORC rename epochs, which that path cannot
+  * serve. */
+object EpochRead {
+  def dataFrame(spark: SparkSession,
+      layout: graft.catalog.CatalogIO.TableLayout,
+      options: Map[String, String]): org.apache.spark.sql.DataFrame =
+    MorTableProvider.loadDataFrame(spark, new GraftEpochTable(spark,
+      s"graft-epoch-df(${layout.dataFormat})", layout, options))
 }

@@ -966,22 +966,14 @@ object MorRead {
               s"got $other for ${layout.dataLocation}")
         }
       }
-    val key = MorTableProvider.register(
+    MorTableProvider.loadDataFrame(spark,
       new GraftMorTable(base, layout, options))
-    // deregister on the failure path so a failed load() cannot strand
-    // the table (layout + file list + session ref) for the driver's life
-    try spark.read.format(classOf[MorTableProvider].getName)
-      .option(MorTableProvider.PlanKey, key).load()
-    catch {
-      case e: Throwable =>
-        MorTableProvider.deregister(key)
-        throw e
-    }
   }
 }
 
-/** DSv2 TableProvider serving a driver-side prepared [[GraftMorTable]]
-  * by one-shot registry key — see [[MorRead.dataFrame]]. */
+/** DSv2 TableProvider serving a driver-side prepared table (merge-on-
+  * read, epoch, …) by one-shot registry key — see [[MorRead.dataFrame]]
+  * and [[EpochRead.dataFrame]]. */
 final class MorTableProvider
   extends org.apache.spark.sql.connector.catalog.TableProvider {
   import MorTableProvider._
@@ -1001,9 +993,9 @@ object MorTableProvider {
   val PlanKey = "graft.mor.plan"
 
   private val registry =
-    new java.util.concurrent.ConcurrentHashMap[String, GraftMorTable]()
+    new java.util.concurrent.ConcurrentHashMap[String, Table with SupportsRead]()
 
-  private[sources] def register(t: GraftMorTable): String = {
+  private[sources] def register(t: Table with SupportsRead): String = {
     val k = java.util.UUID.randomUUID().toString
     registry.put(k, t)
     k
@@ -1015,17 +1007,34 @@ object MorTableProvider {
 
   private[sources] def registrySize: Int = registry.size()
 
-  private def lookup(options: CaseInsensitiveStringMap): GraftMorTable = {
+  /** One `load()` over a driver-side prepared table, registry key
+    * cleaned up on the failure path so a failed load() cannot strand
+    * the table (layout + file list + session ref) for the driver's
+    * life. */
+  private[sources] def loadDataFrame(spark: SparkSession,
+      t: Table with SupportsRead): DataFrame = {
+    val key = register(t)
+    try spark.read.format(classOf[MorTableProvider].getName)
+      .option(PlanKey, key).load()
+    catch {
+      case e: Throwable =>
+        deregister(key)
+        throw e
+    }
+  }
+
+  private def lookup(options: CaseInsensitiveStringMap): Table with SupportsRead = {
     val k = options.get(PlanKey)
     val t = if (k == null) null else registry.get(k)
     if (t == null) throw new IllegalStateException(
       "MorTableProvider is driver-internal: construct reads through " +
-        "graft.sources.MorRead.dataFrame, not spark.read.format(...)")
+        "graft.sources.MorRead.dataFrame / EpochRead.dataFrame, not " +
+        "spark.read.format(...)")
     t
   }
 
   /** `getTable` consumes the key (one `load()` per registration). */
-  private def take(options: CaseInsensitiveStringMap): GraftMorTable = {
+  private def take(options: CaseInsensitiveStringMap): Table with SupportsRead = {
     val t = lookup(options)
     registry.remove(options.get(PlanKey))
     t

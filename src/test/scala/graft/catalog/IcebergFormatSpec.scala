@@ -1573,6 +1573,126 @@ class IcebergFormatSpec extends AnyFunSuite {
     }
   }
 
+  /** Write one ORC file of two long columns at `target`, each column
+    * carrying an `iceberg.id` schema attribute (what Iceberg's own ORC
+    * writer records — public spec, Appendix A ORC mapping). */
+  private def writeOrcWithFieldIds(rows: Seq[(Long, Long)],
+      names: Seq[String], ids: Seq[Int], target: Path): Unit = {
+    import org.apache.orc.{OrcFile, TypeDescription}
+    import org.apache.hadoop.hive.ql.exec.vector.LongColumnVector
+    val schema = TypeDescription.createStruct()
+    names.zip(ids).foreach { case (n, id) =>
+      val c = TypeDescription.createLong()
+      c.setAttribute("iceberg.id", id.toString)
+      schema.addField(n, c)
+    }
+    val conf = spark.sessionState.newHadoopConf()
+    target.getFileSystem(conf).mkdirs(target.getParent)
+    val w = OrcFile.createWriter(target,
+      OrcFile.writerOptions(conf).setSchema(schema).overwrite(true))
+    val batch = schema.createRowBatch()
+    rows.foreach { case (a, b) =>
+      val r = batch.size; batch.size += 1
+      batch.cols(0).asInstanceOf[LongColumnVector].vector(r) = a
+      batch.cols(1).asInstanceOf[LongColumnVector].vector(r) = b
+      if (batch.size == batch.getMaxSize) { w.addRowBatch(batch); batch.reset() }
+    }
+    if (batch.size > 0) w.addRowBatch(batch)
+    w.close()
+  }
+
+  test("a renamed ORC table reads hash-identically: field ids from ORC schema attributes") {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(s"${Files.createTempDirectory("graft-iceberg").toString}/oren")
+    val fs = dir.getFileSystem(conf)
+    val loc = fs.makeQualified(dir).toString
+    // epoch 0: an ORC file written under the OLD name (iceberg.id 1, 2)
+    writeOrcWithFieldIds((1L to 50L).map(i => (i, i * 10L)),
+      Seq("k", "old_name"), Seq(1, 2), new Path(dir, "data/f-old.orc"))
+    // epoch 1: the NEW name, same field ids
+    writeOrcWithFieldIds((51L to 80L).map(i => (i, i * 10L)),
+      Seq("k", "new_name"), Seq(1, 2), new Path(dir, "data/f-new.orc"))
+    val mSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val m = new Path(dir, "metadata/m-oren.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
+    w.create(mSchema, fs.create(m, true))
+    Seq("data/f-old.orc", "data/f-new.orc").foreach { rel =>
+      val abs = new Path(dir, rel)
+      val d = new GenericData.Record(mSchema.getField("data_file").schema())
+      d.put("file_path", fs.makeQualified(abs).toString)
+      d.put("file_format", "ORC")
+      d.put("record_count", 0L)
+      d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
+      val r = new GenericData.Record(mSchema)
+      r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
+      w.append(r)
+    }
+    w.close()
+    val metaP = new Path(dir, "metadata/oren.metadata.json")
+    val out = fs.create(metaP, true)
+    try out.write(
+      s"""{"format-version": 1, "location": "$loc",
+         |"schemas": [
+         |  {"type": "struct", "schema-id": 0, "fields": [
+         |    {"id": 1, "name": "k", "required": false, "type": "long"},
+         |    {"id": 2, "name": "old_name", "required": false, "type": "long"}]},
+         |  {"type": "struct", "schema-id": 1, "fields": [
+         |    {"id": 1, "name": "k", "required": false, "type": "long"},
+         |    {"id": 2, "name": "new_name", "required": false, "type": "long"}]}],
+         |"current-schema-id": 1,
+         |"current-snapshot-id": 7,
+         |"snapshots": [{"snapshot-id": 7, "schema-id": 1,
+         |  "manifests": ["${fs.makeQualified(m)}"]}]}""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val layout = CatalogIO.readLayout(metaP.toString, conf)
+    assert(layout.dataFormat == "orc")
+    assert(layout.renameOps.nonEmpty, "expected synthesized rename ops")
+    assert(layout.dataFileSeqs.exists(_.distinct.size == 2),
+      "expected two file epochs")
+    // DataFrame face: the EpochRead bridge serves the SAME epoch
+    // machinery the SQL face plans (values, not just counts)
+    val expected = (1L to 80L).map(i => s"$i|${i * 10}").sorted
+    val df = CatalogIO.scanMetadataLocation(spark, metaP.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "new_name"))
+    assert(df.collect().map(_.mkString("|")).sorted.toSeq == expected)
+    // SQL face: epoch scan over Spark's OrcScan, filters and pruning
+    // crossing the rename boundary
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-iceberg-oren") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.oren"), metaP.toString)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.oren").head.getLong(0) == 80)
+      assert(spark.sql(
+        s"SELECT sum(new_name) FROM $cat.db.oren WHERE new_name <= 600")
+        .head.getLong(0) == (1L to 60L).map(_ * 10).sum)
+      assert(spark.sql(s"SELECT new_name FROM $cat.db.oren ORDER BY new_name DESC LIMIT 1")
+        .head.getLong(0) == 800L)
+      // adoption carries the rename epochs (seqs rebase below zero),
+      // reads keep working — but a parquet INSERT would go
+      // mixed-format + renamed, which no scan serves: refuse loudly
+      val ref2 = TableRef.parse("db.oren_ad")
+      CatalogIO.adoptIcebergTable(spark, hc, ref2, metaP.toString)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.oren_ad")
+        .head.getLong(0) == 80)
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.db.oren_ad VALUES (1000, 123)")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("mixed-format + renamed")),
+        s"expected the mixed+renamed refusal, got: ${msgs(e).mkString(" | ")}")
+    }
+  }
+
   test("rename via name-mapping: an exported (id-less) table renamed afterwards still reads") {
     // the spec's OTHER resolution path: files without parquet field ids
     // resolve through schema.name-mapping.default — the export writer
