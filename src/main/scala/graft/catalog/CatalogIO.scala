@@ -2947,7 +2947,35 @@ object CatalogIO {
     * face falls back to a shuffled anti join instead of refusing,
     * because it is compaction's own read path: the escape hatch the
     * refusal message points at must itself work at any delete size. */
-  /** Footer-derived (schema field names, row count) per DELETE FILE,
+  /** DELETE-file on-disk format, resolved from the file's MAGIC bytes
+    * (parquet files open with `PAR1`, ORC with `ORC`) and cached
+    * JVM-wide: read sites receive bare paths (task-side partitions,
+    * layout path lists), and the magic is the ground truth the manifest
+    * `file_format` claims to describe. Only formats the manifest gate
+    * ([[IcebergFormat.readDeleteManifests]]) admits ever reach here, so
+    * an unrecognized magic is corruption — refuse loudly. */
+  private[graft] object DeleteFileFormat {
+    private val cache =
+      scala.collection.concurrent.TrieMap.empty[String, String]
+    def of(p: String, conf: Configuration): String =
+      cache.getOrElseUpdate(p, {
+        val path = new Path(p)
+        val in = path.getFileSystem(conf).open(path)
+        try {
+          val b = new Array[Byte](4)
+          in.readFully(0L, b)
+          if (b(0) == 'P' && b(1) == 'A' && b(2) == 'R' && b(3) == '1') "parquet"
+          else if (b(0) == 'O' && b(1) == 'R' && b(2) == 'C') "orc"
+          else throw new UnsupportedOperationException(
+            s"delete file $p is neither parquet nor ORC " +
+              s"(magic ${b.map(x => f"$x%02x").mkString(" ")}) — the file " +
+              "is corrupt or its manifest file_format lies")
+        } finally in.close()
+      })
+  }
+
+  /** Footer-derived (schema field names, row count) per DELETE FILE
+    * (parquet footer or ORC file tail — round 16, ORC delete files),
     * cached JVM-wide by path: delete files are immutable (UUID-named,
     * never rewritten), yet every plan of a MOR table needs their
     * schemas/counts — without the cache a table near the tuple
@@ -2958,17 +2986,40 @@ object CatalogIO {
     private val cache =
       scala.collection.concurrent.TrieMap.empty[String, (Vector[String], Long)]
     def of(p: String, conf: Configuration): (Vector[String], Long) =
-      cache.getOrElseUpdate(p, {
-        val r = org.apache.parquet.hadoop.ParquetFileReader.open(
-          org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf))
-        try {
-          import scala.jdk.CollectionConverters._
-          val md = r.getFooter
-          (md.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toVector,
-            md.getBlocks.asScala.map(_.getRowCount).sum)
-        } finally r.close()
+      cache.getOrElseUpdate(p, DeleteFileFormat.of(p, conf) match {
+        case "orc" =>
+          val r = org.apache.orc.OrcFile.createReader(new Path(p),
+            org.apache.orc.OrcFile.readerOptions(conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            (r.getSchema.getFieldNames.asScala.toVector, r.getNumberOfRows)
+          } finally r.close()
+        case _ =>
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(
+            org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf))
+          try {
+            import scala.jdk.CollectionConverters._
+            val md = r.getFooter
+            (md.getFileMetaData.getSchema.getFields.asScala.map(_.getName).toVector,
+              md.getBlocks.asScala.map(_.getRowCount).sum)
+          } finally r.close()
       })
     def countOf(p: String, conf: Configuration): Long = of(p, conf)._2
+  }
+
+  /** Read delete-file TUPLES through the format the file actually is
+    * (magic-sniffed) — one reader per format group, since a table's
+    * delete set may mix parquet (the engine's own) with ORC (a real
+    * Iceberg ORC table's `write.delete.format`). */
+  private[graft] def readDeleteFiles(spark: SparkSession,
+      options: Map[String, String], paths: Seq[String],
+      conf: Configuration): DataFrame = {
+    val byFmt = paths.distinct.groupBy(DeleteFileFormat.of(_, conf))
+      .toSeq.sortBy(_._1)
+    byFmt.map { case (fmt, ps) =>
+      val r = spark.read.options(options)
+      if (fmt == "orc") r.orc(ps: _*) else r.parquet(ps: _*)
+    }.reduce(_ unionByName _)
   }
 
   private[graft] def applyEqualityDeletes(spark: SparkSession,
@@ -2991,7 +3042,7 @@ object CatalogIO {
       .map(_.toLong).getOrElse(4000000L)
     val tupleCount = deletePaths.distinct.map(p => footer(p)._2).sum
     bySchema.foldLeft(data) { case (acc, (cols, paths)) =>
-      val del = spark.read.options(options).parquet(paths: _*)
+      val del = readDeleteFiles(spark, options, paths, conf)
       // cast tuple columns to the data schema's types: the tuples were
       // written FROM those columns, but a defensive cast keeps the join
       // keys type-identical even across schema evolution
@@ -3192,7 +3243,7 @@ object CatalogIO {
       DeleteFileFooters.of(p, conf)._1.contains("file_path")
     }
     val fromParquet = byStyle.toSeq.sortBy(_._1).map { case (iceberg, paths) =>
-      val raw = spark.read.options(options).parquet(paths: _*)
+      val raw = readDeleteFiles(spark, options, paths, conf)
       if (iceberg)
         raw.select(
           relativizeFileColumn(col("file_path"), dataLocation, conf)

@@ -109,15 +109,17 @@ object IcebergExport {
     * number; a new `vN.metadata.json` is written next to the old one.
     * Returns the new metadata location. `df`'s schema must equal the
     * table's (append never evolves the schema). `fileFormat` (round 16:
-    * parquet or orc — avro appends would need the native writer's
-    * stats-in-the-write-pass plumbing threaded here) selects the
-    * appended files' on-disk format; appending parquet onto an ORC
-    * base is the Hive-migration mixed shape, orc-onto-orc stays
-    * homogeneous. */
+    * parquet, orc, or avro — avro appends route through the native
+    * writer with the LOADED table's id tree, so manifest stats come
+    * from the write pass and nested member ids stay the verbatim ids
+    * the existing files carry) selects the appended files' on-disk
+    * format; appending parquet onto an ORC base is the Hive-migration
+    * mixed shape, orc-onto-orc stays homogeneous. */
   def appendSnapshot(spark: SparkSession, df: DataFrame,
       metadataLocation: String, fileFormat: String = "parquet"): String = {
-    require(fileFormat == "parquet" || fileFormat == "orc",
-      s"appendSnapshot writes parquet or orc data files, got '$fileFormat'")
+    require(fileFormat == "parquet" || fileFormat == "orc" ||
+      fileFormat == "avro",
+      s"appendSnapshot writes parquet, orc, or avro data files, got '$fileFormat'")
     val st = loadState(spark, metadataLocation)
     require(df.schema == st.sparkSchema,
       s"appendSnapshot schema ${df.schema.toDDL} does not match the " +
@@ -128,10 +130,16 @@ object IcebergExport {
     // is exact (no listing diff), and file names can never collide
     val rel = s"data/s$seq-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(st.root, rel)
-    df.write.format(fileFormat).save(dataDir.toString)
+    val avroResults =
+      if (fileFormat != "avro") {
+        df.write.format(fileFormat).save(dataDir.toString); None
+      } else Some(graft.sources.AvroWrite.write(df, dataDir, st.fieldIds,
+        new org.apache.spark.util.SerializableConfiguration(
+          spark.sessionState.newHadoopConf()),
+        tree = Some(st.tree)))
     val (entry, rowCount, dataBytes) = writeDataManifest(spark, st.fs,
       st.metaDir, st.location, st.sparkSchema, st.fieldIds, dataDir, rel,
-      snapshotId, seq, fileFormat, treeOverride = Some(st.tree))
+      snapshotId, seq, fileFormat, avroResults, treeOverride = Some(st.tree))
     commitSnapshot(st, snapshotId, seq, "append", st.priorEntries :+ entry,
       addedRows = rowCount,
       summaryCounts = Map("added-data-files" -> entry.addedFiles.toLong,
@@ -197,9 +205,12 @@ object IcebergExport {
     * location. */
   def appendDeletes(spark: SparkSession, metadataLocation: String,
       positional: Option[DataFrame] = None,
-      equality: Option[DataFrame] = None): String = {
+      equality: Option[DataFrame] = None,
+      fileFormat: String = "parquet"): String = {
     require(positional.nonEmpty || equality.nonEmpty,
       "appendDeletes needs at least one delete set")
+    require(fileFormat == "parquet" || fileFormat == "orc",
+      s"appendDeletes writes parquet or orc delete files, got '$fileFormat'")
     val st = loadState(spark, metadataLocation)
     // the v3 spec forbids ADDING position delete files (deletion
     // vectors replace them); equality deletes remain legal
@@ -222,7 +233,7 @@ object IcebergExport {
       positional.foreach { pos =>
         require(pos.schema.fieldNames.toSeq == Seq("file_path", "pos"),
           s"positional deletes need (file_path, pos), got ${pos.schema.toDDL}")
-        val target = new Path(delDir, "pos-del-0.parquet")
+        val target = new Path(delDir, s"pos-del-0.$fileFormat")
         // repartition(1) first: the spec requires position delete files
         // GLOBALLY sorted by (file_path, pos) — a multi-partition
         // sortWithinPartitions would only be partition-wise sorted
@@ -231,7 +242,7 @@ object IcebergExport {
           pos.select(pos.col("file_path"),
             pos.col("pos").cast(LongType).as("pos"))
             .repartition(1).sortWithinPartitions("file_path", "pos"),
-          target)
+          target, fileFormat)
         val referenced = {
           val distinct = pos.select("file_path").distinct().collect()
           if (distinct.length == 1) Some(distinct(0).getString(0)) else None
@@ -239,7 +250,7 @@ object IcebergExport {
         val d = new GenericData.Record(dfSchema)
         d.put("content", 1)
         d.put("file_path", st.fs.makeQualified(target).toString)
-        d.put("file_format", "PARQUET")
+        d.put("file_format", fileFormat.toUpperCase(java.util.Locale.ROOT))
         d.put("partition", emptyPartition(dfSchema))
         d.put("record_count", n)
         d.put("file_size_in_bytes", st.fs.getFileStatus(target).getLen)
@@ -257,12 +268,12 @@ object IcebergExport {
             throw new IllegalArgumentException(
               s"equality-delete column $c is not a table column"))
         }
-        val target = new Path(delDir, "eq-del-0.parquet")
-        val n = writeSingleParquet(spark, eq, target)
+        val target = new Path(delDir, s"eq-del-0.$fileFormat")
+        val n = writeSingleParquet(spark, eq, target, fileFormat)
         val d = new GenericData.Record(dfSchema)
         d.put("content", 2)
         d.put("file_path", st.fs.makeQualified(target).toString)
-        d.put("file_format", "PARQUET")
+        d.put("file_format", fileFormat.toUpperCase(java.util.Locale.ROOT))
         d.put("partition", emptyPartition(dfSchema))
         d.put("record_count", n)
         d.put("file_size_in_bytes", st.fs.getFileStatus(target).getLen)
@@ -854,18 +865,20 @@ object IcebergExport {
   private def emptyPartition(dataFileSchema: Schema): GenericRecord =
     new GenericData.Record(dataFileSchema.getField("partition").schema())
 
-  /** Exact-path single-file parquet write (delete files are single
-    * objects the manifests reference by path). */
+  /** Exact-path single-file write (delete files are single objects the
+    * manifests reference by path); `format` is parquet or orc — round
+    * 16, real Iceberg ORC tables default `write.delete.format` to the
+    * table's format. */
   private def writeSingleParquet(spark: SparkSession, df: DataFrame,
-      target: Path): Long = {
+      target: Path, format: String = "parquet"): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val fs = target.getFileSystem(conf)
     val tmp = new Path(target.getParent,
       s".tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-    df.coalesce(1).write.parquet(tmp.toString)
+    df.coalesce(1).write.format(format).save(tmp.toString)
     val part = fs.listStatus(tmp).map(_.getPath)
-      .find(_.getName.endsWith(".parquet")).getOrElse(
-        throw new IllegalStateException(s"no parquet part written under $tmp"))
+      .find(_.getName.endsWith(s".$format")).getOrElse(
+        throw new IllegalStateException(s"no $format part written under $tmp"))
     fs.mkdirs(target.getParent)
     if (!fs.rename(part, target))
       throw new IllegalStateException(s"could not move $part to $target")

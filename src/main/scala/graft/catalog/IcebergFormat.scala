@@ -554,10 +554,17 @@ object IcebergFormat {
               rowCount = opt(df, "record_count")
                 .map(_.asInstanceOf[Long])))
           }
-          else if (!format.equalsIgnoreCase("parquet"))
+          // round 16: ORC delete files join parquet — a real Iceberg ORC
+          // table's write.delete.format defaults to the table's format,
+          // so "ORC data + ORC deletes" is the common migrated shape.
+          // Every read site dispatches per file (CatalogIO
+          // .DeleteFileFormat magic sniff, cached); avro delete files
+          // keep refusing (no tuple-read path routes them).
+          else if (!format.equalsIgnoreCase("parquet") &&
+              !format.equalsIgnoreCase("orc"))
             throw new UnsupportedOperationException(
               s"Iceberg delete file format $format is not supported " +
-                "(parquet and puffin deletion vectors only)")
+                "(parquet, orc, and puffin deletion vectors only)")
           else content match {
             case 2 => // equality delete
               val ids = opt(df, "equality_ids").map {
@@ -573,9 +580,10 @@ object IcebergFormat {
                 throw new UnsupportedOperationException(
                   s"Iceberg equality delete $absPath keys on field id $id " +
                     "absent from the served schema")))
-              // the engine probes on the delete file's parquet COLUMNS;
-              // that is only the Iceberg semantics when those columns
-              // are exactly the equality_ids set. One cached footer read.
+              // the engine probes on the delete file's stored COLUMNS
+              // (parquet footer / ORC tail, format-dispatched); that is
+              // only the Iceberg semantics when those columns are
+              // exactly the equality_ids set. One cached footer read.
               val footerCols = CatalogIO.DeleteFileFooters.of(absPath, conf)._1
               if (footerCols.toSet != keyNames.toSet)
                 throw new UnsupportedOperationException(

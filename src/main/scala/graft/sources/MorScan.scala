@@ -80,10 +80,13 @@ final class GraftMorTable(delegate: Table with SupportsRead,
   // pruned away, so scans can probe them. Positional delete files carry
   // addresses (_file, _pos), not key columns — excluded here.
   private val keyFields: Seq[StructField] = {
-    val spark = SparkSession.active
+    val conf = new org.apache.hadoop.conf.Configuration()
+    hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
     val cols = layout.absoluteEqDeleteFiles
       .flatMap { case (p, _) =>
-        spark.read.options(hadoopOpts).parquet(p).schema.fieldNames
+        // cached footer/tail read, format-dispatched (parquet or ORC
+        // delete files — round 16)
+        graft.catalog.CatalogIO.DeleteFileFooters.of(p, conf)._1
       }.distinct
     cols.map { c =>
       delegate.schema.find(_.name.equalsIgnoreCase(c)).getOrElse(
@@ -374,7 +377,8 @@ private object MorScan {
           .groupBy(p => graft.catalog.CatalogIO.DeleteFileFooters.of(p, conf)._1)
           .toSeq.sortBy(_._1.mkString(","))
         val matched = bySchema.map { case (cols, paths) =>
-          val del = session.read.options(hadoopOpts).parquet(paths.distinct: _*)
+          val del = graft.catalog.CatalogIO.readDeleteFiles(session,
+            hadoopOpts, paths.distinct, conf)
           val typed = cols.foldLeft(del) { (d, c) =>
             schema.find(_.name.equalsIgnoreCase(c))
               .map(f => d.withColumn(c, d.col(c).cast(f.dataType)))
@@ -449,7 +453,57 @@ private object MorScan {
       maxTuples: Long, spilled: Set[String] = Set.empty): Array[Long] = {
     val out = scala.collection.mutable.ArrayBuilder.make[Long]
     var n = 0L
-    deletePaths.foreach { p =>
+    def admit(pos: Long): Unit = {
+      out += pos
+      n += 1
+      if (n > maxTuples)
+        throw new MorDeleteOverflowException(
+          s"positional deletes addressing data file $relFile exceed " +
+            s"spark.graft.mor.maxDeleteTuples=$maxTuples per file; " +
+            "compact the table to materialize the deletes, or raise " +
+            "the threshold explicitly")
+    }
+    val suffix = "/" + relFile
+    // ORC address files (a real Iceberg ORC table's write.delete.format
+    // — round 16) carry the Iceberg schema (file_path ABSOLUTE, pos);
+    // the engine's own spill is always parquet, so the `_file` style
+    // never appears here. Same per-task shape: orc-core's own record
+    // reader, no Spark job from inside a task.
+    val (orcPaths, parquetPaths) = deletePaths.partition(p =>
+      graft.catalog.CatalogIO.DeleteFileFormat.of(p, conf) == "orc")
+    orcPaths.foreach { p =>
+      val r = org.apache.orc.OrcFile.createReader(new Path(p),
+        org.apache.orc.OrcFile.readerOptions(conf))
+      try {
+        val schema = r.getSchema
+        val names = schema.getFieldNames
+        val fi = names.indexOf("file_path")
+        val pi = names.indexOf("pos")
+        if (fi < 0 || pi < 0)
+          throw new IllegalStateException(
+            s"ORC positional-delete file $p lacks (file_path, pos); " +
+              s"found ${names.toString}")
+        val rows = r.rows()
+        try {
+          val batch = schema.createRowBatch()
+          while (rows.nextBatch(batch)) {
+            val fcol = batch.cols(fi)
+              .asInstanceOf[org.apache.hadoop.hive.ql.exec.vector.BytesColumnVector]
+            val pcol = batch.cols(pi)
+              .asInstanceOf[org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
+            var i = 0
+            while (i < batch.size) {
+              val fr = if (fcol.isRepeating) 0 else i
+              val named = fcol.toString(fr)
+              if (named != null && named.endsWith(suffix))
+                admit(pcol.vector(if (pcol.isRepeating) 0 else i))
+              i += 1
+            }
+          }
+        } finally rows.close()
+      } finally r.close()
+    }
+    parquetPaths.foreach { p =>
       val builder = org.apache.parquet.hadoop.ParquetReader
         .builder(new org.apache.parquet.hadoop.example.GroupReadSupport(),
           new Path(p))
@@ -477,19 +531,10 @@ private object MorScan {
         val iceberg = g != null && g.getType.containsField("file_path")
         val (fileField, posField) =
           if (iceberg) ("file_path", "pos") else ("_file", "_pos")
-        val suffix = "/" + relFile
         while (g != null) {
           val named = g.getString(fileField, 0)
-          if (if (iceberg) named.endsWith(suffix) else named == relFile) {
-            out += g.getLong(posField, 0)
-            n += 1
-            if (n > maxTuples)
-              throw new MorDeleteOverflowException(
-                s"positional deletes addressing data file $relFile exceed " +
-                  s"spark.graft.mor.maxDeleteTuples=$maxTuples per file; " +
-                  "compact the table to materialize the deletes, or raise " +
-                  "the threshold explicitly")
-          }
+          if (if (iceberg) named.endsWith(suffix) else named == relFile)
+            admit(g.getLong(posField, 0))
           g = reader.read()
         }
       } finally reader.close()
@@ -668,7 +713,8 @@ private final class MorScan(private val delegate: FileScan,
       if (eqOverflow) Nil else layout.absoluteEqDeleteFiles
     val tuplesByFile: Map[String, (Vector[String], Vector[Any => Any], Seq[Seq[Any]])] =
       probePaths.map(_._1).distinct.map { p =>
-        val raw = session.read.options(hadoopOpts).parquet(p)
+        val raw = graft.catalog.CatalogIO.readDeleteFiles(session,
+          hadoopOpts, Seq(p), footerConf)
         val cols = raw.columns.toVector
         val typed = cols.foldLeft(raw) { (d, c) =>
           d.withColumn(c, d.col(c).cast(keyField(c).dataType))

@@ -296,6 +296,81 @@ class IcebergFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("ORC DELETE FILES (round 16): a real Iceberg ORC table's own delete " +
+    "format reads on both faces; the exporter writes them") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // -- face 1: ORC data + ORC delete files (write.delete.format=orc,
+    // the migrated-table default) spliced as a real Iceberg manifest
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/odel"
+    val metaLoc = IcebergExport.writeTable(spark,
+      sampleDf.repartitionByRange(3, col("id")).sortWithinPartitions("id"),
+      dir, fileFormat = "orc")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    val layout0 = CatalogIO.readLayout(metaLoc, conf)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(layout0.schemaDdl.get)
+    def minId(p: String): Long =
+      spark.read.schema(schema).orc(p)
+        .agg(org.apache.spark.sql.functions.min("id")).head.getLong(0)
+    val sorted = layout0.absoluteDataFiles.get.sortBy(minId)
+    val (fileA, fileB) = (sorted.head, sorted(1))
+    val posDeletedIds =
+      spark.read.schema(schema).orc(fileA).orderBy("id")
+        .limit(3).select("id").collect().map(_.getLong(0)).toSet ++
+      spark.read.schema(schema).orc(fileB).orderBy("id")
+        .limit(2).select("id").collect().map(_.getLong(0)).toSet
+    val eqIds = Set(77L, 200L)
+    // one targeted + one untargeted positional delete and one equality
+    // delete — ALL three as ORC files
+    val pdA = new Path(dir, "deletes/pd-a.orc")
+    writeOrcFile((0L to 2L).map(p => (fileA, p)).toDF("file_path", "pos"), pdA)
+    val pdB = new Path(dir, "deletes/pd-b.orc")
+    writeOrcFile((0L to 1L).map(p => (fileB, p)).toDF("file_path", "pos"), pdB)
+    val eqD = new Path(dir, "deletes/eq-ids.orc")
+    writeOrcFile(eqIds.toSeq.toDF("id"), eqD)
+    spliceDeleteManifest(dir, metaLoc, Seq(
+      DelFile(1, fs.makeQualified(pdA).toString, 3, 2L,
+        referenced = Some(fileA), format = "ORC"),
+      DelFile(1, fs.makeQualified(pdB).toString, 2, 2L, format = "ORC"),
+      DelFile(2, fs.makeQualified(eqD).toString, eqIds.size, 2L,
+        equalityIds = Seq(1), format = "ORC")))
+    val deleted = posDeletedIds ++ eqIds
+    val expected = sampleDf.filter(!col("id").isin(deleted.toSeq: _*))
+    val df = CatalogIO.scanMetadataLocation(spark, metaLoc)
+    assert(df.count() == 300 - deleted.size)
+    assert(df.exceptAll(expected).isEmpty && expected.exceptAll(df).isEmpty,
+      "ORC delete files must apply exactly (both position styles + equality)")
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-orc-del") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.odel"), metaLoc)
+      val sqlDf = spark.sql(s"SELECT * FROM $cat.db.odel")
+      assert(sqlDf.exceptAll(expected).isEmpty && expected.exceptAll(sqlDf).isEmpty,
+        "SQL face must serve the same logical rows through ORC delete files")
+    }
+    // -- face 2: the exporter WRITES orc delete files (mixed with
+    // parquet data — formats dispatch per delete file, magic-sniffed)
+    val dir2 = s"${Files.createTempDirectory("graft-iceberg").toString}/odel2"
+    val meta2 = IcebergExport.writeTable(spark,
+      sampleDf.repartition(1).sortWithinPartitions("id"), dir2)
+    val l2 = CatalogIO.readLayout(meta2, conf)
+    assert(l2.dataFormat == "parquet")
+    val target = l2.absoluteDataFiles.get.head
+    val meta3 = IcebergExport.appendDeletes(spark, meta2,
+      positional = Some(Seq((target, 0L), (target, 4L)).toDF("file_path", "pos")),
+      equality = Some(Seq(9L, 10L).toDF("id")),
+      fileFormat = "orc")
+    val l3 = CatalogIO.readLayout(meta3, conf)
+    assert(l3.deleteFiles.size == 2 &&
+      l3.deleteFiles.forall(_.path.endsWith(".orc")),
+      s"exporter must have written ORC delete files, got ${l3.deleteFiles}")
+    val deleted2 = Set(1L, 5L, 9L, 10L) // positions 0/4 of the id-sorted file
+    val df3 = CatalogIO.scanMetadataLocation(spark, meta3)
+    val exp3 = sampleDf.filter(!col("id").isin(deleted2.toSeq: _*))
+    assert(df3.exceptAll(exp3).isEmpty && exp3.exceptAll(df3).isEmpty,
+      "parquet data + exporter-written ORC deletes must read exactly")
+  }
+
   test("ORC + v3 deletion vectors: the puffin/roaring counting read serves ORC data files") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
@@ -1021,6 +1096,21 @@ class IcebergFormatSpec extends AnyFunSuite {
     df.coalesce(1).write.parquet(tmp.toString)
     val part = fs.listStatus(tmp).map(_.getPath)
       .find(_.getName.endsWith(".parquet")).get
+    fs.mkdirs(target.getParent)
+    fs.rename(part, target)
+    fs.getFileStatus(target).getLen
+  }
+
+  /** Write an ORC file of rows into `target` (exact path) via a
+    * single-part Spark write + rename. */
+  private def writeOrcFile(df: org.apache.spark.sql.DataFrame,
+      target: Path): Long = {
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = target.getFileSystem(conf)
+    val tmp = new Path(Files.createTempDirectory("graft-delwrite").toString, "w")
+    df.coalesce(1).write.orc(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".orc")).get
     fs.mkdirs(target.getParent)
     fs.rename(part, target)
     fs.getFileStatus(target).getLen
