@@ -305,10 +305,12 @@ object ScaleSmoke {
       .select(col("l_orderkey").as("k"), col("l_quantity").as("qty"),
         col("l_returnflag").as("rf"))
       .repartitionByRange(64, col("k"))
+    var orcMeta: String = null
     for (fmt <- Seq("parquet", "orc", "avro")) {
       val t0 = System.nanoTime()
       val metaLoc = graft.catalog.IcebergExport.writeTable(spark, src,
         s"$root/$fmt", fileFormat = fmt)
+      if (fmt == "orc") orcMeta = metaLoc
       println(f"[scale] orc x$replicas: exported $fmt Iceberg table in " +
         f"${(System.nanoTime() - t0) / 1e9}%.1f s")
       graft.sources.TempCatalog.withTempHandles(spark, s"graft-orc-x$replicas") { (cat, hc) =>
@@ -368,6 +370,45 @@ object ScaleSmoke {
         println(f"[scale] orc x$replicas: mixed key-range query " +
           f"${(System.nanoTime() - p0) / 1e9}%.2f s — $skipped/$total files " +
           "skipped at plan time across both format groups")
+      }
+    }
+    // ORC MERGE-ON-READ (round 16): every 7th position of every file
+    // deleted positionally + ~1k keys by equality, committed as ORC
+    // delete files (a real Iceberg ORC table's write.delete.format);
+    // the full-scan aggregate then pays whole-file counting reads on
+    // every file — compare against the delete-free orc passes above.
+    locally {
+      import spark.implicits._
+      val conf = spark.sessionState.newHadoopConf()
+      val l0 = graft.catalog.CatalogIO.readLayout(orcMeta, conf)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(l0.schemaDdl.get)
+      val perFile = l0.absoluteDataFiles.get.zip(
+        l0.dataFileStats.get.map(s => graft.catalog.FileStats.decode(s, schema)
+          .map(_.rowCount).getOrElse(throw new IllegalStateException(
+            "orc-mor experiment: a file without decodable stats would " +
+              "silently shrink the delete set being measured"))))
+      val addresses = spark.createDataset(perFile).repartition(perFile.size)
+        .flatMap { case (f, n) => (0L until n by 7L).iterator.map(p => (f, p)) }
+        .toDF("file_path", "pos")
+      val eqKeys = spark.read.parquet(s"$out/lineitem.parquet")
+        .select(col("l_orderkey").as("k")).distinct().limit(1000)
+      val t0 = System.nanoTime()
+      val metaMor = graft.catalog.IcebergExport.appendDeletes(spark, orcMeta,
+        positional = Some(addresses), equality = Some(eqKeys),
+        fileFormat = "orc")
+      println(f"[scale] orc x$replicas: ORC-delete-file MOR commit in " +
+        f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+      graft.sources.TempCatalog.withTempHandles(spark, s"graft-omor-x$replicas") { (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(graft.catalog.TableRef.parse("db.omor"), metaMor)
+        for (pass <- 1 to 2) {
+          val f0 = System.nanoTime()
+          val r = spark.sql(
+            s"SELECT SUM(qty), COUNT(*) FROM $cat.db.omor WHERE qty > 0").collect()
+          println(f"[scale] orc x$replicas: ORC-MOR full-scan aggregate " +
+            f"pass $pass ${(System.nanoTime() - f0) / 1e9}%.2f s " +
+            f"(${r(0).getLong(1)}%,d rows — vs the delete-free orc passes)")
+        }
       }
     }
   }

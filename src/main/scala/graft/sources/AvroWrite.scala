@@ -43,10 +43,14 @@ object AvroWrite {
       nulls: Map[Int, Long], nans: Map[Int, Long])
 
   /** Write `df` under `dir` as `part-<p>-<uuid>.avro` files (one per
-    * non-empty partition) and return the per-file manifest stats. */
+    * non-empty partition) and return the per-file manifest stats.
+    * `tree` (round 16, avro APPENDS): the loaded table's own id tree —
+    * a re-derived tree would re-bind nested member ids away from the
+    * verbatim foreign ids the table's existing files carry. */
   def write(df: DataFrame, dir: Path, fieldIds: Seq[(StructField, Int)],
-      conf: SerializableConfiguration): Seq[FileResult] = {
-    val schemaJson = avroSchemaJson(fieldIds)
+      conf: SerializableConfiguration,
+      tree: Option[graft.catalog.IcebergSchemaIds.Tree] = None): Seq[FileResult] = {
+    val schemaJson = avroSchemaJson(fieldIds, tree)
     val fields = fieldIds.toIndexedSeq
     val dirStr = {
       val fs = dir.getFileSystem(conf.value)
@@ -151,7 +155,8 @@ object AvroWrite {
     * (`"logicalType": "map"`) — the ids come from the SAME
     * [[graft.catalog.IcebergSchemaIds]] tree the metadata schema
     * renders, so the file and the table schema can never disagree. */
-  private[sources] def avroSchemaJson(fieldIds: Seq[(StructField, Int)]): String = {
+  private[sources] def avroSchemaJson(fieldIds: Seq[(StructField, Int)],
+      treeOverride: Option[graft.catalog.IcebergSchemaIds.Tree] = None): String = {
     import graft.catalog.IcebergSchemaIds._
     def avroName(name: String, what: String): String = {
       // avro NAMES are [A-Za-z_][A-Za-z0-9_]* by spec — a column outside
@@ -164,10 +169,31 @@ object AvroWrite {
           "or rename it first")
       name
     }
+    // a LOADED table's tree (appendSnapshot avro — round 16) declares
+    // primitives by their Iceberg NAMES; map the ones this writer's
+    // value encoder serves onto the same catalyst rendering, refuse the
+    // rest (uuid/fixed/time have no encode path here)
+    val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+    def primOfName(name: String): DataType = name match {
+      case "boolean" => BooleanType
+      case "int" => IntegerType
+      case "long" => LongType
+      case "float" => FloatType
+      case "double" => DoubleType
+      case "string" => StringType
+      case "binary" => BinaryType
+      case "date" => DateType
+      case "timestamptz" => TimestampType
+      case "timestamp" => TimestampNTZType
+      case DecimalRe(p, s) => DecimalType(p.toInt, s.toInt)
+      case other => throw new UnsupportedOperationException(
+        s"Iceberg avro append does not map declared type '$other'")
+    }
     // `id` uniquifies generated record/fixed names (field / element /
     // key / value ids are schema-unique by construction)
     def typeNode(n: Node, id: Int): String = n match {
       case Prim(dt) => primNode(dt, id)
+      case PrimName(name) => primNode(primOfName(name), id)
       case Struct(fs) =>
         s"""{"type": "record", "name": "r_$id", "fields": [${
           fs.map(fieldNode).mkString(", ")}]}"""
@@ -213,7 +239,7 @@ object AvroWrite {
       case other => throw new UnsupportedOperationException(
         s"Iceberg avro export does not map catalyst type ${other.catalogString}")
     }
-    val tree = graft.catalog.IcebergSchemaIds.of(fieldIds)
+    val tree = treeOverride.getOrElse(graft.catalog.IcebergSchemaIds.of(fieldIds))
     s"""{"type": "record", "name": "r_graft", "fields": [${
       tree.fields.map(fieldNode).mkString(", ")}]}"""
   }

@@ -193,6 +193,59 @@ class AvroWriteSpec extends AnyFunSuite {
     assert(canon(CatalogIO.scanMetadataLocation(spark, meta2)) == expected)
   }
 
+  test("avro appendSnapshot: the native writer appends with write-pass " +
+    "stats; avro-onto-parquet reads as a mixed layout") {
+    import graft.catalog.{CatalogIO, IcebergExport, TableRef}
+    import org.apache.spark.sql.functions._
+    // a NESTED column locks the tree-override path: the append must
+    // render the avro schema from the LOADED table's id tree, not a
+    // re-derived one
+    def slice(lo: Int, hi: Int) = spark.sql(
+      s"""SELECT id AS k, CAST(id AS DOUBLE) / 2 AS v,
+         |  named_struct('a', id * 2, 'b', concat('s', id)) AS st
+         |FROM range($lo, $hi)""".stripMargin)
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.select(col("k"), col("v"), col("st.a"), col("st.b"))
+        .collect().map(_.toString).sorted.toSeq
+    val expected = canon(slice(0, 200))
+    // avro-onto-avro stays homogeneous; stats come from the write pass
+    val dir = s"${Files.createTempDirectory("avro-append")}/t"
+    val m1 = IcebergExport.writeTable(spark, slice(0, 100).coalesce(1), dir,
+      fileFormat = "avro")
+    val m2 = IcebergExport.appendSnapshot(spark, slice(100, 200).coalesce(1),
+      m1, fileFormat = "avro")
+    val conf = spark.sessionState.newHadoopConf()
+    val l2 = CatalogIO.readLayout(m2, conf)
+    assert(l2.dataFormat == "avro" && l2.dataFiles.exists(_.size == 2))
+    assert(l2.dataFileStats.exists(_.forall(_.nonEmpty)),
+      "appended avro files must carry write-pass manifest stats")
+    assert(canon(CatalogIO.scanMetadataLocation(spark, m2)) == expected)
+    graft.sources.TempCatalog.withTempHandles(spark, "avro-append") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.aa"), m2)
+      assert(canon(spark.table(s"$cat.db.aa")) == expected)
+      // the appended file's write-pass bounds PRUNE: k >= 150 plans
+      // only the second (appended) file
+      graft.sources.StatsPruning.lastPlanned = None
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.aa WHERE k >= 150")
+        .head.getLong(0) == 50)
+      assert(graft.sources.StatsPruning.lastPlanned.contains((1, 2)),
+        s"expected 1/2 files skipped from the append's write-pass " +
+          s"bounds, got ${graft.sources.StatsPruning.lastPlanned}")
+    }
+    // avro-onto-parquet: the Hive-migration mixed shape, avro flavored
+    val dir2 = s"${Files.createTempDirectory("avro-append")}/t2"
+    val p1 = IcebergExport.writeTable(spark, slice(0, 100).coalesce(1), dir2)
+    val p2 = IcebergExport.appendSnapshot(spark, slice(100, 200).coalesce(1),
+      p1, fileFormat = "avro")
+    val lp = CatalogIO.readLayout(p2, conf)
+    assert(lp.dataFormat == "mixed" &&
+      lp.dataFileFormats.exists(_.toSet == Set("parquet", "avro")),
+      s"expected a parquet+avro mixed layout, got ${lp.dataFormat}/" +
+        s"${lp.dataFileFormats}")
+    assert(canon(CatalogIO.scanMetadataLocation(spark, p2)) == expected)
+  }
+
   test("commits carry FOREIGN nested field ids verbatim (round-16 " +
     "review: re-allocating would re-bind the name mapping away from " +
     "the ids the data files carry)") {
