@@ -2947,14 +2947,15 @@ object CatalogIO {
     * face falls back to a shuffled anti join instead of refusing,
     * because it is compaction's own read path: the escape hatch the
     * refusal message points at must itself work at any delete size. */
-  /** DELETE-file on-disk format, resolved from the file's MAGIC bytes
-    * (parquet files open with `PAR1`, ORC with `ORC`) and cached
-    * JVM-wide: read sites receive bare paths (task-side partitions,
-    * layout path lists), and the magic is the ground truth the manifest
-    * `file_format` claims to describe. Only formats the manifest gate
-    * ([[IcebergFormat.readDeleteManifests]]) admits ever reach here, so
-    * an unrecognized magic is corruption — refuse loudly. */
-  private[graft] object DeleteFileFormat {
+  /** A file's on-disk format, resolved from its MAGIC bytes (parquet
+    * files open with `PAR1`, ORC with `ORC`) and cached JVM-wide: read
+    * sites often receive bare paths (task-side partitions, layout path
+    * lists, a skipRewrites walk's rewritten-away files absent from the
+    * final manifest), and the magic is the ground truth any recorded
+    * `file_format` claims to describe. Formats with no reader here
+    * (avro magic `Obj\1`, corruption) refuse loudly with the bytes
+    * shown. */
+  private[graft] object FileFormatSniff {
     private val cache =
       scala.collection.concurrent.TrieMap.empty[String, String]
     def of(p: String, conf: Configuration): String =
@@ -2967,9 +2968,9 @@ object CatalogIO {
           if (b(0) == 'P' && b(1) == 'A' && b(2) == 'R' && b(3) == '1') "parquet"
           else if (b(0) == 'O' && b(1) == 'R' && b(2) == 'C') "orc"
           else throw new UnsupportedOperationException(
-            s"delete file $p is neither parquet nor ORC " +
-              s"(magic ${b.map(x => f"$x%02x").mkString(" ")}) — the file " +
-              "is corrupt or its manifest file_format lies")
+            s"file $p is neither parquet nor ORC " +
+              s"(magic ${b.map(x => f"$x%02x").mkString(" ")}) — no " +
+              "format-dispatched read path serves it")
         } finally in.close()
       })
   }
@@ -2986,7 +2987,7 @@ object CatalogIO {
     private val cache =
       scala.collection.concurrent.TrieMap.empty[String, (Vector[String], Long)]
     def of(p: String, conf: Configuration): (Vector[String], Long) =
-      cache.getOrElseUpdate(p, DeleteFileFormat.of(p, conf) match {
+      cache.getOrElseUpdate(p, FileFormatSniff.of(p, conf) match {
         case "orc" =>
           val r = org.apache.orc.OrcFile.createReader(new Path(p),
             org.apache.orc.OrcFile.readerOptions(conf))
@@ -3014,7 +3015,7 @@ object CatalogIO {
   private[graft] def readDeleteFiles(spark: SparkSession,
       options: Map[String, String], paths: Seq[String],
       conf: Configuration): DataFrame = {
-    val byFmt = paths.distinct.groupBy(DeleteFileFormat.of(_, conf))
+    val byFmt = paths.distinct.groupBy(FileFormatSniff.of(_, conf))
       .toSeq.sortBy(_._1)
     byFmt.map { case (fmt, ps) =>
       val r = spark.read.options(options)

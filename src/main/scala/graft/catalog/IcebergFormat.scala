@@ -558,7 +558,7 @@ object IcebergFormat {
           // table's write.delete.format defaults to the table's format,
           // so "ORC data + ORC deletes" is the common migrated shape.
           // Every read site dispatches per file (CatalogIO
-          // .DeleteFileFormat magic sniff, cached); avro delete files
+          // .FileFormatSniff magic sniff, cached); avro delete files
           // keep refusing (no tuple-read path routes them).
           else if (!format.equalsIgnoreCase("parquet") &&
               !format.equalsIgnoreCase("orc"))

@@ -470,7 +470,7 @@ private object MorScan {
     // never appears here. Same per-task shape: orc-core's own record
     // reader, no Spark job from inside a task.
     val (orcPaths, parquetPaths) = deletePaths.partition(p =>
-      graft.catalog.CatalogIO.DeleteFileFormat.of(p, conf) == "orc")
+      graft.catalog.CatalogIO.FileFormatSniff.of(p, conf) == "orc")
     orcPaths.foreach { p =>
       val r = org.apache.orc.OrcFile.createReader(new Path(p),
         org.apache.orc.OrcFile.readerOptions(conf))

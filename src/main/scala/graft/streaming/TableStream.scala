@@ -8,9 +8,13 @@ import org.apache.hadoop.conf.Configuration
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{InputPartition, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
 import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, MicroBatchStream, Offset, ReadAllAvailable, ReadLimit, ReadMaxBytes, ReadMaxFiles, SupportsAdmissionControl}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.execution.datasources.FilePartition
+import org.apache.spark.sql.execution.datasources.orc.OrcFileFormat
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+import org.apache.spark.sql.execution.datasources.v2.orc.OrcTable
 import org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types.StructType
@@ -46,8 +50,10 @@ import graft.catalog.{Catalog, CatalogConfig, CatalogFactory, CatalogIO, Iceberg
   * `earliest` → full bootstrap (refused while delete files are live —
   * it would resurrect deleted rows; compact first); `N` → start at
   * version N's changes. Un-materialized column renames refuse at plan
-  * time (compact first); reading is Spark's own vectorized parquet
-  * reader over the exact added files.
+  * time (compact first); reading is Spark's own vectorized reader over
+  * the exact added files — per FORMAT since round 16 (parquet and ORC
+  * batch files each get their own stock scan, so an adopted ORC base
+  * bootstraps and a mixed history streams; avro refuses loudly).
   *
   * ADMISSION CONTROL (round 16 — judge r15 #1, the 100 TB
   * bootstrap/catch-up gap): `maxFilesPerTrigger` / `maxBytesPerTrigger`
@@ -226,6 +232,66 @@ private[streaming] final case class VersionOffset(v: Int) extends Offset {
   override def json(): String = v.toString
 }
 
+/** A micro-batch partition tagged with the index of the (per-format)
+  * stock reader factory that serves it — round 16, ORC appends: one
+  * batch may mix parquet and ORC files (a mixed table's history, or an
+  * adopted ORC base under an `earliest` bootstrap), and a parquet
+  * factory cannot decode ORC partitions. Same dispatch shape as
+  * [[graft.sources]]' epoch scan. */
+private[streaming] final case class StreamFilePartition(factory: Int,
+    files: FilePartition) extends InputPartition {
+  override def preferredLocations(): Array[String] = files.preferredLocations()
+}
+
+/** Dispatches each [[StreamFilePartition]] to its format's stock
+  * factory. */
+private[streaming] final class StreamReaderFactory(
+    inners: Array[PartitionReaderFactory]) extends PartitionReaderFactory {
+  private def unwrap(p: InputPartition): (PartitionReaderFactory, FilePartition) = {
+    val sp = p.asInstanceOf[StreamFilePartition]
+    (inners(sp.factory), sp.files)
+  }
+  override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+    val (f, fp) = unwrap(p); f.createReader(fp)
+  }
+  override def createColumnarReader(p: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val (f, fp) = unwrap(p); f.createColumnarReader(fp)
+  }
+  override def supportColumnarReads(p: InputPartition): Boolean = {
+    val (f, fp) = unwrap(p); f.supportColumnarReads(fp)
+  }
+}
+
+/** Per-format stock scan construction shared by both micro-batch
+  * sources: parquet and ORC appends stream (each through Spark's own
+  * vectorized reader); anything else refuses loudly at plan time —
+  * never fail executors mid-batch decoding foreign bytes. */
+private[streaming] object StreamScans {
+  def scanOver(name: String, tableSchema: StructType,
+      hadoopConf: Map[String, String], format: String,
+      paths: Seq[String], dataLocation: String): Scan = {
+    val spark = SparkSession.active
+    // FileTable merges these options into its Hadoop conf, so the
+    // catalog's hadoop.* overlay reaches the file reader
+    val opts = new CaseInsensitiveStringMap(
+      (hadoopConf + ("basePath" -> dataLocation)).asJava)
+    val table = format match {
+      case "parquet" => ParquetTable(name, spark, opts, paths,
+        userSpecifiedSchema = Some(tableSchema),
+        fallbackFileFormat = classOf[ParquetFileFormat])
+      case "orc" => OrcTable(name, spark, opts, paths,
+        userSpecifiedSchema = Some(tableSchema),
+        fallbackFileFormat = classOf[OrcFileFormat])
+      case other => throw new UnsupportedOperationException(
+        s"$name: appended $other data files; streaming reads serve " +
+          "parquet and ORC appends only — compact the table to parquet " +
+          "first")
+    }
+    table.newScanBuilder(opts).build()
+  }
+}
+
 private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
     ref: TableRef, tableSchema: StructType, startingVersion: Option[String],
     skipRewrites: Boolean, maxFilesPerTrigger: Option[Int],
@@ -337,19 +403,6 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
   // current manifest serves the (factory-before-plan / empty-batch) case
   @volatile private var lastFactory: PartitionReaderFactory = _
 
-  private def parquetScanOver(paths: Seq[String], dataLocation: String) = {
-    val spark = SparkSession.active
-    // FileTable merges these options into its Hadoop conf, so the
-    // catalog's hadoop.* overlay reaches the parquet reader
-    val opts = new CaseInsensitiveStringMap(
-      (cfg.hadoopConf + ("basePath" -> dataLocation)).asJava)
-    ParquetTable(s"$ref-stream", spark, opts,
-      paths, userSpecifiedSchema = Some(tableSchema),
-      fallbackFileFormat = classOf[ParquetFileFormat])
-      .newScanBuilder(opts)
-      .build()
-  }
-
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v)
     // skipRewrites (round 11): a long-lived stream rides through
@@ -368,39 +421,44 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
       throw new UnsupportedOperationException(
         s"Table $ref carries un-materialized column renames; compact to " +
           "materialize them before streaming reads")
-    // adopted non-parquet tables (round 16): the reader below is
-    // parquet — a non-parquet file in the batch (an orc/avro base
-    // reached by an `earliest` bootstrap) must refuse at PLAN time,
-    // never fail executors mid-batch decoding orc bytes as parquet.
-    // Post-adoption appends are parquet, so a latest-start stream over
-    // a mixed table serves its increments fine (the Iceberg-mode rule).
-    if (to.dataFormat != "parquet") {
-      val fmtByRel: Map[String, String] = to.dataFiles.getOrElse(Nil)
-        .zip(to.dataFileFormats.getOrElse(
-          Seq.fill(to.dataFiles.getOrElse(Nil).size)(to.dataFormat))).toMap
-      groups.iterator.flatMap(_._2).collectFirst {
-        case (f, _) if fmtByRel.getOrElse(f, "parquet") != "parquet" =>
-          throw new UnsupportedOperationException(
-            s"Table $ref: batch file $f is ${fmtByRel(f)}; streaming " +
-              "reads serve parquet appends — start the stream AFTER the " +
-              "adopted base (default startingVersion), or compact the " +
-              "table to parquet first")
+    // adopted non-parquet tables (round 16): each batch file streams
+    // through ITS format's stock reader — an adopted ORC base reached
+    // by an `earliest` bootstrap (or a mixed table's full history)
+    // serves parquet and ORC groups side by side; an avro file still
+    // refuses at PLAN time (StreamScans), never mid-batch on executors.
+    // A file ABSENT from the final manifest (a skipRewrites walk can
+    // serve files later rewritten away) resolves by its magic bytes —
+    // defaulting it to parquet would crash executors on orc bytes.
+    val fmtOf: (String, String) => String =
+      if (to.dataFormat == "parquet") (_, _) => "parquet"
+      else {
+        val fmtByRel: Map[String, String] = to.dataFiles.getOrElse(Nil)
+          .zip(to.dataFileFormats.getOrElse(
+            Seq.fill(to.dataFiles.getOrElse(Nil).size)(to.dataFormat))).toMap
+        (segLoc, f) => fmtByRel.getOrElse(f,
+          CatalogIO.FileFormatSniff.of(
+            new org.apache.hadoop.fs.Path(segLoc, f).toString, conf))
       }
-    }
     val live = groups.filter(_._2.nonEmpty)
     if (live.isEmpty) return Array.empty
-    // partitions across segment groups concatenate; the reader factory
-    // is path-agnostic (partitions name their own files), so the first
-    // group's factory serves them all
-    var factory: PartitionReaderFactory = null
+    // partitions concatenate across (segment, format) groups, each
+    // tagged with its own stock factory's index
+    val factories = Vector.newBuilder[PartitionReaderFactory]
+    var fi = -1
     val parts = live.flatMap { case (segLoc, added) =>
-      val abs = added.map { case (f, _) =>
-        new org.apache.hadoop.fs.Path(segLoc, f).toString }
-      val scan = parquetScanOver(abs, segLoc)
-      if (factory == null) factory = scan.toBatch.createReaderFactory()
-      scan.toBatch.planInputPartitions()
+      added.groupBy { case (f, _) => fmtOf(segLoc, f) }.toSeq.sortBy(_._1)
+        .flatMap { case (fmt, fs) =>
+          val abs = fs.map { case (f, _) =>
+            new org.apache.hadoop.fs.Path(segLoc, f).toString }
+          val scan = StreamScans.scanOver(s"$ref-stream", tableSchema,
+            cfg.hadoopConf, fmt, abs, segLoc)
+          factories += scan.toBatch.createReaderFactory()
+          fi += 1
+          scan.toBatch.planInputPartitions().map(p =>
+            StreamFilePartition(fi, p.asInstanceOf[FilePartition]): InputPartition)
+        }
     }.toArray
-    lastFactory = factory
+    lastFactory = new StreamReaderFactory(factories.result().toArray)
     parts
   }
 
@@ -411,7 +469,9 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
       // empty first batch: build a factory from the current layout (it
       // only carries schema + conf; partitions name their own files)
       val layout = CatalogIO.readLayout(cat.loadTableMetadataLocation(ref), conf)
-      parquetScanOver(Nil, layout.dataLocation).toBatch.createReaderFactory()
+      new StreamReaderFactory(Array(StreamScans.scanOver(s"$ref-stream",
+        tableSchema, cfg.hadoopConf, "parquet", Nil, layout.dataLocation)
+        .toBatch.createReaderFactory()))
     }
   }
 
@@ -434,10 +494,12 @@ private[streaming] final case class SeqOffset(s: Long) extends Offset {
   * catalog pointer is re-read per trigger, so a migrator that
   * re-registers the table on each upstream Iceberg commit feeds the
   * stream continuously. Non-append ranges (live deletes, removed or
-  * rewritten files), renames, fills, and non-parquet ADDED files
-  * refuse loudly — note a MIXED table whose appends are parquet (the
-  * Hive-migration shape) streams fine: only the ADDED files are read.
-  * Each trigger costs two in-memory manifest walks + O(added files).
+  * rewritten files), renames, fills, and avro ADDED files refuse
+  * loudly; parquet and ORC appends stream through their own stock
+  * readers (round 16 — an orc-onto-orc append chain streams, and a
+  * MIXED table's parquet appends always did: only ADDED files are
+  * read). Each trigger costs two in-memory manifest walks + O(added
+  * files).
   *
   * Round 16 hardening:
   *  - offsets walk the MAIN-BRANCH ANCESTRY (`refs.main` →
@@ -602,17 +664,6 @@ private[streaming] final class IcebergMicroBatchStream(cfg: CatalogConfig,
 
   @volatile private var lastFactory: PartitionReaderFactory = _
 
-  private def parquetScanOver(paths: Seq[String], dataLocation: String) = {
-    val spark = SparkSession.active
-    val opts = new CaseInsensitiveStringMap(
-      (cfg.hadoopConf + ("basePath" -> dataLocation)).asJava)
-    ParquetTable(s"$ref-icestream", spark, opts,
-      paths, userSpecifiedSchema = Some(tableSchema),
-      fallbackFileFormat = classOf[ParquetFileFormat])
-      .newScanBuilder(opts)
-      .build()
-  }
-
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val (s, e) = (start.asInstanceOf[SeqOffset].s, end.asInstanceOf[SeqOffset].s)
     if (e <= s) return Array.empty
@@ -706,17 +757,26 @@ private[streaming] final class IcebergMicroBatchStream(cfg: CatalogConfig,
         }
         buf.result()
       }
-    // ADDED files must be parquet — but the TABLE may be mixed (orc base
-    // + parquet appends): only the increment is read here
-    added.collectFirst { case (f, fmt) if fmt != "parquet" =>
-      refuse(s"appended file $f is $fmt; streaming reads serve parquet appends")
-    }
+    // ADDED files stream through their own format's stock reader
+    // (parquet or ORC — round 16: an orc-onto-orc append chain streams;
+    // StreamScans refuses anything else loudly); the TABLE may be mixed
+    // (orc base + parquet appends) since only the increment is read here
     if (added.isEmpty) return Array.empty
-    val abs = added.map { case (f, _) =>
-      new org.apache.hadoop.fs.Path(toL.dataLocation, f).toString }
-    val scan = parquetScanOver(abs, toL.dataLocation)
-    lastFactory = scan.toBatch.createReaderFactory()
-    scan.toBatch.planInputPartitions()
+    val factories = Vector.newBuilder[PartitionReaderFactory]
+    var fi = -1
+    val parts = added.groupBy(_._2).toSeq.sortBy(_._1)
+      .flatMap { case (fmt, fs) =>
+        val abs = fs.map { case (f, _) =>
+          new org.apache.hadoop.fs.Path(toL.dataLocation, f).toString }
+        val scan = StreamScans.scanOver(s"$ref-icestream", tableSchema,
+          cfg.hadoopConf, fmt, abs, toL.dataLocation)
+        factories += scan.toBatch.createReaderFactory()
+        fi += 1
+        scan.toBatch.planInputPartitions().map(p =>
+          StreamFilePartition(fi, p.asInstanceOf[FilePartition]): InputPartition)
+      }.toArray
+    lastFactory = new StreamReaderFactory(factories.result().toArray)
+    parts
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
@@ -725,7 +785,9 @@ private[streaming] final class IcebergMicroBatchStream(cfg: CatalogConfig,
     else {
       val (loc, _) = currentMeta()
       val dataLoc = graft.catalog.CatalogIO.readLayout(loc, conf).dataLocation
-      parquetScanOver(Nil, dataLoc).toBatch.createReaderFactory()
+      new StreamReaderFactory(Array(StreamScans.scanOver(s"$ref-icestream",
+        tableSchema, cfg.hadoopConf, "parquet", Nil, dataLoc)
+        .toBatch.createReaderFactory()))
     }
   }
 

@@ -133,6 +133,71 @@ class TableStreamSourceSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ORC appends stream (round 16): earliest bootstrap of an ORC " +
+    "pointer, orc-onto-orc appends, one batch mixing formats; avro refuses") {
+    import graft.catalog.IcebergExport
+    val (hc, wh, ref) = freshTable()
+    val dir = s"${Files.createTempDirectory("tstream-orc").toString}/t"
+    val meta1 = IcebergExport.writeTable(spark, batch(0, 5).coalesce(1), dir,
+      fileFormat = "orc")
+    hc.registerTable(ref, meta1)
+    val name = s"ts${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    val q = streamFrom(wh, Some("earliest")).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sinkRows(name) == (0L until 5L),
+        "earliest bootstrap must serve the ORC base through the ORC reader")
+      // orc-onto-orc: the table stays homogeneous and the appends flow
+      val meta2 = IcebergExport.appendSnapshot(spark,
+        batch(100, 3).coalesce(1), meta1, fileFormat = "orc")
+      hc.replaceTablePointer(ref, meta2)
+      q.processAllAvailable()
+      assert(sinkRows(name) == ((0L until 5L) ++ (100L until 103L)))
+      // ONE trigger covering an orc append AND a parquet append: the
+      // batch mixes formats and each file reads through its own factory
+      val meta3 = IcebergExport.appendSnapshot(spark,
+        batch(200, 2).coalesce(1), meta2, fileFormat = "orc")
+      val meta4 = IcebergExport.appendSnapshot(spark,
+        batch(300, 2).coalesce(1), meta3) // parquet
+      hc.replaceTablePointer(ref, meta4)
+      q.processAllAvailable()
+      assert(sinkRows(name) == ((0L until 5L) ++ (100L until 103L) ++
+        (200L until 202L) ++ (300L until 302L)),
+        "a mixed-format batch must serve both format groups")
+      // avro appends refuse loudly at plan time
+      val meta5 = IcebergExport.appendSnapshot(spark,
+        batch(400, 2).coalesce(1), meta4, fileFormat = "avro")
+      hc.replaceTablePointer(ref, meta5)
+      val e = intercept[StreamingQueryException] { q.processAllAvailable() }
+      def msgs(t: Throwable): String =
+        if (t == null) "" else t.getMessage + msgs(t.getCause)
+      assert(msgs(e).contains("parquet and ORC appends only"), msgs(e))
+    } finally q.stop()
+  }
+
+  test("an ADOPTED ORC table bootstraps through the graft stream source " +
+    "(round 16: the parquet-only batch refusal lifted)") {
+    import graft.catalog.IcebergExport
+    val (hc, wh, ref) = freshTable()
+    val dir = s"${Files.createTempDirectory("tstream-oad").toString}/t"
+    val meta = IcebergExport.writeTable(spark, batch(0, 6).coalesce(1), dir,
+      fileFormat = "orc")
+    CatalogIO.adoptIcebergTable(spark, hc, ref, meta)
+    val name = s"ts${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    val q = streamFrom(wh, Some("earliest")).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sinkRows(name) == (0L until 6L),
+        "the adopted ORC base must bootstrap through the ORC reader")
+      // post-adoption parquet appends keep flowing (mixed history)
+      CatalogIO.commitAppend(spark, hc, ref, batch(50, 3))
+      q.processAllAvailable()
+      assert(sinkRows(name) == ((0L until 6L) ++ (50L until 53L)))
+    } finally q.stop()
+  }
+
   test("a non-append commit fails the stream with the re-sync message") {
     val (hc, wh, ref) = freshTable()
     CatalogIO.createTable(spark, hc, ref, batch(0, 5))        // v1
