@@ -54,7 +54,7 @@ object Bench {
     "w13_iceberg_orc", "w14_iceberg_avro", "w15_iceberg_mixed",
     "w16_iceberg_stream", "w17_iceberg_ride_admission",
     "w18_row_lineage_sql", "w19_mixed_insert", "w20_nested_export",
-    "w21_orc_mor")
+    "w21_orc_mor", "w22_variant")
 
   // Locale.ROOT: a comma-decimal default locale would otherwise turn the
   // JSON lines into {"total":71,422,...}

@@ -144,6 +144,7 @@ object SparkEntry {
     "w19_mixed_insert" -> (graft.queries.WriteQueries.w19 _),
     "w20_nested_export" -> (graft.queries.WriteQueries.w20 _),
     "w21_orc_mor" -> (graft.queries.WriteQueries.w21 _),
+    "w22_variant" -> (graft.queries.WriteQueries.w22 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1199,6 +1200,19 @@ object SparkEntry {
         |  SELECT rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum,
         |         CAST(SUM(qty) AS BIGINT) AS qty_sum
         |  FROM kept WHERE k <= 30000 GROUP BY rf)
+        |SELECT 'sql' AS face, * FROM a
+        |UNION ALL
+        |SELECT 'df' AS face, * FROM a""".stripMargin,
+    // w22: the variant column was BUILT from (qty, rf), so extracting
+    // typed values back out and aggregating is relationally the same
+    // aggregate over the raw columns, replayed per face
+    "w22_variant" ->
+      """WITH a AS (
+        |  SELECT l_returnflag AS rf, COUNT(*) AS cnt,
+        |         CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum,
+        |         CAST(SUM(l_orderkey) AS BIGINT) AS k_sum
+        |  FROM lineitem WHERE CAST(l_quantity AS BIGINT) > 10
+        |  GROUP BY rf)
         |SELECT 'sql' AS face, * FROM a
         |UNION ALL
         |SELECT 'df' AS face, * FROM a""".stripMargin,

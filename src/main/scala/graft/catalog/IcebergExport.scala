@@ -63,6 +63,12 @@ object IcebergExport {
     require(fileFormat == "parquet" || fileFormat == "orc" ||
       fileFormat == "avro",
       s"unsupported Iceberg export data format '$fileFormat'")
+    // variant decodes/encodes through the parquet variant logical type
+    // only (Spark's ORC source refuses the type; the avro writer has
+    // no encoding for it) — refuse here, not mid-write on executors
+    require(fileFormat == "parquet" || !df.schema.exists(f =>
+        IcebergSchemaIds.hasVariant(f.dataType)),
+      s"variant columns export as parquet only, not $fileFormat")
     val conf = spark.sessionState.newHadoopConf()
     val root = new Path(tableDir)
     val fs = root.getFileSystem(conf)
@@ -90,14 +96,23 @@ object IcebergExport {
       snapshotId, seq, fileFormat, avroResults)
     val listPath = writeManifestList(fs, metaDir, snapshotId,
       parent = None, seq, Seq(manifestEntry))
+    // VARIANT columns are a v3 construct: export such tables as
+    // format-version 3, with the row-lineage fields v3 requires
+    // (`next-row-id`, snapshot `first-row-id` — ids 0..rowCount-1
+    // assigned to this first snapshot by null-default inheritance)
+    val fv = if (schema.exists(f =>
+        IcebergSchemaIds.hasVariant(f.dataType))) 3 else 2
     val snapshotJson = snapshotNode(snapshotId, parent = None, seq,
       "append", fs.makeQualified(listPath).toString,
       summaryCounts = Map("added-data-files" -> manifestEntry.addedFiles.toLong,
-        "added-records" -> rowCount, "added-files-size" -> dataBytes))
+        "added-records" -> rowCount, "added-files-size" -> dataBytes),
+      firstRowId = if (fv >= 3) Some(0L) else None)
     val metaPath = new Path(metaDir, "v1.metadata.json")
     val out = fs.create(metaPath, false)
     try out.write(metadataJson(java.util.UUID.randomUUID().toString,
-      location, schema, fieldIds, snapshotId, seq, Seq(snapshotJson))
+      location, schema, fieldIds, snapshotId, seq, Seq(snapshotJson),
+      formatVersion = fv,
+      nextRowId = if (fv >= 3) Some(rowCount) else None)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.makeQualified(metaPath).toString

@@ -194,6 +194,15 @@ object IcebergFormat {
       snapshotId.flatMap(_ =>
         snapshot.flatMap(s => Option(s.get("schema-id")).map(_.asInt))))
     val sparkSchema = schemaToSpark(schema, metadataLocation)
+    // VARIANT is a v3 construct: v1/v2 metadata declaring it is
+    // spec-violating — refuse rather than guess its semantics (the
+    // puffin-at-v2 stance). The parquet-only gate lives below, after
+    // the data format is known.
+    if (fv < 3 && hasVariantType(sparkSchema))
+      throw new UnsupportedOperationException(
+        s"Iceberg metadata $metadataLocation: the schema declares a " +
+          s"variant column but the table is format-version $fv; variant " +
+          "is a v3 type — refusing spec-violating metadata")
     val renamed = hasRenamedColumns(root, schema)
     // v3 initial-defaults (round 14): the value pre-addition files must
     // serve for an added column; applied per-file by the scan's fill
@@ -369,6 +378,15 @@ object IcebergFormat {
       val formats = perFileFormats.distinct.sorted
       if (formats.size > 1) "mixed" else formats.headOption.getOrElse("parquet")
     }
+    // variant decodes through Spark's PARQUET reader only (Spark's ORC
+    // source refuses the type outright; the engine's avro decoder has
+    // no variant path) — refuse non-parquet variant layouts here with
+    // the format named, not via an executor-side decoder error
+    if (dataFormat != "parquet" && rels.nonEmpty && hasVariantType(sparkSchema))
+      throw new UnsupportedOperationException(
+        s"Iceberg metadata $metadataLocation: variant columns over " +
+          s"$dataFormat data files — variant decodes through the parquet " +
+          "reader only; rewrite the table as parquet first")
     val dataRelSet = rels.map(_._1).toSet
     val deleteFiles = readDeleteManifests(
       manifestPaths.map(t => (t._1, t._2, t._3)), conf, location,
@@ -854,6 +872,9 @@ object IcebergFormat {
   /** Iceberg type JSON → catalyst type (public spec §Schemas). Types
     * with no exact catalyst mapping REFUSE — a lossy read would change
     * query answers silently. */
+  private def hasVariantType(dt: DataType): Boolean =
+    IcebergSchemaIds.hasVariant(dt)
+
   private def typeToSpark(t: JsonNode, where: String): DataType =
     if (t.isTextual) {
       val s = t.asText
@@ -870,6 +891,12 @@ object IcebergFormat {
         case "binary" => BinaryType
         case "timestamp" => TimestampNTZType
         case "timestamptz" => TimestampType
+        // v3 VARIANT (round 16): catalyst has an exact mapping since
+        // Spark 4 — the parquet VARIANT logical type both specs share
+        // (metadata/value binaries + optional shredding), which Spark's
+        // own reader decodes; `variant_get` works over the read. Gated
+        // to v3 metadata + parquet data files in toTableLayout.
+        case "variant" => VariantType
         case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
         case FixedRe(_) => BinaryType
         case other =>

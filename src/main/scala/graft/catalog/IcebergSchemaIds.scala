@@ -102,6 +102,16 @@ object IcebergSchemaIds {
     Tree(fields, next)
   }
 
+  /** True when the type carries a VARIANT anywhere (top-level or
+    * nested) — the v3/parquet gates key on it. */
+  def hasVariant(dt: DataType): Boolean = dt match {
+    case VariantType => true
+    case s: StructType => s.fields.exists(f => hasVariant(f.dataType))
+    case ArrayType(e, _) => hasVariant(e)
+    case MapType(k, v, _) => hasVariant(k) || hasVariant(v)
+    case _ => false
+  }
+
   /** Iceberg primitive type name (spec §Schemas). */
   def primName(dt: DataType): String = dt match {
     case BooleanType => "boolean"
@@ -115,6 +125,9 @@ object IcebergSchemaIds {
     case TimestampNTZType => "timestamp"
     case TimestampType => "timestamptz"
     case d: DecimalType => s"decimal(${d.precision}, ${d.scale})"
+    // v3 (round 16): catalyst VariantType ↔ the spec's `variant` leaf
+    // — the exporter raises the table to format-version 3 for it
+    case VariantType => "variant"
     case other => throw new UnsupportedOperationException(
       s"Iceberg export does not map catalyst type ${other.catalogString}")
   }

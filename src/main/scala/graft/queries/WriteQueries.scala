@@ -812,6 +812,63 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(tmp)
     }
 
+  /** w22 (round 16): Iceberg v3 VARIANT columns under the oracle. The
+    * engine EXPORTS a variant table (format-version 3 with the required
+    * row-lineage fields; the data file carries parquet's shredded
+    * VARIANT logical type via Spark's writer), registers the pointer,
+    * and reads it back through BOTH faces extracting typed values with
+    * `variant_get` — grouped aggregates over fields that exist only
+    * inside the variant. The oracle replays the same aggregate from the
+    * raw lineitem columns the variant was built from. */
+  def w22(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w22") { (cat, hc) =>
+      import graft.catalog.{CatalogIO, IcebergExport, TableRef}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w22-ice").toString
+      try {
+        val base = spark.read.parquet(s"$dir/lineitem.parquet")
+          .selectExpr("l_orderkey AS k",
+            "parse_json(to_json(named_struct(" +
+              "'qty', CAST(l_quantity AS BIGINT), 'rf', l_returnflag))) AS v")
+        val meta = IcebergExport.writeTable(spark, base, s"$tmp/t")
+        val conf = spark.sessionState.newHadoopConf()
+        val layout = CatalogIO.readLayout(meta, conf)
+        require(layout.schemaDdl.exists(_.contains("VARIANT")),
+          s"w22: expected a VARIANT column in ${layout.schemaDdl}")
+        require(graft.catalog.IcebergFormat.formatVersionOf(
+            CatalogIO.readMetadataText(meta, conf)) == 3,
+          "w22: a variant export must be format-version 3")
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        val ref = TableRef.parse("db.vt")
+        hc.registerTable(ref, meta)
+        val agg =
+          """SELECT variant_get(v, '$.rf', 'string') AS rf,
+            |       COUNT(*) AS cnt,
+            |       SUM(variant_get(v, '$.qty', 'long')) AS qty_sum,
+            |       SUM(k) AS k_sum
+            |FROM %s
+            |WHERE variant_get(v, '$.qty', 'long') > 10
+            |GROUP BY 1""".stripMargin
+        val sqlFace = spark.sql(
+          s"SELECT 'sql' AS face, * FROM (${agg.format(s"$cat.db.vt")})")
+        // DataFrame face: the library read of the same pointer, variant
+        // extraction through expr (no variant_get Column function yet)
+        val dfFace = CatalogIO.readTable(spark, hc, ref)
+          .filter(org.apache.spark.sql.functions
+            .expr("variant_get(v, '$.qty', 'long')") > 10)
+          .groupBy(org.apache.spark.sql.functions
+            .expr("variant_get(v, '$.rf', 'string')").as("rf"))
+          .agg(count(lit(1)).as("cnt"),
+            sum(org.apache.spark.sql.functions
+              .expr("variant_get(v, '$.qty', 'long')")).as("qty_sum"),
+            sum(col("k")).as("k_sum"))
+          .select(lit("df").as("face"), col("rf"), col("cnt"),
+            col("qty_sum"), col("k_sum"))
+        val out = sqlFace.unionByName(dfFace)
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w02 (round 9): the MERGE-ON-READ write surface under the oracle —
     * the counterpart of w01's copy-on-write faces. Builds a partitioned
     * table, then commits the O(batch) mutation sequence:

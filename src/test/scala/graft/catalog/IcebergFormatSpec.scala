@@ -2487,6 +2487,108 @@ class IcebergFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("v3 VARIANT columns read through both faces (Spark's parquet " +
+    "variant decode); v2-declared and non-parquet variant refuse") {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(s"${Files.createTempDirectory("graft-iceberg").toString}/var")
+    val fs = dir.getFileSystem(conf)
+    val loc = fs.makeQualified(dir).toString
+    // a Spark-written shredded VARIANT(1) parquet file — the parquet
+    // logical type the Iceberg v3 and parquet variant specs share
+    val df = spark.sql(
+      """SELECT id AS k,
+        |  CASE WHEN id = 7 THEN NULL ELSE
+        |    parse_json(concat('{"a": ', id * 3, ', "b": "s', id, '"}')) END AS v
+        |FROM range(1, 11)""".stripMargin)
+    writeParquetFile(df.coalesce(1), new Path(dir, "data/f.parquet"))
+    val mSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    def writeManifest(name: String, rel: String): Path = {
+      val m = new Path(dir, s"metadata/$name")
+      val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
+      w.create(mSchema, fs.create(m, true))
+      val abs = new Path(dir, rel)
+      val d = new GenericData.Record(mSchema.getField("data_file").schema())
+      d.put("file_path", fs.makeQualified(abs).toString)
+      d.put("file_format",
+        if (rel.endsWith(".orc")) "ORC" else "PARQUET")
+      d.put("record_count", 10L)
+      d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
+      val r = new GenericData.Record(mSchema)
+      r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
+      w.append(r)
+      w.close()
+      m
+    }
+    def metadata(name: String, fv: Int, manifest: Path): Path = {
+      val p = new Path(dir, s"metadata/$name")
+      val out = fs.create(p, true)
+      try out.write(
+        s"""{"format-version": $fv, "location": "$loc",
+           |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
+           |  {"id": 1, "name": "k", "required": false, "type": "long"},
+           |  {"id": 2, "name": "v", "required": false, "type": "variant"}]}],
+           |"current-schema-id": 0,
+           |"current-snapshot-id": 7,
+           |"snapshots": [{"snapshot-id": 7, "schema-id": 0,
+           |  "manifests": ["${fs.makeQualified(manifest)}"]}]}""".stripMargin
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      p
+    }
+    val m = writeManifest("m.avro", "data/f.parquet")
+    val metaP = metadata("var.metadata.json", 3, m)
+    val layout = CatalogIO.readLayout(metaP.toString, conf)
+    assert(layout.schemaDdl.exists(_.contains("VARIANT")), layout.schemaDdl)
+    def checks(dfv: org.apache.spark.sql.DataFrame, face: String): Unit = {
+      assert(dfv.schema("v").dataType ==
+        org.apache.spark.sql.types.VariantType, s"$face schema")
+      dfv.createOrReplaceTempView("vt")
+      val got = spark.sql(
+        """SELECT k, variant_get(v, '$.a', 'long') AS a,
+          |       variant_get(v, '$.b', 'string') AS b
+          |FROM vt ORDER BY k""".stripMargin).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSeq
+      val expected = (1L to 10L).map(i =>
+        if (i == 7) (i, None, None)
+        else (i, Some(i * 3), Some(s"s$i"))).toSeq
+      assert(got == expected, s"$face variant_get mismatch: $got")
+    }
+    checks(CatalogIO.scanMetadataLocation(spark, metaP.toString), "DataFrame")
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-iceberg-var") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.vt"), metaP.toString)
+      checks(spark.table(s"$cat.db.vt"), "SQL")
+    }
+    // v2 metadata declaring variant is spec-violating — refuse loudly
+    val metaV2 = metadata("var2.metadata.json", 2, m)
+    val e2 = intercept[UnsupportedOperationException] {
+      CatalogIO.readLayout(metaV2.toString, conf)
+    }
+    assert(e2.getMessage.contains("variant is a v3 type"), e2.getMessage)
+    // non-parquet variant layouts refuse with the format named
+    spark.sql("SELECT CAST(1 AS BIGINT) AS k, CAST('x' AS STRING) AS v")
+      .coalesce(1).write.orc(s"$dir/tmp-orc")
+    val orcPart = fs.listStatus(new Path(s"$dir/tmp-orc")).map(_.getPath)
+      .find(_.getName.endsWith(".orc")).get
+    fs.mkdirs(new Path(dir, "data"))
+    fs.rename(orcPart, new Path(dir, "data/f.orc"))
+    val mOrc = writeManifest("m-orc.avro", "data/f.orc")
+    val metaOrc = metadata("var-orc.metadata.json", 3, mOrc)
+    val e3 = intercept[UnsupportedOperationException] {
+      CatalogIO.readLayout(metaOrc.toString, conf)
+    }
+    assert(e3.getMessage.contains("parquet reader only"), e3.getMessage)
+  }
+
   test("v3 guards: puffin at v2 refuses, nested initial-default refuses") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
