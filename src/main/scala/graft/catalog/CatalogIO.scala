@@ -1097,7 +1097,9 @@ object CatalogIO {
     * its orphan data dir unreferenced, never corrupting the winner's
     * history — and the pointer flip is
     * [[HadoopFsCatalog.replaceTablePointer]], whose delete→rename window
-    * readers cover by rolling forward to the newest metadata version.
+    * readers cover by rolling forward to the newest metadata version
+    * (versioned tables) or a bounded pointer re-check (registered
+    * tables, which have no local history — round-16 review).
     *
     * `expectedBase` is the read-modify-write guard: a committer whose new
     * snapshot was DERIVED from version B passes `Some(B)`, and the commit

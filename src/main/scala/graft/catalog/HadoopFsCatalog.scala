@@ -128,7 +128,27 @@ final class HadoopFsCatalog(val name: String, warehouse: String,
         try commitPointer(dir, latest.toString) catch { case _: Exception => () }
         latest.toString
       case None =>
-        throw new NoSuchTableException(s"Table does not exist: $ref")
+        // REGISTERED tables have no local history to roll forward to,
+        // and [[replaceTablePointer]]'s delete→rename window leaves the
+        // directory pointer-less for a moment (filesystems without
+        // overwrite-rename). A directory that EXISTS but carries neither
+        // pointer nor history is that window's signature — re-check
+        // briefly before declaring the table missing (round-16 review:
+        // a streaming source's poll racing a re-registration saw a
+        // spurious NoSuchTableException). A genuinely absent table has
+        // no directory and throws immediately.
+        var waited = 0L
+        var healed: Option[String] = None
+        while (healed.isEmpty && waited < 2000L && fs.exists(dir)) {
+          Thread.sleep(25L); waited += 25
+          if (fs.exists(ptr)) healed = Some(readText(ptr).trim)
+          else metadataFallback(dir).foreach { latest =>
+            try commitPointer(dir, latest.toString) catch { case _: Exception => () }
+            healed = Some(latest.toString)
+          }
+        }
+        healed.getOrElse(
+          throw new NoSuchTableException(s"Table does not exist: $ref"))
     }
   }
 

@@ -135,6 +135,11 @@ object IcebergExport {
     require(fileFormat == "parquet" || fileFormat == "orc" ||
       fileFormat == "avro",
       s"appendSnapshot writes parquet, orc, or avro data files, got '$fileFormat'")
+    // the same variant gate as writeTable (round-16 review): refuse
+    // here, not via a generic mid-write decoder/writer error
+    require(fileFormat == "parquet" || !df.schema.exists(f =>
+        IcebergSchemaIds.hasVariant(f.dataType)),
+      s"variant columns export as parquet only, not $fileFormat")
     val st = loadState(spark, metadataLocation)
     require(df.schema == st.sparkSchema,
       s"appendSnapshot schema ${df.schema.toDDL} does not match the " +

@@ -201,7 +201,13 @@ object AvroWrite {
         val et = typeNode(e, eid)
         s"""{"type": "array", "items": ${
           if (cn) s"""["null", $et]""" else et}, "element-id": $eid}"""
-      case MapN(kid, Prim(StringType), vid, vcn, v) =>
+      // string keys take the avro MAP encoding — in BOTH tree forms:
+      // a derived tree says Prim(StringType), a LOADED table's parsed
+      // tree says PrimName("string") (round-16 review: matching only
+      // the former silently flipped avro appends' string-key maps to
+      // the array-of-records encoding, diverging from the table's
+      // existing files)
+      case MapN(kid, Prim(StringType) | PrimName("string"), vid, vcn, v) =>
         val vt = typeNode(v, vid)
         s"""{"type": "map", "values": ${
           if (vcn) s"""["null", $vt]""" else vt}, """ +

@@ -244,9 +244,17 @@ private[streaming] final case class StreamFilePartition(factory: Int,
 }
 
 /** Dispatches each [[StreamFilePartition]] to its format's stock
-  * factory. */
+  * factory. `allColumnar` is the GLOBAL verdict computed at plan time:
+  * Spark requires every partition of a scan to agree
+  * (DataSourceV2ScanExecBase's all-or-none rule), and two formats'
+  * vectorization decisions can differ (per-format reader confs, nested
+  * types), so a mixed batch demotes to row-based unless EVERY
+  * partition of EVERY group vectorizes — the same rule
+  * [[graft.sources]]' mixed-format composite applies (round-16
+  * review). */
 private[streaming] final class StreamReaderFactory(
-    inners: Array[PartitionReaderFactory]) extends PartitionReaderFactory {
+    inners: Array[PartitionReaderFactory],
+    allColumnar: Boolean) extends PartitionReaderFactory {
   private def unwrap(p: InputPartition): (PartitionReaderFactory, FilePartition) = {
     val sp = p.asInstanceOf[StreamFilePartition]
     (inners(sp.factory), sp.files)
@@ -258,9 +266,7 @@ private[streaming] final class StreamReaderFactory(
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val (f, fp) = unwrap(p); f.createColumnarReader(fp)
   }
-  override def supportColumnarReads(p: InputPartition): Boolean = {
-    val (f, fp) = unwrap(p); f.supportColumnarReads(fp)
-  }
+  override def supportColumnarReads(p: InputPartition): Boolean = allColumnar
 }
 
 /** Per-format stock scan construction shared by both micro-batch
@@ -289,6 +295,38 @@ private[streaming] object StreamScans {
           "first")
     }
     table.newScanBuilder(opts).build()
+  }
+
+  /** The shared per-batch plan of both micro-batch sources: one stock
+    * scan per (segment, format) group, every partition tagged with its
+    * factory's index, plus the global columnar verdict (see
+    * [[StreamReaderFactory]]). `groups` = (data location, that
+    * segment's batch files with their formats). */
+  def planGroups(name: String, tableSchema: StructType,
+      hadoopConf: Map[String, String],
+      groups: Seq[(String, Seq[(String, String)])])
+      : (Array[InputPartition], StreamReaderFactory) = {
+    val factories = Vector.newBuilder[PartitionReaderFactory]
+    val parts = Vector.newBuilder[InputPartition]
+    var fi = -1
+    var allColumnar = true
+    groups.foreach { case (loc, files) =>
+      files.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (fmt, fs) =>
+        val abs = fs.map { case (f, _) =>
+          new org.apache.hadoop.fs.Path(loc, f).toString }
+        val scan = scanOver(name, tableSchema, hadoopConf, fmt, abs, loc)
+        val factory = scan.toBatch.createReaderFactory()
+        factories += factory
+        fi += 1
+        scan.toBatch.planInputPartitions().foreach { p =>
+          val fp = p.asInstanceOf[FilePartition]
+          allColumnar &&= factory.supportColumnarReads(fp)
+          parts += StreamFilePartition(fi, fp)
+        }
+      }
+    }
+    (parts.result().toArray,
+      new StreamReaderFactory(factories.result().toArray, allColumnar))
   }
 }
 
@@ -441,24 +479,12 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
       }
     val live = groups.filter(_._2.nonEmpty)
     if (live.isEmpty) return Array.empty
-    // partitions concatenate across (segment, format) groups, each
-    // tagged with its own stock factory's index
-    val factories = Vector.newBuilder[PartitionReaderFactory]
-    var fi = -1
-    val parts = live.flatMap { case (segLoc, added) =>
-      added.groupBy { case (f, _) => fmtOf(segLoc, f) }.toSeq.sortBy(_._1)
-        .flatMap { case (fmt, fs) =>
-          val abs = fs.map { case (f, _) =>
-            new org.apache.hadoop.fs.Path(segLoc, f).toString }
-          val scan = StreamScans.scanOver(s"$ref-stream", tableSchema,
-            cfg.hadoopConf, fmt, abs, segLoc)
-          factories += scan.toBatch.createReaderFactory()
-          fi += 1
-          scan.toBatch.planInputPartitions().map(p =>
-            StreamFilePartition(fi, p.asInstanceOf[FilePartition]): InputPartition)
-        }
-    }.toArray
-    lastFactory = new StreamReaderFactory(factories.result().toArray)
+    val (parts, factory) = StreamScans.planGroups(s"$ref-stream",
+      tableSchema, cfg.hadoopConf,
+      live.map { case (segLoc, added) =>
+        (segLoc, added.map { case (f, _) => (f, fmtOf(segLoc, f)) })
+      })
+    lastFactory = factory
     parts
   }
 
@@ -471,7 +497,7 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
       val layout = CatalogIO.readLayout(cat.loadTableMetadataLocation(ref), conf)
       new StreamReaderFactory(Array(StreamScans.scanOver(s"$ref-stream",
         tableSchema, cfg.hadoopConf, "parquet", Nil, layout.dataLocation)
-        .toBatch.createReaderFactory()))
+        .toBatch.createReaderFactory()), allColumnar = false)
     }
   }
 
@@ -762,20 +788,9 @@ private[streaming] final class IcebergMicroBatchStream(cfg: CatalogConfig,
     // StreamScans refuses anything else loudly); the TABLE may be mixed
     // (orc base + parquet appends) since only the increment is read here
     if (added.isEmpty) return Array.empty
-    val factories = Vector.newBuilder[PartitionReaderFactory]
-    var fi = -1
-    val parts = added.groupBy(_._2).toSeq.sortBy(_._1)
-      .flatMap { case (fmt, fs) =>
-        val abs = fs.map { case (f, _) =>
-          new org.apache.hadoop.fs.Path(toL.dataLocation, f).toString }
-        val scan = StreamScans.scanOver(s"$ref-icestream", tableSchema,
-          cfg.hadoopConf, fmt, abs, toL.dataLocation)
-        factories += scan.toBatch.createReaderFactory()
-        fi += 1
-        scan.toBatch.planInputPartitions().map(p =>
-          StreamFilePartition(fi, p.asInstanceOf[FilePartition]): InputPartition)
-      }.toArray
-    lastFactory = new StreamReaderFactory(factories.result().toArray)
+    val (parts, factory) = StreamScans.planGroups(s"$ref-icestream",
+      tableSchema, cfg.hadoopConf, Seq((toL.dataLocation, added)))
+    lastFactory = factory
     parts
   }
 
@@ -787,7 +802,7 @@ private[streaming] final class IcebergMicroBatchStream(cfg: CatalogConfig,
       val dataLoc = graft.catalog.CatalogIO.readLayout(loc, conf).dataLocation
       new StreamReaderFactory(Array(StreamScans.scanOver(s"$ref-icestream",
         tableSchema, cfg.hadoopConf, "parquet", Nil, dataLoc)
-        .toBatch.createReaderFactory()))
+        .toBatch.createReaderFactory()), allColumnar = false)
     }
   }
 

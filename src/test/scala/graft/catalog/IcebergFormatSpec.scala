@@ -2568,6 +2568,16 @@ class IcebergFormatSpec extends AnyFunSuite {
       hc.registerTable(TableRef.parse("db.vt"), metaP.toString)
       checks(spark.table(s"$cat.db.vt"), "SQL")
     }
+    // non-parquet APPENDS onto a variant table refuse at the funnel,
+    // like writeTable (round-16 review)
+    val metaExp = IcebergExport.writeTable(spark, df.coalesce(1),
+      s"$dir/exp")
+    val eA = intercept[IllegalArgumentException] {
+      IcebergExport.appendSnapshot(spark, df.coalesce(1), metaExp,
+        fileFormat = "orc")
+    }
+    assert(eA.getMessage.contains("variant columns export as parquet only"),
+      eA.getMessage)
     // v2 metadata declaring variant is spec-violating — refuse loudly
     val metaV2 = metadata("var2.metadata.json", 2, m)
     val e2 = intercept[UnsupportedOperationException] {

@@ -2,6 +2,8 @@ package graft.sources
 
 import java.nio.file.Files
 
+import scala.jdk.CollectionConverters._
+
 import graft.TestSpark
 import org.apache.spark.sql.Row
 import org.apache.spark.sql.types._
@@ -202,10 +204,12 @@ class AvroWriteSpec extends AnyFunSuite {
     // re-derived one
     def slice(lo: Int, hi: Int) = spark.sql(
       s"""SELECT id AS k, CAST(id AS DOUBLE) / 2 AS v,
-         |  named_struct('a', id * 2, 'b', concat('s', id)) AS st
+         |  named_struct('a', id * 2, 'b', concat('s', id)) AS st,
+         |  map(concat('m', id % 3), id * 3) AS sm
          |FROM range($lo, $hi)""".stripMargin)
     def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
-      df.select(col("k"), col("v"), col("st.a"), col("st.b"))
+      df.select(col("k"), col("v"), col("st.a"), col("st.b"),
+          map_entries(col("sm")).as("sm"))
         .collect().map(_.toString).sorted.toSeq
     val expected = canon(slice(0, 200))
     // avro-onto-avro stays homogeneous; stats come from the write pass
@@ -220,6 +224,27 @@ class AvroWriteSpec extends AnyFunSuite {
     assert(l2.dataFileStats.exists(_.forall(_.nonEmpty)),
       "appended avro files must carry write-pass manifest stats")
     assert(canon(CatalogIO.scanMetadataLocation(spark, m2)) == expected)
+    // the APPENDED file's string-key map keeps the avro MAP encoding
+    // (round-16 review: a loaded tree's PrimName("string") key fell
+    // through to the array-of-records branch, silently diverging from
+    // the base file's on-disk encoding)
+    val appended = l2.absoluteDataFiles.get
+      .find(_.contains("/data/s2-")).getOrElse(
+        fail(s"no s2 appended file in ${l2.dataFiles}"))
+    val rdr = new org.apache.avro.file.DataFileReader(
+      new org.apache.avro.mapred.FsInput(
+        new org.apache.hadoop.fs.Path(appended), conf),
+      new org.apache.avro.generic.GenericDatumReader[Any]())
+    val fileSchema = try rdr.getSchema finally rdr.close()
+    val smSchema = {
+      val s = fileSchema.getField("sm").schema()
+      if (s.getType == org.apache.avro.Schema.Type.UNION)
+        s.getTypes.asScala.find(
+          _.getType != org.apache.avro.Schema.Type.NULL).get
+      else s
+    }
+    assert(smSchema.getType == org.apache.avro.Schema.Type.MAP,
+      s"appended string-key map must use the avro MAP encoding, got $smSchema")
     graft.sources.TempCatalog.withTempHandles(spark, "avro-append") { (cat, hc) =>
       spark.sql(s"CREATE NAMESPACE $cat.db")
       hc.registerTable(TableRef.parse("db.aa"), m2)

@@ -173,6 +173,30 @@ class TableStreamSourceSpec extends AnyFunSuite {
       def msgs(t: Throwable): String =
         if (t == null) "" else t.getMessage + msgs(t.getCause)
       assert(msgs(e).contains("parquet and ORC appends only"), msgs(e))
+      // columnar DEMOTION (round-16 review): with ORC vectorization
+      // OFF, a mixed parquet+ORC batch's per-format verdicts DISAGREE —
+      // the plan must demote the whole batch to row-based (Spark's
+      // all-or-none rule), not die on 'cannot mix row-based and
+      // columnar'. A fresh stream (its session conf snapshots at
+      // start) bootstraps the orc-base + parquet-append history as one
+      // mixed batch.
+      hc.replaceTablePointer(ref, meta4) // back to the parquet+orc state
+      val orcVect = "spark.sql.orc.enableVectorizedReader"
+      val priorVect = spark.conf.get(orcVect)
+      val name2 = s"ts${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+      val q2 = try {
+        spark.conf.set(orcVect, "false")
+        streamFrom(wh, Some("earliest")).writeStream
+          .format("memory").queryName(name2).outputMode("append").start()
+      } finally spark.conf.set(orcVect, priorVect)
+      try {
+        q2.processAllAvailable()
+        assert(spark.table(name2).select("k").collect()
+          .map(_.getLong(0)).sorted.toSeq ==
+          ((0L until 5L) ++ (100L until 103L) ++ (200L until 202L) ++
+            (300L until 302L)),
+          "a columnar-disagreeing mixed batch must demote to rows and serve")
+      } finally q2.stop()
     } finally q.stop()
   }
 
