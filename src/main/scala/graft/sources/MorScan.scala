@@ -335,17 +335,18 @@ private object MorScan {
         s"merge-on-read scan of ${layout.dataLocation}: over-threshold " +
           "equality deletes alongside un-materialized column renames; " +
           "compact the table first")
-    // the spill join captures row addresses via `_metadata.row_index`,
-    // which Spark's file sources expose for PARQUET only (OrcFileFormat
-    // keeps the base metadata fields) — over-threshold equality deletes
-    // on an ORC table have no degrade path here
-    if (layout.dataFormat != "parquet")
+    // parquet captures row addresses via `_metadata.row_index`; ORC has
+    // no row-index metadata column, so its addresses come from a
+    // distributed per-file COUNTING read (orc-core, key columns only —
+    // [[orcAddressFrame]], round 16: the last ORC refusal lifted).
+    // Avro has neither path.
+    if (layout.dataFormat != "parquet" && layout.dataFormat != "orc")
       throw new MorDeleteOverflowException(
         s"merge-on-read scan of ${layout.dataLocation}: equality-delete " +
           s"tuples exceed spark.graft.mor.maxDeleteTuples and the data " +
-          s"files are ${layout.dataFormat} — the positional degrade path " +
-          "needs parquet's _metadata.row_index; compact the table " +
-          "(materializing the deletes) or raise the threshold explicitly")
+          s"files are ${layout.dataFormat} — no positional degrade path " +
+          "serves that format; compact the table (materializing the " +
+          "deletes) or raise the threshold explicitly")
     val schema = StructType.fromDDL(layout.schemaDdl.getOrElse(
       throw new IllegalStateException(
         s"merge-on-read layout without a recorded schema at ${layout.dataLocation}")))
@@ -368,14 +369,25 @@ private object MorScan {
         spillFs: org.apache.hadoop.fs.FileSystem)
         : (Map[String, Seq[String]], () => Unit) = {
       val mapping = groups.zipWithIndex.flatMap { case ((delPaths, files), gi) =>
-        val data = session.read.options(hadoopOpts).schema(schema)
-          .option("basePath", layout.dataLocation)
-          .parquet(files.map(_._1): _*)
-          .withColumn("__graft_f", col("_metadata.file_path"))
-          .withColumn("__graft_p", col("_metadata.row_index"))
         val bySchema = delPaths
           .groupBy(p => graft.catalog.CatalogIO.DeleteFileFooters.of(p, conf)._1)
           .toSeq.sortBy(_._1.mkString(","))
+        val data =
+          if (layout.dataFormat == "parquet")
+            session.read.options(hadoopOpts).schema(schema)
+              .option("basePath", layout.dataLocation)
+              .parquet(files.map(_._1): _*)
+              .withColumn("__graft_f", col("_metadata.file_path"))
+              .withColumn("__graft_p", col("_metadata.row_index"))
+          else
+            // ORC: addresses from a distributed per-file counting read
+            // over orc-core — only this group's delete-KEY columns are
+            // decoded; __graft_f matches parquet's _metadata spelling
+            // (qualified path string) so the relativization below is
+            // shared
+            orcAddressFrame(session, hadoopOpts,
+              files.map(f => qual(f._1)), schema,
+              bySchema.flatMap(_._1).distinct)
         val matched = bySchema.map { case (cols, paths) =>
           val del = graft.catalog.CatalogIO.readDeleteFiles(session,
             hadoopOpts, paths.distinct, conf)
@@ -438,6 +450,52 @@ private object MorScan {
           throw e
       }
     }
+  }
+
+  /** Distributed (file, position, key columns) enumeration over ORC
+    * data files for the equality-delete DEGRADE path (round 16 — the
+    * last ORC refusal lifted): Spark's ORC source exposes no row-index
+    * metadata column, so row addresses are recovered by a per-file
+    * COUNTING read over orc-core directly — one task per file (the
+    * degrade-path trade: no intra-file parallelism), only the
+    * delete-key columns decoded (ORC include-column projection), and
+    * positions from a task-local counter over the whole in-order read:
+    * the same soundness argument as the scan's counting read.
+    * Timestamp keys refuse (their exact external mapping is not
+    * threaded through this decode). */
+  private[sources] def orcAddressFrame(session: SparkSession,
+      hadoopOpts: Map[String, String], qualAbsFiles: Seq[String],
+      tableSchema: StructType, cols: Seq[String])
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types._
+    val keyFields = cols.map(c =>
+      tableSchema.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        throw new IllegalStateException(
+          s"equality-delete column $c not in table schema " +
+            tableSchema.fieldNames.mkString("(", ", ", ")"))))
+    keyFields.find(f => f.dataType == TimestampType ||
+        f.dataType == TimestampNTZType).foreach { f =>
+      throw new MorDeleteOverflowException(
+        s"over-threshold equality deletes key on timestamp column " +
+          s"${f.name} over ORC data files; the degrade path's orc " +
+          "decode does not map timestamps exactly — compact the table " +
+          "(materializing the deletes) or raise the threshold explicitly")
+    }
+    val outSchema = StructType(
+      StructField("__graft_f", StringType, nullable = false) +:
+        StructField("__graft_p", LongType, nullable = false) +:
+        keyFields.map(_.copy(nullable = true)))
+    val confSer = new org.apache.spark.util.SerializableConfiguration({
+      val c = new org.apache.hadoop.conf.Configuration()
+      hadoopOpts.foreach { case (k, v) => c.set(k, v) }
+      c
+    })
+    val names = keyFields.map(_.name).toIndexedSeq
+    val types = keyFields.map(_.dataType).toIndexedSeq
+    val rdd = session.sparkContext
+      .parallelize(qualAbsFiles, math.max(qualAbsFiles.size, 1))
+      .flatMap(abs => new OrcKeyRows(abs, confSer.value, names, types))
+    session.createDataFrame(rdd, outSchema)
   }
 
   /** TASK-side read of the positional-delete addresses for ONE data
@@ -549,6 +607,108 @@ private object MorScan {
       i += 1
     }
     if (w == arr.length) arr else java.util.Arrays.copyOf(arr, w)
+  }
+}
+
+/** Executor-side lazy iterator behind [[MorScan.orcAddressFrame]]: one
+  * ORC file's (qualified path, physical row position, key values) rows,
+  * decoded batch-by-batch with only the named columns included. The
+  * reader closes on exhaustion AND on task completion (a killed task
+  * must not leak it). Name resolution is case-insensitive like the rest
+  * of the engine. */
+private final class OrcKeyRows(qualAbs: String,
+    conf: org.apache.hadoop.conf.Configuration,
+    names: IndexedSeq[String],
+    types: IndexedSeq[org.apache.spark.sql.types.DataType])
+  extends Iterator[org.apache.spark.sql.Row] {
+
+  import org.apache.hadoop.hive.ql.exec.vector._
+  import org.apache.spark.sql.types._
+
+  private val reader = org.apache.orc.OrcFile.createReader(
+    new Path(qualAbs), org.apache.orc.OrcFile.readerOptions(conf))
+  private val schema = reader.getSchema
+  private val fieldNames = schema.getFieldNames
+  private val ordinals: IndexedSeq[Int] = names.map { n =>
+    (0 until fieldNames.size).find(i =>
+      fieldNames.get(i).equalsIgnoreCase(n)).getOrElse(
+      throw new IllegalStateException(
+        s"ORC file $qualAbs lacks equality-delete column $n; " +
+          s"found ${fieldNames.toString}"))
+  }
+  private val include = {
+    val inc = new Array[Boolean](schema.getMaximumId + 1)
+    inc(0) = true
+    ordinals.foreach { o =>
+      val child = schema.getChildren.get(o)
+      (child.getId to child.getMaximumId).foreach(inc(_) = true)
+    }
+    inc
+  }
+  private val rows = reader.rows(
+    new org.apache.orc.Reader.Options(conf).include(include))
+  private val batch = schema.createRowBatch()
+  private var inBatch = 0
+  private var pos = -1L
+  private var closed = false
+  Option(org.apache.spark.TaskContext.get()).foreach(
+    _.addTaskCompletionListener[Unit](_ => close()))
+
+  private def close(): Unit = if (!closed) {
+    closed = true
+    try rows.close() finally reader.close()
+  }
+
+  override def hasNext: Boolean = {
+    if (closed) return false
+    while (inBatch >= batch.size) {
+      if (!rows.nextBatch(batch)) { close(); return false }
+      inBatch = 0
+    }
+    true
+  }
+
+  private def valueAt(c: ColumnVector, r0: Int, dt: DataType): Any = {
+    val r = if (c.isRepeating) 0 else r0
+    if (!c.noNulls && c.isNull(r)) return null
+    dt match {
+      case BooleanType => c.asInstanceOf[LongColumnVector].vector(r) != 0L
+      case ByteType => c.asInstanceOf[LongColumnVector].vector(r).toByte
+      case ShortType => c.asInstanceOf[LongColumnVector].vector(r).toShort
+      case IntegerType => c.asInstanceOf[LongColumnVector].vector(r).toInt
+      case LongType => c.asInstanceOf[LongColumnVector].vector(r)
+      case FloatType => c.asInstanceOf[DoubleColumnVector].vector(r).toFloat
+      case DoubleType => c.asInstanceOf[DoubleColumnVector].vector(r)
+      case StringType => c.asInstanceOf[BytesColumnVector].toString(r)
+      case BinaryType =>
+        val b = c.asInstanceOf[BytesColumnVector]
+        java.util.Arrays.copyOfRange(b.vector(r), b.start(r),
+          b.start(r) + b.length(r))
+      case DateType => java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(
+        c.asInstanceOf[LongColumnVector].vector(r)))
+      case _: DecimalType =>
+        c.asInstanceOf[DecimalColumnVector].vector(r)
+          .getHiveDecimal.bigDecimalValue()
+      case other => throw new UnsupportedOperationException(
+        s"ORC equality-key decode does not map ${other.catalogString}")
+    }
+  }
+
+  override def next(): org.apache.spark.sql.Row = {
+    if (!hasNext) throw new NoSuchElementException
+    val r = inBatch
+    inBatch += 1
+    pos += 1
+    val vals = new Array[Any](2 + ordinals.length)
+    vals(0) = qualAbs
+    vals(1) = pos
+    var i = 0
+    while (i < ordinals.length) {
+      vals(2 + i) = valueAt(batch.cols(ordinals(i)), r, types(i))
+      i += 1
+    }
+    org.apache.spark.sql.Row.fromSeq(scala.collection.immutable
+      .ArraySeq.unsafeWrapArray(vals))
   }
 }
 

@@ -401,25 +401,48 @@ class IcebergFormatSpec extends AnyFunSuite {
     }
   }
 
-  test("ORC over-threshold equality deletes refuse loudly (no parquet row_index degrade path)") {
+  test("ORC over-threshold equality deletes DEGRADE to the counting-read " +
+    "spill (round 16 — the last ORC refusal lifted); timestamp keys refuse") {
+    import org.apache.spark.sql.functions.col
     import spark.implicits._
     val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/teqo"
-    val metaLoc = IcebergExport.writeTable(spark, sampleDf.coalesce(1), dir,
-      fileFormat = "orc")
+    // TWO files, each sorted by id, so the spilled positions must land
+    // in the right file AND the right in-file rank
+    val metaLoc = IcebergExport.writeTable(spark,
+      sampleDf.repartitionByRange(2, col("id")).sortWithinPartitions("id"),
+      dir, fileFormat = "orc")
     val conf = spark.sessionState.newHadoopConf()
+    // equality keys on BOTH a long and a string column (two delete
+    // files with different schemas — two spill joins), values spread
+    // across both data files
+    val eqIds = Seq(1L, 2L, 3L, 250L, 299L)
     val eqD = new Path(dir, "deletes/eq-big.parquet")
-    writeParquetFile(Seq(1L, 2L, 3L).toDF("id"), eqD)
-    spliceDeleteManifest(dir, metaLoc, Seq(DelFile(2,
-      eqD.getFileSystem(conf).makeQualified(eqD).toString, 3, 2L,
-      equalityIds = Seq(1))))
+    writeParquetFile(eqIds.toDF("id"), eqD)
+    val eqNames = Seq("name-7", "name-260")
+    val eqN = new Path(dir, "deletes/eq-names.orc")
+    writeOrcFile(eqNames.toDF("name"), eqN)
+    spliceDeleteManifest(dir, metaLoc, Seq(
+      DelFile(2, eqD.getFileSystem(conf).makeQualified(eqD).toString,
+        eqIds.size, 2L, equalityIds = Seq(1)),
+      DelFile(2, eqN.getFileSystem(conf).makeQualified(eqN).toString,
+        eqNames.size, 2L, equalityIds = Seq(2), format = "ORC")))
+    val deleted = eqIds.toSet ++ Set(7L, 260L)
+    val expected = sampleDf.filter(!col("id").isin(deleted.toSeq: _*))
     spark.conf.set("spark.graft.mor.maxDeleteTuples", "1")
     try {
-      val e = intercept[Exception] {
-        CatalogIO.scanMetadataLocation(spark, metaLoc).count()
+      // both faces serve the degraded plan with exact logical content
+      val df = CatalogIO.scanMetadataLocation(spark, metaLoc)
+      assert(df.count() == 300 - deleted.size)
+      assert(df.exceptAll(expected).isEmpty && expected.exceptAll(df).isEmpty,
+        "degraded ORC equality deletes must apply exactly")
+      graft.sources.TempCatalog.withTempHandles(spark, "graft-orc-eqo") { (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.oeq"), metaLoc)
+        val sqlDf = spark.sql(s"SELECT * FROM $cat.db.oeq")
+        assert(sqlDf.exceptAll(expected).isEmpty &&
+          expected.exceptAll(sqlDf).isEmpty,
+          "SQL face must serve the degraded plan identically")
       }
-      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
-        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
-      assert(msgs.contains("_metadata.row_index"), msgs)
     } finally spark.conf.unset("spark.graft.mor.maxDeleteTuples")
   }
 

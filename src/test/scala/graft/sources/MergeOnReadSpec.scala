@@ -281,6 +281,18 @@ class MergeOnReadSpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.graft.mor.maxDeleteTuples")
   }
 
+  test("ORC degrade path refuses timestamp equality keys with the column named") {
+    // the orc address decode maps no exact external timestamp value —
+    // refusing loudly beats a silently wrong microsecond conversion
+    val e = intercept[MorDeleteOverflowException] {
+      MorScan.orcAddressFrame(spark, Map.empty,
+        Seq("file:///nonexistent.orc"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id BIGINT, ts TIMESTAMP"), Seq("ts"))
+    }
+    assert(e.getMessage.contains("timestamp column ts"), e.getMessage)
+  }
+
   test("degrade-path tasks read ONLY their own file's spill slice (judge r13 item 2)") {
     val (cat, hc) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
