@@ -48,7 +48,7 @@ object ScaleSmoke {
     }
     // the write/compact experiments only need lineitem — skip the rest
     // of the synthesis when they (or srp, which synthesizes nothing) run alone
-    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr", "plan", "manifest", "iceberg", "chunks", "dv", "orc", "degrade", "stream")).nonEmpty) {
+    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr", "plan", "manifest", "iceberg", "chunks", "dv", "orc", "degrade", "stream", "hive")).nonEmpty) {
       replicate("orders") { (df, i) =>
         df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
           .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
@@ -83,7 +83,7 @@ object ScaleSmoke {
       "d08_dedup_substrings", "t06_pack_sequences", "p01_training_pipeline")
     // a typo'd name silently measuring nothing would waste a multi-hour
     // rerun — fail fast instead ("srp"/"write" select those experiments)
-    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr" - "plan" - "manifest" - "iceberg" - "chunks" - "dv" - "orc" - "degrade" - "stream"
+    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr" - "plan" - "manifest" - "iceberg" - "chunks" - "dv" - "orc" - "degrade" - "stream" - "hive"
     require(unknown.isEmpty,
       s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats, incr, plan, manifest, iceberg, chunks, dv, orc, degrade, stream")
     all.filter(q => only.isEmpty || only(q)).foreach { q =>
@@ -103,6 +103,7 @@ object ScaleSmoke {
     if (only.isEmpty || only("orc")) orcScale(spark, out, replicas)
     if (only.isEmpty || only("degrade")) degradeScale(spark, out, replicas)
     if (only.isEmpty || only("stream")) streamScale(spark, out, replicas)
+    if (only.isEmpty || only("hive")) hiveScale(spark, out, replicas)
     spark.stop()
   }
 
@@ -116,6 +117,71 @@ object ScaleSmoke {
     * difference between a 100 TB bootstrap that streams and one that
     * plans a single table-sized batch. Also prints the per-trigger
     * offset-walk overhead (the budget walk's metadata reads). */
+  /** Hive-import (identity partition fill) experiment (round 16): a
+    * hive `p=…` tree built from replicated lineitem (64 partitions,
+    * files LACKING the partition column) is registered zero-copy via
+    * [[graft.catalog.IcebergExport.importHiveTable]]; measured:
+    * (a) the import itself (one distributed metrics scan + manifest
+    * write — `add_files` proper reads footers only, this also covers
+    * orc), (b) the FIRST layout load, which pays the per-file presence
+    * proof (parallel footer reads, cached per JVM) vs a warm reload,
+    * (c) a full aggregate GROUP BY the fill column through the DSv2
+    * face (64 fill groups = 64 stock scan stacks in one DSv2 scan),
+    * (d) a partition-filtered aggregate whose FILE pruning comes from
+    * the synthesized lower=upper partition bounds. */
+  private def hiveScale(spark: SparkSession, out: String, replicas: Int): Unit = {
+    import graft.catalog.{CatalogIO, HadoopFsCatalog, IcebergExport, Namespace, TableRef}
+    import org.apache.spark.sql.functions.col
+    val dir = s"/tmp/graft_hive_x$replicas"
+    graft.sources.TempCatalog.deleteRecursively(dir)
+    val tree = s"$dir/ht"
+    val src = spark.read.parquet(s"$out/lineitem.parquet")
+      .select(col("l_orderkey").as("k"), col("l_quantity").as("qty"),
+        (col("l_orderkey") % 64).cast("int").as("p"))
+    var t0 = System.nanoTime()
+    src.repartition(64, col("p")).write.partitionBy("p").parquet(tree)
+    println(f"[scale] hive x$replicas: 64-partition tree written in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    t0 = System.nanoTime()
+    val meta = IcebergExport.importHiveTable(spark, tree, src.schema, Seq("p"))
+    println(f"[scale] hive x$replicas: importHiveTable (metrics scan + " +
+      f"manifests) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val conf = spark.sessionState.newHadoopConf()
+    t0 = System.nanoTime()
+    val layout = CatalogIO.readLayout(meta, conf)
+    val coldLoad = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    CatalogIO.readLayout(meta, conf)
+    println(f"[scale] hive x$replicas: layout load (presence proof over " +
+      f"${layout.dataFiles.map(_.size).getOrElse(0)} files) cold " +
+      f"$coldLoad%.2f s, warm ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    val hc = new HadoopFsCatalog("hivescale", s"$dir/wh")
+    hc.createNamespace(Namespace.of("db"))
+    hc.registerTable(TableRef.parse("db.ht"), meta)
+    val cat = s"g_hivescale_${replicas}"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      "graft.sources.GraftSparkCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.type", "hadoop")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", s"$dir/wh")
+    for (round <- Seq("cold", "warm")) {
+      t0 = System.nanoTime()
+      spark.sql(s"SELECT p, count(*) c, sum(qty) s FROM $cat.db.ht GROUP BY p")
+        .collect()
+      println(f"[scale] hive x$replicas: full GROUP BY fill column (64 " +
+        f"groups, one DSv2 scan) $round ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    }
+    for (round <- Seq("cold", "warm")) {
+      graft.sources.StatsPruning.lastPlanned = None
+      t0 = System.nanoTime()
+      spark.sql(s"SELECT sum(qty) s FROM $cat.db.ht WHERE p = 3").collect()
+      val flt = (System.nanoTime() - t0) / 1e9
+      println(f"[scale] hive x$replicas: p=3 filtered aggregate $round " +
+        f"$flt%.1f s (file pruning from synthesized partition bounds; " +
+        f"last group planned ${graft.sources.StatsPruning.lastPlanned})")
+    }
+    hc.close()
+  }
+
   private def streamScale(spark: SparkSession, out: String, replicas: Int): Unit = {
     import graft.catalog.{CatalogIO, HadoopFsCatalog, Namespace, TableRef}
     import org.apache.spark.sql.functions.col

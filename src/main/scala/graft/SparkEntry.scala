@@ -145,6 +145,7 @@ object SparkEntry {
     "w20_nested_export" -> (graft.queries.WriteQueries.w20 _),
     "w21_orc_mor" -> (graft.queries.WriteQueries.w21 _),
     "w22_variant" -> (graft.queries.WriteQueries.w22 _),
+    "w23_hive_import" -> (graft.queries.WriteQueries.w23 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1158,6 +1159,25 @@ object SparkEntry {
         |       CAST(SUM(k) AS BIGINT) AS k_sum,
         |       CAST(SUM(qty) AS BIGINT) AS qty_sum
         |FROM full_t GROUP BY rf""".stripMargin,
+    // w23: the add_files / Hive-import shape (round 16) — data files
+    // LACK the partition column; every rf value is a manifest
+    // partition record served as a per-file constant fill, with
+    // synthesized lower=upper bounds driving the filtered phase's
+    // pruning. Oracle replays the aggregates from raw lineitem.
+    "w23_hive_import" ->
+      """WITH t AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS k,
+        |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum,
+        |         CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |  FROM t GROUP BY rf)
+        |SELECT 'all' AS phase, * FROM g
+        |UNION ALL
+        |SELECT 'flt' AS phase, * FROM g WHERE rf = 'R'
+        |UNION ALL
+        |SELECT 'df' AS phase, * FROM g""".stripMargin,
     // w20: nested-type Iceberg export (round 16). The struct gate is
     // k%7<>0 (NULL structs drop via WHERE st IS NOT NULL); the single-
     // entry maps make element_at(sm, rf) = qty and the im probe always

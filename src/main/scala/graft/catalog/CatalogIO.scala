@@ -203,13 +203,16 @@ object CatalogIO {
         * parquet's `_metadata.row_index`, which the other sources do
         * not serve). */
       dataFormat: String = "parquet", // parquet | orc | avro | mixed
-      /** v3 initial-default FILLS (round 14, Iceberg-converted layouts
-        * only — never serialized): parallel to `dataFiles`, each entry
-        * lists the (column → external JVM default value) constants that
-        * file must serve because it predates the column. Empty for
-        * files that contain the column (their own values — including
-        * legitimate NULLs — pass through). The converter guarantees
-        * fills never coexist with deletes, renames, or ORC. */
+      /** Per-file constant FILLS (Iceberg-converted layouts only —
+        * never serialized): parallel to `dataFiles`, each entry lists
+        * the (column → external JVM value) constants that file must
+        * serve because it physically lacks the column — a v3
+        * `initial-default` of a column added after the file was written
+        * (round 14), or an IDENTITY partition value of a Hive-imported
+        * (`add_files`-shaped) file (round 16). Empty for files that
+        * contain the column (their own values — including legitimate
+        * NULLs — pass through). The converter guarantees fills never
+        * coexist with deletes, renames, avro, or mixed formats. */
       dataFileFills: Option[Seq[Seq[(String, Any)]]] = None,
       /** Per-file data formats (round 15, `dataFormat == "mixed"`
         * only): parallel to `dataFiles`, each entry's manifest
@@ -232,8 +235,8 @@ object CatalogIO {
     require(dataFileFills.forall(s => dataFiles.exists(_.size == s.size)),
       "dataFileFills must parallel dataFiles one-to-one")
     require(dataFileFills.forall(_ => deleteFiles.isEmpty && renameOps.isEmpty
-      && dataFormat == "parquet"),
-      "initial-default fills never coexist with deletes/renames/ORC")
+      && (dataFormat == "parquet" || dataFormat == "orc")),
+      "per-file constant fills never coexist with deletes/renames/avro/mixed")
     /** Any file with a non-empty fill set? (the scan-routing test) */
     def hasFills: Boolean = dataFileFills.exists(_.exists(_.nonEmpty))
     require(dataFormat == "parquet" || dataFormat == "orc" ||
@@ -3656,10 +3659,11 @@ object CatalogIO {
     // pre-addition row's default into NULL
     if (raw.hasFills)
       throw new UnsupportedOperationException(
-        s"Iceberg table at $metadataLocation carries un-materialized " +
-          "initial-default columns; rewrite the table (materializing " +
-          "the defaults) before adoption. The table remains readable " +
-          "through its Iceberg pointer")
+        s"Iceberg table at $metadataLocation carries columns served " +
+          "as per-file constants (un-materialized initial-defaults or " +
+          "identity partition values of files lacking the column); " +
+          "rewrite the table (materializing them) before adoption. " +
+          "The table remains readable through its Iceberg pointer")
     // Live-delete tables ADOPT by SEQUENCE REBASE (round 14, judge r13
     // item 7 — the r13 refusal lifted): the adopted manifest's future
     // commits number seqs from the engine's version counter (1, 2, …),
@@ -3898,7 +3902,7 @@ object CatalogIO {
       refuse(s"${layout.dataFormat} data files")
     if (layout.posDeleteFiles.nonEmpty) refuse("parquet position deletes")
     if (layout.renameOps.nonEmpty) refuse("un-materialized renames")
-    if (layout.hasFills) refuse("initial-default fills")
+    if (layout.hasFills) refuse("per-file constant fills (initial-defaults / identity partition values)")
     val lineage = layout.dataFileLineage.getOrElse(
       throw new UnsupportedOperationException(
         s"$metadataLocation is not format-version 3; row lineage " +

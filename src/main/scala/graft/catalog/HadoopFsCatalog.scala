@@ -115,8 +115,15 @@ final class HadoopFsCatalog(val name: String, warehouse: String,
   override def loadTableMetadataLocation(ref: TableRef): String = {
     val dir = tablePath(ref)
     val ptr = pointerPath(dir)
-    if (fs.exists(ptr)) readText(ptr).trim
-    else metadataFallback(dir) match {
+    // exists→open is its own race against [[replaceTablePointer]]'s
+    // delete→rename window (a streaming poll caught it): a pointer that
+    // vanishes between the check and the read is the SAME transient
+    // state as exists=false — fall into the ride-through below.
+    val direct =
+      if (!fs.exists(ptr)) None
+      else try Some(readText(ptr).trim)
+      catch { case _: java.io.FileNotFoundException => None }
+    direct.getOrElse(metadataFallback(dir) match {
       // A writer crashed between pointer delete and rename: roll forward
       // to the newest metadata version. CatalogIO.commitVersion orders
       // data → metadata → pointer, so whatever version file is newest is
@@ -141,7 +148,11 @@ final class HadoopFsCatalog(val name: String, warehouse: String,
         var healed: Option[String] = None
         while (healed.isEmpty && waited < 2000L && fs.exists(dir)) {
           Thread.sleep(25L); waited += 25
-          if (fs.exists(ptr)) healed = Some(readText(ptr).trim)
+          if (fs.exists(ptr))
+            // the same exists→open window as above: a vanished pointer
+            // just means the flip is still in flight — keep waiting
+            try healed = Some(readText(ptr).trim)
+            catch { case _: java.io.FileNotFoundException => () }
           else metadataFallback(dir).foreach { latest =>
             try commitPointer(dir, latest.toString) catch { case _: Exception => () }
             healed = Some(latest.toString)
@@ -149,7 +160,7 @@ final class HadoopFsCatalog(val name: String, warehouse: String,
         }
         healed.getOrElse(
           throw new NoSuchTableException(s"Table does not exist: $ref"))
-    }
+    })
   }
 
   override def registerTable(ref: TableRef, metadataLocation: String): Unit = {

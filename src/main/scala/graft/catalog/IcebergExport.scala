@@ -59,10 +59,20 @@ object IcebergExport {
     * the append/delete faces below stay parquet-only, as this engine's
     * writes are). */
   def writeTable(spark: SparkSession, df: DataFrame, tableDir: String,
-      fileFormat: String = "parquet"): String = {
+      fileFormat: String = "parquet",
+      /** Identity partition columns (round 16): data lands in the
+        * hive `col=value/` directory layout Spark's partitioned writer
+        * produces — files LACK the partition columns (the values live
+        * in each manifest entry's `partition` record, exactly the
+        * `add_files` shape), so readers serve them as per-file
+        * constants and prune on the recorded values. */
+      partitionBy: Seq[String] = Nil): String = {
     require(fileFormat == "parquet" || fileFormat == "orc" ||
       fileFormat == "avro",
       s"unsupported Iceberg export data format '$fileFormat'")
+    require(partitionBy.isEmpty || fileFormat != "avro",
+      "partitioned exports write parquet or orc data files (the native " +
+        "avro writer does not partition)")
     // variant decodes/encodes through the parquet variant logical type
     // only (Spark's ORC source refuses the type; the avro writer has
     // no encoding for it) — refuse here, not mid-write on executors
@@ -82,9 +92,13 @@ object IcebergExport {
     // avro: the engine's own writer (no spark-avro module exists here)
     // computes the manifest stats IN the write pass — one scan of the
     // data, where parquet/orc pay write + stats read-back
+    val partCols = partSpecColsOf(fieldIds, partitionBy)
     val avroResults =
       if (fileFormat != "avro") {
-        df.write.format(fileFormat).save(dataDir.toString); None
+        val w = df.write.format(fileFormat)
+        (if (partitionBy.isEmpty) w else w.partitionBy(partitionBy: _*))
+          .save(dataDir.toString)
+        None
       } else Some(graft.sources.AvroWrite.write(df, dataDir, fieldIds,
         new org.apache.spark.util.SerializableConfiguration(conf)))
     val metaDir = new Path(root, "metadata")
@@ -93,7 +107,7 @@ object IcebergExport {
     val seq = 1L
     val (manifestEntry, rowCount, dataBytes) = writeDataManifest(spark, fs,
       metaDir, location, schema, fieldIds, dataDir, relPrefix = "data",
-      snapshotId, seq, fileFormat, avroResults)
+      snapshotId, seq, fileFormat, avroResults, partCols = partCols)
     val listPath = writeManifestList(fs, metaDir, snapshotId,
       parent = None, seq, Seq(manifestEntry))
     // VARIANT columns are a v3 construct: export such tables as
@@ -112,7 +126,70 @@ object IcebergExport {
     try out.write(metadataJson(java.util.UUID.randomUUID().toString,
       location, schema, fieldIds, snapshotId, seq, Seq(snapshotJson),
       formatVersion = fv,
-      nextRowId = if (fv >= 3) Some(rowCount) else None)
+      nextRowId = if (fv >= 3) Some(rowCount) else None,
+      partCols = partCols)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    fs.makeQualified(metaPath).toString
+  }
+
+  /** Register an EXISTING hive-partitioned directory tree as an
+    * Iceberg table, zero-copy — the `add_files`/in-place-migration
+    * shape of the reference's ecosystem: `tableDir` holds
+    * `col=value/…` partition directories of parquet or ORC files that
+    * LACK the partition columns (their values live only in the
+    * directory names). Metadata lands in `tableDir/metadata`; the data
+    * files are referenced in place. Each manifest entry records the
+    * file's identity partition values (parsed from its path), so any
+    * spec-compliant reader — including this engine's fill machinery —
+    * serves the partition columns as per-file constants and prunes on
+    * them. One distributed scan computes the per-file column metrics
+    * (this engine's stats-pruning food; `add_files` proper reads
+    * footers only, but a one-pass scan also covers ORC and stays
+    * O(data) exactly once). Returns the metadata location.
+    *
+    * `schema` must list the data columns AND the partition columns;
+    * `partitionBy` names the partition columns in directory order. */
+  def importHiveTable(spark: SparkSession, tableDir: String,
+      schema: StructType, partitionBy: Seq[String],
+      fileFormat: String = "parquet"): String = {
+    require(partitionBy.nonEmpty,
+      "importHiveTable needs at least one partition column (use " +
+        "writeTable/adoption paths for unpartitioned data)")
+    require(fileFormat == "parquet" || fileFormat == "orc",
+      s"importHiveTable reads parquet or orc hive trees, got '$fileFormat'")
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(tableDir)
+    val fs = root.getFileSystem(conf)
+    require(fs.exists(root), s"hive table directory $tableDir does not exist")
+    val metaDir = new Path(root, "metadata")
+    require(!fs.exists(metaDir),
+      s"$tableDir already carries an Iceberg metadata directory")
+    val location = fs.makeQualified(root).toString
+    val fieldIds = schema.fields.zipWithIndex.map { case (f, i) => (f, i + 1) }.toSeq
+    val partCols = partSpecColsOf(fieldIds, partitionBy)
+    val snapshotId = newSnapshotId()
+    val seq = 1L
+    // writeDataManifest scans the tree (stats read-back + file listing)
+    // BEFORE it creates the manifest under metadata/ — so the listing
+    // and the partition-discovery read never see metadata files
+    val (manifestEntry, rowCount, dataBytes) = writeDataManifest(spark, fs,
+      metaDir, location, schema, fieldIds, dataDir = root, relPrefix = "",
+      snapshotId, seq, fileFormat, partCols = partCols)
+    require(manifestEntry.addedFiles > 0,
+      s"$tableDir holds no $fileFormat data files")
+    val listPath = writeManifestList(fs, metaDir, snapshotId,
+      parent = None, seq, Seq(manifestEntry))
+    val snapshotJson = snapshotNode(snapshotId, parent = None, seq,
+      "append", fs.makeQualified(listPath).toString,
+      summaryCounts = Map(
+        "added-data-files" -> manifestEntry.addedFiles.toLong,
+        "added-records" -> rowCount, "added-files-size" -> dataBytes))
+    val metaPath = new Path(metaDir, "v1.metadata.json")
+    val out = fs.create(metaPath, false)
+    try out.write(metadataJson(java.util.UUID.randomUUID().toString,
+      location, schema, fieldIds, snapshotId, seq, Seq(snapshotJson),
+      partCols = partCols)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     fs.makeQualified(metaPath).toString
@@ -750,10 +827,17 @@ object IcebergExport {
       relPrefix: String, snapshotId: Long, seq: Long,
       fileFormat: String = "parquet",
       avroResults: Option[Seq[graft.sources.AvroWrite.FileResult]] = None,
-      treeOverride: Option[IcebergSchemaIds.Tree] = None)
+      treeOverride: Option[IcebergSchemaIds.Tree] = None,
+      partCols: Seq[PartSpecCol] = Nil)
       : (ListEntry, Long, Long) = {
     import org.apache.spark.sql.functions._
-    val boundCols = fieldIds.filter { case (f, _) => boundSupported(f.dataType) }
+    // partition columns live in the DIRECTORY NAMES, not the files —
+    // their values go into the entry's `partition` record, and no
+    // footer-derived bound may claim the column exists inside the file
+    // (readers prove column presence by the metrics keys)
+    val partNames = partCols.map(_.field.name).toSet
+    val boundCols = fieldIds.filter { case (f, _) =>
+      boundSupported(f.dataType) && !partNames(f.name) }
     val statsByRel: Map[String, FileExportStats] = avroResults match {
       case Some(rs) => rs.map(r =>
         r.name -> FileExportStats(r.count, r.lowers, r.uppers,
@@ -796,7 +880,8 @@ object IcebergExport {
     val files = CatalogIO.listDataFiles(fs, dataDir)
     val manifestPath = new Path(metaDir,
       s"m$seq-${java.util.UUID.randomUUID()}.avro")
-    val mSchema = new Schema.Parser().parse(manifestSchemaJson(s"m$seq"))
+    val mSchema = new Schema.Parser().parse(
+      manifestSchemaJson(s"m$seq", partCols))
     val dfSchema = mSchema.getField("data_file").schema()
     val kvBytes = dfSchema.getField("lower_bounds").schema()
       .getTypes.get(1).getElementType
@@ -804,7 +889,7 @@ object IcebergExport {
       .getTypes.get(1).getElementType
     val schemaJson = icebergSchemaJson(fieldIds, treeOverride)
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
-    setManifestMeta(writer, schemaJson, content = "data")
+    setManifestMeta(writer, schemaJson, content = "data", partCols)
     writer.create(mSchema, fs.create(manifestPath, false))
     var rowCount = 0L
     var dataBytes = 0L
@@ -818,9 +903,15 @@ object IcebergExport {
       dataBytes += st.getLen
       val d = new GenericData.Record(dfSchema)
       d.put("content", 0)
-      d.put("file_path", s"$location/$relPrefix/$rel")
+      d.put("file_path",
+        if (relPrefix.isEmpty) s"$location/$rel"
+        else s"$location/$relPrefix/$rel")
       d.put("file_format", fileFormat.toUpperCase)
-      d.put("partition", emptyPartition(dfSchema))
+      val pRec = emptyPartition(dfSchema)
+      partValuesOfPath(rel, partCols).foreach { case (c, v) =>
+        pRec.put(c.field.name, v)
+      }
+      d.put("partition", pRec)
       d.put("record_count", cnt)
       d.put("file_size_in_bytes", st.getLen)
       def kvRecs(schema: Schema, vals: Seq[(Int, Any)]): GenericData.Array[GenericRecord] = {
@@ -874,9 +965,10 @@ object IcebergExport {
   /** Required manifest-file avro key-value metadata (spec §Manifests —
     * judge r12 advice #2): real Iceberg manifest readers demand these. */
   private def setManifestMeta(w: DataFileWriter[GenericRecord],
-      schemaJson: String, content: String): Unit = {
+      schemaJson: String, content: String,
+      partCols: Seq[PartSpecCol] = Nil): Unit = {
     w.setMeta("schema", schemaJson)
-    w.setMeta("partition-spec", "[]")
+    w.setMeta("partition-spec", s"[${partSpecFieldsJson(partCols)}]")
     w.setMeta("partition-spec-id", "0")
     w.setMeta("format-version", "2")
     w.setMeta("content", content)
@@ -1076,7 +1168,10 @@ object IcebergExport {
       treeOverride: Option[IcebergSchemaIds.Tree] = None,
       /** The loaded document's last-column-id floor (dropped columns
         * keep their ids reserved). */
-      minLastColumnId: Int = 0): String = {
+      minLastColumnId: Int = 0,
+      /** Identity partition-spec columns (round 16); empty = the
+        * unpartitioned spec. */
+      partCols: Seq[PartSpecCol] = Nil): String = {
     // nested types (round 16): fields, last-column-id, and the
     // recursive name mapping all derive from ONE id tree
     val tree = treeOverride.getOrElse(IcebergSchemaIds.of(fieldIds))
@@ -1094,8 +1189,8 @@ object IcebergExport {
        |  "current-schema-id": 0,
        |  "schemas": [{"type": "struct", "schema-id": 0, "fields": [$fields]}],
        |  "default-spec-id": 0,
-       |  "partition-specs": [{"spec-id": 0, "fields": []}],
-       |  "last-partition-id": 999,
+       |  "partition-specs": [{"spec-id": 0, "fields": [${partSpecFieldsJson(partCols)}]}],
+       |  "last-partition-id": ${999 + partCols.size},
        |  "default-sort-order-id": 0,
        |  "sort-orders": [{"order-id": 0, "fields": []}],
        |  "properties": {"schema.name-mapping.default": "$mapping"},
@@ -1129,7 +1224,105 @@ object IcebergExport {
       |  {"name": "key", "type": "int", "field-id": 119},
       |  {"name": "value", "type": "long", "field-id": 120}]}""".stripMargin
 
-  private def manifestSchemaJson(ns: String): String =
+  /** One identity partition-spec column of a partitioned export:
+    * the table column, its schema field id (`source-id`), and the
+    * spec field id (1000+, per the spec's partition-field id space). */
+  private[catalog] final case class PartSpecCol(field: StructField,
+      sourceId: Int, fieldId: Int)
+
+  private def partSpecColsOf(fieldIds: Seq[(StructField, Int)],
+      partitionBy: Seq[String]): Seq[PartSpecCol] =
+    partitionBy.zipWithIndex.map { case (c, i) =>
+      val (f, id) = fieldIds.find(_._1.name == c).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition column '$c' is not a table column"))
+      f.dataType match {
+        case IntegerType | LongType | StringType | DateType | BooleanType =>
+        case other => throw new UnsupportedOperationException(
+          s"identity partition column '$c' of type $other — this " +
+            "writer partitions by int/long/string/date/boolean columns " +
+            "(directory names round-trip those exactly)")
+      }
+      require(c.matches("[A-Za-z_][A-Za-z0-9_]*"),
+        s"partition column name '$c' is not a valid avro record field name")
+      PartSpecCol(f, id, 1000 + i)
+    }
+
+  /** The `fields` array of the identity partition spec (metadata JSON
+    * `partition-specs` and the manifest `partition-spec` meta value). */
+  private def partSpecFieldsJson(cols: Seq[PartSpecCol]): String =
+    cols.map(c =>
+      s"""{"name": "${esc(c.field.name)}", "transform": "identity", """ +
+        s""""source-id": ${c.sourceId}, "field-id": ${c.fieldId}}""")
+      .mkString(", ")
+
+  /** The r102 `partition` record's avro fields for an identity spec:
+    * nullable unions with spec `field-id` attributes, logical types
+    * per the Iceberg-avro mapping. */
+  private def partRecordFieldsJson(cols: Seq[PartSpecCol]): String =
+    cols.map { c =>
+      val t = c.field.dataType match {
+        case IntegerType => "\"int\""
+        case LongType => "\"long\""
+        case StringType => "\"string\""
+        case BooleanType => "\"boolean\""
+        case DateType => """{"type": "int", "logicalType": "date"}"""
+        case other => throw new IllegalStateException(
+          s"unreachable partition type $other")
+      }
+      s"""{"name": "${esc(c.field.name)}", "type": ["null", $t], """ +
+        s""""default": null, "field-id": ${c.fieldId}}"""
+    }.mkString(", ")
+
+  /** Parse one data file's identity partition values from its
+    * hive-layout relative path (`col=value/…`), typed per the spec
+    * columns; `__HIVE_DEFAULT_PARTITION__` is the null marker. Values
+    * are returned in AVRO form (date = epoch days int). */
+  private def partValuesOfPath(rel: String, cols: Seq[PartSpecCol])
+      : Seq[(PartSpecCol, Any)] = {
+    val segs = rel.split('/').dropRight(1).flatMap { s =>
+      val i = s.indexOf('=')
+      if (i <= 0) None else Some(s.substring(0, i) -> s.substring(i + 1))
+    }.toMap
+    cols.map { c =>
+      val raw = segs.getOrElse(c.field.name,
+        throw new IllegalStateException(
+          s"data file $rel lies outside the ${c.field.name}= partition " +
+            "directory layout"))
+      // the exact inverse of hive/Spark path escaping (%XX only —
+      // URLDecoder would additionally turn a literal '+' into a space)
+      val dec = {
+        val sb = new java.lang.StringBuilder(raw.length)
+        var i = 0
+        while (i < raw.length) {
+          val ch = raw.charAt(i)
+          if (ch == '%' && i + 2 < raw.length) {
+            val h = Character.digit(raw.charAt(i + 1), 16)
+            val l = Character.digit(raw.charAt(i + 2), 16)
+            if (h >= 0 && l >= 0) { sb.append(((h << 4) + l).toChar); i += 3 }
+            else { sb.append(ch); i += 1 }
+          } else { sb.append(ch); i += 1 }
+        }
+        sb.toString
+      }
+      val v: Any =
+        if (dec == "__HIVE_DEFAULT_PARTITION__") null
+        else c.field.dataType match {
+          case IntegerType => dec.toInt
+          case LongType => dec.toLong
+          case StringType => dec
+          case BooleanType => dec.toBoolean
+          case DateType =>
+            java.time.LocalDate.parse(dec).toEpochDay.toInt
+          case other => throw new IllegalStateException(
+            s"unreachable partition type $other")
+        }
+      c -> v
+    }
+  }
+
+  private def manifestSchemaJson(ns: String,
+      partCols: Seq[PartSpecCol] = Nil): String =
     s"""{"type": "record", "name": "manifest_entry", "namespace": "$ns", "fields": [
        |  {"name": "status", "type": "int", "field-id": 0},
        |  {"name": "snapshot_id", "type": ["null", "long"], "default": null, "field-id": 1},
@@ -1140,7 +1333,7 @@ object IcebergExport {
        |      {"name": "content", "type": "int", "field-id": 134},
        |      {"name": "file_path", "type": "string", "field-id": 100},
        |      {"name": "file_format", "type": "string", "field-id": 101},
-       |      {"name": "partition", "type": {"type": "record", "name": "r102", "fields": []}, "field-id": 102},
+       |      {"name": "partition", "type": {"type": "record", "name": "r102", "fields": [${partRecordFieldsJson(partCols)}]}, "field-id": 102},
        |      {"name": "record_count", "type": "long", "field-id": 103},
        |      {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
        |      {"name": "null_value_counts", "type": ["null", {"type": "array", "items": $kvLongSchema}], "default": null, "field-id": 110},

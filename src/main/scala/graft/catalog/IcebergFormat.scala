@@ -217,6 +217,21 @@ object IcebergFormat {
       fieldIdsOf(schema).map { case (id, (n, _)) => id -> n }
     val fillIds: Set[Int] =
       defaults.map { case (n, _) => fieldsByName(n)._1 }.toSet
+    // partition specs (round 16): identity-transform values are served
+    // as per-file constants when the data file LACKS the source column
+    // (the Hive-migration / `add_files` import shape, where partition
+    // values live only in the manifest `partition` struct), and always
+    // sharpen file pruning (identity ⇒ every row carries the value, so
+    // lower = upper = value is a sound synthesized bound). Files that
+    // CONTAIN the column serve their own (identical) values unchanged.
+    val partSpecs: Map[Int, Seq[PartField]] = partitionSpecsOf(root)
+    val defaultSpecId = root.path("default-spec-id").asInt(0)
+    val byId: Map[Int, (String, JsonNode)] = fieldIdsOf(schema)
+    // presence of these ids must be PROVEN per file (manifest stats
+    // keyed by the id, else a footer read): initial-default columns and
+    // every partition-transform source column
+    val presenceIds: Set[Int] = fillIds ++ partSpecs.values.flatten
+      .filter(_.transform != "void").map(_.sourceId)
     val props = Option(root.get("properties")).map(_.properties().asScala
       .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
     val base = CatalogIO.TableLayout(
@@ -241,7 +256,7 @@ object IcebergFormat {
     // the 4th element is the manifest's inherited `first_row_id` base
     // (v3 — explicit, or the adding snapshot's first-row-id plus the
     // added_rows_count of earlier same-snapshot manifests in the list).
-    val manifestPaths: Seq[(String, Int, Long, Option[Long])] =
+    val manifestPaths: Seq[(String, Int, Long, Option[Long], Int)] =
       Option(snapshot.get.get("manifest-list")) match {
         case Some(ml) =>
           var cumBySnap = Map.empty[Long, Long].withDefaultValue(0L)
@@ -263,11 +278,16 @@ object IcebergFormat {
               }
             (r.get("manifest_path").toString, content,
               opt(r, "sequence_number").map(_.asInstanceOf[Long]).getOrElse(0L),
-              mFirst)
+              mFirst,
+              opt(r, "partition_spec_id").map(_.asInstanceOf[Int])
+                .getOrElse(defaultSpecId))
           }
         case None =>
+          // early-v1 inline manifests predate the manifest list's
+          // partition_spec_id; the default spec is the only candidate
           Option(snapshot.get.get("manifests")).toSeq
-            .flatMap(_.elements().asScala).map(m => (m.asText, 0, 0L, None))
+            .flatMap(_.elements().asScala)
+            .map(m => (m.asText, 0, 0L, None, defaultSpecId))
       }
     val prefix = location.stripSuffix("/") + "/"
     def relativize(p: String, what: String): String = {
@@ -307,7 +327,9 @@ object IcebergFormat {
       import scala.collection.parallel.CollectionConverters._
       manifestPaths.filter(_._2 == 0).par
     }
-    val entries = parEntries.flatMap { case (mp, _, mseq, mFirst) =>
+    val entries = parEntries.flatMap { case (mp, _, mseq, mFirst, specId) =>
+      val activePartFields = partSpecs.getOrElse(specId, Seq.empty)
+        .filter(f => f.transform != "void" && byId.contains(f.sourceId))
       // v3 entry-level first_row_id inheritance: an ADDED entry with no
       // explicit id gets the manifest's base plus the record_count of
       // the ADDED entries before it — an in-order counter, manifest-
@@ -331,16 +353,65 @@ object IcebergFormat {
             throw new UnsupportedOperationException(
               s"Iceberg data file format $format is not supported " +
                 "(parquet, orc, or avro)")
-          // which fill columns this file PROVABLY contains: manifest
-          // stats are writer-derived, so a bounds/null-count entry keyed
-          // by the field id proves presence (the cheap gate before any
-          // footer read)
+          // which presence-relevant columns this file PROVABLY
+          // contains: manifest stats are writer-derived, so a bounds/
+          // null-count entry keyed by the field id proves presence (the
+          // cheap gate before any footer read). Covers initial-default
+          // fill columns AND partition-transform source columns.
           val stattedFills: Set[Int] =
-            if (fillIds.isEmpty) Set.empty
+            if (presenceIds.isEmpty) Set.empty
             else Seq("lower_bounds", "upper_bounds", "null_value_counts")
               .flatMap(fld => opt(df, fld).toSeq
                 .flatMap(m => avroMap(m).keys))
-              .toSet.intersect(fillIds)
+              .toSet.intersect(presenceIds)
+          // the manifest `partition` record: per-field values under the
+          // manifest's OWN spec. Identity fields become fill candidates
+          // (served as constants iff the file lacks the column) plus
+          // synthesized lower=upper bounds; non-identity fields are
+          // presence CHECKS (a missing source column is unservable —
+          // the transform result cannot be inverted).
+          val (idFillCands, nonIdChecks, partOverrides) =
+            if (activePartFields.isEmpty)
+              (Seq.empty[(String, Any)], Seq.empty[(Int, String)],
+                Seq.empty[(String, Option[String], Option[String], Boolean)])
+            else {
+              val pRec = opt(df, "partition") match {
+                case Some(r: GenericRecord) => r
+                case _ => throw new IllegalStateException(
+                  s"Iceberg manifest $mp: partitioned spec $specId but " +
+                    "an entry carries no partition record — metadata is " +
+                    "malformed")
+              }
+              def rawOf(pf: PartField): Any = {
+                val fields = pRec.getSchema.getFields.asScala
+                val byFieldId = fields.find { f =>
+                  f.getObjectProp("field-id") match {
+                    case n: Number => n.intValue() == pf.fieldId
+                    case s: String => s.toIntOption.contains(pf.fieldId)
+                    case _ => false
+                  }
+                }
+                val field = byFieldId.orElse(fields.find(_.name == pf.name))
+                  .getOrElse(throw new IllegalStateException(
+                    s"Iceberg manifest $mp: partition record lacks spec " +
+                      s"field '${pf.name}' (id ${pf.fieldId}) — metadata " +
+                      "is malformed"))
+                pRec.get(field.pos())
+              }
+              val ids = activePartFields.filter(_.transform == "identity")
+              val nonIds = activePartFields.filterNot(_.transform == "identity")
+              val decoded = ids.map { pf =>
+                val (srcName, tnode) = byId(pf.sourceId)
+                val (ext, mn, mx) =
+                  partitionValue(rawOf(pf), tnode, pf.name, mp)
+                (srcName, ext, mn, mx)
+              }
+              (decoded.map { case (n, ext, _, _) => n -> ext },
+                nonIds.map(pf => (pf.sourceId,
+                  s"transform ${pf.transform} (partition field " +
+                    s"'${pf.name}')")),
+                decoded.map { case (n, ext, mn, mx) => (n, mn, mx, ext == null) })
+            }
           val seqLong = entrySeq(entry, status, mseq, mp)
           val first: Option[Long] =
             if (fv < 3) None
@@ -355,16 +426,16 @@ object IcebergFormat {
             }
           Some((df.get("file_path").toString,
             df.get("file_size_in_bytes").asInstanceOf[Long],
-            statsText(df, fieldsByName, sparkSchema),
+            statsText(df, fieldsByName, sparkSchema, partOverrides),
             intSeq(seqLong, mp),
-            format, stattedFills, first, seqLong))
+            format, stattedFills, first, seqLong, idFillCands, nonIdChecks))
         }
       }
     }
     val rels = entries.seq.map {
-      case (p, size, stats, seq, fmt, statted, first, seqL) =>
+      case (p, size, stats, seq, fmt, statted, first, seqL, idc, nic) =>
         (relativize(p, "data file"), size, stats, seq, fmt, statted,
-          first, seqL)
+          first, seqL, idc, nic)
     }.toVector
     // data format (round 15): homogeneous tables record the one format;
     // MIXED tables (the Hive-migration shape — old ORC partitions plus
@@ -409,18 +480,24 @@ object IcebergFormat {
     // (cached, parallel) footer read — the same ground-truth check the
     // rename-epoch path uses. Combinations whose scan machinery cannot
     // thread a constant refuse loudly rather than mis-serve.
+    // Partition-transform source columns ride the same machinery
+    // (round 16): identity values fill files that lack the column (the
+    // `add_files` Hive-import shape); a non-identity transform whose
+    // source column is missing refuses (its values cannot be
+    // reconstructed). Refusals fire only when a fill is actually
+    // NEEDED — a natively-written table (every column materialized)
+    // keeps serving deletes/renames/whatever unchanged.
     val dataFileFills: Option[Seq[Seq[(String, Any)]]] =
-      if (defaults.isEmpty) None
+      if (presenceIds.isEmpty) None
       else {
         def refuseWith(what: String): Nothing =
           throw new UnsupportedOperationException(
-            s"Iceberg metadata $metadataLocation: non-null " +
-              s"initial-default columns alongside $what — this engine " +
-              "serves either, not both; rewrite the table (compact, " +
-              "materializing the defaults) first")
-        if (dataFormat != "parquet") refuseWith(s"$dataFormat data files")
-        if (renamed) refuseWith("un-materialized column renames")
-        if (deleteFiles.nonEmpty) refuseWith("live delete files")
+            s"Iceberg metadata $metadataLocation: column values that " +
+              s"must be served as per-file constants (initial-defaults " +
+              s"or identity partition values of files lacking the " +
+              s"column) alongside $what — this engine serves either, " +
+              "not both; rewrite the table (compact, materializing the " +
+              "columns) first")
         val idOf: Map[String, Int] =
           defaults.map { case (n, _) => n -> fieldsByName(n)._1 }.toMap
         val mappedNames: Map[Int, Seq[String]] =
@@ -432,24 +509,51 @@ object IcebergFormat {
           }.getOrElse(Map.empty)
         val perFile = {
           import scala.collection.parallel.CollectionConverters._
-          rels.par.map { case (rel, _, _, _, _, statted, _, _) =>
-            val unproven = defaults.filter { case (n, _) => !statted(idOf(n)) }
-            if (unproven.isEmpty) Seq.empty[(String, Any)]
+          rels.par.map { case (rel, _, _, _, fileFmt, statted, _, _,
+              idCands, nonIdChecks) =>
+            val unprovenDefaults =
+              defaults.filter { case (n, _) => !statted(idOf(n)) }
+            val unprovenIds =
+              idCands.filter { case (n, _) => !statted(fieldsByName(n)._1) }
+            val unprovenNonId =
+              nonIdChecks.filterNot { case (sid, _) => statted(sid) }
+            if (unprovenDefaults.isEmpty && unprovenIds.isEmpty &&
+              unprovenNonId.isEmpty) Seq.empty[(String, Any)]
             else {
               val abs = location.stripSuffix("/") + "/" + rel
-              val footer = FooterFields.of(abs, conf)
-              val byId = footer.flatMap(_._2).toSet
+              val footer = FooterFields.of(abs, conf, fileFmt)
+              val byIdF = footer.flatMap(_._2).toSet
               val names = footer.map(_._1).toSet
               val hasIds = footer.exists(_._2.isDefined)
-              unproven.filterNot { case (n, _) =>
-                // present ⇒ the file serves its own values, no fill
-                if (hasIds) byId(idOf(n))
-                else names(n) || mappedNames.getOrElse(idOf(n), Nil).exists(names)
+              // present ⇒ the file serves its own values, no fill
+              def present(n: String, id: Int): Boolean =
+                if (hasIds) byIdF(id)
+                else names(n) || mappedNames.getOrElse(id, Nil).exists(names)
+              unprovenNonId.foreach { case (sid, what) =>
+                val srcName = nameById.getOrElse(sid, s"field-$sid")
+                if (!present(srcName, sid))
+                  throw new UnsupportedOperationException(
+                    s"Iceberg metadata $metadataLocation: data file " +
+                      s"$rel lacks column '$srcName', the source of " +
+                      s"$what — the source values cannot be " +
+                      "reconstructed from the transform result; rewrite " +
+                      "the table (materializing the column) first")
               }
+              unprovenDefaults.filterNot { case (n, _) =>
+                present(n, idOf(n)) } ++
+                unprovenIds.filterNot { case (n, _) =>
+                  present(n, fieldsByName(n)._1) }
             }
           }.seq.toVector
         }
-        if (perFile.forall(_.isEmpty)) None else Some(perFile)
+        if (perFile.forall(_.isEmpty)) None
+        else {
+          if (dataFormat != "parquet" && dataFormat != "orc")
+            refuseWith(s"$dataFormat data files")
+          if (renamed) refuseWith("un-materialized column renames")
+          if (deleteFiles.nonEmpty) refuseWith("live delete files")
+          Some(perFile)
+        }
       }
     if (renamed) {
       // renamed tables serve through the engine's EPOCH machinery
@@ -982,6 +1086,108 @@ object IcebergFormat {
       }
     }.toSeq
 
+  /** One partition-spec field as the manifest conversion needs it:
+    * the spec field's display name (the avro `partition` record field),
+    * its transform, and the TABLE column it derives from. */
+  private[graft] final case class PartField(name: String,
+      transform: String, sourceId: Int, fieldId: Int)
+
+  /** spec-id → partition fields, from `partition-specs` (modern
+    * metadata) or the legacy v1 top-level `partition-spec` array. */
+  private[graft] def partitionSpecsOf(root: JsonNode): Map[Int, Seq[PartField]] = {
+    def fieldsOf(arr: JsonNode): Seq[PartField] =
+      arr.elements().asScala.map { f =>
+        PartField(f.path("name").asText, f.path("transform").asText,
+          f.path("source-id").asInt(-1), f.path("field-id").asInt(-1))
+      }.toSeq
+    val modern = Option(root.get("partition-specs")).toSeq
+      .flatMap(_.elements().asScala)
+      .map(s => s.path("spec-id").asInt(0) -> fieldsOf(s.path("fields")))
+      .toMap
+    if (modern.nonEmpty) modern
+    else Option(root.get("partition-spec")).filter(_.isArray)
+      .map(ps => Map(0 -> fieldsOf(ps))).getOrElse(Map.empty)
+  }
+
+  /** Decode one manifest `partition` record value (a typed avro value,
+    * per the spec's avro mapping) for an IDENTITY partition field into
+    * (external JVM value for `Literal.create`/`lit`,
+    *  textual [[FileStats]] min bound, textual max bound).
+    * Bounds are sound because identity partitioning means EVERY row of
+    * the file carries exactly this value. A null partition value
+    * yields (null, None, None) — the caller records nulls=rowCount.
+    * Types this decoder cannot map exactly (binary/fixed/uuid/time)
+    * refuse loudly: a mis-decoded constant would corrupt every row of
+    * a partition. */
+  private def partitionValue(raw: Any, tnode: JsonNode,
+      name: String, where: String): (Any, Option[String], Option[String]) = {
+    if (raw == null) return (null, None, None)
+    val tText = if (tnode.isTextual) tnode.asText else tnode.path("type").asText
+    val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+    def bad(why: String): Nothing = throw new UnsupportedOperationException(
+      s"Iceberg partition field '$name' in $where: value $raw cannot be " +
+        s"decoded for type $tText ($why) — rewrite the table " +
+        "(materializing the column) first")
+    def num: Number = raw match {
+      case n: Number => n
+      case _ => bad(s"expected a numeric avro value, got ${raw.getClass.getName}")
+    }
+    tText match {
+      case "boolean" => raw match {
+        case b: java.lang.Boolean =>
+          (b.booleanValue(), Some(b.toString), Some(b.toString))
+        case _ => bad("expected boolean")
+      }
+      case "int" =>
+        val v = num.intValue(); (v, Some(v.toString), Some(v.toString))
+      case "long" =>
+        val v = num.longValue(); (v, Some(v.toString), Some(v.toString))
+      case "float" =>
+        val v = num.floatValue()
+        if (v.isNaN) (v, None, None)
+        else (v, Some((if (v == 0.0f) -0.0f else v).toString),
+          Some((if (v == 0.0f) 0.0f else v).toString))
+      case "double" =>
+        val v = num.doubleValue()
+        if (v.isNaN) (v, None, None)
+        else (v, Some((if (v == 0.0d) -0.0d else v).toString),
+          Some((if (v == 0.0d) 0.0d else v).toString))
+      case "string" =>
+        val s = raw.toString
+        val b = if (s.length > FileStats.MaxStringBound) None else Some(s)
+        (s, b, b)
+      case "date" =>
+        val days = num.intValue()
+        (java.time.LocalDate.ofEpochDay(days.toLong),
+          Some(days.toString), Some(days.toString))
+      case "timestamp" =>
+        val micros = num.longValue()
+        (java.time.LocalDateTime.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          (Math.floorMod(micros, 1000000L) * 1000L).toInt,
+          java.time.ZoneOffset.UTC),
+          Some(micros.toString), Some(micros.toString))
+      case "timestamptz" =>
+        val micros = num.longValue()
+        (java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros, 1000000L),
+          Math.floorMod(micros, 1000000L) * 1000L),
+          Some(micros.toString), Some(micros.toString))
+      case DecimalRe(_, s) =>
+        val bytes = raw match {
+          case b: java.nio.ByteBuffer =>
+            val d = new Array[Byte](b.remaining()); b.duplicate().get(d); d
+          case f: org.apache.avro.generic.GenericFixed => f.bytes()
+          case a: Array[Byte] => a
+          case _ => bad("expected fixed/bytes decimal")
+        }
+        val v = new java.math.BigDecimal(
+          new java.math.BigInteger(bytes), s.toInt)
+        (v, Some(v.toPlainString), Some(v.toPlainString))
+      case _ => bad("unsupported type")
+    }
+  }
+
   /** Top-level field id → (name, type node) — bounds and null counts in
     * manifests are keyed by field id. Nested ids are not mapped: the
     * engine's stats prune on top-level columns only. */
@@ -1001,8 +1207,14 @@ object IcebergFormat {
     * have) NaNs: Iceberg excludes NaN from bounds, and a NaN-blind
     * envelope must not prune. */
   private def statsText(df: GenericRecord,
-      fields: Map[String, (Int, JsonNode)], schema: StructType): String = {
+      fields: Map[String, (Int, JsonNode)], schema: StructType,
+      partOverrides: Seq[(String, Option[String], Option[String], Boolean)]
+        = Seq.empty): String = {
     val rowCount = df.get("record_count").asInstanceOf[Long]
+    // identity partition values: lower = upper = the value (every row
+    // of the file carries it), used only when the file records no
+    // stats of its own for the column (its own envelope is authoritative)
+    val overByName = partOverrides.map(p => p._1 -> p).toMap
     def idMap(field: String): Map[Int, Array[Byte]] =
       opt(df, field).map(avroMap(_).map { case (k, v) =>
         k -> bytesOf(v)
@@ -1019,14 +1231,22 @@ object IcebergFormat {
     }).getOrElse(Map.empty)
     val cols = schema.fields.toSeq.flatMap { sf =>
       fields.get(sf.name).map { case (id, tnode) =>
-        val floaty = sf.dataType == FloatType || sf.dataType == DoubleType
-        // NaN-safety: absent nan count on a float column = unknowable
-        val nanSafe = !floaty || nans.get(id).contains(0L)
-        def dec(b: Option[Array[Byte]], isMin: Boolean): Option[String] =
-          if (!nanSafe) None
-          else b.flatMap(decodeBound(tnode, sf.dataType, _, isMin))
-        (sf.name, sf.dataType, dec(lower.get(id), isMin = true),
-          dec(upper.get(id), isMin = false), nulls.get(id))
+        val haveOwn = lower.contains(id) || upper.contains(id) ||
+          nulls.contains(id)
+        overByName.get(sf.name).filterNot(_ => haveOwn) match {
+          case Some((_, mn, mx, isNull)) =>
+            (sf.name, sf.dataType, mn, mx,
+              Some(if (isNull) rowCount else 0L))
+          case None =>
+            val floaty = sf.dataType == FloatType || sf.dataType == DoubleType
+            // NaN-safety: absent nan count on a float column = unknowable
+            val nanSafe = !floaty || nans.get(id).contains(0L)
+            def dec(b: Option[Array[Byte]], isMin: Boolean): Option[String] =
+              if (!nanSafe) None
+              else b.flatMap(decodeBound(tnode, sf.dataType, _, isMin))
+            (sf.name, sf.dataType, dec(lower.get(id), isMin = true),
+              dec(upper.get(id), isMin = false), nulls.get(id))
+        }
       }
     }
     FileStats.encodeExternal(rowCount, cols)

@@ -71,7 +71,11 @@ object CatalogMigrationCLI {
       metadataLocation: Option[String] = None,
       refName: String = "",
       refSnapshot: Long = -1L,
-      refKind: String = "tag")
+      refKind: String = "tag",
+      hiveDir: Option[String] = None,
+      schemaDdl: Option[String] = None,
+      partitionBy: Seq[String] = Seq.empty,
+      fileFormat: String = "parquet")
 
   def main(args: Array[String]): Unit = sys.exit(run(args.toSeq))
 
@@ -87,7 +91,8 @@ object CatalogMigrationCLI {
     if (args.head == "compact" || args.head == "expire-versions" ||
         args.head == "squash-history" || args.head == "sweep-orphans" ||
         args.head == "analyze" || args.head == "adopt" ||
-        args.head == "set-ref" || args.head == "rewrite")
+        args.head == "set-ref" || args.head == "rewrite" ||
+        args.head == "import-hive")
       return runMaintenance(args, out)
 
     parse(args) match {
@@ -201,6 +206,17 @@ object CatalogMigrationCLI {
           if (v != "tag" && v != "branch")
             return Left(s"--ref-type expects tag or branch, got '$v'")
           o = o.copy(refKind = v); rest = t
+        case "--hive-dir" :: v :: t =>
+          o = o.copy(hiveDir = Some(v)); rest = t
+        case "--schema" :: v :: t =>
+          o = o.copy(schemaDdl = Some(v)); rest = t
+        case "--partition-by" :: v :: t =>
+          o = o.copy(partitionBy =
+            v.split(',').map(_.trim).filter(_.nonEmpty).toSeq); rest = t
+        case "--file-format" :: v :: t =>
+          if (v != "parquet" && v != "orc")
+            return Left(s"--file-format expects parquet or orc, got '$v'")
+          o = o.copy(fileFormat = v); rest = t
         case "--small-files-only" :: t => o = o.copy(smallFilesOnly = true); rest = t
         case "--cluster-by" :: v :: t =>
           o = o.copy(clusterBy = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -257,6 +273,15 @@ object CatalogMigrationCLI {
       if (o.refSnapshot < 0)
         return Left("set-ref requires --snapshot-id")
     }
+    if (o.cmd == "import-hive") {
+      if (o.hiveDir.isEmpty)
+        return Left("import-hive requires --hive-dir <directory>")
+      if (o.schemaDdl.isEmpty)
+        return Left("import-hive requires --schema <ddl> (data AND " +
+          "partition columns)")
+      if (o.partitionBy.isEmpty)
+        return Left("import-hive requires --partition-by <col[,col...]>")
+    }
     if (o.cmd == "compact" && o.smallFilesOnly && o.partitionPrefix.isDefined)
       return Left("Error: --small-files-only, --partition-prefix options are mutually exclusive.")
     if (o.clusterBy.nonEmpty && (o.smallFilesOnly || o.partitionPrefix.isDefined))
@@ -299,6 +324,7 @@ object CatalogMigrationCLI {
           else if (opts.cmd == "adopt") adoptOne(opts, hadoop, ref, log)
           else if (opts.cmd == "set-ref") setRefOne(opts, hadoop, ref, log)
           else if (opts.cmd == "rewrite") rewriteOne(opts, hadoop, ref, log)
+          else if (opts.cmd == "import-hive") importHiveOne(opts, hadoop, ref, log)
           else expireOne(opts, hadoop, ref, log)
         } catch {
           case e: Exception =>
@@ -356,6 +382,32 @@ object CatalogMigrationCLI {
     log(s"Adopted $loc as $ref -> $meta " +
       "(zero-copy; the source Iceberg metadata is untouched and keeps " +
       "reading the table as of adoption)")
+  }
+
+  /** `import-hive` subcommand (round 16): register an EXISTING
+    * hive-partitioned `col=value` directory tree as an Iceberg table
+    * under `ref`, zero-copy — the `add_files` / in-place-migration
+    * shape. The data files LACK the partition columns; their values
+    * are recorded per file in the manifest `partition` records (and
+    * served back as per-file constants by any spec-compliant reader,
+    * including this engine's fill machinery). */
+  private def importHiveOne(opts: MaintOpts, cat: HadoopFsCatalog,
+      ref: TableRef, log: String => Unit): Unit = {
+    val dir = opts.hiveDir.get
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL(opts.schemaDdl.get)
+    if (opts.dryRun) {
+      log(s"Would import hive tree $dir as $ref " +
+        s"(partitioned by ${opts.partitionBy.mkString(", ")}, " +
+        s"${opts.fileFormat} data files); dry run, nothing committed.")
+      return
+    }
+    val meta = graft.catalog.IcebergExport.importHiveTable(activeSpark(),
+      dir, schema, opts.partitionBy, opts.fileFormat)
+    cat.registerTable(ref, meta)
+    log(s"Imported hive tree $dir as $ref -> $meta (zero-copy; " +
+      s"partition values recorded per file from the " +
+      s"${opts.partitionBy.mkString(", ")} directory names)")
   }
 
   /** `set-ref` subcommand (round 15): commit an Iceberg TAG or BRANCH
@@ -766,7 +818,7 @@ object CatalogMigrationCLI {
   }
 
   private val usage: String =
-    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history | analyze | adopt | set-ref | rewrite) [options]
+    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history | analyze | adopt | set-ref | rewrite | import-hive) [options]
       |Bulk-migrate table entries from a source catalog to a target catalog
       |without data copy. `migrate` deletes entries from the source after
       |successful registration; `register` leaves them in place.
@@ -795,6 +847,10 @@ object CatalogMigrationCLI {
       |  --ref-name <name>                set-ref: the tag/branch name to commit
       |  --snapshot-id <id>               set-ref: the Iceberg snapshot it pins
       |  --ref-type <tag|branch>          set-ref: ref kind (default tag)
+      |  --hive-dir <dir>                 import-hive: the col=value tree to register
+      |  --schema <ddl>                   import-hive: data + partition columns
+      |  --partition-by c1[,c2...]        import-hive: partition column names
+      |  --file-format <parquet|orc>      import-hive: data file format (default parquet)
       |  --dry-run                        report what would be done, commit nothing
       |
       |Migration options:

@@ -681,6 +681,55 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(tmp)
     }
 
+  /** w23 (round 16): the `add_files` / Hive-import shape under the
+    * oracle. lineitem is written as a plain hive `rf=…` directory tree
+    * — the data files physically LACK the partition column — then
+    * registered zero-copy by [[graft.catalog.IcebergExport
+    * .importHiveTable]] (identity partition values recorded in the
+    * manifest `partition` records) and served through BOTH faces:
+    * every rf value a query sees comes from a manifest partition
+    * record via the per-file constant fills, and the filtered phase
+    * exercises the synthesized lower=upper partition bounds. The
+    * oracle replays the aggregates from raw lineitem. */
+  def w23(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w23") { (cat, hc) =>
+      import graft.catalog.{CatalogIO, IcebergExport, TableRef}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w23-ice").toString
+      try {
+        val base = spark.sql(
+          s"""SELECT CAST(l_orderkey AS BIGINT) AS k,
+             |       CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+             |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+        base.write.partitionBy("rf").parquet(s"$tmp/hv")
+        val meta = IcebergExport.importHiveTable(spark, s"$tmp/hv",
+          base.schema, Seq("rf"))
+        val layout = CatalogIO.readLayout(meta,
+          spark.sessionState.newHadoopConf())
+        require(layout.hasFills,
+          "hive-imported files must serve rf via per-file constant fills")
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        val ref = TableRef.parse("db.hive_import")
+        hc.registerTable(ref, meta)
+        val sqlFace = spark.sql(
+          s"""SELECT 'all' AS phase, rf, COUNT(*) AS cnt,
+             |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.hive_import GROUP BY rf""".stripMargin)
+        val pruned = spark.sql(
+          s"""SELECT 'flt' AS phase, rf, COUNT(*) AS cnt,
+             |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.hive_import WHERE rf = 'R' GROUP BY rf""".stripMargin)
+        val dfFace = CatalogIO.readTable(spark, hc, ref)
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"),
+            sum(col("qty")).as("qty_sum"))
+          .select(lit("df").as("phase"), col("rf"), col("cnt"),
+            col("k_sum"), col("qty_sum"))
+        val out = sqlFace.unionByName(pruned).unionByName(dfFace)
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w20 (round 16): NESTED-type Iceberg export under the oracle — the
     * flat-only export refusal lifted. lineitem rows are packed into a
     * struct + array + string-key map + NON-string-key map (the spec's

@@ -196,7 +196,7 @@ private final class LineageScan(spark: SparkSession, label: String,
   if (layout.dataFormat != "parquet") refuse(s"${layout.dataFormat} data files")
   if (layout.posDeleteFiles.nonEmpty) refuse("parquet position deletes")
   if (layout.renameOps.nonEmpty) refuse("un-materialized renames")
-  if (layout.hasFills) refuse("initial-default fills")
+  if (layout.hasFills) refuse("per-file constant fills (initial-defaults / identity partition values)")
   private val lineage = layout.dataFileLineage.getOrElse(
     refuse("a non-v3 layout (lineage exists from format-version 3)"))
 

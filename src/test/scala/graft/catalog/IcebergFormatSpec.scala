@@ -2684,4 +2684,157 @@ class IcebergFormatSpec extends AnyFunSuite {
     assert(e3.getMessage.contains("initial-default") &&
       e3.getMessage.contains("NESTED"))
   }
+
+  // ---- identity partitioning (round 16): the add_files / Hive-import
+  // shape — data files LACK the partition column; its values live in
+  // the manifest `partition` records and are served as per-file
+  // constants plus synthesized lower=upper pruning bounds -------------
+
+  test("identity-partitioned export: files lack the column, both faces " +
+      "serve the manifest values, bounds synthesize for pruning") {
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-ice-part") { (cat, hc) =>
+      import spark.implicits._
+      val conf = spark.sessionState.newHadoopConf()
+      val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tp1"
+      val df = (1 to 120).map(i => (i.toLong, s"nm-$i", (i % 4) + 1))
+        .toDF("id", "name", "k")
+      val metaLoc = IcebergExport.writeTable(spark, df, dir,
+        partitionBy = Seq("k"))
+      val layout = CatalogIO.readLayout(metaLoc, conf)
+      assert(layout.hasFills, "partition values must become per-file fills")
+      // ground truth: the parquet files physically lack k
+      val files = layout.absoluteDataFiles.get
+      assert(files.nonEmpty &&
+        files.forall(f => !spark.read.parquet(f).columns.contains("k")))
+      // synthesized stats: every file's k bound is lower = upper = its
+      // partition value with 0 nulls — the manifest partition record
+      // re-expressed as this engine's pruning envelope
+      val schema = org.apache.spark.sql.types.StructType
+        .fromDDL(layout.schemaDdl.get)
+      val perFileK = layout.dataFileStats.get.map { s =>
+        val c = FileStats.decode(s, schema).get.cols("k")
+        assert(c.min == c.max && c.nullCount.contains(0L))
+        c.min.get.asInstanceOf[Int]
+      }
+      assert(perFileK.toSet == Set(1, 2, 3, 4))
+      // library face: values + grouping correct
+      val got = CatalogIO.scanMetadataLocation(spark, metaLoc)
+      assert(got.count() == 120)
+      assert(got.groupBy("k").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+        (1 to 4).map(_ -> 30L).toMap)
+      // SQL face (the DSv2 fill table), with a filter ON the fill
+      // column — withheld from pushdown, re-evaluated post-injection
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.pt"), metaLoc)
+      val expect = df.filter($"k" === 2).agg(
+        org.apache.spark.sql.functions.sum("id")).head.getLong(0)
+      assert(spark.sql(
+        s"SELECT sum(id) s FROM $cat.db.pt WHERE k = 2").head.getLong(0)
+        == expect)
+      // file pruning from the synthesized bounds: a k filter plans
+      // only that partition's file group
+      graft.sources.StatsPruning.lastPlanned = None
+      spark.sql(s"SELECT count(*) c FROM $cat.db.pt WHERE k = 2")
+        .head.getLong(0)
+      assert(graft.sources.StatsPruning.lastPlanned.isDefined,
+        "fill groups must plan through the stats-pruned scan")
+    }
+  }
+
+  test("importHiveTable: an existing hive col=value tree registers " +
+      "zero-copy; null partitions and dates round-trip") {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/hv1"
+    val df = Seq(
+      (1L, "a", Some(java.sql.Date.valueOf("2024-01-01"))),
+      (2L, "b", Some(java.sql.Date.valueOf("2024-01-01"))),
+      (3L, "c", Some(java.sql.Date.valueOf("2024-02-15"))),
+      (4L, "d", None)
+    ).toDF("id", "payload", "day")
+    // a plain hive-layout write: day= directories, files lack the column
+    df.write.partitionBy("day").parquet(dir)
+    val metaLoc = IcebergExport.importHiveTable(spark, dir,
+      df.schema, Seq("day"))
+    val layout = CatalogIO.readLayout(metaLoc, conf)
+    assert(layout.hasFills)
+    assert(layout.dataFiles.get.forall(f => !f.startsWith("metadata")),
+      "the metadata dir must never be listed as data")
+    val got = CatalogIO.scanMetadataLocation(spark, metaLoc)
+    val expect = df.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.getDate(2)).map(_.toString).orNull)).toSet
+    val have = got.collect().map(r => (r.getLong(r.fieldIndex("id")),
+      r.getString(r.fieldIndex("payload")),
+      Option(r.getDate(r.fieldIndex("day"))).map(_.toString).orNull)).toSet
+    assert(have == expect, s"got $have")
+    // the NULL partition (__HIVE_DEFAULT_PARTITION__): nulls =
+    // rowCount in the synthesized stats, value served as NULL
+    val schema = org.apache.spark.sql.types.StructType
+      .fromDDL(layout.schemaDdl.get)
+    val nullFiles = layout.dataFileStats.get.map(FileStats.decode(_, schema))
+      .count(d => d.get.cols.get("day").exists(c =>
+        c.nullCount.contains(d.get.rowCount) && d.get.rowCount > 0))
+    assert(nullFiles == 1, "exactly one file carries the null partition")
+  }
+
+  test("identity partition fills serve ORC hive trees (the real " +
+      "Hive-migration format) through both faces") {
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-ice-porc") { (cat, hc) =>
+      import spark.implicits._
+      val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/hvorc"
+      val df = (1 to 60).map(i => (i.toLong, s"p$i", if (i <= 30) "us" else "eu"))
+        .toDF("id", "payload", "region")
+      df.write.partitionBy("region").orc(dir)
+      val metaLoc = IcebergExport.importHiveTable(spark, dir,
+        df.schema, Seq("region"), fileFormat = "orc")
+      val layout = CatalogIO.readLayout(metaLoc,
+        spark.sessionState.newHadoopConf())
+      assert(layout.dataFormat == "orc" && layout.hasFills)
+      val got = CatalogIO.scanMetadataLocation(spark, metaLoc)
+      assert(got.groupBy("region").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+        Map("us" -> 30L, "eu" -> 30L))
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.horc"), metaLoc)
+      val viaSql = spark.sql(s"SELECT region, sum(id) s FROM $cat.db.horc " +
+        "GROUP BY region ORDER BY region").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val expect = df.groupBy("region")
+        .agg(org.apache.spark.sql.functions.sum("id")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(viaSql == expect)
+    }
+  }
+
+  test("a non-identity transform whose source column is missing from " +
+      "the file refuses loudly (the value cannot be reconstructed)") {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tbk"
+    val df = (1 to 20).map(i => (i.toLong, i % 3)).toDF("id", "k")
+    val metaLoc = IcebergExport.writeTable(spark, df, dir,
+      partitionBy = Seq("k"))
+    // surgically relabel the spec's transform: identity → bucket[4].
+    // The files still lack k, but a bucket value cannot be inverted.
+    val p = new Path(metaLoc)
+    val fs = p.getFileSystem(conf)
+    val text = {
+      val in = fs.open(p)
+      try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+        java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    }
+    val mutated = text.replace("\"transform\": \"identity\"",
+      "\"transform\": \"bucket[4]\"")
+    assert(mutated != text)
+    val p2 = new Path(p.getParent, "v2.metadata.json")
+    val out = fs.create(p2, false)
+    try out.write(mutated.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val e = intercept[UnsupportedOperationException](
+      CatalogIO.scanMetadataLocation(spark, p2.toString).collect())
+    assert(e.getMessage.contains("bucket[4]") &&
+      e.getMessage.contains("cannot be reconstructed"), e.getMessage)
+  }
 }

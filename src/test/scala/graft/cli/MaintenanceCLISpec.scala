@@ -312,6 +312,48 @@ class MaintenanceCLISpec extends AnyFunSuite {
     assert(elines.exists(_.contains("--metadata-location")))
   }
 
+  test("import-hive registers a col=value tree zero-copy; partition " +
+      "values served; dry-run and argument errors") {
+    val wh = Files.createTempDirectory("maint-wh").toString
+    val hc = new HadoopFsCatalog(s"ih${uid()}", wh)
+    hc.createNamespace(graft.catalog.Namespace.of("db"))
+    val outDir = Files.createTempDirectory("maint-out").toString
+    import spark.implicits._
+    val hiveDir = s"${Files.createTempDirectory("maint-hive").toString}/ht"
+    (1 to 40).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "par").write.partitionBy("par").parquet(hiveDir)
+    val ddl = "id BIGINT, par STRING"
+    // dry run: reports, registers nothing
+    val (dcode, dlines) = runCli(maintArgs("import-hive", wh, outDir,
+      "--hive-dir", hiveDir, "--schema", ddl, "--partition-by", "par",
+      "--dry-run"))
+    assert(dcode == 0)
+    assert(dlines.exists(_.startsWith("Would import hive tree")))
+    assert(intercept[Exception](
+      hc.loadTableMetadataLocation(TableRef.parse("db.t"))) != null)
+    // real import: registered, both partitions served from fills
+    val (code, lines) = runCli(maintArgs("import-hive", wh, outDir,
+      "--hive-dir", hiveDir, "--schema", ddl, "--partition-by", "par"))
+    assert(code == 0, lines.mkString("\n"))
+    assert(lines.exists(_.startsWith("Imported hive tree")))
+    val got = graft.catalog.CatalogIO.readTable(spark, hc,
+      TableRef.parse("db.t"))
+    assert(got.groupBy("par").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("even" -> 20L, "odd" -> 20L))
+    // argument errors: each missing required option exits 2
+    val (e1, l1) = runCli(maintArgs("import-hive", wh, outDir,
+      "--schema", ddl, "--partition-by", "par"))
+    assert(e1 == 2 && l1.exists(_.contains("--hive-dir")))
+    val (e2, l2) = runCli(maintArgs("import-hive", wh, outDir,
+      "--hive-dir", hiveDir, "--partition-by", "par"))
+    assert(e2 == 2 && l2.exists(_.contains("--schema")))
+    val (e3, l3) = runCli(maintArgs("import-hive", wh, outDir,
+      "--hive-dir", hiveDir, "--schema", ddl))
+    assert(e3 == 2 && l3.exists(_.contains("--partition-by")))
+    hc.close()
+  }
+
   test("analyze records NDV sketches via the CLI; exit 0") {
     val (wh, hc) = fragmentedTable()
     val outDir = Files.createTempDirectory("maint-out").toString
