@@ -146,6 +146,7 @@ object SparkEntry {
     "w21_orc_mor" -> (graft.queries.WriteQueries.w21 _),
     "w22_variant" -> (graft.queries.WriteQueries.w22 _),
     "w23_hive_import" -> (graft.queries.WriteQueries.w23 _),
+    "w24_partitioned_append" -> (graft.queries.WriteQueries.w24 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1159,6 +1160,24 @@ object SparkEntry {
         |       CAST(SUM(k) AS BIGINT) AS k_sum,
         |       CAST(SUM(qty) AS BIGINT) AS qty_sum
         |FROM full_t GROUP BY rf""".stripMargin,
+    // w24: the partitioned-append lifecycle (round 16) — an identity-
+    // partitioned export takes a parquet and an ORC append (the table
+    // goes mixed with fills); base+appends = ALL of lineitem, so the
+    // oracle is the same replay as w23's.
+    "w24_partitioned_append" ->
+      """WITH t AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS k,
+        |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum,
+        |         CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |  FROM t GROUP BY rf)
+        |SELECT 'all' AS phase, * FROM g
+        |UNION ALL
+        |SELECT 'flt' AS phase, * FROM g WHERE rf = 'R'
+        |UNION ALL
+        |SELECT 'df' AS phase, * FROM g""".stripMargin,
     // w23: the add_files / Hive-import shape (round 16) — data files
     // LACK the partition column; every rf value is a manifest
     // partition record served as a per-file constant fill, with

@@ -235,8 +235,12 @@ object CatalogIO {
     require(dataFileFills.forall(s => dataFiles.exists(_.size == s.size)),
       "dataFileFills must parallel dataFiles one-to-one")
     require(dataFileFills.forall(_ => deleteFiles.isEmpty && renameOps.isEmpty
-      && (dataFormat == "parquet" || dataFormat == "orc")),
-      "per-file constant fills never coexist with deletes/renames/avro/mixed")
+      && (dataFormat == "parquet" || dataFormat == "orc" ||
+        (dataFormat == "mixed" &&
+          dataFileFormats.exists(!_.contains("avro"))))),
+      "per-file constant fills never coexist with deletes/renames/avro " +
+        "(mixed parquet+orc layouts with fills are served — the " +
+        "partitioned Hive-migration append shape)")
     /** Any file with a non-empty fill set? (the scan-routing test) */
     def hasFills: Boolean = dataFileFills.exists(_.exists(_.nonEmpty))
     require(dataFormat == "parquet" || dataFormat == "orc" ||
@@ -2856,15 +2860,22 @@ object CatalogIO {
           }
         }.reduce(_ unionByName _)
       case Some(filesWithSeqs) if layout.hasFills =>
-        // v3 initial-defaults: group files by their fill set; each
-        // pre-addition group reads under the full schema (absent
-        // columns surface as NULL) and the fill OVERWRITES the column
-        // with the constant — sound because a filled file provably
-        // lacks the column, so there are no real values to clobber
+        // per-file constant fills (v3 initial-defaults / identity
+        // partition values): group files by (fill set, format) — MIXED
+        // parquet+orc layouts ride here too (round 16, the partitioned
+        // Hive-migration append shape); each group reads under the full
+        // schema (absent columns surface as NULL) and the fill
+        // OVERWRITES the column with the constant — sound because a
+        // filled file provably lacks the column, so there are no real
+        // values to clobber. Catalyst folds filters on the lit()
+        // constants, so a partition filter prunes whole groups for free.
+        val fmts: Seq[String] = layout.dataFileFormats.getOrElse(
+          Seq.fill(filesWithSeqs.size)(layout.dataFormat))
         val groups = filesWithSeqs.map(_._1)
-          .zip(layout.dataFileFills.get)
-          .groupBy(_._2).toSeq
-          .sortBy(_._1.map(_._1).mkString(","))
+          .zip(layout.dataFileFills.get).zip(fmts)
+          .groupBy { case ((_, fills), fmt) => (fills, fmt) }.toSeq
+          .sortBy { case ((fills, fmt), _) =>
+            (fills.map(_._1).mkString(","), fmt) }
         // read nullable-forced: a REQUIRED column with a default is
         // physically absent from pre-addition files, and the strict
         // schema would refuse the scan the fill exists to serve
@@ -2873,9 +2884,18 @@ object CatalogIO {
             .fromDDL(layout.schemaDdl.getOrElse(throw new IllegalStateException(
               s"fill layout with no recorded schema at ${layout.dataLocation}")))
             .fields.map(_.copy(nullable = true)))
-        groups.map { case (fills, pairs) =>
-          val df0 = load(spark.read.options(options).schema(nullableSchema)
-            .option("basePath", layout.dataLocation), pairs.map(_._1))
+        // NO basePath: a basePath makes Spark infer partition columns
+        // from `col=value` directory names — double-serving the fill
+        // columns and conflicting when snapshots nest at different
+        // depths (imported tree + appended `data/sN/col=v`); the
+        // manifest is the single source of truth here
+        groups.map { case ((fills, fmt), triples) =>
+          val r = spark.read.options(options).schema(nullableSchema)
+          val paths = triples.map(_._1._1)
+          val df0 = fmt match {
+            case "orc" => r.orc(paths: _*)
+            case _ => r.parquet(paths: _*)
+          }
           fills.foldLeft(df0) { case (d, (c, v)) =>
             d.withColumn(c, org.apache.spark.sql.functions.lit(v)
               .cast(d.schema(c).dataType))

@@ -221,6 +221,17 @@ object IcebergExport {
     require(df.schema == st.sparkSchema,
       s"appendSnapshot schema ${df.schema.toDDL} does not match the " +
         s"table schema ${st.sparkSchema.toDDL}")
+    // identity-partitioned tables (round 16): appends land in the hive
+    // col=value layout under the snapshot subdir, partition values are
+    // recorded per file in the new manifest's `partition` records (the
+    // same add_files shape the import path writes), and readers serve
+    // them back as per-file constants. The native avro writer does not
+    // partition — refuse rather than write empty partition tuples that
+    // would read back as NULL identity values.
+    require(st.partCols.isEmpty || fileFormat != "avro",
+      s"$metadataLocation is identity-partitioned; partitioned appends " +
+        "write parquet or orc data files (the native avro writer does " +
+        "not partition)")
     val seq = st.lastSeq + 1
     val snapshotId = newSnapshotId()
     // each snapshot's files land in their own subdir: the new-file set
@@ -229,14 +240,19 @@ object IcebergExport {
     val dataDir = new Path(st.root, rel)
     val avroResults =
       if (fileFormat != "avro") {
-        df.write.format(fileFormat).save(dataDir.toString); None
+        val w = df.write.format(fileFormat)
+        (if (st.partCols.isEmpty) w
+         else w.partitionBy(st.partCols.map(_.field.name): _*))
+          .save(dataDir.toString)
+        None
       } else Some(graft.sources.AvroWrite.write(df, dataDir, st.fieldIds,
         new org.apache.spark.util.SerializableConfiguration(
           spark.sessionState.newHadoopConf()),
         tree = Some(st.tree)))
     val (entry, rowCount, dataBytes) = writeDataManifest(spark, st.fs,
       st.metaDir, st.location, st.sparkSchema, st.fieldIds, dataDir, rel,
-      snapshotId, seq, fileFormat, avroResults, treeOverride = Some(st.tree))
+      snapshotId, seq, fileFormat, avroResults, treeOverride = Some(st.tree),
+      partCols = st.partCols)
     commitSnapshot(st, snapshotId, seq, "append", st.priorEntries :+ entry,
       addedRows = rowCount,
       summaryCounts = Map("added-data-files" -> entry.addedFiles.toLong,
@@ -262,6 +278,11 @@ object IcebergExport {
       targetFileBytes: Long = 128L << 20): String = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val st = loadState(spark, metadataLocation)
+    require(st.partCols.isEmpty,
+      s"$metadataLocation is identity-partitioned; this rewrite writes " +
+        "unpartitioned file layouts, which would drop the per-file " +
+        "partition values — compact per partition externally or read + " +
+        "writeTable(partitionBy) instead")
     require(st.priorEntries.forall(_.content == 0),
       s"$metadataLocation carries live delete files; a rewrite would " +
         "change row visibility — materialize the deletes first")
@@ -309,6 +330,11 @@ object IcebergExport {
     require(fileFormat == "parquet" || fileFormat == "orc",
       s"appendDeletes writes parquet or orc delete files, got '$fileFormat'")
     val st = loadState(spark, metadataLocation)
+    require(st.partCols.isEmpty,
+      s"$metadataLocation is identity-partitioned; this writer's delete " +
+        "manifests carry empty partition tuples, which a partitioned " +
+        "spec would mis-scope — materialize deletes via read + " +
+        "writeTable(partitionBy) instead")
     // the v3 spec forbids ADDING position delete files (deletion
     // vectors replace them); equality deletes remain legal
     require(st.formatVersion < 3 || positional.isEmpty,
@@ -412,6 +438,11 @@ object IcebergExport {
     require(positional.schema.fieldNames.toSeq == Seq("file_path", "pos"),
       s"deletion vectors need (file_path, pos), got ${positional.schema.toDDL}")
     val st = loadState(spark, metadataLocation)
+    require(st.partCols.isEmpty,
+      s"$metadataLocation is identity-partitioned; this writer's DV " +
+        "manifests carry empty partition tuples, which a partitioned " +
+        "spec would mis-scope — materialize deletes via read + " +
+        "writeTable(partitionBy) instead")
     val seq = st.lastSeq + 1
     val snapshotId = newSnapshotId()
     import spark.implicits._
@@ -638,7 +669,14 @@ object IcebergExport {
       tree: IcebergSchemaIds.Tree,
       /** The loaded document's `last-column-id` (may exceed the live
         * ids — dropped columns retain theirs). */
-      lastColumnId: Int)
+      lastColumnId: Int,
+      /** The default spec's IDENTITY partition columns (round 16,
+        * empty = unpartitioned). Parsed so partitioned appends can
+        * record per-file partition values; commit verbs that cannot
+        * write spec-conformant partition records refuse when this is
+        * non-empty (an empty `partition` tuple under a partitioned
+        * spec would read back as NULL identity values). */
+      partCols: Seq[PartSpecCol])
 
   private def newSnapshotId(): Long =
     math.abs(java.util.UUID.randomUUID().getLeastSignificantBits)
@@ -658,10 +696,7 @@ object IcebergExport {
       s"$metadataLocation is not Iceberg v2/v3 metadata; this writer " +
         "appends to v2 and v3 tables only")
     val specs = Option(root.get("partition-specs")).toSeq
-      .flatMap(_.elements().asScala)
-    require(specs.forall(s => !s.get("fields").elements().hasNext),
-      s"$metadataLocation has a non-empty partition spec; this writer " +
-        "appends to unpartitioned exports only")
+      .flatMap(_.elements().asScala).toSeq
     val location = root.get("location").asText
     val schemas = root.get("schemas")
     val curSchemaId = root.path("current-schema-id").asInt(0)
@@ -676,6 +711,46 @@ object IcebergExport {
         f.get("id").asInt)
     }.toSeq
     val sparkSchema = StructType(fieldIds.map(_._1))
+    // partitioned tables (round 16): commits must carry the spec AND
+    // write spec-conformant partition tuples into new manifests, so
+    // only the shapes this writer can re-render exactly are accepted —
+    // one spec, id 0 and default (spec evolution would leave prior
+    // manifests pointing at spec ids the re-rendered metadata no
+    // longer lists), every transform identity over a directory-
+    // round-trippable column type
+    val partCols: Seq[PartSpecCol] = {
+      val nonEmpty = specs.filter(_.get("fields").elements().hasNext)
+      if (nonEmpty.isEmpty) Nil
+      else {
+        require(specs.size == 1 &&
+          specs.head.path("spec-id").asInt(-1) == 0 &&
+          root.path("default-spec-id").asInt(0) == 0,
+          s"$metadataLocation carries evolved/multiple partition specs; " +
+            "this writer commits to single-spec (spec-id 0) tables only")
+        nonEmpty.head.get("fields").elements().asScala.map { f =>
+          val transform = f.path("transform").asText
+          if (transform != "identity")
+            throw new UnsupportedOperationException(
+              s"$metadataLocation partition field " +
+                s"'${f.path("name").asText}' uses transform '$transform'; " +
+                "this writer commits to identity-partitioned tables only")
+          val sourceId = f.path("source-id").asInt(-1)
+          val (sf, id) = fieldIds.find(_._2 == sourceId).getOrElse(
+            throw new UnsupportedOperationException(
+              s"$metadataLocation partition source column id $sourceId " +
+                "is not a current top-level table column"))
+          sf.dataType match {
+            case IntegerType | LongType | StringType | DateType |
+                 BooleanType =>
+            case other => throw new UnsupportedOperationException(
+              s"$metadataLocation identity partition column " +
+                s"'${sf.name}' of type $other — this writer partitions " +
+                "by int/long/string/date/boolean columns only")
+          }
+          PartSpecCol(sf, id, f.path("field-id").asInt(-1))
+        }.toSeq
+      }
+    }
     val curId = root.path("current-snapshot-id").asLong(-1L)
     val snapshots = Option(root.get("snapshots")).toSeq
       .flatMap(_.elements().asScala).toSeq
@@ -702,7 +777,8 @@ object IcebergExport {
       refs,
       snapshots.map(_.path("snapshot-id").asLong(-2L)).toSet,
       tree,
-      root.path("last-column-id").asInt(0))
+      root.path("last-column-id").asInt(0),
+      partCols)
   }
 
   private def readListEntries(listPath: Path,
@@ -775,7 +851,8 @@ object IcebergExport {
       formatVersion = fv,
       nextRowId = if (fv >= 3) Some(st.nextRowId + addedRows) else None,
       extraRefs = st.refs,
-      treeOverride = Some(st.tree), minLastColumnId = st.lastColumnId)
+      treeOverride = Some(st.tree), minLastColumnId = st.lastColumnId,
+      partCols = st.partCols)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     st.fs.makeQualified(metaPath).toString
@@ -804,7 +881,8 @@ object IcebergExport {
       nextRowId = if (st.formatVersion >= 3) Some(st.nextRowId) else None,
       extraRefs = st.refs +
         (name -> s"""{"snapshot-id": $snapshotId, "type": "$kind"}"""),
-      treeOverride = Some(st.tree), minLastColumnId = st.lastColumnId)
+      treeOverride = Some(st.tree), minLastColumnId = st.lastColumnId,
+      partCols = st.partCols)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     st.fs.makeQualified(metaPath).toString
@@ -1190,7 +1268,7 @@ object IcebergExport {
        |  "schemas": [{"type": "struct", "schema-id": 0, "fields": [$fields]}],
        |  "default-spec-id": 0,
        |  "partition-specs": [{"spec-id": 0, "fields": [${partSpecFieldsJson(partCols)}]}],
-       |  "last-partition-id": ${999 + partCols.size},
+       |  "last-partition-id": ${(999L +: partCols.map(_.fieldId.toLong)).max},
        |  "default-sort-order-id": 0,
        |  "sort-orders": [{"order-id": 0, "fields": []}],
        |  "properties": {"schema.name-mapping.default": "$mapping"},

@@ -548,8 +548,16 @@ object IcebergFormat {
         }
         if (perFile.forall(_.isEmpty)) None
         else {
-          if (dataFormat != "parquet" && dataFormat != "orc")
-            refuseWith(s"$dataFormat data files")
+          // mixed parquet+orc with fills is SERVED (round 16 — the
+          // partitioned Hive-migration append shape: an ORC base plus
+          // parquet appends, all lacking the partition column); any
+          // avro file in a fill-bearing table refuses — no avro stack
+          // routes through the fill machinery
+          if (dataFormat == "avro") refuseWith("avro data files")
+          if (dataFormat == "mixed" &&
+              rels.exists { case (_, _, _, _, fmt, _, _, _, _, _) =>
+                fmt == "avro" })
+            refuseWith("avro files in the mixed layout")
           if (renamed) refuseWith("un-materialized column renames")
           if (deleteFiles.nonEmpty) refuseWith("live delete files")
           Some(perFile)

@@ -681,6 +681,58 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(tmp)
     }
 
+  /** w24 (round 16): the partitioned-append LIFECYCLE under the oracle
+    * — the full Hive-migration story. 80% of lineitem exports as an
+    * identity-partitioned Iceberg table (hive `rf=…` layout, files
+    * lacking the partition column), then one parquet append and one ORC
+    * append land the remaining 20% through [[graft.catalog
+    * .IcebergExport.appendSnapshot]] — hive-layout files under the
+    * snapshot subdirs, partition values recorded per file, the table
+    * going MIXED parquet+orc with fills. Both faces aggregate the whole
+    * table; the filtered phase exercises plan-time GROUP pruning over
+    * the mixed fill scan. The oracle replays from raw lineitem. */
+  def w24(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w24") { (cat, hc) =>
+      import graft.catalog.{CatalogIO, IcebergExport, TableRef}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w24-ice").toString
+      try {
+        val all = spark.sql(
+          s"""SELECT CAST(l_orderkey AS BIGINT) AS k,
+             |       CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+             |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+        val meta1 = IcebergExport.writeTable(spark,
+          all.filter(col("k") % 10 < 8), s"$tmp/t", partitionBy = Seq("rf"))
+        val meta2 = IcebergExport.appendSnapshot(spark,
+          all.filter(col("k") % 10 === 8), meta1)
+        val meta3 = IcebergExport.appendSnapshot(spark,
+          all.filter(col("k") % 10 === 9), meta2, fileFormat = "orc")
+        val layout = CatalogIO.readLayout(meta3,
+          spark.sessionState.newHadoopConf())
+        require(layout.dataFormat == "mixed" && layout.hasFills,
+          "partitioned appends must produce a mixed fill-serving layout")
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        val ref = TableRef.parse("db.part_append")
+        hc.registerTable(ref, meta3)
+        val sqlFace = spark.sql(
+          s"""SELECT 'all' AS phase, rf, COUNT(*) AS cnt,
+             |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.part_append GROUP BY rf""".stripMargin)
+        val pruned = spark.sql(
+          s"""SELECT 'flt' AS phase, rf, COUNT(*) AS cnt,
+             |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.part_append WHERE rf = 'R' GROUP BY rf""".stripMargin)
+        val dfFace = CatalogIO.readTable(spark, hc, ref)
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"),
+            sum(col("qty")).as("qty_sum"))
+          .select(lit("df").as("phase"), col("rf"), col("cnt"),
+            col("k_sum"), col("qty_sum"))
+        val out = sqlFace.unionByName(pruned).unionByName(dfFace)
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w23 (round 16): the `add_files` / Hive-import shape under the
     * oracle. lineitem is written as a plain hive `rf=…` directory tree
     * — the data files physically LACK the partition column — then

@@ -62,15 +62,29 @@ final class GraftFillTable(spark: SparkSession, tableName: String,
       s"fill table $tableName has no recorded schema")))
     .fields.map(_.copy(nullable = true)))
 
-  /** (fill set, that group's absolute files) — fill-free group first. */
-  private val groups: Seq[(Seq[(String, Any)], Seq[String])] =
+  /** Per-file formats: the one recorded format for homogeneous layouts,
+    * the manifest's per-entry formats for MIXED ones (round 16 — the
+    * partitioned Hive-migration append shape: an ORC base plus parquet
+    * appends, all lacking the partition column). Avro never reaches
+    * here (layout invariant: fills + avro refuse upstream). */
+  private val fileFormats: Seq[String] = {
+    val n = layout.absoluteDataFiles.map(_.size).getOrElse(0)
+    layout.dataFileFormats.getOrElse(Seq.fill(n)(layout.dataFormat))
+  }
+
+  /** (fill set, format, that group's absolute files) — fill-free groups
+    * first. */
+  private val groups: Seq[(Seq[(String, Any)], String, Seq[String])] =
     layout.absoluteDataFiles.getOrElse(throw new IllegalStateException(
       s"fill table $tableName has no file manifest"))
       .zip(layout.dataFileFills.getOrElse(throw new IllegalStateException(
         s"fill table $tableName has no fill sets")))
-      .groupBy(_._2).toSeq
-      .sortBy { case (fills, _) => (fills.nonEmpty, fills.map(_._1).mkString(",")) }
-      .map { case (fills, pairs) => (fills, pairs.map(_._1)) }
+      .zip(fileFormats)
+      .groupBy { case ((_, fills), fmt) => (fills, fmt) }.toSeq
+      .sortBy { case ((fills, fmt), _) =>
+        (fills.nonEmpty, fills.map(_._1).mkString(","), fmt) }
+      .map { case ((fills, fmt), triples) =>
+        (fills, fmt, triples.map(_._1._1)) }
 
   private val groupTables: Seq[(Seq[(String, Any)], Table with SupportsRead)] = {
     val relByAbs = layout.absoluteDataFiles.getOrElse(Nil)
@@ -91,28 +105,32 @@ final class GraftFillTable(spark: SparkSession, tableName: String,
         .map(_.collect { case (p, s) if s.nonEmpty =>
           new org.apache.hadoop.fs.Path(p).toUri.getPath -> s }.toMap)
         .getOrElse(Map.empty)
-    groups.map { case (fills, files) =>
+    groups.map { case (fills, fmt, files) =>
       val manifest: Option[Table with SupportsRead] =
         if (!manifestPlanning) None
         else ManifestFileIndex.tableFor(s"$tableName@fill", spark,
           hadoopOpts, layout, schemaOverride = Some(currentSchema),
-          fileSubset = Some(files.map(relByAbs)))
+          fileSubset = Some(files.map(relByAbs)),
+          formatOverride = Some(fmt))
       // format dispatch (round 16): converted Iceberg ORC layouts with
       // identity-partition fills read through Spark's stock ORC table —
-      // the constant injection wraps the reader seam, format-blind
-      val table = manifest.getOrElse(layout.dataFormat match {
+      // the constant injection wraps the reader seam, format-blind.
+      // NO basePath: the manifest is the single source of truth for
+      // these columns — a basePath would make Spark infer partition
+      // columns from `col=value` directory names, double-serving the
+      // fill columns and CONFLICTING on layouts whose snapshots nest at
+      // different depths (imported tree + appended `data/sN/col=v`)
+      val table = manifest.getOrElse(fmt match {
         case "orc" =>
           org.apache.spark.sql.execution.datasources.v2.orc.OrcTable(
             s"$tableName@fill", spark,
-            new CaseInsensitiveStringMap(
-              (hadoopOpts + ("basePath" -> layout.dataLocation)).asJava),
+            new CaseInsensitiveStringMap(hadoopOpts.asJava),
             files, userSpecifiedSchema = Some(currentSchema),
             fallbackFileFormat = classOf[org.apache.spark.sql.execution
               .datasources.orc.OrcFileFormat])
         case _ =>
           ParquetTable(s"$tableName@fill", spark,
-            new CaseInsensitiveStringMap(
-              (hadoopOpts + ("basePath" -> layout.dataLocation)).asJava),
+            new CaseInsensitiveStringMap(hadoopOpts.asJava),
             files, userSpecifiedSchema = Some(currentSchema),
             fallbackFileFormat = classOf[ParquetFileFormat])
       })
@@ -140,25 +158,40 @@ final class GraftFillTable(spark: SparkSession, tableName: String,
       (fills, t.newScanBuilder(options)
         .asInstanceOf[ScanBuilder with SupportsPushDownRequiredColumns
           with SupportsPushDownCatalystFilters])
-    })
+    }, groups.map(_._3.size), tableName)
 }
 
 /** Fans pruning out to each group's builder (the stock FileScanBuilder,
   * or the StatsPrunedScanBuilder wrapping it); filters touching a
   * group's fill columns are withheld from THAT group's pushdown. All
   * filters are reported back as not-fully-handled, so Spark re-checks
-  * them after the constants are injected. */
+  * them after the constants are injected.
+  *
+  * GROUP pruning (round 16, the hive-import scale path): a group's fill
+  * constants are known at PLAN time, so any pushed filter whose fill-
+  * column references can be substituted away and that then evaluates to
+  * false/null proves the whole group empty — its files are never
+  * listed, split, or scheduled. This is Iceberg's partition pruning
+  * re-expressed over the fill machinery: a `WHERE p = 3` on a
+  * 10k-partition imported hive tree plans exactly the matching
+  * partition's files instead of O(table) tasks. Conservative on
+  * anything unevaluable (remaining attributes, non-deterministic,
+  * subqueries, type mismatches → keep the group). */
 private final class FillScanBuilder(
     builders: Seq[(Seq[(String, Any)],
       ScanBuilder with SupportsPushDownRequiredColumns
-        with SupportsPushDownCatalystFilters)])
+        with SupportsPushDownCatalystFilters)],
+    groupFileCounts: Seq[Int], tableName: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters {
+
+  private var captured: Seq[Expression] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     builders.foreach(_._2.pruneColumns(requiredSchema))
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
+    captured ++= filters
     builders.foreach { case (fills, b) =>
       val fillNames = fills.map(_._1.toLowerCase).toSet
       val safe = filters.filterNot(_.exists {
@@ -173,8 +206,43 @@ private final class FillScanBuilder(
   override def pushedFilters: Array[Predicate] =
     builders.headOption.map(_._2.pushedFilters).getOrElse(Array.empty)
 
-  override def build(): Scan =
-    new FillScan(builders.map { case (fills, b) => (fills, b.build()) })
+  /** True iff some captured filter PROVES the group empty under its
+    * fill constants (evaluates to false or null — a WHERE discards
+    * both). Any doubt keeps the group. */
+  private def groupDropped(fills: Seq[(String, Any)]): Boolean = {
+    if (fills.isEmpty || captured.isEmpty) return false
+    val byName = fills.map { case (c, v) => c.toLowerCase -> v }.toMap
+    captured.exists { f =>
+      f.deterministic && scala.util.Try {
+        val sub = f.transform {
+          case a: AttributeReference if byName.contains(a.name.toLowerCase) =>
+            Literal.create(byName(a.name.toLowerCase), a.dataType)
+        }
+        if (sub.exists(e => e.isInstanceOf[AttributeReference] ||
+            e.isInstanceOf[org.apache.spark.sql.catalyst.expressions
+              .PlanExpression[_]])) false
+        else {
+          val v = sub.eval(InternalRow.empty)
+          v == null || v == false
+        }
+      }.getOrElse(false)
+    }
+  }
+
+  override def build(): Scan = {
+    val dropped = builders.zipWithIndex.collect {
+      case ((fills, _), i) if groupDropped(fills) => i
+    }.toSet
+    // capture BUILD-time telemetry per group (the stats-pruned file
+    // scans record at PLANNING time instead — FillScan aggregates both
+    // kinds when it plans, mirroring MixedScan)
+    val scans = builders.map { case (fills, b) =>
+      val (s, c) = StatsPruning.collectPlanned(b.build())
+      (fills, s, c)
+    }
+    new FillScan(scans.map(t => (t._1, t._2)), dropped)(
+      scans.map(_._3), groupFileCounts, tableName)
+  }
 }
 
 /** One group's planned file slices. */
@@ -186,34 +254,74 @@ private[sources] final case class FillFilePartition(group: Int,
 /** Concatenates the per-group stock scans; groups with fills get their
   * readers wrapped with the constant injection. */
 private final class FillScan(
-    private val scans: Seq[(Seq[(String, Any)], Scan)])
+    private val scans: Seq[(Seq[(String, Any)], Scan)],
+    /** Group indices proven empty by their fill constants at plan time
+      * — never split, never scheduled. */
+    private val droppedGroups: Set[Int])(
+    /** Pruning telemetry recorded at each group's BUILD; plan-time
+      * telemetry joins it in [[planned]]. The second parameter list
+      * keeps scan equality (exchange reuse) on the scans + drops. */
+    buildCounts: Seq[Option[(Int, Int)]],
+    groupFileCounts: Seq[Int], tableName: String)
   extends Scan with Batch {
 
   override def readSchema(): StructType = scans.head._2.readSchema()
   override def description(): String =
-    s"graft-fills(${scans.size}: ${scans.head._2.description()})"
+    s"graft-fills(${scans.size}, ${droppedGroups.size} pruned: " +
+      s"${scans.head._2.description()})"
   override def toBatch: Batch = this
+
+  /** Spark refuses a scan mixing row-based and columnar partitions, so
+    * PARTITION_DEFINED only when every planned partition agrees (mixed
+    * parquet+orc groups normally both vectorize); a disagreeing group
+    * demotes the whole scan to row-based — the same rule as
+    * [[MixedScan]], and the row path injects through one codegen'd
+    * projection, so correctness is untouched. */
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    Scan.ColumnarSupportMode.PARTITION_DEFINED
+    if (uniformColumnar) Scan.ColumnarSupportMode.PARTITION_DEFINED
+    else Scan.ColumnarSupportMode.UNSUPPORTED
+
+  private lazy val uniformColumnar: Boolean =
+    planned.map(p => factory.supportColumnarReads(p)).distinct.size <= 1
 
   override def equals(other: Any): Boolean = other match {
-    case f: FillScan => scans == f.scans
+    case f: FillScan => scans == f.scans && droppedGroups == f.droppedGroups
     case _ => false
   }
-  override def hashCode(): Int = scans.hashCode()
+  override def hashCode(): Int = (scans, droppedGroups).hashCode()
 
-  private lazy val planned: Array[InputPartition] =
-    scans.zipWithIndex.flatMap { case ((_, s), i) =>
-      s.toBatch.planInputPartitions().map {
-        case fp: FilePartition => FillFilePartition(i, fp): InputPartition
-        case other => throw new IllegalStateException(
-          s"unexpected fill-scan partition ${other.getClass.getName}")
+  private lazy val planned: Array[InputPartition] = {
+    var skipped = 0
+    var total = 0
+    var recorded = false
+    val parts = scans.zipWithIndex.flatMap { case ((_, s), i) =>
+      if (droppedGroups(i)) {
+        // the whole group was proven empty by its fill constants: its
+        // files count as skipped without being listed or split
+        skipped += groupFileCounts(i); total += groupFileCounts(i)
+        recorded = true
+        Nil
+      } else {
+        val (ps, c) = StatsPruning.collectPlanned(
+          s.toBatch.planInputPartitions())
+        c.orElse(buildCounts(i)).foreach { case (sk, t) =>
+          skipped += sk; total += t; recorded = true
+        }
+        ps.map {
+          case fp: FilePartition => FillFilePartition(i, fp): InputPartition
+          case other => throw new IllegalStateException(
+            s"unexpected fill-scan partition ${other.getClass.getName}")
+        }
       }
     }.toArray
+    // one aggregated (skipped, total) for the whole table's plan
+    if (recorded) StatsPruning.recordPlan(skipped, total, tableName)
+    parts
+  }
 
   override def planInputPartitions(): Array[InputPartition] = planned
 
-  override def createReaderFactory(): PartitionReaderFactory = {
+  private lazy val factory: PartitionReaderFactory = {
     // resolve each group's fills against ITS pruned read schema: a
     // fill column the query never asked for needs no injection
     val perGroup = scans.map { case (fills, s) =>
@@ -228,6 +336,8 @@ private final class FillScan(
     }
     new FillReaderFactory(perGroup.toArray, readSchema())
   }
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
 }
 
 /** Dispatches each partition to its group's stock reader factory,

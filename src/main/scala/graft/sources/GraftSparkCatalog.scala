@@ -139,6 +139,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     val (paths, pathOpts) = tablePaths(layout)
     lazy val table = baseTableFor(ref.toString, layout, paths, pathOpts)
     val readTable =
+      // per-file constant fills take precedence (round 16): a MIXED
+      // parquet+orc layout with fills — the partitioned Hive-migration
+      // append shape — routes through the fill table, which groups by
+      // (fill set, format) and injects the constants per group. Layout
+      // invariants guarantee fills never coexist with avro/deletes/
+      // renames, so the branches below never see a fill-bearing layout.
+      if (layout.hasFills)
+        new GraftFillTable(SparkSession.active, ref.toString, layout, hadoopOpts)
+      else
       // MIXED parquet/orc/avro data files (round 15): one stock reader
       // stack per format group, concatenated in one DSv2 scan
       if (layout.dataFormat == "mixed")
@@ -264,7 +273,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     // a time-traveled version applies ITS OWN seq-gated state (delete
     // set / rename epochs / stats) — every version reads with its own schema
     val served: Table =
-      if (vLayout.dataFormat == "mixed")
+      if (vLayout.hasFills) // fills first — may ride a mixed layout
+        new GraftFillTable(SparkSession.active, label, vLayout, hadoopOpts)
+      else if (vLayout.dataFormat == "mixed")
         new GraftMixedFormatTable(SparkSession.active, label, vLayout,
           hadoopOpts)
       else if (vLayout.dataFormat == "avro")
@@ -273,8 +284,6 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         new GraftMorTable(manifestPlanned(table, vLayout), vLayout, hadoopOpts)
       else if (vLayout.renameOps.nonEmpty && paths.nonEmpty)
         new GraftEpochTable(SparkSession.active, label, vLayout, hadoopOpts)
-      else if (vLayout.hasFills)
-        new GraftFillTable(SparkSession.active, label, vLayout, hadoopOpts)
       else if (vLayout.numBuckets.isEmpty) statsPruned(table, vLayout)
       else manifestPlanned(table, vLayout) // bucketed history: no SPJ, but zero-listing planning
     // v3 lineage columns are snapshot-scoped, so time travel serves them

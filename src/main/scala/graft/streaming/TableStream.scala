@@ -727,7 +727,9 @@ private[streaming] final class IcebergMicroBatchStream(cfg: CatalogConfig,
     if (fromL.exists(_.deleteFiles.nonEmpty) || toL.deleteFiles.nonEmpty)
       refuse("live delete files")
     if (toL.renameOps.nonEmpty) refuse("un-materialized column renames")
-    if (toL.hasFills) refuse("initial-default fills")
+    if (toL.hasFills)
+      refuse("per-file constant fills (initial-defaults / identity " +
+        "partition values)")
     // the files this batch serves, each with its manifest file_format.
     // Without skipRewrites (or on a bootstrap from empty): the endpoint
     // manifest diff, refusing any removal. With skipRewrites: a

@@ -2488,11 +2488,13 @@ class IcebergFormatSpec extends AnyFunSuite {
       assert(spark.sql(s"SELECT k FROM $cat.db.idef WHERE d = 'en'")
         .collect().map(_.getLong(0)).sorted.toSeq == (1L to 5L))
       // manifest bounds on a NON-fill column still prune whole files
-      // through the fill table's per-group stats decoration
+      // through the fill table's per-group stats decoration; the fill
+      // scan aggregates ACROSS groups (round 16): 1 of the table's 2
+      // files skipped — the pre-addition file, by its k bound
       graft.sources.StatsPruning.lastPlanned = None
       assert(spark.sql(s"SELECT SUM(k) FROM $cat.db.idef WHERE k >= 6")
         .head.getLong(0) == 21L)
-      assert(graft.sources.StatsPruning.lastPlanned == Some((1, 1)),
+      assert(graft.sources.StatsPruning.lastPlanned == Some((1, 2)),
         s"expected the pre-addition file pruned from its own group, " +
           s"got ${graft.sources.StatsPruning.lastPlanned}")
       val vect = "spark.sql.parquet.enableVectorizedReader"
@@ -2732,13 +2734,81 @@ class IcebergFormatSpec extends AnyFunSuite {
       assert(spark.sql(
         s"SELECT sum(id) s FROM $cat.db.pt WHERE k = 2").head.getLong(0)
         == expect)
-      // file pruning from the synthesized bounds: a k filter plans
-      // only that partition's file group
+      // GROUP pruning from the fill constants: a k filter plans only
+      // that partition's file group — every other group's files are
+      // proven empty at plan time and never scheduled
       graft.sources.StatsPruning.lastPlanned = None
-      spark.sql(s"SELECT count(*) c FROM $cat.db.pt WHERE k = 2")
+      val cnt = spark.sql(s"SELECT count(*) c FROM $cat.db.pt WHERE k = 2")
         .head.getLong(0)
-      assert(graft.sources.StatsPruning.lastPlanned.isDefined,
-        "fill groups must plan through the stats-pruned scan")
+      assert(cnt == 30)
+      val total = layout.dataFiles.get.size
+      val k2Files = layout.dataFileFills.get.count(_.exists(f =>
+        f._1 == "k" && f._2 == 2))
+      assert(k2Files > 0 && k2Files < total)
+      assert(graft.sources.StatsPruning.lastPlanned ==
+        Some((total - k2Files, total)),
+        s"a k=2 filter must prune every other partition's group " +
+          s"(got ${graft.sources.StatsPruning.lastPlanned}, " +
+          s"expected ${(total - k2Files, total)})")
+      // NULL semantics: `k = 2` also prunes a null-fill group, but
+      // IS NULL keeps exactly it — exercised in the importHiveTable
+      // spec below via __HIVE_DEFAULT_PARTITION__
+    }
+  }
+
+  test("identity-partitioned appends: appendSnapshot lands hive-layout " +
+      "files with partition records; pruning covers old AND new files; " +
+      "partition-blind commit verbs refuse") {
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-ice-papp") { (cat, hc) =>
+      import spark.implicits._
+      val conf = spark.sessionState.newHadoopConf()
+      val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tpa"
+      val df = (1 to 80).map(i => (i.toLong, s"nm-$i", (i % 4) + 1))
+        .toDF("id", "name", "k")
+      val meta1 = IcebergExport.writeTable(spark, df, dir,
+        partitionBy = Seq("k"))
+      // parquet append carries the partition values through; orc too
+      val add1 = Seq((1001L, "x1", 2), (1002L, "x2", 3))
+        .toDF("id", "name", "k")
+      val meta2 = IcebergExport.appendSnapshot(spark, add1, meta1)
+      val add2 = Seq((2001L, "y1", 2)).toDF("id", "name", "k")
+      val meta3 = IcebergExport.appendSnapshot(spark, add2, meta2,
+        fileFormat = "orc")
+      val layout = CatalogIO.readLayout(meta3, conf)
+      assert(layout.dataFormat == "mixed",
+        "orc-onto-parquet partitioned appends read as a mixed layout")
+      val got = CatalogIO.scanMetadataLocation(spark, meta3)
+      assert(got.count() == 83)
+      assert(got.filter($"k" === 2).count() == 20 + 2)
+      // every data file (old and appended) still LACKS k physically —
+      // all values come from the manifest partition records
+      assert(got.groupBy("k").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap ==
+        Map(1 -> 20L, 2 -> 22L, 3 -> 21L, 4 -> 20L))
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.pa"), meta3)
+      assert(spark.sql(
+        s"SELECT sum(id) s FROM $cat.db.pa WHERE k = 3").head.getLong(0)
+        == df.filter($"k" === 3).agg(
+          org.apache.spark.sql.functions.sum("id")).head.getLong(0) + 1002L)
+      // partition-blind verbs refuse: their manifests would carry empty
+      // partition tuples that read back as NULL identity values
+      val eAvro = intercept[IllegalArgumentException](
+        IcebergExport.appendSnapshot(spark,
+          Seq((3001L, "z", 1)).toDF("id", "name", "k"), meta3,
+          fileFormat = "avro"))
+      assert(eAvro.getMessage.contains("identity-partitioned"))
+      val eRw = intercept[IllegalArgumentException](
+        IcebergExport.rewriteSnapshot(spark, meta3))
+      assert(eRw.getMessage.contains("identity-partitioned"))
+      val eDel = intercept[IllegalArgumentException](
+        IcebergExport.appendDeletes(spark, meta3,
+          equality = Some(Seq(1L).toDF("id"))))
+      assert(eDel.getMessage.contains("identity-partitioned"))
+      val eDv = intercept[IllegalArgumentException](
+        IcebergExport.appendDeletionVectors(spark, meta3,
+          Seq(("f", 0L)).toDF("file_path", "pos")))
+      assert(eDv.getMessage.contains("identity-partitioned"))
     }
   }
 
