@@ -394,7 +394,7 @@ private final class FillReaderFactory(
   }
 }
 
-private object FillReaderFactory {
+private[graft] object FillReaderFactory {
   /** A [[ConstantColumnVector]] holding one CATALYST value of `dt` —
     * the scalar types [[graft.catalog.IcebergFormat]]'s default and
     * identity-partition decoders admit. A null constant (a NULL
@@ -417,5 +417,62 @@ private object FillReaderFactory {
         s"initial-default fill over unsupported vector type $other")
     }
     c
+  }
+}
+
+/** Format-agnostic constant injection over ANY stock reader factory —
+  * the fill machinery's seam factored out for consumers that dispatch
+  * partitions themselves (round 16: the streaming sources' per-batch
+  * scans over appended hive-layout files, which lack their identity
+  * partition columns exactly like the batch faces' files). `fills`
+  * maps column NAMES to EXTERNAL JVM values; they are resolved against
+  * `out` (the scan's output schema) here, once. */
+private[graft] object FillInjection {
+  def wrap(inner: PartitionReaderFactory, fills: Seq[(String, Any)],
+      out: StructType): PartitionReaderFactory = {
+    val resolved: Array[(Int, DataType, Any)] = fills.flatMap { case (c, v) =>
+      val i = out.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+      if (i < 0) None
+      else Some((i, out.fields(i).dataType,
+        Literal.create(v, out.fields(i).dataType).value))
+    }.toArray
+    if (resolved.isEmpty) return inner
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition)
+          : PartitionReader[InternalRow] = {
+        val reader = inner.createReader(p)
+        new PartitionReader[InternalRow] {
+          private val byOrd = resolved.map { case (i, _, v) => i -> v }.toMap
+          private val proj = UnsafeProjection.create(
+            out.fields.zipWithIndex.map { case (f, i) =>
+              byOrd.get(i)
+                .map(v => Literal(v, f.dataType): Expression)
+                .getOrElse(BoundReference(i, f.dataType, f.nullable))
+            }.toIndexedSeq)
+          override def next(): Boolean = reader.next()
+          override def get(): InternalRow = proj(reader.get())
+          override def close(): Unit = reader.close()
+        }
+      }
+      override def createColumnarReader(p: InputPartition)
+          : PartitionReader[ColumnarBatch] = {
+        val reader = inner.createColumnarReader(p)
+        new PartitionReader[ColumnarBatch] {
+          private val constants: Map[Int, ColumnVector] = resolved.map {
+            case (i, dt, v) => i -> FillReaderFactory.constantVector(dt, v)
+          }.toMap
+          override def next(): Boolean = reader.next()
+          override def get(): ColumnarBatch = {
+            val b = reader.get()
+            val cols = Array.tabulate[ColumnVector](b.numCols())(i =>
+              constants.getOrElse(i, b.column(i)))
+            new ColumnarBatch(cols, b.numRows())
+          }
+          override def close(): Unit = reader.close()
+        }
+      }
+      override def supportColumnarReads(p: InputPartition): Boolean =
+        inner.supportColumnarReads(p)
+    }
   }
 }

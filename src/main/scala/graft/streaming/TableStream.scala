@@ -276,12 +276,17 @@ private[streaming] final class StreamReaderFactory(
 private[streaming] object StreamScans {
   def scanOver(name: String, tableSchema: StructType,
       hadoopConf: Map[String, String], format: String,
-      paths: Seq[String], dataLocation: String): Scan = {
+      paths: Seq[String], dataLocation: String,
+      useBasePath: Boolean = true): Scan = {
     val spark = SparkSession.active
     // FileTable merges these options into its Hadoop conf, so the
-    // catalog's hadoop.* overlay reaches the file reader
+    // catalog's hadoop.* overlay reaches the file reader. Fill-bearing
+    // groups pass NO basePath: Spark would infer partition columns
+    // from the hive `col=value` directory names, double-serving the
+    // injected columns (and conflicting across snapshot depths)
     val opts = new CaseInsensitiveStringMap(
-      (hadoopConf + ("basePath" -> dataLocation)).asJava)
+      (if (useBasePath) hadoopConf + ("basePath" -> dataLocation)
+       else hadoopConf).asJava)
     val table = format match {
       case "parquet" => ParquetTable(name, spark, opts, paths,
         userSpecifiedSchema = Some(tableSchema),
@@ -298,32 +303,40 @@ private[streaming] object StreamScans {
   }
 
   /** The shared per-batch plan of both micro-batch sources: one stock
-    * scan per (segment, format) group, every partition tagged with its
-    * factory's index, plus the global columnar verdict (see
+    * scan per (segment, format, fill-set) group, every partition tagged
+    * with its factory's index, plus the global columnar verdict (see
     * [[StreamReaderFactory]]). `groups` = (data location, that
-    * segment's batch files with their formats). */
+    * segment's batch files with their formats and per-file constant
+    * fills — identity partition values of appended hive-layout files
+    * that LACK the column, injected at the reader seam exactly like the
+    * batch faces; round 16). */
   def planGroups(name: String, tableSchema: StructType,
       hadoopConf: Map[String, String],
-      groups: Seq[(String, Seq[(String, String)])])
+      groups: Seq[(String, Seq[(String, String, Seq[(String, Any)])])])
       : (Array[InputPartition], StreamReaderFactory) = {
     val factories = Vector.newBuilder[PartitionReaderFactory]
     val parts = Vector.newBuilder[InputPartition]
     var fi = -1
     var allColumnar = true
     groups.foreach { case (loc, files) =>
-      files.groupBy(_._2).toSeq.sortBy(_._1).foreach { case (fmt, fs) =>
-        val abs = fs.map { case (f, _) =>
-          new org.apache.hadoop.fs.Path(loc, f).toString }
-        val scan = scanOver(name, tableSchema, hadoopConf, fmt, abs, loc)
-        val factory = scan.toBatch.createReaderFactory()
-        factories += factory
-        fi += 1
-        scan.toBatch.planInputPartitions().foreach { p =>
-          val fp = p.asInstanceOf[FilePartition]
-          allColumnar &&= factory.supportColumnarReads(fp)
-          parts += StreamFilePartition(fi, fp)
+      files.groupBy(f => (f._2, f._3)).toSeq
+        .sortBy { case ((fmt, fills), _) =>
+          (fmt, fills.map(_._1).mkString(",")) }
+        .foreach { case ((fmt, fills), fs) =>
+          val abs = fs.map { case (f, _, _) =>
+            new org.apache.hadoop.fs.Path(loc, f).toString }
+          val scan = scanOver(name, tableSchema, hadoopConf, fmt, abs, loc,
+            useBasePath = fills.isEmpty)
+          val factory = graft.sources.FillInjection.wrap(
+            scan.toBatch.createReaderFactory(), fills, scan.readSchema())
+          factories += factory
+          fi += 1
+          scan.toBatch.planInputPartitions().foreach { p =>
+            val fp = p.asInstanceOf[FilePartition]
+            allColumnar &&= factory.supportColumnarReads(fp)
+            parts += StreamFilePartition(fi, fp)
+          }
         }
-      }
     }
     (parts.result().toArray,
       new StreamReaderFactory(factories.result().toArray, allColumnar))
@@ -479,10 +492,13 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
       }
     val live = groups.filter(_._2.nonEmpty)
     if (live.isEmpty) return Array.empty
+    // engine-format layouts never carry per-file fills (those exist
+    // only on Iceberg-converted layouts) — empty fill sets throughout
     val (parts, factory) = StreamScans.planGroups(s"$ref-stream",
       tableSchema, cfg.hadoopConf,
       live.map { case (segLoc, added) =>
-        (segLoc, added.map { case (f, _) => (f, fmtOf(segLoc, f)) })
+        (segLoc, added.map { case (f, _) =>
+          (f, fmtOf(segLoc, f), Seq.empty[(String, Any)]) })
       })
     lastFactory = factory
     parts
@@ -727,9 +743,17 @@ private[streaming] final class IcebergMicroBatchStream(cfg: CatalogConfig,
     if (fromL.exists(_.deleteFiles.nonEmpty) || toL.deleteFiles.nonEmpty)
       refuse("live delete files")
     if (toL.renameOps.nonEmpty) refuse("un-materialized column renames")
-    if (toL.hasFills)
-      refuse("per-file constant fills (initial-defaults / identity " +
-        "partition values)")
+    // per-file constant fills (round 16): appended files of an
+    // identity-partitioned table LACK the partition column — its
+    // values ride the manifest and inject at the reader seam below,
+    // the same machinery as the batch faces (initial-defaults ride
+    // identically: a fill set is a fill set)
+    def fillsOf(l: graft.catalog.CatalogIO.TableLayout)
+        : Map[String, Seq[(String, Any)]] =
+      l.dataFileFills match {
+        case Some(fills) => l.dataFiles.getOrElse(Nil).zip(fills).toMap
+        case None => Map.empty.withDefaultValue(Seq.empty)
+      }
     // the files this batch serves, each with its manifest file_format.
     // Without skipRewrites (or on a bootstrap from empty): the endpoint
     // manifest diff, refusing any removal. With skipRewrites: a
@@ -739,7 +763,7 @@ private[streaming] final class IcebergMicroBatchStream(cfg: CatalogConfig,
     // nothing (row-preserving by the spec's operation contract; their
     // rewritten-away input files stay readable on disk until GC),
     // `overwrite`/`delete`/unmarked steps refuse loudly.
-    val added: Seq[(String, String)] =
+    val added: Seq[(String, String, Seq[(String, Any)])] =
       if (!skipRewrites || s == 0) {
         val fromFiles = fromL.flatMap(_.dataFiles).getOrElse(Nil).toSet
         val toFiles = toL.dataFiles.getOrElse(Nil)
@@ -751,10 +775,12 @@ private[streaming] final class IcebergMicroBatchStream(cfg: CatalogConfig,
                 "skipRewrites=true"))
         val formats = toL.dataFileFormats
           .getOrElse(Seq.fill(toFiles.size)(toL.dataFormat))
+        val fm = fillsOf(toL)
         toFiles.zip(formats).filterNot { case (f, _) => fromFiles(f) }
+          .map { case (f, fmt) => (f, fmt, fm.getOrElse(f, Seq.empty)) }
       } else {
         var prev = fromL.get
-        val buf = Vector.newBuilder[(String, String)]
+        val buf = Vector.newBuilder[(String, String, Seq[(String, Any)])]
         anc.filter(si => si.seq.exists(q => q > s && q <= e)).foreach { si =>
           si.operation match {
             case Some("append") =>
@@ -767,7 +793,9 @@ private[streaming] final class IcebergMicroBatchStream(cfg: CatalogConfig,
                   "manifest shrank — metadata is inconsistent")
               val formats = l.dataFileFormats
                 .getOrElse(Seq.fill(cur.size)(l.dataFormat))
+              val fm = fillsOf(l)
               buf ++= cur.zip(formats).filterNot { case (f, _) => prevSet(f) }
+                .map { case (f, fmt) => (f, fmt, fm.getOrElse(f, Seq.empty)) }
               prev = l
             case Some("replace") =>
               val l = layoutOf(si.id)

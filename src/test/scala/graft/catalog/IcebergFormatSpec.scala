@@ -2791,6 +2791,23 @@ class IcebergFormatSpec extends AnyFunSuite {
         s"SELECT sum(id) s FROM $cat.db.pa WHERE k = 3").head.getLong(0)
         == df.filter($"k" === 3).agg(
           org.apache.spark.sql.functions.sum("id")).head.getLong(0) + 1002L)
+      // incremental append reads over the partitioned chain: only the
+      // appended files' rows serve, WITH their partition fills (the
+      // retainDataFiles lockstep keeps fills aligned)
+      def snapOf(meta: String): Long = {
+        val p = new Path(meta)
+        val in = p.getFileSystem(conf).open(p)
+        val text = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+          .path("current-snapshot-id").asLong(-1L)
+      }
+      val incr = CatalogIO.readIcebergAppendsBetween(spark, meta3,
+        snapOf(meta1), snapOf(meta3))
+      assert(incr.collect().map(r => (r.getLong(r.fieldIndex("id")),
+        r.getInt(r.fieldIndex("k")))).toSet ==
+        Set((1001L, 2), (1002L, 3), (2001L, 2)),
+        "incremental reads must serve appended rows with partition fills")
       // partition-blind verbs refuse: their manifests would carry empty
       // partition tuples that read back as NULL identity values
       val eAvro = intercept[IllegalArgumentException](
