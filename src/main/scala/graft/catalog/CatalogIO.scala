@@ -234,11 +234,14 @@ object CatalogIO {
       "dataFileLineage must parallel dataFiles one-to-one")
     require(dataFileFills.forall(s => dataFiles.exists(_.size == s.size)),
       "dataFileFills must parallel dataFiles one-to-one")
-    require(dataFileFills.forall(_ => deleteFiles.isEmpty && renameOps.isEmpty
+    // fills + DELETES are served (round 16): the MOR machinery injects
+    // the constants below its probes (mixed + deletes still refuses via
+    // the delete-format require below)
+    require(dataFileFills.forall(_ => renameOps.isEmpty
       && (dataFormat == "parquet" || dataFormat == "orc" ||
         (dataFormat == "mixed" &&
           dataFileFormats.exists(!_.contains("avro"))))),
-      "per-file constant fills never coexist with deletes/renames/avro " +
+      "per-file constant fills never coexist with renames/avro " +
         "(mixed parquet+orc layouts with fills are served — the " +
         "partitioned Hive-migration append shape)")
     /** Any file with a non-empty fill set? (the scan-routing test) */
@@ -2797,6 +2800,14 @@ object CatalogIO {
         if (layout.deleteFiles.nonEmpty)
           graft.sources.MorRead.dataFrame(spark, layout, options)
         else graft.sources.EpochRead.dataFrame(spark, layout, options)
+      // delete-live layouts WITH per-file constant fills (round 16 —
+      // the partitioned Hive-migration table taking row-level deletes):
+      // the parquet join path below reads all files in one pass, where
+      // a per-file constant cannot be threaded — route through the
+      // SAME DSv2 merge-on-read machinery the SQL face plans, which
+      // injects the fills below its probes
+      case Some(_) if layout.seqGated && layout.hasFills =>
+        graft.sources.MorRead.dataFrame(spark, layout, options)
       case Some(filesWithSeqs) if layout.seqGated =>
         val eqDels = layout.absoluteEqDeleteFiles
         val schema = org.apache.spark.sql.types.StructType.fromDDL(

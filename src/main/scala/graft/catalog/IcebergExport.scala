@@ -330,11 +330,11 @@ object IcebergExport {
     require(fileFormat == "parquet" || fileFormat == "orc",
       s"appendDeletes writes parquet or orc delete files, got '$fileFormat'")
     val st = loadState(spark, metadataLocation)
-    require(st.partCols.isEmpty,
-      s"$metadataLocation is identity-partitioned; this writer's delete " +
-        "manifests carry empty partition tuples, which a partitioned " +
-        "spec would mis-scope — materialize deletes via read + " +
-        "writeTable(partitionBy) instead")
+    // partitioned tables take GLOBAL deletes (round 16): the delete
+    // manifests are written under the auxiliary UNPARTITIONED spec 1,
+    // the spec-conformant "applies to every partition" shape (a delete
+    // manifest under the partitioned spec with an empty tuple would
+    // scope to the NULL partition)
     // the v3 spec forbids ADDING position delete files (deletion
     // vectors replace them); equality deletes remain legal
     require(st.formatVersion < 3 || positional.isEmpty,
@@ -349,7 +349,8 @@ object IcebergExport {
     val manifestPath = new Path(st.metaDir,
       s"dm$seq-${java.util.UUID.randomUUID()}.avro")
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
-    setManifestMeta(writer, st.schemaNode.toString, content = "deletes")
+    setManifestMeta(writer, st.schemaNode.toString, content = "deletes",
+      specId = if (st.partCols.nonEmpty) 1 else 0)
     writer.create(mSchema, st.fs.create(manifestPath, false))
     var rows = 0L
     try {
@@ -417,7 +418,8 @@ object IcebergExport {
       st.fs.getFileStatus(manifestPath).getLen, content = 1, seq,
       minSeq = seq, addedSnapshotId = snapshotId,
       addedFiles = nFiles, existingFiles = 0, deletedFiles = 0,
-      addedRows = rows, existingRows = 0L, deletedRows = 0L)
+      addedRows = rows, existingRows = 0L, deletedRows = 0L,
+      specId = if (st.partCols.nonEmpty) 1 else 0)
     commitSnapshot(st, snapshotId, seq, "delete", st.priorEntries :+ entry)
   }
 
@@ -438,11 +440,9 @@ object IcebergExport {
     require(positional.schema.fieldNames.toSeq == Seq("file_path", "pos"),
       s"deletion vectors need (file_path, pos), got ${positional.schema.toDDL}")
     val st = loadState(spark, metadataLocation)
-    require(st.partCols.isEmpty,
-      s"$metadataLocation is identity-partitioned; this writer's DV " +
-        "manifests carry empty partition tuples, which a partitioned " +
-        "spec would mis-scope — materialize deletes via read + " +
-        "writeTable(partitionBy) instead")
+    // partitioned tables take DVs (round 16): vectors address files by
+    // PATH, and their manifests are written under the auxiliary
+    // unpartitioned spec 1 like the other global delete manifests
     val seq = st.lastSeq + 1
     val snapshotId = newSnapshotId()
     import spark.implicits._
@@ -526,7 +526,8 @@ object IcebergExport {
     val manifestPath = new Path(st.metaDir,
       s"dvm$seq-${java.util.UUID.randomUUID()}.avro")
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
-    setManifestMeta(writer, st.schemaNode.toString, content = "deletes")
+    setManifestMeta(writer, st.schemaNode.toString, content = "deletes",
+      specId = if (st.partCols.nonEmpty) 1 else 0)
     writer.create(mSchema, st.fs.create(manifestPath, false))
     var rows = 0L
     try blobs.zip(spans).foreach { case ((file, _, card), (off, len)) =>
@@ -551,7 +552,8 @@ object IcebergExport {
       st.fs.getFileStatus(manifestPath).getLen, content = 1, seq,
       minSeq = seq, addedSnapshotId = snapshotId,
       addedFiles = blobs.size, existingFiles = 0, deletedFiles = 0,
-      addedRows = rows, existingRows = 0L, deletedRows = 0L)
+      addedRows = rows, existingRows = 0L, deletedRows = 0L,
+      specId = if (st.partCols.nonEmpty) 1 else 0)
     // SUPERSEDE the replaced vectors: a data file may carry at most ONE
     // live vector, so any carried delete manifest holding a vector
     // entry for a file in this commit's set is REWRITTEN without it
@@ -583,7 +585,8 @@ object IcebergExport {
           val rw = new Path(st.metaDir,
             s"dvm$seq-rw-${java.util.UUID.randomUUID()}.avro")
           val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
-          setManifestMeta(w, st.schemaNode.toString, content = "deletes")
+          setManifestMeta(w, st.schemaNode.toString, content = "deletes",
+            specId = le.specId)
           w.create(schema, st.fs.create(rw, false))
           var keptRows = 0L
           try keep.foreach { r =>
@@ -603,7 +606,8 @@ object IcebergExport {
             st.fs.getFileStatus(rw).getLen, content = 1,
             seq = le.seq, minSeq = le.minSeq, addedSnapshotId = snapshotId,
             addedFiles = 0, existingFiles = keep.size, deletedFiles = 0,
-            addedRows = 0L, existingRows = keptRows, deletedRows = 0L))
+            addedRows = 0L, existingRows = keptRows, deletedRows = 0L,
+            specId = le.specId))
         }
       }
     }
@@ -640,7 +644,13 @@ object IcebergExport {
   private final case class ListEntry(path: String, length: Long,
       content: Int, seq: Long, minSeq: Long, addedSnapshotId: Long,
       addedFiles: Int, existingFiles: Int, deletedFiles: Int,
-      addedRows: Long, existingRows: Long, deletedRows: Long)
+      addedRows: Long, existingRows: Long, deletedRows: Long,
+      /** The manifest's partition-spec id (round 16): data manifests of
+        * a partitioned table use the default spec 0; GLOBAL delete
+        * manifests use the UNPARTITIONED spec 1 (the shape real engines
+        * write for global deletes), which is what exempts them from the
+        * reader's partition-scoped-equality-delete refusal. */
+      specId: Int = 0)
 
   private final case class TableState(fs: org.apache.hadoop.fs.FileSystem,
       root: Path, metaDir: Path, location: String, uuid: String,
@@ -722,8 +732,11 @@ object IcebergExport {
       val nonEmpty = specs.filter(_.get("fields").elements().hasNext)
       if (nonEmpty.isEmpty) Nil
       else {
-        require(specs.size == 1 &&
-          specs.head.path("spec-id").asInt(-1) == 0 &&
+        // exactly one FIELD-BEARING spec, id 0, the default; extra
+        // EMPTY specs are fine (spec 1 is this writer's own global-
+        // delete spec, and other engines write the same shape)
+        require(nonEmpty.size == 1 &&
+          nonEmpty.head.path("spec-id").asInt(-1) == 0 &&
           root.path("default-spec-id").asInt(0) == 0,
           s"$metadataLocation carries evolved/multiple partition specs; " +
             "this writer commits to single-spec (spec-id 0) tables only")
@@ -815,7 +828,8 @@ object IcebergExport {
           int("deleted_files_count", 0),
           long("added_rows_count", 0L),
           long("existing_rows_count", 0L),
-          long("deleted_rows_count", 0L))
+          long("deleted_rows_count", 0L),
+          specId = int("partition_spec_id", 0))
       }
       b.result()
     } finally reader.close()
@@ -1044,10 +1058,14 @@ object IcebergExport {
     * judge r12 advice #2): real Iceberg manifest readers demand these. */
   private def setManifestMeta(w: DataFileWriter[GenericRecord],
       schemaJson: String, content: String,
-      partCols: Seq[PartSpecCol] = Nil): Unit = {
+      partCols: Seq[PartSpecCol] = Nil,
+      /** Non-zero = the UNPARTITIONED auxiliary spec (global delete
+        * manifests of partitioned tables, round 16). */
+      specId: Int = 0): Unit = {
     w.setMeta("schema", schemaJson)
-    w.setMeta("partition-spec", s"[${partSpecFieldsJson(partCols)}]")
-    w.setMeta("partition-spec-id", "0")
+    w.setMeta("partition-spec",
+      if (specId == 0) s"[${partSpecFieldsJson(partCols)}]" else "[]")
+    w.setMeta("partition-spec-id", specId.toString)
     w.setMeta("format-version", "2")
     w.setMeta("content", content)
   }
@@ -1092,7 +1110,7 @@ object IcebergExport {
       val m = new GenericData.Record(lSchema)
       m.put("manifest_path", e.path)
       m.put("manifest_length", e.length)
-      m.put("partition_spec_id", 0)
+      m.put("partition_spec_id", e.specId)
       m.put("content", e.content)
       m.put("sequence_number", e.seq)
       m.put("min_sequence_number", e.minSeq)
@@ -1267,7 +1285,11 @@ object IcebergExport {
        |  "current-schema-id": 0,
        |  "schemas": [{"type": "struct", "schema-id": 0, "fields": [$fields]}],
        |  "default-spec-id": 0,
-       |  "partition-specs": [{"spec-id": 0, "fields": [${partSpecFieldsJson(partCols)}]}],
+       |  "partition-specs": [{"spec-id": 0, "fields": [${partSpecFieldsJson(partCols)}]}${
+          // partitioned tables also carry the UNPARTITIONED spec 1
+          // (round 16): GLOBAL delete manifests are written under it —
+          // the spec-conformant way to say "applies to every partition"
+          if (partCols.nonEmpty) """, {"spec-id": 1, "fields": []}""" else ""}],
        |  "last-partition-id": ${(999L +: partCols.map(_.fieldId.toLong)).max},
        |  "default-sort-order-id": 0,
        |  "sort-orders": [{"order-id": 0, "fields": []}],

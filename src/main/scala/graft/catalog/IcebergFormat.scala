@@ -460,8 +460,9 @@ object IcebergFormat {
           "reader only; rewrite the table as parquet first")
     val dataRelSet = rels.map(_._1).toSet
     val deleteFiles = readDeleteManifests(
-      manifestPaths.map(t => (t._1, t._2, t._3)), conf, location,
-      relativize, intSeq, entrySeq, nameById, dataRelSet, metadataLocation, fv)
+      manifestPaths.map(t => (t._1, t._2, t._3, t._5)), conf, location,
+      relativize, intSeq, entrySeq, nameById, dataRelSet, metadataLocation, fv,
+      partSpecs)
     // round 16: ORC joins parquet under live deletes — position
     // application is a whole-file COUNTING read (graft.sources.MorScan),
     // sound for any in-order file source with pushdown withheld, and
@@ -559,7 +560,10 @@ object IcebergFormat {
                 fmt == "avro" })
             refuseWith("avro files in the mixed layout")
           if (renamed) refuseWith("un-materialized column renames")
-          if (deleteFiles.nonEmpty) refuseWith("live delete files")
+          // fills + live deletes are SERVED (round 16): the MOR scan
+          // injects the constants below its probes, so equality keys on
+          // fill columns compare against the filled values; partition-
+          // SCOPED equality deletes refuse in readDeleteManifests
           Some(perFile)
         }
       }
@@ -624,14 +628,16 @@ object IcebergFormat {
     * visibility; everything else maps exactly (Scaladoc at the top of
     * the object). */
   private def readDeleteManifests(
-      manifestPaths: Seq[(String, Int, Long)], conf: Configuration,
+      manifestPaths: Seq[(String, Int, Long, Int)], conf: Configuration,
       location: String,
       relativize: (String, String) => String,
       intSeq: (Long, String) => Int,
       entrySeq: (GenericRecord, Int, Long, String) => Long,
       nameById: Map[Int, String], dataRelSet: Set[String],
-      metadataLocation: String, formatVersion: Int): Seq[CatalogIO.DeleteFile] =
-    manifestPaths.filter(_._2 == 1).flatMap { case (mp, _, mseq) =>
+      metadataLocation: String, formatVersion: Int,
+      partSpecs: Map[Int, Seq[PartField]] = Map.empty)
+      : Seq[CatalogIO.DeleteFile] =
+    manifestPaths.filter(_._2 == 1).flatMap { case (mp, _, mseq, specId) =>
       readAvroRecords(new Path(mp), conf).flatMap { entry =>
         val status = entry.get("status").asInstanceOf[Int]
         if (status == 2) None // DELETED: not live in this snapshot
@@ -697,6 +703,23 @@ object IcebergFormat {
                 "(parquet, orc, and puffin deletion vectors only)")
           else content match {
             case 2 => // equality delete
+              // PARTITION-SCOPED equality deletes refuse (round 16 —
+              // fills opened partitioned tables to the MOR path): under
+              // a partitioned spec the Iceberg semantics scope an
+              // equality delete file to its partition tuple, and this
+              // engine applies equality deletes GLOBALLY (by seq gate
+              // alone) — applying a scoped delete globally would delete
+              // matching rows of OTHER partitions. Global deletes are
+              // written with an unpartitioned spec (empty fields), the
+              // shape every engine's global-delete writer produces.
+              if (partSpecs.getOrElse(specId, Seq.empty)
+                  .exists(_.transform != "void"))
+                throw new UnsupportedOperationException(
+                  s"Iceberg equality delete $absPath is scoped to a " +
+                    s"partition (manifest partition-spec $specId has " +
+                    "fields); this engine applies equality deletes " +
+                    "globally — rewrite the table (materializing the " +
+                    "deletes) first")
               val ids = opt(df, "equality_ids").map {
                 case l: java.util.Collection[_] =>
                   l.asScala.map(_.asInstanceOf[Number].intValue()).toSeq

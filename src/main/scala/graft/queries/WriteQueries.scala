@@ -733,6 +733,55 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(tmp)
     }
 
+  /** w25 (round 16): MERGE-ON-READ over an identity-partitioned table
+    * under the oracle — fills + deletes composed. lineitem exports
+    * partitioned by rf (files LACK the partition column), then takes
+    * two GLOBAL equality deletes through [[graft.catalog.IcebergExport
+    * .appendDeletes]] (written under the auxiliary unpartitioned spec):
+    * one keyed on a DATA column (k % 997 == 0) and one keyed ON THE
+    * FILL COLUMN ITSELF (rf = 'N') — the probe must compare against the
+    * injected constant, not the file's physical NULL. Both faces
+    * aggregate the survivors; the oracle replays the deletes
+    * relationally. */
+  def w25(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w25") { (cat, hc) =>
+      import graft.catalog.{CatalogIO, IcebergExport, TableRef}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w25-ice").toString
+      try {
+        val t = spark.sql(
+          s"""SELECT CAST(l_orderkey AS BIGINT) AS k,
+             |       CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+             |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+        val meta1 = IcebergExport.writeTable(spark, t, s"$tmp/t",
+          partitionBy = Seq("rf"))
+        val meta2 = IcebergExport.appendDeletes(spark, meta1,
+          equality = Some(t.filter(col("k") % 997 === 0)
+            .select(col("k")).distinct()))
+        val meta3 = IcebergExport.appendDeletes(spark, meta2,
+          equality = Some(spark.sql("SELECT 'N' AS rf")))
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        val ref = TableRef.parse("db.part_mor")
+        hc.registerTable(ref, meta3)
+        val sqlFace = spark.sql(
+          s"""SELECT 'all' AS phase, rf, COUNT(*) AS cnt,
+             |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.part_mor GROUP BY rf""".stripMargin)
+        val pruned = spark.sql(
+          s"""SELECT 'flt' AS phase, rf, COUNT(*) AS cnt,
+             |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.part_mor WHERE rf = 'R' GROUP BY rf""".stripMargin)
+        val dfFace = CatalogIO.scanMetadataLocation(spark, meta3)
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"),
+            sum(col("qty")).as("qty_sum"))
+          .select(lit("df").as("phase"), col("rf"), col("cnt"),
+            col("k_sum"), col("qty_sum"))
+        val out = sqlFace.unionByName(pruned).unionByName(dfFace)
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w23 (round 16): the `add_files` / Hive-import shape under the
     * oracle. lineitem is written as a plain hive `rf=…` directory tree
     * — the data files physically LACK the partition column — then

@@ -428,49 +428,69 @@ private[graft] object FillReaderFactory {
   * maps column NAMES to EXTERNAL JVM values; they are resolved against
   * `out` (the scan's output schema) here, once. */
 private[graft] object FillInjection {
-  def wrap(inner: PartitionReaderFactory, fills: Seq[(String, Any)],
-      out: StructType): PartitionReaderFactory = {
-    val resolved: Array[(Int, DataType, Any)] = fills.flatMap { case (c, v) =>
+  /** Resolve name-keyed external fills against the scan output schema
+    * `out`: (ordinal, type, CATALYST value). Serializable — safe to
+    * resolve driver-side or task-side. */
+  def resolve(fills: Seq[(String, Any)], out: StructType)
+      : Array[(Int, DataType, Any)] =
+    fills.flatMap { case (c, v) =>
       val i = out.fieldNames.indexWhere(_.equalsIgnoreCase(c))
       if (i < 0) None
       else Some((i, out.fields(i).dataType,
         Literal.create(v, out.fields(i).dataType).value))
     }.toArray
+
+  /** One row reader with the constants projected in (codegen'd). */
+  def wrapRow(reader: PartitionReader[InternalRow],
+      resolved: Array[(Int, DataType, Any)], out: StructType)
+      : PartitionReader[InternalRow] = {
+    if (resolved.isEmpty) return reader
+    new PartitionReader[InternalRow] {
+      private val byOrd = resolved.map { case (i, _, v) => i -> v }.toMap
+      private val proj = UnsafeProjection.create(
+        out.fields.zipWithIndex.map { case (f, i) =>
+          byOrd.get(i)
+            .map(v => Literal(v, f.dataType): Expression)
+            .getOrElse(BoundReference(i, f.dataType, f.nullable))
+        }.toIndexedSeq)
+      override def next(): Boolean = reader.next()
+      override def get(): InternalRow = proj(reader.get())
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  /** One columnar reader with the filled columns' vectors REPLACED by
+    * [[ConstantColumnVector]]s (batches stay columnar). */
+  def wrapColumnar(reader: PartitionReader[ColumnarBatch],
+      resolved: Array[(Int, DataType, Any)])
+      : PartitionReader[ColumnarBatch] = {
+    if (resolved.isEmpty) return reader
+    new PartitionReader[ColumnarBatch] {
+      private val constants: Map[Int, ColumnVector] = resolved.map {
+        case (i, dt, v) => i -> FillReaderFactory.constantVector(dt, v)
+      }.toMap
+      override def next(): Boolean = reader.next()
+      override def get(): ColumnarBatch = {
+        val b = reader.get()
+        val cols = Array.tabulate[ColumnVector](b.numCols())(i =>
+          constants.getOrElse(i, b.column(i)))
+        new ColumnarBatch(cols, b.numRows())
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  def wrap(inner: PartitionReaderFactory, fills: Seq[(String, Any)],
+      out: StructType): PartitionReaderFactory = {
+    val resolved = resolve(fills, out)
     if (resolved.isEmpty) return inner
     new PartitionReaderFactory {
       override def createReader(p: InputPartition)
-          : PartitionReader[InternalRow] = {
-        val reader = inner.createReader(p)
-        new PartitionReader[InternalRow] {
-          private val byOrd = resolved.map { case (i, _, v) => i -> v }.toMap
-          private val proj = UnsafeProjection.create(
-            out.fields.zipWithIndex.map { case (f, i) =>
-              byOrd.get(i)
-                .map(v => Literal(v, f.dataType): Expression)
-                .getOrElse(BoundReference(i, f.dataType, f.nullable))
-            }.toIndexedSeq)
-          override def next(): Boolean = reader.next()
-          override def get(): InternalRow = proj(reader.get())
-          override def close(): Unit = reader.close()
-        }
-      }
+          : PartitionReader[InternalRow] =
+        wrapRow(inner.createReader(p), resolved, out)
       override def createColumnarReader(p: InputPartition)
-          : PartitionReader[ColumnarBatch] = {
-        val reader = inner.createColumnarReader(p)
-        new PartitionReader[ColumnarBatch] {
-          private val constants: Map[Int, ColumnVector] = resolved.map {
-            case (i, dt, v) => i -> FillReaderFactory.constantVector(dt, v)
-          }.toMap
-          override def next(): Boolean = reader.next()
-          override def get(): ColumnarBatch = {
-            val b = reader.get()
-            val cols = Array.tabulate[ColumnVector](b.numCols())(i =>
-              constants.getOrElse(i, b.column(i)))
-            new ColumnarBatch(cols, b.numRows())
-          }
-          override def close(): Unit = reader.close()
-        }
-      }
+          : PartitionReader[ColumnarBatch] =
+        wrapColumnar(inner.createColumnarReader(p), resolved)
       override def supportColumnarReads(p: InputPartition): Boolean =
         inner.supportColumnarReads(p)
     }

@@ -139,12 +139,24 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     val (paths, pathOpts) = tablePaths(layout)
     lazy val table = baseTableFor(ref.toString, layout, paths, pathOpts)
     val readTable =
-      // per-file constant fills take precedence (round 16): a MIXED
-      // parquet+orc layout with fills — the partitioned Hive-migration
-      // append shape — routes through the fill table, which groups by
-      // (fill set, format) and injects the constants per group. Layout
-      // invariants guarantee fills never coexist with avro/deletes/
-      // renames, so the branches below never see a fill-bearing layout.
+      // live delete files take precedence (merge-on-read): scans must
+      // APPLY the delete tuples or deleted rows resurrect. The MOR
+      // wrapper takes precedence over SPJ bucket reporting — correctness
+      // over the shuffle-free join; compaction materializes the deletes
+      // away and restores SPJ (CatalogIO.compactTable). Planning goes
+      // through the manifest index when sizes allow. Round 16: MOR also
+      // serves layouts with per-file constant fills (identity partition
+      // values / initial-defaults) — the constants inject below the
+      // delete probes, so this branch must come before the fill branch.
+      if (layout.deleteFiles.nonEmpty)
+        new GraftMorTable(manifestPlanned(table, layout), layout, hadoopOpts)
+      else
+      // per-file constant fills (round 16): a MIXED parquet+orc layout
+      // with fills — the partitioned Hive-migration append shape —
+      // routes through the fill table, which groups by (fill set,
+      // format) and injects the constants per group. Layout invariants
+      // guarantee fills never coexist with avro/renames, so the
+      // branches below never see a fill-bearing layout.
       if (layout.hasFills)
         new GraftFillTable(SparkSession.active, ref.toString, layout, hadoopOpts)
       else
@@ -158,25 +170,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       // sync-split avro source — Spark ships no avro DataSource here
       if (layout.dataFormat == "avro")
         new GraftAvroTable(SparkSession.active, ref.toString, layout, hadoopOpts)
-      else
-      // live equality-delete files (merge-on-read): scans must APPLY the
-      // delete tuples or deleted rows resurrect. The MOR wrapper takes
-      // precedence over SPJ bucket reporting — correctness over the
-      // shuffle-free join; compaction materializes the deletes away and
-      // restores SPJ (CatalogIO.compactTable). Planning goes through the
-      // manifest index when sizes allow (same zero-listing win as the
-      // plain path; the MOR grouping consumes identical slices).
-      if (layout.deleteFiles.nonEmpty)
-        new GraftMorTable(manifestPlanned(table, layout), layout, hadoopOpts)
       // un-materialized column renames: per-epoch scans serve old files
       // under their physical names (EpochScan.scala) — a plain scan
       // would read renamed columns of pre-rename files as NULL
       else if (layout.renameOps.nonEmpty && paths.nonEmpty)
         new GraftEpochTable(SparkSession.active, ref.toString, layout, hadoopOpts)
-      // v3 initial-defaults (Iceberg-converted layouts): per-group
-      // stock scans with constant injection at the reader seam
-      else if (layout.hasFills)
-        new GraftFillTable(SparkSession.active, ref.toString, layout, hadoopOpts)
       else layout.numBuckets match {
         // a recorded bucket layout becomes a DSv2 bucket transform +
         // key-grouped scans → storage-partitioned joins with no shuffle
@@ -273,15 +271,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     // a time-traveled version applies ITS OWN seq-gated state (delete
     // set / rename epochs / stats) — every version reads with its own schema
     val served: Table =
-      if (vLayout.hasFills) // fills first — may ride a mixed layout
+      if (vLayout.deleteFiles.nonEmpty) // MOR first — it injects fills too
+        new GraftMorTable(manifestPlanned(table, vLayout), vLayout, hadoopOpts)
+      else if (vLayout.hasFills) // fills may ride a mixed layout
         new GraftFillTable(SparkSession.active, label, vLayout, hadoopOpts)
       else if (vLayout.dataFormat == "mixed")
         new GraftMixedFormatTable(SparkSession.active, label, vLayout,
           hadoopOpts)
       else if (vLayout.dataFormat == "avro")
         new GraftAvroTable(SparkSession.active, label, vLayout, hadoopOpts)
-      else if (vLayout.deleteFiles.nonEmpty)
-        new GraftMorTable(manifestPlanned(table, vLayout), vLayout, hadoopOpts)
       else if (vLayout.renameOps.nonEmpty && paths.nonEmpty)
         new GraftEpochTable(SparkSession.active, label, vLayout, hadoopOpts)
       else if (vLayout.numBuckets.isEmpty) statsPruned(table, vLayout)

@@ -125,6 +125,20 @@ final class GraftMorTable(delegate: Table with SupportsRead,
       // FileScanBuilders; anything else would serve raw files WITHOUT
       // delete application — resurrecting deleted rows silently. Refuse.
       case f @ (_: ParquetScanBuilder | _: OrcScanBuilder) =>
+        // eq-OVERFLOW + fills refuses (round 16): the degrade path's
+        // distributed address-spill join reads the key columns straight
+        // from the data files, where a fill column is physically absent
+        // (NULL) — the join would silently delete nothing / the wrong
+        // rows. Broadcast-sized equality deletes work (probes run above
+        // the injection); rewrite the table to materialize the columns
+        // before letting delete sets grow past the threshold.
+        if (eqOverflow && layout.hasFills)
+          throw new UnsupportedOperationException(
+            s"${delegate.name}: over-threshold equality deletes over a " +
+              "layout with per-file constant fills (identity partition " +
+              "values / initial-defaults) — the positional spill reads " +
+              "key columns from the files, which lack them; compact the " +
+              "table (materializing the columns) first")
         new MorScanBuilder(f.asInstanceOf[FileScanBuilder], keyFields,
           layout, hadoopOpts, eqOverflow)
       case other => throw new IllegalStateException(
@@ -169,17 +183,31 @@ private final class MorScanBuilder(delegate: FileScanBuilder,
     // row indexes, exactly like parquet addresses) — same suppression,
     // or a pushed filter's row-group/page skip would shift every
     // counted index after it and delete the WRONG rows.
-    if (layout.posDeleteFiles.isEmpty && layout.dvDeleteFiles.isEmpty &&
-        !eqOverflow)
-      delegate.pushFilters(filters)
-    else {
-      val partitionCols = layout.partitionColumns.map(_.toLowerCase).toSet
-      val (partitionOnly, withheld) = filters.partition { f =>
-        val refs = f.references.map(_.name.toLowerCase).toSet
-        refs.nonEmpty && refs.subsetOf(partitionCols)
+    {
+    // filters touching a FILL column never reach the file scan: the
+    // files lack the column, so parquet/ORC would evaluate the
+    // predicate against NULL and wrongly drop row groups (round 16 —
+    // the same rule as FillScanBuilder); they re-evaluate above the
+    // scan, over the injected constants
+    val fillCols: Set[String] =
+      layout.dataFileFills.map(_.flatten.map(_._1.toLowerCase).toSet)
+        .getOrElse(Set.empty)
+    val (fillTouching, safe) = filters.partition(
+      _.references.exists(a => fillCols(a.name.toLowerCase)))
+    val pushedBack =
+      if (layout.posDeleteFiles.isEmpty && layout.dvDeleteFiles.isEmpty &&
+          !eqOverflow)
+        delegate.pushFilters(safe)
+      else {
+        val partitionCols = layout.partitionColumns.map(_.toLowerCase).toSet
+        val (partitionOnly, withheld) = safe.partition { f =>
+          val refs = f.references.map(_.name.toLowerCase).toSet
+          refs.nonEmpty && refs.subsetOf(partitionCols)
+        }
+        val post = delegate.pushFilters(partitionOnly)
+        withheld ++ post
       }
-      val post = delegate.pushFilters(partitionOnly)
-      withheld ++ post
+    fillTouching ++ pushedBack
     }
 
   override def pushedFilters: Array[Predicate] = delegate.pushedFilters
@@ -214,7 +242,13 @@ private[sources] final case class MorFilePartition(group: Int,
       * with [[graft.catalog.DeletionVectors.readBlob]]. When present,
       * parquet position deletes for the file are superseded (v3 writer
       * contract), so `posDeletePaths` carries only engine spill. */
-    dvBlob: Option[(String, Long, Long)] = None) extends InputPartition {
+    dvBlob: Option[(String, Long, Long)] = None,
+    /** Per-file constant FILLS (round 16: identity partition values /
+      * initial-defaults of files lacking the column) shared by every
+      * file in this partition — injected at the reader seam BELOW the
+      * delete probes, so equality keys on fill columns compare against
+      * the filled values. External JVM values, resolved task-side. */
+    fills: Seq[(String, Any)] = Nil) extends InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
 
@@ -792,6 +826,16 @@ private final class MorScan(private val delegate: FileScan,
     def posPathsFor(rel: String, seq: Int): Seq[String] =
       (if (layout.dvFor(rel).isDefined) Nil
        else layout.posDeletesFor(rel, seq)) ++ spilledFor.getOrElse(rel, Nil)
+    // per-file constant fills (round 16): identity partition values /
+    // initial-defaults of files LACKING the column, injected at the
+    // reader seam BELOW the delete probes. Keyed by segment-relative path.
+    val fillsByRel: Map[String, Seq[(String, Any)]] =
+      layout.dataFileFills match {
+        case Some(fills) => layout.dataFiles.getOrElse(Nil).zip(fills).toMap
+        case None => Map.empty
+      }
+    def fillsOf(rel: String): Seq[(String, Any)] =
+      fillsByRel.getOrElse(rel, Seq.empty)
     val byGroup = slices.groupBy { pf =>
       eqDels.collect { case (p, d) if seqOf(pf) < d => p }.sorted
     }.toArray.sortBy(_._1.mkString("\u0000"))
@@ -804,10 +848,19 @@ private final class MorScan(private val delegate: FileScan,
         val rel = relByPath(qual(pf.filePath.toString))
         posPathsFor(rel, seqOf(pf)).nonEmpty || layout.dvFor(rel).isDefined
       }
-      val plainParts =
-        FilePartition.getFilePartitions(session, plain.toIndexedSeq, maxSplit).map { fp =>
-          idx += 1
-          MorFilePartition(g, FilePartition(idx, fp.files)): InputPartition
+      // plain files pack into size-targeted partitions PER FILL SET — a
+      // partition's constants must be uniform for the one-shot
+      // injection (fill-free tables have one empty set: unchanged)
+      val plainParts = plain
+        .groupBy(pf => fillsOf(relByPath(qual(pf.filePath.toString))))
+        .toSeq.sortBy(_._1.map(t => s"${t._1}=${t._2}").mkString(" "))
+        .flatMap { case (fills, fsOfFill) =>
+          FilePartition.getFilePartitions(session, fsOfFill.toIndexedSeq,
+            maxSplit).map { fp =>
+            idx += 1
+            MorFilePartition(g, FilePartition(idx, fp.files),
+              fills = fills): InputPartition
+          }
         }
       // one whole-file partition per pos-addressed file: merge its
       // slices (they tile the file) back into a single 0..length read.
@@ -826,7 +879,8 @@ private final class MorScan(private val delegate: FileScan,
               .distinct.sorted,
             spilledPaths = spilledFor.getOrElse(rel, Nil)
               .distinct.sorted,
-            dvBlob = layout.dvFor(rel)): InputPartition
+            dvBlob = layout.dvFor(rel),
+            fills = fillsOf(rel)): InputPartition
         }
       plainParts ++ posParts
     }
@@ -907,7 +961,8 @@ private final class MorScan(private val delegate: FileScan,
       new org.apache.spark.util.SerializableConfiguration(footerConf),
       maxTuples,
       readSchemaWide.fields.map(_.dataType),
-      readSchemaWide.fields.map(_.nullable), outOrdinals, identity)
+      readSchemaWide.fields.map(_.nullable), outOrdinals, identity,
+      readSchemaWide)
   }
 }
 
@@ -922,7 +977,13 @@ private final class MorReaderFactory(inner: PartitionReaderFactory,
     hadoopConf: org.apache.spark.util.SerializableConfiguration,
     maxTuples: Long,
     readTypes: Array[DataType], readNullable: Array[Boolean],
-    outOrdinals: Array[Int], identityProjection: Boolean)
+    outOrdinals: Array[Int], identityProjection: Boolean,
+    /** The WIDENED read schema (what `inner` serves) — the resolution
+      * target for per-partition fill injection (round 16): constants
+      * inject BELOW the delete probes, so equality keys on fill columns
+      * compare against the filled values, and position counting is
+      * untouched (injection is a 1:1 row map). */
+    readSchemaWide: StructType)
   extends PartitionReaderFactory {
 
   // task-side: the partition's OWN address files + its own file's
@@ -946,7 +1007,8 @@ private final class MorReaderFactory(inner: PartitionReaderFactory,
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val mp = p.asInstanceOf[MorFilePartition]
-    val delegate = inner.createReader(mp.files)
+    val delegate = FillInjection.wrapRow(inner.createReader(mp.files),
+      FillInjection.resolve(mp.fills, readSchemaWide), readSchemaWide)
     val positions = positionsFor(mp)
     if (probes.value(mp.group).isEmpty && positions.isEmpty &&
         identityProjection) delegate
@@ -963,7 +1025,9 @@ private final class MorReaderFactory(inner: PartitionReaderFactory,
 
   override def createColumnarReader(p: InputPartition): PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val mp = p.asInstanceOf[MorFilePartition]
-    val delegate = inner.createColumnarReader(mp.files)
+    val delegate = FillInjection.wrapColumnar(
+      inner.createColumnarReader(mp.files),
+      FillInjection.resolve(mp.fills, readSchemaWide))
     val positions = positionsFor(mp)
     if (probes.value(mp.group).isEmpty && positions.isEmpty &&
         identityProjection) delegate

@@ -2808,8 +2808,11 @@ class IcebergFormatSpec extends AnyFunSuite {
         r.getInt(r.fieldIndex("k")))).toSet ==
         Set((1001L, 2), (1002L, 3), (2001L, 2)),
         "incremental reads must serve appended rows with partition fills")
-      // partition-blind verbs refuse: their manifests would carry empty
-      // partition tuples that read back as NULL identity values
+      // partition-blind verbs refuse: avro appends (the native writer
+      // does not partition) and whole-table rewrites (they would drop
+      // the per-file partition values). Deletes/DVs WORK — they commit
+      // under the auxiliary unpartitioned spec (the fills+deletes spec
+      // below covers them end-to-end).
       val eAvro = intercept[IllegalArgumentException](
         IcebergExport.appendSnapshot(spark,
           Seq((3001L, "z", 1)).toDF("id", "name", "k"), meta3,
@@ -2818,14 +2821,6 @@ class IcebergFormatSpec extends AnyFunSuite {
       val eRw = intercept[IllegalArgumentException](
         IcebergExport.rewriteSnapshot(spark, meta3))
       assert(eRw.getMessage.contains("identity-partitioned"))
-      val eDel = intercept[IllegalArgumentException](
-        IcebergExport.appendDeletes(spark, meta3,
-          equality = Some(Seq(1L).toDF("id"))))
-      assert(eDel.getMessage.contains("identity-partitioned"))
-      val eDv = intercept[IllegalArgumentException](
-        IcebergExport.appendDeletionVectors(spark, meta3,
-          Seq(("f", 0L)).toDF("file_path", "pos")))
-      assert(eDv.getMessage.contains("identity-partitioned"))
     }
   }
 
@@ -2891,6 +2886,87 @@ class IcebergFormatSpec extends AnyFunSuite {
         .agg(org.apache.spark.sql.functions.sum("id")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(viaSql == expect)
+    }
+  }
+
+  test("fills + deletes: a partitioned table takes GLOBAL equality " +
+      "deletes and deletion vectors; probes see the filled values; " +
+      "both faces agree; partition-scoped equality deletes refuse") {
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-ice-pmor") { (cat, hc) =>
+      import spark.implicits._
+      val conf = spark.sessionState.newHadoopConf()
+      val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tpm"
+      val df = (1 to 80).map(i => (i.toLong, s"nm-$i", (i % 4) + 1))
+        .toDF("id", "name", "k")
+      val meta1 = IcebergExport.writeTable(spark, df, dir,
+        partitionBy = Seq("k"))
+      // equality delete on a DATA column (global — written under the
+      // auxiliary unpartitioned spec 1)
+      val meta2 = IcebergExport.appendDeletes(spark, meta1,
+        equality = Some(Seq(1L, 2L, 3L, 4L).toDF("id")))
+      // equality delete keyed ON THE FILL COLUMN: the probe must see
+      // the injected constant, not the file's physical NULL
+      val meta3 = IcebergExport.appendDeletes(spark, meta2,
+        equality = Some(Seq(3).toDF("k")))
+      val expect3 = df.filter(!$"id".isin(1L, 2L, 3L, 4L) && $"k" =!= 3)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      def rowsOf(d: org.apache.spark.sql.DataFrame) =
+        d.select("id", "name", "k").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      // library face routes through the DSv2 MOR machinery
+      assert(rowsOf(CatalogIO.scanMetadataLocation(spark, meta3)) == expect3)
+      // SQL face, including a filter on the fill column over MOR
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.pm"), meta3)
+      assert(rowsOf(spark.table(s"$cat.db.pm")) == expect3)
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.db.pm WHERE k = 2")
+        .head.getLong(0) == expect3.count(_._3 == 2))
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.db.pm WHERE k = 3")
+        .head.getLong(0) == 0L)
+      // DELETION VECTOR on a partitioned table: position 0 of one k=1
+      // data file (the file read alone, in order, names the victim)
+      val layout3 = CatalogIO.readLayout(meta3, conf)
+      val victimFile = layout3.absoluteDataFiles.get
+        .zip(layout3.dataFileFills.get)
+        .collectFirst { case (f, fl) if fl.exists(x =>
+          x._1 == "k" && x._2 == 1) => f }.get
+      val victimId = spark.read.parquet(victimFile).select("id")
+        .head.getLong(0)
+      val meta4 = IcebergExport.appendDeletionVectors(spark, meta3,
+        Seq((victimFile, 0L)).toDF("file_path", "pos"))
+      val expect4 = expect3.filterNot(_._1 == victimId)
+      assert(rowsOf(CatalogIO.scanMetadataLocation(spark, meta4)) == expect4)
+      hc.registerTable(TableRef.parse("db.pm4"), meta4)
+      assert(rowsOf(spark.table(s"$cat.db.pm4")) == expect4)
+      // eq-OVERFLOW over fills refuses (the spill would read absent
+      // key columns from the files)
+      spark.conf.set("spark.graft.mor.maxDeleteTuples", "0")
+      try {
+        val e = intercept[Exception](rowsOf(spark.table(s"$cat.db.pm")))
+        assert(e.getMessage.contains("per-file constant fills") ||
+          e.getMessage.contains("materializing the columns"), e.getMessage)
+      } finally spark.conf.unset("spark.graft.mor.maxDeleteTuples")
+      // a PARTITION-SCOPED equality delete refuses: relabel the
+      // auxiliary spec 1 as field-bearing — the reader must refuse
+      // rather than apply a scoped delete globally
+      val p = new Path(meta3)
+      val fs = p.getFileSystem(conf)
+      val text = {
+        val in = fs.open(p)
+        try new String(org.apache.commons.io.IOUtils.toByteArray(in),
+          java.nio.charset.StandardCharsets.UTF_8)
+        finally in.close()
+      }
+      val mutated = text.replace("""{"spec-id": 1, "fields": []}""",
+        """{"spec-id": 1, "fields": [{"name": "k", "transform": "identity", "source-id": 3, "field-id": 1001}]}""")
+      assert(mutated != text)
+      val p2 = new Path(p.getParent, s"v99.metadata.json")
+      val out = fs.create(p2, false)
+      try out.write(mutated.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val e2 = intercept[UnsupportedOperationException](
+        CatalogIO.scanMetadataLocation(spark, p2.toString).collect())
+      assert(e2.getMessage.contains("scoped to a partition"), e2.getMessage)
     }
   }
 
