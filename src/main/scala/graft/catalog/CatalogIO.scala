@@ -3933,7 +3933,6 @@ object CatalogIO {
       refuse(s"${layout.dataFormat} data files")
     if (layout.posDeleteFiles.nonEmpty) refuse("parquet position deletes")
     if (layout.renameOps.nonEmpty) refuse("un-materialized renames")
-    if (layout.hasFills) refuse("per-file constant fills (initial-defaults / identity partition values)")
     val lineage = layout.dataFileLineage.getOrElse(
       throw new UnsupportedOperationException(
         s"$metadataLocation is not format-version 3; row lineage " +
@@ -3951,13 +3950,34 @@ object CatalogIO {
           org.apache.spark.sql.types.StructField(
             "_last_updated_sequence_number",
             org.apache.spark.sql.types.LongType))))
-    val base = spark.read.schema(schema)
-      .option("basePath", layout.dataLocation)
-      .parquet(files: _*)
-      .withColumn("__graft_file",
-        relativizeFileColumn(col("_metadata.file_path"),
-          layout.dataLocation, conf))
-      .withColumn("__graft_pos", col("_metadata.row_index"))
+    // per-file constant fills (round 16): group by fill set and apply
+    // the constants per group — sound because a filled file provably
+    // lacks the column. NO basePath over fill layouts (Spark would
+    // infer partition columns from the `col=value` directory names).
+    // `_metadata.row_index` stays per-file, so positions are untouched.
+    val base = {
+      def tagged(d: DataFrame) = d
+        .withColumn("__graft_file",
+          relativizeFileColumn(col("_metadata.file_path"),
+            layout.dataLocation, conf))
+        .withColumn("__graft_pos", col("_metadata.row_index"))
+      if (!layout.hasFills)
+        tagged(spark.read.schema(schema)
+          .option("basePath", layout.dataLocation).parquet(files: _*))
+      else {
+        val nullable = org.apache.spark.sql.types.StructType(
+          schema.fields.map(_.copy(nullable = true)))
+        files.zip(layout.dataFileFills.get)
+          .groupBy(_._2).toSeq.sortBy(_._1.map(_._1).mkString(" "))
+          .map { case (fills, pairs) =>
+            val d0 = tagged(spark.read.schema(nullable)
+              .parquet(pairs.map(_._1): _*))
+            fills.foldLeft(d0) { case (d, (c, v)) =>
+              d.withColumn(c, lit(v).cast(d.schema(c).dataType))
+            }
+          }.reduce(_ unionByName _)
+      }
+    }
     import spark.implicits._
     val lin = layout.dataFiles.getOrElse(Nil).zip(lineage)
       .map { case (rel, (first, seq)) =>

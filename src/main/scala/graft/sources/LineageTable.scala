@@ -180,6 +180,7 @@ private final class LineageScanBuilder(inner: ScanBuilder,
   * span (decoded task-side). */
 private final case class LineagePartition(files: FilePartition,
     firstRowId: Option[Long], dataSeq: Long,
+    fills: Seq[(String, Any)],
     dvBlob: Option[(String, Long, Long)]) extends InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
@@ -196,12 +197,20 @@ private final class LineageScan(spark: SparkSession, label: String,
   if (layout.dataFormat != "parquet") refuse(s"${layout.dataFormat} data files")
   if (layout.posDeleteFiles.nonEmpty) refuse("parquet position deletes")
   if (layout.renameOps.nonEmpty) refuse("un-materialized renames")
-  if (layout.hasFills) refuse("per-file constant fills (initial-defaults / identity partition values)")
+  // per-file constant fills SERVE (round 16): the injection wraps the
+  // inner reader below the position counter and the eq probes, exactly
+  // like the MOR scan, so survivors keep their ids and eq keys on fill
+  // columns compare against the filled values
   private val lineage = layout.dataFileLineage.getOrElse(
     refuse("a non-v3 layout (lineage exists from format-version 3)"))
 
-  private val tableSchema = StructType.fromDDL(layout.schemaDdl.getOrElse(
-    throw new IllegalStateException(s"$label has no recorded schema")))
+  // nullable-forced like the fill table: a file lacking a REQUIRED fill
+  // column (identity partition value) must still scan — the injected
+  // constants restore the contract
+  private val tableSchema = StructType(
+    StructType.fromDDL(layout.schemaDdl.getOrElse(
+      throw new IllegalStateException(s"$label has no recorded schema")))
+      .fields.map(_.copy(nullable = true)))
   private val dataFields =
     required.fields.filterNot(f => GraftLineageTable.LineageColumns(f.name))
 
@@ -290,8 +299,12 @@ private final class LineageScan(spark: SparkSession, label: String,
     Scan.ColumnarSupportMode.UNSUPPORTED
 
   private lazy val innerScan: Scan = {
+    // fill layouts pass NO basePath: Spark would infer partition
+    // columns from `col=value` directory names (and conflict across
+    // snapshot depths)
     val opts = new CaseInsensitiveStringMap(
-      (hadoopOpts + ("basePath" -> layout.dataLocation)).asJava)
+      (if (layout.hasFills) hadoopOpts
+       else hadoopOpts + ("basePath" -> layout.dataLocation)).asJava)
     val b = ParquetTable(s"$label-lineage", spark, opts,
       layout.absoluteDataFiles.getOrElse(Nil),
       userSpecifiedSchema = Some(tableSchema),
@@ -308,6 +321,11 @@ private final class LineageScan(spark: SparkSession, label: String,
     def qual(s: String): String = fs.makeQualified(new Path(s)).toString
     val linByRel: Map[String, (Option[Long], Long)] =
       layout.dataFiles.getOrElse(Nil).zip(lineage).toMap
+    val fillsByRel: Map[String, Seq[(String, Any)]] =
+      layout.dataFileFills match {
+        case Some(fills) => layout.dataFiles.getOrElse(Nil).zip(fills).toMap
+        case None => Map.empty
+      }
     val relByAbs: Map[String, String] = layout.dataFiles.getOrElse(Nil)
       .zip(layout.absoluteDataFiles.getOrElse(Nil))
       .map { case (rel, abs) => qual(abs) -> rel }.toMap
@@ -322,6 +340,7 @@ private final class LineageScan(spark: SparkSession, label: String,
           s"planned file $p is not in the manifest of ${layout.dataLocation}"))
         val (first, seq) = linByRel(rel)
         LineagePartition(FilePartition(i, Array(whole)), first, seq,
+          fillsByRel.getOrElse(rel, Seq.empty),
           layout.dvFor(rel)): InputPartition
       }.toArray
   }
@@ -332,7 +351,8 @@ private final class LineageScan(spark: SparkSession, label: String,
     val conf = spark.sessionState.newHadoopConf()
     hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
     new LineageReaderFactory(innerScan.toBatch.createReaderFactory(),
-      new SerializableConfiguration(conf), fieldPlan, fieldTypes, eqProbes)
+      new SerializableConfiguration(conf), fieldPlan, fieldTypes, eqProbes,
+      innerScan.readSchema())
   }
 }
 
@@ -360,7 +380,8 @@ private final case class LineageEqProbe(seq: Long, ordinals: Array[Int],
 
 private final class LineageReaderFactory(inner: PartitionReaderFactory,
     conf: SerializableConfiguration, fieldPlan: Array[Int],
-    fieldTypes: Array[DataType], eqProbes: Array[LineageEqProbe])
+    fieldTypes: Array[DataType], eqProbes: Array[LineageEqProbe],
+    innerSchema: StructType)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -370,7 +391,11 @@ private final class LineageReaderFactory(inner: PartitionReaderFactory,
         case (path, off, len) =>
           graft.catalog.DeletionVectors.readBlob(path, off, len, conf.value)
       }
-    new LineageRowReader(inner.createReader(lp.files), lp.firstRowId,
+    // per-file constant fills inject BELOW the counter and the probes
+    // (round 16) — a 1:1 row map, so positions are untouched
+    val base = FillInjection.wrapRow(inner.createReader(lp.files),
+      FillInjection.resolve(lp.fills, innerSchema), innerSchema)
+    new LineageRowReader(base, lp.firstRowId,
       lp.dataSeq, deleted, fieldPlan, fieldTypes,
       eqProbes.filter(lp.dataSeq < _.seq))
   }

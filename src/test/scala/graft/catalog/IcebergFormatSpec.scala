@@ -2938,6 +2938,29 @@ class IcebergFormatSpec extends AnyFunSuite {
       assert(rowsOf(CatalogIO.scanMetadataLocation(spark, meta4)) == expect4)
       hc.registerTable(TableRef.parse("db.pm4"), meta4)
       assert(rowsOf(spark.table(s"$cat.db.pm4")) == expect4)
+      // ROW LINEAGE over fills (round 16 — the refusal lifted): the DV
+      // commit upgraded the table to v3, so pre-upgrade files serve
+      // NULL _row_id per spec; a fresh partitioned append gets real
+      // ids. Both lineage faces inject the fills (k survives) and
+      // apply the DV + the seq-gated equality deletes.
+      val meta5 = IcebergExport.appendSnapshot(spark,
+        Seq((9001L, "w1", 2), (9002L, "w2", 2)).toDF("id", "name", "k")
+          .coalesce(1), meta4)
+      val linLib = CatalogIO.scanIcebergLineage(spark, meta5)
+      val linRows = linLib.select("id", "k", "_row_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toSet
+      val expectLin = expect4.map(t => (t._1, t._3, None: Option[Long])) ++
+        Set((9001L, 2, Some(0L)), (9002L, 2, Some(1L)))
+      assert(linRows == expectLin, s"library lineage got $linRows")
+      hc.registerTable(TableRef.parse("db.pm5"), meta5)
+      assert(spark.sql(s"SELECT id FROM $cat.db.pm5 " +
+        "WHERE _row_id IS NOT NULL ORDER BY _row_id").collect()
+        .map(_.getLong(0)).toSeq == Seq(9001L, 9002L))
+      assert(spark.sql(
+        s"SELECT count(*) c FROM $cat.db.pm5 WHERE k = 2 " +
+          "AND _row_id IS NULL").head.getLong(0) ==
+        expect4.count(_._3 == 2))
       // eq-OVERFLOW over fills refuses (the spill would read absent
       // key columns from the files)
       spark.conf.set("spark.graft.mor.maxDeleteTuples", "0")
