@@ -148,6 +148,7 @@ object SparkEntry {
     "w23_hive_import" -> (graft.queries.WriteQueries.w23 _),
     "w24_partitioned_append" -> (graft.queries.WriteQueries.w24 _),
     "w25_partitioned_mor" -> (graft.queries.WriteQueries.w25 _),
+    "w26_hive_adopt" -> (graft.queries.WriteQueries.w26 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1161,6 +1162,25 @@ object SparkEntry {
         |       CAST(SUM(k) AS BIGINT) AS k_sum,
         |       CAST(SUM(qty) AS BIGINT) AS qty_sum
         |FROM full_t GROUP BY rf""".stripMargin,
+    // w26: the ADOPTED hive-import lifecycle (round 16) — import 80% of
+    // lineitem as a hive tree, adopt, SQL-INSERT the rest, eq-MOR
+    // delete rf='N', compact. Final state = lineitem minus rf='N'.
+    "w26_hive_adopt" ->
+      """WITH t AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS k,
+        |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+        |  FROM lineitem),
+        |live AS (
+        |  SELECT * FROM t WHERE rf <> 'N'),
+        |g AS (
+        |  SELECT rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum,
+        |         CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |  FROM live GROUP BY rf)
+        |SELECT 'all' AS phase, * FROM g
+        |UNION ALL
+        |SELECT 'flt' AS phase, * FROM g WHERE rf = 'R'
+        |UNION ALL
+        |SELECT 'df' AS phase, * FROM g""".stripMargin,
     // w25: merge-on-read over an identity-partitioned table (round 16)
     // — global equality deletes keyed on a data column AND on the fill
     // column itself; the oracle replays the deletes relationally.

@@ -203,8 +203,8 @@ object CatalogIO {
         * parquet's `_metadata.row_index`, which the other sources do
         * not serve). */
       dataFormat: String = "parquet", // parquet | orc | avro | mixed
-      /** Per-file constant FILLS (Iceberg-converted layouts only —
-        * never serialized): parallel to `dataFiles`, each entry lists
+      /** Per-file constant FILLS: parallel to `dataFiles`, each entry
+        * lists
         * the (column → external JVM value) constants that file must
         * serve because it physically lacks the column — a v3
         * `initial-default` of a column added after the file was written
@@ -624,6 +624,14 @@ object CatalogIO {
           .map(fs => s"""  "dataFileFormats": ${arrBody(fs)},\n""")
           .getOrElse("")
       }${
+        // per-file constant fills (round 16 — adopted fill tables);
+        // absent = none. Encoded per entry by [[encodeFills]].
+        if (chunked.isDefined) ""
+        else layout.dataFileFills
+          .filter(_.exists(_.nonEmpty))
+          .map(fs => s"""  "dataFileFills": ${arrBody(fs.map(encodeFills))},\n""")
+          .getOrElse("")
+      }${
         // chunked manifest: references only — entries live in the chunks
         chunked.map { case (chunks, fields) =>
           s"""  "manifestChunkFiles": ${arrBody(chunks.map(_.relPath))},\n""" +
@@ -745,7 +753,68 @@ object CatalogIO {
     val Seqs = "seqs"; val Stats = "stats"; val Sizes = "sizes"; val Ndv = "ndv"
     /** Per-entry data-file formats (round 16 — mixed adopted tables). */
     val Formats = "formats"
-    val All: Set[String] = Set(Seqs, Stats, Sizes, Ndv, Formats)
+    /** Per-entry constant fills (round 16 — ADOPTED fill tables: the
+      * identity-partition / initial-default values a file must serve
+      * because it physically lacks the column, carried into the
+      * engine's own manifests so imported hive tables stay servable
+      * AFTER adoption makes them SQL-writable). */
+    val Fills = "fills"
+    val All: Set[String] = Set(Seqs, Stats, Sizes, Ndv, Formats, Fills)
+  }
+
+  /** JSON codec for one file's constant-fill set — `""` = no fills
+    * (the overwhelmingly common entry). Values encode as JSON scalars
+    * and decode by the TABLE schema's column type, so the external JVM
+    * values round-trip exactly what [[graft.catalog.IcebergFormat]]'s
+    * decoders produce (what `Literal.create`/`lit` accept). */
+  private[catalog] def encodeFills(fills: Seq[(String, Any)]): String = {
+    if (fills.isEmpty) return ""
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.createObjectNode()
+    fills.foreach { case (c, v) =>
+      v match {
+        case null => root.putNull(c)
+        case b: java.lang.Boolean => root.put(c, b.booleanValue())
+        case i: java.lang.Integer => root.put(c, i.intValue())
+        case l: java.lang.Long => root.put(c, l.longValue())
+        case d: java.lang.Double => root.put(c, d.doubleValue())
+        case f: java.lang.Float => root.put(c, f.floatValue())
+        case other => root.put(c, other.toString)
+      }
+    }
+    m.writeValueAsString(root)
+  }
+
+  private[catalog] def decodeFills(text: String,
+      schema: org.apache.spark.sql.types.StructType): Seq[(String, Any)] = {
+    if (text.isEmpty) return Seq.empty
+    import org.apache.spark.sql.types._
+    val root = new com.fasterxml.jackson.databind.ObjectMapper().readTree(text)
+    import scala.jdk.CollectionConverters._
+    root.properties().asScala.iterator.map { e =>
+      val c = e.getKey
+      val node = e.getValue
+      val dt = schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+        .getOrElse(throw new IllegalStateException(
+          s"manifest fill column '$c' is not in the table schema"))
+      val v: Any =
+        if (node.isNull) null
+        else dt match {
+          case IntegerType => node.asInt
+          case LongType => node.asLong
+          case StringType => node.asText
+          case BooleanType => node.asBoolean
+          case DateType => java.time.LocalDate.parse(node.asText)
+          case DoubleType => node.asDouble
+          case FloatType => node.asDouble.toFloat
+          case d: DecimalType => new java.math.BigDecimal(node.asText)
+          case TimestampType => java.time.Instant.parse(node.asText)
+          case TimestampNTZType => java.time.LocalDateTime.parse(node.asText)
+          case other => throw new IllegalStateException(
+            s"manifest fill column '$c' of unsupported type $other")
+        }
+      c -> v
+    }.toSeq
   }
 
   /** File count above which a version's manifest is written CHUNKED
@@ -765,7 +834,8 @@ object CatalogIO {
     * same defaults the read path applies: seq 0, "" stats/ndv, -1 size)
     * so reuse comparison is representation-independent. */
   private final case class MEntry(path: String, seq: Int, stats: String,
-      size: Long, ndv: String, format: String = "parquet")
+      size: Long, ndv: String, format: String = "parquet",
+      fills: String = "")
 
   private def entriesOf(l: TableLayout): Vector[MEntry] = {
     val fs = l.dataFiles.getOrElse(Nil).toVector
@@ -779,8 +849,11 @@ object CatalogIO {
     val ndv = l.dataFileNdv.map(_.toVector).getOrElse(Vector.fill(fs.size)(""))
     val fmts = l.dataFileFormats.map(_.toVector)
       .getOrElse(Vector.fill(fs.size)(l.dataFormat))
+    val fills = l.dataFileFills.map(_.toVector.map(encodeFills))
+      .getOrElse(Vector.fill(fs.size)(""))
     fs.indices.map(i =>
-      MEntry(fs(i), seqs(i), stats(i), sizes(i), ndv(i), fmts(i))).toVector
+      MEntry(fs(i), seqs(i), stats(i), sizes(i), ndv(i), fmts(i),
+        fills(i))).toVector
   }
 
   private def chunkJson(ents: Seq[MEntry]): String = {
@@ -793,7 +866,8 @@ object CatalogIO {
        |  "stats": ${arrBody(ents.map(_.stats))},
        |  "sizes": ${arrBody(ents.map(_.size.toString))},
        |  "ndv": ${arrBody(ents.map(_.ndv))},
-       |  "formats": ${arrBody(ents.map(_.format))}
+       |  "formats": ${arrBody(ents.map(_.format))},
+       |  "fills": ${arrBody(ents.map(_.fills))}
        |}
        |""".stripMargin
   }
@@ -837,8 +911,20 @@ object CatalogIO {
         fs
       }
       .getOrElse(Seq.fill(paths.size)("parquet"))
+    // fills (round 16): absent = a pre-fills chunk (no adopted fill
+    // table could have written one) — default, not corruption
+    val fillsCol = arrayField(text, "fills")
+      .map { fs =>
+        if (fs.size != paths.size)
+          throw new IllegalStateException(
+            s"Malformed manifest chunk: 'fills' has ${fs.size} entries " +
+              s"for ${paths.size} paths in $where")
+        fs
+      }
+      .getOrElse(Seq.fill(paths.size)(""))
     paths.indices.map(i =>
-      MEntry(paths(i), seqs(i), stats(i), sizes(i), ndv(i), fmts(i))).toVector
+      MEntry(paths(i), seqs(i), stats(i), sizes(i), ndv(i), fmts(i),
+        fillsCol(i))).toVector
   }
 
   /** Chunk plan for `newEntries` given the prior version's chunks:
@@ -962,7 +1048,9 @@ object CatalogIO {
           layout.dataFileStats.map(_ => ManifestFieldTokens.Stats),
           layout.dataFileSizes.map(_ => ManifestFieldTokens.Sizes),
           layout.dataFileNdv.map(_ => ManifestFieldTokens.Ndv),
-          layout.dataFileFormats.map(_ => ManifestFieldTokens.Formats)).flatten
+          layout.dataFileFormats.map(_ => ManifestFieldTokens.Formats),
+          layout.dataFileFills.filter(_.exists(_.nonEmpty))
+            .map(_ => ManifestFieldTokens.Fills)).flatten
         metadataJsonBody(tableDir.toString, layout.dataLocation, layout,
           Some((chunks, fields)))
       case _ =>
@@ -1203,9 +1291,20 @@ object CatalogIO {
       renameOps = prior.renameOps,
       droppedColumns = prior.droppedColumns,
       clusterTransforms = prior.clusterTransforms,
-      dataFormat = fmt, dataFileFormats = fmts)
+      dataFormat = fmt, dataFileFormats = fmts,
+      dataFileFills = appendedFills(prior, priorFiles, moved.size))
     commitLayoutAsVersion(cat, ref, n, layout, CommitOps.Append, Some(prior))
   }
+
+  /** Constant fills for prior ∪ appended files: prior entries keep
+    * theirs, engine-written files contain every column (fill-free).
+    * None when the prior carries none (the common case). */
+  private def appendedFills(prior: TableLayout, priorFiles: Seq[String],
+      added: Int): Option[Seq[Seq[(String, Any)]]] =
+    if (!prior.hasFills) None
+    else Some(prior.dataFileFills
+      .getOrElse(Seq.fill(priorFiles.size)(Seq.empty)) ++
+      Seq.fill(added)(Seq.empty[(String, Any)]))
 
   /** Manifest-entry seqs for prior ∪ (files added at version `n`) —
     * recorded only while delete files are live (delete-free tables keep
@@ -1323,7 +1422,9 @@ object CatalogIO {
         renameOps = prior.renameOps,
         droppedColumns = prior.droppedColumns,
         clusterTransforms = prior.clusterTransforms,
-        dataFormat = fmt, dataFileFormats = fmts), CommitOps.Append, Some(prior))
+        dataFormat = fmt, dataFileFormats = fmts,
+        dataFileFills = appendedFills(prior, priorFiles, moved.size)),
+        CommitOps.Append, Some(prior))
       catch {
         case e: CommitConflictException =>
           attempt += 1
@@ -1544,7 +1645,8 @@ object CatalogIO {
         else Some(prior.dataFileSeqs.getOrElse(Seq.fill(priorFiles.size)(0)) ++
           Seq.fill(moved.size)(n)),
       dataFileStats = None, // re-derived in the funnel (prior ∪ footer reads)
-      dataFileSizes = None, dataFileNdv = None),
+      dataFileSizes = None, dataFileNdv = None,
+      dataFileFills = appendedFills(prior, priorFiles, moved.size)),
       if (delFile.isDefined) CommitOps.Delete else CommitOps.Append,
       Some(prior))
   }
@@ -1570,13 +1672,16 @@ object CatalogIO {
       s"Table $ref v${n - 1} predates file manifests (whole-directory snapshot); " +
         "INSERT OVERWRITE once to upgrade it before manifest-level deletes"))
     val priorSeqs = prior.dataFileSeqs.getOrElse(Seq.fill(priorFiles.size)(0))
-    val survivors = priorFiles.zip(priorSeqs).filter { case (f, _) => keepFile(f) }
+    val keepIdx = priorFiles.indices.filter(i => keepFile(priorFiles(i)))
     commitLayoutAsVersion(cat, ref, n, prior.copy(
-      dataFiles = Some(survivors.map(_._1)),
+      dataFiles = Some(keepIdx.map(priorFiles)),
       dataFileSeqs =
-        if (!prior.seqGated) None else Some(survivors.map(_._2)),
+        if (!prior.seqGated) None else Some(keepIdx.map(priorSeqs)),
       dataFileStats = None, // re-derived in the funnel (all carried forward)
-      dataFileSizes = None, dataFileNdv = None),
+      dataFileSizes = None, dataFileNdv = None,
+      // per-file fills filter in LOCKSTEP (round 16 — a misaligned
+      // subset would fill with the wrong file's constants)
+      dataFileFills = prior.dataFileFills.map(fs => keepIdx.map(fs))),
       CommitOps.Delete,
       Some(prior))
   }
@@ -1698,7 +1803,8 @@ object CatalogIO {
         dataFileSeqs = Some(prior.dataFileSeqs
           .getOrElse(Seq.fill(priorFiles.size)(0)) ++ Seq.fill(moved.size)(n)),
         dataFileStats = None, // re-derived in the funnel
-        dataFileSizes = None, dataFileNdv = None),
+        dataFileSizes = None, dataFileNdv = None,
+        dataFileFills = appendedFills(prior, priorFiles, moved.size)),
         CommitOps.Delete,
         Some(prior))
     } finally typed.unpersist()
@@ -1959,7 +2065,7 @@ object CatalogIO {
     // reads through deletes and epoch name mappings, and commitVersion's
     // fresh layout carries neither), restoring plain scans, ADD COLUMN
     // over tombstoned names, and the bucketed table's SPJ reporting
-    if (files.size <= 1 && !layout.seqGated)
+    if (files.size <= 1 && !layout.seqGated && !layout.hasFills)
       return CompactResult(cat.metadataLocationForVersion(ref, base),
         files.size, files.size, compacted = false)
     val fs = cat.fileSystem
@@ -3121,6 +3227,17 @@ object CatalogIO {
           "positional writes need parquet's _metadata.row_index — " +
           "non-parquet tables take appends only (compact/rewrite to " +
           "parquet for row-level writes)")
+    // per-file constant fills (round 16): the raw addressed read below
+    // serves fill columns as NULL, so a positional DELETE/UPDATE WHERE
+    // on one would silently address the wrong rows — refuse loudly
+    // (equality-keyed merge-on-read and copy-on-write faces work; a
+    // compaction materializes the fills and restores this face)
+    if (layout.hasFills)
+      throw new UnsupportedOperationException(
+        s"${layout.dataLocation} carries per-file constant fills " +
+          "(identity partition values / initial-defaults); positional " +
+          "writes read files raw and would mis-address filled columns " +
+          "\u2014 compact the table (materializing the fills) first")
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       layout.schemaDdl.getOrElse(throw new IllegalStateException(
         s"manifest with no recorded schema at ${layout.dataLocation}")))
@@ -3625,7 +3742,29 @@ object CatalogIO {
           Some(fmts.getOrElse(throw new IllegalStateException(
             s"Malformed metadata: dataFormat 'mixed' without " +
               s"dataFileFormats in $metadataLocation")))
-        } else None)
+        } else None,
+      // per-file constant fills (round 16 — adopted fill tables):
+      // decoded by the recorded schema's column types; absent = none
+      dataFileFills = {
+        val encoded: Option[Seq[String]] =
+          arrayField(text, "dataFileFills").map { fs =>
+            dataFiles.map(_.size).filter(_ != fs.size).foreach { n =>
+              throw new IllegalStateException(
+                s"Malformed metadata: 'dataFileFills' has ${fs.size} " +
+                  s"entries for $n data files in $metadataLocation")
+            }
+            fs
+          }.orElse(chunked.collect { case (_, ents, fields)
+            if fields(ManifestFieldTokens.Fills) => ents.map(_.fills) })
+        encoded.filter(_.exists(_.nonEmpty)).map { fs =>
+          val schema = org.apache.spark.sql.types.StructType.fromDDL(
+            stringField(text, "schemaDdl").getOrElse(
+              throw new IllegalStateException(
+                s"Malformed metadata: dataFileFills without a schemaDdl " +
+                  s"in $metadataLocation")))
+          fs.map(decodeFills(_, schema))
+        }
+      })
     (layout, chunksSkipped, chunksTotal)
   }
 
@@ -3685,16 +3824,12 @@ object CatalogIO {
     // v3 row lineage does not survive adoption (the engine's manifests
     // carry no first_row_id) — drop it rather than serve stale ids.
     val raw = raw0.copy(dataFileLineage = None)
-    // un-materialized v3 initial-defaults cannot be represented in the
-    // engine's manifest format — adopting would silently turn every
-    // pre-addition row's default into NULL
-    if (raw.hasFills)
-      throw new UnsupportedOperationException(
-        s"Iceberg table at $metadataLocation carries columns served " +
-          "as per-file constants (un-materialized initial-defaults or " +
-          "identity partition values of files lacking the column); " +
-          "rewrite the table (materializing them) before adoption. " +
-          "The table remains readable through its Iceberg pointer")
+    // per-file constant fills SURVIVE adoption (round 16 — the
+    // refusal lifted): the engine's manifests serialize them
+    // per entry ([[encodeFills]]), every engine scan face consumes
+    // [[TableLayout.dataFileFills]], appends carry them forward with
+    // new files fill-free, and compaction materializes them away —
+    // an imported hive tree becomes a fully SQL-writable table
     // Live-delete tables ADOPT by SEQUENCE REBASE (round 14, judge r13
     // item 7 — the r13 refusal lifted): the adopted manifest's future
     // commits number seqs from the engine's version counter (1, 2, …),

@@ -733,6 +733,61 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(tmp)
     }
 
+  /** w26 (round 16): the ADOPTED Hive-import lifecycle under the
+    * oracle — import a hive `rf=…` tree (files lacking the partition
+    * column), ADOPT it into the engine catalog (the fills now live in
+    * the engine's own manifests), take a SQL `INSERT INTO` (engine
+    * parquet files carrying every column) and an equality-keyed
+    * merge-on-read delete ON THE FILL COLUMN (rf = 'N'), then COMPACT —
+    * materializing the fills and the deletes — and read the final
+    * state through both faces. The oracle replays it relationally. */
+  def w26(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w26") { (cat, hc) =>
+      import graft.catalog.{CatalogIO, IcebergExport, TableRef}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w26-ice").toString
+      try {
+        val t = spark.sql(
+          s"""SELECT CAST(l_orderkey AS BIGINT) AS k,
+             |       CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+             |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+        val base = t.filter(col("k") % 10 < 8)
+        base.write.partitionBy("rf").parquet(s"$tmp/hv")
+        val meta = IcebergExport.importHiveTable(spark, s"$tmp/hv",
+          base.schema, Seq("rf"))
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        val ref = TableRef.parse("db.hive_adopt")
+        CatalogIO.adoptIcebergTable(spark, hc, ref, meta)
+        // SQL INSERT INTO: the remaining 20% lands as engine parquet
+        t.filter(col("k") % 10 >= 8)
+          .write.insertInto(s"$cat.db.hive_adopt")
+        // equality-keyed MOR delete ON the fill column
+        graft.sources.MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+          spark.sql("SELECT 'N' AS rf"), Seq("rf"))
+        // compaction materializes fills + deletes away
+        CatalogIO.compactTable(spark, hc, ref)
+        require(!CatalogIO.readLayout(hc.loadTableMetadataLocation(ref),
+          spark.sessionState.newHadoopConf()).hasFills,
+          "compaction must materialize the fills")
+        val sqlFace = spark.sql(
+          s"""SELECT 'all' AS phase, rf, COUNT(*) AS cnt,
+             |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.hive_adopt GROUP BY rf""".stripMargin)
+        val pruned = spark.sql(
+          s"""SELECT 'flt' AS phase, rf, COUNT(*) AS cnt,
+             |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.hive_adopt WHERE rf = 'R' GROUP BY rf""".stripMargin)
+        val dfFace = CatalogIO.readTable(spark, hc, ref)
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"),
+            sum(col("qty")).as("qty_sum"))
+          .select(lit("df").as("phase"), col("rf"), col("cnt"),
+            col("k_sum"), col("qty_sum"))
+        val out = sqlFace.unionByName(pruned).unionByName(dfFace)
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w25 (round 16): MERGE-ON-READ over an identity-partitioned table
     * under the oracle — fills + deletes composed. lineitem exports
     * partitioned by rf (files LACK the partition column), then takes

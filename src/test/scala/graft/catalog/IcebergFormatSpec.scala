@@ -2503,12 +2503,12 @@ class IcebergFormatSpec extends AnyFunSuite {
         spark.conf.set(vect, "false")
         assert(rowsOf(spark.table(s"$cat.db.idef")) == expected)
       } finally spark.conf.set(vect, prior)
-      // adoption refuses: the engine manifest cannot carry fills
-      val e = intercept[UnsupportedOperationException] {
-        CatalogIO.adoptIcebergTable(spark, hc, TableRef.parse("db.ad2"),
-          metaP.toString)
-      }
-      assert(e.getMessage.contains("initial-default"))
+      // adoption WORKS (round 16 — the refusal lifted): the engine
+      // manifest serializes fills, and the adopted table serves the
+      // default exactly like the pointer faces
+      CatalogIO.adoptIcebergTable(spark, hc, TableRef.parse("db.ad2"),
+        metaP.toString)
+      assert(rowsOf(spark.table(s"$cat.db.ad2")) == expected)
     }
   }
 
@@ -2990,6 +2990,80 @@ class IcebergFormatSpec extends AnyFunSuite {
       val e2 = intercept[UnsupportedOperationException](
         CatalogIO.scanMetadataLocation(spark, p2.toString).collect())
       assert(e2.getMessage.contains("scoped to a partition"), e2.getMessage)
+    }
+  }
+
+  test("fill tables ADOPT: an imported hive tree becomes SQL-writable " +
+      "(INSERT INTO, eq-MOR delete); fills survive the engine manifest " +
+      "round-trip (inline AND chunked); compaction materializes them") {
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-ice-padopt") { (cat, hc) =>
+      import spark.implicits._
+      val conf = spark.sessionState.newHadoopConf()
+      val hiveDir = s"${Files.createTempDirectory("graft-iceberg").toString}/ha"
+      val df = (1 to 60).map(i => (i.toLong, s"nm-$i", (i % 3) + 1))
+        .toDF("id", "name", "k")
+      df.write.partitionBy("k").parquet(hiveDir)
+      val metaLoc = IcebergExport.importHiveTable(spark, hiveDir,
+        df.schema, Seq("k"))
+      val ref = TableRef.parse("db.ha")
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      CatalogIO.adoptIcebergTable(spark, hc, ref, metaLoc)
+      def rowsOf(d: org.apache.spark.sql.DataFrame) =
+        d.select("id", "name", "k").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val base = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      // adopted read serves the fills (engine manifest round-trip)
+      val adopted = CatalogIO.readLayout(
+        hc.loadTableMetadataLocation(ref), conf)
+      assert(adopted.hasFills, "fills must survive the engine manifest")
+      assert(rowsOf(spark.table(s"$cat.db.ha")) == base)
+      // SQL INSERT INTO: engine parquet files (all columns) join the
+      // fill-serving base
+      spark.sql(s"INSERT INTO $cat.db.ha VALUES " +
+        "(1001, 'x1', 2), (1002, 'x2', 3)")
+      val afterIns = base ++ Set((1001L, "x1", 2), (1002L, "x2", 3))
+      assert(rowsOf(spark.table(s"$cat.db.ha")) == afterIns)
+      assert(rowsOf(CatalogIO.readTable(spark, hc, ref)) == afterIns)
+      // a filter ON the fill column spans both populations
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.db.ha WHERE k = 2")
+        .head.getLong(0) == afterIns.count(_._3 == 2))
+      // equality-keyed MOR delete works (the scan injects fills below
+      // its probes); keyed on the FILL column even
+      graft.sources.MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+        Seq(1).toDF("k"), Seq("k"))
+      val afterDel = afterIns.filterNot(_._3 == 1)
+      assert(rowsOf(spark.table(s"$cat.db.ha")) == afterDel)
+      // positional writes refuse loudly while fills live
+      val ePos = intercept[UnsupportedOperationException](
+        graft.sources.MergeOps.deleteWhereMergeOnRead(spark, hc, ref,
+          org.apache.spark.sql.functions.col("id") === 5L))
+      assert(ePos.getMessage.contains("constant fills"), ePos.getMessage)
+      // CHUNKED manifests round-trip the fills column too
+      val pm = CatalogIO.manifestInlineMax
+      try {
+        CatalogIO.manifestInlineMax = 0
+        spark.sql(s"INSERT INTO $cat.db.ha VALUES (2001, 'y', 1)")
+        val chunkedLayout = CatalogIO.readLayout(
+          hc.loadTableMetadataLocation(ref), conf)
+        assert(chunkedLayout.manifestChunks.isDefined,
+          "the commit must have chunked")
+        assert(chunkedLayout.hasFills,
+          "fills must survive the chunked manifest")
+        assert(rowsOf(spark.table(s"$cat.db.ha")) ==
+          afterDel + ((2001L, "y", 1)))
+      } finally CatalogIO.manifestInlineMax = pm
+      // compaction materializes the fills: plain layout, same rows
+      CatalogIO.compactTable(spark, hc, ref)
+      val compacted = CatalogIO.readLayout(
+        hc.loadTableMetadataLocation(ref), conf)
+      assert(!compacted.hasFills && compacted.deleteFiles.isEmpty)
+      assert(rowsOf(spark.table(s"$cat.db.ha")) ==
+        afterDel + ((2001L, "y", 1)))
+      // and positional writes are restored
+      graft.sources.MergeOps.deleteWhereMergeOnRead(spark, hc, ref,
+        org.apache.spark.sql.functions.col("id") === 2001L)
+      assert(rowsOf(spark.table(s"$cat.db.ha")) == afterDel)
     }
   }
 
