@@ -204,15 +204,17 @@ object CatalogIO {
         * not serve). */
       dataFormat: String = "parquet", // parquet | orc | avro | mixed
       /** Per-file constant FILLS: parallel to `dataFiles`, each entry
-        * lists
-        * the (column → external JVM value) constants that file must
-        * serve because it physically lacks the column — a v3
+        * lists the (column → external JVM value) constants that file
+        * must serve because it physically lacks the column — a v3
         * `initial-default` of a column added after the file was written
         * (round 14), or an IDENTITY partition value of a Hive-imported
         * (`add_files`-shaped) file (round 16). Empty for files that
         * contain the column (their own values — including legitimate
-        * NULLs — pass through). The converter guarantees fills never
-        * coexist with deletes, renames, avro, or mixed formats. */
+        * NULLs — pass through). Fills coexist with parquet/ORC/mixed
+        * formats AND live deletes (the MOR scan injects below its
+        * probes); renames and avro refuse. Serialized in the engine's
+        * manifests (inline `dataFileFills` / chunked `fills` column),
+        * so adopted fill tables stay servable. */
       dataFileFills: Option[Seq[Seq[(String, Any)]]] = None,
       /** Per-file data formats (round 15, `dataFormat == "mixed"`
         * only): parallel to `dataFiles`, each entry's manifest
@@ -1671,17 +1673,21 @@ object CatalogIO {
     val priorFiles = prior.dataFiles.getOrElse(throw new UnsupportedOperationException(
       s"Table $ref v${n - 1} predates file manifests (whole-directory snapshot); " +
         "INSERT OVERWRITE once to upgrade it before manifest-level deletes"))
-    val priorSeqs = prior.dataFileSeqs.getOrElse(Seq.fill(priorFiles.size)(0))
-    val keepIdx = priorFiles.indices.filter(i => keepFile(priorFiles(i)))
+    // Vectors first: positional apply on a List inside the index loop
+    // is O(n) — O(n²) on a large manifest (the entriesOf lesson)
+    val pf = priorFiles.toVector
+    val ps = prior.dataFileSeqs.getOrElse(Seq.fill(pf.size)(0)).toVector
+    val pfills = prior.dataFileFills.map(_.toVector)
+    val keepIdx = pf.indices.filter(i => keepFile(pf(i)))
     commitLayoutAsVersion(cat, ref, n, prior.copy(
-      dataFiles = Some(keepIdx.map(priorFiles)),
+      dataFiles = Some(keepIdx.map(pf)),
       dataFileSeqs =
-        if (!prior.seqGated) None else Some(keepIdx.map(priorSeqs)),
+        if (!prior.seqGated) None else Some(keepIdx.map(ps)),
       dataFileStats = None, // re-derived in the funnel (all carried forward)
       dataFileSizes = None, dataFileNdv = None,
       // per-file fills filter in LOCKSTEP (round 16 — a misaligned
       // subset would fill with the wrong file's constants)
-      dataFileFills = prior.dataFileFills.map(fs => keepIdx.map(fs))),
+      dataFileFills = pfills.map(fs => keepIdx.map(fs))),
       CommitOps.Delete,
       Some(prior))
   }
