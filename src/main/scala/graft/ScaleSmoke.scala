@@ -179,6 +179,75 @@ object ScaleSmoke {
         f"$flt%.1f s (file pruning from synthesized partition bounds; " +
         f"last group planned ${graft.sources.StatsPruning.lastPlanned})")
     }
+    // PARTITION-COUNT stress (the plan-cost envelope BASELINE.md
+    // documents): 1024 identity partitions over small data — the
+    // filtered query's DATA cost is one partition, so the measured
+    // times are almost pure per-group driver plan cost
+    val manyTree = s"$dir/ht1024"
+    src.filter(col("k") % 10 === 0)
+      .withColumn("p", (col("k") % 1024).cast("int"))
+      .repartition(64).write.partitionBy("p").parquet(manyTree)
+    t0 = System.nanoTime()
+    val metaMany = IcebergExport.importHiveTable(spark, manyTree,
+      src.schema, Seq("p"))
+    println(f"[scale] hive x$replicas: 1024-partition import in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    hc.registerTable(TableRef.parse("db.ht1024"), metaMany)
+    // correctness cross-check alongside the timing: the group-pruned
+    // answer must equal the raw tree's (a silent over-prune would
+    // otherwise time beautifully)
+    // glob ONE partition dir: the import wrote its metadata/ INSIDE
+    // the tree, which a whole-tree partition discovery would trip over.
+    // p = 40 is populated (k is a multiple of 10, so k % 1024 is even —
+    // odd partitions like p=3 are provably EMPTY and fully group-pruned)
+    val rawP40 = spark.read.option("basePath", manyTree)
+      .parquet(s"$manyTree/p=40").count()
+    for (round <- Seq("cold", "warm")) {
+      graft.sources.StatsPruning.lastPlanned = None
+      t0 = System.nanoTime()
+      val got = spark.sql(
+        s"SELECT count(*) c FROM $cat.db.ht1024 WHERE p = 40")
+        .head.getLong(0)
+      require(got == rawP40,
+        s"1024-partition group pruning over-pruned: got $got, raw $rawP40")
+      println(f"[scale] hive x$replicas: 1024-partition p=40 aggregate " +
+        f"$round ${(System.nanoTime() - t0) / 1e9}%.1f s (planned " +
+        f"${graft.sources.StatsPruning.lastPlanned}, $got rows)")
+    }
+    // ADOPTED lifecycle at scale: adopt the 64-partition import, SQL
+    // INSERT, eq-MOR delete on the fill column, full compaction
+    import graft.catalog.CatalogIO.{adoptIcebergTable, compactTable}
+    val aref = TableRef.parse("db.ht_adopted")
+    t0 = System.nanoTime()
+    adoptIcebergTable(spark, hc, aref, meta)
+    println(f"[scale] hive x$replicas: adoption (fills into engine " +
+      f"manifest) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    t0 = System.nanoTime()
+    spark.sql(s"INSERT INTO $cat.db.ht_adopted " +
+      "SELECT k + 1000000000, qty, p FROM " +
+      s"$cat.db.ht_adopted WHERE p = 1")
+    println(f"[scale] hive x$replicas: adopted INSERT INTO (one " +
+      f"partition's rows re-inserted) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    t0 = System.nanoTime()
+    graft.sources.MergeOps.deleteMatchedMergeOnRead(spark, hc, aref,
+      spark.sql("SELECT CAST(2 AS INT) AS p"), Seq("p"))
+    println(f"[scale] hive x$replicas: adopted eq-MOR delete (fill-" +
+      f"column key) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    t0 = System.nanoTime()
+    val cnt = spark.sql(s"SELECT count(*) c FROM $cat.db.ht_adopted")
+      .head.getLong(0)
+    println(f"[scale] hive x$replicas: adopted MOR-live full count " +
+      f"($cnt rows) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    t0 = System.nanoTime()
+    compactTable(spark, hc, aref)
+    println(f"[scale] hive x$replicas: compaction (materializes fills " +
+      f"+ deletes) in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+    t0 = System.nanoTime()
+    val cnt2 = spark.sql(s"SELECT count(*) c FROM $cat.db.ht_adopted")
+      .head.getLong(0)
+    require(cnt2 == cnt, s"compaction changed row count: $cnt -> $cnt2")
+    println(f"[scale] hive x$replicas: post-compaction full count in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     hc.close()
   }
 

@@ -86,64 +86,71 @@ final class GraftFillTable(spark: SparkSession, tableName: String,
       .map { case ((fills, fmt), triples) =>
         (fills, fmt, triples.map(_._1._1)) }
 
-  private val groupTables: Seq[(Seq[(String, Any)], Table with SupportsRead)] = {
-    val relByAbs = layout.absoluteDataFiles.getOrElse(Nil)
+  // shared lookups, computed ONCE per table load (not per group — the
+  // group count is O(partitions) on imported hive trees)
+  private lazy val relByAbs: Map[String, String] =
+    layout.absoluteDataFiles.getOrElse(Nil)
       .zip(layout.dataFiles.getOrElse(Nil)).toMap
-    val manifestPlanning = spark.conf
-      .getOption("spark.graft.manifest.planning").forall(_ == "true")
-    // manifest stats still skip whole files per group (a filter on a
-    // NON-fill column prunes like any plain scan; fill columns have no
-    // stats in pre-addition files, which is conservatively unprunable).
-    // totalDataFiles = -1 disables manifest-ANSWERED aggregates: this
-    // builder does not forward aggregate pushdown, and a per-group
-    // answer would be a partial one anyway.
+  private lazy val statsByPath: Map[String, String] = {
     val statsEnabled = spark.conf
       .getOption("spark.graft.stats.pruning").forall(_ == "true")
-    val statsByPath: Map[String, String] =
-      if (!statsEnabled) Map.empty
-      else layout.absoluteDataFilesWithStats
-        .map(_.collect { case (p, s) if s.nonEmpty =>
-          new org.apache.hadoop.fs.Path(p).toUri.getPath -> s }.toMap)
-        .getOrElse(Map.empty)
-    groups.map { case (fills, fmt, files) =>
-      val manifest: Option[Table with SupportsRead] =
-        if (!manifestPlanning) None
-        else ManifestFileIndex.tableFor(s"$tableName@fill", spark,
-          hadoopOpts, layout, schemaOverride = Some(currentSchema),
-          fileSubset = Some(files.map(relByAbs)),
-          formatOverride = Some(fmt))
-      // format dispatch (round 16): converted Iceberg ORC layouts with
-      // identity-partition fills read through Spark's stock ORC table —
-      // the constant injection wraps the reader seam, format-blind.
-      // NO basePath: the manifest is the single source of truth for
-      // these columns — a basePath would make Spark infer partition
-      // columns from `col=value` directory names, double-serving the
-      // fill columns and CONFLICTING on layouts whose snapshots nest at
-      // different depths (imported tree + appended `data/sN/col=v`)
-      val table = manifest.getOrElse(fmt match {
-        case "orc" =>
-          org.apache.spark.sql.execution.datasources.v2.orc.OrcTable(
-            s"$tableName@fill", spark,
-            new CaseInsensitiveStringMap(hadoopOpts.asJava),
-            files, userSpecifiedSchema = Some(currentSchema),
-            fallbackFileFormat = classOf[org.apache.spark.sql.execution
-              .datasources.orc.OrcFileFormat])
-        case _ =>
-          ParquetTable(s"$tableName@fill", spark,
-            new CaseInsensitiveStringMap(hadoopOpts.asJava),
-            files, userSpecifiedSchema = Some(currentSchema),
-            fallbackFileFormat = classOf[ParquetFileFormat])
-      })
-      val groupStats = {
-        val keep = files.map(f =>
-          new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
-        statsByPath.filter { case (p, _) => keep(p) }
-      }
-      val decorated: Table with SupportsRead =
-        if (groupStats.isEmpty) table
-        else new StatsPrunedTable(table, groupStats, totalDataFiles = -1)
-      (fills, decorated)
+    if (!statsEnabled) Map.empty
+    else layout.absoluteDataFilesWithStats
+      .map(_.collect { case (p, s) if s.nonEmpty =>
+        new org.apache.hadoop.fs.Path(p).toUri.getPath -> s }.toMap)
+      .getOrElse(Map.empty)
+  }
+
+  /** ONE group's stock table — invoked LAZILY per group at scan build
+    * (round 16): a dropped group (fill constants contradict the pushed
+    * filters) never constructs a table, builder, or stats evaluation,
+    * so a selective partition filter over a 10k-partition imported
+    * tree plans in O(matching partitions), not O(table).
+    *
+    * Manifest stats still skip whole files per group (a filter on a
+    * NON-fill column prunes like any plain scan). totalDataFiles = -1
+    * disables manifest-ANSWERED aggregates: this builder does not
+    * forward aggregate pushdown, and a per-group answer would be a
+    * partial one anyway. */
+  private def groupTable(i: Int): Table with SupportsRead = {
+    val (_, fmt, files) = groups(i)
+    val manifestPlanning = spark.conf
+      .getOption("spark.graft.manifest.planning").forall(_ == "true")
+    val manifest: Option[Table with SupportsRead] =
+      if (!manifestPlanning) None
+      else ManifestFileIndex.tableFor(s"$tableName@fill", spark,
+        hadoopOpts, layout, schemaOverride = Some(currentSchema),
+        fileSubset = Some(files.map(relByAbs)),
+        formatOverride = Some(fmt))
+    // format dispatch (round 16): converted Iceberg ORC layouts with
+    // identity-partition fills read through Spark's stock ORC table —
+    // the constant injection wraps the reader seam, format-blind.
+    // NO basePath: the manifest is the single source of truth for
+    // these columns — a basePath would make Spark infer partition
+    // columns from `col=value` directory names, double-serving the
+    // fill columns and CONFLICTING on layouts whose snapshots nest at
+    // different depths (imported tree + appended `data/sN/col=v`)
+    val table = manifest.getOrElse(fmt match {
+      case "orc" =>
+        org.apache.spark.sql.execution.datasources.v2.orc.OrcTable(
+          s"$tableName@fill", spark,
+          new CaseInsensitiveStringMap(hadoopOpts.asJava),
+          files, userSpecifiedSchema = Some(currentSchema),
+          fallbackFileFormat = classOf[org.apache.spark.sql.execution
+            .datasources.orc.OrcFileFormat])
+      case _ =>
+        ParquetTable(s"$tableName@fill", spark,
+          new CaseInsensitiveStringMap(hadoopOpts.asJava),
+          files, userSpecifiedSchema = Some(currentSchema),
+          fallbackFileFormat = classOf[ParquetFileFormat])
+    })
+    val groupStats = {
+      val keep = files.map(f =>
+        new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+      statsByPath.filter { case (p, _) => keep(p) }
     }
+    if (groupStats.isEmpty) table
+    else new StatsPrunedTable(table, groupStats, totalDataFiles = -1)
   }
 
   override def name(): String = tableName
@@ -154,11 +161,12 @@ final class GraftFillTable(spark: SparkSession, tableName: String,
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new FillScanBuilder(groupTables.map { case (fills, t) =>
-      (fills, t.newScanBuilder(options)
+    new FillScanBuilder(
+      groups.map(_._1),
+      i => groupTable(i).newScanBuilder(options)
         .asInstanceOf[ScanBuilder with SupportsPushDownRequiredColumns
-          with SupportsPushDownCatalystFilters])
-    }, groups.map(_._3.size), tableName)
+          with SupportsPushDownCatalystFilters],
+      groups.map(_._3.size), tableName)
 }
 
 /** Fans pruning out to each group's builder (the stock FileScanBuilder,
@@ -178,33 +186,31 @@ final class GraftFillTable(spark: SparkSession, tableName: String,
   * anything unevaluable (remaining attributes, non-deterministic,
   * subqueries, type mismatches → keep the group). */
 private final class FillScanBuilder(
-    builders: Seq[(Seq[(String, Any)],
-      ScanBuilder with SupportsPushDownRequiredColumns
-        with SupportsPushDownCatalystFilters)],
+    groupFills: Seq[Seq[(String, Any)]],
+    builderFor: Int => ScanBuilder with SupportsPushDownRequiredColumns
+      with SupportsPushDownCatalystFilters,
     groupFileCounts: Seq[Int], tableName: String)
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters {
 
   private var captured: Seq[Expression] = Nil
+  private var requiredSchema: Option[StructType] = None
 
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    builders.foreach(_._2.pruneColumns(requiredSchema))
+  // pruning and pushdown are CAPTURED, then replayed onto exactly the
+  // SURVIVING groups' builders at build() — a dropped group never
+  // instantiates a table or builder at all
+  override def pruneColumns(schema: StructType): Unit =
+    requiredSchema = Some(schema)
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
     captured ++= filters
-    builders.foreach { case (fills, b) =>
-      val fillNames = fills.map(_._1.toLowerCase).toSet
-      val safe = filters.filterNot(_.exists {
-        case a: AttributeReference => fillNames(a.name.toLowerCase)
-        case _ => false
-      })
-      b.pushFilters(safe)
-    }
     filters // evaluated again post-scan, over the injected constants
   }
 
-  override def pushedFilters: Array[Predicate] =
-    builders.headOption.map(_._2.pushedFilters).getOrElse(Array.empty)
+  // nothing is reported as pushed: every filter re-evaluates above the
+  // scan (the per-group builders still push their safe subsets for
+  // row-group/stats pruning — that is an optimization, not a contract)
+  override def pushedFilters: Array[Predicate] = Array.empty
 
   /** True iff some captured filter PROVES the group empty under its
     * fill constants (evaluates to false or null — a WHERE discards
@@ -230,16 +236,32 @@ private final class FillScanBuilder(
   }
 
   override def build(): Scan = {
-    val dropped = builders.zipWithIndex.collect {
-      case ((fills, _), i) if groupDropped(fills) => i
-    }.toSet
-    // capture BUILD-time telemetry per group (the stats-pruned file
-    // scans record at PLANNING time instead — FillScan aggregates both
-    // kinds when it plans, mirroring MixedScan)
-    val scans = builders.map { case (fills, b) =>
-      val (s, c) = StatsPruning.collectPlanned(b.build())
-      (fills, s, c)
-    }
+    val dropped = groupFills.indices
+      .filter(i => groupDropped(groupFills(i))).toSet
+    // instantiate ONLY the surviving groups' builders (plus group 0 as
+    // the schema witness when everything is pruned), replay the
+    // captured pruning/pushdown, and build — capturing BUILD-time
+    // telemetry per group (the stats-pruned file scans record at
+    // PLANNING time instead; FillScan aggregates both kinds when it
+    // plans, mirroring MixedScan)
+    val scans: Seq[(Seq[(String, Any)], Option[Scan],
+        Option[(Int, Int)])] =
+      groupFills.indices.map { i =>
+        val fills = groupFills(i)
+        if (dropped(i) && !(i == 0 && dropped.size == groupFills.size))
+          (fills, None, None)
+        else {
+          val b = builderFor(i)
+          requiredSchema.foreach(b.pruneColumns)
+          val fillNames = fills.map(_._1.toLowerCase).toSet
+          b.pushFilters(captured.filterNot(_.exists {
+            case a: AttributeReference => fillNames(a.name.toLowerCase)
+            case _ => false
+          }))
+          val (s, c) = StatsPruning.collectPlanned(b.build())
+          (fills, Some(s), c)
+        }
+      }
     new FillScan(scans.map(t => (t._1, t._2)), dropped)(
       scans.map(_._3), groupFileCounts, tableName)
   }
@@ -254,7 +276,7 @@ private[sources] final case class FillFilePartition(group: Int,
 /** Concatenates the per-group stock scans; groups with fills get their
   * readers wrapped with the constant injection. */
 private final class FillScan(
-    private val scans: Seq[(Seq[(String, Any)], Scan)],
+    private val scans: Seq[(Seq[(String, Any)], Option[Scan])],
     /** Group indices proven empty by their fill constants at plan time
       * — never split, never scheduled. */
     private val droppedGroups: Set[Int])(
@@ -265,10 +287,16 @@ private final class FillScan(
     groupFileCounts: Seq[Int], tableName: String)
   extends Scan with Batch {
 
-  override def readSchema(): StructType = scans.head._2.readSchema()
+  // the schema/description witness: the first BUILT group (the builder
+  // always builds at least one, even when every group is pruned)
+  private def witness: Scan = scans.collectFirst {
+    case (_, Some(sc)) => sc }.getOrElse(throw new IllegalStateException(
+    "fill scan with no built group"))
+
+  override def readSchema(): StructType = witness.readSchema()
   override def description(): String =
     s"graft-fills(${scans.size}, ${droppedGroups.size} pruned: " +
-      s"${scans.head._2.description()})"
+      s"${witness.description()})"
   override def toBatch: Batch = this
 
   /** Spark refuses a scan mixing row-based and columnar partitions, so
@@ -294,8 +322,8 @@ private final class FillScan(
     var skipped = 0
     var total = 0
     var recorded = false
-    val parts = scans.zipWithIndex.flatMap { case ((_, s), i) =>
-      if (droppedGroups(i)) {
+    val parts = scans.zipWithIndex.flatMap { case ((_, so), i) =>
+      if (droppedGroups(i) || so.isEmpty) {
         // the whole group was proven empty by its fill constants: its
         // files count as skipped without being listed or split
         skipped += groupFileCounts(i); total += groupFileCounts(i)
@@ -303,7 +331,7 @@ private final class FillScan(
         Nil
       } else {
         val (ps, c) = StatsPruning.collectPlanned(
-          s.toBatch.planInputPartitions())
+          so.get.toBatch.planInputPartitions())
         c.orElse(buildCounts(i)).foreach { case (sk, t) =>
           skipped += sk; total += t; recorded = true
         }
@@ -323,16 +351,20 @@ private final class FillScan(
 
   private lazy val factory: PartitionReaderFactory = {
     // resolve each group's fills against ITS pruned read schema: a
-    // fill column the query never asked for needs no injection
-    val perGroup = scans.map { case (fills, s) =>
-      val out = s.readSchema()
-      val resolved = fills.flatMap { case (c, v) =>
-        val i = out.fieldNames.indexWhere(_.equalsIgnoreCase(c))
-        if (i < 0) None
-        else Some((i, out.fields(i).dataType,
-          Literal.create(v, out.fields(i).dataType).value))
-      }
-      (resolved.toArray, s.toBatch.createReaderFactory())
+    // fill column the query never asked for needs no injection.
+    // Un-built (pruned) groups plan no partitions, so their slot is
+    // never dereferenced
+    val perGroup = scans.map {
+      case (fills, Some(s)) =>
+        val out = s.readSchema()
+        val resolved = fills.flatMap { case (c, v) =>
+          val i = out.fieldNames.indexWhere(_.equalsIgnoreCase(c))
+          if (i < 0) None
+          else Some((i, out.fields(i).dataType,
+            Literal.create(v, out.fields(i).dataType).value))
+        }
+        (resolved.toArray, s.toBatch.createReaderFactory())
+      case (_, None) => null
     }
     new FillReaderFactory(perGroup.toArray, readSchema())
   }
