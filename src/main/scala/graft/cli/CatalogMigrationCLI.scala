@@ -75,7 +75,8 @@ object CatalogMigrationCLI {
       hiveDir: Option[String] = None,
       schemaDdl: Option[String] = None,
       partitionBy: Seq[String] = Seq.empty,
-      fileFormat: String = "parquet")
+      fileFormat: String = "parquet",
+      adoptAfterImport: Boolean = false)
 
   def main(args: Array[String]): Unit = sys.exit(run(args.toSeq))
 
@@ -217,6 +218,8 @@ object CatalogMigrationCLI {
           if (v != "parquet" && v != "orc")
             return Left(s"--file-format expects parquet or orc, got '$v'")
           o = o.copy(fileFormat = v); rest = t
+        case "--adopt" :: t =>
+          o = o.copy(adoptAfterImport = true); rest = t
         case "--small-files-only" :: t => o = o.copy(smallFilesOnly = true); rest = t
         case "--cluster-by" :: v :: t =>
           o = o.copy(clusterBy = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -399,15 +402,27 @@ object CatalogMigrationCLI {
     if (opts.dryRun) {
       log(s"Would import hive tree $dir as $ref " +
         s"(partitioned by ${opts.partitionBy.mkString(", ")}, " +
-        s"${opts.fileFormat} data files); dry run, nothing committed.")
+        s"${opts.fileFormat} data files" +
+        (if (opts.adoptAfterImport) ", then adopt for SQL writes" else "") +
+        s"); dry run, nothing committed.")
       return
     }
     val meta = graft.catalog.IcebergExport.importHiveTable(activeSpark(),
       dir, schema, opts.partitionBy, opts.fileFormat)
-    cat.registerTable(ref, meta)
-    log(s"Imported hive tree $dir as $ref -> $meta (zero-copy; " +
-      s"partition values recorded per file from the " +
-      s"${opts.partitionBy.mkString(", ")} directory names)")
+    if (opts.adoptAfterImport) {
+      // one-verb migration (round 16): register the tree AND adopt it
+      // into the engine's own manifest format, so the table takes SQL
+      // INSERT INTO / merge-on-read deletes immediately
+      graft.catalog.CatalogIO.adoptIcebergTable(activeSpark(), cat, ref, meta)
+      log(s"Imported hive tree $dir as $ref -> $meta and ADOPTED it " +
+        "(zero-copy; the table takes SQL writes; compact to " +
+        "materialize the partition columns into the files)")
+    } else {
+      cat.registerTable(ref, meta)
+      log(s"Imported hive tree $dir as $ref -> $meta (zero-copy; " +
+        s"partition values recorded per file from the " +
+        s"${opts.partitionBy.mkString(", ")} directory names)")
+    }
   }
 
   /** `set-ref` subcommand (round 15): commit an Iceberg TAG or BRANCH
@@ -851,6 +866,7 @@ object CatalogMigrationCLI {
       |  --schema <ddl>                   import-hive: data + partition columns
       |  --partition-by c1[,c2...]        import-hive: partition column names
       |  --file-format <parquet|orc>      import-hive: data file format (default parquet)
+      |  --adopt                          import-hive: also adopt (table takes SQL writes)
       |  --dry-run                        report what would be done, commit nothing
       |
       |Migration options:

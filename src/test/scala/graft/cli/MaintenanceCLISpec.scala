@@ -341,6 +341,23 @@ class MaintenanceCLISpec extends AnyFunSuite {
     assert(got.groupBy("par").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap ==
       Map("even" -> 20L, "odd" -> 20L))
+    // --adopt: one-verb migration — imported AND adopted, SQL-writable
+    val hiveDir2 = s"${Files.createTempDirectory("maint-hive").toString}/ht2"
+    (1 to 10).map(i => (i.toLong, if (i % 2 == 0) "even" else "odd"))
+      .toDF("id", "par").write.partitionBy("par").parquet(hiveDir2)
+    val (acode, alines) = runCli(Seq("import-hive",
+      "--catalog-type", "hadoop",
+      "--catalog-properties", s"warehouse=$wh",
+      "--identifiers", "db.t2", "--output-dir", outDir,
+      "--hive-dir", hiveDir2, "--schema", ddl, "--partition-by", "par",
+      "--adopt"))
+    assert(acode == 0, alines.mkString("\n"))
+    assert(alines.exists(_.contains("ADOPTED")))
+    // the adopted table takes SQL INSERT INTO through the engine
+    graft.catalog.CatalogIO.commitAppend(spark, hc, TableRef.parse("db.t2"),
+      Seq((100L, "even")).toDF("id", "par"))
+    assert(graft.catalog.CatalogIO.readTable(spark, hc,
+      TableRef.parse("db.t2")).count() == 11)
     // argument errors: each missing required option exits 2
     val (e1, l1) = runCli(maintArgs("import-hive", wh, outDir,
       "--schema", ddl, "--partition-by", "par"))
