@@ -149,6 +149,7 @@ object SparkEntry {
     "w24_partitioned_append" -> (graft.queries.WriteQueries.w24 _),
     "w25_partitioned_mor" -> (graft.queries.WriteQueries.w25 _),
     "w26_hive_adopt" -> (graft.queries.WriteQueries.w26 _),
+    "w27_scoped_eq_delete" -> (graft.queries.WriteQueries.w27 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1162,6 +1163,27 @@ object SparkEntry {
         |       CAST(SUM(k) AS BIGINT) AS k_sum,
         |       CAST(SUM(qty) AS BIGINT) AS qty_sum
         |FROM full_t GROUP BY rf""".stripMargin,
+    // w27: partition-SCOPED equality deletes (round 17) — the Flink
+    // upsert/CDC shape: two deletes keyed on the shared data column k,
+    // each confined to ONE rf partition; the oracle replays the scopes
+    // relationally (keys survive in every other partition).
+    "w27_scoped_eq_delete" ->
+      """WITH t AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS k,
+        |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+        |  FROM lineitem),
+        |live AS (
+        |  SELECT * FROM t WHERE NOT (rf = 'N' AND k % 7 = 0)
+        |                    AND NOT (rf = 'A' AND k % 11 = 0)),
+        |g AS (
+        |  SELECT rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum,
+        |         CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |  FROM live GROUP BY rf)
+        |SELECT 'all' AS phase, * FROM g
+        |UNION ALL
+        |SELECT 'flt' AS phase, * FROM g WHERE rf = 'N'
+        |UNION ALL
+        |SELECT 'df' AS phase, * FROM g""".stripMargin,
     // w26: the ADOPTED hive-import lifecycle (round 16) — import 80% of
     // lineitem as a hive tree, adopt, SQL-INSERT the rest, eq-MOR
     // delete rf='N', compact. Final state = lineitem minus rf='N'.

@@ -82,12 +82,22 @@ object CatalogIO {
     *
     * `path` is segment-relative, under `_deletes/` (the `_` prefix keeps
     * [[listDataFiles]] from ever treating it as data); `seq` is the
-    * version the delete committed at. `targets` (pos only) lists the
+    * version the delete committed at. `targets` (pos/vector) lists the
     * segment-relative DATA files the delete addresses — Iceberg's
     * `referenced_data_file` idiom — so scans confine the row-counting
     * read path to exactly the addressed files; empty targets on a pos
     * delete means "unknown: treat every pre-delete file as addressed"
-    * (sound, slower). */
+    * (sound, slower).
+    *
+    * An EQUALITY delete with non-empty `targets` (round 17) is
+    * PARTITION-SCOPED: it applies to EXACTLY the listed data files and
+    * to no other — the shape Flink's upsert/CDC writer produces on a
+    * partitioned Iceberg table, converted by [[IcebergFormat]] at
+    * conversion time (same spec id + equal partition tuple + the
+    * dataSeq < deleteSeq gate, all resolved against the snapshot's own
+    * manifests, so the seq gate is already folded into the target
+    * list). Untargeted equality deletes keep the global fileSeq <
+    * deleteSeq rule. */
   final case class DeleteFile(path: String, seq: Int,
       kind: String = DeleteKinds.Equality, targets: Seq[String] = Nil,
       blobOffset: Option[Long] = None, blobLength: Option[Long] = None,
@@ -98,8 +108,6 @@ object CatalogIO {
         * correctness. */
       rowCount: Option[Long] = None) {
     require(DeleteKinds.All(kind), s"unknown delete-file kind '$kind'")
-    require(targets.isEmpty || kind != DeleteKinds.Equality,
-      "delete-file targets apply to positional deletes and vectors only")
     require(if (kind == DeleteKinds.Vector)
         blobOffset.isDefined && blobLength.isDefined
       else blobOffset.isEmpty && blobLength.isEmpty,
@@ -362,6 +370,26 @@ object CatalogIO {
       * the seq participates in the fileSeq < deleteSeq gate. */
     def absoluteEqDeleteFiles: Seq[(String, Int)] =
       eqDeleteFiles.map(d => (new Path(dataLocation, d.path).toString, d.seq))
+    // memoized target → delete paths for PARTITION-SCOPED (targeted)
+    // equality deletes — the per-file applicability lookup runs once
+    // per planned data file
+    @transient private lazy val eqByTarget: Map[String, Seq[String]] =
+      eqDeleteFiles.filter(_.targets.nonEmpty)
+        .flatMap(d => d.targets.map(t =>
+          t -> new Path(dataLocation, d.path).toString))
+        .groupBy(_._1).map { case (t, ps) => t -> ps.map(_._2) }
+    @transient private lazy val eqUntargeted: Seq[(String, Int)] =
+      eqDeleteFiles.filter(_.targets.isEmpty)
+        .map(d => (new Path(dataLocation, d.path).toString, d.seq))
+    /** Absolute EQUALITY-delete paths applicable to data file `rel`
+      * (segment-relative) committed at `fileSeq`: partition-scoped
+      * deletes name their files exactly (spec id + partition tuple +
+      * seq gate, all folded in at conversion); global (untargeted)
+      * deletes gate by fileSeq < deleteSeq. Unsorted — callers
+      * needing a deterministic group key sort. */
+    def eqDeletePathsFor(rel: String, fileSeq: Int): Seq[String] =
+      eqByTarget.getOrElse(rel, Nil) ++
+        eqUntargeted.collect { case (p, s) if fileSeq < s => p }
     /** Absolute paths of the POSITIONAL delete files (file-addressed —
       * no seq gate; they apply to exactly the files they name). */
     def absolutePosDeleteFiles: Seq[String] =
@@ -690,8 +718,9 @@ object CatalogIO {
           s"""  "deleteFileSeqs": ${arrBody(layout.deleteFiles.map(_.seq.toString))},\n""" +
           (if (layout.deleteFiles.forall(_.kind == DeleteKinds.Equality)) ""
            else s"""  "deleteFileKinds": ${arrBody(layout.deleteFiles.map(_.kind))},\n""") +
-          // per-delete-file addressed data files (pos deletes only; ';'-
-          // joined — part-file paths never contain ';', enforced at write)
+          // per-delete-file addressed data files (pos deletes +
+          // partition-scoped equality deletes, round 17; ';'-joined —
+          // part-file paths never contain ';', enforced at write)
           (if (layout.deleteFiles.forall(_.targets.isEmpty)) ""
            else {
              layout.deleteFiles.flatMap(_.targets).find(_.contains(";")).foreach(t =>
@@ -781,7 +810,21 @@ object CatalogIO {
         case l: java.lang.Long => root.put(c, l.longValue())
         case d: java.lang.Double => root.put(c, d.doubleValue())
         case f: java.lang.Float => root.put(c, f.floatValue())
-        case other => root.put(c, other.toString)
+        // text forms WHITELISTED to exactly the producer types whose
+        // toString round-trips through decodeFills' parsers (advisor
+        // r16 #3) — a permissive fallthrough would commit a manifest
+        // that only fails at READ time (e.g. java.sql.Timestamp's
+        // non-ISO toString vs Instant.parse)
+        case s: String => root.put(c, s)
+        case d: java.time.LocalDate => root.put(c, d.toString)
+        case d: java.sql.Date => root.put(c, d.toString)
+        case t: java.time.LocalDateTime => root.put(c, t.toString)
+        case t: java.time.Instant => root.put(c, t.toString)
+        case bd: java.math.BigDecimal => root.put(c, bd.toString)
+        case other => throw new IllegalArgumentException(
+          s"fill value for '$c' has unencodable class " +
+            s"${other.getClass.getName}; refusing before the commit — " +
+            "a permissive encoding would only fail on read-back")
       }
     }
     m.writeValueAsString(root)
@@ -2921,7 +2964,6 @@ object CatalogIO {
       case Some(_) if layout.seqGated && layout.hasFills =>
         graft.sources.MorRead.dataFrame(spark, layout, options)
       case Some(filesWithSeqs) if layout.seqGated =>
-        val eqDels = layout.absoluteEqDeleteFiles
         val schema = org.apache.spark.sql.types.StructType.fromDDL(
           layout.schemaDdl.getOrElse(throw new IllegalStateException(
             s"Seq-gated manifest with no recorded schema at ${layout.dataLocation}")))
@@ -2936,7 +2978,7 @@ object CatalogIO {
           .groupBy { case (abs, s) =>
             val rel = relByAbs(abs)
             val hasDv = layout.dvFor(rel).isDefined
-            (eqDels.collect { case (p, d) if s < d => p },
+            (layout.eqDeletePathsFor(rel, s).sorted,
               (if (hasDv) Nil else layout.posDeletesFor(rel, s)).sorted,
               hasDv,
               layout.physicalNamesAt(s))
@@ -3261,14 +3303,13 @@ object CatalogIO {
         .withColumn("__graft_pos",
           org.apache.spark.sql.functions.lit(null).cast("bigint"))
     }
-    val eqDels = layout.absoluteEqDeleteFiles
     val rels = layout.dataFiles.getOrElse(Nil)
     val relByAbs = rels.zip(filesWithSeqs.map(_._1)).map(_.swap).toMap
     val groups = filesWithSeqs
       .groupBy { case (abs, s) =>
         val rel = relByAbs(abs)
         val hasDv = layout.dvFor(rel).isDefined
-        (eqDels.collect { case (p, d) if s < d => p },
+        (layout.eqDeletePathsFor(rel, s).sorted,
           (if (hasDv) Nil else layout.posDeletesFor(rel, s)).sorted,
           hasDv)
       }
@@ -4137,8 +4178,11 @@ object CatalogIO {
     // equality deletes (round 16): one anti-join per delete file —
     // keys null-safe-compared under the TABLE's types, gated on the
     // row's file data seq (`__graft_seq` < delete seq: a row
-    // re-inserted after the delete stays visible). Broadcast: delete
-    // files are batch-sized by the maintenance contract.
+    // re-inserted after the delete stays visible). PARTITION-SCOPED
+    // deletes (round 17) carry their applicable data files as targets
+    // (spec id + tuple + seq gate folded in at conversion): the gate
+    // becomes file membership. Broadcast: delete files are batch-sized
+    // by the maintenance contract.
     val undeleted = layout.eqDeleteFiles.foldLeft(dvApplied) { (df, del) =>
       val abs = layout.dataLocation.stripSuffix("/") + "/" + del.path
       val raw = spark.read.parquet(abs)
@@ -4151,8 +4195,11 @@ object CatalogIO {
       }
       val keyCond = raw.columns.map(c => df.col(c) <=> typed.col(c))
         .reduce(_ && _)
-      df.join(broadcast(typed),
-        keyCond && (col("__graft_seq") < lit(del.seq.toLong)), "left_anti")
+      val gate =
+        if (del.targets.nonEmpty)
+          col("__graft_file").isInCollection(del.targets)
+        else col("__graft_seq") < lit(del.seq.toLong)
+      df.join(broadcast(typed), keyCond && gate, "left_anti")
     }
     undeleted.select((schema.fieldNames.toSeq ++
       Seq("_row_id", "_last_updated_sequence_number")).map(col): _*)

@@ -93,6 +93,7 @@ object IcebergExport {
     // computes the manifest stats IN the write pass — one scan of the
     // data, where parquet/orc pay write + stats read-back
     val partCols = partSpecColsOf(fieldIds, partitionBy)
+    requireNoEmptyStringPartitions(df, partCols)
     val avroResults =
       if (fileFormat != "avro") {
         val w = df.write.format(fileFormat)
@@ -238,6 +239,7 @@ object IcebergExport {
     // is exact (no listing diff), and file names can never collide
     val rel = s"data/s$seq-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(st.root, rel)
+    requireNoEmptyStringPartitions(df, st.partCols)
     val avroResults =
       if (fileFormat != "avro") {
         val w = df.write.format(fileFormat)
@@ -320,37 +322,64 @@ object IcebergExport {
     * rows must address data files of THIS table (absolute paths as the
     * manifests spell them); `equality`'s columns must be table columns
     * (they become the `equality_ids`). Returns the new metadata
-    * location. */
+    * location.
+    *
+    * `equalityPartition` (round 17) writes the equality delete
+    * PARTITION-SCOPED — the Flink upsert/CDC shape: one external value
+    * per table partition column, in spec order (null allowed), recorded
+    * in the delete manifest's `partition` record under the PARTITIONED
+    * spec 0, so the delete applies only to data files of that exact
+    * partition tuple (and any spec-conformant reader scopes it the same
+    * way). Omitted = a GLOBAL delete under the auxiliary unpartitioned
+    * spec, as before. */
   def appendDeletes(spark: SparkSession, metadataLocation: String,
       positional: Option[DataFrame] = None,
       equality: Option[DataFrame] = None,
-      fileFormat: String = "parquet"): String = {
+      fileFormat: String = "parquet",
+      equalityPartition: Option[Seq[Any]] = None): String = {
     require(positional.nonEmpty || equality.nonEmpty,
       "appendDeletes needs at least one delete set")
     require(fileFormat == "parquet" || fileFormat == "orc",
       s"appendDeletes writes parquet or orc delete files, got '$fileFormat'")
     val st = loadState(spark, metadataLocation)
-    // partitioned tables take GLOBAL deletes (round 16): the delete
-    // manifests are written under the auxiliary UNPARTITIONED spec 1,
-    // the spec-conformant "applies to every partition" shape (a delete
-    // manifest under the partitioned spec with an empty tuple would
-    // scope to the NULL partition)
+    // partitioned tables take GLOBAL deletes by default (round 16): the
+    // delete manifests are written under the auxiliary UNPARTITIONED
+    // spec 1, the spec-conformant "applies to every partition" shape (a
+    // delete manifest under the partitioned spec with an empty tuple
+    // would scope to the NULL partition). With `equalityPartition` the
+    // manifest goes under the PARTITIONED spec 0 with the tuple
+    // recorded (round 17).
     // the v3 spec forbids ADDING position delete files (deletion
     // vectors replace them); equality deletes remain legal
     require(st.formatVersion < 3 || positional.isEmpty,
       s"$metadataLocation is format-version 3: position delete files " +
         "must not be added to v3 tables — use appendDeletionVectors")
+    equalityPartition.foreach { vs =>
+      require(st.partCols.nonEmpty,
+        s"$metadataLocation is unpartitioned; a partition-scoped " +
+          "equality delete needs a partitioned table")
+      require(equality.nonEmpty && positional.isEmpty,
+        "equalityPartition scopes the EQUALITY delete set only — pass " +
+          "positional deletes in a separate (global) call")
+      require(vs.size == st.partCols.size,
+        s"equalityPartition needs ${st.partCols.size} value(s) for " +
+          st.partCols.map(_.field.name).mkString("(", ", ", ")") +
+          s", got ${vs.size}")
+    }
+    val scoped = equalityPartition.isDefined
     val seq = st.lastSeq + 1
     val snapshotId = newSnapshotId()
     val delDir = new Path(st.root,
       s"deletes/s$seq-${java.util.UUID.randomUUID().toString.take(8)}")
-    val mSchema = new Schema.Parser().parse(manifestSchemaJson("del_manifest"))
+    val mSchema = new Schema.Parser().parse(manifestSchemaJson(
+      "del_manifest", if (scoped) st.partCols else Nil))
     val dfSchema = mSchema.getField("data_file").schema()
     val manifestPath = new Path(st.metaDir,
       s"dm$seq-${java.util.UUID.randomUUID()}.avro")
     val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
     setManifestMeta(writer, st.schemaNode.toString, content = "deletes",
-      specId = if (st.partCols.nonEmpty) 1 else 0)
+      partCols = if (scoped) st.partCols else Nil,
+      specId = if (st.partCols.nonEmpty && !scoped) 1 else 0)
     writer.create(mSchema, st.fs.create(manifestPath, false))
     var rows = 0L
     try {
@@ -398,7 +427,12 @@ object IcebergExport {
         d.put("content", 2)
         d.put("file_path", st.fs.makeQualified(target).toString)
         d.put("file_format", fileFormat.toUpperCase(java.util.Locale.ROOT))
-        d.put("partition", emptyPartition(dfSchema))
+        val pRec = emptyPartition(dfSchema)
+        equalityPartition.foreach(vs =>
+          st.partCols.zip(vs).foreach { case (c, v) =>
+            pRec.put(c.field.name, avroPartValue(c, v))
+          })
+        d.put("partition", pRec)
         d.put("record_count", n)
         d.put("file_size_in_bytes", st.fs.getFileStatus(target).getLen)
         val arr = new GenericData.Array[Integer](ids.length,
@@ -419,7 +453,7 @@ object IcebergExport {
       minSeq = seq, addedSnapshotId = snapshotId,
       addedFiles = nFiles, existingFiles = 0, deletedFiles = 0,
       addedRows = rows, existingRows = 0L, deletedRows = 0L,
-      specId = if (st.partCols.nonEmpty) 1 else 0)
+      specId = if (st.partCols.nonEmpty && !scoped) 1 else 0)
     commitSnapshot(st, snapshotId, seq, "delete", st.priorEntries :+ entry)
   }
 
@@ -1373,6 +1407,47 @@ object IcebergExport {
       s"""{"name": "${esc(c.field.name)}", "type": ["null", $t], """ +
         s""""default": null, "field-id": ${c.fieldId}}"""
     }.mkString(", ")
+
+  /** The hive directory layout renders BOTH null and the empty string
+    * as `__HIVE_DEFAULT_PARTITION__` — an empty-string value in a
+    * string partition column would silently read back as NULL forever
+    * (advisor r16 #2). Refuse BEFORE the partitioned write; nulls stay
+    * legal. One aggregate pass over the export frame, export-sized. */
+  private def requireNoEmptyStringPartitions(
+      df: org.apache.spark.sql.DataFrame, partCols: Seq[PartSpecCol]): Unit = {
+    import org.apache.spark.sql.functions._
+    val strCols = partCols.collect {
+      case c if c.field.dataType == StringType => c.field.name }
+    if (strCols.isEmpty) return
+    val counts = df.select(strCols.map(c =>
+      sum(when(col(c) === "", 1L).otherwise(0L)).as(c)): _*).head
+    strCols.zipWithIndex.foreach { case (c, i) =>
+      val n = if (counts.isNullAt(i)) 0L else counts.getLong(i)
+      require(n == 0L,
+        s"partition column '$c' has $n empty-string value(s); the hive " +
+          "directory layout renders '' as __HIVE_DEFAULT_PARTITION__ " +
+          "(indistinguishable from NULL on every read back) — map '' to " +
+          "NULL or a sentinel before a partitioned export")
+    }
+  }
+
+  /** One EXTERNAL partition value in AVRO form for the manifest
+    * `partition` record (round 17 — scoped delete writes): spec types
+    * are the identity set (int/long/string/boolean/date); dates map to
+    * epoch days per the Iceberg-avro mapping. */
+  private def avroPartValue(c: PartSpecCol, v: Any): Any = v match {
+    case null => null
+    case i: java.lang.Integer => i
+    case l: java.lang.Long => l
+    case s: String => s
+    case b: java.lang.Boolean => b
+    case d: java.sql.Date => Int.box(d.toLocalDate.toEpochDay.toInt)
+    case d: java.time.LocalDate => Int.box(d.toEpochDay.toInt)
+    case other => throw new IllegalArgumentException(
+      s"partition value for '${c.field.name}' has unsupported class " +
+        other.getClass.getName +
+        " (int/long/string/boolean/date accepted)")
+  }
 
   /** Parse one data file's identity partition values from its
     * hive-layout relative path (`col=value/…`), typed per the spec

@@ -685,6 +685,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
           throw new UnsupportedOperationException(
             s"$catalogName: $ref has live equality-delete files; compactTable " +
               "first to materialize them before renaming columns")
+        // fills + renames never coexist (the TableLayout invariant would
+        // refuse the commit anyway, but before-side-effect with the fix
+        // named beats a generic require message — advisor r16 #1)
+        if (layout.dataFileFills.exists(_.exists(_.exists(
+            _._1.equalsIgnoreCase(from)))))
+          throw new UnsupportedOperationException(
+            s"$catalogName: cannot rename $from — $ref serves it as a " +
+              "per-file constant fill (identity partition value / " +
+              "initial-default); compact the table (materializing the " +
+              "fills) first")
         if (layout.dataFiles.isEmpty)
           throw new UnsupportedOperationException(
             s"$catalogName: $ref predates file manifests; INSERT OVERWRITE " +
@@ -723,6 +733,17 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
             s"$catalogName: cannot drop $nm — it is part of $ref's recorded " +
               "partition/bucket/sort layout; rewrite the table under a new " +
               "layout instead")
+        // an ADOPTED fill table's manifests key per-file constants by
+        // COLUMN NAME (dataFileFills — identity partition values /
+        // initial-defaults); dropping the column would commit a version
+        // whose fills no longer decode (every later readLayout throws in
+        // decodeFills) — refuse BEFORE the side effect (advisor r16 #1)
+        if (layout.dataFileFills.exists(_.exists(_.exists(
+            _._1.equalsIgnoreCase(nm)))))
+          throw new UnsupportedOperationException(
+            s"$catalogName: cannot drop $nm — $ref serves it as a per-file " +
+              "constant fill (identity partition value / initial-default); " +
+              "compact the table (materializing the fills) first")
         if (layout.dataFiles.isEmpty)
           throw new UnsupportedOperationException(
             s"$catalogName: $ref predates file manifests; INSERT OVERWRITE " +

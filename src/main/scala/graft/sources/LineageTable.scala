@@ -181,7 +181,10 @@ private final class LineageScanBuilder(inner: ScanBuilder,
 private final case class LineagePartition(files: FilePartition,
     firstRowId: Option[Long], dataSeq: Long,
     fills: Seq[(String, Any)],
-    dvBlob: Option[(String, Long, Long)]) extends InputPartition {
+    dvBlob: Option[(String, Long, Long)],
+    /** Segment-relative data-file path — partition-scoped equality
+      * probes gate on target membership (round 17). */
+    rel: String) extends InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
 
@@ -227,7 +230,8 @@ private final class LineageScan(spark: SparkSession, label: String,
   private val eqDeletes: Seq[LineageEqDelete] =
     if (layout.eqDeleteFiles.isEmpty) Nil
     else LineageScan.eqCache.getOrElseUpdate(
-      (layout.dataLocation, layout.eqDeleteFiles.map(d => (d.path, d.seq))),
+      (layout.dataLocation,
+        layout.eqDeleteFiles.map(d => (d.path, d.seq, d.targets))),
       loadEqDeletes())
 
   private def loadEqDeletes(): Seq[LineageEqDelete] = {
@@ -261,7 +265,8 @@ private final class LineageScan(spark: SparkSession, label: String,
         scala.collection.immutable.ArraySeq.from(
           cols.indices.map(i => MorScan.normalize(convs(i)(r.get(i)))))
       }.toSet
-      LineageEqDelete(del.seq.toLong, cols, fields.map(_.dataType), tuples)
+      LineageEqDelete(del.seq.toLong, cols, fields.map(_.dataType), tuples,
+        if (del.targets.isEmpty) None else Some(del.targets.toSet))
     }
   }
   // the key columns the probes need beyond the projection, appended to
@@ -287,7 +292,7 @@ private final class LineageScan(spark: SparkSession, label: String,
   private val eqProbes: Array[LineageEqProbe] = eqDeletes.map { d =>
     LineageEqProbe(d.seq,
       d.cols.map(c => innerFields.indexWhere(_.name.equalsIgnoreCase(c))).toArray,
-      d.types.toArray, d.tuples)
+      d.types.toArray, d.tuples, d.targets)
   }.toArray
 
   override def readSchema(): StructType = required
@@ -341,7 +346,7 @@ private final class LineageScan(spark: SparkSession, label: String,
         val (first, seq) = linByRel(rel)
         LineagePartition(FilePartition(i, Array(whole)), first, seq,
           fillsByRel.getOrElse(rel, Seq.empty),
-          layout.dvFor(rel)): InputPartition
+          layout.dvFor(rel), rel): InputPartition
       }.toArray
   }
 
@@ -362,21 +367,28 @@ private object LineageScan {
     * JVM-lifetime footprint is bounded by the broadcast-safe tuple cap
     * per live layout. */
   val eqCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Seq[(String, Int)]), Seq[LineageEqDelete]]
+    .empty[(String, Seq[(String, Int, Seq[String])]), Seq[LineageEqDelete]]
 }
 
 /** One loaded equality-delete file: its commit seq, key column names,
   * key types, and normalized catalyst tuple set. */
 private final case class LineageEqDelete(seq: Long, cols: Vector[String],
     types: Vector[DataType],
-    tuples: Set[scala.collection.immutable.ArraySeq[Any]])
+    tuples: Set[scala.collection.immutable.ArraySeq[Any]],
+    /** Partition-scoped deletes (round 17): the exact applicable data
+      * files; None = global (seq-gated). */
+    targets: Option[Set[String]])
 
 /** The reader-side probe: key ordinals resolved into the widened inner
-  * row. A probe applies to a file iff the file's data seq predates the
-  * delete's (`fileSeq < seq` — a re-inserted key stays visible). */
+  * row. A GLOBAL probe applies to a file iff the file's data seq
+  * predates the delete's (`fileSeq < seq` — a re-inserted key stays
+  * visible); a partition-SCOPED probe (round 17) applies iff the file
+  * is in its target set (spec id + tuple + seq gate folded in at
+  * conversion). */
 private final case class LineageEqProbe(seq: Long, ordinals: Array[Int],
     types: Array[DataType],
-    tuples: Set[scala.collection.immutable.ArraySeq[Any]])
+    tuples: Set[scala.collection.immutable.ArraySeq[Any]],
+    targets: Option[Set[String]])
 
 private final class LineageReaderFactory(inner: PartitionReaderFactory,
     conf: SerializableConfiguration, fieldPlan: Array[Int],
@@ -397,7 +409,8 @@ private final class LineageReaderFactory(inner: PartitionReaderFactory,
       FillInjection.resolve(lp.fills, innerSchema), innerSchema)
     new LineageRowReader(base, lp.firstRowId,
       lp.dataSeq, deleted, fieldPlan, fieldTypes,
-      eqProbes.filter(lp.dataSeq < _.seq))
+      eqProbes.filter(p =>
+        p.targets.fold(lp.dataSeq < p.seq)(_.contains(lp.rel))))
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean = false

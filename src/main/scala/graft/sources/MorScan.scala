@@ -384,12 +384,13 @@ private object MorScan {
     val schema = StructType.fromDDL(layout.schemaDdl.getOrElse(
       throw new IllegalStateException(
         s"merge-on-read layout without a recorded schema at ${layout.dataLocation}")))
-    val eqDels = layout.absoluteEqDeleteFiles
     val withSeqs = layout.absoluteDataFilesWithSeqs.getOrElse(Nil)
-    val groups = withSeqs
-      .groupBy { case (_, s) =>
-        eqDels.collect { case (p, d) if s < d => p }.sorted
+    val relsOf = layout.dataFiles.getOrElse(Nil)
+    val groups = relsOf.zip(withSeqs)
+      .groupBy { case (rel, (_, s)) =>
+        layout.eqDeletePathsFor(rel, s).sorted
       }
+      .map { case (k, v) => k -> v.map(_._2) }
       .filter(_._1.nonEmpty)
       .toSeq.sortBy(_._1.mkString("\u0000"))
     if (groups.isEmpty) return Map.empty
@@ -397,8 +398,8 @@ private object MorScan {
     def qual(s: String): String = fs.makeQualified(new Path(s)).toString
     val relByAbs = layout.dataFiles.getOrElse(Nil)
       .zip(withSeqs.map(_._1)).map { case (rel, abs) => qual(abs) -> rel }.toMap
-    val cacheKey = (layout.dataLocation, layout.absoluteEqDeleteFiles,
-      withSeqs)
+    val cacheKey = (layout.dataLocation,
+      layout.eqDeleteFiles.map(d => (d.path, d.seq, d.targets)), withSeqs)
     def computeSpill(spillRoot: Path,
         spillFs: org.apache.hadoop.fs.FileSystem)
         : (Map[String, Seq[String]], () => Unit) = {
@@ -808,7 +809,6 @@ private final class MorScan(private val delegate: FileScan,
     // hatch, never a driver-side tuple collect), and the scan then
     // serves them through the existing per-task positional machinery.
     // The probe groups below see NO equality deletes in that mode.
-    val eqDels = if (eqOverflow) Nil else layout.absoluteEqDeleteFiles
     val spilledFor: Map[String, Seq[String]] =
       if (!eqOverflow) Map.empty
       else MorScan.spillEqualityDeletes(session, conf, layout, hadoopOpts)
@@ -837,7 +837,9 @@ private final class MorScan(private val delegate: FileScan,
     def fillsOf(rel: String): Seq[(String, Any)] =
       fillsByRel.getOrElse(rel, Seq.empty)
     val byGroup = slices.groupBy { pf =>
-      eqDels.collect { case (p, d) if seqOf(pf) < d => p }.sorted
+      if (eqOverflow) Nil
+      else layout.eqDeletePathsFor(
+        relByPath(qual(pf.filePath.toString)), seqOf(pf)).sorted
     }.toArray.sortBy(_._1.mkString("\u0000"))
     val openCost = session.sessionState.conf.filesOpenCostInBytes
     val maxSplit = FilePartition.maxSplitBytes(session,

@@ -2891,7 +2891,7 @@ class IcebergFormatSpec extends AnyFunSuite {
 
   test("fills + deletes: a partitioned table takes GLOBAL equality " +
       "deletes and deletion vectors; probes see the filled values; " +
-      "both faces agree; partition-scoped equality deletes refuse") {
+      "both faces agree; malformed scope metadata refuses") {
     graft.sources.TempCatalog.withTempHandles(spark, "graft-ice-pmor") { (cat, hc) =>
       import spark.implicits._
       val conf = spark.sessionState.newHadoopConf()
@@ -2969,9 +2969,11 @@ class IcebergFormatSpec extends AnyFunSuite {
         assert(e.getMessage.contains("per-file constant fills") ||
           e.getMessage.contains("materializing the columns"), e.getMessage)
       } finally spark.conf.unset("spark.graft.mor.maxDeleteTuples")
-      // a PARTITION-SCOPED equality delete refuses: relabel the
-      // auxiliary spec 1 as field-bearing — the reader must refuse
-      // rather than apply a scoped delete globally
+      // MALFORMED scope metadata refuses: relabel the auxiliary spec 1
+      // as field-bearing while the delete manifest's partition records
+      // stay empty — the reader must refuse (it can neither apply the
+      // delete globally nor recover the claimed tuple) rather than
+      // guess
       val p = new Path(meta3)
       val fs = p.getFileSystem(conf)
       val text = {
@@ -2987,9 +2989,161 @@ class IcebergFormatSpec extends AnyFunSuite {
       val out = fs.create(p2, false)
       try out.write(mutated.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      val e2 = intercept[UnsupportedOperationException](
+      val e2 = intercept[IllegalStateException](
         CatalogIO.scanMetadataLocation(spark, p2.toString).collect())
-      assert(e2.getMessage.contains("scoped to a partition"), e2.getMessage)
+      assert(e2.getMessage.contains("partition record lacks spec field"),
+        e2.getMessage)
+    }
+  }
+
+  test("partition-SCOPED equality deletes serve (Flink upsert/CDC " +
+      "shape): a delete removes only its own partition's rows, " +
+      "post-delete appends stay visible, no-match scopes drop, and " +
+      "the scope survives ADOPTION") {
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-ice-scoped") { (cat, hc) =>
+      import spark.implicits._
+      val conf = spark.sessionState.newHadoopConf()
+      val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tsc"
+      // two partitions SHARING every key value: a globally-applied
+      // scoped delete would visibly kill the twin partition's rows
+      val df = (1 to 40).flatMap(i =>
+        Seq((i.toLong, s"a-$i", 1), (i.toLong, s"b-$i", 2)))
+        .toDF("id", "name", "k")
+      val meta1 = IcebergExport.writeTable(spark, df, dir,
+        partitionBy = Seq("k"))
+      // ids 1..3 deleted ONLY in partition k=1
+      val meta2 = IcebergExport.appendDeletes(spark, meta1,
+        equality = Some(Seq(1L, 2L, 3L).toDF("id")),
+        equalityPartition = Some(Seq(Int.box(1))))
+      // a scope matching NO live partition deletes nothing and is
+      // dropped at conversion (the deletion-vector rule)
+      val meta2b = IcebergExport.appendDeletes(spark, meta2,
+        equality = Some(Seq(5L).toDF("id")),
+        equalityPartition = Some(Seq(Int.box(99))))
+      val l2 = CatalogIO.readLayout(meta2b, conf)
+      assert(l2.deleteFiles.size == 1, l2.deleteFiles)
+      assert(l2.deleteFiles.head.targets.nonEmpty)
+      def rowsOf(d: org.apache.spark.sql.DataFrame) =
+        d.select("id", "name", "k").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val expect2 = df.filter(!($"k" === 1 && $"id".isin(1L, 2L, 3L)))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      // library face
+      assert(rowsOf(CatalogIO.scanMetadataLocation(spark, meta2b)) == expect2)
+      // SQL face — and the twin partition keeps the shared keys
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.sc"), meta2b)
+      assert(rowsOf(spark.table(s"$cat.db.sc")) == expect2)
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.db.sc " +
+        "WHERE k = 2 AND id IN (1, 2, 3)").head.getLong(0) == 3L)
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.db.sc " +
+        "WHERE k = 1 AND id IN (1, 2, 3)").head.getLong(0) == 0L)
+      // a post-delete APPEND into the SAME partition stays visible:
+      // the scope resolution folds the dataSeq < deleteSeq gate in
+      val meta3 = IcebergExport.appendSnapshot(spark,
+        Seq((1L, "re-ins", 1)).toDF("id", "name", "k").coalesce(1), meta2b)
+      val expect3 = expect2 + ((1L, "re-ins", 1))
+      assert(rowsOf(CatalogIO.scanMetadataLocation(spark, meta3)) == expect3)
+      // ADOPTION: the targeted-equality model round-trips through the
+      // engine's own manifest (deleteFileTargets)
+      val ref = TableRef.parse("db.sc_adopt")
+      CatalogIO.adoptIcebergTable(spark, hc, ref, meta2b)
+      val adopted = CatalogIO.readLayout(
+        hc.loadTableMetadataLocation(ref), conf)
+      assert(adopted.deleteFiles.size == 1)
+      assert(adopted.deleteFiles.head.targets ==
+        l2.deleteFiles.head.targets)
+      assert(rowsOf(CatalogIO.readTable(spark, hc, ref)) == expect2)
+      assert(rowsOf(spark.table(s"$cat.db.sc_adopt")) == expect2)
+    }
+  }
+
+  test("partition-SCOPED equality deletes gate the LINEAGE faces by " +
+      "file membership (v3: DV upgrade, then a scoped delete)") {
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-ice-scln") { (cat, hc) =>
+      import spark.implicits._
+      val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tln"
+      val df = (1 to 20).flatMap(i =>
+        Seq((i.toLong, s"a-$i", 1), (i.toLong, s"b-$i", 2)))
+        .toDF("id", "name", "k")
+      val meta1 = IcebergExport.writeTable(spark, df, dir,
+        partitionBy = Seq("k"))
+      // upgrade to v3 via a deletion vector on one k=2 file (position 0)
+      val conf = spark.sessionState.newHadoopConf()
+      val l1 = CatalogIO.readLayout(meta1, conf)
+      val victimFile = l1.absoluteDataFiles.get
+        .zip(l1.dataFileFills.get)
+        .collectFirst { case (f, fl) if fl.exists(x =>
+          x._1 == "k" && x._2 == 2) => f }.get
+      val victimId = spark.read.parquet(victimFile).select("id")
+        .head.getLong(0)
+      val meta2 = IcebergExport.appendDeletionVectors(spark, meta1,
+        Seq((victimFile, 0L)).toDF("file_path", "pos"))
+      // scoped delete: ids 4..6 only in k=1
+      val meta3 = IcebergExport.appendDeletes(spark, meta2,
+        equality = Some(Seq(4L, 5L, 6L).toDF("id")),
+        equalityPartition = Some(Seq(Int.box(1))))
+      val allRows: Set[(Long, String, Int)] = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      val expect = allRows.filterNot { case (id, nm, k) =>
+        (k == 1 && Set(4L, 5L, 6L)(id)) ||
+          (id == victimId && nm.startsWith("b-")) }
+      // library lineage face (the DataFrame-level anti-joins)
+      val lin = CatalogIO.scanIcebergLineage(spark, meta3)
+      assert(lin.select("id", "name", "k").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet ==
+        expect)
+      // SQL lineage face (the row-path reader's probe filter)
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.scln"), meta3)
+      assert(spark.sql(s"SELECT id, name, k FROM $cat.db.scln " +
+        "WHERE _row_id IS NULL OR _row_id IS NOT NULL").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet ==
+        expect)
+      // k=2 keeps ids 4..6 (a global delete would have killed them)
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.db.scln " +
+        "WHERE k = 2 AND id IN (4, 5, 6)").head.getLong(0) == 3L)
+    }
+  }
+
+  test("refuse-before-side-effect hardening (advisor r16): DROP/RENAME " +
+      "of a fill column refuses, empty-string partition values refuse " +
+      "at export, encodeFills whitelists producer types") {
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-ice-adv") { (cat, hc) =>
+      import spark.implicits._
+      val tmp = Files.createTempDirectory("graft-ice-adv").toString
+      // adopted fill table: k is served as a per-file constant
+      val df = (1 to 12).map(i => (i.toLong, (i % 2) + 1)).toDF("id", "k")
+      val meta = IcebergExport.writeTable(spark, df, s"$tmp/t",
+        partitionBy = Seq("k"))
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      val ref = TableRef.parse("db.adv")
+      CatalogIO.adoptIcebergTable(spark, hc, ref, meta)
+      val metaBefore = hc.loadTableMetadataLocation(ref)
+      val eDrop = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.db.adv DROP COLUMN k"))
+      assert(eDrop.getMessage.contains("per-file constant fill"),
+        eDrop.getMessage)
+      val eRen = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.db.adv RENAME COLUMN k TO kk"))
+      assert(eRen.getMessage.contains("per-file constant fill") ||
+        eRen.getMessage.contains("partition column"), eRen.getMessage)
+      // no version committed, table still fully readable
+      assert(hc.loadTableMetadataLocation(ref) == metaBefore)
+      assert(spark.table(s"$cat.db.adv").count() == 12L)
+      // empty-string partition value refuses BEFORE any write
+      val bad = Seq((1L, "x"), (2L, "")).toDF("id", "s")
+      val eExp = intercept[IllegalArgumentException](
+        IcebergExport.writeTable(spark, bad, s"$tmp/bad",
+          partitionBy = Seq("s")))
+      assert(eExp.getMessage.contains("__HIVE_DEFAULT_PARTITION__"),
+        eExp.getMessage)
+      assert(!new java.io.File(s"$tmp/bad").exists())
+      // encodeFills refuses unencodable producer classes up front
+      val eEnc = intercept[IllegalArgumentException](
+        CatalogIO.encodeFills(Seq(
+          "ts" -> new java.sql.Timestamp(0L))))
+      assert(eEnc.getMessage.contains("unencodable"), eEnc.getMessage)
     }
   }
 
