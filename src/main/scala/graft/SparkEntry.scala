@@ -150,6 +150,8 @@ object SparkEntry {
     "w25_partitioned_mor" -> (graft.queries.WriteQueries.w25 _),
     "w26_hive_adopt" -> (graft.queries.WriteQueries.w26 _),
     "w27_scoped_eq_delete" -> (graft.queries.WriteQueries.w27 _),
+    "w28_nested_default" -> (graft.queries.WriteQueries.w28 _),
+    "w29_iceberg_sink" -> (graft.queries.WriteQueries.w29 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1163,6 +1165,45 @@ object SparkEntry {
         |       CAST(SUM(k) AS BIGINT) AS k_sum,
         |       CAST(SUM(qty) AS BIGINT) AS qty_sum
         |FROM full_t GROUP BY rf""".stripMargin,
+    // w29: the streaming Iceberg sink (round 17) — three micro-batch
+    // append snapshots with a crash-replayed batch fenced; the final
+    // pointer holds exactly one copy of lineitem.
+    "w29_iceberg_sink" ->
+      """WITH t AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS k,
+        |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+        |  FROM lineitem),
+        |g AS (
+        |  SELECT rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum,
+        |         CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |  FROM t GROUP BY rf)
+        |SELECT 'all' AS phase, * FROM g
+        |UNION ALL
+        |SELECT 'df' AS phase, * FROM g""".stripMargin,
+    // w28: nested initial-defaults (round 17) — pre-addition rows
+    // serve the struct-member constant w=5; an appended subset carries
+    // its own w values; the oracle replays the union.
+    "w28_nested_default" ->
+      """WITH t AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS k,
+        |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+        |  FROM lineitem),
+        |rows_u AS (
+        |  SELECT k, qty, rf, CAST(5 AS BIGINT) AS w FROM t
+        |  UNION ALL
+        |  SELECT k, qty, rf, k % 7 AS w FROM t WHERE k % 10 >= 8),
+        |g AS (
+        |  SELECT rf, COUNT(*) AS cnt, CAST(SUM(qty) AS BIGINT) AS qty_sum,
+        |         CAST(SUM(w) AS BIGINT) AS w_sum
+        |  FROM rows_u GROUP BY rf)
+        |SELECT 'all' AS phase, * FROM g
+        |UNION ALL
+        |SELECT 'flt' AS phase, rf, COUNT(*) AS cnt,
+        |       CAST(SUM(qty) AS BIGINT) AS qty_sum,
+        |       CAST(SUM(w) AS BIGINT) AS w_sum
+        |FROM rows_u WHERE w = 5 GROUP BY rf
+        |UNION ALL
+        |SELECT 'df' AS phase, * FROM g""".stripMargin,
     // w27: partition-SCOPED equality deletes (round 17) — the Flink
     // upsert/CDC shape: two deletes keyed on the shared data column k,
     // each confined to ONE rf partition; the oracle replays the scopes

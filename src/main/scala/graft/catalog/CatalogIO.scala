@@ -830,6 +830,50 @@ object CatalogIO {
     m.writeValueAsString(root)
   }
 
+  /** The catalyst type at a (possibly dotted — round 17 nested
+    * defaults) fill path, walking struct members by name. */
+  private[catalog] def fillPathType(
+      schema: org.apache.spark.sql.types.StructType, path: String)
+      : Option[org.apache.spark.sql.types.DataType] =
+    path.split('.').toList.foldLeft(
+      Option(schema: org.apache.spark.sql.types.DataType)) {
+      case (Some(st: org.apache.spark.sql.types.StructType), seg) =>
+        st.fields.find(_.name.equalsIgnoreCase(seg)).map(_.dataType)
+      case _ => None
+    }
+
+  /** Apply one fill to a DataFrame: whole column for a plain key, a
+    * struct REBUILD for a dotted key (outer NULL structs stay NULL —
+    * a null value has no member to default). */
+  private[catalog] def applyFillColumn(df: org.apache.spark.sql.DataFrame,
+      key: String, v: Any): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.StructType
+    val segs = key.split('.').toList
+    if (segs.size == 1)
+      return df.withColumn(key, lit(v).cast(df.schema(key).dataType))
+    val topField = df.schema.fields
+      .find(_.name.equalsIgnoreCase(segs.head))
+      .getOrElse(throw new IllegalStateException(
+        s"fill column '$key' is not in the table schema"))
+    def rebuild(base: org.apache.spark.sql.Column, st: StructType,
+        path: List[String]): org.apache.spark.sql.Column = {
+      val members = st.fields.map { f =>
+        if (!f.name.equalsIgnoreCase(path.head)) base(f.name).as(f.name)
+        else if (path.tail.isEmpty) lit(v).cast(f.dataType).as(f.name)
+        else when(base(f.name).isNull, lit(null).cast(f.dataType))
+          .otherwise(rebuild(base(f.name),
+            f.dataType.asInstanceOf[StructType], path.tail))
+          .as(f.name)
+      }
+      struct(members.toIndexedSeq: _*)
+    }
+    val tt = topField.dataType.asInstanceOf[StructType]
+    df.withColumn(topField.name,
+      when(col(topField.name).isNull, lit(null).cast(tt))
+        .otherwise(rebuild(col(topField.name), tt, segs.tail)))
+  }
+
   private[catalog] def decodeFills(text: String,
       schema: org.apache.spark.sql.types.StructType): Seq[(String, Any)] = {
     if (text.isEmpty) return Seq.empty
@@ -839,7 +883,7 @@ object CatalogIO {
     root.properties().asScala.iterator.map { e =>
       val c = e.getKey
       val node = e.getValue
-      val dt = schema.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+      val dt = fillPathType(schema, c)
         .getOrElse(throw new IllegalStateException(
           s"manifest fill column '$c' is not in the table schema"))
       val v: Any =
@@ -3044,11 +3088,11 @@ object CatalogIO {
         // read nullable-forced: a REQUIRED column with a default is
         // physically absent from pre-addition files, and the strict
         // schema would refuse the scan the fill exists to serve
-        val nullableSchema = org.apache.spark.sql.types.StructType(
+        val nullableSchema = graft.sources.FillInjection.deepNullable(
           org.apache.spark.sql.types.StructType
             .fromDDL(layout.schemaDdl.getOrElse(throw new IllegalStateException(
-              s"fill layout with no recorded schema at ${layout.dataLocation}")))
-            .fields.map(_.copy(nullable = true)))
+              s"fill layout with no recorded schema at ${layout.dataLocation}"))))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
         // NO basePath: a basePath makes Spark infer partition columns
         // from `col=value` directory names — double-serving the fill
         // columns and conflicting when snapshots nest at different
@@ -3062,8 +3106,7 @@ object CatalogIO {
             case _ => r.parquet(paths: _*)
           }
           fills.foldLeft(df0) { case (d, (c, v)) =>
-            d.withColumn(c, org.apache.spark.sql.functions.lit(v)
-              .cast(d.schema(c).dataType))
+            applyFillColumn(d, c, v)
           }
         }.reduce(_ unionByName _)
       case Some(_) if layout.dataFormat == "mixed" =>
@@ -4147,15 +4190,15 @@ object CatalogIO {
         tagged(spark.read.schema(schema)
           .option("basePath", layout.dataLocation).parquet(files: _*))
       else {
-        val nullable = org.apache.spark.sql.types.StructType(
-          schema.fields.map(_.copy(nullable = true)))
+        val nullable = graft.sources.FillInjection.deepNullable(schema)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
         files.zip(layout.dataFileFills.get)
           .groupBy(_._2).toSeq.sortBy(_._1.map(_._1).mkString(" "))
           .map { case (fills, pairs) =>
             val d0 = tagged(spark.read.schema(nullable)
               .parquet(pairs.map(_._1): _*))
             fills.foldLeft(d0) { case (d, (c, v)) =>
-              d.withColumn(c, lit(v).cast(d.schema(c).dataType))
+              applyFillColumn(d, c, v)
             }
           }.reduce(_ unionByName _)
       }

@@ -209,7 +209,11 @@ object IcebergExport {
     * format; appending parquet onto an ORC base is the Hive-migration
     * mixed shape, orc-onto-orc stays homogeneous. */
   def appendSnapshot(spark: SparkSession, df: DataFrame,
-      metadataLocation: String, fileFormat: String = "parquet"): String = {
+      metadataLocation: String, fileFormat: String = "parquet",
+      /** Extra snapshot-summary entries (round 17 — the streaming
+        * sink's replay fence rides the summary, atomic with the
+        * snapshot; values render as JSON strings like the counts). */
+      extraSummary: Map[String, Long] = Map.empty): String = {
     require(fileFormat == "parquet" || fileFormat == "orc" ||
       fileFormat == "avro",
       s"appendSnapshot writes parquet, orc, or avro data files, got '$fileFormat'")
@@ -258,7 +262,8 @@ object IcebergExport {
     commitSnapshot(st, snapshotId, seq, "append", st.priorEntries :+ entry,
       addedRows = rowCount,
       summaryCounts = Map("added-data-files" -> entry.addedFiles.toLong,
-        "added-records" -> rowCount, "added-files-size" -> dataBytes))
+        "added-records" -> rowCount,
+        "added-files-size" -> dataBytes) ++ extraSummary)
   }
 
   /** Commit a REWRITE (compaction) snapshot: the table's current rows
@@ -904,6 +909,140 @@ object IcebergExport {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     st.fs.makeQualified(metaPath).toString
+  }
+
+  /** ADD a column to a loaded/exported Iceberg table — metadata-only
+    * (no snapshot): a NEW schema document is appended with the field
+    * (nested under `parentPath` struct members when given, at the end
+    * of that struct), `current-schema-id` moves to it, and
+    * `last-column-id` advances. Prior snapshots keep their own
+    * schema-ids, so time travel serves the pre-addition shape.
+    *
+    * `initialDefault` is the spec's JSON single-value text (`"7"`,
+    * `"\"en\""`, `"true"`): EXISTING rows then serve the constant on
+    * read (v3 `initial-default`, applied by the engine's per-file fill
+    * machinery — nested struct members included, round 17) and it is
+    * recorded as `write-default` too. Defaults are a v3 construct —
+    * the table's `format-version` is raised to 3, the same one-way
+    * door [[appendDeletionVectors]] opens. Primitive types only; a
+    * composite default has no per-file-constant form. Returns the new
+    * metadata location (`v<N+1>.metadata.json`). */
+  def addColumn(spark: SparkSession, metadataLocation: String,
+      name: String, icebergType: String,
+      initialDefault: Option[String] = None,
+      parentPath: Seq[String] = Nil): String = {
+    val PrimRe =
+      ("boolean|int|long|float|double|date|string|binary|" +
+        """timestamp|timestamptz|decimal\(\s*\d+\s*,\s*\d+\s*\)""").r
+    require(PrimRe.matches(icebergType),
+      s"addColumn adds primitive columns only, got '$icebergType'")
+    val conf = spark.sessionState.newHadoopConf()
+    val metaPath = new Path(metadataLocation)
+    val fs = metaPath.getFileSystem(conf)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = {
+      val in = fs.open(metaPath)
+      try mapper.readTree(in.readAllBytes())
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+      finally in.close()
+    }
+    val fv = root.path("format-version").asInt(-1)
+    require(fv == 2 || fv == 3,
+      s"$metadataLocation is not Iceberg v2/v3 metadata")
+    val schemas = root.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
+      "schemas")
+    val curId = root.path("current-schema-id").asInt(0)
+    import scala.jdk.CollectionConverters._
+    val cur = schemas.elements().asScala
+      .find(_.path("schema-id").asInt(-1) == curId)
+      .getOrElse(throw new IllegalStateException(
+        s"$metadataLocation: current-schema-id $curId not in schemas"))
+    val copy = cur.deepCopy[com.fasterxml.jackson.databind.JsonNode]()
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    // locate the parent struct's fields array
+    val parentFields = parentPath.foldLeft(
+      copy.withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")) {
+      (fields, seg) =>
+        val f = fields.elements().asScala
+          .find(_.path("name").asText == seg)
+          .getOrElse(throw new IllegalArgumentException(
+            s"addColumn parent segment '$seg' is not a field of " +
+              s"$metadataLocation's current schema"))
+        val t = f.get("type")
+        require(t != null && !t.isTextual &&
+          t.path("type").asText == "struct",
+          s"addColumn parent segment '$seg' is not a struct")
+        t.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+          .withArray[com.fasterxml.jackson.databind.node.ArrayNode]("fields")
+    }
+    require(!parentFields.elements().asScala
+        .exists(_.path("name").asText == name),
+      s"addColumn: '$name' already exists under " +
+        (if (parentPath.isEmpty) "the schema root"
+         else parentPath.mkString(".")))
+    val newId = math.max(root.path("last-column-id").asInt(0),
+      maxFieldId(cur)) + 1
+    val field = mapper.createObjectNode()
+    field.put("id", newId)
+    field.put("name", name)
+    field.put("required", false)
+    field.put("type", icebergType)
+    initialDefault.foreach { d =>
+      val v = mapper.readTree(d)
+      // validate the default DECODES for the declared type before the
+      // commit — a malformed default would only surface at read time
+      val probe = mapper.createObjectNode()
+      val pf = probe.putArray("fields").addObject()
+      pf.put("id", newId); pf.put("name", name)
+      pf.put("required", false); pf.put("type", icebergType)
+      pf.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        "initial-default", v)
+      IcebergFormat.initialDefaultsOf(probe, metadataLocation)
+      field.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        "initial-default", v)
+      field.set[com.fasterxml.jackson.databind.node.ObjectNode](
+        "write-default", v)
+    }
+    parentFields.add(field)
+    val newSchemaId = schemas.elements().asScala
+      .map(_.path("schema-id").asInt(0)).max + 1
+    copy.put("schema-id", newSchemaId)
+    schemas.add(copy)
+    root.put("current-schema-id", newSchemaId)
+    root.put("last-column-id", newId)
+    root.put("last-updated-ms", System.currentTimeMillis())
+    if (initialDefault.isDefined && fv < 3) {
+      // defaults are a v3 construct (spec §Default values) — raise the
+      // format version; pre-upgrade snapshots carry no first-row-id and
+      // serve NULL lineage ids, per the spec's upgrade rule
+      root.put("format-version", 3)
+      if (!root.has("next-row-id")) root.put("next-row-id", 0L)
+    }
+    val version = """v(\d+)\.metadata\.json""".r
+      .findFirstMatchIn(metaPath.getName).map(_.group(1).toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot derive a metadata version from ${metaPath.getName}"))
+    val next = new Path(metaPath.getParent, s"v${version + 1}.metadata.json")
+    val out = fs.create(next, false)
+    try out.write(mapper.writerWithDefaultPrettyPrinter()
+      .writeValueAsBytes(root))
+    finally out.close()
+    fs.makeQualified(next).toString
+  }
+
+  /** Largest field id DECLARED anywhere in a schema document. */
+  private def maxFieldId(schema: com.fasterxml.jackson.databind.JsonNode): Int = {
+    import scala.jdk.CollectionConverters._
+    def walk(n: com.fasterxml.jackson.databind.JsonNode): Int =
+      if (n == null || n.isTextual) 0
+      else Seq("id", "element-id", "key-id", "value-id")
+        .map(k => n.path(k).asInt(0)).max
+        .max(Option(n.get("fields")).toSeq
+          .flatMap(_.elements().asScala).map(walk)
+          .maxOption.getOrElse(0))
+        .max(Seq("element", "key", "value", "type")
+          .map(k => walk(n.get(k))).max)
+    walk(schema)
   }
 
   /** Metadata-only commit naming `snapshotId` as a TAG or BRANCH ref

@@ -152,6 +152,22 @@ object IcebergFormat {
     chain
   }
 
+  /** Newest main-branch snapshot summary value under `key` — the
+    * streaming sink's replay-fence lookup (round 17): each committed
+    * batch records its id in its snapshot's summary, so the newest
+    * occurrence IS the last committed batch. */
+  def latestSummaryValue(text: String, key: String): Option[String] = {
+    val root = new ObjectMapper().readTree(text)
+    val wanted = mainAncestry(text).reverse.map(_.id).iterator
+    val byId = Option(root.get("snapshots")).toSeq
+      .flatMap(_.elements().asScala)
+      .map(s => s.path("snapshot-id").asLong(-1L) -> s).toMap
+    wanted.flatMap(id => byId.get(id).flatMap(s =>
+      Option(s.get("summary")).filterNot(_.isNull)
+        .flatMap(m => Option(m.get(key))).filterNot(_.isNull)
+        .map(_.asText))).nextOption()
+  }
+
   /** The document's `format-version` (1, 2, or 3). */
   def formatVersionOf(text: String): Int =
     new ObjectMapper().readTree(text).path("format-version").asInt(-1)
@@ -215,8 +231,7 @@ object IcebergFormat {
       fieldIdsOf(schema).map { case (id, (n, t)) => n -> (id, t) }
     val nameById: Map[Int, String] =
       fieldIdsOf(schema).map { case (id, (n, _)) => id -> n }
-    val fillIds: Set[Int] =
-      defaults.map { case (n, _) => fieldsByName(n)._1 }.toSet
+    val fillIds: Set[Int] = defaults.map(_._2).toSet
     // partition specs (round 16): identity-transform values are served
     // as per-file constants when the data file LACKS the source column
     // (the Hive-migration / `add_files` import shape, where partition
@@ -503,20 +518,35 @@ object IcebergFormat {
               "not both; rewrite the table (compact, materializing the " +
               "columns) first")
         val idOf: Map[String, Int] =
-          defaults.map { case (n, _) => n -> fieldsByName(n)._1 }.toMap
+          defaults.map(d => d._1 -> d._2).toMap
+        // name-mapping candidates for ID-LESS files, flattened to
+        // DOTTED paths (round 17 — nested defaults): each level's
+        // aliases compose with the parent's, so a nested member is
+        // found under any alias combination the mapping declares
         val mappedNames: Map[Int, Seq[String]] =
           props.get("schema.name-mapping.default").map { text =>
-            new ObjectMapper().readTree(text).elements().asScala.map { e =>
-              e.path("field-id").asInt(-1) ->
-                e.path("names").elements().asScala.map(_.asText).toSeq
-            }.toMap
+            val out = scala.collection.mutable.Map
+              .empty[Int, Seq[String]].withDefaultValue(Nil)
+            def walk(arr: JsonNode, prefixes: Seq[String]): Unit =
+              arr.elements().asScala.foreach { e =>
+                val names = e.path("names").elements().asScala
+                  .map(_.asText).toSeq
+                val dotted = for (p <- prefixes; n <- names)
+                  yield if (p.isEmpty) n else s"$p.$n"
+                val id = e.path("field-id").asInt(-1)
+                if (id >= 0) out(id) = out(id) ++ dotted
+                Option(e.get("fields")).filter(_.isArray)
+                  .foreach(walk(_, dotted))
+              }
+            walk(new ObjectMapper().readTree(text), Seq(""))
+            out.toMap
           }.getOrElse(Map.empty)
         val perFile = {
           import scala.collection.parallel.CollectionConverters._
           rels.par.map { case (rel, _, _, _, fileFmt, statted, _, _,
               idCands, nonIdChecks, _) =>
             val unprovenDefaults =
-              defaults.filter { case (n, _) => !statted(idOf(n)) }
+              defaults.filter { case (n, _, _) => !statted(idOf(n)) }
             val unprovenIds =
               idCands.filter { case (n, _) => !statted(fieldsByName(n)._1) }
             val unprovenNonId =
@@ -543,8 +573,8 @@ object IcebergFormat {
                       "reconstructed from the transform result; rewrite " +
                       "the table (materializing the column) first")
               }
-              unprovenDefaults.filterNot { case (n, _) =>
-                present(n, idOf(n)) } ++
+              unprovenDefaults.collect { case (n, _, v)
+                  if !present(n, idOf(n)) => n -> v } ++
                 unprovenIds.filterNot { case (n, _) =>
                   present(n, fieldsByName(n)._1) }
             }
@@ -868,10 +898,12 @@ object IcebergFormat {
         })
     }
 
-  /** Per-file top-level (name, field-id) pairs from the file's own
-    * schema metadata — parquet footer field ids, or ORC schema
-    * attributes (`iceberg.id`, the key Iceberg's ORC writer records
-    * per column; public spec, Appendix A ORC mapping). Cached per JVM
+  /** Per-file (name, field-id) pairs from the file's own schema
+    * metadata — parquet footer field ids, or ORC schema attributes
+    * (`iceberg.id`, the key Iceberg's ORC writer records per column;
+    * public spec, Appendix A ORC mapping). Top-level fields come first
+    * under their plain names; STRUCT members follow under DOTTED paths
+    * (round 17 — nested-default presence checks). Cached per JVM
     * (files are immutable). */
   private object FooterFields {
     private val cache = scala.collection.concurrent.TrieMap
@@ -883,18 +915,37 @@ object IcebergFormat {
           val r = org.apache.orc.OrcFile.createReader(new Path(p),
             org.apache.orc.OrcFile.readerOptions(conf))
           try {
-            val s = r.getSchema
-            s.getFieldNames.asScala.zip(s.getChildren.asScala).map {
-              case (n, c) => n -> Option(c.getAttributeValue("iceberg.id"))
-                .flatMap(_.toIntOption)
-            }.toVector
+            def walk(s: org.apache.orc.TypeDescription, prefix: String)
+                : Vector[(String, Option[Int])] =
+              s.getFieldNames.asScala.zip(s.getChildren.asScala).flatMap {
+                case (n, c) =>
+                  val nm = prefix + n
+                  val own = nm -> Option(c.getAttributeValue("iceberg.id"))
+                    .flatMap(_.toIntOption)
+                  own +: (if (c.getCategory ==
+                      org.apache.orc.TypeDescription.Category.STRUCT)
+                    walk(c, nm + ".") else Vector.empty)
+              }.toVector
+            walk(r.getSchema, "")
           } finally r.close()
         case _ =>
           val r = org.apache.parquet.hadoop.ParquetFileReader.open(
             org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(new Path(p), conf))
-          try r.getFooter.getFileMetaData.getSchema.getFields.asScala.map(f =>
-            f.getName -> Option(f.getId).map(_.intValue())).toVector
-          finally r.close()
+          try {
+            def walk(g: org.apache.parquet.schema.GroupType, prefix: String)
+                : Vector[(String, Option[Int])] =
+              g.getFields.asScala.flatMap { f =>
+                val nm = prefix + f.getName
+                val own = nm -> Option(f.getId).map(_.intValue())
+                // recurse into plain struct GROUPS only: parquet list/
+                // map wrappers ("list"/"key_value") are not Iceberg
+                // path segments, and no default lives under them
+                own +: (if (!f.isPrimitive &&
+                    f.getLogicalTypeAnnotation == null)
+                  walk(f.asGroupType(), nm + ".") else Vector.empty)
+              }.toVector
+            walk(r.getFooter.getFileMetaData.getSchema, "")
+          } finally r.close()
       })
   }
 
@@ -1036,7 +1087,8 @@ object IcebergFormat {
   private def hasVariantType(dt: DataType): Boolean =
     IcebergSchemaIds.hasVariant(dt)
 
-  private def typeToSpark(t: JsonNode, where: String): DataType =
+  private def typeToSpark(t: JsonNode, where: String,
+      inCollection: Boolean = false): DataType =
     if (t.isTextual) {
       val s = t.asText
       val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
@@ -1066,13 +1118,13 @@ object IcebergFormat {
               "mapping (time/uuid/timestamp_ns/unknown are not served)")
       }
     } else t.path("type").asText match {
-      case "struct" => structToSpark(t, where)
+      case "struct" => structToSpark(t, where, inCollection)
       case "list" =>
-        ArrayType(typeToSpark(t.get("element"), where),
+        ArrayType(typeToSpark(t.get("element"), where, inCollection = true),
           containsNull = !t.path("element-required").asBoolean(false))
       case "map" =>
-        MapType(typeToSpark(t.get("key"), where),
-          typeToSpark(t.get("value"), where),
+        MapType(typeToSpark(t.get("key"), where, inCollection = true),
+          typeToSpark(t.get("value"), where, inCollection = true),
           valueContainsNull = !t.path("value-required").asBoolean(false))
       case other =>
         throw new UnsupportedOperationException(
@@ -1080,68 +1132,95 @@ object IcebergFormat {
     }
 
   private def structToSpark(t: JsonNode, where: String,
-      topLevel: Boolean = false): StructType =
+      inCollection: Boolean = false): StructType =
     StructType(t.get("fields").elements().asScala.map { f =>
       // v3 default values: `initial-default` is the value EXISTING data
-      // files must serve for the new column. TOP-LEVEL defaults are
-      // honored (decoded by [[initialDefaultsOf]], applied per-file by
-      // the scan's fill machinery); a default buried in a NESTED struct
-      // would need value surgery inside Spark's readers — refuse.
+      // files must serve for the new column. Top-level AND struct-
+      // nested defaults are honored (round 17 — decoded by
+      // [[initialDefaultsOf]], applied per-file by the scan's fill
+      // machinery, which threads constants into struct members). A
+      // default under a LIST/MAP element, or on a composite-typed
+      // field itself, has no per-file-constant form — refuse.
       // (`write-default` binds writers only; reads are unaffected.)
       val idef = f.get("initial-default")
-      if (idef != null && !idef.isNull && !topLevel)
-        throw new UnsupportedOperationException(
-          s"Iceberg NESTED field '${f.get("name").asText}' in $where " +
-            s"carries a non-null initial-default ($idef); only top-level " +
-            "column defaults are served — rewrite the table to " +
-            "materialize the default")
-      StructField(f.get("name").asText, typeToSpark(f.get("type"), where),
+      if (idef != null && !idef.isNull) {
+        if (inCollection)
+          throw new UnsupportedOperationException(
+            s"Iceberg field '${f.get("name").asText}' in $where carries " +
+              s"a non-null initial-default ($idef) inside a list/map " +
+              "element; per-element defaults cannot be served as " +
+              "per-file constants — rewrite the table to materialize " +
+              "the default")
+        if (!f.get("type").isTextual)
+          throw new UnsupportedOperationException(
+            s"Iceberg field '${f.get("name").asText}' in $where carries " +
+              s"a non-null initial-default ($idef) of composite type; " +
+              "this engine serves primitive defaults only — rewrite " +
+              "the table to materialize the default")
+      }
+      StructField(f.get("name").asText,
+        typeToSpark(f.get("type"), where, inCollection),
         nullable = !f.path("required").asBoolean(false))
     }.toSeq)
 
   private def schemaToSpark(schema: JsonNode, where: String): StructType =
-    structToSpark(schema, where, topLevel = true)
+    structToSpark(schema, where)
 
-  /** Top-level fields with a non-null v3 `initial-default`, decoded
-    * from the spec's JSON single-value serialization into the EXTERNAL
-    * JVM value `functions.lit`/`Literal.create` accept for the field's
-    * catalyst type. Types whose JSON form this decoder does not cover
-    * exactly (binary/fixed hex, uuid, nested) refuse — a mis-decoded
-    * default would silently corrupt every pre-addition row. */
+  /** Fields with a non-null v3 `initial-default` — top-level AND
+    * struct-nested (round 17; keys are dotted paths, each with the
+    * field's own id) — decoded from the spec's JSON single-value
+    * serialization into the EXTERNAL JVM value `functions.lit`/
+    * `Literal.create` accept for the field's catalyst type. Types whose
+    * JSON form this decoder does not cover exactly (binary/fixed hex,
+    * uuid, composites) refuse — a mis-decoded default would silently
+    * corrupt every pre-addition row. Defaults under list/map elements
+    * refuse in [[structToSpark]] before this walk runs. */
   private[graft] def initialDefaultsOf(schema: JsonNode,
-      where: String): Seq[(String, Any)] =
-    schema.get("fields").elements().asScala.flatMap { f =>
-      val idef = f.get("initial-default")
-      if (idef == null || idef.isNull) None
-      else {
-        val name = f.get("name").asText
+      where: String): Seq[(String, Int, Any)] = {
+    def walk(struct: JsonNode, prefix: String): Seq[(String, Int, Any)] =
+      struct.get("fields").elements().asScala.flatMap { f =>
+        val name = prefix + f.get("name").asText
         val t = f.get("type")
-        val tText = if (t.isTextual) t.asText else t.path("type").asText
-        val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
-        def bad(why: String): Nothing = throw new UnsupportedOperationException(
-          s"Iceberg field '$name' in $where: initial-default $idef " +
-            s"cannot be decoded for type $tText ($why) — rewrite the " +
-            "table to materialize the default")
-        val v: Any = tText match {
-          case "boolean" if idef.isBoolean => idef.asBoolean
-          case "int" if idef.canConvertToInt => idef.asInt
-          case "long" if idef.canConvertToLong => idef.asLong
-          case "float" if idef.isNumber => idef.asDouble.toFloat
-          case "double" if idef.isNumber => idef.asDouble
-          case "string" if idef.isTextual => idef.asText
-          case "date" if idef.isTextual =>
-            java.sql.Date.valueOf(java.time.LocalDate.parse(idef.asText))
-          case "timestamp" if idef.isTextual =>
-            java.time.LocalDateTime.parse(idef.asText)
-          case "timestamptz" if idef.isTextual =>
-            java.time.OffsetDateTime.parse(idef.asText).toInstant
-          case DecimalRe(_, _) if idef.isTextual =>
-            new java.math.BigDecimal(idef.asText)
-          case other => bad(s"unsupported type or JSON shape")
-        }
-        Some(name -> v)
-      }
-    }.toSeq
+        val idef = f.get("initial-default")
+        val own: Option[(String, Int, Any)] =
+          if (idef == null || idef.isNull) None
+          else Some((name, f.path("id").asInt(-1),
+            decodeDefault(idef, t, name, where)))
+        val nested: Seq[(String, Int, Any)] =
+          if (!t.isTextual && t.path("type").asText == "struct")
+            walk(t, name + ".")
+          else Nil
+        own.toSeq ++ nested
+      }.toSeq
+    walk(schema, "")
+  }
+
+  private def decodeDefault(idef: JsonNode, t: JsonNode, name: String,
+      where: String): Any = {
+    val tText = if (t.isTextual) t.asText else t.path("type").asText
+    val DecimalRe = """decimal\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r
+    def bad(why: String): Nothing = throw new UnsupportedOperationException(
+      s"Iceberg field '$name' in $where: initial-default $idef " +
+        s"cannot be decoded for type $tText ($why) — rewrite the " +
+        "table to materialize the default")
+    tText match {
+      case "boolean" if idef.isBoolean => idef.asBoolean
+      case "int" if idef.canConvertToInt => idef.asInt
+      case "long" if idef.canConvertToLong => idef.asLong
+      case "float" if idef.isNumber => idef.asDouble.toFloat
+      case "double" if idef.isNumber => idef.asDouble
+      case "string" if idef.isTextual => idef.asText
+      case "date" if idef.isTextual =>
+        java.sql.Date.valueOf(java.time.LocalDate.parse(idef.asText))
+      case "timestamp" if idef.isTextual =>
+        java.time.LocalDateTime.parse(idef.asText)
+      case "timestamptz" if idef.isTextual =>
+        java.time.OffsetDateTime.parse(idef.asText).toInstant
+      case DecimalRe(_, _) if idef.isTextual =>
+        new java.math.BigDecimal(idef.asText)
+      case other => bad(s"unsupported type or JSON shape")
+    }
+  }
 
   /** One partition-spec field as the manifest conversion needs it:
     * the spec field's display name (the avro `partition` record field),

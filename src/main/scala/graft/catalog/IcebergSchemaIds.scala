@@ -31,7 +31,13 @@ object IcebergSchemaIds {
   final case class MapN(keyId: Int, key: Node, valueId: Int,
       valueContainsNull: Boolean, value: Node) extends Node
   final case class Field(name: String, id: Int, nullable: Boolean,
-      node: Node)
+      node: Node,
+      /** v3 default-value clauses carried VERBATIM (compact JSON text)
+        * through commits (round 17 — a re-render that dropped an
+        * `initial-default` would silently corrupt every pre-addition
+        * row on the next read). */
+      initialDefault: Option[String] = None,
+      writeDefault: Option[String] = None)
 
   final case class Tree(fields: Seq[Field], lastColumnId: Int)
 
@@ -70,10 +76,14 @@ object IcebergSchemaIds {
       }
     def fieldsOf(t: com.fasterxml.jackson.databind.JsonNode): Seq[Field] =
       t.get("fields").elements().asScala.map { f =>
+        def defText(key: String): Option[String] =
+          Option(f.get(key)).filterNot(_.isNull).map(_.toString)
         Field(f.get("name").asText,
           reg(f.path("id").asInt(-1), s"field '${f.get("name").asText}'"),
           nullable = !f.path("required").asBoolean(false),
-          nodeOf(f.get("type")))
+          nodeOf(f.get("type")),
+          initialDefault = defText("initial-default"),
+          writeDefault = defText("write-default"))
       }.toSeq
     val fields = fieldsOf(schemaNode)
     Tree(fields, maxId)
@@ -155,6 +165,8 @@ object IcebergSchemaIds {
 
   def fieldJson(f: Field): String =
     s"""{"id": ${f.id}, "name": "${esc(f.name)}", "required": ${!f.nullable}, """ +
+      f.initialDefault.fold("")(d => s""""initial-default": $d, """) +
+      f.writeDefault.fold("")(d => s""""write-default": $d, """) +
       s""""type": ${typeJson(f.node)}}"""
 
   /** Recursive `schema.name-mapping.default` entries (the public

@@ -733,6 +733,104 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(tmp)
     }
 
+  /** w29 (round 17): the STREAMING ICEBERG SINK under the oracle —
+    * lineitem arrives as three micro-batches, each committed as one
+    * Iceberg append snapshot behind a registered catalog pointer
+    * ([[graft.streaming.StreamMaterialize.commitIcebergBatch]], the
+    * deterministic core of appendIcebergStream), with batch 1 crash-
+    * REPLAYED in the middle — the summary-riding fence must no-op it
+    * or the aggregate doubles. Both faces read the final pointer; the
+    * oracle replays plain lineitem (exactly-once despite the replay). */
+  def w29(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w29") { (cat0, hc) =>
+      import graft.catalog.{CatalogIO, IcebergExport, TableRef}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w29-ice").toString
+      try {
+        val t = spark.sql(
+          s"""SELECT CAST(l_orderkey AS BIGINT) AS k,
+             |       CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+             |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+        val meta0 = IcebergExport.writeTable(spark, t.filter(col("k") % 3 === 0),
+          s"$tmp/t")
+        spark.sql(s"CREATE NAMESPACE $cat0.db")
+        val ref = TableRef.parse("db.ice_sink")
+        hc.registerTable(ref, meta0)
+        def commit(slice: Int, batchId: Long): Unit =
+          graft.streaming.StreamMaterialize.commitIcebergBatch(spark, hc, ref,
+            t.filter(col("k") % 3 === slice), batchId, "w29fence",
+            "parquet", dedupeReplays = true)
+        commit(1, 0L)
+        commit(1, 0L) // crash replay: must no-op via the summary fence
+        commit(2, 1L)
+        val sqlFace = spark.sql(
+          s"""SELECT 'all' AS phase, rf, COUNT(*) AS cnt,
+             |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat0.db.ice_sink GROUP BY rf""".stripMargin)
+        val dfFace = CatalogIO.readTable(spark, hc, ref)
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"),
+            sum(col("qty")).as("qty_sum"))
+          .select(lit("df").as("phase"), col("rf"), col("cnt"),
+            col("k_sum"), col("qty_sum"))
+        val out = sqlFace.unionByName(dfFace)
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
+  /** w28 (round 17): NESTED initial-defaults under the oracle — the
+    * v3 schema-evolution shape: lineitem packs into a struct column,
+    * exports, then [[graft.catalog.IcebergExport.addColumn]] adds a
+    * struct MEMBER `m.w` with initial-default 5 (metadata-only; the
+    * table rises to v3), and an append lands rows carrying their OWN
+    * w values. Every pre-addition row must serve the constant through
+    * the nested fill seam on BOTH faces; the oracle replays the
+    * union relationally. */
+  def w28(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w28") { (cat, hc) =>
+      import graft.catalog.{IcebergExport, TableRef}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w28-ice").toString
+      try {
+        val t = spark.sql(
+          s"""SELECT CAST(l_orderkey AS BIGINT) AS k,
+             |  named_struct('qty', CAST(l_quantity AS BIGINT),
+             |               'rf', l_returnflag) AS m
+             |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+        val meta1 = IcebergExport.writeTable(spark, t, s"$tmp/t")
+        val meta2 = IcebergExport.addColumn(spark, meta1, "w", "long",
+          initialDefault = Some("5"), parentPath = Seq("m"))
+        val more = spark.sql(
+          s"""SELECT CAST(l_orderkey AS BIGINT) AS k,
+             |  named_struct('qty', CAST(l_quantity AS BIGINT),
+             |               'rf', l_returnflag,
+             |               'w', if(l_orderkey >= 0, l_orderkey % 7,
+             |                       CAST(NULL AS BIGINT))) AS m
+             |FROM parquet.`$dir/lineitem.parquet`
+             |WHERE l_orderkey % 10 >= 8""".stripMargin)
+        val meta3 = IcebergExport.appendSnapshot(spark, more.coalesce(2), meta2)
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        val ref = TableRef.parse("db.nested_def")
+        hc.registerTable(ref, meta3)
+        val sqlFace = spark.sql(
+          s"""SELECT 'all' AS phase, m.rf AS rf, COUNT(*) AS cnt,
+             |       SUM(m.qty) AS qty_sum, SUM(m.w) AS w_sum
+             |FROM $cat.db.nested_def GROUP BY m.rf""".stripMargin)
+        val flt = spark.sql(
+          s"""SELECT 'flt' AS phase, m.rf AS rf, COUNT(*) AS cnt,
+             |       SUM(m.qty) AS qty_sum, SUM(m.w) AS w_sum
+             |FROM $cat.db.nested_def WHERE m.w = 5 GROUP BY m.rf""".stripMargin)
+        val dfFace = graft.catalog.CatalogIO.scanMetadataLocation(spark, meta3)
+          .groupBy(col("m.rf").as("rf"))
+          .agg(count(lit(1)).as("cnt"), sum(col("m.qty")).as("qty_sum"),
+            sum(col("m.w")).as("w_sum"))
+          .select(lit("df").as("phase"), col("rf"), col("cnt"),
+            col("qty_sum"), col("w_sum"))
+        val out = sqlFace.unionByName(flt).unionByName(dfFace)
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w27 (round 17): PARTITION-SCOPED equality deletes — the Flink
     * upsert/CDC merge-on-read shape (judge r16 top item). lineitem
     * exports identity-partitioned by rf, then takes TWO scoped

@@ -53,14 +53,17 @@ final class GraftFillTable(spark: SparkSession, tableName: String,
     layout: TableLayout, hadoopOpts: Map[String, String]) extends Table
   with SupportsRead {
 
-  // nullable-forced: a REQUIRED column with a default is physically
-  // absent from pre-addition files; the strict schema would refuse the
-  // very scan the fill machinery exists to serve (the injected
-  // constants are non-null, so served rows still honor the contract)
-  private val currentSchema: StructType = StructType(StructType.fromDDL(
-    layout.schemaDdl.getOrElse(throw new IllegalStateException(
-      s"fill table $tableName has no recorded schema")))
-    .fields.map(_.copy(nullable = true)))
+  // DEEP nullable-forced (round 17 — nested defaults): a REQUIRED
+  // column (or struct member) with a default is physically absent from
+  // pre-addition files; the strict schema would refuse the very scan
+  // the fill machinery exists to serve (the injected constants are
+  // non-null, so served rows still honor the contract). Same contract
+  // FileTable.asNullable applies to every stock file scan.
+  private val currentSchema: StructType =
+    FillInjection.deepNullable(StructType.fromDDL(
+      layout.schemaDdl.getOrElse(throw new IllegalStateException(
+        s"fill table $tableName has no recorded schema"))))
+      .asInstanceOf[StructType]
 
   /** Per-file formats: the one recorded format for homogeneous layouts,
     * the manifest's per-entry formats for MIXED ones (round 16 — the
@@ -253,7 +256,10 @@ private final class FillScanBuilder(
         else {
           val b = builderFor(i)
           requiredSchema.foreach(b.pruneColumns)
-          val fillNames = fills.map(_._1.toLowerCase).toSet
+          // withhold by the TOP-LEVEL attribute a fill touches: a
+          // nested fill "s.x" means filters referencing struct column
+          // s must not reach the file scan (round 17)
+          val fillNames = fills.map(_._1.toLowerCase.split('.').head).toSet
           b.pushFilters(captured.filterNot(_.exists {
             case a: AttributeReference => fillNames(a.name.toLowerCase)
             case _ => false
@@ -356,14 +362,8 @@ private final class FillScan(
     // never dereferenced
     val perGroup = scans.map {
       case (fills, Some(s)) =>
-        val out = s.readSchema()
-        val resolved = fills.flatMap { case (c, v) =>
-          val i = out.fieldNames.indexWhere(_.equalsIgnoreCase(c))
-          if (i < 0) None
-          else Some((i, out.fields(i).dataType,
-            Literal.create(v, out.fields(i).dataType).value))
-        }
-        (resolved.toArray, s.toBatch.createReaderFactory())
+        (FillInjection.resolve(fills, s.readSchema()),
+          s.toBatch.createReaderFactory())
       case (_, None) => null
     }
     new FillReaderFactory(perGroup.toArray, readSchema())
@@ -375,49 +375,20 @@ private final class FillScan(
 /** Dispatches each partition to its group's stock reader factory,
   * wrapping it with the constant injection when the group has fills. */
 private final class FillReaderFactory(
-    groups: Array[(Array[(Int, DataType, Any)], PartitionReaderFactory)],
+    groups: Array[(Array[FillInjection.ResolvedFill], PartitionReaderFactory)],
     out: StructType) extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val fp = p.asInstanceOf[FillFilePartition]
     val (fills, inner) = groups(fp.group)
-    val reader = inner.createReader(fp.files)
-    if (fills.isEmpty) reader
-    else new PartitionReader[InternalRow] {
-      private val byOrd = fills.map { case (i, _, v) => i -> v }.toMap
-      private val proj = UnsafeProjection.create(
-        out.fields.zipWithIndex.map { case (f, i) =>
-          byOrd.get(i)
-            .map(v => Literal(v, f.dataType): Expression)
-            .getOrElse(BoundReference(i, f.dataType, f.nullable))
-        }.toIndexedSeq)
-      override def next(): Boolean = reader.next()
-      override def get(): InternalRow = proj(reader.get())
-      override def close(): Unit = reader.close()
-    }
+    FillInjection.wrapRow(inner.createReader(fp.files), fills, out)
   }
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[ColumnarBatch] = {
     val fp = p.asInstanceOf[FillFilePartition]
     val (fills, inner) = groups(fp.group)
-    val reader = inner.createColumnarReader(fp.files)
-    if (fills.isEmpty) reader
-    else new PartitionReader[ColumnarBatch] {
-      // a ConstantColumnVector answers every row index with the one
-      // value, so a single instance serves batches of any size
-      private val constants: Map[Int, ColumnVector] = fills.map {
-        case (i, dt, v) => i -> FillReaderFactory.constantVector(dt, v)
-      }.toMap
-      override def next(): Boolean = reader.next()
-      override def get(): ColumnarBatch = {
-        val b = reader.get()
-        val cols = Array.tabulate[ColumnVector](b.numCols())(i =>
-          constants.getOrElse(i, b.column(i)))
-        new ColumnarBatch(cols, b.numRows())
-      }
-      override def close(): Unit = reader.close()
-    }
+    FillInjection.wrapColumnar(inner.createColumnarReader(fp.files), fills)
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean = {
@@ -455,35 +426,113 @@ private[graft] object FillReaderFactory {
 /** Format-agnostic constant injection over ANY stock reader factory —
   * the fill machinery's seam factored out for consumers that dispatch
   * partitions themselves (round 16: the streaming sources' per-batch
-  * scans over appended hive-layout files, which lack their identity
-  * partition columns exactly like the batch faces' files). `fills`
-  * maps column NAMES to EXTERNAL JVM values; they are resolved against
-  * `out` (the scan's output schema) here, once. */
+  * scans over appended hive-layout files; the MOR and lineage readers).
+  * `fills` maps column NAMES — dotted paths for STRUCT-nested
+  * initial-defaults (round 17) — to EXTERNAL JVM values; they are
+  * resolved against the scan's output schema once. Nested fills thread
+  * constants INTO struct values: the row path rebuilds the struct
+  * through one codegen'd projection (outer null preserved — a NULL
+  * struct has no member to default); the columnar path replaces the
+  * struct's child vector with a [[ConstantColumnVector]] behind a
+  * delegating wrapper, so batches stay columnar. */
 private[graft] object FillInjection {
+
+  /** One resolved fill: the top-level ordinal in the scan output, the
+    * ordinal PATH below it (empty = whole-column constant), the leaf
+    * type, and the CATALYST value. */
+  final case class ResolvedFill(ordinal: Int, path: Seq[Int],
+      leafType: DataType, value: Any)
+
+  /** Deep nullable-forcing, mirroring FileTable's (private[spark])
+    * StructType.asNullable: pre-addition files legitimately omit
+    * defaulted columns AND struct members. */
+  def deepNullable(dt: DataType): DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+    case a: ArrayType =>
+      a.copy(elementType = deepNullable(a.elementType), containsNull = true)
+    case m: MapType =>
+      m.copy(valueType = deepNullable(m.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   /** Resolve name-keyed external fills against the scan output schema
-    * `out`: (ordinal, type, CATALYST value). Serializable — safe to
-    * resolve driver-side or task-side. */
+    * `out`: dotted keys descend struct members by name. A fill whose
+    * top-level column — or any nested segment — was pruned away needs
+    * no injection. Serializable — safe driver- or task-side. */
   def resolve(fills: Seq[(String, Any)], out: StructType)
-      : Array[(Int, DataType, Any)] =
+      : Array[ResolvedFill] =
     fills.flatMap { case (c, v) =>
-      val i = out.fieldNames.indexWhere(_.equalsIgnoreCase(c))
-      if (i < 0) None
-      else Some((i, out.fields(i).dataType,
-        Literal.create(v, out.fields(i).dataType).value))
+      val segs = c.split('.').toList
+      val top = out.fieldNames.indexWhere(_.equalsIgnoreCase(segs.head))
+      if (top < 0) None
+      else {
+        // walk the PRUNED schema: nested pruning may have dropped the
+        // defaulted member itself
+        def descend(dt: DataType, rest: List[String],
+            acc: List[Int]): Option[(Seq[Int], DataType)] = rest match {
+          case Nil => Some((acc.reverse, dt))
+          case seg :: tail => dt match {
+            case st: StructType =>
+              val i = st.fieldNames.indexWhere(_.equalsIgnoreCase(seg))
+              if (i < 0) None
+              else descend(st.fields(i).dataType, tail, i :: acc)
+            case _ => None
+          }
+        }
+        descend(out.fields(top).dataType, segs.tail, Nil).map {
+          case (path, leaf) =>
+            ResolvedFill(top, path, leaf, Literal.create(v, leaf).value)
+        }
+      }
     }.toArray
+
+  /** The struct-rebuild expression for one top-level column carrying
+    * nested fills: members not on a fill path pass through
+    * (GetStructField); filled leaves become Literals; outer/inner NULL
+    * structs stay NULL (the member does not exist in a null value). */
+  private def rebuildExpr(base: Expression, st: StructType,
+      fills: Seq[(List[Int], DataType, Any)]): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, GetStructField, If, IsNull}
+    val byHead = fills.groupBy(_._1.head)
+    val members = st.fields.toSeq.zipWithIndex.flatMap { case (f, i) =>
+      val value: Expression = byHead.get(i) match {
+        case None => GetStructField(base, i, Some(f.name))
+        case Some(fs) =>
+          val (leaf, deeper) = fs.partition(_._1.size == 1)
+          if (leaf.nonEmpty) Literal(leaf.head._3, leaf.head._2)
+          else rebuildExpr(GetStructField(base, i, Some(f.name)),
+            f.dataType.asInstanceOf[StructType],
+            deeper.map(t => (t._1.tail, t._2, t._3)))
+      }
+      Seq(Literal(org.apache.spark.unsafe.types.UTF8String
+        .fromString(f.name), org.apache.spark.sql.types.StringType), value)
+    }
+    val struct = CreateNamedStruct(members)
+    If(IsNull(base), Literal(null, struct.dataType), struct)
+  }
 
   /** One row reader with the constants projected in (codegen'd). */
   def wrapRow(reader: PartitionReader[InternalRow],
-      resolved: Array[(Int, DataType, Any)], out: StructType)
+      resolved: Array[ResolvedFill], out: StructType)
       : PartitionReader[InternalRow] = {
     if (resolved.isEmpty) return reader
     new PartitionReader[InternalRow] {
-      private val byOrd = resolved.map { case (i, _, v) => i -> v }.toMap
+      private val byOrd = resolved.groupBy(_.ordinal)
       private val proj = UnsafeProjection.create(
         out.fields.zipWithIndex.map { case (f, i) =>
-          byOrd.get(i)
-            .map(v => Literal(v, f.dataType): Expression)
-            .getOrElse(BoundReference(i, f.dataType, f.nullable))
+          val ref = BoundReference(i, f.dataType, f.nullable)
+          byOrd.get(i) match {
+            case None => ref: Expression
+            case Some(fs) =>
+              val (whole, nested) = fs.partition(_.path.isEmpty)
+              if (whole.nonEmpty)
+                Literal(whole.head.value, whole.head.leafType)
+              else rebuildExpr(ref,
+                f.dataType.asInstanceOf[StructType],
+                nested.map(r =>
+                  (r.path.toList, r.leafType, r.value)).toSeq)
+          }
         }.toIndexedSeq)
       override def next(): Boolean = reader.next()
       override def get(): InternalRow = proj(reader.get())
@@ -491,21 +540,95 @@ private[graft] object FillInjection {
     }
   }
 
+  /** A [[ColumnVector]] delegating everything to `inner` except the
+    * overridden children — the columnar seam for nested fills: the
+    * struct's defaulted member reads from a [[ConstantColumnVector]],
+    * every other member (and the struct's own null mask) from the
+    * stock vector. */
+  private final class ChildOverrideVector(inner: ColumnVector,
+      overrides: Map[Int, ColumnVector])
+    extends ColumnVector(inner.dataType()) {
+    override def close(): Unit = inner.close()
+    // Spark's codegen'd ColumnarToRow calls closeIfFreeable() on every
+    // batch column after consuming the batch; the reader-owned
+    // vectors override it to a no-op (they are REUSED across batches)
+    // and so does ConstantColumnVector — the default would close()
+    // them through this wrapper and the next batch's reset() would
+    // NPE on freed arrays. Delegate, never close.
+    override def closeIfFreeable(): Unit = {
+      inner.closeIfFreeable()
+      overrides.values.foreach(_.closeIfFreeable())
+    }
+    override def hasNull: Boolean = inner.hasNull
+    override def numNulls(): Int = inner.numNulls()
+    override def isNullAt(i: Int): Boolean = inner.isNullAt(i)
+    override def getBoolean(i: Int): Boolean = inner.getBoolean(i)
+    override def getByte(i: Int): Byte = inner.getByte(i)
+    override def getShort(i: Int): Short = inner.getShort(i)
+    override def getInt(i: Int): Int = inner.getInt(i)
+    override def getLong(i: Int): Long = inner.getLong(i)
+    override def getFloat(i: Int): Float = inner.getFloat(i)
+    override def getDouble(i: Int): Double = inner.getDouble(i)
+    override def getArray(i: Int): org.apache.spark.sql.vectorized.ColumnarArray =
+      inner.getArray(i)
+    override def getMap(i: Int): org.apache.spark.sql.vectorized.ColumnarMap =
+      inner.getMap(i)
+    override def getDecimal(i: Int, precision: Int, scale: Int)
+        : org.apache.spark.sql.types.Decimal =
+      inner.getDecimal(i, precision, scale)
+    override def getUTF8String(i: Int): UTF8String = inner.getUTF8String(i)
+    override def getBinary(i: Int): Array[Byte] = inner.getBinary(i)
+    override def getChild(ordinal: Int): ColumnVector =
+      overrides.getOrElse(ordinal, inner.getChild(ordinal))
+  }
+
+  /** Wrap one top-level struct vector so the fill paths read constants. */
+  private def overrideVector(inner: ColumnVector,
+      fills: Seq[(List[Int], DataType, Any)]): ColumnVector = {
+    val byHead = fills.groupBy(_._1.head)
+    val overrides: Map[Int, ColumnVector] = byHead.map { case (i, fs) =>
+      val (leaf, deeper) = fs.partition(_._1.size == 1)
+      val v: ColumnVector =
+        if (leaf.nonEmpty)
+          FillReaderFactory.constantVector(leaf.head._2, leaf.head._3)
+        else overrideVector(inner.getChild(i),
+          deeper.map(t => (t._1.tail, t._2, t._3)))
+      i -> v
+    }
+    new ChildOverrideVector(inner, overrides)
+  }
+
   /** One columnar reader with the filled columns' vectors REPLACED by
-    * [[ConstantColumnVector]]s (batches stay columnar). */
+    * [[ConstantColumnVector]]s — whole-column constants directly,
+    * nested fills behind a child-override wrapper (batches stay
+    * columnar either way). */
   def wrapColumnar(reader: PartitionReader[ColumnarBatch],
-      resolved: Array[(Int, DataType, Any)])
+      resolved: Array[ResolvedFill])
       : PartitionReader[ColumnarBatch] = {
     if (resolved.isEmpty) return reader
     new PartitionReader[ColumnarBatch] {
-      private val constants: Map[Int, ColumnVector] = resolved.map {
-        case (i, dt, v) => i -> FillReaderFactory.constantVector(dt, v)
-      }.toMap
+      private val byOrd = resolved.groupBy(_.ordinal)
+      // whole-column constants are batch-size-independent; nested
+      // wrappers are rebuilt per batch (the inner vectors may change)
+      private val wholeConstants: Map[Int, ColumnVector] = byOrd.collect {
+        case (i, fs) if fs.exists(_.path.isEmpty) =>
+          val w = fs.find(_.path.isEmpty).get
+          i -> FillReaderFactory.constantVector(w.leafType, w.value)
+      }
+      private val nestedByOrd: Map[Int, Seq[(List[Int], DataType, Any)]] =
+        byOrd.collect {
+          case (i, fs) if fs.forall(_.path.nonEmpty) =>
+            i -> fs.map(r => (r.path.toList, r.leafType, r.value)).toSeq
+        }
       override def next(): Boolean = reader.next()
       override def get(): ColumnarBatch = {
         val b = reader.get()
-        val cols = Array.tabulate[ColumnVector](b.numCols())(i =>
-          constants.getOrElse(i, b.column(i)))
+        val cols = Array.tabulate[ColumnVector](b.numCols()) { i =>
+          wholeConstants.getOrElse(i,
+            nestedByOrd.get(i)
+              .map(fs => overrideVector(b.column(i), fs))
+              .getOrElse(b.column(i)))
+        }
         new ColumnarBatch(cols, b.numRows())
       }
       override def close(): Unit = reader.close()

@@ -688,8 +688,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         // fills + renames never coexist (the TableLayout invariant would
         // refuse the commit anyway, but before-side-effect with the fix
         // named beats a generic require message — advisor r16 #1)
-        if (layout.dataFileFills.exists(_.exists(_.exists(
-            _._1.equalsIgnoreCase(from)))))
+        if (layout.dataFileFills.exists(_.exists(_.exists(f =>
+            f._1.equalsIgnoreCase(from) ||
+              f._1.toLowerCase.startsWith(from.toLowerCase + ".")))))
           throw new UnsupportedOperationException(
             s"$catalogName: cannot rename $from — $ref serves it as a " +
               "per-file constant fill (identity partition value / " +
@@ -738,8 +739,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         // initial-defaults); dropping the column would commit a version
         // whose fills no longer decode (every later readLayout throws in
         // decodeFills) — refuse BEFORE the side effect (advisor r16 #1)
-        if (layout.dataFileFills.exists(_.exists(_.exists(
-            _._1.equalsIgnoreCase(nm)))))
+        if (layout.dataFileFills.exists(_.exists(_.exists(f =>
+            f._1.equalsIgnoreCase(nm) ||
+              f._1.toLowerCase.startsWith(nm.toLowerCase + ".")))))
           throw new UnsupportedOperationException(
             s"$catalogName: cannot drop $nm — $ref serves it as a per-file " +
               "constant fill (identity partition value / initial-default); " +

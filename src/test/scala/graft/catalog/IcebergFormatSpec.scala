@@ -2664,9 +2664,10 @@ class IcebergFormatSpec extends AnyFunSuite {
     assert(intercept[IllegalStateException](
       CatalogIO.readLayout(metaLoc2, conf))
       .getMessage.contains("content_offset"))
-    // a NESTED initial-default still refuses (value surgery inside
-    // Spark's readers); TOP-LEVEL defaults are served by the fill
-    // machinery — see the dedicated initial-default test
+    // STRUCT-nested initial-defaults SERVE from round 17 (the fill
+    // seam threads constants into struct members — see the dedicated
+    // NESTED initial-defaults test); what still refuses is a default
+    // under a LIST/MAP element (no per-file-constant form exists)
     val p3 = new Path(Files.createTempDirectory("graft-iceberg").toString,
       "v0.metadata.json")
     val out = p3.getFileSystem(conf).create(p3, true)
@@ -2674,17 +2675,18 @@ class IcebergFormatSpec extends AnyFunSuite {
       """{"format-version": 3, "location": "/tmp/dv-ice",
         |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
         |  {"id": 1, "name": "id", "required": true, "type": "long"},
-        |  {"id": 2, "name": "s", "required": false, "type": {
-        |    "type": "struct", "fields": [
+        |  {"id": 2, "name": "xs", "required": false, "type": {
+        |    "type": "list", "element-id": 4, "element-required": false,
+        |    "element": {"type": "struct", "fields": [
         |      {"id": 3, "name": "v", "required": false, "type": "string",
-        |       "initial-default": "backfilled"}]}}]}],
+        |       "initial-default": "backfilled"}]}}}]}],
         |"current-schema-id": 0, "current-snapshot-id": -1}""".stripMargin
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val e3 = intercept[UnsupportedOperationException](
       CatalogIO.scanMetadataLocation(spark, p3.toString))
     assert(e3.getMessage.contains("initial-default") &&
-      e3.getMessage.contains("NESTED"))
+      e3.getMessage.contains("list/map"), e3.getMessage)
   }
 
   // ---- identity partitioning (round 16): the add_files / Hive-import
@@ -3144,6 +3146,91 @@ class IcebergFormatSpec extends AnyFunSuite {
         CatalogIO.encodeFills(Seq(
           "ts" -> new java.sql.Timestamp(0L))))
       assert(eEnc.getMessage.contains("unencodable"), eEnc.getMessage)
+    }
+  }
+
+  test("NESTED initial-defaults (round 17): addColumn under a struct " +
+      "serves the constant to pre-addition rows on both faces, columnar " +
+      "and row paths; post-addition appends serve their own values; " +
+      "null structs stay null; the dotted fill survives adoption") {
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-ice-ndef") { (cat, hc) =>
+      import spark.implicits._
+      val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tnd"
+      val base = spark.sql(
+        """SELECT id,
+          |  CASE WHEN id % 5 = 0 THEN NULL
+          |       ELSE named_struct('a', id * 10, 'b', concat('v-', id))
+          |  END AS s
+          |FROM range(1, 21)""".stripMargin)
+      val meta1 = IcebergExport.writeTable(spark, base, dir)
+      // metadata-only evolution: s.x int with initial-default 7
+      val meta2 = IcebergExport.addColumn(spark, meta1, "x", "int",
+        initialDefault = Some("7"), parentPath = Seq("s"))
+      assert(IcebergFormat.formatVersionOf(
+        CatalogIO.readMetadataText(meta2,
+          spark.sessionState.newHadoopConf())) == 3)
+      // library face: every non-null struct serves x = 7
+      val lib = CatalogIO.scanMetadataLocation(spark, meta2)
+      val got = lib.selectExpr("id", "s.a", "s.x").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)), Option(r.get(2)))).toSet
+      val expect1 = (1L to 20L).map(i =>
+        if (i % 5 == 0) (i, None, None)
+        else (i, Some(i * 10), Some(7))).toSet
+      assert(got == expect1, s"library face got $got")
+      // SQL face (vectorized nested path), incl. a filter on the
+      // defaulted member (withheld from pushdown, evaluated above the
+      // injected constants)
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.nd"), meta2)
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.db.nd WHERE s.x = 7")
+        .head.getLong(0) == 16L)
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.db.nd WHERE s IS NULL")
+        .head.getLong(0) == 4L)
+      // row path too (nested vectorization off)
+      spark.conf.set(
+        "spark.sql.parquet.enableNestedColumnVectorizedReader", "false")
+      try assert(spark.sql(
+          s"SELECT sum(s.x) v FROM $cat.db.nd WHERE s IS NOT NULL")
+        .head.getLong(0) == 16L * 7)
+      finally spark.conf.unset(
+        "spark.sql.parquet.enableNestedColumnVectorizedReader")
+      // post-addition append: rows carry their OWN x (no fill)
+      val more = spark.sql(
+        """SELECT id, CASE WHEN id < 0 THEN NULL
+          |  ELSE named_struct('a', id * 10, 'b', concat('v-', id),
+          |    'x', if(id >= 0, CAST(99 AS INT), CAST(NULL AS INT))) END AS s
+          |FROM range(100, 103)""".stripMargin)
+      val meta3 = IcebergExport.appendSnapshot(spark, more.coalesce(1), meta2)
+      val all = CatalogIO.scanMetadataLocation(spark, meta3)
+        .selectExpr("id", "s.x").collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+      assert(all(100L) == Some(99) && all(101L) == Some(99))
+      assert(all(3L) == Some(7) && all(5L) == None)
+      // the default text survives the append's metadata re-render
+      assert(CatalogIO.readMetadataText(meta3,
+        spark.sessionState.newHadoopConf()).contains("initial-default"))
+      // ADOPTION: the dotted fill key round-trips the engine manifest
+      val ref = TableRef.parse("db.nd_adopt")
+      CatalogIO.adoptIcebergTable(spark, hc, ref, meta3)
+      val adopted = CatalogIO.readLayout(
+        hc.loadTableMetadataLocation(ref),
+        spark.sessionState.newHadoopConf())
+      assert(adopted.hasFills)
+      assert(adopted.dataFileFills.get.flatten.exists(_._1 == "s.x"))
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.db.nd_adopt " +
+        "WHERE s.x = 7").head.getLong(0) == 16L)
+      // DROP COLUMN of the struct hosting a nested fill refuses
+      val eDrop = intercept[Exception](
+        spark.sql(s"ALTER TABLE $cat.db.nd_adopt DROP COLUMN s"))
+      assert(eDrop.getMessage.contains("per-file constant fill"),
+        eDrop.getMessage)
+      // refusals: composite parent that is not a struct; list-element
+      // defaults are unreachable by parentPath (segments must be
+      // struct fields)
+      val eList = intercept[Exception](
+        IcebergExport.addColumn(spark, meta3, "y", "int",
+          parentPath = Seq("id")))
+      assert(eList.getMessage.contains("not a struct"), eList.getMessage)
     }
   }
 

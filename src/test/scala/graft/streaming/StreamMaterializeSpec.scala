@@ -261,4 +261,85 @@ class StreamMaterializeSpec extends AnyFunSuite {
       Seq("1|eu", "2|us", "3|eu", "4|ap"))
     cat.close()
   }
+  test("Iceberg streaming sink (round 17): micro-batches land as append " +
+      "snapshots behind the catalog pointer; replays fence via the " +
+      "snapshot summary; a downstream admission-bounded pointer stream " +
+      "sees exactly the increments") {
+    import graft.catalog.{IcebergExport, IcebergFormat}
+    val wh = Files.createTempDirectory("graft-icesinkwh").toString
+    val cat = new HadoopFsCatalog("icesinkwh", wh)
+    cat.createNamespace(graft.catalog.Namespace.of("live"))
+    val ref = TableRef.parse("live.icesink")
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-icesink").toString + "/t"
+    val meta0 = IcebergExport.writeTable(spark, Seq(0L).toDF("id"), dir)
+    cat.registerTable(ref, meta0)
+    def batch(ids: Long*): DataFrame = ids.toDF("id")
+    def conf = spark.sessionState.newHadoopConf()
+    def idsNow(): Seq[Long] = CatalogIO.readTable(spark, cat, ref)
+      .collect().map(_.getLong(0)).sorted.toSeq
+
+    // three batches → three Iceberg snapshots behind the SAME ref
+    StreamMaterialize.commitIcebergBatch(spark, cat, ref, batch(1L, 2L),
+      0L, "fenceA", "parquet", true)
+    StreamMaterialize.commitIcebergBatch(spark, cat, ref, batch(3L),
+      1L, "fenceA", "parquet", true)
+    StreamMaterialize.commitIcebergBatch(spark, cat, ref, batch(4L),
+      2L, "fenceA", "parquet", true)
+    assert(idsNow() == Seq(0L, 1L, 2L, 3L, 4L))
+    val loc3 = cat.loadTableMetadataLocation(ref)
+    val text3 = CatalogIO.readMetadataText(loc3, conf)
+    assert(IcebergFormat.mainAncestry(text3).size == 4) // base + 3 appends
+    // the fence rides the newest snapshot's summary
+    assert(IcebergFormat.latestSummaryValue(text3, "fenceA").contains("2"))
+
+    // crash-replay of batch 2: fenced — no snapshot, no pointer move
+    StreamMaterialize.commitIcebergBatch(spark, cat, ref, batch(99L),
+      2L, "fenceA", "parquet", true)
+    assert(cat.loadTableMetadataLocation(ref) == loc3)
+    assert(idsNow() == Seq(0L, 1L, 2L, 3L, 4L))
+
+    // a DIFFERENT run (fresh checkpoint ⇒ fresh fence key) is not fenced
+    StreamMaterialize.commitIcebergBatch(spark, cat, ref, batch(5L),
+      0L, "fenceB", "parquet", true)
+    assert(idsNow() == Seq(0L, 1L, 2L, 3L, 4L, 5L))
+    // both fences live in the ancestry (the newest snapshot's summary
+    // carries fenceB; fenceA's newest occurrence is still snapshot 3)
+    val text4 = CatalogIO.readMetadataText(
+      cat.loadTableMetadataLocation(ref), conf)
+    assert(IcebergFormat.latestSummaryValue(text4, "fenceB").contains("0"))
+    assert(IcebergFormat.latestSummaryValue(text4, "fenceA").contains("2"))
+
+    // END-TO-END through a real streaming query (the foreachBatch face)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[Long](spark)
+    src.addData(6L, 7L)
+    val ck = Files.createTempDirectory("graft-icesink-ck").toString
+    val q = StreamMaterialize.appendIcebergStream(spark, cat, ref,
+      src.toDF().toDF("id"), ck)
+    try q.processAllAvailable() finally q.stop()
+    assert(idsNow() == Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+
+    // downstream: the w16 admission-bounded Iceberg-pointer stream sees
+    // exactly the increments, one commit per micro-batch under the
+    // 1-file budget (each append wrote one file)
+    val name = "icesink_out"
+    val q2 = spark.readStream.format("graft-table")
+      .option("type", "hadoop").option("warehouse", wh)
+      .option("table", "live.icesink")
+      .option("startingVersion", "earliest")
+      .option("maxFilesPerTrigger", "1").load()
+      .writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q2.processAllAvailable()
+      assert(spark.table(name).select("id").collect()
+        .map(_.getLong(0)).sorted.toSeq ==
+        Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L))
+      assert(q2.recentProgress.count(_.numInputRows > 0) >= 5,
+        q2.recentProgress.map(_.numInputRows).mkString(","))
+    } finally q2.stop()
+    cat.close()
+  }
+
 }
