@@ -285,11 +285,6 @@ object IcebergExport {
       targetFileBytes: Long = 128L << 20): String = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val st = loadState(spark, metadataLocation)
-    require(st.partCols.isEmpty,
-      s"$metadataLocation is identity-partitioned; this rewrite writes " +
-        "unpartitioned file layouts, which would drop the per-file " +
-        "partition values — compact per partition externally or read + " +
-        "writeTable(partitionBy) instead")
     require(st.priorEntries.forall(_.content == 0),
       s"$metadataLocation carries live delete files; a rewrite would " +
         "change row visibility — materialize the deletes first")
@@ -310,10 +305,26 @@ object IcebergExport {
       math.ceil(totalBytes.toDouble / targetFileBytes).toLong).toInt
     val rel = s"data/rw$seq-${java.util.UUID.randomUUID().toString.take(8)}"
     val dataDir = new Path(st.root, rel)
-    rows.repartition(parts).write.parquet(dataDir.toString)
+    // identity-PARTITIONED tables rewrite into the hive col=value
+    // layout under the rewrite subdir (round 17 — the r16 refusal
+    // lifted): the scan serves partition values (own columns or fills),
+    // the partitioned write re-materializes them as directories,
+    // clustered so each partition's rows land together, and
+    // writeDataManifest records the tuples in the new manifest's
+    // partition records — pruning keeps firing off the synthesized
+    // identity bounds, exactly the appendSnapshot shape
+    if (st.partCols.isEmpty)
+      rows.repartition(parts).write.parquet(dataDir.toString)
+    else {
+      requireNoEmptyStringPartitions(rows, st.partCols)
+      rows.repartition(parts,
+          st.partCols.map(c => rows.col(c.field.name)): _*)
+        .write.partitionBy(st.partCols.map(_.field.name): _*)
+        .parquet(dataDir.toString)
+    }
     val (entry, rowCount, _) = writeDataManifest(spark, st.fs, st.metaDir,
       st.location, st.sparkSchema, st.fieldIds, dataDir, rel, snapshotId, seq,
-      treeOverride = Some(st.tree))
+      treeOverride = Some(st.tree), partCols = st.partCols)
     // a replace snapshot's manifest list carries ONLY the rewritten
     // files: the prior entries are dropped (their rows live on in the
     // new files; the old data files stay on disk until GC)

@@ -691,6 +691,14 @@ private final class GraftRowLevelScan(
       case b: BucketFilePartition => b.files.files.map(_.filePath.toString)
       case m: MorFilePartition => m.files.files.map(_.filePath.toString)
       case e: EpochFilePartition => e.files.files.map(_.filePath.toString)
+      // fill tables take row-level rewrites (round 17): the scan serves
+      // the fills and the rewrite output materializes every column.
+      // Adopted layouts record no partition columns, so no file-level
+      // pruning applies and the replace set is the WHOLE table — the
+      // merge doubles as a compaction (post-merge layouts are
+      // fill-free), the honest COW cost until partial pruning exists
+      // for fill groups
+      case f: FillFilePartition => f.files.files.map(_.filePath.toString)
       case other => throw new IllegalStateException(
         s"cannot derive the replaced file set from scan partition ${other.getClass.getName}")
     })

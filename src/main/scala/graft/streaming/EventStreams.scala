@@ -30,10 +30,15 @@ object EventStreams {
     * [[graft.Tables.normalize]] applies the same boundary normalization
     * the batch path uses, so `stream == batch` equivalence holds by
     * construction rather than by each caller re-deriving the cast. */
-  def eventSource(spark: SparkSession, dir: String): DataFrame = {
+  def eventSource(spark: SparkSession, dir: String,
+      /** Source options (round 17 — e.g. Spark's own
+        * `maxFilesPerTrigger`, so this source is admission-bounded
+        * like the table/pointer streams). */
+      options: Map[String, String] = Map.empty): DataFrame = {
     val physical = spark.read.parquet(dir).schema
     graft.Tables.normalize(
-      spark.readStream.schema(physical).parquet(dir), "events")
+      spark.readStream.options(options).schema(physical).parquet(dir),
+      "events")
   }
 
   /** Tumbling 1-hour windows with a 2-hour watermark: counts + exact

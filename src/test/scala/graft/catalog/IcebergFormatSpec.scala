@@ -2810,19 +2810,15 @@ class IcebergFormatSpec extends AnyFunSuite {
         r.getInt(r.fieldIndex("k")))).toSet ==
         Set((1001L, 2), (1002L, 3), (2001L, 2)),
         "incremental reads must serve appended rows with partition fills")
-      // partition-blind verbs refuse: avro appends (the native writer
-      // does not partition) and whole-table rewrites (they would drop
-      // the per-file partition values). Deletes/DVs WORK — they commit
-      // under the auxiliary unpartitioned spec (the fills+deletes spec
-      // below covers them end-to-end).
+      // the one partition-blind verb left refuses: avro appends (the
+      // native writer does not partition). Deletes/DVs commit under the
+      // auxiliary unpartitioned spec, and REWRITES keep the hive layout
+      // since round 17 (the dedicated partitioned-REWRITE spec).
       val eAvro = intercept[IllegalArgumentException](
         IcebergExport.appendSnapshot(spark,
           Seq((3001L, "z", 1)).toDF("id", "name", "k"), meta3,
           fileFormat = "avro"))
       assert(eAvro.getMessage.contains("identity-partitioned"))
-      val eRw = intercept[IllegalArgumentException](
-        IcebergExport.rewriteSnapshot(spark, meta3))
-      assert(eRw.getMessage.contains("identity-partitioned"))
     }
   }
 
@@ -3231,6 +3227,171 @@ class IcebergFormatSpec extends AnyFunSuite {
         IcebergExport.addColumn(spark, meta3, "y", "int",
           parentPath = Seq("id")))
       assert(eList.getMessage.contains("not a struct"), eList.getMessage)
+    }
+  }
+
+  test("days-transform inversion (round 17): a days(ts)-partitioned " +
+      "table with STATS-LESS manifests prunes at plan time on a ts " +
+      "predicate — the partition tuple bounds the source column") {
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-ice-days") { (cat, hc) =>
+      import spark.implicits._
+      val conf = spark.sessionState.newHadoopConf()
+      val root = new Path(
+        s"${Files.createTempDirectory("graft-iceberg").toString}/tdy")
+      val fs = root.getFileSystem(conf)
+      fs.mkdirs(new Path(root, "metadata"))
+      val location = fs.makeQualified(root).toString
+      // three one-day files; values carry the source column (no fills)
+      def dayDf(day: Int) = (0 until 4).map(i =>
+        (day * 10L + i, java.sql.Timestamp.from(java.time.Instant
+          .ofEpochSecond(day * 86400L + i * 3600L))))
+        .toDF("id", "ts")
+      val dataFiles = (0 to 2).map { day =>
+        val target = new Path(root, s"data/day-$day.parquet")
+        val tmp = new Path(root, s"data/.tmp-$day")
+        dayDf(day).coalesce(1).write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp).map(_.getPath)
+          .find(_.getName.endsWith(".parquet")).get
+        fs.rename(part, target); fs.delete(tmp, true)
+        (day, fs.makeQualified(target).toString)
+      }
+      // hand-built STATS-LESS manifest with days(ts) partition records
+      val mSchemaJson =
+        """{"type": "record", "name": "manifest_entry", "fields": [
+          |  {"name": "status", "type": "int"},
+          |  {"name": "sequence_number", "type": ["null", "long"], "default": null},
+          |  {"name": "data_file", "type": {"type": "record", "name": "r2", "fields": [
+          |    {"name": "content", "type": "int"},
+          |    {"name": "file_path", "type": "string"},
+          |    {"name": "file_format", "type": "string"},
+          |    {"name": "partition", "type": {"type": "record", "name": "r102", "fields": [
+          |      {"name": "ts_day", "type": ["null", "int"], "default": null, "field-id": 1000}]}},
+          |    {"name": "record_count", "type": "long"},
+          |    {"name": "file_size_in_bytes", "type": "long"}
+          |  ]}}
+          |]}""".stripMargin
+      val mSchema = new org.apache.avro.Schema.Parser().parse(mSchemaJson)
+      val dfSchema = mSchema.getField("data_file").schema()
+      val manifest = new Path(root, "metadata/m1.avro")
+      val mw = new DataFileWriter(
+        new GenericDatumWriter[GenericRecord](mSchema))
+      mw.setMeta("partition-spec-id", "0")
+      mw.create(mSchema, fs.create(manifest, true))
+      dataFiles.foreach { case (day, abs) =>
+        val pr = new GenericData.Record(
+          dfSchema.getField("partition").schema())
+        pr.put("ts_day", Int.box(day))
+        val d = new GenericData.Record(dfSchema)
+        d.put("content", 0); d.put("file_path", abs)
+        d.put("file_format", "PARQUET"); d.put("partition", pr)
+        d.put("record_count", 4L)
+        d.put("file_size_in_bytes", fs.getFileStatus(new Path(abs)).getLen)
+        val e = new GenericData.Record(mSchema)
+        e.put("status", 1); e.put("sequence_number", 1L); e.put("data_file", d)
+        mw.append(e)
+      }
+      mw.close()
+      val listJson =
+        """{"type": "record", "name": "manifest_file", "fields": [
+          |  {"name": "manifest_path", "type": "string"},
+          |  {"name": "manifest_length", "type": "long"},
+          |  {"name": "partition_spec_id", "type": "int"},
+          |  {"name": "content", "type": "int"},
+          |  {"name": "sequence_number", "type": "long"},
+          |  {"name": "min_sequence_number", "type": "long"},
+          |  {"name": "added_snapshot_id", "type": "long"}
+          |]}""".stripMargin
+      val lSchema = new org.apache.avro.Schema.Parser().parse(listJson)
+      val listPath = new Path(root, "metadata/snap-1.avro")
+      val lw = new DataFileWriter(
+        new GenericDatumWriter[GenericRecord](lSchema))
+      lw.create(lSchema, fs.create(listPath, true))
+      val le = new GenericData.Record(lSchema)
+      le.put("manifest_path", fs.makeQualified(manifest).toString)
+      le.put("manifest_length", fs.getFileStatus(manifest).getLen)
+      le.put("partition_spec_id", 0); le.put("content", 0)
+      le.put("sequence_number", 1L); le.put("min_sequence_number", 1L)
+      le.put("added_snapshot_id", 11L)
+      lw.append(le); lw.close()
+      val metaPath = new Path(root, "metadata/v1.metadata.json")
+      val out = fs.create(metaPath, true)
+      try out.write(
+        s"""{"format-version": 2, "table-uuid": "t-days",
+           |"location": "${location}",
+           |"last-sequence-number": 1, "last-column-id": 2,
+           |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
+           |  {"id": 1, "name": "id", "required": false, "type": "long"},
+           |  {"id": 2, "name": "ts", "required": false, "type": "timestamptz"}]}],
+           |"current-schema-id": 0,
+           |"partition-specs": [{"spec-id": 0, "fields": [
+           |  {"name": "ts_day", "transform": "days", "source-id": 2, "field-id": 1000}]}],
+           |"default-spec-id": 0, "last-partition-id": 1000,
+           |"current-snapshot-id": 11,
+           |"snapshots": [{"snapshot-id": 11, "sequence-number": 1,
+           |  "timestamp-ms": 1, "summary": {"operation": "append"},
+           |  "manifest-list": "${fs.makeQualified(listPath).toString}",
+           |  "schema-id": 0}]}""".stripMargin
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      // the converted layout synthesizes ts bounds from the day tuples
+      val layout = CatalogIO.readLayout(metaPath.toString, conf)
+      assert(!layout.hasFills, "files carry ts; no fill may engage")
+      assert(layout.dataFileStats.exists(_.forall(_.nonEmpty)),
+        "every stats-less entry must get synthesized transform bounds")
+      // rows serve correctly and a day predicate prunes at PLAN time
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.days"), metaPath.toString)
+      val all = spark.sql(s"SELECT id FROM $cat.db.days").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(all == (0 to 2).flatMap(d => (0 until 4).map(d * 10L + _)))
+      graft.sources.StatsPruning.lastPlanned = None
+      val day2 = spark.sql(s"SELECT id FROM $cat.db.days " +
+        "WHERE ts >= timestamp'1970-01-03 00:00:00'").collect()
+        .map(_.getLong(0)).sorted.toSeq
+      assert(day2 == (0 until 4).map(20L + _))
+      assert(graft.sources.StatsPruning.lastPlanned.contains((2, 3)),
+        s"expected 2 of 3 files pruned, got " +
+          graft.sources.StatsPruning.lastPlanned)
+    }
+  }
+
+  test("partitioned REWRITE (round 17): rewriteSnapshot on an identity-" +
+      "partitioned table keeps the hive layout, the partition records, " +
+      "and plan-time pruning; rows are identical") {
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-ice-prw") { (cat, hc) =>
+      import spark.implicits._
+      val conf = spark.sessionState.newHadoopConf()
+      val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/tprw"
+      val df = (1 to 60).map(i => (i.toLong, s"n-$i", (i % 3) + 1))
+        .toDF("id", "name", "k")
+      val meta1 = IcebergExport.writeTable(spark, df, dir,
+        partitionBy = Seq("k"))
+      val meta2 = IcebergExport.rewriteSnapshot(spark, meta1,
+        targetFileBytes = 4096L)
+      val l2 = CatalogIO.readLayout(meta2, conf)
+      // rewritten files live in hive col=value dirs with recorded tuples
+      assert(l2.hasFills, "rewritten files must keep serving k as fills")
+      assert(l2.absoluteDataFiles.get.forall(_.contains("k=")),
+        l2.absoluteDataFiles.get.take(3))
+      val expect = df.collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      def rowsOf(d: org.apache.spark.sql.DataFrame) =
+        d.select("id", "name", "k").collect()
+          .map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+      assert(rowsOf(CatalogIO.scanMetadataLocation(spark, meta2)) == expect)
+      // SQL face + plan-time partition pruning on the rewritten layout
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.prw"), meta2)
+      graft.sources.StatsPruning.lastPlanned = None
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.db.prw WHERE k = 2")
+        .head.getLong(0) == 20L)
+      val planned = graft.sources.StatsPruning.lastPlanned
+      assert(planned.exists { case (sk, t) => sk > 0 && sk < t },
+        s"partition pruning must fire on the rewritten layout: $planned")
+      // the rewrite is a 'replace' snapshot: skipRewrites readers skip it
+      val text = CatalogIO.readMetadataText(meta2, conf)
+      val last = IcebergFormat.mainAncestry(text).last
+      assert(last.operation.contains("replace"))
     }
   }
 

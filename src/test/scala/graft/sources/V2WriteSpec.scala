@@ -1032,4 +1032,53 @@ class V2WriteSpec extends AnyFunSuite {
       assert(again.dataFileFormats.get.count(_ == "orc") == 1)
     } finally CatalogIO.manifestInlineMax = saved
   }
+  test("MERGE INTO an ADOPTED fill table (round 17): update + insert " +
+      "branches land; fills keep serving; both faces agree") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("v2write-fillmerge").toString
+    // hive import: files LACK the partition column k (fills serve it)
+    val base = (1 to 40).map(i => (i.toLong, i * 10L, (i % 4) + 1))
+      .toDF("id", "v", "k")
+    base.write.partitionBy("k").parquet(s"$tmp/hv")
+    val meta = IcebergExport.importHiveTable(spark, s"$tmp/hv",
+      base.schema, Seq("k"))
+    val ref = TableRef.parse("db.fm")
+    CatalogIO.adoptIcebergTable(spark, hc, ref, meta)
+    assert(CatalogIO.readLayout(hc.loadTableMetadataLocation(ref),
+      spark.sessionState.newHadoopConf()).hasFills)
+    // MERGE: update ids 1..5 (v := v + 1000), insert ids 100..102
+    ((1 to 5).map(i => (i.toLong, i * 10L + 1000L, (i % 4) + 1)) ++
+      (100 to 102).map(i => (i.toLong, i.toLong, 9)))
+      .toDF("id", "v", "k").createOrReplaceTempView("fm_src")
+    spark.sql(
+      s"""MERGE INTO $cat.db.fm t USING fm_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET v = s.v, k = s.k
+         |WHEN NOT MATCHED THEN INSERT (id, v, k) VALUES (s.id, s.v, s.k)
+         |""".stripMargin)
+    val expect = ((1 to 40).map(i =>
+        if (i <= 5) (i.toLong, i * 10L + 1000L, (i % 4) + 1)
+        else (i.toLong, i * 10L, (i % 4) + 1)) ++
+      (100 to 102).map(i => (i.toLong, i.toLong, 9))).toSet
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.select("id", "v", "k").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(rowsOf(spark.table(s"$cat.db.fm")) == expect)
+    assert(rowsOf(CatalogIO.readTable(spark, hc, ref)) == expect)
+    // a fill-column filter still answers correctly post-merge
+    assert(spark.sql(s"SELECT count(*) c FROM $cat.db.fm WHERE k = 2")
+      .head.getLong(0) == expect.count(_._3 == 2))
+    // the COW rewrite replaced the whole (unpruned) table and thereby
+    // MATERIALIZED the fills — the post-merge layout is fill-free
+    assert(!CatalogIO.readLayout(hc.loadTableMetadataLocation(ref),
+      spark.sessionState.newHadoopConf()).hasFills)
+    // SQL UPDATE and DELETE ride the same row-level path afterwards
+    spark.sql(s"UPDATE $cat.db.fm SET v = 0 WHERE id = 40")
+    spark.sql(s"DELETE FROM $cat.db.fm WHERE id = 100")
+    val expect2 = expect.filterNot(_._1 == 100L)
+      .map(t => if (t._1 == 40L) (t._1, 0L, t._3) else t)
+    assert(rowsOf(spark.table(s"$cat.db.fm")) == expect2)
+  }
+
 }

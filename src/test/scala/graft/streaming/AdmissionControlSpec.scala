@@ -375,4 +375,39 @@ class AdmissionControlSpec extends AnyFunSuite {
     }
     assert(e1.getMessage.contains("delete"), e1.getMessage)
   }
+  // ------------------------------------------------------- event files
+
+  test("event-file stream: Spark's own maxFilesPerTrigger bounds the " +
+    "graft event source (the whole streaming surface is uniformly " +
+    "admission-bounded)") {
+    // three separate event parquet FILES in one stream directory
+    val dir = java.nio.file.Files.createTempDirectory("adm-events")
+    val docs = graft.Tables(spark, "/root/testdata/sf0.001", "events")
+    Seq(0, 1, 2).foreach { i =>
+      val slice = java.nio.file.Files.createTempDirectory(s"adm-ev-$i")
+      docs.filter(org.apache.spark.sql.functions.col("event_id") % 3 === i)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(slice.resolve("out").toString)
+      import scala.jdk.CollectionConverters._
+      val part = java.nio.file.Files.list(slice.resolve("out"))
+        .iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      java.nio.file.Files.copy(part, dir.resolve(s"ev-$i.parquet"))
+    }
+    val name = sinkName()
+    val q = graft.streaming.EventStreams
+      .eventSource(spark, dir.toString,
+        options = Map("maxFilesPerTrigger" -> "1"))
+      .writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(name).count() == docs.count(),
+        "the bounded drain must serve every event exactly once")
+      assert(nonEmptyBatches(q) == 3,
+        s"one file per batch expected; progress: ${q.recentProgress.map(p =>
+          s"batch ${p.batchId}=${p.numInputRows}").mkString(", ")}")
+    } finally q.stop()
+  }
+
 }
