@@ -3318,17 +3318,12 @@ object CatalogIO {
           "positional writes need parquet's _metadata.row_index — " +
           "non-parquet tables take appends only (compact/rewrite to " +
           "parquet for row-level writes)")
-    // per-file constant fills (round 16): the raw addressed read below
-    // serves fill columns as NULL, so a positional DELETE/UPDATE WHERE
-    // on one would silently address the wrong rows — refuse loudly
-    // (equality-keyed merge-on-read and copy-on-write faces work; a
-    // compaction materializes the fills and restores this face)
-    if (layout.hasFills)
-      throw new UnsupportedOperationException(
-        s"${layout.dataLocation} carries per-file constant fills " +
-          "(identity partition values / initial-defaults); positional " +
-          "writes read files raw and would mis-address filled columns " +
-          "\u2014 compact the table (materializing the fills) first")
+    // per-file constant fills SERVE here too (round 17 — the last fill
+    // refusal on the write-read faces lifted): files group by their
+    // fill set, constants inject right after the address capture (a
+    // 1:1 row map — `_metadata.row_index` is untouched), and the
+    // delete probes below run over the FILLED frame, so a positional
+    // DELETE/UPDATE WHERE on a fill column addresses the right rows
     val schema = org.apache.spark.sql.types.StructType.fromDDL(
       layout.schemaDdl.getOrElse(throw new IllegalStateException(
         s"manifest with no recorded schema at ${layout.dataLocation}")))
@@ -3348,21 +3343,37 @@ object CatalogIO {
     }
     val rels = layout.dataFiles.getOrElse(Nil)
     val relByAbs = rels.zip(filesWithSeqs.map(_._1)).map(_.swap).toMap
+    val fillsByRel: Map[String, Seq[(String, Any)]] =
+      layout.dataFileFills match {
+        case Some(fills) => rels.zip(fills).toMap
+        case None => Map.empty
+      }
+    // fill layouts pass NO basePath (Spark would infer partition
+    // columns from the `col=value` directory names and conflict across
+    // snapshot depths); `_metadata.file_path` is basePath-independent
+    val readSchema =
+      if (!layout.hasFills) schema
+      else graft.sources.FillInjection.deepNullable(schema)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
     val groups = filesWithSeqs
       .groupBy { case (abs, s) =>
         val rel = relByAbs(abs)
         val hasDv = layout.dvFor(rel).isDefined
         (layout.eqDeletePathsFor(rel, s).sorted,
           (if (hasDv) Nil else layout.posDeletesFor(rel, s)).sorted,
-          hasDv)
+          hasDv, fillsByRel.getOrElse(rel, Seq.empty))
       }
       .toSeq.sortBy(_._2.head._1)
-    groups.map { case ((eqPaths, posPaths, hasDv), fs) =>
-      val df = spark.read.options(options).schema(schema)
-        .option("basePath", layout.dataLocation)
+    groups.map { case ((eqPaths, posPaths, hasDv, fills), fs) =>
+      val r = spark.read.options(options).schema(readSchema)
+      val df0 = (if (layout.hasFills) r
+        else r.option("basePath", layout.dataLocation))
         .parquet(fs.map(_._1): _*)
         .withColumn("__graft_file", col("_metadata.file_path"))
         .withColumn("__graft_pos", col("_metadata.row_index"))
+      val df = fills.foldLeft(df0) { case (d, (c, v)) =>
+        applyFillColumn(d, c, v)
+      }
       val eqApplied = applyEqualityDeletes(spark, df, eqPaths, options)
       val (dvAddrs, dvCount) =
         if (hasDv) dvInputsFor(spark, layout, options,

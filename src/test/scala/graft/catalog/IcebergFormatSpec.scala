@@ -3436,11 +3436,15 @@ class IcebergFormatSpec extends AnyFunSuite {
         Seq(1).toDF("k"), Seq("k"))
       val afterDel = afterIns.filterNot(_._3 == 1)
       assert(rowsOf(spark.table(s"$cat.db.ha")) == afterDel)
-      // positional writes refuse loudly while fills live
-      val ePos = intercept[UnsupportedOperationException](
-        graft.sources.MergeOps.deleteWhereMergeOnRead(spark, hc, ref,
-          org.apache.spark.sql.functions.col("id") === 5L))
-      assert(ePos.getMessage.contains("constant fills"), ePos.getMessage)
+      // positional writes WORK while fills live (round 17 — the last
+      // fill refusal on the write-read faces lifted): the addressed
+      // scan injects the constants before its probes, so a predicate
+      // ON the fill column addresses the right rows
+      graft.sources.MergeOps.deleteWhereMergeOnRead(spark, hc, ref,
+        org.apache.spark.sql.functions.col("id") === 5L &&
+          org.apache.spark.sql.functions.col("k") === 2)
+      val afterPos = afterDel.filterNot(t => t._1 == 5L && t._3 == 2)
+      assert(rowsOf(spark.table(s"$cat.db.ha")) == afterPos)
       // CHUNKED manifests round-trip the fills column too
       val pm = CatalogIO.manifestInlineMax
       try {
@@ -3453,7 +3457,7 @@ class IcebergFormatSpec extends AnyFunSuite {
         assert(chunkedLayout.hasFills,
           "fills must survive the chunked manifest")
         assert(rowsOf(spark.table(s"$cat.db.ha")) ==
-          afterDel + ((2001L, "y", 1)))
+          afterPos + ((2001L, "y", 1)))
       } finally CatalogIO.manifestInlineMax = pm
       // compaction materializes the fills: plain layout, same rows
       CatalogIO.compactTable(spark, hc, ref)
@@ -3461,11 +3465,11 @@ class IcebergFormatSpec extends AnyFunSuite {
         hc.loadTableMetadataLocation(ref), conf)
       assert(!compacted.hasFills && compacted.deleteFiles.isEmpty)
       assert(rowsOf(spark.table(s"$cat.db.ha")) ==
-        afterDel + ((2001L, "y", 1)))
-      // and positional writes are restored
+        afterPos + ((2001L, "y", 1)))
+      // and positional writes keep working on the compacted table
       graft.sources.MergeOps.deleteWhereMergeOnRead(spark, hc, ref,
         org.apache.spark.sql.functions.col("id") === 2001L)
-      assert(rowsOf(spark.table(s"$cat.db.ha")) == afterDel)
+      assert(rowsOf(spark.table(s"$cat.db.ha")) == afterPos)
     }
   }
 
