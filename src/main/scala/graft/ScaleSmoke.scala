@@ -48,7 +48,7 @@ object ScaleSmoke {
     }
     // the write/compact experiments only need lineitem — skip the rest
     // of the synthesis when they (or srp, which synthesizes nothing) run alone
-    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr", "plan", "manifest", "iceberg", "chunks", "dv", "orc", "degrade", "stream", "hive")).nonEmpty) {
+    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr", "plan", "manifest", "iceberg", "chunks", "dv", "orc", "degrade", "stream", "hive", "scoped")).nonEmpty) {
       replicate("orders") { (df, i) =>
         df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
           .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
@@ -83,9 +83,9 @@ object ScaleSmoke {
       "d08_dedup_substrings", "t06_pack_sequences", "p01_training_pipeline")
     // a typo'd name silently measuring nothing would waste a multi-hour
     // rerun — fail fast instead ("srp"/"write" select those experiments)
-    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr" - "plan" - "manifest" - "iceberg" - "chunks" - "dv" - "orc" - "degrade" - "stream" - "hive"
+    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr" - "plan" - "manifest" - "iceberg" - "chunks" - "dv" - "orc" - "degrade" - "stream" - "hive" - "scoped"
     require(unknown.isEmpty,
-      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats, incr, plan, manifest, iceberg, chunks, dv, orc, degrade, stream")
+      s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats, incr, plan, manifest, iceberg, chunks, dv, orc, degrade, stream, scoped")
     all.filter(q => only.isEmpty || only(q)).foreach { q =>
       try timed(q) catch { case e: Exception => println(s"[scale] $q FAILED: $e") }
     }
@@ -104,6 +104,7 @@ object ScaleSmoke {
     if (only.isEmpty || only("degrade")) degradeScale(spark, out, replicas)
     if (only.isEmpty || only("stream")) streamScale(spark, out, replicas)
     if (only.isEmpty || only("hive")) hiveScale(spark, out, replicas)
+    if (only.isEmpty || only("scoped")) scopedScale(spark, out, replicas)
     spark.stop()
   }
 
@@ -249,6 +250,75 @@ object ScaleSmoke {
     println(f"[scale] hive x$replicas: post-compaction full count in " +
       f"${(System.nanoTime() - t0) / 1e9}%.1f s")
     hc.close()
+  }
+
+  /** Partition-SCOPED equality deletes at scale (round 17 — the Flink
+    * upsert/CDC merge-on-read shape): a 64-partition identity export of
+    * replicated lineitem takes 16 scoped equality deletes (one per
+    * partition p=0..15, each keying ~1/1000 of that partition's rows —
+    * keys that EXIST in every other partition, so a globally-applied
+    * scope would visibly change the answer). Measured: (a) the layout
+    * CONVERSION with scoped deletes live — each delete's target
+    * resolution is a hash-group lookup over the partition tuples,
+    * O(matching partition's files), never O(table × deletes); (b) the
+    * MOR-live full scan vs the delete-free base (the probe-group
+    * overhead); (c) correctness vs the relational replay. */
+  private def scopedScale(spark: SparkSession, out: String, replicas: Int): Unit = {
+    import graft.catalog.IcebergExport
+    import org.apache.spark.sql.functions.col
+    val dir = s"/tmp/graft_scoped_x$replicas"
+    graft.sources.TempCatalog.deleteRecursively(dir)
+    val src = spark.read.parquet(s"$out/lineitem.parquet")
+      .select(col("l_orderkey").as("k"), col("l_quantity").as("qty"),
+        (col("l_orderkey") % 64).cast("int").as("p"))
+    var t0 = System.nanoTime()
+    val meta0 = IcebergExport.writeTable(spark, src, s"$dir/t",
+      partitionBy = Seq("p"))
+    println(f"[scale] scoped x$replicas: 64-partition export in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    val conf = spark.sessionState.newHadoopConf()
+    t0 = System.nanoTime()
+    val base = graft.catalog.CatalogIO.readLayout(meta0, conf)
+    println(f"[scale] scoped x$replicas: delete-free layout load " +
+      f"(${base.dataFiles.map(_.size).getOrElse(0)} files) in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.2f s")
+    t0 = System.nanoTime()
+    val keys = src.filter(col("k") % 1000 === 0).select(col("k")).distinct()
+    var meta = meta0
+    (0 until 16).foreach { part =>
+      meta = IcebergExport.appendDeletes(spark, meta,
+        equality = Some(keys),
+        equalityPartition = Some(Seq(Int.box(part))))
+    }
+    println(f"[scale] scoped x$replicas: 16 scoped delete commits in " +
+      f"${(System.nanoTime() - t0) / 1e9}%.1f s")
+    t0 = System.nanoTime()
+    val layout = graft.catalog.CatalogIO.readLayout(meta, conf)
+    val scopedCold = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    graft.catalog.CatalogIO.readLayout(meta, conf)
+    val targeted = layout.eqDeleteFiles.count(_.targets.nonEmpty)
+    val targetSum = layout.eqDeleteFiles.map(_.targets.size).sum
+    println(f"[scale] scoped x$replicas: layout CONVERSION with " +
+      f"$targeted scoped deletes (target lists sum $targetSum files) " +
+      f"cold $scopedCold%.2f s, warm ${(System.nanoTime() - t0) / 1e9}%.2f s")
+    // MOR-live scan vs delete-free base + correctness vs the replay
+    t0 = System.nanoTime()
+    val baseCount = graft.catalog.CatalogIO
+      .scanMetadataLocation(spark, meta0).count()
+    val baseScan = (System.nanoTime() - t0) / 1e9
+    t0 = System.nanoTime()
+    val morCount = graft.catalog.CatalogIO
+      .scanMetadataLocation(spark, meta).count()
+    val morScanT = (System.nanoTime() - t0) / 1e9
+    val expect = src.filter(!(col("p") < 16 && col("k") % 1000 === 0))
+      .count()
+    require(morCount == expect,
+      s"scoped-delete scan wrong: got $morCount, expect $expect " +
+        s"(base $baseCount)")
+    println(f"[scale] scoped x$replicas: full scan delete-free " +
+      f"$baseScan%.1f s vs 16-scoped-deletes MOR $morScanT%.1f s " +
+      f"($baseCount -> $morCount rows, replay-verified)")
   }
 
   private def streamScale(spark: SparkSession, out: String, replicas: Int): Unit = {
