@@ -845,7 +845,7 @@ object CatalogIO {
   /** Apply one fill to a DataFrame: whole column for a plain key, a
     * struct REBUILD for a dotted key (outer NULL structs stay NULL —
     * a null value has no member to default). */
-  private[catalog] def applyFillColumn(df: org.apache.spark.sql.DataFrame,
+  private[graft] def applyFillColumn(df: org.apache.spark.sql.DataFrame,
       key: String, v: Any): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.StructType
@@ -1611,9 +1611,19 @@ object CatalogIO {
     // delete — a rewritten file's rows already reflect the deletes its
     // source files carried (the rewrite scanned through them)
     val priorSeqs = prior.dataFileSeqs.getOrElse(Seq.fill(priorFiles.size)(0))
-    val survivors = priorFiles.zip(priorSeqs).filter { case (f, _) => keepFile(f) }
+    val keptIdx = priorFiles.zipWithIndex
+      .collect { case (f, i) if keepFile(f) => i }
+    val survivors = keptIdx.map(i => (priorFiles(i), priorSeqs(i)))
     val moved = moveIntoSegment(cat.fileSystem, staging,
       new Path(prior.dataLocation), stagedFiles)
+    // survivors keep their FILL sets in lockstep (round 17 — a replace
+    // that dropped them would silently NULL every filled column of the
+    // kept files); staged replacements materialize all columns, so
+    // they carry none
+    val fills = prior.dataFileFills
+      .filter(_ => prior.hasFills)
+      .map(all => keptIdx.map(all) ++
+        Seq.fill(moved.size)(Seq.empty[(String, Any)]))
     commitLayoutAsVersion(cat, ref, n, TableLayout(prior.dataLocation,
       partitionBy, bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
       prior.schemaDdl.orElse(Some(schemaDdl)),
@@ -1625,6 +1635,7 @@ object CatalogIO {
         else Some(survivors.map(_._2) ++ Seq.fill(moved.size)(n)),
       renameOps = prior.renameOps,
       droppedColumns = prior.droppedColumns,
+      dataFileFills = fills,
       clusterTransforms = prior.clusterTransforms), op, Some(prior))
   }
 

@@ -125,20 +125,19 @@ final class GraftMorTable(delegate: Table with SupportsRead,
       // FileScanBuilders; anything else would serve raw files WITHOUT
       // delete application — resurrecting deleted rows silently. Refuse.
       case f @ (_: ParquetScanBuilder | _: OrcScanBuilder) =>
-        // eq-OVERFLOW + fills refuses (round 16): the degrade path's
-        // distributed address-spill join reads the key columns straight
-        // from the data files, where a fill column is physically absent
-        // (NULL) — the join would silently delete nothing / the wrong
-        // rows. Broadcast-sized equality deletes work (probes run above
-        // the injection); rewrite the table to materialize the columns
-        // before letting delete sets grow past the threshold.
-        if (eqOverflow && layout.hasFills)
+        // eq-OVERFLOW + fills SERVES over parquet (round 17 — the r16
+        // refusal narrowed): the spill's data read groups by fill set
+        // and injects the constants before the semi join, so key
+        // columns the files lack compare against the filled values.
+        // ORC stays refused there: its address enumeration decodes key
+        // columns via orc-core directly, below any fill seam.
+        if (eqOverflow && layout.hasFills && layout.dataFormat != "parquet")
           throw new UnsupportedOperationException(
             s"${delegate.name}: over-threshold equality deletes over a " +
-              "layout with per-file constant fills (identity partition " +
-              "values / initial-defaults) — the positional spill reads " +
-              "key columns from the files, which lack them; compact the " +
-              "table (materializing the columns) first")
+              s"${layout.dataFormat} layout with per-file constant " +
+              "fills — the ORC address enumeration decodes key columns " +
+              "below the fill seam; compact the table (materializing " +
+              "the columns) first")
         new MorScanBuilder(f.asInstanceOf[FileScanBuilder], keyFields,
           layout, hadoopOpts, eqOverflow)
       case other => throw new IllegalStateException(
@@ -407,14 +406,38 @@ private object MorScan {
         val bySchema = delPaths
           .groupBy(p => graft.catalog.CatalogIO.DeleteFileFooters.of(p, conf)._1)
           .toSeq.sortBy(_._1.mkString(","))
+        val fillsByRel: Map[String, Seq[(String, Any)]] =
+          layout.dataFileFills match {
+            case Some(fills) =>
+              layout.dataFiles.getOrElse(Nil).zip(fills).toMap
+            case None => Map.empty
+          }
         val data =
-          if (layout.dataFormat == "parquet")
-            session.read.options(hadoopOpts).schema(schema)
-              .option("basePath", layout.dataLocation)
-              .parquet(files.map(_._1): _*)
-              .withColumn("__graft_f", col("_metadata.file_path"))
-              .withColumn("__graft_p", col("_metadata.row_index"))
-          else
+          if (layout.dataFormat == "parquet") {
+            // fill layouts: sub-group by fill set, inject the constants
+            // AFTER the address capture and BEFORE the semi join
+            // (round 17 — keys on fill columns compare filled values);
+            // no basePath over fill layouts (partition-dir inference)
+            val readSchema =
+              if (!layout.hasFills) schema
+              else FillInjection.deepNullable(schema)
+                .asInstanceOf[StructType]
+            files.groupBy { case (abs, _) =>
+              fillsByRel.getOrElse(relByAbs(qual(abs)), Seq.empty) }
+              .toSeq
+              .sortBy(_._1.map(t => s"${t._1}=${t._2}").mkString(" "))
+              .map { case (fillSet, fsOfFill) =>
+                val r = session.read.options(hadoopOpts).schema(readSchema)
+                val d0 = (if (layout.hasFills) r
+                  else r.option("basePath", layout.dataLocation))
+                  .parquet(fsOfFill.map(_._1): _*)
+                  .withColumn("__graft_f", col("_metadata.file_path"))
+                  .withColumn("__graft_p", col("_metadata.row_index"))
+                fillSet.foldLeft(d0) { case (d, (c, v)) =>
+                  graft.catalog.CatalogIO.applyFillColumn(d, c, v)
+                }
+              }.reduce(_ unionByName _)
+          } else
             // ORC: addresses from a distributed per-file counting read
             // over orc-core — only this group's delete-KEY columns are
             // decoded; __graft_f matches parquet's _metadata spelling

@@ -2959,14 +2959,13 @@ class IcebergFormatSpec extends AnyFunSuite {
         s"SELECT count(*) c FROM $cat.db.pm5 WHERE k = 2 " +
           "AND _row_id IS NULL").head.getLong(0) ==
         expect4.count(_._3 == 2))
-      // eq-OVERFLOW over fills refuses (the spill would read absent
-      // key columns from the files)
+      // eq-OVERFLOW over parquet fills SERVES (round 17 — the spill's
+      // data read injects the constants before the semi join, so the
+      // fill-column-keyed delete still lands under the degrade path)
       spark.conf.set("spark.graft.mor.maxDeleteTuples", "0")
-      try {
-        val e = intercept[Exception](rowsOf(spark.table(s"$cat.db.pm")))
-        assert(e.getMessage.contains("per-file constant fills") ||
-          e.getMessage.contains("materializing the columns"), e.getMessage)
-      } finally spark.conf.unset("spark.graft.mor.maxDeleteTuples")
+      try assert(rowsOf(spark.table(s"$cat.db.pm")) == expect3,
+        "the degrade path must serve the same rows as the probe path")
+      finally spark.conf.unset("spark.graft.mor.maxDeleteTuples")
       // MALFORMED scope metadata refuses: relabel the auxiliary spec 1
       // as field-bearing while the delete manifest's partition records
       // stay empty — the reader must refuse (it can neither apply the
@@ -3392,6 +3391,40 @@ class IcebergFormatSpec extends AnyFunSuite {
       val text = CatalogIO.readMetadataText(meta2, conf)
       val last = IcebergFormat.mainAncestry(text).last
       assert(last.operation.contains("replace"))
+    }
+  }
+
+  test("replace commits carry survivor FILL sets in lockstep (round 17 " +
+      "defense-in-depth): a partial replace keeping fill-bearing files " +
+      "must not silently NULL their filled columns") {
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-ice-rfill") { (cat, hc) =>
+      import spark.implicits._
+      val conf = spark.sessionState.newHadoopConf()
+      val tmp = Files.createTempDirectory("graft-rfill").toString
+      val base = (1 to 20).map(i => (i.toLong, (i % 2) + 1)).toDF("id", "k")
+      base.write.partitionBy("k").parquet(s"$tmp/hv")
+      val meta = IcebergExport.importHiveTable(spark, s"$tmp/hv",
+        base.schema, Seq("k"))
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      val ref = TableRef.parse("db.rfill")
+      CatalogIO.adoptIcebergTable(spark, hc, ref, meta)
+      val before = CatalogIO.readLayout(
+        hc.loadTableMetadataLocation(ref), conf)
+      assert(before.hasFills)
+      // a replace that KEEPS every prior file (empty staging) — the
+      // minimal survivor-with-fills shape no public path produces today
+      val staging = new Path(Files.createTempDirectory("graft-rfill-st")
+        .toString)
+      CatalogIO.commitStagedManifestReplace(hc, ref, staging,
+        before.schemaDdl.get, Nil, None, Nil,
+        expectedBase = hc.listTableVersions(ref).lastOption,
+        keepFile = _ => true, stagedFiles = Some(Nil))
+      val after = CatalogIO.readLayout(
+        hc.loadTableMetadataLocation(ref), conf)
+      assert(after.hasFills, "survivor fills were dropped by the replace")
+      assert(spark.table(s"$cat.db.rfill").select("id", "k").collect()
+        .map(r => (r.getLong(0), r.getInt(1))).toSet ==
+        (1 to 20).map(i => (i.toLong, (i % 2) + 1)).toSet)
     }
   }
 
