@@ -1593,16 +1593,6 @@ object CatalogIO {
     val n = nextVersionNumber(cat, ref, bucketBy, sortBy, expectedBase)
     val prior = readLayout(cat.metadataLocationForVersion(ref, n - 1),
       cat.fileSystem.getConf)
-    // adopted non-parquet tables are APPEND-only (round 16): a partial
-    // rewrite would need survivor formats threaded through the staged
-    // replacement — full compaction (everything rewritten as parquet)
-    // is the supported path out of the mix
-    if (prior.dataFormat != "parquet")
-      throw new UnsupportedOperationException(
-        s"$ref is an adopted ${prior.dataFormat}-format table: partial " +
-          "rewrites (partition overwrite, selective compaction, " +
-          "copy-on-write DELETE/UPDATE/MERGE) are not supported — append " +
-          "(INSERT INTO) or compact fully to parquet first")
     val priorFiles = prior.dataFiles.getOrElse(throw new UnsupportedOperationException(
       s"Table $ref v${n - 1} predates file manifests (whole-directory snapshot); " +
         "INSERT OVERWRITE once to upgrade it before a partition-level overwrite"))
@@ -1616,14 +1606,27 @@ object CatalogIO {
     val survivors = keptIdx.map(i => (priorFiles(i), priorSeqs(i)))
     val moved = moveIntoSegment(cat.fileSystem, staging,
       new Path(prior.dataLocation), stagedFiles)
-    // survivors keep their FILL sets in lockstep (round 17 — a replace
-    // that dropped them would silently NULL every filled column of the
-    // kept files); staged replacements materialize all columns, so
-    // they carry none
+    // survivors keep their FILL sets and FORMATS in lockstep (round 17
+    // — a replace that dropped fills would silently NULL every filled
+    // column of the kept files; a dropped format would read ORC bytes
+    // through the parquet reader); staged replacements are engine
+    // parquet materializing all columns, so they carry neither. An
+    // all-replaced non-parquet table comes out homogeneous parquet —
+    // the COW MERGE/UPDATE/DELETE route for adopted ORC/avro tables.
     val fills = prior.dataFileFills
       .filter(_ => prior.hasFills)
       .map(all => keptIdx.map(all) ++
         Seq.fill(moved.size)(Seq.empty[(String, Any)]))
+    val (fmt, fmts) =
+      if (prior.dataFormat == "parquet") ("parquet", None)
+      else {
+        val priorFmts = prior.dataFileFormats
+          .getOrElse(Seq.fill(priorFiles.size)(prior.dataFormat))
+        val all = keptIdx.map(priorFmts) ++ Seq.fill(moved.size)("parquet")
+        val f = if (all.isEmpty || all.distinct.sizeIs == 1)
+          all.headOption.getOrElse("parquet") else "mixed"
+        (f, if (f == "mixed") Some(all) else None)
+      }
     commitLayoutAsVersion(cat, ref, n, TableLayout(prior.dataLocation,
       partitionBy, bucketBy.map(_._1), bucketBy.map(_._2).getOrElse(Nil), sortBy,
       prior.schemaDdl.orElse(Some(schemaDdl)),
@@ -1636,6 +1639,7 @@ object CatalogIO {
       renameOps = prior.renameOps,
       droppedColumns = prior.droppedColumns,
       dataFileFills = fills,
+      dataFormat = fmt, dataFileFormats = fmts,
       clusterTransforms = prior.clusterTransforms), op, Some(prior))
   }
 
@@ -1667,14 +1671,26 @@ object CatalogIO {
     val n = nextVersionNumber(cat, ref, None, Nil, expectedBase)
     val fs = cat.fileSystem
     val prior = readLayout(cat.metadataLocationForVersion(ref, n - 1), fs.getConf)
-    // adopted non-parquet tables take no merge-on-read state (round 16
-    // — the MOR machinery is position-addressed via parquet row
-    // indexes); refuse BEFORE any delete file lands in the segment
-    if (prior.dataFormat != "parquet")
+    // EQUALITY-keyed merge-on-read serves parquet AND ORC layouts
+    // (round 17 — the counting-read MOR machinery reads both; the
+    // engine's delete files are parquet tuple sets, format-dispatched
+    // at every read site). Avro/mixed keep refusing: no counting read
+    // routes them (the TableLayout delete invariant), and refusing
+    // BEFORE any delete file lands beats a construction error after.
+    if (prior.dataFormat != "parquet" && prior.dataFormat != "orc")
       throw new UnsupportedOperationException(
         s"$ref is an adopted ${prior.dataFormat}-format table: " +
-          "merge-on-read deletes/updates need parquet machinery on every " +
-          "file — append (INSERT INTO) or compact fully to parquet first")
+          "merge-on-read deletes ride the parquet/ORC counting read " +
+          "only — append (INSERT INTO) or compact fully to parquet first")
+    // an UPSERT's new rows land as parquet, which would turn an ORC
+    // base into a MIXED layout with live deletes (no counting read
+    // routes that) — delete-only commits work; refuse before staging
+    if (prior.dataFormat == "orc" && newRows.isDefined)
+      throw new UnsupportedOperationException(
+        s"$ref is an adopted orc-format table: a merge-on-read UPSERT " +
+          "would land parquet rows beside the ORC base while deletes " +
+          "are live (an unservable mixed+deletes layout) — use " +
+          "deleteMatchedMergeOnRead + INSERT INTO, or compact to parquet")
     // delete tuples name CURRENT columns; files under un-materialized
     // renames carry per-epoch physical names — composing the two would
     // need epoch-aware tuple translation. Refused (like renames refuse

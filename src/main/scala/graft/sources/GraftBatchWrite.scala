@@ -685,23 +685,26 @@ private final class GraftRowLevelScan(
 
   override def planInputPartitions(): Array[org.apache.spark.sql.connector.read.InputPartition] = {
     val parts = inner.toBatch.planInputPartitions()
-    scanned.record(parts.flatMap {
+    // fill/mixed tables take row-level rewrites too (round 17): the
+    // scan serves fills and every format, the rewrite output
+    // materializes every column as engine parquet, and — adopted
+    // layouts recording no partition columns — the replace set is the
+    // WHOLE table, so the merge doubles as a compaction (post-merge
+    // layouts are fill-free homogeneous parquet)
+    def filesOf(p: org.apache.spark.sql.connector.read.InputPartition)
+        : Seq[String] = p match {
       case fp: org.apache.spark.sql.execution.datasources.FilePartition =>
-        fp.files.map(_.filePath.toString)
-      case b: BucketFilePartition => b.files.files.map(_.filePath.toString)
-      case m: MorFilePartition => m.files.files.map(_.filePath.toString)
-      case e: EpochFilePartition => e.files.files.map(_.filePath.toString)
-      // fill tables take row-level rewrites (round 17): the scan serves
-      // the fills and the rewrite output materializes every column.
-      // Adopted layouts record no partition columns, so no file-level
-      // pruning applies and the replace set is the WHOLE table — the
-      // merge doubles as a compaction (post-merge layouts are
-      // fill-free), the honest COW cost until partial pruning exists
-      // for fill groups
-      case f: FillFilePartition => f.files.files.map(_.filePath.toString)
+        fp.files.map(_.filePath.toString).toSeq
+      case b: BucketFilePartition => b.files.files.map(_.filePath.toString).toSeq
+      case m: MorFilePartition => m.files.files.map(_.filePath.toString).toSeq
+      case e: EpochFilePartition => e.files.files.map(_.filePath.toString).toSeq
+      case f: FillFilePartition => f.files.files.map(_.filePath.toString).toSeq
+      case m: MixedPartition => filesOf(m.inner)
+      case a: AvroSlice => Seq(a.path)
       case other => throw new IllegalStateException(
         s"cannot derive the replaced file set from scan partition ${other.getClass.getName}")
-    })
+    }
+    scanned.record(parts.flatMap(filesOf))
     parts
   }
 

