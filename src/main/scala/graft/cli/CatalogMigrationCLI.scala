@@ -76,7 +76,11 @@ object CatalogMigrationCLI {
       schemaDdl: Option[String] = None,
       partitionBy: Seq[String] = Seq.empty,
       fileFormat: String = "parquet",
-      adoptAfterImport: Boolean = false)
+      adoptAfterImport: Boolean = false,
+      columnName: String = "",
+      columnType: String = "",
+      initialDefault: Option[String] = None,
+      parentPath: Seq[String] = Seq.empty)
 
   def main(args: Array[String]): Unit = sys.exit(run(args.toSeq))
 
@@ -93,7 +97,7 @@ object CatalogMigrationCLI {
         args.head == "squash-history" || args.head == "sweep-orphans" ||
         args.head == "analyze" || args.head == "adopt" ||
         args.head == "set-ref" || args.head == "rewrite" ||
-        args.head == "import-hive")
+        args.head == "import-hive" || args.head == "add-column")
       return runMaintenance(args, out)
 
     parse(args) match {
@@ -220,6 +224,15 @@ object CatalogMigrationCLI {
           o = o.copy(fileFormat = v); rest = t
         case "--adopt" :: t =>
           o = o.copy(adoptAfterImport = true); rest = t
+        case "--column-name" :: v :: t =>
+          o = o.copy(columnName = v); rest = t
+        case "--column-type" :: v :: t =>
+          o = o.copy(columnType = v); rest = t
+        case "--initial-default" :: v :: t =>
+          o = o.copy(initialDefault = Some(v)); rest = t
+        case "--parent" :: v :: t =>
+          o = o.copy(parentPath =
+            v.split('.').map(_.trim).filter(_.nonEmpty).toSeq); rest = t
         case "--small-files-only" :: t => o = o.copy(smallFilesOnly = true); rest = t
         case "--cluster-by" :: v :: t =>
           o = o.copy(clusterBy = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -285,6 +298,12 @@ object CatalogMigrationCLI {
       if (o.partitionBy.isEmpty)
         return Left("import-hive requires --partition-by <col[,col...]>")
     }
+    if (o.cmd == "add-column") {
+      if (o.columnName.isEmpty)
+        return Left("add-column requires --column-name")
+      if (o.columnType.isEmpty)
+        return Left("add-column requires --column-type <iceberg primitive>")
+    }
     if (o.cmd == "compact" && o.smallFilesOnly && o.partitionPrefix.isDefined)
       return Left("Error: --small-files-only, --partition-prefix options are mutually exclusive.")
     if (o.clusterBy.nonEmpty && (o.smallFilesOnly || o.partitionPrefix.isDefined))
@@ -328,6 +347,7 @@ object CatalogMigrationCLI {
           else if (opts.cmd == "set-ref") setRefOne(opts, hadoop, ref, log)
           else if (opts.cmd == "rewrite") rewriteOne(opts, hadoop, ref, log)
           else if (opts.cmd == "import-hive") importHiveOne(opts, hadoop, ref, log)
+          else if (opts.cmd == "add-column") addColumnOne(opts, hadoop, ref, log)
           else expireOne(opts, hadoop, ref, log)
         } catch {
           case e: Exception =>
@@ -430,6 +450,31 @@ object CatalogMigrationCLI {
     * new metadata — the names `VERSION AS OF 'name'` then resolves
     * ([[graft.catalog.IcebergExport.setRef]]; the migration workflow's
     * "tag the pre-switch state" step). */
+  /** `add-column` subcommand (round 17): metadata-only schema
+    * evolution on a registered Apache Iceberg pointer — a new schema
+    * document with the column appended (nested under `--parent` struct
+    * segments when given), `--initial-default` making EXISTING rows
+    * serve the constant (v3), and the pointer advanced
+    * ([[graft.catalog.IcebergExport.addColumn]]). */
+  private def addColumnOne(opts: MaintOpts, cat: HadoopFsCatalog,
+      ref: TableRef, log: String => Unit): Unit = {
+    val loc = cat.loadTableMetadataLocation(ref)
+    val where = if (opts.parentPath.isEmpty) "the schema root"
+      else opts.parentPath.mkString(".")
+    if (opts.dryRun) {
+      log(s"Would add column '${opts.columnName}' (${opts.columnType})" +
+        opts.initialDefault.fold("")(d => s" initial-default $d") +
+        s" under $where on $ref ($loc); dry run, nothing committed.")
+      return
+    }
+    val meta = graft.catalog.IcebergExport.addColumn(activeSpark(), loc,
+      opts.columnName, opts.columnType, opts.initialDefault, opts.parentPath)
+    cat.replaceTablePointer(ref, meta)
+    log(s"Added column '${opts.columnName}' (${opts.columnType})" +
+      opts.initialDefault.fold("")(d => s" initial-default $d") +
+      s" under $where on $ref -> $meta")
+  }
+
   private def setRefOne(opts: MaintOpts, cat: HadoopFsCatalog, ref: TableRef,
       log: String => Unit): Unit = {
     val loc = cat.loadTableMetadataLocation(ref)
@@ -833,7 +878,7 @@ object CatalogMigrationCLI {
   }
 
   private val usage: String =
-    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history | analyze | adopt | set-ref | rewrite | import-hive) [options]
+    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history | analyze | adopt | set-ref | rewrite | import-hive | add-column) [options]
       |Bulk-migrate table entries from a source catalog to a target catalog
       |without data copy. `migrate` deletes entries from the source after
       |successful registration; `register` leaves them in place.
@@ -867,6 +912,10 @@ object CatalogMigrationCLI {
       |  --partition-by c1[,c2...]        import-hive: partition column names
       |  --file-format <parquet|orc>      import-hive: data file format (default parquet)
       |  --adopt                          import-hive: also adopt (table takes SQL writes)
+      |  --column-name <name>             add-column: the new column's name
+      |  --column-type <type>             add-column: Iceberg primitive (int, string, decimal(p,s), ...)
+      |  --initial-default <json>         add-column: v3 default EXISTING rows serve (e.g. 7 or "en")
+      |  --parent <a.b>                   add-column: nest under struct member path
       |  --dry-run                        report what would be done, commit nothing
       |
       |Migration options:

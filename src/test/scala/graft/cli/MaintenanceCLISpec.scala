@@ -371,6 +371,41 @@ class MaintenanceCLISpec extends AnyFunSuite {
     hc.close()
   }
 
+  test("add-column evolves a registered Iceberg pointer via the CLI " +
+      "(round 17): nested member with an initial-default serves to " +
+      "existing rows; dry run commits nothing; validation exits 2") {
+    val wh = Files.createTempDirectory("maint-wh").toString
+    val hc = new HadoopFsCatalog(s"ac${uid()}", wh)
+    hc.createNamespace(graft.catalog.Namespace.of("db"))
+    val outDir = Files.createTempDirectory("maint-out").toString
+    val iceDir = s"${Files.createTempDirectory("maint-ice").toString}/t"
+    val meta1 = graft.catalog.IcebergExport.writeTable(spark,
+      spark.sql("SELECT id, named_struct('a', id * 2) AS s FROM range(1, 9)")
+        .repartition(1), iceDir)
+    hc.registerTable(TableRef.parse("db.t"), meta1)
+    // dry run: reports, pointer unchanged
+    val (dcode, dlines) = runCli(maintArgs("add-column", wh, outDir,
+      "--column-name", "x", "--column-type", "int",
+      "--initial-default", "7", "--parent", "s", "--dry-run"))
+    assert(dcode == 0)
+    assert(dlines.exists(_.startsWith("Would add column 'x'")), dlines)
+    assert(hc.loadTableMetadataLocation(TableRef.parse("db.t")) == meta1)
+    // real commit: existing rows serve s.x = 7 through the pointer
+    val (code, lines) = runCli(maintArgs("add-column", wh, outDir,
+      "--column-name", "x", "--column-type", "int",
+      "--initial-default", "7", "--parent", "s"))
+    assert(code == 0, lines)
+    assert(lines.exists(_.startsWith("Added column 'x'")), lines)
+    val served = graft.catalog.CatalogIO.readTable(spark, hc,
+      TableRef.parse("db.t")).selectExpr("sum(s.x)").head.getLong(0)
+    assert(served == 8L * 7)
+    // validation: missing --column-type is an argument error, exit 2
+    val (ecode, elines) = runCli(maintArgs("add-column", wh, outDir,
+      "--column-name", "y"))
+    assert(ecode == 2)
+    assert(elines.exists(_.contains("--column-type")), elines)
+  }
+
   test("analyze records NDV sketches via the CLI; exit 0") {
     val (wh, hc) = fragmentedTable()
     val outDir = Files.createTempDirectory("maint-out").toString
