@@ -44,4 +44,35 @@ class NestedFillSpec extends AnyFunSuite {
       }
     }
   }
+  test("nested fills compose with live equality deletes (MOR probes " +
+      "above the injection) and with the lineage face") {
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-nfmor") { (cat, hc) =>
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("nfmor").toString + "/t"
+      val base = spark.sql(
+        """SELECT id, named_struct('a', id * 10) AS s FROM range(1, 21)""")
+      val meta1 = IcebergExport.writeTable(spark, base, dir)
+      val meta2 = IcebergExport.addColumn(spark, meta1, "x", "int",
+        initialDefault = Some("7"), parentPath = Seq("s"))
+      // a global equality delete on the top-level id — the probe runs
+      // ABOVE the nested injection on every scan face
+      val meta3 = IcebergExport.appendDeletes(spark, meta2,
+        equality = Some(Seq(3L, 4L).toDF("id")))
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.nfm"), meta3)
+      assert(spark.sql(s"SELECT sum(s.x) v FROM $cat.db.nfm")
+        .head.getLong(0) == 18L * 7)
+      assert(spark.sql(s"SELECT count(*) c FROM $cat.db.nfm " +
+        "WHERE id IN (3, 4)").head.getLong(0) == 0L)
+      // library face agrees
+      assert(graft.catalog.CatalogIO.scanMetadataLocation(spark, meta3)
+        .selectExpr("sum(s.x)").head.getLong(0) == 18L * 7)
+      // lineage face (v3 from the addColumn raise): survivors keep the
+      // nested constant; deleted ids are gone
+      val lin = graft.catalog.CatalogIO.scanIcebergLineage(spark, meta3)
+      assert(lin.selectExpr("sum(s.x)").head.getLong(0) == 18L * 7)
+      assert(lin.filter("id IN (3, 4)").count() == 0L)
+    }
+  }
+
 }
