@@ -125,19 +125,12 @@ final class GraftMorTable(delegate: Table with SupportsRead,
       // FileScanBuilders; anything else would serve raw files WITHOUT
       // delete application — resurrecting deleted rows silently. Refuse.
       case f @ (_: ParquetScanBuilder | _: OrcScanBuilder) =>
-        // eq-OVERFLOW + fills SERVES over parquet (round 17 — the r16
-        // refusal narrowed): the spill's data read groups by fill set
-        // and injects the constants before the semi join, so key
-        // columns the files lack compare against the filled values.
-        // ORC stays refused there: its address enumeration decodes key
-        // columns via orc-core directly, below any fill seam.
-        if (eqOverflow && layout.hasFills && layout.dataFormat != "parquet")
-          throw new UnsupportedOperationException(
-            s"${delegate.name}: over-threshold equality deletes over a " +
-              s"${layout.dataFormat} layout with per-file constant " +
-              "fills — the ORC address enumeration decodes key columns " +
-              "below the fill seam; compact the table (materializing " +
-              "the columns) first")
+        // eq-OVERFLOW + fills SERVES (round 17 — the r16 refusal
+        // lifted): the spill's parquet read groups by fill set and
+        // injects constants before the semi join; the ORC address
+        // enumeration splices fill constants per file in place of the
+        // absent key columns. Timestamp ORC keys still refuse inside
+        // orcAddressFrame.
         new MorScanBuilder(f.asInstanceOf[FileScanBuilder], keyFields,
           layout, hadoopOpts, eqOverflow)
       case other => throw new IllegalStateException(
@@ -440,12 +433,17 @@ private object MorScan {
           } else
             // ORC: addresses from a distributed per-file counting read
             // over orc-core — only this group's delete-KEY columns are
-            // decoded; __graft_f matches parquet's _metadata spelling
+            // decoded (fill key columns splice in as constants);
+            // __graft_f matches parquet's _metadata spelling
             // (qualified path string) so the relativization below is
             // shared
             orcAddressFrame(session, hadoopOpts,
               files.map(f => qual(f._1)), schema,
-              bySchema.flatMap(_._1).distinct)
+              bySchema.flatMap(_._1).distinct,
+              fillsByAbs = files.flatMap { f =>
+                val fl = fillsByRel.getOrElse(relByAbs(qual(f._1)), Seq.empty)
+                if (fl.isEmpty) None else Some(qual(f._1) -> fl.toMap)
+              }.toMap)
         val matched = bySchema.map { case (cols, paths) =>
           val del = graft.catalog.CatalogIO.readDeleteFiles(session,
             hadoopOpts, paths.distinct, conf)
@@ -523,7 +521,12 @@ private object MorScan {
     * threaded through this decode). */
   private[sources] def orcAddressFrame(session: SparkSession,
       hadoopOpts: Map[String, String], qualAbsFiles: Seq[String],
-      tableSchema: StructType, cols: Seq[String])
+      tableSchema: StructType, cols: Seq[String],
+      /** Per-file constant fills restricted to KEY columns (round 17 —
+        * the ORC overflow+fills refusal lifted): a key column the file
+        * physically lacks is spliced in as its constant instead of
+        * decoded; keyed by the QUALIFIED absolute path. */
+      fillsByAbs: Map[String, Map[String, Any]] = Map.empty)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.types._
     val keyFields = cols.map(c =>
@@ -552,7 +555,31 @@ private object MorScan {
     val types = keyFields.map(_.dataType).toIndexedSeq
     val rdd = session.sparkContext
       .parallelize(qualAbsFiles, math.max(qualAbsFiles.size, 1))
-      .flatMap(abs => new OrcKeyRows(abs, confSer.value, names, types))
+      .flatMap { abs =>
+        val fills = fillsByAbs.getOrElse(abs, Map.empty)
+          .map { case (k, v) => k.toLowerCase -> v }
+        if (fills.isEmpty) new OrcKeyRows(abs, confSer.value, names, types)
+        else {
+          // decode only the columns the file HAS; splice constants for
+          // the filled ones, in the out-schema key order
+          val decodeIdx = names.indices
+            .filterNot(i => fills.contains(names(i).toLowerCase))
+          val decoded = new OrcKeyRows(abs, confSer.value,
+            decodeIdx.map(names).toIndexedSeq,
+            decodeIdx.map(types).toIndexedSeq)
+          val ordOfDecoded = decodeIdx.zipWithIndex.toMap
+          decoded.map { r =>
+            org.apache.spark.sql.Row.fromSeq(
+              r.getString(0) +: r.getLong(1) +:
+                names.indices.map { i =>
+                  ordOfDecoded.get(i) match {
+                    case Some(d) => r.get(2 + d)
+                    case None => fills(names(i).toLowerCase)
+                  }
+                })
+          }
+        }
+      }
     session.createDataFrame(rdd, outSchema)
   }
 

@@ -2884,6 +2884,23 @@ class IcebergFormatSpec extends AnyFunSuite {
         .agg(org.apache.spark.sql.functions.sum("id")).collect()
         .map(r => r.getString(0) -> r.getLong(1)).toMap
       assert(viaSql == expect)
+      // eq deletes over the ORC fills — keyed on a data column AND on
+      // the FILL column itself — serve on the probe path AND on the
+      // eq-OVERFLOW degrade path (round 17: the ORC address enumeration
+      // splices the fill constants for absent key columns)
+      val meta2 = IcebergExport.appendDeletes(spark, metaLoc,
+        equality = Some(Seq(5L, 6L).toDF("id")))
+      val meta3 = IcebergExport.appendDeletes(spark, meta2,
+        equality = Some(Seq("eu").toDF("region")))
+      hc.registerTable(TableRef.parse("db.horc3"), meta3)
+      val expectRows = (1 to 60).filter(i => i != 5 && i != 6 && i <= 30)
+        .map(_.toLong).toSet
+      def ids(): Set[Long] = spark.sql(s"SELECT id FROM $cat.db.horc3")
+        .collect().map(_.getLong(0)).toSet
+      assert(ids() == expectRows, "probe path over ORC fills")
+      spark.conf.set("spark.graft.mor.maxDeleteTuples", "0")
+      try assert(ids() == expectRows, "degrade path over ORC fills")
+      finally spark.conf.unset("spark.graft.mor.maxDeleteTuples")
     }
   }
 
