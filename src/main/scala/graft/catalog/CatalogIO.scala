@@ -4266,7 +4266,9 @@ object CatalogIO {
     // by the maintenance contract.
     val undeleted = layout.eqDeleteFiles.foldLeft(dvApplied) { (df, del) =>
       val abs = layout.dataLocation.stripSuffix("/") + "/" + del.path
-      val raw = spark.read.parquet(abs)
+      // format-dispatched (round 17): ORC delete files are a real
+      // Iceberg ORC table's write.delete.format default
+      val raw = readDeleteFiles(spark, Map.empty, Seq(abs), conf)
       val typed = raw.columns.foldLeft(raw) { (d, c) =>
         schema.find(_.name.equalsIgnoreCase(c))
           .map(f => d.withColumn(c, d.col(c).cast(f.dataType)))

@@ -250,7 +250,11 @@ private final class LineageScan(spark: SparkSession, label: String,
       refuse(s"$totalTuples live equality-delete tuples (over the " +
         s"broadcast-safe $maxTuples)")
     paths.map { case (del, abs) =>
-      val raw = spark.read.options(hadoopOpts).parquet(abs)
+      // format-dispatched (round 17): a real Iceberg ORC table's
+      // write.delete.format lands ORC delete files; the parquet-only
+      // read would die on their bytes
+      val raw = graft.catalog.CatalogIO.readDeleteFiles(spark,
+        hadoopOpts, Seq(abs), footerConf)
       val cols = raw.columns.toVector
       val fields = cols.map(c => tableSchema.find(_.name.equalsIgnoreCase(c))
         .getOrElse(throw new IllegalStateException(

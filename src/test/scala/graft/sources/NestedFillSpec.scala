@@ -75,4 +75,29 @@ class NestedFillSpec extends AnyFunSuite {
     }
   }
 
+  test("the SQL lineage face serves ORC equality-delete files " +
+      "(format-dispatched tuple reads)") {
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-orclin") { (cat, hc) =>
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("orclin").toString + "/t"
+      val meta1 = IcebergExport.writeTable(spark,
+        spark.sql("SELECT id, id * 2 AS v FROM range(1, 11)").coalesce(1), dir)
+      // v3 via addColumn (lineage exists from v3)
+      val meta2 = IcebergExport.addColumn(spark, meta1, "w", "int",
+        initialDefault = Some("1"))
+      // an ORC-file equality delete (write.delete.format = orc)
+      val meta3 = IcebergExport.appendDeletes(spark, meta2,
+        equality = Some(Seq(2L, 3L).toDF("id")), fileFormat = "orc")
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.ol"), meta3)
+      assert(spark.sql(s"SELECT id FROM $cat.db.ol " +
+        "WHERE _row_id IS NULL OR _row_id IS NOT NULL").collect()
+        .map(_.getLong(0)).toSet == (1L to 10L).toSet -- Set(2L, 3L))
+      // the library lineage face too
+      assert(graft.catalog.CatalogIO.scanIcebergLineage(spark, meta3)
+        .select("id").collect().map(_.getLong(0)).toSet ==
+        (1L to 10L).toSet -- Set(2L, 3L))
+    }
+  }
+
 }
