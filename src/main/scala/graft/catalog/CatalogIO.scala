@@ -256,6 +256,49 @@ object CatalogIO {
         "partitioned Hive-migration append shape)")
     /** Any file with a non-empty fill set? (the scan-routing test) */
     def hasFills: Boolean = dataFileFills.exists(_.exists(_.nonEmpty))
+    /** Any layout file spelled ABSOLUTE — a converted Iceberg
+      * relocated layout (`write.data.path` / object-storage: data
+      * outside the table location). Engine manifests never produce
+      * one. Routing consequences: scans pass NO `basePath` (the files
+      * share no root with the segment, and partition values come from
+      * fills, never directories), and adoption refuses (engine
+      * manifests re-root relative spellings). */
+    @transient lazy val hasRelocated: Boolean =
+      dataFiles.exists(_.exists(isAbsoluteSpelling)) ||
+        deleteFiles.exists(d => isAbsoluteSpelling(d.path) ||
+          d.targets.exists(isAbsoluteSpelling))
+    /** Minimal common-root prefixes of the relocated spellings — one
+      * longest-common-directory prefix per (scheme, authority) group;
+      * for an object-storage layout that is `write.data.path` itself.
+      * These are the column-side matching roots the delete-application
+      * relativizer accepts in addition to the segment prefixes. */
+    @transient lazy val relocatedRoots: Seq[String] = {
+      val abs = (dataFiles.getOrElse(Nil) ++ deleteFiles.map(_.path) ++
+        deleteFiles.flatMap(_.targets)).filter(isAbsoluteSpelling)
+      abs.map(p => p.take(math.max(p.lastIndexOf('/'), 0)))
+        .distinct
+        .groupBy { p =>
+          val u = new Path(p).toUri
+          (Option(u.getScheme), Option(u.getAuthority))
+        }
+        .values.map(_.reduce { (a, b) =>
+          a.split('/').zip(b.split('/'))
+            .takeWhile { case (x, y) => x == y }
+            .map(_._1).mkString("/")
+        }).toSeq.sorted
+    }
+    require(!hasRelocated ||
+      (partitionColumns.isEmpty && numBuckets.isEmpty && renameOps.isEmpty),
+      "relocated (absolute-spelling) files serve plain/fill/MOR " +
+        "layouts only — partition columns, buckets, and rename epochs " +
+        "are engine-manifest (co-rooted) features")
+    /** Scans of this layout pass NO `basePath`: fill layouts (Spark
+      * would infer partition columns from `col=value` directory names
+      * and conflict across snapshot depths) and relocated layouts (the
+      * files share no root with the segment). Explicit file-path reads
+      * without basePath infer nothing — each file's parent is its own
+      * base — and partition values come from fills, never directories. */
+    def suppressBasePath: Boolean = hasFills || hasRelocated
     require(dataFormat == "parquet" || dataFormat == "orc" ||
       dataFormat == "avro" || dataFormat == "mixed",
       s"unsupported data file format '$dataFormat' (parquet, orc, avro, or mixed)")
@@ -2330,8 +2373,9 @@ object CatalogIO {
     val names = tracked.map(_.name)
     val nCols = names.size
     import org.apache.spark.sql.functions.col
-    val src = spark.read.schema(schema)
-      .option("basePath", layout.dataLocation)
+    val src = (if (layout.suppressBasePath) spark.read.schema(schema)
+      else spark.read.schema(schema)
+        .option("basePath", layout.dataLocation))
       .parquet(layout.absoluteDataFiles.get: _*)
       .select((col("_metadata.file_path") +: names.map(col)): _*)
     // per-partition sketch accumulation, merged per file — one shuffle
@@ -3058,8 +3102,9 @@ object CatalogIO {
         groups.map { case ((eqPaths, posPaths, hasDv, physical), fs) =>
           val physSchema = org.apache.spark.sql.types.StructType(
             schema.fields.map(f => f.copy(name = physical.getOrElse(f.name, f.name))))
-          val df0 = spark.read.options(options).schema(physSchema)
-            .option("basePath", layout.dataLocation)
+          val r0 = spark.read.options(options).schema(physSchema)
+          val df0 = (if (layout.suppressBasePath) r0
+            else r0.option("basePath", layout.dataLocation))
             .parquet(fs.map(_._1): _*)
           // row addresses must be captured ON the scan (metadata columns
           // do not survive joins), before any delete application
@@ -3091,7 +3136,8 @@ object CatalogIO {
               else (None, None)
             applyPositionalDeletes(spark, eqApplied, posPaths,
               layout.dataLocation, options,
-              extraAddresses = dvAddrs, extraCount = dvCount)
+              extraAddresses = dvAddrs, extraCount = dvCount,
+              relocatedRoots = layout.relocatedRoots)
               .drop("__graft_file", "__graft_pos")
           }
         }.reduce(_ unionByName _)
@@ -3162,10 +3208,11 @@ object CatalogIO {
                   .map(_.collect { case (p, s) if s.nonEmpty && keep(p) =>
                     p -> s }.toMap)
                   .getOrElse(Map.empty))
-            case "orc" => spark.read.options(options).schema(schema)
-              .option("basePath", layout.dataLocation).orc(paths: _*)
-            case _ => spark.read.options(options).schema(schema)
-              .option("basePath", layout.dataLocation).parquet(paths: _*)
+            case fmt2 =>
+              val r0 = spark.read.options(options).schema(schema)
+              val r1 = if (layout.suppressBasePath) r0
+                else r0.option("basePath", layout.dataLocation)
+              if (fmt2 == "orc") r1.orc(paths: _*) else r1.parquet(paths: _*)
           }
         }.reduce(_ unionByName _)
       case Some(_) if layout.dataFormat == "avro" =>
@@ -3187,7 +3234,8 @@ object CatalogIO {
             .map(_.collect { case (p, s) if s.nonEmpty => p -> s }.toMap)
             .getOrElse(Map.empty))
       case Some(filesWithSeqs) =>
-        load(reader.option("basePath", layout.dataLocation),
+        load(if (layout.suppressBasePath) reader
+          else reader.option("basePath", layout.dataLocation),
           filesWithSeqs.map(_._1))
       case None =>
         load(reader, Seq(layout.dataLocation))
@@ -3393,7 +3441,7 @@ object CatalogIO {
       .toSeq.sortBy(_._2.head._1)
     groups.map { case ((eqPaths, posPaths, hasDv, fills), fs) =>
       val r = spark.read.options(options).schema(readSchema)
-      val df0 = (if (layout.hasFills) r
+      val df0 = (if (layout.suppressBasePath) r
         else r.option("basePath", layout.dataLocation))
         .parquet(fs.map(_._1): _*)
         .withColumn("__graft_file", col("_metadata.file_path"))
@@ -3408,7 +3456,8 @@ object CatalogIO {
         else (None, None)
       applyPositionalDeletes(spark, eqApplied, posPaths,
         layout.dataLocation, options,
-        extraAddresses = dvAddrs, extraCount = dvCount)
+        extraAddresses = dvAddrs, extraCount = dvCount,
+        relocatedRoots = layout.relocatedRoots)
     }.reduce(_ unionByName _)
   }
 
@@ -3428,15 +3477,73 @@ object CatalogIO {
       .distinct.map(_ + "/")
   }
 
+  /** Relocated-file spellings (round 18 — Iceberg's `write.data.path` /
+    * `write.object-storage.enabled` layouts, where data files live
+    * OUTSIDE the table location): a layout file entry is either
+    * SEGMENT-RELATIVE (co-rooted under `dataLocation`, the native form
+    * every engine manifest writes) or an ABSOLUTE spelling (leading
+    * `/` or a `scheme:/` prefix) kept verbatim from the Iceberg
+    * manifest, canonicalized at conversion by qualifying against the
+    * metadata location's filesystem. ONE predicate + ONE resolver
+    * define the contract; `new Path(dataLocation, entry)` resolves
+    * both forms already (Hadoop's absolute-child rule), so only
+    * string-concatenation joins route through [[resolveSpelling]]. */
+  private val SchemeSpellingRe = "^[A-Za-z][A-Za-z0-9+.\\-]*:/".r
+  private[graft] def isAbsoluteSpelling(s: String): Boolean =
+    s.startsWith("/") || SchemeSpellingRe.findPrefixOf(s).isDefined
+  private[graft] def resolveSpelling(dataLocation: String, s: String): String =
+    if (isAbsoluteSpelling(s)) s
+    else dataLocation.stripSuffix("/") + "/" + s
+
+  /** Every absolute spelling a reader can produce for the canonical
+    * (qualified) absolute form `canon` of a relocated file prefix:
+    * the qualified form itself (`file:/a`), the URI-triple-slash form
+    * (`file:///a`, what `_metadata.file_path` renders for an empty
+    * authority), and the bare path (`/a`, what a writer that spells
+    * manifests scheme-less produces). Mirrors [[segmentPrefixes]] for
+    * the out-of-root half of the spelling contract. */
+  private[graft] def relocatedSpellingsOf(canon: String): Seq[String] = {
+    val p = new Path(canon)
+    val uri = p.toUri
+    val bare = Option(uri.getPath).getOrElse(canon)
+    val scheme = Option(uri.getScheme)
+    val auth = Option(uri.getAuthority).filter(_.nonEmpty)
+    val variants = scheme match {
+      case Some(s) if auth.isEmpty =>
+        // bare starts with "/": "s://" + bare renders the
+        // empty-authority triple-slash form (s:///a)
+        Seq(s"$s:$bare", s"$s://$bare", bare)
+      case Some(s) => Seq(s"$s://${auth.get}$bare")
+      case None => Seq(bare)
+    }
+    (canon +: variants).distinct
+  }
+
   private[graft] def relativizeFileColumn(
       fileCol: org.apache.spark.sql.Column, dataLocation: String,
-      conf: Configuration): org.apache.spark.sql.Column = {
+      conf: Configuration,
+      relocatedRoots: Seq[String] = Nil): org.apache.spark.sql.Column = {
     import org.apache.spark.sql.functions.{concat, length, lit, raise_error, when}
     val prefixes = segmentPrefixes(dataLocation, conf)
     val err = raise_error(concat(
       lit(s"data file outside segment $dataLocation: "), fileCol))
       .cast(org.apache.spark.sql.types.StringType)
-    prefixes.foldRight(err) { (pre, els) =>
+    // relocated roots (round 18): a path under a relocated prefix
+    // canonicalizes to the layout's stored ABSOLUTE spelling (the
+    // qualified form) — any recognized spelling variant of the root is
+    // rewritten onto the canonical prefix, so delete-target matching
+    // runs in one spelling space. Paths under NO root still raise.
+    val relocated = relocatedRoots.foldRight(err) { (root, els) =>
+      val canonPrefix = root.stripSuffix("/") + "/"
+      relocatedSpellingsOf(root.stripSuffix("/")).map(_ + "/")
+        .foldRight(els) { (pre, inner) =>
+          when(fileCol.startsWith(pre),
+            concat(lit(canonPrefix),
+              fileCol.substr(lit(pre.length + 1), length(fileCol))))
+            .otherwise(inner)
+        }
+    }
+    prefixes.foldRight(relocated) { (pre, els) =>
       when(fileCol.startsWith(pre),
         fileCol.substr(lit(pre.length + 1), length(fileCol))).otherwise(els)
     }
@@ -3508,7 +3615,8 @@ object CatalogIO {
       data: DataFrame, posPaths: Seq[String], dataLocation: String,
       options: Map[String, String],
       extraAddresses: Option[DataFrame] = None,
-      extraCount: Option[Long] = None): DataFrame = {
+      extraCount: Option[Long] = None,
+      relocatedRoots: Seq[String] = Nil): DataFrame = {
     if (posPaths.isEmpty && extraAddresses.isEmpty) return data
     import org.apache.spark.sql.functions.{broadcast, col}
     val conf = {
@@ -3528,8 +3636,8 @@ object CatalogIO {
       val raw = readDeleteFiles(spark, options, paths, conf)
       if (iceberg)
         raw.select(
-          relativizeFileColumn(col("file_path"), dataLocation, conf)
-            .as("__graft_del_file"),
+          relativizeFileColumn(col("file_path"), dataLocation, conf,
+            relocatedRoots).as("__graft_del_file"),
           col("pos").cast(org.apache.spark.sql.types.LongType)
             .as("__graft_del_pos"))
       else
@@ -3548,7 +3656,8 @@ object CatalogIO {
       .map(_.toLong).getOrElse(4000000L)
     val side = if (tupleCount >= 0 && tupleCount <= maxBroadcast)
       broadcast(addr) else addr
-    val rel = relativizeFileColumn(data.col("__graft_file"), dataLocation, conf)
+    val rel = relativizeFileColumn(data.col("__graft_file"), dataLocation,
+      conf, relocatedRoots)
     data.join(side,
       rel === side.col("__graft_del_file") &&
         data.col("__graft_pos") === side.col("__graft_del_pos"),
@@ -3940,6 +4049,20 @@ object CatalogIO {
       s"$metadataLocation is not Apache Iceberg metadata — graft-format " +
         "pointers register directly (registerTable), no adoption needed")
     val raw0 = IcebergFormat.toTableLayout(text, metadataLocation, conf)
+    // relocated layouts (round 18): READS serve them in full (register
+    // the pointer), but adoption re-renders the manifest under the
+    // engine's own metadata, whose spellings are segment-relative —
+    // an absolute spelling would survive verbatim and then every
+    // engine-side rewrite/compaction would re-root it wrong. Refuse
+    // DISTINCTLY from the read path, with the working alternative named.
+    if (raw0.hasRelocated)
+      throw new UnsupportedOperationException(
+        s"$metadataLocation has relocated data/delete files (outside the " +
+          "table location — the write.data.path / object-storage layout); " +
+          "adoption re-roots spellings under the engine's metadata and " +
+          "would dangle them. Reads are fully served: register the " +
+          "Iceberg pointer (registerTable) instead, or rewrite the table " +
+          "co-rooted before adopting")
     // round 16 (judge r15 #4): non-parquet layouts ADOPT — the engine's
     // metadata records the data format (per-entry for mixed), INSERT
     // INTO appends parquet entries onto the ORC/avro base (the
@@ -4222,11 +4345,13 @@ object CatalogIO {
       def tagged(d: DataFrame) = d
         .withColumn("__graft_file",
           relativizeFileColumn(col("_metadata.file_path"),
-            layout.dataLocation, conf))
+            layout.dataLocation, conf, layout.relocatedRoots))
         .withColumn("__graft_pos", col("_metadata.row_index"))
-      if (!layout.hasFills)
+      if (!layout.suppressBasePath)
         tagged(spark.read.schema(schema)
           .option("basePath", layout.dataLocation).parquet(files: _*))
+      else if (!layout.hasFills)
+        tagged(spark.read.schema(schema).parquet(files: _*))
       else {
         val nullable = graft.sources.FillInjection.deepNullable(schema)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -4265,7 +4390,7 @@ object CatalogIO {
     // becomes file membership. Broadcast: delete files are batch-sized
     // by the maintenance contract.
     val undeleted = layout.eqDeleteFiles.foldLeft(dvApplied) { (df, del) =>
-      val abs = layout.dataLocation.stripSuffix("/") + "/" + del.path
+      val abs = resolveSpelling(layout.dataLocation, del.path)
       // format-dispatched (round 17): ORC delete files are a real
       // Iceberg ORC table's write.delete.format default
       val raw = readDeleteFiles(spark, Map.empty, Seq(abs), conf)

@@ -520,12 +520,16 @@ object IcebergExport {
         s"no current data file of $metadataLocation (e.g. " +
         s"${unknownFiles.headOption.getOrElse("")}); pass the manifests' own " +
         "absolute spellings (CatalogIO.readLayout(...).absoluteDataFiles)")
-    val locPrefix = priorLayout.dataLocation.stripSuffix("/") + "/"
-    import org.apache.spark.sql.functions.{col, concat, lit, udf}
+    val dataLoc = priorLayout.dataLocation
+    import org.apache.spark.sql.functions.{col, udf}
     val normU = udf(norm _)
+    // relocated layouts (round 18): a carried spelling may already be
+    // absolute — resolveSpelling leaves it alone, prefixes the rest
+    val resolveU = udf((rel: String) =>
+      norm(CatalogIO.resolveSpelling(dataLoc, rel)))
     val fromPriorDvs = CatalogIO.dvAddressFrame(spark, priorLayout, Map.empty)
       .map(_.select(
-        normU(concat(lit(locPrefix), col("__graft_del_file"))).as("file_path"),
+        resolveU(col("__graft_del_file")).as("file_path"),
         col("__graft_del_pos").cast(LongType).as("pos"))
         .filter(col("file_path").isInCollection(newFiles)))
     val fromPriorParquet = {

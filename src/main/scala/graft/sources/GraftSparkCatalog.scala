@@ -368,7 +368,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
   private def tablePaths(layout: CatalogIO.TableLayout): (Seq[String], Map[String, String]) =
     layout.absoluteDataFiles match {
       case Some(Nil) => (Nil, Map.empty)
-      case Some(files) => (files, Map("basePath" -> layout.dataLocation))
+      case Some(files) => (files,
+        if (layout.suppressBasePath) Map.empty[String, String]
+        else Map("basePath" -> layout.dataLocation))
       case None => (Seq(layout.dataLocation), Map.empty)
     }
 

@@ -243,7 +243,7 @@ private final class LineageScan(spark: SparkSession, label: String,
       c
     }
     val paths = layout.eqDeleteFiles.map(d =>
-      (d, layout.dataLocation.stripSuffix("/") + "/" + d.path))
+      (d, graft.catalog.CatalogIO.resolveSpelling(layout.dataLocation, d.path)))
     val totalTuples = paths.map { case (_, p) =>
       graft.catalog.CatalogIO.DeleteFileFooters.countOf(p, footerConf) }.sum
     if (totalTuples > maxTuples)
@@ -312,7 +312,7 @@ private final class LineageScan(spark: SparkSession, label: String,
     // columns from `col=value` directory names (and conflict across
     // snapshot depths)
     val opts = new CaseInsensitiveStringMap(
-      (if (layout.hasFills) hadoopOpts
+      (if (layout.suppressBasePath) hadoopOpts
        else hadoopOpts + ("basePath" -> layout.dataLocation)).asJava)
     val b = ParquetTable(s"$label-lineage", spark, opts,
       layout.absoluteDataFiles.getOrElse(Nil),

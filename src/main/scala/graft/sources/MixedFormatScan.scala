@@ -103,7 +103,8 @@ final class GraftMixedFormatTable(spark: SparkSession, tableName: String,
             fileSubset = Some(rels), formatOverride = Some(fmt))
         val table = manifest.getOrElse {
           val opts = new CaseInsensitiveStringMap(
-            (hadoopOpts + ("basePath" -> layout.dataLocation)).asJava)
+            (if (layout.suppressBasePath) hadoopOpts
+             else hadoopOpts + ("basePath" -> layout.dataLocation)).asJava)
           if (fmt == "orc")
             OrcTable(s"$tableName@$fmt", spark, opts, abs,
               userSpecifiedSchema = Some(currentSchema),

@@ -421,7 +421,7 @@ private object MorScan {
               .sortBy(_._1.map(t => s"${t._1}=${t._2}").mkString(" "))
               .map { case (fillSet, fsOfFill) =>
                 val r = session.read.options(hadoopOpts).schema(readSchema)
-                val d0 = (if (layout.hasFills) r
+                val d0 = (if (layout.suppressBasePath) r
                   else r.option("basePath", layout.dataLocation))
                   .parquet(fsOfFill.map(_._1): _*)
                   .withColumn("__graft_f", col("_metadata.file_path"))
@@ -459,7 +459,8 @@ private object MorScan {
             .select(col("__graft_f"), col("__graft_p"))
         }.reduce(_ unionByName _).distinct()
         val relCol = graft.catalog.CatalogIO.relativizeFileColumn(
-          matched.col("__graft_f"), layout.dataLocation, conf)
+          matched.col("__graft_f"), layout.dataLocation, conf,
+          layout.relocatedRoots)
         val dir = new Path(spillRoot, s"g$gi")
         matched.select(relCol.as("_file"),
             col("__graft_p").cast("long").as("_pos"))
@@ -1276,7 +1277,8 @@ object MorRead {
     val base: Table with SupportsRead =
       ManifestFileIndex.tableFor(name, spark, options, layout).getOrElse {
         val opts = new CaseInsensitiveStringMap(
-          (options + ("basePath" -> layout.dataLocation)).asJava)
+          (if (layout.suppressBasePath) options
+           else options + ("basePath" -> layout.dataLocation)).asJava)
         val schema = layout.schemaDdl
           .map(org.apache.spark.sql.types.StructType.fromDDL)
         layout.dataFormat match {
