@@ -152,6 +152,7 @@ object SparkEntry {
     "w27_scoped_eq_delete" -> (graft.queries.WriteQueries.w27 _),
     "w28_nested_default" -> (graft.queries.WriteQueries.w28 _),
     "w29_iceberg_sink" -> (graft.queries.WriteQueries.w29 _),
+    "w30_relocated" -> (graft.queries.WriteQueries.w30 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1178,6 +1179,29 @@ object SparkEntry {
         |         CAST(SUM(qty) AS BIGINT) AS qty_sum
         |  FROM t GROUP BY rf)
         |SELECT 'all' AS phase, * FROM g
+        |UNION ALL
+        |SELECT 'df' AS phase, * FROM g""".stripMargin,
+    // w30: relocated layouts (round 18) — an exported table with
+    // global equality deletes re-homed at a sibling location (data and
+    // manifests outside it, absolute spellings); live rows are the
+    // 90% base minus the deleted keys.
+    "w30_relocated" ->
+      """WITH t AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS k,
+        |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+        |  FROM lineitem),
+        |live AS (
+        |  SELECT * FROM t WHERE k % 10 < 9 AND NOT (k % 13 = 0)),
+        |g AS (
+        |  SELECT rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum,
+        |         CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |  FROM live GROUP BY rf)
+        |SELECT 'all' AS phase, * FROM g
+        |UNION ALL
+        |SELECT 'flt' AS phase, rf, COUNT(*) AS cnt,
+        |       CAST(SUM(k) AS BIGINT) AS k_sum,
+        |       CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |FROM live WHERE k <= 30000 GROUP BY rf
         |UNION ALL
         |SELECT 'df' AS phase, * FROM g""".stripMargin,
     // w28: nested initial-defaults (round 17) — pre-addition rows

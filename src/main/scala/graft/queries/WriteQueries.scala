@@ -733,6 +733,74 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(tmp)
     }
 
+  /** w30 (round 18): RELOCATED layouts under the oracle — the
+    * `write.data.path` / object-storage shape (data files outside the
+    * table location, the recommended S3 layout at scale). An exported
+    * table takes global equality deletes, then its metadata is
+    * re-homed at a SIBLING directory (same absolute manifests and data
+    * files, a `location` containing none of them). Both faces read the
+    * relocated pointer — plain aggregate, a pruning filter (the
+    * manifest index must plan out-of-root files), and the DataFrame
+    * face — with the MOR anti-joins matching delete targets in the
+    * relocated spelling space. The oracle replays relationally. */
+  def w30(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w30") { (cat, hc) =>
+      import graft.catalog.{CatalogIO, IcebergExport, TableRef}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w30-ice").toString
+      try {
+        val t = spark.sql(
+          s"""SELECT CAST(l_orderkey AS BIGINT) AS k,
+             |       CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+             |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+        val meta1 = IcebergExport.writeTable(spark,
+          t.filter(col("k") % 10 < 9)
+            .repartitionByRange(4, col("k")), s"$tmp/store")
+        val meta2 = IcebergExport.appendDeletes(spark, meta1,
+          equality = Some(t.filter(col("k") % 13 === 0)
+            .select(col("k")).distinct()))
+        // re-home the table: metadata at $tmp/tbl, every manifest and
+        // data/delete file still under $tmp/store (absolute spellings)
+        val conf = spark.sessionState.newHadoopConf()
+        val fs = new org.apache.hadoop.fs.Path(meta2).getFileSystem(conf)
+        val text = CatalogIO.readMetadataText(meta2, conf)
+        val LocRe = """"location"\s*:\s*"([^"]+)"""".r
+        val oldLoc = LocRe.findFirstMatchIn(text).get.group(1)
+        val newLoc =
+          if (oldLoc.contains(":/"))
+            fs.makeQualified(new org.apache.hadoop.fs.Path(s"$tmp/tbl")).toString
+          else s"$tmp/tbl"
+        val out0 = new org.apache.hadoop.fs.Path(s"$tmp/tbl/metadata/v1.metadata.json")
+        fs.mkdirs(out0.getParent)
+        val os = fs.create(out0, true)
+        try os.write(text.replace(s""""location": "$oldLoc"""",
+          s""""location": "$newLoc"""")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally os.close()
+        val metaReloc = out0.toString
+        require(CatalogIO.readLayout(metaReloc, conf).hasRelocated,
+          "w30 must exercise the relocated (absolute-spelling) path")
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.reloc"), metaReloc)
+        val sqlFace = spark.sql(
+          s"""SELECT 'all' AS phase, rf, COUNT(*) AS cnt,
+             |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.reloc GROUP BY rf""".stripMargin)
+        val pruned = spark.sql(
+          s"""SELECT 'flt' AS phase, rf, COUNT(*) AS cnt,
+             |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.reloc WHERE k <= 30000 GROUP BY rf""".stripMargin)
+        val dfFace = CatalogIO.scanMetadataLocation(spark, metaReloc)
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"),
+            sum(col("qty")).as("qty_sum"))
+          .select(lit("df").as("phase"), col("rf"), col("cnt"),
+            col("k_sum"), col("qty_sum"))
+        val out = sqlFace.unionByName(pruned).unionByName(dfFace)
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w29 (round 17): the STREAMING ICEBERG SINK under the oracle —
     * lineitem arrives as three micro-batches, each committed as one
     * Iceberg append snapshot behind a registered catalog pointer
