@@ -294,11 +294,18 @@ object CatalogIO {
         "are engine-manifest (co-rooted) features")
     /** Scans of this layout pass NO `basePath`: fill layouts (Spark
       * would infer partition columns from `col=value` directory names
-      * and conflict across snapshot depths) and relocated layouts (the
-      * files share no root with the segment). Explicit file-path reads
-      * without basePath infer nothing — each file's parent is its own
-      * base — and partition values come from fills, never directories. */
-    def suppressBasePath: Boolean = hasFills || hasRelocated
+      * and conflict across snapshot depths), relocated layouts (the
+      * files share no root with the segment), and layouts whose files
+      * sit under `col=value` directories that are NOT dir-partition
+      * columns (round 18 — transform-spec appends land in synthetic
+      * `ts_day=N/` dirs; inference would conflict with flat prior
+      * snapshots). Explicit file-path reads without basePath infer
+      * nothing — each file's parent is its own base — and partition
+      * values come from fills/manifests, never directories. */
+    @transient lazy val suppressBasePath: Boolean =
+      hasFills || hasRelocated ||
+        (partitionColumns.isEmpty && dataFiles.exists(_.exists(p =>
+          p.split('/').dropRight(1).exists(_.contains('=')))))
     require(dataFormat == "parquet" || dataFormat == "orc" ||
       dataFormat == "avro" || dataFormat == "mixed",
       s"unsupported data file format '$dataFormat' (parquet, orc, avro, or mixed)")

@@ -2996,8 +2996,13 @@ class IcebergFormatSpec extends AnyFunSuite {
           java.nio.charset.StandardCharsets.UTF_8)
         finally in.close()
       }
-      val mutated = text.replace("""{"spec-id": 1, "fields": []}""",
-        """{"spec-id": 1, "fields": [{"name": "k", "transform": "identity", "source-id": 3, "field-id": 1001}]}""")
+      // loaded-table commits re-render the specs VERBATIM (round 18 —
+      // jackson-compact), fresh exports spaced; mutate either spelling
+      val fieldBearing =
+        """{"spec-id": 1, "fields": [{"name": "k", "transform": "identity", "source-id": 3, "field-id": 1001}]}"""
+      val mutated = text
+        .replace("""{"spec-id": 1, "fields": []}""", fieldBearing)
+        .replace("""{"spec-id":1,"fields":[]}""", fieldBearing)
       assert(mutated != text)
       val p2 = new Path(p.getParent, s"v99.metadata.json")
       val out = fs.create(p2, false)
