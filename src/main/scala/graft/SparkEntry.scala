@@ -153,6 +153,7 @@ object SparkEntry {
     "w28_nested_default" -> (graft.queries.WriteQueries.w28 _),
     "w29_iceberg_sink" -> (graft.queries.WriteQueries.w29 _),
     "w30_relocated" -> (graft.queries.WriteQueries.w30 _),
+    "w31_mixed_upsert" -> (graft.queries.WriteQueries.w31 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1192,6 +1193,31 @@ object SparkEntry {
         |  FROM lineitem),
         |live AS (
         |  SELECT * FROM t WHERE k % 10 < 9 AND NOT (k % 13 = 0)),
+        |g AS (
+        |  SELECT rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum,
+        |         CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |  FROM live GROUP BY rf)
+        |SELECT 'all' AS phase, * FROM g
+        |UNION ALL
+        |SELECT 'flt' AS phase, rf, COUNT(*) AS cnt,
+        |       CAST(SUM(k) AS BIGINT) AS k_sum,
+        |       CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |FROM live WHERE k <= 30000 GROUP BY rf
+        |UNION ALL
+        |SELECT 'df' AS phase, * FROM g""".stripMargin,
+    // w31: the one-commit mixed-format upsert (round 18) — an ORC base
+    // takes parquet inserts + equality delete keys in ONE snapshot;
+    // the deletes hit only the strictly-older base files, so the
+    // same-commit inserts survive their own keys.
+    "w31_mixed_upsert" ->
+      """WITH t AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS k,
+        |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+        |  FROM lineitem),
+        |live AS (
+        |  SELECT * FROM t WHERE k % 10 < 8 AND NOT (k % 16 = 0)
+        |  UNION ALL
+        |  SELECT * FROM t WHERE k % 10 = 8),
         |g AS (
         |  SELECT rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum,
         |         CAST(SUM(qty) AS BIGINT) AS qty_sum

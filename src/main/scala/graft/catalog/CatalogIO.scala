@@ -316,9 +316,17 @@ object CatalogIO {
     require(dataFormat == "parquet" || dataFormat == "orc" ||
       renameOps.isEmpty,
       "renames ride the parquet/ORC epoch scan only")
+    // round 18: MIXED parquet+orc layouts serve live deletes too — the
+    // one-commit Flink upsert on a migrated ORC base (parquet inserts +
+    // eq deletes in one snapshot). Scans split per format group and
+    // each group rides its own counting read; any avro entry still
+    // refuses (no counting read routes the engine's avro decoder).
     require(dataFormat == "parquet" || dataFormat == "orc" ||
+      (dataFormat == "mixed" &&
+        dataFileFormats.exists(!_.contains("avro"))) ||
       deleteFiles.isEmpty,
-      "live deletes ride the parquet/ORC counting read only")
+      "live deletes ride the parquet/ORC counting reads only (mixed " +
+        "parquet+orc layouts split per format group; avro refuses)")
     require((dataFormat == "mixed") == dataFileFormats.isDefined,
       "dataFileFormats accompany exactly the mixed data format")
     require(dataFileFormats.forall(s => dataFiles.exists(_.size == s.size)),
@@ -3077,6 +3085,21 @@ object CatalogIO {
         if (layout.deleteFiles.nonEmpty)
           graft.sources.MorRead.dataFrame(spark, layout, options)
         else graft.sources.EpochRead.dataFrame(spark, layout, options)
+      // MIXED + live deletes (round 18 — the one-commit Flink upsert
+      // on a migrated ORC base): split into per-format restricted
+      // layouts and recurse — each group rides this function's own
+      // parquet/orc delete machinery; targets/tuple/seq gates only
+      // ever match within the owning group's files. Mixed + renames
+      // still refuses via the layout invariant.
+      case Some(_) if layout.seqGated && layout.dataFormat == "mixed" =>
+        layout.dataFiles.getOrElse(Nil)
+          .zip(layout.dataFileFormats.getOrElse(Nil))
+          .groupBy(_._2).toSeq.sortBy(_._1)
+          .map { case (fmt, pairs) =>
+            scanLayoutWithOptions(spark,
+              layout.retainDataFiles(pairs.map(_._1).toSet)
+                .copy(dataFormat = fmt, dataFileFormats = None), options)
+          }.reduce(_ unionByName _)
       // delete-live layouts WITH per-file constant fills (round 16 —
       // the partitioned Hive-migration table taking row-level deletes):
       // the parquet join path below reads all files in one pass, where

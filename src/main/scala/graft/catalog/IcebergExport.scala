@@ -266,6 +266,95 @@ object IcebergExport {
         "added-files-size" -> dataBytes) ++ extraSummary)
   }
 
+  /** One-commit UPSERT (round 18 — the Flink CDC shape on a migrated
+    * table): ONE snapshot carrying a data manifest (the inserted rows,
+    * `fileFormat` — parquet onto an ORC base goes MIXED) AND an
+    * equality-delete manifest, both at the same sequence number. The
+    * spec's `dataSeq < deleteSeq` gate then scopes the deletes to
+    * STRICTLY OLDER files: the same-commit inserts survive their own
+    * delete keys — exactly the upsert semantics a two-commit
+    * delete-then-insert composes, but atomic. `equalityKeys`' columns
+    * must be table columns (they become the `equality_ids`). */
+  def appendUpsert(spark: SparkSession, metadataLocation: String,
+      inserts: DataFrame, equalityKeys: DataFrame,
+      fileFormat: String = "parquet"): String = {
+    require(fileFormat == "parquet" || fileFormat == "orc",
+      s"appendUpsert writes parquet or orc data files, got '$fileFormat'")
+    val st = loadState(spark, metadataLocation)
+    require(inserts.schema == st.sparkSchema,
+      s"appendUpsert schema ${inserts.schema.toDDL} does not match the " +
+        s"table schema ${st.sparkSchema.toDDL}")
+    // (equality deletes stay legal at v3 — only position delete FILES
+    // are barred there, and this verb writes none)
+    val seq = st.lastSeq + 1
+    val snapshotId = newSnapshotId()
+    val rel = s"data/s$seq-${java.util.UUID.randomUUID().toString.take(8)}"
+    val dataDir = new Path(st.root, rel)
+    requireNoEmptyStringPartitions(inserts, st.partCols)
+    val (frame, dirCols) = partitionedWriteFrame(inserts, st.partCols)
+    val w0 = frame.write.format(fileFormat)
+    (if (st.partCols.isEmpty) w0 else w0.partitionBy(dirCols: _*))
+      .save(dataDir.toString)
+    val (dataEntry, rowCount, dataBytes) = writeDataManifest(spark, st.fs,
+      st.metaDir, st.location, st.sparkSchema, st.fieldIds, dataDir, rel,
+      snapshotId, seq, fileFormat, None, treeOverride = Some(st.tree),
+      partCols = st.partCols, specId = st.defaultSpecId)
+    // the delete manifest: one equality-delete file under the
+    // unpartitioned (global) spec, same shape as appendDeletes'
+    // equality branch, committed at the SAME seq as the data manifest
+    val ids = equalityKeys.schema.fieldNames.map { c =>
+      st.fieldIds.find(_._1.name == c).map(_._2).getOrElse(
+        throw new IllegalArgumentException(
+          s"equality-delete column $c is not a table column"))
+    }
+    val delDir = new Path(st.root,
+      s"deletes/s$seq-${java.util.UUID.randomUUID().toString.take(8)}")
+    val delTarget = new Path(delDir, s"eq-del-0.parquet")
+    val nDel = writeSingleParquet(spark, equalityKeys, delTarget)
+    val mSchema = new Schema.Parser().parse(
+      manifestSchemaJson("upsert_del_manifest"))
+    val dfSchema = mSchema.getField("data_file").schema()
+    val manifestPath = new Path(st.metaDir,
+      s"dm$seq-${java.util.UUID.randomUUID()}.avro")
+    val writer = new DataFileWriter(
+      new GenericDatumWriter[GenericRecord](mSchema))
+    setManifestMeta(writer, st.schemaNode.toString, content = "deletes",
+      specId = st.unpartSpecId)
+    writer.create(mSchema, st.fs.create(manifestPath, false))
+    try {
+      val d = new GenericData.Record(dfSchema)
+      d.put("content", 2)
+      d.put("file_path", st.fs.makeQualified(delTarget).toString)
+      d.put("file_format", "PARQUET")
+      d.put("partition", emptyPartition(dfSchema))
+      d.put("record_count", nDel)
+      d.put("file_size_in_bytes", st.fs.getFileStatus(delTarget).getLen)
+      val arr = new GenericData.Array[Integer](ids.length,
+        Schema.createArray(Schema.create(Schema.Type.INT)))
+      ids.foreach(i => arr.add(Int.box(i)))
+      d.put("equality_ids", arr)
+      val e = new GenericData.Record(mSchema)
+      e.put("status", 1); e.put("snapshot_id", snapshotId)
+      e.put("sequence_number", seq); e.put("file_sequence_number", seq)
+      e.put("data_file", d)
+      writer.append(e)
+    } finally writer.close()
+    val delEntry = ListEntry(st.fs.makeQualified(manifestPath).toString,
+      st.fs.getFileStatus(manifestPath).getLen, content = 1, seq,
+      minSeq = seq, addedSnapshotId = snapshotId,
+      addedFiles = 1, existingFiles = 0, deletedFiles = 0,
+      addedRows = nDel, existingRows = 0L, deletedRows = 0L,
+      specId = st.unpartSpecId)
+    commitSnapshot(st, snapshotId, seq, "overwrite",
+      st.priorEntries :+ dataEntry :+ delEntry,
+      addedRows = rowCount,
+      summaryCounts = Map("added-data-files" -> dataEntry.addedFiles.toLong,
+        "added-records" -> rowCount,
+        "added-files-size" -> dataBytes,
+        "added-delete-files" -> 1L,
+        "added-equality-delete-files" -> 1L))
+  }
+
   /** Commit a REWRITE (compaction) snapshot: the table's current rows
     * re-written into fresh parquet files, committed with
     * `summary.operation = "replace"` — Iceberg's `rewrite_data_files`

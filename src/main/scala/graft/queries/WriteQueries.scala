@@ -801,6 +801,56 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(tmp)
     }
 
+  /** w31 (round 18): the one-commit MIXED-format UPSERT under the
+    * oracle — Flink CDC's exact output on a migrated table: an ORC
+    * base takes ONE snapshot carrying parquet inserts AND equality
+    * delete keys ([[graft.catalog.IcebergExport.appendUpsert]]). The
+    * spec's `dataSeq < deleteSeq` gate scopes the deletes to the older
+    * ORC files, so the same-commit inserts survive their own keys;
+    * scans split per format group, each riding its own merge-on-read
+    * machinery. Both faces read the pointer; the oracle replays the
+    * upsert relationally. */
+  def w31(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w31") { (cat, hc) =>
+      import graft.catalog.{CatalogIO, IcebergExport, TableRef}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w31-ice").toString
+      try {
+        val t = spark.sql(
+          s"""SELECT CAST(l_orderkey AS BIGINT) AS k,
+             |       CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+             |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+        val meta0 = IcebergExport.writeTable(spark,
+          t.filter(col("k") % 10 < 8), s"$tmp/t", fileFormat = "orc")
+        val meta1 = IcebergExport.appendUpsert(spark, meta0,
+          inserts = t.filter(col("k") % 10 === 8),
+          equalityKeys = t.filter(col("k") % 16 === 0)
+            .select(col("k")).distinct())
+        val layout = CatalogIO.readLayout(meta1,
+          spark.sessionState.newHadoopConf())
+        require(layout.dataFormat == "mixed" && layout.deleteFiles.nonEmpty,
+          "the upsert must read back as a delete-live mixed layout")
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.upsert"), meta1)
+        val sqlFace = spark.sql(
+          s"""SELECT 'all' AS phase, rf, COUNT(*) AS cnt,
+             |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.upsert GROUP BY rf""".stripMargin)
+        val pruned = spark.sql(
+          s"""SELECT 'flt' AS phase, rf, COUNT(*) AS cnt,
+             |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.upsert WHERE k <= 30000 GROUP BY rf""".stripMargin)
+        val dfFace = CatalogIO.scanMetadataLocation(spark, meta1)
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"),
+            sum(col("qty")).as("qty_sum"))
+          .select(lit("df").as("phase"), col("rf"), col("cnt"),
+            col("k_sum"), col("qty_sum"))
+        val out = sqlFace.unionByName(pruned).unionByName(dfFace)
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w29 (round 17): the STREAMING ICEBERG SINK under the oracle —
     * lineitem arrives as three micro-batches, each committed as one
     * Iceberg append snapshot behind a registered catalog pointer

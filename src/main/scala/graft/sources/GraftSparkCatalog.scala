@@ -149,7 +149,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       // values / initial-defaults) — the constants inject below the
       // delete probes, so this branch must come before the fill branch.
       if (layout.deleteFiles.nonEmpty)
-        new GraftMorTable(manifestPlanned(table, layout), layout, hadoopOpts)
+        // MIXED delete-live layouts (round 18 — the one-commit Flink
+        // upsert): the composite wraps each format group in its own
+        // MOR table; homogeneous layouts keep the direct wrap
+        (if (layout.dataFormat == "mixed")
+          new GraftMixedFormatTable(SparkSession.active, ref.toString,
+            layout, hadoopOpts)
+        else
+          new GraftMorTable(manifestPlanned(table, layout), layout,
+            hadoopOpts))
       else
       // per-file constant fills (round 16): a MIXED parquet+orc layout
       // with fills — the partitioned Hive-migration append shape —

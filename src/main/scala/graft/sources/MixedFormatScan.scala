@@ -114,13 +114,28 @@ final class GraftMixedFormatTable(spark: SparkSession, tableName: String,
               userSpecifiedSchema = Some(currentSchema),
               fallbackFileFormat = classOf[ParquetFileFormat])
         }
-        val groupStats = {
-          val keep = abs.map(f =>
-            new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
-          statsByUriPath.filter { case (p, _) => keep(p) }
+        // live deletes (round 18 — the one-commit Flink upsert on a
+        // migrated ORC base): each parquet/orc group rides its OWN
+        // merge-on-read wrapper over a group-restricted layout — the
+        // same counting-read machinery a homogeneous table gets, so
+        // targets/tuple/seq gates only ever match within the group's
+        // files. The MOR wrapper needs the stock FileScanBuilder
+        // directly (correctness over the stats wrapper, exactly like
+        // the homogeneous MOR route); avro groups refuse upstream via
+        // the layout invariant.
+        if (layout.deleteFiles.nonEmpty) {
+          val groupLayout = layout.retainDataFiles(rels.toSet)
+            .copy(dataFormat = fmt, dataFileFormats = None)
+          new GraftMorTable(table, groupLayout, hadoopOpts)
+        } else {
+          val groupStats = {
+            val keep = abs.map(f =>
+              new org.apache.hadoop.fs.Path(f).toUri.getPath).toSet
+            statsByUriPath.filter { case (p, _) => keep(p) }
+          }
+          if (groupStats.isEmpty) table
+          else new StatsPrunedTable(table, groupStats, totalDataFiles = -1)
         }
-        if (groupStats.isEmpty) table
-        else new StatsPrunedTable(table, groupStats, totalDataFiles = -1)
       }
     }
   }

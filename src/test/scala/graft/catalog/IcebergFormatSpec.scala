@@ -187,18 +187,22 @@ class IcebergFormatSpec extends AnyFunSuite {
       assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.m VERSION AS OF $snap1")
         .head.getLong(0) == 300)
     }
-    // mixed WITH live deletes still refuses: delete application is
-    // position-addressed through parquet row indexes on every file
+    // mixed WITH live deletes SERVES (round 18 — the r15 refusal
+    // lifted): the spliced equality delete (seq 3, above both the ORC
+    // base at seq 1 and the parquet append at seq 2) kills id 3 and 4
+    // in BOTH formats' files, applied per format group
     val delPath = new Path(dir, "data/eqdel-0.parquet")
     writeParquetFile(Seq(3L, 4L).toDF("id"), delPath)
     spliceDeleteManifest(dir, meta2, Seq(DelFile(content = 2,
       absPath = delPath.getFileSystem(conf).makeQualified(delPath).toString,
       rows = 2, seq = 3, equalityIds = Seq(1))))
-    val e = intercept[UnsupportedOperationException] {
-      CatalogIO.readLayout(meta2, conf)
-    }
-    assert(e.getMessage.contains("mixed data files with live delete files"),
-      e.getMessage)
+    val mixedMor = CatalogIO.readLayout(meta2, conf)
+    assert(mixedMor.dataFormat == "mixed" && mixedMor.deleteFiles.nonEmpty)
+    val gotMor = CatalogIO.scanMetadataLocation(spark, meta2)
+    // ids 3 and 4 die in BOTH the ORC base (one row each) and the
+    // parquet append (the duplicated 1..5 rows): 305 - 4
+    assert(gotMor.count() == 301)
+    assert(gotMor.filter("id IN (3, 4)").count() == 0)
   }
 
   test("ORC merge-on-read (round 16): live positional AND equality deletes " +
