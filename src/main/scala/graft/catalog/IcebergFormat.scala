@@ -249,13 +249,45 @@ object IcebergFormat {
       .filter(_.transform != "void").map(_.sourceId)
     val props = Option(root.get("properties")).map(_.properties().asScala
       .map(e => e.getKey -> e.getValue.asText).toMap).getOrElse(Map.empty)
+    // uuid columns (round 18): served as StringType through the uuid
+    // conversion seam — TOP-LEVEL columns only (the seam rewrites row
+    // fields). A struct-nested uuid member refuses here, before a
+    // parquet type-mismatch error could surface mid-scan; list/map
+    // elements already refuse in typeToSpark.
+    val uuidCols: Seq[String] = schema.get("fields").elements().asScala
+      .filter(f => f.get("type").isTextual && f.get("type").asText == "uuid")
+      .map(_.get("name").asText).toSeq
+    locally {
+      def walk(t: JsonNode, path: String): Unit =
+        if (!t.isTextual) t.path("type").asText match {
+          case "struct" => t.get("fields").elements().asScala.foreach { f =>
+            val ft = f.get("type")
+            if (ft.isTextual && ft.asText == "uuid")
+              throw new UnsupportedOperationException(
+                s"Iceberg metadata $metadataLocation: uuid member " +
+                  s"'$path${f.get("name").asText}' is struct-nested; " +
+                  "uuid serves for top-level columns only — rewrite " +
+                  "the member as string first")
+            walk(ft, s"$path${f.get("name").asText}.")
+          }
+          case "list" => walk(t.get("element"), s"$path element.")
+          case "map" =>
+            walk(t.get("key"), s"$path key.")
+            walk(t.get("value"), s"$path value.")
+          case _ => ()
+        }
+      schema.get("fields").elements().asScala
+        .filterNot(f => f.get("type").isTextual)
+        .foreach(f => walk(f.get("type"), s"${f.get("name").asText}."))
+    }
     val base = CatalogIO.TableLayout(
       dataLocation = location,
       schemaDdl = Some(sparkSchema.toDDL),
       dataFiles = Some(Nil),
       dataFileSizes = Some(Nil),
       dataFileStats = Some(Nil),
-      properties = props)
+      properties = props,
+      uuidColumns = uuidCols)
     if (snapshot.isEmpty) return base // no snapshot yet: a committed empty table
     // v3 row lineage (round 16 — folded into THIS walk, killing the
     // old second manifest pass): per-snapshot `first-row-id` for the
@@ -494,6 +526,20 @@ object IcebergFormat {
         s"Iceberg metadata $metadataLocation: variant columns over " +
           s"$dataFormat data files — variant decodes through the parquet " +
           "reader only; rewrite the table as parquet first")
+    // uuid conversion scope (round 18): the seam is a plain parquet
+    // row-path projection — combinations needing other machinery on
+    // the same scan refuse with the rewrite named
+    if (uuidCols.nonEmpty && rels.nonEmpty) {
+      if (dataFormat != "parquet")
+        throw new UnsupportedOperationException(
+          s"Iceberg metadata $metadataLocation: uuid columns over " +
+            s"$dataFormat data files — the uuid conversion seam reads " +
+            "parquet only; rewrite the table as parquet first")
+      if (renamed)
+        throw new UnsupportedOperationException(
+          s"Iceberg metadata $metadataLocation: uuid columns with " +
+            "un-materialized renames — compact the table first")
+    }
     val dataRelSet = rels.map(_._1).toSet
     // data files grouped by partition tuple, each with its data seq —
     // the lookup partition-scoped equality deletes resolve against
@@ -1146,12 +1192,20 @@ object IcebergFormat {
         // own reader decodes; `variant_get` works over the read. Gated
         // to v3 metadata + parquet data files in toTableLayout.
         case "variant" => VariantType
+        // uuid (round 18): served as StringType — the public
+        // Iceberg-Spark mapping. The data files store fixed[16] with
+        // the parquet UUID annotation, which Spark's stock reader
+        // serves only as binary, so scans route through the uuid
+        // conversion seam (graft.sources.UuidScan); TOP-LEVEL columns
+        // only — the seam converts row fields, not nested members.
+        case "uuid" if !inCollection => StringType
         case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
         case FixedRe(_) => BinaryType
         case other =>
           throw new UnsupportedOperationException(
             s"Iceberg type '$other' in $where has no exact catalyst " +
-              "mapping (time/uuid/timestamp_ns/unknown are not served)")
+              "mapping (uuid is served top-level only; " +
+              "time/timestamp_ns/unknown are not served)")
       }
     } else t.path("type").asText match {
       case "struct" => structToSpark(t, where, inCollection)

@@ -2112,14 +2112,23 @@ class IcebergFormatSpec extends AnyFunSuite {
       finally out.close()
       p.toString
     }
+    val timeTable = metaWith(
+      """{"format-version": 2, "location": "/tmp/x",
+        |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
+        |  {"id": 1, "name": "t", "required": false, "type": "time"}]}],
+        |"current-schema-id": 0, "current-snapshot-id": -1}""".stripMargin)
+    val e1 = intercept[UnsupportedOperationException](
+      CatalogIO.readLayout(timeTable, conf))
+    assert(e1.getMessage.contains("time"))
+    // top-level uuid SERVES since round 18 (as StringType — UuidSpec);
+    // the schema maps here even snapshotless
     val uuidTable = metaWith(
       """{"format-version": 2, "location": "/tmp/x",
         |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
         |  {"id": 1, "name": "u", "required": false, "type": "uuid"}]}],
         |"current-schema-id": 0, "current-snapshot-id": -1}""".stripMargin)
-    val e1 = intercept[UnsupportedOperationException](
-      CatalogIO.readLayout(uuidTable, conf))
-    assert(e1.getMessage.contains("uuid"))
+    assert(CatalogIO.readLayout(uuidTable, conf)
+      .schemaDdl.exists(_.contains("u STRING")))
     val v9 = metaWith("""{"format-version": 9, "location": "/tmp/x"}""")
     val e2 = intercept[UnsupportedOperationException](
       CatalogIO.readLayout(v9, conf))
