@@ -197,6 +197,7 @@ private final class FillScanBuilder(
   with SupportsPushDownCatalystFilters {
 
   private var captured: Seq[Expression] = Nil
+  private var groupPruneOnly: Seq[Expression] = Nil
   private var requiredSchema: Option[StructType] = None
 
   // pruning and pushdown are CAPTURED, then replayed onto exactly the
@@ -210,6 +211,16 @@ private final class FillScanBuilder(
     filters // evaluated again post-scan, over the injected constants
   }
 
+  /** Filters used for GROUP PRUNING ONLY — never replayed onto any
+    * group's file scan (round 18, the copy-on-write seam): the
+    * row-level scan builder hands its condition here so an adopted
+    * fill table's UPDATE plans (and therefore REPLACES) only the
+    * groups whose fill constants can match, while no conjunct ever
+    * row-filters inside a file that stays in the replaced set. */
+  private[sources] def pushGroupPruneFilters(
+      filters: Seq[Expression]): Unit =
+    groupPruneOnly ++= filters
+
   // nothing is reported as pushed: every filter re-evaluates above the
   // scan (the per-group builders still push their safe subsets for
   // row-group/stats pruning — that is an optimization, not a contract)
@@ -219,9 +230,10 @@ private final class FillScanBuilder(
     * fill constants (evaluates to false or null — a WHERE discards
     * both). Any doubt keeps the group. */
   private def groupDropped(fills: Seq[(String, Any)]): Boolean = {
-    if (fills.isEmpty || captured.isEmpty) return false
+    val candidates = captured ++ groupPruneOnly
+    if (fills.isEmpty || candidates.isEmpty) return false
     val byName = fills.map { case (c, v) => c.toLowerCase -> v }.toMap
-    captured.exists { f =>
+    candidates.exists { f =>
       f.deterministic && scala.util.Try {
         val sub = f.transform {
           case a: AttributeReference if byName.contains(a.name.toLowerCase) =>

@@ -139,6 +139,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     val (paths, pathOpts) = tablePaths(layout)
     lazy val table = baseTableFor(ref.toString, layout, paths, pathOpts)
     val readTable =
+      // uuid columns (round 18): the string-serving conversion seam —
+      // layout invariants keep uuid layouts plain parquet (no deletes/
+      // renames/fills), so this branch never shadows the MOR/fill routes
+      if (layout.uuidColumns.nonEmpty)
+        new GraftUuidTable(SparkSession.active, ref.toString, layout,
+          hadoopOpts)
+      else
       // live delete files take precedence (merge-on-read): scans must
       // APPLY the delete tuples or deleted rows resurrect. The MOR
       // wrapper takes precedence over SPJ bucket reporting — correctness

@@ -1131,4 +1131,54 @@ class V2WriteSpec extends AnyFunSuite {
     assert(rowsOf(spark.table(s"$cat.db.fm")) == expect2)
   }
 
+  test("one-partition UPDATE on a 64-partition ADOPTED fill table " +
+      "replaces only that partition's files (round 18 — fill-group " +
+      "pruning bounds the copy-on-write set)") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    import spark.implicits._
+    val tmp = Files.createTempDirectory("v2write-fillcow").toString
+    // 64-partition hive import: files LACK the partition column k
+    val base = (1 to 256).map(i => (i.toLong, i * 10L, (i % 64) + 1))
+      .toDF("id", "v", "k")
+    base.write.partitionBy("k").parquet(s"$tmp/hv")
+    val meta = IcebergExport.importHiveTable(spark, s"$tmp/hv",
+      base.schema, Seq("k"))
+    val ref = TableRef.parse("db.fc")
+    CatalogIO.adoptIcebergTable(spark, hc, ref, meta)
+    val conf = spark.sessionState.newHadoopConf()
+    val before = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref), conf)
+    assert(before.hasFills && before.dataFiles.get.size >= 64)
+    val k7Before = before.dataFiles.get.zip(before.dataFileFills.get)
+      .collect { case (f, fills) if fills.exists(p =>
+        p._1 == "k" && p._2 == 7) => f }.toSet
+    assert(k7Before.nonEmpty)
+
+    spark.sql(s"UPDATE $cat.db.fc SET v = v + 1000 WHERE k = 7")
+
+    val after = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref), conf)
+    // MANIFEST DIFF: exactly the k=7 partition's files left; every
+    // other file survived with its path (and fills) intact
+    val beforeSet = before.dataFiles.get.toSet
+    val afterSet = after.dataFiles.get.toSet
+    val removed = beforeSet -- afterSet
+    assert(removed == k7Before,
+      s"the replace set must be exactly the k=7 files: removed=$removed")
+    val survivors = after.dataFiles.get.zip(after.dataFileFills.get)
+      .filter { case (f, _) => beforeSet(f) }
+    assert(survivors.size == beforeSet.size - k7Before.size)
+    assert(survivors.forall(_._2.nonEmpty),
+      "untouched files must keep their fill sets")
+    // correctness: only k=7 rows changed; fill-column filters answer
+    val expect = (1 to 256).map(i =>
+      ((i % 64) + 1, if ((i % 64) + 1 == 7) i * 10L + 1000L else i * 10L,
+        i.toLong))
+    assert(spark.sql(s"SELECT SUM(v) FROM $cat.db.fc").head.getLong(0) ==
+      expect.map(_._2).sum)
+    assert(spark.sql(s"SELECT SUM(v) FROM $cat.db.fc WHERE k = 7")
+      .head.getLong(0) == expect.filter(_._1 == 7).map(_._2).sum)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.fc").head.getLong(0)
+      == 256L)
+  }
+
 }
