@@ -2823,15 +2823,18 @@ class IcebergFormatSpec extends AnyFunSuite {
         r.getInt(r.fieldIndex("k")))).toSet ==
         Set((1001L, 2), (1002L, 3), (2001L, 2)),
         "incremental reads must serve appended rows with partition fills")
-      // the one partition-blind verb left refuses: avro appends (the
-      // native writer does not partition). Deletes/DVs commit under the
-      // auxiliary unpartitioned spec, and REWRITES keep the hive layout
-      // since round 17 (the dedicated partitioned-REWRITE spec).
+      // avro appends PARTITION since round 18 (per-tuple native
+      // writes, AvroWriteSpec) — but not onto a FILL-bearing table
+      // like this one: the avro files keep their columns while the
+      // prior files lack them, and fills cannot coexist with avro
+      // entries. The refusal fires BEFORE the write. Deletes/DVs
+      // commit under the auxiliary unpartitioned spec, and REWRITES
+      // keep the hive layout since round 17.
       val eAvro = intercept[IllegalArgumentException](
         IcebergExport.appendSnapshot(spark,
           Seq((3001L, "z", 1)).toDF("id", "name", "k"), meta3,
           fileFormat = "avro"))
-      assert(eAvro.getMessage.contains("identity-partitioned"))
+      assert(eAvro.getMessage.contains("fills"), eAvro.getMessage)
     }
   }
 

@@ -321,4 +321,57 @@ class AvroWriteSpec extends AnyFunSuite {
     // rows still serve (this reader is name-addressed)
     assert(CatalogIO.scanMetadataLocation(spark, meta3).count() == 30)
   }
+  test("PARTITIONED avro export + appends (round 18): hive layout, files " +
+      "KEEP the identity columns, both faces read; fill-table appends refuse") {
+    import graft.catalog.{CatalogIO, IcebergExport, TableRef}
+    import org.apache.spark.sql.functions.col
+    val spark2 = spark
+    import spark2.implicits._
+    val tmp = Files.createTempDirectory("avro-part").toString
+    def df(lo: Int, hi: Int) = (lo to hi)
+      .map(i => (i.toLong, s"n-$i", (i % 4) + 1)).toDF("id", "name", "g")
+    val meta0 = IcebergExport.writeTable(spark, df(1, 40), s"$tmp/t",
+      fileFormat = "avro", partitionBy = Seq("g"))
+    val conf = spark.sessionState.newHadoopConf()
+    val lay0 = CatalogIO.readLayout(meta0, conf)
+    assert(lay0.dataFormat == "avro" && !lay0.hasFills,
+      s"partitioned avro files keep their identity columns: $lay0")
+    assert(lay0.dataFiles.get.forall(_.contains("g=")),
+      s"hive col=value layout expected: ${lay0.dataFiles}")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toString).sorted.toSeq
+    assert(rows(CatalogIO.scanMetadataLocation(spark, meta0)) ==
+      rows(df(1, 40)))
+    // avro append under the same spec: still homogeneous avro
+    val meta1 = IcebergExport.appendSnapshot(spark, df(41, 60), meta0,
+      fileFormat = "avro")
+    assert(rows(CatalogIO.scanMetadataLocation(spark, meta1)) ==
+      rows(df(1, 60)))
+    // SQL face + a partition-column predicate
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-avro-part") {
+      (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.ap"), meta1)
+        assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.ap WHERE g = 2")
+          .head.getLong(0) == (1 to 60).count(i => (i % 4) + 1 == 2).toLong)
+        assert(rows(spark.table(s"$cat.db.ap")) == rows(df(1, 60)))
+    }
+    // a parquet append onto the avro partitioned table refuses BEFORE
+    // writing (it would record fills, which no avro stack serves)
+    val eP = intercept[IllegalArgumentException] {
+      IcebergExport.appendSnapshot(spark, df(61, 65), meta1)
+    }
+    assert(eP.getMessage.contains("avro"), eP.getMessage)
+    // ...and the symmetric refusal: avro appends onto a FILL-bearing
+    // partitioned parquet table refuse before writing
+    val metaPq = IcebergExport.writeTable(spark, df(1, 20), s"$tmp/pq",
+      partitionBy = Seq("g"))
+    assert(CatalogIO.readLayout(metaPq, conf).hasFills)
+    val eA = intercept[IllegalArgumentException] {
+      IcebergExport.appendSnapshot(spark, df(21, 25), metaPq,
+        fileFormat = "avro")
+    }
+    assert(eA.getMessage.contains("fills"), eA.getMessage)
+  }
+
 }
