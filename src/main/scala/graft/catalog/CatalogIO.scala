@@ -4419,24 +4419,40 @@ object CatalogIO {
     // lacks the column. NO basePath over fill layouts (Spark would
     // infer partition columns from the `col=value` directory names).
     // `_metadata.row_index` stays per-file, so positions are untouched.
+    // MATERIALIZED lineage (round 18 — lineage-preserving rewrites):
+    // compacted files carry `_row_id` / `_last_updated_sequence_number`
+    // as physical parquet columns; the read schema appends both as
+    // nullable longs (files without them serve NULL → inheritance
+    // fallback below), aliased to __graft_mat_* so the computed columns
+    // never collide.
+    def widen(sch: org.apache.spark.sql.types.StructType) =
+      org.apache.spark.sql.types.StructType(sch.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_row_id",
+          org.apache.spark.sql.types.LongType, nullable = true),
+        org.apache.spark.sql.types.StructField(
+          "_last_updated_sequence_number",
+          org.apache.spark.sql.types.LongType, nullable = true)))
     val base = {
       def tagged(d: DataFrame) = d
         .withColumn("__graft_file",
           relativizeFileColumn(col("_metadata.file_path"),
             layout.dataLocation, conf, layout.relocatedRoots))
         .withColumn("__graft_pos", col("_metadata.row_index"))
+        .withColumnRenamed("_row_id", "__graft_mat_id")
+        .withColumnRenamed("_last_updated_sequence_number",
+          "__graft_mat_seq")
       if (!layout.suppressBasePath)
-        tagged(spark.read.schema(schema)
+        tagged(spark.read.schema(widen(schema))
           .option("basePath", layout.dataLocation).parquet(files: _*))
       else if (!layout.hasFills)
-        tagged(spark.read.schema(schema).parquet(files: _*))
+        tagged(spark.read.schema(widen(schema)).parquet(files: _*))
       else {
         val nullable = graft.sources.FillInjection.deepNullable(schema)
           .asInstanceOf[org.apache.spark.sql.types.StructType]
         files.zip(layout.dataFileFills.get)
           .groupBy(_._2).toSeq.sortBy(_._1.map(_._1).mkString(" "))
           .map { case (fills, pairs) =>
-            val d0 = tagged(spark.read.schema(nullable)
+            val d0 = tagged(spark.read.schema(widen(nullable))
               .parquet(pairs.map(_._1): _*))
             fills.foldLeft(d0) { case (d, (c, v)) =>
               applyFillColumn(d, c, v)
@@ -4451,8 +4467,12 @@ object CatalogIO {
       .toDF("__graft_lin_file", "__graft_first", "__graft_seq")
     val joined = base.join(broadcast(lin),
       col("__graft_file") === col("__graft_lin_file"), "left")
-      .withColumn("_row_id", col("__graft_first") + col("__graft_pos"))
-      .withColumn("_last_updated_sequence_number", col("__graft_seq"))
+      .withColumn("_row_id", org.apache.spark.sql.functions.coalesce(
+        col("__graft_mat_id"),
+        col("__graft_first") + col("__graft_pos")))
+      .withColumn("_last_updated_sequence_number",
+        org.apache.spark.sql.functions.coalesce(
+          col("__graft_mat_seq"), col("__graft_seq")))
     val dvApplied = dvAddressFrame(spark, layout, Map.empty) match {
       case None => joined
       case Some(addr) => joined.join(addr,

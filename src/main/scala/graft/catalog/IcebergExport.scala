@@ -66,7 +66,14 @@ object IcebergExport {
         * in each manifest entry's `partition` record, exactly the
         * `add_files` shape), so readers serve them as per-file
         * constants and prune on the recorded values. */
-      partitionBy: Seq[String] = Nil): String = {
+      partitionBy: Seq[String] = Nil,
+      /** Export format version (round 18): 3 assigns row-lineage ids
+        * to the first snapshot (0..rowCount-1 by null-default
+        * inheritance) — the shape v3 rewrites preserve; 2 (default)
+        * stays the widest-interop form. Variant schemas force 3. */
+      formatVersion: Int = 2): String = {
+    require(formatVersion == 2 || formatVersion == 3,
+      s"writeTable exports format-version 2 or 3, got $formatVersion")
     require(fileFormat == "parquet" || fileFormat == "orc" ||
       fileFormat == "avro",
       s"unsupported Iceberg export data format '$fileFormat'")
@@ -119,7 +126,7 @@ object IcebergExport {
     // (`next-row-id`, snapshot `first-row-id` — ids 0..rowCount-1
     // assigned to this first snapshot by null-default inheritance)
     val fv = if (schema.exists(f =>
-        IcebergSchemaIds.hasVariant(f.dataType))) 3 else 2
+        IcebergSchemaIds.hasVariant(f.dataType))) 3 else formatVersion
     val snapshotJson = snapshotNode(snapshotId, parent = None, seq,
       "append", fs.makeQualified(listPath).toString,
       summaryCounts = Map("added-data-files" -> manifestEntry.addedFiles.toLong,
@@ -446,20 +453,43 @@ object IcebergExport {
       targetFileBytes: Long = 128L << 20): String = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     val st = loadState(spark, metadataLocation)
-    require(st.priorEntries.forall(_.content == 0),
-      s"$metadataLocation carries live delete files; a rewrite would " +
-        "change row visibility — materialize the deletes first")
-    require(st.formatVersion < 3,
-      s"$metadataLocation is format-version 3: rewritten files must " +
-        "preserve row lineage ids, which this writer does not emit — " +
-        "rewrite refused rather than silently renumbering _row_id")
     require(st.curSnapshotId != -1L,
       s"$metadataLocation has no current snapshot; nothing to rewrite")
+    val conf = spark.sessionState.newHadoopConf()
+    // v3 LINEAGE-PRESERVING rewrite (round 18 — the r16/r17 refusal
+    // lifted): the rewrite reads through the lineage face (deletion
+    // vectors and equality deletes APPLY — survivors keep their ids —
+    // so the compaction also materializes the delete files away) and
+    // writes each row's `_row_id` / `_last_updated_sequence_number`
+    // into the new files as physical columns, the spec's rewrite
+    // contract — an inheritance id cannot express the gaps deletes
+    // leave. Readers on both faces prefer the materialized columns.
+    // `next-row-id` does not advance (no rows were added). Tables with
+    // UNASSIGNED ids (pre-upgrade snapshots) refuse: their rows have
+    // no id to preserve yet, and inventing one here would diverge from
+    // what any later inheritance read would have served.
+    val v3 = st.formatVersion >= 3
+    if (v3) {
+      val lay = CatalogIO.readLayout(metadataLocation, conf)
+      require(lay.dataFileLineage.forall(_.forall(_._1.isDefined)),
+        s"$metadataLocation has data files with UNASSIGNED row ids " +
+          "(snapshots predating the v3 upgrade); their rows carry no " +
+          "_row_id to preserve — rewrite refused")
+      require(lay.posDeleteFiles.isEmpty,
+        s"$metadataLocation carries parquet position-delete files; the " +
+          "lineage read cannot apply them — materialize first")
+      require(lay.renameOps.isEmpty && lay.dataFormat == "parquet",
+        s"$metadataLocation: v3 rewrites read through the lineage face " +
+          "(parquet, no renames)")
+    } else require(st.priorEntries.forall(_.content == 0),
+      s"$metadataLocation carries live delete files; a rewrite would " +
+        "change row visibility — materialize the deletes first")
     val seq = st.lastSeq + 1
     val snapshotId = newSnapshotId()
-    val rows = CatalogIO.scanIcebergSnapshot(spark, metadataLocation,
-      st.curSnapshotId)
-    val conf = spark.sessionState.newHadoopConf()
+    val rows =
+      if (v3) CatalogIO.scanIcebergLineage(spark, metadataLocation)
+      else CatalogIO.scanIcebergSnapshot(spark, metadataLocation,
+        st.curSnapshotId)
     val totalBytes = CatalogIO.readLayout(metadataLocation, conf)
       .dataFileSizes.map(_.filter(_ > 0).sum).getOrElse(0L)
     val parts = math.max(1L,
@@ -474,9 +504,14 @@ object IcebergExport {
     // writeDataManifest records the tuples in the new manifest's
     // partition records — pruning keeps firing off the synthesized
     // identity bounds, exactly the appendSnapshot shape
-    if (st.partCols.isEmpty)
-      rows.repartition(parts).write.parquet(dataDir.toString)
-    else {
+    if (st.partCols.isEmpty) {
+      if (v3)
+        rows.repartitionByRange(parts,
+            rows.col("_row_id").asc_nulls_first)
+          .sortWithinPartitions("_row_id")
+          .write.parquet(dataDir.toString)
+      else rows.repartition(parts).write.parquet(dataDir.toString)
+    } else {
       requireNoEmptyStringPartitions(rows, st.partCols)
       val (frame, dirCols) = partitionedWriteFrame(rows, st.partCols)
       frame.repartition(parts, dirCols.map(frame.col): _*)

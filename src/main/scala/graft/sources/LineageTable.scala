@@ -280,8 +280,24 @@ private final class LineageScan(spark: SparkSession, label: String,
       .filterNot(c => dataFields.exists(_.name.equalsIgnoreCase(c)))
       .map(c => tableSchema.find(_.name.equalsIgnoreCase(c)).get)
       .toArray
-  private val innerFields = dataFields ++ extraKeyFields
+  // MATERIALIZED lineage (round 18 — lineage-preserving rewrites):
+  // compacted v3 files carry `_row_id` / `_last_updated_sequence_number`
+  // as physical parquet columns (the spec's rewrite contract — an
+  // inheritance id cannot express the gaps deletes leave). The inner
+  // read appends both as nullable longs: files WITHOUT them (ordinary
+  // appends) serve NULL there and the reader falls back to the
+  // inheritance value; files WITH them serve the preserved ids.
+  private val matFields: Array[org.apache.spark.sql.types.StructField] =
+    Array(
+      org.apache.spark.sql.types.StructField("_row_id",
+        org.apache.spark.sql.types.LongType, nullable = true),
+      org.apache.spark.sql.types.StructField(
+        "_last_updated_sequence_number",
+        org.apache.spark.sql.types.LongType, nullable = true))
+  private val innerFields = dataFields ++ extraKeyFields ++ matFields
   private val dataSchema = StructType(innerFields)
+  private val matRowIdOrd = innerFields.length - 2
+  private val matSeqOrd = innerFields.length - 1
   // per required field: the inner-row ordinal, or the lineage markers
   private val RowIdOrd = -1
   private val SeqOrd = -2
@@ -314,9 +330,12 @@ private final class LineageScan(spark: SparkSession, label: String,
     val opts = new CaseInsensitiveStringMap(
       (if (layout.suppressBasePath) hadoopOpts
        else hadoopOpts + ("basePath" -> layout.dataLocation)).asJava)
+    // the table schema WIDENED with the materialized-lineage fields:
+    // pruning drops columns outside the declared schema, and parquet
+    // serves NULL where a file lacks them (ordinary appends)
     val b = ParquetTable(s"$label-lineage", spark, opts,
       layout.absoluteDataFiles.getOrElse(Nil),
-      userSpecifiedSchema = Some(tableSchema),
+      userSpecifiedSchema = Some(StructType(tableSchema.fields ++ matFields)),
       fallbackFileFormat = classOf[ParquetFileFormat])
       .newScanBuilder(opts)
     b.pruneColumns(dataSchema) // NO filters pushed: complete reads only
@@ -361,7 +380,7 @@ private final class LineageScan(spark: SparkSession, label: String,
     hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
     new LineageReaderFactory(innerScan.toBatch.createReaderFactory(),
       new SerializableConfiguration(conf), fieldPlan, fieldTypes, eqProbes,
-      innerScan.readSchema())
+      innerScan.readSchema(), matRowIdOrd, matSeqOrd)
   }
 }
 
@@ -397,7 +416,7 @@ private final case class LineageEqProbe(seq: Long, ordinals: Array[Int],
 private final class LineageReaderFactory(inner: PartitionReaderFactory,
     conf: SerializableConfiguration, fieldPlan: Array[Int],
     fieldTypes: Array[DataType], eqProbes: Array[LineageEqProbe],
-    innerSchema: StructType)
+    innerSchema: StructType, matRowIdOrd: Int, matSeqOrd: Int)
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -414,7 +433,8 @@ private final class LineageReaderFactory(inner: PartitionReaderFactory,
     new LineageRowReader(base, lp.firstRowId,
       lp.dataSeq, deleted, fieldPlan, fieldTypes,
       eqProbes.filter(p =>
-        p.targets.fold(lp.dataSeq < p.seq)(_.contains(lp.rel))))
+        p.targets.fold(lp.dataSeq < p.seq)(_.contains(lp.rel))),
+      matRowIdOrd, matSeqOrd)
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
@@ -430,7 +450,7 @@ private final class LineageRowReader(inner: PartitionReader[InternalRow],
     firstRowId: Option[Long], dataSeq: Long,
     deleted: graft.catalog.DeletionVectors.PositionSet,
     fieldPlan: Array[Int], fieldTypes: Array[DataType],
-    probes: Array[LineageEqProbe])
+    probes: Array[LineageEqProbe], matRowIdOrd: Int, matSeqOrd: Int)
   extends PartitionReader[InternalRow] {
 
   private var pos = -1L
@@ -462,8 +482,16 @@ private final class LineageRowReader(inner: PartitionReader[InternalRow],
           while (i < fieldPlan.length) {
             val o = fieldPlan(i)
             vals(i) =
-              if (o == -1) firstRowId.map(f => (f + pos): java.lang.Long).orNull
-              else if (o == -2) dataSeq
+              if (o == -1) {
+                // a MATERIALIZED id (compacted file) overrides the
+                // inheritance value; NULL column = ordinary file
+                if (!row.isNullAt(matRowIdOrd)) row.getLong(matRowIdOrd)
+                else firstRowId.map(f => (f + pos): java.lang.Long).orNull
+              }
+              else if (o == -2) {
+                if (!row.isNullAt(matSeqOrd)) row.getLong(matSeqOrd)
+                else dataSeq
+              }
               else if (row.isNullAt(o)) null
               else row.get(o, fieldTypes(o))
             i += 1

@@ -364,8 +364,9 @@ class AdmissionControlSpec extends AnyFunSuite {
     assert(failureMessages(e).contains("sequence-number"), failureMessages(e))
   }
 
-  test("iceberg: rewriteSnapshot refuses live deletes and v3 lineage " +
-    "tables rather than silently changing visibility or renumbering") {
+  test("iceberg: v2 rewriteSnapshot refuses live deletes rather than " +
+    "silently changing visibility (v3 rewrites MATERIALIZE them through " +
+    "the lineage face — V3RewriteSpec)") {
     val dir = s"${Files.createTempDirectory("adm-rwref").toString}/t"
     val meta1 = IcebergExport.writeTable(spark, batch(0, 5).coalesce(1), dir)
     val meta2 = IcebergExport.appendDeletes(spark, meta1,
