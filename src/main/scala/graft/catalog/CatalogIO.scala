@@ -3802,6 +3802,13 @@ object CatalogIO {
         // non-parquet (adopted orc/avro/mixed) chunked layout must take
         // the eager path, whose format dispatch serves it correctly
         if stringField(text, "dataFormat").forall(_ == "parquet")
+        // round 18 (ScaleSmoke `cow` caught it): a chunked ADOPTED FILL
+        // table (a >512-file hive import) must take the eager path too —
+        // the lazy plain-parquet plan would silently serve NULL for
+        // every fill column. The chunk columns carry the fills, and the
+        // metadata records which per-entry fields the chunks hold.
+        if arrayField(text, "manifestFields")
+          .forall(!_.contains(ManifestFieldTokens.Fills))
         ints <- scala.util.Try(counts.map(_.toInt)).toOption
       } yield ChunkIndex(metadataLocation,
         TableLayout(dataLoc,

@@ -361,4 +361,48 @@ class ManifestChunkSpec extends AnyFunSuite {
       assert(CatalogIO.readTable(spark, cat, ref).count() == 10 + 24)
     }
   }
+  test("chunked ADOPTED FILL tables serve their fill columns (round 18 — " +
+      "the lazy chunk face must step aside: ScaleSmoke `cow` caught a " +
+      "plain-parquet plan silently serving NULL partition values)") {
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-mchunk-fill").toString
+    val catName = s"mc${uid()}"
+    spark.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sources.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.type", "hadoop")
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+    try {
+      val cat = new HadoopFsCatalog(catName, wh)
+      spark.sql(s"CREATE NAMESPACE $catName.db")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("chunk-fill").toString
+      val base = (1 to 40).map(i => (i.toLong, (i % 4) + 1))
+        .toDF("id", "p")
+      base.write.partitionBy("p").parquet(s"$tmp/hv")
+      val meta = IcebergExport.importHiveTable(spark, s"$tmp/hv",
+        base.schema, Seq("p"))
+      withChunking(inlineMax = 0, target = 4) {
+        val ref = TableRef.parse("db.cf")
+        CatalogIO.adoptIcebergTable(spark, cat, ref, meta)
+        // the adopted metadata is CHUNKED and carries fills — the lazy
+        // chunk index must refuse it (eager path serves the fills)
+        assert(CatalogIO.readChunkIndex(
+          cat.loadTableMetadataLocation(ref),
+          cat.fileSystem.getConf).isEmpty,
+          "a fills-bearing chunked layout must take the eager path")
+        assert(CatalogIO.readLayout(cat.loadTableMetadataLocation(ref),
+          cat.fileSystem.getConf).hasFills)
+        // the SQL face serves the fill values, never NULL
+        assert(spark.sql(
+          s"SELECT COUNT(*) FROM $catName.db.cf WHERE p IS NULL")
+          .head.getLong(0) == 0L)
+        assert(spark.sql(
+          s"SELECT COUNT(*) FROM $catName.db.cf WHERE p = 2")
+          .head.getLong(0) == (1 to 40).count(_ % 4 + 1 == 2).toLong)
+        assert(spark.sql(s"SELECT SUM(p) FROM $catName.db.cf")
+          .head.getLong(0) == (1 to 40).map(i => (i % 4) + 1).sum.toLong)
+      }
+    } finally spark.conf.unset(s"spark.sql.catalog.$catName")
+  }
+
 }
