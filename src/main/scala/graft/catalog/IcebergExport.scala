@@ -1044,11 +1044,20 @@ object IcebergExport {
                 s"$metadataLocation truncate partition column " +
                   s"'${sf.name}' of type $other — int/long/string only")
             }
+          case BucketRe(_) =>
+            sf.dataType match {
+              case IntegerType | LongType | StringType | DateType |
+                   TimestampType | TimestampNTZType | _: DecimalType =>
+              case other => throw new UnsupportedOperationException(
+                s"$metadataLocation bucket partition column " +
+                  s"'${sf.name}' of type $other — this writer hashes " +
+                  "int/long/string/date/timestamp/decimal sources")
+            }
           case other => throw new UnsupportedOperationException(
             s"$metadataLocation partition field " +
               s"'${f.path("name").asText}' uses transform '$other'; " +
               "this writer commits identity/days/months/years/hours/" +
-              "truncate default specs only")
+              "truncate/bucket default specs only")
         }
         val specName = f.path("name").asText
         require(specName.matches("[A-Za-z_][A-Za-z0-9_]*"),
@@ -1835,6 +1844,7 @@ object IcebergExport {
   }
 
   private val TruncateRe = """truncate\[(\d+)\]""".r
+  private val BucketRe = """bucket\[(\d+)\]""".r
 
   /** The column whose values become one spec field's PARTITION TUPLE
     * entries (and hive directory names) in a partitioned write:
@@ -1863,6 +1873,40 @@ object IcebergExport {
         case other => throw new IllegalStateException(
           s"unreachable truncate source type $other")
       }
+      // bucket (round 18): the SPEC's murmur3_x86_32 over typed
+      // encodings ([[IcebergTransforms]], Appendix-B-vector-locked) —
+      // NOT Spark's bucket hash, which is a different function. The
+      // hash runs in a UDF: this is the batch-sized WRITE path, never
+      // a scan. Ordinal sources (date/timestamps) reduce to their
+      // long ordinal with builtins first, so one long-hash UDF covers
+      // them (sessions pin UTC, so the NTZ cast is exact).
+      case BucketRe(w) =>
+        val n = w.toInt
+        val bucketLong = udf((v: java.lang.Long) =>
+          if (v == null) null
+          else Int.box(IcebergTransforms.bucketOf(
+            IcebergTransforms.hashLong(v.longValue), n)): java.lang.Integer)
+        c.field.dataType match {
+          case IntegerType | LongType => bucketLong(src.cast(LongType))
+          case DateType => bucketLong(
+            datediff(src, lit(java.sql.Date.valueOf("1970-01-01")))
+              .cast(LongType))
+          case TimestampType => bucketLong(unix_micros(src))
+          case TimestampNTZType =>
+            bucketLong(unix_micros(src.cast(TimestampType)))
+          case StringType =>
+            udf((v: String) => if (v == null) null
+              else Int.box(IcebergTransforms.bucketOf(
+                IcebergTransforms.hashString(v), n)): java.lang.Integer)
+              .apply(src)
+          case _: DecimalType =>
+            udf((v: java.math.BigDecimal) => if (v == null) null
+              else Int.box(IcebergTransforms.bucketOf(
+                IcebergTransforms.hashDecimal(v.unscaledValue()), n))
+              : java.lang.Integer).apply(src)
+          case other => throw new IllegalStateException(
+            s"unreachable bucket source type $other")
+        }
       case other => throw new IllegalStateException(
         s"unreachable partition transform $other")
     }
@@ -1925,6 +1969,7 @@ object IcebergExport {
     case "identity" => c.field.dataType
     case "days" => DateType
     case "months" | "years" | "hours" => IntegerType
+    case BucketRe(_) => IntegerType
     case TruncateRe(_) => c.field.dataType
     case other => throw new UnsupportedOperationException(
       s"partition transform '$other' has no writable result type here")

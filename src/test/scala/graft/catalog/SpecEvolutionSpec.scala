@@ -149,4 +149,53 @@ class SpecEvolutionSpec extends AnyFunSuite {
     assert(hash(got) == hash(gDf(1, 100)))
     assert(got.filter("g = 3").count() == (1 to 100).count(_ % 5 == 3).toLong)
   }
+  test("unpartitioned → bucket(8, name) evolution: appends write " +
+      "SPEC-hash tuples; a scoped delete hits exactly its bucket") {
+    val base = Files.createTempDirectory("graft-specevo-bkt").toString
+    import spark.implicits._
+    def bDf(lo: Int, hi: Int) = (lo to hi)
+      .map(i => (i.toLong, s"name-$i")).toDF("id", "name")
+    val meta0 = IcebergExport.writeTable(spark, bDf(1, 50), s"$base/t")
+    val metaEvolved = patchMetadata(meta0) { text =>
+      text
+        .replace(""""partition-specs": [{"spec-id": 0, "fields": []}]""",
+          s""""partition-specs": [{"spec-id": 0, "fields": []}, """ +
+            s"""{"spec-id": 1, "fields": [{"name": "name_bucket", """ +
+            s""""transform": "bucket[8]", "source-id": 2, """ +
+            s""""field-id": 1000}]}]""")
+        .replace(""""default-spec-id": 0""", """"default-spec-id": 1""")
+    }
+    val meta2 = IcebergExport.appendSnapshot(spark, bDf(51, 130),
+      metaEvolved)
+    assert(hash(CatalogIO.scanMetadataLocation(spark, meta2)) ==
+      hash(bDf(1, 130)))
+    // the appended files landed under SPEC-hash bucket dirs
+    val layout = CatalogIO.readLayout(meta2, conf)
+    val newFiles = layout.dataFiles.get.filter(_.contains("name_bucket="))
+    assert(newFiles.nonEmpty)
+    def bucketOfName(i: Int): Int = IcebergTransforms.bucketOf(
+      IcebergTransforms.hashString(s"name-$i"), 8)
+    // a SCOPED equality delete on one bucket kills only keys whose
+    // name hashes there; pre-evolution (spec-0) files are exempt
+    val victim = 60 // appended row, so its file carries a bucket tuple
+    val b = bucketOfName(victim)
+    val meta3 = IcebergExport.appendDeletes(spark, meta2,
+      equality = Some(Seq(victim.toLong, 5L).toDF("id")),
+      equalityPartition = Some(Seq(Int.box(b))))
+    val after = CatalogIO.scanMetadataLocation(spark, meta3)
+    assert(after.filter(s"id = $victim").count() == 0L,
+      "the scoped delete must hit its own bucket's appended file")
+    assert(after.filter("id = 5").count() == 1L,
+      "spec-0 (pre-evolution) files never match a bucket-scoped tuple")
+    // a key in a DIFFERENT bucket survives even when named in a scoped
+    // delete for bucket b
+    val other = (51 to 130).find(i => bucketOfName(i) != b).get
+    val meta4 = IcebergExport.appendDeletes(spark, meta3,
+      equality = Some(Seq(other.toLong).toDF("id")),
+      equalityPartition = Some(Seq(Int.box(b))))
+    assert(CatalogIO.scanMetadataLocation(spark, meta4)
+      .filter(s"id = $other").count() == 1L,
+      "a scoped delete must not leak into other buckets")
+  }
+
 }
