@@ -286,8 +286,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     // a time-traveled version applies ITS OWN seq-gated state (delete
     // set / rename epochs / stats) — every version reads with its own schema
     val served: Table =
-      if (vLayout.deleteFiles.nonEmpty) // MOR first — it injects fills too
-        new GraftMorTable(manifestPlanned(table, vLayout), vLayout, hadoopOpts)
+      if (vLayout.uuidColumns.nonEmpty) // uuid conversion seam (round 18)
+        new GraftUuidTable(SparkSession.active, label, vLayout, hadoopOpts)
+      else if (vLayout.deleteFiles.nonEmpty) // MOR first — it injects fills too
+        (if (vLayout.dataFormat == "mixed") // per-group MOR (round 18)
+          new GraftMixedFormatTable(SparkSession.active, label, vLayout,
+            hadoopOpts)
+        else
+          new GraftMorTable(manifestPlanned(table, vLayout), vLayout,
+            hadoopOpts))
       else if (vLayout.hasFills) // fills may ride a mixed layout
         new GraftFillTable(SparkSession.active, label, vLayout, hadoopOpts)
       else if (vLayout.dataFormat == "mixed")

@@ -69,6 +69,16 @@ class MixedMorSpec extends AnyFunSuite {
         spark.sql(s"CREATE NAMESPACE $cat.db")
         hc.registerTable(TableRef.parse("db.up2"), meta2)
         assert(hash(spark.table(s"$cat.db.up2")) == hash(after))
+        // VERSION AS OF the upsert snapshot: the time-traveled mixed
+        // MOR state serves per-group too (round-18 versioned routing)
+        val upsertSnap = {
+          val t = CatalogIO.readMetadataText(meta1, conf)
+          """"current-snapshot-id":\s*(\d+)""".r
+            .findFirstMatchIn(t).get.group(1)
+        }
+        assert(hash(spark.sql(
+          s"SELECT * FROM $cat.db.up2 VERSION AS OF $upsertSnap")) ==
+          expected)
     }
   }
 

@@ -135,6 +135,10 @@ class UuidSpec extends AnyFunSuite {
         assert(spark.sql(
           s"SELECT SUM(k) FROM $cat.db.u WHERE k <= 10")
           .collect().head.getLong(0) == 55L)
+        // VERSION AS OF routes through the same uuid seam
+        assert(spark.sql(
+          s"SELECT COUNT(u) FROM $cat.db.u VERSION AS OF 7")
+          .collect().head.getLong(0) == 16L)
         val e = intercept[UnsupportedOperationException] {
           CatalogIO.adoptIcebergTable(spark, hc, TableRef.parse("db.ad"),
             metaP)
