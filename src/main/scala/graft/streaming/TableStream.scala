@@ -325,8 +325,15 @@ private[streaming] object StreamScans {
         .foreach { case ((fmt, fills), fs) =>
           val abs = fs.map { case (f, _, _) =>
             new org.apache.hadoop.fs.Path(loc, f).toString }
+          // RELOCATED spellings (round 18 — write.data.path layouts):
+          // an absolute entry resolves verbatim above, but basePath
+          // would then name a root the file does not live under —
+          // suppress it, exactly like the batch faces (explicit
+          // file-path reads without basePath infer nothing)
+          val relocated = fs.exists { case (f, _, _) =>
+            graft.catalog.CatalogIO.isAbsoluteSpelling(f) }
           val scan = scanOver(name, tableSchema, hadoopConf, fmt, abs, loc,
-            useBasePath = fills.isEmpty)
+            useBasePath = fills.isEmpty && !relocated)
           val factory = graft.sources.FillInjection.wrap(
             scan.toBatch.createReaderFactory(), fills, scan.readSchema())
           factories += factory

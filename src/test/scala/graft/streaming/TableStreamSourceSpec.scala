@@ -337,4 +337,51 @@ class TableStreamSourceSpec extends AnyFunSuite {
       assert(e.getCause.getMessage.contains("re-sync"))
     } finally q.stop()
   }
+  test("a RELOCATED Iceberg pointer streams: bootstrap and appends " +
+    "read data files outside the table location (round 18)") {
+    import graft.catalog.IcebergExport
+    val (hc, wh, ref) = freshTable()
+    val base = Files.createTempDirectory("tstream-reloc").toString
+    val meta1 = IcebergExport.writeTable(spark, batch(0, 8).coalesce(1),
+      s"$base/store")
+    // re-home: metadata at a sibling dir; manifests + data stay put
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new org.apache.hadoop.fs.Path(meta1).getFileSystem(conf)
+    def relocate(meta: String, v: Int): String = {
+      val text = CatalogIO.readMetadataText(meta, conf)
+      val LocRe = """"location"\s*:\s*"([^"]+)"""".r
+      val oldLoc = LocRe.findFirstMatchIn(text).get.group(1)
+      val newLoc = fs.makeQualified(
+        new org.apache.hadoop.fs.Path(s"$base/tbl")).toString
+      val out = new org.apache.hadoop.fs.Path(
+        s"$base/tbl/metadata/v$v.metadata.json")
+      fs.mkdirs(out.getParent)
+      val os = fs.create(out, true)
+      try os.write(text.replace(s""""location": "$oldLoc"""",
+        s""""location": "$newLoc"""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      out.toString
+    }
+    val reloc1 = relocate(meta1, 1)
+    assert(CatalogIO.readLayout(reloc1, conf).hasRelocated)
+    hc.registerTable(ref, reloc1)
+    val name = s"ts${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    val q = streamFrom(wh, Some("earliest")).writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(sinkRows(name) == (0L until 8L),
+        "the relocated bootstrap must read the out-of-root files")
+      // an append to the ORIGINAL table, re-homed again: the stream
+      // rides the snapshot chain over relocated spellings
+      val meta2 = IcebergExport.appendSnapshot(spark,
+        batch(50, 4).coalesce(1), meta1)
+      hc.replaceTablePointer(ref, relocate(meta2, 2))
+      q.processAllAvailable()
+      assert(sinkRows(name) == ((0L until 8L) ++ (50L until 54L)),
+        "appends must flow with their relocated spellings")
+    } finally q.stop()
+  }
+
 }
