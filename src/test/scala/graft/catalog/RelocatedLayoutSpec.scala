@@ -188,4 +188,34 @@ class RelocatedLayoutSpec extends AnyFunSuite {
     assert(lateIds.length == 2 && lateIds.forall(_ != null),
       "post-upgrade appends must carry assigned _row_id")
   }
+  test("writes ONTO a relocated table: appends land co-rooted beside " +
+      "the carried absolute spellings; a rewrite re-homes everything") {
+    val base = Files.createTempDirectory("graft-reloc-w").toString
+    val df = sampleDf
+    val metaStore = IcebergExport.writeTable(spark, df, s"$base/store")
+    val metaReloc = relocate(metaStore, s"$base/tbl")
+    // APPEND onto the relocated table: new files under $base/tbl (the
+    // table location), prior files stay absolute under $base/store —
+    // one layout, two spelling families, every face serves it
+    import spark.implicits._
+    val extra = (1001 to 1050).map(i => (i.toLong, s"name-$i", i % 7))
+      .toDF("id", "name", "g")
+    val meta2 = IcebergExport.appendSnapshot(spark, extra, metaReloc)
+    val lay2 = CatalogIO.readLayout(meta2, conf)
+    assert(lay2.hasRelocated, "prior files keep their absolute spellings")
+    assert(lay2.dataFiles.exists(_.exists(p =>
+      !CatalogIO.isAbsoluteSpelling(p))),
+      "the append must land under the table location (relative spelling)")
+    assert(hash(CatalogIO.scanMetadataLocation(spark, meta2)) ==
+      hash(df.unionByName(extra)))
+    // REWRITE: compaction reads the relocated state and lands
+    // everything co-rooted — the table stops being relocated
+    val meta3 = IcebergExport.rewriteSnapshot(spark, meta2)
+    val lay3 = CatalogIO.readLayout(meta3, conf)
+    assert(!lay3.hasRelocated,
+      "a rewrite must re-home every file under the table location")
+    assert(hash(CatalogIO.scanMetadataLocation(spark, meta3)) ==
+      hash(df.unionByName(extra)))
+  }
+
 }
