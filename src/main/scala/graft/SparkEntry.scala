@@ -154,6 +154,7 @@ object SparkEntry {
     "w29_iceberg_sink" -> (graft.queries.WriteQueries.w29 _),
     "w30_relocated" -> (graft.queries.WriteQueries.w30 _),
     "w31_mixed_upsert" -> (graft.queries.WriteQueries.w31 _),
+    "w32_relocated_adopt" -> (graft.queries.WriteQueries.w32 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1193,6 +1194,32 @@ object SparkEntry {
         |  FROM lineitem),
         |live AS (
         |  SELECT * FROM t WHERE k % 10 < 9 AND NOT (k % 13 = 0)),
+        |g AS (
+        |  SELECT rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum,
+        |         CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |  FROM live GROUP BY rf)
+        |SELECT 'all' AS phase, * FROM g
+        |UNION ALL
+        |SELECT 'flt' AS phase, rf, COUNT(*) AS cnt,
+        |       CAST(SUM(k) AS BIGINT) AS k_sum,
+        |       CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |FROM live WHERE k <= 30000 GROUP BY rf
+        |UNION ALL
+        |SELECT 'df' AS phase, * FROM g""".stripMargin,
+    // w32: the relocated-ADOPTION lifecycle (round 19) — a relocated
+    // table with live eq deletes (80% base minus k%13 keys) is adopted
+    // zero-copy, takes a SQL INSERT (the remaining 20%), an eq-MOR
+    // delete (k%17 keys, applying to carried and inserted rows alike),
+    // and a compaction that re-homes everything engine-owned.
+    "w32_relocated_adopt" ->
+      """WITH t AS (
+        |  SELECT CAST(l_orderkey AS BIGINT) AS k,
+        |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+        |  FROM lineitem),
+        |live AS (
+        |  SELECT * FROM t
+        |  WHERE ((k % 10 < 8 AND NOT (k % 13 = 0)) OR k % 10 >= 8)
+        |    AND NOT (k % 17 = 0)),
         |g AS (
         |  SELECT rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum,
         |         CAST(SUM(qty) AS BIGINT) AS qty_sum

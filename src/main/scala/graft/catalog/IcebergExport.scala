@@ -439,11 +439,15 @@ object IcebergExport {
     * `summary.operation = "replace"` — Iceberg's `rewrite_data_files`
     * maintenance shape, the face the skipRewrites stream walk rides
     * through. Row-preserving by construction (one scan in, same rows
-    * out); refuses on live delete files (a rewrite must not change row
-    * visibility — materialize deletes first via a read + writeTable)
-    * and on v3 tables (the v3 spec requires rewritten files to CARRY
-    * their rows' `_row_id`s forward, which this writer does not emit
-    * into data files — a silent renumbering would corrupt lineage).
+    * out); on v1/v2 it refuses on live delete files (a rewrite must
+    * not change row visibility — materialize deletes first via a read
+    * + writeTable). On v3 the rewrite is LINEAGE-PRESERVING (round 18):
+    * it reads through the lineage face — DVs and equality deletes
+    * APPLY, so they materialize away — and writes each survivor's
+    * `_row_id` / `_last_updated_sequence_number` into the new files as
+    * physical columns, per the spec's rewrite contract; tables with
+    * UNASSIGNED ids, parquet pos-delete files, renames, or non-parquet
+    * data still refuse (see the v3 branch below).
     * The rewrite is DISTRIBUTED: output file count targets
     * `targetFileBytes` from the manifest's recorded sizes (round-16
     * review: the first cut's `coalesce(1)` made the maintenance verb a

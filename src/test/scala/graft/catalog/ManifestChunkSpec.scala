@@ -405,4 +405,68 @@ class ManifestChunkSpec extends AnyFunSuite {
     } finally spark.conf.unset(s"spark.sql.catalog.$catName")
   }
 
+  test("chunked ADOPTED RELOCATED tables take the eager path (round 19 — " +
+      "the lazy face's basePath-rooted plan cannot serve out-of-root " +
+      "absolute spellings; the hasRelocated flag routes around it)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val wh = Files.createTempDirectory("graft-mchunk-reloc").toString
+    val catName = s"mc${uid()}"
+    spark.conf.set(s"spark.sql.catalog.$catName",
+      classOf[graft.sources.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$catName.type", "hadoop")
+    spark.conf.set(s"spark.sql.catalog.$catName.warehouse", wh)
+    try {
+      val cat = new HadoopFsCatalog(catName, wh)
+      spark.sql(s"CREATE NAMESPACE $catName.db")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("chunk-reloc").toString
+      val base = (1 to 40).map(i => (i.toLong, s"row-$i")).toDF("id", "name")
+      val meta0 = IcebergExport.writeTable(spark,
+        base.repartitionByRange(4, col("id")), s"$tmp/store")
+      // re-home the metadata so every data file spells absolute
+      val conf = cat.fileSystem.getConf
+      val text = CatalogIO.readMetadataText(meta0, conf)
+      val LocRe = """"location"\s*:\s*"([^"]+)"""".r
+      val oldLoc = LocRe.findFirstMatchIn(text).get.group(1)
+      val fs = new Path(meta0).getFileSystem(conf)
+      val newLoc =
+        if (oldLoc.contains(":/"))
+          fs.makeQualified(new Path(s"$tmp/tbl")).toString
+        else s"$tmp/tbl"
+      val out0 = new Path(s"$tmp/tbl/metadata/v1.metadata.json")
+      fs.mkdirs(out0.getParent)
+      val os = fs.create(out0, true)
+      try os.write(text.replace(s""""location": "$oldLoc"""",
+        s""""location": "$newLoc"""")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally os.close()
+      withChunking(inlineMax = 0, target = 4) {
+        val ref = TableRef.parse("db.cr")
+        CatalogIO.adoptIcebergTable(spark, cat, ref, out0.toString)
+        val metaLoc = cat.loadTableMetadataLocation(ref)
+        val mt = {
+          val in = cat.fileSystem.open(new Path(metaLoc))
+          try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        }
+        assert(mt.contains("manifestChunkFiles"),
+          "the adopted manifest must be chunked")
+        assert(mt.contains("\"hasRelocated\": true"),
+          "a chunked relocated manifest must carry the routing flag")
+        assert(CatalogIO.readChunkIndex(metaLoc, conf).isEmpty,
+          "a relocated chunked layout must take the eager path")
+        val lay = CatalogIO.readLayout(metaLoc, conf)
+        assert(lay.hasRelocated, "spellings must survive the chunk round-trip")
+        // the SQL face serves the out-of-root files correctly
+        assert(spark.sql(s"SELECT COUNT(*) FROM $catName.db.cr")
+          .head.getLong(0) == 40L)
+        assert(spark.sql(
+          s"SELECT SUM(id) FROM $catName.db.cr WHERE id <= 10")
+          .head.getLong(0) == (1L to 10L).sum)
+      }
+    } finally spark.conf.unset(s"spark.sql.catalog.$catName")
+  }
+
 }
