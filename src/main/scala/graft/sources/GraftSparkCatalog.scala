@@ -140,9 +140,11 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     lazy val table = baseTableFor(ref.toString, layout, paths, pathOpts)
     val readTable =
       // uuid columns (round 18): the string-serving conversion seam —
-      // layout invariants keep uuid layouts plain parquet (no deletes/
-      // renames/fills), so this branch never shadows the MOR/fill routes
-      if (layout.uuidColumns.nonEmpty)
+      // layout invariants keep uuid layouts parquet with no deletes or
+      // renames, so this branch never shadows the MOR route. uuid +
+      // FILLS (round 19) takes the fill route below: GraftFillTable
+      // wraps each group's builder in the same uuid seam.
+      if (layout.uuidColumns.nonEmpty && !layout.hasFills)
         new GraftUuidTable(SparkSession.active, ref.toString, layout,
           hadoopOpts)
       else
@@ -286,7 +288,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     // a time-traveled version applies ITS OWN seq-gated state (delete
     // set / rename epochs / stats) — every version reads with its own schema
     val served: Table =
-      if (vLayout.uuidColumns.nonEmpty) // uuid conversion seam (round 18)
+      // uuid conversion seam (round 18); uuid + fills rides the fill
+      // route below (round 19), which wraps each group in the seam
+      if (vLayout.uuidColumns.nonEmpty && !vLayout.hasFills)
         new GraftUuidTable(SparkSession.active, label, vLayout, hadoopOpts)
       else if (vLayout.deleteFiles.nonEmpty) // MOR first — it injects fills too
         (if (vLayout.dataFormat == "mixed") // per-group MOR (round 18)
