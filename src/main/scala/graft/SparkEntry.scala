@@ -155,6 +155,7 @@ object SparkEntry {
     "w30_relocated" -> (graft.queries.WriteQueries.w30 _),
     "w31_mixed_upsert" -> (graft.queries.WriteQueries.w31 _),
     "w32_relocated_adopt" -> (graft.queries.WriteQueries.w32 _),
+    "w33_avro_mor" -> (graft.queries.WriteQueries.w33 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1402,6 +1403,31 @@ object SparkEntry {
     // odd ranks 0..2 (positional) and k ∈ {2,3,5} (equality);
     // relationally a ROW_NUMBER filter + NOT IN, replayed per face
     "w21_orc_mor" ->
+      """WITH base AS (
+        |  SELECT l_orderkey AS k, l_linenumber AS ln,
+        |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+        |  FROM lineitem),
+        |ranked AS (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY k % 2
+        |                               ORDER BY k, ln, qty, rf) - 1 AS p
+        |  FROM base),
+        |kept AS (
+        |  SELECT * FROM ranked
+        |  WHERE NOT (k % 2 = 0 AND p BETWEEN 10 AND 99)
+        |    AND NOT (k % 2 = 1 AND p <= 2)
+        |    AND k NOT IN (2, 3, 5)),
+        |a AS (
+        |  SELECT rf, COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum,
+        |         CAST(SUM(qty) AS BIGINT) AS qty_sum
+        |  FROM kept WHERE k <= 30000 GROUP BY rf)
+        |SELECT 'sql' AS face, * FROM a
+        |UNION ALL
+        |SELECT 'df' AS face, * FROM a""".stripMargin,
+    // w33: w21's ROW_NUMBER replay on the avro base — positions are
+    // per-parity sorted ranks (each parity is ONE totally-ordered avro
+    // file), the counting read recovers them over the sync-split
+    // decoder, and the equality keys drop whole orderkeys
+    "w33_avro_mor" ->
       """WITH base AS (
         |  SELECT l_orderkey AS k, l_linenumber AS ln,
         |         CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf

@@ -482,9 +482,10 @@ object IcebergExport {
       require(lay.posDeleteFiles.isEmpty,
         s"$metadataLocation carries parquet position-delete files; the " +
           "lineage read cannot apply them — materialize first")
-      require(lay.renameOps.isEmpty && lay.dataFormat == "parquet",
+      require(lay.renameOps.isEmpty &&
+        (lay.dataFormat == "parquet" || lay.dataFormat == "orc"),
         s"$metadataLocation: v3 rewrites read through the lineage face " +
-          "(parquet, no renames)")
+          "(parquet or orc, no renames)")
     } else require(st.priorEntries.forall(_.content == 0),
       s"$metadataLocation carries live delete files; a rewrite would " +
         "change row visibility — materialize the deletes first")

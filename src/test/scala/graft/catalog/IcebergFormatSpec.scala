@@ -288,15 +288,23 @@ class IcebergFormatSpec extends AnyFunSuite {
         aLayout.deleteFiles.forall(_.seq < 0))
       val aDf = spark.table(s"$cat.db.oadopt")
       assert(aDf.exceptAll(expected).isEmpty && expected.exceptAll(aDf).isEmpty)
-      // appends onto the adopted live-delete ORC table refuse LOUDLY:
-      // they would make the layout mixed-format + merge-on-read
-      val e = intercept[Exception] {
-        spark.sql(s"INSERT INTO $cat.db.oadopt VALUES " +
-          "(9999, 'x', 1.0, DATE'2024-01-01', 9999.25)")
-      }
-      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
-        .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
-      assert(msgs.contains("mixed-format + merge-on-read"), msgs)
+      // appends onto the adopted live-delete ORC table SERVE (round 19
+      // — mixed + deletes rides per-format-group counting-read MOR):
+      // the parquet insert lands beside the ORC base, seq'd PAST the
+      // live deletes, and every face reads the mixed layout
+      spark.sql(s"INSERT INTO $cat.db.oadopt VALUES " +
+        "(9999, 'x', 1.0, DATE'2024-01-01', 9999.25)")
+      val mixedLayout = CatalogIO.readLayout(
+        hc.loadTableMetadataLocation(adoptedRef), conf)
+      assert(mixedLayout.dataFormat == "mixed" &&
+        mixedLayout.deleteFiles.nonEmpty,
+        s"the insert must commit a delete-live mixed layout: $mixedLayout")
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.db.oadopt WHERE id = 9999")
+        .head.getLong(0) == 1L, "the inserted row must serve")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.oadopt")
+        .head.getLong(0) == expected.count() + 1,
+        "prior survivors must keep serving beside the parquet insert")
     }
   }
 

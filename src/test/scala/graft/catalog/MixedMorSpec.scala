@@ -98,16 +98,30 @@ class MixedMorSpec extends AnyFunSuite {
     assert(hash(CatalogIO.scanMetadataLocation(spark, meta2)) == expected)
   }
 
-  test("avro entries under live deletes still refuse") {
+  test("avro entries under live deletes SERVE (round 19): a one-commit " +
+      "upsert on a migrated avro base splits per format group, the avro " +
+      "group riding its own counting-read MOR") {
     val base = Files.createTempDirectory("graft-mixmor-avro").toString
     val meta0 = IcebergExport.writeTable(spark, df(1, 20, "a"),
       s"$base/t", fileFormat = "avro")
     import spark.implicits._
-    val e = intercept[Exception] {
-      val m = IcebergExport.appendUpsert(spark, meta0,
-        inserts = df(21, 25, "p"), equalityKeys = Seq(1L).toDF("id"))
-      CatalogIO.scanMetadataLocation(spark, m).collect()
+    val meta1 = IcebergExport.appendUpsert(spark, meta0,
+      inserts = df(1, 5, "p"), equalityKeys = (1L to 5L).toDF("id"))
+    val layout = CatalogIO.readLayout(meta1,
+      spark.sessionState.newHadoopConf())
+    assert(layout.dataFormat == "mixed" &&
+      layout.dataFileFormats.exists(_.contains("avro")) &&
+      layout.deleteFiles.nonEmpty,
+      s"the upsert must read back as a delete-live avro+parquet layout")
+    // seq gate: the deletes hit only the older avro rows; the
+    // same-commit parquet inserts survive their own keys
+    val expected = hash(df(6, 20, "a").unionByName(df(1, 5, "p")))
+    assert(hash(CatalogIO.scanMetadataLocation(spark, meta1)) == expected)
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-mixmor-avro") {
+      (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.am"), meta1)
+        assert(hash(spark.table(s"$cat.db.am")) == expected)
     }
-    assert(e.getMessage.contains("avro"), e.getMessage)
   }
 }

@@ -115,6 +115,45 @@ class V3RewriteSpec extends AnyFunSuite {
     assert(lineagePairs(meta4) == before)
   }
 
+  test("ORC v3 tables serve lineage on BOTH faces and rewrite with ids " +
+      "preserved (round 19 — the counting read rides Spark's ORC source)") {
+    val base = Files.createTempDirectory("graft-v3rw-orc").toString
+    import spark.implicits._
+    val meta0 = IcebergExport.writeTable(spark,
+      df(1, 80).repartitionByRange(2, org.apache.spark.sql.functions.col("id")),
+      s"$base/t", fileFormat = "orc", formatVersion = 3)
+    assert(CatalogIO.readLayout(meta0, conf).dataFormat == "orc")
+    // equality delete (ids 1..10) + a second ORC snapshot
+    val meta1 = IcebergExport.appendDeletes(spark, meta0,
+      equality = Some((1L to 10L).toDF("id")))
+    val meta2 = IcebergExport.appendSnapshot(spark, df(101, 110), meta1,
+      fileFormat = "orc")
+    // w18-shaped: the DataFrame lineage face over the ORC base
+    val before = lineagePairs(meta2)
+    assert(before.size == 80) // 80 - 10 deleted + 10 appended
+    assert(before.keySet == ((11L to 80L) ++ (101L to 110L)).toSet)
+    // SQL lineage face over the ORC base
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-v3rw-orc") {
+      (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.orw"), meta2)
+        val sqlPairs = spark.sql(
+          s"""SELECT id, _row_id, _last_updated_sequence_number
+             |FROM $cat.db.orw""".stripMargin).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(sqlPairs == before,
+          "the SQL lineage face must agree over the ORC base")
+    }
+    // the rewrite reads the ORC lineage face, materializes the deletes
+    // away, and lands parquet with the survivors' ids preserved
+    val meta3 = IcebergExport.rewriteSnapshot(spark, meta2,
+      targetFileBytes = 4096)
+    val after = lineagePairs(meta3)
+    assert(after == before, "lineage must survive the ORC rewrite")
+    val lay3 = CatalogIO.readLayout(meta3, conf)
+    assert(lay3.deleteFiles.isEmpty && lay3.dataFormat == "parquet")
+  }
+
   test("tables with UNASSIGNED ids refuse the rewrite honestly") {
     // craft: a v3 table whose FIRST snapshot predates the upgrade —
     // upgrade happens via addColumn (metadata-only, assigns nothing)

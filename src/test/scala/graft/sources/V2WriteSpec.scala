@@ -988,6 +988,71 @@ class V2WriteSpec extends AnyFunSuite {
       "compaction must preserve every row")
   }
 
+  test("merge-on-read UPSERT on an adopted ORC base (round 19): one " +
+    "commit lands parquet rows + an eq-delete beside the ORC files — a " +
+    "servable mixed+deletes layout; INSERT INTO keeps working while " +
+    "deletes are live") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    val tmp = Files.createTempDirectory("v2write-orcmor").toString
+    val meta = IcebergExport.writeTable(spark,
+      spark.sql("SELECT CAST(id AS BIGINT) AS k, concat('v', id) AS v " +
+        "FROM range(0, 100)").coalesce(1),
+      s"$tmp/t", fileFormat = "orc")
+    val ref = TableRef.parse("db.orc_up")
+    CatalogIO.adoptIcebergTable(spark, hc, ref, meta)
+    // the r18 refusal lifted: the upsert commits parquet rows + the
+    // keys' eq-delete in ONE snapshot; old ORC rows with those keys
+    // die, the same-commit inserts survive (seq'd past the delete)
+    MergeOps.upsertMergeOnRead(spark, hc, ref,
+      spark.sql("SELECT CAST(id AS BIGINT) AS k, concat('u', id) AS v " +
+        "FROM range(0, 10)"), Seq("k"))
+    val layout = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref),
+      spark.sessionState.newHadoopConf())
+    assert(layout.dataFormat == "mixed" && layout.deleteFiles.nonEmpty,
+      s"the upsert must commit a delete-live mixed layout: $layout")
+    assert(spark.table(s"$cat.db.orc_up").count() == 100)
+    assert(spark.sql(
+      s"SELECT v FROM $cat.db.orc_up WHERE k = 3").head.getString(0) == "u3",
+      "the upserted row must shadow the ORC original")
+    // INSERT INTO while the deletes are live (the other r18 refusal):
+    // appended rows seq past the delete, insert-after-delete survives
+    spark.sql(s"INSERT INTO $cat.db.orc_up VALUES (3000, 'i3000')")
+    assert(spark.table(s"$cat.db.orc_up").count() == 101)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.db.orc_up WHERE k = 3000")
+      .head.getLong(0) == 1L)
+    // the DataFrame face agrees
+    assert(CatalogIO.readTable(spark, hc, ref).count() == 101)
+    // compaction materializes everything back to homogeneous parquet
+    CatalogIO.compactTable(spark, hc, ref)
+    val compacted = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref),
+      spark.sessionState.newHadoopConf())
+    assert(compacted.dataFormat == "parquet" && compacted.deleteFiles.isEmpty)
+    assert(spark.table(s"$cat.db.orc_up").count() == 101)
+  }
+
+  test("merge-on-read DELETE on an adopted AVRO base (round 19): the " +
+    "parquet eq-delete applies through the avro counting read") {
+    val (cat, hc) = freshCatalog()
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    val tmp = Files.createTempDirectory("v2write-avromor").toString
+    val meta = IcebergExport.writeTable(spark,
+      spark.sql("SELECT CAST(id AS BIGINT) AS k, concat('v', id) AS v " +
+        "FROM range(0, 60)").coalesce(1),
+      s"$tmp/t", fileFormat = "avro")
+    val ref = TableRef.parse("db.avro_del")
+    CatalogIO.adoptIcebergTable(spark, hc, ref, meta)
+    MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+      spark.sql("SELECT CAST(id AS BIGINT) AS k FROM range(0, 15)"),
+      Seq("k"))
+    assert(spark.table(s"$cat.db.avro_del").count() == 45)
+    assert(spark.sql(
+      s"SELECT COUNT(*) FROM $cat.db.avro_del WHERE k < 15")
+      .head.getLong(0) == 0L)
+    assert(CatalogIO.readTable(spark, hc, ref).count() == 45)
+  }
+
   test("MERGE INTO an adopted ORC table (round 17): the COW rewrite " +
       "reads the ORC base and lands homogeneous parquet; eq-MOR deletes " +
       "serve ORC bases too") {
@@ -1032,12 +1097,14 @@ class V2WriteSpec extends AnyFunSuite {
       "the delete must ride merge-on-read over the ORC base")
     assert(spark.table(s"$cat.db.orc_mor").select("k").collect()
       .map(_.getLong(0)).toSet == (0L until 30L).toSet -- Set(3L, 4L))
-    // an UPSERT (new rows + deletes in one MOR commit) refuses on ORC
-    // BEFORE staging — it would create mixed+deletes
-    val e = intercept[UnsupportedOperationException](
-      graft.sources.MergeOps.upsertMergeOnRead(spark, hc, ref2,
-        Seq((5L, "x")).toDF("k", "v"), Seq("k")))
-    assert(e.getMessage.contains("mixed"), e.getMessage)
+    // an UPSERT (new rows + deletes in one MOR commit) SERVES on ORC
+    // since round 19 — the mixed+deletes layout it creates rides the
+    // per-format-group counting reads (the dedicated positive coverage
+    // lives in "merge-on-read UPSERT on an adopted ORC base" above)
+    graft.sources.MergeOps.upsertMergeOnRead(spark, hc, ref2,
+      Seq((5L, "x")).toDF("k", "v"), Seq("k"))
+    assert(spark.sql(s"SELECT v FROM $cat.db.orc_mor WHERE k = 5")
+      .head.getString(0) == "x")
   }
 
   test("a chunked MIXED manifest round-trips per-entry formats (round 16)") {
