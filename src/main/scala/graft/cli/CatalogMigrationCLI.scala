@@ -80,7 +80,9 @@ object CatalogMigrationCLI {
       columnName: String = "",
       columnType: String = "",
       initialDefault: Option[String] = None,
-      parentPath: Seq[String] = Seq.empty)
+      parentPath: Seq[String] = Seq.empty,
+      /** set-partition-spec fields, each "source:transform[:name]". */
+      partitionFields: Option[Seq[(String, String, String)]] = None)
 
   def main(args: Array[String]): Unit = sys.exit(run(args.toSeq))
 
@@ -97,7 +99,8 @@ object CatalogMigrationCLI {
         args.head == "squash-history" || args.head == "sweep-orphans" ||
         args.head == "analyze" || args.head == "adopt" ||
         args.head == "set-ref" || args.head == "rewrite" ||
-        args.head == "import-hive" || args.head == "add-column")
+        args.head == "import-hive" || args.head == "add-column" ||
+        args.head == "set-partition-spec")
       return runMaintenance(args, out)
 
     parse(args) match {
@@ -233,6 +236,21 @@ object CatalogMigrationCLI {
         case "--parent" :: v :: t =>
           o = o.copy(parentPath =
             v.split('.').map(_.trim).filter(_.nonEmpty).toSeq); rest = t
+        case "--partition-fields" :: v :: t =>
+          // "" = evolve back to unpartitioned (an empty spec)
+          val raw = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          val bad = raw.find(f => { val n = f.split(':').length; n < 2 || n > 3 })
+          if (bad.isDefined)
+            return Left(s"--partition-fields entry '${bad.get}' is not " +
+              "source:transform[:name]")
+          val fields = raw.map { f =>
+            f.split(':') match {
+              case Array(src, tr) =>
+                (src, tr, src + "_" + tr.takeWhile(_.isLetter))
+              case Array(src, tr, name) => (src, tr, name)
+            }
+          }
+          o = o.copy(partitionFields = Some(fields)); rest = t
         case "--small-files-only" :: t => o = o.copy(smallFilesOnly = true); rest = t
         case "--cluster-by" :: v :: t =>
           o = o.copy(clusterBy = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
@@ -304,6 +322,9 @@ object CatalogMigrationCLI {
       if (o.columnType.isEmpty)
         return Left("add-column requires --column-type <iceberg primitive>")
     }
+    if (o.cmd == "set-partition-spec" && o.partitionFields.isEmpty)
+      return Left("set-partition-spec requires --partition-fields " +
+        "<source:transform[:name][,...]> (empty value = unpartitioned)")
     if (o.cmd == "compact" && o.smallFilesOnly && o.partitionPrefix.isDefined)
       return Left("Error: --small-files-only, --partition-prefix options are mutually exclusive.")
     if (o.clusterBy.nonEmpty && (o.smallFilesOnly || o.partitionPrefix.isDefined))
@@ -348,6 +369,8 @@ object CatalogMigrationCLI {
           else if (opts.cmd == "rewrite") rewriteOne(opts, hadoop, ref, log)
           else if (opts.cmd == "import-hive") importHiveOne(opts, hadoop, ref, log)
           else if (opts.cmd == "add-column") addColumnOne(opts, hadoop, ref, log)
+          else if (opts.cmd == "set-partition-spec")
+            setPartitionSpecOne(opts, hadoop, ref, log)
           else expireOne(opts, hadoop, ref, log)
         } catch {
           case e: Exception =>
@@ -473,6 +496,31 @@ object CatalogMigrationCLI {
     log(s"Added column '${opts.columnName}' (${opts.columnType})" +
       opts.initialDefault.fold("")(d => s" initial-default $d") +
       s" under $where on $ref -> $meta")
+  }
+
+  /** `set-partition-spec` subcommand (round 19): metadata-only
+    * partition-spec EVOLUTION on a registered Apache Iceberg pointer —
+    * the SQL `ALTER TABLE ... ADD PARTITION FIELD` shape. Appends a
+    * new spec (field ids allocated from last-partition-id, identical
+    * fields reusing theirs), makes it the default, advances the
+    * pointer ([[graft.catalog.IcebergExport.setPartitionSpec]]).
+    * Subsequent appends commit under the new spec; prior manifests
+    * keep their own spec ids. */
+  private def setPartitionSpecOne(opts: MaintOpts, cat: HadoopFsCatalog,
+      ref: TableRef, log: String => Unit): Unit = {
+    val loc = cat.loadTableMetadataLocation(ref)
+    val fields = opts.partitionFields.get
+    val shown = if (fields.isEmpty) "<unpartitioned>"
+      else fields.map { case (s, t, n) => s"$t($s) AS $n" }.mkString(", ")
+    if (opts.dryRun) {
+      log(s"Would evolve partition spec of $ref to [$shown] ($loc); " +
+        "dry run, nothing committed.")
+      return
+    }
+    val meta = graft.catalog.IcebergExport.setPartitionSpec(activeSpark(),
+      loc, fields)
+    cat.replaceTablePointer(ref, meta)
+    log(s"Evolved partition spec of $ref to [$shown] -> $meta")
   }
 
   private def setRefOne(opts: MaintOpts, cat: HadoopFsCatalog, ref: TableRef,
@@ -878,7 +926,7 @@ object CatalogMigrationCLI {
   }
 
   private val usage: String =
-    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history | analyze | adopt | set-ref | rewrite | import-hive | add-column) [options]
+    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history | analyze | adopt | set-ref | rewrite | import-hive | add-column | set-partition-spec) [options]
       |Bulk-migrate table entries from a source catalog to a target catalog
       |without data copy. `migrate` deletes entries from the source after
       |successful registration; `register` leaves them in place.

@@ -406,6 +406,45 @@ class MaintenanceCLISpec extends AnyFunSuite {
     assert(elines.exists(_.contains("--column-type")), elines)
   }
 
+  test("set-partition-spec evolves a registered Iceberg pointer via the " +
+      "CLI (round 19): appends land under the new spec; dry run commits " +
+      "nothing; validation exits 2") {
+    val wh = Files.createTempDirectory("maint-wh").toString
+    val hc = new HadoopFsCatalog(s"ps${uid()}", wh)
+    hc.createNamespace(graft.catalog.Namespace.of("db"))
+    val outDir = Files.createTempDirectory("maint-out").toString
+    val iceDir = s"${Files.createTempDirectory("maint-ice").toString}/t"
+    val meta1 = graft.catalog.IcebergExport.writeTable(spark,
+      spark.sql("SELECT id, CAST(id % 4 AS INT) AS g FROM range(1, 41)")
+        .repartition(1), iceDir)
+    hc.registerTable(TableRef.parse("db.t"), meta1)
+    // dry run: reports, pointer unchanged
+    val (dcode, dlines) = runCli(maintArgs("set-partition-spec", wh, outDir,
+      "--partition-fields", "g:identity", "--dry-run"))
+    assert(dcode == 0)
+    assert(dlines.exists(_.startsWith("Would evolve partition spec")), dlines)
+    assert(hc.loadTableMetadataLocation(TableRef.parse("db.t")) == meta1)
+    // real commit: the pointer advances; engine appends land under the
+    // evolved identity(g) spec (files lack g — served as fills)
+    val (code, lines) = runCli(maintArgs("set-partition-spec", wh, outDir,
+      "--partition-fields", "g:identity:g"))
+    assert(code == 0, lines)
+    assert(lines.exists(_.startsWith("Evolved partition spec")), lines)
+    val loc = hc.loadTableMetadataLocation(TableRef.parse("db.t"))
+    assert(loc != meta1)
+    val meta2 = graft.catalog.IcebergExport.appendSnapshot(spark,
+      spark.sql("SELECT id, CAST(id % 4 AS INT) AS g FROM range(41, 61)"),
+      loc)
+    val got = graft.catalog.CatalogIO.scanMetadataLocation(spark, meta2)
+    assert(got.count() == 60L)
+    assert(got.filter("g = 2").count() ==
+      (1L until 61L).count(_ % 4 == 2).toLong)
+    // validation: missing --partition-fields is an argument error
+    val (ecode, elines) = runCli(maintArgs("set-partition-spec", wh, outDir))
+    assert(ecode == 2)
+    assert(elines.exists(_.contains("--partition-fields")), elines)
+  }
+
   test("analyze records NDV sketches via the CLI; exit 0") {
     val (wh, hc) = fragmentedTable()
     val outDir = Files.createTempDirectory("maint-out").toString
