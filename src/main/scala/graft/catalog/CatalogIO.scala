@@ -269,15 +269,19 @@ object CatalogIO {
     require(dataFileFills.forall(s => dataFiles.exists(_.size == s.size)),
       "dataFileFills must parallel dataFiles one-to-one")
     // fills + DELETES are served (round 16): the MOR machinery injects
-    // the constants below its probes (mixed + deletes still refuses via
-    // the delete-format require below)
-    require(dataFileFills.forall(_ => renameOps.isEmpty
-      && (dataFormat == "parquet" || dataFormat == "orc" ||
-        (dataFormat == "mixed" &&
-          dataFileFormats.exists(!_.contains("avro"))))),
-      "per-file constant fills never coexist with renames/avro " +
-        "(mixed parquet+orc layouts with fills are served — the " +
-        "partitioned Hive-migration append shape)")
+    // the constants below its probes. Round 19: fills serve over AVRO
+    // entries too (the avro decoder NULL-fills absent fields, so the
+    // constant injection wraps its reader like any other format — the
+    // v3 ADD COLUMN initial-default on an avro table). Renames keep
+    // refusing, and fills + deletes over avro refuse below (the avro
+    // counting-read MOR does not thread constants).
+    require(dataFileFills.forall(_ => renameOps.isEmpty),
+      "per-file constant fills never coexist with renames")
+    require(!hasFills || deleteFiles.isEmpty ||
+      (dataFormat != "avro" &&
+        dataFileFormats.forall(!_.contains("avro"))),
+      "fills + live deletes over avro entries refuse (the avro " +
+        "counting-read MOR does not thread constants); compact first")
     /** Any file with a non-empty fill set? (the scan-routing test) */
     def hasFills: Boolean = dataFileFills.exists(_.exists(_.nonEmpty))
     /** Any layout file spelled ABSOLUTE — a converted Iceberg
@@ -3249,11 +3253,27 @@ object CatalogIO {
         // depths (imported tree + appended `data/sN/col=v`); the
         // manifest is the single source of truth here
         groups.map { case ((fills, fmt), triples) =>
-          val r = spark.read.options(options).schema(readSchema)
           val paths = triples.map(_._1._1)
           val df0 = fmt match {
-            case "orc" => r.orc(paths: _*)
-            case _ => r.parquet(paths: _*)
+            case "orc" => spark.read.options(options).schema(readSchema)
+              .orc(paths: _*)
+            // avro fills (round 19): the engine's sync-split reader
+            // NULL-fills absent fields; constants overwrite below
+            case "avro" =>
+              val keep = paths.toSet
+              graft.sources.AvroRead.dataFrame(spark, readSchema,
+                layout.absoluteDataFilesWithSizes.getOrElse(
+                  throw new IllegalStateException(
+                    s"fill layout has avro files but incomplete sizes " +
+                      s"at ${layout.dataLocation}"))
+                  .filter { case (p, _) => keep(p) },
+                options,
+                layout.absoluteDataFilesWithStats
+                  .map(_.collect { case (p, s) if s.nonEmpty && keep(p) =>
+                    p -> s }.toMap)
+                  .getOrElse(Map.empty))
+            case _ => spark.read.options(options).schema(readSchema)
+              .parquet(paths: _*)
           }
           val converted = layout.uuidColumns.foldLeft(df0)((d, c) =>
             d.withColumn(c, uuidStringColumn(d.col(c))))

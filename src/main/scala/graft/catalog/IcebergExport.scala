@@ -247,28 +247,15 @@ object IcebergExport {
     require(st.partCols.forall(_.isIdentity) || fileFormat != "avro",
       s"$metadataLocation has a transform partition spec; avro appends " +
         "serve identity specs only (write parquet or orc)")
-    // refuse BEFORE the write, not at the next read: an avro append
-    // onto a FILL-bearing table (prior files lacking the partition
-    // columns) would commit a layout the scan faces refuse (no avro
-    // stack routes the fill machinery)
-    if (st.partCols.nonEmpty) {
-      val prior = CatalogIO.readLayout(metadataLocation,
-        spark.sessionState.newHadoopConf())
-      if (fileFormat == "avro")
-        require(!prior.hasFills,
-          s"$metadataLocation serves partition values as per-file fills " +
-            "(files lacking the columns); avro appends would make the " +
-            "layout unreadable — append parquet or orc instead")
-      else
-        // the symmetric guard: parquet/orc partitioned appends DROP the
-        // identity columns (fill entries), and fills cannot coexist
-        // with avro entries
-        require(prior.dataFormat != "avro" &&
-          !prior.dataFileFormats.exists(_.contains("avro")),
-          s"$metadataLocation has avro data files; partitioned " +
-            s"$fileFormat appends record per-file fills, which no avro " +
-            "stack serves — append avro, or rewrite the table first")
-    }
+    // The round-18 cross-format guards are LIFTED (round 19): fills
+    // coexist with avro entries now — GraftFillTable groups by
+    // (fill set, format) and avro groups ride the engine's sync-split
+    // reader (which NULL-fills absent fields below the constant
+    // injection), so an avro append onto a fill-bearing partitioned
+    // table (the avro files keep their identity columns — empty fill
+    // sets) and a parquet/orc partitioned append onto an avro-bearing
+    // table (fills recorded for the new files only) both commit
+    // servable layouts. AvroFillSpec locks both directions.
     val seq = st.lastSeq + 1
     val snapshotId = newSnapshotId()
     // each snapshot's files land in their own subdir: the new-file set

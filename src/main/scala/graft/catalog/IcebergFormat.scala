@@ -651,15 +651,12 @@ object IcebergFormat {
         if (perFile.forall(_.isEmpty)) None
         else {
           // mixed parquet+orc with fills is SERVED (round 16 — the
-          // partitioned Hive-migration append shape: an ORC base plus
-          // parquet appends, all lacking the partition column); any
-          // avro file in a fill-bearing table refuses — no avro stack
-          // routes through the fill machinery
-          if (dataFormat == "avro") refuseWith("avro data files")
-          if (dataFormat == "mixed" &&
-              rels.exists { case (_, _, _, _, fmt, _, _, _, _, _, _) =>
-                fmt == "avro" })
-            refuseWith("avro files in the mixed layout")
+          // partitioned Hive-migration append shape); AVRO entries
+          // serve fills since round 19 (the v3 ADD COLUMN
+          // initial-default on an avro table — the engine's avro
+          // decoder NULL-fills absent fields and the constant
+          // injection wraps its reader like any other format). Fills
+          // + live deletes over avro refuse via the layout invariant.
           if (renamed) refuseWith("un-materialized column renames")
           // fills + live deletes are SERVED (round 16): the MOR scan
           // injects the constants below its probes, so equality keys on
@@ -986,6 +983,34 @@ object IcebergFormat {
     def of(p: String, conf: Configuration, format: String = "parquet")
         : Vector[(String, Option[Int])] =
       cache.getOrElseUpdate(p, format match {
+        // avro fills (round 19): column presence proves from the
+        // object-container file's own record schema — avro writers
+        // carry `field-id` props per field (Iceberg's avro spec), and
+        // ID-less files fall back to name matching like parquet
+        case "avro" =>
+          val reader = org.apache.avro.file.DataFileReader.openReader(
+            new org.apache.avro.mapred.FsInput(new Path(p), conf),
+            new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord]())
+          try {
+            def walk(s: org.apache.avro.Schema, prefix: String)
+                : Vector[(String, Option[Int])] = {
+              val rec =
+                if (s.getType == org.apache.avro.Schema.Type.UNION)
+                  s.getTypes.asScala.find(_.getType !=
+                    org.apache.avro.Schema.Type.NULL).getOrElse(s)
+                else s
+              if (rec.getType != org.apache.avro.Schema.Type.RECORD)
+                Vector.empty
+              else rec.getFields.asScala.flatMap { f =>
+                val nm = prefix + f.name
+                val own = nm -> Option(f.getProp("field-id"))
+                  .flatMap(_.toIntOption)
+                own +: walk(f.schema(), nm + ".")
+              }.toVector
+            }
+            walk(reader.getSchema, "")
+          } finally reader.close()
         case "orc" =>
           val r = org.apache.orc.OrcFile.createReader(new Path(p),
             org.apache.orc.OrcFile.readerOptions(conf))

@@ -135,6 +135,26 @@ final class GraftFillTable(spark: SparkSession, tableName: String,
     * partial one anyway. */
   private def groupTable(i: Int): Table with SupportsRead = {
     val (_, fmt, files) = groups(i)
+    // avro fills (round 19 — the v3 ADD COLUMN initial-default on an
+    // avro table): the engine's sync-split avro reader NULL-fills
+    // absent fields, so the constant injection wraps it exactly like
+    // the parquet/orc readers. Its builder IS manifest-planned by
+    // construction (file list + sizes) and does its own envelope-based
+    // stats pruning, so both wraps below are skipped.
+    if (fmt == "avro") {
+      val sized = layout.absoluteDataFilesWithSizes.getOrElse(
+        throw new IllegalStateException(
+          s"fill table $tableName has avro files but no complete " +
+            "file-size manifest"))
+      val keep = files.toSet
+      val statsByAbs = layout.absoluteDataFilesWithStats
+        .map(_.collect { case (p, s) if s.nonEmpty && keep(p) => p -> s }
+          .toMap)
+        .getOrElse(Map.empty)
+      return new GraftAvroTable(spark, s"$tableName@fill",
+        currentSchema, sized.filter { case (p, _) => keep(p) },
+        statsByAbs, hadoopOpts)
+    }
     val manifestPlanning = spark.conf
       .getOption("spark.graft.manifest.planning").forall(_ == "true")
     val manifest: Option[Table with SupportsRead] =
@@ -307,9 +327,11 @@ private final class FillScanBuilder(
   }
 }
 
-/** One group's planned file slices. */
+/** One group's planned slice — any stock partition shape (parquet/orc
+  * [[FilePartition]]s, or the engine avro reader's [[AvroSlice]]s,
+  * round 19). */
 private[sources] final case class FillFilePartition(group: Int,
-    files: FilePartition) extends InputPartition {
+    files: InputPartition) extends InputPartition {
   override def preferredLocations(): Array[String] = files.preferredLocations()
 }
 
@@ -375,11 +397,7 @@ private final class FillScan(
         c.orElse(buildCounts(i)).foreach { case (sk, t) =>
           skipped += sk; total += t; recorded = true
         }
-        ps.map {
-          case fp: FilePartition => FillFilePartition(i, fp): InputPartition
-          case other => throw new IllegalStateException(
-            s"unexpected fill-scan partition ${other.getClass.getName}")
-        }
+        ps.map(p => FillFilePartition(i, p): InputPartition)
       }
     }.toArray
     // one aggregated (skipped, total) for the whole table's plan

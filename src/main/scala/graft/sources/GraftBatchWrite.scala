@@ -710,7 +710,7 @@ private final class GraftRowLevelScan(
       case b: BucketFilePartition => b.files.files.map(_.filePath.toString).toSeq
       case m: MorFilePartition => m.files.files.map(_.filePath.toString).toSeq
       case e: EpochFilePartition => e.files.files.map(_.filePath.toString).toSeq
-      case f: FillFilePartition => f.files.files.map(_.filePath.toString).toSeq
+      case f: FillFilePartition => filesOf(f.files)
       case m: MixedPartition => filesOf(m.inner)
       case a: AvroSlice => Seq(a.path)
       case other => throw new IllegalStateException(

@@ -2831,18 +2831,17 @@ class IcebergFormatSpec extends AnyFunSuite {
         r.getInt(r.fieldIndex("k")))).toSet ==
         Set((1001L, 2), (1002L, 3), (2001L, 2)),
         "incremental reads must serve appended rows with partition fills")
-      // avro appends PARTITION since round 18 (per-tuple native
-      // writes, AvroWriteSpec) — but not onto a FILL-bearing table
-      // like this one: the avro files keep their columns while the
-      // prior files lack them, and fills cannot coexist with avro
-      // entries. The refusal fires BEFORE the write. Deletes/DVs
-      // commit under the auxiliary unpartitioned spec, and REWRITES
-      // keep the hive layout since round 17.
-      val eAvro = intercept[IllegalArgumentException](
-        IcebergExport.appendSnapshot(spark,
-          Seq((3001L, "z", 1)).toDF("id", "name", "k"), meta3,
-          fileFormat = "avro"))
-      assert(eAvro.getMessage.contains("fills"), eAvro.getMessage)
+      // avro appends onto a FILL-bearing table SERVE since round 19:
+      // the avro files keep their identity columns (empty fill sets)
+      // beside the prior fill-bearing files — GraftFillTable groups by
+      // (fill set, format) and the avro group rides the sync-split
+      // reader (AvroFillSpec holds the dedicated coverage)
+      val meta4 = IcebergExport.appendSnapshot(spark,
+        Seq((3001L, "z", 1)).toDF("id", "name", "k"), meta3,
+        fileFormat = "avro")
+      val got4 = CatalogIO.scanMetadataLocation(spark, meta4)
+      assert(got4.filter("id = 3001").count() == 1L)
+      assert(got4.filter("id = 3001").select("k").head.getInt(0) == 1)
     }
   }
 

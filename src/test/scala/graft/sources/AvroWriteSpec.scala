@@ -356,22 +356,22 @@ class AvroWriteSpec extends AnyFunSuite {
           .head.getLong(0) == (1 to 60).count(i => (i % 4) + 1 == 2).toLong)
         assert(rows(spark.table(s"$cat.db.ap")) == rows(df(1, 60)))
     }
-    // a parquet append onto the avro partitioned table refuses BEFORE
-    // writing (it would record fills, which no avro stack serves)
-    val eP = intercept[IllegalArgumentException] {
-      IcebergExport.appendSnapshot(spark, df(61, 65), meta1)
-    }
-    assert(eP.getMessage.contains("avro"), eP.getMessage)
-    // ...and the symmetric refusal: avro appends onto a FILL-bearing
-    // partitioned parquet table refuse before writing
+    // a parquet append onto the avro partitioned table SERVES since
+    // round 19 (fills + avro coexist: the parquet files record fills,
+    // the avro files keep their columns; GraftFillTable groups per
+    // (fill set, format))
+    val meta2 = IcebergExport.appendSnapshot(spark, df(61, 65), meta1)
+    assert(rows(CatalogIO.scanMetadataLocation(spark, meta2)) ==
+      rows(df(1, 65)))
+    // ...and the symmetric direction: an avro append onto a
+    // FILL-bearing partitioned parquet table serves too
     val metaPq = IcebergExport.writeTable(spark, df(1, 20), s"$tmp/pq",
       partitionBy = Seq("g"))
     assert(CatalogIO.readLayout(metaPq, conf).hasFills)
-    val eA = intercept[IllegalArgumentException] {
-      IcebergExport.appendSnapshot(spark, df(21, 25), metaPq,
-        fileFormat = "avro")
-    }
-    assert(eA.getMessage.contains("fills"), eA.getMessage)
+    val metaPq1 = IcebergExport.appendSnapshot(spark, df(21, 25), metaPq,
+      fileFormat = "avro")
+    assert(rows(CatalogIO.scanMetadataLocation(spark, metaPq1)) ==
+      rows(df(1, 25)))
   }
 
 }
