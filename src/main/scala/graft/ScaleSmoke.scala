@@ -428,6 +428,38 @@ object ScaleSmoke {
       f"vs relocated $convRe%.2f s; MOR full scan co-rooted $scanCo%.1f s " +
       f"vs relocated $scanRe%.1f s ($coCount rows both — the spelling is " +
       "the only difference)")
+    // round 19: the ADOPTION lifecycle on the relocated table — adopt
+    // zero-copy (absolute spellings carried verbatim), one O(new-data)
+    // INSERT, one eq-MOR delete, then the compaction that re-homes
+    // everything. The claims: adoption cost is O(manifest) (no data
+    // read), the append costs O(appended rows), and the relocated MOR
+    // read after both matches the co-rooted shape above.
+    val wh = s"$dir/wh"
+    val hc = new graft.catalog.HadoopFsCatalog("relocscale", wh)
+    hc.createNamespace(graft.catalog.Namespace.of("db"))
+    val ref = graft.catalog.TableRef.parse("db.reloc")
+    val (_, tAdopt) = timed(
+      CatalogIO.adoptIcebergTable(spark, hc, ref, outP.toString))
+    val (_, tInsert) = timed(CatalogIO.commitAppend(spark, hc, ref,
+      src.filter(col("k") % 100 === 1).repartition(4)))
+    val (_, tDelete) = timed(
+      graft.sources.MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+        src.filter(col("k") % 500 === 3).select(col("k")).distinct(),
+        Seq("k")))
+    val (postCount, tScan) = timed(
+      CatalogIO.readTable(spark, hc, ref).count())
+    val (_, tCompact) = timed(CatalogIO.compactTable(spark, hc, ref))
+    val finalLayout = CatalogIO.readLayout(
+      hc.loadTableMetadataLocation(ref), conf)
+    require(!finalLayout.hasRelocated,
+      "compaction must end the relocation")
+    val (finalCount, _) = timed(CatalogIO.readTable(spark, hc, ref).count())
+    require(finalCount == postCount,
+      s"compaction changed row count: $finalCount vs $postCount")
+    println(f"[scale] reloc x$replicas adoption lifecycle: adopt " +
+      f"$tAdopt%.2f s (zero-copy), INSERT $tInsert%.1f s, eq-MOR delete " +
+      f"$tDelete%.1f s, relocated+MOR scan $tScan%.1f s ($postCount rows), " +
+      f"compact (re-homes everything) $tCompact%.1f s")
   }
 
   private def streamScale(spark: SparkSession, out: String, replicas: Int): Unit = {
