@@ -251,14 +251,18 @@ object CatalogIO {
     // round 19 (judge r18 #3): uuid COMPOSES with per-file constant
     // fills — the conversion wraps each fill group's parquet scan
     // (SQL face) / folds above the group read (DataFrame face), so
-    // partitioned hive imports with uuid key columns serve. Deletes
-    // and renames still refuse (their probe/epoch machinery would
-    // compare binary file values against served strings).
+    // partitioned hive imports with uuid key columns serve. uuid also
+    // composes with live DELETES (late round 19): the MOR wrapper
+    // plans INSIDE the conversion seam over the physical (binary)
+    // schema — probes and position counting run in binary space, the
+    // string conversion sits above ([[graft.sources.GraftUuidTable]]).
+    // Renames still refuse (epoch name-addressing is a plain
+    // projection), as does the triple uuid+fills+deletes (the fill
+    // route's MOR wrap does not thread the conversion).
     require(uuidColumns.isEmpty || (dataFormat == "parquet" &&
-      deleteFiles.isEmpty && renameOps.isEmpty),
-      "uuid columns serve plain/fill parquet layouts only — deletes " +
-        "and renames need machinery the conversion seam does not " +
-        "thread; rewrite the column as string first")
+      renameOps.isEmpty && (deleteFiles.isEmpty || !hasFills)),
+      "uuid columns serve parquet layouts with fills OR deletes (not " +
+        "both) and no renames; rewrite the column as string first")
     require(uuidColumns.isEmpty || dataFileFills.forall(_.forall(
         fs => fs.forall(f => !uuidColumns.contains(f._1)))),
       "a uuid column cannot itself be a fill (identity-partition / " +
@@ -3111,6 +3115,15 @@ object CatalogIO {
       // layouts (no deletes — the combination refuses upstream) route
       // to the SAME epoch machinery the SQL face plans, for the same
       // reason: the per-group read below is spark.read.parquet-shaped.
+      // uuid + live deletes (late round 19): the SAME DSv2 scan the SQL
+      // face plans — the MOR wrapper inside the conversion seam, binary
+      // probe space — via the registry bridge (the join path below
+      // reads the served STRING schema, which the binary files refuse)
+      case Some(_) if layout.seqGated && layout.uuidColumns.nonEmpty =>
+        graft.sources.MorTableProvider.loadDataFrame(spark,
+          new graft.sources.GraftUuidTable(spark,
+            s"graft-uuid-mor-df(${layout.deleteFiles.size} deletes)",
+            layout, options))
       case Some(_) if layout.seqGated && layout.dataFormat == "orc" =>
         if (layout.deleteFiles.nonEmpty)
           graft.sources.MorRead.dataFrame(spark, layout, options)

@@ -1822,6 +1822,13 @@ object IcebergExport {
         case "binary" => BinaryType
         case "timestamp" => TimestampNTZType
         case "timestamptz" => TimestampType
+        // uuid appends/deletes carry the PHYSICAL 16-byte form (late
+        // round 19): delete tuples keyed on a uuid column are plain
+        // BINARY (the read-side probe runs in binary space below the
+        // string conversion), and appended data rows hand the 16 bytes
+        // — unannotated parquet BINARY, which the binary read schema
+        // serves identically to the annotated fixed[16] originals
+        case "uuid" => BinaryType
         case DecimalRe(p, sc) => DecimalType(p.toInt, sc.toInt)
         case other => throw new UnsupportedOperationException(
           s"Iceberg type '$other' in $where is outside this writer's " +

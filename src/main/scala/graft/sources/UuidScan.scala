@@ -29,10 +29,12 @@ import graft.catalog.CatalogIO.TableLayout
   * the ordinary manifest-planned parquet stack and converts each
   * 16-byte value to its canonical 8-4-4-4-12 text in the row reader.
   *
-  * Scope (everything else refuses at the layout): plain parquet
-  * layouts — no deletes, renames, or fills. The scan takes the ROW
-  * path (the conversion is per-field; interop tables at this edge pay
-  * the vectorization tax rather than a wrong answer), uuid-column
+  * Scope: parquet layouts, with FILLS (via [[GraftFillTable]]'s
+  * per-group seam, round 19) or live DELETES (the MOR wrapper planned
+  * inside the seam over the physical schema, late round 19) — but not
+  * both, and no renames (refused at the layout). The scan takes the
+  * ROW path (the conversion is per-field; interop tables at this edge
+  * pay the vectorization tax rather than a wrong answer), uuid-column
   * FILTERS are withheld from pushdown and re-evaluated above (a string
   * predicate cannot push onto a binary column), and uuid bounds stay
   * un-decoded (pruning costs only). */
@@ -53,8 +55,8 @@ final class GraftUuidTable(spark: SparkSession, tableName: String,
 
   private val inner: Table with SupportsRead = {
     val physical = physicalOf(served)
-    ManifestFileIndex.tableFor(tableName, spark, hadoopOpts, layout,
-      schemaOverride = Some(physical)).getOrElse {
+    val base = ManifestFileIndex.tableFor(tableName, spark, hadoopOpts,
+      layout, schemaOverride = Some(physical)).getOrElse {
       val opts = new CaseInsensitiveStringMap(
         (if (layout.suppressBasePath) hadoopOpts
          else hadoopOpts + ("basePath" -> layout.dataLocation)).asJava)
@@ -63,6 +65,18 @@ final class GraftUuidTable(spark: SparkSession, tableName: String,
         userSpecifiedSchema = Some(physical),
         fallbackFileFormat = classOf[ParquetFileFormat])
     }
+    // uuid + live DELETES (late round 19): the merge-on-read wrapper
+    // plans INSIDE the conversion seam, over the PHYSICAL (binary)
+    // schema — equality probes and position counting run in binary
+    // space (engine delete files store uuid keys as plain BINARY;
+    // MorScan.normalize makes byte arrays content-comparable), and
+    // the string conversion sits above the whole delete-applied scan.
+    // Delete files whose key columns this reader cannot decode (a
+    // foreign writer's UUID-annotated fixed16) fail loudly at the
+    // tuple load, never silently skip.
+    if (layout.deleteFiles.isEmpty) base
+    else new GraftMorTable(base,
+      layout.copy(schemaDdl = Some(physical.toDDL)), hadoopOpts)
   }
 
   override def name(): String = tableName

@@ -82,18 +82,41 @@ class UuidSpec extends AnyFunSuite {
     val r = new GenericData.Record(mSchema)
     r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
     w.append(r); w.close()
+    // a REAL v2 manifest LIST (round 19 — the write verbs carry prior
+    // manifests by list-entry reference, which the early inline
+    // "manifests" form cannot express)
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":"long"},
+        |{"name":"min_sequence_number","type":"long"},
+        |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+    val ml = new Path(dir, "metadata/ml.avro")
+    val lw = new DataFileWriter(new GenericDatumWriter[GenericRecord](listSchema))
+    lw.setMeta("snapshot-id", "7")
+    lw.create(listSchema, fs.create(ml, true))
+    val le = new GenericData.Record(listSchema)
+    le.put("manifest_path", fs.makeQualified(m).toString)
+    le.put("manifest_length", fs.getFileStatus(m).getLen)
+    le.put("content", 0); le.put("sequence_number", 0L)
+    le.put("min_sequence_number", 0L); le.put("added_snapshot_id", 7L)
+    lw.append(le); lw.close()
     val loc = fs.makeQualified(new Path(dir)).toString
     val p = new Path(dir, "metadata/v1.metadata.json")
     val out = fs.create(p, true)
     try out.write(
       s"""{"format-version": 2, "location": "$loc",
+         |"last-sequence-number": 0,
          |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
          |  $uuidFieldJson,
          |  {"id": 2, "name": "k", "required": true, "type": "long"}]}],
          |"current-schema-id": 0,
          |"current-snapshot-id": 7,
          |"snapshots": [{"snapshot-id": 7, "schema-id": 0,
-         |  "manifests": ["${fs.makeQualified(m)}"]}]}""".stripMargin
+         |  "sequence-number": 0,
+         |  "manifest-list": "${fs.makeQualified(ml)}"}]}""".stripMargin
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     p.toString
@@ -259,6 +282,70 @@ class UuidSpec extends AnyFunSuite {
           s"SELECT COUNT(u) FROM $cat.db.up VERSION AS OF 7")
           .collect().head.getLong(0) == 32L)
     }
+  }
+
+  test("uuid + live DELETES compose (late round 19): equality keys on " +
+      "data AND uuid columns, positional deletes, both faces") {
+    import spark.implicits._
+    val dir = s"${Files.createTempDirectory("graft-uuid-d").toString}/t"
+    val metaP = writeTable(dir,
+      """{"id": 1, "name": "u", "required": false, "type": "uuid"}""")
+    // equality delete keyed on the DATA column k (3, 7)
+    val meta1 = IcebergExport.appendDeletes(spark, metaP,
+      equality = Some(Seq(3L, 7L).toDF("k")))
+    // equality delete keyed ON THE UUID COLUMN itself: the tuple is
+    // the 16-byte value (plain BINARY — the probe runs in binary
+    // space below the string conversion); kills k = 6
+    val uuidBytes = {
+      val id = uuidOf(6)
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(id.getMostSignificantBits)
+      bb.putLong(id.getLeastSignificantBits)
+      bb.array()
+    }
+    val meta2 = IcebergExport.appendDeletes(spark, meta1,
+      equality = Some(Seq(Tuple1(uuidBytes)).toDF("u")))
+    val layout = CatalogIO.readLayout(meta2, conf)
+    assert(layout.uuidColumns == Seq("u") && layout.deleteFiles.size == 2)
+
+    val expect = (1 to 20).filterNot(Set(3, 6, 7)).map(i =>
+      (if (i % 5 == 0) null else uuidOf(i).toString, i.toLong))
+    def check(df: org.apache.spark.sql.DataFrame, face: String): Unit = {
+      assert(df.schema("u").dataType ==
+        org.apache.spark.sql.types.StringType, s"$face schema")
+      val got = df.select("u", "k").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._2)
+      assert(got == expect, s"$face rows")
+    }
+    // DataFrame face (the registry bridge — binary probe space)
+    check(CatalogIO.scanMetadataLocation(spark, meta2), "DataFrame")
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-uuid-d") {
+      (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.ud"), metaP) // pre-delete
+        hc.registerTable(TableRef.parse("db.ud2"), meta2)
+        check(spark.table(s"$cat.db.ud2").select("u", "k"), "SQL")
+        // uuid filter above the MOR probe: the deleted uuid never
+        // serves, a surviving one does
+        assert(spark.sql(
+          s"SELECT COUNT(*) FROM $cat.db.ud2 WHERE u = '${uuidOf(6)}'")
+          .collect().head.getLong(0) == 0L)
+        assert(spark.sql(
+          s"SELECT k FROM $cat.db.ud2 WHERE u = '${uuidOf(4)}'")
+          .collect().head.getLong(0) == 4L)
+        // the pre-delete pointer still serves everything
+        assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.ud")
+          .collect().head.getLong(0) == 20L)
+    }
+
+    // positional delete addressing row 0 of the (single) data file
+    val target = layout.absoluteDataFiles.get.head
+    val meta3 = IcebergExport.appendDeletes(spark, meta2,
+      positional = Some(Seq((target, 0L)).toDF("file_path", "pos")))
+    val after = CatalogIO.scanMetadataLocation(spark, meta3)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(after == (2 to 20).filterNot(Set(3, 6, 7)).map(_.toLong),
+      s"row 0 (k=1) must die positionally: $after")
   }
 
   test("struct-nested uuid members refuse with the member path named") {
