@@ -256,18 +256,18 @@ object CatalogIO {
     // plans INSIDE the conversion seam over the physical (binary)
     // schema — probes and position counting run in binary space, the
     // string conversion sits above ([[graft.sources.GraftUuidTable]]).
-    // Renames still refuse (epoch name-addressing is a plain
-    // projection), as does the triple uuid+fills+deletes (the fill
-    // route's MOR wrap does not thread the conversion).
-    require(uuidColumns.isEmpty || (dataFormat == "parquet" &&
-      renameOps.isEmpty && (deleteFiles.isEmpty || !hasFills)),
-      "uuid columns serve parquet layouts with fills OR deletes (not " +
-        "both) and no renames; rewrite the column as string first")
-    require(uuidColumns.isEmpty || dataFileFills.forall(_.forall(
-        fs => fs.forall(f => !uuidColumns.contains(f._1)))),
-      "a uuid column cannot itself be a fill (identity-partition / " +
-        "initial-default) column — no binary fill decode exists; " +
-        "rewrite the column as string first")
+    // Round 20: the TRIPLE uuid+fills+deletes composes too — the same
+    // seam-inner MOR wrapper injects the fill constants below its
+    // probes (MorFilePartition.fills), so the routing is exactly the
+    // uuid+deletes shape with fills riding along. A uuid column may
+    // also BE a fill column (identity-partitioned uuid sources): the
+    // fill value is carried as the canonical STRING and adapted to the
+    // 16-byte form at physical (binary-space) injection seams. Renames
+    // still refuse (epoch name-addressing is a plain projection).
+    require(uuidColumns.isEmpty ||
+      (dataFormat == "parquet" && renameOps.isEmpty),
+      "uuid columns serve parquet layouts with no un-materialized " +
+        "renames; rewrite the column as string first")
     require(dataFileLineage.forall(s => dataFiles.exists(_.size == s.size)),
       "dataFileLineage must parallel dataFiles one-to-one")
     require(dataFileFills.forall(s => dataFiles.exists(_.size == s.size)),
@@ -3250,8 +3250,10 @@ object CatalogIO {
         // uuid + fills (round 19): the files store fixed[16] (binary
         // to the stock reader) — read the uuid columns as BINARY and
         // convert to the canonical string ABOVE the group read, before
-        // the fills fold (fill columns are never uuid — the layout
-        // invariant refuses that)
+        // the fills fold. Round 20: a uuid column may itself BE a fill
+        // column — its files lack it (binary read → NULL, conversion
+        // NULL-preserving) and the fold below overwrites with the
+        // canonical-string fill value, which is already in served form
         val readSchema =
           if (layout.uuidColumns.isEmpty) nullableSchema
           else org.apache.spark.sql.types.StructType(
@@ -3374,12 +3376,21 @@ object CatalogIO {
   }
 
   /** Canonical uuid text of a 16-byte fixed value column (8-4-4-4-12
-    * lowercase hex), NULL-preserving — codegen'd builtins only. */
+    * lowercase hex), NULL-preserving — codegen'd builtins only.
+    * Round 20 (advisor): non-16-byte values RAISE instead of slipping
+    * through as undashed hex — the regexp used to no-op silently when
+    * `hex(c)` was not exactly 32 chars, turning a corrupt physical
+    * value into a plausible-looking string. */
   private[graft] def uuidStringColumn(
       c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions.{hex, lower, regexp_replace}
-    lower(regexp_replace(hex(c),
-      "^(.{8})(.{4})(.{4})(.{4})(.{12})$", "$1-$2-$3-$4-$5"))
+    import org.apache.spark.sql.functions.{concat, hex, length, lit, lower, raise_error, regexp_replace, when}
+    when(c.isNull, lit(null).cast(org.apache.spark.sql.types.StringType))
+      .otherwise(when(length(c) === 16,
+        lower(regexp_replace(hex(c),
+          "^(.{8})(.{4})(.{4})(.{4})(.{12})$", "$1-$2-$3-$4-$5")))
+        .otherwise(raise_error(concat(
+          lit("uuid column value is not 16 bytes: 0x"), hex(c)))
+          .cast(org.apache.spark.sql.types.StringType)))
   }
 
   /** Anti-join `data` against each delete file's key tuples — the

@@ -236,6 +236,40 @@ object IcebergExport {
     require(df.schema == st.sparkSchema,
       s"appendSnapshot schema ${df.schema.toDDL} does not match the " +
         s"table schema ${st.sparkSchema.toDDL}")
+    // uuid columns carry the PHYSICAL 16-byte form on this path (the
+    // input column is BinaryType — see sparkTypeOf). Round 20
+    // (advisor): (a) validate length==16 PER VALUE at write — the
+    // string conversion above the read would otherwise raise long
+    // after a stray value landed in the files; (b) the appended
+    // parquet stores the bytes as unannotated BINARY, not the spec's
+    // annotated fixed[16] — identical to this engine's binary read
+    // schema, but a DOCUMENTED physical divergence from what a
+    // foreign fixed[16] reader of engine-appended files expects;
+    // (c) uuid read routing is parquet-only, so non-parquet appends
+    // refuse here rather than committing an unreadable layout.
+    val uuidCols: Seq[String] = st.schemaNode.get("fields").elements()
+      .asScala.filter(f => f.get("type").isTextual &&
+        f.get("type").asText == "uuid")
+      .map(_.get("name").asText).toSeq
+    require(uuidCols.isEmpty || fileFormat == "parquet",
+      s"$metadataLocation has uuid columns ${uuidCols.mkString("(", ", ", ")")}" +
+        s"; the uuid read path serves parquet data files only — " +
+        s"append parquet, not $fileFormat")
+    // a table identity-partitioned BY a uuid column loads (delete
+    // commits work — their manifests are unpartitioned), but DATA
+    // appends cannot render the 16-byte value as a hive directory
+    require(!st.partCols.exists(pc => uuidCols.contains(pc.field.name)),
+      s"$metadataLocation is identity-partitioned by a uuid column; " +
+        "data appends cannot render its directory form — rewrite the " +
+        "partition spec (setPartitionSpec) or the column as string first")
+    val dfChecked = uuidCols.foldLeft(df) { (d, c) =>
+      import org.apache.spark.sql.functions.{col, concat, hex, length, lit, raise_error, when}
+      d.withColumn(c,
+        when(col(c).isNull || length(col(c)) === 16, col(c))
+          .otherwise(raise_error(concat(
+            lit(s"uuid column $c append value is not 16 bytes: 0x"),
+            hex(col(c)))).cast(org.apache.spark.sql.types.BinaryType)))
+    }
     // identity-partitioned tables (round 16): appends land in the hive
     // col=value layout under the snapshot subdir, partition values are
     // recorded per file in the new manifest's `partition` records (the
@@ -265,7 +299,7 @@ object IcebergExport {
     requireNoEmptyStringPartitions(df, st.partCols)
     val avroResults =
       if (fileFormat != "avro") {
-        val (frame, dirCols) = partitionedWriteFrame(df, st.partCols)
+        val (frame, dirCols) = partitionedWriteFrame(dfChecked, st.partCols)
         val w = frame.write.format(fileFormat)
         (if (st.partCols.isEmpty) w else w.partitionBy(dirCols: _*))
           .save(dataDir.toString)
@@ -274,9 +308,9 @@ object IcebergExport {
         val serConf = new org.apache.spark.util.SerializableConfiguration(
           spark.sessionState.newHadoopConf())
         if (st.partCols.isEmpty)
-          Some(graft.sources.AvroWrite.write(df, dataDir, st.fieldIds,
+          Some(graft.sources.AvroWrite.write(dfChecked, dataDir, st.fieldIds,
             serConf, tree = Some(st.tree)))
-        else Some(partitionedAvroWrite(df, dataDir, st.fieldIds,
+        else Some(partitionedAvroWrite(dfChecked, dataDir, st.fieldIds,
           st.partCols, st.tree, serConf))
       }
     val (entry, rowCount, dataBytes) = writeDataManifest(spark, st.fs,
@@ -1008,9 +1042,19 @@ object IcebergExport {
               "is not a current top-level table column"))
         transform match {
           case "identity" =>
+            // a uuid source (BinaryType here — sparkTypeOf's physical
+            // append mapping) loads fine for DELETE-only commits, whose
+            // manifests are global/unpartitioned; DATA appends under
+            // such a spec refuse in appendSnapshot (no directory
+            // rendering for the 16-byte form) — round 20, the
+            // uuid-as-fill-column composition
+            val isUuidSource = schemaNode.get("fields").elements().asScala
+              .exists(n => n.get("id").asInt == sourceId &&
+                n.get("type").isTextual && n.get("type").asText == "uuid")
             sf.dataType match {
               case IntegerType | LongType | StringType | DateType |
                    BooleanType =>
+              case BinaryType if isUuidSource =>
               case other => throw new UnsupportedOperationException(
                 s"$metadataLocation identity partition column " +
                   s"'${sf.name}' of type $other — this writer partitions " +
@@ -1361,6 +1405,23 @@ object IcebergExport {
       .toMap
     val TransformRe =
       """identity|year|years|month|months|day|days|date|hour|hours|truncate\[\d+\]|bucket\[\d+\]""".r
+    // duplicate field names within ONE spec would commit invalid
+    // metadata (round 20 — advisor); refuse before anything lands
+    val names = fields.map(_._3.toLowerCase)
+    require(names.distinct.size == names.size,
+      s"duplicate partition field names ${names.diff(names.distinct)
+        .distinct.mkString("(", ", ", ")")} in the requested spec")
+    // a partition field named after an UNRELATED schema column would
+    // shadow it in partition-aware readers; identity fields may (and
+    // conventionally do) share their source column's name
+    fields.foreach { case (source, transform, name) =>
+      val clashes = idByName.contains(name.toLowerCase) &&
+        !(normalizeTransform(transform.trim) == "identity" &&
+          name.equalsIgnoreCase(source))
+      require(!clashes,
+        s"partition field name '$name' collides with a schema column " +
+          s"that is not its identity source")
+    }
     val specs = root.withArray[com.fasterxml.jackson.databind.node.ArrayNode](
       "partition-specs")
     val priorFields: Seq[com.fasterxml.jackson.databind.JsonNode] =
@@ -1376,6 +1437,18 @@ object IcebergExport {
           "days/months/years/hours/truncate[W]/bucket[N])")
       require(name.matches("[A-Za-z_][A-Za-z0-9_]*"),
         s"partition field name '$name' is not a valid record field name")
+      // TOP-LEVEL sources only, deliberately: the spec permits nested
+      // sources (days(event.ts)), but this writer's append path builds
+      // partition tuples from top-level columns — committing a
+      // nested-source default spec would land a table no append verb
+      // here can write under (the write-then-broken hazard). Refuse
+      // with the scope named.
+      if (source.contains(".") && !idByName.contains(source.toLowerCase))
+        throw new UnsupportedOperationException(
+          s"partition source '$source' is nested; this writer's appends " +
+            "build partition tuples from top-level columns only, so " +
+            "nested-source specs are refused (they would commit a table " +
+            "the engine cannot append to)")
       val sourceId = idByName.getOrElse(source.toLowerCase,
         throw new IllegalArgumentException(
           s"partition source column '$source' is not a top-level column " +
@@ -1433,13 +1506,30 @@ object IcebergExport {
       f.put("field-id", fieldId)
       f
     }
-    val newSpecId = (0 +: specs.elements().asScala
-      .map(_.path("spec-id").asInt(0)).toSeq).max + 1
-    val spec = mapper.createObjectNode()
-    spec.put("spec-id", newSpecId)
-    val fArr = spec.putArray("fields")
-    newFields.foreach(fArr.add)
-    specs.add(spec)
+    // REUSE an existing spec id when the normalized field list matches
+    // one already in partition-specs (round 20 — advisor; Iceberg's
+    // TableMetadata does the same) — evolving BACK to a prior layout
+    // flips the default instead of minting a duplicate spec
+    def specKey(fs: Seq[com.fasterxml.jackson.databind.JsonNode])
+        : Seq[(Int, String, String)] =
+      fs.map(f => (f.path("source-id").asInt(-1),
+        normalizeTransform(f.path("transform").asText),
+        f.path("name").asText.toLowerCase))
+    val requestedKey = specKey(newFields)
+    val existing = specs.elements().asScala.find(s =>
+      specKey(s.get("fields").elements().asScala.toSeq) == requestedKey)
+    val newSpecId = existing match {
+      case Some(s) => s.path("spec-id").asInt(0)
+      case None =>
+        val id = (0 +: specs.elements().asScala
+          .map(_.path("spec-id").asInt(0)).toSeq).max + 1
+        val spec = mapper.createObjectNode()
+        spec.put("spec-id", id)
+        val fArr = spec.putArray("fields")
+        newFields.foreach(fArr.add)
+        specs.add(spec)
+        id
+    }
     root.put("default-spec-id", newSpecId)
     root.put("last-partition-id", nextId)
     root.put("last-updated-ms", System.currentTimeMillis())

@@ -1486,6 +1486,31 @@ object IcebergFormat {
         val v = new java.math.BigDecimal(
           new java.math.BigInteger(bytes), s.toInt)
         (v, Some(v.toPlainString), Some(v.toPlainString))
+      // uuid identity-partition values (round 20 — a uuid column that
+      // IS a fill column): decoded to the canonical 8-4-4-4-12 STRING,
+      // the served form (the column's catalyst type is StringType);
+      // physical-space injection seams adapt it back to 16 bytes
+      // (FillInjection.adaptValue). Bounds stay un-decoded — uuid
+      // predicates are withheld from pushdown, so stats would never be
+      // consulted. Some writers store the manifest value as fixed[16],
+      // others as the avro string logical form — both decode.
+      case "uuid" =>
+        val str = raw match {
+          case f: org.apache.avro.generic.GenericFixed
+              if f.bytes().length == 16 =>
+            val bb = java.nio.ByteBuffer.wrap(f.bytes())
+            new java.util.UUID(bb.getLong, bb.getLong).toString
+          case b: java.nio.ByteBuffer if b.remaining() == 16 =>
+            val d = b.duplicate()
+            new java.util.UUID(d.getLong, d.getLong).toString
+          case a: Array[Byte] if a.length == 16 =>
+            val bb = java.nio.ByteBuffer.wrap(a)
+            new java.util.UUID(bb.getLong, bb.getLong).toString
+          case s: CharSequence =>
+            java.util.UUID.fromString(s.toString).toString
+          case _ => bad("expected a 16-byte fixed or uuid-string value")
+        }
+        (str, None, None)
       case _ => bad("unsupported type")
     }
   }

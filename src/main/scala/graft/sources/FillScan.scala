@@ -465,6 +465,8 @@ private[graft] object FillReaderFactory {
       case FloatType => c.setFloat(v.asInstanceOf[Float])
       case DoubleType => c.setDouble(v.asInstanceOf[Double])
       case StringType => c.setUtf8String(v.asInstanceOf[UTF8String])
+      // uuid-as-fill in the physical (binary) space — round 20
+      case BinaryType => c.setBinary(v.asInstanceOf[Array[Byte]])
       case d: DecimalType =>
         c.setDecimal(v.asInstanceOf[org.apache.spark.sql.types.Decimal],
           d.precision)
@@ -508,6 +510,26 @@ private[graft] object FillInjection {
     case other => other
   }
 
+  /** uuid fill values (round 20 — a uuid column that IS an
+    * identity-partition fill column): the EXTERNAL representation is
+    * the canonical 8-4-4-4-12 string everywhere (what IcebergFormat's
+    * partition-value decoder produces and what the engine's manifests
+    * serialize), and injection seams running in the PHYSICAL binary
+    * space (the MOR wrap inside the uuid conversion seam) adapt it to
+    * the 16-byte form here. Only uuid columns ever present a String
+    * value against a BinaryType leaf — no other producer emits that
+    * pairing — so the adaptation cannot misfire on genuine binary
+    * fills (none exist; the decoders refuse binary defaults). */
+  private def adaptValue(v: Any, leaf: DataType): Any = v match {
+    case s: String if leaf == org.apache.spark.sql.types.BinaryType =>
+      val u = java.util.UUID.fromString(s)
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(u.getMostSignificantBits)
+      bb.putLong(u.getLeastSignificantBits)
+      bb.array()
+    case other => other
+  }
+
   /** Resolve name-keyed external fills against the scan output schema
     * `out`: dotted keys descend struct members by name. A fill whose
     * top-level column — or any nested segment — was pruned away needs
@@ -534,7 +556,8 @@ private[graft] object FillInjection {
         }
         descend(out.fields(top).dataType, segs.tail, Nil).map {
           case (path, leaf) =>
-            ResolvedFill(top, path, leaf, Literal.create(v, leaf).value)
+            ResolvedFill(top, path, leaf,
+              Literal.create(adaptValue(v, leaf), leaf).value)
         }
       }
     }.toArray

@@ -139,12 +139,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     val (paths, pathOpts) = tablePaths(layout)
     lazy val table = baseTableFor(ref.toString, layout, paths, pathOpts)
     val readTable =
-      // uuid columns (round 18): the string-serving conversion seam —
-      // layout invariants keep uuid layouts parquet with no deletes or
-      // renames, so this branch never shadows the MOR route. uuid +
-      // FILLS (round 19) takes the fill route below: GraftFillTable
-      // wraps each group's builder in the same uuid seam.
-      if (layout.uuidColumns.nonEmpty && !layout.hasFills)
+      // uuid columns (round 18): the string-serving conversion seam.
+      // uuid + FILLS with no deletes (round 19) takes the fill route
+      // below: GraftFillTable wraps each group's builder in the same
+      // uuid seam (per-group pruning stays). uuid + DELETES — with or
+      // without fills, the round-20 TRIPLE — takes this route: the MOR
+      // wrapper plans INSIDE the seam over the physical schema and
+      // injects fill constants below its probes.
+      if (layout.uuidColumns.nonEmpty &&
+          (layout.deleteFiles.nonEmpty || !layout.hasFills))
         new GraftUuidTable(SparkSession.active, ref.toString, layout,
           hadoopOpts)
       else
@@ -292,9 +295,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     // a time-traveled version applies ITS OWN seq-gated state (delete
     // set / rename epochs / stats) — every version reads with its own schema
     val served: Table =
-      // uuid conversion seam (round 18); uuid + fills rides the fill
-      // route below (round 19), which wraps each group in the seam
-      if (vLayout.uuidColumns.nonEmpty && !vLayout.hasFills)
+      // uuid conversion seam (round 18); uuid + fills (no deletes)
+      // rides the fill route below (round 19), which wraps each group
+      // in the seam; uuid + deletes — incl. the round-20 triple with
+      // fills — plans the MOR wrap inside the seam here
+      if (vLayout.uuidColumns.nonEmpty &&
+          (vLayout.deleteFiles.nonEmpty || !vLayout.hasFills))
         new GraftUuidTable(SparkSession.active, label, vLayout, hadoopOpts)
       else if (vLayout.deleteFiles.nonEmpty) // MOR first — it injects fills too
         (if (vLayout.dataFormat == "mixed") // per-group MOR (round 18)

@@ -42,9 +42,18 @@ final class GraftUuidTable(spark: SparkSession, tableName: String,
     layout: TableLayout, hadoopOpts: Map[String, String]) extends Table
   with SupportsRead {
 
-  private val served: StructType = StructType.fromDDL(
-    layout.schemaDdl.getOrElse(throw new IllegalStateException(
-      s"uuid table $tableName has no recorded schema")))
+  // fills (the round-20 TRIPLE route): pre-addition / imported files
+  // legitimately omit filled columns — nullable-force like
+  // GraftFillTable so the strict schema does not refuse the scan the
+  // fill machinery (inside the MOR wrap below) exists to serve
+  private val served: StructType = {
+    val s = StructType.fromDDL(
+      layout.schemaDdl.getOrElse(throw new IllegalStateException(
+        s"uuid table $tableName has no recorded schema")))
+    if (layout.hasFills)
+      FillInjection.deepNullable(s).asInstanceOf[StructType]
+    else s
+  }
   private val uuidCols = layout.uuidColumns.toSet
 
   private def physicalOf(s: StructType): StructType =

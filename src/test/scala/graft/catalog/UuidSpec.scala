@@ -175,7 +175,9 @@ class UuidSpec extends AnyFunSuite {
     * files, each with (u uuid-fixed16, k int64) and LACKING the
     * identity-partition column g — its value lives in the manifest's
     * partition record and serves as a per-file constant fill. The
-    * migrated-hive-table-with-a-uuid-key shape. */
+    * migrated-hive-table-with-a-uuid-key shape. Round 20: written with
+    * a REAL v2 manifest list so engine writes (appendDeletes — the
+    * triple fixture) can carry the data manifest by reference. */
   private def writePartitionedTable(dir: String): String = {
     val fs = new Path(dir).getFileSystem(conf)
     fs.mkdirs(new Path(dir, "data"))
@@ -213,11 +215,30 @@ class UuidSpec extends AnyFunSuite {
         w.append(r)
     }
     w.close()
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":"long"},
+        |{"name":"min_sequence_number","type":"long"},
+        |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+    val ml = new Path(dir, "metadata/ml.avro")
+    val lw = new DataFileWriter(new GenericDatumWriter[GenericRecord](listSchema))
+    lw.setMeta("snapshot-id", "7")
+    lw.create(listSchema, fs.create(ml, true))
+    val le = new GenericData.Record(listSchema)
+    le.put("manifest_path", fs.makeQualified(m).toString)
+    le.put("manifest_length", fs.getFileStatus(m).getLen)
+    le.put("content", 0); le.put("sequence_number", 0L)
+    le.put("min_sequence_number", 0L); le.put("added_snapshot_id", 7L)
+    lw.append(le); lw.close()
     val loc = fs.makeQualified(new Path(dir)).toString
     val p = new Path(dir, "metadata/v1.metadata.json")
     val out = fs.create(p, true)
     try out.write(
       s"""{"format-version": 2, "location": "$loc",
+         |"last-sequence-number": 0,
          |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
          |  {"id": 1, "name": "u", "required": false, "type": "uuid"},
          |  {"id": 2, "name": "k", "required": true, "type": "long"},
@@ -229,7 +250,8 @@ class UuidSpec extends AnyFunSuite {
          |"default-spec-id": 0,
          |"current-snapshot-id": 7,
          |"snapshots": [{"snapshot-id": 7, "schema-id": 0,
-         |  "manifests": ["${fs.makeQualified(m)}"]}]}""".stripMargin
+         |  "sequence-number": 0,
+         |  "manifest-list": "${fs.makeQualified(ml)}"}]}""".stripMargin
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     p.toString
@@ -346,6 +368,243 @@ class UuidSpec extends AnyFunSuite {
       .select("k").collect().map(_.getLong(0)).sorted.toSeq
     assert(after == (2 to 20).filterNot(Set(3, 6, 7)).map(_.toLong),
       s"row 0 (k=1) must die positionally: $after")
+  }
+
+  test("the uuid TRIPLE composes (round 20): fills + live deletes on a " +
+      "partitioned uuid table, both faces, keys on data AND uuid columns") {
+    import spark.implicits._
+    val dir = s"${Files.createTempDirectory("graft-uuid-t").toString}/t"
+    val metaP = writePartitionedTable(dir)
+    // eq delete keyed on the data column k: kills (3, g=1) and (3, g=2)
+    val meta1 = IcebergExport.appendDeletes(spark, metaP,
+      equality = Some(Seq(3L).toDF("k")))
+    // eq delete keyed ON THE UUID COLUMN: binary tuple, kills k = 6 in
+    // both fill groups (the probe runs in binary space BELOW the
+    // conversion, with the fill constants injected below it)
+    val uuidBytes = {
+      val id = uuidOf(6)
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(id.getMostSignificantBits)
+      bb.putLong(id.getLeastSignificantBits)
+      bb.array()
+    }
+    val meta2 = IcebergExport.appendDeletes(spark, meta1,
+      equality = Some(Seq(Tuple1(uuidBytes)).toDF("u")))
+    val layout = CatalogIO.readLayout(meta2, conf)
+    assert(layout.uuidColumns == Seq("u") && layout.hasFills &&
+      layout.deleteFiles.size == 2,
+      s"fixture must compose the full triple: $layout")
+
+    val expect = (for (g <- Seq(1L, 2L); i <- 1 to 20
+                       if i != 3 && i != 6) yield
+      (if (i % 5 == 0) null else uuidOf(i).toString, i.toLong, g))
+      .sortBy(t => (t._2, t._3))
+    def check(df: org.apache.spark.sql.DataFrame, face: String): Unit = {
+      assert(df.schema("u").dataType ==
+        org.apache.spark.sql.types.StringType, s"$face schema")
+      val got = df.select("u", "k", "g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        .sortBy(t => (t._2, t._3))
+      assert(got == expect, s"$face rows")
+    }
+    check(CatalogIO.scanMetadataLocation(spark, meta2), "DataFrame")
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-uuid-t") {
+      (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.ut"), meta2)
+        check(spark.table(s"$cat.db.ut"), "SQL")
+        // deleted uuid never serves; a surviving one does, in both groups
+        assert(spark.sql(
+          s"SELECT COUNT(*) FROM $cat.db.ut WHERE u = '${uuidOf(6)}'")
+          .collect().head.getLong(0) == 0L)
+        assert(spark.sql(
+          s"""SELECT k, g FROM $cat.db.ut
+             |WHERE u = '${uuidOf(4)}' ORDER BY g""".stripMargin)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+          Seq((4L, 1L), (4L, 2L)))
+        // fill-column filter still answers above the MOR probes
+        assert(spark.sql(
+          s"SELECT COUNT(*), SUM(k) FROM $cat.db.ut WHERE g = 2")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).head ==
+          ((18L, ((1 to 20).sum - 3 - 6).toLong)))
+        // VERSION AS OF pins the PRE-delete snapshot through the seam
+        assert(spark.sql(
+          s"SELECT COUNT(*) FROM $cat.db.ut VERSION AS OF 7")
+          .collect().head.getLong(0) == 40L)
+    }
+  }
+
+  /** A table identity-partitioned BY ITS UUID COLUMN (round 20 — a
+    * uuid column that IS a fill column): files hold only k; the uuid
+    * partition value lives in the manifest partition record as
+    * fixed[16]. */
+  private def writeUuidPartitionedByUuid(dir: String): String = {
+    val fs = new Path(dir).getFileSystem(conf)
+    fs.mkdirs(new Path(dir, "data"))
+    fs.mkdirs(new Path(dir, "metadata"))
+    def writeKOnly(path: Path, n: Int): Unit = {
+      val schema = new MessageType("t",
+        Types.primitive(PrimitiveTypeName.INT64, Type.Repetition.REQUIRED)
+          .named("k"))
+      val c = new org.apache.hadoop.conf.Configuration(conf)
+      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, c)
+      val w = ExampleParquetWriter.builder(path).withConf(c)
+        .withType(schema).build()
+      val gf = new SimpleGroupFactory(schema)
+      (1 to n).foreach { i =>
+        val g = gf.newGroup(); g.add("k", i.toLong); w.write(g)
+      }
+      w.close()
+    }
+    writeKOnly(new Path(dir, "data/f1.parquet"), 10)
+    writeKOnly(new Path(dir, "data/f2.parquet"), 10)
+    val mSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"partition","type":{"type":"record","name":"r3",
+        |    "fields":[{"name":"u","type":["null",
+        |      {"type":"fixed","name":"u_fix","size":16}],
+        |      "default":null}]}},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val m = new Path(dir, "metadata/m.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
+    w.create(mSchema, fs.create(m, true))
+    val fixedSchema = mSchema.getField("data_file").schema()
+      .getField("partition").schema().getField("u").schema().getTypes.get(1)
+    Seq(("data/f1.parquet", uuidOf(101)), ("data/f2.parquet", uuidOf(102)))
+      .foreach { case (rel, u) =>
+        val abs = new Path(dir, rel)
+        val d = new GenericData.Record(mSchema.getField("data_file").schema())
+        d.put("file_path", fs.makeQualified(abs).toString)
+        d.put("file_format", "PARQUET")
+        val pr = new GenericData.Record(
+          mSchema.getField("data_file").schema().getField("partition").schema())
+        val bb = java.nio.ByteBuffer.allocate(16)
+        bb.putLong(u.getMostSignificantBits)
+        bb.putLong(u.getLeastSignificantBits)
+        pr.put("u", new GenericData.Fixed(fixedSchema, bb.array()))
+        d.put("partition", pr)
+        d.put("record_count", 10L)
+        d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
+        val r = new GenericData.Record(mSchema)
+        r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
+        w.append(r)
+      }
+    w.close()
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":"long"},
+        |{"name":"min_sequence_number","type":"long"},
+        |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+    val ml = new Path(dir, "metadata/ml.avro")
+    val lw = new DataFileWriter(new GenericDatumWriter[GenericRecord](listSchema))
+    lw.setMeta("snapshot-id", "7")
+    lw.create(listSchema, fs.create(ml, true))
+    val le = new GenericData.Record(listSchema)
+    le.put("manifest_path", fs.makeQualified(m).toString)
+    le.put("manifest_length", fs.getFileStatus(m).getLen)
+    le.put("content", 0); le.put("sequence_number", 0L)
+    le.put("min_sequence_number", 0L); le.put("added_snapshot_id", 7L)
+    lw.append(le); lw.close()
+    val loc = fs.makeQualified(new Path(dir)).toString
+    val p = new Path(dir, "metadata/v1.metadata.json")
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"format-version": 2, "location": "$loc",
+         |"last-sequence-number": 0,
+         |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
+         |  {"id": 1, "name": "u", "required": false, "type": "uuid"},
+         |  {"id": 2, "name": "k", "required": true, "type": "long"}]}],
+         |"current-schema-id": 0,
+         |"partition-specs": [{"spec-id": 0, "fields": [
+         |  {"name": "u", "transform": "identity", "source-id": 1,
+         |   "field-id": 1000}]}],
+         |"default-spec-id": 0,
+         |"current-snapshot-id": 7,
+         |"snapshots": [{"snapshot-id": 7, "schema-id": 0,
+         |  "sequence-number": 0,
+         |  "manifest-list": "${fs.makeQualified(ml)}"}]}""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    p.toString
+  }
+
+  test("a uuid column that IS a fill column serves (round 20): the " +
+      "canonical-string constant injects per file; deletes keyed on it " +
+      "probe the adapted 16-byte form; both faces") {
+    import spark.implicits._
+    val dir = s"${Files.createTempDirectory("graft-uuid-f").toString}/t"
+    val metaP = writeUuidPartitionedByUuid(dir)
+    val layout = CatalogIO.readLayout(metaP, conf)
+    assert(layout.uuidColumns == Seq("u") && layout.hasFills,
+      s"fixture must make the uuid column a fill column: $layout")
+    assert(layout.dataFileFills.get.forall(_.forall(
+      _._2.isInstanceOf[String])), "uuid fills carry the canonical string")
+
+    val expect = (for (u <- Seq(uuidOf(101), uuidOf(102)); i <- 1 to 10)
+      yield (u.toString, i.toLong)).sortBy(t => (t._1, t._2))
+    def check(df: org.apache.spark.sql.DataFrame, face: String): Unit = {
+      assert(df.schema("u").dataType ==
+        org.apache.spark.sql.types.StringType, s"$face schema")
+      val got = df.select("u", "k").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy(t => (t._1, t._2))
+      assert(got == expect, s"$face rows")
+    }
+    check(CatalogIO.scanMetadataLocation(spark, metaP), "DataFrame")
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-uuid-f") {
+      (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.uf"), metaP)
+        check(spark.table(s"$cat.db.uf"), "SQL")
+        // a filter on the filled uuid column group-prunes (plan-time
+        // constant substitution) and answers exactly
+        assert(spark.sql(
+          s"SELECT SUM(k) FROM $cat.db.uf WHERE u = '${uuidOf(101)}'")
+          .collect().head.getLong(0) == 55L)
+    }
+
+    // eq delete keyed ON the filled uuid column: the binary tuple must
+    // compare against the ADAPTED 16-byte fill constant injected below
+    // the probe — kills all of f1's rows
+    val uuidBytes = {
+      val id = uuidOf(101)
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(id.getMostSignificantBits)
+      bb.putLong(id.getLeastSignificantBits)
+      bb.array()
+    }
+    val meta1 = IcebergExport.appendDeletes(spark, metaP,
+      equality = Some(Seq(Tuple1(uuidBytes)).toDF("u")))
+    // plus one keyed on the data column k (kills k=9 of the survivor)
+    val meta2 = IcebergExport.appendDeletes(spark, meta1,
+      equality = Some(Seq(9L).toDF("k")))
+    val after = CatalogIO.readLayout(meta2, conf)
+    assert(after.uuidColumns == Seq("u") && after.hasFills &&
+      after.deleteFiles.size == 2)
+    val expectAfter = (1 to 10).filterNot(_ == 9)
+      .map(i => (uuidOf(102).toString, i.toLong))
+    def checkAfter(df: org.apache.spark.sql.DataFrame, face: String): Unit = {
+      val got = df.select("u", "k").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+        .sortBy(t => (t._1, t._2))
+      assert(got == expectAfter, s"$face rows")
+    }
+    checkAfter(CatalogIO.scanMetadataLocation(spark, meta2), "DataFrame")
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-uuid-f2") {
+      (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.uf2"), meta2)
+        checkAfter(spark.table(s"$cat.db.uf2"), "SQL")
+    }
   }
 
   test("struct-nested uuid members refuse with the member path named") {
