@@ -156,6 +156,7 @@ object SparkEntry {
     "w31_mixed_upsert" -> (graft.queries.WriteQueries.w31 _),
     "w32_relocated_adopt" -> (graft.queries.WriteQueries.w32 _),
     "w33_avro_mor" -> (graft.queries.WriteQueries.w33 _),
+    "w34_uuid_adopt" -> (graft.queries.WriteQueries.w34 _),
     "p01_training_pipeline" -> (graft.operators.Pipeline.trainingPipeline _),
   )
 
@@ -1205,6 +1206,40 @@ object SparkEntry {
         |       CAST(SUM(k) AS BIGINT) AS k_sum,
         |       CAST(SUM(qty) AS BIGINT) AS qty_sum
         |FROM live WHERE k <= 30000 GROUP BY rf
+        |UNION ALL
+        |SELECT 'df' AS phase, * FROM g""".stripMargin,
+    // w34: the uuid-ADOPTION lifecycle (round 20) — a real Iceberg
+    // table with an annotated fixed[16] uuid column (u = md5(k) with
+    // dashes, NULL every k%50==0; 75% of customer keys) is adopted,
+    // takes a SQL INSERT of the rest, eq-MOR deletes keyed on the uuid
+    // AND a data column, and a compaction that materializes the
+    // canonical strings. The oracle replays the uuid text with
+    // DuckDB's own md5.
+    "w34_uuid_adopt" ->
+      """WITH t AS (
+        |  SELECT CAST(c_custkey AS BIGINT) AS k FROM customer),
+        |u0 AS (
+        |  SELECT k, CASE WHEN k % 50 = 0 THEN NULL ELSE
+        |    concat(substr(md5(CAST(k AS VARCHAR)), 1, 8), '-',
+        |           substr(md5(CAST(k AS VARCHAR)), 9, 4), '-',
+        |           substr(md5(CAST(k AS VARCHAR)), 13, 4), '-',
+        |           substr(md5(CAST(k AS VARCHAR)), 17, 4), '-',
+        |           substr(md5(CAST(k AS VARCHAR)), 21, 12)) END AS u
+        |  FROM t),
+        |live AS (
+        |  SELECT * FROM u0 WHERE NOT (k % 10 = 7) AND NOT (k % 23 = 0)),
+        |g AS (
+        |  SELECT COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum,
+        |         MIN(u) AS u_min, COUNT(DISTINCT u) AS du
+        |  FROM live)
+        |SELECT 'mor' AS phase, * FROM g
+        |UNION ALL
+        |SELECT 'all' AS phase, * FROM g
+        |UNION ALL
+        |SELECT 'flt' AS phase, COUNT(*) AS cnt,
+        |       CAST(SUM(k) AS BIGINT) AS k_sum, MIN(u) AS u_min,
+        |       COUNT(DISTINCT u) AS du
+        |FROM live WHERE u = (SELECT u FROM u0 WHERE k = 1)
         |UNION ALL
         |SELECT 'df' AS phase, * FROM g""".stripMargin,
     // w32: the relocated-ADOPTION lifecycle (round 19) — a relocated

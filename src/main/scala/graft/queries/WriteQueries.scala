@@ -1084,6 +1084,225 @@ object WriteQueries {
       } finally graft.sources.TempCatalog.deleteRecursively(tmp)
     }
 
+  /** The canonical uuid text derived from a key: md5(k) as 16 bytes,
+    * rendered 8-4-4-4-12 — computable identically in Spark SQL, DuckDB,
+    * and driver-side Java, so the oracle can replay uuid values. NULL
+    * every k % 50 == 0 row (the conversion must be null-preserving). */
+  private def uuidBytesOf(k: Long): Array[Byte] =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(k.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def uuidTextOf(k: Long): String = {
+    val hex = uuidBytesOf(k).map("%02x".format(_)).mkString
+    s"${hex.substring(0, 8)}-${hex.substring(8, 12)}-" +
+      s"${hex.substring(12, 16)}-${hex.substring(16, 20)}-${hex.substring(20)}"
+  }
+
+  /** Spark-SQL expression producing [[uuidTextOf]] for column `k`. */
+  private val uuidTextSql: String =
+    """CASE WHEN k % 50 = 0 THEN NULL ELSE
+      |  lower(regexp_replace(md5(CAST(k AS STRING)),
+      |    '^(.{8})(.{4})(.{4})(.{4})(.{12})$', '$1-$2-$3-$4-$5'))
+      |END""".stripMargin
+
+  /** Write a REAL Apache Iceberg v2 table at `dir` whose schema is
+    * (u uuid, k long): annotated fixed[16] parquet exactly as Iceberg's
+    * writers store uuid (two files, split by k parity), a real avro
+    * manifest + manifest LIST (engine commits carry prior manifests by
+    * list-entry reference), and a v1 metadata.json. Returns the
+    * metadata location. */
+  private def writeUuidIcebergTable(spark: SparkSession, dir: String,
+      keys: Seq[Long]): String = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, Type, Types}
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = new Path(dir).getFileSystem(conf)
+    fs.mkdirs(new Path(dir, "data"))
+    fs.mkdirs(new Path(dir, "metadata"))
+    val schema = new MessageType("t",
+      Types.primitive(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY,
+          Type.Repetition.OPTIONAL)
+        .length(16).as(LogicalTypeAnnotation.uuidType()).named("u"),
+      Types.primitive(PrimitiveTypeName.INT64, Type.Repetition.REQUIRED)
+        .named("k"))
+    def writeFile(path: Path, ks: Seq[Long]): Long = {
+      val c = new org.apache.hadoop.conf.Configuration(conf)
+      org.apache.parquet.hadoop.example.GroupWriteSupport.setSchema(schema, c)
+      val w = org.apache.parquet.hadoop.example.ExampleParquetWriter
+        .builder(path).withConf(c).withType(schema).build()
+      val gf = new org.apache.parquet.example.data.simple.SimpleGroupFactory(
+        schema)
+      ks.foreach { k =>
+        val g = gf.newGroup()
+        if (k % 50 != 0)
+          g.add("u", org.apache.parquet.io.api.Binary
+            .fromConstantByteArray(uuidBytesOf(k)))
+        g.add("k", k)
+        w.write(g)
+      }
+      w.close()
+      ks.size.toLong
+    }
+    val files = Seq(0L, 1L).map { par =>
+      val rel = s"data/f$par.parquet"
+      val n = writeFile(new Path(dir, rel), keys.filter(_ % 2 == par))
+      (rel, n)
+    }
+    val mSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val m = new Path(dir, "metadata/m.avro")
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](mSchema))
+    w.create(mSchema, fs.create(m, true))
+    files.foreach { case (rel, n) =>
+      val abs = new Path(dir, rel)
+      val d = new org.apache.avro.generic.GenericData.Record(
+        mSchema.getField("data_file").schema())
+      d.put("file_path", fs.makeQualified(abs).toString)
+      d.put("file_format", "PARQUET")
+      d.put("record_count", n)
+      d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
+      val r = new org.apache.avro.generic.GenericData.Record(mSchema)
+      r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
+      w.append(r)
+    }
+    w.close()
+    val listSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_file","fields":[
+        |{"name":"manifest_path","type":"string"},
+        |{"name":"manifest_length","type":"long"},
+        |{"name":"content","type":"int"},
+        |{"name":"sequence_number","type":"long"},
+        |{"name":"min_sequence_number","type":"long"},
+        |{"name":"added_snapshot_id","type":"long"}]}""".stripMargin)
+    val ml = new Path(dir, "metadata/ml.avro")
+    val lw = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[
+        org.apache.avro.generic.GenericRecord](listSchema))
+    lw.setMeta("snapshot-id", "7")
+    lw.create(listSchema, fs.create(ml, true))
+    val le = new org.apache.avro.generic.GenericData.Record(listSchema)
+    le.put("manifest_path", fs.makeQualified(m).toString)
+    le.put("manifest_length", fs.getFileStatus(m).getLen)
+    le.put("content", 0); le.put("sequence_number", 0L)
+    le.put("min_sequence_number", 0L); le.put("added_snapshot_id", 7L)
+    lw.append(le); lw.close()
+    val loc = fs.makeQualified(new Path(dir)).toString
+    val p = new Path(dir, "metadata/v1.metadata.json")
+    val out = fs.create(p, true)
+    try out.write(
+      s"""{"format-version": 2, "location": "$loc",
+         |"last-sequence-number": 0,
+         |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
+         |  {"id": 1, "name": "u", "required": false, "type": "uuid"},
+         |  {"id": 2, "name": "k", "required": true, "type": "long"}]}],
+         |"current-schema-id": 0,
+         |"current-snapshot-id": 7,
+         |"snapshots": [{"snapshot-id": 7, "schema-id": 0,
+         |  "sequence-number": 0,
+         |  "manifest-list": "${fs.makeQualified(ml)}"}]}""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    p.toString
+  }
+
+  /** w34 (round 20): the uuid-ADOPTION lifecycle under the oracle — the
+    * migrated uuid-keyed CDC-table shape. A REAL Iceberg table with an
+    * annotated fixed[16] uuid column (u = md5(k), NULL every k%50==0;
+    * 75% of customer keys) is ADOPTED zero-copy (the engine manifest
+    * records the binary-to-string conversion), takes a SQL INSERT INTO
+    * of the remaining 25% (served strings in, 16-byte physical form
+    * out), an equality MOR delete keyed ON THE UUID COLUMN (k%10==7
+    * keys — string tuples converted to binary, probed below the seam),
+    * another keyed on the data column (k%23==0), then a full COMPACTION
+    * that materializes the canonical strings and drops the conversion.
+    * Both faces aggregate the survivors; the oracle replays the uuid
+    * text with DuckDB's own md5. */
+  def w34(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-w34") { (cat, hc) =>
+      import graft.catalog.{CatalogIO, TableRef}
+      val tmp = java.nio.file.Files.createTempDirectory("graft-w34-ice").toString
+      try {
+        val t = spark.sql(
+          s"""SELECT CAST(c_custkey AS BIGINT) AS k
+             |FROM parquet.`$dir/customer.parquet`""".stripMargin)
+        val keys = t.collect().map(_.getLong(0)).toSeq.sorted
+        val meta = writeUuidIcebergTable(spark, s"$tmp/t",
+          keys.filter(_ % 4 != 3))
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        val ref = TableRef.parse("db.uuid_adopt")
+        CatalogIO.adoptIcebergTable(spark, hc, ref, meta)
+        require(CatalogIO.readLayout(hc.loadTableMetadataLocation(ref),
+          spark.sessionState.newHadoopConf()).uuidColumns == Seq("u"),
+          "adoption must record the conversion")
+        // SQL INSERT INTO: the remaining 25%, uuid text computed in SQL
+        spark.sql(
+          s"""SELECT $uuidTextSql AS u, k
+             |FROM (SELECT CAST(c_custkey AS BIGINT) AS k
+             |      FROM parquet.`$dir/customer.parquet`)
+             |WHERE k % 4 = 3""".stripMargin)
+          .write.insertInto(s"$cat.db.uuid_adopt")
+        // eq-MOR delete keyed ON the uuid column (string tuples in)
+        graft.sources.MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+          spark.sql(
+            s"""SELECT DISTINCT $uuidTextSql AS u
+               |FROM (SELECT CAST(c_custkey AS BIGINT) AS k
+               |      FROM parquet.`$dir/customer.parquet`)
+               |WHERE k % 10 = 7""".stripMargin),
+          Seq("u"))
+        // and one keyed on the data column
+        graft.sources.MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+          spark.sql(
+            s"""SELECT DISTINCT CAST(c_custkey AS BIGINT) AS k
+               |FROM parquet.`$dir/customer.parquet`
+               |WHERE c_custkey % 23 = 0""".stripMargin),
+          Seq("k"))
+        // read the delete-live state through SQL, then compact
+        val preCompact = spark.sql(
+          s"""SELECT COUNT(*) AS cnt, CAST(SUM(k) AS BIGINT) AS k_sum,
+             |       MIN(u) AS u_min, COUNT(DISTINCT u) AS du
+             |FROM $cat.db.uuid_adopt""".stripMargin)
+          .select(lit("mor").as("phase"), col("cnt"), col("k_sum"),
+            col("u_min"), col("du"))
+        val morRows = preCompact.collect().toIndexedSeq
+        CatalogIO.compactTable(spark, hc, ref)
+        require(CatalogIO.readLayout(hc.loadTableMetadataLocation(ref),
+          spark.sessionState.newHadoopConf()).uuidColumns.isEmpty,
+          "compaction must materialize the strings")
+        val sqlFace = spark.sql(
+          s"""SELECT 'all' AS phase, COUNT(*) AS cnt,
+             |       CAST(SUM(k) AS BIGINT) AS k_sum,
+             |       MIN(u) AS u_min, COUNT(DISTINCT u) AS du
+             |FROM $cat.db.uuid_adopt""".stripMargin)
+        val probe = uuidTextOf(1L) // k=1: in base, survives both deletes
+        val flt = spark.sql(
+          s"""SELECT 'flt' AS phase, COUNT(*) AS cnt,
+             |       CAST(SUM(k) AS BIGINT) AS k_sum,
+             |       MIN(u) AS u_min, COUNT(DISTINCT u) AS du
+             |FROM $cat.db.uuid_adopt WHERE u = '$probe'""".stripMargin)
+        val dfFace = CatalogIO.readTable(spark, hc, ref)
+          .agg(count(lit(1)).as("cnt"),
+            sum(col("k")).cast("bigint").as("k_sum"),
+            min(col("u")).as("u_min"),
+            countDistinct(col("u")).as("du"))
+          .select(lit("df").as("phase"), col("cnt"), col("k_sum"),
+            col("u_min"), col("du"))
+        val out = sqlFace.unionByName(flt).unionByName(dfFace)
+        val rows = morRows ++ out.collect().toIndexedSeq
+        spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+          out.schema)
+      } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+
   /** w26 (round 16): the ADOPTED Hive-import lifecycle under the
     * oracle — import a hive `rf=…` tree (files lacking the partition
     * column), ADOPT it into the engine catalog (the fills now live in

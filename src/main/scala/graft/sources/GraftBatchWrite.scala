@@ -11,14 +11,15 @@ import org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{And, BoundReference, Cast, Concat, EqualTo, Expression, If, IsNotNull, IsNull, Length, Literal, RaiseError, StringReplace, Unhex, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortDirection, SortOrder => V2SortOrder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriterCommitMessage}
 import org.apache.spark.sql.execution.datasources.OutputWriter
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
-import org.apache.spark.sql.types.{StringType, StructType}
+import org.apache.spark.sql.types.{BinaryType, StringType, StructType}
+import org.apache.spark.unsafe.types.UTF8String
 import org.apache.spark.util.SerializableConfiguration
 
 import graft.catalog.{CatalogIO, HadoopFsCatalog, TableRef}
@@ -76,6 +77,22 @@ private[sources] object GraftBatchWrite {
 
   /** Partition values (path-decoded, `__HIVE_DEFAULT_PARTITION__` → null)
     * of a segment-relative data file path, in `partitionBy` order. */
+  /** Served canonical uuid text → the 16-byte physical form, as a
+    * catalyst expression for the writer's data projection (round 20 —
+    * adopted uuid tables: every engine-written data file stores the
+    * binary form the conversion seam reads). NULL-preserving; a value
+    * that is not a canonical uuid spelling RAISES per row — `unhex`
+    * alone would silently null it, losing the row's key. */
+  private[sources] def uuidBinaryExpr(ref: Expression): Expression = {
+    val cleaned = StringReplace(ref, Literal("-"), Literal(""))
+    val bin = Unhex(cleaned)
+    If(IsNull(ref), Literal(null, BinaryType),
+      If(And(EqualTo(Length(cleaned), Literal(32)), IsNotNull(bin)), bin,
+        Cast(RaiseError(Concat(Seq(
+          Literal(UTF8String.fromString("not a canonical uuid string: "),
+            StringType), ref))), BinaryType)))
+  }
+
   private[sources] def partitionDirValues(relPath: String,
       partitionBy: Seq[String]): Seq[String] = {
     val kv = relPath.split('/').dropRight(1).flatMap { d =>
@@ -322,8 +339,18 @@ private[sources] final class GraftWrite(spark: SparkSession,
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     val conf = spark.sessionState.newHadoopConf()
     hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
+    // adopted uuid tables (round 20): modes that keep SURVIVOR files
+    // (append, COW replace, partition overwrites) write the 16-byte
+    // physical form so the layout stays uniform under the conversion
+    // seam; a full TRUNCATE replaces every file and its commit drops
+    // the conversion — it writes the served strings
+    val uuidCols: Set[String] =
+      if (mode == Truncate) Set.empty
+      else layout.uuidColumns.map(_.toLowerCase).toSet
     val dataSchema = StructType(writeSchema.filterNot(f =>
-      partitionBy.exists(_.equalsIgnoreCase(f.name))))
+      partitionBy.exists(_.equalsIgnoreCase(f.name)))
+      .map(f => if (uuidCols(f.name.toLowerCase) && f.dataType == StringType)
+        f.copy(dataType = BinaryType) else f))
     val job = Job.getInstance(conf)
     // Spark's own parquet write support (codegen'd InternalRow →
     // parquet, session codec/ANSI settings) — the factory plus its
@@ -335,7 +362,7 @@ private[sources] final class GraftWrite(spark: SparkSession,
       new SerializableConfiguration(job.getConfiguration),
       staging.toString, writeSchema, dataSchema, partitionBy,
       layout.numBuckets, layout.bucketColumns,
-      spark.sessionState.conf.sessionLocalTimeZone)
+      spark.sessionState.conf.sessionLocalTimeZone, uuidCols)
   }
 
   // ----- driver side commit -----
@@ -391,13 +418,14 @@ private final class GraftParquetWriterFactory(
     conf: SerializableConfiguration, stagingDir: String,
     writeSchema: StructType, dataSchema: StructType,
     partitionColumns: Seq[String], numBuckets: Option[Int],
-    bucketColumns: Seq[String], timeZoneId: String)
+    bucketColumns: Seq[String], timeZoneId: String,
+    uuidCols: Set[String] = Set.empty)
   extends DataWriterFactory {
 
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new GraftDataWriter(outputFactory, conf, stagingDir, writeSchema,
       dataSchema, partitionColumns, numBuckets, bucketColumns, timeZoneId,
-      partitionId, taskId)
+      partitionId, taskId, uuidCols)
 }
 
 /** Routes each row to the output file its partition values (directory)
@@ -412,7 +440,10 @@ private final class GraftDataWriter(
     writeSchema: StructType, dataSchema: StructType,
     partitionColumns: Seq[String], numBuckets: Option[Int],
     bucketColumns: Seq[String], timeZoneId: String,
-    partitionId: Int, taskId: Long)
+    partitionId: Int, taskId: Long,
+    /** Lowercased uuid column names whose served strings this writer
+      * converts to the 16-byte physical form (round 20). */
+    uuidCols: Set[String] = Set.empty)
   extends DataWriter[InternalRow] {
 
   private val taskContext = new TaskAttemptContextImpl(conf.value,
@@ -451,9 +482,15 @@ private final class GraftDataWriter(
     def bound(i: Int): BoundReference =
       BoundReference(i + opOffset, writeSchema(i).dataType, writeSchema(i).nullable)
     // project the DATA columns (partition values live in directory names
-    // only — the directory-partitioned parquet contract)
+    // only — the directory-partitioned parquet contract); uuid columns
+    // convert served text → 16 bytes inside the same codegen'd projection
     dataProj = UnsafeProjection.create(
-      dataSchema.fields.map(f => bound(fieldIndex(f.name))).toIndexedSeq)
+      dataSchema.fields.map { f =>
+        val b = bound(fieldIndex(f.name))
+        if (uuidCols(f.name.toLowerCase))
+          GraftBatchWrite.uuidBinaryExpr(b)
+        else b: org.apache.spark.sql.catalyst.expressions.Expression
+      }.toIndexedSeq)
     // partition values rendered exactly as Spark's file writer renders
     // them: cast-to-string in the session time zone, then path-escaped
     partProj =

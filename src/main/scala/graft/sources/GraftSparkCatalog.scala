@@ -726,6 +726,15 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
           throw new UnsupportedOperationException(
             s"$catalogName: $ref has live equality-delete files; compactTable " +
               "first to materialize them before renaming columns")
+        // an adopted uuid layout's epoch name-addressing cannot compose
+        // with the conversion seam (the r18 refusal, now named at the
+        // verb instead of the layout invariant)
+        if (layout.uuidColumns.nonEmpty)
+          throw new UnsupportedOperationException(
+            s"$catalogName: $ref serves uuid columns through the " +
+              "binary-to-string conversion seam, which does not compose " +
+              "with rename epochs; compactTable first (it materializes " +
+              "the strings)")
         // fills + renames never coexist (the TableLayout invariant would
         // refuse the commit anyway, but before-side-effect with the fix
         // named beats a generic require message — advisor r16 #1)
@@ -857,7 +866,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     CatalogIO.commitMetadataOnly(h, ref,
       layout.copy(schemaDdl = Some(evolved.toDDL),
         bucketColumns = bucketCols, sortColumns = sortCols,
-        renameOps = renames, droppedColumns = dropped),
+        renameOps = renames, droppedColumns = dropped,
+        // a dropped uuid column takes its conversion entry with it
+        uuidColumns = layout.uuidColumns.filter(c =>
+          fields.exists(_.name.equalsIgnoreCase(c)))),
       expectedBase = base)
     loadTable(ident)
   }

@@ -479,6 +479,15 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
       throw new UnsupportedOperationException(
         s"Table $ref carries un-materialized column renames; compact to " +
           "materialize them before streaming reads")
+    // adopted uuid layouts (round 20): the stream's stock per-batch
+    // scans read the served STRING schema, which the 16-byte physical
+    // files refuse — no conversion seam is threaded here. Refuse at
+    // plan time with the fix named, never a mid-batch decode error.
+    if (to.uuidColumns.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"Table $ref serves uuid columns through the binary-to-string " +
+          "conversion seam, which streaming reads do not thread; " +
+          "compact the table first (it materializes the strings)")
     // adopted non-parquet tables (round 16): each batch file streams
     // through ITS format's stock reader — an adopted ORC base reached
     // by an `earliest` bootstrap (or a mixed table's full history)
@@ -499,13 +508,23 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
       }
     val live = groups.filter(_._2.nonEmpty)
     if (live.isEmpty) return Array.empty
-    // engine-format layouts never carry per-file fills (those exist
-    // only on Iceberg-converted layouts) — empty fill sets throughout
+    // ADOPTED fill tables are engine-format layouts WITH per-file fills
+    // (round 20 fix — this used to pass empty sets, silently serving
+    // NULL for every fill column of an `earliest` bootstrap over an
+    // adopted hive import): thread each file's constants from the
+    // end-version manifest, exactly like the batch faces. Files a
+    // skipRewrites walk serves that were later rewritten away are
+    // absent from the map — their rewrite materialized the fills, and
+    // engine-appended files never carry any, so empty is correct.
+    val fillsByRel: Map[String, Seq[(String, Any)]] = to.dataFileFills match {
+      case Some(fills) => to.dataFiles.getOrElse(Nil).zip(fills).toMap
+      case None => Map.empty
+    }
     val (parts, factory) = StreamScans.planGroups(s"$ref-stream",
       tableSchema, cfg.hadoopConf,
       live.map { case (segLoc, added) =>
         (segLoc, added.map { case (f, _) =>
-          (f, fmtOf(segLoc, f), Seq.empty[(String, Any)]) })
+          (f, fmtOf(segLoc, f), fillsByRel.getOrElse(f, Seq.empty)) })
       })
     lastFactory = factory
     parts

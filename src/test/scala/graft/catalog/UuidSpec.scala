@@ -123,7 +123,7 @@ class UuidSpec extends AnyFunSuite {
   }
 
   test("uuid columns serve as canonical strings on both faces; " +
-      "uuid filters answer; adoption refuses") {
+      "uuid filters answer") {
     val dir = s"${Files.createTempDirectory("graft-uuid").toString}/t"
     val metaP = writeTable(dir,
       """{"id": 1, "name": "u", "required": false, "type": "uuid"}""")
@@ -162,12 +162,82 @@ class UuidSpec extends AnyFunSuite {
         assert(spark.sql(
           s"SELECT COUNT(u) FROM $cat.db.u VERSION AS OF 7")
           .collect().head.getLong(0) == 16L)
-        val e = intercept[UnsupportedOperationException] {
-          CatalogIO.adoptIcebergTable(spark, hc, TableRef.parse("db.ad"),
-            metaP)
+    }
+  }
+
+  test("uuid layouts ADOPT (round 20): the engine manifest records the " +
+      "conversion; SQL INSERT writes the 16-byte form; eq-MOR deletes " +
+      "keyed on the uuid column probe in binary space; compaction " +
+      "materializes the strings and drops the conversion") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"${Files.createTempDirectory("graft-uuid-a").toString}/t"
+    val metaP = writeTable(dir,
+      """{"id": 1, "name": "u", "required": false, "type": "uuid"}""")
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-uuid-a") {
+      (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        val ref = TableRef.parse("db.ua")
+        val loc = CatalogIO.adoptIcebergTable(spark, hc, ref, metaP)
+        val adopted = CatalogIO.readLayout(loc, conf)
+        assert(adopted.uuidColumns == Seq("u"),
+          s"engine manifest must record the conversion: $adopted")
+        // adopted reads serve the canonical strings
+        assert(spark.sql(s"SELECT COUNT(u) FROM $cat.db.ua")
+          .collect().head.getLong(0) == 16L)
+        // SQL INSERT INTO: served strings in, 16-byte physical form out
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(
+            org.apache.spark.sql.Row(uuidOf(21).toString, 21L),
+            org.apache.spark.sql.Row(null, 22L)), 1),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "u STRING, k BIGINT NOT NULL"))
+          .write.insertInto(s"$cat.db.ua")
+        assert(spark.sql(
+          s"SELECT k FROM $cat.db.ua WHERE u = '${uuidOf(21)}'")
+          .collect().map(_.getLong(0)).toSeq == Seq(21L))
+        // a malformed uuid string refuses AT WRITE, per row
+        val bad = intercept[Exception] {
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(Seq(
+              org.apache.spark.sql.Row("not-a-uuid", 99L)), 1),
+            org.apache.spark.sql.types.StructType.fromDDL(
+              "u STRING, k BIGINT NOT NULL"))
+            .write.insertInto(s"$cat.db.ua")
         }
-        assert(e.getMessage.contains("uuid"), e.getMessage)
-        assert(e.getMessage.contains("registerTable"), e.getMessage)
+        val badMsg = Iterator.iterate(bad: Throwable)(_.getCause)
+          .takeWhile(_ != null).map(e => Option(e.getMessage).getOrElse(""))
+          .mkString(" | ")
+        assert(badMsg.contains("uuid"), badMsg)
+        // eq-MOR delete keyed ON the uuid column (string tuple in,
+        // binary probe below the seam): kills k = 4
+        graft.sources.MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+          spark.sql(s"SELECT '${uuidOf(4)}' AS u"), Seq("u"))
+        // and one keyed on the data column: kills k = 9
+        graft.sources.MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+          spark.sql("SELECT CAST(9 AS BIGINT) AS k"), Seq("k"))
+        val expect = ((1 to 20).filterNot(Set(4, 9)).map(i =>
+          (if (i % 5 == 0) null else uuidOf(i).toString, i.toLong)) ++
+          Seq((uuidOf(21).toString, 21L), (null, 22L))).sortBy(_._2)
+        def check(df: org.apache.spark.sql.DataFrame, face: String): Unit = {
+          val got = df.select("u", "k").collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._2)
+          assert(got == expect, s"$face rows")
+        }
+        check(spark.table(s"$cat.db.ua"), "SQL")
+        check(CatalogIO.readTable(spark, hc, ref), "DataFrame")
+        // COMPACTION materializes the strings: conversion dropped,
+        // deletes gone, rows identical
+        val res = CatalogIO.compactTable(spark, hc, ref)
+        assert(res.compacted)
+        val after = CatalogIO.readLayout(
+          hc.loadTableMetadataLocation(ref), conf)
+        assert(after.uuidColumns.isEmpty && after.deleteFiles.isEmpty,
+          s"compaction must end the uuid layout: $after")
+        check(spark.table(s"$cat.db.ua"), "post-compact SQL")
+        // post-compact the column is plain STRING parquet — filters push
+        assert(spark.sql(
+          s"SELECT k FROM $cat.db.ua WHERE u = '${uuidOf(21)}'")
+          .collect().map(_.getLong(0)).toSeq == Seq(21L))
     }
   }
 
