@@ -503,10 +503,16 @@ object IcebergExport {
       require(lay.posDeleteFiles.isEmpty,
         s"$metadataLocation carries parquet position-delete files; the " +
           "lineage read cannot apply them — materialize first")
-      require(lay.renameOps.isEmpty &&
-        (lay.dataFormat == "parquet" || lay.dataFormat == "orc"),
+      // parquet/orc since rounds 18/19; avro and mixed since round 20
+      // (the lineage counting read dispatches per file format) — only
+      // renames and uuid seams still gate
+      require(lay.renameOps.isEmpty,
         s"$metadataLocation: v3 rewrites read through the lineage face " +
-          "(parquet or orc, no renames)")
+          "(no un-materialized renames)")
+      require(lay.uuidColumns.isEmpty,
+        s"$metadataLocation: v3 rewrites of uuid-bearing tables are not " +
+          "supported (the lineage read does not thread the conversion " +
+          "seam); rewrite the column as string first")
     } else require(st.priorEntries.forall(_.content == 0),
       s"$metadataLocation carries live delete files; a rewrite would " +
         "change row visibility — materialize the deletes first")

@@ -131,8 +131,10 @@ final class GraftMixedFormatTable(spark: SparkSession, tableName: String,
         // targets/tuple/seq gates only ever match within the group's
         // files. The MOR wrapper needs the stock FileScanBuilder
         // directly (correctness over the stats wrapper, exactly like
-        // the homogeneous MOR route); avro groups refuse upstream via
-        // the layout invariant.
+        // the homogeneous MOR route); the group-restricted layout keeps
+        // per-file FILLS in lockstep (retainDataFiles), which the MOR
+        // scan injects below its probes — the partitioned-hive-import
+        // base of a mixed delete-live layout (round 20).
         if (layout.deleteFiles.nonEmpty) {
           val groupLayout = layout.retainDataFiles(rels.toSet)
             .copy(dataFormat = fmt, dataFileFormats = None)

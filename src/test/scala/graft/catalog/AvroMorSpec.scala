@@ -11,9 +11,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * in-order read (one task per addressed file); equality deletes probe
   * broadcast key tuples under the `fileSeq < deleteSeq` gate; deletion
   * vectors decode per task. Both faces plan the same DSv2 scan
-  * ([[graft.sources.AvroMorScan]]). Fills and renames over avro keep
-  * refusing; equality tuples past the broadcast threshold refuse
-  * loudly (no degrade path routes the avro decoder). */
+  * ([[graft.sources.AvroMorScan]]). Round 20: fills inject below the
+  * probes, and equality tuples past the broadcast threshold DEGRADE to
+  * spilled positional addresses (the avro counting-read address
+  * frame). Renames over avro keep refusing. */
 class AvroMorSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -129,25 +130,43 @@ class AvroMorSpec extends AnyFunSuite {
     assert(got.filter("id IN (1, 3, 5)").count() == 0L)
   }
 
-  test("equality tuples past the threshold REFUSE loudly (no degrade " +
-      "path routes the avro decoder); compaction is the named fix") {
+  test("equality tuples past the threshold DEGRADE to spilled positional " +
+      "addresses over avro (round 20): degrade equals broadcast on both " +
+      "faces, fills splice into the key enumeration") {
     import spark.implicits._
     val base = Files.createTempDirectory("graft-avromor-ovf").toString
-    val meta0 = IcebergExport.writeTable(spark, df(1, 50, "a"),
+    val meta0 = IcebergExport.writeTable(spark,
+      df(1, 120).repartitionByRange(2, org.apache.spark.sql.functions.col("id")),
       s"$base/t", fileFormat = "avro")
-    val meta1 = IcebergExport.appendDeletes(spark, meta0,
+    // a fill column too: the degrade's address enumeration must splice
+    // the constant for key columns the files lack
+    val meta1 = IcebergExport.addColumn(spark, meta0, "score", "int",
+      initialDefault = Some("7"))
+    // two delete sets: one keyed on the data column, one ON THE FILL
+    // COLUMN paired with a data column (score=7 AND g=3 kills a slice)
+    val meta2 = IcebergExport.appendDeletes(spark, meta1,
       equality = Some((1L to 30L).toDF("id")))
+    val meta3 = IcebergExport.appendDeletes(spark, meta2,
+      equality = Some(Seq((7, 3)).toDF("score", "g")))
+    val expect = hash(CatalogIO.scanMetadataLocation(spark, meta3)
+      .select("id", "name", "g", "score")) // broadcast mode (baseline)
+    assert(expect.size == 120 - 30 - (31 to 120).count(_ % 7 == 3))
     val prev = spark.conf.getOption("spark.graft.mor.maxDeleteTuples")
     spark.conf.set("spark.graft.mor.maxDeleteTuples", "10")
     try {
-      val e = intercept[Exception] {
-        CatalogIO.scanMetadataLocation(spark, meta1).collect()
+      // DataFrame face in degrade mode
+      assert(hash(CatalogIO.scanMetadataLocation(spark, meta3)
+        .select("id", "name", "g", "score")) == expect,
+        "degrade must equal broadcast (DataFrame face)")
+      // SQL face in degrade mode
+      graft.sources.TempCatalog.withTempHandles(spark, "graft-avromor-ovf") {
+        (cat, hc) =>
+          spark.sql(s"CREATE NAMESPACE $cat.db")
+          hc.registerTable(TableRef.parse("db.avovf"), meta3)
+          assert(hash(spark.table(s"$cat.db.avovf")
+            .select("id", "name", "g", "score")) == expect,
+            "degrade must equal broadcast (SQL face)")
       }
-      def chain(t: Throwable): Seq[Throwable] =
-        if (t == null) Nil else t +: chain(t.getCause)
-      assert(chain(e).exists(c =>
-        c.isInstanceOf[graft.sources.MorDeleteOverflowException] &&
-          c.getMessage.contains("compact")), e.toString)
     } finally {
       spark.conf.set("spark.graft.mor.maxDeleteTuples",
         prev.getOrElse("4000000"))

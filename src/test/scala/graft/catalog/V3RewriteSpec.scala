@@ -154,6 +154,85 @@ class V3RewriteSpec extends AnyFunSuite {
     assert(lay3.deleteFiles.isEmpty && lay3.dataFormat == "parquet")
   }
 
+  test("AVRO v3 tables serve lineage on BOTH faces and rewrite with ids " +
+      "preserved (round 20 — the counting read rides the sync-split " +
+      "avro decoder)") {
+    val base = Files.createTempDirectory("graft-v3rw-avro").toString
+    import spark.implicits._
+    val meta0 = IcebergExport.writeTable(spark,
+      df(1, 80).repartitionByRange(2, org.apache.spark.sql.functions.col("id")),
+      s"$base/t", fileFormat = "avro", formatVersion = 3)
+    assert(CatalogIO.readLayout(meta0, conf).dataFormat == "avro")
+    // equality delete (ids 1..10) + a second avro snapshot
+    val meta1 = IcebergExport.appendDeletes(spark, meta0,
+      equality = Some((1L to 10L).toDF("id")))
+    val meta2 = IcebergExport.appendSnapshot(spark, df(101, 110), meta1,
+      fileFormat = "avro")
+    // w18-shaped: the DataFrame lineage face over the avro base
+    val before = lineagePairs(meta2)
+    assert(before.size == 80) // 80 - 10 deleted + 10 appended
+    assert(before.keySet == ((11L to 80L) ++ (101L to 110L)).toSet)
+    // SQL lineage face over the avro base
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-v3rw-avro") {
+      (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.avrw"), meta2)
+        val sqlPairs = spark.sql(
+          s"""SELECT id, _row_id, _last_updated_sequence_number
+             |FROM $cat.db.avrw""".stripMargin).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(sqlPairs == before,
+          "the SQL lineage face must agree over the avro base")
+    }
+    // the rewrite reads the avro lineage face, materializes the deletes
+    // away, and lands parquet with the survivors' ids preserved
+    val meta3 = IcebergExport.rewriteSnapshot(spark, meta2,
+      targetFileBytes = 4096)
+    val after = lineagePairs(meta3)
+    assert(after == before, "lineage must survive the avro rewrite")
+    val lay3 = CatalogIO.readLayout(meta3, conf)
+    assert(lay3.deleteFiles.isEmpty && lay3.dataFormat == "parquet")
+  }
+
+  test("MIXED v3 bases (orc + parquet + avro groups) serve lineage on " +
+      "BOTH faces and rewrite with ids preserved (round 20 — per-file " +
+      "format dispatch)") {
+    val base = Files.createTempDirectory("graft-v3rw-mix").toString
+    import spark.implicits._
+    val meta0 = IcebergExport.writeTable(spark, df(1, 40),
+      s"$base/t", fileFormat = "orc", formatVersion = 3)
+    val meta1 = IcebergExport.appendSnapshot(spark, df(41, 60), meta0,
+      fileFormat = "parquet")
+    val meta2 = IcebergExport.appendSnapshot(spark, df(61, 80), meta1,
+      fileFormat = "avro")
+    assert(CatalogIO.readLayout(meta2, conf).dataFormat == "mixed")
+    // equality delete spanning all three groups (seq-gated past them)
+    val meta3 = IcebergExport.appendDeletes(spark, meta2,
+      equality = Some(Seq(5L, 45L, 65L).toDF("id")))
+    val before = lineagePairs(meta3)
+    assert(before.size == 77)
+    assert(before.keySet == (1L to 80L).toSet -- Set(5L, 45L, 65L))
+    // ids must be DISTINCT across the groups (each file's inheritance)
+    assert(before.values.map(_._1).toSet.size == 77)
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-v3rw-mix") {
+      (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.mxrw"), meta3)
+        val sqlPairs = spark.sql(
+          s"""SELECT id, _row_id, _last_updated_sequence_number
+             |FROM $cat.db.mxrw""".stripMargin).collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+        assert(sqlPairs == before,
+          "the SQL lineage face must agree over the mixed base")
+    }
+    val meta4 = IcebergExport.rewriteSnapshot(spark, meta3,
+      targetFileBytes = 4096)
+    val after = lineagePairs(meta4)
+    assert(after == before, "lineage must survive the mixed rewrite")
+    val lay4 = CatalogIO.readLayout(meta4, conf)
+    assert(lay4.deleteFiles.isEmpty && lay4.dataFormat == "parquet")
+  }
+
   test("tables with UNASSIGNED ids refuse the rewrite honestly") {
     // craft: a v3 table whose FIRST snapshot predates the upgrade —
     // upgrade happens via addColumn (metadata-only, assigns nothing)
