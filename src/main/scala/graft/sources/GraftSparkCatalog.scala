@@ -171,6 +171,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         else if (layout.dataFormat == "avro")
           new GraftAvroMorTable(SparkSession.active, ref.toString,
             layout, hadoopOpts)
+        // renames + live deletes (round 20): one MOR wrapper per rename
+        // epoch — probes translate delete keys to the epoch's physical
+        // names, rows pass through position-identical
+        else if (layout.renameOps.nonEmpty)
+          new GraftEpochMorTable(SparkSession.active, ref.toString,
+            layout, hadoopOpts)
         else
           new GraftMorTable(manifestPlanned(table, layout), layout,
             hadoopOpts))
@@ -308,6 +314,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
             hadoopOpts)
         else if (vLayout.dataFormat == "avro") // counting-read avro MOR (round 19)
           new GraftAvroMorTable(SparkSession.active, label, vLayout,
+            hadoopOpts)
+        else if (vLayout.renameOps.nonEmpty) // per-epoch MOR (round 20)
+          new GraftEpochMorTable(SparkSession.active, label, vLayout,
             hadoopOpts)
         else
           new GraftMorTable(manifestPlanned(table, vLayout), vLayout,

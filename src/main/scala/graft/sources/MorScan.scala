@@ -65,7 +65,17 @@ import graft.catalog.CatalogIO.TableLayout
   * equality-delete scans. */
 final class GraftMorTable(delegate: Table with SupportsRead,
     layout: TableLayout,
-    hadoopOpts: Map[String, String]) extends Table with SupportsRead {
+    hadoopOpts: Map[String, String],
+    /** Current→PHYSICAL column-name map (lowercased keys) for one
+      * rename EPOCH (round 20 — renames + live deletes compose):
+      * delete files always carry CURRENT names (ALTER RENAME refuses
+      * while deletes live, so no delete file can predate a rename),
+      * and this epoch's files store the physical spellings — key
+      * resolution translates through it. Rename preserves position and
+      * type, so the translated probe reads the same bytes. Empty for
+      * ordinary (current-epoch) tables. */
+    keyNameMap: Map[String, String] = Map.empty)
+  extends Table with SupportsRead {
 
   override def name(): String = delegate.name
   override def schema(): StructType = delegate.schema
@@ -88,7 +98,8 @@ final class GraftMorTable(delegate: Table with SupportsRead,
         // delete files — round 16)
         graft.catalog.CatalogIO.DeleteFileFooters.of(p, conf)._1
       }.distinct
-    cols.map { c =>
+    cols.map { c0 =>
+      val c = keyNameMap.getOrElse(c0.toLowerCase, c0)
       delegate.schema.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalStateException(
           s"equality-delete column $c of ${delegate.name} is not in the " +
@@ -132,7 +143,7 @@ final class GraftMorTable(delegate: Table with SupportsRead,
         // absent key columns. Timestamp ORC keys still refuse inside
         // orcAddressFrame.
         new MorScanBuilder(f.asInstanceOf[FileScanBuilder], keyFields,
-          layout, hadoopOpts, eqOverflow)
+          layout, hadoopOpts, eqOverflow, keyNameMap)
       case other => throw new IllegalStateException(
         s"merge-on-read wrapper needs a parquet or ORC FileScanBuilder " +
           s"delegate, got ${other.getClass.getName} for ${delegate.name}")
@@ -146,7 +157,8 @@ final class GraftMorTable(delegate: Table with SupportsRead,
   * footer/stripe-computed COUNT would count deleted rows). */
 private final class MorScanBuilder(delegate: FileScanBuilder,
     keyFields: Seq[StructField], layout: TableLayout,
-    hadoopOpts: Map[String, String], eqOverflow: Boolean) extends ScanBuilder
+    hadoopOpts: Map[String, String], eqOverflow: Boolean,
+    keyNameMap: Map[String, String] = Map.empty) extends ScanBuilder
   with SupportsPushDownRequiredColumns with SupportsPushDownCatalystFilters {
 
   // what Spark asked for — the schema this scan must SERVE, as opposed
@@ -206,7 +218,7 @@ private final class MorScanBuilder(delegate: FileScanBuilder,
 
   override def build(): Scan =
     new MorScan(delegate.build().asInstanceOf[FileScan],
-      requested, layout, hadoopOpts, eqOverflow)
+      requested, layout, hadoopOpts, eqOverflow, keyNameMap)
 }
 
 /** One delete-group's planned file slices, tagged with the group index
@@ -923,7 +935,8 @@ private final class OrcKeyRows(qualAbs: String,
   * sound). */
 private final class MorScan(private val delegate: FileScan,
     requested: Option[StructType], private val layout: TableLayout,
-    hadoopOpts: Map[String, String], eqOverflow: Boolean)
+    hadoopOpts: Map[String, String], eqOverflow: Boolean,
+    keyNameMap: Map[String, String] = Map.empty)
   extends Scan with Batch {
 
   private val readSchemaWide: StructType = delegate.readSchema()
@@ -1067,11 +1080,15 @@ private final class MorScan(private val delegate: FileScan,
     val tableSchema = layout.schemaDdl.map(StructType.fromDDL).getOrElse(
       throw new IllegalStateException(
         s"merge-on-read layout without a recorded schema at ${layout.dataLocation}"))
-    def keyField(c: String): StructField =
+    // delete-file columns carry CURRENT names; an epoch sub-layout's
+    // schema carries PHYSICAL ones — translate (round 20)
+    def keyField(c0: String): StructField = {
+      val c = keyNameMap.getOrElse(c0.toLowerCase, c0)
       tableSchema.find(_.name.equalsIgnoreCase(c)).getOrElse(
         throw new IllegalStateException(
           s"equality-delete column $c not in table schema " +
             tableSchema.fieldNames.mkString("(", ", ", ")")))
+    }
     // hard broadcast-safety gate for the EQUALITY tuples: the per-row
     // probe design holds ONLY while that set is driver- and
     // executor-memory-sized. The maintenance contract ("compaction
@@ -1110,7 +1127,8 @@ private final class MorScan(private val delegate: FileScan,
         }.toSeq
         p -> ((cols, convs, rows))
       }.toMap
-    def ordinalOf(c: String): Int = {
+    def ordinalOf(c0: String): Int = {
+      val c = keyNameMap.getOrElse(c0.toLowerCase, c0)
       val i = readSchemaWide.fields.indexWhere(_.name.equalsIgnoreCase(c))
       require(i >= 0, s"delete key column $c missing from widened read schema " +
         readSchemaWide.fieldNames.mkString("(", ", ", ")"))

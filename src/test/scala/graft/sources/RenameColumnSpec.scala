@@ -172,14 +172,80 @@ class RenameColumnSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO $cat.db.n VALUES (1, 'a')")
     val nref = TableRef.parse("db.n")
     spark.sql(s"ALTER TABLE $cat.db.n RENAME COLUMN v TO w")
-    val exM = intercept[UnsupportedOperationException] {
-      MergeOps.deleteMatchedMergeOnRead(spark, hc, nref, Seq(1L).toDF("k"), Seq("k"))
-    }
-    assert(exM.getMessage.contains("rename"), exM.getMessage)
     val exA = intercept[UnsupportedOperationException] {
       CatalogIO.attachAsSessionTable(spark, hc, nref, "ren_attach_refused")
     }
     assert(exA.getMessage.contains("rename"), exA.getMessage)
+  }
+
+  test("renames + live DELETES compose (round 20): eq-MOR deletes keyed " +
+      "on the RENAMED column probe each epoch's physical names; upserts " +
+      "land current-named; both faces and VERSION AS OF agree") {
+    val (cat, hc) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.rd (k BIGINT, val STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.rd VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    val ref = TableRef.parse("db.rd")
+    // rename FIRST (no deletes live) — pre-rename files keep physical
+    // name `val`
+    spark.sql(s"ALTER TABLE $cat.db.rd RENAME COLUMN val TO label")
+    // a post-rename append: its file carries the NEW physical name
+    spark.sql(s"INSERT INTO $cat.db.rd VALUES (4, 'b'), (5, 'e')")
+    // eq-MOR delete keyed ON THE RENAMED COLUMN: 'b' lives under
+    // physical `val` in epoch-0 files and `label` in the appended file
+    // — both must die
+    MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+      Seq("b").toDF("label"), Seq("label"))
+    // and one keyed on the untouched column
+    MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+      Seq(5L).toDF("k"), Seq("k"))
+    val expect = Seq("1|a", "3|c")
+    assert(rowsOf(s"$cat.db.rd") == expect, "SQL face")
+    assert(CatalogIO.readTable(spark, hc, ref)
+      .collect().map(_.mkString("|")).sorted.toSeq == expect,
+      "DataFrame face")
+    // filters on the renamed column answer across epochs, above the MOR
+    assert(spark.sql(s"SELECT k FROM $cat.db.rd WHERE label = 'b'")
+      .collect().isEmpty)
+    assert(spark.sql(s"SELECT k FROM $cat.db.rd WHERE label = 'a'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // an UPSERT while the rename is live: inserts survive their own key
+    CatalogIO.commitMergeOnRead(spark, hc, ref,
+      newRows = Some(Seq((2L, "b2")).toDF("k", "label")),
+      deleteTuples = Some(Seq(2L).toDF("k")))
+    assert(rowsOf(s"$cat.db.rd") == Seq("1|a", "2|b2", "3|c"))
+    // VERSION AS OF pins the pre-delete epoch state (v4 = both inserts
+    // committed, rename live, no deletes yet)
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.rd VERSION AS OF 4")
+      .collect().head.getLong(0) == 5L)
+    // compaction materializes BOTH (renames and deletes) away
+    CatalogIO.compactTable(spark, hc, ref)
+    val after = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    assert(after.renameOps.isEmpty && after.deleteFiles.isEmpty)
+    assert(rowsOf(s"$cat.db.rd") == Seq("1|a", "2|b2", "3|c"))
+  }
+
+  test("renames + live DELETES over an adopted ORC base (round 20): the " +
+      "per-epoch MOR composition rides the ORC counting read") {
+    val (cat, hc) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    val tmp = Files.createTempDirectory("ren-orc").toString
+    val meta = graft.catalog.IcebergExport.writeTable(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "val"),
+      s"$tmp/t", fileFormat = "orc")
+    val ref = TableRef.parse("db.rorc")
+    CatalogIO.adoptIcebergTable(spark, hc, ref, meta)
+    spark.sql(s"ALTER TABLE $cat.db.rorc RENAME COLUMN val TO label")
+    // delete keyed on the renamed column: probes epoch-0's ORC files
+    // under the physical name `val`
+    MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+      Seq("b").toDF("label"), Seq("label"))
+    assert(rowsOf(s"$cat.db.rorc") == Seq("1|a", "3|c"), "SQL face")
+    assert(CatalogIO.readTable(spark, hc, ref)
+      .collect().map(_.mkString("|")).sorted.toSeq == Seq("1|a", "3|c"),
+      "DataFrame face")
   }
 
   test("ALTER COLUMN TYPE widening is metadata-only; narrowing and layout columns refuse") {
