@@ -100,7 +100,7 @@ object CatalogMigrationCLI {
         args.head == "analyze" || args.head == "adopt" ||
         args.head == "set-ref" || args.head == "rewrite" ||
         args.head == "import-hive" || args.head == "add-column" ||
-        args.head == "set-partition-spec")
+        args.head == "set-partition-spec" || args.head == "fast-forward")
       return runMaintenance(args, out)
 
     parse(args) match {
@@ -307,6 +307,8 @@ object CatalogMigrationCLI {
       if (o.refSnapshot < 0)
         return Left("set-ref requires --snapshot-id")
     }
+    if (o.cmd == "fast-forward" && o.refName.isEmpty)
+      return Left("fast-forward requires --ref-name <branch>")
     if (o.cmd == "import-hive") {
       if (o.hiveDir.isEmpty)
         return Left("import-hive requires --hive-dir <directory>")
@@ -371,6 +373,8 @@ object CatalogMigrationCLI {
           else if (opts.cmd == "add-column") addColumnOne(opts, hadoop, ref, log)
           else if (opts.cmd == "set-partition-spec")
             setPartitionSpecOne(opts, hadoop, ref, log)
+          else if (opts.cmd == "fast-forward")
+            fastForwardOne(opts, hadoop, ref, log)
           else expireOne(opts, hadoop, ref, log)
         } catch {
           case e: Exception =>
@@ -521,6 +525,27 @@ object CatalogMigrationCLI {
       loc, fields)
     cat.replaceTablePointer(ref, meta)
     log(s"Evolved partition spec of $ref to [$shown] -> $meta")
+  }
+
+  /** `fast-forward` subcommand (round 20 — the PUBLISH half of
+    * write-audit-publish): fast-forward `main` to a staged branch's
+    * head on a registered Apache Iceberg pointer
+    * ([[graft.catalog.IcebergExport.fastForwardRef]]; refuses unless
+    * the current main is an ancestor of the branch head) and advance
+    * the pointer. Staging happens through the library face
+    * (`IcebergExport.stageSnapshot` — it takes a DataFrame). */
+  private def fastForwardOne(opts: MaintOpts, cat: HadoopFsCatalog,
+      ref: TableRef, log: String => Unit): Unit = {
+    val loc = cat.loadTableMetadataLocation(ref)
+    if (opts.dryRun) {
+      log(s"Would fast-forward main of $ref to branch " +
+        s"'${opts.refName}' ($loc); dry run, nothing committed.")
+      return
+    }
+    val meta = graft.catalog.IcebergExport.fastForwardRef(activeSpark(),
+      loc, opts.refName)
+    cat.replaceTablePointer(ref, meta)
+    log(s"Fast-forwarded main of $ref to branch '${opts.refName}' -> $meta")
   }
 
   private def setRefOne(opts: MaintOpts, cat: HadoopFsCatalog, ref: TableRef,
@@ -926,7 +951,7 @@ object CatalogMigrationCLI {
   }
 
   private val usage: String =
-    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history | analyze | adopt | set-ref | rewrite | import-hive | add-column | set-partition-spec) [options]
+    """Usage: catalog-migrator (migrate | register | compact | expire-versions | sweep-orphans | squash-history | analyze | adopt | set-ref | rewrite | import-hive | add-column | set-partition-spec | fast-forward) [options]
       |Bulk-migrate table entries from a source catalog to a target catalog
       |without data copy. `migrate` deletes entries from the source after
       |successful registration; `register` leaves them in place.
@@ -953,6 +978,7 @@ object CatalogMigrationCLI {
       |  --metadata-location <loc>        adopt: the Apache Iceberg metadata.json to
       |                                   convert (zero-copy) into a writable table
       |  --ref-name <name>                set-ref: the tag/branch name to commit
+      |                                   fast-forward: the staged branch to publish
       |  --snapshot-id <id>               set-ref: the Iceberg snapshot it pins
       |  --ref-type <tag|branch>          set-ref: ref kind (default tag)
       |  --hive-dir <dir>                 import-hive: the col=value tree to register

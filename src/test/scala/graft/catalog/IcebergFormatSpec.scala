@@ -900,6 +900,75 @@ class IcebergFormatSpec extends AnyFunSuite {
     assert(badMain.getMessage.contains("main"))
   }
 
+  test("write-audit-publish (round 20): a staged snapshot is invisible " +
+    "to main (and the ancestry gate streams ride) until fastForwardRef " +
+    "publishes it; divergence refuses the fast-forward") {
+    import spark.implicits._
+    val dir = s"${Files.createTempDirectory("graft-iceberg").toString}/twap"
+    def textOf(meta: String): String = {
+      val p = new Path(meta)
+      val in = p.getFileSystem(spark.sessionState.newHadoopConf()).open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    }
+    val meta1 = IcebergExport.writeTable(spark,
+      (1 to 10).toDF("k").repartition(1), dir)
+    // STAGE: the audit snapshot lands on branch 'audit' only
+    val staged = IcebergExport.stageSnapshot(spark,
+      (11 to 20).toDF("k").repartition(1), meta1, "audit")
+    assert(CatalogIO.scanMetadataLocation(spark, staged).count() == 10L,
+      "main must not see the staged rows")
+    assert(CatalogIO.scanIcebergRef(spark, staged, "audit").count() == 20L,
+      "the branch must serve the staged state")
+    val stagedId = IcebergFormat.refsOf(textOf(staged))("audit")
+    // the main-ancestry gate (what incremental/streaming reads ride):
+    // the staged snapshot is NOT committed table history yet
+    assert(!IcebergFormat.mainAncestry(textOf(staged)).exists(_.id == stagedId))
+    // SQL face: a registered pointer audits via VERSION AS OF 'audit'
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-wap") {
+      (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.wap"), staged)
+        assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.wap")
+          .head.getLong(0) == 10L)
+        assert(spark.sql(
+          s"SELECT COUNT(*) FROM $cat.db.wap VERSION AS OF 'audit'")
+          .head.getLong(0) == 20L)
+    }
+    // PUBLISH: fast-forward main to the audited snapshot
+    val pub = IcebergExport.fastForwardRef(spark, staged, "audit")
+    assert(CatalogIO.scanMetadataLocation(spark, pub).count() == 20L)
+    assert(IcebergFormat.mainAncestry(textOf(pub)).exists(_.id == stagedId),
+      "published snapshots join the main ancestry (streams now serve them)")
+    // post-publish appends chain normally
+    val meta3 = IcebergExport.appendSnapshot(spark,
+      (21 to 25).toDF("k").repartition(1), pub)
+    assert(CatalogIO.scanMetadataLocation(spark, meta3).count() == 25L)
+    // DIVERGENCE refuses: stage, advance main, then try to publish
+    val staged2 = IcebergExport.stageSnapshot(spark,
+      (26 to 30).toDF("k").repartition(1), meta3, "audit2")
+    val meta4 = IcebergExport.appendSnapshot(spark,
+      (31 to 33).toDF("k").repartition(1), staged2)
+    val eFf = intercept[IllegalArgumentException] {
+      IcebergExport.fastForwardRef(spark, meta4, "audit2")
+    }
+    assert(eFf.getMessage.contains("not a fast-forward"), eFf.getMessage)
+    // ... and re-staging onto the diverged branch refuses too
+    val eStage = intercept[IllegalArgumentException] {
+      IcebergExport.stageSnapshot(spark,
+        (34 to 35).toDF("k").repartition(1), meta4, "audit2")
+    }
+    assert(eStage.getMessage.contains("diverged"), eStage.getMessage)
+    // tags cannot fast-forward
+    val s1 = IcebergFormat.refsOf(textOf(meta4)).getOrElse("audit",
+      IcebergFormat.mainAncestry(textOf(meta4)).head.id)
+    val metaTag = IcebergExport.setRef(spark, meta4, "pin", s1, "tag")
+    val eTag = intercept[IllegalArgumentException] {
+      IcebergExport.fastForwardRef(spark, metaTag, "pin")
+    }
+    assert(eTag.getMessage.contains("tag"), eTag.getMessage)
+  }
+
   test("v3 row lineage: _row_id/_last_updated_sequence_number served " +
     "from first-row-id inheritance across an append + DV-delete chain") {
     import spark.implicits._

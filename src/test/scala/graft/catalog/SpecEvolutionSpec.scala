@@ -109,6 +109,47 @@ class SpecEvolutionSpec extends AnyFunSuite {
     assert(after5.count() == 209L)
   }
 
+  test("AVRO appends under a TRANSFORM default spec (round 20 — the " +
+      "synthetic-dir convention routes the native writer): partition " +
+      "records parse, scoped deletes hit the right day, both faces") {
+    val base = Files.createTempDirectory("graft-specevo-avro").toString
+    val meta0 = IcebergExport.writeTable(spark, tsDf(1, 60), s"$base/t",
+      fileFormat = "avro")
+    val metaEvolved = IcebergExport.setPartitionSpec(spark, meta0,
+      Seq(("ts", "day", "ts_day")))
+    // the round-19 refusal lifted: an AVRO append under days(ts)
+    val meta2 = IcebergExport.appendSnapshot(spark, tsDf(61, 120),
+      metaEvolved, fileFormat = "avro")
+    val layout = CatalogIO.readLayout(meta2, conf)
+    assert(layout.dataFormat == "avro", layout.dataFormat)
+    // the appended files land under synthetic ts_day= directories
+    assert(layout.dataFiles.get.exists(_.contains("ts_day=")),
+      layout.dataFiles.get.mkString(", "))
+    assert(hash(CatalogIO.scanMetadataLocation(spark, meta2)) ==
+      hash(tsDf(1, 120)))
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-specevo-avro") {
+      (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.evoav"), meta2)
+        assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.evoav").collect()
+          .head.getLong(0) == 120L)
+    }
+    // the manifest partition records carry the day ordinals: a SCOPED
+    // equality delete under the days spec hits exactly its day's files
+    val day = java.time.LocalDate.of(2024, 1, 2).toEpochDay.toInt
+    import spark.implicits._
+    val day2Post = (61 to 120).filter(i => 1 + (i % 9) == 2)
+    val meta3 = IcebergExport.appendDeletes(spark, meta2,
+      equality = Some(Seq(day2Post.head.toLong).toDF("id")),
+      equalityPartition = Some(Seq(day)))
+    val after = CatalogIO.scanMetadataLocation(spark, meta3)
+    assert(after.filter(s"id = ${day2Post.head}").count() == 0L,
+      "a scoped delete must hit its own day's avro files")
+    // a pre-evolution (spec-0) row with a never-deleted id survives
+    assert(after.filter("id = 3").count() == 1L)
+    assert(after.count() == 119L)
+  }
+
   test("unpartitioned → identity(g) evolution: appended files lack the " +
       "column (fills), pre-evolution files serve their own values") {
     val base = Files.createTempDirectory("graft-specevo-id").toString

@@ -445,6 +445,52 @@ class MaintenanceCLISpec extends AnyFunSuite {
     assert(elines.exists(_.contains("--partition-fields")), elines)
   }
 
+  test("fast-forward publishes a staged WAP branch via the CLI " +
+      "(round 20): dry run commits nothing; missing --ref-name exits 2; " +
+      "divergence is a per-table failure (exit 1)") {
+    val wh = Files.createTempDirectory("maint-wh").toString
+    val hc = new HadoopFsCatalog(s"ff${uid()}", wh)
+    hc.createNamespace(graft.catalog.Namespace.of("db"))
+    val outDir = Files.createTempDirectory("maint-out").toString
+    val iceDir = s"${Files.createTempDirectory("maint-ice").toString}/t"
+    val meta1 = graft.catalog.IcebergExport.writeTable(spark,
+      spark.sql("SELECT id FROM range(1, 11)").repartition(1), iceDir)
+    val staged = graft.catalog.IcebergExport.stageSnapshot(spark,
+      spark.sql("SELECT id FROM range(11, 21)").repartition(1),
+      meta1, "audit")
+    hc.registerTable(TableRef.parse("db.t"), staged)
+    // dry run: reports, pointer unchanged, main still 10 rows
+    val (dcode, dlines) = runCli(maintArgs("fast-forward", wh, outDir,
+      "--ref-name", "audit", "--dry-run"))
+    assert(dcode == 0)
+    assert(dlines.exists(_.startsWith("Would fast-forward")), dlines)
+    assert(graft.catalog.CatalogIO.scanMetadataLocation(spark,
+      hc.loadTableMetadataLocation(TableRef.parse("db.t"))).count() == 10L)
+    // publish: main serves the audited snapshot
+    val (code, lines) = runCli(maintArgs("fast-forward", wh, outDir,
+      "--ref-name", "audit"))
+    assert(code == 0, lines)
+    assert(lines.exists(_.startsWith("Fast-forwarded main")), lines)
+    assert(graft.catalog.CatalogIO.scanMetadataLocation(spark,
+      hc.loadTableMetadataLocation(TableRef.parse("db.t"))).count() == 20L)
+    // validation: missing --ref-name is an argument error
+    val (ecode, elines) = runCli(maintArgs("fast-forward", wh, outDir))
+    assert(ecode == 2)
+    assert(elines.exists(_.contains("--ref-name")), elines)
+    // divergence: stage again, advance main, publish fails per-table
+    val loc1 = hc.loadTableMetadataLocation(TableRef.parse("db.t"))
+    val staged2 = graft.catalog.IcebergExport.stageSnapshot(spark,
+      spark.sql("SELECT id FROM range(21, 26)").repartition(1),
+      loc1, "audit2")
+    val diverged = graft.catalog.IcebergExport.appendSnapshot(spark,
+      spark.sql("SELECT id FROM range(26, 31)").repartition(1), staged2)
+    hc.replaceTablePointer(TableRef.parse("db.t"), diverged)
+    val (fcode, flines) = runCli(maintArgs("fast-forward", wh, outDir,
+      "--ref-name", "audit2"))
+    assert(fcode == 1)
+    assert(flines.exists(_.contains("not a fast-forward")), flines)
+  }
+
   test("analyze records NDV sketches via the CLI; exit 0") {
     val (wh, hc) = fragmentedTable()
     val outDir = Files.createTempDirectory("maint-out").toString
