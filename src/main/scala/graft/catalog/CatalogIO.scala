@@ -4578,8 +4578,11 @@ object CatalogIO {
     * deletes apply too — the same null-safe key anti-join + seq gate
     * as the MOR face (a row dies iff its key matches AND its file's
     * data seq predates the delete's), survivors keeping their ids
-    * exactly like the DV case. Parquet position deletes / renames /
-    * fills / non-parquet formats still refuse loudly. Lineage pairs
+    * exactly like the DV case. ORC/avro/mixed layouts (rounds 19-20),
+    * per-file fills (round 16), and uuid layouts (round 20 — the
+    * conversion seam threads through the counting read) all serve;
+    * parquet position deletes and un-materialized renames still
+    * refuse loudly. Lineage pairs
     * come from the layout's ONE manifest walk
     * ([[TableLayout.dataFileLineage]], round 16 — the plan-time double
     * walk is gone). One scan + a broadcast file-lineage join + the
@@ -4599,10 +4602,6 @@ object CatalogIO {
     if (layout.dataFormat != "parquet" && layout.dataFormat != "orc" &&
         layout.dataFormat != "avro" && layout.dataFormat != "mixed")
       refuse(s"${layout.dataFormat} data files")
-    if (layout.uuidColumns.nonEmpty)
-      refuse("uuid columns (the conversion seam is not threaded " +
-        "through the lineage counting read; rewrite the column as " +
-        "string first)")
     if (layout.posDeleteFiles.nonEmpty) refuse("parquet position deletes")
     if (layout.renameOps.nonEmpty) refuse("un-materialized renames")
     val lineage = layout.dataFileLineage.getOrElse(
@@ -4616,8 +4615,11 @@ object CatalogIO {
     // scan the SQL face plans (the MorRead bridge pattern), selecting
     // the lineage metadata columns. The base table is only the
     // non-lineage fallback; the lineage projection always builds the
-    // LineageScan, which dispatches per file format.
-    if (layout.dataFormat != "parquet") {
+    // LineageScan, which dispatches per file format. UUID layouts
+    // (round 20) take this route too — LineageScan threads the
+    // binary-to-string conversion seam (physical reads, binary-space
+    // probes, text at emit) — with GraftUuidTable as the fallback.
+    if (layout.dataFormat != "parquet" || layout.uuidColumns.nonEmpty) {
       val schema0 = org.apache.spark.sql.types.StructType.fromDDL(
         layout.schemaDdl.getOrElse(throw new IllegalStateException(
           s"$metadataLocation has no recorded schema")))
@@ -4626,6 +4628,8 @@ object CatalogIO {
       val base: org.apache.spark.sql.connector.catalog.Table
           with org.apache.spark.sql.connector.catalog.SupportsRead =
         layout.dataFormat match {
+          case _ if layout.uuidColumns.nonEmpty =>
+            new graft.sources.GraftUuidTable(spark, name, layout, Map.empty)
           case "avro" =>
             new graft.sources.GraftAvroTable(spark, name, layout, Map.empty)
           case "mixed" =>

@@ -511,24 +511,33 @@ object IcebergExport {
         s"$metadataLocation carries parquet position-delete files; the " +
           "lineage read cannot apply them — materialize first")
       // parquet/orc since rounds 18/19; avro and mixed since round 20
-      // (the lineage counting read dispatches per file format) — only
-      // renames and uuid seams still gate
+      // (the lineage counting read dispatches per file format); uuid
+      // layouts since late round 20 (the lineage read threads the
+      // conversion seam) — only renames still gate
       require(lay.renameOps.isEmpty,
         s"$metadataLocation: v3 rewrites read through the lineage face " +
           "(no un-materialized renames)")
-      require(lay.uuidColumns.isEmpty,
-        s"$metadataLocation: v3 rewrites of uuid-bearing tables are not " +
-          "supported (the lineage read does not thread the conversion " +
-          "seam); rewrite the column as string first")
     } else require(st.priorEntries.forall(_.content == 0),
       s"$metadataLocation carries live delete files; a rewrite would " +
         "change row visibility — materialize the deletes first")
     val seq = st.lastSeq + 1
     val snapshotId = newSnapshotId()
-    val rows =
+    val rows0 =
       if (v3) CatalogIO.scanIcebergLineage(spark, metadataLocation)
       else CatalogIO.scanIcebergSnapshot(spark, metadataLocation,
         st.curSnapshotId)
+    // uuid columns (round 20): the scan faces serve the canonical
+    // STRING form; the rewrite writes the PHYSICAL 16-byte form back —
+    // the appendSnapshot convention (validated per row), so the
+    // rewritten layout keeps serving through the conversion seam on
+    // every face. Applies on v1/v2 too: a string-form rewrite under a
+    // uuid-typed schema would break every subsequent read.
+    val rewriteUuidCols: Seq[String] = st.schemaNode.get("fields")
+      .elements().asScala
+      .filter(f => f.get("type").isTextual && f.get("type").asText == "uuid")
+      .map(_.get("name").asText).toSeq
+    val rows = rewriteUuidCols.foldLeft(rows0)((d, c) =>
+      d.withColumn(c, CatalogIO.uuidBinaryColumn(d.col(c))))
     val totalBytes = CatalogIO.readLayout(metadataLocation, conf)
       .dataFileSizes.map(_.filter(_ > 0).sum).getOrElse(0L)
     val parts = math.max(1L,

@@ -52,10 +52,14 @@ import graft.catalog.CatalogIO.TableLayout
   * reported unhandled). Parquet, ORC (round 19), avro, and mixed
   * layouts all serve (round 20 — per-file format dispatch; avro files
   * decode whole-file through [[AvroRead.openSlice]]); per-file
-  * constant fills inject below the counter (round 16). States whose
-  * machinery cannot thread a per-row position through this face
-  * refuse loudly: parquet position deletes, renames, uuid conversion
-  * columns, over-threshold delete sets. */
+  * constant fills inject below the counter (round 16). UUID layouts
+  * serve too (round 20): the scan reads the PHYSICAL 16-byte binary
+  * form — probes, fills, and position counting all run in binary
+  * space, the [[GraftUuidTable]] layering argument — and converts to
+  * the canonical text only at emit, so survivors keep their counted
+  * positions. States whose machinery cannot thread a per-row position
+  * through this face refuse loudly: parquet position deletes, renames,
+  * over-threshold delete sets. */
 final class GraftLineageTable(inner: Table with SupportsRead,
     spark: SparkSession, label: String, layout: TableLayout,
     hadoopOpts: Map[String, String])
@@ -217,12 +221,6 @@ private final class LineageScan(spark: SparkSession, label: String,
   if (layout.dataFormat != "parquet" && layout.dataFormat != "orc" &&
       layout.dataFormat != "avro" && layout.dataFormat != "mixed")
     refuse(s"${layout.dataFormat} data files")
-  // the uuid conversion seam is not threaded through this counting
-  // read — a registered v3 pointer with uuid columns refuses loudly
-  // instead of dying on the physical/served schema mismatch
-  if (layout.uuidColumns.nonEmpty)
-    refuse("uuid columns (the binary-to-string conversion seam is not " +
-      "threaded through the lineage counting read)")
   if (layout.posDeleteFiles.nonEmpty) refuse("parquet position deletes")
   if (layout.renameOps.nonEmpty) refuse("un-materialized renames")
   // per-file constant fills SERVE (round 16): the injection wraps the
@@ -239,6 +237,25 @@ private final class LineageScan(spark: SparkSession, label: String,
     StructType.fromDDL(layout.schemaDdl.getOrElse(
       throw new IllegalStateException(s"$label has no recorded schema")))
       .fields.map(_.copy(nullable = true)))
+  // uuid columns (round 20): the conversion seam threads THROUGH this
+  // counting read — the inner scan reads the PHYSICAL 16-byte binary
+  // form (the fixed[16] files refuse a string read schema), eq probes
+  // and fill constants run in binary space (MorScan.normalize makes
+  // byte arrays content-comparable; FillInjection adapts
+  // canonical-string constants to bytes), and only the emit loop
+  // converts survivors' values to the canonical text — a 1:1 value
+  // map, so counted positions are untouched. Layout invariants keep
+  // uuid layouts parquet-only with no renames, so no avro/epoch
+  // interplay exists on this path.
+  private val uuidCols = layout.uuidColumns.toSet
+  private def physicalOf(s: StructType): StructType =
+    if (uuidCols.isEmpty) s
+    else StructType(s.fields.map(f =>
+      if (uuidCols(f.name) &&
+          f.dataType == org.apache.spark.sql.types.StringType)
+        f.copy(dataType = org.apache.spark.sql.types.BinaryType)
+      else f))
+  private val physicalTable = physicalOf(tableSchema)
   private val dataFields =
     required.fields.filterNot(f => GraftLineageTable.LineageColumns(f.name))
 
@@ -281,10 +298,14 @@ private final class LineageScan(spark: SparkSession, label: String,
       val raw = graft.catalog.CatalogIO.readDeleteFiles(spark,
         hadoopOpts, Seq(abs), footerConf)
       val cols = raw.columns.toVector
-      val fields = cols.map(c => tableSchema.find(_.name.equalsIgnoreCase(c))
+      // uuid key columns resolve to their PHYSICAL binary form: engine
+      // delete files on adopted uuid tables store the 16-byte value
+      // (a foreign fixed16-annotated key fails the load loudly — the
+      // GraftUuidTable contract)
+      val fields = cols.map(c => physicalTable.find(_.name.equalsIgnoreCase(c))
         .getOrElse(throw new IllegalStateException(
           s"equality-delete column $c not in table schema " +
-            tableSchema.fieldNames.mkString("(", ", ", ")"))))
+            physicalTable.fieldNames.mkString("(", ", ", ")"))))
       val typed = cols.zip(fields).foldLeft(raw) { case (d, (c, f)) =>
         d.withColumn(c, d.col(c).cast(f.dataType))
       }
@@ -303,7 +324,7 @@ private final class LineageScan(spark: SparkSession, label: String,
   private val extraKeyFields: Array[org.apache.spark.sql.types.StructField] =
     eqDeletes.flatMap(_.cols).distinct
       .filterNot(c => dataFields.exists(_.name.equalsIgnoreCase(c)))
-      .map(c => tableSchema.find(_.name.equalsIgnoreCase(c)).get)
+      .map(c => physicalTable.find(_.name.equalsIgnoreCase(c)).get)
       .toArray
   // MATERIALIZED lineage (round 18 — lineage-preserving rewrites):
   // compacted v3 files carry `_row_id` / `_last_updated_sequence_number`
@@ -319,7 +340,9 @@ private final class LineageScan(spark: SparkSession, label: String,
       org.apache.spark.sql.types.StructField(
         "_last_updated_sequence_number",
         org.apache.spark.sql.types.LongType, nullable = true))
-  private val innerFields = dataFields ++ extraKeyFields ++ matFields
+  // inner reads carry the physical form of every projected column
+  private val innerFields =
+    physicalOf(StructType(dataFields)).fields ++ extraKeyFields ++ matFields
   private val dataSchema = StructType(innerFields)
   private val matRowIdOrd = innerFields.length - 2
   private val matSeqOrd = innerFields.length - 1
@@ -332,6 +355,9 @@ private final class LineageScan(spark: SparkSession, label: String,
     else innerFields.indexWhere(_.name == f.name)
   }
   private val fieldTypes: Array[DataType] = innerFields.map(_.dataType)
+  // per required field: convert the physical 16-byte value to its
+  // canonical uuid text at emit (round 20)
+  private val uuidOut: Array[Boolean] = required.fields.map(f => uuidCols(f.name))
   // per delete: (delete seq, key ordinals into the inner row, key types,
   // tuple set) — resolved once, shipped to every reader
   private val eqProbes: Array[LineageEqProbe] = eqDeletes.map { d =>
@@ -370,7 +396,7 @@ private final class LineageScan(spark: SparkSession, label: String,
     // pruning drops columns outside the declared schema, and the stock
     // readers (and the avro decoder) serve NULL where a file lacks
     // them (ordinary appends)
-    val widened = StructType(tableSchema.fields ++ matFields)
+    val widened = StructType(physicalTable.fields ++ matFields)
     layout.absoluteDataFiles.getOrElse(Nil).zip(fileFormats)
       .filterNot(_._2 == "avro")
       .groupBy(_._2).toSeq.sortBy(_._1)
@@ -462,7 +488,7 @@ private final class LineageScan(spark: SparkSession, label: String,
     new LineageReaderFactory(
       stockScans.map(_._2.toBatch.createReaderFactory()).toArray,
       new SerializableConfiguration(conf), fieldPlan, fieldTypes, eqProbes,
-      dataSchema, matRowIdOrd, matSeqOrd)
+      dataSchema, matRowIdOrd, matSeqOrd, uuidOut)
   }
 }
 
@@ -499,7 +525,8 @@ private final class LineageReaderFactory(
     factories: Array[PartitionReaderFactory],
     conf: SerializableConfiguration, fieldPlan: Array[Int],
     fieldTypes: Array[DataType], eqProbes: Array[LineageEqProbe],
-    innerSchema: StructType, matRowIdOrd: Int, matSeqOrd: Int)
+    innerSchema: StructType, matRowIdOrd: Int, matSeqOrd: Int,
+    uuidOut: Array[Boolean])
   extends PartitionReaderFactory {
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
@@ -533,7 +560,7 @@ private final class LineageReaderFactory(
       lp.dataSeq, deleted, fieldPlan, fieldTypes,
       eqProbes.filter(p =>
         p.targets.fold(lp.dataSeq < p.seq)(_.contains(lp.rel))),
-      matRowIdOrd, matSeqOrd)
+      matRowIdOrd, matSeqOrd, uuidOut)
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean = false
@@ -549,7 +576,8 @@ private final class LineageRowReader(inner: PartitionReader[InternalRow],
     firstRowId: Option[Long], dataSeq: Long,
     deleted: graft.catalog.DeletionVectors.PositionSet,
     fieldPlan: Array[Int], fieldTypes: Array[DataType],
-    probes: Array[LineageEqProbe], matRowIdOrd: Int, matSeqOrd: Int)
+    probes: Array[LineageEqProbe], matRowIdOrd: Int, matSeqOrd: Int,
+    uuidOut: Array[Boolean])
   extends PartitionReader[InternalRow] {
 
   private var pos = -1L
@@ -592,6 +620,8 @@ private final class LineageRowReader(inner: PartitionReader[InternalRow],
                 else dataSeq
               }
               else if (row.isNullAt(o)) null
+              // uuid columns: physical 16 bytes → canonical text
+              else if (uuidOut(i)) UuidScan.text(row.getBinary(o))
               else row.get(o, fieldTypes(o))
             i += 1
           }

@@ -166,7 +166,7 @@ private final class UuidScan(private val inner: Scan,
       servedSchema, uuidAt)
 }
 
-private final class UuidReaderFactory(inner: PartitionReaderFactory,
+private[graft] final class UuidReaderFactory(inner: PartitionReaderFactory,
     servedSchema: StructType, uuidAt: Array[Boolean])
   extends PartitionReaderFactory {
 
@@ -198,7 +198,7 @@ private final class UuidReaderFactory(inner: PartitionReaderFactory,
     }
 }
 
-private object UuidScan {
+private[graft] object UuidScan {
   /** Canonical 8-4-4-4-12 lowercase text of a 16-byte uuid value. */
   def text(bytes: Array[Byte]): UTF8String = {
     require(bytes.length == 16,
@@ -207,4 +207,28 @@ private object UuidScan {
     UTF8String.fromString(
       new java.util.UUID(bb.getLong, bb.getLong).toString)
   }
+
+  /** The served (string) form of a physical schema's uuid columns. */
+  def servedOf(physical: StructType, uuidCols: Set[String]): StructType =
+    StructType(physical.fields.map(f =>
+      if (uuidCols(f.name) && f.dataType == BinaryType)
+        f.copy(dataType = StringType)
+      else f))
+
+  /** The physical (16-byte binary) form of a served schema's uuid
+    * columns. */
+  def physicalOf(served: StructType, uuidCols: Set[String]): StructType =
+    StructType(served.fields.map(f =>
+      if (uuidCols(f.name) && f.dataType == StringType)
+        f.copy(dataType = BinaryType)
+      else f))
+
+  /** Wraps a reader factory whose rows carry the PHYSICAL binary form
+    * with the per-row binary-to-string conversion (round 20 — the
+    * streaming faces thread the seam through this; the DSv2 scan above
+    * does its own wrap). Row reads only. */
+  def wrap(inner: PartitionReaderFactory, served: StructType,
+      uuidCols: Set[String]): PartitionReaderFactory =
+    new UuidReaderFactory(inner, served,
+      served.fields.map(f => uuidCols(f.name)))
 }

@@ -312,8 +312,18 @@ private[streaming] object StreamScans {
     * batch faces; round 16). */
   def planGroups(name: String, tableSchema: StructType,
       hadoopConf: Map[String, String],
-      groups: Seq[(String, Seq[(String, String, Seq[(String, Any)])])])
+      groups: Seq[(String, Seq[(String, String, Seq[(String, Any)])])],
+      uuidColumns: Set[String] = Set.empty)
       : (Array[InputPartition], StreamReaderFactory) = {
+    // adopted uuid layouts (round 20): the per-batch scans read the
+    // PHYSICAL 16-byte binary form — the fixed[16] (or engine-appended
+    // plain-binary) files refuse a string read schema — with fills
+    // injected in binary space (FillInjection adapts canonical-string
+    // constants) and one converting row reader above each factory,
+    // exactly the GraftUuidTable layering
+    val scanSchema =
+      if (uuidColumns.isEmpty) tableSchema
+      else graft.sources.UuidScan.physicalOf(tableSchema, uuidColumns)
     val factories = Vector.newBuilder[PartitionReaderFactory]
     val parts = Vector.newBuilder[InputPartition]
     var fi = -1
@@ -332,10 +342,13 @@ private[streaming] object StreamScans {
           // file-path reads without basePath infer nothing)
           val relocated = fs.exists { case (f, _, _) =>
             graft.catalog.CatalogIO.isAbsoluteSpelling(f) }
-          val scan = scanOver(name, tableSchema, hadoopConf, fmt, abs, loc,
+          val scan = scanOver(name, scanSchema, hadoopConf, fmt, abs, loc,
             useBasePath = fills.isEmpty && !relocated)
-          val factory = graft.sources.FillInjection.wrap(
+          val filled = graft.sources.FillInjection.wrap(
             scan.toBatch.createReaderFactory(), fills, scan.readSchema())
+          val factory =
+            if (uuidColumns.isEmpty) filled
+            else graft.sources.UuidScan.wrap(filled, tableSchema, uuidColumns)
           factories += factory
           fi += 1
           scan.toBatch.planInputPartitions().foreach { p =>
@@ -479,15 +492,6 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
       throw new UnsupportedOperationException(
         s"Table $ref carries un-materialized column renames; compact to " +
           "materialize them before streaming reads")
-    // adopted uuid layouts (round 20): the stream's stock per-batch
-    // scans read the served STRING schema, which the 16-byte physical
-    // files refuse — no conversion seam is threaded here. Refuse at
-    // plan time with the fix named, never a mid-batch decode error.
-    if (to.uuidColumns.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"Table $ref serves uuid columns through the binary-to-string " +
-          "conversion seam, which streaming reads do not thread; " +
-          "compact the table first (it materializes the strings)")
     // adopted non-parquet tables (round 16): each batch file streams
     // through ITS format's stock reader — an adopted ORC base reached
     // by an `earliest` bootstrap (or a mixed table's full history)
@@ -520,12 +524,15 @@ private[streaming] final class GraftTableMicroBatchStream(cfg: CatalogConfig,
       case Some(fills) => to.dataFiles.getOrElse(Nil).zip(fills).toMap
       case None => Map.empty
     }
+    // adopted uuid layouts (round 20): the conversion seam threads
+    // through the per-batch scans — physical binary reads, canonical
+    // text above (StreamScans.planGroups)
     val (parts, factory) = StreamScans.planGroups(s"$ref-stream",
       tableSchema, cfg.hadoopConf,
       live.map { case (segLoc, added) =>
         (segLoc, added.map { case (f, _) =>
           (f, fmtOf(segLoc, f), fillsByRel.getOrElse(f, Seq.empty)) })
-      })
+      }, uuidColumns = to.uuidColumns.toSet)
     lastFactory = factory
     parts
   }
@@ -844,8 +851,12 @@ private[streaming] final class IcebergMicroBatchStream(cfg: CatalogConfig,
     // StreamScans refuses anything else loudly); the TABLE may be mixed
     // (orc base + parquet appends) since only the increment is read here
     if (added.isEmpty) return Array.empty
+    // uuid pointer streams (round 20): before the seam threaded here, a
+    // fixed[16] batch file would have died mid-batch on the string read
+    // schema — now the physical form streams and converts per row
     val (parts, factory) = StreamScans.planGroups(s"$ref-icestream",
-      tableSchema, cfg.hadoopConf, Seq((toL.dataLocation, added)))
+      tableSchema, cfg.hadoopConf, Seq((toL.dataLocation, added)),
+      uuidColumns = toL.uuidColumns.toSet)
     lastFactory = factory
     parts
   }

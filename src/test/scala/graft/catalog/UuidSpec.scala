@@ -56,7 +56,8 @@ class UuidSpec extends AnyFunSuite {
     w.close()
   }
 
-  private def writeTable(dir: String, uuidFieldJson: String): String = {
+  private def writeTable(dir: String, uuidFieldJson: String,
+      formatVersion: Int = 2, baseSeq: Long = 0L): String = {
     val fs = new Path(dir).getFileSystem(conf)
     fs.mkdirs(new Path(dir, "data"))
     fs.mkdirs(new Path(dir, "metadata"))
@@ -100,22 +101,28 @@ class UuidSpec extends AnyFunSuite {
     val le = new GenericData.Record(listSchema)
     le.put("manifest_path", fs.makeQualified(m).toString)
     le.put("manifest_length", fs.getFileStatus(m).getLen)
-    le.put("content", 0); le.put("sequence_number", 0L)
-    le.put("min_sequence_number", 0L); le.put("added_snapshot_id", 7L)
+    le.put("content", 0); le.put("sequence_number", baseSeq)
+    le.put("min_sequence_number", baseSeq); le.put("added_snapshot_id", 7L)
     lw.append(le); lw.close()
     val loc = fs.makeQualified(new Path(dir)).toString
     val p = new Path(dir, "metadata/v1.metadata.json")
     val out = fs.create(p, true)
+    // v3 fixtures (round 20 — uuid + row lineage): the snapshot's
+    // first-row-id anchors the manifest-list inheritance; positions
+    // were written in k order, so _row_id == k - 1
+    val v3Fields =
+      if (formatVersion >= 3) """ "next-row-id": 20,""" else ""
+    val v3Snap = if (formatVersion >= 3) """ "first-row-id": 0,""" else ""
     try out.write(
-      s"""{"format-version": 2, "location": "$loc",
-         |"last-sequence-number": 0,
+      s"""{"format-version": $formatVersion, "location": "$loc",
+         |"last-sequence-number": $baseSeq,$v3Fields
          |"schemas": [{"type": "struct", "schema-id": 0, "fields": [
          |  $uuidFieldJson,
          |  {"id": 2, "name": "k", "required": true, "type": "long"}]}],
          |"current-schema-id": 0,
          |"current-snapshot-id": 7,
          |"snapshots": [{"snapshot-id": 7, "schema-id": 0,
-         |  "sequence-number": 0,
+         |  "sequence-number": $baseSeq,$v3Snap
          |  "manifest-list": "${fs.makeQualified(ml)}"}]}""".stripMargin
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
@@ -239,6 +246,96 @@ class UuidSpec extends AnyFunSuite {
           s"SELECT k FROM $cat.db.ua WHERE u = '${uuidOf(21)}'")
           .collect().map(_.getLong(0)).toSeq == Seq(21L))
     }
+  }
+
+  test("adopted uuid layouts STREAM (round 20): earliest bootstrap over " +
+      "the fixed[16] base and post-adoption appends serve canonical " +
+      "strings per micro-batch") {
+    val dir = s"${Files.createTempDirectory("graft-uuid-s").toString}/t"
+    val metaP = writeTable(dir,
+      """{"id": 1, "name": "u", "required": false, "type": "uuid"}""")
+    val wh = Files.createTempDirectory("graft-uuid-s-wh").toString
+    val hc = new HadoopFsCatalog("uuidstream", wh)
+    hc.createNamespace(Namespace.of("db"))
+    val ref = TableRef.parse("db.us")
+    CatalogIO.adoptIcebergTable(spark, hc, ref, metaP)
+    val name = s"us${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    val q = spark.readStream.format("graft-table")
+      .option("type", "hadoop").option("warehouse", wh)
+      .option("table", "db.us").option("startingVersion", "earliest")
+      .load().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def rows(): Seq[(String, Long)] = spark.table(name)
+        .select("u", "k").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._2)
+      val base = (1 to 20).map(i =>
+        (if (i % 5 == 0) null else uuidOf(i).toString, i.toLong))
+      assert(rows() == base,
+        "the earliest bootstrap must convert the fixed[16] base per row")
+      // post-adoption append: the engine writes the 16-byte form
+      // (uuidBinaryColumn); the next micro-batch converts it back
+      CatalogIO.commitAppend(spark, hc, ref, spark.createDataFrame(
+        spark.sparkContext.parallelize(Seq(
+          org.apache.spark.sql.Row(uuidOf(21).toString, 21L),
+          org.apache.spark.sql.Row(null, 22L)), 1),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "u STRING, k BIGINT NOT NULL")))
+      q.processAllAvailable()
+      assert(rows() == base ++ Seq((uuidOf(21).toString, 21L), (null, 22L)),
+        "appended micro-batches ride the same conversion seam")
+    } finally q.stop()
+  }
+
+  test("uuid ICEBERG POINTER streams (round 20): the snapshot-chain " +
+      "stream converts each batch's fixed[16] files per row") {
+    val dir = s"${Files.createTempDirectory("graft-uuid-ps").toString}/t"
+    // base seq 1: pointer-stream offsets are sequence numbers and the
+    // earliest bootstrap serves (0, e] — a seq-0 base predates every
+    // offset range (real exported tables start at seq 1)
+    val metaP = writeTable(dir,
+      """{"id": 1, "name": "u", "required": false, "type": "uuid"}""",
+      baseSeq = 1L)
+    // a second snapshot via the exporter (the append path carries the
+    // PHYSICAL 16-byte form)
+    val bytes21 = {
+      val id = uuidOf(21)
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(id.getMostSignificantBits)
+      bb.putLong(id.getLeastSignificantBits)
+      bb.array()
+    }
+    val appendDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(
+        org.apache.spark.sql.Row(bytes21, 21L)), 1),
+      org.apache.spark.sql.types.StructType.fromDDL(
+        "u BINARY, k BIGINT NOT NULL"))
+    val wh = Files.createTempDirectory("graft-uuid-ps-wh").toString
+    val hc = new HadoopFsCatalog("uuidpstream", wh)
+    hc.createNamespace(Namespace.of("db"))
+    val ref = TableRef.parse("db.up")
+    hc.registerTable(ref, metaP)
+    val name = s"up${java.util.UUID.randomUUID().toString.take(8).replace("-", "")}"
+    val q = spark.readStream.format("graft-table")
+      .option("type", "hadoop").option("warehouse", wh)
+      .option("table", "db.up").option("startingVersion", "earliest")
+      .load().writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      def rows(): Seq[(String, Long)] = spark.table(name)
+        .select("u", "k").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._2)
+      val base = (1 to 20).map(i =>
+        (if (i % 5 == 0) null else uuidOf(i).toString, i.toLong))
+      assert(rows() == base, "pointer bootstrap converts the base batch")
+      val meta2 = IcebergExport.appendSnapshot(spark, appendDf, metaP)
+      hc.replaceTablePointer(ref, meta2)
+      q.processAllAvailable()
+      assert(rows() == base :+ (uuidOf(21).toString, 21L),
+        "appended snapshots convert through the same seam")
+    } finally q.stop()
   }
 
   /** A PARTITIONED uuid table (round 19 — judge r18 #3): two data
@@ -438,6 +535,116 @@ class UuidSpec extends AnyFunSuite {
       .select("k").collect().map(_.getLong(0)).sorted.toSeq
     assert(after == (2 to 20).filterNot(Set(3, 6, 7)).map(_.toLong),
       s"row 0 (k=1) must die positionally: $after")
+  }
+
+  test("uuid + v3 ROW LINEAGE compose (round 20): _row_id served over " +
+      "the conversion seam, eq deletes on the uuid key keep survivor ids, " +
+      "both faces") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = s"${Files.createTempDirectory("graft-uuid-lin").toString}/t"
+    val metaP = writeTable(dir,
+      """{"id": 1, "name": "u", "required": false, "type": "uuid"}""",
+      formatVersion = 3)
+    // pre-delete: every row serves lineage; the file was written in k
+    // order under first-row-id 0, so _row_id == k - 1 exactly
+    val plain = CatalogIO.scanIcebergLineage(spark, metaP)
+    assert(plain.schema("u").dataType ==
+      org.apache.spark.sql.types.StringType)
+    assert(plain.count() == 20)
+    assert(plain.filter(col("_row_id") =!= col("k") - 1L).count() == 0)
+    assert(plain.filter(col("k") === 4L).select("u").head.getString(0)
+      == uuidOf(4).toString, "canonical text above the counting read")
+    assert(plain.filter(col("k") === 5L).select("u").head.isNullAt(0))
+    // eq delete keyed ON THE UUID COLUMN (16-byte tuple — the probe
+    // runs in binary space below the emit conversion) kills k = 6;
+    // a data-column delete kills 3 and 7
+    val uuidBytes = {
+      val id = uuidOf(6)
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(id.getMostSignificantBits)
+      bb.putLong(id.getLeastSignificantBits)
+      bb.array()
+    }
+    val meta1 = IcebergExport.appendDeletes(spark, metaP,
+      equality = Some(Seq(Tuple1(uuidBytes)).toDF("u")))
+    val meta2 = IcebergExport.appendDeletes(spark, meta1,
+      equality = Some(Seq(3L, 7L).toDF("k")))
+    val expect = (1 to 20).filterNot(Set(3, 6, 7)).map(i =>
+      (if (i % 5 == 0) null else uuidOf(i).toString, i.toLong, i - 1L))
+    def check(rows: Seq[(String, Long, Long)], face: String): Unit =
+      assert(rows.sortBy(_._2) == expect, s"$face rows")
+    val lib = CatalogIO.scanIcebergLineage(spark, meta2)
+      .select("u", "k", "_row_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    check(lib, "library")
+    // survivors keep their counted positions — the uuid conversion is
+    // a 1:1 value map above the counter and the probes
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-uuid-lin") {
+      (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        hc.registerTable(TableRef.parse("db.ul"), meta2)
+        val sql = spark.sql(
+          s"SELECT u, k, _row_id FROM $cat.db.ul").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+        check(sql, "SQL")
+        // a projection WITHOUT the uuid column still probes it (the
+        // extra-key route reads the physical form)
+        val noU = spark.sql(
+          s"SELECT k, _row_id FROM $cat.db.ul WHERE k <= 8").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+        assert(noU == Seq((1L, 0L), (2L, 1L), (4L, 3L), (5L, 4L),
+          (8L, 7L)), s"projection without u: $noU")
+        // sequence face: every surviving row's file carries data seq 0
+        assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.ul WHERE " +
+          "_last_updated_sequence_number != 0").collect()
+          .head.getLong(0) == 0L)
+    }
+  }
+
+  test("v3 REWRITES of uuid tables (round 20): lineage preserved, live " +
+      "deletes materialize away, the rewritten files keep the physical " +
+      "16-byte form on every face") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dir = s"${Files.createTempDirectory("graft-uuid-rw").toString}/t"
+    val metaP = writeTable(dir,
+      """{"id": 1, "name": "u", "required": false, "type": "uuid"}""",
+      formatVersion = 3)
+    // live deletes: the uuid key kills k = 6, the data key kills 3
+    val uuidBytes6 = {
+      val id = uuidOf(6)
+      val bb = java.nio.ByteBuffer.allocate(16)
+      bb.putLong(id.getMostSignificantBits)
+      bb.putLong(id.getLeastSignificantBits)
+      bb.array()
+    }
+    val meta1 = IcebergExport.appendDeletes(spark, metaP,
+      equality = Some(Seq(Tuple1(uuidBytes6)).toDF("u")))
+    val meta2 = IcebergExport.appendDeletes(spark, meta1,
+      equality = Some(Seq(3L).toDF("k")))
+    val meta3 = IcebergExport.rewriteSnapshot(spark, meta2)
+    val after = CatalogIO.readLayout(meta3, conf)
+    assert(after.deleteFiles.isEmpty, "the rewrite materializes deletes")
+    assert(after.uuidColumns == Seq("u"),
+      "the uuid schema (and so the conversion seam) survives the rewrite")
+    val expect = (1 to 20).filterNot(Set(3, 6)).map(i =>
+      (if (i % 5 == 0) null else uuidOf(i).toString, i.toLong, i - 1L))
+    // plain reads serve canonical strings off the rewritten binary files
+    val plainRows = CatalogIO.scanMetadataLocation(spark, meta3)
+      .select("u", "k").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._2)
+    assert(plainRows == expect.map(t => (t._1, t._2)), s"plain: $plainRows")
+    // lineage reads serve the MATERIALIZED ids — survivors keep k - 1
+    val lin = CatalogIO.scanIcebergLineage(spark, meta3)
+      .select("u", "k", "_row_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._2)
+    assert(lin == expect, s"lineage: $lin")
+    // a uuid filter still answers above the seam post-rewrite
+    assert(CatalogIO.scanMetadataLocation(spark, meta3)
+      .filter(col("u") === uuidOf(4).toString).select("k")
+      .collect().map(_.getLong(0)).toSeq == Seq(4L))
   }
 
   test("the uuid TRIPLE composes (round 20): fills + live deletes on a " +
