@@ -339,12 +339,14 @@ object CatalogIO {
       dataFormat == "avro" || dataFormat == "mixed",
       s"unsupported data file format '$dataFormat' (parquet, orc, avro, or mixed)")
     // renames resolve per-file physical names (epoch machinery) from
-    // parquet footer field ids or ORC schema attributes; deletes need a
-    // whole-file counting read, which parquet AND ORC serve (round 16 —
-    // the graft.sources.MorScan/EpochScan generalizations)
-    require(dataFormat == "parquet" || dataFormat == "orc" ||
-      renameOps.isEmpty,
-      "renames ride the parquet/ORC epoch scan only")
+    // parquet footer field ids or ORC schema attributes; the engine's
+    // avro decoder resolves record fields BY NAME, so an epoch's
+    // physical schema reads each file under the names it was written
+    // with (round 20 — graft.sources.GraftEpochTable's avro route).
+    // MIXED layouts keep refusing: one epoch map cannot address files
+    // whose formats disagree on the name-resolution mechanism.
+    require(dataFormat != "mixed" || renameOps.isEmpty,
+      "renames ride the homogeneous parquet/ORC/avro epoch scan only")
     // round 18: MIXED layouts serve live deletes — scans split per
     // format group, each riding its own counting read. Round 19: AVRO
     // serves them too (judge r18 #4) — the counting read transfers to
@@ -3218,10 +3220,16 @@ object CatalogIO {
       // counting-read scan the SQL face plans (AvroMorScan), via the
       // registry bridge — `_metadata.row_index` is parquet-only, and
       // the engine's avro decoder is the only avro reader here.
-      // seqGated avro is always delete-live (avro + renames refuses
-      // at the layout).
+      // Rename-only avro layouts (round 20) ride the SAME epoch
+      // machinery the SQL face plans (the avro decoder resolves fields
+      // by name per epoch); renames + deletes on avro refuses inside
+      // the epoch-MOR composition with compaction named.
       case Some(_) if layout.seqGated && layout.dataFormat == "avro" =>
-        graft.sources.AvroMorRead.dataFrame(spark, layout, options)
+        if (layout.deleteFiles.nonEmpty && layout.renameOps.nonEmpty)
+          graft.sources.EpochMorRead.dataFrame(spark, layout, options)
+        else if (layout.deleteFiles.nonEmpty)
+          graft.sources.AvroMorRead.dataFrame(spark, layout, options)
+        else graft.sources.EpochRead.dataFrame(spark, layout, options)
       // MIXED + live deletes (round 18 — the one-commit Flink upsert
       // on a migrated ORC base): split into per-format restricted
       // layouts and recurse — each group rides this function's own

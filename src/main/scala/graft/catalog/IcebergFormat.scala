@@ -675,13 +675,18 @@ object IcebergFormat {
       // physical names resolve from ORC schema attributes (`iceberg.id`,
       // what Iceberg's own ORC writer records) exactly like parquet
       // footer field ids, and the epoch scan serves both stock readers.
-      // Avro and mixed layouts keep refusing: no epoch scan routes them.
-      if (dataFormat != "parquet" && dataFormat != "orc")
+      // Round 20: AVRO joins too — field ids resolve from the object
+      // container's record-schema `field-id` props (Iceberg's avro
+      // spec; the FooterFields branch fills added in round 19), and the
+      // epoch scan routes the engine's sync-split decoder per epoch.
+      // MIXED layouts keep refusing: one epoch map cannot span files
+      // whose formats disagree on the resolution mechanism.
+      if (dataFormat == "mixed")
         throw new UnsupportedOperationException(
-          s"Iceberg metadata $metadataLocation: $dataFormat data files " +
+          s"Iceberg metadata $metadataLocation: mixed-format data files " +
             "with un-materialized column renames — the epoch mapping " +
-            "reads parquet footer field ids / ORC schema attributes; " +
-            "rewrite the table (compact) to materialize the rename first")
+            "serves homogeneous parquet/ORC/avro layouts; rewrite the " +
+            "table (compact) to materialize the rename first")
       if (deleteFiles.nonEmpty)
         throw new UnsupportedOperationException(
           s"Iceberg metadata $metadataLocation: the table has renamed " +
@@ -1004,8 +1009,15 @@ object IcebergFormat {
                 Vector.empty
               else rec.getFields.asScala.flatMap { f =>
                 val nm = prefix + f.name
+                // Iceberg's own avro writer records field-id as a JSON
+                // NUMBER (getProp serves string props only — getObjectProp
+                // is the numeric face); engine-written files may carry
+                // either form
                 val own = nm -> Option(f.getProp("field-id"))
                   .flatMap(_.toIntOption)
+                  .orElse(Option(f.getObjectProp("field-id")).collect {
+                    case n: java.lang.Number => n.intValue
+                  })
                 own +: walk(f.schema(), nm + ".")
               }.toVector
             }

@@ -83,11 +83,23 @@ final class GraftEpochTable(spark: SparkSession, tableName: String,
       // physical schema carries them under their current names; the
       // size-completeness and partition guards live in tableFor
       val manifest: Option[Table with SupportsRead] =
-        if (!manifestPlanning) None
+        if (!manifestPlanning || layout.dataFormat == "avro") None
         else ManifestFileIndex.tableFor(s"$tableName@epoch", spark,
           hadoopOpts, layout, schemaOverride = Some(physSchema),
           fileSubset = Some(files.map(relByAbs)))
-      val table = manifest.getOrElse {
+      // AVRO epochs (round 20): the engine's sync-split decoder resolves
+      // record fields BY NAME, so handing it the epoch's physical schema
+      // reads each file under the names it was written with — rows stay
+      // position-identical to the current schema, the same trick as the
+      // stock formats. GraftAvroTable is already manifest-planned (file
+      // list + sizes + pruning stats ride the sub-layout).
+      val table =
+        if (layout.dataFormat == "avro")
+          new GraftAvroTable(spark, s"$tableName@epoch",
+            layout.retainDataFiles(files.map(relByAbs).toSet).copy(
+              schemaDdl = Some(physSchema.toDDL), renameOps = Nil),
+            hadoopOpts)
+        else manifest.getOrElse {
         val opts = new CaseInsensitiveStringMap(
           (hadoopOpts + ("basePath" -> layout.dataLocation)).asJava)
         layout.dataFormat match {
@@ -99,7 +111,7 @@ final class GraftEpochTable(spark: SparkSession, tableName: String,
             fallbackFileFormat = classOf[OrcFileFormat])
           case other => throw new IllegalStateException(
             s"renamed table $tableName has $other data files; the epoch " +
-              "scan serves parquet and ORC only")
+              "scan serves parquet, ORC, and avro only")
         }
       }
       (m, table)
@@ -116,13 +128,16 @@ final class GraftEpochTable(spark: SparkSession, tableName: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EpochScanBuilder(epochTables.map { case (m, t) =>
       t.newScanBuilder(options) match {
-        // both stock builders share the FileScanBuilder pruning/pushdown
-        // seam; anything else would mis-serve physical names — refuse
-        case f @ (_: ParquetScanBuilder | _: OrcScanBuilder) =>
-          (m, f.asInstanceOf[FileScanBuilder])
+        // the stock builders share the FileScanBuilder pruning/pushdown
+        // seam; the avro builder implements the same two interfaces
+        // (round 20). Anything else would mis-serve physical names.
+        case f @ (_: ParquetScanBuilder | _: OrcScanBuilder |
+                  _: AvroScanBuilder) =>
+          (m, f.asInstanceOf[ScanBuilder with SupportsPushDownRequiredColumns
+            with SupportsPushDownCatalystFilters])
         case other => throw new IllegalStateException(
-          s"epoch scan needs a parquet or ORC FileScanBuilder delegate, " +
-            s"got ${other.getClass.getName} for $tableName")
+          s"epoch scan needs a parquet, ORC, or avro pruning/pushdown " +
+            s"delegate, got ${other.getClass.getName} for $tableName")
       }
     })
 }
@@ -133,7 +148,9 @@ final class GraftEpochTable(spark: SparkSession, tableName: String,
   * them post-scan — the per-epoch pushdown still prunes partitions,
   * row groups, and pages. */
 private final class EpochScanBuilder(
-    builders: Seq[(Map[String, String], FileScanBuilder)])
+    builders: Seq[(Map[String, String],
+      ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownCatalystFilters)])
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters {
 
@@ -158,22 +175,21 @@ private final class EpochScanBuilder(
     builders.headOption.map(_._2.pushedFilters).getOrElse(Array.empty)
 
   override def build(): Scan =
-    new EpochScan(builders.map { case (m, b) =>
-      (m, b.build().asInstanceOf[FileScan])
-    })
+    new EpochScan(builders.map { case (m, b) => (m, b.build()) })
 }
 
-/** One epoch's planned file slices. */
+/** One epoch's planned file slices (round 20: any inner partition —
+  * parquet/ORC FilePartitions or the avro decoder's AvroSlices). */
 private[sources] final case class EpochFilePartition(epoch: Int,
-    files: FilePartition) extends InputPartition {
-  override def preferredLocations(): Array[String] = files.preferredLocations()
+    inner: InputPartition) extends InputPartition {
+  override def preferredLocations(): Array[String] = inner.preferredLocations()
 }
 
 /** Concatenates the per-epoch stock scans. Rows and columnar batches
   * pass through untouched (position-identical layouts); readSchema maps
   * epoch 0's (pruned, physically-named) schema back to current names. */
 private final class EpochScan(
-    private val scans: Seq[(Map[String, String], FileScan)])
+    private val scans: Seq[(Map[String, String], Scan)])
   extends Scan with Batch {
 
   // physical→current per epoch 0 (maps are current→physical, lowercased)
@@ -199,17 +215,15 @@ private final class EpochScan(
 
   private lazy val planned: Array[InputPartition] =
     scans.zipWithIndex.flatMap { case ((_, s), i) =>
-      s.toBatch.planInputPartitions().map {
-        case fp: FilePartition => EpochFilePartition(i, fp): InputPartition
-        case other => throw new IllegalStateException(
-          s"unexpected epoch-scan partition ${other.getClass.getName}")
-      }
+      s.toBatch.planInputPartitions().map(p =>
+        EpochFilePartition(i, p): InputPartition)
     }.toArray
 
   override def planInputPartitions(): Array[InputPartition] = planned
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new EpochReaderFactory(scans.map(_._2.createReaderFactory()).toArray)
+    new EpochReaderFactory(
+      scans.map(_._2.toBatch.createReaderFactory()).toArray)
 }
 
 /** Dispatches each partition to its epoch's stock reader factory. */
@@ -218,18 +232,18 @@ private final class EpochReaderFactory(inners: Array[PartitionReaderFactory])
 
   override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
     val ep = p.asInstanceOf[EpochFilePartition]
-    inners(ep.epoch).createReader(ep.files)
+    inners(ep.epoch).createReader(ep.inner)
   }
 
   override def createColumnarReader(p: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val ep = p.asInstanceOf[EpochFilePartition]
-    inners(ep.epoch).createColumnarReader(ep.files)
+    inners(ep.epoch).createColumnarReader(ep.inner)
   }
 
   override def supportColumnarReads(p: InputPartition): Boolean = {
     val ep = p.asInstanceOf[EpochFilePartition]
-    inners(ep.epoch).supportColumnarReads(ep.files)
+    inners(ep.epoch).supportColumnarReads(ep.inner)
   }
 }
 

@@ -746,7 +746,7 @@ private final class GraftRowLevelScan(
         fp.files.map(_.filePath.toString).toSeq
       case b: BucketFilePartition => b.files.files.map(_.filePath.toString).toSeq
       case m: MorFilePartition => m.files.files.map(_.filePath.toString).toSeq
-      case e: EpochFilePartition => e.files.files.map(_.filePath.toString).toSeq
+      case e: EpochFilePartition => filesOf(e.inner)
       case f: FillFilePartition => filesOf(f.files)
       case m: MixedPartition => filesOf(m.inner)
       case a: AvroSlice => Seq(a.path)

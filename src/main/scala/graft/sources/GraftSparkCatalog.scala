@@ -168,14 +168,16 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         (if (layout.dataFormat == "mixed")
           new GraftMixedFormatTable(SparkSession.active, ref.toString,
             layout, hadoopOpts)
-        else if (layout.dataFormat == "avro")
-          new GraftAvroMorTable(SparkSession.active, ref.toString,
-            layout, hadoopOpts)
         // renames + live deletes (round 20): one MOR wrapper per rename
         // epoch — probes translate delete keys to the epoch's physical
-        // names, rows pass through position-identical
+        // names, rows pass through position-identical. Checked BEFORE
+        // the avro route (avro+renames+deletes refuses inside with
+        // compaction named — the plain avro MOR would mis-serve names)
         else if (layout.renameOps.nonEmpty)
           new GraftEpochMorTable(SparkSession.active, ref.toString,
+            layout, hadoopOpts)
+        else if (layout.dataFormat == "avro")
+          new GraftAvroMorTable(SparkSession.active, ref.toString,
             layout, hadoopOpts)
         else
           new GraftMorTable(manifestPlanned(table, layout), layout,
@@ -196,15 +198,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         new GraftMixedFormatTable(SparkSession.active, ref.toString, layout,
           hadoopOpts)
       else
-      // avro data files (Iceberg-converted layouts): the engine's own
-      // sync-split avro source — Spark ships no avro DataSource here
-      if (layout.dataFormat == "avro")
-        new GraftAvroTable(SparkSession.active, ref.toString, layout, hadoopOpts)
       // un-materialized column renames: per-epoch scans serve old files
       // under their physical names (EpochScan.scala) — a plain scan
-      // would read renamed columns of pre-rename files as NULL
-      else if (layout.renameOps.nonEmpty && paths.nonEmpty)
+      // would read renamed columns of pre-rename files as NULL. Checked
+      // BEFORE the avro route (round 20: avro epochs ride the engine
+      // decoder's by-name resolution)
+      if (layout.renameOps.nonEmpty &&
+          (paths.nonEmpty || layout.dataFormat == "avro"))
         new GraftEpochTable(SparkSession.active, ref.toString, layout, hadoopOpts)
+      // avro data files (Iceberg-converted layouts): the engine's own
+      // sync-split avro source — Spark ships no avro DataSource here
+      else if (layout.dataFormat == "avro")
+        new GraftAvroTable(SparkSession.active, ref.toString, layout, hadoopOpts)
       else layout.numBuckets match {
         // a recorded bucket layout becomes a DSv2 bucket transform +
         // key-grouped scans → storage-partitioned joins with no shuffle
@@ -312,11 +317,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         (if (vLayout.dataFormat == "mixed") // per-group MOR (round 18)
           new GraftMixedFormatTable(SparkSession.active, label, vLayout,
             hadoopOpts)
+        else if (vLayout.renameOps.nonEmpty) // per-epoch MOR (round 20;
+          // before avro — avro+renames+deletes refuses inside, named)
+          new GraftEpochMorTable(SparkSession.active, label, vLayout,
+            hadoopOpts)
         else if (vLayout.dataFormat == "avro") // counting-read avro MOR (round 19)
           new GraftAvroMorTable(SparkSession.active, label, vLayout,
-            hadoopOpts)
-        else if (vLayout.renameOps.nonEmpty) // per-epoch MOR (round 20)
-          new GraftEpochMorTable(SparkSession.active, label, vLayout,
             hadoopOpts)
         else
           new GraftMorTable(manifestPlanned(table, vLayout), vLayout,
@@ -326,10 +332,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       else if (vLayout.dataFormat == "mixed")
         new GraftMixedFormatTable(SparkSession.active, label, vLayout,
           hadoopOpts)
+      else if (vLayout.renameOps.nonEmpty &&
+          (paths.nonEmpty || vLayout.dataFormat == "avro"))
+        // before the avro route (round 20: avro rename epochs)
+        new GraftEpochTable(SparkSession.active, label, vLayout, hadoopOpts)
       else if (vLayout.dataFormat == "avro")
         new GraftAvroTable(SparkSession.active, label, vLayout, hadoopOpts)
-      else if (vLayout.renameOps.nonEmpty && paths.nonEmpty)
-        new GraftEpochTable(SparkSession.active, label, vLayout, hadoopOpts)
       else if (vLayout.numBuckets.isEmpty) statsPruned(table, vLayout)
       else manifestPlanned(table, vLayout) // bucketed history: no SPJ, but zero-listing planning
     // v3 lineage columns are snapshot-scoped, so time travel serves them

@@ -1767,6 +1767,134 @@ class IcebergFormatSpec extends AnyFunSuite {
     }
   }
 
+  test("a renamed AVRO table reads hash-identically (round 20): field " +
+      "ids from record-schema props route the engine decoder per epoch") {
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(s"${Files.createTempDirectory("graft-iceberg").toString}/aren")
+    val fs = dir.getFileSystem(conf)
+    val loc = fs.makeQualified(dir).toString
+    // epoch 0: an avro file written under the OLD name (field-id 1, 2)
+    writeAvroWithFieldIds((1L to 50L).map(i => (i, i * 10L)),
+      Seq("k", "old_name"), Seq(1, 2), new Path(dir, "data/f-old.avro"))
+    // epoch 1: the NEW name, same field ids
+    writeAvroWithFieldIds((51L to 80L).map(i => (i, i * 10L)),
+      Seq("k", "new_name"), Seq(1, 2), new Path(dir, "data/f-new.avro"))
+    val mSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val m = new Path(dir, "metadata/m-aren.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
+    w.create(mSchema, fs.create(m, true))
+    // REAL record counts (spec-required): the avro scan's only
+    // file-skipping layer is the manifest envelope, and an r=0 row
+    // count legitimately prunes the file under any pushed filter
+    Seq(("data/f-old.avro", 50L), ("data/f-new.avro", 30L)).foreach {
+      case (rel, rc) =>
+        val abs = new Path(dir, rel)
+        val d = new GenericData.Record(mSchema.getField("data_file").schema())
+        d.put("file_path", fs.makeQualified(abs).toString)
+        d.put("file_format", "AVRO")
+        d.put("record_count", rc)
+        d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
+        val r = new GenericData.Record(mSchema)
+        r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
+        w.append(r)
+    }
+    w.close()
+    val metaP = new Path(dir, "metadata/aren.metadata.json")
+    val out = fs.create(metaP, true)
+    try out.write(
+      s"""{"format-version": 1, "location": "$loc",
+         |"schemas": [
+         |  {"type": "struct", "schema-id": 0, "fields": [
+         |    {"id": 1, "name": "k", "required": false, "type": "long"},
+         |    {"id": 2, "name": "old_name", "required": false, "type": "long"}]},
+         |  {"type": "struct", "schema-id": 1, "fields": [
+         |    {"id": 1, "name": "k", "required": false, "type": "long"},
+         |    {"id": 2, "name": "new_name", "required": false, "type": "long"}]}],
+         |"current-schema-id": 1,
+         |"current-snapshot-id": 7,
+         |"snapshots": [{"snapshot-id": 7, "schema-id": 1,
+         |  "manifests": ["${fs.makeQualified(m)}"]}]}""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val layout = CatalogIO.readLayout(metaP.toString, conf)
+    assert(layout.dataFormat == "avro")
+    assert(layout.renameOps.nonEmpty, "expected synthesized rename ops")
+    assert(layout.dataFileSeqs.exists(_.distinct.size == 2),
+      "expected two file epochs")
+    // DataFrame face: the EpochRead bridge routes the avro decoder per
+    // epoch — the old file's column serves under the new name (a plain
+    // avro read would NULL-fill it)
+    val expected = (1L to 80L).map(i => s"$i|${i * 10}").sorted
+    val df = CatalogIO.scanMetadataLocation(spark, metaP.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "new_name"))
+    assert(df.collect().map(_.mkString("|")).sorted.toSeq == expected)
+    // SQL face: epoch scan over the engine's sync-split avro source
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-iceberg-aren") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.aren"), metaP.toString)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.aren").head.getLong(0) == 80)
+      assert(spark.sql(
+        s"SELECT sum(new_name) FROM $cat.db.aren WHERE new_name <= 600")
+        .head.getLong(0) == (1L to 60L).map(_ * 10).sum)
+      assert(spark.sql(s"SELECT new_name FROM $cat.db.aren ORDER BY new_name DESC LIMIT 1")
+        .head.getLong(0) == 800L)
+      // adoption carries the epochs; a parquet INSERT would go
+      // mixed-format + renamed, which no scan serves: refuse loudly
+      val ref2 = TableRef.parse("db.aren_ad")
+      CatalogIO.adoptIcebergTable(spark, hc, ref2, metaP.toString)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.aren_ad")
+        .head.getLong(0) == 80)
+      val e = intercept[Exception] {
+        spark.sql(s"INSERT INTO $cat.db.aren_ad VALUES (1000, 123)")
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("renam")),
+        s"expected the mixed+renamed refusal, got: ${msgs(e).mkString(" | ")}")
+      // engine-face ALTER RENAME on an ADOPTED avro table commits and
+      // serves (round 20): the new epoch map reads the same files under
+      // the newest name
+      spark.sql(s"ALTER TABLE $cat.db.aren_ad RENAME COLUMN new_name TO latest")
+      assert(spark.table(s"$cat.db.aren_ad").columns.toSeq == Seq("k", "latest"))
+      assert(spark.sql(
+        s"SELECT sum(latest) FROM $cat.db.aren_ad WHERE latest <= 600")
+        .head.getLong(0) == (1L to 60L).map(_ * 10).sum)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.aren_ad")
+        .head.getLong(0) == 80)
+    }
+  }
+
+  /** Write one avro object-container file of two long columns at
+    * `target`, each field carrying a `field-id` prop (what Iceberg's
+    * own avro writer records — public spec, Appendix A Avro mapping). */
+  private def writeAvroWithFieldIds(rows: Seq[(Long, Long)],
+      names: Seq[String], ids: Seq[Int], target: Path): Unit = {
+    val fieldsJson = names.zip(ids).map { case (n, id) =>
+      s"""{"name":"$n","type":["null","long"],"default":null,"field-id":$id}"""
+    }.mkString(",")
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      s"""{"type":"record","name":"t","fields":[$fieldsJson]}""")
+    val conf = spark.sessionState.newHadoopConf()
+    val fs = target.getFileSystem(conf)
+    fs.mkdirs(target.getParent)
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+    w.create(schema, fs.create(target, true))
+    rows.foreach { case (a, b) =>
+      val r = new GenericData.Record(schema)
+      r.put(names(0), a); r.put(names(1), b)
+      w.append(r)
+    }
+    w.close()
+  }
+
   /** Write one ORC file of two long columns at `target`, each column
     * carrying an `iceberg.id` schema attribute (what Iceberg's own ORC
     * writer records — public spec, Appendix A ORC mapping). */
