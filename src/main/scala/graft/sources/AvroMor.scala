@@ -46,10 +46,17 @@ import graft.catalog.CatalogIO.TableLayout
   * task per file, key columns only, the ORC r16 shape's third format).
   * Per-file constant FILLS serve too (round 20): each slice's
   * constants inject below the probes and the position counter — the
-  * parquet/orc MOR composition. Renames over avro keep refusing at
-  * the layout (no epoch path routes the avro decoder). */
+  * parquet/orc MOR composition. Renames compose through
+  * [[GraftEpochMorTable]] (late round 20): one instance per rename
+  * epoch over the epoch's PHYSICAL schema, with `keyNameMap`
+  * translating the delete files' current-named key columns to the
+  * epoch's physical spellings — rename preserves position and type,
+  * so the translated probe reads the same bytes. */
 final class GraftAvroMorTable(spark: SparkSession, tableName: String,
-    layout: TableLayout, hadoopOpts: Map[String, String]) extends Table
+    layout: TableLayout, hadoopOpts: Map[String, String],
+    /** current-name (lowercase) → this epoch's physical name; empty
+      * outside the epoch composition. */
+    keyNameMap: Map[String, String] = Map.empty) extends Table
   with SupportsRead {
 
   // fills + live deletes over avro (round 20 — judge r19 #3): files
@@ -75,7 +82,11 @@ final class GraftAvroMorTable(spark: SparkSession, tableName: String,
         graft.catalog.CatalogIO.DeleteFileFooters.of(p, conf)._1
       }.distinct
       .map { c =>
-        served.find(_.name.equalsIgnoreCase(c)).getOrElse(
+        // delete files carry CURRENT names (ALTER RENAME refuses while
+        // deletes live); the epoch composition reads the PHYSICAL
+        // schema, so keys translate through keyNameMap (round 20)
+        val phys = keyNameMap.getOrElse(c.toLowerCase, c)
+        served.find(_.name.equalsIgnoreCase(phys)).getOrElse(
           throw new IllegalStateException(
             s"equality-delete column $c of $tableName is not in the " +
               s"table schema ${served.fieldNames.mkString("(", ", ", ")")}"))
@@ -92,7 +103,7 @@ final class GraftAvroMorTable(spark: SparkSession, tableName: String,
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new AvroMorScanBuilder(spark, tableName, layout, served, keyFields,
-      hadoopOpts)
+      hadoopOpts, keyNameMap)
 }
 
 /** Column pruning only — no filter pushdown interface, so Spark
@@ -101,7 +112,8 @@ final class GraftAvroMorTable(spark: SparkSession, tableName: String,
   * equality-key columns and the scan projects back. */
 private final class AvroMorScanBuilder(spark: SparkSession,
     tableName: String, layout: TableLayout, served: StructType,
-    keyFields: Seq[StructField], hadoopOpts: Map[String, String])
+    keyFields: Seq[StructField], hadoopOpts: Map[String, String],
+    keyNameMap: Map[String, String])
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var requested: StructType = served
@@ -123,7 +135,8 @@ private final class AvroMorScanBuilder(spark: SparkSession,
       layout.dataFileSeqs.getOrElse(
         Seq.fill(layout.dataFiles.map(_.size).getOrElse(0))(0)).toVector,
       layout.deleteFiles.toVector, requested, widened)(
-      layout, new SerializableConfiguration(conf), spark, hadoopOpts)
+      layout, new SerializableConfiguration(conf), spark, hadoopOpts,
+      keyNameMap)
   }
 }
 
@@ -155,7 +168,8 @@ private[sources] final case class AvroMorScan(tableName: String,
     deleteFiles: Vector[graft.catalog.CatalogIO.DeleteFile],
     out: StructType, widened: StructType)(
     layout: TableLayout, conf: SerializableConfiguration,
-    session: SparkSession, hadoopOpts: Map[String, String] = Map.empty)
+    session: SparkSession, hadoopOpts: Map[String, String] = Map.empty,
+    keyNameMap: Map[String, String] = Map.empty)
   extends Scan with Batch {
 
   override def readSchema(): StructType = out
@@ -236,8 +250,11 @@ private[sources] final case class AvroMorScan(tableName: String,
     val maxTuples = session.conf
       .getOption("spark.graft.mor.maxDeleteTuples")
       .map(_.toLong).getOrElse(4000000L)
+    // delete-file columns carry CURRENT names; the epoch composition's
+    // widened schema carries PHYSICAL ones (round 20)
+    def physOf(c: String): String = keyNameMap.getOrElse(c.toLowerCase, c)
     def keyField(c: String): StructField =
-      widened.find(_.name.equalsIgnoreCase(c)).getOrElse(
+      widened.find(_.name.equalsIgnoreCase(physOf(c))).getOrElse(
         throw new IllegalStateException(
           s"equality-delete column $c missing from widened read schema " +
             widened.fieldNames.mkString("(", ", ", ")")))
@@ -264,7 +281,7 @@ private[sources] final case class AvroMorScan(tableName: String,
         p -> ((cols, rows))
       }.toMap
     def ordinalOf(c: String): Int = {
-      val i = widened.fields.indexWhere(_.name.equalsIgnoreCase(c))
+      val i = widened.fields.indexWhere(_.name.equalsIgnoreCase(physOf(c)))
       require(i >= 0, s"delete key column $c missing from widened schema")
       i
     }

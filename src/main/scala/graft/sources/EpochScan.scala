@@ -273,7 +273,9 @@ object EpochRead {
   * the same bytes). Name translation is plan-time only: rows pass
   * through position-identical, exactly the [[GraftEpochTable]] trick.
   *
-  * Scope: parquet/ORC layouts, equality deletes under the broadcast
+  * Scope: parquet/ORC layouts — and AVRO since late round 20 (the
+  * counting-read [[GraftAvroMorTable]] rides per epoch with the same
+  * key translation) — with equality deletes under the broadcast
   * threshold (the eq-overflow spill reads one schema per table — over
   * the threshold this refuses with compaction named); positional
   * deletes / DVs alongside renames keep refusing upstream (the write
@@ -321,7 +323,7 @@ final class GraftEpochMorTable(spark: SparkSession, tableName: String,
         (m.map { case (k, v) => k.toLowerCase -> v }, fs.map(_._1))
       }
 
-  private val epochTables: Seq[(Map[String, String], GraftMorTable)] = {
+  private val epochTables: Seq[(Map[String, String], Table with SupportsRead)] = {
     val manifestPlanning = spark.conf
       .getOption("spark.graft.manifest.planning").forall(_ == "true")
     val absByRel = layout.dataFiles.getOrElse(Nil)
@@ -335,6 +337,13 @@ final class GraftEpochMorTable(spark: SparkSession, tableName: String,
       // name space
       val subLayout = layout.retainDataFiles(rels.toSet)
         .copy(schemaDdl = Some(physSchema.toDDL), renameOps = Nil)
+      // AVRO epochs (late round 20): the counting-read avro MOR rides
+      // per epoch, its delete keys translated like GraftMorTable's
+      if (layout.dataFormat == "avro")
+        (m, new GraftAvroMorTable(spark, s"$tableName@epochmor",
+          subLayout, hadoopOpts, keyNameMap = m)
+          : Table with SupportsRead)
+      else {
       val stock: Table with SupportsRead = {
         val manifest: Option[Table with SupportsRead] =
           if (!manifestPlanning) None
@@ -354,12 +363,14 @@ final class GraftEpochMorTable(spark: SparkSession, tableName: String,
               fallbackFileFormat = classOf[OrcFileFormat])
             case other => throw new UnsupportedOperationException(
               s"renamed merge-on-read table $tableName has $other data " +
-                "files; the epoch+MOR composition serves parquet and ORC " +
-                "only — compact the table first")
+                "files; the epoch+MOR composition serves parquet, ORC, " +
+                "and avro only — compact the table first")
           }
         }
       }
-      (m, new GraftMorTable(stock, subLayout, hadoopOpts, keyNameMap = m))
+      (m, new GraftMorTable(stock, subLayout, hadoopOpts, keyNameMap = m)
+        : Table with SupportsRead)
+      }
     }
   }
 
@@ -374,18 +385,18 @@ final class GraftEpochMorTable(spark: SparkSession, tableName: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new EpochMorScanBuilder(epochTables.map { case (m, t) =>
       (m, t.newScanBuilder(options)
-        .asInstanceOf[ScanBuilder with SupportsPushDownRequiredColumns
-          with SupportsPushDownCatalystFilters])
+        .asInstanceOf[ScanBuilder with SupportsPushDownRequiredColumns])
     })
 }
 
 /** Fans pruning/pushdown out to each epoch's MOR builder, translated
   * into that epoch's physical names; every filter is reported unhandled
-  * (re-evaluated above, over current-named rows). */
+  * (re-evaluated above, over current-named rows). The avro MOR builder
+  * takes no filters at all (nothing pushes below the record decode) —
+  * filter forwarding is conditional on the delegate's interface. */
 private final class EpochMorScanBuilder(
     builders: Seq[(Map[String, String],
-      ScanBuilder with SupportsPushDownRequiredColumns
-        with SupportsPushDownCatalystFilters)])
+      ScanBuilder with SupportsPushDownRequiredColumns)])
   extends ScanBuilder with SupportsPushDownRequiredColumns
   with SupportsPushDownCatalystFilters {
 
@@ -408,8 +419,11 @@ private final class EpochMorScanBuilder(
   }
 
   override def pushFilters(filters: Seq[Expression]): Seq[Expression] = {
-    builders.foreach { case (m, b) =>
-      b.pushFilters(filters.map(renameExpr(_, m))) }
+    builders.foreach {
+      case (m, b: SupportsPushDownCatalystFilters) =>
+        b.pushFilters(filters.map(renameExpr(_, m)))
+      case _ => () // the avro MOR builder: nothing pushes below the decode
+    }
     filters // evaluated again post-scan, over current-named rows
   }
 

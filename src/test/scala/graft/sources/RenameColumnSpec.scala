@@ -248,6 +248,41 @@ class RenameColumnSpec extends AnyFunSuite {
       "DataFrame face")
   }
 
+  test("renames + live DELETES over an adopted AVRO base (late round " +
+      "20): the per-epoch avro counting-read MOR translates delete keys") {
+    val (cat, hc) = freshCatalog()
+    import spark.implicits._
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    val tmp = Files.createTempDirectory("ren-avro").toString
+    val meta = graft.catalog.IcebergExport.writeTable(spark,
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "b")).toDF("k", "val"),
+      s"$tmp/t", fileFormat = "avro")
+    val ref = TableRef.parse("db.ravro")
+    CatalogIO.adoptIcebergTable(spark, hc, ref, meta)
+    spark.sql(s"ALTER TABLE $cat.db.ravro RENAME COLUMN val TO label")
+    // delete keyed on the renamed column: probes epoch-0's avro records
+    // under the physical name `val` — kills k = 2 and 4
+    MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+      Seq("b").toDF("label"), Seq("label"))
+    // and one keyed on the untouched column
+    MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+      Seq(3L).toDF("k"), Seq("k"))
+    assert(rowsOf(s"$cat.db.ravro") == Seq("1|a"), "SQL face")
+    assert(CatalogIO.readTable(spark, hc, ref)
+      .collect().map(_.mkString("|")).sorted.toSeq == Seq("1|a"),
+      "DataFrame face")
+    // filters on the renamed column answer across the composition
+    assert(spark.sql(s"SELECT k FROM $cat.db.ravro WHERE label = 'b'")
+      .collect().isEmpty)
+    assert(spark.sql(s"SELECT k FROM $cat.db.ravro WHERE label = 'a'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // compaction materializes renames and deletes away, to plain parquet
+    CatalogIO.compactTable(spark, hc, ref)
+    val after = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    assert(after.renameOps.isEmpty && after.deleteFiles.isEmpty)
+    assert(rowsOf(s"$cat.db.ravro") == Seq("1|a"))
+  }
+
   test("ALTER COLUMN TYPE widening is metadata-only; narrowing and layout columns refuse") {
     val (cat, hc) = freshCatalog()
     spark.sql(s"CREATE NAMESPACE $cat.db")
