@@ -3290,18 +3290,13 @@ object CatalogIO {
                 .col("_metadata.file_path"))
               .withColumn("__graft_pos", org.apache.spark.sql.functions
                 .col("_metadata.row_index"))
-          // positional rename back to the current names (no-op when the
-          // group is at the current epoch; never live alongside pos
-          // deletes — the write face refuses renames). Checked BEFORE the
-          // toDF below: with both live, `addressed` carries the two extra
-          // __graft_* columns and toDF would throw a generic column-count
-          // error, masking this specific corruption message.
-          require(physical.isEmpty || (posPaths.isEmpty && !hasDv),
-            "un-materialized renames alongside positional deletes — the " +
-              "write faces refuse this combination; metadata is corrupt")
-          val df =
-            if (physical.isEmpty) addressed
-            else addressed.toDF(schema.fieldNames.toIndexedSeq: _*)
+          // rename back to the current names — per-column, so the
+          // address capture's extra __graft_* columns ride along (late
+          // round 20: positional deletes and DVs COMPOSE with renames;
+          // position addressing is name-free)
+          val df = physical.foldLeft(addressed) { case (d, (cur, phys)) =>
+            if (cur == phys) d else d.withColumnRenamed(phys, cur)
+          }
           val eqApplied = applyEqualityDeletes(spark, df, eqPaths, options)
           if (posPaths.isEmpty && !hasDv) eqApplied
           else {
@@ -3638,14 +3633,15 @@ object CatalogIO {
     * read half of the positional-mutation faces: a DELETE/UPDATE WHERE
     * filters this and commits the matched addresses. Existing equality
     * AND positional deletes are applied, so a rewrite can never match
-    * (and resurrect) an already-deleted row. Refuses un-materialized
-    * renames, like every merge-on-read write face. */
+    * (and resurrect) an already-deleted row. Un-materialized RENAMES
+    * serve (late round 20): files group per rename epoch, each group
+    * reads under ITS physical names, and the columns rename back to
+    * the current names right after the address capture — a metadata
+    * projection, so `_metadata.row_index` (and thus every committed
+    * address) is untouched, and the WHERE predicate evaluates over
+    * current-named values in every epoch. */
   private[graft] def scanLayoutAddressed(spark: SparkSession,
       layout: TableLayout, options: Map[String, String]): DataFrame = {
-    if (layout.renameOps.nonEmpty)
-      throw new UnsupportedOperationException(
-        s"${layout.dataLocation} has un-materialized column renames; " +
-          "compactTable first to materialize them before positional writes")
     // positional WRITES address rows via parquet's `_metadata.row_index`
     // (ORC exposes no row-index metadata column) — adopted non-parquet
     // tables stay append-only through this engine; fail here, before a
@@ -3699,16 +3695,27 @@ object CatalogIO {
         val hasDv = layout.dvFor(rel).isDefined
         (layout.eqDeletePathsFor(rel, s).sorted,
           (if (hasDv) Nil else layout.posDeletesFor(rel, s)).sorted,
-          hasDv, fillsByRel.getOrElse(rel, Seq.empty))
+          hasDv, fillsByRel.getOrElse(rel, Seq.empty),
+          // rename epochs (late round 20): each epoch reads under its
+          // own physical names (fills never coexist with renames)
+          layout.physicalNamesAt(s))
       }
       .toSeq.sortBy(_._2.head._1)
-    groups.map { case ((eqPaths, posPaths, hasDv, fills), fs) =>
-      val r = spark.read.options(options).schema(readSchema)
-      val df0 = (if (layout.suppressBasePath) r
+    groups.map { case ((eqPaths, posPaths, hasDv, fills, physMap), fs) =>
+      val epochSchema =
+        if (physMap.isEmpty) readSchema
+        else org.apache.spark.sql.types.StructType(readSchema.fields.map(
+          f => f.copy(name = physMap.getOrElse(f.name, f.name))))
+      val r = spark.read.options(options).schema(epochSchema)
+      val dfPhys = (if (layout.suppressBasePath) r
         else r.option("basePath", layout.dataLocation))
         .parquet(fs.map(_._1): _*)
         .withColumn("__graft_file", col("_metadata.file_path"))
         .withColumn("__graft_pos", col("_metadata.row_index"))
+      // back to CURRENT names before any predicate or probe sees rows
+      val df0 = physMap.foldLeft(dfPhys) { case (d, (cur, phys)) =>
+        if (cur == phys) d else d.withColumnRenamed(phys, cur)
+      }
       val df = fills.foldLeft(df0) { case (d, (c, v)) =>
         applyFillColumn(d, c, v)
       }

@@ -277,9 +277,10 @@ object EpochRead {
   * counting-read [[GraftAvroMorTable]] rides per epoch with the same
   * key translation) — with equality deletes under the broadcast
   * threshold (the eq-overflow spill reads one schema per table — over
-  * the threshold this refuses with compaction named); positional
-  * deletes / DVs alongside renames keep refusing upstream (the write
-  * faces never commit them). */
+  * the threshold this refuses with compaction named). POSITIONAL
+  * deletes and DVs compose too (late round 20): position addressing is
+  * name-free, so each epoch's sub-layout applies its own files'
+  * positional state untranslated. */
 final class GraftEpochMorTable(spark: SparkSession, tableName: String,
     layout: TableLayout, hadoopOpts: Map[String, String]) extends Table
   with SupportsRead {
@@ -288,10 +289,12 @@ final class GraftEpochMorTable(spark: SparkSession, tableName: String,
     layout.schemaDdl.getOrElse(throw new IllegalStateException(
       s"renamed merge-on-read table $tableName has no recorded schema")))
 
-  require(layout.posDeleteFiles.isEmpty && layout.dvDeleteFiles.isEmpty,
-    s"$tableName carries positional deletes alongside un-materialized " +
-      "renames — the write faces refuse this combination; metadata is " +
-      "corrupt")
+  // POSITIONAL deletes and DVs compose with renames (late round 20):
+  // position addressing is name-free, and each epoch's sub-layout
+  // carries its own files' positional state in lockstep
+  // (retainDataFiles), so the per-epoch MOR wrapper applies them with
+  // no translation at all. The write face (scanLayoutAddressed) reads
+  // per epoch under physical names and renames back before predicates.
   // eq-overflow + renames: the degrade spill enumerates addresses with
   // ONE schema per table, which per-epoch physical names break — refuse
   // with the fix named, before any read

@@ -740,9 +740,13 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
               "values live in physical directory names; rewrite the table " +
               "(INSERT OVERWRITE) under the new layout instead")
         if (layout.deleteFiles.nonEmpty)
+          // rename-AFTER-delete would strand the live delete state's
+          // current-named keys/targets behind the new epoch boundary;
+          // delete-after-rename composes (round 20)
           throw new UnsupportedOperationException(
-            s"$catalogName: $ref has live equality-delete files; compactTable " +
-              "first to materialize them before renaming columns")
+            s"$catalogName: $ref has live equality-delete or positional-" +
+              "delete files; compactTable first to materialize them " +
+              "before renaming columns")
         // an adopted uuid layout's epoch name-addressing cannot compose
         // with the conversion seam (the r18 refusal, now named at the
         // verb instead of the layout invariant)

@@ -248,6 +248,41 @@ class RenameColumnSpec extends AnyFunSuite {
       "DataFrame face")
   }
 
+  test("renames + POSITIONAL deletes compose (late round 20): " +
+      "DELETE/UPDATE WHERE on the renamed column address rows across " +
+      "epochs; both faces and compaction agree") {
+    val (cat, hc) = freshCatalog()
+    import org.apache.spark.sql.functions.{col, concat, lit}
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.rp (k BIGINT, val STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.rp VALUES (1, 'a'), (2, 'b'), (3, 'b')")
+    val ref = TableRef.parse("db.rp")
+    spark.sql(s"ALTER TABLE $cat.db.rp RENAME COLUMN val TO label")
+    spark.sql(s"INSERT INTO $cat.db.rp VALUES (4, 'b'), (5, 'e')")
+    // positional DELETE WHERE on the RENAMED column: matches rows in
+    // BOTH epochs (bytes live under `val` in epoch-0 files)
+    MergeOps.deleteWhereMergeOnRead(spark, hc, ref, col("label") === "b")
+    val layout = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    assert(layout.renameOps.nonEmpty && layout.posDeleteFiles.nonEmpty,
+      s"expected live positional deletes alongside the rename: $layout")
+    assert(rowsOf(s"$cat.db.rp") == Seq("1|a", "5|e"), "SQL face")
+    assert(CatalogIO.readTable(spark, hc, ref)
+      .collect().map(_.mkString("|")).sorted.toSeq == Seq("1|a", "5|e"),
+      "DataFrame face")
+    // positional UPDATE WHERE: assignment reads the renamed column of
+    // an epoch-0 row (old copy hidden by address, new copy appended)
+    MergeOps.updateWhereMergeOnRead(spark, hc, ref, col("k") === 1L,
+      Map("label" -> concat(col("label"), lit("+"))))
+    assert(rowsOf(s"$cat.db.rp") == Seq("1|a+", "5|e"))
+    assert(spark.sql(s"SELECT k FROM $cat.db.rp WHERE label = 'a+'")
+      .collect().map(_.getLong(0)).toSeq == Seq(1L))
+    // compaction materializes renames AND positional deletes away
+    CatalogIO.compactTable(spark, hc, ref)
+    val after = CatalogIO.readLayout(hc.loadTableMetadataLocation(ref))
+    assert(after.renameOps.isEmpty && after.deleteFiles.isEmpty)
+    assert(rowsOf(s"$cat.db.rp") == Seq("1|a+", "5|e"))
+  }
+
   test("renames + live DELETES over an adopted AVRO base (late round " +
       "20): the per-epoch avro counting-read MOR translates delete keys") {
     val (cat, hc) = freshCatalog()
