@@ -205,7 +205,7 @@ private[sources] final case class AvroMorScan(tableName: String,
     val spilledFor: Map[String, Seq[String]] =
       if (!eqOverflow) Map.empty
       else MorScan.spillEqualityDeletes(session, conf.value, layout,
-        hadoopOpts)
+        hadoopOpts, keyNameMap)
     val eqPathsOf: Int => Seq[String] = i =>
       if (eqOverflow) Nil
       else layout.eqDeletePathsFor(rels(i), seqs(i)).sorted

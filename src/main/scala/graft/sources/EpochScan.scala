@@ -295,23 +295,11 @@ final class GraftEpochMorTable(spark: SparkSession, tableName: String,
   // (retainDataFiles), so the per-epoch MOR wrapper applies them with
   // no translation at all. The write face (scanLayoutAddressed) reads
   // per epoch under physical names and renames back before predicates.
-  // eq-overflow + renames: the degrade spill enumerates addresses with
-  // ONE schema per table, which per-epoch physical names break — refuse
-  // with the fix named, before any read
-  locally {
-    val maxTuples = spark.conf.getOption("spark.graft.mor.maxDeleteTuples")
-      .map(_.toLong).getOrElse(4000000L)
-    val conf = new org.apache.hadoop.conf.Configuration()
-    hadoopOpts.foreach { case (k, v) => conf.set(k, v) }
-    val total = layout.absoluteEqDeleteFiles.map(_._1).distinct
-      .map(p => graft.catalog.CatalogIO.DeleteFileFooters.countOf(p, conf))
-      .sum
-    if (total > maxTuples)
-      throw new MorDeleteOverflowException(
-        s"$tableName carries $total live equality-delete tuples (over " +
-          s"spark.graft.mor.maxDeleteTuples=$maxTuples) alongside " +
-          "un-materialized column renames; compact the table first")
-  }
+  // eq-overflow + renames COMPOSE (late round 20): each epoch's MOR
+  // wrapper spills independently over ITS sub-layout, with the spill's
+  // data-side key reads and join resolving delete columns through the
+  // epoch's keyNameMap (spillEqualityDeletes) — no whole-table-schema
+  // assumption remains.
 
   /** (current→physical lowercase map, that epoch's segment-relative
     * files). */

@@ -366,13 +366,25 @@ private[sources] object MorScan {
   def spillEqualityDeletes(session: SparkSession,
       conf: org.apache.hadoop.conf.Configuration,
       layout: TableLayout,
-      hadoopOpts: Map[String, String]): Map[String, Seq[String]] = {
+      hadoopOpts: Map[String, String],
+      /** current-name (lowercase) → physical name for the epoch this
+        * (sub-)layout represents (late round 20 — the epoch+MOR
+        * composition spills per epoch): delete files carry CURRENT
+        * names, the sub-layout's schema carries PHYSICAL ones, so the
+        * data-side key reads and the join resolve through this map.
+        * Empty outside the composition. */
+      keyNameMap: Map[String, String] = Map.empty)
+      : Map[String, Seq[String]] = {
     import org.apache.spark.sql.functions.col
     if (layout.renameOps.nonEmpty)
+      // un-decomposed renamed layouts never reach here through the
+      // routing (GraftEpochMorTable spills per epoch); direct library
+      // calls still get the refusal rather than a wrong-schema read
       throw new MorDeleteOverflowException(
         s"merge-on-read scan of ${layout.dataLocation}: over-threshold " +
           "equality deletes alongside un-materialized column renames; " +
           "compact the table first")
+    def physKey(c: String): String = keyNameMap.getOrElse(c.toLowerCase, c)
     // parquet captures row addresses via `_metadata.row_index`; ORC
     // (round 16) and AVRO (round 20 — judge r19 #4) have no row-index
     // metadata column, so their addresses come from a distributed
@@ -406,7 +418,8 @@ private[sources] object MorScan {
     val relByAbs = layout.dataFiles.getOrElse(Nil)
       .zip(withSeqs.map(_._1)).map { case (rel, abs) => qual(abs) -> rel }.toMap
     val cacheKey = (layout.dataLocation,
-      layout.eqDeleteFiles.map(d => (d.path, d.seq, d.targets)), withSeqs)
+      layout.eqDeleteFiles.map(d => (d.path, d.seq, d.targets)), withSeqs,
+      keyNameMap)
     def computeSpill(spillRoot: Path,
         spillFs: org.apache.hadoop.fs.FileSystem)
         : (Map[String, Seq[String]], () => Unit) = {
@@ -461,7 +474,7 @@ private[sources] object MorScan {
               }.toMap
             avroAddressFrame(session, hadoopOpts,
               files.map(f => (qual(f._1), sizeByAbs(qual(f._1)))), schema,
-              bySchema.flatMap(_._1).distinct,
+              bySchema.flatMap(_._1).distinct.map(physKey),
               fillsByAbs = files.flatMap { f =>
                 val fl = fillsByRel.getOrElse(relByAbs(qual(f._1)), Seq.empty)
                 if (fl.isEmpty) None else Some(qual(f._1) -> fl.toMap)
@@ -475,7 +488,7 @@ private[sources] object MorScan {
             // shared
             orcAddressFrame(session, hadoopOpts,
               files.map(f => qual(f._1)), schema,
-              bySchema.flatMap(_._1).distinct,
+              bySchema.flatMap(_._1).distinct.map(physKey),
               fillsByAbs = files.flatMap { f =>
                 val fl = fillsByRel.getOrElse(relByAbs(qual(f._1)), Seq.empty)
                 if (fl.isEmpty) None else Some(qual(f._1) -> fl.toMap)
@@ -483,14 +496,17 @@ private[sources] object MorScan {
         val matched = bySchema.map { case (cols, paths) =>
           val del = graft.catalog.CatalogIO.readDeleteFiles(session,
             hadoopOpts, paths.distinct, conf)
+          // delete columns carry CURRENT names; the (sub-)layout schema
+          // and the data frame carry the epoch's PHYSICAL ones
           val typed = cols.foldLeft(del) { (d, c) =>
-            schema.find(_.name.equalsIgnoreCase(c))
+            schema.find(_.name.equalsIgnoreCase(physKey(c)))
               .map(f => d.withColumn(c, d.col(c).cast(f.dataType)))
               .getOrElse(throw new IllegalStateException(
                 s"equality-delete column $c not in table schema " +
                   schema.fieldNames.mkString("(", ", ", ")")))
           }
-          val cond = cols.map(c => data.col(c) <=> typed.col(c)).reduce(_ && _)
+          val cond = cols.map(c =>
+            data.col(physKey(c)) <=> typed.col(c)).reduce(_ && _)
           data.join(typed, cond, "left_semi")
             .select(col("__graft_f"), col("__graft_p"))
         }.reduce(_ unionByName _).distinct()
@@ -992,7 +1008,8 @@ private final class MorScan(private val delegate: FileScan,
     // The probe groups below see NO equality deletes in that mode.
     val spilledFor: Map[String, Seq[String]] =
       if (!eqOverflow) Map.empty
-      else MorScan.spillEqualityDeletes(session, conf, layout, hadoopOpts)
+      else MorScan.spillEqualityDeletes(session, conf, layout, hadoopOpts,
+        keyNameMap)
     val slices = delegate.toBatch.planInputPartitions()
       .flatMap(_.asInstanceOf[FilePartition].files)
     def seqOf(pf: org.apache.spark.sql.execution.datasources.PartitionedFile): Int =

@@ -248,6 +248,45 @@ class RenameColumnSpec extends AnyFunSuite {
       "DataFrame face")
   }
 
+  test("eq-overflow degrade composes with renames (late round 20): " +
+      "per-epoch spills translate delete keys to physical names") {
+    val (cat, hc) = freshCatalog()
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.ro (k BIGINT, val STRING) USING parquet")
+    spark.sql(s"INSERT INTO $cat.db.ro SELECT id, concat('v', id % 7) " +
+      "FROM range(0, 40)")
+    val ref = TableRef.parse("db.ro")
+    spark.sql(s"ALTER TABLE $cat.db.ro RENAME COLUMN val TO label")
+    spark.sql(s"INSERT INTO $cat.db.ro SELECT id, concat('v', id % 7) " +
+      "FROM range(40, 60)")
+    // eq deletes keyed on the RENAMED column ('v3' rows in both epochs)
+    // and on the untouched key
+    MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+      Seq("v3").toDF("label"), Seq("label"))
+    MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+      (50L until 55L).toDF("k"), Seq("k"))
+    val expected = (0L until 60L)
+      .filterNot(i => i % 7 == 3 || (50 <= i && i < 55))
+      .map(i => s"$i|v${i % 7}").sorted
+    // force the DEGRADE path: the spill runs per epoch, the delete
+    // keys resolving through each epoch's physical names
+    spark.conf.set("spark.graft.mor.maxDeleteTuples", "3")
+    try {
+      assert(rowsOf(s"$cat.db.ro") == expected, "degraded SQL face")
+      assert(spark.sql(
+        s"SELECT count(*) FROM $cat.db.ro WHERE label = 'v3'")
+        .head.getLong(0) == 0L)
+      assert(CatalogIO.readTable(spark, hc, ref)
+        .collect().map(_.mkString("|")).sorted.toSeq == expected,
+        "degraded DataFrame face")
+      // compaction clears renames, deletes, and the degrade together
+      assert(CatalogIO.compactTable(spark, hc, ref).compacted)
+      assert(rowsOf(s"$cat.db.ro") == expected)
+    } finally spark.conf.unset("spark.graft.mor.maxDeleteTuples")
+  }
+
   test("renames + POSITIONAL deletes compose (late round 20): " +
       "DELETE/UPDATE WHERE on the renamed column address rows across " +
       "epochs; both faces and compaction agree") {
