@@ -106,20 +106,35 @@ final class GraftAvroMorTable(spark: SparkSession, tableName: String,
       hadoopOpts, keyNameMap)
 }
 
-/** Column pruning only — no filter pushdown interface, so Spark
-  * evaluates every predicate ABOVE the delete application (the avro
-  * decoder pushes nothing anyway); the pruned schema widens with the
-  * equality-key columns and the scan projects back. */
+/** Column pruning, plus a pushdown face that pushes NOTHING (every
+  * filter reported unhandled — nothing is sound to push below the
+  * record decode and the delete application). The interface must be
+  * present even though it is inert: composite wrappers
+  * ([[GraftMixedFormatTable]], the epoch composition) fan filters out
+  * to every group's builder through it, and a filtered query over a
+  * mixed delete-live table used to die on the cast (late round 20).
+  * The pruned schema widens with the equality-key columns and the
+  * scan projects back. */
 private final class AvroMorScanBuilder(spark: SparkSession,
     tableName: String, layout: TableLayout, served: StructType,
     keyFields: Seq[StructField], hadoopOpts: Map[String, String],
     keyNameMap: Map[String, String])
-  extends ScanBuilder with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.internal.connector.SupportsPushDownCatalystFilters {
 
   private var requested: StructType = served
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     requested = requiredSchema
+
+  override def pushFilters(
+      filters: Seq[org.apache.spark.sql.catalyst.expressions.Expression])
+      : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+    filters // all unhandled: re-evaluated above the delete application
+
+  override def pushedFilters
+      : Array[org.apache.spark.sql.connector.expressions.filter.Predicate] =
+    Array.empty
 
   override def build(): Scan = {
     val widened = StructType(requested.fields ++

@@ -172,4 +172,29 @@ class AvroMorSpec extends AnyFunSuite {
         prev.getOrElse("4000000"))
     }
   }
+
+  test("a FILTERED query over a mixed delete-live table's avro group " +
+      "serves (late round 20): the inert pushdown face absorbs the " +
+      "composite's filter fan-out instead of dying on the cast") {
+    import spark.implicits._
+    val dir = s"${java.nio.file.Files.createTempDirectory("graft-amf").toString}/t"
+    val meta1 = IcebergExport.writeTable(spark,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), dir, fileFormat = "avro")
+    val meta2 = IcebergExport.appendSnapshot(spark,
+      Seq((3L, "c"), (4L, "d")).toDF("k", "v"), meta1) // parquet -> mixed
+    val meta3 = IcebergExport.appendDeletes(spark, meta2,
+      equality = Some(Seq(2L).toDF("k")))
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-amf") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.m"), meta3)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.m").head.getLong(0) == 3)
+      // the filter fans out to BOTH group builders (parquet pushes it,
+      // the avro MOR builder reports it unhandled) and re-evaluates
+      // above the union — the deleted k=2 row never resurfaces
+      assert(spark.sql(s"SELECT k FROM $cat.db.m WHERE v >= 'b'")
+        .collect().map(_.getLong(0)).sorted.toSeq == Seq(3L, 4L))
+      assert(spark.sql(s"SELECT k FROM $cat.db.m WHERE v = 'b'")
+        .collect().isEmpty)
+    }
+  }
 }
