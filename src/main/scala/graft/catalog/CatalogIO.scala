@@ -343,10 +343,8 @@ object CatalogIO {
     // avro decoder resolves record fields BY NAME, so an epoch's
     // physical schema reads each file under the names it was written
     // with (round 20 — graft.sources.GraftEpochTable's avro route).
-    // MIXED layouts keep refusing: one epoch map cannot address files
-    // whose formats disagree on the name-resolution mechanism.
-    require(dataFormat != "mixed" || renameOps.isEmpty,
-      "renames ride the homogeneous parquet/ORC/avro epoch scan only")
+    // MIXED layouts serve too (late round 20): each epoch plans a
+    // per-epoch mixed composite, formats dispatching per file inside.
     // round 18: MIXED layouts serve live deletes — scans split per
     // format group, each riding its own counting read. Round 19: AVRO
     // serves them too (judge r18 #4) — the counting read transfers to
@@ -1536,15 +1534,10 @@ object CatalogIO {
       // lifecycle keeps taking INSERT INTO while deletes are live. The
       // appended files seq at n, PAST the live deletes (insert-after-
       // delete survives), exactly the homogeneous-append contract.
-      // RENAMES (round 16, ORC rename epochs): the
-      // epoch scan serves homogeneous parquet/ORC only
-      if (fmt == "mixed" && prior.renameOps.nonEmpty && added > 0)
-        throw new UnsupportedOperationException(
-          s"appending parquet files to a ${prior.dataFormat} table with " +
-            s"${prior.renameOps.size} un-materialized column rename(s) " +
-            "would make the layout mixed-format + renamed, which no scan " +
-            "here serves; compact the table (materializing the renames) " +
-            "before appending")
+      // MIXED + RENAMES serves too (late round 20: per-epoch mixed
+      // composites), so an INSERT after a rename on an adopted ORC/avro
+      // base commits — the appended parquet files seq past the rename
+      // boundary and read under current names.
       if (fmt == "mixed") (fmt, Some(all)) else (fmt, None)
     }
 
@@ -3234,8 +3227,10 @@ object CatalogIO {
       // on a migrated ORC base): split into per-format restricted
       // layouts and recurse — each group rides this function's own
       // parquet/orc delete machinery; targets/tuple/seq gates only
-      // ever match within the owning group's files. Mixed + renames
-      // still refuses via the layout invariant.
+      // ever match within the owning group's files. Mixed + RENAMES
+      // rides the same recursion (late round 20): each format
+      // sub-layout keeps the rename ops and routes through its own
+      // format's epoch machinery.
       case Some(_) if layout.seqGated && layout.dataFormat == "mixed" =>
         layout.dataFiles.getOrElse(Nil)
           .zip(layout.dataFileFormats.getOrElse(Nil))

@@ -679,14 +679,9 @@ object IcebergFormat {
       // container's record-schema `field-id` props (Iceberg's avro
       // spec; the FooterFields branch fills added in round 19), and the
       // epoch scan routes the engine's sync-split decoder per epoch.
-      // MIXED layouts keep refusing: one epoch map cannot span files
-      // whose formats disagree on the resolution mechanism.
-      if (dataFormat == "mixed")
-        throw new UnsupportedOperationException(
-          s"Iceberg metadata $metadataLocation: mixed-format data files " +
-            "with un-materialized column renames — the epoch mapping " +
-            "serves homogeneous parquet/ORC/avro layouts; rewrite the " +
-            "table (compact) to materialize the rename first")
+      // MIXED layouts serve as well (late round 20): the footer read
+      // dispatches PER FILE on the manifest's recorded format, and the
+      // epoch scan plans a per-epoch mixed composite.
       if (deleteFiles.nonEmpty)
         throw new UnsupportedOperationException(
           s"Iceberg metadata $metadataLocation: the table has renamed " +
@@ -704,13 +699,15 @@ object IcebergFormat {
         fieldIdsOf(schema).toSeq.sortBy(_._1).map { case (id, (n, _)) => (id, n) },
         Option(root.path("properties").get("schema.name-mapping.default"))
           .map(_.asText),
-        sparkSchema, conf, metadataLocation, dataFormat)
+        sparkSchema, conf, metadataLocation, rels.map(_._5))
       return base.copy(
         dataFormat = dataFormat,
         dataFiles = Some(rels.map(_._1)),
         dataFileSizes = Some(rels.map(_._2)),
         dataFileStats = Some(rels.map(_._3)),
         dataFileSeqs = Some(epochSeqs),
+        dataFileFormats =
+          if (dataFormat == "mixed") Some(rels.map(_._5)) else None,
         renameOps = renameOps)
     }
     base.copy(
@@ -1092,7 +1089,9 @@ object IcebergFormat {
   private def renameEpochs(absFiles: Seq[String],
       servedFields: Seq[(Int, String)], nameMapping: Option[String],
       sparkSchema: StructType, conf: Configuration, where: String,
-      dataFormat: String)
+      /** Per-file formats, parallel to `absFiles` (late round 20 —
+        * mixed layouts rename: the footer read dispatches per file). */
+      formats: Seq[String])
       : (Vector[Int], Seq[CatalogIO.RenameOp]) = {
     // name-mapping: field-id → candidate physical names, per the spec's
     // `schema.name-mapping.default` property (a JSON list of
@@ -1103,8 +1102,9 @@ object IcebergFormat {
           e.path("names").elements().asScala.map(_.asText).toSeq
       }.toMap
     }.getOrElse(Map.empty)
+    val fmtByAbs: Map[String, String] = absFiles.zip(formats).toMap
     def physicalMapOf(abs: String): Map[String, String] = {
-      val footer = FooterFields.of(abs, conf, dataFormat)
+      val footer = FooterFields.of(abs, conf, fmtByAbs.getOrElse(abs, "parquet"))
       val byId: Map[Int, String] =
         footer.collect { case (n, Some(id)) => id -> n }.toMap
       val names = footer.map(_._1).toSet

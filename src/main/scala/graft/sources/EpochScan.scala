@@ -83,7 +83,8 @@ final class GraftEpochTable(spark: SparkSession, tableName: String,
       // physical schema carries them under their current names; the
       // size-completeness and partition guards live in tableFor
       val manifest: Option[Table with SupportsRead] =
-        if (!manifestPlanning || layout.dataFormat == "avro") None
+        if (!manifestPlanning || layout.dataFormat == "avro" ||
+            layout.dataFormat == "mixed") None
         else ManifestFileIndex.tableFor(s"$tableName@epoch", spark,
           hadoopOpts, layout, schemaOverride = Some(physSchema),
           fileSubset = Some(files.map(relByAbs)))
@@ -93,9 +94,16 @@ final class GraftEpochTable(spark: SparkSession, tableName: String,
       // position-identical to the current schema, the same trick as the
       // stock formats. GraftAvroTable is already manifest-planned (file
       // list + sizes + pruning stats ride the sub-layout).
+      // MIXED epochs (late round 20): a per-epoch mixed composite —
+      // formats dispatch per file inside it, names per epoch out here.
       val table =
         if (layout.dataFormat == "avro")
           new GraftAvroTable(spark, s"$tableName@epoch",
+            layout.retainDataFiles(files.map(relByAbs).toSet).copy(
+              schemaDdl = Some(physSchema.toDDL), renameOps = Nil),
+            hadoopOpts)
+        else if (layout.dataFormat == "mixed")
+          new GraftMixedFormatTable(spark, s"$tableName@epoch",
             layout.retainDataFiles(files.map(relByAbs).toSet).copy(
               schemaDdl = Some(physSchema.toDDL), renameOps = Nil),
             hadoopOpts)
@@ -132,12 +140,13 @@ final class GraftEpochTable(spark: SparkSession, tableName: String,
         // seam; the avro builder implements the same two interfaces
         // (round 20). Anything else would mis-serve physical names.
         case f @ (_: ParquetScanBuilder | _: OrcScanBuilder |
-                  _: AvroScanBuilder) =>
+                  _: AvroScanBuilder | _: MixedScanBuilder) =>
           (m, f.asInstanceOf[ScanBuilder with SupportsPushDownRequiredColumns
             with SupportsPushDownCatalystFilters])
         case other => throw new IllegalStateException(
-          s"epoch scan needs a parquet, ORC, or avro pruning/pushdown " +
-            s"delegate, got ${other.getClass.getName} for $tableName")
+          s"epoch scan needs a parquet, ORC, avro, or mixed " +
+            s"pruning/pushdown delegate, got ${other.getClass.getName} " +
+            s"for $tableName")
       }
     })
 }
@@ -204,8 +213,16 @@ private final class EpochScan(
   override def description(): String =
     s"graft-epochs(${scans.size}: ${scans.head._2.description()})"
   override def toBatch: Batch = this
+  // Spark refuses a scan whose partitions MIX row-based and columnar
+  // readers — a mixed epoch with an avro group (row-only) alongside
+  // vectorized parquet/orc epochs demotes the WHOLE scan to rows,
+  // exactly the MixedScan rule (late round 20)
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    Scan.ColumnarSupportMode.PARTITION_DEFINED
+    if (uniformColumnar) Scan.ColumnarSupportMode.PARTITION_DEFINED
+    else Scan.ColumnarSupportMode.UNSUPPORTED
+
+  private lazy val uniformColumnar: Boolean =
+    planned.map(p => factory.supportColumnarReads(p)).distinct.size <= 1
 
   override def equals(other: Any): Boolean = other match {
     case e: EpochScan => scans == e.scans
@@ -221,9 +238,11 @@ private final class EpochScan(
 
   override def planInputPartitions(): Array[InputPartition] = planned
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  private lazy val factory: PartitionReaderFactory =
     new EpochReaderFactory(
       scans.map(_._2.toBatch.createReaderFactory()).toArray)
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
 }
 
 /** Dispatches each partition to its epoch's stock reader factory. */
@@ -329,9 +348,15 @@ final class GraftEpochMorTable(spark: SparkSession, tableName: String,
       val subLayout = layout.retainDataFiles(rels.toSet)
         .copy(schemaDdl = Some(physSchema.toDDL), renameOps = Nil)
       // AVRO epochs (late round 20): the counting-read avro MOR rides
-      // per epoch, its delete keys translated like GraftMorTable's
+      // per epoch, its delete keys translated like GraftMorTable's.
+      // MIXED epochs (late round 20): the per-epoch mixed composite
+      // wraps each format group in its own MOR, the key map threaded.
       if (layout.dataFormat == "avro")
         (m, new GraftAvroMorTable(spark, s"$tableName@epochmor",
+          subLayout, hadoopOpts, keyNameMap = m)
+          : Table with SupportsRead)
+      else if (layout.dataFormat == "mixed")
+        (m, new GraftMixedFormatTable(spark, s"$tableName@epochmor",
           subLayout, hadoopOpts, keyNameMap = m)
           : Table with SupportsRead)
       else {
@@ -441,8 +466,14 @@ private final class EpochMorScan(private val scans: Seq[Scan],
   override def description(): String =
     s"graft-epoch-mor(${scans.size}: ${scans.head.description()})"
   override def toBatch: Batch = this
+  // same demotion rule as EpochScan/MixedScan: a row-only group in
+  // any epoch demotes the whole scan (late round 20)
   override def columnarSupportMode(): Scan.ColumnarSupportMode =
-    Scan.ColumnarSupportMode.PARTITION_DEFINED
+    if (uniformColumnar) Scan.ColumnarSupportMode.PARTITION_DEFINED
+    else Scan.ColumnarSupportMode.UNSUPPORTED
+
+  private lazy val uniformColumnar: Boolean =
+    planned.map(p => factory.supportColumnarReads(p)).distinct.size <= 1
 
   override def equals(other: Any): Boolean = other match {
     case e: EpochMorScan => scans == e.scans
@@ -458,9 +489,11 @@ private final class EpochMorScan(private val scans: Seq[Scan],
 
   override def planInputPartitions(): Array[InputPartition] = planned
 
-  override def createReaderFactory(): PartitionReaderFactory =
+  private lazy val factory: PartitionReaderFactory =
     new EpochMorReaderFactory(
       scans.map(_.toBatch.createReaderFactory()).toArray)
+
+  override def createReaderFactory(): PartitionReaderFactory = factory
 }
 
 private final class EpochMorReaderFactory(

@@ -165,16 +165,18 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         // upsert): the composite wraps each format group in its own
         // MOR table; homogeneous AVRO rides its own counting-read scan
         // (round 19); parquet/orc keep the direct wrap
-        (if (layout.dataFormat == "mixed")
-          new GraftMixedFormatTable(SparkSession.active, ref.toString,
-            layout, hadoopOpts)
         // renames + live deletes (round 20): one MOR wrapper per rename
         // epoch — probes translate delete keys to the epoch's physical
-        // names, rows pass through position-identical. Checked BEFORE
-        // the avro route (avro+renames+deletes refuses inside with
-        // compaction named — the plain avro MOR would mis-serve names)
-        else if (layout.renameOps.nonEmpty)
+        // names, rows pass through position-identical. Checked FIRST:
+        // the plain mixed/avro MOR routes would mis-serve names (late
+        // round 20: the epoch composition spans every format, mixed
+        // included — a per-epoch mixed composite with the key map
+        // threaded into each group's MOR)
+        (if (layout.renameOps.nonEmpty)
           new GraftEpochMorTable(SparkSession.active, ref.toString,
+            layout, hadoopOpts)
+        else if (layout.dataFormat == "mixed")
+          new GraftMixedFormatTable(SparkSession.active, ref.toString,
             layout, hadoopOpts)
         else if (layout.dataFormat == "avro")
           new GraftAvroMorTable(SparkSession.active, ref.toString,
@@ -192,20 +194,21 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       if (layout.hasFills)
         new GraftFillTable(SparkSession.active, ref.toString, layout, hadoopOpts)
       else
+      // un-materialized column renames: per-epoch scans serve old files
+      // under their physical names (EpochScan.scala) — a plain scan
+      // would read renamed columns of pre-rename files as NULL. Checked
+      // BEFORE the format routes (round 20: avro and mixed epochs ride
+      // the per-epoch format dispatch)
+      if (layout.renameOps.nonEmpty &&
+          (paths.nonEmpty || layout.dataFormat == "avro" ||
+            layout.dataFormat == "mixed"))
+        new GraftEpochTable(SparkSession.active, ref.toString, layout, hadoopOpts)
+      else
       // MIXED parquet/orc/avro data files (round 15): one stock reader
       // stack per format group, concatenated in one DSv2 scan
       if (layout.dataFormat == "mixed")
         new GraftMixedFormatTable(SparkSession.active, ref.toString, layout,
           hadoopOpts)
-      else
-      // un-materialized column renames: per-epoch scans serve old files
-      // under their physical names (EpochScan.scala) — a plain scan
-      // would read renamed columns of pre-rename files as NULL. Checked
-      // BEFORE the avro route (round 20: avro epochs ride the engine
-      // decoder's by-name resolution)
-      if (layout.renameOps.nonEmpty &&
-          (paths.nonEmpty || layout.dataFormat == "avro"))
-        new GraftEpochTable(SparkSession.active, ref.toString, layout, hadoopOpts)
       // avro data files (Iceberg-converted layouts): the engine's own
       // sync-split avro source — Spark ships no avro DataSource here
       else if (layout.dataFormat == "avro")
@@ -314,12 +317,12 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
           (vLayout.deleteFiles.nonEmpty || !vLayout.hasFills))
         new GraftUuidTable(SparkSession.active, label, vLayout, hadoopOpts)
       else if (vLayout.deleteFiles.nonEmpty) // MOR first — it injects fills too
-        (if (vLayout.dataFormat == "mixed") // per-group MOR (round 18)
-          new GraftMixedFormatTable(SparkSession.active, label, vLayout,
-            hadoopOpts)
-        else if (vLayout.renameOps.nonEmpty) // per-epoch MOR (round 20;
-          // before avro — avro+renames+deletes refuses inside, named)
+        (if (vLayout.renameOps.nonEmpty) // per-epoch MOR (round 20) —
+          // FIRST: the plain mixed/avro MOR routes would mis-serve names
           new GraftEpochMorTable(SparkSession.active, label, vLayout,
+            hadoopOpts)
+        else if (vLayout.dataFormat == "mixed") // per-group MOR (round 18)
+          new GraftMixedFormatTable(SparkSession.active, label, vLayout,
             hadoopOpts)
         else if (vLayout.dataFormat == "avro") // counting-read avro MOR (round 19)
           new GraftAvroMorTable(SparkSession.active, label, vLayout,
@@ -329,13 +332,14 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
             hadoopOpts))
       else if (vLayout.hasFills) // fills may ride a mixed layout
         new GraftFillTable(SparkSession.active, label, vLayout, hadoopOpts)
+      else if (vLayout.renameOps.nonEmpty &&
+          (paths.nonEmpty || vLayout.dataFormat == "avro" ||
+            vLayout.dataFormat == "mixed"))
+        // before the format routes (round 20: avro and mixed epochs)
+        new GraftEpochTable(SparkSession.active, label, vLayout, hadoopOpts)
       else if (vLayout.dataFormat == "mixed")
         new GraftMixedFormatTable(SparkSession.active, label, vLayout,
           hadoopOpts)
-      else if (vLayout.renameOps.nonEmpty &&
-          (paths.nonEmpty || vLayout.dataFormat == "avro"))
-        // before the avro route (round 20: avro rename epochs)
-        new GraftEpochTable(SparkSession.active, label, vLayout, hadoopOpts)
       else if (vLayout.dataFormat == "avro")
         new GraftAvroTable(SparkSession.active, label, vLayout, hadoopOpts)
       else if (vLayout.numBuckets.isEmpty) statsPruned(table, vLayout)

@@ -46,7 +46,13 @@ import graft.catalog.CatalogIO.TableLayout
   * fills, and adoption over mixed tables refuse upstream
   * ([[graft.catalog.IcebergFormat]] / the commit choke points). */
 final class GraftMixedFormatTable(spark: SparkSession, tableName: String,
-    layout: TableLayout, hadoopOpts: Map[String, String]) extends Table
+    layout: TableLayout, hadoopOpts: Map[String, String],
+    /** current-name (lowercase) → physical name for the rename epoch
+      * this (sub-)layout represents (late round 20 — mixed + renames:
+      * the epoch composition builds one mixed composite per epoch);
+      * threaded into each group's MOR wrapper for delete-key
+      * translation. Empty outside the composition. */
+    keyNameMap: Map[String, String] = Map.empty) extends Table
   with SupportsRead {
 
   private val currentSchema: StructType = StructType(StructType.fromDDL(
@@ -94,7 +100,8 @@ final class GraftMixedFormatTable(spark: SparkSession, tableName: String,
         if (layout.deleteFiles.nonEmpty)
           new GraftAvroMorTable(spark, s"$tableName@avro",
             layout.retainDataFiles(rels.toSet)
-              .copy(dataFormat = fmt, dataFileFormats = None), hadoopOpts)
+              .copy(dataFormat = fmt, dataFileFormats = None), hadoopOpts,
+            keyNameMap = keyNameMap)
         else {
           val sized = layout.absoluteDataFilesWithSizes.getOrElse(
             throw new IllegalStateException(
@@ -138,7 +145,8 @@ final class GraftMixedFormatTable(spark: SparkSession, tableName: String,
         if (layout.deleteFiles.nonEmpty) {
           val groupLayout = layout.retainDataFiles(rels.toSet)
             .copy(dataFormat = fmt, dataFileFormats = None)
-          new GraftMorTable(table, groupLayout, hadoopOpts)
+          new GraftMorTable(table, groupLayout, hadoopOpts,
+            keyNameMap = keyNameMap)
         } else {
           val groupStats = {
             val keep = abs.map(f =>

@@ -1846,29 +1846,102 @@ class IcebergFormatSpec extends AnyFunSuite {
         .head.getLong(0) == (1L to 60L).map(_ * 10).sum)
       assert(spark.sql(s"SELECT new_name FROM $cat.db.aren ORDER BY new_name DESC LIMIT 1")
         .head.getLong(0) == 800L)
-      // adoption carries the epochs; a parquet INSERT would go
-      // mixed-format + renamed, which no scan serves: refuse loudly
+      // adoption carries the epochs; a parquet INSERT makes the layout
+      // mixed-format + renamed, which SERVES since late round 20
       val ref2 = TableRef.parse("db.aren_ad")
       CatalogIO.adoptIcebergTable(spark, hc, ref2, metaP.toString)
       assert(spark.sql(s"SELECT count(*) FROM $cat.db.aren_ad")
         .head.getLong(0) == 80)
-      val e = intercept[Exception] {
-        spark.sql(s"INSERT INTO $cat.db.aren_ad VALUES (1000, 123)")
-      }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-      assert(msgs(e).exists(_.contains("renam")),
-        s"expected the mixed+renamed refusal, got: ${msgs(e).mkString(" | ")}")
-      // engine-face ALTER RENAME on an ADOPTED avro table commits and
-      // serves (round 20): the new epoch map reads the same files under
-      // the newest name
+      spark.sql(s"INSERT INTO $cat.db.aren_ad VALUES (1000, 123)")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.aren_ad")
+        .head.getLong(0) == 81)
+      assert(spark.sql(
+        s"SELECT new_name FROM $cat.db.aren_ad WHERE k = 1000")
+        .head.getLong(0) == 123L,
+        "the appended parquet row reads under current names")
+      // engine-face ALTER RENAME on the (now mixed) adopted table
+      // commits and serves (round 20): the new epoch map reads avro
+      // and parquet files alike under the newest name
       spark.sql(s"ALTER TABLE $cat.db.aren_ad RENAME COLUMN new_name TO latest")
       assert(spark.table(s"$cat.db.aren_ad").columns.toSeq == Seq("k", "latest"))
       assert(spark.sql(
         s"SELECT sum(latest) FROM $cat.db.aren_ad WHERE latest <= 600")
-        .head.getLong(0) == (1L to 60L).map(_ * 10).sum)
+        .head.getLong(0) == (1L to 60L).map(_ * 10).sum + 123L)
       assert(spark.sql(s"SELECT count(*) FROM $cat.db.aren_ad")
-        .head.getLong(0) == 80)
+        .head.getLong(0) == 81)
+    }
+  }
+
+  test("a renamed MIXED table reads hash-identically (late round 20): " +
+      "the epoch footer read dispatches per file format") {
+    import spark.implicits._
+    val conf = spark.sessionState.newHadoopConf()
+    val dir = new Path(s"${Files.createTempDirectory("graft-iceberg").toString}/mren")
+    val fs = dir.getFileSystem(conf)
+    val loc = fs.makeQualified(dir).toString
+    // epoch 0: a PARQUET file under the OLD name; epoch 1: an ORC file
+    // under the NEW name — the rename history spans the formats
+    writeWithFieldIds((1L to 50L).map(i => (i, i * 10L)).toDF("k", "old_name"),
+      Seq(1, 2), new Path(dir, "data/f-old.parquet"))
+    writeOrcWithFieldIds((51L to 80L).map(i => (i, i * 10L)),
+      Seq("k", "new_name"), Seq(1, 2), new Path(dir, "data/f-new.orc"))
+    val mSchema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"manifest_entry","fields":[
+        |{"name":"status","type":"int"},
+        |{"name":"snapshot_id","type":"long"},
+        |{"name":"data_file","type":{"type":"record","name":"r2","fields":[
+        |  {"name":"file_path","type":"string"},
+        |  {"name":"file_format","type":"string"},
+        |  {"name":"record_count","type":"long"},
+        |  {"name":"file_size_in_bytes","type":"long"}]}}]}""".stripMargin)
+    val m = new Path(dir, "metadata/m-mren.avro")
+    val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
+    w.create(mSchema, fs.create(m, true))
+    Seq(("data/f-old.parquet", "PARQUET", 50L),
+        ("data/f-new.orc", "ORC", 30L)).foreach { case (rel, fmt, rc) =>
+      val abs = new Path(dir, rel)
+      val d = new GenericData.Record(mSchema.getField("data_file").schema())
+      d.put("file_path", fs.makeQualified(abs).toString)
+      d.put("file_format", fmt)
+      d.put("record_count", rc)
+      d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
+      val r = new GenericData.Record(mSchema)
+      r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
+      w.append(r)
+    }
+    w.close()
+    val metaP = new Path(dir, "metadata/mren.metadata.json")
+    val out = fs.create(metaP, true)
+    try out.write(
+      s"""{"format-version": 1, "location": "$loc",
+         |"schemas": [
+         |  {"type": "struct", "schema-id": 0, "fields": [
+         |    {"id": 1, "name": "k", "required": false, "type": "long"},
+         |    {"id": 2, "name": "old_name", "required": false, "type": "long"}]},
+         |  {"type": "struct", "schema-id": 1, "fields": [
+         |    {"id": 1, "name": "k", "required": false, "type": "long"},
+         |    {"id": 2, "name": "new_name", "required": false, "type": "long"}]}],
+         |"current-schema-id": 1,
+         |"current-snapshot-id": 7,
+         |"snapshots": [{"snapshot-id": 7, "schema-id": 1,
+         |  "manifests": ["${fs.makeQualified(m)}"]}]}""".stripMargin
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val layout = CatalogIO.readLayout(metaP.toString, conf)
+    assert(layout.dataFormat == "mixed" && layout.renameOps.nonEmpty,
+      s"expected a mixed renamed layout: $layout")
+    val expected = (1L to 80L).map(i => s"$i|${i * 10}").sorted
+    val df = CatalogIO.scanMetadataLocation(spark, metaP.toString)
+    assert(df.schema.fieldNames.toSeq == Seq("k", "new_name"))
+    assert(df.collect().map(_.mkString("|")).sorted.toSeq == expected)
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-iceberg-mren") { (cat, hc) =>
+      spark.sql(s"CREATE NAMESPACE $cat.db")
+      hc.registerTable(TableRef.parse("db.mren"), metaP.toString)
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.mren").head.getLong(0) == 80)
+      assert(spark.sql(
+        s"SELECT sum(new_name) FROM $cat.db.mren WHERE new_name <= 600")
+        .head.getLong(0) == (1L to 60L).map(_ * 10).sum,
+        "filters answer across the rename boundary AND the format split")
     }
   }
 
@@ -1947,16 +2020,19 @@ class IcebergFormatSpec extends AnyFunSuite {
     val m = new Path(dir, "metadata/m-oren.avro")
     val w = new DataFileWriter(new GenericDatumWriter[GenericRecord](mSchema))
     w.create(mSchema, fs.create(m, true))
-    Seq("data/f-old.orc", "data/f-new.orc").foreach { rel =>
-      val abs = new Path(dir, rel)
-      val d = new GenericData.Record(mSchema.getField("data_file").schema())
-      d.put("file_path", fs.makeQualified(abs).toString)
-      d.put("file_format", "ORC")
-      d.put("record_count", 0L)
-      d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
-      val r = new GenericData.Record(mSchema)
-      r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
-      w.append(r)
+    // REAL record counts (spec-required): once the post-INSERT layout
+    // goes mixed, the stats envelope legitimately prunes r=0 files
+    Seq(("data/f-old.orc", 50L), ("data/f-new.orc", 30L)).foreach {
+      case (rel, rc) =>
+        val abs = new Path(dir, rel)
+        val d = new GenericData.Record(mSchema.getField("data_file").schema())
+        d.put("file_path", fs.makeQualified(abs).toString)
+        d.put("file_format", "ORC")
+        d.put("record_count", rc)
+        d.put("file_size_in_bytes", fs.getFileStatus(abs).getLen)
+        val r = new GenericData.Record(mSchema)
+        r.put("status", 1); r.put("snapshot_id", 7L); r.put("data_file", d)
+        w.append(r)
     }
     w.close()
     val metaP = new Path(dir, "metadata/oren.metadata.json")
@@ -1998,20 +2074,28 @@ class IcebergFormatSpec extends AnyFunSuite {
         .head.getLong(0) == (1L to 60L).map(_ * 10).sum)
       assert(spark.sql(s"SELECT new_name FROM $cat.db.oren ORDER BY new_name DESC LIMIT 1")
         .head.getLong(0) == 800L)
-      // adoption carries the rename epochs (seqs rebase below zero),
-      // reads keep working — but a parquet INSERT would go
-      // mixed-format + renamed, which no scan serves: refuse loudly
+      // adoption carries the rename epochs (seqs rebase below zero);
+      // a parquet INSERT makes the layout mixed-format + renamed,
+      // which SERVES since late round 20 (per-epoch mixed composites)
       val ref2 = TableRef.parse("db.oren_ad")
       CatalogIO.adoptIcebergTable(spark, hc, ref2, metaP.toString)
       assert(spark.sql(s"SELECT count(*) FROM $cat.db.oren_ad")
         .head.getLong(0) == 80)
-      val e = intercept[Exception] {
-        spark.sql(s"INSERT INTO $cat.db.oren_ad VALUES (1000, 123)")
-      }
-      def msgs(t: Throwable): Seq[String] =
-        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-      assert(msgs(e).exists(_.contains("mixed-format + renamed")),
-        s"expected the mixed+renamed refusal, got: ${msgs(e).mkString(" | ")}")
+      spark.sql(s"INSERT INTO $cat.db.oren_ad VALUES (1000, 123)")
+      val mixed = CatalogIO.readLayout(
+        hc.loadTableMetadataLocation(ref2), conf)
+      assert(mixed.dataFormat == "mixed" && mixed.renameOps.nonEmpty,
+        s"expected a served mixed+renamed layout: $mixed")
+      assert(spark.sql(s"SELECT count(*) FROM $cat.db.oren_ad")
+        .head.getLong(0) == 81)
+      assert(spark.sql(
+        s"SELECT new_name FROM $cat.db.oren_ad WHERE k = 1000")
+        .head.getLong(0) == 123L,
+        "the appended parquet row reads under current names")
+      assert(spark.sql(s"SELECT sum(new_name) FROM $cat.db.oren_ad " +
+        "WHERE new_name <= 600").head.getLong(0) ==
+        (1L to 60L).map(_ * 10).sum + 123L,
+        "filters answer across ORC epochs AND the parquet append")
     }
   }
 
