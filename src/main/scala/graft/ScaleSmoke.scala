@@ -48,7 +48,7 @@ object ScaleSmoke {
     }
     // the write/compact experiments only need lineitem — skip the rest
     // of the synthesis when they (or srp, which synthesizes nothing) run alone
-    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr", "plan", "manifest", "iceberg", "chunks", "dv", "orc", "degrade", "stream", "hive", "scoped", "cow", "reloc")).nonEmpty) {
+    if (only.isEmpty || (only -- Set("write", "srp", "compact", "mor", "stats", "incr", "plan", "manifest", "iceberg", "chunks", "dv", "orc", "degrade", "stream", "hive", "scoped", "cow", "reloc", "rename")).nonEmpty) {
       replicate("orders") { (df, i) =>
         df.withColumn("o_orderkey", col("o_orderkey") + lit(i * 10000000L))
           .withColumn("o_custkey", col("o_custkey") + lit(i * 10000000L))
@@ -83,7 +83,7 @@ object ScaleSmoke {
       "d08_dedup_substrings", "t06_pack_sequences", "p01_training_pipeline")
     // a typo'd name silently measuring nothing would waste a multi-hour
     // rerun — fail fast instead ("srp"/"write" select those experiments)
-    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr" - "plan" - "manifest" - "iceberg" - "chunks" - "dv" - "orc" - "degrade" - "stream" - "hive" - "scoped" - "cow" - "reloc"
+    val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr" - "plan" - "manifest" - "iceberg" - "chunks" - "dv" - "orc" - "degrade" - "stream" - "hive" - "scoped" - "cow" - "reloc" - "rename"
     require(unknown.isEmpty,
       s"Unknown queries: ${unknown.mkString(", ")}. Known: ${all.mkString(", ")}, srp, write, compact, mor, stats, incr, plan, manifest, iceberg, chunks, dv, orc, degrade, stream, scoped")
     all.filter(q => only.isEmpty || only(q)).foreach { q =>
@@ -107,6 +107,7 @@ object ScaleSmoke {
     if (only.isEmpty || only("scoped")) scopedScale(spark, out, replicas)
     if (only.isEmpty || only("cow")) cowScale(spark, out, replicas)
     if (only.isEmpty || only("reloc")) relocScale(spark, out, replicas)
+    if (only.isEmpty || only("rename")) renameScale(spark, out, replicas)
     spark.stop()
   }
 
@@ -1266,5 +1267,72 @@ object ScaleSmoke {
     println(f"[scale] srp n=${n + nPlant}: ${cand.size} candidates " +
       f"(${cand.size.toDouble / total}%.2e of $total pairs), " +
       f"planted recall $recall/$nPlant, $secs%.1f s")
+  }
+
+  /** Rename-composition experiment (late round 20): the claim is that
+    * rename epochs cost PLAN TIME ONLY — per-epoch scans are the same
+    * stock scans with translated names, rows/batches passing through
+    * position-identical — and that the delete compositions keep the
+    * O(matched)/broadcast shapes of their rename-free counterparts.
+    * Measures, at scale: (1) a full aggregate over the plain table,
+    * (2) the same aggregate after a metadata-only RENAME (one epoch,
+    * translated), (3) after a post-rename append (two epochs), (4) the
+    * epoch+MOR read with an eq delete keyed ON the renamed column, and
+    * (5) a positional DELETE WHERE on the renamed column (O(matched)
+    * commit). */
+  private def renameScale(spark: SparkSession, out: String, replicas: Int): Unit = {
+    import graft.catalog.{CatalogIO, HadoopFsCatalog, Namespace, TableRef}
+    import org.apache.spark.sql.functions.{col, sum}
+    val dir = s"/tmp/graft_rename_x$replicas"
+    graft.sources.TempCatalog.deleteRecursively(dir)
+    val src = spark.read.parquet(s"$out/lineitem.parquet")
+      .select(col("l_orderkey").as("k"), col("l_quantity").as("qty"))
+    val wh = s"$dir/wh"
+    val hc = new HadoopFsCatalog("renamescale", wh)
+    hc.createNamespace(Namespace.of("db"))
+    val ref = TableRef.parse("db.r")
+    val cat = "renamescale_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftSparkCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$cat.type", "hadoop")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    def timed[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val v = f
+      (v, (System.nanoTime() - t0) / 1e9)
+    }
+    CatalogIO.createTable(spark, hc, ref, src.repartition(16))
+    def agg(colName: String): (Long, Double) = timed(
+      spark.sql(s"SELECT CAST(SUM($colName) AS BIGINT), COUNT(*) " +
+        s"FROM $cat.db.r").collect().head.getLong(1))
+    val (n0, tPlain) = agg("qty")
+    spark.sql(s"ALTER TABLE $cat.db.r RENAME COLUMN qty TO quantity")
+    val (n1, tOneEpoch) = agg("quantity")
+    require(n0 == n1, s"rename changed the row count: $n1 vs $n0")
+    // a post-rename append: second epoch under the new physical name
+    val appended = src.filter(col("k") % 101 === 0)
+      .select(col("k"), col("qty").as("quantity")).repartition(4)
+    val (addCount, _) = timed(appended.count())
+    CatalogIO.commitAppend(spark, hc, ref, appended)
+    val (n2, tTwoEpochs) = agg("quantity")
+    require(n2 == n0 + addCount, s"append under rename lost rows: $n2")
+    // eq-MOR delete keyed ON the renamed column: kills one quantity
+    // value across BOTH epochs (physical `qty` below, `quantity` above)
+    import spark.implicits._
+    graft.sources.MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+      Seq(1.0).toDF("quantity"), Seq("quantity"))
+    val (n3, tEpochMor) = agg("quantity")
+    // positional DELETE WHERE on the renamed column: O(matched) commit
+    val (_, tPosDelete) = timed(
+      graft.sources.MergeOps.deleteWhereMergeOnRead(spark, hc, ref,
+        col("quantity") === 2.0))
+    val (n4, tPosRead) = agg("quantity")
+    require(n4 < n3 && n3 < n2, s"deletes must bite: $n2 -> $n3 -> $n4")
+    println(f"[scale] rename x$replicas: plain agg $tPlain%.2f s; " +
+      f"1-epoch renamed $tOneEpoch%.2f s; 2-epoch $tTwoEpochs%.2f s " +
+      f"($n2 rows); epoch+MOR eq read $tEpochMor%.2f s ($n3 rows); " +
+      f"positional DELETE WHERE commit $tPosDelete%.2f s, read after " +
+      f"$tPosRead%.2f s ($n4 rows) — the epoch translation is plan-time " +
+      "only; the read-time deltas are the MOR machinery, same as the " +
+      "rename-free shapes")
   }
 }
