@@ -262,12 +262,15 @@ object CatalogIO {
     // uuid+deletes shape with fills riding along. A uuid column may
     // also BE a fill column (identity-partitioned uuid sources): the
     // fill value is carried as the canonical STRING and adapted to the
-    // 16-byte form at physical (binary-space) injection seams. Renames
-    // still refuse (epoch name-addressing is a plain projection).
-    require(uuidColumns.isEmpty ||
-      (dataFormat == "parquet" && renameOps.isEmpty),
-      "uuid columns serve parquet layouts with no un-materialized " +
-        "renames; rewrite the column as string first")
+    // 16-byte form at physical (binary-space) injection seams. RENAMES
+    // compose (late round 20): the conversion seam rewrites TYPES by
+    // position and the epoch machinery rewrites NAMES per file — the
+    // seam wraps a per-epoch inner table ([[graft.sources
+    // .GraftUuidTable]]), and a renamed uuid column carries its
+    // conversion entry under the new name (the ALTER verb maps it).
+    require(uuidColumns.isEmpty || dataFormat == "parquet",
+      "uuid columns serve parquet layouts; rewrite the column as " +
+        "string first")
     require(dataFileLineage.forall(s => dataFiles.exists(_.size == s.size)),
       "dataFileLineage must parallel dataFiles one-to-one")
     require(dataFileFills.forall(s => dataFiles.exists(_.size == s.size)),

@@ -665,6 +665,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
     var dropped = layout.droppedColumns
     var bucketCols = layout.bucketColumns
     var sortCols = layout.sortColumns
+    // uuid conversion entries are name-keyed; RENAME carries them (late
+    // round 20), DROP takes them along (the filter at the commit)
+    var uuidCols = layout.uuidColumns
     // physical names still live in old files: any rename's from-name and
     // every tombstoned dropped column. ADDing (or renaming TO) one of
     // these would make pre-change files serve STALE BYTES under the new
@@ -751,15 +754,10 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
             s"$catalogName: $ref has live equality-delete or positional-" +
               "delete files; compactTable first to materialize them " +
               "before renaming columns")
-        // an adopted uuid layout's epoch name-addressing cannot compose
-        // with the conversion seam (the r18 refusal, now named at the
-        // verb instead of the layout invariant)
-        if (layout.uuidColumns.nonEmpty)
-          throw new UnsupportedOperationException(
-            s"$catalogName: $ref serves uuid columns through the " +
-              "binary-to-string conversion seam, which does not compose " +
-              "with rename epochs; compactTable first (it materializes " +
-              "the strings)")
+        // uuid layouts RENAME (late round 20): the conversion seam
+        // composes with rename epochs — the seam rewrites TYPES by
+        // position, the epochs rewrite NAMES per file — and a renamed
+        // uuid column carries its conversion entry under the new name
         // fills + renames never coexist (the TableLayout invariant would
         // refuse the commit anyway, but before-side-effect with the fix
         // named beats a generic require message — advisor r16 #1)
@@ -787,6 +785,7 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
         // IDs, so this is metadata-consistent)
         bucketCols = bucketCols.map(c => if (c.equalsIgnoreCase(from)) to else c)
         sortCols = sortCols.map(c => if (c.equalsIgnoreCase(from)) to else c)
+        uuidCols = uuidCols.map(c => if (c.equalsIgnoreCase(from)) to else c)
       case del: TableChange.DeleteColumn =>
         // DROP COLUMN (round 9): metadata-only — scans simply stop
         // requesting the column; the name (and its physical ancestors)
@@ -892,8 +891,9 @@ class GraftSparkCatalog extends TableCatalog with SupportsNamespaces with Functi
       layout.copy(schemaDdl = Some(evolved.toDDL),
         bucketColumns = bucketCols, sortColumns = sortCols,
         renameOps = renames, droppedColumns = dropped,
-        // a dropped uuid column takes its conversion entry with it
-        uuidColumns = layout.uuidColumns.filter(c =>
+        // a dropped uuid column takes its conversion entry with it; a
+        // renamed one carries it under the new name (uuidCols above)
+        uuidColumns = uuidCols.filter(c =>
           fields.exists(_.name.equalsIgnoreCase(c)))),
       expectedBase = base)
     loadTable(ident)

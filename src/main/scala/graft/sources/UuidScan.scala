@@ -64,6 +64,19 @@ final class GraftUuidTable(spark: SparkSession, tableName: String,
 
   private val inner: Table with SupportsRead = {
     val physical = physicalOf(served)
+    // un-materialized RENAMES (late round 20): the epoch machinery
+    // plans INSIDE the conversion seam over the PHYSICAL schema — the
+    // seam rewrites TYPES by position (names irrelevant to it), the
+    // epochs rewrite NAMES per file, and with live deletes the
+    // per-epoch MOR composition translates the delete files'
+    // current-named keys (binary uuid values probe content-comparable
+    // either way).
+    if (layout.renameOps.nonEmpty) {
+      val sub = layout.copy(schemaDdl = Some(physical.toDDL))
+      if (layout.deleteFiles.isEmpty)
+        new GraftEpochTable(spark, tableName, sub, hadoopOpts)
+      else new GraftEpochMorTable(spark, tableName, sub, hadoopOpts)
+    } else {
     val base = ManifestFileIndex.tableFor(tableName, spark, hadoopOpts,
       layout, schemaOverride = Some(physical)).getOrElse {
       val opts = new CaseInsensitiveStringMap(
@@ -86,6 +99,7 @@ final class GraftUuidTable(spark: SparkSession, tableName: String,
     if (layout.deleteFiles.isEmpty) base
     else new GraftMorTable(base,
       layout.copy(schemaDdl = Some(physical.toDDL)), hadoopOpts)
+    }
   }
 
   override def name(): String = tableName

@@ -884,6 +884,68 @@ class UuidSpec extends AnyFunSuite {
     }
   }
 
+  test("uuid + RENAMES compose (late round 20): ALTER RENAME on the " +
+      "data column AND on the uuid column itself; deletes keyed on the " +
+      "renamed uuid column; compaction clears everything") {
+    import org.apache.spark.sql.functions.col
+    val dir = s"${Files.createTempDirectory("graft-uuid-rn").toString}/t"
+    val metaP = writeTable(dir,
+      """{"id": 1, "name": "u", "required": false, "type": "uuid"}""")
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-uuid-rn") {
+      (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        val ref = TableRef.parse("db.ur")
+        CatalogIO.adoptIcebergTable(spark, hc, ref, metaP)
+        // rename the DATA column: the seam (types by position) and the
+        // epochs (names per file) compose
+        spark.sql(s"ALTER TABLE $cat.db.ur RENAME COLUMN k TO key")
+        assert(spark.table(s"$cat.db.ur").columns.toSeq == Seq("u", "key"))
+        assert(spark.sql(s"SELECT COUNT(u) FROM $cat.db.ur")
+          .collect().head.getLong(0) == 16L)
+        assert(spark.sql(
+          s"SELECT key FROM $cat.db.ur WHERE u = '${uuidOf(4)}'")
+          .collect().map(_.getLong(0)).toSeq == Seq(4L))
+        // rename the UUID column itself: the conversion entry carries
+        // under the new name
+        spark.sql(s"ALTER TABLE $cat.db.ur RENAME COLUMN u TO uid")
+        val renamed = CatalogIO.readLayout(
+          hc.loadTableMetadataLocation(ref), conf)
+        assert(renamed.uuidColumns == Seq("uid"),
+          s"the conversion entry must carry the rename: $renamed")
+        assert(spark.sql(
+          s"SELECT key FROM $cat.db.ur WHERE uid = '${uuidOf(4)}'")
+          .collect().map(_.getLong(0)).toSeq == Seq(4L))
+        // a post-rename INSERT (current names, string in, binary out)
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(Seq(
+            org.apache.spark.sql.Row(uuidOf(21).toString, 21L)), 1),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "uid STRING, key BIGINT NOT NULL"))
+          .write.insertInto(s"$cat.db.ur")
+        // eq-MOR delete keyed ON the renamed uuid column: the probe
+        // translates uid -> u for the pre-rename epoch, binary space
+        graft.sources.MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+          spark.sql(s"SELECT '${uuidOf(6)}' AS uid"), Seq("uid"))
+        val expect = ((1 to 20).filterNot(_ == 6).map(i =>
+          (if (i % 5 == 0) null else uuidOf(i).toString, i.toLong)) :+
+          (uuidOf(21).toString, 21L)).sortBy(_._2)
+        def check(df: org.apache.spark.sql.DataFrame, face: String): Unit = {
+          val got = df.select("uid", "key").collect()
+            .map(r => (r.getString(0), r.getLong(1))).toSeq.sortBy(_._2)
+          assert(got == expect, s"$face rows")
+        }
+        check(spark.table(s"$cat.db.ur"), "SQL")
+        check(CatalogIO.readTable(spark, hc, ref), "DataFrame")
+        // compaction materializes strings, renames, and deletes away
+        assert(CatalogIO.compactTable(spark, hc, ref).compacted)
+        val after = CatalogIO.readLayout(
+          hc.loadTableMetadataLocation(ref), conf)
+        assert(after.uuidColumns.isEmpty && after.renameOps.isEmpty &&
+          after.deleteFiles.isEmpty, s"compaction must clear: $after")
+        check(spark.table(s"$cat.db.ur"), "post-compact SQL")
+    }
+  }
+
   test("struct-nested uuid members refuse with the member path named") {
     val dir = s"${Files.createTempDirectory("graft-uuid-n").toString}/t"
     val metaP = writeTable(dir,
