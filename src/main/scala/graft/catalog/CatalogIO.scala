@@ -319,11 +319,14 @@ object CatalogIO {
             .map(_._1).mkString("/")
         }).toSeq.sorted
     }
+    // rename EPOCHS over relocated files serve (late round 20): the
+    // epoch machinery plans from ABSOLUTE paths already and its scans
+    // suppress basePath like every other relocated face
     require(!hasRelocated ||
-      (partitionColumns.isEmpty && numBuckets.isEmpty && renameOps.isEmpty),
-      "relocated (absolute-spelling) files serve plain/fill/MOR " +
-        "layouts only — partition columns, buckets, and rename epochs " +
-        "are engine-manifest (co-rooted) features")
+      (partitionColumns.isEmpty && numBuckets.isEmpty),
+      "relocated (absolute-spelling) files serve plain/fill/MOR/epoch " +
+        "layouts only — partition columns and buckets are " +
+        "engine-manifest (co-rooted) features")
     /** Scans of this layout pass NO `basePath`: fill layouts (Spark
       * would infer partition columns from `col=value` directory names
       * and conflict across snapshot depths), relocated layouts (the

@@ -687,13 +687,9 @@ object IcebergFormat {
           s"Iceberg metadata $metadataLocation: the table has renamed " +
             "columns AND live delete files; this engine can serve " +
             "either, not both — compact the table first")
-      if (rels.exists(r => CatalogIO.isAbsoluteSpelling(r._1)))
-        throw new UnsupportedOperationException(
-          s"Iceberg metadata $metadataLocation: un-materialized column " +
-            "renames over RELOCATED data files (outside the table " +
-            "location) — the epoch machinery keys on segment-relative " +
-            "spellings; rewrite the table (compact) to materialize the " +
-            "rename first")
+      // RELOCATED data files rename too (late round 20): the epoch
+      // machinery plans from absolute paths and its scans suppress
+      // basePath like every other relocated face — the spelling rides
       val (epochSeqs, renameOps) = renameEpochs(
         rels.map(r => CatalogIO.resolveSpelling(location, r._1)),
         fieldIdsOf(schema).toSeq.sortBy(_._1).map { case (id, (n, _)) => (id, n) },

@@ -84,7 +84,10 @@ final class GraftEpochTable(spark: SparkSession, tableName: String,
       // size-completeness and partition guards live in tableFor
       val manifest: Option[Table with SupportsRead] =
         if (!manifestPlanning || layout.dataFormat == "avro" ||
-            layout.dataFormat == "mixed") None
+            layout.dataFormat == "mixed" ||
+            // the manifest index passes basePath, which out-of-root
+            // (relocated) files break — late round 20
+            layout.hasRelocated) None
         else ManifestFileIndex.tableFor(s"$tableName@epoch", spark,
           hadoopOpts, layout, schemaOverride = Some(physSchema),
           fileSubset = Some(files.map(relByAbs)))
@@ -108,8 +111,11 @@ final class GraftEpochTable(spark: SparkSession, tableName: String,
               schemaDdl = Some(physSchema.toDDL), renameOps = Nil),
             hadoopOpts)
         else manifest.getOrElse {
+        // relocated layouts pass NO basePath (their files share no root
+        // with the segment — late round 20, like every relocated face)
         val opts = new CaseInsensitiveStringMap(
-          (hadoopOpts + ("basePath" -> layout.dataLocation)).asJava)
+          (if (layout.suppressBasePath) hadoopOpts
+           else hadoopOpts + ("basePath" -> layout.dataLocation)).asJava)
         layout.dataFormat match {
           case "parquet" => ParquetTable(s"$tableName@epoch", spark, opts,
             files, userSpecifiedSchema = Some(physSchema),
@@ -362,13 +368,14 @@ final class GraftEpochMorTable(spark: SparkSession, tableName: String,
       else {
       val stock: Table with SupportsRead = {
         val manifest: Option[Table with SupportsRead] =
-          if (!manifestPlanning) None
+          if (!manifestPlanning || layout.hasRelocated) None
           else ManifestFileIndex.tableFor(s"$tableName@epochmor", spark,
             hadoopOpts, layout, schemaOverride = Some(physSchema),
             fileSubset = Some(rels))
         manifest.getOrElse {
           val opts = new CaseInsensitiveStringMap(
-            (hadoopOpts + ("basePath" -> layout.dataLocation)).asJava)
+            (if (layout.suppressBasePath) hadoopOpts
+             else hadoopOpts + ("basePath" -> layout.dataLocation)).asJava)
           val files = rels.map(absByRel)
           layout.dataFormat match {
             case "parquet" => ParquetTable(s"$tableName@epochmor", spark,

@@ -158,6 +158,60 @@ class RelocatedLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("relocated layouts RENAME (late round 20): converted rename " +
+      "history reads, and the adopted table takes ALTER RENAME with " +
+      "deletes on the renamed column") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val base = Files.createTempDirectory("graft-reloc-ren").toString
+    val df = sampleDf.repartitionByRange(3, col("id"))
+    val meta0 = IcebergExport.writeTable(spark, df, s"$base/store")
+    val metaReloc = relocate(meta0, s"$base/tbl")
+    assert(CatalogIO.readLayout(metaReloc, conf).hasRelocated)
+    graft.sources.TempCatalog.withTempHandles(spark, "graft-reloc-ren") {
+      (cat, hc) =>
+        spark.sql(s"CREATE NAMESPACE $cat.db")
+        val ref = TableRef.parse("db.rr")
+        CatalogIO.adoptIcebergTable(spark, hc, ref, metaReloc)
+        // ALTER RENAME on the adopted relocated table: metadata-only,
+        // the absolute spellings untouched
+        spark.sql(s"ALTER TABLE $cat.db.rr RENAME COLUMN name TO label")
+        val lay1 = CatalogIO.readLayout(
+          hc.loadTableMetadataLocation(ref), conf)
+        assert(lay1.hasRelocated && lay1.renameOps.nonEmpty,
+          s"expected a relocated renamed layout: $lay1")
+        assert(spark.table(s"$cat.db.rr").columns.toSeq ==
+          Seq("id", "label", "g"))
+        assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.rr").collect()
+          .head.getLong(0) == 300L)
+        assert(spark.sql(
+          s"SELECT id FROM $cat.db.rr WHERE label = 'name-7'")
+          .collect().map(_.getLong(0)).toSeq == Seq(7L),
+          "filters on the renamed column reach the relocated epoch")
+        // post-rename INSERT (co-rooted) + eq-MOR delete keyed on the
+        // RENAMED column: the per-epoch probes translate over the
+        // absolute spellings
+        Seq((1001L, "name-7", 0)).toDF("id", "label", "g")
+          .write.insertInto(s"$cat.db.rr")
+        graft.sources.MergeOps.deleteMatchedMergeOnRead(spark, hc, ref,
+          Seq("name-7").toDF("label"), Seq("label"))
+        assert(spark.sql(
+          s"SELECT COUNT(*) FROM $cat.db.rr WHERE label = 'name-7'")
+          .collect().head.getLong(0) == 0L,
+          "the delete must bite in BOTH epochs (relocated and co-rooted)")
+        assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.rr").collect()
+          .head.getLong(0) == 299L)
+        // compaction re-homes and clears renames + deletes
+        CatalogIO.compactTable(spark, hc, ref)
+        val lay2 = CatalogIO.readLayout(
+          hc.loadTableMetadataLocation(ref), conf)
+        assert(!lay2.hasRelocated && lay2.renameOps.isEmpty &&
+          lay2.deleteFiles.isEmpty)
+        assert(spark.sql(s"SELECT COUNT(*) FROM $cat.db.rr").collect()
+          .head.getLong(0) == 299L)
+    }
+  }
+
   test("relocated merge-on-read: equality AND positional deletes apply " +
       "in one spelling space (no resurrections, no over-deletes)") {
     val base = Files.createTempDirectory("graft-reloc-mor").toString
