@@ -36,6 +36,21 @@ private[operators] object Banding {
       count(lit(1)).as("buckets"),
       sum(when(keep, lit(0)).otherwise(lit(1))).cast("long").as("suppressed_buckets"))
       .filter(keep)
+      // The bucket table is tiny in BYTES (one row per bucket) but each
+      // bucket explodes into n·(n−1)/2 pair rows below — a blowup AQE's
+      // byte-based partition coalescing cannot see, so without this it
+      // merges the post-agg stage down to ONE task and the entire pair
+      // generation (plus the distinct's partial aggregation) runs
+      // single-threaded (measured: 4.7 s of 5.5 s in d05 at sf0.1 on one
+      // core). An explicit cores-proportional ROUND-ROBIN repartition pins
+      // the explode's parallelism (explicit N is exempt from AQE
+      // coalescing; a hash repartition on (band, bv) would be elided as
+      // redundant against the aggregation's own partitioning) and spreads
+      // buckets evenly by COUNT, not bytes. The exchange moves only the
+      // bucket rows, so its cost is O(buckets), not O(pairs).
+      // defaultParallelism scales with the cluster — no local-shaped
+      // constant (guide §2.2/§2.5).
+      .repartition(banded.sparkSession.sparkContext.defaultParallelism)
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
       .select(col("a"), explode(expr("slice(ids, i + 2, size(ids))")).as("b"))
       .distinct()
