@@ -1789,7 +1789,40 @@ object IcebergExport {
       case Some(rs) => rs.map(r =>
         r.name -> FileExportStats(r.count, r.lowers, r.uppers,
           r.nulls, r.nans)).toMap
+      case None if fileFormat == "parquet" =>
+        // Round 20 (guide §1.2/§6): the write already produced exact
+        // per-file column statistics in every parquet FOOTER — read
+        // those (O(files) metadata reads) instead of re-scanning the
+        // data (a second full pass). Footer decode is type-gated and
+        // falls back to the scan on ANY uncertainty (float/double NaN
+        // counts, possibly-truncated long string bounds, unexpected
+        // physical encodings), so the manifest content is identical to
+        // the scan path's wherever the fast path engages. Measured:
+        // the read-back aggregation was 0.3-0.5 s of every benched
+        // w-row's export at sf0.1.
+        footerExportStats(spark, fs, dataDir, boundCols)
+          .getOrElse(scanExportStats(spark, fs, schema, fieldIds,
+            boundCols, dataDir, fileFormat, partCols))
       case None =>
+        scanExportStats(spark, fs, schema, fieldIds, boundCols, dataDir,
+          fileFormat, partCols)
+    }
+    writeDataManifestTail(fs, metaDir, location, fieldIds, dataDir,
+      relPrefix, snapshotId, seq, fileFormat, treeOverride, partCols,
+      specId, boundCols, statsByRel)
+  }
+
+  /** The original read-back statistics pass: one aggregation over the
+    * written files grouped by file name. Exact for every type; costs a
+    * full data read. */
+  private def scanExportStats(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem,
+      schema: StructType, fieldIds: Seq[(StructField, Int)],
+      boundCols: Seq[(StructField, Int)], dataDir: Path,
+      fileFormat: String, partCols: Seq[PartSpecCol])
+      : Map[String, FileExportStats] = {
+    import org.apache.spark.sql.functions._
+    locally {
         val aggs = count(lit(1)).as("_cnt") +:
           boundCols.flatMap { case (f, id) =>
             Seq(min(col(f.name)).as(s"_mn$id"), max(col(f.name)).as(s"_mx$id"),
@@ -1832,6 +1865,158 @@ object IcebergExport {
               id -> r.getAs[Long](s"_na$id") }.toMap)
         }.toMap
     }
+  }
+
+  /** Footer-derived per-file statistics for a parquet export — the
+    * one-pass alternative to [[scanExportStats]]: the parquet writer
+    * already recorded exact min/max/null-count per column chunk, so the
+    * export only has to DECODE footers (a few KB per file), never
+    * re-read rows. Returns None — caller falls back to the scan — when
+    * any bound column is float/double (NaN counts are not in footers),
+    * when a footer's statistics are missing/unset for a column that has
+    * values (parquet drops oversized binary stats), when a string bound
+    * is long enough that writer-side truncation is conceivable, or on
+    * any unexpected physical encoding. Where it engages, the produced
+    * manifest is byte-identical to the scan path's (same values, same
+    * spec Appendix-D serialization). */
+  private def footerExportStats(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, dataDir: Path,
+      boundCols: Seq[(StructField, Int)])
+      : Option[Map[String, FileExportStats]] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.io.api.Binary
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    // NaN counts live only in the data; decimals/timestamps cover the
+    // engine's writers, anything else falls back
+    val footerSafe = boundCols.forall { case (f, _) => f.dataType match {
+      case LongType | IntegerType | StringType | BooleanType | DateType |
+           TimestampType | TimestampNTZType => true
+      case _: DecimalType => true
+      case _ => false
+    }}
+    if (!footerSafe) return None
+    val conf = spark.sessionState.newHadoopConf()
+    val byName = boundCols.map { case (f, id) => f.name -> ((f, id)) }.toMap
+    val out = scala.collection.mutable.Map.empty[String, FileExportStats]
+    try {
+      CatalogIO.listDataFiles(fs, dataDir).foreach { rel =>
+        val reader = ParquetFileReader.open(
+          HadoopInputFile.fromPath(new Path(dataDir, rel), conf))
+        try {
+          val blocks = reader.getFooter.getBlocks.asScala.toSeq
+          val cnt = blocks.map(_.getRowCount).sum
+          val lowers = scala.collection.mutable.Map.empty[Int, Any]
+          val uppers = scala.collection.mutable.Map.empty[Int, Any]
+          val nulls = scala.collection.mutable.Map.empty[Int, Long]
+          for (b <- blocks; c <- b.getColumns.asScala) {
+            val path = c.getPath.toArray
+            if (path.length == 1) byName.get(path(0)).foreach { case (f, id) =>
+              val st = c.getStatistics
+              if (st == null || !st.isNumNullsSet) return None
+              nulls.update(id, nulls.getOrElse(id, 0L) + st.getNumNulls)
+              if (!st.hasNonNullValue) {
+                // no bounds in this chunk: sound only if every row in the
+                // chunk is null (otherwise stats were dropped — fallback)
+                if (st.getNumNulls != b.getRowCount) return None
+              } else {
+                val prim = c.getPrimitiveType.getPrimitiveTypeName
+                def ext(v: Any): Option[Any] = (f.dataType, prim, v) match {
+                  case (LongType, INT64, l: java.lang.Long) => Some(l)
+                  case (IntegerType, INT32, i: java.lang.Integer) => Some(i)
+                  case (BooleanType, BOOLEAN, x: java.lang.Boolean) => Some(x)
+                  case (StringType, BINARY, bin: Binary) =>
+                    val bytes = bin.getBytes
+                    // long binary stats can be truncated/dropped by the
+                    // writer; stay exact by refusing anywhere near the edge
+                    if (bytes.length > 1000) None
+                    else Some(new String(bytes,
+                      java.nio.charset.StandardCharsets.UTF_8))
+                  case (DateType, INT32, i: java.lang.Integer) =>
+                    Some(java.time.LocalDate.ofEpochDay(i.longValue()))
+                  case (TimestampType, INT64, l: java.lang.Long) =>
+                    if (!isMicrosTimestamp(c.getPrimitiveType)) None
+                    else Some(java.time.Instant.ofEpochSecond(
+                      Math.floorDiv(l.longValue(), 1000000L),
+                      Math.floorMod(l.longValue(), 1000000L) * 1000L))
+                  case (TimestampNTZType, INT64, l: java.lang.Long) =>
+                    if (!isMicrosTimestamp(c.getPrimitiveType)) None
+                    else Some(java.time.LocalDateTime.ofEpochSecond(
+                      Math.floorDiv(l.longValue(), 1000000L),
+                      (Math.floorMod(l.longValue(), 1000000L) * 1000L).toInt,
+                      java.time.ZoneOffset.UTC))
+                  case (dt: DecimalType, INT32, i: java.lang.Integer) =>
+                    Some(java.math.BigDecimal.valueOf(i.longValue(), dt.scale))
+                  case (dt: DecimalType, INT64, l: java.lang.Long) =>
+                    Some(java.math.BigDecimal.valueOf(l.longValue(), dt.scale))
+                  case (dt: DecimalType, FIXED_LEN_BYTE_ARRAY, bin: Binary) =>
+                    Some(new java.math.BigDecimal(
+                      new java.math.BigInteger(bin.getBytes), dt.scale))
+                  case (dt: DecimalType, BINARY, bin: Binary) =>
+                    Some(new java.math.BigDecimal(
+                      new java.math.BigInteger(bin.getBytes), dt.scale))
+                  case _ => None
+                }
+                (ext(st.genericGetMin), ext(st.genericGetMax)) match {
+                  case (Some(mn), Some(mx)) =>
+                    lowers.update(id, lowers.get(id).fold(mn)(cur =>
+                      if (extLt(f.dataType, mn, cur)) mn else cur))
+                    uppers.update(id, uppers.get(id).fold(mx)(cur =>
+                      if (extLt(f.dataType, cur, mx)) mx else cur))
+                  case _ => return None
+                }
+              }
+            }
+          }
+          out.update(rel, FileExportStats(cnt, lowers.toMap, uppers.toMap,
+            nulls.toMap, Map.empty))
+        } finally reader.close()
+      }
+      Some(out.toMap)
+    } catch { case _: Throwable => None }
+  }
+
+  private def isMicrosTimestamp(
+      t: org.apache.parquet.schema.PrimitiveType): Boolean =
+    t.getLogicalTypeAnnotation match {
+      case ts: org.apache.parquet.schema.LogicalTypeAnnotation
+          .TimestampLogicalTypeAnnotation =>
+        ts.getUnit ==
+          org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit.MICROS
+      case _ => false
+    }
+
+  /** External-value ordering for footer-stat folding across row groups —
+    * mirrors the orderings the scan path's min()/max() used (strings in
+    * UTF-8 byte order, the order both Spark's UTF8String and parquet's
+    * UNSIGNED binary comparator use). */
+  private def extLt(dt: DataType, a: Any, b: Any): Boolean = (dt, a, b) match {
+    case (LongType, x: Long, y: Long) => x < y
+    case (IntegerType, x: Int, y: Int) => x < y
+    case (BooleanType, x: Boolean, y: Boolean) => !x && y
+    case (StringType, x: String, y: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(x)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
+    case (DateType, x: java.time.LocalDate, y: java.time.LocalDate) =>
+      x.isBefore(y)
+    case (TimestampType, x: java.time.Instant, y: java.time.Instant) =>
+      x.isBefore(y)
+    case (TimestampNTZType, x: java.time.LocalDateTime,
+        y: java.time.LocalDateTime) => x.isBefore(y)
+    case (_: DecimalType, x: java.math.BigDecimal, y: java.math.BigDecimal) =>
+      x.compareTo(y) < 0
+    case _ => throw new IllegalStateException(s"unordered bound type $dt")
+  }
+
+  /** Manifest writing tail shared by both stats paths. */
+  private def writeDataManifestTail(fs: org.apache.hadoop.fs.FileSystem,
+      metaDir: Path, location: String, fieldIds: Seq[(StructField, Int)],
+      dataDir: Path, relPrefix: String, snapshotId: Long, seq: Long,
+      fileFormat: String,
+      treeOverride: Option[IcebergSchemaIds.Tree],
+      partCols: Seq[PartSpecCol], specId: Int,
+      boundCols: Seq[(StructField, Int)],
+      statsByRel: Map[String, FileExportStats]): (ListEntry, Long, Long) = {
     val files = CatalogIO.listDataFiles(fs, dataDir)
     val manifestPath = new Path(metaDir,
       s"m$seq-${java.util.UUID.randomUUID()}.avro")

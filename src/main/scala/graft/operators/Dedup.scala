@@ -41,7 +41,12 @@ object Dedup {
     * formulation it replaced cost ~0.6 ms/doc interpreted and is
     * recomputed per reference in the self-join pipelines below. */
   def shingledOf(docs: DataFrame): DataFrame =
-    docs.selectExpr("doc_id", "graft_shingles(split(lower(text), ' ')) AS sh")
+    // shingling + hashing is the heavy per-row work of every detector;
+    // spread a single-row-group documents scan so it runs cluster-wide
+    // instead of inside the one non-empty scan task (guide §2.5 — at
+    // scale the gate never fires and this is the identity)
+    graft.Spread.ifNarrow(docs)
+      .selectExpr("doc_id", "graft_shingles(split(lower(text), ' ')) AS sh")
 
   /** [[shingledOf]] mapped into the 64-bit hash domain: every shingle is
     * replaced by its xxhash64 image, and ALL downstream work — document
@@ -259,7 +264,11 @@ object Dedup {
       .filter(col("v") > col("u"))
       .select(col("v").as("u"), col("m").as("v"))
       .filter(col("u") =!= col("v"))
-      .distinct()
+    // NO trailing distinct (round 20, guide §2.4): each round runs
+    // largeStar→smallStar, and smallStar ends in a distinct — duplicate
+    // edges surviving this stage only widen smallStar's (tiny) agg/join
+    // inputs, while the removed exchange+aggregate was a full pass over
+    // the edge set EVERY round. Set semantics at round end unchanged.
   }
 
   /** One small-star round: orient each edge large→small, then every
@@ -443,7 +452,7 @@ object Dedup {
     */
   /** Per-doc distinct 5-word shingles, exploded to (doc_id, g) rows. */
   def gramsOf(docs: DataFrame): DataFrame =
-    docs.selectExpr("doc_id",
+    graft.Spread.ifNarrow(docs).selectExpr("doc_id",
         "graft_shingles_n(split(lower(text), ' '), 5) AS gs")
       .select(col("doc_id"), explode(col("gs")).as("g"))
 
@@ -525,7 +534,8 @@ object Dedup {
     // aggregation, coverage join) and the text split THREE times
     // (grams ×2, reassembly) — at full-corpus scale one stored pass
     // wins, on small survivor sets the store costs more than it saves
-    val toks0 = docs.select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    val toks0 = graft.Spread.ifNarrow(docs)
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
     val toks = if (materialize) toks0.localCheckpoint() else toks0
     val grams0 = toks.filter(size(col("t")) >= k)
       .select(col("doc_id"), explode(expr(

@@ -449,7 +449,7 @@ object Multimodal {
     * encode → decode → resample path is exact, not a stub. */
   def imageStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val items = graft.Tables(s, dir, "part")
+    val items = graft.Spread.ifNarrow(graft.Tables(s, dir, "part"))
       .select(col("p_partkey").as("media_id"))
       .filter(col("media_id") <= 2000)
       .as[Long]
@@ -533,7 +533,7 @@ object Multimodal {
     * final division in both engines. */
   def videoStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val items = graft.Tables(s, dir, "part")
+    val items = graft.Spread.ifNarrow(graft.Tables(s, dir, "part"))
       .select(col("p_partkey").as("media_id"))
       .filter(col("media_id") <= 300)
       .as[Long]

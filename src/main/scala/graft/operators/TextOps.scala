@@ -52,7 +52,7 @@ object TextOps {
   /** Quality scoring: token count, avg token length, punctuation count,
     * stopword ratio, and a composite score in [0,1]. */
   def qualityOf(docs: DataFrame): DataFrame =
-    docs
+    graft.Spread.ifNarrow(docs)
       .selectExpr("doc_id", "text", "split(lower(text), ' ') AS t")
       .selectExpr("doc_id",
         "CAST(size(t) AS BIGINT) AS n_tokens",
@@ -88,7 +88,7 @@ object TextOps {
     * over the character stream — an order-sensitive content hash usable
     * for exact-dup detection via groupBy(fp). */
   def fingerprintOf(docs: DataFrame): DataFrame =
-    docs.selectExpr("doc_id",
+    graft.Spread.ifNarrow(docs).selectExpr("doc_id",
       """aggregate(filter(split(text, ''), c -> c <> ''),
         | CAST(0 AS BIGINT),
         | (acc, c) -> (acc * 31 + ascii(c)) % 1000000007) AS fp""".stripMargin)

@@ -523,7 +523,9 @@ object Relational {
   // E9 — Pearson correlation from exact decimal partial sums, identical
   // IEEE arithmetic on both engines (same recipe as q35)
   def q48(s: SparkSession, dir: String): DataFrame =
-    Tables(s, dir, "lineitem")
+    // six decimal(38,4) sums per row: spread a single-row-group scan so
+    // the decimal math runs cluster-wide (guide §2.5)
+    graft.Spread.ifNarrow(Tables(s, dir, "lineitem"))
       .groupBy($"l_returnflag")
       .agg(count(lit(1)).as("n"),
         sum(dec($"l_quantity")).cast(DoubleType).as("sx"),

@@ -42,10 +42,25 @@ object R20Probe {
       case "d05y" => d05y(spark, dir)
       case "d05z" => d05z(spark, dir)
       case "stages" => stagesOf(spark, dir, args(2))
+      case "wq" =>
+        // bench-faithful timing for the write-lifecycle rows: the timed
+        // region opens BEFORE the query function is invoked (their work
+        // is eager), same as graft.Bench
+        val tmp = java.nio.file.Files.createTempDirectory("graft_probe").toString
+        args.drop(2).foreach { name =>
+          val runs = (1 to 3).map { i =>
+            val t0 = System.nanoTime()
+            graft.SparkEntry.queries(name)(spark, dir)
+              .write.mode("overwrite").parquet(s"$tmp/$name")
+            (System.nanoTime() - t0) / 1e9
+          }
+          println(f"[probe] wq $name%-28s min ${runs.min}%7.3f s (${runs.map(r => f"$r%.3f").mkString(", ")})")
+        }
       case "d01" => d01(spark, dir)
       case "p01" => p01(spark, dir)
       case "w24" => w24(spark, dir)
       case "q48" => q48(spark, dir)
+      case "w27p" => w27p(spark, dir)
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()
@@ -308,6 +323,63 @@ object R20Probe {
       val t2 = System.nanoTime()
       println(f"[probe] w24 stats read-back run $i: ${(t2 - t1) / 1e9}%.3f s (${perFile.length} files)")
       graft.sources.TempCatalog.deleteRecursively(tmp)
+    }
+  }
+
+  /** w27 phase timers: export, two scoped deletes, register, the three
+    * aggregate faces, final collect. */
+  private def w27p(s: SparkSession, dir: String): Unit = {
+    import org.apache.spark.sql.functions.col
+    def t[A](name: String)(f: => A): A = {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[probe] w27p $name%-26s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+    (1 to 2).foreach { round =>
+      println(s"[probe] === w27p round $round ===")
+      graft.sources.TempCatalog.withTempHandles(s, "graft-w27p") { (cat, hc) =>
+        import graft.catalog.{CatalogIO, IcebergExport, TableRef}
+        val tmp = java.nio.file.Files.createTempDirectory("graft-w27p-ice").toString
+        try {
+          val tdf = s.sql(
+            s"""SELECT CAST(l_orderkey AS BIGINT) AS k,
+               |       CAST(l_quantity AS BIGINT) AS qty, l_returnflag AS rf
+               |FROM parquet.`$dir/lineitem.parquet`""".stripMargin)
+          val meta1 = t("writeTable")(IcebergExport.writeTable(s, tdf, s"$tmp/t",
+            partitionBy = Seq("rf")))
+          val meta2 = t("appendDeletes N")(IcebergExport.appendDeletes(s, meta1,
+            equality = Some(tdf.filter(col("k") % 7 === 0)
+              .select(col("k")).distinct()),
+            equalityPartition = Some(Seq("N"))))
+          val meta3 = t("appendDeletes A")(IcebergExport.appendDeletes(s, meta2,
+            equality = Some(tdf.filter(col("k") % 11 === 0)
+              .select(col("k")).distinct()),
+            equalityPartition = Some(Seq("A"))))
+          t("ns+register") {
+            s.sql(s"CREATE NAMESPACE $cat.db")
+            hc.registerTable(TableRef.parse("db.scoped_mor"), meta3)
+          }
+          val q1 = t("plan sqlFace")(s.sql(
+            s"""SELECT 'all' AS phase, rf, COUNT(*) AS cnt,
+               |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+               |FROM $cat.db.scoped_mor GROUP BY rf""".stripMargin))
+          val q2 = t("plan pruned")(s.sql(
+            s"""SELECT 'flt' AS phase, rf, COUNT(*) AS cnt,
+               |       SUM(k) AS k_sum, SUM(qty) AS qty_sum
+               |FROM $cat.db.scoped_mor WHERE rf = 'N' GROUP BY rf""".stripMargin))
+          val q3 = t("plan dfFace")(CatalogIO.scanMetadataLocation(s, meta3)
+            .groupBy(col("rf"))
+            .agg(org.apache.spark.sql.functions.count(
+                org.apache.spark.sql.functions.lit(1)).as("cnt"),
+              org.apache.spark.sql.functions.sum(col("k")).as("k_sum"),
+              org.apache.spark.sql.functions.sum(col("qty")).as("qty_sum"))
+            .select(org.apache.spark.sql.functions.lit("df").as("phase"),
+              col("rf"), col("cnt"), col("k_sum"), col("qty_sum")))
+          t("collect all three")(
+            q1.unionByName(q2).unionByName(q3).collect())
+        } finally graft.sources.TempCatalog.deleteRecursively(tmp)
+      }
     }
   }
 
