@@ -44,9 +44,13 @@ object Spread {
     val sess = df.sparkSession
     val p = sess.sparkContext.defaultParallelism
     val files = df.inputFiles
-    // many files ⇒ the scan is already parallel; nothing to fix (and at
-    // 100 TB this is the branch that always wins — no per-file stats)
-    if (files.isEmpty || files.length >= p) return df
+    // Fire only when the scan is REALLY narrow: a quarter of the
+    // cluster's cores or less. A 10-file scan on 32 cores measured
+    // SLOWER with the spread at 10× (d01 149 → 195 s — the exchange
+    // costs more than the extra cores win once the scan is ≥¼-wide);
+    // a 1-file scan is where the single-row-group pathology lives. At
+    // 100 TB this is the branch that always wins — no per-file stats.
+    if (files.isEmpty || files.length > math.max(1, p / 4)) return df
     val conf = sess.sessionState.newHadoopConf()
     val total =
       try {

@@ -43,8 +43,9 @@ object Dedup {
   def shingledOf(docs: DataFrame): DataFrame =
     // shingling + hashing is the heavy per-row work of every detector;
     // spread a single-row-group documents scan so it runs cluster-wide
-    // instead of inside the one non-empty scan task (guide §2.5 — at
-    // scale the gate never fires and this is the identity)
+    // instead of inside the one non-empty scan task (guide §2.5 — the
+    // gate is the identity at scale, and measured at 10x even a 10-file
+    // scan is better left alone: see Spread.ifNarrow)
     graft.Spread.ifNarrow(docs)
       .selectExpr("doc_id", "graft_shingles(split(lower(text), ' ')) AS sh")
 
