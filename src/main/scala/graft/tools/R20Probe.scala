@@ -61,6 +61,11 @@ object R20Probe {
       case "w24" => w24(spark, dir)
       case "q48" => q48(spark, dir)
       case "w27p" => w27p(spark, dir)
+      case "shingleplan" =>
+        // the d01/d03 spread sits BELOW their localCheckpoint boundary,
+        // so the query-level explain can't show it; this dumps the
+        // pre-checkpoint shingle subtree's plan (plans/r20 evidence)
+        graft.operators.Dedup.shingled(spark, dir).explain("formatted")
       case other => sys.error(s"unknown probe $other")
     }
     spark.stop()
