@@ -49,8 +49,13 @@ private[operators] object Banding {
       // buckets evenly by COUNT, not bytes. The exchange moves only the
       // bucket rows, so its cost is O(buckets), not O(pairs).
       // defaultParallelism scales with the cluster — no local-shaped
-      // constant (guide §2.2/§2.5).
-      .repartition(banded.sparkSession.sparkContext.defaultParallelism)
+      // constant (guide §2.2/§2.5) — and the max() with the session's
+      // configured shuffle width guarantees this pin can only WIDEN the
+      // explode stage relative to the plan it replaces, never narrow it
+      // on clusters that size shuffle.partitions above the core count.
+      .repartition(math.max(
+        banded.sparkSession.sparkContext.defaultParallelism,
+        banded.sparkSession.sessionState.conf.numShufflePartitions))
       .select(col("ids"), posexplode(col("ids")).as(Seq("i", "a")))
       .select(col("a"), explode(expr("slice(ids, i + 2, size(ids))")).as("b"))
       .distinct()
