@@ -41,13 +41,15 @@ object Dedup {
     * formulation it replaced cost ~0.6 ms/doc interpreted and is
     * recomputed per reference in the self-join pipelines below. */
   def shingledOf(docs: DataFrame): DataFrame =
-    // shingling + hashing is the heavy per-row work of every detector;
-    // spread a single-row-group documents scan so it runs cluster-wide
-    // instead of inside the one non-empty scan task (guide §2.5 — the
-    // gate is the identity at scale, and measured at 10x even a 10-file
-    // scan is better left alone: see Spread.ifNarrow)
-    graft.Spread.ifNarrow(docs)
-      .selectExpr("doc_id", "graft_shingles(split(lower(text), ' ')) AS sh")
+    // NO narrow-scan spread here (round 21): round 20 spread this front
+    // and the driver's cold 32-core bench read d01/d02/d03 at 2-3x their
+    // round-19 times (anti-scaling: the same code ran 2-3x FASTER at 8
+    // cores), because the added exchange ships the full text column and
+    // pays a single-task sort-before-repartition under contention. The
+    // warm same-session A/Bs that justified it measured the opposite —
+    // an optimization that inverts under load is not one. Reverted to
+    // the round-19 shape the driver measured at d01 2.26 / d03 1.68.
+    docs.selectExpr("doc_id", "graft_shingles(split(lower(text), ' ')) AS sh")
 
   /** [[shingledOf]] mapped into the 64-bit hash domain: every shingle is
     * replaced by its xxhash64 image, and ALL downstream work — document
@@ -453,7 +455,9 @@ object Dedup {
     */
   /** Per-doc distinct 5-word shingles, exploded to (doc_id, g) rows. */
   def gramsOf(docs: DataFrame): DataFrame =
-    graft.Spread.ifNarrow(docs).selectExpr("doc_id",
+    // un-spread in round 21 with [[shingledOf]] (same wide-payload
+    // exchange mechanism; driver read d07 0.80x with the spread)
+    docs.selectExpr("doc_id",
         "graft_shingles_n(split(lower(text), ' '), 5) AS gs")
       .select(col("doc_id"), explode(col("gs")).as("g"))
 
@@ -535,7 +539,10 @@ object Dedup {
     // aggregation, coverage join) and the text split THREE times
     // (grams ×2, reassembly) — at full-corpus scale one stored pass
     // wins, on small survivor sets the store costs more than it saves
-    val toks0 = graft.Spread.ifNarrow(docs)
+    // un-spread in round 21 with [[shingledOf]] (the token spread ships
+    // the full tokenized text through the exchange — same hazard; the
+    // driver read d08 flat with it, so nothing is lost by removal)
+    val toks0 = docs
       .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
     val toks = if (materialize) toks0.localCheckpoint() else toks0
     val grams0 = toks.filter(size(col("t")) >= k)

@@ -533,7 +533,10 @@ object Multimodal {
     * final division in both engines. */
   def videoStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val items = graft.Spread.ifNarrow(graft.Tables(s, dir, "part"))
+    // un-spread in round 21: 300 items — the same criterion that
+    // reverted m02/m03 in round 20 (exchange overhead exceeds the
+    // single-task encode cost; driver read m04 0.85x with the spread)
+    val items = graft.Tables(s, dir, "part")
       .select(col("p_partkey").as("media_id"))
       .filter(col("media_id") <= 300)
       .as[Long]

@@ -52,7 +52,10 @@ object TextOps {
   /** Quality scoring: token count, avg token length, punctuation count,
     * stopword ratio, and a composite score in [0,1]. */
   def qualityOf(docs: DataFrame): DataFrame =
-    graft.Spread.ifNarrow(docs)
+    // un-spread in round 21 with the dedup shingle front (ships full
+    // text; was measured neutral warm, and t02 feeds p01/d06 whose cold
+    // driver runs regressed — same wide-payload exchange hazard)
+    docs
       .selectExpr("doc_id", "text", "split(lower(text), ' ') AS t")
       .selectExpr("doc_id",
         "CAST(size(t) AS BIGINT) AS n_tokens",

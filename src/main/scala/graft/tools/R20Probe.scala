@@ -61,6 +61,27 @@ object R20Probe {
       case "w24" => w24(spark, dir)
       case "q48" => q48(spark, dir)
       case "w27p" => w27p(spark, dir)
+      case "plans" =>
+        // batch plan dump: `plans <dir> <outDir> <suffix> <q1> <q2> ...`
+        // writes each query's formatted physical plan to
+        // <outDir>/<q>_<suffix>.txt in ONE session (the per-query sbt
+        // JVM startup otherwise dominates plan capture). The special
+        // name `dedup_shingle_subtree` dumps the pre-checkpoint shingle
+        // subtree (see `shingleplan`).
+        val outDir = java.nio.file.Paths.get(args(2))
+        java.nio.file.Files.createDirectories(outDir)
+        val suffix = args(3)
+        args.drop(4).foreach { name =>
+          val df =
+            if (name == "dedup_shingle_subtree")
+              graft.operators.Dedup.shingled(spark, dir)
+            else graft.SparkEntry.queries(name)(spark, dir)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          java.nio.file.Files.writeString(
+            outDir.resolve(s"${name}_$suffix.txt"), txt)
+          println(s"[probe] plan written: ${name}_$suffix.txt")
+        }
       case "shingleplan" =>
         // the d01/d03 spread sits BELOW their localCheckpoint boundary,
         // so the query-level explain can't show it; this dumps the
