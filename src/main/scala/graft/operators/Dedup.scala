@@ -306,11 +306,27 @@ object Dedup {
     * returning silently split components.
     */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    var e = pairs.select(col("a").as("u"), col("b").as("v"))
-      .filter(col("u") =!= col("v")).distinct().localCheckpoint()
-    def sig(df: DataFrame): Seq[Any] =
-      df.agg(count(lit(1)), bit_xor(col("u")), bit_xor(col("v")),
-        bit_xor(xxhash64(col("u"), col("v")))).collect()(0).toSeq
+    // Convergence signature rides the CHECKPOINT pass (round 21, guide
+    // §2.4/§5): `observe` attaches the (count, xor, xor, xor) aggregates
+    // as accumulator-backed observed metrics on the frame being
+    // localCheckpoint'ed, so the one materialization job per round also
+    // yields the signature — the separate driver-side `agg().collect()`
+    // job per round (~0.1-0.15 s of pure job overhead each, 2 jobs/round
+    // → 1) is gone. Same aggregates, same values: the fixpoint test is
+    // unchanged.
+    def observed(df: DataFrame): (DataFrame, org.apache.spark.sql.Observation) = {
+      val obs = org.apache.spark.sql.Observation()
+      (df.observe(obs, count(lit(1)).as("n"), bit_xor(col("u")).as("xu"),
+        bit_xor(col("v")).as("xv"),
+        bit_xor(xxhash64(col("u"), col("v"))).as("xh")), obs)
+    }
+    def sigOf(obs: org.apache.spark.sql.Observation): Seq[Any] = {
+      val m = obs.get
+      Seq(m("n"), m("xu"), m("xv"), m("xh"))
+    }
+    val (e0, obs0) = observed(pairs.select(col("a").as("u"), col("b").as("v"))
+      .filter(col("u") =!= col("v")).distinct())
+    var e = e0.localCheckpoint()
     // Dataset.unpersist only clears cacheManager entries, not the RDD a
     // localCheckpoint persisted — free that RDD directly via the
     // LogicalRDD leaf. Eviction is what bounds block-manager residency at
@@ -321,15 +337,18 @@ object Dedup {
           lr.rdd.unpersist(blocking = false)
         case _ => ()
       }
-    var cur = sig(e)
+    var cur = sigOf(obs0)
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
       // eager localCheckpoint: `next` is materialized here, so the
-      // previous round's blocks are dead the moment it returns
-      val next = smallStar(largeStar(e)).localCheckpoint()
+      // previous round's blocks are dead the moment it returns — and the
+      // observed metrics are final the moment the materialization job
+      // completes (obs.get below only awaits the listener callback)
+      val (nextO, obs) = observed(smallStar(largeStar(e)))
+      val next = nextO.localCheckpoint()
       freeCheckpoint(e)
-      val ns = sig(next)
+      val ns = sigOf(obs)
       converged = ns == cur
       e = next
       cur = ns

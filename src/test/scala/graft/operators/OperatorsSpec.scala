@@ -186,6 +186,51 @@ class OperatorsSpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(logFile)
   }
 
+  test("connectedComponents runs one action per round (signature rides the checkpoint)") {
+    import spark.implicits._
+    // round 21: the convergence signature is observed on the checkpoint
+    // materialization pass instead of a separate agg().collect() action —
+    // a component run must cost exactly 1 SQL execution (the initial
+    // checkpoint) + 1 per round, not 2 + 2/round. (Job counts are the
+    // wrong metric here: under AQE one action materializes each shuffle
+    // stage as its own job.)
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onOtherEvent(
+          e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+        case _: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+          counter.incrementAndGet(); ()
+        case _ => ()
+      }
+    }
+    val logFile = java.nio.file.Files.createTempFile("graft-cc-jobs", ".log")
+    val detach = graft.catalog.EngineLogFile.attach(logFile)
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val edges = Seq((3L, 1L), (2L, 3L), (11L, 10L)).toDF("a", "b")
+      Dedup.connectedComponents(edges) // eager loop; no action on the result
+      // listener bus is async: wait for the execution count to go quiet
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      var last = -1
+      while (System.nanoTime() < deadline && counter.get != last) {
+        last = counter.get
+        Thread.sleep(200)
+      }
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      detach()
+    }
+    val logText = java.nio.file.Files.readString(logFile)
+    val rounds = """converged in (\d+) rounds""".r
+      .findFirstMatchIn(logText)
+      .getOrElse(fail(s"no convergence line in the engine log; got:\n$logText"))
+      .group(1).toInt
+    assert(counter.get == rounds + 1,
+      s"expected 1 SQL execution per round + the initial checkpoint; " +
+        s"got ${counter.get} executions for $rounds rounds")
+    java.nio.file.Files.deleteIfExists(logFile)
+  }
+
   test("connectedComponents throws instead of returning split components") {
     import spark.implicits._
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
