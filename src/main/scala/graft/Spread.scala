@@ -35,7 +35,11 @@ object Spread {
   /** Per-core input-byte threshold below which a narrow scan is spread. */
   private def bytesPerCore(df: DataFrame): Long =
     df.sparkSession.conf.getOption("spark.graft.spread.bytesPerCore")
-      .map(_.toLong).getOrElse(8L * 1024 * 1024)
+      // tolerate a malformed conf value (fall back to the default)
+      // rather than throwing NumberFormatException at plan time inside
+      // every spread-wrapped query (round-21 advisor fix)
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .getOrElse(8L * 1024 * 1024)
 
   def ifNarrow(df: DataFrame): DataFrame = {
     // streaming plans repartition per micro-batch and have no stable
@@ -57,7 +61,9 @@ object Spread {
         val sample = new org.apache.hadoop.fs.Path(files.head)
         val fs = sample.getFileSystem(conf)
         files.map(f => fs.getFileStatus(new org.apache.hadoop.fs.Path(f)).getLen).sum
-      } catch { case _: Throwable => Long.MaxValue }
+      // NonFatal, not Throwable: the no-spread fallback must not swallow
+      // fatal errors or interrupts (round-21 advisor fix)
+      } catch { case scala.util.control.NonFatal(_) => Long.MaxValue }
     if (total < p.toLong * bytesPerCore(df)) df.repartition(p) else df
   }
 }

@@ -1898,82 +1898,127 @@ object IcebergExport {
     if (!footerSafe) return None
     val conf = spark.sessionState.newHadoopConf()
     val byName = boundCols.map { case (f, id) => f.name -> ((f, id)) }.toMap
-    val out = scala.collection.mutable.Map.empty[String, FileExportStats]
-    try {
-      CatalogIO.listDataFiles(fs, dataDir).foreach { rel =>
-        val reader = ParquetFileReader.open(
-          HadoopInputFile.fromPath(new Path(dataDir, rel), conf))
-        try {
-          val blocks = reader.getFooter.getBlocks.asScala.toSeq
-          val cnt = blocks.map(_.getRowCount).sum
-          val lowers = scala.collection.mutable.Map.empty[Int, Any]
-          val uppers = scala.collection.mutable.Map.empty[Int, Any]
-          val nulls = scala.collection.mutable.Map.empty[Int, Long]
-          for (b <- blocks; c <- b.getColumns.asScala) {
+    // One file's footer → its stats; None on ANY uncertainty (caller then
+    // falls back to the scan for the whole export). Flag-based loops, no
+    // non-local returns from closures (round-21 advisor fix: the old
+    // foreach-with-return only worked because the enclosing catch
+    // swallowed NonLocalReturnControl along with every other Throwable).
+    def decodeOne(rel: String): Option[FileExportStats] = {
+      val reader = ParquetFileReader.open(
+        HadoopInputFile.fromPath(new Path(dataDir, rel), conf))
+      try {
+        val blocks = reader.getFooter.getBlocks.asScala.toSeq
+        val cnt = blocks.map(_.getRowCount).sum
+        val lowers = scala.collection.mutable.Map.empty[Int, Any]
+        val uppers = scala.collection.mutable.Map.empty[Int, Any]
+        val nulls = scala.collection.mutable.Map.empty[Int, Long]
+        var ok = true
+        val bIt = blocks.iterator
+        while (ok && bIt.hasNext) {
+          val b = bIt.next()
+          val cIt = b.getColumns.asScala.iterator
+          while (ok && cIt.hasNext) {
+            val c = cIt.next()
             val path = c.getPath.toArray
             if (path.length == 1) byName.get(path(0)).foreach { case (f, id) =>
               val st = c.getStatistics
-              if (st == null || !st.isNumNullsSet) return None
-              nulls.update(id, nulls.getOrElse(id, 0L) + st.getNumNulls)
-              if (!st.hasNonNullValue) {
-                // no bounds in this chunk: sound only if every row in the
-                // chunk is null (otherwise stats were dropped — fallback)
-                if (st.getNumNulls != b.getRowCount) return None
-              } else {
-                val prim = c.getPrimitiveType.getPrimitiveTypeName
-                def ext(v: Any): Option[Any] = (f.dataType, prim, v) match {
-                  case (LongType, INT64, l: java.lang.Long) => Some(l)
-                  case (IntegerType, INT32, i: java.lang.Integer) => Some(i)
-                  case (BooleanType, BOOLEAN, x: java.lang.Boolean) => Some(x)
-                  case (StringType, BINARY, bin: Binary) =>
-                    val bytes = bin.getBytes
-                    // long binary stats can be truncated/dropped by the
-                    // writer; stay exact by refusing anywhere near the edge
-                    if (bytes.length > 1000) None
-                    else Some(new String(bytes,
-                      java.nio.charset.StandardCharsets.UTF_8))
-                  case (DateType, INT32, i: java.lang.Integer) =>
-                    Some(java.time.LocalDate.ofEpochDay(i.longValue()))
-                  case (TimestampType, INT64, l: java.lang.Long) =>
-                    if (!isMicrosTimestamp(c.getPrimitiveType)) None
-                    else Some(java.time.Instant.ofEpochSecond(
-                      Math.floorDiv(l.longValue(), 1000000L),
-                      Math.floorMod(l.longValue(), 1000000L) * 1000L))
-                  case (TimestampNTZType, INT64, l: java.lang.Long) =>
-                    if (!isMicrosTimestamp(c.getPrimitiveType)) None
-                    else Some(java.time.LocalDateTime.ofEpochSecond(
-                      Math.floorDiv(l.longValue(), 1000000L),
-                      (Math.floorMod(l.longValue(), 1000000L) * 1000L).toInt,
-                      java.time.ZoneOffset.UTC))
-                  case (dt: DecimalType, INT32, i: java.lang.Integer) =>
-                    Some(java.math.BigDecimal.valueOf(i.longValue(), dt.scale))
-                  case (dt: DecimalType, INT64, l: java.lang.Long) =>
-                    Some(java.math.BigDecimal.valueOf(l.longValue(), dt.scale))
-                  case (dt: DecimalType, FIXED_LEN_BYTE_ARRAY, bin: Binary) =>
-                    Some(new java.math.BigDecimal(
-                      new java.math.BigInteger(bin.getBytes), dt.scale))
-                  case (dt: DecimalType, BINARY, bin: Binary) =>
-                    Some(new java.math.BigDecimal(
-                      new java.math.BigInteger(bin.getBytes), dt.scale))
-                  case _ => None
-                }
-                (ext(st.genericGetMin), ext(st.genericGetMax)) match {
-                  case (Some(mn), Some(mx)) =>
-                    lowers.update(id, lowers.get(id).fold(mn)(cur =>
-                      if (extLt(f.dataType, mn, cur)) mn else cur))
-                    uppers.update(id, uppers.get(id).fold(mx)(cur =>
-                      if (extLt(f.dataType, cur, mx)) mx else cur))
-                  case _ => return None
+              if (st == null || !st.isNumNullsSet) ok = false
+              else {
+                nulls.update(id, nulls.getOrElse(id, 0L) + st.getNumNulls)
+                if (!st.hasNonNullValue) {
+                  // no bounds in this chunk: sound only if every row in the
+                  // chunk is null (otherwise stats were dropped — fallback)
+                  if (st.getNumNulls != b.getRowCount) ok = false
+                } else {
+                  val prim = c.getPrimitiveType.getPrimitiveTypeName
+                  def ext(v: Any): Option[Any] = (f.dataType, prim, v) match {
+                    case (LongType, INT64, l: java.lang.Long) => Some(l)
+                    case (IntegerType, INT32, i: java.lang.Integer) => Some(i)
+                    case (BooleanType, BOOLEAN, x: java.lang.Boolean) => Some(x)
+                    case (StringType, BINARY, bin: Binary) =>
+                      val bytes = bin.getBytes
+                      // long binary stats can be truncated/dropped by the
+                      // writer; stay exact by refusing anywhere near the edge
+                      if (bytes.length > 1000) None
+                      else Some(new String(bytes,
+                        java.nio.charset.StandardCharsets.UTF_8))
+                    case (DateType, INT32, i: java.lang.Integer) =>
+                      Some(java.time.LocalDate.ofEpochDay(i.longValue()))
+                    case (TimestampType, INT64, l: java.lang.Long) =>
+                      if (!isMicrosTimestamp(c.getPrimitiveType)) None
+                      else Some(java.time.Instant.ofEpochSecond(
+                        Math.floorDiv(l.longValue(), 1000000L),
+                        Math.floorMod(l.longValue(), 1000000L) * 1000L))
+                    case (TimestampNTZType, INT64, l: java.lang.Long) =>
+                      if (!isMicrosTimestamp(c.getPrimitiveType)) None
+                      else Some(java.time.LocalDateTime.ofEpochSecond(
+                        Math.floorDiv(l.longValue(), 1000000L),
+                        (Math.floorMod(l.longValue(), 1000000L) * 1000L).toInt,
+                        java.time.ZoneOffset.UTC))
+                    case (dt: DecimalType, INT32, i: java.lang.Integer) =>
+                      Some(java.math.BigDecimal.valueOf(i.longValue(), dt.scale))
+                    case (dt: DecimalType, INT64, l: java.lang.Long) =>
+                      Some(java.math.BigDecimal.valueOf(l.longValue(), dt.scale))
+                    case (dt: DecimalType, FIXED_LEN_BYTE_ARRAY, bin: Binary) =>
+                      Some(new java.math.BigDecimal(
+                        new java.math.BigInteger(bin.getBytes), dt.scale))
+                    case (dt: DecimalType, BINARY, bin: Binary) =>
+                      Some(new java.math.BigDecimal(
+                        new java.math.BigInteger(bin.getBytes), dt.scale))
+                    case _ => None
+                  }
+                  (ext(st.genericGetMin), ext(st.genericGetMax)) match {
+                    case (Some(mn), Some(mx)) =>
+                      lowers.update(id, lowers.get(id).fold(mn)(cur =>
+                        if (extLt(f.dataType, mn, cur)) mn else cur))
+                      uppers.update(id, uppers.get(id).fold(mx)(cur =>
+                        if (extLt(f.dataType, cur, mx)) mx else cur))
+                    case _ => ok = false
+                  }
                 }
               }
             }
           }
-          out.update(rel, FileExportStats(cnt, lowers.toMap, uppers.toMap,
-            nulls.toMap, Map.empty))
-        } finally reader.close()
-      }
-      Some(out.toMap)
-    } catch { case _: Throwable => None }
+        }
+        if (ok) Some(FileExportStats(cnt, lowers.toMap, uppers.toMap,
+          nulls.toMap, Map.empty))
+        else None
+      } finally reader.close()
+    }
+    try {
+      val files = CatalogIO.listDataFiles(fs, dataDir)
+      if (files.isEmpty) return Some(Map.empty)
+      // Round 21 (guide §5 driver discipline): decode footers on a small
+      // bounded pool instead of a serial driver loop — at 10⁴-10⁵ files a
+      // serial loop of remote footer reads would become the new export
+      // bottleneck, and even locally a multi-file export pays file-open
+      // latency × files. Order-independent: results key by file name.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(8, files.length))
+      val decoded =
+        try {
+          val futs = files.map { rel =>
+            pool.submit(new java.util.concurrent.Callable[Option[(String, FileExportStats)]] {
+              override def call(): Option[(String, FileExportStats)] =
+                decodeOne(rel).map(rel -> _)
+            })
+          }
+          futs.map(_.get())
+        } finally pool.shutdown()
+      if (decoded.exists(_.isEmpty)) None
+      else Some(decoded.flatten
+        // a 0-row part file has no stats row on the scan path (its
+        // groupBy yields nothing), so the footer path must leave it
+        // absent too — the manifest entry then carries record_count 0
+        // with bounds unset, identical to the scan path's (advisor fix)
+        .filter(_._2.cnt > 0L)
+        .toMap)
+    } catch {
+      case e: java.util.concurrent.ExecutionException
+          if !scala.util.control.NonFatal(e.getCause) =>
+        throw e.getCause // never swallow a worker's fatal error
+      case scala.util.control.NonFatal(_) => None
+    }
   }
 
   private def isMicrosTimestamp(

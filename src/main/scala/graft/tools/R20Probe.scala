@@ -61,6 +61,34 @@ object R20Probe {
       case "w24" => w24(spark, dir)
       case "q48" => q48(spark, dir)
       case "w27p" => w27p(spark, dir)
+      case "execs" =>
+        // per-SQL-execution timing of one query's construction + write:
+        // eager operators (p01/d06 checkpoint loops, s02 training, w-row
+        // exports) split their wall across many actions — this prints
+        // each one so optimization lands on the expensive ones
+        val name = args(2)
+        val starts = scala.collection.concurrent.TrieMap.empty[Long, (String, Long)]
+        val listener = new org.apache.spark.scheduler.SparkListener {
+          override def onOtherEvent(
+              e: org.apache.spark.scheduler.SparkListenerEvent): Unit = e match {
+            case s0: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionStart =>
+              starts.update(s0.executionId, (s0.description, s0.time)); ()
+            case e2: org.apache.spark.sql.execution.ui.SparkListenerSQLExecutionEnd =>
+              starts.get(e2.executionId).foreach { case (d, t0) =>
+                println(f"[probe] exec ${e2.executionId}%3d ${(e2.time - t0) / 1e3}%8.3f s  ${d.linesIterator.next().take(90)}")
+              }
+            case _ => ()
+          }
+        }
+        spark.sparkContext.addSparkListener(listener)
+        val tmpx = java.nio.file.Files.createTempDirectory("graft_execs").toString
+        (1 to 2).foreach { i =>
+          val t0 = System.nanoTime()
+          graft.SparkEntry.queries(name)(spark, dir)
+            .write.mode("overwrite").parquet(s"$tmpx/$name")
+          println(f"[probe] $name run $i total ${(System.nanoTime() - t0) / 1e9}%.3f s")
+        }
+        Thread.sleep(2000)
       case "plans" =>
         // batch plan dump: `plans <dir> <outDir> <suffix> <q1> <q2> ...`
         // writes each query's formatted physical plan to
