@@ -163,9 +163,21 @@ object Relational {
   def q15(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy($"l_suppkey")
       .orderBy($"l_orderkey", $"l_linenumber", $"l_quantity").rowsBetween(-2, 0)
+    // Rolling sum in SCALED-LONG arithmetic (round 21 — the q04b
+    // fast-exact recipe applied to the window family): l_quantity is a
+    // 4dp fixed-point value, so summing round(qty·10⁴) as LONG is exact
+    // and keeps the window's aggregate buffer primitive instead of boxed
+    // decimal(38,4) — the window stage measured 3.9 s of CPU at sf0.1
+    // with the decimal buffer. The output is unchanged: a ≤3-row frame
+    // sum n/10⁴ rendered as a double is the same correctly-rounded IEEE
+    // value whether produced by `round(sum(decimal), 4) CAST DOUBLE` or
+    // by `sum(long) / 10000.0` (both are the nearest double of the same
+    // exact rational) — oracle-verified identical at sf0.001/0.01/0.1.
     Tables(s, dir, "lineitem")
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity",
+        round($"l_quantity" * 10000).cast(LongType).as("q10k"))
       .select($"l_suppkey", $"l_orderkey", $"l_linenumber",
-        round(sum(dec($"l_quantity")).over(w), 4).cast(DoubleType).as("roll"))
+        (sum($"q10k").over(w) / 10000.0).as("roll"))
       .orderBy($"l_suppkey", $"l_orderkey", $"l_linenumber", $"roll")
   }
 
@@ -303,10 +315,16 @@ object Relational {
   def q27b(s: SparkSession, dir: String): DataFrame = {
     val day = datediff($"o_orderdate".cast(DateType), lit("2020-01-01").cast(DateType))
     val w = Window.partitionBy($"o_custkey").orderBy($"d").rangeBetween(-30, 0)
+    // scaled-long window sum (round 21, same recipe and equivalence
+    // argument as q15): o_totalprice is fixed-point, so the range-frame
+    // sum runs over a primitive LONG buffer instead of boxed
+    // decimal(38,4); sum·10⁻⁴ is the same correctly-rounded double as
+    // round(sum(decimal), 4) CAST DOUBLE — oracle-verified at all SFs
     Tables(s, dir, "orders")
       .withColumn("d", day.cast(LongType))
       .select($"o_custkey", $"o_orderkey", $"d",
-        round(sum(dec($"o_totalprice")).over(w), 4).cast(DoubleType).as("rsum"))
+        (sum(round($"o_totalprice" * 10000).cast(LongType)).over(w) / 10000.0)
+          .as("rsum"))
       .orderBy($"o_custkey", $"o_orderkey")
   }
 
@@ -794,7 +812,16 @@ object Relational {
     * joins broadcast; the window partitions by part key (no global
     * sort). */
   def q59(s: SparkSession, dir: String): DataFrame = {
+    // ONE exchange for the agg AND the window (round 21, guide §2.4):
+    // hash-repartition by part key alone — hashpartitioning(partkey)
+    // clusters every (partkey, suppkey) group, so the groupBy needs no
+    // second exchange, and the per-part window below reuses the same
+    // partitioning (the dimension joins between them are broadcasts,
+    // which preserve it). Before: Exchange(pk, sk) for the agg plus
+    // Exchange(pk) for the window — two full shuffles of the supply set.
     val supply = Tables(s, dir, "lineitem")
+      .select($"l_partkey", $"l_suppkey", $"l_extendedprice", $"l_quantity")
+      .repartition($"l_partkey")
       .groupBy($"l_partkey".as("ps_partkey"), $"l_suppkey".as("ps_suppkey"))
       .agg(round(min(($"l_extendedprice" / $"l_quantity").cast("decimal(38,4)")), 4)
         .cast("double").as("ps_supplycost"))
