@@ -180,30 +180,34 @@ object Similarity {
     * the training pass so even the one-time fit never needs the corpus.
     * Output: (c_label, cv: array<double>, cn: norm). */
   def trainCentroids(embNorm: DataFrame, samplePct: Int): DataFrame = {
-    val sampled = meanCentroids(
-      embNorm.filter(pmod(hash(col("vec_id")), lit(100)) < samplePct))
     // A label whose every row missed the sample would get no centroid, so
     // its list would never be probed and its members would silently fall
-    // out of ANN reach — a recall cliff for small/skewed clusters. Rescue
-    // pass: labels with no sampled centroid train on ALL their rows (a
-    // map-side-combinable distinct + one broadcast-filtered scan; empty
-    // for any label the sample covered). Training remains a bounded
-    // one-time fit — at scale it runs offline and persists (see
-    // [[annIvfOver]]'s `centroids`).
-    val missing = embNorm.select(col("label")).distinct()
-      .join(sampled, col("label") === col("c_label"), "left_anti")
-    val rescue = meanCentroids(embNorm.join(broadcast(missing), Seq("label")))
-    sampled.union(rescue)
-  }
-
-  /** Per-label mean + norm over (vec_id, label, v) rows → (c_label, cv, cn). */
-  private def meanCentroids(rows: DataFrame): DataFrame =
-    rows
-      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
-      .groupBy("label", "i").agg(avg("x").as("cx"))
+    // out of ANN reach — a recall cliff for small/skewed clusters. Those
+    // labels train on ALL their rows instead. Round 21 (guide §2.6 — the
+    // old shape ran three corpus passes: sampled aggregation, distinct
+    // labels, broadcast-filtered rescue aggregation): ONE pass computes
+    // the per-(label, dim) sums over the sampled rows AND over all rows;
+    // a label with any sampled row takes the sampled mean (the null-
+    // skipping sum/count over `when(sampled, x)` aggregates exactly the
+    // sampled rows, in the same scan order the filtered pass used), an
+    // unsampled label takes the all-rows mean (exactly the rescue pass's
+    // aggregate). Training remains a bounded one-time fit — at scale it
+    // runs offline and persists (see [[annIvfOver]]'s `centroids`).
+    val sampled = pmod(hash(col("vec_id")), lit(100)) < samplePct
+    embNorm
+      .select(col("label"), sampled.as("s"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("label", "i").agg(
+        sum(when(col("s"), col("x"))).as("sx_s"),
+        count(when(col("s"), col("x"))).as("n_s"),
+        sum(col("x")).as("sx_a"),
+        count(col("x")).as("n_a"))
+      .select(col("label"), col("i"),
+        when(col("n_s") > 0, col("sx_s") / col("n_s"))
+          .otherwise(col("sx_a") / col("n_a")).as("cx"))
       .groupBy("label").agg(array_sort(collect_list(struct(col("i"), col("cx")))).as("pairs"))
       .selectExpr("label AS c_label", "transform(pairs, p -> p.cx) AS cv")
       .withColumn("cn", expr("sqrt(aggregate(cv, CAST(0.0 AS DOUBLE), (a, x) -> a + x * x))"))
+  }
 
   /** IVF ANN over any embeddings source: coordinator-planned probes +
     * one label-pruned scan.
