@@ -78,9 +78,11 @@ object ScaleSmoke {
           m.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
     }
     val all = Seq("q04_agg_tpch1", "q08_join_star", "q15_window_frame",
-      "q22b_dedup_keepfirst", "d01_dedup_jaccard", "d02_dedup_minhash_lsh",
+      "q22b_dedup_keepfirst", "q27b_range_frame", "q59_tpch2",
+      "d01_dedup_jaccard", "d02_dedup_minhash_lsh",
       "d03_dedup_simhash", "d06_dedup_canonical", "d07_decontaminate",
-      "d08_dedup_substrings", "t06_pack_sequences", "p01_training_pipeline")
+      "d08_dedup_substrings", "s02_ann_ivf", "t06_pack_sequences",
+      "p01_training_pipeline")
     // a typo'd name silently measuring nothing would waste a multi-hour
     // rerun — fail fast instead ("srp"/"write" select those experiments)
     val unknown = only -- all.toSet - "srp" - "write" - "compact" - "mor" - "stats" - "incr" - "plan" - "manifest" - "iceberg" - "chunks" - "dv" - "orc" - "degrade" - "stream" - "hive" - "scoped" - "cow" - "reloc" - "rename"
