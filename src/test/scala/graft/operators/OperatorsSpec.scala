@@ -231,6 +231,16 @@ class OperatorsSpec extends AnyFunSuite {
     java.nio.file.Files.deleteIfExists(logFile)
   }
 
+  test("connectedComponents converges immediately on an empty edge set") {
+    import spark.implicits._
+    // self-loops contribute no edges: the initial checkpoint materializes
+    // an EMPTY frame, and the observed convergence signature must still
+    // arrive (count 0, null xors) instead of blocking — the round-21
+    // observe-fold's empty-input edge
+    val edges = Seq((5L, 5L), (9L, 9L)).toDF("a", "b")
+    assert(Dedup.connectedComponents(edges).collect().isEmpty)
+  }
+
   test("connectedComponents throws instead of returning split components") {
     import spark.implicits._
     val chain = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
